@@ -1,13 +1,576 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.Polyval
+import graft.ops.SegmentOps
+
+/** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
+  * operator from SURVEY §2, each with a DuckDB-equivalent `oracleSql`.
+  *
+  * Determinism policy: every oracle-checked value is computed in an exact
+  * integer domain — epoch-microseconds for time (`events.ts` is read as a
+  * long of nanos, equal to DuckDB's `epoch_us(ts)`) and scaled integer
+  * cents/e4/e6 for money (scaled so the true decimal value is integral
+  * before rounding). Doubles only appear as single divisions of two exact
+  * integers, which IEEE-754 evaluates identically in both engines. Every
+  * query ends in a total deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val HOUR_US = 3600L * 1000000L
+
+  /** events as (user_id, event_id, tus, cents) point rows; time in exact
+    * integer microseconds (= DuckDB `epoch_us(ts)`).
+    */
+  private def evPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      expr("ts div 1000").as("tus"),
+      round(col("value") * 100d).cast("long").as("cents"))
+
+  private val evPointsSqlCte =
+    """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+      |  CAST(round(value*100) AS BIGINT) AS cents FROM events)""".stripMargin
+
+  private val evIntervalsSqlCte =
+    """i AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s_us,
+      |  epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) AS e_us,
+      |  CAST(round(value*100) AS BIGINT) AS cents FROM events)""".stripMargin
+
+  /** Merged interval chunks per user (gap 1 h), the W1 interval-union CTE
+    * shared by several queries.
+    */
+  private def chunks(s: SparkSession, dir: String): DataFrame =
+    SegmentOps.coalesceIntervals(
+        Tables.eventIntervals(s, dir), "user_id", "s_us", "e_us", "event_id",
+        lit(HOUR_US))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("s_us")).as("start_us"), max(col("e_us")).as("end_us"),
+        count(lit(1)).as("n_merged"))
+
+  private val chunksSqlCte =
+    s"""$evIntervalsSqlCte,
+       |cf AS (SELECT user_id, event_id, s_us, e_us,
+       |  MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM i),
+       |cg AS (SELECT user_id, event_id, s_us, e_us,
+       |  CASE WHEN prev_end IS NULL OR s_us - prev_end > 3600000000 THEN 1 ELSE 0 END AS newflag FROM cf),
+       |cs AS (SELECT user_id, s_us, e_us,
+       |  CAST(SUM(newflag) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM cg),
+       |ch AS (SELECT user_id, session_id, MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+       |  COUNT(*) AS n_merged FROM cs GROUP BY user_id, session_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Flagship: 5-table star join with broadcast dims (driver smoke check).
+  // ---------------------------------------------------------------------
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount")) * 10000d)
+          .cast("long")).as("revenue_e4"))
+      .orderBy(col("r_name"), col("o_orderpriority"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Query registry. Names carry the SURVEY §2 operator ids they cover.
+  // ---------------------------------------------------------------------
+  private case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      sql: Option[String])
+
+  private def registry: Seq[Q] = Seq(
+
+    // A1/A5/A9 + S1 scan: pricing summary, exact scaled-integer money.
+    Q("a1_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100d).cast("long")).as("sum_base_cents"),
+          sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount")) * 10000d)
+            .cast("long")).as("sum_disc_e4"),
+          sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+              * (lit(1d) + col("l_tax")) * 1000000d)
+            .cast("long")).as("sum_charge_e6"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |  CAST(SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // S1 + P2-style predicates: selective scan with pushed filters.
+    Q("s1_scan_prune",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.08) && col("l_quantity") < 24)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 24
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Large-large shuffled equi join + agg (engine inherits from Spark;
+    // declared per SURVEY §2.3 coverage note).
+    Q("j2_equi_agg",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount")) * 10000d)
+            .cast("long")).as("revenue_e4"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // J5/J7 — broadcast star join over the dimension chain.
+    Q("j5_broadcast_star",
+      (s, dir) => Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100d).cast("long")).as("sum_cents"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // J7/S9 — semi + anti join (EXISTS / NOT EXISTS; the incremental-skip
+    // dual of skip_if_exist).
+    Q("j7_semi_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("with_orders"))
+        val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("no_orders"))
+        semi.unionByName(anti).select(col("tag"), col("c_mktsegment"), col("n"))
+          .orderBy(col("tag"), col("c_mktsegment"))
+      },
+      Some("""SELECT * FROM (
+        |  SELECT 'with_orders' AS tag, c_mktsegment, COUNT(*) AS n FROM customer
+        |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT 'no_orders' AS tag, c_mktsegment, COUNT(*) AS n FROM customer
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment
+        |) t ORDER BY tag, c_mktsegment""".stripMargin)),
+
+    // O4/O6 — global top-k with deterministic tie-break.
+    Q("o6_topk",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100d).cast("long").as("cents"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+        .limit(15)
+        .orderBy(col("cents").desc, col("o_orderkey")),
+      Some("""SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders ORDER BY cents DESC, o_orderkey LIMIT 15
+        |) t ORDER BY cents DESC, o_orderkey""".stripMargin)),
+
+    // A-agg extension: rollup (grouping sets) — free from Spark, declared
+    // per SURVEY §2.4 note.
+    Q("a_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)),
+
+    // U-ops — exact set operations (SURVEY §2.7 note).
+    Q("u_setops",
+      (s, dir) => {
+        val ck = Tables.customer(s, dir)
+          .select(col("c_nationkey").cast("long").as("k")).distinct()
+        val sk = Tables.supplier(s, dir)
+          .select(col("s_nationkey").cast("long").as("k")).distinct()
+        ck.except(sk).withColumn("tag", lit("except"))
+          .unionByName(ck.intersect(sk).withColumn("tag", lit("intersect")))
+          .select(col("tag"), col("k"))
+          .orderBy(col("tag"), col("k"))
+      },
+      Some("""SELECT * FROM (
+        |  SELECT 'except' AS tag, k FROM (
+        |    SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        |    EXCEPT SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k FROM supplier) a
+        |  UNION ALL
+        |  SELECT 'intersect' AS tag, k FROM (
+        |    SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        |    INTERSECT SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k FROM supplier) b
+        |) t ORDER BY tag, k""".stripMargin)),
+
+    // W1 — gap-based sessionization of point events (utils.py:64-102,
+    // uncapped flavor; gap = 4 h).
+    Q("w1_sessionize",
+      (s, dir) => SegmentOps.sessionizePoints(
+          evPoints(s, dir), "user_id", "tus", "event_id", lit(4L * HOUR_US))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"),
+          count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("user_id"), col("session_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |f AS (SELECT user_id, event_id, tus, cents,
+        |  CASE WHEN lag(tus) OVER w IS NULL
+        |         OR tus - lag(tus) OVER w > 14400000000
+        |       THEN 1 ELSE 0 END AS newflag
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, tus, cents,
+        |  CAST(SUM(newflag) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // W1 interval flavor — interval-union coalescing (the separation-
+    // economy merge, separation_filter.py:168).
+    Q("w1_coalesce_intervals",
+      (s, dir) => chunks(s, dir)
+        .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"), col("n_merged"))
+        .orderBy(col("user_id"), col("session_id")),
+      Some(s"""WITH $chunksSqlCte
+        |SELECT user_id, session_id, start_us, end_us, n_merged
+        |FROM ch ORDER BY user_id, session_id""".stripMargin)),
+
+    // J4 — adjacent-row gap construction with neighbor features
+    // (separation_filter.py:108-157) as lead/lag, not a join.
+    Q("j4_adjacent_gaps",
+      (s, dir) => SegmentOps.adjacentGaps(
+          Tables.eventIntervals(s, dir), "user_id", "s_us", "e_us", "event_id", "cents")
+        .select(col("user_id"), col("prev_id"), col("gap_start"), col("gap_end"),
+          col("prev_feature"), col("next_feature"),
+          (col("prev_feature").cast("double") /
+            (col("prev_feature") + col("next_feature")).cast("double")).as("r_prev"))
+        .orderBy(col("user_id"), col("prev_id")),
+      Some(s"""WITH $evIntervalsSqlCte,
+        |l AS (SELECT user_id, event_id AS prev_id, s_us, e_us, cents,
+        |  lead(s_us) OVER w AS next_start, lead(cents) OVER w AS next_feature
+        |  FROM i WINDOW w AS (PARTITION BY user_id ORDER BY s_us, event_id))
+        |SELECT user_id, prev_id, e_us AS gap_start, next_start AS gap_end,
+        |  cents AS prev_feature, next_feature,
+        |  CAST(cents AS DOUBLE) / CAST(cents + next_feature AS DOUBLE) AS r_prev
+        |FROM l WHERE next_start IS NOT NULL AND next_start >= e_us
+        |ORDER BY user_id, prev_id""".stripMargin)),
+
+    // W6 — cumulative-sum budget cap (host_rematch.py:100-109).
+    Q("w6_cumsum_cap",
+      (s, dir) => SegmentOps.cumsumCap(
+          Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice") * 100d).cast("long").as("cents")),
+          "o_custkey", "cents", "o_orderkey", "cents", lit(40000000L))
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"), col("cum"))
+        .orderBy(col("o_custkey"), col("cum")),
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT o_custkey, o_orderkey, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM o)
+        |SELECT o_custkey, o_orderkey, cents, cum FROM c WHERE cum <= 40000000
+        |ORDER BY o_custkey, cum""".stripMargin)),
+
+    // W7/P7 — monotone running-max dedup (silero_vad.py:129-139).
+    Q("w7_runmax_dedup",
+      (s, dir) => SegmentOps.runningMaxDedup(
+          evPoints(s, dir), "user_id", "tus", "event_id", "cents")
+        .select(col("user_id"), col("event_id"), col("cents"))
+        .orderBy(col("user_id"), col("event_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |m AS (SELECT user_id, event_id, cents,
+        |  MAX(cents) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM e)
+        |SELECT user_id, event_id, cents FROM m
+        |WHERE runmax IS NULL OR cents > runmax
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // A6/O4 — argmax per group with deterministic tie-break
+    // (speaker_rematch.py:214-221).
+    Q("a6_argmax",
+      (s, dir) => evPoints(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("cents").desc, col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("cents"))
+        .orderBy(col("user_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |r AS (SELECT user_id, event_id, cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY cents DESC, event_id) AS rn FROM e)
+        |SELECT user_id, event_id, cents FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // A8 — distinct-set accumulation (silero_vad.py:130,143-144), both as
+    // an exact distinct count and an order-normalized set string.
+    Q("a8_distinct_sets",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // J8/W9 — sweep-line over overlapping intervals: elementary intervals
+    // with active-interval counts (diarization.py:24-64; ends sort before
+    // starts at boundary ties, diarization.py:39).
+    Q("j8_sweepline",
+      (s, dir) => SegmentOps.sweepLineCounts(
+          Tables.eventIntervals(s, dir), "user_id", "s_us", "e_us")
+        .orderBy(col("user_id"), col("s")),
+      Some(s"""WITH $evIntervalsSqlCte,
+        |b AS (SELECT user_id, s_us AS t, CAST(1 AS BIGINT) AS delta FROM i
+        |      UNION ALL SELECT user_id, e_us AS t, CAST(-1 AS BIGINT) AS delta FROM i),
+        |c AS (SELECT user_id, t, delta,
+        |  CAST(SUM(delta) OVER w AS BIGINT) AS n_active,
+        |  lead(t) OVER w AS next_t
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, t AS s, next_t AS e, n_active FROM c
+        |WHERE n_active > 0 AND next_t > t ORDER BY user_id, s""".stripMargin)),
+
+    // J1 — interval-containment join: assign each 'click' interval to its
+    // merged chunk (separation_filter.py:190-236). Equi key on user keeps
+    // it a hash/SMJ join, never a nested loop.
+    Q("j1_containment",
+      (s, dir) => {
+        val segs = Tables.eventIntervals(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("s_us"), col("e_us"))
+        SegmentOps.containmentJoin(segs, chunks(s, dir), "user_id",
+            "s_us", "e_us", "start_us", "end_us")
+          .select(col("s.user_id").as("user_id"), col("s.event_id").as("event_id"),
+            col("c.start_us").as("chunk_start"), col("c.end_us").as("chunk_end"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""WITH $chunksSqlCte,
+        |seg AS (SELECT user_id, event_id, s_us, e_us FROM i WHERE event_type = 'click')
+        |SELECT seg.user_id AS user_id, seg.event_id AS event_id,
+        |  ch.start_us AS chunk_start, ch.end_us AS chunk_end
+        |FROM seg JOIN ch ON seg.user_id = ch.user_id
+        |  AND seg.s_us >= ch.start_us AND seg.e_us <= ch.end_us
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // J3 — max-overlap interval join, argmax with first-max tie-break
+    // (speaker_rematch.py:224-234).
+    Q("j3_max_overlap",
+      (s, dir) => {
+        // Durations widened 100× (exact integer multiply) so intervals of
+        // different types genuinely overlap and the argmax is exercised.
+        val i = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("s_us"),
+          (expr("ts div 1000") + round(col("value") * 1e6d).cast("long") * lit(100L))
+            .as("e_us"))
+        val a = i.filter(col("event_type") === "click")
+        val b = i.filter(col("event_type") === "view")
+        SegmentOps.maxOverlapJoin(a, b, "user_id", "event_id", "event_id",
+            "s_us", "e_us", "s_us", "e_us")
+          .select(col("l.user_id").as("user_id"), col("l.event_id").as("a_id"),
+            col("r.event_id").as("b_id"), col("overlap"))
+          .orderBy(col("user_id"), col("a_id"))
+      },
+      Some("""WITH i AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s_us,
+        |  epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) * 100 AS e_us FROM events),
+        |a AS (SELECT user_id, event_id, s_us, e_us FROM i WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id, s_us, e_us FROM i WHERE event_type = 'view'),
+        |j AS (SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap
+        |  FROM a JOIN b ON a.user_id = b.user_id AND a.s_us < b.e_us AND b.s_us < a.e_us),
+        |r AS (SELECT user_id, a_id, b_id, overlap,
+        |  row_number() OVER (PARTITION BY user_id, a_id ORDER BY overlap DESC, b_id) AS rn
+        |  FROM j WHERE overlap > 0)
+        |SELECT user_id, a_id, b_id, overlap FROM r WHERE rn = 1
+        |ORDER BY user_id, a_id""".stripMargin)),
+
+    // U4 — interval anti-overlap exclusion (utils.py:155-183): 'view'
+    // intervals overlapping no 'error' interval of the same user.
+    Q("u4_anti_overlap",
+      (s, dir) => {
+        val i = Tables.eventIntervals(s, dir)
+        SegmentOps.antiOverlapJoin(
+            i.filter(col("event_type") === "view"),
+            i.filter(col("event_type") === "error"),
+            "user_id", "s_us", "e_us", "s_us", "e_us")
+          .select(col("user_id"), col("event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""WITH $evIntervalsSqlCte
+        |SELECT v.user_id AS user_id, v.event_id AS event_id
+        |FROM i v WHERE v.event_type = 'view' AND NOT EXISTS (
+        |  SELECT 1 FROM i n WHERE n.event_type = 'error'
+        |    AND n.user_id = v.user_id AND v.s_us < n.e_us AND n.s_us < v.e_us)
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // W3 — sliding hop windows over long segments with early-stop
+    // semantics (separation_filter.py:242-260): window 60 s, hop 25 s.
+    Q("w3_sliding_windows",
+      (s, dir) => SegmentOps.slidingWindows(chunks(s, dir), "start_us", "end_us",
+          60000000L, 25000000L)
+        .select(col("user_id"), col("start_us"), col("win_start"), col("win_end"))
+        .orderBy(col("user_id"), col("win_start")),
+      Some(s"""WITH $chunksSqlCte,
+        |w AS (SELECT user_id, start_us, end_us,
+        |  unnest(generate_series(0, (end_us - start_us) // 25000000)) AS i FROM ch)
+        |SELECT user_id, start_us, start_us + i * 25000000 AS win_start,
+        |  least(start_us + i * 25000000 + 60000000, end_us) AS win_end
+        |FROM w WHERE i = 0 OR start_us + (i - 1) * 25000000 + 60000000 < end_us
+        |ORDER BY user_id, win_start""".stripMargin)),
+
+    // P1 — pad + clamp segment bounds (vad_multi.py:33-35), clamped to the
+    // per-user observed span (the reference clamps to [0, file duration]).
+    Q("p1_pad_clamp",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+        Tables.eventIntervals(s, dir)
+          .withColumn("lo", min(col("s_us")).over(w))
+          .withColumn("hi", max(col("e_us")).over(w))
+          .select(col("user_id"), col("event_id"),
+            greatest(col("s_us") - lit(5000000L), col("lo")).as("pad_start"),
+            least(col("e_us") + lit(5000000L), col("hi")).as("pad_end"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""WITH $evIntervalsSqlCte
+        |SELECT user_id, event_id,
+        |  greatest(s_us - 5000000, MIN(s_us) OVER (PARTITION BY user_id)) AS pad_start,
+        |  least(e_us + 5000000, MAX(e_us) OVER (PARTITION BY user_id)) AS pad_end
+        |FROM i ORDER BY user_id, event_id""".stripMargin)),
+
+    // P3 — silence predicate with the reference's double-append quirk
+    // (utils.py:127-143 appends a gap once per satisfied condition, so a
+    // short AND quiet gap lands twice): UNION ALL of both branches.
+    Q("p3_silence_union",
+      (s, dir) => {
+        val gaps = SegmentOps.adjacentGaps(
+          Tables.eventIntervals(s, dir), "user_id", "s_us", "e_us", "event_id", "cents")
+        val short = gaps.filter(col("gap_end") - col("gap_start") < lit(60000000L))
+        val quiet = gaps.filter(col("prev_feature") < 1000 && col("next_feature") < 1000)
+        short.select(col("user_id"), col("gap_start"), col("gap_end"))
+          .unionAll(quiet.select(col("user_id"), col("gap_start"), col("gap_end")))
+          .orderBy(col("user_id"), col("gap_start"), col("gap_end"))
+      },
+      Some(s"""WITH $evIntervalsSqlCte,
+        |l AS (SELECT user_id, e_us, cents,
+        |  lead(s_us) OVER w AS next_start, lead(cents) OVER w AS next_feature
+        |  FROM i WINDOW w AS (PARTITION BY user_id ORDER BY s_us, event_id)),
+        |g AS (SELECT user_id, e_us AS gap_start, next_start AS gap_end,
+        |  cents AS prev_feature, next_feature
+        |  FROM l WHERE next_start IS NOT NULL AND next_start >= e_us)
+        |SELECT user_id, gap_start, gap_end FROM (
+        |  SELECT user_id, gap_start, gap_end FROM g WHERE gap_end - gap_start < 60000000
+        |  UNION ALL
+        |  SELECT user_id, gap_start, gap_end FROM g WHERE prev_feature < 1000 AND next_feature < 1000
+        |) t ORDER BY user_id, gap_start, gap_end""".stripMargin)),
+
+    // F5/F6 — string functions: zfill, label concat, path-ish head
+    // (silero_vad.py:149, speaker_rematch.py:144, utils.py:18-22).
+    Q("f5_strings",
+      (s, dir) => Tables.part(s, dir)
+        .select(col("p_partkey"),
+          lpad(col("p_partkey").cast("string"), 7, "0").as("zfill"),
+          concat(lit("speaker_"), regexp_extract(col("p_brand"), "([0-9]+)", 1)).as("label"),
+          substring_index(col("p_type"), " ", 1).as("type_head"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS zfill,
+        |  'speaker_' || regexp_extract(p_brand, '([0-9]+)', 1) AS label,
+        |  split_part(p_type, ' ', 1) AS type_head
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // F3 — fixed-coefficient polynomial as a native codegen'd Catalyst
+    // Expression (dnsmos.py:91-104), aggregated in the exact domain.
+    Q("f3_polyval",
+      (s, dir) => {
+        val fname = Polyval.register(s, "mos", Seq(0.99, -2.5, 1.7, 0.06))
+        Tables.lineitem(s, dir)
+          .withColumn("p", expr(s"$fname(l_discount)"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(round(col("p") * 100000000d).cast("long")).as("sum_p_e8"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(((((0.99 * l_discount) + (-2.5)) * l_discount + 1.7) * l_discount + 0.06) * 100000000) AS BIGINT)) AS BIGINT) AS sum_p_e8,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Multimodal plumbing — opaque payload bytes with typed metadata
+    // rollup (SURVEY §7.0; binary treated as octets, decode kept out of
+    // the relational layer).
+    Q("mm_binary_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text")).cast("long")).as("total_bytes"),
+          max(octet_length(col("text")).cast("long")).as("max_bytes"))
+        .orderBy(col("source")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // F11-adjacent — JSON attribute extraction from the events props
+    // column (the reference's config/JSON surface, utils.py:25-46).
+    Q("f_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.sql.map(q.name -> _)).toMap
 }
