@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.SegmentOps
+import graft.ops.{Dedup, MLlibOps, SegmentOps, Similarity, TextOps}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator from SURVEY §2, each with a DuckDB-equivalent `oracleSql`.
@@ -566,6 +566,223 @@ object SparkEntry {
       Some("""SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  ) ++ textRegistry
+
+  /** DuckDB CTEs shared by the text/dedup queries: tokens and distinct
+    * word-3-gram shingles (the Spark side builds shingles with
+    * higher-order functions — same result set, no window shuffle).
+    */
+  private val toksSqlCte =
+    """d AS (SELECT doc_id, lang,
+      |  list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents)""".stripMargin
+
+  private val shingleSqlCte =
+    s"""$toksSqlCte,
+       |tt AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS i FROM d),
+       |s0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+       |  FROM tt WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |sd AS (SELECT DISTINCT doc_id, shingle FROM s0 WHERE shingle IS NOT NULL)""".stripMargin
+
+  private val quantSqlCte =
+    """q AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+      |nm AS (SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nn FROM q)""".stripMargin
+
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("toks"))
+
+  private def textRegistry: Seq[Q] = Seq(
+
+    // T-ops — token statistics (length/token counting per SURVEY §7.0).
+    Q("t_token_stats",
+      (s, dir) => docToks(s, dir)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sum_tok_chars"))
+        .withColumn("avg_tok_len", col("sum_tok_chars").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksSqlCte
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS sum_tok_chars,
+        |  CAST(CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(toks) AS BIGINT) AS avg_tok_len
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // T-ops — quality scoring: stopword ratio + length gate.
+    Q("t_quality_score",
+      (s, dir) => docToks(s, dir)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextOps.stopwordHits(col("toks"), TextOps.langMarkers.head._2).as("stop_hits"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("quality_ok", col("n_tokens") >= 50 && col("stop_ratio") >= 0.02)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksSqlCte
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS stop_hits,
+        |  CAST(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(toks) AS BIGINT) AS stop_ratio,
+        |  (CAST(len(toks) AS BIGINT) >= 50 AND
+        |   CAST(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(toks) AS BIGINT) >= 0.02) AS quality_ok
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // T-ops — language-ID by stopword-set argmax (deterministic ties).
+    Q("t_langid",
+      (s, dir) => docToks(s, dir)
+        .withColumn("pred", TextOps.langId(col("toks")))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred")),
+      Some(s"""WITH $toksSqlCte,
+        |h AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS h_en,
+        |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en'], t))) AS BIGINT) AS h_es,
+        |  CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','une'], t))) AS BIGINT) AS h_fr,
+        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','ein'], t))) AS BIGINT) AS h_de
+        |  FROM d),
+        |p AS (SELECT lang,
+        |  CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+        |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+        |       WHEN h_fr >= h_de THEN 'fr' ELSE 'de' END AS pred FROM h)
+        |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred
+        |ORDER BY lang, pred""".stripMargin)),
+
+    // Dedup — exact (prefix) fingerprint groups; md5 over normalized text
+    // head catches head-identical near-dups as exact groups.
+    Q("dedup_exact",
+      (s, dir) => Dedup.exactGroups(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextOps.fingerprint(col("text"), 200).as("fp")),
+          "doc_id", "fp")
+        .select(col("fp"), col("n_dups"), col("canonical"))
+        .orderBy(col("fp")),
+      Some("""SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS canonical FROM (
+        |  SELECT doc_id, md5(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 200)) AS fp
+        |  FROM documents) t
+        |GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin)),
+
+    // Dedup — exhaustive word-3-gram Jaccard pairs (candidates share a
+    // shingle; equi join on the shingle key, then exact verify).
+    Q("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          "doc_id", 0.8)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH $shingleSqlCte,
+        |cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+        |  FROM sd sa JOIN sd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |j AS (SELECT co.a, co.b, co.common,
+        |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
+        |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
+        |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin)),
+
+    // Dedup — MinHash+LSH: 8 band-min signatures, bucket-join candidates,
+    // exact-Jaccard verify (the 100 TB dedup path).
+    Q("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(
+          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          "doc_id", 8, 0.5)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH $shingleSqlCte,
+        |mh AS (SELECT doc_id, r.band AS band,
+        |  MIN(md5(CAST(r.band AS VARCHAR) || ':' || shingle)) AS sig
+        |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |j AS (SELECT co.a, co.b, co.common,
+        |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
+        |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
+        |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin)),
+
+    // Dedup — 16-bit SimHash signatures + Hamming-distance pairs.
+    Q("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(
+          TextOps.simhash16(
+            TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+            "doc_id"),
+          "doc_id", 1)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH $shingleSqlCte,
+        |bits AS (SELECT doc_id, r.band AS b,
+        |  substr(md5(shingle), CAST(r.band + 1 AS INTEGER), 1) IN ('1','3','5','7','9','b','d','f') AS odd
+        |  FROM sd, range(16) r(band)),
+        |v AS (SELECT doc_id, b, CAST(SUM(CASE WHEN odd THEN 1 ELSE -1 END) AS BIGINT) AS v
+        |  FROM bits GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM v GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 1 ORDER BY a, b""".stripMargin)),
+
+    // Dedup — embedding-cosine near-dups on integer-quantized vectors
+    // (exact longs: summation-order-free, bit-identical across engines).
+    Q("dedup_embedding_cosine",
+      (s, dir) => Similarity.nearDupPairs(
+          Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding"),
+          "vec_id", 0.45)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH $quantSqlCte,
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b, unnest(a.qv) AS av, unnest(b.qv) AS bv
+        |  FROM q a, q b WHERE a.vec_id < b.vec_id),
+        |dt AS (SELECT a, b, CAST(SUM(av*bv) AS BIGINT) AS dot FROM p GROUP BY a, b),
+        |sc AS (SELECT a, b, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM dt JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b)
+        |SELECT a, b, dot, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b""".stripMargin)),
+
+    // Similarity — brute-force cosine top-k (query side broadcast), the
+    // ANN correctness baseline.
+    Q("sim_cosine_topk",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.cosineTopK(q.filter(col("vec_id") < 10), q, "vec_id", 10)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, unnest(a.qv) AS av, unnest(b.qv) AS bv
+        |  FROM q a, q b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |dt AS (SELECT query_id, neighbor_id, CAST(SUM(av*bv) AS BIGINT) AS dot FROM p GROUP BY query_id, neighbor_id),
+        |sc AS (SELECT query_id, neighbor_id, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM dt JOIN nm na ON na.vec_id = query_id JOIN nm nb ON nb.vec_id = neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  dot, cos FROM sc)
+        |SELECT query_id, neighbor_id, rnk, dot, cos FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin)),
+
+    // Similarity — MLlib random-projection LSH ANN (approximate, seeded;
+    // rows-only check — the bucketed scale path next to the exact baseline).
+    Q("sim_ann_lsh",
+      (s, dir) => MLlibOps.annCosinePairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.34)
+        .orderBy(col("a"), col("b")),
+      None),
+
+    // Dedup — MLlib MinHash-LSH near-dup join (approximate, seeded;
+    // rows-only check).
+    Q("dedup_minhash_mllib",
+      (s, dir) => MLlibOps.minhashNearDupPairs(
+          Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+        .orderBy(col("a"), col("b")),
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

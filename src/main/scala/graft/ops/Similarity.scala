@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Exactness strategy: embeddings are quantized to integer units
+  * (`round(x * 10000)` per dimension), so dot products and norms are
+  * exact longs and the cosine is a single double division — bit-identical
+  * across engines and summation orders, which makes brute-force results
+  * oracle-checkable and rank order deterministic.
+  *
+  * Scale strategy: brute-force top-k is the correctness baseline
+  * (queries × corpus, fine when one side broadcasts); the LSH/IVF-style
+  * variants in [[MLlibOps]] bucket the corpus so candidate generation is
+  * an equi join on the bucket key.
+  */
+object Similarity {
+
+  /** (id, qv) with qv = integer-quantized embedding. */
+  def quantize(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(col(embCol), x => round(x.cast("double") * 10000d).cast("long"))
+        .as("qv"))
+
+  private def sqNorm(qv: Column): Column =
+    aggregate(qv, lit(0L), (acc, x) => acc + x * x)
+
+  /** All pairs (a < b) with exact quantized cosine — the verify kernel. */
+  def cosinePairs(q: DataFrame, idCol: String): DataFrame = {
+    val withN = q.withColumn("nn", sqNorm(col("qv")))
+    val a = withN.select(col(idCol).as("a"), col("qv").as("qa"), col("nn").as("na"))
+    val b = withN.select(col(idCol).as("b"), col("qv").as("qb"), col("nn").as("nb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"), _ * _), lit(0L), _ + _))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("a"), col("b"), col("dot"), col("cos"))
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (self excluded), deterministically tie-broken. The query side
+    * is expected to be small — broadcast it so the corpus streams by
+    * without a shuffle.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 k: Int): DataFrame = {
+    val qn = queries.withColumn("na", sqNorm(col("qv")))
+      .select(col(idCol).as("query_id"), col("qv").as("qa"), col("na"))
+    val cn = corpus.withColumn("nb", sqNorm(col("qv")))
+      .select(col(idCol).as("neighbor_id"), col("qv").as("qb"), col("nb"))
+    val scored = cn.crossJoin(broadcast(qn))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"), _ * _), lit(0L), _ + _))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dot"), col("cos"))
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold. */
+  def nearDupPairs(q: DataFrame, idCol: String, minCos: Double): DataFrame =
+    cosinePairs(q, idCol).filter(col("cos") >= minCos)
+}

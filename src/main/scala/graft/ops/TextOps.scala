@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID, fingerprinting, shingling,
+  * SimHash. All pure column expressions / higher-order functions — no
+  * UDFs, no shuffles until an explicit aggregation, so everything stays
+  * inside whole-stage codegen and scales linearly with input splits.
+  */
+object TextOps {
+
+  /** Whitespace tokenization as an array column (empty tokens dropped). */
+  def tokens(textCol: Column): Column =
+    filter(split(textCol, " "), t => t =!= "")
+
+  /** Token count via a single regexp scan (no array materialization). */
+  def tokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("\\S+"), lit(0))).cast("long")
+
+  /** Content fingerprint: md5 over lower-cased, whitespace-collapsed text
+    * (optionally only its first `prefixChars` chars — prefix fingerprints
+    * catch near-identical docs that share a long head). The reference's
+    * analog is its deterministic per-file output keying
+    * (`utils.py:190-195`).
+    */
+  def fingerprint(textCol: Column, prefixChars: Int = Int.MaxValue): Column = {
+    val canon = regexp_replace(trim(lower(textCol)), "\\s+", " ")
+    md5(if (prefixChars == Int.MaxValue) canon else substring(canon, 1, prefixChars))
+  }
+
+  /** Word n-gram shingles as an array column, built with higher-order
+    * functions only (sequence + slice + concat_ws): per-row work, no
+    * window shuffle — the scale path for shingling 100 TB of text.
+    */
+  def shingles(toksCol: Column, n: Int): Column =
+    when(size(toksCol) >= n,
+      transform(sequence(lit(0), size(toksCol) - n),
+        k => concat_ws(" ", slice(toksCol, k + 1, lit(n)))))
+      .otherwise(array())
+
+  /** (doc_id, shingle) distinct pairs for a (id, text) input. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** Stopword-hit count for one language's marker set. */
+  def stopwordHits(toksCol: Column, words: Seq[String]): Column =
+    size(filter(toksCol, t => t.isin(words.map(lit): _*))).cast("long")
+
+  /** Marker sets for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"))
+
+  /** Language-ID by argmax of marker hits, ties resolved in `langMarkers`
+    * order (first wins) — deterministic and SQL-mirrorable.
+    */
+  def langId(toksCol: Column): Column = {
+    val hits = langMarkers.map { case (l, ws) => l -> stopwordHits(toksCol, ws) }
+    hits.zipWithIndex.foldRight(lit(hits.last._1): Column) {
+      case (((lang, h), i), els) =>
+        val later = hits.drop(i + 1).map(_._2)
+        if (later.isEmpty) els
+        else when(later.foldLeft(lit(true): Column)((acc, m) => acc && h >= m), lang)
+          .otherwise(els)
+    }
+  }
+
+  /** 16-bit SimHash over a (id, shingle) table: bit b of each shingle's
+    * md5 (odd hex digit b = 1) votes +1/-1; the sign of each bit's vote
+    * sum forms the signature. Two near-identical docs differ in few
+    * shingles, so few bit sums flip sign — Hamming-close signatures.
+    */
+  def simhash16(shingleDf: DataFrame, idCol: String): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    shingleDf
+      .withColumn("h", md5(col("shingle")))
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("vote",
+        when(substring(col("h"), 1, 16).substr(col("b") + 1, lit(1))
+          .isin(oddHex.map(lit): _*), 1L).otherwise(-1L))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0, pow(lit(2d), col("b").cast("double")).cast("long"))
+        .otherwise(0L)).as("simhash"))
+  }
+}
