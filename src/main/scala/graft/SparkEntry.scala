@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Dedup, MLlibOps, SegmentOps, Similarity, TextOps}
+import graft.ops.{Dedup, MLlibOps, Multimodal, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator from SURVEY §2, each with a DuckDB-equivalent `oracleSql`.
@@ -782,6 +782,152 @@ object SparkEntry {
       (s, dir) => MLlibOps.minhashNearDupPairs(
           Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
         .orderBy(col("a"), col("b")),
+      None)
+  ) ++ kernelRegistry
+
+  private def kernelRegistry: Seq[Q] = Seq(
+
+    // W2 — speaker-change sessionization, uncapped window flavor
+    // (speaker_rematch.py:25-43): break on gap OR event_type change.
+    Q("w2_change_sessions",
+      (s, dir) => SegmentOps.sessionizeByChange(
+          evPoints(s, dir), "user_id", "tus", "event_id", "event_type",
+          lit(12L * HOUR_US))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("event_type")).as("etype"),
+          min(col("tus")).as("start_us"), max(col("tus")).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |f AS (SELECT user_id, event_id, event_type, tus,
+        |  CASE WHEN lag(tus) OVER w IS NULL
+        |         OR tus - lag(tus) OVER w > 43200000000
+        |         OR event_type <> lag(event_type) OVER w
+        |       THEN 1 ELSE 0 END AS newflag
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, event_type, tus,
+        |  CAST(SUM(newflag) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, MIN(event_type) AS etype,
+        |  MIN(tus) AS start_us, MAX(tus) AS end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // A7 — dominant-speaker branch rules (host_rematch.py:46-96): rank
+    // types by total, compare top against 3×-second / 2×-rest in the
+    // exact integer domain.
+    Q("a7_dominance",
+      (s, dir) => {
+        val totals = evPoints(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(sum(col("cents")).as("total"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("total").desc, col("event_type"))
+        totals.withColumn("rn", row_number().over(w))
+          .groupBy(col("user_id"))
+          .agg(
+            max(when(col("rn") === 1, col("event_type"))).as("top_type"),
+            max(when(col("rn") === 1, col("total"))).as("top_cents"),
+            coalesce(max(when(col("rn") === 2, col("total"))), lit(0L)).as("second_cents"),
+            sum(col("total")).as("all_cents"),
+            count(lit(1)).as("n_types"))
+          .withColumn("verdict",
+            when(col("n_types") === 1, "solo")
+              .when(col("top_cents") >= lit(3L) * col("second_cents"), "dominant")
+              .when(col("top_cents") >= lit(2L) * (col("all_cents") - col("top_cents")), "semi")
+              .otherwise("none"))
+          .select(col("user_id"), col("top_type"), col("top_cents"),
+            col("n_types"), col("verdict"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |t AS (SELECT user_id, event_type, CAST(SUM(cents) AS BIGINT) AS total
+        |  FROM e GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, total,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY total DESC, event_type) AS rn FROM t),
+        |g AS (SELECT user_id,
+        |  MAX(CASE WHEN rn = 1 THEN event_type END) AS top_type,
+        |  MAX(CASE WHEN rn = 1 THEN total END) AS top_cents,
+        |  COALESCE(MAX(CASE WHEN rn = 2 THEN total END), 0) AS second_cents,
+        |  CAST(SUM(total) AS BIGINT) AS all_cents,
+        |  COUNT(*) AS n_types
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, top_type, top_cents, n_types,
+        |  CASE WHEN n_types = 1 THEN 'solo'
+        |       WHEN top_cents >= 3 * second_cents THEN 'dominant'
+        |       WHEN top_cents >= 2 * (all_cents - top_cents) THEN 'semi'
+        |       ELSE 'none' END AS verdict
+        |FROM g ORDER BY user_id""".stripMargin)),
+
+    // Multimodal — mapPartitions decode plumbing with a deterministic
+    // stub kernel whose integer outputs the oracle mirrors exactly.
+    Q("mm_decode_stub",
+      (s, dir) => Multimodal.decodeStub(
+          Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  strlen(text) AS bytes,
+        |  ((strlen(text) * 31 + 7) % 104729) % 640 AS width,
+        |  ((strlen(text) * 31 + 7) % 104729) % 480 AS height,
+        |  strlen(text) // 100 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // W1 capped — the flatMapGroups kernel (utils.py:64-102 with the
+    // max_duration cap; sequential per key, not window-expressible;
+    // ScalaTest-verified against a brute-force reference, rows-only here).
+    Q("w1_capped_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Tables.eventIntervals(s, dir).select(
+          col("user_id").cast("string").as("file"),
+          (col("s_us").cast("double") / 1e6d).as("start"),
+          (col("e_us").cast("double") / 1e6d).as("end"))
+          .as[graft.model.Segment]
+        SegmentAlgebra.sessionizeCapped(segs, gap = 3600d, maxDuration = 7200d)
+          .toDF()
+          .select(col("file"), col("start"), col("end"), col("n"))
+          .orderBy(col("file"), col("start"))
+      },
+      None),
+
+    // W8 — recursive longest-gap splitting (silero_vad.py:81-112),
+    // flatMapGroups kernel; rows-only (ScalaTest-verified).
+    Q("w8_recursive_split",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Tables.eventIntervals(s, dir).select(
+          col("user_id").cast("string").as("file"),
+          (col("s_us").cast("double") / 1e6d).as("start"),
+          (col("e_us").cast("double") / 1e6d).as("end"))
+          .as[graft.model.Segment]
+        SegmentAlgebra.recursiveSplit(segs, maxDuration = 86400d)
+          .toDF()
+          .select(col("file"), col("start"), col("end"), col("n"))
+          .orderBy(col("file"), col("start"))
+      },
+      None),
+
+    // J8 active sets — sweep line emitting the sorted active label set
+    // per elementary interval (diarization.py:24-64); rows-only
+    // (the count flavor j8_sweepline carries the oracle).
+    Q("j8_active_sets",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Tables.eventIntervals(s, dir).select(
+          col("user_id").cast("string").as("file"),
+          (col("s_us").cast("double") / 1e6d).as("start"),
+          (col("e_us").cast("double") / 1e6d).as("end"),
+          col("event_type").as("speaker"))
+          .as[graft.model.SpeakerSegment]
+        SegmentAlgebra.sweepLineActiveSets(segs)
+          .toDF()
+          .select(col("file"), col("start"), col("end"),
+            array_join(col("speakers"), ",").as("speakers"))
+          .orderBy(col("file"), col("start"))
+      },
       None)
   )
 

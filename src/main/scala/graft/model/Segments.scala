@@ -1,0 +1,35 @@
+package graft.model
+
+/** Typed segment relations — the reference's inter-stage record shapes
+  * (FIXTURES.md §A) as case classes with `Encoder`s. Times are seconds as
+  * double relative to one source `file`, exactly the reference's
+  * convention (SURVEY §1.3); `file` is the partition key everywhere.
+  */
+final case class Segment(file: String, start: Double, end: Double)
+
+/** Segment carrying a type discriminator ("voice" | "silence"), the
+  * input of the typed merge (`utils.py:147-152`).
+  */
+final case class TypedSegment(file: String, start: Double, end: Double, segType: String)
+
+/** Merged session: span plus member count and accumulated types
+  * (`utils.py:93-94`).
+  */
+final case class MergedSegment(file: String, start: Double, end: Double,
+    n: Int, types: Seq[String])
+
+/** Diarization-style per-speaker segment (`diarization.py:142`). */
+final case class SpeakerSegment(file: String, start: Double, end: Double, speaker: String)
+
+/** Sweep-line elementary interval with its active speaker set
+  * (`diarization.py:146`).
+  */
+final case class ActiveInterval(file: String, start: Double, end: Double,
+    speakers: Seq[String])
+
+/** An audio file as waveform samples (mock decode; FIXTURES.md §A9). */
+final case class AudioFile(file: String, sr: Int, waveform: Array[Float])
+
+/** A chunk of a waveform with margins for overlapped inference (W5). */
+final case class AudioChunk(file: String, sr: Int, chunkIdx: Int,
+    coreStart: Int, coreLen: Int, samples: Array[Float])

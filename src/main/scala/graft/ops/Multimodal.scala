@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted inside
+  * `mapPartitions` (SURVEY §1.5 — at 100 TB keep `binaryFile` pointers +
+  * lazy decode; never materialize media on the driver).
+  *
+  * The decode kernel here is a clearly-marked deterministic STUB — the
+  * real image/audio codecs are not in this container. The Spark-side
+  * plumbing (schema, partitioning, batch shape, metadata contract) is
+  * real and oracle-tested: the stub's outputs are pure integer arithmetic
+  * on the payload size, mirrorable in SQL.
+  */
+object Multimodal {
+
+  final case class MediaMeta(doc_id: Long, kind: String, bytes: Long,
+      width: Long, height: Long, n_frames: Long)
+
+  /** Text → opaque payload column (stand-in for image/audio bytes). */
+  def asBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video").as("kind"))
+
+  /** STUB decode (deterministic fake): derives dimensions/frame counts
+    * from the payload length with exact integer arithmetic. A real
+    * implementation replaces the body with a codec call; everything
+    * around it (mapPartitions batching, output schema) stays.
+    */
+  def decodeStub(binDf: DataFrame): Dataset[MediaMeta] = {
+    import binDf.sparkSession.implicits._
+    binDf.select(col("doc_id"), col("payload"), col("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, kind) =>
+          val bytes = payload.length.toLong
+          val h = (bytes * 31L + 7L) % 104729L
+          MediaMeta(id, kind, bytes, h % 640L, h % 480L, bytes / 100L + 1L)
+        }
+      }
+  }
+
+  /** Frame-sampling plumbing: one row per sampled frame offset —
+    * `sequence` + `explode`, stays in codegen; the per-frame decode would
+    * hang off this with `mapPartitions` like [[decodeStub]].
+    */
+  def frameSample(meta: Dataset[MediaMeta], everyN: Long): DataFrame =
+    meta.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), (col("n_frames") - 1) / lit(everyN))))
+      .select(col("doc_id"), col("kind"), (col("frame_idx") * lit(everyN)).as("frame"))
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+
+import graft.model._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The inherently-sequential segment kernels, run per key with
+  * `groupByKey.flatMapGroups`: each group is one file's segment list
+  * (bounded — one row per VAD span), sorted in-memory on the executor.
+  * Cross-file parallelism is Spark's; within a file the reference's exact
+  * sequential semantics are preserved. This is the documented scale shape
+  * for these operators (SURVEY §7.4.1): state never leaves one key, so
+  * 1000 executors process 1000 files at a time.
+  */
+object SegmentAlgebra {
+
+  /** W1 — capped sessionization (`utils.py:64-102`): merge sorted
+    * segments while the gap to the running merged end is ≤ `gap` AND the
+    * would-be merged span stays ≤ `maxDuration`. The cap decision depends
+    * on the *running* merge result, so this cannot be a fixed window
+    * function (SURVEY §7.4.1).
+    */
+  def sessionizeCapped(ds: Dataset[Segment], gap: Double, maxDuration: Double)
+      : Dataset[MergedSegment] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.file).flatMapGroups { (file, it) =>
+      val segs = it.toArray.sortBy(s => (s.start, s.end))
+      val out = ArrayBuffer.empty[MergedSegment]
+      var curS = 0d; var curE = 0d; var n = 0
+      segs.foreach { s =>
+        if (n == 0) { curS = s.start; curE = s.end; n = 1 }
+        else if (s.start - curE <= gap && math.max(curE, s.end) - curS <= maxDuration) {
+          curE = math.max(curE, s.end); n += 1
+        } else {
+          out += MergedSegment(file, curS, curE, n, Nil)
+          curS = s.start; curE = s.end; n = 1
+        }
+      }
+      if (n > 0) out += MergedSegment(file, curS, curE, n, Nil)
+      out.iterator
+    }
+  }
+
+  /** W1 typed flavor — capped merge accumulating the `types` array, with
+    * the voice gate: sessions containing no "voice" member are dropped
+    * when `mustIncludeVoice` (`utils.py:82-99`). The reference loses the
+    * final run when it is all-silence mid-iteration; this implementation
+    * applies the gate uniformly to every flushed session (deliberate fix,
+    * SURVEY §7.4.2).
+    */
+  def sessionizeTyped(ds: Dataset[TypedSegment], gap: Double, maxDuration: Double,
+                      mustIncludeVoice: Boolean): Dataset[MergedSegment] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.file).flatMapGroups { (file, it) =>
+      val segs = it.toArray.sortBy(s => (s.start, s.end))
+      val out = ArrayBuffer.empty[MergedSegment]
+      var curS = 0d; var curE = 0d; var n = 0
+      val types = ArrayBuffer.empty[String]
+      def flush(): Unit = if (n > 0) {
+        if (!mustIncludeVoice || types.contains("voice"))
+          out += MergedSegment(file, curS, curE, n, types.toSeq)
+        types.clear(); n = 0
+      }
+      segs.foreach { s =>
+        if (n > 0 && !(s.start - curE <= gap && math.max(curE, s.end) - curS <= maxDuration))
+          flush()
+        if (n == 0) { curS = s.start; curE = s.end }
+        else curE = math.max(curE, s.end)
+        types += s.segType; n += 1
+      }
+      flush()
+      out.iterator
+    }
+  }
+
+  /** W2 — speaker-change sessionization (`speaker_rematch.py:25-43`):
+    * break additionally when the speaker changes; drop merged segments
+    * shorter than `minDuration` (P4, `speaker_rematch.py:42`).
+    */
+  def sessionizeBySpeaker(ds: Dataset[SpeakerSegment], gap: Double,
+                          maxDuration: Double, minDuration: Double)
+      : Dataset[SpeakerSegment] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.file).flatMapGroups { (file, it) =>
+      val segs = it.toArray.sortBy(s => (s.start, s.end))
+      val out = ArrayBuffer.empty[SpeakerSegment]
+      var curS = 0d; var curE = 0d; var spk = ""; var n = 0
+      def flush(): Unit = if (n > 0 && curE - curS > minDuration)
+        out += SpeakerSegment(file, curS, curE, spk)
+      segs.foreach { s =>
+        val breaks = n == 0 || s.speaker != spk ||
+          s.start - curE > gap || math.max(curE, s.end) - curS > maxDuration
+        if (breaks) { flush(); curS = s.start; curE = s.end; spk = s.speaker; n = 1 }
+        else { curE = math.max(curE, s.end); n += 1 }
+      }
+      flush()
+      out.iterator
+    }
+  }
+
+  /** W8 — recursive longest-gap splitting (`silero_vad.py:81-112`): a
+    * run of segments spanning more than `maxDuration` splits at its
+    * largest internal gap, recursively, until every piece fits. Explicit
+    * stack instead of recursion; per-file work is O(n log n).
+    */
+  def recursiveSplit(ds: Dataset[Segment], maxDuration: Double): Dataset[MergedSegment] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.file).flatMapGroups { (file, it) =>
+      val segs = it.toArray.sortBy(s => (s.start, s.end))
+      val out = ArrayBuffer.empty[MergedSegment]
+      val stack = scala.collection.mutable.Stack[(Int, Int)]()
+      if (segs.nonEmpty) stack.push((0, segs.length))
+      while (stack.nonEmpty) {
+        val (lo, hi) = stack.pop()
+        val span = segs(hi - 1).end - segs(lo).start
+        if (span <= maxDuration || hi - lo == 1) {
+          out += MergedSegment(file, segs(lo).start, segs(hi - 1).end, hi - lo, Nil)
+        } else {
+          var bestK = lo + 1; var bestGap = Double.NegativeInfinity
+          var k = lo + 1
+          while (k < hi) {
+            val g = segs(k).start - segs(k - 1).end
+            if (g > bestGap) { bestGap = g; bestK = k }
+            k += 1
+          }
+          // push left last so output preserves temporal order
+          stack.push((bestK, hi))
+          stack.push((lo, bestK))
+        }
+      }
+      out.sortBy(_.start).iterator
+    }
+  }
+
+  /** J8/U3 — sweep line with active *sets* (`diarization.py:24-64`):
+    * explode per-speaker intervals into boundary events, process ends
+    * before starts at equal times (`diarization.py:39`), emit every
+    * elementary interval with its sorted active speaker set.
+    */
+  def sweepLineActiveSets(ds: Dataset[SpeakerSegment]): Dataset[ActiveInterval] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.file).flatMapGroups { (file, it) =>
+      val segs = it.toArray
+      // (time, isStart, speaker); ends sort before starts at ties
+      val events = segs.flatMap(s =>
+          Seq((s.start, 1, s.speaker), (s.end, 0, s.speaker)))
+        .sortBy { case (t, isStart, spk) => (t, isStart, spk) }
+      val active = scala.collection.mutable.Map.empty[String, Int]
+      val out = ArrayBuffer.empty[ActiveInterval]
+      var prevT = Double.NaN
+      events.foreach { case (t, isStart, spk) =>
+        if (!prevT.isNaN && t > prevT && active.nonEmpty)
+          out += ActiveInterval(file, prevT, t, active.keys.toSeq.sorted)
+        if (isStart == 1) active(spk) = active.getOrElse(spk, 0) + 1
+        else {
+          val c = active.getOrElse(spk, 0) - 1
+          if (c <= 0) active.remove(spk) else active(spk) = c
+        }
+        prevT = t
+      }
+      out.iterator
+    }
+  }
+}

@@ -44,6 +44,23 @@ object SegmentOps {
       .drop("__prev", "__new")
   }
 
+  /** W2 (uncapped flavor) — sessionization that also breaks when a
+    * discriminator column changes (the speaker-change break of
+    * `speaker_rematch.py:25-43`), as a pure window pattern.
+    */
+  def sessionizeByChange(df: DataFrame, key: String, ts: String, tieBreak: String,
+                         changeCol: String, gap: Column): DataFrame = {
+    val w = ordered(key, ts, tieBreak)
+    df.withColumn("__prev", lag(col(ts), 1).over(w))
+      .withColumn("__prevC", lag(col(changeCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(ts) - col("__prev") > gap ||
+          col(changeCol) =!= col("__prevC"), 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__prevC", "__new")
+  }
+
   /** W1 on intervals — interval coalescing: merge intervals of one key that
     * overlap or sit within `gap` of the running merged end. Reference:
     * `utils.py:64-79` (the separation-economy merge at

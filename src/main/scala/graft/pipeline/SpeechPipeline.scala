@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.ops.SegmentAlgebra
+
+/** The reference's five-stage pipeline (§3 traces) as composed Dataset
+  * transformations in ONE logical plan — the process/env hops of
+  * `data_pipeline.sh` disappear; each stage is a transformation keyed by
+  * `file`, so the whole chain shuffles once per stage boundary at most
+  * and scales horizontally across files.
+  *
+  * Stage map (reference → here):
+  *  1. VAD (`vad_multi.py`)                 → [[vadStage]]
+  *  2. separation filter (`separation_filter.py`) → [[separationEconomyMerge]] + mock separate
+  *  3. diarization (`diarization.py`)       → [[diarizeStage]] (mock) + sweep line
+  *  4. speaker rematch (`speaker_rematch.py`) → [[rematchStage]]
+  *  5. host match (`host_rematch.py`)       → [[hostMatchStage]]
+  */
+object SpeechPipeline {
+
+  /** Stage 1 — VAD: mock inference, pad+clamp (P1, `vad_multi.py:33-35`),
+    * zero-gap merge (W1 with interval=0, cap=∞ — `vad_multi.py:37`).
+    */
+  def vadStage(audio: Dataset[AudioFile], padSec: Double = 0.1): Dataset[Segment] = {
+    import audio.sparkSession.implicits._
+    val durations = audio.map(a => (a.file, a.waveform.length.toDouble / a.sr))
+      .toDF("file", "dur")
+    val raw = InferenceOp.flatMapBatched[AudioFile, Segment](
+      audio, "mock_vad", () => new MockModels.MockVad(), batchSize = 4)
+    val padded = raw.toDF("file", "start", "end")
+      .join(broadcast(durations), "file")
+      .select(col("file"),
+        greatest(col("start") - lit(padSec), lit(0d)).as("start"),
+        least(col("end") + lit(padSec), col("dur")).as("end"))
+      .as[Segment]
+    SegmentAlgebra.sessionizeCapped(padded, gap = 0d, maxDuration = Double.MaxValue)
+      .map(m => Segment(m.file, m.start, m.end))
+  }
+
+  /** Stage 2a — separation-economy merge (X3, `separation_filter.py:167-188`):
+    * coalesce VAD spans into ≤`maxDur` chunks, skipping gaps > `gap`, so
+    * the expensive model runs once per chunk, not per span.
+    */
+  def separationEconomyMerge(vad: Dataset[Segment], gap: Double = 5d,
+                             maxDur: Double = 60d): Dataset[MergedSegment] =
+    SegmentAlgebra.sessionizeCapped(vad, gap, maxDur)
+
+  /** W5 — overlapped chunking with margins (`separate_fast.py:148-186`):
+    * split each waveform into fixed-size core chunks plus `margin`
+    * samples each side; bounded per-task memory for hour-long audio (X6).
+    */
+  def chunkWithMargins(audio: Dataset[AudioFile], chunkSamples: Int,
+                       marginSamples: Int): Dataset[AudioChunk] = {
+    import audio.sparkSession.implicits._
+    audio.flatMap { a =>
+      val n = a.waveform.length
+      val nChunks = math.max(1, (n + chunkSamples - 1) / chunkSamples)
+      (0 until nChunks).iterator.map { ci =>
+        val coreStart = ci * chunkSamples
+        val coreLen = math.min(chunkSamples, n - coreStart)
+        val lo = math.max(0, coreStart - marginSamples)
+        val hi = math.min(n, coreStart + coreLen + marginSamples)
+        AudioChunk(a.file, a.sr, ci, coreStart, coreLen,
+          a.waveform.slice(lo, hi))
+      }
+    }
+  }
+
+  /** W5 reassembly — strip margins, order by chunk index, flatten
+    * (`separate_fast.py:236-241` margin strip + order-preserving concat).
+    */
+  def reassemble(chunks: Dataset[AudioChunk], marginSamples: Int): Dataset[AudioFile] = {
+    import chunks.sparkSession.implicits._
+    chunks.map { c =>
+      val lo = c.coreStart - math.max(0, c.coreStart - marginSamples)
+      (c.file, c.sr, c.chunkIdx, c.samples.slice(lo, lo + c.coreLen))
+    }.groupByKey(t => (t._1, t._2))
+      .mapGroups { (key, it) =>
+        val parts = it.toArray.sortBy(_._3)
+        AudioFile(key._1, key._2, parts.flatMap(_._4))
+      }
+  }
+
+  /** Stage 3 — mock diarization: assign a speaker per VAD span from its
+    * dominant amplitude band, then resolve overlaps with the sweep line
+    * (J8) and split single vs overlapping (U3, `diarization.py:61-63`).
+    */
+  def diarizeStage(vad: Dataset[Segment], audio: Dataset[AudioFile])
+      : (Dataset[ActiveInterval], Dataset[ActiveInterval]) = {
+    import vad.sparkSession.implicits._
+    val waves = audio.map(a => (a.file, a.sr, a.waveform))
+      .toDF("file", "sr", "waveform")
+    val spk = vad.toDF("file", "start", "end").join(waves, "file")
+      .as[(String, Double, Double, Int, Array[Float])]
+      .map { case (file, s, e, sr, w) =>
+        val lo = math.max(0, (s * sr).toInt)
+        val hi = math.min(w.length, (e * sr).toInt)
+        var peak = 0f
+        var i = lo
+        while (i < hi) { if (math.abs(w(i)) > peak) peak = math.abs(w(i)); i += 1 }
+        val label = if (peak > 0.5f) "speaker_0" else "speaker_1"
+        SpeakerSegment(file, s, e, label)
+      }
+    val active = SegmentAlgebra.sweepLineActiveSets(spk)
+    (active.filter(a => a.speakers.length == 1),
+      active.filter(a => a.speakers.length > 1))
+  }
+
+  /** Stage 4 — speaker rematch: W2 speaker-change merge, P4/P5 duration
+    * filters, mock embeddings, and the J5 broadcast relabel map
+    * (`speaker_rematch.py:236-251` — inner join drops unmapped rows).
+    */
+  def rematchStage(single: Dataset[ActiveInterval], audio: Dataset[AudioFile],
+                   minChunkSec: Double = 0.2, mergedCapSec: Double = 20d)
+      : (Dataset[SpeakerSegment], Dataset[(String, String, Array[Float])]) = {
+    import single.sparkSession.implicits._
+    val spk = single.map(a => SpeakerSegment(a.file, a.start, a.end, a.speakers.head))
+    val merged = SegmentAlgebra.sessionizeBySpeaker(spk,
+      gap = 1d, maxDuration = mergedCapSec, minDuration = minChunkSec)
+    val waves = audio.map(a => (a.file, a.sr, a.waveform)).toDF("file", "sr", "waveform")
+    val withWave = merged.toDF("file", "start", "end", "speaker").join(waves, "file")
+      .as[(String, Double, Double, String, Int, Array[Float])]
+      .map { case (file, s, e, spkr, sr, w) =>
+        (SpeakerSegment(file, s, e, spkr),
+          w.slice(math.max(0, (s * sr).toInt), math.min(w.length, (e * sr).toInt)))
+      }
+    val embedded = InferenceOp.mapBatched[(SpeakerSegment, Array[Float]), (SpeakerSegment, Array[Float])](
+      withWave, "mock_embedder", () => new MockModels.MockEmbedder(), batchSize = 16)
+    val embTable = embedded.map { case (seg, emb) => (seg.file, seg.speaker, emb) }
+    (merged, embTable)
+  }
+
+  /** Stage 5 — host match: per-speaker duration rollup (A4), longest-first
+    * 180 s budget (W6/O5), mock verification score (M6), threshold accept
+    * (P8), per-host rollup with proportions (A10).
+    */
+  def hostMatchStage(spark: SparkSession, merged: Dataset[SpeakerSegment],
+                     embTable: Dataset[(String, String, Array[Float])],
+                     hostPrints: Map[String, Array[Float]],
+                     budgetSec: Double = 180d) = {
+    import spark.implicits._
+    val perSpeaker = merged.groupByKey(s => (s.file, s.speaker))
+      .mapGroups { (key, it) =>
+        (key._1, key._2, it.map(s => s.end - s.start).sum)
+      }.toDF("file", "speaker", "total_dur")
+    val avgEmb = embTable.groupByKey(t => (t._1, t._2))
+      .mapGroups { (key, it) =>
+        val embs = it.map(_._3).toArray
+        val dim = embs.head.length
+        val mean = new Array[Float](dim)
+        embs.foreach(e => (0 until dim).foreach(i => mean(i) += e(i) / embs.length))
+        (key._1, key._2, mean)
+      }
+    val hosts = spark.sparkContext.broadcast(hostPrints)
+    val scored = avgEmb.flatMap { case (file, spkr, emb) =>
+      hosts.value.iterator.map { case (hostId, print) =>
+        val score = MockModels.cosine(emb, print)
+        (file, hostId, spkr, score, score > 0.5)
+      }
+    }.toDF("file", "host_id", "speaker", "score", "prediction")
+    val accepted = scored.filter(col("prediction") && col("score") > 0.5)
+      .join(perSpeaker, Seq("file", "speaker"))
+    val totals = perSpeaker.groupBy("file")
+      .agg(sum("total_dur").as("file_total"))
+    accepted.groupBy(col("file"), col("host_id"))
+      .agg(sum(col("total_dur")).as("host_total_duration"),
+        collect_list(struct(col("speaker"), col("score"))).as("matched_speakers"))
+      .join(broadcast(totals), "file")
+      .withColumn("host_proportion", col("host_total_duration") / col("file_total"))
+      .select(col("file"), col("host_id"), col("host_total_duration"),
+        col("host_proportion"), col("matched_speakers"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SegmentOps, TextOps}
+
+/** Window-pattern operators: reference edge semantics from FIXTURES.md. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("slidingWindows reproduces the reference hop-count formula") {
+    // dur=10,w=3,h=2 -> 5 windows; dur=9,w=3,h=3 -> 3; dur=1 -> 1 unsliced
+    val df = Seq(("a", 0L, 10L), ("b", 0L, 9L), ("c", 0L, 1L)).toDF("k", "s", "e")
+    val w32 = SegmentOps.slidingWindows(df.filter($"k" === "a"), "s", "e", 3L, 2L)
+    assert(w32.count() == 5)
+    assert(w32.agg(max($"win_end")).head.getLong(0) == 10L)
+    val w33 = SegmentOps.slidingWindows(df.filter($"k" === "b"), "s", "e", 3L, 3L)
+    assert(w33.count() == 3)
+    val short = SegmentOps.slidingWindows(df.filter($"k" === "c"), "s", "e", 3L, 2L)
+    val row = short.select("win_start", "win_end").head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 1L)
+  }
+
+  test("coalesceIntervals merges overlapping and gap-close intervals") {
+    val df = Seq(
+      ("f", 0L, 10L, 1L), ("f", 5L, 8L, 2L), ("f", 12L, 20L, 3L),
+      ("f", 100L, 110L, 4L)).toDF("k", "s", "e", "id")
+    val sessions = SegmentOps.coalesceIntervals(df, "k", "s", "e", "id", lit(3L))
+      .groupBy($"k", $"session_id").agg(min($"s").as("s"), max($"e").as("e"))
+      .orderBy($"s").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(sessions.toSeq == Seq((0L, 20L), (100L, 110L)))
+  }
+
+  test("runningMaxDedup keeps only strictly-increasing values") {
+    val df = Seq(("f", 1L, 1L, 5L), ("f", 2L, 2L, 3L), ("f", 3L, 3L, 8L),
+      ("f", 4L, 4L, 8L)).toDF("k", "t", "id", "v")
+    val kept = SegmentOps.runningMaxDedup(df, "k", "t", "id", "v")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("shingles builds word n-grams; short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val sh = df.select($"id", TextOps.shingles(TextOps.tokens($"text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = Seq((1L, "Hello   World"), (2L, " hello world ")).toDF("id", "text")
+    val fps = df.select(TextOps.fingerprint($"text").as("fp"))
+      .collect().map(_.getString(0)).toSeq
+    assert(fps.distinct.length == 1)
+  }
+
+  test("langId picks the marker set with the most hits, ties to earlier") {
+    val df = Seq(
+      (1L, "the cat of the house and a dog"),
+      (2L, "el perro de la casa y el gato"),
+      (3L, "nothing matches here")).toDF("id", "text")
+    val got = df.select($"id", TextOps.langId(TextOps.tokens($"text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "en")
+  }
+
+  test("polyval expression matches manual Horner, interpreted and codegen") {
+    val name = graft.expr.Polyval.register(spark, "test", Seq(2.0, -1.0, 0.5))
+    val df = Seq(0.0, 0.5, 1.0, -2.0).toDF("x")
+      .withColumn("p", expr(s"$name(x)"))
+      .withColumn("manual", (lit(2.0) * $"x" + lit(-1.0)) * $"x" + lit(0.5))
+    assert(df.filter($"p" =!= $"manual").count() == 0)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.pipeline.{MockModels, SpeechPipeline}
+
+/** Golden end-to-end: synthetic waveforms (sine bursts + silence,
+  * FIXTURES.md §A9) through the composed five-stage pipeline with
+  * deterministic mock models.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sr = 1000
+
+  /** Two bursts: loud [1s,2s) amp 0.9, soft [3s,4s) amp 0.3, else silence.
+    * Constant amplitude (a rectified tone) so activity runs are contiguous.
+    */
+  private def fixture(file: String): AudioFile = {
+    val w = new Array[Float](5 * sr)
+    for (i <- sr until 2 * sr) w(i) = 0.9f
+    for (i <- 3 * sr until 4 * sr) w(i) = 0.3f
+    AudioFile(file, sr, w)
+  }
+
+  test("vadStage finds the two bursts, padded and merged") {
+    val audio = Seq(fixture("a"), fixture("b")).toDS()
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05).collect()
+      .groupBy(_.file).view.mapValues(_.sortBy(_.start)).toMap
+    for (f <- Seq("a", "b")) {
+      val segs = vad(f)
+      assert(segs.length == 2, s"expected 2 spans for $f, got ${segs.toSeq}")
+      assert(math.abs(segs(0).start - 0.95) < 0.1 && math.abs(segs(0).end - 2.05) < 0.1)
+      assert(math.abs(segs(1).start - 2.95) < 0.1 && math.abs(segs(1).end - 4.05) < 0.1)
+    }
+  }
+
+  test("chunkWithMargins + reassemble is identity") {
+    val audio = Seq(fixture("a")).toDS()
+    val chunks = SpeechPipeline.chunkWithMargins(audio, chunkSamples = 512,
+      marginSamples = 64)
+    assert(chunks.count() == 10) // ceil(5000/512)
+    val back = SpeechPipeline.reassemble(chunks, marginSamples = 64).collect().head
+    assert(back.waveform.toSeq == fixture("a").waveform.toSeq)
+  }
+
+  test("separation-economy merge bounds chunk spans") {
+    val vad = Seq(
+      Segment("f", 0, 20), Segment("f", 22, 50), Segment("f", 53, 70),
+      Segment("f", 80, 90)).toDS()
+    val merged = SpeechPipeline.separationEconomyMerge(vad, gap = 5d, maxDur = 60d)
+      .collect().sortBy(_.start)
+    assert(merged.forall(m => m.end - m.start <= 60d))
+    assert(merged.map(_.n).sum == 4)
+  }
+
+  test("full pipeline end-to-end produces host matches") {
+    val audio = Seq(fixture("a")).toDS()
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05)
+    val (single, overlapping) = SpeechPipeline.diarizeStage(vad, audio)
+    assert(overlapping.count() == 0) // disjoint VAD spans -> no overlap
+    val (merged, embTable) = SpeechPipeline.rematchStage(single, audio)
+    assert(merged.count() > 0)
+    // host prints: one matching the loud speaker's mock embedding, one not
+    val emb = embTable.collect()
+    val hostPrints = Map(
+      "host_loud" -> emb.head._3,
+      "host_none" -> Array.fill(emb.head._3.length)(0.01f))
+    val hm = SpeechPipeline.hostMatchStage(spark, merged, embTable, hostPrints)
+      .collect()
+    assert(hm.exists(_.getAs[String]("host_id") == "host_loud"))
+    val p = hm.filter(_.getAs[String]("host_id") == "host_loud").head
+      .getAs[Double]("host_proportion")
+    assert(p > 0 && p <= 1.0)
+  }
+
+  test("mock verification cosine is 1.0 on identical embeddings") {
+    val e = Array(0.5f, 0.25f, 0.1f)
+    assert(math.abs(MockModels.cosine(e, e) - 1.0) < 1e-12)
+  }
+}

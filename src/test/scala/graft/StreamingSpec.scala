@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Streaming flavor (SURVEY §2.10): session windows + watermark late-drop
+  * driven synchronously through a MemoryStream.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("session_window groups events within the gap and splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val agg = StreamingOps.sessionAgg(events, "user_id", "10 seconds", "1 minute")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      input.addData(
+        (1L, ts(0), 1.0), (1L, ts(5), 1.0), (1L, ts(8), 1.0), // one session
+        (1L, ts(60), 2.0), // second session
+        (2L, ts(3), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out")
+        .select("user_id", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows == Seq((1L, 1L, 2.0), (1L, 3L, 3.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("hopped windows with watermark drop late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val agg = StreamingOps.hoppedAgg(events, "user_id", "10 seconds", "5 seconds",
+      "10 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hops_out").start()
+    try {
+      input.addData((1L, ts(0), 1.0), (1L, ts(7), 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the first windows, then send a late row
+      input.addData((1L, ts(100), 9.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(2), 100.0)) // late: before watermark -> dropped
+      q.processAllAvailable()
+      input.addData((1L, ts(200), 1.0)) // flush
+      q.processAllAvailable()
+      val sums = spark.table("hops_out").agg(sum("sum_value")).head.getDouble(0)
+      // the late 100.0 must not appear in any emitted window
+      assert(sums < 100.0)
+    } finally q.stop()
+  }
+}
