@@ -910,6 +910,60 @@ object SparkEntry {
       },
       None),
 
+    // F7/F8/F9/F4 — array scalar functions: slice, trim-or-pad,
+    // elementwise arithmetic, L2 norm, all in the exact quantized domain.
+    Q("f_array_ops",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        q.select(col("vec_id"),
+            aggregate(slice(col("qv"), 1, 8), lit(0L), _ + _).as("head_sum"),
+            size(when(size(col("qv")) < 80,
+                concat(col("qv"), array_repeat(lit(0L), lit(80) - size(col("qv")))))
+              .otherwise(slice(col("qv"), 1, 80))).cast("long").as("padded_len"),
+            aggregate(zip_with(col("qv"), transform(col("qv"), _ * lit(2L)), _ - _),
+              lit(0L), _ + _).as("resid_sum"),
+            sqrt(aggregate(col("qv"), lit(0L), (a, x) => a + x * x).cast("double"))
+              .as("l2"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_sum(qv[1:8]) AS BIGINT) AS head_sum,
+        |  CAST(len(CASE WHEN len(qv) < 80
+        |    THEN list_concat(qv, list_transform(range(80 - len(qv)), x -> CAST(0 AS BIGINT)))
+        |    ELSE qv[1:80] END) AS BIGINT) AS padded_len,
+        |  CAST(list_sum(list_transform(qv, x -> x - x * 2)) AS BIGINT) AS resid_sum,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS DOUBLE)) AS l2
+        |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // A12 — cluster-size floor (speaker_rematch.py:117): integer-domain
+    // max(2, n/25) per key.
+    Q("a12_cluster_floor",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("min_cluster", greatest(lit(2L), expr("n div 25")))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, COUNT(*) AS n,
+        |  greatest(2, COUNT(*) // 25) AS min_cluster
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // O3 — sortedness data-quality check (utils.py:153): violations of
+    // the per-user time ordering must be zero.
+    Q("o3_sortedness_check",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        evPoints(s, dir)
+          .withColumn("next_tus", lead(col("tus"), 1).over(w))
+          .agg(
+            sum(when(col("next_tus") < col("tus"), 1L).otherwise(0L)).as("violations"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |l AS (SELECT tus, lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS next_tus FROM e)
+        |SELECT CAST(SUM(CASE WHEN next_tus < tus THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  COUNT(*) AS n_rows FROM l""".stripMargin)),
+
     // J8 active sets — sweep line emitting the sorted active label set
     // per elementary interval (diarization.py:24-64); rows-only
     // (the count flavor j8_sweepline carries the oracle).

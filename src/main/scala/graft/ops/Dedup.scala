@@ -56,11 +56,21 @@ object Dedup {
     * O(pairs-sharing-a-shingle); use [[minhashLshPairs]] at scale.
     */
   def ngramJaccardPairs(sd: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
-    val cand = sd.select(col(idCol).as("a"), col("shingle"))
+    // One self-join on the shingle key gives common counts directly —
+    // no candidate materialization + re-join (the LSH variant needs the
+    // split because its candidates come from bucket collisions instead).
+    val n = shingleCounts(sd, idCol)
+    val commons = sd.select(col(idCol).as("a"), col("shingle"))
       .join(sd.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    jaccardVerify(cand, sd, idCol, minJaccard)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    commons
+      .join(n.select(col(idCol).as("a"), col("n_sh").as("na")), "a")
+      .join(n.select(col(idCol).as("b"), col("n_sh").as("nb")), "b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("common"), col("jaccard"))
   }
 
   /** MinHash band signatures: for each band, the minimum md5 of

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expr.LongArrayDot
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Exactness strategy: embeddings are quantized to integer units
@@ -28,13 +30,18 @@ object Similarity {
   private def sqNorm(qv: Column): Column =
     aggregate(qv, lit(0L), (acc, x) => acc + x * x)
 
-  /** All pairs (a < b) with exact quantized cosine — the verify kernel. */
+  /** All pairs (a < b) with exact quantized cosine — the verify kernel.
+    * The dot product is the fused-loop [[LongArrayDot]] expression, not
+    * `zip_with`+`aggregate`: no per-pair intermediate array, stays in
+    * whole-stage codegen.
+    */
   def cosinePairs(q: DataFrame, idCol: String): DataFrame = {
+    LongArrayDot.register(q.sparkSession)
     val withN = q.withColumn("nn", sqNorm(col("qv")))
     val a = withN.select(col(idCol).as("a"), col("qv").as("qa"), col("nn").as("na"))
     val b = withN.select(col(idCol).as("b"), col("qv").as("qb"), col("nn").as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"), _ * _), lit(0L), _ + _))
+      .withColumn("dot", expr(s"${LongArrayDot.fnName}(qa, qb)"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .select(col("a"), col("b"), col("dot"), col("cos"))
@@ -47,13 +54,14 @@ object Similarity {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  k: Int): DataFrame = {
+    LongArrayDot.register(queries.sparkSession)
     val qn = queries.withColumn("na", sqNorm(col("qv")))
       .select(col(idCol).as("query_id"), col("qv").as("qa"), col("na"))
     val cn = corpus.withColumn("nb", sqNorm(col("qv")))
       .select(col(idCol).as("neighbor_id"), col("qv").as("qb"), col("nb"))
     val scored = cn.crossJoin(broadcast(qn))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"), _ * _), lit(0L), _ + _))
+      .withColumn("dot", expr(s"${LongArrayDot.fnName}(qa, qb)"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
     val w = Window.partitionBy(col("query_id"))

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.expr.LongArrayDot
+import graft.sources.{Incremental, JsonIO}
+
+/** Sources/sinks + incremental-skip + custom expression coverage. */
+class IOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val segSchema = StructType(Seq(
+    StructField("start", DoubleType), StructField("end", DoubleType)))
+
+  test("readSegmentArray parses a reference-style pretty-printed JSON array") {
+    val dir = Files.createTempDirectory("graft_json")
+    val f = dir.resolve("timestamps.json")
+    Files.writeString(f,
+      """[
+        |    {
+        |        "start": 1.5,
+        |        "end": 3.25
+        |    },
+        |    {
+        |        "start": 10.0,
+        |        "end": 12.5
+        |    }
+        |]""".stripMargin)
+    val df = JsonIO.readSegmentArray(spark, f.toString, segSchema)
+    assert(df.orderBy("start").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+      == Seq((1.5, 3.25), (10.0, 12.5)))
+  }
+
+  test("JSON lines sink/source roundtrip") {
+    val dir = Files.createTempDirectory("graft_jsonl").resolve("out")
+    val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("start", "end")
+    JsonIO.writeJsonLines(df, dir.toString)
+    val back = JsonIO.readJsonLines(spark, dir.toString, segSchema)
+    assert(back.count() == 2)
+    assert(back.agg(sum($"start")).head.getDouble(0) == 4.0)
+  }
+
+  test("Incremental.remaining is the left-anti manifest skip") {
+    val inputs = Seq("a", "b", "c", "d").toDF("file")
+    val done = Seq("b", "d").toDF("file")
+    val rest = Incremental.remaining(inputs, done, "file")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(rest == Seq("a", "c"))
+  }
+
+  test("LongArrayDot matches zip_with+aggregate, interpreted and codegen") {
+    LongArrayDot.register(spark)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-2L, 0L, 7L), Seq(3L, 9L, -1L))).toDF("a", "b")
+      .withColumn("dot", expr("graft_dot(a, b)"))
+      .withColumn("ref", aggregate(zip_with($"a", $"b", _ * _), lit(0L), _ + _))
+    assert(df.filter($"dot" =!= $"ref").count() == 0)
+    assert(df.select("dot").collect().map(_.getLong(0)).toSeq == Seq(32L, -13L))
+  }
+}
