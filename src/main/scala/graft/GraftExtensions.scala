@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.expr.{LongArrayDot, Polyval}
+
+/** Catalyst extension point: registers the engine's native expressions so
+  * any session — including one created by `spark-submit --conf
+  * spark.sql.extensions=graft.GraftExtensions` on a real cluster — can use
+  * them from SQL without touching the library API.
+  *
+  * `graft_dot(a, b)`          — fused long-array dot product
+  * `graft_polyval_mos(x)`     — the DNSMOS polyfit polynomial (F3)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier(LongArrayDot.fnName),
+      new ExpressionInfo(classOf[LongArrayDot].getName, LongArrayDot.fnName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongArrayDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_polyval_mos"),
+      new ExpressionInfo(classOf[Polyval].getName, "graft_polyval_mos"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Polyval(Cast(exprs.head, DoubleType), Seq(0.99, -2.5, 1.7, 0.06))))
+  }
+}

@@ -173,6 +173,34 @@ object SegmentOps {
         col(s"s.$segStart") >= col(s"c.$chunkStart") &&
         col(s"s.$segEnd") <= col(s"c.$chunkEnd"))
 
+  /** J1 at 100 TB — bucketed containment join (SURVEY X4): when one key's
+    * chunk list is huge, the plain theta condition makes every chunk of
+    * the key a candidate for every segment. Bucketing both sides on
+    * `floor(start / bucketWidth)` (chunks explode to every bucket they
+    * overlap) turns the join equi on (key, bucket); the containment
+    * predicate then only filters within a bucket. Exact for any width:
+    * a contained segment's start always lies in one of its chunk's
+    * buckets. Width trades chunk fan-out against bucket selectivity —
+    * pick ≈ the max chunk length.
+    */
+  def bucketedContainmentJoin(segs: DataFrame, chunks: DataFrame, key: String,
+                              segStart: String, segEnd: String,
+                              chunkStart: String, chunkEnd: String,
+                              bucketWidth: Long): DataFrame = {
+    val segB = segs.withColumn("__bucket",
+      (col(segStart).cast("double") / lit(bucketWidth)).cast("long"))
+    val chunkB = chunks.withColumn("__bucket",
+      explode(sequence(
+        (col(chunkStart).cast("double") / lit(bucketWidth)).cast("long"),
+        (col(chunkEnd).cast("double") / lit(bucketWidth)).cast("long"))))
+    segB.alias("s").join(chunkB.alias("c"),
+        col(s"s.$key") === col(s"c.$key") &&
+          col("s.__bucket") === col("c.__bucket") &&
+          col(s"s.$segStart") >= col(s"c.$chunkStart") &&
+          col(s"s.$segEnd") <= col(s"c.$chunkEnd"))
+      .drop("__bucket")
+  }
+
   /** J3 — max-overlap interval join (argmax): for each left interval, the
     * right interval of the same key with the largest positive temporal
     * overlap; ties broken deterministically. Reference:

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.SegmentOps
+
+import scala.util.Random
+
+/** Scale-path equivalence + extension registration. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketedContainmentJoin is equivalent to the plain theta join") {
+    val rnd = new Random(7)
+    val chunks = (1 to 3).flatMap { k =>
+      var t = 0L
+      (1 to 40).map { i =>
+        val s = t + rnd.nextInt(50); val e = s + 10 + rnd.nextInt(200)
+        t = e + 1
+        (s"k$k", i.toLong, s, e)
+      }
+    }.toDF("key", "chunk_id", "cs", "ce")
+    val segs = (1 to 3).flatMap { k =>
+      (1 to 300).map { i =>
+        val s = rnd.nextInt(8000).toLong; val e = s + rnd.nextInt(40)
+        (s"k$k", i.toLong, s, e)
+      }
+    }.toDF("key", "seg_id", "ss", "se")
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("s.key"), col("seg_id"), col("chunk_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val plain = norm(SegmentOps.containmentJoin(segs, chunks, "key", "ss", "se", "cs", "ce"))
+    val bucketed = norm(SegmentOps.bucketedContainmentJoin(
+      segs, chunks, "key", "ss", "se", "cs", "ce", bucketWidth = 256L))
+    assert(plain.nonEmpty && bucketed == plain)
+  }
+
+  test("GraftExtensions registers native functions for plain SQL use") {
+    val prev = spark // keep the shared session alive; build a sibling with extensions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a static conf, fixed at SparkContext
+    // creation — with a live context, the programmatic form applies.
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = s2.sql("SELECT graft_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+        .head.getLong(0)
+      assert(dot == 32L)
+      val p = s2.sql("SELECT graft_polyval_mos(0.0) AS p").head.getDouble(0)
+      assert(p == 0.06)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
