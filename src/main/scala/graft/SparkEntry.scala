@@ -875,9 +875,69 @@ object SparkEntry {
         |  strlen(text) // 100 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // W3+J1+A1/A2+P2 — the reference's most operator-dense trace
+    // (separation_filter windows scored with energy ratios, §3.3):
+    // sliding windows over merged chunks, overlap-weighted "energy" per
+    // class via a range join (F10 overlap length), purity classification.
+    Q("w3a2_window_energy_ratios",
+      (s, dir) => {
+        val wins = SegmentOps.slidingWindows(chunks(s, dir), "start_us", "end_us",
+            60000000L, 25000000L)
+          .select(col("user_id").as("w_user"), col("win_start"), col("win_end"))
+        val iv = Tables.eventIntervals(s, dir)
+          .withColumn("vocal", col("event_type").isin("click", "view"))
+        val ov = least(col("e_us"), col("win_end")) - greatest(col("s_us"), col("win_start"))
+        wins.join(iv,
+            col("w_user") === col("user_id") &&
+              col("s_us") < col("win_end") && col("win_start") < col("e_us"),
+            "left")
+          .withColumn("ov", ov)
+          .groupBy(col("w_user"), col("win_start"), col("win_end"))
+          .agg(
+            sum(when(col("vocal") === true, col("cents") * col("ov")).otherwise(0L))
+              .as("v_energy"),
+            sum(when(col("vocal") === false, col("cents") * col("ov")).otherwise(0L))
+              .as("nv_energy"))
+          .withColumn("v_r",
+            when(col("v_energy") + col("nv_energy") > 0,
+              col("v_energy").cast("double") /
+                (col("v_energy") + col("nv_energy")).cast("double")))
+          .withColumn("label",
+            when(col("v_energy") + col("nv_energy") === 0, "empty")
+              .when(col("v_r") >= 0.7, "vocal").otherwise("noisy"))
+          .select(col("w_user").as("user_id"), col("win_start"), col("win_end"),
+            col("v_energy"), col("nv_energy"), col("v_r"), col("label"))
+          .orderBy(col("user_id"), col("win_start"))
+      },
+      Some(s"""WITH $chunksSqlCte,
+        |w AS (SELECT user_id, start_us, end_us,
+        |  unnest(generate_series(0, (end_us - start_us) // 25000000)) AS iw FROM ch),
+        |wn AS (SELECT user_id, start_us + iw * 25000000 AS win_start,
+        |    least(start_us + iw * 25000000 + 60000000, end_us) AS win_end
+        |  FROM w WHERE iw = 0 OR start_us + (iw - 1) * 25000000 + 60000000 < end_us),
+        |jn AS (SELECT wn.user_id, wn.win_start, wn.win_end,
+        |    i.event_type IN ('click','view') AS vocal, i.cents,
+        |    least(i.e_us, wn.win_end) - greatest(i.s_us, wn.win_start) AS ov
+        |  FROM wn LEFT JOIN i ON i.user_id = wn.user_id
+        |    AND i.s_us < wn.win_end AND wn.win_start < i.e_us),
+        |ag AS (SELECT user_id, win_start, win_end,
+        |    CAST(SUM(CASE WHEN vocal = true THEN cents * ov ELSE 0 END) AS BIGINT) AS v_energy,
+        |    CAST(SUM(CASE WHEN vocal = false THEN cents * ov ELSE 0 END) AS BIGINT) AS nv_energy
+        |  FROM jn GROUP BY user_id, win_start, win_end),
+        |sc AS (SELECT user_id, win_start, win_end, v_energy, nv_energy,
+        |    CASE WHEN v_energy + nv_energy > 0
+        |         THEN CAST(v_energy AS DOUBLE) / CAST(v_energy + nv_energy AS DOUBLE)
+        |    END AS v_r
+        |  FROM ag)
+        |SELECT user_id, win_start, win_end, v_energy, nv_energy, v_r,
+        |  CASE WHEN v_energy + nv_energy = 0 THEN 'empty'
+        |       WHEN v_r >= 0.7 THEN 'vocal' ELSE 'noisy' END AS label
+        |FROM sc ORDER BY user_id, win_start""".stripMargin)),
+
     // W1 capped — the flatMapGroups kernel (utils.py:64-102 with the
-    // max_duration cap; sequential per key, not window-expressible;
-    // ScalaTest-verified against a brute-force reference, rows-only here).
+    // max_duration cap; sequential per key, NOT window-expressible — the
+    // oracle is a recursive CTE folding rows in the same order, in the
+    // same converted-double domain).
     Q("w1_capped_sessions",
       (s, dir) => {
         import s.implicits._
@@ -891,7 +951,28 @@ object SparkEntry {
           .select(col("file"), col("start"), col("end"), col("n"))
           .orderBy(col("file"), col("start"))
       },
-      None),
+      Some("""WITH RECURSIVE i0 AS (SELECT CAST(user_id AS VARCHAR) AS file,
+        |  CAST(epoch_us(ts) AS DOUBLE)/1000000.0 AS s,
+        |  CAST(epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) AS DOUBLE)/1000000.0 AS e
+        |  FROM events),
+        |i AS (SELECT file, s, e, row_number() OVER (PARTITION BY file ORDER BY s, e) AS rn FROM i0),
+        |rec AS (
+        |  SELECT file, rn, s AS cur_s, e AS cur_e, 1 AS n, 1 AS sess FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.file, i.rn,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN r.cur_s ELSE i.s END,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN greatest(r.cur_e, i.e) ELSE i.e END,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN r.n + 1 ELSE 1 END,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN r.sess ELSE r.sess + 1 END
+        |  FROM rec r JOIN i ON i.file = r.file AND i.rn = r.rn + 1),
+        |f AS (SELECT file, sess, cur_s, cur_e, n,
+        |    row_number() OVER (PARTITION BY file, sess ORDER BY rn DESC) AS rr FROM rec)
+        |SELECT file, cur_s AS start, cur_e AS "end", CAST(n AS INTEGER) AS n
+        |FROM f WHERE rr = 1 ORDER BY file, start""".stripMargin)),
 
     // W8 — recursive longest-gap splitting (silero_vad.py:81-112),
     // flatMapGroups kernel; rows-only (ScalaTest-verified).
