@@ -26,20 +26,9 @@ object SegmentAlgebra {
       : Dataset[MergedSegment] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.file).flatMapGroups { (file, it) =>
-      val segs = it.toArray.sortBy(s => (s.start, s.end))
-      val out = ArrayBuffer.empty[MergedSegment]
-      var curS = 0d; var curE = 0d; var n = 0
-      segs.foreach { s =>
-        if (n == 0) { curS = s.start; curE = s.end; n = 1 }
-        else if (s.start - curE <= gap && math.max(curE, s.end) - curS <= maxDuration) {
-          curE = math.max(curE, s.end); n += 1
-        } else {
-          out += MergedSegment(file, curS, curE, n, Nil)
-          curS = s.start; curE = s.end; n = 1
-        }
-      }
-      if (n > 0) out += MergedSegment(file, curS, curE, n, Nil)
-      out.iterator
+      val sorted = it.map(s => (s.start, s.end)).toIndexedSeq.sorted
+      SegmentKernels.mergeCapped(sorted, gap, maxDuration).iterator
+        .map(m => MergedSegment(file, m.start, m.end, m.n, Nil))
     }
   }
 
@@ -108,29 +97,9 @@ object SegmentAlgebra {
   def recursiveSplit(ds: Dataset[Segment], maxDuration: Double): Dataset[MergedSegment] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.file).flatMapGroups { (file, it) =>
-      val segs = it.toArray.sortBy(s => (s.start, s.end))
-      val out = ArrayBuffer.empty[MergedSegment]
-      val stack = scala.collection.mutable.Stack[(Int, Int)]()
-      if (segs.nonEmpty) stack.push((0, segs.length))
-      while (stack.nonEmpty) {
-        val (lo, hi) = stack.pop()
-        val span = segs(hi - 1).end - segs(lo).start
-        if (span <= maxDuration || hi - lo == 1) {
-          out += MergedSegment(file, segs(lo).start, segs(hi - 1).end, hi - lo, Nil)
-        } else {
-          var bestK = lo + 1; var bestGap = Double.NegativeInfinity
-          var k = lo + 1
-          while (k < hi) {
-            val g = segs(k).start - segs(k - 1).end
-            if (g > bestGap) { bestGap = g; bestK = k }
-            k += 1
-          }
-          // push left last so output preserves temporal order
-          stack.push((bestK, hi))
-          stack.push((lo, bestK))
-        }
-      }
-      out.sortBy(_.start).iterator
+      val sorted = it.map(s => (s.start, s.end)).toIndexedSeq.sorted
+      SegmentKernels.splitAtLargestGaps(sorted, maxDuration).iterator
+        .map(m => MergedSegment(file, m.start, m.end, m.n, Nil))
     }
   }
 
@@ -142,25 +111,8 @@ object SegmentAlgebra {
   def sweepLineActiveSets(ds: Dataset[SpeakerSegment]): Dataset[ActiveInterval] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.file).flatMapGroups { (file, it) =>
-      val segs = it.toArray
-      // (time, isStart, speaker); ends sort before starts at ties
-      val events = segs.flatMap(s =>
-          Seq((s.start, 1, s.speaker), (s.end, 0, s.speaker)))
-        .sortBy { case (t, isStart, spk) => (t, isStart, spk) }
-      val active = scala.collection.mutable.Map.empty[String, Int]
-      val out = ArrayBuffer.empty[ActiveInterval]
-      var prevT = Double.NaN
-      events.foreach { case (t, isStart, spk) =>
-        if (!prevT.isNaN && t > prevT && active.nonEmpty)
-          out += ActiveInterval(file, prevT, t, active.keys.toSeq.sorted)
-        if (isStart == 1) active(spk) = active.getOrElse(spk, 0) + 1
-        else {
-          val c = active.getOrElse(spk, 0) - 1
-          if (c <= 0) active.remove(spk) else active(spk) = c
-        }
-        prevT = t
-      }
-      out.iterator
+      SegmentKernels.sweepActiveSets(it.map(s => (s.start, s.end, s.speaker)).toSeq)
+        .iterator.map(a => ActiveInterval(file, a.start, a.end, a.labels))
     }
   }
 }

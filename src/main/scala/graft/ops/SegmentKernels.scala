@@ -1,0 +1,82 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure single-key kernels backing [[SegmentAlgebra]]'s flatMapGroups
+  * operators (and the streaming state handlers). Kept free of Spark so
+  * they are property-testable at ScalaCheck speed and reusable across the
+  * batch and streaming execution shells.
+  */
+object SegmentKernels {
+
+  final case class Merged(start: Double, end: Double, n: Int)
+
+  /** W1 capped merge over (start, end)-sorted input — `utils.py:64-79`. */
+  def mergeCapped(sorted: IndexedSeq[(Double, Double)], gap: Double,
+                  cap: Double): IndexedSeq[Merged] = {
+    val out = ArrayBuffer.empty[Merged]
+    var curS = 0d; var curE = 0d; var n = 0
+    sorted.foreach { case (s, e) =>
+      if (n == 0) { curS = s; curE = e; n = 1 }
+      else if (s - curE <= gap && math.max(curE, e) - curS <= cap) {
+        curE = math.max(curE, e); n += 1
+      } else {
+        out += Merged(curS, curE, n); curS = s; curE = e; n = 1
+      }
+    }
+    if (n > 0) out += Merged(curS, curE, n)
+    out.toIndexedSeq
+  }
+
+  /** W8 recursive longest-gap split over sorted input —
+    * `silero_vad.py:81-112`.
+    */
+  def splitAtLargestGaps(sorted: IndexedSeq[(Double, Double)],
+                         maxDuration: Double): IndexedSeq[Merged] = {
+    val out = ArrayBuffer.empty[Merged]
+    val stack = scala.collection.mutable.Stack[(Int, Int)]()
+    if (sorted.nonEmpty) stack.push((0, sorted.length))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.pop()
+      val span = sorted(hi - 1)._2 - sorted(lo)._1
+      if (span <= maxDuration || hi - lo == 1) {
+        out += Merged(sorted(lo)._1, sorted(hi - 1)._2, hi - lo)
+      } else {
+        var bestK = lo + 1; var bestGap = Double.NegativeInfinity
+        var k = lo + 1
+        while (k < hi) {
+          val g = sorted(k)._1 - sorted(k - 1)._2
+          if (g > bestGap) { bestGap = g; bestK = k }
+          k += 1
+        }
+        stack.push((bestK, hi))
+        stack.push((lo, bestK))
+      }
+    }
+    out.sortBy(_.start).toIndexedSeq
+  }
+
+  final case class Active(start: Double, end: Double, labels: Seq[String])
+
+  /** J8 sweep line with active sets; ends process before starts at ties —
+    * `diarization.py:24-64`.
+    */
+  def sweepActiveSets(segs: Seq[(Double, Double, String)]): IndexedSeq[Active] = {
+    val events = segs.flatMap { case (s, e, l) => Seq((s, 1, l), (e, 0, l)) }
+      .sortBy { case (t, isStart, l) => (t, isStart, l) }
+    val active = scala.collection.mutable.Map.empty[String, Int]
+    val out = ArrayBuffer.empty[Active]
+    var prevT = Double.NaN
+    events.foreach { case (t, isStart, l) =>
+      if (!prevT.isNaN && t > prevT && active.nonEmpty)
+        out += Active(prevT, t, active.keys.toSeq.sorted)
+      if (isStart == 1) active(l) = active.getOrElse(l, 0) + 1
+      else {
+        val c = active.getOrElse(l, 0) - 1
+        if (c <= 0) active.remove(l) else active(l) = c
+      }
+      prevT = t
+    }
+    out.toIndexedSeq
+  }
+}

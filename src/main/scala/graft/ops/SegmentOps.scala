@@ -236,6 +236,20 @@ object SegmentOps {
         col(s"l.$lStart") < col(s"r.$rEnd") && col(s"r.$rStart") < col(s"l.$lEnd"),
       "left_anti")
 
+  /** Skew handling — two-phase salted aggregation: a hot key's rows
+    * spread over `salts` sub-keys for the partial aggregate, then one
+    * tiny final aggregate per key (SURVEY §7.0 "salting for skew"; AQE's
+    * skew-join handling covers the join side, this covers aggregation).
+    * The salt derives from a per-row fingerprint, so the result is
+    * order-independent and exactly equal to the direct aggregation.
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
   /** J8/W9 — sweep line over possibly-overlapping intervals of one key:
     * explode each interval into +1/-1 boundary events, order by
     * (time, delta) so that closings process before openings at ties

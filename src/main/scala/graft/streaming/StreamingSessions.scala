@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{MergedSegment, Segment}
+import graft.ops.SegmentKernels
+
+/** W1 capped sessionization under Structured Streaming (SURVEY §2.10):
+  * `session_window` cannot express the running-span cap, so the capped
+  * merge runs in `flatMapGroupsWithState` — the same pure kernel as the
+  * batch path ([[SegmentKernels.mergeCapped]]), with the open (last)
+  * session carried as group state and flushed on processing-time timeout.
+  *
+  * Arrival-order note: within a micro-batch rows are sorted before the
+  * fold; segments arriving in a later batch that predate the open session
+  * extend it only forward (the reference has the same late-data posture —
+  * P7 drops rows behind the running max, `silero_vad.py:137-139`).
+  */
+object StreamingSessions {
+
+  final case class OpenSession(start: Double, end: Double, n: Int)
+
+  /** @param flushTimeout when set, the open session flushes after this
+    *   processing-time idle period (costs continuous empty micro-batches
+    *   while state exists — the timeout-check loop); None emits only
+    *   closed sessions, the open one stays in state until closed by data.
+    */
+  def cappedSessions(segs: Dataset[Segment], gap: Double, cap: Double,
+                     flushTimeout: Option[String] = Some("30 seconds"))
+      : Dataset[MergedSegment] = {
+    import segs.sparkSession.implicits._
+    val timeoutConf =
+      if (flushTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    segs.groupByKey(_.file)
+      .flatMapGroupsWithState[OpenSession, MergedSegment](
+        OutputMode.Append, timeoutConf) {
+        (file: String, it: Iterator[Segment], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => MergedSegment(file, s.start, s.end, s.n, Nil))
+            state.remove()
+            out.iterator
+          } else {
+            val incoming = it.map(s => (s.start, s.end)).toIndexedSeq.sorted
+            val seeded = state.getOption
+              .map(s => IndexedSeq((s.start, s.end))).getOrElse(IndexedSeq.empty) ++
+              incoming
+            val merged = SegmentKernels.mergeCapped(seeded.sorted, gap, cap)
+            // the open session entered the kernel as one pseudo-segment;
+            // restore its true member count on the group it landed in
+            val adjusted = state.getOption match {
+              case Some(open) if merged.nonEmpty =>
+                merged.updated(0, merged.head.copy(n = merged.head.n + open.n - 1))
+              case _ => merged
+            }
+            adjusted.lastOption.foreach { l =>
+              state.update(OpenSession(l.start, l.end, l.n))
+              flushTimeout.foreach(state.setTimeoutDuration)
+            }
+            adjusted.dropRight(1).iterator
+              .map(m => MergedSegment(file, m.start, m.end, m.n, Nil))
+          }
+      }
+  }
+}

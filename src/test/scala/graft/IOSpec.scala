@@ -51,6 +51,29 @@ class IOSpec extends SparkSpec {
     assert(rest == Seq("a", "c"))
   }
 
+  test("binaryFile glob scan reads only matching extensions (S1)") {
+    val dir = Files.createTempDirectory("graft_media")
+    Files.write(dir.resolve("a.wav"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.mp3"), Array[Byte](5, 6))
+    Files.write(dir.resolve("c.txt"), Array[Byte](9))
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{wav,mp3}")
+      .load(dir.toString)
+    val got = df.select("path", "length").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("a.wav", 4L), ("b.mp3", 2L)))
+  }
+
+  test("saltedSum equals the direct aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("key", "v")
+    val direct = df.groupBy("key").agg(sum($"v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = graft.ops.SegmentOps.saltedSum(df, "key", "v", salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == direct)
+  }
+
   test("LongArrayDot matches zip_with+aggregate, interpreted and codegen") {
     LongArrayDot.register(spark)
     val df = Seq(

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.ops.SegmentKernels
+import graft.ops.SegmentKernels.Merged
+
+/** Property-based laws for the pure segment kernels (SURVEY §5.3):
+  * sessionization invariants, split bounds, sweep-line coverage — checked
+  * on hundreds of generated inputs at ScalaCheck speed (no Spark).
+  */
+object SegmentKernelProps extends Properties("SegmentKernels") {
+
+  private val genSeg: Gen[(Double, Double)] = for {
+    s <- Gen.chooseNum(0d, 1000d)
+    d <- Gen.chooseNum(0.01d, 50d)
+  } yield (s, s + d)
+
+  private val genSegs: Gen[IndexedSeq[(Double, Double)]] =
+    Gen.listOfN(60, genSeg).map(_.toIndexedSeq.sorted)
+
+  private val gap = 5d
+  private val cap = 120d
+
+  property("mergeCapped preserves member count") = Prop.forAll(genSegs) { segs =>
+    SegmentKernels.mergeCapped(segs, gap, cap).map(_.n).sum == segs.length
+  }
+
+  property("mergeCapped sessions are ordered and cover input bounds") =
+    Prop.forAll(genSegs) { segs =>
+      val ms = SegmentKernels.mergeCapped(segs, gap, cap)
+      segs.isEmpty || (
+        ms.head.start == segs.head._1 &&
+        ms.map(_.start).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)) &&
+        ms.forall(m => m.end >= m.start))
+    }
+
+  property("mergeCapped spans respect the cap unless a single member exceeds it") =
+    Prop.forAll(genSegs) { segs =>
+      val maxSingle = if (segs.isEmpty) 0d else segs.map(t => t._2 - t._1).max
+      SegmentKernels.mergeCapped(segs, gap, cap)
+        .forall(m => m.end - m.start <= math.max(cap, maxSingle))
+    }
+
+  property("mergeCapped with no cap: consecutive sessions separated by > gap") =
+    Prop.forAll(genSegs) { segs =>
+      val ms = SegmentKernels.mergeCapped(segs, gap, Double.MaxValue)
+      ms.sliding(2).forall {
+        case Seq(a: Merged, b: Merged) => b.start - a.end > gap
+        case _ => true
+      }
+    }
+
+  property("splitAtLargestGaps pieces fit or are singletons, count preserved") =
+    Prop.forAll(genSegs) { segs =>
+      val ps = SegmentKernels.splitAtLargestGaps(segs, 80d)
+      ps.map(_.n).sum == segs.length &&
+        ps.forall(p => p.end - p.start <= 80d || p.n == 1)
+    }
+
+  property("sweepActiveSets intervals are disjoint, ordered, non-empty-labeled") =
+    Prop.forAll(Gen.listOfN(30, for {
+      seg <- genSeg
+      l <- Gen.oneOf("a", "b", "c")
+    } yield (seg._1, seg._2, l))) { segs =>
+      val as = SegmentKernels.sweepActiveSets(segs)
+      as.forall(a => a.labels.nonEmpty && a.end > a.start) &&
+        as.sliding(2).forall {
+          case Seq(x, y) => x.end <= y.start
+          case _ => true
+        }
+    }
+
+  property("sweepActiveSets covers exactly the union of input intervals") =
+    Prop.forAll(Gen.listOfN(20, for {
+      seg <- genSeg
+      l <- Gen.oneOf("a", "b")
+    } yield (seg._1, seg._2, l))) { segs =>
+      val covered = SegmentKernels.sweepActiveSets(segs)
+        .map(a => a.end - a.start).sum
+      // union length via 1-label sweep of the same intervals
+      val union = SegmentKernels.sweepActiveSets(segs.map(t => (t._1, t._2, "x")))
+        .map(a => a.end - a.start).sum
+      math.abs(covered - union) < 1e-9
+    }
+}

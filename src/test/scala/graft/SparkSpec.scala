@@ -11,6 +11,15 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's checksum checkpoint manager deadlocks local[4]
+      // stateful queries on delta-file close (futures never complete);
+      // plain file manager behaves.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // The default FileContext manager shells out (fork/exec readlink)
+      // per checkpoint rename — glacial from a large JVM in this sandbox.
+      // The FileSystem-based manager uses File.renameTo, no forking.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

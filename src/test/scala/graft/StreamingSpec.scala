@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful capped sessions: closed sessions emit, open one stays in state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.Segment
+    val input = MemoryStream[Segment]
+    // flushTimeout=None: with a processing-time timeout the engine runs
+    // continuous empty micro-batches to check timers, which this sandbox's
+    // slow process-forking checkpoint IO turns into minutes per test.
+    val out = graft.streaming.StreamingSessions.cappedSessions(
+      input.toDS(), gap = 5d, cap = 100d, flushTimeout = None)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("capped_out").start()
+    try {
+      input.addData(Segment("f", 0, 10), Segment("f", 12, 20))
+      q.processAllAvailable() // merges into one open session, nothing emitted
+      assert(spark.table("capped_out").count() == 0)
+      input.addData(Segment("f", 100, 110)) // gap > 5 closes (0,20,2)
+      q.processAllAvailable()
+      val rows = spark.table("capped_out")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      assert(rows.toSeq == Seq(("f", 0d, 20d, 2)))
+    } finally q.stop()
+  }
+
   test("hopped windows with watermark drop late data") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
