@@ -27,4 +27,14 @@ object JsonIO {
     */
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** The canonical stage store: parquet partitioned by the dataset/stage
+    * key (SURVEY §1.5 — the reference's `{dir}/{basename}_outputs/{stage}`
+    * directory-as-table layout becomes partition pruning).
+    */
+  def writeStageTable(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readStageTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }
