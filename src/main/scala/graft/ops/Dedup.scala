@@ -55,10 +55,11 @@ object Dedup {
     * one shingle (equi join on the shingle), then verify. Exact but
     * O(pairs-sharing-a-shingle); use [[minhashLshPairs]] at scale.
     */
-  def ngramJaccardPairs(sd: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
+  def ngramJaccardPairs(sd0: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
     // One self-join on the shingle key gives common counts directly —
     // no candidate materialization + re-join (the LSH variant needs the
     // split because its candidates come from bucket collisions instead).
+    val sd = sd0.cache()
     val n = shingleCounts(sd, idCol)
     val commons = sd.select(col(idCol).as("a"), col("shingle"))
       .join(sd.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
@@ -87,9 +88,13 @@ object Dedup {
     * candidates with exact Jaccard. The LSH stage is the 100 TB path: a
     * shuffle on the bucket key replaces the all-pairs comparison.
     */
-  def minhashLshPairs(sd: DataFrame, idCol: String, bands: Int,
+  def minhashLshPairs(sd0: DataFrame, idCol: String, bands: Int,
                       minJaccard: Double): DataFrame = {
-    val mh = minhashSignatures(sd, idCol, bands)
+    // The shingle table feeds five plan branches (signatures, both verify
+    // sides, counts); cache it once instead of re-deriving the explode +
+    // distinct each time.
+    val sd = sd0.cache()
+    val mh = minhashSignatures(sd, idCol, bands).cache()
     val cand = mh.select(col(idCol).as("a"), col("band"), col("sig"))
       .join(mh.select(col(idCol).as("b"), col("band"), col("sig")),
         Seq("band", "sig"))
