@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality regression guard: the properties the 100 TB design rests
+  * on (scan pushdown, broadcast dims, equi-keyed interval joins, top-k
+  * group limits) asserted on the actual physical plans, so a refactor
+  * that silently degrades a plan fails CI, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("s1_scan_prune pushes range filters into the parquet scan") {
+    val p = plan("s1_scan_prune")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("GreaterThanOrEqual(l_discount"))
+    // column pruning: tax is never read
+    assert(!p.contains("l_tax"))
+  }
+
+  test("j5_broadcast_star plans broadcast hash joins for all dims") {
+    val p = plan("j5_broadcast_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("interval joins never degenerate into cartesian products") {
+    for (q <- Seq("j1_containment", "j3_max_overlap", "u4_anti_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+
+  test("sim_cosine_topk keeps the intended broadcast + window group limit") {
+    val p = plan("sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin")) // query side broadcast, intended
+    assert(p.contains("WindowGroupLimit")) // rank<=k pushed below the sort
+  }
+
+  test("w1_sessionize shuffles exactly once before aggregation") {
+    val p = plan("w1_sessionize")
+    // one hashpartitioning exchange on user_id for the windows; the
+    // aggregation reuses it (partial agg keys are a superset)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup candidates join on equi keys (shingle/bucket), not theta") {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+}

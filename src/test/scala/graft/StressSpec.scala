@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Segment
+import graft.ops.{SegmentAlgebra, SegmentOps}
+
+/** Compact scale stress: skewed keys and a single very long key exercise
+  * the shapes that break at 100× — window ops under key skew, and the
+  * per-key sequential kernels on a group far larger than typical.
+  */
+class StressSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coalesceIntervals handles 400k rows with one hot key") {
+    // 100 normal keys x 1k rows + 1 hot key x 300k rows
+    val df = spark.range(400000L).select(
+      when(col("id") < 300000L, lit(0L)).otherwise((col("id") % 100L) + 1L).as("k"),
+      (col("id") * 7L % 100000000L).as("s"))
+      .withColumn("e", col("s") + 50L)
+      .withColumn("id2", monotonically_increasing_id())
+    val merged = SegmentOps.coalesceIntervals(df, "k", "s", "e", "id2", lit(10L))
+      .groupBy(col("k"), col("session_id"))
+      .agg(count(lit(1)).as("n"))
+    val total = merged.agg(sum(col("n"))).head.getLong(0)
+    assert(total == 400000L)
+  }
+
+  test("sessionizeCapped kernel sustains a 200k-segment single key") {
+    val segs = spark.range(200000L).select(
+      lit("one").as("file"),
+      (col("id").cast("double") * 3d).as("start"),
+      (col("id").cast("double") * 3d + 2d).as("end"))
+      .as[Segment]
+    val out = SegmentAlgebra.sessionizeCapped(segs, gap = 2d, maxDuration = 30d)
+    val agg = out.groupBy().agg(sum(col("n")), count(lit(1))).head
+    assert(agg.getLong(0) == 200000L)
+    // gap=1 between consecutive (<=2), cap 30 -> 10 members per session
+    assert(agg.getLong(1) == 20000L)
+  }
+}
