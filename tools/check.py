@@ -88,6 +88,5 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"OK   {name} ({len(s_rows)} rows)")
 
-missing = [n for n in oracle if n not in oracle]
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
 sys.exit(1 if fails else 0)
