@@ -59,6 +59,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source + AvailableNow + checkpoint is the principled skip_if_exist") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_an")
+    val inDir = base.resolve("in"); val outDir = base.resolve("out")
+    val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(inDir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+
+    def addFile(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite")
+        .parquet(inDir.resolve(name).toString)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).option("recursiveFileLookup", "true")
+        .parquet(inDir.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def outCount(): Long = spark.read.parquet(outDir.toString).count()
+
+    addFile("f1", Seq((1L, 10L), (1L, 20L)))
+    runOnce()
+    assert(outCount() == 2)
+    addFile("f2", Seq((2L, 30L), (2L, 40L), (2L, 50L)))
+    runOnce() // restart from checkpoint: only the new file processes
+    assert(outCount() == 5)
+    runOnce() // nothing new: no reprocessing, exactly-once held
+    assert(outCount() == 5)
+  }
+
   test("hopped windows with watermark drop late data") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
