@@ -6,17 +6,21 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
 
 import graft.expr.{LongArrayDot, Polyval}
+import graft.plans.RangeJoinRule
 
-/** Catalyst extension point: registers the engine's native expressions so
-  * any session — including one created by `spark-submit --conf
-  * spark.sql.extensions=graft.GraftExtensions` on a real cluster — can use
-  * them from SQL without touching the library API.
+/** Catalyst extension point: registers the engine's native expressions
+  * and optimizer rules so any session — including one created by
+  * `spark-submit --conf spark.sql.extensions=graft.GraftExtensions` on a
+  * real cluster — gets them without touching the library API.
   *
   * `graft_dot(a, b)`          — fused long-array dot product
   * `graft_polyval_mos(x)`     — the DNSMOS polyfit polynomial (F3)
+  * [[RangeJoinRule]]          — containment-join bucketing (X4), gated by
+  *                              `spark.graft.rangeJoin.bucketWidth`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RangeJoinRule)
     e.injectFunction((
       new FunctionIdentifier(LongArrayDot.fnName),
       new ExpressionInfo(classOf[LongArrayDot].getName, LongArrayDot.fnName),

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** X4 — the range-join bucketing optimization as a Catalyst rule
+  * (SURVEY §4: "the only custom strategy worth writing").
+  *
+  * Detects an inner join whose condition is
+  * `kL = kR AND sL >= sR AND eL <= eR` (interval containment with an
+  * equi key — the shape of `separation_filter.py:190-236`) and rewrites
+  * it to join additionally on a bucket id: the probe side computes
+  * `bucket(sL)`, the chunk side explodes to every bucket its interval
+  * overlaps. Any monotone bucketing preserves the join result exactly —
+  * a contained segment's start bucket always lies within its chunk's
+  * bucket range — so this is a pure optimization: the shuffle and the
+  * per-row comparison set shrink from "all chunks of the key" to "chunks
+  * overlapping one bucket".
+  *
+  * Enabled by setting `spark.graft.rangeJoin.bucketWidth` to a positive
+  * integer (in the unit of the interval columns); 0 (default) disables
+  * the rewrite. Registered through [[graft.GraftExtensions]].
+  */
+object RangeJoinRule extends Rule[LogicalPlan] {
+
+  val CONF_KEY = "spark.graft.rangeJoin.bucketWidth"
+
+  private def bucketWidth: Long =
+    try conf.getConfString(CONF_KEY, "0").toLong catch { case _: NumberFormatException => 0L }
+
+  /** (key-equi, sL >= sR, eL <= eR) conjunct extraction; attributes must
+    * split cleanly across the two sides and interval columns be numeric.
+    */
+  private def matchContainment(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[(Attribute, Attribute, Attribute, Attribute)] = {
+    val l = left.outputSet
+    val r = right.outputSet
+    val conjuncts = splitConjuncts(cond)
+    // idempotence: never refire on a join this rule already rewrote
+    if (cond.references.exists(_.name.startsWith("__gb_"))) return None
+    def side(a: Attribute): Int = if (l.contains(a)) 0 else if (r.contains(a)) 1 else -1
+    var sL: Option[Attribute] = None; var sR: Option[Attribute] = None
+    var eL: Option[Attribute] = None; var eR: Option[Attribute] = None
+    var hasEqui = false
+    conjuncts.foreach {
+      case EqualTo(a: Attribute, b: Attribute)
+          if (side(a) == 0 && side(b) == 1) || (side(a) == 1 && side(b) == 0) =>
+        hasEqui = true
+      case GreaterThanOrEqual(a: Attribute, b: Attribute)
+          if side(a) == 0 && side(b) == 1 =>
+        sL = Some(a); sR = Some(b)
+      case LessThanOrEqual(a: Attribute, b: Attribute)
+          if side(a) == 1 && side(b) == 0 =>
+        // eR >= eL written as LessThanOrEqual after normalization — skip
+        ()
+      case LessThanOrEqual(a: Attribute, b: Attribute)
+          if side(a) == 0 && side(b) == 1 =>
+        eL = Some(a); eR = Some(b)
+      case _ => ()
+    }
+    for {
+      s1 <- sL; s2 <- sR; e1 <- eL; e2 <- eR
+      if hasEqui && Seq(s1, s2, e1, e2).forall(_.dataType == LongType)
+    } yield (s1, s2, e1, e2)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Monotone bucket id: truncate(x / width). Truncation (not floor) is
+    * fine — any monotone non-decreasing function preserves containment
+    * bucketing.
+    */
+  private def bucketOf(x: Expression, width: Long): Expression =
+    Cast(Divide(Cast(x, DoubleType), Literal(width.toDouble)), LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = bucketWidth
+    if (width <= 0) return plan
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        matchContainment(cond, left, right) match {
+          case Some((sL, sR, _, eR)) =>
+            val bL = Alias(bucketOf(sL, width), "__gb_probe")()
+            val probeSide = Project(left.output :+ bL, left)
+            // Sequence is TimeZoneAwareExpression: unresolved without a tz
+            val seq = new Sequence(bucketOf(sR, width), bucketOf(eR, width),
+              Literal(1L)).withTimeZone(conf.sessionLocalTimeZone)
+            val gen = Explode(seq)
+            val genOut = AttributeReference("__gb_build", LongType, nullable = false)()
+            val buildSide = Generate(gen, Nil, outer = false, None, Seq(genOut), right)
+            val newCond = And(cond, EqualTo(bL.toAttribute, genOut))
+            Project(j.output,
+              Join(probeSide, buildSide, Inner, Some(newCond), hint))
+          case None => j
+        }
+    }
+  }
+}

@@ -38,6 +38,46 @@ class ScaleSpec extends SparkSpec {
     assert(plain.nonEmpty && bucketed == plain)
   }
 
+  test("RangeJoinRule rewrites containment joins to bucketed equi joins") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("graft-rangejoin-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val segs = (1 to 500).map(i => (i % 5L, i.toLong, (i * 13L) % 3000L))
+        .map { case (k, id, s) => (k, id, s, s + 20L) }
+        .toDF("k", "seg_id", "ss", "se")
+      val chunks = (0 until 40).map(i => (i % 5L, i.toLong, i * 80L, i * 80L + 200L))
+        .toDF("k", "chunk_id", "cs", "ce")
+      def run(): Set[(Long, Long)] = segs.alias("s").join(chunks.alias("c"),
+          col("s.k") === col("c.k") && col("ss") >= col("cs") && col("se") <= col("ce"))
+        .select(col("seg_id"), col("chunk_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val baseline = run() // rule disabled (default width 0)
+      assert(baseline.nonEmpty)
+      s2.conf.set(graft.plans.RangeJoinRule.CONF_KEY, "256")
+      val rewritten = segs.alias("s").join(chunks.alias("c"),
+        col("s.k") === col("c.k") && col("ss") >= col("cs") && col("se") <= col("ce"))
+      val planStr = rewritten.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("__gb_probe") && planStr.contains("__gb_build"),
+        s"rule did not fire:\n$planStr")
+      val got = rewritten.select(col("seg_id"), col("chunk_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == baseline)
+      s2.conf.set(graft.plans.RangeJoinRule.CONF_KEY, "0")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("GraftExtensions registers native functions for plain SQL use") {
     val prev = spark // keep the shared session alive; build a sibling with extensions
     SparkSession.clearActiveSession()
