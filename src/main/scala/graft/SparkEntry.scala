@@ -1045,6 +1045,65 @@ object SparkEntry {
         |SELECT CAST(SUM(CASE WHEN next_tus < tus THEN 1 ELSE 0 END) AS BIGINT) AS violations,
         |  COUNT(*) AS n_rows FROM l""".stripMargin)),
 
+    // J6+P8+W6+A4+A10 — the host-match stage (§3.4, host_rematch.py:153-190)
+    // as one relational query: per-speaker budgeted duration (W6 prefix),
+    // host×speaker cross scoring (J6) with deterministic integer scores,
+    // threshold accept (P8), per-host rollup with proportions (A10).
+    // suppliers ≈ speakers, regions ≈ hosts, nations ≈ files.
+    Q("hm_host_match",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("cents").desc, col("l_orderkey"), col("l_linenumber"))
+        val budget = Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100d).cast("long").as("cents"))
+          .withColumn("cum", sum(col("cents"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum") <= 20000000L)
+          .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("dur"))
+        val spk = Tables.supplier(s, dir)
+          .join(budget, col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("dur"))
+        val scored = spk.crossJoin(broadcast(Tables.region(s, dir)))
+          .withColumn("score_e2",
+            (col("s_suppkey") * 7L + col("r_regionkey").cast("long") * 13L) % 100L)
+          .filter(col("score_e2") > 50L)
+        val hostTotals = scored.groupBy(col("s_nationkey"), col("r_name"))
+          .agg(sum(col("dur")).as("host_total"), count(lit(1)).as("n_matched"))
+        val nationTotals = spk.groupBy(col("s_nationkey"))
+          .agg(sum(col("dur")).as("nation_total"))
+        hostTotals.join(nationTotals, "s_nationkey")
+          .withColumn("proportion",
+            col("host_total").cast("double") / col("nation_total").cast("double"))
+          .select(col("s_nationkey").cast("long").as("nationkey"), col("r_name"),
+            col("host_total"), col("n_matched"), col("proportion"))
+          .orderBy(col("nationkey"), col("r_name"))
+      },
+      Some("""WITH b AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |c AS (SELECT l_suppkey, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY l_suppkey
+        |    ORDER BY cents DESC, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |d AS (SELECT l_suppkey, CAST(SUM(cents) AS BIGINT) AS dur FROM c
+        |  WHERE cum <= 20000000 GROUP BY l_suppkey),
+        |spk AS (SELECT s_suppkey, s_nationkey, dur FROM supplier
+        |  JOIN d ON s_suppkey = l_suppkey),
+        |sc AS (SELECT s_suppkey, s_nationkey, dur, r_name,
+        |  (s_suppkey * 7 + CAST(r_regionkey AS BIGINT) * 13) % 100 AS score_e2
+        |  FROM spk CROSS JOIN region),
+        |acc AS (SELECT * FROM sc WHERE score_e2 > 50),
+        |ht AS (SELECT s_nationkey, r_name, CAST(SUM(dur) AS BIGINT) AS host_total,
+        |  COUNT(*) AS n_matched FROM acc GROUP BY s_nationkey, r_name),
+        |nt AS (SELECT s_nationkey, CAST(SUM(dur) AS BIGINT) AS nation_total
+        |  FROM spk GROUP BY s_nationkey)
+        |SELECT CAST(ht.s_nationkey AS BIGINT) AS nationkey, ht.r_name, ht.host_total,
+        |  ht.n_matched,
+        |  CAST(ht.host_total AS DOUBLE) / CAST(nt.nation_total AS DOUBLE) AS proportion
+        |FROM ht JOIN nt ON nt.s_nationkey = ht.s_nationkey
+        |ORDER BY nationkey, r_name""".stripMargin)),
+
     // J8 active sets — sweep line emitting the sorted active label set
     // per elementary interval (diarization.py:24-64); rows-only
     // (the count flavor j8_sweepline carries the oracle).
