@@ -463,6 +463,29 @@ object SparkEntry {
         |FROM w WHERE i = 0 OR start_us + (i - 1) * 25000000 + 60000000 < end_us
         |ORDER BY user_id, win_start""".stripMargin)),
 
+    // W4 — hopped fixed-length windows (batch flavor; dnsmos.py:130-147
+    // hop structure): every event lands in window/hop windows; explode
+    // the hop index and aggregate per aligned window start.
+    Q("w4_hopped_windows",
+      (s, dir) => {
+        // 4 h windows hopping by 1 h: every event lands in exactly
+        // win/hop = 4 aligned windows, generated by exploding the hop
+        // index — the batch dual of streaming window(ts, "4h", "1h").
+        val hop = HOUR_US
+        evPoints(s, dir)
+          .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+          .withColumn("ws", (expr("tus div 3600000000") - col("k")) * lit(hop))
+          .groupBy(col("user_id"), col("ws"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("user_id"), col("ws"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |h AS (SELECT user_id, cents,
+        |  (tus // 3600000000 - r.k) * 3600000000 AS ws
+        |  FROM e, range(4) r(k))
+        |SELECT user_id, ws, COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM h GROUP BY user_id, ws ORDER BY user_id, ws""".stripMargin)),
+
     // P1 — pad + clamp segment bounds (vad_multi.py:33-35), clamped to the
     // per-user observed span (the reference clamps to [0, file duration]).
     Q("p1_pad_clamp",
