@@ -486,6 +486,33 @@ object SparkEntry {
         |SELECT user_id, ws, COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM h GROUP BY user_id, ws ORDER BY user_id, ws""".stripMargin)),
 
+    // A4-exact — interval-union length per key via a custom typed
+    // Aggregator with true partial-merge semantics (map-side combine);
+    // oracle = the sweep-line formulation of the same quantity.
+    Q("a_union_length",
+      (s, dir) => {
+        val unionLen = udaf(new graft.expr.IntervalUnionAgg())
+        Tables.eventIntervals(s, dir)
+          .groupBy(col("user_id"))
+          .agg(unionLen(col("s_us"), col("e_us")).as("union_us"),
+            sum(col("e_us") - col("s_us")).as("naive_sum_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH $evIntervalsSqlCte,
+        |b AS (SELECT user_id, s_us AS t, CAST(1 AS BIGINT) AS delta FROM i
+        |      UNION ALL SELECT user_id, e_us AS t, CAST(-1 AS BIGINT) AS delta FROM i),
+        |c AS (SELECT user_id, t, delta,
+        |  CAST(SUM(delta) OVER w AS BIGINT) AS n_active,
+        |  lead(t) OVER w AS next_t
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id, CAST(SUM(next_t - t) AS BIGINT) AS union_us
+        |  FROM c WHERE n_active > 0 AND next_t > t GROUP BY user_id),
+        |n AS (SELECT user_id, CAST(SUM(e_us - s_us) AS BIGINT) AS naive_sum_us
+        |  FROM i GROUP BY user_id)
+        |SELECT u.user_id, u.union_us, n.naive_sum_us
+        |FROM u JOIN n ON n.user_id = u.user_id ORDER BY u.user_id""".stripMargin)),
+
     // P1 — pad + clamp segment bounds (vad_multi.py:33-35), clamped to the
     // per-user observed span (the reference clamps to [0, file duration]).
     Q("p1_pad_clamp",

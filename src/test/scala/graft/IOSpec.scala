@@ -74,6 +74,23 @@ class IOSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("IntervalUnionAgg: partial merges equal the single-pass union") {
+    val agg = new graft.expr.IntervalUnionAgg()
+    val ivs = Seq((0L, 10L), (5L, 15L), (20L, 30L), (29L, 40L), (100L, 101L))
+    // single fold
+    val whole = agg.finish(ivs.foldLeft(agg.zero)(agg.reduce))
+    assert(whole == 15L + 20L + 1L)
+    // arbitrary partition splits must merge to the same result
+    for (cut <- 1 until ivs.length) {
+      val (a, b) = ivs.splitAt(cut)
+      val partial = agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+      assert(partial == whole, s"split at $cut")
+    }
+    // empty/degenerate intervals ignored
+    assert(agg.finish(agg.reduce(agg.zero, (5L, 5L))) == 0L)
+  }
+
   test("LongArrayDot matches zip_with+aggregate, interpreted and codegen") {
     LongArrayDot.register(spark)
     val df = Seq(
