@@ -15,6 +15,10 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("entry (driver smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("s1_scan_prune pushes range filters into the parquet scan") {
     val p = plan("s1_scan_prune")
     assert(p.contains("PushedFilters:"))
