@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
 
 import graft.expr.{LongArrayDot, Polyval}
-import graft.plans.RangeJoinRule
+import graft.plans.{ContainmentJoinStrategy, RangeJoinRule}
 
 /** Catalyst extension point: registers the engine's native expressions
   * and optimizer rules so any session — including one created by
@@ -21,6 +21,7 @@ import graft.plans.RangeJoinRule
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRule)
+    e.injectPlannerStrategy(_ => ContainmentJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier(LongArrayDot.fnName),
       new ExpressionInfo(classOf[LongArrayDot].getName, LongArrayDot.fnName),

@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.LongType
+
+/** J1/X4 as a full custom operator (SURVEY §7.3c): logical node +
+  * planner strategy + physical sorted-merge containment join.
+  *
+  * The physical operator asks Catalyst for hash co-partitioning on the
+  * key and co-sorting by (key, start) on both sides
+  * (`requiredChildDistribution` / `requiredChildOrdering` — the
+  * exchanges/sorts are planned by EnsureRequirements exactly as for
+  * SortMergeJoin), then runs the reference's monotone-cursor probe
+  * (`separation_filter.py:221-236`) per partition: chunks of one key are
+  * disjoint and sorted, so each segment matches at most one chunk and
+  * the cursor never moves backwards — O(n+m) per key, no hash table, no
+  * nested loop, bounded memory (one chunk row buffered).
+  *
+  * Restrictions (documented, checked at construction): key and bounds
+  * are LongType; chunk intervals per key are disjoint (true for interval
+  * unions, which is what the reference probes against).
+  */
+final case class ContainmentJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    segStart: Attribute, segEnd: Attribute,
+    chunkStart: Attribute, chunkEnd: Attribute) extends BinaryNode {
+  require(Seq(leftKey, rightKey, segStart, segEnd, chunkStart, chunkEnd)
+    .forall(_.dataType == LongType), "containment join: LongType columns only")
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): ContainmentJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object ContainmentJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case ContainmentJoinPlan(l, r, lk, rk, ss, se, cs, ce) =>
+      ContainmentJoinExec(planLater(l), planLater(r), lk, rk, ss, se, cs, ce) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class ContainmentJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    segStart: Attribute, segEnd: Attribute,
+    chunkStart: Attribute, chunkEnd: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(segStart, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(chunkStart, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lkIdx = leftOut.indexWhere(_.exprId == leftKey.exprId)
+    val ssIdx = leftOut.indexWhere(_.exprId == segStart.exprId)
+    val seIdx = leftOut.indexWhere(_.exprId == segEnd.exprId)
+    val rkIdx = rightOut.indexWhere(_.exprId == rightKey.exprId)
+    val csIdx = rightOut.indexWhere(_.exprId == chunkStart.exprId)
+    val ceIdx = rightOut.indexWhere(_.exprId == chunkEnd.exprId)
+    val outSchema = output
+    left.execute().zipPartitions(right.execute()) { (segIt, chunkIt) =>
+      new Iterator[InternalRow] {
+        private val proj = UnsafeProjection.create(outSchema, outSchema)
+        private val joined = new JoinedRow
+        private val chunks = chunkIt.buffered
+        private var nextRow: InternalRow = _
+        private var computed = false
+
+        // Lazy advancement: the projection reuses one UnsafeRow buffer,
+        // so the next match may only be computed after the consumer is
+        // done with the previous row (i.e., on its next hasNext/next).
+        private def ensure(): Unit = if (!computed) { advance(); computed = true }
+
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && segIt.hasNext) {
+            val seg = segIt.next()
+            val k = seg.getLong(lkIdx)
+            val s = seg.getLong(ssIdx)
+            val e = seg.getLong(seIdx)
+            // drop chunks behind: smaller key, or same key ended before s.
+            // With disjoint sorted chunks the first not-behind chunk is
+            // THE unique containment candidate; the cursor is monotone.
+            while (chunks.hasNext && {
+              val c = chunks.head
+              val ck = c.getLong(rkIdx)
+              ck < k || (ck == k && c.getLong(ceIdx) < s)
+            }) chunks.next()
+            if (chunks.hasNext) {
+              val c = chunks.head
+              if (c.getLong(rkIdx) == k &&
+                  s >= c.getLong(csIdx) && e <= c.getLong(ceIdx))
+                nextRow = proj(joined(seg, c))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { ensure(); nextRow != null }
+        override def next(): InternalRow = {
+          ensure()
+          computed = false
+          nextRow
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): ContainmentJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object ContainmentJoin {
+
+  /** DataFrame surface: build the logical node from two analyzed plans,
+    * registering the planner strategy on the session (idempotent, via
+    * the public `experimental.extraStrategies` hook — `GraftExtensions`
+    * also injects it for `spark.sql.extensions` deployments).
+    */
+  def sortedContainmentJoin(segs: DataFrame, chunks: DataFrame, key: String,
+                            segStart: String, segEnd: String,
+                            chunkStart: String, chunkEnd: String): DataFrame = {
+    val spark: SparkSession = segs.sparkSession
+    if (!spark.experimental.extraStrategies.contains(ContainmentJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ ContainmentJoinStrategy
+    val lp = segs.queryExecution.analyzed
+    val rp = chunks.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    GraftShim.ofRows(spark, ContainmentJoinPlan(lp, rp,
+      attr(lp, key), attr(rp, key),
+      attr(lp, segStart), attr(lp, segEnd),
+      attr(rp, chunkStart), attr(rp, chunkEnd)))
+  }
+}

@@ -38,6 +38,36 @@ class ScaleSpec extends SparkSpec {
     assert(plain.nonEmpty && bucketed == plain)
   }
 
+  test("sortedContainmentJoin (custom SparkPlan) matches the theta join") {
+    val rnd = new Random(11)
+    // disjoint sorted chunks per key (the operator's documented contract)
+    val chunks = (1 to 4).flatMap { k =>
+      var t = 0L
+      (1 to 50).map { i =>
+        val s = t + 1 + rnd.nextInt(30); val e = s + 10 + rnd.nextInt(150)
+        t = e
+        (k.toLong, k * 1000L + i, s, e)
+      }
+    }.toDF("key", "chunk_id", "cs", "ce")
+    val segs = (1 to 4).flatMap { k =>
+      (1 to 400).map { i =>
+        val s = rnd.nextInt(9000).toLong; val e = s + rnd.nextInt(60)
+        (k.toLong, k * 10000L + i, s, e)
+      }
+    }.toDF("key", "seg_id", "ss", "se")
+
+    val plain = SegmentOps.containmentJoin(segs, chunks, "key", "ss", "se", "cs", "ce")
+      .select(col("seg_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val custom = graft.plans.ContainmentJoin.sortedContainmentJoin(
+      segs, chunks, "key", "ss", "se", "cs", "ce")
+    assert(custom.queryExecution.executedPlan.toString.contains("ContainmentJoin"),
+      "custom operator not planned")
+    val got = custom.select(col("seg_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty && got == plain)
+  }
+
   test("RangeJoinRule rewrites containment joins to bucketed equi joins") {
     val prev = spark
     SparkSession.clearActiveSession()
