@@ -397,6 +397,30 @@ object SparkEntry {
         |  AND seg.s_us >= ch.start_us AND seg.e_us <= ch.end_us
         |ORDER BY user_id, event_id""".stripMargin)),
 
+    // J1 via the custom physical operator (plans/ContainmentJoin):
+    // same semantics and oracle as j1_containment, executed by the
+    // sorted-merge monotone-cursor SparkPlan instead of a generic join.
+    Q("j1_sorted_containment",
+      (s, dir) => {
+        val segs = Tables.eventIntervals(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("s_us"), col("e_us"))
+        val ch = chunks(s, dir)
+          .select(col("user_id").as("c_user"),
+            col("start_us").as("chunk_start"), col("end_us").as("chunk_end"))
+        graft.plans.ContainmentJoin.sortedContainmentJoin(
+            segs, ch, "user_id", "c_user", "s_us", "e_us", "chunk_start", "chunk_end")
+          .select(col("user_id"), col("event_id"), col("chunk_start"), col("chunk_end"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""WITH $chunksSqlCte,
+        |seg AS (SELECT user_id, event_id, s_us, e_us FROM i WHERE event_type = 'click')
+        |SELECT seg.user_id AS user_id, seg.event_id AS event_id,
+        |  ch.start_us AS chunk_start, ch.end_us AS chunk_end
+        |FROM seg JOIN ch ON seg.user_id = ch.user_id
+        |  AND seg.s_us >= ch.start_us AND seg.e_us <= ch.end_us
+        |ORDER BY user_id, event_id""".stripMargin)),
+
     // J3 — max-overlap interval join, argmax with first-max tie-break
     // (speaker_rematch.py:224-234).
     Q("j3_max_overlap",

@@ -135,6 +135,15 @@ object ContainmentJoin {
     */
   def sortedContainmentJoin(segs: DataFrame, chunks: DataFrame, key: String,
                             segStart: String, segEnd: String,
+                            chunkStart: String, chunkEnd: String): DataFrame =
+    sortedContainmentJoin(segs, chunks, key, key, segStart, segEnd, chunkStart, chunkEnd)
+
+  /** Variant with differently-named key columns (keeps the join output
+    * free of duplicate names).
+    */
+  def sortedContainmentJoin(segs: DataFrame, chunks: DataFrame,
+                            leftKey: String, rightKey: String,
+                            segStart: String, segEnd: String,
                             chunkStart: String, chunkEnd: String): DataFrame = {
     val spark: SparkSession = segs.sparkSession
     if (!spark.experimental.extraStrategies.contains(ContainmentJoinStrategy))
@@ -146,7 +155,7 @@ object ContainmentJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
     GraftShim.ofRows(spark, ContainmentJoinPlan(lp, rp,
-      attr(lp, key), attr(rp, key),
+      attr(lp, leftKey), attr(rp, rightKey),
       attr(lp, segStart), attr(lp, segEnd),
       attr(rp, chunkStart), attr(rp, chunkEnd)))
   }
