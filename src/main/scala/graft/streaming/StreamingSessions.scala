@@ -1,10 +1,15 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.model.{MergedSegment, Segment}
 import graft.ops.SegmentKernels
+
+/** A segment carrying an absolute event timestamp for watermarking. */
+final case class TimedSegment(file: String, ts: Timestamp, start: Double, end: Double)
 
 /** W1 capped sessionization under Structured Streaming (SURVEY §2.10):
   * `session_window` cannot express the running-span cap, so the capped
@@ -58,6 +63,49 @@ object StreamingSessions {
             adjusted.lastOption.foreach { l =>
               state.update(OpenSession(l.start, l.end, l.n))
               flushTimeout.foreach(state.setTimeoutDuration)
+            }
+            adjusted.dropRight(1).iterator
+              .map(m => MergedSegment(file, m.start, m.end, m.n, Nil))
+          }
+      }
+  }
+
+  /** Event-time flavor: the open session flushes when the WATERMARK
+    * passes its end + gap — the principled late-data posture (SURVEY
+    * §2.10): once no in-gap segment can still arrive, the session is
+    * provably closed. No continuous empty batches (timeouts fire only
+    * when the watermark moves, i.e. on data).
+    */
+  def cappedSessionsEventTime(segs: Dataset[TimedSegment], gap: Double, cap: Double,
+                              watermarkDelay: String): Dataset[MergedSegment] = {
+    import segs.sparkSession.implicits._
+    val gapMs = (gap * 1000).toLong
+    segs.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.file)
+      .flatMapGroupsWithState[OpenSession, MergedSegment](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (file: String, it: Iterator[TimedSegment], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => MergedSegment(file, s.start, s.end, s.n, Nil))
+            state.remove()
+            out.iterator
+          } else {
+            val rows = it.toIndexedSeq
+            val maxEventMs = rows.map(_.ts.getTime).max
+            val incoming = rows.map(s => (s.start, s.end)).sorted
+            val seeded = state.getOption
+              .map(s => IndexedSeq((s.start, s.end))).getOrElse(IndexedSeq.empty) ++
+              incoming
+            val merged = SegmentKernels.mergeCapped(seeded.sorted, gap, cap)
+            val adjusted = state.getOption match {
+              case Some(open) if merged.nonEmpty =>
+                merged.updated(0, merged.head.copy(n = merged.head.n + open.n - 1))
+              case _ => merged
+            }
+            adjusted.lastOption.foreach { l =>
+              state.update(OpenSession(l.start, l.end, l.n))
+              state.setTimeoutTimestamp(maxEventMs + gapMs)
             }
             adjusted.dropRight(1).iterator
               .map(m => MergedSegment(file, m.start, m.end, m.n, Nil))

@@ -59,6 +59,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time capped sessions flush when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TimedSegment
+    val input = MemoryStream[TimedSegment]
+    val out = graft.streaming.StreamingSessions.cappedSessionsEventTime(
+      input.toDS(), gap = 5d, cap = 100d, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("et_capped_out").start()
+    try {
+      input.addData(
+        TimedSegment("f", ts(10), 10, 12),
+        TimedSegment("f", ts(14), 14, 16))
+      q.processAllAvailable() // one open session (10,16); watermark ~16
+      assert(spark.table("et_capped_out").count() == 0)
+      // unrelated key far in the future: watermark jumps past 16+gap,
+      // the timeout fires and flushes f's open session without new f data
+      input.addData(TimedSegment("other", ts(1000), 1000, 1001))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("et_capped_out")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+        .filter(_._1 == "f")
+      assert(rows.toSeq == Seq(("f", 10d, 16d, 2)))
+    } finally q.stop()
+  }
+
   test("file source + AvailableNow + checkpoint is the principled skip_if_exist") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
