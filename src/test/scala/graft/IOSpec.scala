@@ -74,6 +74,31 @@ class IOSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("ManifestSink: atomic commits, snapshot reads, incremental skip") {
+    import graft.sources.ManifestSink
+    val root = Files.createTempDirectory("graft_manifest").toString
+    val batch1 = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("file", "v")
+    val v0 = ManifestSink.commit(batch1, root, keys = Seq("a", "b"))
+    assert(v0 == 0L)
+    assert(ManifestSink.read(spark, root).count() == 3)
+    // uncommitted data dir is invisible to readers
+    val orphan = java.nio.file.Paths.get(root, "data", "orphan")
+    Seq(("zz", 99L)).toDF("file", "v").write.parquet(orphan.toString)
+    assert(ManifestSink.read(spark, root).count() == 3)
+    // incremental skip: only 'c' remains
+    val inputs = Seq("a", "b", "c").toDF("file")
+    val rest = graft.sources.Incremental.remaining(
+      inputs, ManifestSink.doneKeys(spark, root), "file")
+      .collect().map(_.getString(0)).toSeq
+    assert(rest == Seq("c"))
+    // second commit appends atomically; snapshot grows
+    val v1 = ManifestSink.commit(Seq(("c", 4L)).toDF("file", "v"), root, Seq("c"))
+    assert(v1 == 1L)
+    assert(ManifestSink.read(spark, root).count() == 4)
+    assert(graft.sources.Incremental.remaining(
+      inputs, ManifestSink.doneKeys(spark, root), "file").count() == 0)
+  }
+
   test("IntervalUnionAgg: partial merges equal the single-pass union") {
     val agg = new graft.expr.IntervalUnionAgg()
     val ivs = Seq((0L, 10L), (5L, 15L), (20L, 30L), (29L, 40L), (100L, 101L))
