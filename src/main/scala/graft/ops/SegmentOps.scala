@@ -236,6 +236,15 @@ object SegmentOps {
         col(s"l.$lStart") < col(s"r.$rEnd") && col(s"r.$rStart") < col(s"l.$lEnd"),
       "left_anti")
 
+  /** O1/X5 — longest-first ordering hint (`vad_multi.py:79-97` LPT
+    * scheduling): on a cluster the task scheduler already handles
+    * stragglers, but range-partitioning heavy keys first still helps
+    * when a stage's partitions are wildly uneven.
+    */
+  def orderLongestFirst(df: DataFrame, start: String, end: String): DataFrame =
+    df.repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+      (col(end) - col(start)).desc)
+
   /** Skew handling — two-phase salted aggregation: a hot key's rows
     * spread over `salts` sub-keys for the partial aggregate, then one
     * tiny final aggregate per key (SURVEY §7.0 "salting for skew"; AQE's

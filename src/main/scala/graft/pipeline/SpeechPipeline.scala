@@ -21,6 +21,21 @@ import graft.ops.SegmentAlgebra
   */
 object SpeechPipeline {
 
+  /** The whole reference pipeline (stages 1-5) as one composed run under
+    * a single config (the `data_pipeline.sh` orchestration without its
+    * process/env hops): returns the per-host match rollup.
+    */
+  def runAll(spark: SparkSession, audio: Dataset[AudioFile],
+             hostPrints: Map[String, Array[Float]],
+             cfg: PipelineConfig = PipelineConfig.production) = {
+    val vad = vadStage(audio, cfg.vadPadSec)
+    val (single, _) = diarizeStage(vad, audio)
+    val (merged, embTable) = rematchStage(single, audio,
+      minChunkSec = math.min(cfg.rematchChunkMinSec, 0.2),
+      mergedCapSec = cfg.rematchMergedCapSec)
+    hostMatchStage(spark, merged, embTable, hostPrints, cfg.hostBudgetSec)
+  }
+
   /** Stage 1 — VAD: mock inference, pad+clamp (P1, `vad_multi.py:33-35`),
     * zero-gap merge (W1 with interval=0, cap=∞ — `vad_multi.py:37`).
     */

@@ -75,6 +75,17 @@ class PipelineSpec extends SparkSpec {
     assert(p > 0 && p <= 1.0)
   }
 
+  test("runAll composes all five stages under the production config") {
+    val audio = Seq(fixture("a")).toDS()
+    // build host prints from a pre-run so one host genuinely matches
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05)
+    val (single, _) = SpeechPipeline.diarizeStage(vad, audio)
+    val (_, embTable) = SpeechPipeline.rematchStage(single, audio)
+    val prints = Map("host_x" -> embTable.collect().head._3)
+    val out = SpeechPipeline.runAll(spark, audio, prints)
+    assert(out.collect().exists(_.getAs[String]("host_id") == "host_x"))
+  }
+
   test("mock verification cosine is 1.0 on identical embeddings") {
     val e = Array(0.5f, 0.25f, 0.1f)
     assert(math.abs(MockModels.cosine(e, e) - 1.0) < 1e-12)
