@@ -472,6 +472,62 @@ object SparkEntry {
         |    AND n.user_id = v.user_id AND v.s_us < n.e_us AND n.s_us < v.e_us)
         |ORDER BY user_id, event_id""".stripMargin)),
 
+    // U4 full composite — merge-with-noisy-skipping (utils.py:155-183):
+    // drop segments overlapping noise (anti-overlap), then sessionize
+    // with an EXTRA break whenever a noisy interval sits inside the gap
+    // between consecutive members (the reference's session split at
+    // noisy boundaries).
+    Q("u4_noisy_sessions",
+      (s, dir) => {
+        val i = Tables.eventIntervals(s, dir)
+        val noisy = i.filter(col("event_type") === "error")
+          .select(col("user_id").as("n_user"), col("s_us").as("n_s"), col("e_us").as("n_e"))
+        val clean = SegmentOps.antiOverlapJoin(
+          i.filter(col("event_type") =!= "error"),
+          i.filter(col("event_type") === "error"),
+          "user_id", "s_us", "e_us", "s_us", "e_us")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("s_us"), col("event_id"))
+        val withPrev = clean.withColumn("prev_end",
+          max(col("e_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        val noisyBreaks = withPrev.filter(col("prev_end").isNotNull)
+          .select(col("user_id"), col("event_id"), col("prev_end"), col("s_us"))
+          .join(noisy, col("user_id") === col("n_user") &&
+            col("n_s") >= col("prev_end") && col("n_e") <= col("s_us"), "left_semi")
+          .select(col("user_id"), col("event_id"))
+          .withColumn("noisy_break", lit(1L))
+        withPrev.join(noisyBreaks, Seq("user_id", "event_id"), "left")
+          .withColumn("brk",
+            when(col("prev_end").isNull || col("s_us") - col("prev_end") > lit(4L * HOUR_US)
+              || col("noisy_break") === 1L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("brk"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("s_us")).as("start_us"), max(col("e_us")).as("end_us"),
+            count(lit(1)).as("n_members"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some(s"""WITH $evIntervalsSqlCte,
+        |clean AS (SELECT v.user_id, v.event_id, v.s_us, v.e_us FROM i v
+        |  WHERE v.event_type <> 'error' AND NOT EXISTS (
+        |    SELECT 1 FROM i n WHERE n.event_type = 'error'
+        |      AND n.user_id = v.user_id AND v.s_us < n.e_us AND n.s_us < v.e_us)),
+        |p AS (SELECT user_id, event_id, s_us, e_us,
+        |  MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM clean),
+        |f AS (SELECT user_id, event_id, s_us, e_us,
+        |  CASE WHEN prev_end IS NULL OR s_us - prev_end > 14400000000
+        |    OR EXISTS (SELECT 1 FROM i n WHERE n.event_type = 'error'
+        |      AND n.user_id = p.user_id AND n.s_us >= p.prev_end AND n.e_us <= p.s_us)
+        |  THEN 1 ELSE 0 END AS brk FROM p),
+        |s AS (SELECT user_id, s_us, e_us,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+        |  COUNT(*) AS n_members
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
     // W3 — sliding hop windows over long segments with early-stop
     // semantics (separation_filter.py:242-260): window 60 s, hop 25 s.
     Q("w3_sliding_windows",
