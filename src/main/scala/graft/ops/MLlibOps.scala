@@ -23,6 +23,7 @@ object MLlibOps {
     val v = emb.select(col(idCol), array_to_vector(col(embCol)).as("vec"))
     val nv = new Normalizer().setInputCol("vec").setOutputCol("features").setP(2.0)
       .transform(v).select(col(idCol), col("features"))
+      .cache() // reused by fit + both sides of the self-join
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(0.5).setNumHashTables(numHashTables).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
@@ -45,6 +46,7 @@ object MLlibOps {
     val tf = new HashingTF().setInputCol("shs").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
     val feat = tf.transform(sh).select(col(idCol), col("features"))
+      .cache() // reused by fit + both sides of the self-join
     val lsh = new MinHashLSH().setNumHashTables(5).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
     val model = lsh.fit(feat)
