@@ -130,7 +130,7 @@ object SpeechPipeline {
     */
   def rematchStage(single: Dataset[ActiveInterval], audio: Dataset[AudioFile],
                    minChunkSec: Double = 0.2, mergedCapSec: Double = 20d)
-      : (Dataset[SpeakerSegment], Dataset[(String, String, Array[Float])]) = {
+      : (Dataset[SpeakerSegment], Dataset[(String, String, Double, Array[Float])]) = {
     import single.sparkSession.implicits._
     val spk = single.map(a => SpeakerSegment(a.file, a.start, a.end, a.speakers.head))
     val merged = SegmentAlgebra.sessionizeBySpeaker(spk,
@@ -144,7 +144,9 @@ object SpeechPipeline {
       }
     val embedded = InferenceOp.mapBatched[(SpeakerSegment, Array[Float]), (SpeakerSegment, Array[Float])](
       withWave, "mock_embedder", () => new MockModels.MockEmbedder(), batchSize = 16)
-    val embTable = embedded.map { case (seg, emb) => (seg.file, seg.speaker, emb) }
+    val embTable = embedded.map { case (seg, emb) =>
+      (seg.file, seg.speaker, seg.end - seg.start, emb)
+    }
     (merged, embTable)
   }
 
@@ -153,20 +155,34 @@ object SpeechPipeline {
     * (P8), per-host rollup with proportions (A10).
     */
   def hostMatchStage(spark: SparkSession, merged: Dataset[SpeakerSegment],
-                     embTable: Dataset[(String, String, Array[Float])],
+                     embTable: Dataset[(String, String, Double, Array[Float])],
                      hostPrints: Map[String, Array[Float]],
                      budgetSec: Double = 180d) = {
     import spark.implicits._
+    // A4: duration totals are the FULL per-speaker durations...
     val perSpeaker = merged.groupByKey(s => (s.file, s.speaker))
       .mapGroups { (key, it) =>
         (key._1, key._2, it.map(s => s.end - s.start).sum)
       }.toDF("file", "speaker", "total_dur")
+    // ...while W6/O5 budgets only the audio fed to verification: take
+    // segments longest-first while the running total stays within
+    // budget, reference break-at-first-overflow (host_rematch.py:100-109).
     val avgEmb = embTable.groupByKey(t => (t._1, t._2))
       .mapGroups { (key, it) =>
-        val embs = it.map(_._3).toArray
+        val rows = it.toArray.sortBy(-_._3)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        var cum = 0d
+        var i = 0
+        var overflowed = false
+        while (i < rows.length && !overflowed) {
+          cum += rows(i)._3
+          if (cum <= budgetSec) kept += rows(i)._4 else overflowed = true
+          i += 1
+        }
+        val embs = if (kept.nonEmpty) kept.toArray else Array(rows.head._4)
         val dim = embs.head.length
         val mean = new Array[Float](dim)
-        embs.foreach(e => (0 until dim).foreach(i => mean(i) += e(i) / embs.length))
+        embs.foreach(e => (0 until dim).foreach(j => mean(j) += e(j) / embs.length))
         (key._1, key._2, mean)
       }
     val hosts = spark.sparkContext.broadcast(hostPrints)

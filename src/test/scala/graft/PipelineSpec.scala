@@ -65,8 +65,8 @@ class PipelineSpec extends SparkSpec {
     // host prints: one matching the loud speaker's mock embedding, one not
     val emb = embTable.collect()
     val hostPrints = Map(
-      "host_loud" -> emb.head._3,
-      "host_none" -> Array.fill(emb.head._3.length)(0.01f))
+      "host_loud" -> emb.head._4,
+      "host_none" -> Array.fill(emb.head._4.length)(0.01f))
     val hm = SpeechPipeline.hostMatchStage(spark, merged, embTable, hostPrints)
       .collect()
     assert(hm.exists(_.getAs[String]("host_id") == "host_loud"))
@@ -81,7 +81,7 @@ class PipelineSpec extends SparkSpec {
     val vad = SpeechPipeline.vadStage(audio, padSec = 0.05)
     val (single, _) = SpeechPipeline.diarizeStage(vad, audio)
     val (_, embTable) = SpeechPipeline.rematchStage(single, audio)
-    val prints = Map("host_x" -> embTable.collect().head._3)
+    val prints = Map("host_x" -> embTable.collect().head._4)
     val out = SpeechPipeline.runAll(spark, audio, prints)
     assert(out.collect().exists(_.getAs[String]("host_id") == "host_x"))
   }
