@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -62,6 +62,30 @@ object SpeechPipeline {
   def separationEconomyMerge(vad: Dataset[Segment], gap: Double = 5d,
                              maxDur: Double = 60d): Dataset[MergedSegment] =
     SegmentAlgebra.sessionizeCapped(vad, gap, maxDur)
+
+  /** Stage 2b — assign each VAD span to the separation chunk containing
+    * it (J1, `separation_filter.py:221-236`), via the custom sorted-merge
+    * operator (String file keys, times scaled to exact integer micros for
+    * its LongType bound contract). Output: one row per span with its
+    * chunk's bounds.
+    */
+  def assignToChunks(vad: Dataset[Segment], chunks: Dataset[MergedSegment]): DataFrame = {
+    val segs = vad.toDF()
+      .select(col("file"),
+        round(col("start") * 1e6d).cast("long").as("s_us"),
+        round(col("end") * 1e6d).cast("long").as("e_us"))
+    val ch = chunks.toDF()
+      .select(col("file").as("c_file"),
+        round(col("start") * 1e6d).cast("long").as("chunk_s_us"),
+        round(col("end") * 1e6d).cast("long").as("chunk_e_us"))
+    graft.plans.ContainmentJoin.sortedContainmentJoin(
+        segs, ch, "file", "c_file", "s_us", "e_us", "chunk_s_us", "chunk_e_us")
+      .select(col("file"),
+        (col("s_us").cast("double") / 1e6d).as("start"),
+        (col("e_us").cast("double") / 1e6d).as("end"),
+        (col("chunk_s_us").cast("double") / 1e6d).as("chunk_start"),
+        (col("chunk_e_us").cast("double") / 1e6d).as("chunk_end"))
+  }
 
   /** W5 — overlapped chunking with margins (`separate_fast.py:148-186`):
     * split each waveform into fixed-size core chunks plus `margin`

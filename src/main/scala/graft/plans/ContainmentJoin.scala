@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRo
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** J1/X4 as a full custom operator (SURVEY §7.3c): logical node +
   * planner strategy + physical sorted-merge containment join.
@@ -22,17 +22,21 @@ import org.apache.spark.sql.types.LongType
   * the cursor never moves backwards — O(n+m) per key, no hash table, no
   * nested loop, bounded memory (one chunk row buffered).
   *
-  * Restrictions (documented, checked at construction): key and bounds
-  * are LongType; chunk intervals per key are disjoint (true for interval
-  * unions, which is what the reference probes against).
+  * Restrictions (documented, checked at construction): bounds are
+  * LongType, keys LongType or StringType; chunk intervals per key are
+  * disjoint (true for interval unions, which is what the reference
+  * probes against).
   */
 final case class ContainmentJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     segStart: Attribute, segEnd: Attribute,
     chunkStart: Attribute, chunkEnd: Attribute) extends BinaryNode {
-  require(Seq(leftKey, rightKey, segStart, segEnd, chunkStart, chunkEnd)
-    .forall(_.dataType == LongType), "containment join: LongType columns only")
+  require(Seq(segStart, segEnd, chunkStart, chunkEnd)
+    .forall(_.dataType == LongType), "containment join: LongType bounds only")
+  require(leftKey.dataType == rightKey.dataType &&
+    (leftKey.dataType == LongType || leftKey.dataType == StringType),
+    "containment join: LongType or StringType keys")
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): ContainmentJoinPlan =
@@ -74,7 +78,12 @@ final case class ContainmentJoinExec(
     val csIdx = rightOut.indexWhere(_.exprId == chunkStart.exprId)
     val ceIdx = rightOut.indexWhere(_.exprId == chunkEnd.exprId)
     val outSchema = output
+    val keyIsString = leftKey.dataType == StringType
     left.execute().zipPartitions(right.execute()) { (segIt, chunkIt) =>
+      // chunk-key vs seg-key comparison in the key's sort order
+      def keyCmp(c: InternalRow, seg: InternalRow): Int =
+        if (keyIsString) c.getUTF8String(rkIdx).compareTo(seg.getUTF8String(lkIdx))
+        else java.lang.Long.compare(c.getLong(rkIdx), seg.getLong(lkIdx))
       new Iterator[InternalRow] {
         private val proj = UnsafeProjection.create(outSchema, outSchema)
         private val joined = new JoinedRow
@@ -91,7 +100,6 @@ final case class ContainmentJoinExec(
           nextRow = null
           while (nextRow == null && segIt.hasNext) {
             val seg = segIt.next()
-            val k = seg.getLong(lkIdx)
             val s = seg.getLong(ssIdx)
             val e = seg.getLong(seIdx)
             // drop chunks behind: smaller key, or same key ended before s.
@@ -99,12 +107,12 @@ final case class ContainmentJoinExec(
             // THE unique containment candidate; the cursor is monotone.
             while (chunks.hasNext && {
               val c = chunks.head
-              val ck = c.getLong(rkIdx)
-              ck < k || (ck == k && c.getLong(ceIdx) < s)
+              val cmp = keyCmp(c, seg)
+              cmp < 0 || (cmp == 0 && c.getLong(ceIdx) < s)
             }) chunks.next()
             if (chunks.hasNext) {
               val c = chunks.head
-              if (c.getLong(rkIdx) == k &&
+              if (keyCmp(c, seg) == 0 &&
                   s >= c.getLong(csIdx) && e <= c.getLong(ceIdx))
                 nextRow = proj(joined(seg, c))
             }

@@ -45,6 +45,19 @@ class PipelineSpec extends SparkSpec {
     assert(back.waveform.toSeq == fixture("a").waveform.toSeq)
   }
 
+  test("assignToChunks maps every span into exactly one containing chunk") {
+    val vad = Seq(
+      Segment("a", 0, 20), Segment("a", 22, 50), Segment("a", 80, 90),
+      Segment("b", 5, 15)).toDS()
+    val chunks = SpeechPipeline.separationEconomyMerge(vad, gap = 5d, maxDur = 60d)
+    val assigned = SpeechPipeline.assignToChunks(vad, chunks).collect()
+    assert(assigned.length == 4) // every span assigned exactly once
+    assert(assigned.forall { r =>
+      r.getAs[Double]("start") >= r.getAs[Double]("chunk_start") &&
+        r.getAs[Double]("end") <= r.getAs[Double]("chunk_end")
+    })
+  }
+
   test("separation-economy merge bounds chunk spans") {
     val vad = Seq(
       Segment("f", 0, 20), Segment("f", 22, 50), Segment("f", 53, 70),
