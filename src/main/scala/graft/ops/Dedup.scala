@@ -51,21 +51,54 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("jaccard"))
   }
 
-  /** Exhaustive n-gram Jaccard dedup: candidates = pairs sharing at least
-    * one shingle (equi join on the shingle), then verify. Exact but
-    * O(pairs-sharing-a-shingle); use [[minhashLshPairs]] at scale.
+  /** Exhaustive n-gram Jaccard dedup with a hot-shingle frequency cap.
+    *
+    * `maxShingleDocFreq` bounds the quadratic term: a shingle shared by k
+    * documents produces k² self-join rows, so one stopword 3-gram at 10⁹
+    * docs would be a cartesian bomb. The self-join that enumerates
+    * pairs-and-their-common-counts therefore runs over *rare* shingles
+    * only (df ≤ cap); the few shared HOT shingles of each surviving pair
+    * are counted in a second, cheap join (pairs × per-doc hot
+    * memberships — hot shingles are by definition few distinct values,
+    * and each doc holds few of them), and added back, so reported Jaccard
+    * values are exact over ALL shingles. Recall is lost only for pairs
+    * whose *every* shared shingle is hot — impossible at
+    * `minJaccard ≥ 0.5` unless a doc is mostly stopword n-grams.
     */
-  def ngramJaccardPairs(sd0: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
-    // One self-join on the shingle key gives common counts directly —
-    // no candidate materialization + re-join (the LSH variant needs the
-    // split because its candidates come from bucket collisions instead).
+  def ngramJaccardPairs(sd0: DataFrame, idCol: String, minJaccard: Double,
+                        maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
+    // Eager cache: the shingle table feeds several plan subtrees of ONE
+    // final action; a lazy cache would still be cold while they race, so
+    // each would recompute the tokenize+explode+distinct lineage.
     val sd = sd0.cache()
-    val n = shingleCounts(sd, idCol)
-    val commons = sd.select(col(idCol).as("a"), col("shingle"))
-      .join(sd.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+    sd.count()
+    val capped = maxShingleDocFreq != Long.MaxValue
+    lazy val fq = sd.groupBy(col("shingle")).agg(count(lit(1)).as("__df")).cache()
+    val rare =
+      if (!capped) sd
+      else sd.join(fq.filter(col("__df") <= maxShingleDocFreq).select(col("shingle")),
+        Seq("shingle"))
+    val commonRare = rare.select(col(idCol).as("a"), col("shingle"))
+      .join(rare.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-    commons
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common_rare"))
+    val common =
+      if (!capped) commonRare.withColumn("common", col("common_rare"))
+      else {
+        val hot = sd.join(
+          fq.filter(col("__df") > maxShingleDocFreq).select(col("shingle")),
+          Seq("shingle"))
+        val commonHot = commonRare.select(col("a"), col("b"))
+          .join(hot.select(col(idCol).as("a"), col("shingle")), "a")
+          .join(hot.select(col(idCol).as("b"), col("shingle").as("__sh_b")), Seq("b"))
+          .filter(col("shingle") === col("__sh_b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common_hot"))
+        commonRare.join(commonHot, Seq("a", "b"), "left")
+          .withColumn("common",
+            col("common_rare") + coalesce(col("common_hot"), lit(0L)))
+      }
+    val n = shingleCounts(sd, idCol)
+    common
       .join(n.select(col(idCol).as("a"), col("n_sh").as("na")), "a")
       .join(n.select(col(idCol).as("b"), col("n_sh").as("nb")), "b")
       .withColumn("jaccard",
@@ -92,8 +125,10 @@ object Dedup {
                       minJaccard: Double): DataFrame = {
     // The shingle table feeds five plan branches (signatures, both verify
     // sides, counts); cache it once instead of re-deriving the explode +
-    // distinct each time.
+    // distinct each time — eagerly, so racing subtrees of the single
+    // final action all hit the cache.
     val sd = sd0.cache()
+    sd.count()
     val mh = minhashSignatures(sd, idCol, bands).cache()
     val cand = mh.select(col(idCol).as("a"), col("band"), col("sig"))
       .join(mh.select(col(idCol).as("b"), col("band"), col("sig")),
@@ -103,14 +138,36 @@ object Dedup {
     jaccardVerify(cand, sd, idCol, minJaccard)
   }
 
-  /** SimHash near-dup pairs: equal-width 16-bit signatures compared by
-    * Hamming distance. Input: (id, simhash).
+  /** SimHash near-dup pairs: equal-width signatures compared by Hamming
+    * distance. Input: (id, simhash) with `bits`-bit signatures.
+    *
+    * Candidate generation is the classic pigeonhole band join, not an
+    * all-pairs comparison: split the signature into `maxHamming + 1`
+    * contiguous bit bands — any pair within Hamming distance `maxHamming`
+    * has at most `maxHamming` differing bits, so at least one band is
+    * bit-identical. Equi-joining on (band index, band value) therefore
+    * has recall 1 by construction, and the full Hamming check on the
+    * candidates restores exact precision. The shuffle key is the band
+    * value: O(n · bands) rows in, pairs only within equal-band buckets
+    * out — the shape that survives 10⁹ documents.
     */
-  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame =
-    sh.select(col(idCol).as("a"), col("simhash").as("sim_a"))
-      .crossJoin(sh.select(col(idCol).as("b"), col("simhash").as("sim_b")))
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int,
+                   bits: Int = 16): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = (bits + nBands - 1) / nBands
+    val mask = (1L << bandBits) - 1
+    val banded = sh
+      .select(col(idCol), col("simhash"))
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bv", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    banded.select(col(idCol).as("a"), col("simhash").as("sim_a"), col("band"), col("bv"))
+      .join(banded.select(col(idCol).as("b"), col("simhash").as("sim_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sim_a"), col("sim_b"))
+      .distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+  }
 }

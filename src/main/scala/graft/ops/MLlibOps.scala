@@ -19,13 +19,14 @@ object MLlibOps {
     * key — candidate generation is an equi join, never all-pairs.
     */
   def annCosinePairs(emb: DataFrame, idCol: String, embCol: String,
-                     minCos: Double, numHashTables: Int = 4): DataFrame = {
+                     minCos: Double, numHashTables: Int = 4,
+                     bucketLength: Double = 0.5): DataFrame = {
     val v = emb.select(col(idCol), array_to_vector(col(embCol)).as("vec"))
     val nv = new Normalizer().setInputCol("vec").setOutputCol("features").setP(2.0)
       .transform(v).select(col(idCol), col("features"))
       .cache() // reused by fit + both sides of the self-join
     val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(0.5).setNumHashTables(numHashTables).setSeed(42L)
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
     val model = lsh.fit(nv)
     val maxDist = math.sqrt(math.max(0d, 2d - 2d * minCos))
@@ -39,7 +40,8 @@ object MLlibOps {
     * distance ≤ `maxJaccardDist`). Input: (id, text).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int, maxJaccardDist: Double): DataFrame = {
+                          shingleN: Int, maxJaccardDist: Double,
+                          numHashTables: Int = 5): DataFrame = {
     val sh = df.select(col(idCol),
         TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
@@ -47,12 +49,46 @@ object MLlibOps {
       .setNumFeatures(1 << 18).setBinary(true)
     val feat = tf.transform(sh).select(col(idCol), col("features"))
       .cache() // reused by fit + both sides of the self-join
-    val lsh = new MinHashLSH().setNumHashTables(5).setSeed(42L)
+    val lsh = new MinHashLSH().setNumHashTables(numHashTables).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
     val model = lsh.fit(feat)
     model.approxSimilarityJoin(feat, feat, maxJaccardDist, "jaccard_dist")
       .select(col(s"datasetA.$idCol").as("a"), col(s"datasetB.$idCol").as("b"),
         col("jaccard_dist"))
       .filter(col("a") < col("b"))
+  }
+
+  /** The production composition: MLlib ANN *candidates* verified by the
+    * exact quantized cosine ([[Similarity.verifyPairs]]). The candidate
+    * radius is widened by `candSlack` so MLlib's float-vector distance
+    * filter cannot clip a pair sitting exactly at the exact-cosine
+    * threshold; precision is restored by the verify stage, and recall at
+    * `minCos` is 1 − (1 − p)^numHashTables per pair — choose
+    * `numHashTables`/`bucketLength` for the corpus's margin.
+    */
+  def annVerifiedNearDups(emb: DataFrame, idCol: String, embCol: String,
+                          minCos: Double, candSlack: Double = 0.1,
+                          numHashTables: Int = 12,
+                          bucketLength: Double = 2.0): DataFrame = {
+    val cand = annCosinePairs(emb, idCol, embCol, minCos - candSlack,
+        numHashTables, bucketLength)
+      .select(col("a"), col("b"))
+    Similarity.verifyPairs(cand, Similarity.quantize(emb, idCol, embCol), idCol, minCos)
+  }
+
+  /** MLlib MinHash-LSH *candidates* verified by the exact Jaccard over
+    * the true shingle table ([[Dedup.jaccardVerify]]). `distSlack` widens
+    * the candidate distance so HashingTF feature collisions cannot clip a
+    * boundary pair; the verify stage computes the exact set Jaccard.
+    */
+  def minhashVerifiedNearDups(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int, minJaccard: Double,
+                              distSlack: Double = 0.1,
+                              numHashTables: Int = 8): DataFrame = {
+    val cand = minhashNearDupPairs(df, idCol, textCol, shingleN,
+        (1.0 - minJaccard) + distSlack, numHashTables)
+      .select(col("a"), col("b"))
+    Dedup.jaccardVerify(cand,
+      TextOps.shingleTable(df, idCol, textCol, shingleN), idCol, minJaccard)
   }
 }

@@ -71,7 +71,48 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dot"), col("cos"))
   }
 
-  /** Embedding near-dup pairs above a cosine threshold. */
+  /** Embedding near-dup pairs above a cosine threshold — the exhaustive
+    * exact kernel. This is the *verification baseline* (oracle-checkable
+    * at test scale); the production path generates candidates with LSH
+    * ([[srpNearDupPairs]] or [[MLlibOps.annVerifiedNearDups]]) and only
+    * verifies those.
+    */
   def nearDupPairs(q: DataFrame, idCol: String, minCos: Double): DataFrame =
     cosinePairs(q, idCol).filter(col("cos") >= minCos)
+
+  /** Verify candidate (a, b) pairs with the exact quantized cosine: join
+    * the pair list back to the vectors on the two equi id keys and keep
+    * pairs at or above `minCos`. Precision is exact regardless of how the
+    * candidates were generated; only recall depends on the candidate
+    * stage. `q`: (id, qv) from [[quantize]].
+    */
+  def verifyPairs(cand: DataFrame, q: DataFrame, idCol: String, minCos: Double): DataFrame = {
+    LongArrayDot.register(q.sparkSession)
+    val withN = q.withColumn("nn", sqNorm(col("qv")))
+    cand
+      .join(withN.select(col(idCol).as("a"), col("qv").as("qa"), col("nn").as("na")), "a")
+      .join(withN.select(col(idCol).as("b"), col("qv").as("qb"), col("nn").as("nb")), "b")
+      .withColumn("dot", expr(s"${LongArrayDot.fnName}(qa, qb)"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("dot"), col("cos"))
+  }
+
+  /** Embedding near-dup detection, 100 TB shape: deterministic SRP-LSH
+    * band candidates ([[SrpLsh]]) verified by the exact quantized cosine.
+    * No cross join anywhere — candidate generation shuffles on the band
+    * key, verification on the pair ids. Recall follows the standard LSH
+    * S-curve in the pair cosine (≈ `1−(1−p^r)^L`, p = 1−θ/π); precision
+    * is exact.
+    */
+  def srpNearDupPairs(emb: DataFrame, idCol: String, embCol: String, minCos: Double,
+                      dim: Int, bandBits: Int = SrpLsh.DefaultBandBits,
+                      bands: Int = SrpLsh.DefaultBands): DataFrame = {
+    LongArrayDot.register(emb.sparkSession)
+    val q = quantize(emb, idCol, embCol).cache()
+    val cs = SrpLsh.coefficients(bandBits * bands, dim)
+    val sig = q.select(col(idCol), SrpLsh.signature(col("qv"), cs).as("sig"))
+    verifyPairs(SrpLsh.bandedCandidates(sig, idCol, bandBits, bands), q, idCol, minCos)
+  }
 }

@@ -55,8 +55,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("dedup candidates join on equi keys (shingle/bucket), not theta") {
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+  test("dedup candidates join on equi keys (shingle/band/bucket), not theta") {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_lsh")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
