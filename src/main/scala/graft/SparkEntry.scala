@@ -1178,7 +1178,9 @@ object SparkEntry {
         |FROM f WHERE rr = 1 ORDER BY file, start""".stripMargin)),
 
     // W8 — recursive longest-gap splitting (silero_vad.py:81-112),
-    // flatMapGroups kernel; rows-only (ScalaTest-verified).
+    // flatMapGroups kernel. Oracle: a recursive CTE over (lo, hi) index
+    // ranges — a range splits at its globally-ranked largest internal gap
+    // (first-max tie-break via the gap rank gr) until its span fits.
     Q("w8_recursive_split",
       (s, dir) => {
         import s.implicits._
@@ -1192,7 +1194,38 @@ object SparkEntry {
           .select(col("file"), col("start"), col("end"), col("n"))
           .orderBy(col("file"), col("start"))
       },
-      None),
+      Some("""WITH RECURSIVE i0 AS (SELECT CAST(user_id AS VARCHAR) AS file,
+        |  CAST(epoch_us(ts) AS DOUBLE)/1000000.0 AS s,
+        |  CAST(epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) AS DOUBLE)/1000000.0 AS e
+        |  FROM events),
+        |i AS (SELECT file, s, e, row_number() OVER (PARTITION BY file ORDER BY s, e) AS rn FROM i0),
+        |cnt AS (SELECT file, MAX(rn) AS n FROM i GROUP BY file),
+        |g0 AS (SELECT a.file, a.rn AS k, a.s - b.e AS gap FROM i a
+        |  JOIN i b ON b.file = a.file AND b.rn = a.rn - 1),
+        |g AS (SELECT file, k, gap,
+        |  row_number() OVER (PARTITION BY file ORDER BY gap DESC, k) AS gr FROM g0),
+        |rec AS (
+        |  SELECT file, CAST(1 AS BIGINT) AS lo, n AS hi FROM cnt
+        |  UNION ALL
+        |  SELECT sp.pfile AS file,
+        |    CASE WHEN c.pick = 0 THEN sp.plo ELSE sp.bk END AS lo,
+        |    CASE WHEN c.pick = 0 THEN sp.bk - 1 ELSE sp.phi END AS hi
+        |  FROM (
+        |    SELECT r.file AS pfile, r.lo AS plo, r.hi AS phi, arg_min(gg.k, gg.gr) AS bk
+        |    FROM rec r
+        |    JOIN i a ON a.file = r.file AND a.rn = r.lo
+        |    JOIN i b ON b.file = r.file AND b.rn = r.hi
+        |    JOIN g gg ON gg.file = r.file AND gg.k > r.lo AND gg.k <= r.hi
+        |    WHERE r.hi > r.lo AND b.e - a.s > 86400.0
+        |    GROUP BY r.file, r.lo, r.hi
+        |  ) sp, (VALUES (0), (1)) c(pick)
+        |)
+        |SELECT r.file AS file, a.s AS start, b.e AS "end", CAST(r.hi - r.lo + 1 AS INTEGER) AS n
+        |FROM rec r
+        |JOIN i a ON a.file = r.file AND a.rn = r.lo
+        |JOIN i b ON b.file = r.file AND b.rn = r.hi
+        |WHERE r.hi = r.lo OR b.e - a.s <= 86400.0
+        |ORDER BY file, start""".stripMargin)),
 
     // F7/F8/F9/F4 — array scalar functions: slice, trim-or-pad,
     // elementwise arithmetic, L2 norm, all in the exact quantized domain.
@@ -1308,8 +1341,10 @@ object SparkEntry {
         |ORDER BY nationkey, r_name""".stripMargin)),
 
     // J8 active sets — sweep line emitting the sorted active label set
-    // per elementary interval (diarization.py:24-64); rows-only
-    // (the count flavor j8_sweepline carries the oracle).
+    // per elementary interval (diarization.py:24-64). Oracle: per
+    // boundary pair, a speaker is active iff its +1/-1 boundary deltas at
+    // times ≤ the interval start sum positive (ends sort before starts at
+    // ties automatically — both are counted at t ≤ s).
     Q("j8_active_sets",
       (s, dir) => {
         import s.implicits._
@@ -1325,7 +1360,164 @@ object SparkEntry {
             array_join(col("speakers"), ",").as("speakers"))
           .orderBy(col("file"), col("start"))
       },
-      None)
+      Some("""WITH i AS (SELECT CAST(user_id AS VARCHAR) AS file,
+        |  CAST(epoch_us(ts) AS DOUBLE)/1000000.0 AS s,
+        |  CAST(epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) AS DOUBLE)/1000000.0 AS e,
+        |  event_type AS speaker FROM events),
+        |ev AS (SELECT file, s AS t, CAST(1 AS BIGINT) AS d, speaker FROM i
+        |       UNION ALL SELECT file, e AS t, CAST(-1 AS BIGINT) AS d, speaker FROM i),
+        |bounds AS (SELECT DISTINCT file, t FROM ev),
+        |b2 AS (SELECT file, t AS s, lead(t) OVER (PARTITION BY file ORDER BY t) AS e FROM bounds),
+        |act AS (SELECT b.file AS file, b.s AS s, b.e AS e, ev.speaker AS speaker
+        |  FROM b2 b JOIN ev ON ev.file = b.file AND ev.t <= b.s
+        |  WHERE b.e IS NOT NULL
+        |  GROUP BY b.file, b.s, b.e, ev.speaker
+        |  HAVING SUM(ev.d) > 0)
+        |SELECT file, s AS start, e AS "end",
+        |  array_to_string(list_sort(list(speaker)), ',') AS speakers
+        |FROM act GROUP BY file, s, e ORDER BY file, start""".stripMargin)),
+
+    // W1 typed voice-gate — the reference's most quirk-laden branch
+    // (utils.py:82-99): capped merge accumulating the member `types`
+    // array, then the must_include_voice gate dropping sessions with no
+    // voice member. Both gate settings emitted under a tag; the oracle
+    // folds the same recursive merge carrying the types string.
+    Q("w1_typed_gate",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Tables.eventIntervals(s, dir).select(
+          col("user_id").cast("string").as("file"),
+          (col("s_us").cast("double") / 1e6d).as("start"),
+          (col("e_us").cast("double") / 1e6d).as("end"),
+          when(col("event_type").isin("click", "view"), "voice")
+            .otherwise(col("event_type")).as("segType"))
+          .as[graft.model.TypedSegment]
+        def run(gate: Boolean, tag: String) =
+          SegmentAlgebra.sessionizeTyped(segs, gap = 3600d, maxDuration = 7200d,
+              mustIncludeVoice = gate)
+            .toDF()
+            .select(lit(tag).as("tag"), col("file"), col("start"), col("end"),
+              col("n"), array_join(col("types"), ",").as("types"))
+        run(gate = false, "all").unionAll(run(gate = true, "gated"))
+          .orderBy(col("tag"), col("file"), col("start"))
+      },
+      Some("""WITH RECURSIVE i0 AS (SELECT CAST(user_id AS VARCHAR) AS file,
+        |  CAST(epoch_us(ts) AS DOUBLE)/1000000.0 AS s,
+        |  CAST(epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) AS DOUBLE)/1000000.0 AS e,
+        |  CASE WHEN event_type IN ('click','view') THEN 'voice' ELSE event_type END AS typ
+        |  FROM events),
+        |i AS (SELECT file, s, e, typ,
+        |  row_number() OVER (PARTITION BY file ORDER BY s, e, typ) AS rn FROM i0),
+        |rec AS (
+        |  SELECT file, rn, s AS cur_s, e AS cur_e, 1 AS n, 1 AS sess, typ AS typs
+        |  FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.file, i.rn,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN r.cur_s ELSE i.s END,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN greatest(r.cur_e, i.e) ELSE i.e END,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN r.n + 1 ELSE 1 END,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN r.sess ELSE r.sess + 1 END,
+        |    CASE WHEN i.s - r.cur_e <= 3600.0 AND greatest(r.cur_e, i.e) - r.cur_s <= 7200.0
+        |         THEN r.typs || ',' || i.typ ELSE i.typ END
+        |  FROM rec r JOIN i ON i.file = r.file AND i.rn = r.rn + 1),
+        |f AS (SELECT file, sess, cur_s, cur_e, n, typs,
+        |    row_number() OVER (PARTITION BY file, sess ORDER BY rn DESC) AS rr FROM rec),
+        |sessions AS (SELECT file, cur_s AS start, cur_e AS "end", CAST(n AS INTEGER) AS n,
+        |  typs AS types FROM f WHERE rr = 1)
+        |SELECT * FROM (
+        |  SELECT 'all' AS tag, file, start, "end", n, types FROM sessions
+        |  UNION ALL
+        |  SELECT 'gated' AS tag, file, start, "end", n, types FROM sessions
+        |  WHERE list_contains(string_split(types, ','), 'voice')
+        |) t ORDER BY tag, file, start""".stripMargin)),
+
+    // A6+J3+J5 composed — the local→global speaker remap trace
+    // (speaker_rematch.py:211-261): longest segment per local speaker
+    // (A6 argmax), max-overlap argmax against the global segments (J3),
+    // then the broadcast mapping relabels every segment, dropping
+    // unmapped locals (J5 inner join). Locals = event_type intervals;
+    // globals = the W1 merged chunks with session_id as the global label.
+    Q("rematch_remap",
+      (s, dir) => {
+        val i = Tables.eventIntervals(s, dir)
+        val longest = i.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("event_type"))
+              .orderBy((col("e_us") - col("s_us")).desc, col("event_id"))))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("s_us"), col("e_us"))
+        val ch = chunks(s, dir)
+          .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+        val mapping = SegmentOps.maxOverlapJoin(
+            longest, ch, "user_id", "event_type", "session_id",
+            "s_us", "e_us", "start_us", "end_us")
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_type").as("local_speaker"),
+            col("r.session_id").as("global_speaker"))
+        i.select(col("user_id"), col("event_id"), col("event_type").as("local_speaker"))
+          .join(broadcast(mapping), Seq("user_id", "local_speaker"))
+          .select(col("user_id"), col("event_id"), col("local_speaker"),
+            col("global_speaker"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""WITH $chunksSqlCte,
+        |lg AS (SELECT user_id, event_type, event_id, s_us, e_us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY e_us - s_us DESC, event_id) AS rn FROM i),
+        |longest AS (SELECT user_id, event_type, s_us, e_us FROM lg WHERE rn = 1),
+        |ov AS (SELECT l.user_id AS user_id, l.event_type AS local_speaker,
+        |  ch.session_id AS global_speaker,
+        |  least(l.e_us, ch.end_us) - greatest(l.s_us, ch.start_us) AS overlap
+        |  FROM longest l JOIN ch ON ch.user_id = l.user_id
+        |    AND l.s_us < ch.end_us AND ch.start_us < l.e_us),
+        |mr AS (SELECT user_id, local_speaker, global_speaker,
+        |  row_number() OVER (PARTITION BY user_id, local_speaker
+        |    ORDER BY overlap DESC, global_speaker) AS rn
+        |  FROM ov WHERE overlap > 0),
+        |mapping AS (SELECT user_id, local_speaker, global_speaker FROM mr WHERE rn = 1)
+        |SELECT i.user_id AS user_id, i.event_id AS event_id,
+        |  i.event_type AS local_speaker, m.global_speaker AS global_speaker
+        |FROM i JOIN mapping m ON m.user_id = i.user_id AND m.local_speaker = i.event_type
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // The speaker_mapping map artifact itself (speaker_rematch.py:236-261).
+    Q("rematch_mapping",
+      (s, dir) => {
+        val i = Tables.eventIntervals(s, dir)
+        val longest = i.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("event_type"))
+              .orderBy((col("e_us") - col("s_us")).desc, col("event_id"))))
+          .filter(col("rn") === 1)
+        val ch = chunks(s, dir)
+          .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+        SegmentOps.maxOverlapJoin(
+            longest, ch, "user_id", "event_type", "session_id",
+            "s_us", "e_us", "start_us", "end_us")
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_type").as("local_speaker"),
+            col("r.session_id").as("global_speaker"))
+          .orderBy(col("user_id"), col("local_speaker"))
+      },
+      Some(s"""WITH $chunksSqlCte,
+        |lg AS (SELECT user_id, event_type, event_id, s_us, e_us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY e_us - s_us DESC, event_id) AS rn FROM i),
+        |longest AS (SELECT user_id, event_type, s_us, e_us FROM lg WHERE rn = 1),
+        |ov AS (SELECT l.user_id AS user_id, l.event_type AS local_speaker,
+        |  ch.session_id AS global_speaker,
+        |  least(l.e_us, ch.end_us) - greatest(l.s_us, ch.start_us) AS overlap
+        |  FROM longest l JOIN ch ON ch.user_id = l.user_id
+        |    AND l.s_us < ch.end_us AND ch.start_us < l.e_us),
+        |mr AS (SELECT user_id, local_speaker, global_speaker,
+        |  row_number() OVER (PARTITION BY user_id, local_speaker
+        |    ORDER BY overlap DESC, global_speaker) AS rn
+        |  FROM ov WHERE overlap > 0)
+        |SELECT user_id, local_speaker, global_speaker FROM mr WHERE rn = 1
+        |ORDER BY user_id, local_speaker""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

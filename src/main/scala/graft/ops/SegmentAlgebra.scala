@@ -43,7 +43,10 @@ object SegmentAlgebra {
                       mustIncludeVoice: Boolean): Dataset[MergedSegment] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.file).flatMapGroups { (file, it) =>
-      val segs = it.toArray.sortBy(s => (s.start, s.end))
+      // segType as tertiary sort key: the reference relies on Python's
+      // stable sort over file order, which has no analog after a shuffle —
+      // a total order makes the types accumulation deterministic.
+      val segs = it.toArray.sortBy(s => (s.start, s.end, s.segType))
       val out = ArrayBuffer.empty[MergedSegment]
       var curS = 0d; var curE = 0d; var n = 0
       val types = ArrayBuffer.empty[String]

@@ -59,22 +59,25 @@ object SegmentKernels {
   final case class Active(start: Double, end: Double, labels: Seq[String])
 
   /** J8 sweep line with active sets; ends process before starts at ties —
-    * `diarization.py:24-64`.
+    * `diarization.py:24-64`. Counts are a true multiset WITHOUT clamping:
+    * an end seen before its (same-instant) start leaves a −1 deficit that
+    * the start cancels, so zero-length segments contribute nothing — the
+    * reference's plain `set.remove` raises on that degenerate input, so
+    * this is the only consistent extension (and the one a running-sum SQL
+    * sweep computes).
     */
   def sweepActiveSets(segs: Seq[(Double, Double, String)]): IndexedSeq[Active] = {
     val events = segs.flatMap { case (s, e, l) => Seq((s, 1, l), (e, 0, l)) }
       .sortBy { case (t, isStart, l) => (t, isStart, l) }
-    val active = scala.collection.mutable.Map.empty[String, Int]
+    val counts = scala.collection.mutable.Map.empty[String, Int]
     val out = ArrayBuffer.empty[Active]
     var prevT = Double.NaN
     events.foreach { case (t, isStart, l) =>
-      if (!prevT.isNaN && t > prevT && active.nonEmpty)
-        out += Active(prevT, t, active.keys.toSeq.sorted)
-      if (isStart == 1) active(l) = active.getOrElse(l, 0) + 1
-      else {
-        val c = active.getOrElse(l, 0) - 1
-        if (c <= 0) active.remove(l) else active(l) = c
-      }
+      if (!prevT.isNaN && t > prevT && counts.exists(_._2 > 0))
+        out += Active(prevT, t,
+          counts.collect { case (lbl, c) if c > 0 => lbl }.toSeq.sorted)
+      val c = counts.getOrElse(l, 0) + (if (isStart == 1) 1 else -1)
+      if (c == 0) counts.remove(l) else counts(l) = c
       prevT = t
     }
     out.toIndexedSeq
