@@ -249,11 +249,15 @@ object SegmentOps {
     * spread over `salts` sub-keys for the partial aggregate, then one
     * tiny final aggregate per key (SURVEY §7.0 "salting for skew"; AQE's
     * skew-join handling covers the join side, this covers aggregation).
-    * The salt derives from a per-row fingerprint, so the result is
-    * order-independent and exactly equal to the direct aggregation.
+    * The salt derives from the physical partition id, NOT the value: a
+    * hot key whose values are constant (count-like columns) would hash
+    * every row to one salt and stay as skewed as the direct aggregate.
+    * Partition-id salting spreads rows by where they physically sit,
+    * which is exactly the distribution the partial aggregate runs in;
+    * sums are commutative, so the result is exactly the direct one.
     */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))

@@ -23,6 +23,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Enabled by setting `spark.graft.rangeJoin.bucketWidth` to a positive
   * integer (in the unit of the interval columns); 0 (default) disables
   * the rewrite. Registered through [[graft.GraftExtensions]].
+  *
+  * PRECONDITIONS (enforced structurally where possible, documented where
+  * not): the rule fires only when the condition holds EXACTLY ONE
+  * left-start ≥ right-start conjunct and EXACTLY ONE left-end ≤ right-end
+  * conjunct (ambiguous shapes with several candidate bound pairs are left
+  * untouched), and enabling the conf opts EVERY inner equi-join with that
+  * shape in the session into the rewrite. The rewrite assumes probe rows
+  * are well-formed intervals (`sL ≤ eL`); a row with `sL > eL` can
+  * satisfy the raw condition while its start bucket lies outside the
+  * build interval's bucket range, and would be dropped — such rows
+  * cannot be covered by ANY bounded bucketing (their matches are
+  * unbounded in bucket distance), so the conf must only be enabled on
+  * relations where start ≤ end holds by construction.
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
@@ -42,8 +55,12 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     // idempotence: never refire on a join this rule already rewrote
     if (cond.references.exists(_.name.startsWith("__gb_"))) return None
     def side(a: Attribute): Int = if (l.contains(a)) 0 else if (r.contains(a)) 1 else -1
-    var sL: Option[Attribute] = None; var sR: Option[Attribute] = None
-    var eL: Option[Attribute] = None; var eR: Option[Attribute] = None
+    // collect ALL candidate bound pairs; fire only on an unambiguous
+    // shape (exactly one of each) — multiple matching conjuncts used to
+    // silently overwrite each other, pairing bounds of different
+    // intervals.
+    val geq = scala.collection.mutable.ArrayBuffer.empty[(Attribute, Attribute)]
+    val leq = scala.collection.mutable.ArrayBuffer.empty[(Attribute, Attribute)]
     var hasEqui = false
     conjuncts.foreach {
       case EqualTo(a: Attribute, b: Attribute)
@@ -51,20 +68,19 @@ object RangeJoinRule extends Rule[LogicalPlan] {
         hasEqui = true
       case GreaterThanOrEqual(a: Attribute, b: Attribute)
           if side(a) == 0 && side(b) == 1 =>
-        sL = Some(a); sR = Some(b)
-      case LessThanOrEqual(a: Attribute, b: Attribute)
-          if side(a) == 1 && side(b) == 0 =>
-        // eR >= eL written as LessThanOrEqual after normalization — skip
-        ()
+        geq += ((a, b))
       case LessThanOrEqual(a: Attribute, b: Attribute)
           if side(a) == 0 && side(b) == 1 =>
-        eL = Some(a); eR = Some(b)
+        leq += ((a, b))
       case _ => ()
     }
-    for {
-      s1 <- sL; s2 <- sR; e1 <- eL; e2 <- eR
-      if hasEqui && Seq(s1, s2, e1, e2).forall(_.dataType == LongType)
-    } yield (s1, s2, e1, e2)
+    (geq.toSeq, leq.toSeq) match {
+      case (Seq((s1, s2)), Seq((e1, e2)))
+          if hasEqui && s1 != e1 &&
+            Seq(s1, s2, e1, e2).forall(_.dataType == LongType) =>
+        Some((s1, s2, e1, e2))
+      case _ => None
+    }
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

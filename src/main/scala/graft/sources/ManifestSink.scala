@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -12,35 +12,81 @@ import scala.jdk.CollectionConverters._
   * to what the pipeline needs):
   *
   *  - a commit writes its parquet files under `data/<commitId>/`, then
-  *    atomically publishes `_manifest/<version>.txt` (file list + the
-  *    unit-of-work keys it covers) via temp-file + atomic rename;
+  *    publishes `_manifest/<version>.txt` (file list + the unit-of-work
+  *    keys it covers) with CREATE-IF-ABSENT semantics: the temp manifest
+  *    is hard-linked to the final name, which fails with
+  *    `FileAlreadyExistsException` if a concurrent committer claimed the
+  *    version first — the loser recomputes the next version and retries
+  *    (a POSIX `rename` would silently REPLACE the winner's manifest,
+  *    losing its commit);
   *  - readers list the manifest log and read exactly the published
   *    files — half-written data directories are invisible;
+  *  - `compact` folds the log into a single checkpoint file so reader
+  *    startup stays O(1) in commit count; manifests newer than the
+  *    checkpoint are still applied on top;
   *  - `doneKeys` is the incremental-skip manifest: the keys already
   *    committed, to left-anti join inputs against
   *    ([[Incremental.remaining]]) — per-key `skip_if_exist` with
   *    all-or-nothing visibility instead of per-file existence checks.
   *
-  * Driver-side bookkeeping is O(#commits); data IO is all executors.
+  * Driver-side bookkeeping is O(#commits since compaction); data IO is
+  * all executors.
   */
 object ManifestSink {
 
+  private val MaxPublishAttempts = 64
+
   private def manifestDir(root: String): Path = Paths.get(root, "_manifest")
 
-  private def versions(root: String): Seq[(Long, Path)] = {
+  /** (version, path, isCheckpoint) for every published log file. */
+  private def logFiles(root: String): Seq[(Long, Path, Boolean)] = {
     val dir = manifestDir(root)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".txt"))
-      .map(p => (p.getFileName.toString.stripSuffix(".txt").toLong, p))
-      .toSeq.sortBy(_._1)
+    else Files.list(dir).iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".checkpoint")) Some((n.stripSuffix(".checkpoint").toLong, p, true))
+      else if (n.endsWith(".txt")) Some((n.stripSuffix(".txt").toLong, p, false))
+      else None
+    }.toSeq.sortBy(_._1)
   }
 
-  /** Atomically commit `df` for the given unit-of-work keys. Returns the
-    * published version.
+  private def nextVersion(root: String): Long =
+    logFiles(root).lastOption.map(_._1 + 1).getOrElse(0L)
+
+  /** Atomically publish `body` as log version `>= from`, claiming the
+    * first free version via hard-link create-if-absent. Returns the
+    * version actually claimed.
+    */
+  private def publish(root: String, from: Long, suffix: String, body: String): Long = {
+    Files.createDirectories(manifestDir(root))
+    val tmp = manifestDir(root).resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try {
+      var v = from
+      var attempts = 0
+      while (true) {
+        try {
+          Files.createLink(manifestDir(root).resolve(s"$v$suffix"), tmp)
+          return v
+        } catch {
+          case _: FileAlreadyExistsException =>
+            attempts += 1
+            if (attempts >= MaxPublishAttempts)
+              throw new IllegalStateException(
+                s"could not claim a manifest version after $attempts attempts under $root")
+            v = math.max(v + 1, nextVersion(root))
+        }
+      }
+      v
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Atomically commit `df` for the given unit-of-work keys. Safe under
+    * concurrent committers: each ends up with its own version, both
+    * visible. Returns the published version.
     */
   def commit(df: DataFrame, root: String, keys: Seq[String]): Long = {
-    val next = versions(root).lastOption.map(_._1 + 1).getOrElse(0L)
     val commitId = java.util.UUID.randomUUID().toString
     val dataPath = Paths.get(root, "data", commitId)
     df.write.parquet(dataPath.toString)
@@ -51,20 +97,38 @@ object ManifestSink {
     val body = (Seq(s"commit=$commitId") ++
       keys.map(k => s"key=$k") ++
       files.map(f => s"file=data/$commitId/$f")).mkString("\n")
-    Files.createDirectories(manifestDir(root))
-    val tmp = manifestDir(root).resolve(s".$next.txt.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    // atomic publish: rename fails if the version already exists (a
-    // concurrent committer won) — caller retries with a fresh version
-    Files.move(tmp, manifestDir(root).resolve(s"$next.txt"),
-      StandardCopyOption.ATOMIC_MOVE)
-    next
+    publish(root, nextVersion(root), ".txt", body)
   }
 
-  private def manifestLines(root: String): Seq[String] =
-    versions(root).flatMap { case (_, p) =>
-      Files.readAllLines(p).asScala
+  private def manifestLines(root: String): Seq[String] = {
+    val log = logFiles(root)
+    val fromCheckpoint = log.filter(_._3).lastOption
+    val (ckptV, ckptLines) = fromCheckpoint match {
+      case Some((v, p, _)) => (v, Files.readAllLines(p).asScala.toSeq)
+      case None => (-1L, Seq.empty[String])
     }
+    ckptLines ++ log.collect {
+      case (v, p, false) if v > ckptV => Files.readAllLines(p).asScala
+    }.flatten
+  }
+
+  /** Fold the whole log into one checkpoint file (readers then skip the
+    * per-commit manifests at or below it) and delete the superseded
+    * manifests. Concurrent-commit safe: a commit racing the compaction
+    * lands on a higher version and stays applied on top.
+    */
+  def compact(root: String): Long = {
+    val lines = manifestLines(root)
+    if (lines.isEmpty) return -1L
+    val upto = logFiles(root).last._1
+    val v = publish(root, upto + 1, ".checkpoint", lines.mkString("\n"))
+    logFiles(root).foreach {
+      case (ver, p, false) if ver < v => Files.deleteIfExists(p)
+      case (ver, p, true) if ver < v => Files.deleteIfExists(p)
+      case _ => ()
+    }
+    v
+  }
 
   /** Read the published snapshot (union of all committed files). */
   def read(spark: SparkSession, root: String): DataFrame = {
@@ -76,11 +140,13 @@ object ManifestSink {
     spark.read.parquet(files: _*)
   }
 
-  /** The incremental-skip manifest: keys already committed. */
-  def doneKeys(spark: SparkSession, root: String): DataFrame = {
+  /** The incremental-skip manifest: keys already committed, as a one-
+    * column DataFrame named `keyCol` (match the caller's join key).
+    */
+  def doneKeys(spark: SparkSession, root: String, keyCol: String = "file"): DataFrame = {
     import spark.implicits._
     manifestLines(root).collect {
       case l if l.startsWith("key=") => l.stripPrefix("key=")
-    }.toDF("file")
+    }.toDF(keyCol)
   }
 }

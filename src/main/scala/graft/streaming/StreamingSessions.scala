@@ -53,13 +53,7 @@ object StreamingSessions {
               .map(s => IndexedSeq((s.start, s.end))).getOrElse(IndexedSeq.empty) ++
               incoming
             val merged = SegmentKernels.mergeCapped(seeded.sorted, gap, cap)
-            // the open session entered the kernel as one pseudo-segment;
-            // restore its true member count on the group it landed in
-            val adjusted = state.getOption match {
-              case Some(open) if merged.nonEmpty =>
-                merged.updated(0, merged.head.copy(n = merged.head.n + open.n - 1))
-              case _ => merged
-            }
+            val adjusted = restoreOpenCount(merged, state.getOption)
             adjusted.lastOption.foreach { l =>
               state.update(OpenSession(l.start, l.end, l.n))
               flushTimeout.foreach(state.setTimeoutDuration)
@@ -69,6 +63,24 @@ object StreamingSessions {
           }
       }
   }
+
+  /** The open session entered the merge kernel as ONE pseudo-segment;
+    * restore its true member count on the merged group that absorbed it.
+    * That group is the one whose span covers the open session's start —
+    * NOT necessarily the first group: a late segment older than the open
+    * session (and outside its gap) forms its own earlier group, which
+    * must keep its true count.
+    */
+  private[graft] def restoreOpenCount(merged: IndexedSeq[SegmentKernels.Merged],
+                                      open: Option[OpenSession])
+      : IndexedSeq[SegmentKernels.Merged] =
+    open match {
+      case Some(o) if merged.nonEmpty =>
+        val i = merged.indexWhere(m => m.start <= o.start && o.start <= m.end)
+        if (i < 0) merged
+        else merged.updated(i, merged(i).copy(n = merged(i).n + o.n - 1))
+      case _ => merged
+    }
 
   /** Event-time flavor: the open session flushes when the WATERMARK
     * passes its end + gap — the principled late-data posture (SURVEY
@@ -98,11 +110,7 @@ object StreamingSessions {
               .map(s => IndexedSeq((s.start, s.end))).getOrElse(IndexedSeq.empty) ++
               incoming
             val merged = SegmentKernels.mergeCapped(seeded.sorted, gap, cap)
-            val adjusted = state.getOption match {
-              case Some(open) if merged.nonEmpty =>
-                merged.updated(0, merged.head.copy(n = merged.head.n + open.n - 1))
-              case _ => merged
-            }
+            val adjusted = restoreOpenCount(merged, state.getOption)
             adjusted.lastOption.foreach { l =>
               state.update(OpenSession(l.start, l.end, l.n))
               state.setTimeoutTimestamp(maxEventMs + gapMs)

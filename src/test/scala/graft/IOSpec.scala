@@ -99,6 +99,61 @@ class IOSpec extends SparkSpec {
       inputs, ManifestSink.doneKeys(spark, root), "file").count() == 0)
   }
 
+  test("ManifestSink: racing committers both publish, neither overwrites") {
+    import graft.sources.ManifestSink
+    val root = Files.createTempDirectory("graft_manifest_race").toString
+    // Two committers race from the same observed log state: the loser of
+    // the version claim must retry onto a fresh version, and BOTH commits
+    // must be visible afterwards (a rename-based publish silently drops
+    // one).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fa = scala.concurrent.Future(
+      ManifestSink.commit(Seq(("a", 1L)).toDF("file", "v"), root, Seq("a")))
+    val fb = scala.concurrent.Future(
+      ManifestSink.commit(Seq(("b", 2L)).toDF("file", "v"), root, Seq("b")))
+    val va = scala.concurrent.Await.result(fa, scala.concurrent.duration.Duration.Inf)
+    val vb = scala.concurrent.Await.result(fb, scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    assert(va != vb, "racing committers must claim distinct versions")
+    assert(ManifestSink.read(spark, root).count() == 2)
+    assert(ManifestSink.doneKeys(spark, root).collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b"))
+  }
+
+  test("ManifestSink: compaction folds the log; commits on top still apply") {
+    import graft.sources.ManifestSink
+    val root = Files.createTempDirectory("graft_manifest_compact").toString
+    ManifestSink.commit(Seq(("a", 1L)).toDF("file", "v"), root, Seq("a"))
+    ManifestSink.commit(Seq(("b", 2L)).toDF("file", "v"), root, Seq("b"))
+    val ckpt = ManifestSink.compact(root)
+    assert(ckpt >= 2L)
+    // superseded per-commit manifests are gone, snapshot unchanged
+    assert(ManifestSink.read(spark, root).count() == 2)
+    // a commit after compaction lands on a higher version and applies
+    ManifestSink.commit(Seq(("c", 3L)).toDF("file", "v"), root, Seq("c"))
+    assert(ManifestSink.read(spark, root).count() == 3)
+    assert(ManifestSink.doneKeys(spark, root, keyCol = "k")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
+    // second compaction folds checkpoint + new commit
+    ManifestSink.compact(root)
+    assert(ManifestSink.read(spark, root).count() == 3)
+  }
+
+  test("restoreOpenCount targets the group covering the open session") {
+    import graft.streaming.StreamingSessions
+    import graft.ops.SegmentKernels.Merged
+    // open session (10,20,n=4); a LATE segment (0,2) predates it and does
+    // not merge — the adjustment must land on the second group, not head
+    val merged = IndexedSeq(Merged(0d, 2d, 1), Merged(10d, 25d, 3))
+    val fixed = StreamingSessions.restoreOpenCount(merged,
+      Some(StreamingSessions.OpenSession(10d, 20d, 4)))
+    assert(fixed == IndexedSeq(Merged(0d, 2d, 1), Merged(10d, 25d, 6)))
+    // no open session: untouched
+    assert(StreamingSessions.restoreOpenCount(merged, None) == merged)
+  }
+
   test("IntervalUnionAgg: partial merges equal the single-pass union") {
     val agg = new graft.expr.IntervalUnionAgg()
     val ivs = Seq((0L, 10L), (5L, 15L), (20L, 30L), (29L, 40L), (100L, 101L))
