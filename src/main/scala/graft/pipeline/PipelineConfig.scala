@@ -30,6 +30,8 @@ final case class PipelineConfig(
     rematchMergedCapSec: Double = 20.0,
     rematchMinChunks: Int = 5,
     clusterSizeRatio: Double = 0.04,
+    clusterSimThreshold: Double = 0.75,
+    softRescueThreshold: Double = 0.2,
     // stage 5 — host match (host_rematch.py:19,55,91,136)
     hostBudgetSec: Double = 180.0,
     hostAcceptScore: Double = 0.5)

@@ -32,7 +32,10 @@ object SpeechPipeline {
     val (single, _) = diarizeStage(vad, audio)
     val (merged, embTable) = rematchStage(single, audio,
       minChunkSec = math.min(cfg.rematchChunkMinSec, 0.2),
-      mergedCapSec = cfg.rematchMergedCapSec)
+      mergedCapSec = cfg.rematchMergedCapSec,
+      minClusterRatio = cfg.clusterSizeRatio,
+      clusterSimThreshold = cfg.clusterSimThreshold,
+      softRescueThreshold = cfg.softRescueThreshold)
     hostMatchStage(spark, merged, embTable, hostPrints, cfg.hostBudgetSec)
   }
 
@@ -148,12 +151,22 @@ object SpeechPipeline {
       active.filter(a => a.speakers.length > 1))
   }
 
-  /** Stage 4 — speaker rematch: W2 speaker-change merge, P4/P5 duration
-    * filters, mock embeddings, and the J5 broadcast relabel map
-    * (`speaker_rematch.py:236-251` — inner join drops unmapped rows).
+  /** Stage 4 — speaker rematch (`speaker_rematch.py`): W2 speaker-change
+    * merge, P4/P5 duration filters, mock embeddings, then the M5 global
+    * re-clustering ([[Clustering.clusterOne]] per file, the UMAP→HDBSCAN
+    * substitute with the A12 floor and the ≥ 0.2 soft rescue) that
+    * assigns every chunk its GLOBAL speaker label — noise chunks keep the
+    * reference's −1 posture as label "noise".
+    *
+    * Returns (globally-relabeled chunks, embedding table keyed by the
+    * global labels) — both feed [[hostMatchStage]]; the relabeled chunks
+    * also feed [[assignGlobalSpeakerIds]] for the J5 remap trace.
     */
   def rematchStage(single: Dataset[ActiveInterval], audio: Dataset[AudioFile],
-                   minChunkSec: Double = 0.2, mergedCapSec: Double = 20d)
+                   minChunkSec: Double = 0.2, mergedCapSec: Double = 20d,
+                   minClusterRatio: Double = 0.04,
+                   clusterSimThreshold: Double = 0.75,
+                   softRescueThreshold: Double = 0.2)
       : (Dataset[SpeakerSegment], Dataset[(String, String, Double, Array[Float])]) = {
     import single.sparkSession.implicits._
     val spk = single.map(a => SpeakerSegment(a.file, a.start, a.end, a.speakers.head))
@@ -168,10 +181,52 @@ object SpeechPipeline {
       }
     val embedded = InferenceOp.mapBatched[(SpeakerSegment, Array[Float]), (SpeakerSegment, Array[Float])](
       withWave, "mock_embedder", () => new MockModels.MockEmbedder(), batchSize = 16)
-    val embTable = embedded.map { case (seg, emb) =>
+    // M5: cluster each file's chunk embeddings; deterministic member
+    // order is part of the kernel contract.
+    val clustered = embedded.groupByKey(_._1.file).flatMapGroups { (file, it) =>
+      val rows = it.toArray.sortBy(t => (t._1.start, t._1.end, t._1.speaker))
+      val labels = Clustering.clusterOne(rows.map(_._2).toIndexedSeq,
+        minClusterRatio, clusterSimThreshold, softRescueThreshold)
+      rows.iterator.zip(labels.iterator).map { case ((seg, emb), l) =>
+        (SpeakerSegment(file, seg.start, seg.end, if (l < 0) "noise" else s"g$l"), emb)
+      }
+    }
+    val relabeled = clustered.map(_._1)
+    val embTable = clustered.map { case (seg, emb) =>
       (seg.file, seg.speaker, seg.end - seg.start, emb)
     }
-    (merged, embTable)
+    (relabeled, embTable)
+  }
+
+  /** Stage 4b — the local→global remap trace (A6+J3+J5,
+    * `speaker_rematch.py:211-261`): longest segment per LOCAL speaker →
+    * max-overlap argmax against the globally-labeled segments → mapping
+    * table → relabel every original segment, dropping locals with no
+    * mapping (the reference's `continue`). Returns (relabeled originals,
+    * the `speaker_mapping` artifact).
+    */
+  def assignGlobalSpeakerIds(original: Dataset[SpeakerSegment],
+                             global: Dataset[SpeakerSegment]): (DataFrame, DataFrame) = {
+    val o = original.toDF()
+    val g = global.toDF()
+      .select(col("file"), col("start").as("g_start"), col("end").as("g_end"),
+        col("speaker").as("g_speaker"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file"), col("speaker"))
+      .orderBy((col("end") - col("start")).desc, col("start"), col("end"))
+    val longest = o.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val mapping = graft.ops.SegmentOps.maxOverlapJoin(
+        longest, g, "file", "speaker", "g_speaker",
+        "start", "end", "g_start", "g_end")
+      .select(col("l.file").as("file"), col("l.speaker").as("local_speaker"),
+        col("r.g_speaker").as("global_speaker"))
+    val relabeled = o
+      .join(broadcast(mapping),
+        o("file") === mapping("file") && o("speaker") === mapping("local_speaker"))
+      .select(o("file"), o("start"), o("end"),
+        mapping("global_speaker").as("speaker"))
+    (relabeled, mapping)
   }
 
   /** Stage 5 — host match: per-speaker duration rollup (A4), longest-first

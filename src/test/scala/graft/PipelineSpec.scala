@@ -103,4 +103,84 @@ class PipelineSpec extends SparkSpec {
     val e = Array(0.5f, 0.25f, 0.1f)
     assert(math.abs(MockModels.cosine(e, e) - 1.0) < 1e-12)
   }
+
+  // --- M5: deterministic HDBSCAN-shaped clustering kernel -------------
+
+  import graft.pipeline.Clustering
+
+  private def unit(xs: Double*): Array[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat).toArray
+  }
+
+  test("clusterOne groups tight families, floors small ones, rescues by threshold") {
+    // two tight 3-member families on near-orthogonal axes + one outlier
+    val famA = IndexedSeq(unit(1, 0.05, 0), unit(1, 0, 0.05), unit(1, 0.02, 0.02))
+    val famB = IndexedSeq(unit(0.05, 1, 0), unit(0, 1, 0.05), unit(0.02, 1, 0.02))
+    val outlier = unit(0.6, 0.6, 0.52) // ~45° to both families
+    val embs = famA ++ famB ++ IndexedSeq(outlier)
+    val labels = Clustering.clusterOne(embs, minClusterRatio = 0.2,
+      simThreshold = 0.9, softThreshold = 0.9).toSeq
+    // first-appearance numbering: family A = 0, family B = 1
+    assert(labels.take(3) == Seq(0, 0, 0))
+    assert(labels.slice(3, 6) == Seq(1, 1, 1))
+    // the outlier founds a singleton, dissolves under the floor
+    // (minSize = max(2, 7*0.2) = 2 > 1) and at softThreshold 0.9 stays noise
+    assert(labels(6) == -1)
+    // with the reference's 0.2 rescue it joins its best family instead
+    val rescued = Clustering.clusterOne(embs, minClusterRatio = 0.2,
+      simThreshold = 0.9, softThreshold = 0.2).toSeq
+    assert(rescued(6) >= 0)
+    // determinism
+    assert(Clustering.clusterOne(embs, 0.2, 0.9, 0.2).toSeq == rescued)
+  }
+
+  test("clusterOne floor follows A12: max(2, n*ratio)") {
+    // 30 copies of one family and a 2-member family: ratio 0.1 -> floor 3,
+    // so the pair dissolves and rescues into nothing (orthogonal, 0.2 gate)
+    val embs = IndexedSeq.fill(30)(unit(1, 0, 0)) ++
+      IndexedSeq(unit(0, 1, 0.01), unit(0, 1, -0.01))
+    val labels = Clustering.clusterOne(embs, minClusterRatio = 0.1,
+      simThreshold = 0.9, softThreshold = 0.2).toSeq
+    assert(labels.take(30).forall(_ == 0))
+    assert(labels.drop(30).forall(_ == -1))
+    assert(labels.count(_ == -1) == 2)
+  }
+
+  test("rematchStage emits clustered global labels consumed by host match") {
+    val audio = Seq(fixture("a")).toDS()
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05)
+    val (single, _) = SpeechPipeline.diarizeStage(vad, audio)
+    val (merged, embTable) = SpeechPipeline.rematchStage(single, audio)
+    val labels = merged.collect().map(_.speaker).toSet
+    // labels are global cluster ids (or noise), not diarization locals
+    assert(labels.forall(l => l == "noise" || l.startsWith("g")))
+    // both constant-amplitude bursts have identical normalized mock
+    // embeddings -> one global cluster of size 2 survives the floor
+    assert(labels == Set("g0"))
+    // embTable is keyed by the same global labels
+    assert(embTable.collect().map(_._2).toSet == labels)
+  }
+
+  test("assignGlobalSpeakerIds composes A6+J3+J5 and drops unmapped locals") {
+    val original = Seq(
+      SpeakerSegment("f", 0, 10, "loc_a"),   // longest loc_a
+      SpeakerSegment("f", 12, 14, "loc_a"),
+      SpeakerSegment("f", 20, 29, "loc_b"),
+      SpeakerSegment("f", 50, 60, "loc_c")   // overlaps no global -> dropped
+    ).toDS()
+    val global = Seq(
+      SpeakerSegment("f", 0, 15, "g0"),
+      SpeakerSegment("f", 19, 30, "g1")
+    ).toDS()
+    val (relabeled, mapping) = SpeechPipeline.assignGlobalSpeakerIds(original, global)
+    val m = mapping.collect()
+      .map(r => (r.getAs[String]("local_speaker"), r.getAs[String]("global_speaker")))
+      .toMap
+    assert(m == Map("loc_a" -> "g0", "loc_b" -> "g1"))
+    val rel = relabeled.collect()
+      .map(r => (r.getAs[Double]("start"), r.getAs[String]("speaker"))).sorted.toSeq
+    // loc_c rows dropped (reference's `continue`); others relabeled
+    assert(rel == Seq((0d, "g0"), (12d, "g0"), (20d, "g1")))
+  }
 }
