@@ -54,8 +54,13 @@ object Polyval {
     */
   def register(spark: SparkSession, tag: String, coeffs: Seq[Double]): String = {
     val name = s"graft_polyval_$tag"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => Polyval(Cast(exprs.head, DoubleType), coeffs), "built-in")
+    val registry = spark.sessionState.functionRegistry
+    // register-once: replacing on every call would log a warning per
+    // query build (see LongArrayDot.register). Same tag + different
+    // coeffs is a caller bug; tags name one fixed polynomial.
+    if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      registry.createOrReplaceTempFunction(
+        name, exprs => Polyval(Cast(exprs.head, DoubleType), coeffs), "built-in")
     name
   }
 }

@@ -104,6 +104,44 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(MockModels.cosine(e, e) - 1.0) < 1e-12)
   }
 
+  // --- S2: real WAV decode ---------------------------------------------
+
+  test("WAV encode/decode round-trips within 16-bit quantization") {
+    import graft.pipeline.WavAudio
+    val orig = fixture("a")
+    val bytes = WavAudio.encode(orig.sr, orig.waveform)
+    val (sr, wave) = WavAudio.decode(bytes)
+    assert(sr == orig.sr)
+    assert(wave.length == orig.waveform.length)
+    val maxErr = wave.zip(orig.waveform).map { case (x, y) => math.abs(x - y) }.max
+    assert(maxErr <= 1.5f / 32768f, s"max sample error $maxErr")
+  }
+
+  test("vadStage runs on REAL decoded WAV bytes end-to-end") {
+    import graft.pipeline.WavAudio
+    // write real .wav files, glob-scan them (S1), decode (S2), VAD (M1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wav")
+    for (f <- Seq("a", "b")) {
+      val fx = fixture(f)
+      java.nio.file.Files.write(dir.resolve(s"$f.wav"),
+        WavAudio.encode(fx.sr, fx.waveform))
+    }
+    java.nio.file.Files.write(dir.resolve("ignore.txt"), Array[Byte](1, 2))
+    val scanned = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir.toString)
+    val audio = WavAudio.readWavDir(scanned)
+      .map(a => a.copy(file = a.file.split('/').last.stripSuffix(".wav")))
+    assert(audio.count() == 2)
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05).collect()
+      .groupBy(_.file).view.mapValues(_.sortBy(_.start)).toMap
+    for (f <- Seq("a", "b")) {
+      val segs = vad(f)
+      assert(segs.length == 2, s"expected 2 spans for $f, got ${segs.toSeq}")
+      assert(math.abs(segs(0).start - 0.95) < 0.1 && math.abs(segs(0).end - 2.05) < 0.1)
+      assert(math.abs(segs(1).start - 2.95) < 0.1 && math.abs(segs(1).end - 4.05) < 0.1)
+    }
+  }
+
   // --- M5: deterministic HDBSCAN-shaped clustering kernel -------------
 
   import graft.pipeline.Clustering
