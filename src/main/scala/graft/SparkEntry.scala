@@ -933,13 +933,19 @@ object SparkEntry {
     // candidate stage provably covers every pair at cos ≥ 0.5 (per-pair
     // miss ≈ 0.39^12); the verify stage restores exact precision, making
     // the composition oracle-checkable against the brute-force SQL.
+    // Secondary integration flavor on a bounded slice (vec_id < 1000):
+    // approxSimilarityJoin's bucket-collision volume is quadratic on this
+    // uniform synthetic corpus (no cluster structure for LSH to exploit),
+    // so the full-corpus primaries are the deterministic SRP/minhash
+    // paths; this entry demonstrates the MLlib integration end-to-end.
     Q("sim_ann_lsh",
       (s, dir) => MLlibOps.annVerifiedNearDups(
-          Tables.embeddings(s, dir), "vec_id", "embedding", 0.5)
+          Tables.embeddings(s, dir).filter(col("vec_id") < 1000),
+          "vec_id", "embedding", 0.5)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $quantSqlCte,
         |p AS (SELECT a.vec_id AS a, b.vec_id AS b, unnest(a.qv) AS av, unnest(b.qv) AS bv
-        |  FROM q a, q b WHERE a.vec_id < b.vec_id),
+        |  FROM q a, q b WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000),
         |dt AS (SELECT a, b, CAST(SUM(av*bv) AS BIGINT) AS dot FROM p GROUP BY a, b),
         |sc AS (SELECT a, b, dot,
         |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
@@ -967,15 +973,19 @@ object SparkEntry {
 
     // Dedup — MLlib MinHash-LSH candidates + exact set-Jaccard verify
     // over the true shingle table. True near-dups here sit at Jaccard
-    // ≥ 0.8, so 8 seeded hash tables give per-pair candidate miss
-    // ≤ 0.2^8; the oracle is the exhaustive shared-shingle formulation.
+    // ≥ 0.8, so 6 seeded hash tables give per-pair candidate miss
+    // ≤ 0.2^6; the oracle is the exhaustive shared-shingle formulation.
+    // Secondary integration flavor on a bounded slice (doc_id < 2500) —
+    // see sim_ann_lsh; dedup_minhash_lsh is the full-corpus primary.
     Q("dedup_minhash_mllib",
       (s, dir) => MLlibOps.minhashVerifiedNearDups(
-          Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+          Tables.documents(s, dir).filter(col("doc_id") < 2500),
+          "doc_id", "text", 3, 0.5)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,
         |cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
-        |  FROM sd sa JOIN sd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+        |  FROM sd sa JOIN sd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        |  WHERE sa.doc_id < 2500 AND sb.doc_id < 2500),
         |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
         |    SELECT c.a, c.b, x.shingle FROM cand c
         |    JOIN sd x ON x.doc_id = c.a

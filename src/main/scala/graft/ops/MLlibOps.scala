@@ -25,6 +25,7 @@ object MLlibOps {
     val nv = new Normalizer().setInputCol("vec").setOutputCol("features").setP(2.0)
       .transform(v).select(col(idCol), col("features"))
       .cache() // reused by fit + both sides of the self-join
+    nv.count() // eager: racing subtrees of one action must hit the cache
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
@@ -49,6 +50,7 @@ object MLlibOps {
       .setNumFeatures(1 << 18).setBinary(true)
     val feat = tf.transform(sh).select(col(idCol), col("features"))
       .cache() // reused by fit + both sides of the self-join
+    feat.count() // eager: racing subtrees of one action must hit the cache
     val lsh = new MinHashLSH().setNumHashTables(numHashTables).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
     val model = lsh.fit(feat)
@@ -84,7 +86,7 @@ object MLlibOps {
   def minhashVerifiedNearDups(df: DataFrame, idCol: String, textCol: String,
                               shingleN: Int, minJaccard: Double,
                               distSlack: Double = 0.1,
-                              numHashTables: Int = 8): DataFrame = {
+                              numHashTables: Int = 6): DataFrame = {
     val cand = minhashNearDupPairs(df, idCol, textCol, shingleN,
         (1.0 - minJaccard) + distSlack, numHashTables)
       .select(col("a"), col("b"))
