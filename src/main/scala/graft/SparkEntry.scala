@@ -802,6 +802,55 @@ object SparkEntry {
         |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred
         |ORDER BY lang, pred""".stripMargin)),
 
+    // T-ops — BPE-ish pretokenization counts: letter runs, digit runs,
+    // single punctuation (the GPT-2 pretokenizer shape, RE2-safe so the
+    // identical pattern runs in the oracle).
+    Q("t_bpe_tokens",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeTokens(col("text")).as("bt"))
+        .select(col("doc_id"),
+          size(col("bt")).cast("long").as("n_bpe"),
+          size(filter(col("bt"), t => t.rlike("^\\p{L}"))).cast("long").as("n_word"),
+          size(filter(col("bt"), t => t.rlike("^\\p{N}"))).cast("long").as("n_num"),
+          aggregate(col("bt"), lit(0L), (a, t) => a + length(t)).as("sum_chars"))
+        .withColumn("avg_len", col("sum_chars").cast("double") / col("n_bpe"))
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (SELECT doc_id,
+        |  regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]') AS bt FROM documents)
+        |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_filter(bt, t -> regexp_matches(t, '^\p{L}'))) AS BIGINT) AS n_word,
+        |  CAST(len(list_filter(bt, t -> regexp_matches(t, '^\p{N}'))) AS BIGINT) AS n_num,
+        |  CAST(list_sum(list_transform(bt, t -> strlen(t))) AS BIGINT) AS sum_chars,
+        |  CAST(CAST(list_sum(list_transform(bt, t -> strlen(t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(bt) AS BIGINT) AS avg_len
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // T-ops — winnowing document fingerprints (MOSS rolling-hash scheme):
+    // char-8-gram md5s, window-4 minima, distinct. Outputs are set
+    // statistics, so the two engines' distinct orders don't matter.
+    Q("t_winnow_fp",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.winnowGramHashes(col("text"), 8).as("grams"))
+        .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+          TextOps.winnowFingerprints(col("grams"), 4).as("fps"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS canon FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN strlen(canon) >= 8
+        |    THEN list_transform(range(0, strlen(canon) - 8 + 1), i -> md5(substr(canon, CAST(i + 1 AS INTEGER), 8)))
+        |    ELSE [] END AS grams FROM c),
+        |f AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CASE WHEN len(grams) >= 4
+        |    THEN list_distinct(list_transform(range(0, len(grams) - 4 + 1),
+        |      j -> list_min(grams[CAST(j + 1 AS INTEGER):CAST(j + 4 AS INTEGER)])))
+        |    WHEN len(grams) > 0 THEN [list_min(grams)] ELSE [] END AS fps FROM g)
+        |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
     // Dedup — exact (prefix) fingerprint groups; md5 over normalized text
     // head catches head-identical near-dups as exact groups.
     Q("dedup_exact",
@@ -975,6 +1024,36 @@ object SparkEntry {
     // over the true shingle table. True near-dups here sit at Jaccard
     // ≥ 0.8, so 6 seeded hash tables give per-pair candidate miss
     // ≤ 0.2^6; the oracle is the exhaustive shared-shingle formulation.
+    // Dedup — IVF-style ANN: nearest-centroid cell assignment (argmax
+    // cosine against the 16 deterministic seed vectors), same-cell
+    // candidate pairs, exact verify. The inverted-file shape: candidate
+    // volume is sum of squared cell sizes, not n²; the oracle mirrors
+    // the cell assignment relationally.
+    Q("dedup_embedding_ivf",
+      (s, dir) => Similarity.ivfNearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |scored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM scored) t WHERE rn = 1),
+        |cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM cells x
+        |  JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |vd AS (SELECT c.a, c.b,
+        |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS dot
+        |  FROM cand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b),
+        |sc AS (SELECT a, b, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM vd JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b)
+        |SELECT a, b, dot, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b""".stripMargin)),
+
     // Secondary integration flavor on a bounded slice (doc_id < 2500) —
     // see sim_ann_lsh; dedup_minhash_lsh is the full-corpus primary.
     Q("dedup_minhash_mllib",

@@ -115,4 +115,38 @@ object Similarity {
     val sig = q.select(col(idCol), SrpLsh.signature(col("qv"), cs).as("sig"))
     verifyPairs(SrpLsh.bandedCandidates(sig, idCol, bandBits, bands), q, idCol, minCos)
   }
+
+  /** IVF-style ANN: assign every vector to its nearest centroid cell
+    * (argmax cosine against a small broadcast centroid table — here the
+    * first `nCells` corpus vectors as deterministic seeds; at scale the
+    * centroids come from a seeded KMeans fit), generate candidates as
+    * same-cell pairs (an equi join on the cell id), verify exactly.
+    * Candidate volume is Σ|cell|² instead of n² — the inverted-file
+    * shape; recall misses only cross-cell pairs (probe > 1 cells to
+    * trade cost for recall). Fully relational, so an external SQL engine
+    * mirrors it verbatim.
+    */
+  def ivfNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                      minCos: Double, nCells: Int = 16): DataFrame = {
+    LongArrayDot.register(emb.sparkSession)
+    val q = quantize(emb, idCol, embCol).cache()
+    q.count() // eager: feeds the seed table, cell assignment, and verify
+    val seeds = q.filter(col(idCol) < nCells)
+      .select(col(idCol).as("seed_id"), col("qv").as("sv"))
+      .withColumn("snorm", sqrt(sqNorm(col("sv")).cast("double")))
+    val scored = q.select(col(idCol), col("qv"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("score",
+        expr(s"${LongArrayDot.fnName}(qv, sv)").cast("double") / col("snorm"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("seed_id"))
+    val cells = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("seed_id").as("cell"))
+    val cand = cells.select(col(idCol).as("a"), col("cell"))
+      .join(cells.select(col(idCol).as("b"), col("cell")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    verifyPairs(cand, q, idCol, minCos)
+  }
 }

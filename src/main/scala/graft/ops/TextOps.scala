@@ -19,6 +19,39 @@ object TextOps {
   def tokenCount(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("\\S+"), lit(0))).cast("long")
 
+  /** BPE-ish pretokenization: letter runs, digit runs, and single
+    * punctuation marks as separate tokens — the GPT-2 pretokenizer shape
+    * without lookahead, so the same RE2-compatible pattern runs verbatim
+    * in external SQL engines. One regexp scan per row, no UDF.
+    */
+  val bpeTokenPattern: String = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"
+
+  def bpeTokens(textCol: Column): Column =
+    regexp_extract_all(textCol, lit(bpeTokenPattern), lit(0))
+
+  /** Winnowing fingerprints (the MOSS scheme: Schleimer, Wilkerson,
+    * Aiken, SIGMOD'03): canonicalize to [a-z0-9], hash every `k`-gram,
+    * keep the minimum hash of each sliding window of `w` consecutive
+    * k-grams, distinct. Guarantees any shared substring of length
+    * ≥ k + w − 1 yields a shared fingerprint, with ~2/(w+1) selection
+    * density — the rolling-hash document-fingerprint primitive, built
+    * from higher-order functions only (per-row work, no shuffle).
+    */
+  def winnowGramHashes(textCol: Column, k: Int): Column = {
+    val canon = lower(regexp_replace(textCol, "[^A-Za-z0-9]", ""))
+    when(length(canon) >= k,
+      transform(sequence(lit(0), length(canon) - k),
+        i => md5(canon.substr(i + 1, lit(k)))))
+      .otherwise(array())
+  }
+
+  def winnowFingerprints(gramsCol: Column, w: Int): Column =
+    when(size(gramsCol) >= w,
+      array_distinct(transform(sequence(lit(0), size(gramsCol) - w),
+        j => array_min(slice(gramsCol, j + 1, lit(w))))))
+      .otherwise(when(size(gramsCol) > 0, array(array_min(gramsCol)))
+        .otherwise(array()))
+
   /** Content fingerprint: md5 over lower-cased, whitespace-collapsed text
     * (optionally only its first `prefixChars` chars — prefix fingerprints
     * catch near-identical docs that share a long head). The reference's
