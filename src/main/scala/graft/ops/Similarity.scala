@@ -143,6 +143,8 @@ object Similarity {
     val cells = scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("seed_id").as("cell"))
+      .cache()
+    cells.count() // eager: both sides of the candidate self-join reuse it
     val cand = cells.select(col(idCol).as("a"), col("cell"))
       .join(cells.select(col(idCol).as("b"), col("cell")), Seq("cell"))
       .filter(col("a") < col("b"))

@@ -41,6 +41,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rematch_remap joins on equi keys and broadcasts the mapping") {
+    val p = plan("rematch_remap")
+    assert(!p.contains("CartesianProduct"), "remap plans a cartesian product")
+    assert(p.contains("BroadcastHashJoin"), "mapping relabel should broadcast")
+  }
+
+  test("dedup_embedding_ivf broadcasts the seed centroids, not the corpus") {
+    val p = plan("dedup_embedding_ivf")
+    assert(!p.contains("CartesianProduct"))
+    // the cell table is cached (its internal 16-row seed crossJoin is the
+    // one intended broadcast NLJ and lives inside the cached relation);
+    // candidate generation and verify join on equi keys only
+    assert(p.contains("InMemoryTableScan"), "cell table should be cached")
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"),
+      "only the seed crossJoin may be a nested loop")
+  }
+
   test("sim_cosine_topk keeps the intended broadcast + window group limit") {
     val p = plan("sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin")) // query side broadcast, intended
