@@ -46,24 +46,11 @@ object SegmentAlgebra {
       // segType as tertiary sort key: the reference relies on Python's
       // stable sort over file order, which has no analog after a shuffle —
       // a total order makes the types accumulation deterministic.
-      val segs = it.toArray.sortBy(s => (s.start, s.end, s.segType))
-      val out = ArrayBuffer.empty[MergedSegment]
-      var curS = 0d; var curE = 0d; var n = 0
-      val types = ArrayBuffer.empty[String]
-      def flush(): Unit = if (n > 0) {
-        if (!mustIncludeVoice || types.contains("voice"))
-          out += MergedSegment(file, curS, curE, n, types.toSeq)
-        types.clear(); n = 0
-      }
-      segs.foreach { s =>
-        if (n > 0 && !(s.start - curE <= gap && math.max(curE, s.end) - curS <= maxDuration))
-          flush()
-        if (n == 0) { curS = s.start; curE = s.end }
-        else curE = math.max(curE, s.end)
-        types += s.segType; n += 1
-      }
-      flush()
-      out.iterator
+      val items = it.toArray.sortBy(s => (s.start, s.end, s.segType))
+        .map(s => (s.start, s.end, 1, Seq(s.segType))).toIndexedSeq
+      SegmentKernels.mergeTypedCapped(items, gap, maxDuration).iterator
+        .filter(m => !mustIncludeVoice || m.types.contains("voice"))
+        .map(m => MergedSegment(file, m.start, m.end, m.n, m.types))
     }
   }
 

@@ -28,6 +28,33 @@ object SegmentKernels {
     out.toIndexedSeq
   }
 
+  final case class MergedTyped(start: Double, end: Double, n: Int, types: Seq[String])
+
+  /** W1 typed capped merge over pre-sorted WEIGHTED items
+    * (start, end, memberCount, types) — the shared kernel of the batch
+    * typed merge (items are single segments, n=1) and its streaming
+    * state shell (the carried-over open session enters as ONE item with
+    * its accumulated count and types, so no post-merge fix-up is
+    * needed). Same fold as [[mergeCapped]] with types concatenated in
+    * item order — `utils.py:82-99`.
+    */
+  def mergeTypedCapped(sorted: IndexedSeq[(Double, Double, Int, Seq[String])],
+                       gap: Double, cap: Double): IndexedSeq[MergedTyped] = {
+    val out = ArrayBuffer.empty[MergedTyped]
+    var curS = 0d; var curE = 0d; var n = 0
+    val types = ArrayBuffer.empty[String]
+    sorted.foreach { case (s, e, cnt, ts) =>
+      if (n > 0 && !(s - curE <= gap && math.max(curE, e) - curS <= cap)) {
+        out += MergedTyped(curS, curE, n, types.toSeq)
+        types.clear(); n = 0
+      }
+      if (n == 0) { curS = s; curE = e } else curE = math.max(curE, e)
+      types ++= ts; n += cnt
+    }
+    if (n > 0) out += MergedTyped(curS, curE, n, types.toSeq)
+    out.toIndexedSeq
+  }
+
   /** W8 recursive longest-gap split over sorted input —
     * `silero_vad.py:81-112`.
     */

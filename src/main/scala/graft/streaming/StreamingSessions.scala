@@ -11,6 +11,10 @@ import graft.ops.SegmentKernels
 /** A segment carrying an absolute event timestamp for watermarking. */
 final case class TimedSegment(file: String, ts: Timestamp, start: Double, end: Double)
 
+/** [[TimedSegment]] with the type discriminator of the typed merge. */
+final case class TimedTypedSegment(file: String, ts: Timestamp, start: Double,
+    end: Double, segType: String)
+
 /** W1 capped sessionization under Structured Streaming (SURVEY §2.10):
   * `session_window` cannot express the running-span cap, so the capped
   * merge runs in `flatMapGroupsWithState` — the same pure kernel as the
@@ -60,6 +64,55 @@ object StreamingSessions {
             }
             adjusted.dropRight(1).iterator
               .map(m => MergedSegment(file, m.start, m.end, m.n, Nil))
+          }
+      }
+  }
+
+  final case class OpenTypedSession(start: Double, end: Double, n: Int,
+      types: Seq[String])
+
+  /** W1 typed voice-gate under event time (`utils.py:82-99` streaming
+    * flavor): the capped typed merge with the `must_include_voice` gate
+    * applied to every FLUSHED session (closed by data or by the
+    * watermark timeout). The carried-over open session re-enters the
+    * shared kernel ([[SegmentKernels.mergeTypedCapped]]) as one weighted
+    * item with its accumulated count and types, so counts and type lists
+    * are exact with no post-merge fix-up — including under out-of-order
+    * arrival.
+    */
+  def typedSessionsEventTime(segs: Dataset[TimedTypedSegment], gap: Double,
+                             cap: Double, mustIncludeVoice: Boolean,
+                             watermarkDelay: String): Dataset[MergedSegment] = {
+    import segs.sparkSession.implicits._
+    val gapMs = (gap * 1000).toLong
+    segs.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.file)
+      .flatMapGroupsWithState[OpenTypedSession, MergedSegment](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (file: String, it: Iterator[TimedTypedSegment], state: GroupState[OpenTypedSession]) =>
+          def gate(types: Seq[String]): Boolean =
+            !mustIncludeVoice || types.contains("voice")
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .filter(s => gate(s.types))
+              .map(s => MergedSegment(file, s.start, s.end, s.n, s.types))
+            state.remove()
+            out.iterator
+          } else {
+            val rows = it.toIndexedSeq
+            val maxEventMs = rows.map(_.ts.getTime).max
+            val incoming = rows.map(s => (s.start, s.end, 1, Seq(s.segType)))
+            val seeded = (state.getOption
+                .map(s => (s.start, s.end, s.n, s.types)).toIndexedSeq ++ incoming)
+              .sortBy(t => (t._1, t._2, t._4.mkString(",")))
+            val merged = SegmentKernels.mergeTypedCapped(seeded, gap, cap)
+            merged.lastOption.foreach { l =>
+              state.update(OpenTypedSession(l.start, l.end, l.n, l.types))
+              state.setTimeoutTimestamp(maxEventMs + gapMs)
+            }
+            merged.dropRight(1).iterator
+              .filter(m => gate(m.types))
+              .map(m => MergedSegment(file, m.start, m.end, m.n, m.types))
           }
       }
   }

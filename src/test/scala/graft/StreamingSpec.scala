@@ -85,6 +85,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time typed sessions accumulate types and enforce the voice gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TimedTypedSegment
+    val input = MemoryStream[TimedTypedSegment]
+    val out = graft.streaming.StreamingSessions.typedSessionsEventTime(
+      input.toDS(), gap = 5d, cap = 100d, mustIncludeVoice = true,
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("typed_out").start()
+    try {
+      // 'f' has voice; 'g' is silence-only and must be gated out
+      input.addData(
+        TimedTypedSegment("f", ts(10), 10, 12, "voice"),
+        TimedTypedSegment("g", ts(10), 10, 12, "silence"))
+      q.processAllAvailable()
+      input.addData(
+        TimedTypedSegment("f", ts(14), 14, 16, "silence"),
+        TimedTypedSegment("g", ts(14), 14, 16, "silence"))
+      q.processAllAvailable()
+      assert(spark.table("typed_out").count() == 0) // both still open
+      // watermark jump fires both timeouts
+      input.addData(TimedTypedSegment("other", ts(1000), 1000, 1001, "voice"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("typed_out")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getInt(3), r.getSeq[String](4).mkString(",")))
+        .filter(t => t._1 == "f" || t._1 == "g")
+      // only f's session survives the gate, types in member order with
+      // the open session's accumulated list carried across batches
+      assert(rows.toSeq == Seq(("f", 10d, 16d, 2, "voice,silence")))
+    } finally q.stop()
+  }
+
   test("file source + AvailableNow + checkpoint is the principled skip_if_exist") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
