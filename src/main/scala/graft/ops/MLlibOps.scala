@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH, Normalizer}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
@@ -76,6 +77,26 @@ object MLlibOps {
         numHashTables, bucketLength)
       .select(col("a"), col("b"))
     Similarity.verifyPairs(cand, Similarity.quantize(emb, idCol, embCol), idCol, minCos)
+  }
+
+  /** Seeded KMeans cell assignment over an embedding column: the
+    * fitted-centroid flavor of the IVF inverted file
+    * ([[Similarity.ivfNearDupPairs]] uses fixed seed ROWS so its oracle
+    * can mirror the assignment relationally; at 100 TB these fitted
+    * centroids replace them), and the MLlib global-clustering substitute
+    * for M5 next to the per-file kernel
+    * ([[graft.pipeline.Clustering.clusterOne]]). Deterministic for a
+    * fixed seed and input.
+    */
+  def kmeansCells(emb: DataFrame, idCol: String, embCol: String, k: Int,
+                  seed: Long = 42L): DataFrame = {
+    val v = emb.select(col(idCol), array_to_vector(col(embCol)).as("features"))
+      .cache()
+    v.count() // eager: reused by fit + transform
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(v)
+    model.transform(v).select(col(idCol), col("cell").cast("long").as("cell"))
   }
 
   /** MLlib MinHash-LSH *candidates* verified by the exact Jaccard over

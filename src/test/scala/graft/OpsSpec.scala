@@ -64,6 +64,26 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "en")
   }
 
+  test("kmeansCells recovers planted clusters, deterministically") {
+    // three tight planted families far apart in 4-d
+    def fam(cx: Float, n: Int, off: Int) =
+      (0 until n).map(i => (off + i.toLong,
+        Array(cx + i * 0.01f, cx, -cx, cx * 2)))
+    val emb = (fam(10f, 5, 0) ++ fam(-10f, 5, 100) ++ fam(0.5f, 5, 200))
+      .toDF("vec_id", "embedding")
+    val cells = graft.ops.MLlibOps.kmeansCells(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each family lands in ONE cell; families land in distinct cells
+    val byFam = Seq(0, 100, 200).map(off =>
+      (0 until 5).map(i => cells(off + i)).toSet)
+    assert(byFam.forall(_.size == 1), s"family split across cells: $byFam")
+    assert(byFam.flatten.toSet.size == 3)
+    // seeded determinism across fits
+    val again = graft.ops.MLlibOps.kmeansCells(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == cells)
+  }
+
   test("polyval expression matches manual Horner, interpreted and codegen") {
     val name = graft.expr.Polyval.register(spark, "test", Seq(2.0, -1.0, 0.5))
     val df = Seq(0.0, 0.5, 1.0, -2.0).toDF("x")

@@ -99,6 +99,32 @@ class PipelineSpec extends SparkSpec {
     assert(out.collect().exists(_.getAs[String]("host_id") == "host_x"))
   }
 
+  test("runAll output commits to ManifestSink and re-runs skip done files") {
+    import graft.sources.{Incremental, ManifestSink}
+    val root = java.nio.file.Files.createTempDirectory("graft_stage_out").toString
+    val audio = Seq(fixture("a"), fixture("b")).toDS()
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05)
+    val (single, _) = SpeechPipeline.diarizeStage(vad, audio)
+    val (_, embTable) = SpeechPipeline.rematchStage(single, audio)
+    val prints = Map("host_x" -> embTable.collect().head._4)
+    val out = SpeechPipeline.runAll(spark, audio, prints)
+      .select("file", "host_id", "host_total_duration", "host_proportion")
+    // stage output becomes an atomic committed snapshot keyed by file
+    val files = out.select("file").distinct().collect().map(_.getString(0)).toSeq
+    ManifestSink.commit(out, root, keys = files)
+    val snap = ManifestSink.read(spark, root)
+    assert(snap.count() == out.count() && snap.count() > 0)
+    // incremental re-run: both fixtures are done, nothing remains
+    val inputs = Seq("a", "b").toDF("file")
+    assert(Incremental.remaining(inputs,
+      ManifestSink.doneKeys(spark, root), "file").count() == 0)
+    // a new file would still be owed
+    val inputs2 = Seq("a", "b", "c").toDF("file")
+    assert(Incremental.remaining(inputs2,
+      ManifestSink.doneKeys(spark, root), "file")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
   test("mock verification cosine is 1.0 on identical embeddings") {
     val e = Array(0.5f, 0.25f, 0.1f)
     assert(math.abs(MockModels.cosine(e, e) - 1.0) < 1e-12)
