@@ -51,6 +51,41 @@ object SegmentKernelProps extends Properties("SegmentKernels") {
       }
     }
 
+  property("mergeTypedCapped with unit items == mergeCapped + types in order") =
+    Prop.forAll(Gen.listOfN(40, for {
+      seg <- genSeg
+      t <- Gen.oneOf("voice", "silence", "music")
+    } yield (seg._1, seg._2, t)).map(_.toIndexedSeq.sortBy(x => (x._1, x._2, x._3)))) { segs =>
+      val typed = SegmentKernels.mergeTypedCapped(
+        segs.map(s => (s._1, s._2, 1, Seq(s._3))), gap, cap)
+      val plain = SegmentKernels.mergeCapped(segs.map(s => (s._1, s._2)), gap, cap)
+      typed.map(m => (m.start, m.end, m.n)) == plain.map(m => (m.start, m.end, m.n)) &&
+        typed.map(_.types.length) == typed.map(_.n) &&
+        typed.flatMap(_.types) == segs.map(_._3)
+    }
+
+  property("mergeTypedCapped is weight-associative: pre-merged prefix seeds equal the flat fold") =
+    Prop.forAll(Gen.listOfN(40, for {
+      seg <- genSeg
+      t <- Gen.oneOf("voice", "silence")
+    } yield (seg._1, seg._2, t)).map(_.toIndexedSeq.sortBy(x => (x._1, x._2, x._3))),
+        Gen.chooseNum(1, 39)) { (segs, cut0) =>
+      // the streaming shell's contract: folding a prefix, carrying its
+      // LAST open session back in as ONE weighted item, then folding the
+      // suffix equals folding everything at once — as long as the suffix
+      // does not precede the open session (the in-order arrival case).
+      val items = segs.map(s => (s._1, s._2, 1, Seq(s._3)))
+      val flat = SegmentKernels.mergeTypedCapped(items, gap, cap)
+      val cut = math.min(cut0, items.length)
+      val head = SegmentKernels.mergeTypedCapped(items.take(cut), gap, cap)
+      head.isEmpty || {
+        val open = head.last
+        val reseeded = SegmentKernels.mergeTypedCapped(
+          (open.start, open.end, open.n, open.types) +: items.drop(cut), gap, cap)
+        (head.dropRight(1) ++ reseeded) == flat
+      }
+    }
+
   property("splitAtLargestGaps pieces fit or are singletons, count preserved") =
     Prop.forAll(genSegs) { segs =>
       val ps = SegmentKernels.splitAtLargestGaps(segs, 80d)
