@@ -829,14 +829,17 @@ object SparkEntry {
     // char-8-gram md5s, window-4 minima, distinct. Outputs are set
     // statistics, so the two engines' distinct orders don't matter.
     Q("t_winnow_fp",
-      (s, dir) => Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.winnowGramHashes(col("text"), 8).as("grams"))
-        .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-          TextOps.winnowFingerprints(col("grams"), 4).as("fps"))
-        .select(col("doc_id"), col("n_grams"),
-          size(col("fps")).cast("long").as("n_fp"),
-          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
-        .orderBy(col("doc_id")),
+      (s, dir) => {
+        val fn = graft.expr.WinnowFingerprint.register(s, 8, 4)
+        Tables.documents(s, dir)
+          .withColumn("fps", expr(s"$fn(text)"))
+          .select(col("doc_id"),
+            greatest(length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")) - 7,
+              lit(0)).cast("long").as("n_grams"),
+            size(col("fps")).cast("long").as("n_fp"),
+            array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+          .orderBy(col("doc_id"))
+      },
       Some("""WITH c AS (SELECT doc_id,
         |  lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS canon FROM documents),
         |g AS (SELECT doc_id, CASE WHEN strlen(canon) >= 8
@@ -850,6 +853,34 @@ object SparkEntry {
         |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Dedup — winnowing-fingerprint pairing (the MOSS copy-detection
+    // stage): docs sharing >= 10 discriminative fingerprints (document
+    // frequency <= 50 — over-common fingerprints are boilerplate AND the
+    // quadratic hazard; here the cap genuinely binds, max df is ~1300).
+    Q("dedup_winnow",
+      (s, dir) => {
+        val fn = graft.expr.WinnowFingerprint.register(s, 8, 4)
+        Dedup.winnowPairs(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), explode(expr(s"$fn(text)")).as("fp")),
+            "doc_id", minShared = 10L, maxDocFreq = 50L)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS canon FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN strlen(canon) >= 8
+        |    THEN list_transform(range(0, strlen(canon) - 8 + 1), i -> md5(substr(canon, CAST(i + 1 AS INTEGER), 8)))
+        |    ELSE [] END AS grams FROM c),
+        |f AS (SELECT doc_id, unnest(CASE WHEN len(grams) >= 4
+        |    THEN list_distinct(list_transform(range(0, len(grams) - 4 + 1),
+        |      j -> list_min(grams[CAST(j + 1 AS INTEGER):CAST(j + 4 AS INTEGER)])))
+        |    WHEN len(grams) > 0 THEN [list_min(grams)] ELSE [] END) AS fp FROM g),
+        |d AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50),
+        |r AS (SELECT f.doc_id, f.fp FROM f JOIN d ON d.fp = f.fp),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        |  FROM r x JOIN r y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, n_shared FROM p WHERE n_shared >= 10 ORDER BY a, b""".stripMargin)),
 
     // Dedup — exact (prefix) fingerprint groups; md5 over normalized text
     // head catches head-identical near-dups as exact groups.

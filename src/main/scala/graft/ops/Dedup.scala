@@ -138,6 +138,29 @@ object Dedup {
     jaccardVerify(cand, sd, idCol, minJaccard)
   }
 
+  /** Winnowing-fingerprint dedup (the MOSS pairing stage): pairs sharing
+    * at least `minShared` *discriminative* fingerprints. Fingerprints
+    * with document frequency above `maxDocFreq` are dropped before the
+    * self-join — MOSS's own common-code suppression (boilerplate shared
+    * by everything carries no copy signal) AND the bound that keeps the
+    * join from squaring on a hot fingerprint at 10⁹ documents. Input:
+    * (id, fp) distinct.
+    */
+  def winnowPairs(fd0: DataFrame, idCol: String, minShared: Long,
+                  maxDocFreq: Long): DataFrame = {
+    val fd = fd0.cache()
+    fd.count() // eager: feeds the df filter and both join sides
+    val rare = fd.join(
+      fd.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDocFreq).select(col("fp")),
+      Seq("fp"))
+    rare.select(col(idCol).as("a"), col("fp"))
+      .join(rare.select(col(idCol).as("b"), col("fp")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs: equal-width signatures compared by Hamming
     * distance. Input: (id, simhash) with `bits`-bit signatures.
     *

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Single-evaluation let binding: wrap `e` in a one-element array and
+    * bind it to a lambda variable, so `body` can reference it any number
+    * of times — including inside nested HOF lambdas — while it is
+    * evaluated exactly ONCE per row. Without this, projection collapse
+    * can inline a non-trivial expression into a `transform` lambda and
+    * re-evaluate it per array element (observed: the winnowing window
+    * minima re-running regexp_replace+md5 per window — cubic per row).
+    */
+  private def let(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
   /** Whitespace tokenization as an array column (empty tokens dropped). */
   def tokens(textCol: Column): Column =
     filter(split(textCol, " "), t => t =!= "")
@@ -37,20 +48,22 @@ object TextOps {
     * density — the rolling-hash document-fingerprint primitive, built
     * from higher-order functions only (per-row work, no shuffle).
     */
-  def winnowGramHashes(textCol: Column, k: Int): Column = {
-    val canon = lower(regexp_replace(textCol, "[^A-Za-z0-9]", ""))
-    when(length(canon) >= k,
-      transform(sequence(lit(0), length(canon) - k),
-        i => md5(canon.substr(i + 1, lit(k)))))
-      .otherwise(array())
-  }
+  def winnowGramHashes(textCol: Column, k: Int): Column =
+    let(lower(regexp_replace(textCol, "[^A-Za-z0-9]", ""))) { canon =>
+      when(length(canon) >= k,
+        transform(sequence(lit(0), length(canon) - k),
+          i => md5(canon.substr(i + 1, lit(k)))))
+        .otherwise(array())
+    }
 
   def winnowFingerprints(gramsCol: Column, w: Int): Column =
-    when(size(gramsCol) >= w,
-      array_distinct(transform(sequence(lit(0), size(gramsCol) - w),
-        j => array_min(slice(gramsCol, j + 1, lit(w))))))
-      .otherwise(when(size(gramsCol) > 0, array(array_min(gramsCol)))
-        .otherwise(array()))
+    let(gramsCol) { grams =>
+      when(size(grams) >= w,
+        array_distinct(transform(sequence(lit(0), size(grams) - w),
+          j => array_min(slice(grams, j + 1, lit(w))))))
+        .otherwise(when(size(grams) > 0, array(array_min(grams)))
+          .otherwise(array()))
+    }
 
   /** Content fingerprint: md5 over lower-cased, whitespace-collapsed text
     * (optionally only its first `prefixChars` chars — prefix fingerprints
@@ -68,10 +81,12 @@ object TextOps {
     * window shuffle — the scale path for shingling 100 TB of text.
     */
   def shingles(toksCol: Column, n: Int): Column =
-    when(size(toksCol) >= n,
-      transform(sequence(lit(0), size(toksCol) - n),
-        k => concat_ws(" ", slice(toksCol, k + 1, lit(n)))))
-      .otherwise(array())
+    let(toksCol) { toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          k => concat_ws(" ", slice(toks, k + 1, lit(n)))))
+        .otherwise(array())
+    }
 
   /** (doc_id, shingle) distinct pairs for a (id, text) input. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -64,6 +64,32 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "en")
   }
 
+  test("fused WinnowFingerprint == HOF winnowing, as sets, incl. edge cases") {
+    val fn = graft.expr.WinnowFingerprint.register(spark, 8, 4)
+    val docs = Seq(
+      "The quick brown fox jumps over the lazy dog! 123",
+      "the QUICK brown fox jumps over the lazy dog 123",  // case/punct-invariant
+      "short",                                            // canon < k -> empty
+      "exactly8!",                                        // canon == k -> 1 gram < w
+      "",                                                 // empty
+      "aaaaaaaaaaaaaaaaaaaaaaaa",                         // constant text, 1 distinct fp
+      "Pack my box with five dozen liquor jugs — naturally."
+    ).zipWithIndex.map(_.swap).toDF("id", "text")
+    val both = docs
+      .withColumn("fused", expr(s"$fn(text)"))
+      .withColumn("hof", graft.ops.TextOps.winnowFingerprints(
+        graft.ops.TextOps.winnowGramHashes($"text", 8), 4))
+      .select($"id", array_sort($"fused").as("f"), array_sort($"hof").as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getInt(0)}")
+    }
+    // invariance: docs 0 and 1 differ only in case/punctuation
+    val fps = both.map(r => r.getSeq[String](1))
+    assert(fps(0) == fps(1))
+    assert(fps(2).isEmpty && fps(3).length == 1 && fps(4).isEmpty && fps(5).length == 1)
+  }
+
   test("kmeansCells recovers planted clusters, deterministically") {
     // three tight planted families far apart in 4-d
     def fam(cx: Float, n: Int, off: Int) =
