@@ -854,6 +854,47 @@ object SparkEntry {
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // The end-to-end curation trace a training-data pipeline runs:
+    // quality gate (token floor + stopword ratio) → exact-duplicate
+    // removal keeping the min-id canonical → per-language corpus stats.
+    // One composed plan: filters push to the scan, the dedup argmin is a
+    // window over the fingerprint hash partition, the final rollup is a
+    // two-level hash aggregate.
+    Q("curation_pipeline",
+      (s, dir) => {
+        val scored = docToks(s, dir).select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            TextOps.stopwordHits(col("toks"), TextOps.langMarkers.head._2).as("stop_hits"))
+          .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+          .filter(col("n_tokens") >= 50 && col("stop_ratio") >= 0.02)
+        val canonical = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.fingerprint(col("text"), 200).as("fp"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).select(col("doc_id"))
+        scored.join(canonical, "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |sc AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(toks) AS BIGINT) AS stop_ratio
+        |  FROM d),
+        |ql AS (SELECT doc_id, lang, n_tokens FROM sc
+        |  WHERE n_tokens >= 50 AND stop_ratio >= 0.02),
+        |fp AS (SELECT doc_id,
+        |  md5(substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 200)) AS fp
+        |  FROM documents),
+        |canon AS (SELECT doc_id FROM (SELECT doc_id,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp) t WHERE rn = 1)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(ql.doc_id) AS first_doc
+        |FROM ql JOIN canon ON canon.doc_id = ql.doc_id
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Dedup — winnowing-fingerprint pairing (the MOSS copy-detection
     // stage): docs sharing >= 10 discriminative fingerprints (document
     // frequency <= 50 — over-common fingerprints are boilerplate AND the
