@@ -1619,8 +1619,10 @@ object SparkEntry {
           .select(col("l.user_id").as("user_id"),
             col("l.event_type").as("local_speaker"),
             col("r.session_id").as("global_speaker"))
+        // no broadcast hint: the mapping scales with #files × #speakers,
+        // so let AQE broadcast it only while it is actually small
         i.select(col("user_id"), col("event_id"), col("event_type").as("local_speaker"))
-          .join(broadcast(mapping), Seq("user_id", "local_speaker"))
+          .join(mapping, Seq("user_id", "local_speaker"))
           .select(col("user_id"), col("event_id"), col("local_speaker"),
             col("global_speaker"))
           .orderBy(col("user_id"), col("event_id"))

@@ -221,8 +221,10 @@ object SpeechPipeline {
         "start", "end", "g_start", "g_end")
       .select(col("l.file").as("file"), col("l.speaker").as("local_speaker"),
         col("r.g_speaker").as("global_speaker"))
+    // no broadcast hint: the mapping scales with #files × #speakers, so
+    // let AQE broadcast it only while it is actually small
     val relabeled = o
-      .join(broadcast(mapping),
+      .join(mapping,
         o("file") === mapping("file") && o("speaker") === mapping("local_speaker"))
       .select(o("file"), o("start"), o("end"),
         mapping("global_speaker").as("speaker"))
