@@ -122,9 +122,12 @@ object ManifestSink {
     if (lines.isEmpty) return -1L
     val upto = logFiles(root).last._1
     val v = publish(root, upto + 1, ".checkpoint", lines.mkString("\n"))
+    // Delete ONLY versions ≤ upto — the ones actually folded into the
+    // checkpoint. A commit racing this compaction can claim a version in
+    // (upto, v); its lines are NOT in the checkpoint, so deleting
+    // everything < v would silently drop that commit.
     logFiles(root).foreach {
-      case (ver, p, false) if ver < v => Files.deleteIfExists(p)
-      case (ver, p, true) if ver < v => Files.deleteIfExists(p)
+      case (ver, p, _) if ver <= upto => Files.deleteIfExists(p)
       case _ => ()
     }
     v
