@@ -813,17 +813,21 @@ object SparkEntry {
           size(filter(col("bt"), t => t.rlike("^\\p{L}"))).cast("long").as("n_word"),
           size(filter(col("bt"), t => t.rlike("^\\p{N}"))).cast("long").as("n_num"),
           aggregate(col("bt"), lit(0L), (a, t) => a + length(t)).as("sum_chars"))
+        // token-free docs out: the engines disagree on empty-list
+        // aggregates (0 vs NULL) and avg_len would divide by zero
+        .filter(col("n_bpe") > 0)
         .withColumn("avg_len", col("sum_chars").cast("double") / col("n_bpe"))
         .orderBy(col("doc_id")),
       Some("""WITH b AS (SELECT doc_id,
-        |  regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]') AS bt FROM documents)
+        |  regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]') AS bt FROM documents
+        |  ) , b2 AS (SELECT * FROM b WHERE len(bt) > 0)
         |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe,
         |  CAST(len(list_filter(bt, t -> regexp_matches(t, '^\p{L}'))) AS BIGINT) AS n_word,
         |  CAST(len(list_filter(bt, t -> regexp_matches(t, '^\p{N}'))) AS BIGINT) AS n_num,
         |  CAST(list_sum(list_transform(bt, t -> strlen(t))) AS BIGINT) AS sum_chars,
         |  CAST(CAST(list_sum(list_transform(bt, t -> strlen(t))) AS BIGINT) AS DOUBLE)
         |    / CAST(len(bt) AS BIGINT) AS avg_len
-        |FROM b ORDER BY doc_id""".stripMargin)),
+        |FROM b2 ORDER BY doc_id""".stripMargin)),
 
     // T-ops — winnowing document fingerprints (MOSS rolling-hash scheme):
     // char-8-gram md5s, window-4 minima, distinct. Outputs are set

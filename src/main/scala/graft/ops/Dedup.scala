@@ -73,11 +73,15 @@ object Dedup {
     val sd = sd0.cache()
     sd.count()
     val capped = maxShingleDocFreq != Long.MaxValue
-    lazy val fq = sd.groupBy(col("shingle")).agg(count(lit(1)).as("__df")).cache()
-    val rare =
-      if (!capped) sd
-      else sd.join(fq.filter(col("__df") <= maxShingleDocFreq).select(col("shingle")),
-        Seq("shingle"))
+    // eager like sd: fq feeds BOTH the rare and hot branches of one action
+    val fq = if (!capped) None else Some {
+      val f = sd.groupBy(col("shingle")).agg(count(lit(1)).as("__df")).cache()
+      f.count()
+      f
+    }
+    val rare = fq.fold(sd)(f =>
+      sd.join(f.filter(col("__df") <= maxShingleDocFreq).select(col("shingle")),
+        Seq("shingle")))
     val commonRare = rare.select(col(idCol).as("a"), col("shingle"))
       .join(rare.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
@@ -86,7 +90,7 @@ object Dedup {
       if (!capped) commonRare.withColumn("common", col("common_rare"))
       else {
         val hot = sd.join(
-          fq.filter(col("__df") > maxShingleDocFreq).select(col("shingle")),
+          fq.get.filter(col("__df") > maxShingleDocFreq).select(col("shingle")),
           Seq("shingle"))
         val commonHot = commonRare.select(col("a"), col("b"))
           .join(hot.select(col(idCol).as("a"), col("shingle")), "a")
@@ -177,18 +181,21 @@ object Dedup {
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int,
                    bits: Int = 16): DataFrame = {
     val nBands = maxHamming + 1
-    val bandBits = (bits + nBands - 1) / nBands
-    val mask = (1L << bandBits) - 1
-    val banded = sh
-      .select(col(idCol), col("simhash"))
-      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("bv", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
-    banded.select(col(idCol).as("a"), col("simhash").as("sim_a"), col("band"), col("bv"))
-      .join(banded.select(col(idCol).as("b"), col("simhash").as("sim_b"), col("band"), col("bv")),
-        Seq("band", "bv"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sim_a"), col("sim_b"))
-      .distinct()
+    require(nBands <= bits,
+      s"pigeonhole needs $nBands non-empty bands out of $bits bits")
+    // Partition ALL `bits` bits into nBands contiguous bands as evenly
+    // as possible ((bits mod nBands) bands get one extra bit). Equal
+    // ceil-width bands would push trailing bands past the signature
+    // width: their value is constantly zero and that band's equi join
+    // degenerates into an all-pairs cross join.
+    val base = bits / nBands
+    val extra = bits % nBands
+    val widths = Seq.tabulate(nBands)(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val sig = sh.select(col(idCol), col("simhash"))
+    SrpLsh.bandedCandidatesBySpec(sig, idCol, "simhash", offsets.zip(widths))
+      .join(sig.select(col(idCol).as("a"), col("simhash").as("sim_a")), "a")
+      .join(sig.select(col(idCol).as("b"), col("simhash").as("sim_b")), "b")
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))

@@ -111,6 +111,7 @@ object Similarity {
                       bands: Int = SrpLsh.DefaultBands): DataFrame = {
     LongArrayDot.register(emb.sparkSession)
     val q = quantize(emb, idCol, embCol).cache()
+    q.count() // eager: feeds the signature and both verify sides
     val cs = SrpLsh.coefficients(bandBits * bands, dim)
     val sig = q.select(col(idCol), SrpLsh.signature(col("qv"), cs).as("sig"))
     verifyPairs(SrpLsh.bandedCandidates(sig, idCol, bandBits, bands), q, idCol, minCos)

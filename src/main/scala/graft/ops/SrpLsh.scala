@@ -53,12 +53,24 @@ object SrpLsh {
     * explode each signature into `bands` values of `bandBits` bits and
     * equi-join on (band, value). Output: distinct (a, b) with a < b.
     */
-  def bandedCandidates(sig: DataFrame, idCol: String, bandBits: Int, bands: Int): DataFrame = {
-    val mask = (1L << bandBits) - 1
-    val banded = sig
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bv", expr(s"shiftright(sig, band * $bandBits) & $mask"))
-      .select(col(idCol), col("band"), col("bv"))
+  def bandedCandidates(sig: DataFrame, idCol: String, bandBits: Int, bands: Int): DataFrame =
+    bandedCandidatesBySpec(sig, idCol, "sig",
+      Seq.tabulate(bands)(b => (b * bandBits, bandBits)))
+
+  /** The general band join over explicit (bitOffset, bitWidth) band
+    * specs — shared by the equal-width SRP bands and the uneven
+    * pigeonhole partition of [[Dedup.simhashPairs]]. Every spec'd band
+    * must cover at least one real signature bit, or its value is
+    * constant and the equi join degenerates to all-pairs.
+    */
+  private[ops] def bandedCandidatesBySpec(sig: DataFrame, idCol: String,
+      sigCol: String, spec: Seq[(Int, Int)]): DataFrame = {
+    require(spec.forall(_._2 > 0), "every band needs at least one bit")
+    val bandCols = spec.map { case (off, w) =>
+      expr(s"shiftright($sigCol, $off) & ${(1L << w) - 1}")
+    }
+    val banded = sig.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
     banded.select(col(idCol).as("a"), col("band"), col("bv"))
       .join(banded.select(col(idCol).as("b"), col("band"), col("bv")), Seq("band", "bv"))
       .filter(col("a") < col("b"))

@@ -190,7 +190,8 @@ object SpeechPipeline {
       rows.iterator.zip(labels.iterator).map { case ((seg, emb), l) =>
         (SpeakerSegment(file, seg.start, seg.end, if (l < 0) "noise" else s"g$l"), emb)
       }
-    }
+    }.cache() // both returned outputs derive from it: inference and
+    // clustering must not run once per consumer
     val relabeled = clustered.map(_._1)
     val embTable = clustered.map { case (seg, emb) =>
       (seg.file, seg.speaker, seg.end - seg.start, emb)

@@ -12,18 +12,23 @@ import scala.jdk.CollectionConverters._
   * to what the pipeline needs):
   *
   *  - a commit writes its parquet files under `data/<commitId>/`, then
-  *    publishes `_manifest/<version>.txt` (file list + the unit-of-work
-  *    keys it covers) with CREATE-IF-ABSENT semantics: the temp manifest
-  *    is hard-linked to the final name, which fails with
-  *    `FileAlreadyExistsException` if a concurrent committer claimed the
-  *    version first — the loser recomputes the next version and retries
-  *    (a POSIX `rename` would silently REPLACE the winner's manifest,
+  *    publishes `_manifest/<version>.txt` with CREATE-IF-ABSENT
+  *    semantics: the temp file is hard-linked to the final name, which
+  *    fails with `FileAlreadyExistsException` if a concurrent publisher
+  *    claimed the version first — the loser recomputes the next version
+  *    and retries (a POSIX `rename` would silently REPLACE the winner,
   *    losing its commit);
-  *  - readers list the manifest log and read exactly the published
-  *    files — half-written data directories are invisible;
-  *  - `compact` folds the log into a single checkpoint file so reader
-  *    startup stays O(1) in commit count; manifests newer than the
-  *    checkpoint are still applied on top;
+  *  - EVERY log entry — commit manifest or checkpoint — claims from the
+  *    SAME `<version>.txt` namespace, so a commit and a compaction can
+  *    never both win one version number (distinct filenames would let
+  *    both hard-links succeed);
+  *  - a checkpoint records the fold point in its header
+  *    (`checkpoint upto=<v>`): readers replay the log in version order,
+  *    and a checkpoint replaces exactly the entries at or below its fold
+  *    point — a commit that claimed a version above the fold while the
+  *    compaction was publishing stays applied on top;
+  *  - readers list the log and read exactly the published files —
+  *    half-written data directories are invisible;
   *  - `doneKeys` is the incremental-skip manifest: the keys already
   *    committed, to left-anti join inputs against
   *    ([[Incremental.remaining]]) — per-key `skip_if_exist` with
@@ -35,17 +40,18 @@ import scala.jdk.CollectionConverters._
 object ManifestSink {
 
   private val MaxPublishAttempts = 64
+  private val CheckpointHeader = "checkpoint upto="
 
   private def manifestDir(root: String): Path = Paths.get(root, "_manifest")
 
-  /** (version, path, isCheckpoint) for every published log file. */
-  private def logFiles(root: String): Seq[(Long, Path, Boolean)] = {
+  /** (version, path) for every published log file, version-ordered. */
+  private def logFiles(root: String): Seq[(Long, Path)] = {
     val dir = manifestDir(root)
     if (!Files.exists(dir)) Seq.empty
     else Files.list(dir).iterator().asScala.flatMap { p =>
       val n = p.getFileName.toString
-      if (n.endsWith(".checkpoint")) Some((n.stripSuffix(".checkpoint").toLong, p, true))
-      else if (n.endsWith(".txt")) Some((n.stripSuffix(".txt").toLong, p, false))
+      if (n.endsWith(".txt") && !n.startsWith("."))
+        Some((n.stripSuffix(".txt").toLong, p))
       else None
     }.toSeq.sortBy(_._1)
   }
@@ -53,11 +59,10 @@ object ManifestSink {
   private def nextVersion(root: String): Long =
     logFiles(root).lastOption.map(_._1 + 1).getOrElse(0L)
 
-  /** Atomically publish `body` as log version `>= from`, claiming the
-    * first free version via hard-link create-if-absent. Returns the
-    * version actually claimed.
+  /** Atomically publish `body` as the first free log version ≥ `from`,
+    * via hard-link create-if-absent. Returns the claimed version.
     */
-  private def publish(root: String, from: Long, suffix: String, body: String): Long = {
+  private def publish(root: String, from: Long, body: String): Long = {
     Files.createDirectories(manifestDir(root))
     val tmp = manifestDir(root).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
@@ -65,26 +70,24 @@ object ManifestSink {
     try {
       var v = from
       var attempts = 0
-      while (true) {
+      while (attempts < MaxPublishAttempts) {
         try {
-          Files.createLink(manifestDir(root).resolve(s"$v$suffix"), tmp)
+          Files.createLink(manifestDir(root).resolve(s"$v.txt"), tmp)
           return v
         } catch {
           case _: FileAlreadyExistsException =>
             attempts += 1
-            if (attempts >= MaxPublishAttempts)
-              throw new IllegalStateException(
-                s"could not claim a manifest version after $attempts attempts under $root")
             v = math.max(v + 1, nextVersion(root))
         }
       }
-      v
+      throw new IllegalStateException(
+        s"could not claim a manifest version after $attempts attempts under $root")
     } finally Files.deleteIfExists(tmp)
   }
 
   /** Atomically commit `df` for the given unit-of-work keys. Safe under
-    * concurrent committers: each ends up with its own version, both
-    * visible. Returns the published version.
+    * concurrent committers AND concurrent compaction: each publisher
+    * ends up with its own version, all visible. Returns the version.
     */
   def commit(df: DataFrame, root: String, keys: Seq[String]): Long = {
     val commitId = java.util.UUID.randomUUID().toString
@@ -97,40 +100,48 @@ object ManifestSink {
     val body = (Seq(s"commit=$commitId") ++
       keys.map(k => s"key=$k") ++
       files.map(f => s"file=data/$commitId/$f")).mkString("\n")
-    publish(root, nextVersion(root), ".txt", body)
+    publish(root, nextVersion(root), body)
   }
 
-  private def manifestLines(root: String): Seq[String] = {
-    val log = logFiles(root)
-    val fromCheckpoint = log.filter(_._3).lastOption
-    val (ckptV, ckptLines) = fromCheckpoint match {
-      case Some((v, p, _)) => (v, Files.readAllLines(p).asScala.toSeq)
-      case None => (-1L, Seq.empty[String])
-    }
-    ckptLines ++ log.collect {
-      case (v, p, false) if v > ckptV => Files.readAllLines(p).asScala
-    }.flatten
-  }
+  /** Replay the log in version order: a checkpoint entry replaces the
+    * accumulated entries at or below its recorded fold point; entries
+    * above it (commits racing the compaction) stay applied on top.
+    */
+  private def manifestLines(root: String): Seq[String] =
+    manifestLinesFrom(logFiles(root))
 
-  /** Fold the whole log into one checkpoint file (readers then skip the
-    * per-commit manifests at or below it) and delete the superseded
-    * manifests. Concurrent-commit safe: a commit racing the compaction
-    * lands on a higher version and stays applied on top.
+  /** Fold the log into one checkpoint entry and delete exactly the
+    * folded versions. The snapshot of the log is taken ONCE: the fold
+    * point is the highest version whose lines are actually in the
+    * checkpoint body, so a commit landing mid-compaction (at any later
+    * version, including between the fold point and the checkpoint's own
+    * version) is never deleted and never masked.
     */
   def compact(root: String): Long = {
-    val lines = manifestLines(root)
+    val snapshot = logFiles(root)
+    if (snapshot.isEmpty) return -1L
+    // replay the snapshot only (not the live dir) for both lines & fold
+    val folded = snapshot.map(_._1).max
+    val lines = manifestLinesFrom(snapshot)
     if (lines.isEmpty) return -1L
-    val upto = logFiles(root).last._1
-    val v = publish(root, upto + 1, ".checkpoint", lines.mkString("\n"))
-    // Delete ONLY versions ≤ upto — the ones actually folded into the
-    // checkpoint. A commit racing this compaction can claim a version in
-    // (upto, v); its lines are NOT in the checkpoint, so deleting
-    // everything < v would silently drop that commit.
-    logFiles(root).foreach {
-      case (ver, p, _) if ver <= upto => Files.deleteIfExists(p)
-      case _ => ()
-    }
+    val v = publish(root, folded + 1, s"$CheckpointHeader$folded\n" + lines.mkString("\n"))
+    snapshot.foreach { case (ver, p) => if (ver <= folded) Files.deleteIfExists(p) }
     v
+  }
+
+  private def manifestLinesFrom(log: Seq[(Long, Path)]): Seq[String] = {
+    var entries = Vector.empty[(Long, Seq[String])]
+    log.foreach { case (v, p) =>
+      val lines = Files.readAllLines(p).asScala.toSeq
+      lines.headOption match {
+        case Some(h) if h.startsWith(CheckpointHeader) =>
+          val fold = h.stripPrefix(CheckpointHeader).toLong
+          entries = (v, lines.tail) +: entries.filter(_._1 > fold)
+        case _ =>
+          entries = entries :+ ((v, lines))
+      }
+    }
+    entries.sortBy(_._1).flatMap(_._2)
   }
 
   /** Read the published snapshot (union of all committed files). */

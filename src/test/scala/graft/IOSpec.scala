@@ -141,6 +141,31 @@ class IOSpec extends SparkSpec {
     assert(ManifestSink.read(spark, root).count() == 3)
   }
 
+  test("ManifestSink replay: a commit landing mid-compaction survives the checkpoint") {
+    import graft.sources.ManifestSink
+    val root = Files.createTempDirectory("graft_manifest_midrace").toString
+    ManifestSink.commit(Seq(("a", 1L)).toDF("file", "v"), root, Seq("a")) // 0.txt
+    ManifestSink.commit(Seq(("b", 2L)).toDF("file", "v"), root, Seq("b")) // 1.txt
+    // Reconstruct the exact race outcome on disk: a compaction snapshots
+    // versions 0-1, and while it publishes, a racing commit claims 2.txt;
+    // the checkpoint then lands at 3.txt with fold point 1.
+    val mdir = java.nio.file.Paths.get(root, "_manifest")
+    Files.writeString(mdir.resolve("2.txt"), "commit=racer\nkey=c")
+    val folded = (Files.readString(mdir.resolve("0.txt")) + "\n" +
+      Files.readString(mdir.resolve("1.txt")))
+    Files.writeString(mdir.resolve("3.txt"), "checkpoint upto=1\n" + folded)
+    Files.delete(mdir.resolve("0.txt"))
+    Files.delete(mdir.resolve("1.txt"))
+    // the racing commit's key must still be visible alongside the folds
+    assert(ManifestSink.doneKeys(spark, root).collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b", "c"))
+    assert(ManifestSink.read(spark, root).count() == 2) // a + b data files
+    // and a subsequent compaction folds all three, preserving everything
+    ManifestSink.compact(root)
+    assert(ManifestSink.doneKeys(spark, root).collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b", "c"))
+  }
+
   test("restoreOpenCount targets the group covering the open session") {
     import graft.streaming.StreamingSessions
     import graft.ops.SegmentKernels.Merged

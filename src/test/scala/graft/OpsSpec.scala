@@ -64,6 +64,23 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "en")
   }
 
+  test("simhashPairs uneven bands == brute force at maxHamming 1 and 4") {
+    // maxHamming=4 needs 5 bands over 16 bits (sizes 4,3,3,3,3) — equal
+    // ceil-width bands would leave a constant zero band (all-pairs)
+    val rnd = new scala.util.Random(7)
+    val sigs = (0L until 60L).map(i => (i, rnd.nextInt(1 << 16).toLong))
+    val df = sigs.toDF("doc_id", "simhash")
+    for (maxH <- Seq(1, 4)) {
+      val got = graft.ops.Dedup.simhashPairs(df, "doc_id", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (a, b, h.toLong)).toSet
+      assert(got == want, s"maxHamming=$maxH")
+    }
+  }
+
   test("fused WinnowFingerprint == HOF winnowing, as sets, incl. edge cases") {
     val fn = graft.expr.WinnowFingerprint.register(spark, 8, 4)
     val docs = Seq(
