@@ -36,6 +36,14 @@ import scala.jdk.CollectionConverters._
   *
   * Driver-side bookkeeping is O(#commits since compaction); data IO is
   * all executors.
+  *
+  * Listing-consistency caveat: directory listing is not an atomic
+  * snapshot, so a reader listing WHILE a compaction is deleting folded
+  * manifests could in principle miss both a just-published checkpoint
+  * and a just-deleted manifest. Writers are fully safe (claims are
+  * atomic); a reader racing an active compaction should retry on an
+  * unexpectedly empty/shrunken snapshot — the same posture file-listing
+  * table formats take without a pointer file.
   */
 object ManifestSink {
 
