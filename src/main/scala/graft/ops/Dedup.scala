@@ -192,7 +192,10 @@ object Dedup {
     val extra = bits % nBands
     val widths = Seq.tabulate(nBands)(i => if (i < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val sig = sh.select(col(idCol), col("simhash"))
+    // eager cache: the signature lineage (16 md5 aggregations per doc at
+    // the dedup_simhash call site) feeds four plan branches of one action
+    val sig = sh.select(col(idCol), col("simhash")).cache()
+    sig.count()
     SrpLsh.bandedCandidatesBySpec(sig, idCol, "simhash", offsets.zip(widths))
       .join(sig.select(col(idCol).as("a"), col("simhash").as("sim_a")), "a")
       .join(sig.select(col(idCol).as("b"), col("simhash").as("sim_b")), "b")

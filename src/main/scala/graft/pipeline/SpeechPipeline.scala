@@ -190,8 +190,10 @@ object SpeechPipeline {
       rows.iterator.zip(labels.iterator).map { case ((seg, emb), l) =>
         (SpeakerSegment(file, seg.start, seg.end, if (l < 0) "noise" else s"g$l"), emb)
       }
-    }.cache() // both returned outputs derive from it: inference and
-    // clustering must not run once per consumer
+    }.cache()
+    // eager: both returned outputs derive from it, and concurrent
+    // consumers racing a cold cache would each run inference+clustering
+    clustered.count()
     val relabeled = clustered.map(_._1)
     val embTable = clustered.map { case (seg, emb) =>
       (seg.file, seg.speaker, seg.end - seg.start, emb)

@@ -114,9 +114,20 @@ object ManifestSink {
   /** Replay the log in version order: a checkpoint entry replaces the
     * accumulated entries at or below its recorded fold point; entries
     * above it (commits racing the compaction) stay applied on top.
+    * Retries the whole listing when a concurrent compaction deletes a
+    * listed manifest between the listing and the read.
     */
-  private def manifestLines(root: String): Seq[String] =
-    manifestLinesFrom(logFiles(root))
+  private def manifestLines(root: String): Seq[String] = {
+    var attempts = 0
+    while (true) {
+      try return manifestLinesFrom(logFiles(root))
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempts < 16 =>
+          attempts += 1
+      }
+    }
+    Seq.empty // unreachable
+  }
 
   /** Fold the log into one checkpoint entry and delete exactly the
     * folded versions. The snapshot of the log is taken ONCE: the fold
@@ -128,9 +139,13 @@ object ManifestSink {
   def compact(root: String): Long = {
     val snapshot = logFiles(root)
     if (snapshot.isEmpty) return -1L
-    // replay the snapshot only (not the live dir) for both lines & fold
+    // replay the snapshot only (not the live dir) for both lines & fold;
+    // a concurrent compaction may delete snapshot files mid-read — its
+    // checkpoint covers our fold range, so just restart from fresh state
     val folded = snapshot.map(_._1).max
-    val lines = manifestLinesFrom(snapshot)
+    val lines =
+      try manifestLinesFrom(snapshot)
+      catch { case _: java.nio.file.NoSuchFileException => return compact(root) }
     if (lines.isEmpty) return -1L
     val v = publish(root, folded + 1, s"$CheckpointHeader$folded\n" + lines.mkString("\n"))
     snapshot.foreach { case (ver, p) => if (ver <= folded) Files.deleteIfExists(p) }
@@ -138,15 +153,23 @@ object ManifestSink {
   }
 
   private def manifestLinesFrom(log: Seq[(Long, Path)]): Seq[String] = {
-    var entries = Vector.empty[(Long, Seq[String])]
+    // (version, lines, foldPoint — Some for checkpoint entries)
+    var entries = Vector.empty[(Long, Seq[String], Option[Long])]
     log.foreach { case (v, p) =>
       val lines = Files.readAllLines(p).asScala.toSeq
       lines.headOption match {
         case Some(h) if h.startsWith(CheckpointHeader) =>
           val fold = h.stripPrefix(CheckpointHeader).toLong
-          entries = (v, lines.tail) +: entries.filter(_._1 > fold)
+          // drop entries covered by this checkpoint: commits at or below
+          // the fold, AND any earlier checkpoint whose fold point is not
+          // beyond ours (two racing compactions fold the same range; the
+          // loser's version lands above the fold and would otherwise
+          // survive the version filter, duplicating every folded line)
+          entries = (v, lines.tail, Some(fold)) +: entries.filter {
+            case (ev, _, efold) => ev > fold && efold.forall(_ > fold)
+          }
         case _ =>
-          entries = entries :+ ((v, lines))
+          entries = entries :+ ((v, lines, None))
       }
     }
     entries.sortBy(_._1).flatMap(_._2)

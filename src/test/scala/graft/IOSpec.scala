@@ -166,6 +166,26 @@ class IOSpec extends SparkSpec {
       .toSeq == Seq("a", "b", "c"))
   }
 
+  test("ManifestSink replay: racing compactions do not duplicate folded lines") {
+    import graft.sources.ManifestSink
+    val root = Files.createTempDirectory("graft_manifest_dblckpt").toString
+    ManifestSink.commit(Seq(("a", 1L)).toDF("file", "v"), root, Seq("a")) // 0.txt
+    ManifestSink.commit(Seq(("b", 2L)).toDF("file", "v"), root, Seq("b")) // 1.txt
+    // Reconstruct two compactions that raced from the same snapshot:
+    // both folded versions 0-1; the loser's checkpoint landed at 3.
+    val mdir = java.nio.file.Paths.get(root, "_manifest")
+    val folded = (Files.readString(mdir.resolve("0.txt")) + "\n" +
+      Files.readString(mdir.resolve("1.txt")))
+    Files.writeString(mdir.resolve("2.txt"), "checkpoint upto=1\n" + folded)
+    Files.writeString(mdir.resolve("3.txt"), "checkpoint upto=1\n" + folded)
+    Files.delete(mdir.resolve("0.txt"))
+    Files.delete(mdir.resolve("1.txt"))
+    // each row exactly once, each key exactly once
+    assert(ManifestSink.read(spark, root).count() == 2)
+    assert(ManifestSink.doneKeys(spark, root).collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b"))
+  }
+
   test("restoreOpenCount targets the group covering the open session") {
     import graft.streaming.StreamingSessions
     import graft.ops.SegmentKernels.Merged
