@@ -1243,6 +1243,38 @@ object SparkEntry {
         |  strlen(text) // 100 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Multimodal — frame-sample + aspect-fit resize over the stub-decoded
+    // metadata: every 3rd frame, fitted to a 224×224 box in exact 1e-4
+    // integer scale units. The codec kernels stay stubs; the relational
+    // shape (explode per frame, dimension arithmetic) is real.
+    Q("mm_frame_resize",
+      (s, dir) => Multimodal.resizeStub(
+          Multimodal.frameSample(
+            Multimodal.decodeStub(
+              Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")),
+            everyN = 3L),
+          targetW = 224L, targetH = 224L)
+        .select(col("doc_id"), col("kind"), col("frame"),
+          col("scale_e4"), col("out_w"), col("out_h"))
+        .orderBy(col("doc_id"), col("frame")),
+      Some("""WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  ((strlen(text) * 31 + 7) % 104729) % 640 AS width,
+        |  ((strlen(text) * 31 + 7) % 104729) % 480 AS height,
+        |  strlen(text) // 100 + 1 AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, kind, width, height,
+        |  unnest(range(0, (n_frames - 1) // 3 + 1)) * 3 AS frame FROM m),
+        |rs AS (SELECT doc_id, kind, frame,
+        |  least(2240000 // greatest(width, 1), 2240000 // greatest(height, 1)) AS scale_e4,
+        |  greatest(width, 1) AS w1, greatest(height, 1) AS h1
+        |  FROM fr)
+        |SELECT doc_id, kind, frame, CAST(scale_e4 AS BIGINT) AS scale_e4,
+        |  CAST((w1 * scale_e4) // 10000 AS BIGINT) AS out_w,
+        |  CAST((h1 * scale_e4) // 10000 AS BIGINT) AS out_h
+        |FROM rs ORDER BY doc_id, frame""".stripMargin)),
+
     // W3+J1+A1/A2+P2 — the reference's most operator-dense trace
     // (separation_filter windows scored with energy ratios, §3.3):
     // sliding windows over merged chunks, overlap-weighted "energy" per

@@ -52,6 +52,24 @@ object Multimodal {
   def frameSample(meta: Dataset[MediaMeta], everyN: Long): DataFrame =
     meta.toDF()
       .withColumn("frame_idx",
-        explode(sequence(lit(0L), (col("n_frames") - 1) / lit(everyN))))
-      .select(col("doc_id"), col("kind"), (col("frame_idx") * lit(everyN)).as("frame"))
+        explode(sequence(lit(0L), expr(s"(n_frames - 1) div $everyN"))))
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        (col("frame_idx") * lit(everyN)).as("frame"))
+
+  /** Aspect-preserving fit-resize as exact integer arithmetic (scale in
+    * 1e-4 units): the RELATIONAL shape of a resize stage — dimensions
+    * in, target-box dimensions out, one row per frame — with the pixel
+    * work left to the codec kernel behind the [[decodeStub]] seam.
+    * Degenerate zero dimensions clamp to 1 (the stub's hash-derived
+    * dims can be 0).
+    */
+  def resizeStub(frames: DataFrame, targetW: Long, targetH: Long): DataFrame =
+    frames
+      .withColumn("__w", greatest(col("width"), lit(1L)))
+      .withColumn("__h", greatest(col("height"), lit(1L)))
+      .withColumn("scale_e4",
+        least(expr(s"${targetW * 10000L} div __w"), expr(s"${targetH * 10000L} div __h")))
+      .withColumn("out_w", expr("(__w * scale_e4) div 10000"))
+      .withColumn("out_h", expr("(__h * scale_e4) div 10000"))
+      .drop("__w", "__h")
 }
