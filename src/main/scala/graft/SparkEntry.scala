@@ -696,6 +696,27 @@ object SparkEntry {
       Some("""SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+    ,
+
+    // F11 — JSON serialize (to_json over a struct) verified by a
+    // roundtrip: every value extracted back out of the serialized string
+    // must aggregate identically to the base columns the oracle reads
+    // directly — the serialize→extract pair is the identity.
+    Q("f_json_roundtrip",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("j"))
+        .select(col("user_id"),
+          get_json_object(col("j"), "$.id").cast("long").as("rt_id"),
+          get_json_object(col("j"), "$.t").as("rt_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("rt_id")).as("sum_id"),
+          countDistinct(col("rt_type")).as("n_types"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   ) ++ textRegistry
 
   /** DuckDB CTEs shared by the text/dedup queries: tokens and distinct

@@ -93,6 +93,25 @@ object SegmentKernelProps extends Properties("SegmentKernels") {
         ps.forall(p => p.end - p.start <= 80d || p.n == 1)
     }
 
+  property("clusterOne: labels bounded, non-noise clusters respect the A12 floor, deterministic") =
+    Prop.forAll(Gen.listOfN(40, Gen.listOfN(8, Gen.chooseNum(-1f, 1f)))) { vecs0 =>
+      val embs = vecs0.map(_.toArray).toIndexedSeq
+      val ratio = 0.1
+      val labels = graft.pipeline.Clustering.clusterOne(embs,
+        minClusterRatio = ratio, simThreshold = 0.8, softThreshold = 0.3)
+      val n = embs.length
+      val minSize = math.max(2, (n * ratio).toInt)
+      val sizes = labels.filter(_ >= 0).groupBy(identity).map(_._2.length)
+      labels.length == n &&
+        labels.forall(_ >= -1) &&
+        // the floor dissolves small clusters BEFORE rescue; rescue only
+        // grows survivors, so every surviving cluster still meets it
+        sizes.forall(_ >= minSize) &&
+        // cluster ids are contiguous from 0 in first-appearance order
+        labels.filter(_ >= 0).distinct.sorted.zipWithIndex.forall { case (l, i) => l == i } &&
+        labels.toSeq == graft.pipeline.Clustering.clusterOne(embs, ratio, 0.8, 0.3).toSeq
+    }
+
   property("sweepActiveSets intervals are disjoint, ordered, non-empty-labeled") =
     Prop.forAll(Gen.listOfN(30, for {
       seg <- genSeg

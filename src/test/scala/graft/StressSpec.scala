@@ -26,6 +26,27 @@ class StressSpec extends SparkSpec {
     assert(total == 400000L)
   }
 
+  test("minhash LSH dedup sustains a 4x-replicated corpus (20k docs)") {
+    // replicate sf0.1's 5000 docs 4x with shifted ids: every original
+    // near-dup pair becomes a 4x4 clique across copies, and the band
+    // join must absorb the 16x candidate growth without an all-pairs
+    // blowup (the df-capped ngram path and the bucket-keyed LSH shapes
+    // are exactly what keeps this from going quadratic at 100 TB).
+    val docs0 = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    val docs = (0L until 4L).map(i =>
+        docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    assert(docs.count() == 20000L)
+    val pairs = graft.ops.Dedup.minhashLshPairs(
+      graft.ops.TextOps.shingleTable(docs, "doc_id", "text", 3),
+      "doc_id", bands = 8, minJaccard = 0.5)
+    val n = pairs.count()
+    // each of the 5000 originals matches its 3 clones exactly (jaccard 1)
+    // -> at least 5000 * 3 identical-copy pairs beyond the original 256
+    assert(n >= 15000L, s"expected at least the cross-copy clique pairs, got $n")
+  }
+
   test("sessionizeCapped kernel sustains a 200k-segment single key") {
     val segs = spark.range(200000L).select(
       lit("one").as("file"),
