@@ -49,12 +49,14 @@ object Multimodal {
     * `sequence` + `explode`, stays in codegen; the per-frame decode would
     * hang off this with `mapPartitions` like [[decodeStub]].
     */
-  def frameSample(meta: Dataset[MediaMeta], everyN: Long): DataFrame =
+  def frameSample(meta: Dataset[MediaMeta], everyN: Long): DataFrame = {
+    require(everyN > 0, s"frame sampling stride must be positive, got $everyN")
     meta.toDF()
       .withColumn("frame_idx",
         explode(sequence(lit(0L), expr(s"(n_frames - 1) div $everyN"))))
       .select(col("doc_id"), col("kind"), col("width"), col("height"),
         (col("frame_idx") * lit(everyN)).as("frame"))
+  }
 
   /** Aspect-preserving fit-resize as exact integer arithmetic (scale in
     * 1e-4 units): the RELATIONAL shape of a resize stage — dimensions

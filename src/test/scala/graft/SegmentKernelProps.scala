@@ -107,7 +107,9 @@ object SegmentKernelProps extends Properties("SegmentKernels") {
         // the floor dissolves small clusters BEFORE rescue; rescue only
         // grows survivors, so every surviving cluster still meets it
         sizes.forall(_ >= minSize) &&
-        // cluster ids are contiguous from 0 in first-appearance order
+        // surviving cluster ids form a contiguous {0..m-1} set (sequence
+        // order is NOT asserted: soft rescue can place a later-founded
+        // cluster's member before an earlier one's)
         labels.filter(_ >= 0).distinct.sorted.zipWithIndex.forall { case (l, i) => l == i } &&
         labels.toSeq == graft.pipeline.Clustering.clusterOne(embs, ratio, 0.8, 0.3).toSeq
     }

@@ -30,8 +30,8 @@ class StressSpec extends SparkSpec {
     // replicate sf0.1's 5000 docs 4x with shifted ids: every original
     // near-dup pair becomes a 4x4 clique across copies, and the band
     // join must absorb the 16x candidate growth without an all-pairs
-    // blowup (the df-capped ngram path and the bucket-keyed LSH shapes
-    // are exactly what keeps this from going quadratic at 100 TB).
+    // blowup — candidates only form inside (band, signature) buckets,
+    // which is what keeps this shape from going quadratic at 100 TB.
     val docs0 = Tables.documents(spark, "/root/testdata/sf0.1")
       .select(col("doc_id"), col("text"))
     val docs = (0L until 4L).map(i =>
@@ -45,6 +45,9 @@ class StressSpec extends SparkSpec {
     // each of the 5000 originals matches its 3 clones exactly (jaccard 1)
     // -> at least 5000 * 3 identical-copy pairs beyond the original 256
     assert(n >= 15000L, s"expected at least the cross-copy clique pairs, got $n")
+    // the op's eager caches (shingle + signature tables at 4x scale) must
+    // not stay pinned in the suite-wide session
+    spark.catalog.clearCache()
   }
 
   test("sessionizeCapped kernel sustains a 200k-segment single key") {
