@@ -1038,14 +1038,21 @@ object SparkEntry {
 
     // Dedup — embedding-cosine near-dups on integer-quantized vectors
     // (exact longs: summation-order-free, bit-identical across engines).
+    // The all-pairs kernel is the VERIFY BASELINE, registered on a
+    // bounded slice (vec_id < 1500) like the MLlib integration flavors —
+    // the full-corpus production paths are dedup_embedding_lsh (SRP
+    // bands) and dedup_embedding_ivf (cells); no registered query runs
+    // an unbounded cartesian (PlanSpec enforces this).
     Q("dedup_embedding_cosine",
       (s, dir) => Similarity.nearDupPairs(
-          Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding"),
+          Similarity.quantize(
+            Tables.embeddings(s, dir).filter(col("vec_id") < 1500),
+            "vec_id", "embedding"),
           "vec_id", 0.45)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $quantSqlCte,
         |p AS (SELECT a.vec_id AS a, b.vec_id AS b, unnest(a.qv) AS av, unnest(b.qv) AS bv
-        |  FROM q a, q b WHERE a.vec_id < b.vec_id),
+        |  FROM q a, q b WHERE a.vec_id < b.vec_id AND a.vec_id < 1500 AND b.vec_id < 1500),
         |dt AS (SELECT a, b, CAST(SUM(av*bv) AS BIGINT) AS dot FROM p GROUP BY a, b),
         |sc AS (SELECT a, b, dot,
         |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos

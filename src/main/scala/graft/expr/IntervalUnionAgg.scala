@@ -21,8 +21,34 @@ class IntervalUnionAgg extends Aggregator[(Long, Long), Seq[(Long, Long)], Long]
 
   override def zero: Seq[(Long, Long)] = Seq.empty
 
-  override def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
-    if (x._2 <= x._1) buf else normalize(buf :+ x)
+  /** Insert one interval into the sorted-disjoint buffer: binary-search
+    * the first mergeable slot, absorb the (usually empty) run of
+    * overlapping intervals, splice. O(log B + B) copy per row instead of
+    * the former full re-sort (O(B log B)) — and on the common in-order
+    * input the binary search lands at the end and the splice is an
+    * append.
+    */
+  override def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] = {
+    val (s, e) = x
+    if (e <= s) return buf
+    val v: IndexedSeq[(Long, Long)] = buf match {
+      case is: IndexedSeq[(Long, Long)] => is
+      case other => other.toIndexedSeq
+    }
+    // first index whose end touches-or-passes s (candidates to merge)
+    var a = 0
+    var b = v.length
+    while (a < b) { val m = (a + b) >>> 1; if (v(m)._2 >= s) b = m else a = m + 1 }
+    val lo = a
+    // absorb the run of intervals starting at or before e
+    var hi = lo
+    var ns = s
+    var ne = e
+    while (hi < v.length && v(hi)._1 <= e) {
+      ns = math.min(ns, v(hi)._1); ne = math.max(ne, v(hi)._2); hi += 1
+    }
+    (v.take(lo) :+ ((ns, ne))) ++ v.drop(hi)
+  }
 
   override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
     normalize(a ++ b)

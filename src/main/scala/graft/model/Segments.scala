@@ -30,6 +30,14 @@ final case class ActiveInterval(file: String, start: Double, end: Double,
 /** An audio file as waveform samples (mock decode; FIXTURES.md §A9). */
 final case class AudioFile(file: String, sr: Int, waveform: Array[Float])
 
+/** Decode result with the S10 per-record status (`vad_multi.py:48-54`
+  * per-file try/except): `status` is "completed" or "failed"; failed rows
+  * keep the file key and the error, so a run's tally and its retry set
+  * are both one filter away.
+  */
+final case class DecodedAudio(file: String, sr: Int, waveform: Array[Float],
+    status: String, error: String)
+
 /** A chunk of a waveform with margins for overlapped inference (W5). */
 final case class AudioChunk(file: String, sr: Int, chunkIdx: Int,
     coreStart: Int, coreLen: Int, samples: Array[Float])

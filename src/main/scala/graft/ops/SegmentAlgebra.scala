@@ -34,13 +34,16 @@ object SegmentAlgebra {
 
   /** W1 typed flavor — capped merge accumulating the `types` array, with
     * the voice gate: sessions containing no "voice" member are dropped
-    * when `mustIncludeVoice` (`utils.py:82-99`). The reference loses the
-    * final run when it is all-silence mid-iteration; this implementation
-    * applies the gate uniformly to every flushed session (deliberate fix,
-    * SURVEY §7.4.2).
+    * when `mustIncludeVoice` (`utils.py:82-99`).
+    *
+    * `compatMode` (SURVEY §7.4.2 quirk flag): replay the reference's
+    * last-member end assignment (`utils.py:94,96` — a nested segment
+    * regresses the merged end, shifting later gap/cap decisions) instead
+    * of the fixed covering merge. Off by default.
     */
   def sessionizeTyped(ds: Dataset[TypedSegment], gap: Double, maxDuration: Double,
-                      mustIncludeVoice: Boolean): Dataset[MergedSegment] = {
+                      mustIncludeVoice: Boolean,
+                      compatMode: Boolean = false): Dataset[MergedSegment] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.file).flatMapGroups { (file, it) =>
       // segType as tertiary sort key: the reference relies on Python's
@@ -48,9 +51,30 @@ object SegmentAlgebra {
       // a total order makes the types accumulation deterministic.
       val items = it.toArray.sortBy(s => (s.start, s.end, s.segType))
         .map(s => (s.start, s.end, 1, Seq(s.segType))).toIndexedSeq
-      SegmentKernels.mergeTypedCapped(items, gap, maxDuration).iterator
+      SegmentKernels.mergeTypedCapped(items, gap, maxDuration, compatMode).iterator
         .filter(m => !mustIncludeVoice || m.types.contains("voice"))
         .map(m => MergedSegment(file, m.start, m.end, m.n, m.types))
+    }
+  }
+
+  /** U4 full composite, reference walk (`utils.py:155-183`): voice-gated
+    * capped sessions split at noisy-region boundaries, per file.
+    * `compatMode` replays the reference's trailing-run discard and
+    * last-member end quirks ([[SegmentKernels.noisySkipCombine]]); off
+    * (default) flushes the trailing run like any other.
+    */
+  def sessionizeNoisySkip(ds: Dataset[TypedSegment], noisy: Dataset[Segment],
+                          gap: Double, maxDuration: Double,
+                          compatMode: Boolean = false): Dataset[MergedSegment] = {
+    import ds.sparkSession.implicits._
+    val noisyByFile = noisy.groupByKey(_.file)
+    ds.groupByKey(_.file).cogroup(noisyByFile) { (file, segIt, noisyIt) =>
+      val items = segIt.toArray.sortBy(s => (s.start, s.end, s.segType))
+        .map(s => (s.start, s.end, Seq(s.segType))).toIndexedSeq
+      val regions = noisyIt.toArray.sortBy(s => (s.start, s.end))
+        .map(s => (s.start, s.end)).toIndexedSeq
+      SegmentKernels.noisySkipCombine(items, regions, gap, maxDuration, compatMode)
+        .iterator.map(m => MergedSegment(file, m.start, m.end, m.n, m.types))
     }
   }
 

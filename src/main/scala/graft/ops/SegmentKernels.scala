@@ -11,15 +11,25 @@ object SegmentKernels {
 
   final case class Merged(start: Double, end: Double, n: Int)
 
-  /** W1 capped merge over (start, end)-sorted input — `utils.py:64-79`. */
+  /** W1 capped merge over (start, end)-sorted input — `utils.py:64-79`.
+    *
+    * `refCompat` (SURVEY §7.4.2 quirk flag): the reference assigns the
+    * merged end as the LAST member's end (`utils.py:94,96` —
+    * `end = segment["end"]`, not a max), so a nested segment REGRESSES
+    * the running end, and the gap/cap tests at `utils.py:78` run against
+    * that regressed end/span. With the flag on this kernel replays those
+    * semantics byte-for-byte; off (default) it keeps the fixed covering
+    * merge (`max(curE, e)`).
+    */
   def mergeCapped(sorted: IndexedSeq[(Double, Double)], gap: Double,
-                  cap: Double): IndexedSeq[Merged] = {
+                  cap: Double, refCompat: Boolean = false): IndexedSeq[Merged] = {
     val out = ArrayBuffer.empty[Merged]
     var curS = 0d; var curE = 0d; var n = 0
     sorted.foreach { case (s, e) =>
+      val mergedEnd = if (refCompat) e else math.max(curE, e)
       if (n == 0) { curS = s; curE = e; n = 1 }
-      else if (s - curE <= gap && math.max(curE, e) - curS <= cap) {
-        curE = math.max(curE, e); n += 1
+      else if (s - curE <= gap && mergedEnd - curS <= cap) {
+        curE = mergedEnd; n += 1
       } else {
         out += Merged(curS, curE, n); curS = s; curE = e; n = 1
       }
@@ -39,19 +49,68 @@ object SegmentKernels {
     * item order — `utils.py:82-99`.
     */
   def mergeTypedCapped(sorted: IndexedSeq[(Double, Double, Int, Seq[String])],
-                       gap: Double, cap: Double): IndexedSeq[MergedTyped] = {
+                       gap: Double, cap: Double,
+                       refCompat: Boolean = false): IndexedSeq[MergedTyped] = {
     val out = ArrayBuffer.empty[MergedTyped]
     var curS = 0d; var curE = 0d; var n = 0
     val types = ArrayBuffer.empty[String]
     sorted.foreach { case (s, e, cnt, ts) =>
-      if (n > 0 && !(s - curE <= gap && math.max(curE, e) - curS <= cap)) {
+      val mergedEnd = if (refCompat) e else math.max(curE, e)
+      if (n > 0 && !(s - curE <= gap && mergedEnd - curS <= cap)) {
         out += MergedTyped(curS, curE, n, types.toSeq)
         types.clear(); n = 0
       }
-      if (n == 0) { curS = s; curE = e } else curE = math.max(curE, e)
+      if (n == 0) { curS = s; curE = e } else curE = mergedEnd
       types ++= ts; n += cnt
     }
     if (n > 0) out += MergedTyped(curS, curE, n, types.toSeq)
+    out.toIndexedSeq
+  }
+
+  /** U4 — the reference's merge-with-noisy-skipping walk
+    * (`utils.py:155-183`): accumulate segments strictly before the
+    * current noisy region; when a segment's end passes the region's
+    * start, flush the accumulated run through the typed capped merge,
+    * advance the noisy pointer past every region ending before this
+    * segment, and START THE NEXT RUN with this segment (the reference
+    * keeps the straddling segment — the noisy boundary is a session
+    * BREAK, not an exclusion). The voice gate applies to every flushed
+    * session.
+    *
+    * `refCompat = true` replays the reference byte-for-byte, including
+    * its two quirks: the trailing run after the last flush is DISCARDED
+    * (`sorted_timestamps_` never flushed at loop end), and the inner
+    * merge uses last-member end assignment. With the flag off the
+    * trailing run is flushed like any other and the covering merge is
+    * used (deliberate fix, SURVEY §7.4.2).
+    */
+  def noisySkipCombine(sorted: IndexedSeq[(Double, Double, Seq[String])],
+                       noisy: IndexedSeq[(Double, Double)],
+                       gap: Double, cap: Double,
+                       refCompat: Boolean = false): IndexedSeq[MergedTyped] = {
+    def combine(run: IndexedSeq[(Double, Double, Seq[String])]): IndexedSeq[MergedTyped] =
+      mergeTypedCapped(run.map(t => (t._1, t._2, 1, t._3)), gap, cap, refCompat)
+        .filter(_.types.contains("voice"))
+    if (noisy.isEmpty) return combine(sorted)
+    val out = ArrayBuffer.empty[MergedTyped]
+    val run = ArrayBuffer.empty[(Double, Double, Seq[String])]
+    var ni = 0
+    var nStart = noisy(0)._1
+    var nEnd = noisy(0)._2
+    sorted.foreach { seg =>
+      if (seg._2 <= nStart) run += seg
+      else {
+        out ++= combine(run.toIndexedSeq)
+        run.clear()
+        while (seg._2 > nEnd) {
+          ni += 1
+          if (ni >= noisy.length) { nStart = Double.MaxValue; nEnd = Double.MaxValue }
+          else { nStart = noisy(ni)._1; nEnd = noisy(ni)._2 }
+        }
+        run += seg
+      }
+    }
+    if (!refCompat) out ++= combine(run.toIndexedSeq)
     out.toIndexedSeq
   }
 

@@ -104,4 +104,33 @@ object WavAudio {
     import df.sparkSession.implicits._
     decodeDataset(df.selectExpr("path", "content").as[(String, Array[Byte])])
   }
+
+  /** The decode kernel with per-record status (emits, never throws). */
+  final class WavDecodeStatusModel
+      extends BatchModel[(String, Array[Byte]), graft.model.DecodedAudio] {
+    val name = "wav_decode_status"
+    def predictBatch(xs: Seq[(String, Array[Byte])]): Seq[graft.model.DecodedAudio] =
+      xs.map { case (file, bytes) =>
+        val (sr, wave) = decode(bytes)
+        graft.model.DecodedAudio(file, sr, wave, "completed", "")
+      }
+  }
+
+  /** S2+S10 — decode with per-record fault isolation: a corrupt or
+    * non-WAV payload (the reference globs six formats,
+    * `modules/models/utils.py:11-16`; this engine decodes WAV) yields a
+    * `status="failed"` row carrying the error instead of killing the
+    * task (`vad_multi.py:48-54` per-file try/except). Tally with
+    * [[graft.sources.Incremental.statusCounts]]; the failed subset is
+    * the retry/quarantine set.
+    */
+  def decodeDatasetWithStatus(ds: Dataset[(String, Array[Byte])], batchSize: Int = 8)
+      : Dataset[graft.model.DecodedAudio] = {
+    import ds.sparkSession.implicits._
+    InferenceOp.mapBatchedWithStatus[(String, Array[Byte]), graft.model.DecodedAudio](
+      ds, "wav_decode_status", () => new WavDecodeStatusModel,
+      onFailure = (x, e) => graft.model.DecodedAudio(x._1, 0, Array.empty,
+        "failed", s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"),
+      batchSize)
+  }
 }

@@ -24,18 +24,27 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * integer (in the unit of the interval columns); 0 (default) disables
   * the rewrite. Registered through [[graft.GraftExtensions]].
   *
-  * PRECONDITIONS (enforced structurally where possible, documented where
-  * not): the rule fires only when the condition holds EXACTLY ONE
-  * left-start ≥ right-start conjunct and EXACTLY ONE left-end ≤ right-end
-  * conjunct (ambiguous shapes with several candidate bound pairs are left
-  * untouched), and enabling the conf opts EVERY inner equi-join with that
-  * shape in the session into the rewrite. The rewrite assumes probe rows
-  * are well-formed intervals (`sL ≤ eL`); a row with `sL > eL` can
-  * satisfy the raw condition while its start bucket lies outside the
-  * build interval's bucket range, and would be dropped — such rows
-  * cannot be covered by ANY bounded bucketing (their matches are
-  * unbounded in bucket distance), so the conf must only be enabled on
-  * relations where start ≤ end holds by construction.
+  * PRECONDITIONS AND SOUNDNESS: the rule fires only when the condition
+  * holds EXACTLY ONE left-start ≥ right-start conjunct and EXACTLY ONE
+  * left-end ≤ right-end conjunct (ambiguous shapes with several candidate
+  * bound pairs are left untouched), and enabling the conf opts EVERY
+  * inner equi-join with that shape in the session into the rewrite.
+  *
+  * The rewrite is unconditionally semantics-preserving, including for
+  * malformed (inverted, `s > e`) intervals on either side, because the
+  * bucket equality is only a CANDIDATE filter — the original condition
+  * stays in the join — and every row is guaranteed a candidate superset:
+  *   - probe rows with `sL ≤ eL` take bucket(sL), which any containing
+  *     build interval's bucket range covers (monotonicity);
+  *   - probe rows with `sL > eL` (whose matches a bounded bucketing
+  *     cannot cover — their start may sit arbitrarily far past the build
+  *     interval) are routed to a CATCH-ALL bucket that every build row
+  *     also emits, so they see the full unbucketed candidate set for
+  *     their key; correct, merely unpruned for those rows;
+  *   - build rows with an inverted bucket range (bucket(sR) > bucket(eR))
+  *     emit only the catch-all entry instead of an illegal sequence — no
+  *     well-formed probe row can match them, and inverted probe rows
+  *     reach them through the catch-all.
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
@@ -95,19 +104,42 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   private def bucketOf(x: Expression, width: Long): Expression =
     Cast(Divide(Cast(x, DoubleType), Literal(width.toDouble)), LongType)
 
+  /** Catch-all bucket id. A real bucket id only collides with it when
+    * `truncate(sL / width) == Long.MinValue`, and even then the routing
+    * stays correct: a catch-all probe row candidates against EVERY build
+    * row of its key (superset), and the original condition decides.
+    */
+  private val CatchAll = Long.MinValue
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = bucketWidth
     if (width <= 0) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         matchContainment(cond, left, right) match {
-          case Some((sL, sR, _, eR)) =>
-            val bL = Alias(bucketOf(sL, width), "__gb_probe")()
+          case Some((sL, sR, eL, eR)) =>
+            // Probe: well-formed rows take their start bucket; inverted
+            // (or null-bound) rows take the catch-all. A null predicate
+            // falls to the catch-all branch, which is safe — the original
+            // condition is null for those rows and filters them.
+            val probeBucket = If(LessThanOrEqual(sL, eL),
+              bucketOf(sL, width), Literal(CatchAll))
+            val bL = Alias(probeBucket, "__gb_probe")()
             val probeSide = Project(left.output :+ bL, left)
+            // Build: every bucket the interval overlaps, plus the
+            // catch-all; an inverted bucket range would make Sequence
+            // throw, so it degrades to catch-all-only (no well-formed
+            // probe row can be contained in an inverted interval).
             // Sequence is TimeZoneAwareExpression: unresolved without a tz
-            val seq = new Sequence(bucketOf(sR, width), bucketOf(eR, width),
+            val bsR = bucketOf(sR, width)
+            val beR = bucketOf(eR, width)
+            val seq = new Sequence(bsR, beR,
               Literal(1L)).withTimeZone(conf.sessionLocalTimeZone)
-            val gen = Explode(seq)
+            val guarded = If(
+              And(And(IsNotNull(bsR), IsNotNull(beR)), LessThanOrEqual(bsR, beR)),
+              seq, Literal.create(Array.empty[Long], seq.dataType))
+            val withCatchAll = Concat(Seq(guarded, CreateArray(Seq(Literal(CatchAll)))))
+            val gen = Explode(withCatchAll)
             val genOut = AttributeReference("__gb_build", LongType, nullable = false)()
             val buildSide = Generate(gen, Nil, outer = false, None, Seq(genOut), right)
             val newCond = And(cond, EqualTo(bL.toAttribute, genOut))

@@ -143,6 +143,28 @@ class PipelineSpec extends SparkSpec {
     assert(maxErr <= 1.5f / 32768f, s"max sample error $maxErr")
   }
 
+  test("S10: a corrupt payload among good ones yields a failed-status row, not a job abort") {
+    import graft.pipeline.WavAudio
+    val good = Seq("a", "b", "c").map { f =>
+      val fx = fixture(f)
+      (f, WavAudio.encode(fx.sr, fx.waveform))
+    }
+    // an MP3-ish magic header javax.sound cannot parse — the reference's
+    // corpus has five such formats beyond WAV (modules/models/utils.py:11-16)
+    val bad = ("broken", Array[Byte](0x49, 0x44, 0x33, 4, 0, 0, 0, 0, 0, 0, 1, 2, 3))
+    val decoded = WavAudio.decodeDatasetWithStatus((good :+ bad).toDS())
+    val rows = decoded.collect()
+    assert(rows.length == 4)
+    val counts = graft.sources.Incremental.statusCounts(decoded.toDF(), "status")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("completed" -> 3L, "failed" -> 1L))
+    val failed = rows.filter(_.status == "failed")
+    assert(failed.map(_.file).toSeq == Seq("broken"))
+    assert(failed.head.error.nonEmpty && failed.head.waveform.isEmpty)
+    // completed rows carry real waveforms
+    assert(rows.filter(_.status == "completed").forall(_.waveform.nonEmpty))
+  }
+
   test("vadStage runs on REAL decoded WAV bytes end-to-end") {
     import graft.pipeline.WavAudio
     // write real .wav files, glob-scan them (S1), decode (S2), VAD (M1)

@@ -80,4 +80,21 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
     }
   }
+
+  test("no registered query plans an UNBOUNDED cartesian product") {
+    // The only cartesian allowed anywhere is the brute-force verify
+    // baseline, and it must carry its documented bounded-slice filter so
+    // it can never run over a full corpus.
+    val allowedBounded = Map("dedup_embedding_cosine" -> "LessThan(vec_id,1500)")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      if (p.contains("CartesianProduct")) {
+        val bound = allowedBounded.get(name)
+        assert(bound.isDefined, s"$name plans an unlisted CartesianProduct")
+        assert(p.contains(bound.get),
+          s"$name's cartesian baseline lost its bounding pushed filter")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }

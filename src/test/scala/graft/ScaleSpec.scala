@@ -80,10 +80,19 @@ class ScaleSpec extends SparkSpec {
       .getOrCreate()
     try {
       import s2.implicits._
-      val segs = (1 to 500).map(i => (i % 5L, i.toLong, (i * 13L) % 3000L))
-        .map { case (k, id, s) => (k, id, s, s + 20L) }
+      // Rows 501+ are INVERTED intervals (ss > se): they can satisfy the
+      // raw containment condition (ss >= cs && se <= ce) while their
+      // start bucket lies outside the chunk's bucket range — the rewrite
+      // must route them through the catch-all bucket, not drop them.
+      val segs = ((1 to 500).map(i => (i % 5L, i.toLong, (i * 13L) % 3000L))
+        .map { case (k, id, s) => (k, id, s, s + 20L) } ++
+        (501 to 520).map(i => (i % 5L, i.toLong, 2000L + i, 50L)) :+
+        ((1L, 600L, 3100L, 5L))) // matches only the inverted chunk below
         .toDF("k", "seg_id", "ss", "se")
-      val chunks = (0 until 40).map(i => (i % 5L, i.toLong, i * 80L, i * 80L + 200L))
+      // Chunk 40 is inverted (cs > ce): only inverted segs can match it,
+      // and a naive bucket Sequence over it would throw.
+      val chunks = ((0 until 40).map(i => (i % 5L, i.toLong, i * 80L, i * 80L + 200L)) :+
+        ((1L, 40L, 3000L, 10L)))
         .toDF("k", "chunk_id", "cs", "ce")
       def run(): Set[(Long, Long)] = segs.alias("s").join(chunks.alias("c"),
           col("s.k") === col("c.k") && col("ss") >= col("cs") && col("se") <= col("ce"))

@@ -119,4 +119,55 @@ class SegmentAlgebraSpec extends SparkSpec {
       .map(s => (s.start, s.end, s.speaker)).toSeq
     assert(got == Seq((0d, 5d, "a"), (6.5, 12d, "a")))
   }
+
+  // --- SURVEY §7.4.2 reference-compat quirk flags ------------------------
+
+  test("sessionizeTyped compatMode replays the reference's end regression (utils.py:94,96)") {
+    // Golden hand-traced through combine_timestamps (utils.py:64-102)
+    // with interval=0.25, max_duration=10: the nested (1,2) segment
+    // REGRESSES the running end from 9.0 to 2.0, then (2.1,3) to 3.0 —
+    // so (9.2,9.4), within gap of the TRUE end 9.0 but 6.2s past the
+    // regressed end, starts a new all-silence session that the gate
+    // drops. The fixed covering merge absorbs it into one session.
+    val ds = Seq(
+      TypedSegment("f", 0.0, 9.0, "voice"),
+      TypedSegment("f", 1.0, 2.0, "silence"),
+      TypedSegment("f", 2.1, 3.0, "voice"),
+      TypedSegment("f", 9.2, 9.4, "silence")).toDS()
+    def run(compat: Boolean) =
+      SegmentAlgebra.sessionizeTyped(ds, gap = 0.25, maxDuration = 10d,
+          mustIncludeVoice = true, compatMode = compat)
+        .collect().sortBy(_.start).map(m => (m.start, m.end, m.n, m.types)).toSeq
+    assert(run(compat = true) ==
+      Seq((0.0, 3.0, 3, Seq("voice", "silence", "voice"))))
+    assert(run(compat = false) ==
+      Seq((0.0, 9.4, 4, Seq("voice", "silence", "voice", "silence"))))
+  }
+
+  test("sessionizeNoisySkip compatMode discards the trailing run (utils.py:165-183)") {
+    // Golden hand-traced through the reference walk: noisy region (4,7);
+    // segment C (5,6) straddles it -> flushes run [A,B], starts the next
+    // run WITH C (the boundary is a session break, not an exclusion);
+    // D (8,9) passes the region's end -> flushes [C], advances the noisy
+    // pointer off the end, starts run [D]. The reference never flushes
+    // that trailing run; the fixed mode does.
+    val segs = Seq(
+      TypedSegment("f", 0.0, 1.0, "voice"),
+      TypedSegment("f", 1.1, 2.0, "voice"),
+      TypedSegment("f", 5.0, 6.0, "voice"),
+      TypedSegment("f", 8.0, 9.0, "voice"),
+      // second file, no noisy regions: plain gated combine both modes
+      TypedSegment("g", 0.0, 1.0, "voice")).toDS()
+    val noisy = Seq(Segment("f", 4.0, 7.0)).toDS()
+    def run(compat: Boolean) =
+      SegmentAlgebra.sessionizeNoisySkip(segs, noisy, gap = 0.5, maxDuration = 10d,
+          compatMode = compat)
+        .collect().sortBy(m => (m.file, m.start))
+        .map(m => (m.file, m.start, m.end, m.n)).toSeq
+    assert(run(compat = true) ==
+      Seq(("f", 0.0, 2.0, 2), ("f", 5.0, 6.0, 1), ("g", 0.0, 1.0, 1)))
+    assert(run(compat = false) ==
+      Seq(("f", 0.0, 2.0, 2), ("f", 5.0, 6.0, 1), ("f", 8.0, 9.0, 1),
+        ("g", 0.0, 1.0, 1)))
+  }
 }

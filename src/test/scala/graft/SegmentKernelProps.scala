@@ -114,6 +114,30 @@ object SegmentKernelProps extends Properties("SegmentKernels") {
         labels.toSeq == graft.pipeline.Clustering.clusterOne(embs, ratio, 0.8, 0.3).toSeq
     }
 
+  property("IntervalUnionAgg: insert-in-place reduce + merge equal brute-force union") =
+    Prop.forAll(
+      Gen.listOfN(50, for {
+        s <- Gen.chooseNum(0L, 500L)
+        d <- Gen.chooseNum(-5L, 60L) // include degenerate and inverted rows
+      } yield (s, s + d)),
+      Gen.chooseNum(0, 50)) { (ivs, cut0) =>
+      val agg = new graft.expr.IntervalUnionAgg()
+      val cut = math.min(cut0, ivs.length)
+      val (a, b) = ivs.splitAt(cut)
+      val viaAgg = agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+      val brute = ivs.filter(t => t._2 > t._1)
+        .flatMap(t => t._1 until t._2).toSet.size.toLong
+      // the reduce must also maintain the sorted-strictly-disjoint
+      // buffer invariant the binary search depends on
+      val buf = ivs.foldLeft(agg.zero)(agg.reduce)
+      val invariant = buf.sliding(2).forall {
+        case Seq(x, y) => x._2 < y._1
+        case _ => true
+      }
+      viaAgg == brute && invariant
+    }
+
   property("sweepActiveSets intervals are disjoint, ordered, non-empty-labeled") =
     Prop.forAll(Gen.listOfN(30, for {
       seg <- genSeg
