@@ -1178,7 +1178,107 @@ object SparkEntry {
         |j AS (SELECT co.a, co.b, co.common,
         |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
         |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
-        |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin))
+        |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin)),
+
+    // The production dedup CASCADE — exact canonical → MinHash+LSH text
+    // near-dups → SRP-LSH embedding near-dups, each stage over the
+    // previous stage's survivors (Dedup.cascadeSurvivors). The oracle
+    // exploits that every drop rule is PAIRWISE (signatures/distances
+    // depend only on the two docs), so candidate+verify pair tables can
+    // be computed over the full corpus and filtered to survivors —
+    // set restriction commutes with each stage.
+    Q("dedup_cascade",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.cascadeSurvivors(
+            docs,
+            Tables.embeddings(s, dir)
+              .select(col("vec_id").as("doc_id"), col("embedding")),
+            "doc_id", fpPrefixLen = 200, shingleN = 3, bands = 8,
+            minJaccard = 0.5, minCos = 0.45, dim = 64)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $shingleSqlCte,
+        |fpt AS (SELECT doc_id, md5(substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 200)) AS fp
+        |  FROM documents),
+        |s1 AS (SELECT doc_id FROM (SELECT doc_id,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fpt) t WHERE rn = 1),
+        |mh AS (SELECT doc_id, r.band AS band,
+        |  MIN(md5(CAST(r.band AS VARCHAR) || ':' || shingle)) AS sig
+        |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |jp AS (SELECT co.a, co.b FROM co
+        |  JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b
+        |  WHERE CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) >= 0.5),
+        |s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (
+        |  SELECT j.b FROM jp j JOIN s1 a1 ON a1.doc_id = j.a JOIN s1 b1 ON b1.doc_id = j.b)),
+        |$quantSqlCte,
+        |$srpSqlCte,
+        |vp AS (SELECT c.a, c.b FROM scand c
+        |  JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b
+        |  JOIN nm na ON na.vec_id = c.a JOIN nm nb ON nb.vec_id = c.b
+        |  WHERE CAST(CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45),
+        |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (
+        |  SELECT v.b FROM vp v JOIN s2 a2 ON a2.doc_id = v.a JOIN s2 b2 ON b2.doc_id = v.b))
+        |SELECT s3.doc_id AS doc_id, dd.lang AS lang
+        |FROM s3 JOIN documents dd ON dd.doc_id = s3.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // §2.10 — the curation rollup as a STREAMING query: readStream over
+    // the documents parquet, the stateless quality gate, a streaming
+    // per-lang aggregation run to completion with Trigger.AvailableNow
+    // into a memory sink. One batch pass = the batch rollup exactly, so
+    // the batch SQL is a true oracle for the streaming trace.
+    Q("streaming_curation",
+      (s, dir) => {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "sc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_cur").toString
+        // the file stream source consumes a DIRECTORY (the shape files
+        // land in on a real feed); the oracle table is a single parquet
+        // file, so stage it into a temp dir (hardlink, copy fallback)
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        val src = java.nio.file.Paths.get(path)
+        val dst = srcDir.resolve("documents.parquet")
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+        val gated = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            TextOps.stopwordHits(col("toks"), TextOps.langMarkers.head._2).as("stop_hits"))
+          .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+          .filter(col("n_tokens") >= 50 && col("stop_ratio") >= 0.02)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("first_doc"))
+        val q = gated.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("lang"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |sc AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(toks) AS BIGINT) AS stop_ratio
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM sc WHERE n_tokens >= 50 AND stop_ratio >= 0.02
+        |GROUP BY lang ORDER BY lang""".stripMargin))
   ) ++ kernelRegistry
 
   private def kernelRegistry: Seq[Q] = Seq(

@@ -165,6 +165,52 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The production dedup CASCADE (cheapest filter first, each stage only
+    * sees the previous stage's survivors — the order every large corpus
+    * curation run uses):
+    *
+    *   1. exact: min-id canonical per fingerprint (one hash aggregate);
+    *   2. near-text: MinHash+LSH band candidates + exact-Jaccard verify
+    *      over stage-1 survivors; the HIGHER id of each verified pair is
+    *      dropped (deterministic, non-iterative: a doc is dropped iff it
+    *      is the `b` of ANY verified pair — both endpoints survivors);
+    *   3. near-semantic: SRP-LSH embedding candidates + exact-cosine
+    *      verify over stage-2 survivors (docs without a vector pass
+    *      through); higher id of each pair dropped.
+    *
+    * Every stage is a band/bucket equi join — the cascade never leaves
+    * the bounded-candidate regime, and each stage's input shrinks, so at
+    * 100 TB the expensive embedding stage runs on the deduped fraction
+    * only. All three drop rules are pairwise (signatures and distances
+    * depend only on the two docs), so stage composition commutes with
+    * set restriction — which is what lets an external SQL engine mirror
+    * the cascade over full-corpus pair tables filtered to survivors.
+    *
+    * Input: `docs` (id, text), `emb` (id, embedding). Returns surviving
+    * ids as one column named `idCol`.
+    */
+  def cascadeSurvivors(docs: DataFrame, emb: DataFrame, idCol: String,
+                       fpPrefixLen: Int, shingleN: Int, bands: Int,
+                       minJaccard: Double, minCos: Double, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s1 = docs
+      .select(col(idCol), TextOps.fingerprint(col("text"), fpPrefixLen).as("fp"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1).select(col(idCol))
+      .cache()
+    s1.count() // eager: feeds the stage-2 shingle filter and the anti join
+    val sd = TextOps.shingleTable(docs.join(s1, idCol), idCol, "text", shingleN)
+    val drop2 = minhashLshPairs(sd, idCol, bands, minJaccard)
+      .select(col("b").as(idCol)).distinct()
+    val s2 = s1.join(drop2, Seq(idCol), "left_anti").cache()
+    s2.count() // eager: feeds the stage-3 vector filter and the anti join
+    val drop3 = Similarity.srpNearDupPairs(
+        emb.join(s2, idCol), idCol, "embedding", minCos, dim)
+      .select(col("b").as(idCol)).distinct()
+    s2.join(drop3, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: equal-width signatures compared by Hamming
     * distance. Input: (id, simhash) with `bits`-bit signatures.
     *
