@@ -134,6 +134,7 @@ object Dedup {
     val sd = sd0.cache()
     sd.count()
     val mh = minhashSignatures(sd, idCol, bands).cache()
+    mh.count() // eager: both sides of the band self-join race one action
     val cand = mh.select(col(idCol).as("a"), col("band"), col("sig"))
       .join(mh.select(col(idCol).as("b"), col("band"), col("sig")),
         Seq("band", "sig"))

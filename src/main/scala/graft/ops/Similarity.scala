@@ -113,7 +113,10 @@ object Similarity {
     val q = quantize(emb, idCol, embCol).cache()
     q.count() // eager: feeds the signature and both verify sides
     val cs = SrpLsh.coefficients(bandBits * bands, dim)
-    val sig = q.select(col(idCol), SrpLsh.signature(col("qv"), cs).as("sig"))
+    // eager: the 60-projection signature feeds BOTH sides of the band
+    // self-join — uncached it would be computed twice
+    val sig = q.select(col(idCol), SrpLsh.signature(col("qv"), cs).as("sig")).cache()
+    sig.count()
     verifyPairs(SrpLsh.bandedCandidates(sig, idCol, bandBits, bands), q, idCol, minCos)
   }
 

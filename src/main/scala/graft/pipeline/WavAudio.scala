@@ -60,21 +60,35 @@ object WavAudio {
   /** Encode mono float samples to a 16-bit PCM WAV container (the test
     * fixture generator and the round-trip dual of [[decode]]).
     */
-  def encode(sr: Int, samples: Array[Float]): Array[Byte] = {
+  def encode(sr: Int, samples: Array[Float]): Array[Byte] =
+    encodeAs(sr, samples, AudioFileFormat.Type.WAVE)
+
+  /** Encode to any javax.sound container (WAVE little-endian, AIFF/AU
+    * big-endian — the container's native sample order). [[decode]]
+    * auto-detects all of them, so the decode seam is genuinely
+    * multi-format: three real containers here, the reference's
+    * mp3/flac/aac/ogg/m4a need codec libraries absent from this
+    * environment (documented, SURVEY §7.4.4) and flow through the S10
+    * failed-status path instead of aborting.
+    */
+  def encodeAs(sr: Int, samples: Array[Float],
+               container: AudioFileFormat.Type): Array[Byte] = {
+    val bigEndian = container != AudioFileFormat.Type.WAVE
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
       val clamped = math.max(-1f, math.min(1f, samples(i)))
       val s = math.round(clamped * 32767f).toShort
-      pcm(i * 2) = (s & 0xff).toByte
-      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      val (b0, b1) = ((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+      if (bigEndian) { pcm(i * 2) = b1; pcm(i * 2 + 1) = b0 }
+      else { pcm(i * 2) = b0; pcm(i * 2 + 1) = b1 }
       i += 1
     }
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sr.toFloat, 16, 1, 2,
-      sr.toFloat, false)
+      sr.toFloat, bigEndian)
     val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    AudioSystem.write(in, container, bos)
     bos.toByteArray
   }
 

@@ -143,6 +143,32 @@ class PipelineSpec extends SparkSpec {
     assert(maxErr <= 1.5f / 32768f, s"max sample error $maxErr")
   }
 
+  test("multi-format decode: WAV, AIFF, and AU containers through one seam") {
+    import graft.pipeline.WavAudio
+    import javax.sound.sampled.AudioFileFormat.Type
+    val fx = fixture("a")
+    for (container <- Seq(Type.WAVE, Type.AIFF, Type.AU)) {
+      val bytes = WavAudio.encodeAs(fx.sr, fx.waveform, container)
+      val (sr, wave) = WavAudio.decode(bytes)
+      assert(sr == fx.sr, s"$container sample rate")
+      assert(wave.length == fx.waveform.length, s"$container length")
+      val maxErr = wave.zip(fx.waveform).map { case (x, y) => math.abs(x - y) }.max
+      assert(maxErr <= 1.5f / 32768f, s"$container max sample error $maxErr")
+    }
+    // glob-scan a mixed-container directory (S1+S2 composed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_multifmt")
+    java.nio.file.Files.write(dir.resolve("a.wav"), WavAudio.encodeAs(fx.sr, fx.waveform, Type.WAVE))
+    java.nio.file.Files.write(dir.resolve("b.aiff"), WavAudio.encodeAs(fx.sr, fx.waveform, Type.AIFF))
+    java.nio.file.Files.write(dir.resolve("c.au"), WavAudio.encodeAs(fx.sr, fx.waveform, Type.AU))
+    java.nio.file.Files.write(dir.resolve("ignore.txt"), Array[Byte](1, 2))
+    val scanned = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{wav,aiff,au}").load(dir.toString)
+    val decoded = WavAudio.decodeDatasetWithStatus(
+      scanned.selectExpr("path", "content").as[(String, Array[Byte])]).collect()
+    assert(decoded.length == 3 && decoded.forall(_.status == "completed"))
+    assert(decoded.forall(_.waveform.length == fx.waveform.length))
+  }
+
   test("S10: a corrupt payload among good ones yields a failed-status row, not a job abort") {
     import graft.pipeline.WavAudio
     val good = Seq("a", "b", "c").map { f =>
