@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Dedup, MLlibOps, Multimodal, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, MLlibOps, Multimodal, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator from SURVEY §2, each with a DuckDB-equivalent `oracleSql`.
@@ -1179,6 +1179,63 @@ object SparkEntry {
         |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
         |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
         |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin)),
+
+    // Curation — benchmark DECONTAMINATION: corpus docs sharing >= 3
+    // distinct word-3-grams with any probe (benchmark) doc. The probe
+    // side is tiny and broadcast; the corpus streams by on the shingle
+    // equi key — the standard pre-training decontamination sweep.
+    Q("c_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.decontaminate(
+            docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+            "doc_id", "text", shingleN = 3, minHits = 3L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $shingleSqlCte,
+        |cs AS (SELECT doc_id, shingle FROM sd WHERE doc_id >= 20),
+        |ps AS (SELECT doc_id AS probe_id, shingle FROM sd WHERE doc_id < 20),
+        |h AS (SELECT cs.doc_id, COUNT(DISTINCT cs.shingle) AS n_hits,
+        |  COUNT(DISTINCT ps.probe_id) AS n_probes
+        |  FROM cs JOIN ps ON ps.shingle = cs.shingle GROUP BY cs.doc_id)
+        |SELECT doc_id, n_hits, n_probes FROM h WHERE n_hits >= 3
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Curation — deterministic hash-gate sampling (md5-prefix Bernoulli
+    // gate, rate 0x2a/0x100 ≈ 16.4%): reproducible across engines,
+    // reruns, and repartitions, unlike rand(). Per-lang pre/post tallies.
+    Q("c_hash_sample",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(Curation.hashSampleGate(col("doc_id"), "2a", 2), 1L)
+            .otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '2a'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Curation — mixture-weight allocation: split a 1M-token budget
+    // across languages proportionally to corpus size by largest
+    // remainder (Hamilton), exact integer arithmetic end to end.
+    Q("c_mix_weights",
+      (s, dir) => Curation.allocateBudget(
+          Tables.documents(s, dir).groupBy(col("lang"))
+            .agg(sum(col("n_chars")).as("tokens")),
+          "lang", "tokens", budget = 1000000L)
+        .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, tokens, CAST(SUM(tokens) OVER () AS BIGINT) AS T FROM t),
+        |f AS (SELECT lang, tokens, (1000000 * tokens) // T AS fl,
+        |  (1000000 * tokens) % T AS rem FROM w),
+        |r AS (SELECT lang, tokens, fl,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |  1000000 - CAST(SUM(fl) OVER () AS BIGINT) AS leftover FROM f)
+        |SELECT lang, tokens,
+        |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY lang""".stripMargin)),
 
     // The production dedup CASCADE — exact canonical → MinHash+LSH text
     // near-dups → SRP-LSH embedding near-dups, each stage over the

@@ -127,6 +127,28 @@ class OpsSpec extends SparkSpec {
     assert(again == cells)
   }
 
+  test("allocateBudget: exact Hamilton allocation — sums to budget, floor/floor+1 only") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val groups = (1 to 2 + rnd.nextInt(8))
+        .map(i => (s"g$i", 1L + rnd.nextInt(1000000).toLong))
+      val budget = 1L + rnd.nextInt(10000000).toLong
+      val total = groups.map(_._2).sum
+      val got = graft.ops.Curation.allocateBudget(
+          groups.toDF("grp", "tokens"), "grp", "tokens", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._3).sum == budget, s"trial $trial: allocs must sum to budget")
+      got.foreach { case (g, t, a) =>
+        val fl = budget * t / total
+        assert(a == fl || a == fl + 1, s"trial $trial $g: $a not in {$fl, ${fl + 1}}")
+      }
+      // proportionality: at most one token from exact proportion per group
+      got.foreach { case (g, t, a) =>
+        assert(math.abs(a - budget.toDouble * t / total) <= 1.0, s"trial $trial $g")
+      }
+    }
+  }
+
   test("polyval expression matches manual Horner, interpreted and codegen") {
     val name = graft.expr.Polyval.register(spark, "test", Seq(2.0, -1.0, 0.5))
     val df = Seq(0.0, 0.5, 1.0, -2.0).toDF("x")
