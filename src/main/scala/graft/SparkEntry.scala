@@ -1237,6 +1237,49 @@ object SparkEntry {
         |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY lang""".stripMargin)),
 
+    // Curation — Gopher-style repetition metrics over word-2-grams:
+    // duplicate-2-gram and top-2-gram fractions, the standard repetition
+    // filters. One per-doc aggregation, ratios as single divisions of
+    // exact integers.
+    Q("c_repetition",
+      (s, dir) => Curation.repetitionMetrics(
+          Tables.documents(s, dir), "doc_id", "text", shingleN = 2)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksSqlCte,
+        |tt AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS i FROM d),
+        |g0 AS (SELECT doc_id, tok || ' ' || lead(tok,1)
+        |  OVER (PARTITION BY doc_id ORDER BY i) AS g FROM tt),
+        |g AS (SELECT doc_id, g FROM g0 WHERE g IS NOT NULL),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        |m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_distinct, top_count,
+        |  CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+        |  CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_frac
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Curation — sequence packing (pack-then-split pretraining layout):
+    // within each lang shard, docs in id order form one token stream cut
+    // every 2048 tokens; one window cumsum per shard.
+    Q("c_pack_sequences",
+      (s, dir) => Curation.packSequences(
+          docToks(s, dir).select(col("lang"), col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens")),
+          "lang", "doc_id", "n_tokens", seqLen = 2048L)
+        .orderBy(col("lang"), col("seq_id")),
+      Some(s"""WITH $toksSqlCte,
+        |n AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS t FROM d),
+        |o AS (SELECT doc_id, lang, t,
+        |  COALESCE(CAST(SUM(t) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        |  FROM n),
+        |sq AS (SELECT lang, doc_id, t, off // 2048 AS seq_id FROM o)
+        |SELECT lang, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM sq GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin)),
+
     // The production dedup CASCADE — exact canonical → MinHash+LSH text
     // near-dups → SRP-LSH embedding near-dups, each stage over the
     // previous stage's survivors (Dedup.cascadeSurvivors). The oracle

@@ -49,6 +49,50 @@ object Curation {
   def hashSampleGate(key: Column, hexUpper: String, prefixLen: Int): Column =
     substring(md5(key.cast("string")), 1, prefixLen) < lit(hexUpper)
 
+  /** Gopher-style REPETITION metrics per document over word n-grams:
+    * total n-grams, distinct n-grams, the most frequent n-gram's count,
+    * and the two standard filter ratios — duplicate-n-gram fraction
+    * `(total − distinct) / total` and top-n-gram fraction `top / total`
+    * (both single divisions of exact integers). Highly repetitive docs
+    * (boilerplate, keyword stuffing, generation loops) are filtered
+    * before training on these thresholds. Pure per-doc aggregation —
+    * one shuffle on the id, no cross-doc state.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("g"))
+    grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .withColumn("dup_frac",
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams").cast("double"))
+      .withColumn("top_frac",
+        col("top_count").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** SEQUENCE PACKING (the pack-then-split pretraining layout): order
+    * documents within a shard, lay their tokens out as one contiguous
+    * stream, and cut the stream every `seqLen` tokens — each doc's
+    * sequence id is `floor(start_offset / seqLen)`. One window cumsum
+    * per shard (the shard is the parallel unit), exact integer math.
+    * Output: one row per (shard, seq_id) with doc and token tallies.
+    */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    tokensCol: String, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+    df.select(col(shardCol), col(orderCol), col(tokensCol).cast("long").as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("seq_id", expr(s"__off div ${seqLen}L"))
+      .groupBy(col(shardCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"),
+        min(col(orderCol)).as("first_doc"), max(col(orderCol)).as("last_doc"))
+  }
+
   /** Mixture-weight ALLOCATION by largest remainder (Hamilton's method):
     * split an integer token `budget` across groups proportionally to
     * their token counts, exactly — allocations sum to the budget, every
