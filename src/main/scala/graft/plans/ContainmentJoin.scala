@@ -26,6 +26,16 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * LongType, keys LongType or StringType; chunk intervals per key are
   * disjoint (true for interval unions, which is what the reference
   * probes against).
+  *
+  * When to use (measured, round-3 harness, sf0.1 local[32]): this
+  * operator beats the generic equi+theta SortMergeJoin — 0.56 s vs
+  * 0.81 s on the same input (`j1_sorted_containment` vs
+  * `j1_containment` in BENCH_r03) — because the monotone cursor does no
+  * per-key hash build and emits at most one match per probe row. Its
+  * advantage grows with chunks-per-key (the theta join compares each
+  * segment against every same-key chunk); prefer the generic join only
+  * when chunk intervals can overlap, where this operator's contract
+  * does not hold.
   */
 final case class ContainmentJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
