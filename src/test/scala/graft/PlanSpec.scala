@@ -81,6 +81,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c_decontaminate broadcasts the probe shingles, corpus side never shuffles for the join") {
+    val p = plan("c_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "probe side should broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must stream past a broadcast, not sort-merge")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so

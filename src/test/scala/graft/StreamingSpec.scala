@@ -175,4 +175,27 @@ class StreamingSpec extends SparkSpec {
       assert(sums < 100.0)
     } finally q.stop()
   }
+
+  test("streaming exact dedup: dropDuplicates state holds across micro-batches") {
+    // The curation dedup gate as a stream: a doc whose fingerprint was
+    // seen in ANY earlier micro-batch is suppressed by the state store —
+    // the streaming analog of Dedup.exactGroups' canonical filter.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "fp").dropDuplicates("fp")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, "a")) // batch 1: a dup inside
+      q.processAllAvailable()
+      input.addData((4L, "b"), (5L, "c")) // batch 2: b dups ACROSS batches
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._2).toSeq
+      // one row per fingerprint, from its first-seen batch
+      assert(rows.map(_._2) == Seq("a", "b", "c"))
+      assert(rows.collect { case (id, "c") => id } == Seq(5L))
+      assert(!rows.map(_._1).contains(4L), "cross-batch duplicate must be suppressed")
+    } finally q.stop()
+  }
 }
