@@ -127,6 +127,27 @@ class OpsSpec extends SparkSpec {
     assert(again == cells)
   }
 
+  test("orderLongestFirst range-partitions descending by duration (O1 LPT hint)") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 400).map(i => (i.toLong, i * 10L, i * 10L + rnd.nextInt(1000)))
+      .toDF("id", "s", "e")
+    val parted = graft.ops.SegmentOps.orderLongestFirst(df, "s", "e")
+    // plan shape: a range-partitioning exchange on (e - s) DESC
+    val plan = parted.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") && plan.contains("DESC"),
+      s"expected a descending range exchange:\n$plan")
+    // content preserved; earliest partitions hold the longest durations
+    import org.apache.spark.sql.functions.spark_partition_id
+    val rows = parted.withColumn("p", spark_partition_id())
+      .collect().map(r => (r.getAs[Int]("p"), r.getAs[Long]("e") - r.getAs[Long]("s")))
+    assert(rows.length == 400)
+    val maxByPart = rows.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).max) }
+    val minByPart = rows.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).min) }
+    for (p <- maxByPart.keys if minByPart.contains(p + 1))
+      assert(minByPart(p) >= maxByPart(p + 1),
+        s"partition $p should hold durations >= partition ${p + 1}")
+  }
+
   test("allocateBudget: exact Hamilton allocation — sums to budget, floor/floor+1 only") {
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 5) {
