@@ -892,11 +892,11 @@ object SparkEntry {
             TextOps.stopwordHits(col("toks"), TextOps.langMarkers.head._2).as("stop_hits"))
           .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
           .filter(col("n_tokens") >= 50 && col("stop_ratio") >= 0.02)
+        // min-id canonical as a hash aggregate — no window sort
         val canonical = Tables.documents(s, dir)
           .select(col("doc_id"), TextOps.fingerprint(col("text"), 200).as("fp"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-          .filter(col("rn") === 1).select(col("doc_id"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
         scored.join(canonical, "doc_id")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),

@@ -193,12 +193,12 @@ object Dedup {
   def cascadeSurvivors(docs: DataFrame, emb: DataFrame, idCol: String,
                        fpPrefixLen: Int, shingleN: Int, bands: Int,
                        minJaccard: Double, minCos: Double, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // min-id canonical as a hash aggregate (no window sort): one
+    // partial+final agg on the fingerprint, the cheapest possible stage 1
     val s1 = docs
       .select(col(idCol), TextOps.fingerprint(col("text"), fpPrefixLen).as("fp"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col(idCol))))
-      .filter(col("__rn") === 1).select(col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
       .cache()
     s1.count() // eager: feeds the stage-2 shingle filter and the anti join
     val sd = TextOps.shingleTable(docs.join(s1, idCol), idCol, "text", shingleN)
