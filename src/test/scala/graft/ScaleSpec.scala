@@ -117,6 +117,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables co-locate repeated joins: zero exchanges in the plan") {
+    // The 100 TB co-location pattern: both fact tables bucketed by the
+    // join key with the same bucket count — every subsequent join reads
+    // matching buckets directly, no shuffle of either side, ever.
+    import spark.implicits._
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "va")
+      val b = (1 to 1000).map(i => (i.toLong % 50, i.toLong * 2)).toDF("k", "vb")
+      spark.sql("DROP TABLE IF EXISTS g_buck_a")
+      spark.sql("DROP TABLE IF EXISTS g_buck_b")
+      graft.sources.Bucketed.writeBucketed(a, "g_buck_a", "k", 8)
+      graft.sources.Bucketed.writeBucketed(b, "g_buck_b", "k", 8)
+      val j = graft.sources.Bucketed.readBucketed(spark, "g_buck_a")
+        .join(graft.sources.Bucketed.readBucketed(spark, "g_buck_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(j.count() == 50L * 20L * 20L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS g_buck_a")
+      spark.sql("DROP TABLE IF EXISTS g_buck_b")
+    }
+  }
+
   test("GraftExtensions registers native functions for plain SQL use") {
     val prev = spark // keep the shared session alive; build a sibling with extensions
     SparkSession.clearActiveSession()
