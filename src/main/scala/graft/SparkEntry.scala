@@ -997,7 +997,7 @@ object SparkEntry {
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,
         |mh AS (SELECT doc_id, r.band AS band,
-        |  MIN(md5(CAST(r.band AS VARCHAR) || ':' || shingle)) AS sig
+        |  MIN(substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 16)) AS sig
         |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
@@ -1305,7 +1305,7 @@ object SparkEntry {
         |s1 AS (SELECT doc_id FROM (SELECT doc_id,
         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fpt) t WHERE rn = 1),
         |mh AS (SELECT doc_id, r.band AS band,
-        |  MIN(md5(CAST(r.band AS VARCHAR) || ':' || shingle)) AS sig
+        |  MIN(substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 16)) AS sig
         |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),

