@@ -727,6 +727,13 @@ object SparkEntry {
     """d AS (SELECT doc_id, lang,
       |  list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents)""".stripMargin
 
+  /** The char-trigram langid profile rendered as a SQL VALUES literal —
+    * generated from the SAME Scala constant the Spark side broadcasts,
+    * so the two engines cannot drift.
+    */
+  private val langProfileSqlValues: String = TextOps.langTrigramProfiles
+    .map { case (l, i, t, w) => s"('$l', $i, '$t', $w)" }.mkString(", ")
+
   private val shingleSqlCte =
     s"""$toksSqlCte,
        |tt AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS i FROM d),
@@ -821,6 +828,37 @@ object SparkEntry {
         |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
         |       WHEN h_fr >= h_de THEN 'fr' ELSE 'de' END AS pred FROM h)
         |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred
+        |ORDER BY lang, pred""".stripMargin)),
+
+    // T-ops — char-TRIGRAM language ID (Cavnar–Trenkle-style profile):
+    // explode document trigrams, broadcast-join the static integer-weight
+    // profile, per-(doc, lang) sum, deterministic argmax. A different
+    // scale shape than the word-marker langid: explode + broadcast hash
+    // join + two-level agg, still zero wide shuffles beyond the per-doc
+    // score rows. Confusion-matrix rollup output.
+    Q("t_langid_ngram",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.select(col("doc_id"), col("lang"))
+          .join(TextOps.langIdNgram(docs, "doc_id", "text"), Seq("doc_id"), "left")
+          .select(col("lang"), coalesce(col("pred_lang"), lit("und")).as("pred"))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some(s"""WITH prof(plang, pidx, trigram, weight) AS (VALUES $langProfileSqlValues),
+        |c AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS canon
+        |  FROM documents),
+        |tg0 AS (SELECT doc_id, canon, unnest(range(greatest(len(canon) - 2, 0))) AS i FROM c),
+        |tg AS (SELECT doc_id, substr(canon, CAST(i + 1 AS INTEGER), 3) AS trigram FROM tg0),
+        |sc AS (SELECT t.doc_id, p.plang, p.pidx, CAST(SUM(p.weight) AS BIGINT) AS score
+        |  FROM tg t JOIN prof p ON p.trigram = t.trigram
+        |  GROUP BY t.doc_id, p.plang, p.pidx),
+        |b AS (SELECT doc_id, plang FROM (SELECT doc_id, plang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pidx ASC) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |pr AS (SELECT d.lang, COALESCE(b.plang, 'und') AS pred
+        |  FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id)
+        |SELECT lang, pred, COUNT(*) AS n FROM pr GROUP BY lang, pred
         |ORDER BY lang, pred""".stripMargin)),
 
     // T-ops — BPE-ish pretokenization counts: letter runs, digit runs,
@@ -1332,6 +1370,55 @@ object SparkEntry {
         |SELECT s3.doc_id AS doc_id, dd.lang AS lang
         |FROM s3 JOIN documents dd ON dd.doc_id = s3.doc_id
         |ORDER BY doc_id""".stripMargin)),
+
+    // L-series — connected components over the MinHash near-dup pair
+    // graph (alternating large-star/small-star, O(log² n) rounds): every
+    // doc labeled with its component's minimum doc_id plus the cluster
+    // size. The oracle computes min-reachable-id with a recursive CTE —
+    // exactly the component minimum, since reachability over symmetric
+    // edges enumerates the whole component.
+    Q("dedup_components",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(
+          TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+        val cc = Dedup.connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+        val lbl = docs.select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+        val sizes = lbl.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        lbl.join(sizes, "component")
+          .select(col("doc_id"), col("component"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+        |mh AS (SELECT doc_id, r.band AS band,
+        |  MIN(substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 16)) AS sig
+        |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |jp AS (SELECT co.a, co.b FROM co
+        |  JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b
+        |  WHERE CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) >= 0.5),
+        |e AS (SELECT a AS u, b AS v FROM jp UNION SELECT b AS u, a AS v FROM jp),
+        |cc AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT cc.id, e.v FROM cc JOIN e ON e.u = cc.r),
+        |lbl AS (SELECT id AS doc_id, MIN(r) AS component FROM cc GROUP BY id),
+        |sz AS (SELECT component, COUNT(*) AS cluster_size FROM lbl GROUP BY component)
+        |SELECT l.doc_id, l.component, s.cluster_size
+        |FROM lbl l JOIN sz s ON s.component = l.component
+        |ORDER BY l.doc_id""".stripMargin)),
 
     // §2.10 — the curation rollup as a STREAMING query: readStream over
     // the documents parquet, the stateless quality gate, a streaming

@@ -5,8 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,14 +23,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * no intermediate GenericArrayData per window, one reused MessageDigest.
   * HOFs are never whole-stage-codegen'd in Spark, so the fused loop is
   * the difference between ~5 s and well under a second on 5k documents.
+  *
+  * Codegen does not fall back: `doGenCode` emits a single static call
+  * into [[WinnowFingerprint.compute]], so the surrounding stage stays
+  * one WholeStageCodegen span (a CodegenFallback expression would force
+  * the whole stage into interpreted row-at-a-time mode).
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k > 0 && w > 0, "winnow needs positive k and w")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprint.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.WinnowFingerprint.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -45,8 +63,10 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     new String(out)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  /** The fused winnowing kernel; called from interpreted eval AND from
+    * generated code (static forwarder on the companion class). */
+  def compute(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val text = input.toString
     // canon = lower(regexp_replace(text, "[^A-Za-z0-9]", "")) — ASCII
     // alnum kept, uppercase folded
     val sb = new java.lang.StringBuilder(text.length)
@@ -92,12 +112,6 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
-    copy(child = newChild)
-}
-
-object WinnowFingerprint {
 
   /** Registers `graft_winnow_<k>_<w>` (register-once, see
     * [[LongArrayDot.register]]).

@@ -229,6 +229,93 @@ object Dedup {
     s2.join(drop3, Seq(idCol), "left_anti")
   }
 
+  /** Connected components of an undirected pair graph — the stage every
+    * pair-producing dedup path feeds in production: near-dup PAIRS are
+    * not directly deletable (greedy pairwise drops over- or under-delete
+    * on chains a–b–c where b is the only link); the correct deletion
+    * unit is the component, with one canonical survivor per component.
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14). Each
+    * round is two groupBy+join passes keyed on the node id; the edge set
+    * contracts to disjoint stars centered on component minima in
+    * O(log² n) rounds even on path graphs — unlike naive min-label
+    * propagation, whose round count is the graph DIAMETER (fatal at
+    * corpus scale, where boilerplate dup chains get long). Per-round
+    * lineage is truncated with an eager localCheckpoint: an iterative
+    * DataFrame loop otherwise compounds the logical plan and every round
+    * re-optimizes an ever-larger DAG.
+    *
+    * Convergence = identical (count, xxhash64-XOR) edge fingerprints on
+    * consecutive rounds — an order-invariant set fingerprint costing one
+    * tiny agg job per round (XOR, not sum: ANSI mode would overflow a
+    * long sum). Throws rather than returning partial labels if `maxIter`
+    * rounds don't converge.
+    *
+    * Input: (aCol, bCol) pairs, any orientation, dups fine. Output:
+    * (id, component) for every node incident to a pair, component = the
+    * minimum node id of its component; callers left-join the vertex
+    * table and coalesce(component, id) to label singletons.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // canonical orientation u < v; self-loops dropped
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+              greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(edges)
+      converged = nfp == fp
+      fp = nfp
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
+    // fixpoint = disjoint stars centered on component minima: every edge
+    // (u, v) reads "member v of component u"; centers label themselves
+    edges.select(col("v").as("id"), col("u").as("component"))
+      .union(edges.select(col("u").as("id"), col("u").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
+
+  /** Large-star round: every node connects its LARGER neighbors to the
+    * minimum of its closed neighborhood — inter-component connectivity
+    * is preserved, long chains halve. Canonical (u < v) in and out. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nbr.where(col("v") > col("u")).join(mins, "u")
+      .select(col("m").as("u"), col("v")) // m <= u < v: canonical
+      .distinct()
+  }
+
+  /** Small-star round: every node connects its smaller-than-self
+    * neighborhood (plus itself) to that set's minimum — local stars
+    * collapse onto component minima. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val small = nbr.where(col("v") < col("u"))
+    val mins = small.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val members = small.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("m").as("u"), col("v")) // m < v: canonical
+    val centers = mins.select(col("m").as("u"), col("u").as("v")) // m < u
+    members.union(centers).distinct()
+  }
+
   /** SimHash near-dup pairs: equal-width signatures compared by Hamming
     * distance. Input: (id, simhash) with `bits`-bit signatures.
     *

@@ -118,6 +118,66 @@ object TextOps {
     }
   }
 
+  /** Character n-grams over canonicalized text (lowercase, trimmed,
+    * whitespace collapsed to single spaces) — the language-ID feature
+    * that survives short/noisy documents where word markers miss. Pure
+    * HOF (sequence + substr), evaluated once per row via `let`.
+    */
+  def charNgrams(textCol: Column, n: Int): Column =
+    let(regexp_replace(trim(lower(textCol)), "\\s+", " ")) { canon =>
+      when(length(canon) >= n,
+        transform(sequence(lit(0), length(canon) - n),
+          i => canon.substr(i + 1, lit(n))))
+        .otherwise(array())
+    }
+
+  /** Per-language characteristic character trigrams with INTEGER weights
+    * (exact-domain scores; Cavnar–Trenkle-style profile, hand-sized to a
+    * broadcastable literal). pidx is the deterministic tie-break rank.
+    */
+  val langTrigramProfiles: Seq[(String, Int, String, Long)] = Seq(
+    ("en", 0, "the", 3L), ("en", 0, " th", 2L), ("en", 0, "he ", 2L),
+    ("en", 0, "ing", 2L), ("en", 0, "and", 2L), ("en", 0, " an", 1L),
+    ("en", 0, "ion", 1L), ("en", 0, "ed ", 1L), ("en", 0, " of", 2L),
+    ("en", 0, "of ", 1L),
+    ("es", 1, " de", 2L), ("es", 1, "de ", 2L), ("es", 1, " la", 2L),
+    ("es", 1, "la ", 1L), ("es", 1, "que", 3L), ("es", 1, " qu", 1L),
+    ("es", 1, "os ", 2L), ("es", 1, "ar ", 1L), ("es", 1, " el", 2L),
+    ("es", 1, "ión", 2L),
+    ("fr", 2, " le", 2L), ("fr", 2, "le ", 2L), ("fr", 2, "es ", 1L),
+    ("fr", 2, "ent", 2L), ("fr", 2, " et", 2L), ("fr", 2, "et ", 1L),
+    ("fr", 2, "eur", 2L), ("fr", 2, "une", 2L), ("fr", 2, " un", 1L),
+    ("fr", 2, "ait", 2L),
+    ("de", 3, "der", 3L), ("de", 3, "die", 3L), ("de", 3, "und", 3L),
+    ("de", 3, " un", 1L), ("de", 3, "ch ", 2L), ("de", 3, "sch", 2L),
+    ("de", 3, "ein", 2L), ("de", 3, "ich", 2L), ("de", 3, "en ", 1L),
+    ("de", 3, " ge", 1L))
+
+  /** Char-trigram language ID: explode document trigrams, broadcast-join
+    * the static profile, per-(doc, lang) integer weight sum, argmax with
+    * deterministic ties (higher score wins, then earlier profile rank).
+    * The aggregation key is unique per (doc, lang) so `max_by`'s ordering
+    * struct (score, -pidx) has no ties — fully deterministic. Docs with
+    * zero profile hits get no row; callers coalesce to "und". Scale
+    * shape: one explode + one broadcast hash join + one partial+final
+    * agg — no shuffle wider than the per-doc score rows.
+    */
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prof = broadcast(
+      langTrigramProfiles.toDF("plang", "pidx", "trigram", "weight"))
+    df.select(col(idCol), explode(charNgrams(col(textCol), 3)).as("trigram"))
+      .join(prof, "trigram")
+      .groupBy(col(idCol), col("plang"), col("pidx"))
+      .agg(sum(col("weight")).as("score"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("plang"), struct(col("score"), (-col("pidx")).as("np")))
+          .as("pred_lang"),
+        max(col("score")).as("score"))
+  }
+
   /** 16-bit SimHash over a (id, shingle) table: bit b of each shingle's
     * md5 (odd hex digit b = 1) votes +1/-1; the sign of each bit's vote
     * sum forms the signature. Two near-identical docs differ in few

@@ -81,6 +81,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents == union-find on random graphs, paths, cliques") {
+    def bruteCC(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.ops.Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path of 65 nodes: worst case for diameter-bound propagation —
+    // star contraction must converge well inside maxIter=30
+    val path = (0L until 64L).map(i => (i, i + 1))
+    val gotPath = run(path)
+    assert((0L to 64L).forall(gotPath(_) == 0L))
+    // dense clique + random graphs at three densities, adversarial
+    // orientation (b, a) and duplicate edges mixed in
+    val rnd = new scala.util.Random(42)
+    for (p <- Seq(0.01, 0.05, 0.3)) {
+      val n = 80
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)) ++ Seq((5L, 3L), (3L, 5L), (5L, 3L))
+      val want = bruteCC(n, edges)
+      val got = run(edges)
+      // kernel labels only incident nodes; brute labels all — restrict
+      val incident = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got == want.filter(kv => incident(kv._1)), s"p=$p")
+    }
+    // empty pair table -> empty labeling, no throw
+    assert(run(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
   test("fused WinnowFingerprint == HOF winnowing, as sets, incl. edge cases") {
     val fn = graft.expr.WinnowFingerprint.register(spark, 8, 4)
     val docs = Seq(
@@ -92,12 +128,17 @@ class OpsSpec extends SparkSpec {
       "aaaaaaaaaaaaaaaaaaaaaaaa",                         // constant text, 1 distinct fp
       "Pack my box with five dozen liquor jugs — naturally."
     ).zipWithIndex.map(_.swap).toDF("id", "text")
-    val both = docs
-      .withColumn("fused", expr(s"$fn(text)"))
-      .withColumn("hof", graft.ops.TextOps.winnowFingerprints(
-        graft.ops.TextOps.winnowGramHashes($"text", 8), 4))
-      .select($"id", array_sort($"fused").as("f"), array_sort($"hof").as("h"))
-      .collect()
+    // fallback=false: a broken doGenCode throws instead of silently
+    // running interpreted — proves the generated call actually compiles
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val both =
+      try docs
+        .withColumn("fused", expr(s"$fn(text)"))
+        .withColumn("hof", graft.ops.TextOps.winnowFingerprints(
+          graft.ops.TextOps.winnowGramHashes($"text", 8), 4))
+        .select($"id", array_sort($"fused").as("f"), array_sort($"hof").as("h"))
+        .collect()
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
     both.foreach { r =>
       assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getInt(0)}")
     }
