@@ -1118,6 +1118,48 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rnk, dot, cos FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin)),
 
+    // Similarity — IVF-probe ANN top-k: corpus assigned to nearest seed
+    // cell (rank 1), each query probes its 4 nearest of 16 cells, exact
+    // rank within the probed population only — ~4/16 of the corpus per
+    // query instead of all of it, the inverted-file search shape. The
+    // oracle mirrors the probe scheme, so the ANN result (not the brute
+    // answer) is what's checked.
+    Q("sim_ann_ivf_topk",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.ivfTopK(q.filter(col("vec_id") < 10), q, "vec_id", 10,
+            nCells = 16, nProbe = 4)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |cscored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id AS neighbor_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM cscored) t WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM cscored WHERE vec_id < 10) t
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, c.neighbor_id FROM probes p
+        |  JOIN cells c ON c.cell = p.cell AND c.neighbor_id <> p.query_id),
+        |vd AS (SELECT query_id, neighbor_id,
+        |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS dot
+        |  FROM cand JOIN q qa ON qa.vec_id = query_id JOIN q qb ON qb.vec_id = neighbor_id),
+        |sc AS (SELECT query_id, neighbor_id, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM vd JOIN nm na ON na.vec_id = query_id JOIN nm nb ON nb.vec_id = neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  dot, cos FROM sc)
+        |SELECT query_id, neighbor_id, rnk, dot, cos FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin)),
+
     // Similarity — MLlib random-projection LSH candidates + exact
     // quantized-cosine verify. The candidate radius has a 0.1 cosine
     // slack and 12 seeded hash tables, so at this corpus's margin the
@@ -1419,6 +1461,45 @@ object SparkEntry {
         |SELECT l.doc_id, l.component, s.cluster_size
         |FROM lbl l JOIN sz s ON s.component = l.component
         |ORDER BY l.doc_id""".stripMargin)),
+
+    // L-series — INCREMENTAL dedup: the batch-arrival shape. Docs with
+    // doc_id % 4 == 1 are the "new" batch; the rest are the seen corpus
+    // whose signatures stand in for a persisted index. New signatures
+    // probe seen ∪ new — seen–seen pairs are never generated, so the
+    // per-batch cost is O(|new| · collisions) regardless of corpus size.
+    // The oracle computes full-corpus signatures and applies the same
+    // probe-side restriction.
+    Q("dedup_incremental",
+      (s, dir) => {
+        val sd = TextOps.shingleTable(
+          Tables.documents(s, dir), "doc_id", "text", 3)
+        Dedup.incrementalNearDups(
+            sd.where(col("doc_id") % 4 =!= 1), sd.where(col("doc_id") % 4 === 1),
+            "doc_id", 8, 0.5)
+          .orderBy(col("new_id"), col("match_id"))
+      },
+      Some(s"""WITH $shingleSqlCte,
+        |mh AS (SELECT doc_id, r.band AS band,
+        |  MIN(substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 16)) AS sig
+        |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  CASE WHEN y.doc_id % 4 = 1 THEN 'new' ELSE 'seen' END AS m_side
+        |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig
+        |  WHERE x.doc_id % 4 = 1
+        |    AND ((y.doc_id % 4 != 1 AND x.doc_id != y.doc_id)
+        |      OR (y.doc_id % 4 = 1 AND x.doc_id < y.doc_id))),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |j AS (SELECT co.a, co.b, co.common,
+        |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
+        |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
+        |SELECT j.a AS new_id, j.b AS match_id, c2.m_side AS match_side, j.common, j.jaccard
+        |FROM j JOIN cand c2 ON c2.a = j.a AND c2.b = j.b
+        |WHERE j.jaccard >= 0.5 ORDER BY new_id, match_id""".stripMargin)),
 
     // §2.10 — the curation rollup as a STREAMING query: readStream over
     // the documents parquet, the stateless quality gate, a streaming

@@ -229,6 +229,43 @@ object Dedup {
     s2.join(drop3, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dup detection — the production shape for a corpus
+    * that grows in batches: the SEEN corpus's band signatures act as a
+    * persisted index (recomputed from its shingle table here; in a real
+    * deployment they are read back from storage, so the seen corpus is
+    * never re-shingled), and only the NEW batch computes fresh
+    * signatures. The band join probes new signatures against seen ∪ new,
+    * so seen–seen pairs — the quadratic bulk that incremental processing
+    * exists to avoid — are never generated: per batch the candidate
+    * volume is O(|new| · collisions), independent of corpus size beyond
+    * the index lookup.
+    *
+    * Output: one verified row per (new doc, matched doc) pair, oriented
+    * new-first — columns (new_id, match_id, match_side, common,
+    * jaccard); new–new pairs appear once (lower id first). Dropping
+    * every distinct new_id of the result de-dups the batch against
+    * corpus + batch.
+    */
+  def incrementalNearDups(seenSd: DataFrame, newSd: DataFrame, idCol: String,
+                          bands: Int, minJaccard: Double): DataFrame = {
+    val newSigs = minhashSignatures(newSd, idCol, bands)
+    val index = minhashSignatures(seenSd, idCol, bands)
+      .select(col(idCol).as("m_id"), col("band"), col("sig"),
+        lit("seen").as("m_side"))
+      .union(newSigs.select(col(idCol).as("m_id"), col("band"), col("sig"),
+        lit("new").as("m_side")))
+    val cand = newSigs.select(col(idCol).as("a"), col("band"), col("sig"))
+      .join(index, Seq("band", "sig"))
+      .where(col("m_side") === "seen" && col("a") =!= col("m_id")
+        || col("m_side") === "new" && col("a") < col("m_id"))
+      .select(col("a"), col("m_id").as("b"), col("m_side")).distinct()
+    jaccardVerify(cand.select(col("a"), col("b")), seenSd.union(newSd),
+        idCol, minJaccard)
+      .join(cand, Seq("a", "b"))
+      .select(col("a").as("new_id"), col("b").as("match_id"),
+        col("m_side").as("match_side"), col("common"), col("jaccard"))
+  }
+
   /** Connected components of an undirected pair graph — the stage every
     * pair-producing dedup path feeds in production: near-dup PAIRS are
     * not directly deletable (greedy pairwise drops over- or under-delete

@@ -71,6 +71,60 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dot"), col("cos"))
   }
 
+  /** IVF-probe ANN top-k — the scale path for similarity SEARCH (vs
+    * [[cosineTopK]]'s brute broadcast baseline): corpus vectors are
+    * assigned to their nearest seed cell once (rank 1), each query
+    * probes its `nProbe` nearest cells, and only those cells' members
+    * are ranked exactly. Per-query dot products drop from |corpus| to
+    * the probed cells' population (≈ nProbe/nCells of the corpus);
+    * recall misses only true neighbors living outside the probed cells.
+    * Candidate generation is an equi join on the cell id — partitioned
+    * by cell on both sides, no cross join past the tiny broadcast seed
+    * table. Same deterministic seed scheme as [[ivfNearDupPairs]], so
+    * an external SQL engine mirrors the whole path bit-for-bit.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    LongArrayDot.register(queries.sparkSession)
+    val seeds = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("seed_id"), col("qv").as("sv"))
+      .withColumn("snorm", sqrt(sqNorm(col("sv")).cast("double")))
+    def nearestCells(df: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("seed_id"))
+      df.select(col(idCol), col("qv")).crossJoin(broadcast(seeds))
+        .withColumn("score",
+          expr(s"${LongArrayDot.fnName}(qv, sv)").cast("double") / col("snorm"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .select(col(idCol), col("seed_id").as("cell"))
+    }
+    val cells = nearestCells(corpus, 1)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val probes = nearestCells(queries, nProbe)
+      .select(col(idCol).as("query_id"), col("cell"))
+    // rank-1 corpus assignment => a (query, neighbor) arises from at most
+    // one probed cell: no distinct needed
+    val cand = probes.join(cells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(queries.withColumn("na", sqNorm(col("qv")))
+        .select(col(idCol).as("query_id"), col("qv").as("qa"), col("na")),
+        "query_id")
+      .join(corpus.withColumn("nb", sqNorm(col("qv")))
+        .select(col(idCol).as("neighbor_id"), col("qv").as("qb"), col("nb")),
+        "neighbor_id")
+      .withColumn("dot", expr(s"${LongArrayDot.fnName}(qa, qb)"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dot"), col("cos"))
+  }
+
   /** Embedding near-dup pairs above a cosine threshold — the exhaustive
     * exact kernel. This is the *verification baseline* (oracle-checkable
     * at test scale); the production path generates candidates with LSH
