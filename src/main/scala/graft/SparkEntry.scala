@@ -1317,6 +1317,33 @@ object SparkEntry {
         |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY lang""".stripMargin)),
 
+    // Curation — exact-quota stratified sample: Hamilton-allocated
+    // per-lang quotas (budget 100 docs, proportional to stratum size)
+    // filled by deterministic md5-rank within each stratum. Exactly 100
+    // rows out, reproducible across engines — the L14+L15 composition.
+    Q("c_stratified_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val quotas = Curation.allocateBudget(
+            docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+            "lang", "n_docs", budget = 100L)
+          .select(col("lang"), col("alloc").as("quota"))
+        Curation.stratifiedSample(docs, "lang", "doc_id", quotas)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs, CAST(SUM(n_docs) OVER () AS BIGINT) AS T FROM t),
+        |f AS (SELECT lang, n_docs, (100 * n_docs) // T AS fl,
+        |  (100 * n_docs) % T AS rem FROM w),
+        |r AS (SELECT lang, fl,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |  100 - CAST(SUM(fl) OVER () AS BIGINT) AS leftover FROM f),
+        |qt AS (SELECT lang, fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota FROM r),
+        |sr AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+        |SELECT sr.doc_id, sr.lang FROM sr JOIN qt ON qt.lang = sr.lang AND sr.rn <= qt.quota
+        |ORDER BY sr.lang, sr.doc_id""".stripMargin)),
+
     // Curation — Gopher-style repetition metrics over word-2-grams:
     // duplicate-2-gram and top-2-gram fractions, the standard repetition
     // filters. One per-doc aggregation, ratios as single divisions of

@@ -93,6 +93,33 @@ object Curation {
         min(col(orderCol)).as("first_doc"), max(col(orderCol)).as("last_doc"))
   }
 
+  /** Exact-quota STRATIFIED sampling: rank each stratum's rows by
+    * `md5(key)` (the rank form of [[hashSampleGate]]'s portable gate —
+    * stable under reruns, repartitions, and engine swaps) and keep
+    * exactly `quota(stratum)` rows. With quotas from [[allocateBudget]]
+    * this is the end-to-end "cut an exactly-N-doc stratified sample"
+    * pipeline step — Bernoulli gates only hit quotas in expectation.
+    *
+    * Scale shape: one window rank per stratum (a single shuffle on the
+    * stratum key; skewed strata ride AQE) against a BROADCAST quota
+    * table — quotas have one row per stratum. Deterministic total order
+    * inside each stratum: (md5(key), key) — the key tie-break makes even
+    * md5-collision ties stable.
+    *
+    * `quotas`: (stratumCol, quota). Output: the input's columns, exactly
+    * quota rows per stratum.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       quotas: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__rk"), col(keyCol))
+    df.withColumn("__rk", md5(col(keyCol).cast("string")))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), stratumCol)
+      .where(col("__rn") <= col("quota"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Mixture-weight ALLOCATION by largest remainder (Hamilton's method):
     * split an integer token `budget` across groups proportionally to
     * their token counts, exactly — allocations sum to the budget, every

@@ -81,6 +81,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDups == full pair set restricted to pairs touching new") {
+    // same signatures either way, so the incremental probe must return
+    // exactly the full-corpus near-dup pairs that involve >=1 new doc,
+    // reoriented new-first with the match side tagged
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "pack my box with five dozen liquor jugs before noon strikes twice",
+      "sphinx of black quartz judge my vow said the curious old raven")
+    val docs = (0L until 30L).map { i =>
+      val t = base((i % 3).toInt)
+      // thirds are near-identical variants: one word tweaked per doc
+      (i, if (i < 3) t else t + " v" + (i % 5))
+    }.toDF("doc_id", "text")
+    val sd = graft.ops.TextOps.shingleTable(docs, "doc_id", "text", 3)
+    val isNew = (id: Long) => id % 4 == 1
+    val inc = graft.ops.Dedup.incrementalNearDups(
+        sd.where($"doc_id" % 4 =!= 1), sd.where($"doc_id" % 4 === 1),
+        "doc_id", 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val full = graft.ops.Dedup.minhashLshPairs(sd, "doc_id", 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = full.flatMap { case (a, b) =>
+      (isNew(a), isNew(b)) match {
+        case (true, true)   => Some((a, b, "new"))    // lower id first
+        case (true, false)  => Some((a, b, "seen"))
+        case (false, true)  => Some((b, a, "seen"))   // reorient new-first
+        case (false, false) => None                   // never generated
+      }
+    }.toSet
+    assert(inc == want)
+    assert(inc.nonEmpty, "test corpus must actually produce near-dups")
+  }
+
   test("connectedComponents == union-find on random graphs, paths, cliques") {
     def bruteCC(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = Array.tabulate(n)(identity)
