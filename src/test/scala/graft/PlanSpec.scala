@@ -87,6 +87,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must stream past a broadcast, not sort-merge")
   }
 
+  test("round-3 additions keep their intended join strategies") {
+    // trigram langid: the 40-row profile must broadcast; the corpus side
+    // streams by without a sort-merge
+    val lp = plan("t_langid_ngram")
+    assert(lp.contains("BroadcastHashJoin"), "profile should broadcast")
+    assert(!lp.contains("CartesianProduct"))
+    // stratified sample: the per-stratum quota table must broadcast
+    val sp = plan("c_stratified_sample")
+    assert(sp.contains("BroadcastHashJoin"), "quota table should broadcast")
+    assert(!sp.contains("SortMergeJoin"), "sample join must not sort-merge")
+    // incremental dedup: candidates come from band equi joins only
+    val ip = plan("dedup_incremental")
+    assert(!ip.contains("CartesianProduct"))
+    assert(!ip.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so

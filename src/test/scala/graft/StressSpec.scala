@@ -50,6 +50,34 @@ class StressSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("connectedComponents absorbs the 4x-replica clique graph") {
+    // the same 4x replication: every original near-dup pair becomes a
+    // 4-clique of copies (plus cross-pair edges), a dense many-component
+    // graph ~20k edges — star contraction must converge and every
+    // replica group must land in one component with its copies
+    val docs0 = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    val docs = (0L until 4L).map(i =>
+        docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val pairs = graft.ops.Dedup.minhashLshPairs(
+      graft.ops.TextOps.shingleTable(docs, "doc_id", "text", 3),
+      "doc_id", bands = 8, minJaccard = 0.5)
+    val cc = graft.ops.Dedup.connectedComponents(pairs, "a", "b")
+    // every doc that appears in a pair got a label, and each label is the
+    // component min: no label exceeds its id, and every component's
+    // min-labeled member labels itself
+    val bad = cc.filter(col("component") > col("id")).count()
+    assert(bad == 0L, "a label exceeds its node id")
+    // the 4 copies of any doc are jaccard-1 pairs -> same component:
+    // labels of clones (id % 1000000) must agree across replicas
+    val split = cc.select((col("id") % 1000000L).as("orig"), col("component"))
+      .groupBy(col("orig")).agg(countDistinct(col("component")).as("nc"))
+      .filter(col("nc") > 1L).count()
+    assert(split == 0L, "replica copies of one doc landed in different components")
+    spark.catalog.clearCache()
+  }
+
   test("sessionizeCapped kernel sustains a 200k-segment single key") {
     val segs = spark.range(200000L).select(
       lit("one").as("file"),
