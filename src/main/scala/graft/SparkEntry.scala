@@ -1573,7 +1573,49 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  MIN(doc_id) AS first_doc
         |FROM sc WHERE n_tokens >= 50 AND stop_ratio >= 0.02
-        |GROUP BY lang ORDER BY lang""".stripMargin))
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // §2.10 + L1 — STREAMING exact dedup: the stateful fingerprint
+    // aggregation (state = one entry per distinct (lang, fp)) run to
+    // completion with AvailableNow, then a batch rollup of the memory
+    // sink — per-lang distinct fingerprints, doc totals, and surplus dup
+    // copies. Survivor-independent outputs, so the batch SQL is an exact
+    // oracle regardless of micro-batch arrival order.
+    Q("streaming_dedup",
+      (s, dir) => {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "sdp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_ddsrc")
+        val src = java.nio.file.Paths.get(path)
+        val dst = srcDir.resolve("documents.parquet")
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+        val agg = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("lang"), TextOps.fingerprint(col("text"), 200).as("fp"))
+          .groupBy(col("lang"), col("fp"))
+          .agg(count(lit(1)).as("n_copies"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_unique"),
+            sum(col("n_copies")).as("n_docs"),
+            sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L))
+              .as("n_dup_copies"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH f AS (SELECT lang,
+        |  md5(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 200)) AS fp,
+        |  COUNT(*) AS n_copies
+        |  FROM documents GROUP BY lang, fp)
+        |SELECT lang, COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_dup_copies
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
   ) ++ kernelRegistry
 
   private def kernelRegistry: Seq[Q] = Seq(
