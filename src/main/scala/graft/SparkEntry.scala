@@ -1344,6 +1344,52 @@ object SparkEntry {
         |SELECT sr.doc_id, sr.lang FROM sr JOIN qt ON qt.lang = sr.lang AND sr.rn <= qt.quota
         |ORDER BY sr.lang, sr.doc_id""".stripMargin)),
 
+    // J-series — salted replicate join: hot-key skew control when the
+    // small side can't broadcast and AQE's skew split is pinned by a
+    // reused shuffle. Result is exactly the plain inner join (the oracle
+    // IS the plain join); the salt only reshapes the plan — partition-id
+    // salt on the probe side, explode-replicated build side, equi join
+    // on (key, salt).
+    Q("j_salted_skew",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        SegmentOps.saltedReplicateJoin(li, p, "l_partkey", 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount")) * 10000d)
+              .cast("long")).as("revenue_e4"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Curation — EXACT token-length quantiles, distributed shape:
+    // per-value counts (hash shuffle on the value), then the running
+    // count over sorted DISTINCT values picks ceil(q·n/100) — the exact
+    // answer without a global row sort, and portable unlike sketch
+    // percentiles. The length distribution is what quality gates (P4/P5
+    // analogs, Gopher length filters) are calibrated against.
+    Q("t_length_quantiles",
+      (s, dir) => Curation.discreteQuantiles(
+          Tables.documents(s, dir)
+            .select(TextOps.tokenCount(col("text")).as("n_tok")),
+          "n_tok", Seq(1, 10, 25, 50, 75, 90, 99)),
+      Some("""WITH v AS (SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (SELECT v, COUNT(*) AS c FROM v GROUP BY v),
+        |cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |  CAST(SUM(c) OVER () AS BIGINT) AS n FROM c),
+        |q AS (SELECT CAST(unnest([1,10,25,50,75,90,99]) AS BIGINT) AS q_pct),
+        |t AS (SELECT q.q_pct, (q.q_pct * cum.n + 99) // 100 AS target, cum.v, cum.cum
+        |  FROM q CROSS JOIN cum)
+        |SELECT q_pct, MIN(v) AS value FROM t WHERE cum >= target
+        |GROUP BY q_pct ORDER BY q_pct""".stripMargin)),
+
     // Curation — Gopher-style repetition metrics over word-2-grams:
     // duplicate-2-gram and top-2-gram fractions, the standard repetition
     // filters. One per-doc aggregation, ratios as single divisions of

@@ -120,6 +120,44 @@ object Curation {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** EXACT discrete quantiles of an integer column, distributed-shaped:
+    * instead of a global row sort (the naive rank formulation — one
+    * partition holding the corpus), aggregate to per-VALUE counts (a
+    * hash shuffle on the value), then take the running count over the
+    * sorted *distinct values* — typically thousands of rows for
+    * length-like columns no matter the corpus size — and pick, for each
+    * requested quantile q, the first value whose running count reaches
+    * `ceil(q·n)` (the type-1 / lower discrete quantile). Exact integer
+    * math end to end, so an external engine mirrors it bit-for-bit —
+    * unlike sketch-based approx percentiles, which are neither exact nor
+    * portable. The single-partition window runs over the distinct-value
+    * table only; that reduction is what makes the exact answer feasible
+    * at corpus scale.
+    *
+    * Output: (q_pct, value) — one row per requested percentage, in
+    * ascending q order.
+    */
+  def discreteQuantiles(df: DataFrame, valueCol: String,
+                        qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 100),
+      "quantile percentages must be in 1..100")
+    val counts = df.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val qs = qPcts.map(q => struct(lit(q.toLong).as("q_pct"),
+      // ceil(q*n/100) in exact integer math: (q*n + 99) div 100
+      expr(s"($q * n + 99) div 100").as("target")))
+    cum.select(col("v"), col("cum"), explode(array(qs: _*)).as("qq"))
+      .select(col("qq.q_pct").as("q_pct"), col("qq.target").as("target"),
+        col("v"), col("cum"))
+      .where(col("cum") >= col("target"))
+      .groupBy(col("q_pct")).agg(min(col("v")).as("value"))
+      .orderBy(col("q_pct"))
+  }
+
   /** Mixture-weight ALLOCATION by largest remainder (Hamilton's method):
     * split an integer token `budget` across groups proportionally to
     * their token counts, exactly — allocations sum to the budget, every

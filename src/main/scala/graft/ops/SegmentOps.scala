@@ -263,6 +263,30 @@ object SegmentOps {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
 
+  /** Salted REPLICATE join for hot-key skew: the big side gets a salt
+    * derived from its physical partition (per-row entropy independent of
+    * any value — constant-value keys still spread), the small side is
+    * replicated once per salt, and the equi join runs on (key, salt) —
+    * one hot key's rows land on `salts` reducers instead of one. Result
+    * set is EXACTLY the plain inner equi join (each big row joins the
+    * single replica carrying its salt), so correctness is oracle-trivial;
+    * the point is the plan. Use when the small side is too big to
+    * broadcast and AQE's skew split can't kick in (e.g. a shuffle reused
+    * by a downstream op pins the partitioning).
+    *
+    * `small` must have unique join keys per row group semantics the
+    * caller expects of an inner join (replication preserves duplicates
+    * faithfully either way).
+    */
+  def saltedReplicateJoin(big: DataFrame, small: DataFrame, key: String,
+                          salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be positive")
+    val saltedBig = big.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** J8/W9 — sweep line over possibly-overlapping intervals of one key:
     * explode each interval into +1/-1 boundary events, order by
     * (time, delta) so that closings process before openings at ties

@@ -81,6 +81,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedReplicateJoin == plain inner join, incl. dup keys and hot key") {
+    val rnd = new scala.util.Random(11)
+    // hot key 0 dominates; small side has duplicate keys too
+    val big = (0 until 5000).map(i =>
+      (if (rnd.nextDouble() < 0.7) 0L else rnd.nextInt(40).toLong, i.toLong))
+      .toDF("k", "payload")
+    val small = ((0 until 40).map(i => (i.toLong, s"d$i")) ++ Seq((0L, "dup0")))
+      .toDF("k", "label")
+    for (salts <- Seq(1, 5)) {
+      val got = graft.ops.SegmentOps.saltedReplicateJoin(big, small, "k", salts)
+      assert(!got.columns.contains("__salt"))
+      val want = big.join(small, "k")
+      assert(got.count() == want.count(), s"salts=$salts row count")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"salts=$salts multiset mismatch")
+    }
+  }
+
   test("incrementalNearDups == full pair set restricted to pairs touching new") {
     // same signatures either way, so the incremental probe must return
     // exactly the full-corpus near-dup pairs that involve >=1 new doc,
