@@ -1621,6 +1621,76 @@ object SparkEntry {
         |FROM sc WHERE n_tokens >= 50 AND stop_ratio >= 0.02
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // §2.10 — STREAMING session windows over the event feed: Spark's
+    // native session_window with a 0s watermark in append mode, run to
+    // completion with AvailableNow. Append mode only emits sessions the
+    // watermark has passed, so the stage dir carries a far-future
+    // HEARTBEAT row per user (the standard production trick for closing
+    // sessions at end-of-feed); the final no-data micro-batch flushes
+    // every real session, while the heartbeat sessions stay unemitted in
+    // state. Session merge is half-open ([t, t+gap)), so the batch
+    // oracle breaks on diff >= gap — deliberately different from
+    // w1_sessionize's diff > gap reference semantics.
+    Q("streaming_sessions",
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        val base = s.read.parquet(path)
+        val schema = base.schema
+        val gapUs = 4L * 3600L * 1000000L
+        val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ses").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_sessrc")
+        val src = java.nio.file.Paths.get(path)
+        try java.nio.file.Files.createLink(srcDir.resolve("events.parquet"), src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, srcDir.resolve("events.parquet")) }
+        // heartbeat file: one row per user, +10 days past the global max
+        // event time (ts is nanos-as-long), nulls elsewhere
+        val maxTs = base.agg(max(col("ts"))).head.getLong(0)
+        val sentinel = base.select(col("user_id")).distinct()
+          .select(schema.fields.toSeq.map { f => f.name match {
+            case "user_id" => col("user_id")
+            case "ts" => lit(maxTs + 864000L * 1000000000L).as("ts")
+            case other => lit(null).cast(f.dataType).as(other)
+          }}: _*)
+        val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_sent")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+        val part = java.nio.file.Files.list(sentDir).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part, srcDir.resolve("zz_heartbeat.parquet"))
+        val sessions = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            round(col("value") * 100d).cast("long").as("cents"))
+          .withColumn("etime", timestamp_micros(col("tus")))
+          .withWatermark("etime", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("etime"), "4 hours"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        val q = sessions.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
+            col("n_events"), col("sum_cents"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |f AS (SELECT user_id, event_id, tus, cents,
+        |  CASE WHEN lag(tus) OVER w IS NULL
+        |         OR tus - lag(tus) OVER w >= 14400000000
+        |       THEN 1 ELSE 0 END AS newflag
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, tus, cents,
+        |  CAST(SUM(newflag) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+
     // §2.10 + L1 — STREAMING exact dedup: the stateful fingerprint
     // aggregation (state = one entry per distinct (lang, fp)) run to
     // completion with AvailableNow, then a batch rollup of the memory
