@@ -1368,6 +1368,40 @@ object SparkEntry {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // J9 — AS-OF join (SegmentOps.asofJoin): each click event picks up
+    // the user's most recent purchase at-or-before it. The merged-stream
+    // window formulation — one shuffle on user_id, no join operator, no
+    // range explosion. DuckDB's native ASOF LEFT JOIN is the oracle
+    // (right side pre-deduped to one row per (user, ts), max event_id
+    // wins, mirroring the operator's tie rule).
+    Q("j9_asof_join",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tus"), col("event_type"),
+            round(col("value") * 100d).cast("long").as("cents"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "tus")
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "tus", "cents")
+        SegmentOps.asofJoin(clicks, buys, "user_id", "tus", "tus", "event_id",
+            Seq("cents"))
+          .select(col("user_id"), col("event_id"), col("tus"),
+            col("asof.tus").as("prev_tus"), col("asof.cents").as("prev_cents"),
+            (col("tus") - col("asof.tus")).as("lag_us"))
+          .orderBy(col("user_id"), col("tus"), col("event_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |l AS (SELECT user_id, event_id, tus FROM e WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, event_id, tus, cents FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, tus, cents FROM (SELECT user_id, tus, cents,
+        |  row_number() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) AS rn
+        |  FROM r0) t WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, l.tus, r.tus AS prev_tus,
+        |  r.cents AS prev_cents, l.tus - r.tus AS lag_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+        |ORDER BY l.user_id, l.tus, l.event_id""".stripMargin)),
+
     // Curation — EXACT token-length quantiles, distributed shape:
     // per-value counts (hash shuffle on the value), then the running
     // count over sorted DISTINCT values picks ceil(q·n/100) — the exact
@@ -1432,6 +1466,78 @@ object SparkEntry {
         |  CAST(SUM(t) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sq GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin)),
+
+    // Curation — PII redaction (Curation.scrubPii). The synthetic corpus
+    // carries no PII, so both engines append the SAME deterministic
+    // doc_id-derived email/phone/IP suffixes before scrubbing — the scrub
+    // logic (match, typed placeholder, ordered passes, per-category
+    // counts) is what's under test, and the redacted text is compared
+    // byte-for-byte. Patterns live in the RE2 ∩ java.util.regex subset.
+    Q("c_pii_scrub",
+      (s, dir) => {
+        val aug = Tables.documents(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(3L)) === 0L, concat(
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex"), pmod(col("doc_id"), lit(7L)).cast("string"),
+            lit(".com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0L, concat(
+            lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7L)) === 0L, concat(
+            lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit(".0."), pmod(col("doc_id"), lit(250L)).cast("string"))).otherwise(lit(""))
+        ).as("text"))
+        Curation.scrubPii(aug, "doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+        |    || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+        |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(strlen(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS BIGINT) AS clean_len
+        |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // Curation — corpus-level line dedup (Curation.dedupLines): keep the
+    // globally first occurrence of each distinct 5-token line; nonzero
+    // drops come from the corpus's planted near/exact-duplicate docs,
+    // exactly the boilerplate case the pass exists for.
+    Q("c_dedup_lines",
+      (s, dir) => Curation.dedupLines(Tables.documents(s, dir),
+          "doc_id", "text", lineLen = 5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksSqlCte,
+        |tt AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS i FROM d),
+        |ln AS (SELECT doc_id, i // 5 AS line_no,
+        |  string_agg(tok, ' ' ORDER BY i) AS line, COUNT(*) AS n_toks
+        |  FROM tt GROUP BY doc_id, i // 5),
+        |k AS (SELECT doc_id, line_no, n_toks,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM ln)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_toks_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // The production dedup CASCADE — exact canonical → MinHash+LSH text
     // near-dups → SRP-LSH embedding near-dups, each stage over the

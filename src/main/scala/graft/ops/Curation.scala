@@ -158,6 +158,85 @@ object Curation {
       .orderBy(col("q_pct"))
   }
 
+  /** PII REDACTION: mask emails, phone numbers, and IPv4 literals with
+    * typed placeholder tokens and count each category — the standard
+    * scrub pass every public-web training corpus runs before training
+    * (the patterns here are the common baseline trio; real deployments
+    * extend the list, not the machinery). Pure `regexp_replace` /
+    * `regexp_extract_all` columns — codegen'd, no UDF, scrub order fixed
+    * (emails first so an address's numeric host can never be half-eaten
+    * by the IP pass). Patterns stay in the RE2-compatible subset
+    * (character classes, bounded repeats, `\b`) so an external engine
+    * reproduces them byte-for-byte.
+    *
+    * Output: id, clean (redacted text), n_emails/n_phones/n_ips, and
+    * clean_len.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+    df.select(col(idCol),
+      clean.as("clean"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      // IPs counted on the email-scrubbed text, mirroring the replace
+      // order: a digits-only mail host must count as email, not IP.
+      size(regexp_extract_all(
+        regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      length(clean).cast("long").as("clean_len"))
+  }
+
+  /** Corpus-level LINE DEDUP (the FineWeb/C4-family pass): explode every
+    * document into lines, keep only the globally FIRST occurrence of
+    * each distinct line (order = (doc id, line position)), and report
+    * per-document retention. Boilerplate — navigation chrome, cookie
+    * banners, license footers — repeats across millions of pages and is
+    * removed line-wise even when the documents aren't near-dups.
+    *
+    * The corpus here has no newlines, so a "line" is a non-overlapping
+    * window of `lineLen` tokens (the trailing partial window counts);
+    * callers with real line structure pass a pre-split array instead.
+    *
+    * Scale shape: one shuffle keyed on line content (the first-occurrence
+    * window), one shuffle back on the id for the rollup — both hash
+    * joins/aggs on high-cardinality keys, no all-pairs anything. Hot
+    * lines (a banner in half the corpus) land in one partition's window
+    * but the window computes only row_number — constant state, and AQE
+    * splits skewed partitions.
+    *
+    * Output: id, n_lines, n_dropped (later duplicate occurrences),
+    * n_toks_kept (tokens surviving the dedup).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 lineLen: Int): DataFrame = {
+    val lines = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      // zero-token docs produce no lines (sequence(0, -1) would walk
+      // BACKWARD in Spark, not return empty — guard, don't assume)
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, cast((size(__toks) + ${lineLen - 1}) div $lineLen as int) - 1),
+           |  i -> struct(array_join(slice(__toks, i * $lineLen + 1, $lineLen), ' ') as line,
+           |              least($lineLen, size(__toks) - i * $lineLen) as n_toks))""".stripMargin)))
+      .select(col(idCol), col("pos").cast("long").as("line_no"),
+        col("col.line").as("line"), col("col.n_toks").cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("line")).orderBy(col(idCol), col("line_no"))
+    lines.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__rn") === 1, 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("__rn") === 1, col("n_toks")).otherwise(0L)).as("n_toks_kept"))
+  }
+
   /** Mixture-weight ALLOCATION by largest remainder (Hamilton's method):
     * split an integer token `budget` across groups proportionally to
     * their token counts, exactly — allocations sum to the budget, every

@@ -287,6 +287,51 @@ object SegmentOps {
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** AS-OF JOIN: attach to every left row the LATEST right row of the
+    * same key with `rightTs <= leftTs` (inclusive) — the time-series
+    * point-in-time lookup (trades→quotes, event→last-state) that Spark
+    * has no native operator for. Formulated as the MERGED-STREAM window
+    * trick, not a join: tag both sides, union, and take per key the
+    * running `last(right payload, ignoreNulls)` over (ts, tag) order —
+    * right rows sort before left rows at equal ts, giving inclusive
+    * semantics. ONE shuffle on the key, linear scan, no per-row probe,
+    * no range explosion; constant window state (`last` keeps one value).
+    * A key's whole history lands in one partition — at extreme per-key
+    * volume, pre-split by coarse time bucket and as-of join the bucket
+    * boundaries' carry-in rows (the standard refinement; not needed at
+    * this corpus's key cardinality).
+    *
+    * Right rows are first deduped to one per (key, ts) — highest
+    * `rightTie` wins — so ties are deterministic in any engine.
+    *
+    * Output: every left column plus a nullable `asof` struct of
+    * (`rightTs`, `rightVals`*) — null when no right row precedes.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightTie: String,
+               rightVals: Seq[String]): DataFrame = {
+    val wDedup = Window.partitionBy(col(key), col(rightTs))
+      .orderBy(col(rightTie).desc)
+    val r1 = right.withColumn("__rn", row_number().over(wDedup))
+      .where(col("__rn") === 1)
+    val rTagged = r1.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__tag"),
+      struct((rightTs +: rightVals).map(col): _*).as("__rv"))
+    val lCols = left.columns.toSeq
+    val lTagged = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__tag"), struct(lCols.map(col): _*).as("__l"))
+    val rFull = rTagged.withColumn("__l",
+      lit(null).cast(lTagged.schema("__l").dataType))
+    val lFull = lTagged.withColumn("__rv",
+      lit(null).cast(rTagged.schema("__rv").dataType))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rFull.unionByName(lFull)
+      .withColumn("asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(lCols.map(c => col(s"__l.$c").as(c)) :+ col("asof"): _*)
+  }
+
   /** J8/W9 — sweep line over possibly-overlapping intervals of one key:
     * explode each interval into +1/-1 boundary events, order by
     * (time, delta) so that closings process before openings at ties

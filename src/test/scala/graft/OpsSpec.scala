@@ -269,4 +269,61 @@ class OpsSpec extends SparkSpec {
       .withColumn("manual", (lit(2.0) * $"x" + lit(-1.0)) * $"x" + lit(0.5))
     assert(df.filter($"p" =!= $"manual").count() == 0)
   }
+
+  test("scrubPii: typed placeholders, per-category counts, ordered passes") {
+    val df = Seq(
+      (1L, "write bob.smith+x@mail7.co or call 555-123-4567 now"),
+      (2L, "server at 10.0.254.3 and 192.168.1.1 up"),
+      // not an email (no alpha TLD after a dot) — the IP pass picks up
+      // the dotted quad even though an '@' precedes it
+      (3L, "ping a@1.2.3.44 x"),
+      (4L, "clean text, nothing to scrub"),
+      (5L, "edge 555-000-0000 and 555-11 2222")).toDF("id", "text")
+    val got = graft.ops.Curation.scrubPii(df, "id", "text")
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((1L, "write <EMAIL> or call <PHONE> now", 1L, 1L, 0L)))
+    assert(got(1) == ((2L, "server at <IP> and <IP> up", 0L, 0L, 2L)))
+    assert(got(2) == ((3L, "ping a@<IP> x", 0L, 0L, 1L)))
+    assert(got(3) == ((4L, "clean text, nothing to scrub", 0L, 0L, 0L)))
+    // 555-11 2222 is NOT a phone (needs 3-3-4 digit groups)
+    assert(got(4)._4 == 1L && got(4)._2 == "edge <PHONE> and 555-11 2222")
+  }
+
+  test("asofJoin: inclusive at equal ts, right deduped by tie, null when no prior") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 5L), (3L, "k", 3L), (4L, "z", 7L))
+      .toDF("id", "g", "ts")
+    val right = Seq((100L, "k", 5L, 50L), (101L, "k", 5L, 60L), (102L, "k", 8L, 80L))
+      .toDF("rid", "g", "ts", "v")
+    val got = SegmentOps.asofJoin(left, right, "g", "ts", "ts", "rid", Seq("v"))
+      .select($"id", $"asof.ts".as("rts"), $"asof.v".as("rv"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 8L, 80L),    // latest strictly-earlier right row
+      (2L, 5L, 60L),    // equal ts is visible; rid 101 wins the (k,5) tie
+      (3L, -1L, -1L),   // nothing at or before ts=3
+      (4L, -1L, -1L)))  // key with no right rows at all
+  }
+
+  test("dedupLines: global first occurrence wins; empty docs emit nothing") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),            // lines: [a..e], [f..j]
+      (2L, "a b c d e x y z w v"),            // first line duplicates doc 1's
+      (3L, "f g h i j"),                      // duplicates doc 1's 2nd line
+      (4L, ""),                               // no tokens -> no output row
+      (5L, "q r s")).toDF("id", "text")       // short doc: one 3-token line
+    val got = graft.ops.Curation.dedupLines(df, "id", "text", lineLen = 5)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 10L),   // both lines first occurrences
+      (2L, 2L, 1L, 5L),    // "a b c d e" dropped, keeps its x..v line
+      (3L, 1L, 1L, 0L),    // its only line is a duplicate
+      (5L, 1L, 0L, 3L)))   // partial trailing line counts its real length
+  }
 }
