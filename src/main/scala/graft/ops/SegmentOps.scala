@@ -301,8 +301,12 @@ object SegmentOps {
     * boundaries' carry-in rows (the standard refinement; not needed at
     * this corpus's key cardinality).
     *
-    * Right rows are first deduped to one per (key, ts) — highest
-    * `rightTie` wins — so ties are deterministic in any engine.
+    * Ties among right rows at one (key, ts) resolve to the highest
+    * `rightTie` WITHOUT a separate dedup pass: the window orders by
+    * (ts, tag, tie), so `last` naturally surfaces the max-tie row — a
+    * pre-dedup window would cost a second shuffle (on (key, ts)) for
+    * nothing. `rightTie` must be unique per (key, ts) for the choice to
+    * be deterministic (ids are).
     *
     * Output: every left column plus a nullable `asof` struct of
     * (`rightTs`, `rightVals`*) — null when no right row precedes.
@@ -310,21 +314,20 @@ object SegmentOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightTie: String,
                rightVals: Seq[String]): DataFrame = {
-    val wDedup = Window.partitionBy(col(key), col(rightTs))
-      .orderBy(col(rightTie).desc)
-    val r1 = right.withColumn("__rn", row_number().over(wDedup))
-      .where(col("__rn") === 1)
-    val rTagged = r1.select(col(key).as("__k"), col(rightTs).as("__ts"),
-      lit(0).as("__tag"),
+    val tieType = right.schema(rightTie).dataType
+    val rTagged = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__tag"), col(rightTie).as("__tie"),
       struct((rightTs +: rightVals).map(col): _*).as("__rv"))
     val lCols = left.columns.toSeq
     val lTagged = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
-      lit(1).as("__tag"), struct(lCols.map(col): _*).as("__l"))
+      lit(1).as("__tag"), lit(null).cast(tieType).as("__tie"),
+      struct(lCols.map(col): _*).as("__l"))
     val rFull = rTagged.withColumn("__l",
       lit(null).cast(lTagged.schema("__l").dataType))
     val lFull = lTagged.withColumn("__rv",
       lit(null).cast(rTagged.schema("__rv").dataType))
-    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__tag"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rFull.unionByName(lFull)
       .withColumn("asof", last(col("__rv"), ignoreNulls = true).over(w))

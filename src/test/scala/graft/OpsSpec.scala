@@ -310,6 +310,68 @@ class OpsSpec extends SparkSpec {
       (4L, -1L, -1L)))  // key with no right rows at all
   }
 
+  test("asofJoin matches the brute-force point-in-time model on random data") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 5) {
+      val keys = Seq("a", "b", "c")
+      val lrows = (1 to 40).map(i =>
+        (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(20).toLong))
+      val rrows = (1 to 40).map(i =>
+        (100L + i, keys(rnd.nextInt(3)), rnd.nextInt(20).toLong,
+          rnd.nextInt(1000).toLong))
+      // model: dedupe right per (key, ts) by max tie, then per left row
+      // take the max right ts <= left ts
+      val rDedup = rrows.groupBy(r => (r._2, r._3))
+        .map { case (_, xs) => xs.maxBy(_._1) }.toSeq
+      val expect = lrows.map { case (id, k, ts) =>
+        val cands = rDedup.filter(r => r._2 == k && r._3 <= ts)
+        if (cands.isEmpty) (id, -1L, -1L)
+        else { val m = cands.maxBy(_._3); (id, m._3, m._4) }
+      }.sortBy(_._1)
+      val got = SegmentOps.asofJoin(
+          lrows.toDF("id", "g", "ts"), rrows.toDF("rid", "g", "ts", "v"),
+          "g", "ts", "ts", "rid", Seq("v"))
+        .select($"id", $"asof.ts", $"asof.v")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("dedupLines matches the brute-force first-occurrence model on random data") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 5) {
+      val vocab = Seq("a", "b")     // tiny vocab forces cross-doc dup lines
+      val docs = (1 to 20).map { id =>
+        val n = rnd.nextInt(13)
+        (id.toLong, (1 to n).map(_ => vocab(rnd.nextInt(2))).mkString(" "))
+      }
+      val L = 3
+      // model: chunk into L-token lines, first (doc, line_no) keeps
+      val allLines = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        toks.grouped(L).zipWithIndex.map { case (ts, i) =>
+          (id, i.toLong, ts.mkString(" "), ts.length.toLong) }
+      }
+      val firstOf = allLines.groupBy(_._3)
+        .map { case (line, xs) => line -> xs.map(x => (x._1, x._2)).min }
+      val expect = allLines.groupBy(_._1).map { case (id, xs) =>
+        (id, xs.size.toLong,
+          xs.count(x => firstOf(x._3) != ((x._1, x._2))).toLong,
+          xs.filter(x => firstOf(x._3) == ((x._1, x._2))).map(_._4).sum)
+      }.toSeq.sortBy(_._1)
+      val got = graft.ops.Curation.dedupLines(
+          docs.toDF("id", "text"), "id", "text", lineLen = L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("dedupLines: global first occurrence wins; empty docs emit nothing") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),            // lines: [a..e], [f..j]
