@@ -198,4 +198,39 @@ class StreamingSpec extends SparkSpec {
       assert(!rows.map(_._1).contains(4L), "cross-batch duplicate must be suppressed")
     } finally q.stop()
   }
+
+  test("temporal enrich: in-batch exact as-of, cross-batch latest-known state") {
+    import graft.streaming.{EnrichInput, TemporalEnrich}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EnrichInput]
+    val out = TemporalEnrich.latestStateEnrich(input.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      input.addData(
+        EnrichInput("k", 5L, isRight = true, tie = 100L, payload = 50L),
+        EnrichInput("k", 7L, isRight = false, tie = 1L, payload = 0L),
+        EnrichInput("k", 3L, isRight = false, tie = 2L, payload = 0L),
+        EnrichInput("z", 9L, isRight = false, tie = 3L, payload = 0L))
+      q.processAllAvailable()
+      input.addData(
+        EnrichInput("k", 6L, isRight = true, tie = 101L, payload = 60L),
+        EnrichInput("k", 6L, isRight = false, tie = 4L, payload = 0L),
+        EnrichInput("k", 4L, isRight = false, tie = 5L, payload = 0L))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").as[graft.streaming.Enriched]
+        .collect().sortBy(_.tie).toSeq
+      assert(got == Seq(
+        // batch 1: exact in-batch as-of — left@7 sees right@5, left@3 none
+        graft.streaming.Enriched("k", 7L, 1L, Some(5L), Some(50L)),
+        graft.streaming.Enriched("k", 3L, 2L, None, None),
+        graft.streaming.Enriched("z", 9L, 3L, None, None),
+        // batch 2: left@6 sees right@6 (inclusive, same batch)
+        graft.streaming.Enriched("k", 6L, 4L, Some(6L), Some(60L)),
+        // left@4 PREDATES the carried batch-1 state (right@5) but still
+        // matches it — the documented cross-batch latest-known-state
+        // posture (right@6 sorts after it in-batch, so doesn't apply)
+        graft.streaming.Enriched("k", 4L, 5L, Some(5L), Some(50L))))
+    } finally q.stop()
+  }
 }
