@@ -27,6 +27,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_tax"))
   }
 
+  test("j9_asof_join is one merged-stream window: no join operator, one hash shuffle") {
+    val p = plan("j9_asof_join")
+    assert(!p.contains("Join"), "the as-of must not plan a join operator")
+    // exactly one hash exchange (the key window); the only other
+    // exchange is the display-sort rangepartitioning
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      "as-of regressed to more than one hash shuffle (pre-dedup window?)")
+  }
+
   test("j5_broadcast_star plans broadcast hash joins for all dims") {
     val p = plan("j5_broadcast_star")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
