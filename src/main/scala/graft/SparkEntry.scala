@@ -1074,6 +1074,27 @@ object SparkEntry {
         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 1 ORDER BY a, b""".stripMargin)),
 
+    // Dedup — exact duplicated-substring spans (L29, the suffix-array
+    // dedup of Lee et al. 2022 re-expressed as k-gram seeds + diagonal
+    // merge; recall 1 for shared runs of >= 10 tokens by construction).
+    Q("dedup_substring",
+      (s, dir) => Dedup.substringDupSpans(
+          Tables.documents(s, dir), "doc_id", "text", 10)
+        .orderBy(col("a"), col("b"), col("a_start"), col("b_start")),
+      Some(s"""WITH $toksSqlCte,
+        |tt AS (SELECT doc_id, unnest(range(len(toks) - 9)) AS i FROM d WHERE len(toks) >= 10),
+        |g AS (SELECT t.doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    array_to_string(d.toks[CAST(t.i + 1 AS INTEGER):CAST(t.i + 10 AS INTEGER)], ' ') AS gram
+        |  FROM tt t JOIN d ON d.doc_id = t.doc_id),
+        |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+        |runs AS (SELECT a, b, pa - pb AS diag, pa,
+        |  pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp FROM m)
+        |SELECT a, b, MIN(pa) AS a_start, CAST(MIN(pa) - diag AS BIGINT) AS b_start,
+        |  CAST(COUNT(*) + 9 AS BIGINT) AS span_len
+        |FROM runs GROUP BY a, b, diag, grp
+        |ORDER BY a, b, a_start, b_start""".stripMargin)),
+
     // Dedup — embedding-cosine near-dups on integer-quantized vectors
     // (exact longs: summation-order-free, bit-identical across engines).
     // The all-pairs kernel is the VERIFY BASELINE, registered on a

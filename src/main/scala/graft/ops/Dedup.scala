@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over document collections: exact, n-gram
@@ -390,5 +391,63 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Exact duplicated-substring spans — the distributed shape of
+    * suffix-array substring dedup (Lee et al. 2022, arXiv:2107.06499;
+    * no reference analog, SURVEY §2.11 L29). Every token offset seeds
+    * one k-gram; an equi join on the k-gram string finds cross-doc seed
+    * matches; matched seeds of one doc pair lying on one alignment
+    * diagonal (`pa − pb`) at consecutive offsets belong to the SAME
+    * duplicated run, so a gaps-and-islands window per (a, b, diagonal)
+    * merges them into maximal spans of token length `run + k − 1`.
+    * Recall is 1 for shared runs of ≥ k tokens by construction: a run
+    * of length L contributes exactly L − k + 1 seeds on one diagonal.
+    *
+    * Scale shape: seeding is a per-row HOF transform (linear in corpus
+    * tokens, no shuffle); the join key is the full k-gram, so at
+    * production k (Lee et al. use 50 BPE tokens) a collision almost
+    * always IS duplication and candidate volume is O(duplicated text),
+    * not O(n²); the merge window partitions by (a, b, diagonal) — state
+    * never exceeds one doc pair's seed run. `maxSeedDf` optionally
+    * drops ultra-hot seeds (boilerplate shared by > df docs) at a
+    * documented recall cost; at 100 TB you would also join on
+    * `xxhash64(gram)` instead of the string to shrink shuffle width
+    * (collisions at 64 bits are negligible; keep the string only if
+    * byte-exact guarantees are required).
+    *
+    * Output: (a, b, a_start, b_start, span_len) with a < b, offsets
+    * 0-based in tokens, one row per maximal shared span.
+    */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, maxSeedDf: Option[Long] = None): DataFrame = {
+    require(k >= 2, s"seed width k must be >= 2, got $k")
+    val grams0 = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__toks) - $k), i -> concat_ws(' ', slice(__toks, i + 1, $k)))")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("gram"))
+    val grams = maxSeedDf match {
+      case Some(cap) =>
+        val keep = grams0.groupBy(col("gram"))
+          .agg(countDistinct(col(idCol)).as("__df"))
+          .filter(col("__df") <= cap).select(col("gram"))
+        grams0.join(keep, Seq("gram"))
+      case None => grams0
+    }
+    val lhs = grams.select(col("gram"), col(idCol).as("a"), col("pos").as("pa"))
+    val rhs = grams.select(col("gram"), col(idCol).as("b"), col("pos").as("pb"))
+    val w = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    lhs.join(rhs, Seq("gram")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+      // pa is unique within (a, b, diag): the seed at (a, pa) exists once
+      // and fixes pb = pa − diag, so row_number is deterministic.
+      .withColumn("__grp", col("pa") - row_number().over(w).cast("long"))
+      .groupBy(col("a"), col("b"), col("diag"), col("__grp"))
+      .agg(min(col("pa")).as("a_start"), count(lit(1)).as("__n"))
+      .select(col("a"), col("b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        (col("__n") + lit(k - 1).cast("long")).as("span_len"))
   }
 }

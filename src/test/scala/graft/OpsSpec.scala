@@ -99,6 +99,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("substringDupSpans == brute-force maximal shared runs (k-gram seeds)") {
+    val corpus = Seq(
+      1L -> "a b c d e f g h i j k l m n o p",
+      2L -> "z z a b c d e f g h i j k l q r s",     // shares a..l with 1
+      3L -> "c d e f g h i j k l m n o p q",         // shares c..p with 1
+      4L -> "q w e r t y u i o p a s d f g h j k l", // nothing >= 5 shared
+      5L -> "a b c d e x a b c d e y a b c d e")     // two diagonals vs 1
+    val docs = corpus.toDF("doc_id", "text")
+    val k = 5
+    val got = graft.ops.Dedup.substringDupSpans(docs, "doc_id", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    def seeds(t: String): Seq[(String, Int)] =
+      t.split(" ").filter(_.nonEmpty).toSeq.sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).zipWithIndex.toSeq
+    def runs(ps: Seq[Int]): Seq[Seq[Int]] =
+      ps.sorted.foldLeft(Vector.empty[Vector[Int]]) {
+        case (acc, p) if acc.nonEmpty && acc.last.last == p - 1 =>
+          acc.init :+ (acc.last :+ p)
+        case (acc, p) => acc :+ Vector(p)
+      }
+    val want = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      matches = for { (g, pa) <- seeds(ta); (h, pb) <- seeds(tb) if g == h }
+        yield (pa, pb)
+      (diag, ps) <- matches.groupBy { case (pa, pb) => pa - pb }
+      run <- runs(ps.map(_._1))
+    } yield (a, b, run.head.toLong, (run.head - diag).toLong,
+      (run.length + k - 1).toLong)).toSet
+    assert(got == want)
+    // the 12-token shared run between 1 and 2 surfaces as one maximal span
+    assert(got.contains((1L, 2L, 0L, 2L, 12L)))
+    // doc 5 repeats a 5-token block: one span per alignment diagonal
+    assert(got.count { case (a, b, _, _, _) => a == 1L && b == 5L } == 3)
+  }
+
   test("incrementalNearDups == full pair set restricted to pairs touching new") {
     // same signatures either way, so the incremental probe must return
     // exactly the full-corpus near-dup pairs that involve >=1 new doc,
