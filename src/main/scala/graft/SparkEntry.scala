@@ -1095,6 +1095,55 @@ object SparkEntry {
         |FROM runs GROUP BY a, b, diag, grp
         |ORDER BY a, b, a_start, b_start""".stripMargin)),
 
+    // L29 ∘ A4 — per-doc duplicated-token fraction (the Lee et al. 2022
+    // headline metric): union the substring spans each doc participates
+    // in (both orientations) with the exact IntervalUnionAgg, divide by
+    // the doc's token count. One extra shuffle over the span table.
+    Q("dedup_substring_stats",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val spans = Dedup.substringDupSpans(docs, "doc_id", "text", 10)
+        val ivs = spans.select(col("a").as("doc_id"), col("a_start").as("s"),
+            (col("a_start") + col("span_len")).as("e"))
+          .unionAll(spans.select(col("b").as("doc_id"), col("b_start").as("s"),
+            (col("b_start") + col("span_len")).as("e")))
+        val unionLen = udaf(new graft.expr.IntervalUnionAgg())
+        docs.select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+          .join(ivs.groupBy(col("doc_id"))
+              .agg(unionLen(col("s"), col("e")).as("dup_toks")),
+            Seq("doc_id"))
+          .withColumn("dup_frac",
+            col("dup_toks").cast("double") / col("n_toks").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |tt AS (SELECT doc_id, unnest(range(len(toks) - 9)) AS i FROM d WHERE len(toks) >= 10),
+        |g AS (SELECT t.doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    array_to_string(d.toks[CAST(t.i + 1 AS INTEGER):CAST(t.i + 10 AS INTEGER)], ' ') AS gram
+        |  FROM tt t JOIN d ON d.doc_id = t.doc_id),
+        |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+        |runs AS (SELECT a, b, pa - pb AS diag, pa,
+        |  pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp FROM m),
+        |spans AS (SELECT a, b, diag, MIN(pa) AS a_start,
+        |  CAST(COUNT(*) + 9 AS BIGINT) AS span_len
+        |  FROM runs GROUP BY a, b, diag, grp),
+        |iv AS (SELECT a AS doc_id, a_start AS s, a_start + span_len AS e FROM spans
+        |  UNION ALL SELECT b, a_start - diag, a_start - diag + span_len FROM spans),
+        |ev AS (SELECT doc_id, s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL SELECT doc_id, e AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+        |c AS (SELECT doc_id, t, delta,
+        |  CAST(SUM(delta) OVER w AS BIGINT) AS n_active, lead(t) OVER w AS next_t
+        |  FROM ev WINDOW w AS (PARTITION BY doc_id ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT doc_id, CAST(SUM(next_t - t) AS BIGINT) AS dup_toks
+        |  FROM c WHERE n_active > 0 AND next_t > t GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d)
+        |SELECT u.doc_id, n.n_toks, u.dup_toks,
+        |  CAST(u.dup_toks AS DOUBLE) / CAST(n.n_toks AS DOUBLE) AS dup_frac
+        |FROM u JOIN n ON n.doc_id = u.doc_id ORDER BY u.doc_id""".stripMargin)),
+
     // Dedup — embedding-cosine near-dups on integer-quantized vectors
     // (exact longs: summation-order-free, bit-identical across engines).
     // The all-pairs kernel is the VERIFY BASELINE, registered on a
@@ -1817,6 +1866,75 @@ object SparkEntry {
         |SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
         |  COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+
+    // L30 — STREAMING event-time as-of join run to completion: the
+    // eventTimeAsof state operator over the same click/purchase split as
+    // j9_asof_join, oracled by DuckDB's native ASOF LEFT JOIN. Event
+    // MICROS ride in the watermark clock's millis field
+    // (timestamp_millis(tus)) so as-of comparisons keep full
+    // microsecond precision end to end. One far-future right row on a
+    // sentinel key advances the global watermark past every real event;
+    // the trailing timeout micro-batch then flushes every pending left
+    // (event-time timeouts wake each group without new data on it).
+    Q("streaming_asof",
+      (s, dir) => {
+        import s.implicits._
+        val path = s"$dir/events.parquet"
+        val base = s.read.parquet(path)
+        val schema = base.schema
+        val name = "sa_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_asof").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_asofsrc")
+        val src = java.nio.file.Paths.get(path)
+        try java.nio.file.Files.createLink(srcDir.resolve("events.parquet"), src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, srcDir.resolve("events.parquet")) }
+        val maxTs = base.agg(max(col("ts"))).head.getLong(0)
+        val sentinel = s.range(1).select(schema.fields.toSeq.map { f => f.name match {
+          case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
+          case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
+          case "event_type" => lit("purchase").as("event_type")
+          case "value" => lit(0d).cast(f.dataType).as("value")
+          case "ts" => lit(maxTs + 864000L * 1000000000L).cast(f.dataType).as("ts")
+          case other => lit(null).cast(f.dataType).as(other)
+        }}: _*)
+        val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_asofsent")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+        val part = java.nio.file.Files.list(sentDir).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part, srcDir.resolve("zz_heartbeat.parquet"))
+        val in = s.readStream.schema(schema).parquet(srcDir.toString)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id").cast("string").as("k"),
+            timestamp_millis(expr("ts div 1000")).as("ts"),
+            (col("event_type") === "purchase").as("isRight"),
+            col("event_id").cast("long").as("tie"),
+            coalesce(round(col("value") * 100d).cast("long"), lit(0L)).as("payload"))
+          .as[graft.streaming.TemporalEnrich.TimedEnrichInput]
+        val out = graft.streaming.TemporalEnrich.eventTimeAsof(in, "0 seconds")
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("k").cast("long").as("user_id"), col("tie").as("event_id"),
+            col("ts").as("tus"), col("asofTs").as("prev_tus"),
+            col("asofPayload").as("prev_cents"),
+            (col("ts") - col("asofTs")).as("lag_us"))
+          .orderBy(col("user_id"), col("tus"), col("event_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |l AS (SELECT user_id, event_id, tus FROM e WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, event_id, tus, cents FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, tus, cents FROM (SELECT user_id, tus, cents,
+        |  row_number() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) AS rn
+        |  FROM r0) t WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, l.tus, r.tus AS prev_tus,
+        |  r.cents AS prev_cents, l.tus - r.tus AS lag_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+        |ORDER BY l.user_id, l.tus, l.event_id""".stripMargin)),
 
     // §2.10 + L1 — STREAMING exact dedup: the stateful fingerprint
     // aggregation (state = one entry per distinct (lang, fp)) run to

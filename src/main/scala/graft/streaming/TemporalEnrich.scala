@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -64,6 +66,71 @@ object TemporalEnrich {
           }
           cur.foreach(state.update)
           out.result().iterator
+      }
+  }
+
+  /** [[EnrichInput]] with an absolute event timestamp for watermarking. */
+  final case class TimedEnrichInput(k: String, ts: Timestamp, isRight: Boolean,
+      tie: Long, payload: Long)
+
+  final case class BufRow(tsMs: Long, tie: Long, payload: Long)
+  final case class AsofBuffers(rights: Seq[BufRow], lefts: Seq[BufRow])
+
+  /** EVENT-TIME streaming as-of join (SURVEY §2.11 L30) — the exact
+    * refinement of [[latestStateEnrich]]: left rows are joined to the
+    * latest right row with `(ts, tie) <= (left.ts, +inf)` REGARDLESS of
+    * arrival order, by holding both sides in group state until the
+    * watermark proves the answer final. A left row is emitted only once
+    * `watermark >= left.ts`: every right row at or before it has either
+    * arrived or is watermark-late (and was dropped at the source, the
+    * standard contract). This is Spark's stream–stream interval-join
+    * posture applied to as-of semantics.
+    *
+    * State per key is bounded by the watermark delay: right rows older
+    * than the watermark are folded into ONE latest-known row (the match
+    * floor for future lefts), lefts leave state when emitted, and the
+    * group wakes via event-time timeout when the watermark passes its
+    * oldest pending left — no data needed on the key to flush it.
+    *
+    * Emitted `Enriched.ts`/`asofTs` are epoch millis (the watermark
+    * clock), matching the batch operator's integer-time convention.
+    */
+  def eventTimeAsof(in: Dataset[TimedEnrichInput],
+                    watermarkDelay: String): Dataset[Enriched] = {
+    import in.sparkSession.implicits._
+    in.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[AsofBuffers, Enriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[TimedEnrichInput], state: GroupState[AsofBuffers]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AsofBuffers(Nil, Nil))
+          val rows = it.toIndexedSeq
+          val rights = (prev.rights ++ rows.filter(_.isRight)
+              .map(r => BufRow(r.ts.getTime, r.tie, r.payload)))
+            .sortBy(r => (r.tsMs, r.tie))
+          val lefts = prev.lefts ++ rows.filterNot(_.isRight)
+            .map(r => BufRow(r.ts.getTime, r.tie, r.payload))
+          val (ready, pending) = lefts.partition(_.tsMs <= wm)
+          val out = ready.sortBy(l => (l.tsMs, l.tie)).map { l =>
+            // latest right at or before the left row; right ties on one
+            // ts resolve to the max tie (the batch operator's rule)
+            val m = rights.takeWhile(_.tsMs <= l.tsMs).lastOption
+            Enriched(k, l.tsMs, l.tie, m.map(_.tsMs), m.map(_.payload))
+          }
+          // fold watermark-old rights into the single latest-known row:
+          // it is still the match floor for lefts with ts > wm
+          val (oldR, liveR) = rights.partition(_.tsMs <= wm)
+          val kept = oldR.lastOption.toSeq ++ liveR
+          if (kept.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AsofBuffers(kept, pending))
+            // wake when the watermark reaches the oldest pending left
+            // (pending => tsMs > wm, so the timestamp is legal)
+            pending.map(_.tsMs).minOption
+              .foreach(ts => state.setTimeoutTimestamp(ts))
+          }
+          out.iterator
       }
   }
 }

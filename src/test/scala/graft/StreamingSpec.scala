@@ -233,4 +233,51 @@ class StreamingSpec extends SparkSpec {
         graft.streaming.Enriched("k", 4L, 5L, Some(5L), Some(50L))))
     } finally q.stop()
   }
+
+  test("event-time as-of: exact match despite out-of-order cross-batch arrival") {
+    import graft.streaming.TemporalEnrich
+    import graft.streaming.TemporalEnrich.TimedEnrichInput
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TimedEnrichInput]
+    val out = TemporalEnrich.eventTimeAsof(input.toDS(), "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("et_asof_out").start()
+    try {
+      // batch 1: one right, three lefts. The post-batch watermark is
+      // 20s − 10s = 10s, so the timeout follow-up batch finalizes the
+      // lefts @5s and @10s immediately; left@20s stays pending
+      input.addData(
+        TimedEnrichInput("k", ts(10), isRight = true, tie = 10L, payload = 100L),
+        TimedEnrichInput("k", ts(20), isRight = false, tie = 1L, payload = 0L),
+        TimedEnrichInput("k", ts(5), isRight = false, tie = 2L, payload = 0L),
+        TimedEnrichInput("k", ts(10), isRight = false, tie = 3L, payload = 0L))
+      q.processAllAvailable()
+      assert(spark.table("et_asof_out").count() == 2)
+      // batch 2: rights @15s×2 and @25s arrive AFTER left@20s in
+      // processing time but straddle it in event time
+      input.addData(
+        TimedEnrichInput("k", ts(15), isRight = true, tie = 11L, payload = 150L),
+        TimedEnrichInput("k", ts(15), isRight = true, tie = 13L, payload = 151L),
+        TimedEnrichInput("k", ts(25), isRight = true, tie = 12L, payload = 250L))
+      q.processAllAvailable()
+      // heartbeat rights on an unrelated key push the watermark past 20s;
+      // the second batch lets k's event-time timeout fire with no k data
+      input.addData(TimedEnrichInput("z", ts(100), isRight = true, tie = 8L, payload = 0L))
+      q.processAllAvailable()
+      input.addData(TimedEnrichInput("z", ts(101), isRight = true, tie = 9L, payload = 0L))
+      q.processAllAvailable()
+      val got = spark.table("et_asof_out").as[graft.streaming.Enriched]
+        .collect().sortBy(_.tie).toSeq
+      assert(got == Seq(
+        // exact as-of: left@20s matches right@15s (max tie 13 on the tied
+        // ts), NOT the later-arriving right@25s — latest-known-state
+        // would have returned 25s/250 here
+        graft.streaming.Enriched("k", 20000L, 1L, Some(15000L), Some(151L)),
+        // left@5s predates every right: no match, even though rights
+        // existed in state when it finalized
+        graft.streaming.Enriched("k", 5000L, 2L, None, None),
+        // inclusive: left@10s matches the right at exactly 10s
+        graft.streaming.Enriched("k", 10000L, 3L, Some(10000L), Some(100L))))
+    } finally q.stop()
+  }
 }
