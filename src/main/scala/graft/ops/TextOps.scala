@@ -153,29 +153,46 @@ object TextOps {
     ("de", 3, "ein", 2L), ("de", 3, "ich", 2L), ("de", 3, "en ", 1L),
     ("de", 3, " ge", 1L))
 
-  /** Char-trigram language ID: explode document trigrams, broadcast-join
-    * the static profile, per-(doc, lang) integer weight sum, argmax with
-    * deterministic ties (higher score wins, then earlier profile rank).
-    * The aggregation key is unique per (doc, lang) so `max_by`'s ordering
-    * struct (score, -pidx) has no ties — fully deterministic. Docs with
-    * zero profile hits get no row; callers coalesce to "und". Scale
-    * shape: one explode + one broadcast hash join + one partial+final
-    * agg — no shuffle wider than the per-doc score rows.
+  /** Char-trigram language ID, zero-shuffle formulation: every language
+    * score is a LINEAR functional of the profile-trigram occurrence
+    * counts, and occurrence counting needs no explode — the replace
+    * trick `(len(s) − len(replace(s, tri, ''))) / 3` is EXACT here
+    * because no profile trigram can self-overlap (first char ≠ last char
+    * for all 40, so occurrences are disjoint and the non-overlapping
+    * `replace` removes every one). The whole classifier is therefore a
+    * per-row codegen'd projection — 40 scans of the canonical text, no
+    * trigram explode (~n_chars rows/doc), no join, no aggregation
+    * shuffle; at 100 TB the former explode shipped ~300 rows per doc
+    * into a two-level agg, this ships zero.
+    *
+    * Argmax with deterministic ties (higher score, then earlier profile
+    * rank) via `array_max` over (score, −pidx, lang) structs — the
+    * (score, −pidx) pair is unique per doc. Docs with zero profile hits
+    * get no row (mirrors the former drop); callers coalesce to "und".
     */
   def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val prof = broadcast(
-      langTrigramProfiles.toDF("plang", "pidx", "trigram", "weight"))
-    df.select(col(idCol), explode(charNgrams(col(textCol), 3)).as("trigram"))
-      .join(prof, "trigram")
-      .groupBy(col(idCol), col("plang"), col("pidx"))
-      .agg(sum(col("weight")).as("score"))
-      .groupBy(col(idCol))
-      .agg(
-        max_by(col("plang"), struct(col("score"), (-col("pidx")).as("np")))
-          .as("pred_lang"),
-        max(col("score")).as("score"))
+    val byLang = langTrigramProfiles.groupBy(t => (t._1, t._2)).toSeq
+      .sortBy(_._1._2)
+    // let-bind the canonical text: 40 counts reference it, and without
+    // the binding each one re-runs the canonicalizing regexp per row
+    val best = let(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")) {
+      canon =>
+        val scores = byLang.map { case ((lang, pidx), rows) =>
+          // Σ w·(len − len(replace)) is a multiple of 3 (each diff is),
+          // so the single double division is an exact integer-valued op
+          val num = rows.map { case (_, _, tri, w) =>
+            (length(canon) - length(replace(canon, lit(tri), lit("")))).cast("long") *
+              lit(w)
+          }.reduce(_ + _)
+          struct((num / lit(3L)).cast("long").as("score"),
+            lit(-pidx).as("np"), lit(lang).as("plang"))
+        }
+        array_max(array(scores: _*))
+    }
+    df.select(col(idCol), best.as("__best"))
+      .select(col(idCol), col("__best.plang").as("pred_lang"),
+        col("__best.score").as("score"))
+      .filter(col("score") > 0)
   }
 
   /** 16-bit SimHash over a (id, shingle) table: bit b of each shingle's
