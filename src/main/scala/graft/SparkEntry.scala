@@ -94,6 +94,23 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame,
       sql: Option[String])
 
+  /** Best-effort recursive delete of the one-shot streaming staging and
+    * checkpoint dirs a query created: once the AvailableNow run has
+    * terminated, the result lives entirely in the memory sink, so
+    * nothing on disk needs to outlive the stream (a Verify/Bench session
+    * runs many queries — without the janitor every run leaks its temp
+    * trees).
+    */
+  private def cleanupDirs(paths: java.nio.file.Path*): Unit =
+    paths.foreach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Exception => () }
+    }
+
   private def registry: Seq[Q] = Seq(
 
     // A1/A5/A9 + S1 scan: pricing summary, exact scaled-integer money.
@@ -1785,6 +1802,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
         s.table(name).orderBy(col("lang"))
       },
       Some(s"""WITH $toksSqlCte,
@@ -1847,6 +1865,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        cleanupDirs(srcDir, sentDir, java.nio.file.Paths.get(ckpt))
         s.table(name).select(col("user_id"),
             unix_micros(col("session_window.start")).as("start_us"),
             (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
@@ -1918,6 +1937,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        cleanupDirs(srcDir, sentDir, java.nio.file.Paths.get(ckpt))
         s.table(name)
           .select(col("k").cast("long").as("user_id"), col("tie").as("event_id"),
             col("ts").as("tus"), col("asofTs").as("prev_tus"),
@@ -1963,6 +1983,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
         s.table(name).groupBy(col("lang"))
           .agg(count(lit(1)).as("n_unique"),
             sum(col("n_copies")).as("n_docs"),
