@@ -1511,6 +1511,52 @@ object SparkEntry {
         |SELECT q_pct, MIN(v) AS value FROM t WHERE cum >= target
         |GROUP BY q_pct ORDER BY q_pct""".stripMargin)),
 
+    // L31 — KMV distinct-count sketch (Bar-Yossef et al. 2002): the
+    // k smallest DISTINCT 60-bit md5 hashes per group in a bounded-state
+    // custom Aggregator with true partial merge — approximate
+    // COUNT(DISTINCT) without shuffling distinct values, and exactly
+    // oracle-checkable because the hash is public md5 (an external
+    // engine computes the IDENTICAL sketch; HLL internals are not
+    // portable). est = (k−1)·2⁶⁰ / kth_min, one exact double division;
+    // the exact distinct count rides along for calibration.
+    Q("sketch_kmv_distinct",
+      (s, dir) => {
+        val k = 16
+        val kmv = udaf(new graft.expr.KmvSketchAgg(k))
+        val c = lit(15.0) * lit(1152921504606846976.0) // (k−1)·2⁶⁰ exact
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type"), col("user_id"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("hv"))
+          .groupBy(col("event_type"))
+          .agg(kmv(col("hv")).as("kmv"),
+            countDistinct(col("user_id")).as("exact_distinct"))
+          .select(col("event_type"), col("kmv.n_min").as("n_min"),
+            col("kmv.kth_min").as("kth_min"),
+            when(col("kmv.kth_min").isNull, col("kmv.n_min").cast("double"))
+              .otherwise(c / col("kmv.kth_min").cast("double"))
+              .as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |a AS (SELECT event_type, COUNT(*) AS n_min,
+        |    MAX(CASE WHEN rn = 16 THEN hv END) AS kth_min
+        |  FROM r WHERE rn <= 16 GROUP BY event_type),
+        |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT a.event_type, a.n_min, a.kth_min,
+        |  CASE WHEN a.kth_min IS NULL THEN CAST(a.n_min AS DOUBLE)
+        |       ELSE (15.0 * 1152921504606846976.0) / CAST(a.kth_min AS DOUBLE)
+        |  END AS est_distinct,
+        |  x.exact_distinct
+        |FROM a JOIN x ON x.event_type = a.event_type
+        |ORDER BY a.event_type""".stripMargin)),
+
     // Curation — Gopher-style repetition metrics over word-2-grams:
     // duplicate-2-gram and top-2-gram fractions, the standard repetition
     // filters. One per-doc aggregation, ratios as single divisions of

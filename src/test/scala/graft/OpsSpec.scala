@@ -99,6 +99,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch == brute-force k smallest distinct hashes, any partitioning") {
+    val rnd = new scala.util.Random(23)
+    val hs = (0 until 500).map(_ => rnd.nextLong().abs % (1L << 60))
+    val dup = hs ++ hs.take(100) // duplicates must not count twice
+    val want = dup.distinct.sorted.take(16)
+    val kmv = udaf(new graft.expr.KmvSketchAgg(16))
+    for (parts <- Seq(1, 7)) {
+      val got = dup.toDF("h").repartition(parts)
+        .agg(kmv($"h").as("k")).select("k.n_min", "k.kth_min").head
+      assert(got.getLong(0) == 16L && got.getLong(1) == want.last,
+        s"parts=$parts")
+    }
+    // under-full buffer: exact mode, kth_min absent
+    val r = Seq(5L, 7L, 5L, 9L).toDF("h")
+      .agg(kmv($"h").as("k")).select("k.n_min", "k.kth_min").head
+    assert(r.getLong(0) == 3L && r.isNullAt(1))
+  }
+
   test("substringDupSpans == brute-force maximal shared runs (k-gram seeds)") {
     val corpus = Seq(
       1L -> "a b c d e f g h i j k l m n o p",

@@ -97,10 +97,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("round-3 additions keep their intended join strategies") {
-    // trigram langid: the 40-row profile must broadcast; the corpus side
-    // streams by without a sort-merge
+    // trigram langid: the per-doc score join must broadcast (the
+    // classifier itself is shuffle-free — asserted separately below);
+    // the corpus side streams by without a sort-merge
     val lp = plan("t_langid_ngram")
-    assert(lp.contains("BroadcastHashJoin"), "profile should broadcast")
+    assert(lp.contains("BroadcastHashJoin"), "lang rollup join should broadcast")
     assert(!lp.contains("CartesianProduct"))
     // stratified sample: the per-stratum quota table must broadcast
     val sp = plan("c_stratified_sample")
@@ -110,6 +111,27 @@ class PlanSpec extends SparkSpec {
     val ip = plan("dedup_incremental")
     assert(!ip.contains("CartesianProduct"))
     assert(!ip.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("late-round-3 additions keep their intended plan shapes") {
+    // zero-shuffle langid: the classifier alone is a pure codegen'd
+    // projection + filter — NO exchange of any kind
+    val cp = graft.ops.TextOps
+      .langIdNgram(Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!cp.contains("Exchange"), "langIdNgram classifier must not shuffle")
+    // substring dedup: seeds pair up through the gram equi join only
+    for (q <- Seq("dedup_substring", "dedup_substring_stats")) {
+      val sp = plan(q)
+      assert(!sp.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!sp.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+    // KMV sketch: partial + final typed aggregation (map-side combine —
+    // the bounded-state sketch must merge, not ship raw hashes)
+    val kp = plan("sketch_kmv_distinct")
+    assert("ObjectHashAggregate".r.findAllIn(kp).size >= 2,
+      "KMV should aggregate partial then final")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
