@@ -78,6 +78,54 @@ class StressSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("substringDupSpans sustains the 4x-replicated corpus") {
+    // 4x replication makes every identical-copy pair share its FULL
+    // token run: each of the 5000 eligible docs contributes C(4,2)=6
+    // whole-doc spans, and every original cross-doc span becomes a 4x4
+    // clique (16 copies). The seed join only pairs rows inside one
+    // k-gram bucket, so candidate volume grows with true duplication
+    // (16x), never with corpus size squared.
+    val docs0 = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    val docs = (0L until 4L).map(i =>
+        docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val k = 10
+    val spans = graft.ops.Dedup.substringDupSpans(docs, "doc_id", "text", k)
+      .withColumn("oa", col("a") % 1000000L)
+      .withColumn("ob", col("b") % 1000000L)
+      .cache()
+    val origSpans = graft.ops.Dedup.substringDupSpans(docs0, "doc_id", "text", k)
+    val nOrig = origSpans.count()
+    val nEligible = docs0
+      .filter(size(graft.ops.TextOps.tokens(col("text"))) >= k).count()
+    // identical-copy spans: replica pairs of one doc (oa == ob) whose
+    // span covers the whole token run, 6 per eligible doc
+    val selfFull = spans.filter(col("oa") === col("ob")).count()
+    assert(selfFull >= nEligible * 6,
+      s"expected >= ${nEligible * 6} whole-doc replica spans, got $selfFull")
+    // every original cross-doc span appears for all 16 copy pairs —
+    // canonicalize orientation first: when the a-side copy index exceeds
+    // the b-side's, the pair surfaces flipped (id order decides a vs b)
+    val crossByPair = spans.filter(col("oa") =!= col("ob"))
+      .select(
+        least(col("oa"), col("ob")).as("olo"),
+        greatest(col("oa"), col("ob")).as("ohi"),
+        when(col("oa") < col("ob"), col("a_start")).otherwise(col("b_start"))
+          .as("lo_start"),
+        when(col("oa") < col("ob"), col("b_start")).otherwise(col("a_start"))
+          .as("hi_start"),
+        col("span_len"))
+      .groupBy(col("olo"), col("ohi"), col("lo_start"), col("hi_start"),
+        col("span_len"))
+      .agg(count(lit(1)).as("copies"))
+    assert(crossByPair.filter(col("copies") =!= 16L).count() == 0L,
+      "some original span did not replicate into the full 4x4 clique")
+    assert(crossByPair.count() == nOrig, "cross-doc span multiset changed")
+    spans.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("sessionizeCapped kernel sustains a 200k-segment single key") {
     val segs = spark.range(200000L).select(
       lit("one").as("file"),
