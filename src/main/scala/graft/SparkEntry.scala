@@ -2609,7 +2609,189 @@ object SparkEntry {
         |    ORDER BY overlap DESC, global_speaker) AS rn
         |  FROM ov WHERE overlap > 0)
         |SELECT user_id, local_speaker, global_speaker FROM mr WHERE rn = 1
-        |ORDER BY user_id, local_speaker""".stripMargin))
+        |ORDER BY user_id, local_speaker""".stripMargin)),
+
+    // L32 — BLOOM-FILTER SEMI-JOIN PRUNING: build a 1024-bit filter over
+    // the BUILDING customers' keys (BloomFilterAgg — bounded state,
+    // word-wise-OR partial merge, map-side-combined like a built-in sum),
+    // broadcast the one-row bitset, and probe every order with a pure
+    // bit-arithmetic test BEFORE any join. At 100 TB this prunes the big
+    // side's shuffle down to (matches + false positives); the query
+    // reports n_bloom vs n_exact per priority, making the FP overhead
+    // measurable. Exactly oracle-checkable because positions are public
+    // md5 slices: "bit p set" ≡ "p ∈ build-side position set", so the
+    // oracle mirrors the test as a set join — no bitset needed.
+    Q("j_bloom_prune",
+      (s, dir) => {
+        import graft.expr.{BloomFilter, BloomFilterAgg}
+        val k = 2; val m = 1024
+        val bloomAgg = udaf(new BloomFilterAgg(m))
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val bits = cust
+          .select(BloomFilter.positions(col("c_custkey"), k, m).as("ps"))
+          .agg(bloomAgg(col("ps")).as("bits"))
+        Tables.orders(s, dir)
+          .crossJoin(broadcast(bits))
+          .withColumn("bloom_pass", BloomFilter.mightContain(col("bits"),
+            BloomFilter.positions(col("o_custkey"), k, m)))
+          .join(broadcast(cust.withColumn("__hit", lit(1L))),
+            col("o_custkey") === col("c_custkey"), "left")
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom"),
+            sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_exact"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH bk AS (SELECT c_custkey AS k FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |bp AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + i.i*8, 8))::BIGINT % 1024 AS p
+        |  FROM bk, range(2) i(i)),
+        |op AS (SELECT o_orderkey, o_orderpriority, o_custkey,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1 + i.i*8, 8))::BIGINT % 1024 AS p
+        |  FROM orders, range(2) i(i)),
+        |p0 AS (SELECT o_orderkey, o_orderpriority, o_custkey,
+        |    BOOL_AND(p IN (SELECT p FROM bp)) AS bloom_pass
+        |  FROM op GROUP BY 1, 2, 3)
+        |SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+        |  CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM bk) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |FROM p0 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // L33 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan
+    // 2005): a 3×256 counter grid over the full token stream
+    // (CmsSketchAgg — fixed 768-long state, element-wise-sum partial
+    // merge, so the sketch is a deterministic function of the input
+    // multiset regardless of partitioning, unlike Misra–Gries). The
+    // exact top-15 tokens then read their estimates from the broadcast
+    // grid: est ≥ exact always, equality iff no colliding token. Row
+    // hashes are public md5 slices, so the oracle rebuilds each probed
+    // cell as COUNT(*) of its (row, position) group — the sketch itself
+    // never needs to exist oracle-side.
+    Q("sketch_cms_topk",
+      (s, dir) => {
+        import graft.expr.{CmsSketch, CmsSketchAgg}
+        val d = 3; val w = 256
+        val cms = udaf(new CmsSketchAgg(d, w))
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        val grid = toks.select(CmsSketch.cells(col("tok"), d, w).as("cs"))
+          .agg(cms(col("cs")).as("grid"))
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+          .orderBy(col("exact_count").desc, col("tok")).limit(15)
+          .crossJoin(broadcast(grid))
+          .select(col("tok"), col("exact_count"),
+            CmsSketch.estimate(col("grid"), CmsSketch.cells(col("tok"), d, w))
+              .as("cms_est"))
+          .orderBy(col("exact_count").desc, col("tok"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT unnest(toks) AS tok FROM d),
+        |cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM t GROUP BY tok),
+        |cells AS (SELECT r.r AS r,
+        |    ('0x' || substr(md5(tok), 1 + r.r*8, 8))::BIGINT % 256 AS p,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t, range(3) r(r) GROUP BY 1, 2),
+        |top AS (SELECT tok, exact_count FROM cnt
+        |  ORDER BY exact_count DESC, tok LIMIT 15)
+        |SELECT top.tok AS tok, top.exact_count AS exact_count, MIN(c.c) AS cms_est
+        |FROM top JOIN cells c
+        |  ON c.p = ('0x' || substr(md5(top.tok), 1 + c.r*8, 8))::BIGINT % 256
+        |GROUP BY 1, 2
+        |ORDER BY exact_count DESC, tok""".stripMargin)),
+
+    // L34 — GOPHER QUALITY GATES (Rae et al. 2021 A1.1): the canonical
+    // rule suite (word-count bounds, mean word length, symbol ratio,
+    // alpha-word fraction, stop-word floor). Gate booleans decided in
+    // exact integer arithmetic; ratios reported as single divisions.
+    // Pure per-row expressions — the whole filter is one codegen'd map.
+    Q("c_gopher_gates",
+      (s, dir) => Curation.gopherGates(
+          Tables.documents(s, dir), "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis
+        |  FROM d)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop, n_hash, n_ellipsis,
+        |  CAST(sum_word_len AS DOUBLE)/CAST(n_words AS DOUBLE) AS mean_word_len,
+        |  CAST(n_alpha_words AS DOUBLE)/CAST(n_words AS DOUBLE) AS alpha_frac,
+        |  CAST(n_hash + n_ellipsis AS DOUBLE)/CAST(n_words AS DOUBLE) AS symbol_ratio,
+        |  n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+        |  sum_word_len >= 3*n_words AND sum_word_len <= 10*n_words AS pass_mean_len,
+        |  5*n_alpha_words >= 4*n_words AS pass_alpha,
+        |  10*(n_hash + n_ellipsis) <= n_words AS pass_symbol,
+        |  n_stop >= 2 AS pass_stop,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (sum_word_len >= 3*n_words AND sum_word_len <= 10*n_words)
+        |    AND (5*n_alpha_words >= 4*n_words)
+        |    AND (10*(n_hash + n_ellipsis) <= n_words)
+        |    AND (n_stop >= 2) AS pass
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // L35 — SemDeDup (Abbas et al. 2023): semantic dedup = embedding
+    // near-dup pairs from IVF cells (broadcast centroids, same-cell
+    // candidates — Σ|cell|², never n²) → connected components
+    // (large/small-star, O(log² n) rounds) → keep the component-minimum
+    // vector. The oracle replays the identical cell assignment and
+    // verification, then computes min-reachable-id with a recursive CTE.
+    Q("dedup_semdedup",
+      (s, dir) => {
+        val pairs = Similarity.ivfNearDupPairs(
+            Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+          .select(col("a"), col("b"))
+        val cc = Dedup.connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("id", "vec_id")
+        val lbl = Tables.embeddings(s, dir).select(col("vec_id"))
+          .join(cc, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("component"))
+        val sizes = lbl.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        lbl.join(sizes, "component")
+          .select(col("vec_id"), col("component"), col("cluster_size"),
+            (col("vec_id") === col("component")).as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |scored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM scored) t WHERE rn = 1),
+        |cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM cells x
+        |  JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |vd AS (SELECT c.a, c.b,
+        |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS dot
+        |  FROM cand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b),
+        |jp AS (SELECT a, b FROM (SELECT a, b,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM vd JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b) t
+        |  WHERE cos >= 0.45),
+        |e AS (SELECT a AS u, b AS v FROM jp UNION SELECT b AS u, a AS v FROM jp),
+        |cc AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT cc.id, e.v FROM cc JOIN e ON e.u = cc.r),
+        |lbl AS (SELECT id AS vec_id, MIN(r) AS component FROM cc GROUP BY id),
+        |sz AS (SELECT component, COUNT(*) AS cluster_size FROM lbl GROUP BY component)
+        |SELECT l.vec_id, l.component, s.cluster_size,
+        |  l.vec_id = l.component AS kept
+        |FROM lbl l JOIN sz s ON s.component = l.component
+        |ORDER BY l.vec_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -237,6 +237,70 @@ object Curation {
         sum(when(col("__rn") === 1, col("n_toks")).otherwise(0L)).as("n_toks_kept"))
   }
 
+  /** The Gopher stopword set (Rae et al. 2021 §A1.1): a document must
+    * contain at least two of these to pass the stop-word gate.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER QUALITY GATES (Rae et al. 2021, Appendix A1.1) — the
+    * canonical rule-based quality filter suite every web-scale corpus
+    * runs: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio (`#` and `...`), minimum fraction of words containing an
+    * alphabetic character, and a minimum stop-word hit count. Every PASS
+    * FLAG is decided in exact integer arithmetic (`sum_len ≥ 3·n` rather
+    * than `mean ≥ 3.0`), so an external engine mirrors the booleans
+    * bit-for-bit; the double ratios ride along for reporting as single
+    * divisions of exact integers. Pure per-row column expressions — one
+    * regexp/HOF pass, no shuffle, no UDF.
+    *
+    * Output: id, n_words, sum_word_len, n_alpha_words, n_stop, n_hash,
+    * n_ellipsis, mean_word_len, alpha_frac, symbol_ratio, and the five
+    * gate booleans plus the conjunction `pass`.
+    */
+  def gopherGates(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val withToks = df.select(col(idCol), col(textCol).as("__text"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val counted = withToks.select(
+      col(idCol),
+      size(col("__toks")).cast("long").as("n_words"),
+      aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .as("sum_word_len"),
+      size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      TextOps.stopwordHits(col("__toks"), GopherStopwords).as("n_stop"),
+      // plain (non-regex) replace in both engines: same left-to-right
+      // non-overlapping semantics, no regex-dialect drift
+      (length(col("__text")) -
+        length(call_function("replace", col("__text"), lit("#"), lit(""))))
+        .cast("long").as("n_hash"),
+      ((length(col("__text")) -
+        length(call_function("replace", col("__text"), lit("..."), lit(""))))
+        .cast("long") / lit(3L)).cast("long").as("n_ellipsis"))
+    counted
+      .withColumn("mean_word_len",
+        col("sum_word_len").cast("double") / col("n_words").cast("double"))
+      .withColumn("alpha_frac",
+        col("n_alpha_words").cast("double") / col("n_words").cast("double"))
+      .withColumn("symbol_ratio",
+        (col("n_hash") + col("n_ellipsis")).cast("double") / col("n_words").cast("double"))
+      // gate booleans in the exact integer domain (no double compares)
+      .withColumn("pass_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_mean_len",
+        col("sum_word_len") >= lit(3L) * col("n_words") &&
+          col("sum_word_len") <= lit(10L) * col("n_words"))
+      .withColumn("pass_alpha",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("pass_symbol",
+        lit(10L) * (col("n_hash") + col("n_ellipsis")) <= col("n_words"))
+      .withColumn("pass_stop", col("n_stop") >= 2L)
+      .withColumn("pass",
+        col("pass_word_count") && col("pass_mean_len") && col("pass_alpha") &&
+          col("pass_symbol") && col("pass_stop"))
+  }
+
   /** Mixture-weight ALLOCATION by largest remainder (Hamilton's method):
     * split an integer token `budget` across groups proportionally to
     * their token counts, exactly — allocations sum to the budget, every

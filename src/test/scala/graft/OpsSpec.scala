@@ -443,4 +443,82 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 1L, 0L),    // its only line is a duplicate
       (5L, 1L, 0L, 3L)))   // partial trailing line counts its real length
   }
+
+  test("Bloom filter: no false negatives, bit test == position-set test, any partitioning") {
+    import graft.expr.{BloomFilter, BloomFilterAgg}
+    val k = 2; val m = 256
+    val build = (0L until 40L).map(_ * 7L)
+    val probe = (0L until 400L)
+    val bloomAgg = udaf(new BloomFilterAgg(m))
+    // reference semantics: position-set membership
+    def positions(key: Long): Seq[Int] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until k).map(i =>
+        (java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16) % m).toInt)
+    }
+    val builtBits = build.flatMap(positions).toSet
+    val want = probe.map(p => p -> positions(p).forall(builtBits)).toMap
+    for (parts <- Seq(1, 5)) {
+      val bits = build.toDF("key").repartition(parts)
+        .select(BloomFilter.positions($"key", k, m).as("ps"))
+        .agg(bloomAgg($"ps").as("bits"))
+      val got = probe.toDF("key")
+        .crossJoin(broadcast(bits))
+        .select($"key", BloomFilter.mightContain($"bits",
+          BloomFilter.positions($"key", k, m)).as("pass"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == want, s"parts=$parts")
+      build.foreach(b => assert(got(b), s"false negative for $b")) // never FN
+    }
+  }
+
+  test("CMS sketch: est >= exact for all tokens, grid independent of partitioning") {
+    import graft.expr.{CmsSketch, CmsSketchAgg}
+    val d = 3; val w = 32 // tiny width forces collisions
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 2000).map(_ => s"tok${rnd.nextInt(50)}")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cms = udaf(new CmsSketchAgg(d, w))
+    val grids = Seq(1, 6).map { parts =>
+      stream.toDF("tok").repartition(parts)
+        .select(CmsSketch.cells($"tok", d, w).as("cs"))
+        .agg(cms($"cs").as("grid"))
+        .head.getSeq[Long](0)
+    }
+    assert(grids(0) == grids(1), "grid must not depend on partitioning")
+    val ests = exact.keySet.toSeq.toDF("tok")
+      .crossJoin(broadcast(stream.toDF("tok")
+        .select(CmsSketch.cells($"tok", d, w).as("cs"))
+        .agg(cms($"cs").as("grid"))))
+      .select($"tok", CmsSketch.estimate($"grid",
+        CmsSketch.cells($"tok", d, w)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(ests(t) >= c, s"$t: est ${ests(t)} < exact $c")
+    }
+    // each grid row's cells sum to the stream length (every row counts all)
+    grids(0).grouped(w).foreach(row => assert(row.sum == stream.size.toLong))
+  }
+
+  test("gopherGates: integer-domain gate booleans match hand computation") {
+    val df = Seq(
+      // 60 clean words -> passes everything
+      (1L, (1 to 60).map(i => s"the word$i").mkString(" ").split(" ").take(60).mkString(" ")),
+      // too short
+      (2L, "the of and short text here"),
+      // symbol-heavy: hash marks push symbol ratio over 0.1
+      (3L, ((1 to 60).map(i => s"w$i") ++ (1 to 10).map(_ => "#")).mkString(" ") + " the of that be")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.gopherGates(df, "doc_id", "text")
+      .select($"doc_id", $"pass_word_count", $"pass_symbol", $"pass_stop", $"pass")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got(0) == ((1L, true, true, true)))
+    assert(got(1)._2 == false)           // word count gate fails
+    assert(got(2)._3 == false)           // symbol gate fails: 10 hashes / 74 words
+    // doc 3 still passes the stopword gate (4 stopwords present)
+    assert(got(2)._4 == true)
+  }
 }
