@@ -26,5 +26,21 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // A Verify/Bench session runs 90+ queries in one JVM: at -Xmx8g the
+  // late queries pay progressive GC pressure (measured: the same query
+  // 2-10x slower at position ~170 of a two-pass bench than at ~25).
+  // local[32] on a 128 GiB box gets a heap sized like the real driver's;
+  // SPARK_DRIVER_MEM still overrides for constrained environments.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 90 queries x 2 runs x whole-stage codegen = thousands of Janino
+  // classes; the JDK17 default 240 MB code cache fills and disables the
+  // JIT mid-bench. 1 GiB keeps compiled code compiled.
+  "-XX:ReservedCodeCacheSize=1g",
+  // Tungsten page size scales with heap (maxExecMemory/(2*cores*16)):
+  // at 48g that is ~16 MB pages, and every operator in every task zeroes
+  // one before touching a row — a many-small-stages query (dedup_cascade)
+  // measured 12.6 s with 4 MB pages vs 59.6 s with the heap-derived
+  // default AT THE SAME HEAP. Pin it so heap sizing stays a capacity
+  // knob, not a hidden latency knob.
+  "-Dspark.buffer.pageSize=4m",
+) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

@@ -12,32 +12,52 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // decouple Tungsten page size from heap size — see build.sbt
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up codegen/JIT and the file listing so the first timed query
-    // doesn't absorb session startup.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
-    // min of two runs per query: the second run reuses warmed codegen and
-    // file listings, so the figure reflects steady-state execution.
     // Queries run in SORTED name order (Map iteration order is hash-based
     // and changes across builds — nondeterministic ordering made round-2
     // timings incomparable), and the session cache is dropped after every
     // run: several dedup/ANN queries cache() eagerly inside their plan,
     // and without unpersist the storage tier fills with dead tables whose
-    // memory pressure taxes every later query. Clearing after EACH of the
-    // two runs also keeps min-of-2 honest — run 2 rebuilds its own caches
-    // instead of silently reusing run 1's.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        if (ok) dt else Double.MaxValue
-      }
-      name -> (if (times.min == Double.MaxValue) -1d else times.min)
+    // memory pressure taxes every later query.
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (debugging/iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Pass 1 — UNTIMED warm-up over EVERY query. With deterministic
+    // sorted order, the alphabetically-first queries otherwise absorb all
+    // JVM warm-up (C2 compilation of the parquet reader and shuffle
+    // paths, Janino codegen, file listings) and read 5-10x slower than
+    // steady state — measured: a1_pricing_summary 2.2 s cold vs 0.23 s
+    // warm at sf0.1. Per-query min-of-2 does NOT fix this: both runs
+    // execute back-to-back early in JVM life. A full untimed sweep is
+    // the only warm-up that treats every query equally.
+    // Spark releases shuffle files, broadcasts, and driver-side shuffle
+    // state only when the ContextCleaner sees their weak refs die — i.e.
+    // on GC. A 92-query x 2-pass session on a large heap may never GC,
+    // so ~1000 shuffles accumulate on disk and in driver maps; measured:
+    // dedup_cascade 12.6 s solo vs 27 s at position ~110 of a session.
+    // A periodic System.gc() (same idea as spark.cleaner.periodicGC,
+    // compressed to bench timescale) keeps the session stationary.
+    def maybeGc(i: Int): Unit = if ((i & 15) == 15) System.gc()
+    sorted.zipWithIndex.foreach { case ((_, fn), i) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      maybeGc(i)
+    }
+    // Pass 2 — timed, steady-state. Caches are cleared after each query,
+    // so every figure includes rebuilding the query's own eager caches
+    // (that work is part of the query), but never pays for a neighbor's.
+    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      maybeGc(i)
+      name -> (if (ok) dt else -1d)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2737,6 +2737,46 @@ object SparkEntry {
         |    AND (n_stop >= 2) AS pass
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // L36 — cross-source OVERLAP MATRIX: distinct shared shingles +
+    // shingle-set Jaccard for every source pair — the contamination /
+    // redundancy audit before mixing sources into a training blend. The
+    // (source, shingle) distinct collapses document frequency before the
+    // self-join, so hot shingles cost |sources|² rows, never df².
+    Q("c_source_overlap",
+      (s, dir) => Curation.sourceOverlap(
+          Tables.documents(s, dir), "source", "text", shingleN = 3)
+        .orderBy(col("source_a"), col("source_b")),
+      Some(s"""WITH ds AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+        |tt AS (SELECT doc_id, source, unnest(toks) AS tok,
+        |    unnest(range(len(toks))) AS i FROM ds),
+        |s0 AS (SELECT source, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+        |  FROM tt WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |ss AS (SELECT DISTINCT source, shingle FROM s0 WHERE shingle IS NOT NULL),
+        |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ss GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, na.n_sh AS n_a, nb.n_sh AS n_b, p.n_shared,
+        |  CAST(p.n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - p.n_shared AS DOUBLE) AS jaccard
+        |FROM p JOIN n na ON na.source = p.source_a JOIN n nb ON nb.source = p.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin)),
+
+    // L37 — per-source VOCABULARY stats: token count, vocabulary size,
+    // type-token ratio. Two-level hash agg; TTR one exact division.
+    Q("c_vocab_stats",
+      (s, dir) => Curation.vocabStats(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source")),
+      Some(s"""WITH $toksSqlCte,
+        |src AS (SELECT d.doc_id, dd.source, d.toks FROM d
+        |  JOIN documents dd ON dd.doc_id = d.doc_id),
+        |t AS (SELECT source, unnest(toks) AS tok FROM src)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+        |  CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
+        |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
     // L35 — SemDeDup (Abbas et al. 2023): semantic dedup = embedding
     // near-dup pairs from IVF cells (broadcast centroids, same-cell
     // candidates — Σ|cell|², never n²) → connected components

@@ -301,6 +301,59 @@ object Curation {
           col("pass_symbol") && col("pass_stop"))
   }
 
+  /** CROSS-SOURCE OVERLAP MATRIX: for every pair of corpus sources, the
+    * number of distinct word n-gram shingles they share and the Jaccard
+    * similarity of their shingle sets — the corpus-level contamination /
+    * redundancy audit run before mixing sources into a training blend
+    * (high overlap means one source is near-subsumed by another and its
+    * mixture weight double-counts that content).
+    *
+    * Scale shape: one distinct over (source, shingle) — cardinality
+    * ≤ sources × distinct-shingles, NOT corpus size — then a self-join
+    * on the shingle key. Every shingle contributes at most |sources|²
+    * join rows regardless of how many documents contain it, so there is
+    * no hot-key blowup to cap: the "document frequency" dimension is
+    * already collapsed by the distinct. Output: |sources|² rows.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    shingleN: Int): DataFrame = {
+    val ss = df.select(col(groupCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+          .as("shingle"))
+      .distinct()
+      .cache()
+    ss.count() // eager: feeds the self-join's both sides and the totals
+    val n = ss.groupBy(col(groupCol)).agg(count(lit(1)).as("n_sh"))
+    val pairs = ss.select(col(groupCol).as("source_a"), col("shingle"))
+      .join(ss.select(col(groupCol).as("source_b"), col("shingle")), "shingle")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(n.select(col(groupCol).as("source_a"), col("n_sh").as("n_a")), "source_a")
+      .join(n.select(col(groupCol).as("source_b"), col("n_sh").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+  }
+
+  /** Per-group VOCABULARY statistics: token count, distinct-token count
+    * (vocabulary size), and type-token ratio — the standard corpus
+    * diversity profile (a low TTR flags template/boilerplate sources
+    * before they skew a mixture). One explode + one two-level hash
+    * aggregation; the distinct count shuffles (group, token) pairs, not
+    * rows. TTR is a single division of exact integers.
+    */
+  def vocabStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      .withColumn("type_token_ratio",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+
   /** Mixture-weight ALLOCATION by largest remainder (Hamilton's method):
     * split an integer token `budget` across groups proportionally to
     * their token counts, exactly — allocations sum to the budget, every

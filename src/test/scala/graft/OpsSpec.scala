@@ -502,6 +502,32 @@ class OpsSpec extends SparkSpec {
     grids(0).grouped(w).foreach(row => assert(row.sum == stream.size.toLong))
   }
 
+  test("sourceOverlap: shared-shingle counts and Jaccard match hand computation") {
+    val df = Seq(
+      (1L, "s1", "a b c d e"),   // shingles: abc bcd cde
+      (2L, "s1", "a b c x y"),   // abc bcx cxy  -> s1 set: 5 distinct
+      (3L, "s2", "a b c d q"),   // abc bcd cdq  -> s2 set: 3
+      (4L, "s3", "p q r s t")    // pqr qrs rst  -> s3 set: 3, disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.Curation.sourceOverlap(df, "source", "text", 3)
+      .orderBy($"source_a", $"source_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only pairs sharing >= 1 shingle appear: (s1,s2) share {abc, bcd}
+    assert(got.toSeq == Seq(("s1", "s2", 5L, 3L, 2L, 2.0 / 6.0)))
+  }
+
+  test("vocabStats: token and type counts per group") {
+    val df = Seq(
+      (1L, "g1", "a b a b c"),
+      (2L, "g1", "c d"),
+      (3L, "g2", "x x x")).toDF("doc_id", "grp", "text")
+    val got = graft.ops.Curation.vocabStats(df, "grp", "text")
+      .orderBy($"grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("g1", 7L, 4L, 4.0 / 7.0), ("g2", 3L, 1L, 1.0 / 3.0)))
+  }
+
   test("gopherGates: integer-domain gate booleans match hand computation") {
     val df = Seq(
       // 60 clean words -> passes everything

@@ -134,6 +134,22 @@ class PlanSpec extends SparkSpec {
       "KMV should aggregate partial then final")
   }
 
+  test("bloom/CMS sketches aggregate partial-then-final; one-row result broadcasts") {
+    // The bounded-state sketches must run as true partial-merge
+    // aggregates (map-side combine — shipping raw positions instead of
+    // merged bitsets/grids would be the 100 TB anti-shape), and the
+    // single-row sketch result must reach the probe side as a broadcast,
+    // never a shuffle.
+    for (q <- Seq("j_bloom_prune", "sketch_cms_topk")) {
+      val p = plan(q)
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q should aggregate the sketch partial then final")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q should broadcast the one-row sketch to the probe side")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
