@@ -2737,6 +2737,55 @@ object SparkEntry {
         |    AND (n_stop >= 2) AS pass
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // L38 — per-doc TF-IDF keywords, integer-exact: rank tokens by the
+    // log-free monotone surrogate tf/df (score = tf·10⁹ div df — one
+    // exact integer division, bit-stable ranks cross-engine), top 3 per
+    // doc. One tf agg + one df agg + a token equi join + per-doc window.
+    Q("t_tfidf_topk",
+      (s, dir) => TextOps.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+        |    (tf.tf * 1000000000) // dfq.df AS score
+        |  FROM tf JOIN dfq ON dfq.tok = tf.tok),
+        |r AS (SELECT doc_id, tok, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, tok) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, tok, tf, df, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // L39 — nearest-centroid classification: per-label centroid = exact
+    // integer SUM of quantized vectors (cosine is scale-invariant, so
+    // the unnormalized sum is the mean direction — no division, no
+    // float drift); broadcast 10 centroids, fused-dot argmax per vector.
+    Q("sim_centroid_classify",
+      (s, dir) => Similarity.centroidClassify(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", dim = 64)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH $quantSqlCte,
+        |cx AS (SELECT e.label AS c_label, u.i AS i,
+        |    CAST(SUM(q.qv[CAST(u.i AS INTEGER)]) AS BIGINT) AS s
+        |  FROM q JOIN embeddings e ON e.vec_id = q.vec_id, range(1,65) u(i)
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT c_label, list(s ORDER BY i) AS cv FROM cx GROUP BY c_label),
+        |cn AS (SELECT c_label,
+        |    sqrt(CAST(CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS cnorm
+        |  FROM cent),
+        |sc AS (SELECT q.vec_id, e.label, c.c_label,
+        |    CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*c.cv[i])) AS BIGINT) AS DOUBLE)
+        |      / n.cnorm AS score
+        |  FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+        |  CROSS JOIN cent c JOIN cn n ON n.c_label = c.c_label),
+        |r AS (SELECT vec_id, label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) AS rn
+        |  FROM sc)
+        |SELECT vec_id, label, c_label AS pred_label, label = c_label AS correct
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
     // L36 — cross-source OVERLAP MATRIX: distinct shared shingles +
     // shingle-set Jaccard for every source pair — the contamination /
     // redundancy audit before mixing sources into a training blend. The

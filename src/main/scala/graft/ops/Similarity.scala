@@ -30,6 +30,43 @@ object Similarity {
   private def sqNorm(qv: Column): Column =
     aggregate(qv, lit(0L), (acc, x) => acc + x * x)
 
+  /** NEAREST-CENTROID CLASSIFIER (prototype classification / cluster
+    * assignment — the label-propagation primitive for semi-supervised
+    * corpus tagging): each label's centroid is the element-wise SUM of
+    * its quantized vectors — cosine is scale-invariant, so the
+    * unnormalized sum IS the mean direction and the centroid stays an
+    * exact long vector (no division, no drift) — and every vector takes
+    * the label of its highest-cosine centroid, ties to the smaller
+    * label.
+    *
+    * Scale shape: the centroid aggregation is `dim` parallel SUMs — a
+    * true partial-merge aggregate, map-side-combined, one row per label
+    * out; the tiny centroid table broadcasts; scoring is one fused-dot
+    * projection per (vector, label) with a per-vector argmax window. No
+    * shuffle of the embedding side beyond the label aggregation.
+    */
+  def centroidClassify(emb: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, dim: Int): DataFrame = {
+    LongArrayDot.register(emb.sparkSession)
+    val q = emb.select(col(idCol), col(labelCol),
+      transform(col(embCol), x => round(x.cast("double") * 10000d).cast("long"))
+        .as("qv"))
+    val cents = q.groupBy(col(labelCol))
+      .agg(array((0 until dim).map(i => sum(col("qv").getItem(i))): _*).as("cv"))
+      .withColumn("cnorm",
+        sqrt(aggregate(col("cv"), lit(0L), (acc, x) => acc + x * x).cast("double")))
+      .select(col(labelCol).as("c_label"), col("cv"), col("cnorm"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("c_label"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("score",
+        expr(s"${LongArrayDot.fnName}(qv, cv)").cast("double") / col("cnorm"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(labelCol), col("c_label").as("pred_label"),
+        (col(labelCol) === col("c_label")).as("correct"))
+  }
+
   /** All pairs (a < b) with exact quantized cosine — the verify kernel.
     * The dot product is the fused-loop [[LongArrayDot]] expression, not
     * `zip_with`+`aggregate`: no per-pair intermediate array, stays in

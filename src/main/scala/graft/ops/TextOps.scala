@@ -195,6 +195,40 @@ object TextOps {
       .filter(col("score") > 0)
   }
 
+  /** Per-document TF-IDF KEYWORDS, integer-exact variant: rank each
+    * document's tokens by `tf/df` — the log-free monotone surrogate for
+    * tf·idf (`N` is constant per corpus, so ranking by `tf·N/df` equals
+    * ranking by `tf/df`; dropping the log is the price of exact
+    * cross-engine arithmetic and is documented, not hidden) — and keep
+    * the top `k`. The score is the single exact integer division
+    * `tf·10⁹ div df`, so an external engine reproduces every rank
+    * bit-for-bit; ties break by token text.
+    *
+    * Scale shape: one (doc, token) aggregation for tf, one token
+    * aggregation for df (both map-side-combined), an equi join on the
+    * token key, and a per-doc top-k window — no global sort, no
+    * all-pairs anything. The classic "document keywords at corpus
+    * scale" pipeline op.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksTable = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toksTable.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toksTable.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("score", expr("tf * 1000000000L div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** 16-bit SimHash over a (id, shingle) table: bit b of each shingle's
     * md5 (odd hex digit b = 1) votes +1/-1; the sign of each bit's vote
     * sum forms the signature. Two near-identical docs differ in few

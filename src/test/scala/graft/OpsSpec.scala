@@ -528,6 +528,35 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("g1", 7L, 4L, 4.0 / 7.0), ("g2", 3L, 1L, 1.0 / 3.0)))
   }
 
+  test("tfidfTopK: integer tf/df ranks match hand computation, ties by token") {
+    val df = Seq(
+      (1L, "apple apple banana common common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry cherry common date")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.tfidfTopK(df, "doc_id", "text", 3)
+      .orderBy($"doc_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc1: apple 2e9/1, common 2e9/3, banana 1e9/2
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq == Seq("apple", "common", "banana"))
+    // doc3: cherry 2e9/2 == date 1e9/1 — exact tie broken by token text
+    assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq("cherry", "date", "common"))
+  }
+
+  test("centroidClassify: sum-centroids, argmax cosine, mislabeled row detected") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, 0, Seq(0.8f, 0.2f, 0f, 0f)),
+      (3L, 1, Seq(0f, 1.0f, 0f, 0f)),
+      (4L, 1, Seq(0f, 0.9f, 0.1f, 0f)),
+      (5L, 0, Seq(0.1f, 0.9f, 0f, 0f))) // label 0 but points at centroid 1
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.ops.Similarity.centroidClassify(df, "vec_id", "embedding", "label", 4)
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, 0, true), (2L, 0, true), (3L, 1, true),
+      (4L, 1, true), (5L, 1, false)))
+  }
+
   test("gopherGates: integer-domain gate booleans match hand computation") {
     val df = Seq(
       // 60 clean words -> passes everything
