@@ -1813,6 +1813,64 @@ object SparkEntry {
         |FROM j JOIN cand c2 ON c2.a = j.a AND c2.b = j.b
         |WHERE j.jaccard >= 0.5 ORDER BY new_id, match_id""".stripMargin)),
 
+    // L40 / §2.10 — STREAMING Count-Min sketch: the token stream arrives
+    // as four staged files consumed one per micro-batch
+    // (maxFilesPerTrigger=1), and the CMS grid accumulates in streaming
+    // aggregation state across batches (complete mode, AvailableNow).
+    // Because the sketch's merge is element-wise sum — associative,
+    // commutative, order-independent — the final streamed grid is
+    // BIT-IDENTICAL to the batch grid no matter how the files split the
+    // stream, which is what lets the batch SQL oracle check a streaming
+    // sketch exactly. The estimates table then reads the one-row grid
+    // exactly like the batch flavor (sketch_cms_topk).
+    Q("streaming_sketch",
+      (s, dir) => {
+        import graft.expr.{CmsSketch, CmsSketchAgg}
+        val d = 3; val w = 256
+        val cms = udaf(new CmsSketchAgg(d, w))
+        val base = Tables.documents(s, dir)
+        val name = "sk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_cms").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_cmssrc")
+        base.repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+        val grid = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .select(CmsSketch.cells(col("tok"), d, w).as("cs"))
+          .groupBy()
+          .agg(cms(col("cs")).as("grid"))
+        val q = grid.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
+        val g = s.table(name).select(col("grid"))
+        base.select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+          .orderBy(col("exact_count").desc, col("tok")).limit(15)
+          .crossJoin(broadcast(g))
+          .select(col("tok"), col("exact_count"),
+            CmsSketch.estimate(col("grid"), CmsSketch.cells(col("tok"), d, w))
+              .as("cms_est"))
+          .orderBy(col("exact_count").desc, col("tok"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT unnest(toks) AS tok FROM d),
+        |cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM t GROUP BY tok),
+        |cells AS (SELECT r.r AS r,
+        |    ('0x' || substr(md5(tok), 1 + r.r*8, 8))::BIGINT % 256 AS p,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t, range(3) r(r) GROUP BY 1, 2),
+        |top AS (SELECT tok, exact_count FROM cnt
+        |  ORDER BY exact_count DESC, tok LIMIT 15)
+        |SELECT top.tok AS tok, top.exact_count AS exact_count, MIN(c.c) AS cms_est
+        |FROM top JOIN cells c
+        |  ON c.p = ('0x' || substr(md5(top.tok), 1 + c.r*8, 8))::BIGINT % 256
+        |GROUP BY 1, 2
+        |ORDER BY exact_count DESC, tok""".stripMargin)),
+
     // §2.10 — the curation rollup as a STREAMING query: readStream over
     // the documents parquet, the stateless quality gate, a streaming
     // per-lang aggregation run to completion with Trigger.AvailableNow
