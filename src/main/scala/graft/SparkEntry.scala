@@ -2795,6 +2795,31 @@ object SparkEntry {
         |    AND (n_stop >= 2) AS pass
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // L41 / O-series — per-group top-k as a BOUNDED-STATE partial-merge
+    // aggregate (TopKAgg): at most k (value, id) pairs per group per map
+    // partition reach the shuffle, vs the window formulation shipping
+    // and sorting EVERY row of every group. Per-group analog of Spark's
+    // global TakeOrderedAndProject, which has no built-in. The window
+    // formulation is the oracle — identical output by construction.
+    Q("o_topk_agg",
+      (s, dir) => {
+        val topk = udaf(new graft.expr.TopKAgg(5))
+        Tables.eventIntervals(s, dir)
+          .groupBy(col("event_type"))
+          .agg(topk(col("cents"), col("event_id")).as("tk"))
+          .select(col("event_type"), posexplode(col("tk")))
+          .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("event_id"), col("col.value").as("cents"))
+          .orderBy(col("event_type"), col("rank"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |r AS (SELECT event_type, event_id, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, event_id) AS BIGINT) AS rank
+        |  FROM e)
+        |SELECT event_type, rank, event_id, cents
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin)),
+
     // L38 — per-doc TF-IDF keywords, integer-exact: rank tokens by the
     // log-free monotone surrogate tf/df (score = tf·10⁹ div df — one
     // exact integer division, bit-stable ranks cross-engine), top 3 per

@@ -528,6 +528,25 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("g1", 7L, 4L, 4.0 / 7.0), ("g2", 3L, 1L, 1.0 / 3.0)))
   }
 
+  test("TopKAgg == sorted take(k) per group, any partitioning, dup ties stable") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 1200).map { i =>
+      (s"g${i % 7}", rnd.nextInt(50).toLong, i.toLong) // heavy value ties
+    }
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(r => (r._2, r._3)).sortBy { case (v, id) => (-v, id) }.take(5)).toMap
+    val topk = udaf(new graft.expr.TopKAgg(5))
+    for (parts <- Seq(1, 9)) {
+      val got = rows.toDF("g", "v", "id").repartition(parts)
+        .groupBy($"g")
+        .agg(topk($"v", $"id").as("tk"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getLong(1))))
+        .toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("tfidfTopK: integer tf/df ranks match hand computation, ties by token") {
     val df = Seq(
       (1L, "apple apple banana common common"),
