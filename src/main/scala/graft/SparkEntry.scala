@@ -2795,6 +2795,38 @@ object SparkEntry {
         |    AND (n_stop >= 2) AS pass
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // L42 — TABLE PROFILER (the ANALYZE pass): per column of documents,
+    // row/null counts, exact ndv, string-form min/max, and the KMV ndv
+    // ESTIMATE side by side — one single-pass partial+final aggregation
+    // for ALL columns, unpivoted to a row per column. The oracle unrolls
+    // the same stats per column and the same public-md5 KMV order
+    // statistic.
+    Q("c_table_profile",
+      (s, dir) => Curation.profileTable(
+          Tables.documents(s, dir),
+          Seq("doc_id", "lang", "n_chars", "source", "text"), kmvK = 16)
+        .orderBy(col("column")),
+      Some {
+        val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+        val blocks = cols.map { c =>
+          s"""(SELECT '$c' AS "column",
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows,
+             |  (SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents) AS n_nulls,
+             |  (SELECT CAST(COUNT(DISTINCT $c) AS BIGINT) FROM documents) AS ndv_exact,
+             |  (SELECT MIN(CAST($c AS VARCHAR)) FROM documents) AS min_str,
+             |  (SELECT MAX(CAST($c AS VARCHAR)) FROM documents) AS max_str,
+             |  (SELECT CASE WHEN MAX(CASE WHEN rn = 16 THEN hv END) IS NULL
+             |     THEN CAST(COUNT(*) AS DOUBLE)
+             |     ELSE 15.0 * 1152921504606846976.0
+             |       / CAST(MAX(CASE WHEN rn = 16 THEN hv END) AS DOUBLE) END
+             |   FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (
+             |     SELECT DISTINCT CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |     FROM documents WHERE $c IS NOT NULL) h) r
+             |   WHERE rn <= 16) AS ndv_kmv_est)""".stripMargin
+        }
+        blocks.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
     // L41 / O-series — per-group top-k as a BOUNDED-STATE partial-merge
     // aggregate (TopKAgg): at most k (value, id) pairs per group per map
     // partition reach the shuffle, vs the window formulation shipping

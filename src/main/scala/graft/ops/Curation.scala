@@ -354,6 +354,46 @@ object Curation {
       .withColumn("type_token_ratio",
         col("n_types").cast("double") / col("n_tokens").cast("double"))
 
+  /** TABLE PROFILER — the ANALYZE/stats-collection pass a query engine
+    * runs to feed its optimizer and a curation run uses to sanity-check
+    * a new corpus drop: per column, row/null counts, exact distinct
+    * count, and the KMV distinct ESTIMATE (the sketch that replaces
+    * exact ndv at 100 TB — kept side by side here so the estimate is
+    * auditable against truth). ONE pass over the table: all columns'
+    * aggregates evaluate in a single partial+final aggregation, then
+    * unpivot to one row per column.
+    *
+    * Cross-engine exactness: min/max are taken over the STRING form of
+    * each column (one canonical collation for mixed types), and the KMV
+    * hash is the public-md5 scheme of [[graft.expr.KmvSketchAgg]].
+    */
+  def profileTable(df: DataFrame, cols: Seq[String], kmvK: Int): DataFrame = {
+    val kmv = udaf(new graft.expr.KmvSketchAgg(kmvK))
+    val aggs = cols.flatMap { c =>
+      val s = col(c).cast("string")
+      val hv = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(s).as(s"${c}__min"),
+        max(s).as(s"${c}__max"),
+        kmv(hv).as(s"${c}__kmv"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val wide = df.agg(allAggs.head, allAggs.tail: _*)
+    val est = lit((kmvK - 1).toDouble) * lit(1152921504606846976.0) // (k−1)·2⁶⁰
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__ndv").as("ndv_exact"),
+        col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"),
+        when(col(s"${c}__kmv.kth_min").isNull,
+          col(s"${c}__kmv.n_min").cast("double"))
+          .otherwise(est / col(s"${c}__kmv.kth_min").cast("double"))
+          .as("ndv_kmv_est"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Mixture-weight ALLOCATION by largest remainder (Hamilton's method):
     * split an integer token `budget` across groups proportionally to
     * their token counts, exactly — allocations sum to the budget, every
