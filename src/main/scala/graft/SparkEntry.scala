@@ -2995,7 +2995,63 @@ object SparkEntry {
         |SELECT l.vec_id, l.component, s.cluster_size,
         |  l.vec_id = l.component AS kept
         |FROM lbl l JOIN sz s ON s.component = l.component
-        |ORDER BY l.vec_id""".stripMargin))
+        |ORDER BY l.vec_id""".stripMargin)),
+
+    // L43 — DSIR importance scoring (Xie et al. 2023): rank raw docs by
+    // target-likeness over hashed bigram features. Target = the English
+    // slice; the log-likelihood-ratio weight is replaced by the
+    // integer-exact cross-multiplied surrogate (same per-feature sign),
+    // so the oracle reproduces every score bit-for-bit. Bucket tables
+    // are fixed-width (4096) regardless of corpus size — both
+    // broadcast; the corpus side is two hash aggs, no wide shuffle.
+    Q("c_dsir_score",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.dsirScores(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text", buckets = 4096, shingleN = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+        |tt AS (SELECT doc_id, lang, unnest(toks) AS tok,
+        |    unnest(range(len(toks))) AS i FROM d),
+        |g0 AS (SELECT doc_id, lang, tok || ' ' || lead(tok, 1)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS g FROM tt),
+        |f AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS bucket
+        |  FROM g0 WHERE g IS NOT NULL),
+        |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM f
+        |  WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM f GROUP BY 1),
+        |tn AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tgt FROM tc),
+        |rn AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_raw FROM rc),
+        |tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM f GROUP BY 1, 2),
+        |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
+        |    CAST(SUM(tf.tf * (COALESCE(tc.ct, 0) * rn.n_raw
+        |      - rc.cr * tn.n_tgt)) AS BIGINT) AS score
+        |  FROM tf JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+        |  CROSS JOIN tn CROSS JOIN rn
+        |  GROUP BY 1)
+        |SELECT doc_id, n_feats, score, score > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // L44 — n-gram NOVELTY: the fraction of a doc's distinct 3-gram
+    // shingles appearing in no other document — the inverse boilerplate
+    // signal. df collapses on the distinct (doc, shingle) table; one
+    // shingle-keyed hash agg + join back + per-doc agg.
+    Q("c_novelty",
+      (s, dir) => Curation.noveltyStats(
+          Tables.documents(s, dir), "doc_id", "text", shingleN = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $shingleSqlCte,
+        |dfc AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sd GROUP BY 1)
+        |SELECT sd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novel_frac
+        |FROM sd JOIN dfc USING (shingle)
+        |GROUP BY sd.doc_id ORDER BY sd.doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

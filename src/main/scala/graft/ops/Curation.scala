@@ -394,6 +394,83 @@ object Curation {
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** DSIR-style IMPORTANCE SCORING (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much its hashed n-gram feature profile
+    * looks like a TARGET corpus rather than the raw corpus, then keep
+    * the high scorers. The paper's weight is
+    * `log w(z) = Σ_b f_b(z)·log(p_b/q_b)` over hashed n-gram buckets;
+    * as with tf-idf (see `TextOps.tfidfTopK`) the log is replaced by an
+    * integer-exact surrogate with the same per-feature sign and the
+    * same over/under-representation semantics:
+    * `score(z) = Σ_b f_b(z)·(ct_b·N_raw − cr_b·N_tgt)` where ct/cr are
+    * the bucket's feature counts in target/raw and N_tgt/N_raw the
+    * corpus totals — positive exactly when the feature is
+    * over-represented in the target (`ct/N_tgt > cr/N_raw`), so
+    * `score > 0` reads "on balance target-like". Every term is a long
+    * (counts ≤ corpus features, products ≤ count·total ≪ 2⁶³), so an
+    * external SQL engine reproduces the scores bit-for-bit.
+    *
+    * Scale shape: the bucket tables have at most `buckets` rows (a few
+    * thousand) regardless of corpus size — both broadcast. The corpus
+    * pays one explode + one (id, bucket) hash agg + one per-id hash
+    * agg; no shuffle ever carries more than the per-doc feature
+    * profiles. The hashed-feature trick is exactly what makes DSIR
+    * linear at 100 TB: the "distribution" is a fixed-width vector, not
+    * a vocabulary.
+    *
+    * Features are word `shingleN`-grams hashed into `buckets` buckets
+    * via the public-md5 slice (mirrorable in any engine). Raw docs with
+    * no feature (fewer than `shingleN` tokens) are dropped — they have
+    * no evidence either way. Output: (idCol, n_feats, score, keep).
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int, shingleN: Int): DataFrame = {
+    def feats(df: DataFrame): DataFrame = df.select(col(idCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("g"))
+      .select(col(idCol),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
+          .as("bucket"))
+    val rawF = feats(raw)
+    // bucket histograms (≤ `buckets` rows each) + their scalar totals,
+    // kept as one-row frames so the whole score is a single composed
+    // plan: tiny sides broadcast, nothing collects to the driver.
+    val tgtC = feats(target).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val rawC = rawF.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtN = tgtC.agg(sum(col("ct")).as("n_tgt"))
+    val rawN = rawC.agg(sum(col("cr")).as("n_raw"))
+    rawF.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(rawC), Seq("bucket")) // every raw bucket is present
+      .join(broadcast(tgtC), Seq("bucket"), "left")
+      .crossJoin(broadcast(tgtN)).crossJoin(broadcast(rawN))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_feats"),
+        sum(col("tf") * (coalesce(col("ct"), lit(0L)) * col("n_raw")
+          - col("cr") * col("n_tgt"))).as("score"))
+      .withColumn("keep", col("score") > 0L)
+  }
+
+  /** Per-document n-gram NOVELTY: of a doc's distinct word n-grams, how
+    * many appear in NO other document — the inverse of the boilerplate
+    * signal (low novelty = the doc is assembled from corpus-common
+    * phrasing; high novelty = unique content worth keeping under a
+    * dedup-adjacent budget). Document frequency is collapsed on the
+    * distinct (doc, shingle) table — one hash agg on the shingle, one
+    * join back, one per-doc agg; the novel/total ratio is a single
+    * division of exact integers.
+    */
+  def noveltyStats(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int): DataFrame = {
+    val sd = TextOps.shingleTable(df, idCol, textCol, shingleN)
+    val dfc = sd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sd.join(dfc, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Mixture-weight ALLOCATION by largest remainder (Hamilton's method):
     * split an integer token `budget` across groups proportionally to
     * their token counts, exactly — allocations sum to the budget, every

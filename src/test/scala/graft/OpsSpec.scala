@@ -595,4 +595,38 @@ class OpsSpec extends SparkSpec {
     // doc 3 still passes the stopword gate (4 stopwords present)
     assert(got(2)._4 == true)
   }
+
+  test("dsirScores: cross-multiplied surrogate matches hand computation, sign = target-likeness") {
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta"),   // bigrams: ab ba ab
+      (2L, "en", "alpha beta gamma"),        // ab bg
+      (3L, "xx", "delta epsilon zeta"),      // de ez
+      (4L, "xx", "alpha beta delta epsilon") // ab bd de
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.Curation.dsirScores(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text",
+        buckets = 4096, shingleN = 2)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // N_tgt = 5, N_raw = 10; per-feature weight ct·10 − cr·5:
+    //   "alpha beta" ct=3 cr=4 → 10;  "beta alpha" / "beta gamma" → 5;
+    //   "delta epsilon" → −10;  "epsilon zeta" / "beta delta" → −5
+    // (no two of the six grams collide mod 4096)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 25L, true), (2L, 2L, 15L, true),
+      (3L, 2L, -15L, false), (4L, 3L, -5L, false)))
+  }
+
+  test("noveltyStats: df=1 shingle fractions match hand computation") {
+    val docs = Seq(
+      (1L, "a b c d"),  // abc bcd
+      (2L, "a b c x"),  // abc bcx
+      (3L, "p q r s")   // pqr qrs
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.noveltyStats(docs, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 2L, 1.0)))
+  }
 }
