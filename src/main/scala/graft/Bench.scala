@@ -51,12 +51,17 @@ object Bench {
     // Pass 2 — timed, steady-state. Caches are cleared after each query,
     // so every figure includes rebuilding the query's own eager caches
     // (that work is part of the query), but never pays for a neighbor's.
-    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
+    // GC BEFORE each query, OUTSIDE the timer: with the every-16 cadence
+    // the accumulated shuffle files of up to 15 neighbors plus the GC
+    // pause itself landed inside some victim query's timing (measured:
+    // dedup_minhash_lsh 6.7 s in-session vs 3.2 s solo). The brief sleep
+    // lets the ContextCleaner drain its async file deletes off-timer.
+    val results = sorted.map { case (name, fn) =>
+      System.gc(); Thread.sleep(50)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      maybeGc(i)
       name -> (if (ok) dt else -1d)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
