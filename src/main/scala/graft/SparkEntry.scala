@@ -3051,7 +3051,127 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS novel_frac
         |FROM sd JOIN dfc USING (shingle)
-        |GROUP BY sd.doc_id ORDER BY sd.doc_id""".stripMargin))
+        |GROUP BY sd.doc_id ORDER BY sd.doc_id""".stripMargin)),
+
+    // L45 — LOG-HISTOGRAM QUANTILE SKETCH (the DDSketch shape, Masson
+    // et al. 2019): per-language p50/p90/p99 of document length from a
+    // bounded ~0.5k-counter histogram — per-value aggregation state
+    // never exists, vs q_quantiles' one counter per distinct value.
+    // Bucketing is integer-exact (bit-length octaves + power-of-two
+    // sub-buckets, never float log), the state is CmsSketchAgg with an
+    // identity "hash" on the bounded bucket space, and the merge is
+    // element-wise sum — so this approximate sketch is a deterministic
+    // function of the input multiset and the oracle replays it exactly.
+    Q("sketch_log_quantiles",
+      (s, dir) => Curation.logQuantiles(
+        Tables.documents(s, dir), "lang", "n_chars",
+        Seq((50, 1L, 2L), (90, 9L, 10L), (99, 99L, 100L))),
+      Some("""WITH x AS (SELECT lang, greatest(n_chars, 1) AS v FROM documents),
+        |b AS (SELECT lang, CAST(length(format('{:b}', v)) - 1 AS INTEGER) AS k, v FROM x),
+        |bb AS (SELECT lang, CAST(k*8
+        |    + ((v - (1::BIGINT << k))*8) // (1::BIGINT << k) AS INTEGER) AS bkt FROM b),
+        |g AS (SELECT lang, bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM bb GROUP BY 1, 2),
+        |nn AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |c AS (SELECT lang, bkt, CAST(SUM(cnt) OVER (PARTITION BY lang
+        |    ORDER BY bkt) AS BIGINT) AS cum FROM g),
+        |s(q_pct, qn, qd) AS (VALUES (50, 1::BIGINT, 2::BIGINT),
+        |  (90, 9::BIGINT, 10::BIGINT), (99, 99::BIGINT, 100::BIGINT)),
+        |r AS (SELECT c.lang, s.q_pct, nn.n,
+        |    (nn.n*s.qn + s.qd - 1) // s.qd AS rank, MIN(c.bkt) AS bkt
+        |  FROM c JOIN nn USING (lang)
+        |  JOIN s ON c.cum >= (nn.n*s.qn + s.qd - 1) // s.qd
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT lang, q_pct, n, rank, bkt,
+        |  (8 + bkt % 8) * (1::BIGINT << (bkt // 8)) AS rep8
+        |FROM r ORDER BY lang, q_pct""".stripMargin)),
+
+    // L46 — SCALAR-QUANTIZED ANN with asymmetric distance (the FAISS SQ
+    // shape): corpus compressed to 4-bit-per-dim codes (32 bytes per
+    // 64-dim vector vs 256), queries score full-precision against the
+    // codes' integral reconstruction via the fused dot — approximate
+    // ranks that are exact longs, bit-stable cross-engine. Per-query
+    // top-k through the bounded-state TopKAgg, never a full sort.
+    Q("sim_sq_adc_topk",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.sqAdcTopK(q.filter(col("vec_id") < 8), q, "vec_id", 10)
+      },
+      Some(s"""WITH $quantSqlCte,
+        |st AS (SELECT i, MIN(qv[CAST(i AS INTEGER)]) AS mn,
+        |    MAX(qv[CAST(i AS INTEGER)]) - MIN(qv[CAST(i AS INTEGER)]) + 1 AS w
+        |  FROM q, range(1,65) t(i) GROUP BY 1),
+        |rc AS (SELECT q.vec_id, st.i,
+        |    32*st.mn + (2*(((q.qv[CAST(st.i AS INTEGER)] - st.mn)*16) // st.w) + 1)*st.w AS r
+        |  FROM q, st),
+        |sc AS (SELECT qq.vec_id AS query_id, rc.vec_id AS neighbor_id,
+        |    CAST(SUM(qq.qv[CAST(rc.i AS INTEGER)] * rc.r) AS BIGINT) AS score2l
+        |  FROM rc JOIN q qq ON qq.vec_id < 8 AND rc.vec_id <> qq.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, score2l,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score2l DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, rnk, neighbor_id, score2l
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // L47 — PER-DOMAIN CAP (RefinedWeb-style domain balancing): the
+    // corpus has no URL column, so one is derived deterministically
+    // from doc_id (md5-slice host + tld, mirrored verbatim in the
+    // oracle — the PII-scrub posture), then host extraction is Spark's
+    // native parse_url, blocklisted hosts drop via broadcast anti join,
+    // and each host keeps its best 5 docs through the bounded-state
+    // TopKAgg — giant hosts ship 5 rows per map partition, not all.
+    Q("c_domain_cap",
+      (s, dir) => {
+        val md = md5(col("doc_id").cast("string"))
+        val docs = Tables.documents(s, dir).withColumn("url",
+          concat(lit("https://h"),
+            pmod(conv(substring(md, 1, 6), 16, 10).cast("long"), lit(37L)),
+            lit(".example."),
+            element_at(array(lit("com"), lit("org"), lit("net")),
+              (pmod(conv(substring(md, 7, 6), 16, 10).cast("long"), lit(3L)) + 1L)
+                .cast("int")),
+            lit("/p/"), col("doc_id")))
+        Curation.domainCap(docs, "doc_id", "url", "n_chars",
+          cap = 5, blocked = Seq("h3.example.com", "h17.example.org"))
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+        |    'h' || CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 37 AS VARCHAR)
+        |      || '.example.'
+        |      || ['com','org','net'][CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 6))::BIGINT % 3 AS INTEGER) + 1]
+        |      AS host
+        |  FROM documents),
+        |f AS (SELECT * FROM u
+        |  WHERE host NOT IN ('h3.example.com', 'h17.example.org')),
+        |g AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_host FROM f GROUP BY 1),
+        |r AS (SELECT host, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |  FROM f)
+        |SELECT r.host, g.n_host, r.rank, r.doc_id, r.n_chars
+        |FROM r JOIN g USING (host)
+        |WHERE rank <= 5 ORDER BY host, rank""".stripMargin)),
+
+    // L48 — TIME-DECAYED COUNTS (half-life = 1 day): the recency
+    // weighting behind "trending" rankings, exactly: per-row weight is
+    // the integer 2^(day − minDay) (a shift, never float pow), one
+    // map-side-combined sum per event_type, one final division by
+    // 2^(maxDay − minDay). The checked columns stay integral; the one
+    // double is a single division, bit-stable cross-engine.
+    Q("c_decayed_counts",
+      (s, dir) => Curation.decayedCounts(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("ts div 1000").as("tus")),
+        "event_type", "tus", bucketUs = 86400000000L),
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(1::BIGINT << CAST(day - b.dmin AS INTEGER)) AS BIGINT) AS decayed_num,
+        |  CAST(b.dmax - b.dmin AS BIGINT) AS scale,
+        |  CAST(SUM(1::BIGINT << CAST(day - b.dmin AS INTEGER)) AS DOUBLE)
+        |    / CAST(1::BIGINT << CAST(b.dmax - b.dmin AS INTEGER) AS DOUBLE) AS decayed
+        |FROM e, b GROUP BY event_type, b.dmin, b.dmax
+        |ORDER BY event_type""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

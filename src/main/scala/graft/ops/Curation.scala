@@ -504,4 +504,121 @@ object Curation {
         col("__floor") + when(col("__rank") <= col("__leftover"), 1L).otherwise(0L))
       .select(col(groupCol), col("tokens"), col("alloc"))
   }
+
+  /** PER-DOMAIN CAP (domain balancing — the RefinedWeb/C4 rule that no
+    * single host may dominate the corpus): extract the host from a URL
+    * column with Spark's native `parse_url`, drop blocklisted hosts
+    * with a broadcast anti join, and keep at most `cap` documents per
+    * host — the best by (weightCol desc, idCol asc) — through the
+    * bounded-state [[graft.expr.TopKAgg]], so a host with millions of
+    * documents ships at most `cap` rows per map partition to the
+    * shuffle instead of all of them (the skew profile of web corpora is
+    * exactly a few giant hosts). Output: (host, n_host, rank, idCol,
+    * weightCol) for the kept rows, rank 1..cap within host.
+    */
+  def domainCap(df: DataFrame, idCol: String, urlCol: String,
+                weightCol: String, cap: Int, blocked: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    val withHost = df.select(col(idCol), col(weightCol).cast("long").as(weightCol),
+      parse_url(col(urlCol), lit("HOST")).as("host"))
+    val kept = withHost.join(broadcast(blocked.toDF("host")), Seq("host"), "left_anti")
+    val topk = udaf(new graft.expr.TopKAgg(cap))
+    kept.groupBy(col("host"))
+      .agg(topk(col(weightCol), col(idCol)).as("__tk"),
+        count(lit(1)).as("n_host"))
+      .select(col("host"), col("n_host"), posexplode(col("__tk")))
+      .select(col("host"), col("n_host"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.value").as(weightCol))
+      .orderBy(col("host"), col("rank"))
+  }
+
+  /** TIME-DECAYED COUNTS (exponential decay, half-life = one bucket):
+    * the recency-weighted frequency behind "trending" rankings. Each
+    * event weighs `2^(bucket − maxBucket)` — newer buckets dominate,
+    * each bucket back halves — computed EXACTLY: the per-row weight is
+    * the integer `2^(bucket − minBucket)` (a shift, never a float pow),
+    * summed per group map-side like any sum, and the final decayed
+    * value is ONE division by `2^(maxBucket − minBucket)` — so the
+    * checked columns stay in integer domain and the one double is
+    * bit-stable cross-engine. Bucket span must stay under 62 half-lives
+    * (the long shift range); real deployments window the input first,
+    * which also bounds the weights. One pass for the global bucket
+    * range (a 2-value broadcast), one map-side-combined agg — no
+    * per-event state, stream-mergeable (sum of shifted counts).
+    *
+    * `tUsCol`: event time in epoch micros. Output: (groupCol, n,
+    * decayed_num, scale, decayed) with decayed = decayed_num/2^scale.
+    */
+  def decayedCounts(df: DataFrame, groupCol: String, tUsCol: String,
+                    bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1L, "bucket width must be positive")
+    // integral floor of t/bucket: subtract the remainder, then the
+    // division is exact (and the double result integral < 2^53)
+    val t = col(tUsCol)
+    val day = ((t - pmod(t, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    val bounds = df.agg(
+      min(day).as("__dmin"), max(day).as("__dmax"))
+    val weighted = df.crossJoin(broadcast(bounds))
+      .withColumn("__w",
+        call_function("shiftleft", lit(1L), (day - col("__dmin")).cast("int")))
+      .withColumn("__scale", (col("__dmax") - col("__dmin")).cast("int"))
+    weighted.groupBy(col(groupCol), col("__scale"))
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("decayed_num"))
+      .select(col(groupCol), col("n"), col("decayed_num"),
+        col("__scale").cast("long").as("scale"),
+        (col("decayed_num").cast("double") /
+          call_function("shiftleft", lit(1L), col("__scale")).cast("double"))
+          .as("decayed"))
+      .orderBy(col(groupCol))
+  }
+
+  /** PER-GROUP QUANTILES FROM A LOG-HISTOGRAM SKETCH
+    * ([[graft.expr.LogHist]]): one map-side-combined aggregation builds
+    * a bounded ~0.5k-counter histogram per group — per-value state never
+    * exists, unlike [[discreteQuantiles]] whose state is one counter per
+    * distinct value — then each requested quantile reads the first
+    * bucket whose cumulative count reaches `ceil(q·n)` and reports that
+    * bucket's representative (`rep8` = 8× the bucket lower bound, so the
+    * true q-quantile v satisfies `rep8 ≤ 8v < rep8·(1 + 1/8)` within
+    * the bucket's relative-error bound). The post-aggregation walk runs
+    * over ≤ 504 rows per group. `qSpecs`: (q_pct, num, den) with
+    * q = num/den; rank = ceil(n·num/den) in exact integer math.
+    *
+    * Output: (groupCol, q_pct, n, rank, bkt, rep8) ordered by group and
+    * percentile.
+    */
+  def logQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                   qSpecs: Seq[(Int, Long, Long)]): DataFrame = {
+    import graft.expr.{CmsSketchAgg, LogHist}
+    require(qSpecs.nonEmpty && qSpecs.forall { case (_, n, d) =>
+      n >= 0L && d >= 1L && n <= d }, "quantile specs must satisfy 0 <= num <= den")
+    val hist = udaf(new CmsSketchAgg(1, LogHist.nBuckets))
+    val grid = df
+      .select(col(groupCol), array(LogHist.bucket(col(valueCol))).as("__cs"))
+      .groupBy(col(groupCol))
+      .agg(hist(col("__cs")).as("__grid"), count(lit(1)).as("n"))
+    val cells = grid
+      .select(col(groupCol), col("n"),
+        posexplode(col("__grid")).as(Seq("bkt", "__cnt")))
+      .where(col("__cnt") > 0L)
+      .withColumn("__cum",
+        sum(col("__cnt")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("bkt"))))
+    val specs = qSpecs.map { case (pct, num, den) =>
+      struct(lit(pct).as("q_pct"), lit(num).as("__qn"), lit(den).as("__qd"))
+    }
+    cells
+      .select(col(groupCol), col("n"), col("bkt"), col("__cum"),
+        explode(array(specs: _*)).as("__q"))
+      .select(col(groupCol), col("n"), col("bkt"), col("__cum"),
+        col("__q.q_pct").as("q_pct"),
+        expr("(n * __q.__qn + __q.__qd - 1L) div __q.__qd").as("rank"))
+      .where(col("__cum") >= col("rank"))
+      .groupBy(col(groupCol), col("q_pct"), col("n"), col("rank"))
+      .agg(min(col("bkt")).as("bkt"))
+      .withColumn("rep8", graft.expr.LogHist.rep8(col("bkt")))
+      .select(col(groupCol), col("q_pct"), col("n"), col("rank"),
+        col("bkt"), col("rep8"))
+      .orderBy(col(groupCol), col("q_pct"))
+  }
 }

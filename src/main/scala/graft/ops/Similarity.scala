@@ -67,6 +67,71 @@ object Similarity {
         (col(labelCol) === col("c_label")).as("correct"))
   }
 
+  /** SCALAR-QUANTIZED ANN TOP-K with asymmetric distance computation —
+    * the FAISS `SQ` shape (Jégou et al., PAMI 2011 §III for the
+    * asymmetric trick): the corpus is compressed to one `levels`-ary
+    * code per dimension (4 bits/dim at the default 16 — a 64-dim vector
+    * is 32 bytes instead of 256), and queries score against the CODES'
+    * reconstruction, never the original floats — the query side stays
+    * full-precision, the corpus side stays compressed, which is what
+    * lets a 100 TB embedding store scan from codes resident in memory.
+    *
+    * Stage 1 (one pass, map-side-combined agg on `dim` keys): per-dim
+    * `mn`/width over the quantized corpus. Stage 2: per-vector codes
+    * `c_d = (x_d − mn_d)·levels div w_d` — computed EXACTLY in integer
+    * domain by subtracting the remainder before dividing (`(a − a mod
+    * w)/w`), no float floor. Scoring uses the scaled reconstruction
+    * `recon2L_d = 2·levels·mn_d + (2c_d + 1)·w_d` (= 2·levels × the
+    * code cell's midpoint, kept integral): `score2L = Σ q_d·recon2L_d`
+    * via the fused [[graft.expr.LongArrayDot]], so the approximate
+    * score is an exact long, bit-stable cross-engine — ANN ranks are
+    * deterministic and oracle-checkable, the same posture as the SRP
+    * and IVF paths. recon2L is derived from codes once per corpus
+    * vector and shared by every query (ADC's per-query LUT folded into
+    * one data-independent array). Top-k per query via the
+    * bounded-state [[graft.expr.TopKAgg]] (value desc, id asc) —
+    * at most k pairs per query per map partition reach the shuffle.
+    *
+    * `queries`/`corpus`: (idCol, qv) from [[quantize]]. Output:
+    * (query_id, rnk, neighbor_id, score2l).
+    */
+  def sqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                k: Int, levels: Int = 16): DataFrame = {
+    LongArrayDot.register(corpus.sparkSession)
+    val dims = corpus.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"),
+        (max(col("x")) - min(col("x")) + lit(1L)).as("w"))
+    val stats = dims
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("w"))))
+        .as("st"))
+      .select(transform(col("st"), s => s.getField("mn")).as("mins"),
+        transform(col("st"), s => s.getField("w")).as("widths"))
+    val recon = corpus.crossJoin(broadcast(stats))
+      .withColumn("recon2l",
+        zip_with(col("qv"), arrays_zip(col("mins"), col("widths")), (x, mw) => {
+          val a = (x - mw.getField("mins")) * lit(levels.toLong)
+          // exact integral floor: (a - a mod w) / w divides evenly
+          val c = ((a - pmod(a, mw.getField("widths"))) / mw.getField("widths"))
+            .cast("long")
+          lit(2L * levels) * mw.getField("mins") +
+            (c * lit(2L) + lit(1L)) * mw.getField("widths")
+        }))
+      .select(col(idCol).as("neighbor_id"), col("recon2l"))
+    val topk = udaf(new graft.expr.TopKAgg(k))
+    recon
+      .crossJoin(broadcast(
+        queries.select(col(idCol).as("query_id"), col("qv").as("qq"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score2l", expr(s"${LongArrayDot.fnName}(qq, recon2l)"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("score2l"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.value").as("score2l"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** All pairs (a < b) with exact quantized cosine — the verify kernel.
     * The dot product is the fused-loop [[LongArrayDot]] expression, not
     * `zip_with`+`aggregate`: no per-pair intermediate array, stays in

@@ -502,6 +502,113 @@ class OpsSpec extends SparkSpec {
     grids(0).grouped(w).foreach(row => assert(row.sum == stream.size.toLong))
   }
 
+  test("domainCap: blocklist dropped, best cap rows kept per host, n_host pre-cap") {
+    val df = Seq(
+      (1L, "https://a.com/p/1", 100L),
+      (2L, "https://a.com/p/2", 300L),
+      (3L, "https://a.com/p/3", 200L),
+      (4L, "https://a.com/p/4", 300L), // ties with 2 -> id asc keeps both
+      (5L, "https://bad.org/p/5", 999L),
+      (6L, "https://b.net/p/6", 50L)
+    ).toDF("doc_id", "url", "w")
+    val got = graft.ops.Curation.domainCap(df, "doc_id", "url", "w",
+        cap = 2, blocked = Seq("bad.org"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a.com", 4L, 1L, 2L, 300L),
+      ("a.com", 4L, 2L, 4L, 300L),
+      ("b.net", 1L, 1L, 6L, 50L)))
+  }
+
+  test("decayedCounts: integer shift weights, one exact final division") {
+    val day = 86400000000L
+    val df = Seq(
+      ("A", 10L), ("A", 20L), ("A", 2 * day + 5L), // days 0, 0, 2
+      ("B", day + 7L)                               // day 1
+    ).toDF("g", "tus")
+    val got = graft.ops.Curation.decayedCounts(df, "g", "tus", day)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // dmin=0 dmax=2: A num = 1+1+4 = 6 -> 6/4 = 1.5; B num = 2 -> 0.5
+    assert(got.toSeq == Seq(("A", 3L, 6L, 2L, 1.5), ("B", 1L, 2L, 2L, 0.5)))
+  }
+
+  test("sqAdcTopK: reconstruction within one cell width, ranks match exact dots") {
+    import graft.ops.Similarity
+    val L = 16
+    val rnd = new scala.util.Random(3)
+    val dim = 6
+    val corpus = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextInt(20001) - 10000L).toSeq)).toDF("vec_id", "qv")
+    val queries = corpus.filter($"vec_id" < 3)
+    val got = Similarity.sqAdcTopK(queries, corpus, "vec_id", 5, L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // per-dim stats as the operator computes them
+    val mins = (0 until dim).map(d => vecs.values.map(_(d)).min)
+    val ws = (0 until dim).map(d => vecs.values.map(_(d)).max - vecs.values.map(_(d)).min + 1)
+    def recon2l(v: Seq[Long]): Seq[Long] = (0 until dim).map { d =>
+      val c = (v(d) - mins(d)) * L / ws(d)
+      2L * L * mins(d) + (2 * c + 1) * ws(d)
+    }
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val qq = vecs(qid)
+      // scala-side mirror: score2l = q . recon2l, top-5 by (score desc, id)
+      val want = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, (0 until dim).map(d => qq(d) * recon2l(v)(d)).sum) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      assert(rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq == want)
+      // ADC score within sum_d |q_d| * w_d of the exact scaled dot
+      want.foreach { case (id, s) =>
+        val exact2l = (0 until dim).map(d => 2L * L * qq(d) * vecs(id)(d)).sum
+        val bound = (0 until dim).map(d => math.abs(qq(d)) * ws(d)).sum
+        assert(math.abs(s - exact2l) <= bound, s"q=$qid n=$id")
+      }
+    }
+  }
+
+  test("LogHist: hand-computed buckets, bound law, quantile bucket is exact") {
+    import graft.expr.LogHist
+    // scala-side mirror of the bucket function for the law checks
+    def bucketRef(x0: Long): Int = {
+      val x = math.max(x0, 1L)
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      (k * 8 + (((x - (1L << k)) * 8L) >> k).toInt)
+    }
+    val xs = Seq(1L, 2L, 3L, 8L, 9L, 255L, 256L, 1L << 40, (1L << 40) + 12345L)
+    val got = xs.toDF("x")
+      .select($"x", LogHist.bucket($"x").as("b"),
+        LogHist.rep8(LogHist.bucket($"x")).as("rep8"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // hand checks: 1 -> octave 0 sub 0; 3 -> k=1, sub=4; 9 -> k=3, sub=1;
+    // 255 -> top sub-bucket of octave 7
+    assert(got.map(_._2).toSeq == Seq(0, 8, 12, 24, 25, 63, 64, 320, 320))
+    got.foreach { case (x, b, rep8) =>
+      assert(b == bucketRef(x))
+      val width = 1L << (b / 8) // bucket width = 2^k
+      assert(rep8 <= 8 * x && 8 * x < rep8 + width,
+        s"x=$x b=$b rep8=$rep8 width=$width") // relative error <= 1/8
+    }
+    // the sketch's chosen bucket CONTAINS the true ceil-rank quantile:
+    // the histogram is exact per bucket, so rep8 = rep8(bucket(trueQ))
+    val rnd = new scala.util.Random(11)
+    val vals = (0 until 500).map(_ => 1L + rnd.nextInt(1 << 20).toLong)
+    val qs = Seq((50, 1L, 2L), (90, 9L, 10L), (99, 99L, 100L))
+    val est = graft.ops.Curation.logQuantiles(
+        vals.map(("g", _)).toDF("g", "v"), "g", "v", qs)
+      .collect().map(r => r.getInt(1) -> (r.getLong(3), r.getInt(4))).toMap
+    val sorted = vals.sorted
+    qs.foreach { case (pct, qn, qd) =>
+      val rank = (vals.size * qn + qd - 1) / qd
+      val trueQ = sorted((rank - 1).toInt)
+      assert(est(pct)._1 == rank)
+      assert(est(pct)._2 == bucketRef(trueQ),
+        s"p$pct: bucket ${est(pct)._2} != bucket(trueQ=$trueQ)")
+    }
+  }
+
   test("sourceOverlap: shared-shingle counts and Jaccard match hand computation") {
     val df = Seq(
       (1L, "s1", "a b c d e"),   // shingles: abc bcd cde
