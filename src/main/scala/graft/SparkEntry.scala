@@ -1052,7 +1052,7 @@ object SparkEntry {
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,
         |mh AS (SELECT doc_id, r.band AS band,
-        |  MIN(substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 16)) AS sig
+        |  MIN(('0x' || substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 15))::BIGINT) AS sig
         |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
@@ -1697,7 +1697,7 @@ object SparkEntry {
         |s1 AS (SELECT doc_id FROM (SELECT doc_id,
         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fpt) t WHERE rn = 1),
         |mh AS (SELECT doc_id, r.band AS band,
-        |  MIN(substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 16)) AS sig
+        |  MIN(('0x' || substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 15))::BIGINT) AS sig
         |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
@@ -1750,7 +1750,7 @@ object SparkEntry {
       },
       Some(s"""WITH RECURSIVE $shingleSqlCte,
         |mh AS (SELECT doc_id, r.band AS band,
-        |  MIN(substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 16)) AS sig
+        |  MIN(('0x' || substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 15))::BIGINT) AS sig
         |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
@@ -1792,7 +1792,7 @@ object SparkEntry {
       },
       Some(s"""WITH $shingleSqlCte,
         |mh AS (SELECT doc_id, r.band AS band,
-        |  MIN(substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 16)) AS sig
+        |  MIN(('0x' || substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 15))::BIGINT) AS sig
         |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
         |  CASE WHEN y.doc_id % 4 = 1 THEN 'new' ELSE 'seen' END AS m_side
@@ -3171,7 +3171,24 @@ object SparkEntry {
         |  CAST(SUM(1::BIGINT << CAST(day - b.dmin AS INTEGER)) AS DOUBLE)
         |    / CAST(1::BIGINT << CAST(b.dmax - b.dmin AS INTEGER) AS DOUBLE) AS decayed
         |FROM e, b GROUP BY event_type, b.dmin, b.dmax
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // L49 — deterministic BOTTOM-K-BY-HASH per-group sample: fixed-size
+    // uniform sample per language, mergeable across shards/batches (the
+    // union's bottom-k is the bottom-k of the parts), bounded-state via
+    // TopKAgg on the negated 60-bit md5 prefix — no per-group sort of
+    // the full corpus, the one-pass sampling shape for 100 TB.
+    Q("c_bottomk_sample",
+      (s, dir) => Curation.bottomKSample(
+        Tables.documents(s, dir), "lang", "doc_id", 10),
+      Some("""WITH h AS (SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY h, doc_id) AS BIGINT) AS rank FROM h)
+        |SELECT lang, rank, doc_id, h FROM r WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -532,6 +532,34 @@ object Curation {
       .orderBy(col("host"), col("rank"))
   }
 
+  /** DETERMINISTIC PER-GROUP BOTTOM-K SAMPLE: the k rows with the
+    * smallest public-hash value (md5-prefix of the key) per group — a
+    * fixed-SIZE uniform-without-replacement sample, the complement of
+    * [[hashSampleGate]]'s fixed-RATE gate. Bottom-k-by-hash is the
+    * classic mergeable sample (the same lattice KMV uses): the union's
+    * bottom-k is the bottom-k of the parts, so the sample composes
+    * across shards, days, and streaming micro-batches with no
+    * coordination. Runs as [[graft.expr.TopKAgg]] on the NEGATED hash —
+    * ≤ k rows per group per map partition reach the shuffle, vs the
+    * window formulation shipping every row to a per-group sort (the
+    * difference between sampling 100 TB and sorting it). The hash is a
+    * 60-bit md5 prefix, so an external engine draws the identical
+    * sample. Output: (groupCol, rank, keyCol, h), rank 1..k by h asc.
+    */
+  def bottomKSample(df: DataFrame, groupCol: String, keyCol: String,
+                    k: Int): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val topk = udaf(new graft.expr.TopKAgg(k))
+    df.select(col(groupCol), col(keyCol), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(topk(-col("__h"), col(keyCol)).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(keyCol), (-col("col.value")).as("h"))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
   /** TIME-DECAYED COUNTS (exponential decay, half-life = one bucket):
     * the recency-weighted frequency behind "trending" rankings. Each
     * event weighs `2^(bucket − maxBucket)` — newer buckets dominate,

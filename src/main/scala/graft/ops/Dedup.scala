@@ -131,11 +131,20 @@ object Dedup {
     // codegen subexpression elimination evaluates the repeated md5 once
     val m = sd.select(col(idCol),
       concat(md5(col("shingle")), md5(col("shingle"))).as("__mm"))
+    // The aggregate takes the min over 15-char HEX SLICES (substring
+    // only — the cheapest possible per-shingle-row map work; measured:
+    // parsing to long before the min costs more per row than the
+    // aggregation saves), then each per-doc minimum converts to a LONG
+    // once per (doc, band) — 8 convs per document, not per shingle —
+    // so the band-join/shuffle key downstream is an 8-byte long, not a
+    // 15-char string. Fixed-width lowercase hex sorts identically to
+    // its numeric value, so min-then-convert = convert-then-min.
     val aggs = (0 until bands).map(i =>
-      min(substring(col("__mm"), i * 4 + 1, 16)).as(s"__s$i"))
+      min(substring(col("__mm"), i * 4 + 1, 15)).as(s"__s$i"))
     m.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
-        posexplode(array((0 until bands).map(i => col(s"__s$i")): _*))
+        posexplode(array((0 until bands).map(i =>
+          conv(col(s"__s$i"), 16, 10).cast("long")): _*))
           .as(Seq("band", "sig")))
   }
 

@@ -502,6 +502,26 @@ class OpsSpec extends SparkSpec {
     grids(0).grouped(w).foreach(row => assert(row.sum == stream.size.toLong))
   }
 
+  test("bottomKSample: matches hash-sort mirror, independent of partitioning") {
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val rows = (0L until 200L).map(i => (if (i % 3 == 0) "a" else "b", i))
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, id) => (g, id, md5h(id.toString)) }
+        .sortBy { case (_, id, h) => (h, id) }.take(4).zipWithIndex
+        .map { case ((gg, id, h), i) => (gg, i + 1L, id, h) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    Seq(1, 7).foreach { parts =>
+      val got = graft.ops.Curation.bottomKSample(
+          rows.toDF("g", "id").repartition(parts), "g", "id", 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == want, s"parts=$parts")
+    }
+  }
+
   test("domainCap: blocklist dropped, best cap rows kept per host, n_host pre-cap") {
     val df = Seq(
       (1L, "https://a.com/p/1", 100L),

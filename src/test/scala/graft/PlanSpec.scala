@@ -150,6 +150,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("L45-L48 additions keep their intended plan shapes") {
+    // log-quantile sketch: the histogram must aggregate partial then
+    // final (bounded-state map-side combine, never raw values shuffled)
+    val lq = plan("sketch_log_quantiles")
+    assert("ObjectHashAggregate".r.findAllIn(lq).size >= 2,
+      "log-hist sketch should aggregate partial then final")
+    // SQ-ADC: the one-row stats table and the tiny query side both
+    // broadcast; the code scan never shuffles for a join; top-k is a
+    // partial-merge aggregate
+    val sq = plan("sim_sq_adc_topk")
+    assert(sq.contains("BroadcastNestedLoopJoin"),
+      "SQ stats/queries should broadcast to the code scan")
+    assert(!sq.contains("SortMergeJoin"), "SQ scan must not sort-merge")
+    assert("ObjectHashAggregate".r.findAllIn(sq).size >= 2,
+      "SQ top-k should aggregate partial then final")
+    // domain cap: blocklist drops via broadcast anti join; per-host cap
+    // is the bounded-state TopKAgg, partial then final
+    val dc = plan("c_domain_cap")
+    assert(dc.contains("BroadcastHashJoin"), "blocklist should broadcast")
+    assert("ObjectHashAggregate".r.findAllIn(dc).size >= 2,
+      "domain cap should aggregate partial then final")
+    // decayed counts: the 2-value bounds row broadcasts; the weighted
+    // count is a plain partial+final hash aggregate
+    val dy = plan("c_decayed_counts")
+    assert(dy.contains("BroadcastNestedLoopJoin"),
+      "bucket bounds should broadcast")
+    assert("HashAggregate".r.findAllIn(dy).size >= 2,
+      "decayed sum should aggregate partial then final")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
