@@ -1919,6 +1919,85 @@ object SparkEntry {
         |FROM sc WHERE n_tokens >= 50 AND stop_ratio >= 0.02
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // L50 — the BOTTOM-K SAMPLE AS A STREAMING AGGREGATE: TopKAgg
+    // accumulating in streaming aggregation state across
+    // maxFilesPerTrigger=1 micro-batches (complete mode, AvailableNow).
+    // Bottom-k-by-hash is a lattice (the union's bottom-k is the
+    // bottom-k of the parts' bottom-ks — associative, commutative,
+    // idempotent), so the streamed sample is BIT-IDENTICAL to the batch
+    // sample no matter how files split the stream, and the batch SQL is
+    // an exact oracle for a streaming sample: every bounded-state
+    // sketch in the engine (CMS, KMV, Bloom, top-k, log-hist) is
+    // stream-mergeable by the same argument, demonstrated here and in
+    // streaming_sketch.
+    Q("streaming_bottomk",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val name = "bk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_bk").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_bksrc")
+        base.repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+        val topk = udaf(new graft.expr.TopKAgg(10))
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val agg = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .select(col("lang"), col("doc_id"), h.as("__h"))
+          .groupBy(col("lang"))
+          .agg(topk(-col("__h"), col("doc_id")).as("tk"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
+        s.table(name)
+          .select(col("lang"), posexplode(col("tk")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("doc_id"), (-col("col.value")).as("h"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some("""WITH h AS (SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY h, doc_id) AS BIGINT) AS rank FROM h)
+        |SELECT lang, rank, doc_id, h FROM r WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin)),
+
+    // L51 — CORPUS SNAPSHOT DIFF (the incremental-ingest delta): two
+    // snapshots derived deterministically from the corpus (old misses
+    // the docs "added" later and carries pre-edit text for the
+    // "changed" ones; new misses the "removed" ones — mirrored verbatim
+    // in the oracle), then one full-outer join on doc_id comparing md5
+    // content fingerprints — the wide text never crosses the shuffle.
+    Q("c_snapshot_diff",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val oldSnap = base.filter(pmod(col("doc_id"), lit(17L)) =!= 3L)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(13L)) === 5L,
+              concat(col("text"), lit("#v1"))).otherwise(col("text")))
+        val newSnap = base.filter(pmod(col("doc_id"), lit(19L)) =!= 7L)
+        Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .filter(col("status") =!= "unchanged")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH o AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 5 THEN text || '#v1' ELSE text END) AS ho
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |n AS (SELECT doc_id, md5(text) AS hn FROM documents WHERE doc_id % 19 <> 7),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.ho = n.hn THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin)),
+
     // §2.10 — STREAMING session windows over the event feed: Spark's
     // native session_window with a 0s watermark in append mode, run to
     // completion with AvailableNow. Append mode only emits sessions the

@@ -532,6 +532,27 @@ object Curation {
       .orderBy(col("host"), col("rank"))
   }
 
+  /** CORPUS SNAPSHOT DIFF — the incremental-ingest delta: classify
+    * every doc id across two snapshots as added / removed / changed /
+    * unchanged by comparing content fingerprints (md5 of the text, so
+    * the wide text column never crosses the join — only id + 32-char
+    * digest shuffle, the practical difference between diffing 100 TB
+    * and diffing 2×100 TB). One full-outer equi join on the id; the
+    * status is a pure projection over null-ness and digest equality.
+    * Output: (idCol, status) for every id in either snapshot.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__ho"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** DETERMINISTIC PER-GROUP BOTTOM-K SAMPLE: the k rows with the
     * smallest public-hash value (md5-prefix of the key) per group — a
     * fixed-SIZE uniform-without-replacement sample, the complement of

@@ -502,6 +502,15 @@ class OpsSpec extends SparkSpec {
     grids(0).grouped(w).foreach(row => assert(row.sum == stream.size.toLong))
   }
 
+  test("snapshotDiff: all four statuses classified by fingerprint compare") {
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newDf = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = graft.ops.Curation.snapshotDiff(oldDf, newDf, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("bottomKSample: matches hash-sort mirror, independent of partitioning") {
     def md5h(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
