@@ -744,6 +744,40 @@ object SparkEntry {
     """d AS (SELECT doc_id, lang,
       |  list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents)""".stripMargin
 
+  /** The k-round BPE training loop unrolled as chained CTEs — each
+    * round: adjacent-pair counts over the delimited symbol strings, the
+    * deterministic argmax, and the greedy `replace` merge feeding the
+    * next round. Mirrors [[graft.ops.TextOps.bpeTrainMerges]] exactly.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $toksSqlCte,
+t0 AS (SELECT unnest(toks) AS w FROM d),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM t0
+  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2 GROUP BY 1),
+w0 AS (SELECT '|' || array_to_string(string_split(w, ''), '||') || '|' AS repr, freq FROM wf)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+s$r AS (SELECT string_split(substr(repr, 2, length(repr) - 2), '||') AS syms, freq
+  FROM w${r - 1}),
+p$r AS (SELECT string_split(p, chr(1))[1] AS a, string_split(p, chr(1))[2] AS b, freq
+  FROM (SELECT unnest(list_filter(list_transform(syms, (x, i) ->
+      CASE WHEN i < len(syms) THEN x || chr(1) || syms[i + 1] END),
+      y -> y IS NOT NULL)) AS p, freq
+    FROM s$r WHERE len(syms) >= 2)),
+b$r AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$r GROUP BY a, b
+  ORDER BY cnt DESC, a, b LIMIT 1)"""
+      if (r < rounds) sb ++= s""",
+w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
+    '|' || b$r.a || b$r.b || '|') AS repr, freq FROM w${r - 1}, b$r)"""
+    }
+    sb ++= (1 to rounds).map(r =>
+      s"\nSELECT $r AS round, a, b, a || b AS merged, cnt FROM b$r")
+      .mkString("", "\nUNION ALL", "")
+    sb ++= "\nORDER BY round"
+    sb.toString
+  }
+
   /** The char-trigram langid profile rendered as a SQL VALUES literal —
     * generated from the SAME Scala constant the Spark side broadcasts,
     * so the two engines cannot drift.
@@ -1997,6 +2031,35 @@ object SparkEntry {
         |  FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id)
         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
         |ORDER BY doc_id""".stripMargin)),
+
+    // L52 — DISTRIBUTED BPE TOKENIZER INDUCTION (Sennrich et al. 2016):
+    // the first 4 merge rules learned over the corpus. The only
+    // corpus-scale pass is the word-frequency agg; each round counts
+    // adjacent symbol pairs over the compact distinct-word table, picks
+    // the deterministic argmax (the scalar merge rule — the
+    // broadcast-decision pattern of production tokenizer training), and
+    // applies it as a greedy left-to-right `replace` on delimited
+    // symbol strings, which both engines execute with identical
+    // semantics — a 4-round training LOOP checked exactly.
+    Q("t_bpe_merges",
+      (s, dir) => TextOps.bpeTrainMerges(
+        Tables.documents(s, dir), "text", rounds = 4),
+      Some(bpeOracleSql(4))),
+
+    // L53 — deterministic SHARD ASSIGNMENT + training order: shard =
+    // 60-bit md5 prefix mod 8, within-shard position by the same hash —
+    // a reproducible global shuffle that decomposes into independent
+    // per-shard sorts (one writer task per shard at 100 TB, no global
+    // sort, no cross-shard coordination).
+    Q("c_shard_assign",
+      (s, dir) => Curation.shardAssign(Tables.documents(s, dir), "doc_id", 8),
+      Some("""WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin)),
 
     // §2.10 — STREAMING session windows over the event feed: Spark's
     // native session_window with a 0s watermark in append mode, run to

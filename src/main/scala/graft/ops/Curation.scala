@@ -532,6 +532,30 @@ object Curation {
       .orderBy(col("host"), col("rank"))
   }
 
+  /** DETERMINISTIC SHARD ASSIGNMENT + TRAINING ORDER — the "global
+    * shuffle" every training run needs, without ever sorting the
+    * corpus globally: shard = hash mod nShards spreads documents
+    * uniformly (and reproducibly — the assignment is a pure function of
+    * the id, so a re-run or a resumed job lands every doc in the same
+    * shard), and the within-shard position orders by the same 60-bit
+    * md5 prefix — a hash-random but deterministic training order. The
+    * global sort decomposes into nShards independent per-shard sorts,
+    * which is exactly how shard files are written at 100 TB (one
+    * writer task per shard, no cross-shard coordination). Output:
+    * (idCol, h, shard, pos).
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol)))
+        .cast("long"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** CORPUS SNAPSHOT DIFF — the incremental-ingest delta: classify
     * every doc id across two snapshots as added / removed / changed /
     * unchanged by comparing content fingerprints (md5 of the text, so

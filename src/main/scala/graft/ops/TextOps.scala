@@ -248,4 +248,64 @@ object TextOps {
       .agg(sum(when(col("v") > 0, pow(lit(2d), col("b").cast("double")).cast("long"))
         .otherwise(0L)).as("simhash"))
   }
+
+  /** DISTRIBUTED BPE TOKENIZER INDUCTION (Sennrich et al. 2016): learn
+    * the first `rounds` merge rules over the corpus. The ONLY
+    * corpus-scale pass is the word-frequency aggregation; every round
+    * then runs on the compact distinct-word table — count adjacent
+    * symbol pairs weighted by word frequency (overlapping occurrences
+    * count, per the reference algorithm), pick the global argmax (ties
+    * to the lexicographically smallest pair — deterministic
+    * cross-engine), and apply the merge greedily left-to-right. That is
+    * exactly how production tokenizer training scales: the merge RULE
+    * is a scalar decision per round (collected to the driver and folded
+    * into the next round's plan — the broadcast-decision pattern), the
+    * data stays distributed.
+    *
+    * Symbol sequences live as `|a||b||c|` delimited STRINGS: each
+    * symbol wrapped in `|…|`, adjacency = `||`. `replace(repr,
+    * '|a||b|', '|ab|')` is then precisely the greedy left-to-right
+    * non-overlapping BPE merge in both Spark and any SQL engine with
+    * ANSI replace semantics — which is what makes a 4-round training
+    * loop exactly oracle-checkable. Words are restricted to lowercase
+    * alphabetic (keeps the separator safe and the char split
+    * code-point-trivial); per-round lineage is truncated with an eager
+    * localCheckpoint so round k's plan does not replay rounds 1..k−1.
+    *
+    * Output: one row per learned rule — (round, a, b, merged, cnt).
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in 1..16, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("repr",
+        concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|")))
+      .select(col("repr"), col("freq"))
+      .localCheckpoint(true)
+    var cur = words
+    val out = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val syms = cur.withColumn("syms",
+        split(expr("substring(repr, 2, length(repr) - 2)"), "\\|\\|"))
+      val best = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      out += ((r, a, b, a + b, cnt))
+      if (r < rounds)
+        cur = cur.withColumn("repr",
+            call_function("replace", col("repr"),
+              lit(s"|$a||$b|"), lit(s"|$a$b|")))
+          .localCheckpoint(true)
+    }
+    out.toSeq.toDF("round", "a", "b", "merged", "cnt")
+  }
 }

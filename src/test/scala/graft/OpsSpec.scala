@@ -502,6 +502,19 @@ class OpsSpec extends SparkSpec {
     grids(0).grouped(w).foreach(row => assert(row.sum == stream.size.toLong))
   }
 
+  test("bpeTrainMerges: hand-computed merge rules with deterministic tie-break") {
+    val df = Seq("low low low", "lower lower", "newest").toDF("text")
+    val got = graft.ops.TextOps.bpeTrainMerges(df, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // r1: lo and ow both count 5 -> lexicographic tie-break picks (l,o);
+    // r2: (lo,w) 5; r3: (low,e) 2 ties (e,r) 2 -> (e,r) smaller
+    assert(got.toSeq == Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "e", "r", "er", 2L)))
+  }
+
   test("snapshotDiff: all four statuses classified by fingerprint compare") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val newDf = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
