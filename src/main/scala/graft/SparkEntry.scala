@@ -2061,6 +2061,36 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin)),
 
+    // L54 — CO-OCCURRENCE / PMI association mining: unordered token
+    // pairs within a ±2 offset, ranked by the log-free PMI surrogate
+    // lift = c_ab·N / (c_a·c_b) — numerator and denominator exact
+    // integer products, the lift ONE division. Pair generation is
+    // array-local shifted-slice zips (no positional self-join, nothing
+    // shuffles before the counting aggregations).
+    Q("t_cooccur_pmi",
+      (s, dir) => TextOps.cooccurrencePmi(
+        Tables.documents(s, dir), "text", window = 2, minPairCount = 5L, k = 20),
+      Some(s"""WITH $toksSqlCte,
+        |pr AS (SELECT unnest(ps) AS p FROM (
+        |  SELECT list_filter(list_transform(toks, (x, i) -> CASE WHEN i + 1 <= len(toks)
+        |      THEN [least(x, toks[i + 1]), greatest(x, toks[i + 1])] END), y -> y IS NOT NULL)
+        |    || list_filter(list_transform(toks, (x, i) -> CASE WHEN i + 2 <= len(toks)
+        |      THEN [least(x, toks[i + 2]), greatest(x, toks[i + 2])] END), y -> y IS NOT NULL) AS ps
+        |  FROM d)),
+        |pc AS (SELECT p[1] AS a, p[2] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |u AS (SELECT unnest(toks) AS tok FROM d),
+        |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uc),
+        |sc AS (SELECT pc.a, pc.b, pc.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |    pc.c_ab * nt.n_total AS num, ua.c * ub.c AS den,
+        |    CAST(pc.c_ab * nt.n_total AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS lift
+        |  FROM pc JOIN uc ua ON ua.tok = pc.a JOIN uc ub ON ub.tok = pc.b, nt),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY lift DESC, a, b) AS BIGINT) AS rank, *
+        |  FROM sc)
+        |SELECT rank, a, b, c_ab, c_a, c_b, num, den, lift FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     // §2.10 — STREAMING session windows over the event feed: Spark's
     // native session_window with a 0s watermark in append mode, run to
     // completion with AvailableNow. Append mode only emits sessions the

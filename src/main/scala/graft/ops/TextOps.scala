@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -247,6 +248,54 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sum(when(col("v") > 0, pow(lit(2d), col("b").cast("double")).cast("long"))
         .otherwise(0L)).as("simhash"))
+  }
+
+  /** CO-OCCURRENCE / PMI ASSOCIATION MINING (the word2vec-era corpus
+    * statistic): unordered token pairs within a ±`window` offset,
+    * scored by pointwise mutual information's monotone surrogate
+    * `lift = (c_ab·N) / (c_a·c_b)` — PMI without the log, same
+    * ranking, and exactness-friendly: numerator and denominator are
+    * exact integer products, the lift is ONE division of two exact
+    * longs (bit-stable cross-engine), and `log` never enters the
+    * checked columns. Pair generation is array-local (shifted-slice
+    * zips over each document's token array — no positional self-join,
+    * no shuffle before the counting aggregations); the unigram table
+    * and the one-row corpus total join back by key. `minPairCount`
+    * floors the support so the lift ranking is not dominated by
+    * one-off pairs. Output: top `k` pairs by (lift desc, a, b) —
+    * (rank, a, b, c_ab, c_a, c_b, num, den, lift).
+    */
+  def cooccurrencePmi(df: DataFrame, textCol: String, window: Int,
+                      minPairCount: Long, k: Int): DataFrame = {
+    require(window >= 1 && window <= 8, s"window must be in 1..8, got $window")
+    val arr = tokens(col(textCol))
+    val pairCols = (1 to window).map { d =>
+      zip_with(
+        slice(arr, lit(1), greatest(size(arr) - lit(d), lit(0))),
+        slice(arr, lit(1 + d), greatest(size(arr) - lit(d), lit(0))),
+        (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b")))
+    }
+    val pairs = df.select(explode(flatten(array(pairCols: _*))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    val uni = df.select(explode(arr).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val scored = pairs
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("num", col("c_ab") * col("n_total"))
+      .withColumn("den", col("c_a") * col("c_b"))
+      .withColumn("lift", col("num").cast("double") / col("den").cast("double"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("a"), col("b"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("num"), col("den"), col("lift"))
+      .orderBy(col("rank"))
   }
 
   /** DISTRIBUTED BPE TOKENIZER INDUCTION (Sennrich et al. 2016): learn

@@ -502,6 +502,19 @@ class OpsSpec extends SparkSpec {
     grids(0).grouped(w).foreach(row => assert(row.sum == stream.size.toLong))
   }
 
+  test("cooccurrencePmi: hand-computed lift, unordered pairs, support floor") {
+    val df = Seq("a b a b", "c c").toDF("text")
+    val got = graft.ops.TextOps.cooccurrencePmi(df, "text",
+        window = 1, minPairCount = 1L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(6), r.getLong(7), r.getDouble(8)))
+    // N=6; (a,b): 3 pairs (both orders fold), num=18 den=4 lift=4.5;
+    // (c,c): 1 pair, num=6 den=4 lift=1.5
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", 3L, 18L, 4L, 4.5),
+      (2L, "c", "c", 1L, 6L, 4L, 1.5)))
+  }
+
   test("bpeTrainMerges: hand-computed merge rules with deterministic tie-break") {
     val df = Seq("low low low", "lower lower", "newest").toDF("text")
     val got = graft.ops.TextOps.bpeTrainMerges(df, "text", rounds = 3)
