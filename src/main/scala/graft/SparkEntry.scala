@@ -797,6 +797,29 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
       |  x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
       |nm AS (SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nn FROM q)""".stripMargin
 
+  /** The SQ-ADC oracle — shared verbatim by `sim_sq_adc_topk` and
+    * `sim_sq_packed_topk`: both plans produce the same exact integer
+    * scores, so one SQL mirror checks both.
+    */
+  private val sqAdcOracleSql: String =
+    s"""WITH $quantSqlCte,
+      |st AS (SELECT i, MIN(qv[CAST(i AS INTEGER)]) AS mn,
+      |    MAX(qv[CAST(i AS INTEGER)]) - MIN(qv[CAST(i AS INTEGER)]) + 1 AS w
+      |  FROM q, range(1,65) t(i) GROUP BY 1),
+      |rc AS (SELECT q.vec_id, st.i,
+      |    32*st.mn + (2*(((q.qv[CAST(st.i AS INTEGER)] - st.mn)*16) // st.w) + 1)*st.w AS r
+      |  FROM q, st),
+      |sc AS (SELECT qq.vec_id AS query_id, rc.vec_id AS neighbor_id,
+      |    CAST(SUM(qq.qv[CAST(rc.i AS INTEGER)] * rc.r) AS BIGINT) AS score2l
+      |  FROM rc JOIN q qq ON qq.vec_id < 8 AND rc.vec_id <> qq.vec_id
+      |  GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, score2l,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score2l DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+      |SELECT query_id, rnk, neighbor_id, score2l
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+
   /** DuckDB mirror of [[graft.ops.SrpLsh]]'s deterministic signature +
     * band-candidate stages, with the same fixed-seed coefficient matrix
     * rendered as a literal — bit-identical signatures on both engines.
@@ -3268,22 +3291,21 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
         Similarity.sqAdcTopK(q.filter(col("vec_id") < 8), q, "vec_id", 10)
       },
-      Some(s"""WITH $quantSqlCte,
-        |st AS (SELECT i, MIN(qv[CAST(i AS INTEGER)]) AS mn,
-        |    MAX(qv[CAST(i AS INTEGER)]) - MIN(qv[CAST(i AS INTEGER)]) + 1 AS w
-        |  FROM q, range(1,65) t(i) GROUP BY 1),
-        |rc AS (SELECT q.vec_id, st.i,
-        |    32*st.mn + (2*(((q.qv[CAST(st.i AS INTEGER)] - st.mn)*16) // st.w) + 1)*st.w AS r
-        |  FROM q, st),
-        |sc AS (SELECT qq.vec_id AS query_id, rc.vec_id AS neighbor_id,
-        |    CAST(SUM(qq.qv[CAST(rc.i AS INTEGER)] * rc.r) AS BIGINT) AS score2l
-        |  FROM rc JOIN q qq ON qq.vec_id < 8 AND rc.vec_id <> qq.vec_id
-        |  GROUP BY 1, 2),
-        |r AS (SELECT query_id, neighbor_id, score2l,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score2l DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
-        |SELECT query_id, rnk, neighbor_id, score2l
-        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+      Some(sqAdcOracleSql)),
+
+    // L55 — the SAME SQ-ADC scores from the COMPRESSED scan: codes
+    // nibble-packed 16 per long (4 longs per 64-dim vector — the true
+    // 4-bit footprint), per-query reconstruction·query products folded
+    // into a 16·dim lookup table, and the inner loop is the native
+    // PackedAdcSum codegen expression (FAISS's ADC table-lookup scan as
+    // a Catalyst Expression). Bit-identical rows to sim_sq_adc_topk —
+    // two independent plans, one oracle.
+    Q("sim_sq_packed_topk",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.sqAdcPackedTopK(q.filter(col("vec_id") < 8), q, "vec_id", 10)
+      },
+      Some(sqAdcOracleSql)),
 
     // L47 — PER-DOMAIN CAP (RefinedWeb-style domain balancing): the
     // corpus has no URL column, so one is derived deterministically

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expr.LongArrayDot
+import graft.expr.{LongArrayDot, PackedAdcSum}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -95,18 +95,36 @@ object Similarity {
     * `queries`/`corpus`: (idCol, qv) from [[quantize]]. Output:
     * (query_id, rnk, neighbor_id, score2l).
     */
-  def sqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                k: Int, levels: Int = 16): DataFrame = {
-    LongArrayDot.register(corpus.sparkSession)
+  /** One-row per-dimension (mins, widths) table over the quantized
+    * corpus — stage 1 of both SQ-ADC flavors (a map-side-combined agg
+    * on `dim` keys).
+    */
+  private def sqStats(corpus: DataFrame): DataFrame = {
     val dims = corpus.select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x")).as("mn"),
         (max(col("x")) - min(col("x")) + lit(1L)).as("w"))
-    val stats = dims
+    dims
       .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("w"))))
         .as("st"))
       .select(transform(col("st"), s => s.getField("mn")).as("mins"),
         transform(col("st"), s => s.getField("w")).as("widths"))
+  }
+
+  /** Per-dimension SQ code (0..levels−1) for each element of `qv`,
+    * exactly: the remainder is subtracted before dividing, so the
+    * integral floor never passes through float.
+    */
+  private def sqCodes(levels: Int): (Column, Column) => Column = (qv, mw) =>
+    zip_with(qv, mw, (x, s) => {
+      val a = (x - s.getField("mins")) * lit(levels.toLong)
+      ((a - pmod(a, s.getField("widths"))) / s.getField("widths")).cast("long")
+    })
+
+  def sqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                k: Int, levels: Int = 16): DataFrame = {
+    LongArrayDot.register(corpus.sparkSession)
+    val stats = sqStats(corpus)
     val recon = corpus.crossJoin(broadcast(stats))
       .withColumn("recon2l",
         zip_with(col("qv"), arrays_zip(col("mins"), col("widths")), (x, mw) => {
@@ -124,6 +142,59 @@ object Similarity {
         queries.select(col(idCol).as("query_id"), col("qv").as("qq"))))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score2l", expr(s"${LongArrayDot.fnName}(qq, recon2l)"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("score2l"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.value").as("score2l"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** SQ-ADC TOP-K OVER NIBBLE-PACKED CODES — the same integer scores as
+    * [[sqAdcTopK]] from a plan that keeps the corpus COMPRESSED through
+    * the scan: codes pack 16 per long (4 longs per 64-dim vector — the
+    * true 4-bit-SQ footprint, an 8× memory-bandwidth cut), the per-query
+    * reconstruction·query products fold into a 16·dim lookup table
+    * built once per query row, and the inner loop is the native
+    * [[graft.expr.PackedAdcSum]] expression — one shift, one mask, one
+    * table load, one add per dimension, inside whole-stage codegen
+    * (FAISS's ADC scan re-expressed as a Catalyst expression). Returns
+    * bit-identical rows to [[sqAdcTopK]], so the two plans share one
+    * oracle.
+    */
+  def sqAdcPackedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      k: Int): DataFrame = {
+    val levels = 16 // nibble packing is exactly 4 bits per dimension
+    PackedAdcSum.register(corpus.sparkSession)
+    val stats = sqStats(corpus)
+    val packed = corpus.crossJoin(broadcast(stats))
+      .withColumn("codes",
+        sqCodes(levels)(col("qv"), arrays_zip(col("mins"), col("widths"))))
+      .withColumn("packed", transform(
+        sequence(lit(0),
+          call_function("shiftright", size(col("codes")) - lit(1), lit(4))),
+        w => aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, p) =>
+          // try_element_at: past-the-end dims zero-fill (ANSI
+          // element_at throws out of bounds)
+          acc + call_function("shiftleft",
+            coalesce(try_element_at(col("codes"), w * lit(16) + p + lit(1)),
+              lit(0L)),
+            p * lit(4)))))
+      .select(col(idCol).as("neighbor_id"), col("packed"))
+    val qlut = queries.crossJoin(broadcast(stats))
+      .withColumn("qlut",
+        flatten(transform(sequence(lit(0), size(col("qv")) - lit(1)), d =>
+          transform(sequence(lit(0), lit(15)), c =>
+            element_at(col("qv"), d + lit(1)) *
+              (lit(2L * levels) * element_at(col("mins"), d + lit(1)) +
+                (c.cast("long") * lit(2L) + lit(1L)) *
+                  element_at(col("widths"), d + lit(1)))))))
+      .select(col(idCol).as("query_id"), col("qlut"))
+    val topk = udaf(new graft.expr.TopKAgg(k))
+    packed
+      .crossJoin(broadcast(qlut))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score2l", expr(s"${PackedAdcSum.fnName}(packed, qlut)"))
       .groupBy(col("query_id"))
       .agg(topk(col("score2l"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))

@@ -624,6 +624,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sqAdcPackedTopK: packed-nibble ADC scan bit-identical to unpacked, dim not 16-aligned") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(19)
+    val dim = 6 // deliberately NOT a multiple of 16 — exercises zero-fill
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextInt(20001) - 10000L).toSeq)).toDF("vec_id", "qv")
+    val queries = corpus.filter($"vec_id" < 4)
+    val plain = Similarity.sqAdcTopK(queries, corpus, "vec_id", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val packed = Similarity.sqAdcPackedTopK(queries, corpus, "vec_id", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.toSeq == plain.toSeq)
+  }
+
   test("LogHist: hand-computed buckets, bound law, quantile bucket is exact") {
     import graft.expr.LogHist
     // scala-side mirror of the bucket function for the law checks

@@ -165,6 +165,14 @@ class PlanSpec extends SparkSpec {
     assert(!sq.contains("SortMergeJoin"), "SQ scan must not sort-merge")
     assert("ObjectHashAggregate".r.findAllIn(sq).size >= 2,
       "SQ top-k should aggregate partial then final")
+    // packed SQ-ADC: same shape as the unpacked flavor — broadcast
+    // one-row stats + tiny LUT side, no sort-merge, partial+final top-k
+    val pq = plan("sim_sq_packed_topk")
+    assert(pq.contains("BroadcastNestedLoopJoin"),
+      "packed SQ stats/LUT should broadcast to the code scan")
+    assert(!pq.contains("SortMergeJoin"), "packed SQ scan must not sort-merge")
+    assert("ObjectHashAggregate".r.findAllIn(pq).size >= 2,
+      "packed SQ top-k should aggregate partial then final")
     // domain cap: blocklist drops via broadcast anti join; per-host cap
     // is the bounded-state TopKAgg, partial then final
     val dc = plan("c_domain_cap")
