@@ -744,6 +744,23 @@ object SparkEntry {
     """d AS (SELECT doc_id, lang,
       |  list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents)""".stripMargin
 
+  /** The decayed-counts oracle — shared by the batch
+    * (`c_decayed_counts`) and streaming (`streaming_decayed`) flavors:
+    * the weighted count is a sum of integer shifts, order-independent,
+    * so one SQL mirror checks both.
+    */
+  private val decayedOracleSql: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(1::BIGINT << CAST(day - b.dmin AS INTEGER)) AS BIGINT) AS decayed_num,
+      |  CAST(b.dmax - b.dmin AS BIGINT) AS scale,
+      |  CAST(SUM(1::BIGINT << CAST(day - b.dmin AS INTEGER)) AS DOUBLE)
+      |    / CAST(1::BIGINT << CAST(b.dmax - b.dmin AS INTEGER) AS DOUBLE) AS decayed
+      |FROM e, b GROUP BY event_type, b.dmin, b.dmax
+      |ORDER BY event_type""".stripMargin
+
   /** The k-round BPE training loop unrolled as chained CTEs — each
     * round: adjacent-pair counts over the delimited symbol strings, the
     * deterministic argmax, and the greedy `replace` merge feeding the
@@ -3356,16 +3373,54 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         Tables.events(s, dir).select(col("event_type"),
           expr("ts div 1000").as("tus")),
         "event_type", "tus", bucketUs = 86400000000L),
-      Some("""WITH e AS (SELECT event_type,
-        |    epoch_us(ts) // 86400000000 AS day FROM events),
-        |b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM e)
-        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(1::BIGINT << CAST(day - b.dmin AS INTEGER)) AS BIGINT) AS decayed_num,
-        |  CAST(b.dmax - b.dmin AS BIGINT) AS scale,
-        |  CAST(SUM(1::BIGINT << CAST(day - b.dmin AS INTEGER)) AS DOUBLE)
-        |    / CAST(1::BIGINT << CAST(b.dmax - b.dmin AS INTEGER) AS DOUBLE) AS decayed
-        |FROM e, b GROUP BY event_type, b.dmin, b.dmax
-        |ORDER BY event_type""".stripMargin)),
+      Some(decayedOracleSql)),
+
+    // L56 — the DECAYED COUNTS AS A STREAMING AGGREGATE: the integer
+    // shift weights sum in streaming aggregation state across
+    // maxFilesPerTrigger=1 micro-batches (complete mode, AvailableNow).
+    // The decay reference window (min/max bucket) is fixed upfront from
+    // the batch table — in production the trailing window is config,
+    // not data — and the weighted count is a SUM, so the streamed state
+    // is bit-identical to batch whatever the file split: the batch SQL
+    // oracles a streaming trending rollup exactly.
+    Q("streaming_decayed",
+      (s, dir) => {
+        val bucket = 86400000000L
+        val path = s"$dir/events.parquet"
+        val base = s.read.parquet(path)
+        val dayCol = expr(s"(ts div 1000 - pmod(ts div 1000, ${bucket}L)) div ${bucket}L")
+        val bounds = base.agg(min(dayCol).cast("long"), max(dayCol).cast("long")).head()
+        val (dmin, dmax) = (bounds.getLong(0), bounds.getLong(1))
+        val name = "dk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_dk").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_dksrc")
+        val dst = srcDir.resolve("events.parquet")
+        try java.nio.file.Files.createLink(dst, java.nio.file.Paths.get(path))
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(java.nio.file.Paths.get(path), dst) }
+        val agg = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .select(col("event_type"),
+            call_function("shiftleft", lit(1L), (dayCol - lit(dmin)).cast("int"))
+              .as("__w"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("__w")).as("decayed_num"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
+        s.table(name)
+          .select(col("event_type"), col("n"), col("decayed_num"),
+            lit(dmax - dmin).as("scale"),
+            (col("decayed_num").cast("double") /
+              call_function("shiftleft", lit(1L), lit((dmax - dmin).toInt))
+                .cast("double")).as("decayed"))
+          .orderBy(col("event_type"))
+      },
+      Some(decayedOracleSql)),
 
     // L49 — deterministic BOTTOM-K-BY-HASH per-group sample: fixed-size
     // uniform sample per language, mergeable across shards/batches (the

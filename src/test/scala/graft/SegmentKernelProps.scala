@@ -138,6 +138,25 @@ object SegmentKernelProps extends Properties("SegmentKernels") {
       viaAgg == brute && invariant
     }
 
+  property("TopKAgg: any partitioning of reduces + merges equals sort-take-k") =
+    Prop.forAll(
+      Gen.listOfN(80, for {
+        v <- Gen.chooseNum(-50L, 50L) // narrow range forces ties
+        id <- Gen.chooseNum(0L, 1000L)
+      } yield (v, id)),
+      Gen.chooseNum(1, 6),
+      Gen.listOfN(80, Gen.chooseNum(0, 3))) { (xs, k, parts) =>
+      val agg = new graft.expr.TopKAgg(k)
+      // scatter rows into 4 partitions per the generated assignment,
+      // reduce each, then merge in a fixed order
+      val bufs = xs.zip(parts).groupBy(_._2).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(bufs.foldLeft(agg.zero)(agg.merge))
+      val want = xs.sortBy { case (v, id) => (-v, id) }.take(k)
+        .map { case (v, id) => graft.expr.TopKAgg.Entry(v, id) }
+      merged == want
+    }
+
   property("sweepActiveSets intervals are disjoint, ordered, non-empty-labeled") =
     Prop.forAll(Gen.listOfN(30, for {
       seg <- genSeg
