@@ -632,8 +632,17 @@ object Curation {
     val bounds = df.agg(
       min(day).as("__dmin"), max(day).as("__dmax"))
     val weighted = df.crossJoin(broadcast(bounds))
+      // a shift past 62 wraps silently (Java shifts are mod 64) — fail
+      // loudly instead: spans beyond 62 half-lives must be windowed by
+      // the caller before decaying
       .withColumn("__w",
-        call_function("shiftleft", lit(1L), (day - col("__dmin")).cast("int")))
+        when(col("__dmax") - col("__dmin") > 62L,
+          raise_error(concat(lit("decayedCounts: bucket span "),
+            (col("__dmax") - col("__dmin")).cast("string"),
+            lit(" exceeds 62 half-lives — window the input first")))
+            .cast("long"))
+          .otherwise(call_function("shiftleft", lit(1L),
+            (day - col("__dmin")).cast("int"))))
       .withColumn("__scale", (col("__dmax") - col("__dmin")).cast("int"))
     weighted.groupBy(col(groupCol), col("__scale"))
       .agg(count(lit(1)).as("n"), sum(col("__w")).as("decayed_num"))

@@ -587,6 +587,13 @@ class OpsSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4)))
     // dmin=0 dmax=2: A num = 1+1+4 = 6 -> 6/4 = 1.5; B num = 2 -> 0.5
     assert(got.toSeq == Seq(("A", 3L, 6L, 2L, 1.5), ("B", 1L, 2L, 2L, 0.5)))
+    // a span beyond 62 half-lives must raise, not wrap the shift
+    val wide = Seq(("A", 0L), ("A", 63L * day + 1L)).toDF("g", "tus")
+    val e = intercept[Exception] {
+      graft.ops.Curation.decayedCounts(wide, "g", "tus", day).collect()
+    }
+    assert(e.getMessage.contains("62 half-lives")
+      || e.getCause != null && e.getCause.getMessage.contains("62 half-lives"))
   }
 
   test("sqAdcTopK: reconstruction within one cell width, ranks match exact dots") {
