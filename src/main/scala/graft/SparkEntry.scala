@@ -761,6 +761,33 @@ object SparkEntry {
       |FROM e, b GROUP BY event_type, b.dmin, b.dmax
       |ORDER BY event_type""".stripMargin
 
+  /** Mirror of [[graft.ops.Curation.zorderLayout]] on events: the same
+    * min/max bounds, `bits`-bit integer-division buckets, and unrolled
+    * shift/mask/or interleave, then `row_number`-assigned files and the
+    * per-file stats rollup. Bucket and interleave terms are generated
+    * from the same (bits, rowsPerFile) parameters as the Spark plan.
+    */
+  private def zorderOracleSql(bits: Int, rowsPerFile: Int): String = {
+    val top = (1L << bits) - 1L
+    val inter = (0 until bits).map { i =>
+      s"(((b0 >> $i) & 1) << ${2 * i}) | (((b1 >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+       |bn AS (SELECT MIN(user_id) AS n0, MAX(user_id) AS x0,
+       |    MIN(tus) AS n1, MAX(tus) AS x1 FROM e),
+       |k AS (SELECT e.*,
+       |    CASE WHEN x0 = n0 THEN 0 ELSE ((user_id - n0) * $top) // (x0 - n0) END AS b0,
+       |    CASE WHEN x1 = n1 THEN 0 ELSE ((tus - n1) * $top) // (x1 - n1) END AS b1
+       |  FROM e, bn),
+       |z AS (SELECT *, $inter AS zkey FROM k),
+       |r AS (SELECT *, row_number() OVER (ORDER BY zkey, event_id) AS rn FROM z)
+       |SELECT CAST((rn - 1) // $rowsPerFile AS BIGINT) AS file_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
+       |  MIN(tus) AS min_tus, MAX(tus) AS max_tus
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** The k-round BPE training loop unrolled as chained CTEs — each
     * round: adjacent-pair counts over the delimited symbol strings, the
     * deterministic argmax, and the greedy `replace` merge feeding the
@@ -3437,7 +3464,22 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY h, doc_id) AS BIGINT) AS rank FROM h)
         |SELECT lang, rank, doc_id, h FROM r WHERE rank <= 10
-        |ORDER BY lang, rank""".stripMargin))
+        |ORDER BY lang, rank""".stripMargin)),
+
+    // L57 — Z-ORDER DATA LAYOUT + MIN-MAX FILE SKIPPING (Delta OPTIMIZE
+    // ZORDER / Iceberg sort-order analog): events clustered by the
+    // bit-interleaved (user_id, event-time) key so per-file min/max
+    // envelopes are tight in BOTH dimensions and a range predicate on
+    // either column prunes most files. All-integer bucket + interleave
+    // math, mirrored term-for-term in the oracle; the result is the
+    // per-file stats manifest a skipping scan consults. OpsSpec asserts
+    // the actual pruning win over a linear time-sorted layout.
+    Q("c_zorder_layout",
+      (s, dir) => Curation.zorderLayout(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("ts div 1000").as("tus"), col("event_id")),
+        "user_id", "tus", "event_id", bits = 12, rowsPerFile = 4096),
+      Some(zorderOracleSql(bits = 12, rowsPerFile = 4096)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -703,4 +703,70 @@ object Curation {
         col("bkt"), col("rep8"))
       .orderBy(col(groupCol), col("q_pct"))
   }
+
+  /** Bit-interleaved Z-order key over two pre-bucketed dimensions:
+    * bit `i` of `b0` lands at position `2i`, bit `i` of `b1` at
+    * `2i+1`. Unrolled at plan-build time into `2·bits` shift/mask/or
+    * terms — all codegen'd integer ops, no UDF.
+    */
+  def zorderKey(b0: Column, b1: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(b0, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-ORDER DATA LAYOUT + MIN-MAX FILE SKIPPING — the multi-dimensional
+    * data-clustering step every 100 TB lakehouse table runs (Delta
+    * OPTIMIZE ZORDER / Iceberg sort orders): rows sorted by the
+    * bit-interleaved key of two dimensions land in files whose per-file
+    * min/max envelopes are TIGHT in BOTH dimensions, so a range
+    * predicate on either column prunes most files from the scan — the
+    * single biggest scan-cost lever after partition pruning. A linear
+    * single-column sort gives tight envelopes in that column only; every
+    * file spans the full range of the other.
+    *
+    * Steps, all exact integer math so an external SQL engine mirrors the
+    * layout bit-for-bit: (1) one tiny min/max agg per dimension,
+    * broadcast; (2) rank-normalize each value to a `bits`-bit bucket by
+    * integer division (guarded against multiply overflow — spans beyond
+    * Long.Max/2^bits must be pre-scaled by the caller); (3) interleave
+    * ([[zorderKey]]); (4) assign `rowsPerFile` consecutive rows per file
+    * in z-order. At 100 TB step 4 is `repartitionByRange($"z")` + one
+    * writer task per range (sampled split points, no global sort); here
+    * a deterministic `row_number` gives byte-stable file boundaries for
+    * the oracle — both produce files that are contiguous z-ranges.
+    *
+    * Output: per-file stats manifest (file_id, n, min/max of both
+    * dims) — exactly the footer/manifest stats a skipping scan consults.
+    */
+  def zorderLayout(df: DataFrame, c0: String, c1: String, tieCol: String,
+                   bits: Int, rowsPerFile: Int): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"need 1 <= bits <= 20, got $bits")
+    require(rowsPerFile >= 1, s"need rowsPerFile >= 1, got $rowsPerFile")
+    val top = (1L << bits) - 1L
+    val maxSpan = Long.MaxValue / top
+    def bucket(c: String, n: String, x: String): Column =
+      expr(s"""CASE WHEN $x = $n THEN 0L
+        WHEN $x - $n > ${maxSpan}L THEN raise_error(CONCAT(
+          'zorderLayout: $c span ', CAST($x - $n AS STRING),
+          ' overflows the ${bits}-bit bucket multiply - pre-scale the column'))
+        ELSE (($c - $n) * ${top}L) div ($x - $n) END""")
+    val bounds = df.agg(
+      min(col(c0)).as("__n0"), max(col(c0)).as("__x0"),
+      min(col(c1)).as("__n1"), max(col(c1)).as("__x1"))
+    val keyed = df.crossJoin(broadcast(bounds))
+      .withColumn("__b0", bucket(c0, "__n0", "__x0"))
+      .withColumn("__b1", bucket(c1, "__n1", "__x1"))
+      .withColumn("__z", zorderKey(col("__b0"), col("__b1"), bits))
+    keyed
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__z"), col(tieCol))).cast("long"))
+      .withColumn("file_id", expr(s"(__rn - 1L) div ${rowsPerFile}L"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col(c0)).as(s"min_$c0"), max(col(c0)).as(s"max_$c0"),
+        min(col(c1)).as(s"min_$c1"), max(col(c1)).as(s"max_$c1"))
+      .orderBy(col("file_id"))
+  }
 }

@@ -596,6 +596,40 @@ class OpsSpec extends SparkSpec {
       || e.getCause != null && e.getCause.getMessage.contains("62 half-lives"))
   }
 
+  test("zorderLayout: interleave is exact; z files prune both dims, linear only one") {
+    import spark.implicits._
+    // known interleave: b0=0b101, b1=0b011 -> z = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 = 0b11011
+    val z = Seq((5L, 3L)).toDF("b0", "b1")
+      .select(graft.ops.Curation.zorderKey(col("b0"), col("b1"), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+    // 64x64 grid, independent dims: 16 files of 256 rows. Z-order gives
+    // every file a ~quarter-range envelope in BOTH dims; an x-sorted
+    // linear layout leaves every file spanning ALL of y.
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong, (x * 64 + y).toLong))).toDF("x", "y", "tie")
+    val zStats = graft.ops.Curation.zorderLayout(grid, "x", "y", "tie",
+      bits = 6, rowsPerFile = 256).collect()
+    assert(zStats.length == 16 && zStats.forall(_.getLong(1) == 256L))
+    // predicate y in [0, 15]: z layout overlaps 4/16 files, linear 16/16
+    def overlapY(lo: Long, hi: Long) =
+      zStats.count(r => r.getLong(4) <= hi && r.getLong(5) >= lo)
+    val linear = grid.withColumn("file_id",
+        expr("(tie) div 256")).groupBy("file_id")
+      .agg(min(col("y")).as("min_y"), max(col("y")).as("max_y")).collect()
+    assert(overlapY(0L, 15L) == 4)
+    assert(linear.count(r => r.getLong(1) <= 15L && r.getLong(2) >= 0L) == 16)
+    // both dims stay tight: no z file spans more than half the x range either
+    assert(zStats.forall(r => r.getLong(3) - r.getLong(2) <= 32L))
+    // bucket-multiply overflow must raise, not wrap
+    val big = Seq((0L, 0L, 0L), (Long.MaxValue / 10L, 1L, 1L)).toDF("x", "y", "tie")
+    val eo = intercept[Exception] {
+      graft.ops.Curation.zorderLayout(big, "x", "y", "tie", 12, 4).collect()
+    }
+    assert(eo.getMessage.contains("overflows")
+      || eo.getCause != null && eo.getCause.getMessage.contains("overflows"))
+  }
+
   test("sqAdcTopK: reconstruction within one cell width, ranks match exact dots") {
     import graft.ops.Similarity
     val L = 16
