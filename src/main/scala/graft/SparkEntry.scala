@@ -3479,7 +3479,30 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         Tables.events(s, dir).select(col("user_id"),
           expr("ts div 1000").as("tus"), col("event_id")),
         "user_id", "tus", "event_id", bits = 12, rowsPerFile = 4096),
-      Some(zorderOracleSql(bits = 12, rowsPerFile = 4096)))
+      Some(zorderOracleSql(bits = 12, rowsPerFile = 4096))),
+
+    // L58 — CONTEXT-WINDOW CHUNKING: long documents split into
+    // overlapping 32-token windows advancing by 24 (8-token overlap) —
+    // the complement of c_pack_sequences' packing, together the standard
+    // sequence prep for a fixed training context; same shape as RAG
+    // passage chunking. Array-local explode + slice, NO shuffle at any
+    // scale; chunk-count formula and 1-based slice mirrored exactly.
+    Q("t_chunk_windows",
+      (s, dir) => TextOps.chunkWindows(
+        Tables.documents(s, dir), "doc_id", "text",
+        maxTokens = 32, stride = 24),
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |  FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks,
+        |    1 + CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END AS nc
+        |  FROM t),
+        |x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM c),
+        |sl AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ct FROM x)
+        |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
+        |  array_to_string(ct, ' ') AS chunk_text
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -357,4 +357,45 @@ object TextOps {
     }
     out.toSeq.toDF("round", "a", "b", "merged", "cnt")
   }
+
+  /** CONTEXT-WINDOW CHUNKING — split long documents into overlapping
+    * fixed-size token windows (`maxTokens` per chunk, advancing by
+    * `stride`, so consecutive chunks share `maxTokens - stride` tokens):
+    * the complement of sequence PACKING (`Curation.packSequences` packs
+    * SHORT docs up to the context length; this splits LONG ones down to
+    * it) — together they are the standard sequence-prep for a fixed
+    * context window, and the same shape serves RAG passage indexing.
+    *
+    * Everything is array-local per document — tokenize, a chunk-count
+    * formula (`1 + ceil((n - maxTokens)/stride)` when n > maxTokens),
+    * explode over chunk ids, 1-based `slice` — so the operator is one
+    * narrow projection + explode with NO shuffle at any scale; the tail
+    * chunk is never empty because `stride <= maxTokens`. Exact
+    * string/integer domain throughout.
+    *
+    * Output: (idCol, chunk_id, n_tokens, chunk_text) per chunk,
+    * empty-token documents dropped.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    require(stride >= 1 && stride <= maxTokens,
+      s"need 1 <= stride <= maxTokens, got $stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0L)
+      .withColumn("__nc", expr(
+        s"""1L + (CASE WHEN __n > ${maxTokens}L
+           THEN (__n - ${maxTokens}L + ${stride}L - 1L) div ${stride}L
+           ELSE 0L END)"""))
+      .select(col(idCol), col("__toks"),
+        explode(expr("sequence(0L, __nc - 1L)")).as("chunk_id"))
+      .withColumn("__ct", slice(col("__toks"),
+        (col("chunk_id") * lit(stride.toLong) + lit(1L)).cast("int"),
+        lit(maxTokens)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__ct")).cast("long").as("n_tokens"),
+        array_join(col("__ct"), " ").as("chunk_text"))
+      .orderBy(col(idCol), col("chunk_id"))
+  }
 }

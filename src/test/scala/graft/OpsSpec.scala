@@ -630,6 +630,31 @@ class OpsSpec extends SparkSpec {
       || eo.getCause != null && eo.getCause.getMessage.contains("overflows"))
   }
 
+  test("chunkWindows: coverage, overlap, non-empty tail, short-doc identity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10 -> 3 chunks
+      (2L, "a b c"),                                  // n <= max -> 1 chunk
+      (3L, "   "),                                    // empty after filter
+      (4L, (1 to 8).map(i => s"u$i").mkString(" "))   // n=8=max+stride -> 2 chunks
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.chunkWindows(docs, "doc_id", "text", 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // stride == max: disjoint full coverage, tail chunk 2 tokens
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq ==
+      Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+    assert(!got.exists(_._1 == 3L) && got.forall(_._3 > 0L))
+    assert(got.filter(_._1 == 4L).map(_._4).toSeq ==
+      Seq("u1 u2 u3 u4", "u5 u6 u7 u8"))
+    // overlapping stride: chunks share max - stride tokens
+    val ov = graft.ops.TextOps.chunkWindows(
+        docs.filter($"doc_id" === 1L), "doc_id", "text", 4, 2)
+      .collect().map(_.getString(3))
+    assert(ov.toSeq == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8",
+      "t7 t8 t9 t10"))
+  }
+
   test("sqAdcTopK: reconstruction within one cell width, ranks match exact dots") {
     import graft.ops.Similarity
     val L = 16
