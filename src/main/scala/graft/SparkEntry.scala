@@ -761,6 +761,21 @@ object SparkEntry {
       |FROM e, b GROUP BY event_type, b.dmin, b.dmax
       |ORDER BY event_type""".stripMargin
 
+  /** Exact per-lang token counts, top-10 by (count desc, token) — the
+    * oracle for BOTH Space-Saving flavors: within capacity the summary
+    * is exact with err = 0 on every path (see
+    * [[graft.expr.SpaceSavingAgg]]).
+    */
+  private val hhOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+      |  list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+      |t AS (SELECT lang, unnest(toks) AS tok FROM d),
+      |c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS est FROM t GROUP BY 1, 2),
+      |r AS (SELECT lang, tok, est, CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY est DESC, tok) AS BIGINT) AS rank FROM c)
+      |SELECT lang, rank, tok, est, CAST(0 AS BIGINT) AS err
+      |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
   /** Mirror of [[graft.ops.Curation.zorderLayout]] on events: the same
     * min/max bounds, `bits`-bit integer-division buckets, and unrolled
     * shift/mask/or interleave, then `row_number`-assigned files and the
@@ -3502,7 +3517,65 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ct FROM x)
         |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
         |  array_to_string(ct, ' ') AS chunk_text
-        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // L59 — SPACE-SAVING HEAVY HITTERS (Metwally et al. 2005): per-lang
+    // top tokens under HARD-BOUNDED state — at most 64 counters per
+    // group per map partition, whatever the distinct-key count, vs one
+    // counter per distinct key for exact groupBy.count (the state that
+    // IS the job at 100 TB vocabularies). This corpus's vocab fits the
+    // capacity, so no eviction fires, the summary is a union-sum lattice
+    // (est = exact count, err = 0, partitioning-invariant) and the exact
+    // SQL oracles the whole reduce/merge/finish path; the eviction
+    // regime's guarantee bounds are SketchProps laws.
+    Q("hh_space_saving",
+      (s, dir) => {
+        val ss = udaf(new graft.expr.SpaceSavingAgg(64, 10),
+          org.apache.spark.sql.Encoders.STRING)
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("lang")).agg(ss(col("tok")).as("hh"))
+          .select(col("lang"), posexplode(col("hh")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.key").as("tok"), col("col.est").as("est"),
+            col("col.err").as("err"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some(hhOracleSql)),
+
+    // L59 (streaming flavor) — the same bounded-state summary in
+    // STREAMING aggregation state across maxFilesPerTrigger=1
+    // micro-batches: within capacity the summary is a lattice, so the
+    // streamed state is bit-identical to batch whatever the file split —
+    // the same exact SQL checks both flavors.
+    Q("streaming_hh",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val name = "hh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_hh").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_hhsrc")
+        base.repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+        val ss = udaf(new graft.expr.SpaceSavingAgg(64, 10),
+          org.apache.spark.sql.Encoders.STRING)
+        val agg = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("lang")).agg(ss(col("tok")).as("hh"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
+        s.table(name)
+          .select(col("lang"), posexplode(col("hh")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.key").as("tok"), col("col.est").as("est"),
+            col("col.err").as("err"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some(hhOracleSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
