@@ -851,6 +851,35 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
        |  FROM tt WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
        |sd AS (SELECT DISTINCT doc_id, shingle FROM s0 WHERE shingle IS NOT NULL)""".stripMargin
 
+  /** Near-dup connected-component labels (MinHash 8-band candidates →
+    * exact Jaccard ≥ 0.5 pairs → transitive closure via recursive CTE →
+    * min-id component per doc, singletons labeled by themselves) —
+    * shared by the `dedup_components` and `c_split_leakage_safe`
+    * oracles. Callers must open with `WITH RECURSIVE`.
+    */
+  private val nearDupCcSqlCtes =
+    s"""$shingleSqlCte,
+       |mh AS (SELECT doc_id, r.band AS band,
+       |  MIN(('0x' || substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 15))::BIGINT) AS sig
+       |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+       |    SELECT c.a, c.b, x.shingle FROM cand c
+       |    JOIN sd x ON x.doc_id = c.a
+       |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+       |  GROUP BY t.a, t.b),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+       |jp AS (SELECT co.a, co.b FROM co
+       |  JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b
+       |  WHERE CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) >= 0.5),
+       |e AS (SELECT a AS u, b AS v FROM jp UNION SELECT b AS u, a AS v FROM jp),
+       |cc AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT cc.id, e.v FROM cc JOIN e ON e.u = cc.r),
+       |lbl AS (SELECT id AS doc_id, MIN(r) AS component FROM cc GROUP BY id)""".stripMargin
+
   private val quantSqlCte =
     """q AS (SELECT vec_id, list_transform(embedding,
       |  x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
@@ -1864,27 +1893,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
           .select(col("doc_id"), col("component"), col("cluster_size"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE $shingleSqlCte,
-        |mh AS (SELECT doc_id, r.band AS band,
-        |  MIN(('0x' || substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 15))::BIGINT) AS sig
-        |  FROM sd, range(8) r(band) GROUP BY doc_id, r.band),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
-        |    SELECT c.a, c.b, x.shingle FROM cand c
-        |    JOIN sd x ON x.doc_id = c.a
-        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
-        |  GROUP BY t.a, t.b),
-        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
-        |jp AS (SELECT co.a, co.b FROM co
-        |  JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b
-        |  WHERE CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) >= 0.5),
-        |e AS (SELECT a AS u, b AS v FROM jp UNION SELECT b AS u, a AS v FROM jp),
-        |cc AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT cc.id, e.v FROM cc JOIN e ON e.u = cc.r),
-        |lbl AS (SELECT id AS doc_id, MIN(r) AS component FROM cc GROUP BY id),
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
         |sz AS (SELECT component, COUNT(*) AS cluster_size FROM lbl GROUP BY component)
         |SELECT l.doc_id, l.component, s.cluster_size
         |FROM lbl l JOIN sz s ON s.component = l.component
@@ -3575,7 +3584,31 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
             col("col.err").as("err"))
           .orderBy(col("lang"), col("rank"))
       },
-      Some(hhOracleSql))
+      Some(hhOracleSql)),
+
+    // L60 — LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: split by NEAR-DUP
+    // COMPONENT, never by document, so no near-dup pair straddles the
+    // split boundary and eval never scores memorization. Components over
+    // the same banded MinHash pair graph as dedup_components (shared
+    // oracle CTEs), then a deterministic 60-bit md5 hash of the
+    // COMPONENT id into 10 buckets: 0-7 train, 8 val, 9 test — a pure
+    // function of content, reproducible across runs and shards.
+    Q("c_split_leakage_safe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(
+          TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+        Curation.leakageSafeSplit(docs, pairs, "doc_id",
+          nBuckets = 10, trainHi = 8, valHi = 9)
+      },
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |hb AS (SELECT doc_id, component,
+        |    ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 10 AS bucket
+        |  FROM lbl)
+        |SELECT doc_id, component, bucket,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM hb ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

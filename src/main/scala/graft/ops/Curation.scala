@@ -769,4 +769,42 @@ object Curation {
         min(col(c1)).as(s"min_$c1"), max(col(c1)).as(s"max_$c1"))
       .orderBy(col("file_id"))
   }
+
+  /** LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — random document splits leak:
+    * near-duplicate pairs straddle the split boundary and the eval set
+    * scores memorization, not generalization (the reason GPT-3/Pile-era
+    * reports dedup eval against train). The fix is to split by NEAR-DUP
+    * COMPONENT, never by document: label every doc with its connected
+    * component over the near-dup pair graph ([[graft.ops.Dedup
+    * .connectedComponents]], singletons labeled by themselves), then
+    * hash the COMPONENT id into `nBuckets` deterministic buckets —
+    * buckets `< trainHi` → train, `< valHi` → val, rest → test. Every
+    * member of a component shares its bucket by construction, so no
+    * near-dup pair ever crosses a split; the assignment is a pure
+    * function of content (reproducible across runs, shards, re-ingests).
+    *
+    * Scale shape: components over banded candidate pairs (never
+    * all-pairs), then one broadcast-free equi join of the label table
+    * back to the corpus and a stateless hash projection.
+    *
+    * Output: (idCol, component, bucket, split) per document.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       nBuckets: Int, trainHi: Int, valHi: Int): DataFrame = {
+    require(0 < trainHi && trainHi < valHi && valHi <= nBuckets,
+      s"need 0 < trainHi < valHi <= nBuckets, got ($trainHi, $valHi, $nBuckets)")
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("component").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)))
+      .withColumn("split",
+        when(col("bucket") < trainHi, lit("train"))
+          .when(col("bucket") < valHi, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy(col(idCol))
+  }
 }

@@ -655,6 +655,24 @@ class OpsSpec extends SparkSpec {
       "t7 t8 t9 t10"))
   }
 
+  test("leakageSafeSplit: components share a split, singletons covered, all splits used") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "name")
+    // chain 1-2-3, pair 10-11, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = graft.ops.Curation
+      .leakageSafeSplit(docs, pairs, "doc_id", 10, 8, 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 40 && got.map(_._1).toSet == (1L to 40L).toSet)
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(Seq(1L, 2L, 3L).map(byId(_)._4).distinct.size == 1)
+    assert(byId(1L)._2 == 1L && byId(10L)._2 == 10L && byId(11L)._2 == 10L)
+    assert(byId(20L)._2 == 20L) // singleton labels itself
+    // bucket -> split boundaries honored everywhere
+    assert(got.forall { case (_, _, b, sp) =>
+      (b < 8 && sp == "train") || (b == 8 && sp == "val") || (b == 9 && sp == "test") })
+  }
+
   test("sqAdcTopK: reconstruction within one cell width, ranks match exact dots") {
     import graft.ops.Similarity
     val L = 16
