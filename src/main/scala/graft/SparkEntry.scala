@@ -3608,7 +3608,43 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |SELECT doc_id, component, bucket,
         |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM hb ORDER BY doc_id""".stripMargin))
+        |FROM hb ORDER BY doc_id""".stripMargin)),
+
+    // L61 — PRODUCT-QUANTIZATION ADC top-k (Jégou 2011): the compression
+    // rung between SQ (one code per dimension, sim_sq_adc_topk) and full
+    // vectors — 8 subspaces × 16-entry codebooks = 8 small codes per
+    // vector (32× memory cut), queries full-precision (asymmetric ADC).
+    // Codebooks are the subvectors of 16 fixed seed rows so the oracle
+    // mirrors training relationally (at 100 TB: per-subspace k-means,
+    // encode/ADC unchanged); codebook broadcasts, encode is a map-side
+    // argmin partial agg, scores are exact longs via the fused dot.
+    Q("sim_pq_adc_topk",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.pqAdcTopK(q.filter(col("vec_id") < 8), q, "vec_id", 10)
+      },
+      Some(s"""WITH $quantSqlCte,
+        |sb AS (SELECT vec_id, j.j AS sub_id,
+        |    qv[j.j * 8 + 1 : j.j * 8 + 8] AS v FROM q, range(8) j(j)),
+        |bk AS (SELECT vec_id AS code, sub_id, v AS cvec FROM sb WHERE vec_id < 16),
+        |dd AS (SELECT s.vec_id, s.sub_id, b.code, b.cvec,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (s.v[i] - b.cvec[i]) * (s.v[i] - b.cvec[i]))) AS BIGINT) AS d2
+        |  FROM sb s JOIN bk b ON b.sub_id = s.sub_id),
+        |asg AS (SELECT vec_id, sub_id, cvec FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+        |      ORDER BY d2, code) AS rn FROM dd) WHERE rn = 1),
+        |rec AS (SELECT vec_id, flatten(list(cvec ORDER BY sub_id)) AS recon
+        |  FROM asg GROUP BY vec_id),
+        |sc AS (SELECT qq.vec_id AS query_id, r.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> qq.qv[i] * r.recon[i])) AS BIGINT) AS score_pq
+        |  FROM rec r JOIN q qq ON qq.vec_id < 8 AND r.vec_id <> qq.vec_id),
+        |rk AS (SELECT query_id, neighbor_id, score_pq,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_pq DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, rnk, neighbor_id, score_pq
+        |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -357,6 +357,70 @@ object Similarity {
     * trade cost for recall). Fully relational, so an external SQL engine
     * mirrors it verbatim.
     */
+  /** PRODUCT-QUANTIZATION ADC top-k (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search") — the compression step
+    * between scalar quantization ([[sqAdcTopK]]: one code per DIMENSION)
+    * and full vectors: the 64-dim space splits into `m` subspaces, each
+    * subvector snaps to its nearest of `nCodes` codebook entries, so a
+    * vector stores `m` small codes (8 bytes at m=8/nCodes=16 vs 256
+    * bytes of floats — the memory ratio that lets a 100 TB corpus's
+    * index live in RAM). Queries stay full precision (asymmetric
+    * distance computation): score = query · reconstruction.
+    *
+    * Codebooks here are the subvectors of the `nCodes` fixed SEED rows
+    * (`idCol < nCodes`) so an external engine mirrors training
+    * relationally — the same contrast as IVF ([[ivfNearDupPairs]] seed
+    * rows vs `MLlibOps.kmeansCells` fitted centroids): at 100 TB these
+    * become per-subspace k-means codebooks; encode/ADC below is
+    * unchanged.
+    *
+    * Scale shape: the codebook table (m·nCodes tiny rows) BROADCASTS;
+    * encode is a map-side `min(struct(d2, code, cvec))` partial agg —
+    * the corpus never shuffles by more than (id, sub) keys; scoring
+    * reuses the fused integer dot against broadcast queries and the
+    * bounded-state TopKAgg. All integer math end-to-end.
+    *
+    * Output: (query_id, rnk, neighbor_id, score_pq).
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                k: Int, dim: Int = 64, m: Int = 8, nCodes: Int = 16): DataFrame = {
+    require(dim % m == 0, s"need m | dim, got dim=$dim m=$m")
+    val sub = dim / m
+    LongArrayDot.register(corpus.sparkSession)
+    val toSubs = expr(
+      s"posexplode(transform(sequence(0, ${m - 1}), j -> slice(qv, j * $sub + 1, $sub)))")
+    val books = corpus.filter(col(idCol) < nCodes)
+      .select(col(idCol).as("code"), col("qv"))
+      .select(col("code"), toSubs)
+      .select(col("pos").as("sub_id"), col("code"), col("col").as("cvec"))
+    val codes = corpus.select(col(idCol), toSubs)
+      .select(col(idCol), col("pos").as("sub_id"), col("col").as("v"))
+      .join(broadcast(books), "sub_id")
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x))
+      // argmin as a partial-merge agg, not a window: struct ordering is
+      // (d2, code)-lexicographic and code is unique -> deterministic
+      .groupBy(col(idCol), col("sub_id"))
+      .agg(min(struct(col("d2"), col("code"), col("cvec"))).as("best"))
+    val recon = codes.groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("best.cvec").as("cvec")))),
+        s => s.getField("cvec"))).as("recon"))
+    val topk = udaf(new graft.expr.TopKAgg(k))
+    recon
+      .crossJoin(broadcast(
+        queries.select(col(idCol).as("query_id"), col("qv").as("qq"))))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("score_pq", expr(s"${LongArrayDot.fnName}(qq, recon)"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("score_pq"), col(idCol)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.value").as("score_pq"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def ivfNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                       minCos: Double, nCells: Int = 16): DataFrame = {
     LongArrayDot.register(emb.sparkSession)

@@ -673,6 +673,32 @@ class OpsSpec extends SparkSpec {
       (b < 8 && sp == "train") || (b == 8 && sp == "val") || (b == 9 && sp == "test") })
   }
 
+  test("pqAdcTopK: codebook rows reconstruct exactly, so PQ scores equal exact dots") {
+    import spark.implicits._
+    // corpus = exactly the 16 seed rows: every subvector IS a codebook
+    // entry (d2 = 0 at its own code), reconstruction is lossless and the
+    // ADC score must equal the exact integer dot product
+    val vecs = (0 until 16).map { id =>
+      (id.toLong, Array.tabulate(64)(j => ((id * 31 + j * 7) % 13 - 6) / 10f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.quantize(emb, "vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .pqAdcTopK(q.filter($"vec_id" < 2), q, "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val qv = vecs.map { case (id, a) =>
+      id -> a.map(x => math.round(x.toDouble * 10000d)) }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expect = (0L until 2L).flatMap { qid =>
+      (0L until 16L).filter(_ != qid)
+        .map(n => (qid, n, dot(qv(qid), qv(n))))
+        .sortBy { case (_, n, s) => (-s, n) }.take(5).zipWithIndex
+        .map { case ((qq, n, s), i) => (qq, i + 1L, n, s) }
+    }
+    assert(got.toSeq == expect)
+  }
+
   test("sqAdcTopK: reconstruction within one cell width, ranks match exact dots") {
     import graft.ops.Similarity
     val L = 16
