@@ -188,6 +188,39 @@ class PlanSpec extends SparkSpec {
       "decayed sum should aggregate partial then final")
   }
 
+  test("L57-L61 additions keep their intended plan shapes") {
+    // z-order: the 1-row min/max bounds table broadcasts; buckets and
+    // interleave are projections — no sort-merge join anywhere
+    val zo = plan("c_zorder_layout")
+    assert(zo.contains("BroadcastNestedLoopJoin"),
+      "z-order bounds row should broadcast")
+    assert(!zo.contains("SortMergeJoin"), "z-order must not sort-merge")
+    // chunking is array-local: explode + slice, NO shuffle of any kind
+    // before the display sort
+    val ch = plan("t_chunk_windows")
+    assert(ch.contains("Generate"), "chunking should explode chunk ids")
+    assert(!ch.contains("hashpartitioning("),
+      "chunking must not shuffle — it is per-document array work")
+    // space-saving heavy hitters: bounded-state partial then final agg
+    val hh = plan("hh_space_saving")
+    assert("ObjectHashAggregate".r.findAllIn(hh).size >= 2,
+      "space-saving should aggregate partial then final")
+    // leakage-safe split: equi joins only (label join + components);
+    // the hash-split is a pure projection
+    val ls = plan("c_split_leakage_safe")
+    assert(!ls.contains("BroadcastNestedLoopJoin") && !ls.contains("CartesianProduct"),
+      "leakage-safe split must stay equi-keyed")
+    // PQ-ADC: codebook broadcasts to the encode scan (equi on sub_id),
+    // queries broadcast to the scoring scan, top-k partial then final
+    val pq = plan("sim_pq_adc_topk")
+    assert(pq.contains("BroadcastHashJoin"), "PQ codebook should broadcast")
+    assert(pq.contains("BroadcastNestedLoopJoin"),
+      "PQ query side should broadcast to the scoring scan")
+    assert(!pq.contains("SortMergeJoin"), "PQ must not sort-merge")
+    assert("ObjectHashAggregate".r.findAllIn(pq).size >= 2,
+      "PQ top-k should aggregate partial then final")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
