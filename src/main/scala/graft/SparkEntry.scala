@@ -885,6 +885,26 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
       |  x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
       |nm AS (SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nn FROM q)""".stripMargin
 
+  /** PQ encode + reconstruct over `q` — subspace split, 16-seed-row
+    * codebooks, per-subspace argmin, lossless reassembly into `rec` —
+    * mirror of [[graft.ops.Similarity]]'s `pqRecon`, shared by the
+    * `sim_pq_adc_topk` and `sim_ivfpq_topk` oracles. Requires
+    * `quantSqlCte` upstream.
+    */
+  private val pqReconSqlCtes =
+    """sb AS (SELECT vec_id, j.j AS sub_id,
+      |    qv[j.j * 8 + 1 : j.j * 8 + 8] AS v FROM q, range(8) j(j)),
+      |bk AS (SELECT vec_id AS code, sub_id, v AS cvec FROM sb WHERE vec_id < 16),
+      |dd AS (SELECT s.vec_id, s.sub_id, b.code, b.cvec,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (s.v[i] - b.cvec[i]) * (s.v[i] - b.cvec[i]))) AS BIGINT) AS d2
+      |  FROM sb s JOIN bk b ON b.sub_id = s.sub_id),
+      |asg AS (SELECT vec_id, sub_id, cvec FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+      |      ORDER BY d2, code) AS rn FROM dd) WHERE rn = 1),
+      |rec AS (SELECT vec_id, flatten(list(cvec ORDER BY sub_id)) AS recon
+      |  FROM asg GROUP BY vec_id)""".stripMargin
+
   /** The SQ-ADC oracle — shared verbatim by `sim_sq_adc_topk` and
     * `sim_sq_packed_topk`: both plans produce the same exact integer
     * scores, so one SQL mirror checks both.
@@ -3624,22 +3644,53 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         Similarity.pqAdcTopK(q.filter(col("vec_id") < 8), q, "vec_id", 10)
       },
       Some(s"""WITH $quantSqlCte,
-        |sb AS (SELECT vec_id, j.j AS sub_id,
-        |    qv[j.j * 8 + 1 : j.j * 8 + 8] AS v FROM q, range(8) j(j)),
-        |bk AS (SELECT vec_id AS code, sub_id, v AS cvec FROM sb WHERE vec_id < 16),
-        |dd AS (SELECT s.vec_id, s.sub_id, b.code, b.cvec,
-        |    CAST(list_sum(list_transform(range(1, 9),
-        |      i -> (s.v[i] - b.cvec[i]) * (s.v[i] - b.cvec[i]))) AS BIGINT) AS d2
-        |  FROM sb s JOIN bk b ON b.sub_id = s.sub_id),
-        |asg AS (SELECT vec_id, sub_id, cvec FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
-        |      ORDER BY d2, code) AS rn FROM dd) WHERE rn = 1),
-        |rec AS (SELECT vec_id, flatten(list(cvec ORDER BY sub_id)) AS recon
-        |  FROM asg GROUP BY vec_id),
+        |$pqReconSqlCtes,
         |sc AS (SELECT qq.vec_id AS query_id, r.vec_id AS neighbor_id,
         |    CAST(list_sum(list_transform(range(1, 65),
         |      i -> qq.qv[i] * r.recon[i])) AS BIGINT) AS score_pq
         |  FROM rec r JOIN q qq ON qq.vec_id < 8 AND r.vec_id <> qq.vec_id),
+        |rk AS (SELECT query_id, neighbor_id, score_pq,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_pq DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, rnk, neighbor_id, score_pq
+        |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // L62 — IVF-PQ ANN top-k, the full FAISS IndexIVFPQ composition:
+    // the coarse quantizer routes each query to its 4 nearest of 16
+    // inverted lists (candidates ~4/16 of the corpus) and scoring inside
+    // the probed lists runs over PQ reconstructions (8 codes per vector,
+    // not 64 floats) — cells bound WHO is scored, PQ bounds what a score
+    // COSTS. Both quantizers broadcast; candidates are an equi join on
+    // the cell id; exact-long ADC scores; bounded-state top-k.
+    Q("sim_ivfpq_topk",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.ivfPqTopK(q.filter(col("vec_id") < 10), q, "vec_id", 10,
+          nCells = 16, nProbe = 4)
+      },
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |cscored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cl AS (SELECT vec_id AS neighbor_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM cscored) t WHERE rn = 1),
+        |pr AS (SELECT vec_id AS query_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM cscored WHERE vec_id < 10) t
+        |  WHERE rn <= 4),
+        |$pqReconSqlCtes,
+        |cand AS (SELECT p.query_id, c.neighbor_id FROM pr p
+        |  JOIN cl c ON c.cell = p.cell AND c.neighbor_id <> p.query_id),
+        |sc AS (SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> qq.qv[i] * r.recon[i])) AS BIGINT) AS score_pq
+        |  FROM cand JOIN rec r ON r.vec_id = cand.neighbor_id
+        |  JOIN q qq ON qq.vec_id = cand.query_id),
         |rk AS (SELECT query_id, neighbor_id, score_pq,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY score_pq DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)

@@ -256,25 +256,34 @@ object Similarity {
     * table. Same deterministic seed scheme as [[ivfNearDupPairs]], so
     * an external SQL engine mirrors the whole path bit-for-bit.
     */
+  /** The nCells fixed seed rows with their norms — the IVF coarse
+    * quantizer shared by [[ivfTopK]], [[ivfPqTopK]], [[ivfNearDupPairs]]. */
+  private def ivfSeeds(corpus: DataFrame, idCol: String, nCells: Int): DataFrame =
+    corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("seed_id"), col("qv").as("sv"))
+      .withColumn("snorm", sqrt(sqNorm(col("sv")).cast("double")))
+
+  /** Each row's n highest-cosine seed cells (ties to the smaller seed):
+    * (idCol, cell). The seed table broadcasts. */
+  private def nearestCells(df: DataFrame, seeds: DataFrame, idCol: String,
+                           n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("seed_id"))
+    df.select(col(idCol), col("qv")).crossJoin(broadcast(seeds))
+      .withColumn("score",
+        expr(s"${LongArrayDot.fnName}(qv, sv)").cast("double") / col("snorm"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .select(col(idCol), col("seed_id").as("cell"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     LongArrayDot.register(queries.sparkSession)
-    val seeds = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).as("seed_id"), col("qv").as("sv"))
-      .withColumn("snorm", sqrt(sqNorm(col("sv")).cast("double")))
-    def nearestCells(df: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("score").desc, col("seed_id"))
-      df.select(col(idCol), col("qv")).crossJoin(broadcast(seeds))
-        .withColumn("score",
-          expr(s"${LongArrayDot.fnName}(qv, sv)").cast("double") / col("snorm"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= n)
-        .select(col(idCol), col("seed_id").as("cell"))
-    }
-    val cells = nearestCells(corpus, 1)
+    val seeds = ivfSeeds(corpus, idCol, nCells)
+    val cells = nearestCells(corpus, seeds, idCol, 1)
       .select(col(idCol).as("neighbor_id"), col("cell"))
-    val probes = nearestCells(queries, nProbe)
+    val probes = nearestCells(queries, seeds, idCol, nProbe)
       .select(col(idCol).as("query_id"), col("cell"))
     // rank-1 corpus assignment => a (query, neighbor) arises from at most
     // one probed cell: no distinct needed
@@ -296,6 +305,52 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dot"), col("cos"))
+  }
+
+  /** IVF-PQ ANN top-k — the full FAISS IndexIVFPQ shape (Jégou 2011):
+    * the coarse quantizer ([[ivfSeeds]]/[[nearestCells]]) routes each
+    * query to its `nProbe` nearest of `nCells` inverted lists, and
+    * within the probed population scoring runs over PQ RECONSTRUCTIONS
+    * ([[pqRecon]]) instead of full vectors — candidate volume drops to
+    * ~nProbe/nCells of the corpus AND each candidate read is m codes,
+    * not dim floats. The two mechanisms compose without interaction:
+    * cells bound WHO is scored, PQ bounds WHAT a score costs.
+    *
+    * Scale shape: both quantizers are broadcast tables; candidates are
+    * an equi join on the cell id; scores are exact longs (fused dot on
+    * integer reconstructions); per-query top-k is the bounded-state
+    * TopKAgg. Deterministic end-to-end, mirrored relationally.
+    *
+    * Output: (query_id, rnk, neighbor_id, score_pq).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, k: Int,
+                nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
+                m: Int = 8, nCodes: Int = 16): DataFrame = {
+    LongArrayDot.register(queries.sparkSession)
+    val seeds = ivfSeeds(corpus, idCol, nCells)
+    val cells = nearestCells(corpus, seeds, idCol, 1)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val probes = nearestCells(queries, seeds, idCol, nProbe)
+      .select(col(idCol).as("query_id"), col("cell"))
+    // rank-1 corpus assignment => at most one probed cell per pair
+    val cand = probes.join(cells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val recon = pqRecon(corpus, idCol, dim, m, nCodes)
+      .select(col(idCol).as("neighbor_id"), col("recon"))
+    val topk = udaf(new graft.expr.TopKAgg(k))
+    cand
+      .join(recon, "neighbor_id")
+      .join(broadcast(
+        queries.select(col(idCol).as("query_id"), col("qv").as("qq"))),
+        "query_id")
+      .withColumn("score_pq", expr(s"${LongArrayDot.fnName}(qq, recon)"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("score_pq"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.value").as("score_pq"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Embedding near-dup pairs above a cosine threshold — the exhaustive
@@ -382,11 +437,15 @@ object Similarity {
     *
     * Output: (query_id, rnk, neighbor_id, score_pq).
     */
-  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                k: Int, dim: Int = 64, m: Int = 8, nCodes: Int = 16): DataFrame = {
+  /** PQ encode + reconstruct: (idCol, recon) with recon = the
+    * concatenation of each subspace's nearest codebook entry — the
+    * shared stage of [[pqAdcTopK]] and [[ivfPqTopK]]. Codebook
+    * broadcasts; encode is a map-side argmin partial agg.
+    */
+  private def pqRecon(corpus: DataFrame, idCol: String,
+                      dim: Int, m: Int, nCodes: Int): DataFrame = {
     require(dim % m == 0, s"need m | dim, got dim=$dim m=$m")
     val sub = dim / m
-    LongArrayDot.register(corpus.sparkSession)
     val toSubs = expr(
       s"posexplode(transform(sequence(0, ${m - 1}), j -> slice(qv, j * $sub + 1, $sub)))")
     val books = corpus.filter(col(idCol) < nCodes)
@@ -403,12 +462,17 @@ object Similarity {
       // (d2, code)-lexicographic and code is unique -> deterministic
       .groupBy(col(idCol), col("sub_id"))
       .agg(min(struct(col("d2"), col("code"), col("cvec"))).as("best"))
-    val recon = codes.groupBy(col(idCol))
+    codes.groupBy(col(idCol))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub_id"), col("best.cvec").as("cvec")))),
         s => s.getField("cvec"))).as("recon"))
+  }
+
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                k: Int, dim: Int = 64, m: Int = 8, nCodes: Int = 16): DataFrame = {
+    LongArrayDot.register(corpus.sparkSession)
     val topk = udaf(new graft.expr.TopKAgg(k))
-    recon
+    pqRecon(corpus, idCol, dim, m, nCodes)
       .crossJoin(broadcast(
         queries.select(col(idCol).as("query_id"), col("qv").as("qq"))))
       .filter(col("query_id") =!= col(idCol))

@@ -188,7 +188,7 @@ class PlanSpec extends SparkSpec {
       "decayed sum should aggregate partial then final")
   }
 
-  test("L57-L61 additions keep their intended plan shapes") {
+  test("L57-L62 additions keep their intended plan shapes") {
     // z-order: the 1-row min/max bounds table broadcasts; buckets and
     // interleave are projections — no sort-merge join anywhere
     val zo = plan("c_zorder_layout")
@@ -219,6 +219,14 @@ class PlanSpec extends SparkSpec {
     assert(!pq.contains("SortMergeJoin"), "PQ must not sort-merge")
     assert("ObjectHashAggregate".r.findAllIn(pq).size >= 2,
       "PQ top-k should aggregate partial then final")
+    // IVF-PQ: coarse quantizer and codebook broadcast; candidates and
+    // reconstructions join on equi keys only; no unbounded cartesian
+    // (the global sweep) and no sort-merge join anywhere
+    val ip = plan("sim_ivfpq_topk")
+    assert(ip.contains("BroadcastNestedLoopJoin"),
+      "IVF-PQ quantizer/query tables should broadcast")
+    assert("ObjectHashAggregate".r.findAllIn(ip).size >= 2,
+      "IVF-PQ top-k should aggregate partial then final")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
