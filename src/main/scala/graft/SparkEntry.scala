@@ -3695,7 +3695,61 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY score_pq DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
         |SELECT query_id, rnk, neighbor_id, score_pq
-        |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
+        |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // L63 — STREAM-STREAM INTERVAL JOIN (attribution): purchases joined
+    // to the same user's views within the preceding hour, as Spark's
+    // native two-sided streaming inner join — both sides watermarked,
+    // the range condition bounds the join state (the operator §2.10 had
+    // not yet exercised). Delay = the data span here so nothing retires
+    // and the run-to-completion output equals the batch join exactly
+    // whatever the file split; production sets the disorder SLA instead.
+    Q("streaming_interval_join",
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        val base = s.read.parquet(path)
+        val name = "ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ij").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_ijsrc")
+        // 2 staged files -> 2 micro-batches: enough to exercise cross-batch
+        // join state, while every extra batch pays a full state-store
+        // checkpoint cycle across all shuffle partitions (measured 20.7 s
+        // at 5 batches vs ~8 s at 2, sf0.1). coalesce avoids shuffling the
+        // whole table just to stage it.
+        base.coalesce(2).write.mode("overwrite").parquet(srcDir.toString)
+        def side(tpe: String, pfx: String) =
+          s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(s"${pfx}_user"),
+              col("event_id").as(s"${pfx}_id"),
+              expr("ts div 1000").as(s"${pfx}_tus"),
+              timestamp_micros(expr("ts div 1000")).as(s"${pfx}_wts"))
+        val joined = graft.streaming.StreamingOps.intervalJoin(
+          side("view", "v"), side("purchase", "p"),
+          expr("v_user = p_user AND p_wts >= v_wts" +
+            " AND p_wts <= v_wts + INTERVAL 1 HOUR"),
+          "v_wts", "p_wts", delay = "40 days")
+        val q = joined
+          .select(col("v_user").as("user_id"), col("v_id"), col("v_tus"),
+            col("p_id"), col("p_tus"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("user_id"), col("v_id"), col("p_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_tus
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_tus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.v_id, v.v_tus, p.p_id, p.p_tus
+        |FROM v JOIN p ON p.user_id = v.user_id
+        |  AND p.p_tus >= v.v_tus AND p.p_tus <= v.v_tus + 3600000000
+        |ORDER BY v.user_id, v.v_id, p.p_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -43,4 +43,26 @@ object StreamingOps {
         col("window.start").as("win_start"),
         col("window.end").as("win_end"),
         col("n_events"), col("sum_value"))
+
+  /** STREAM-STREAM INTERVAL JOIN — Spark's native two-sided streaming
+    * inner join: both sides carry an event-time watermark, and `cond`
+    * must include a time-range constraint between the two event-time
+    * columns so the state store retires rows once the other side's
+    * watermark passes their match window (without the range, inner-join
+    * state grows without bound — the 100 TB failure mode this operator
+    * exists to avoid). The classic use is attribution: purchases joined
+    * to the views they followed within the window.
+    *
+    * Determinism: the inner join emits a (l, r) match exactly when both
+    * rows have arrived and neither was retired. With a watermark delay
+    * at least the streams' disorder bound nothing needed is ever
+    * retired, so a run-to-completion (`AvailableNow`) output equals the
+    * batch join WHATEVER the file/batch split — which is how the oracle
+    * checks it exactly (the registered query sets the delay to the data
+    * span; production sets it to the disorder SLA).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, cond: org.apache.spark.sql.Column,
+                   ltsCol: String, rtsCol: String, delay: String): DataFrame =
+    left.withWatermark(ltsCol, delay)
+      .join(right.withWatermark(rtsCol, delay), cond)
 }
