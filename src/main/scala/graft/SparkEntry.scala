@@ -3749,7 +3749,46 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |SELECT v.user_id, v.v_id, v.v_tus, p.p_id, p.p_tus
         |FROM v JOIN p ON p.user_id = v.user_id
         |  AND p.p_tus >= v.v_tus AND p.p_tus <= v.v_tus + 3600000000
-        |ORDER BY v.user_id, v.v_id, p.p_id""".stripMargin))
+        |ORDER BY v.user_id, v.v_id, p.p_id""".stripMargin)),
+
+    // L64 — CCNet-style LM FAMILIARITY filter (Wenzek et al. 2020):
+    // rank docs by mean smoothed bigram probability under a model
+    // trained on the trusted slice (here: lang='en'). Integer-exact
+    // per-bigram floor(scale·(c2+1)/(c1+V)) — see Curation.lmFamiliarity;
+    // the oracle reproduces every score and the adaptive below-corpus-
+    // mean flag bit-for-bit (cross-multiplied in HUGEINT/DECIMAL38).
+    Q("c_lm_familiarity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.lmFamiliarity(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text", scale = 1000000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+        |tt AS (SELECT doc_id, lang, unnest(toks) AS tok,
+        |    unnest(range(len(toks))) AS i FROM d),
+        |bg0 AS (SELECT doc_id, lang, tok AS w1, tok || ' ' || lead(tok, 1)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS g FROM tt),
+        |bg AS (SELECT doc_id, lang, w1, g FROM bg0 WHERE g IS NOT NULL),
+        |c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+        |  WHERE lang = 'en' GROUP BY 1),
+        |c1 AS (SELECT tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tt
+        |  WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+        |tf AS (SELECT doc_id, g, w1, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf.tf * ((1000000 * (COALESCE(c2.c2, 0) + 1))
+        |      // (COALESCE(c1.c1, 0) + v.v))) AS BIGINT) AS fam_sum
+        |  FROM tf LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS tot_n,
+        |    CAST(SUM(fam_sum) AS BIGINT) AS tot_fam FROM sc)
+        |SELECT doc_id, n_bigrams, fam_sum, fam_sum // n_bigrams AS fam_scaled,
+        |  (fam_sum::HUGEINT * tot_n::HUGEINT)
+        |    < (tot_fam::HUGEINT * n_bigrams::HUGEINT) AS low_familiarity
+        |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -807,4 +807,60 @@ object Curation {
           .otherwise(lit("test")))
       .orderBy(col(idCol))
   }
+
+  /** CCNet-style language-model familiarity filter (Wenzek et al. 2020:
+    * CCNet ranks Common Crawl docs by KenLM perplexity under a model
+    * trained on Wikipedia; low-familiarity docs are gibberish, boiler-
+    * plate, or wrong-language). Here the "trusted" model is an add-one-
+    * smoothed BIGRAM LM trained on the `train` slice; each document's
+    * score is the mean conditional bigram probability under that model.
+    *
+    * Integer-exact surrogate for the log-space mean (so an external SQL
+    * engine reproduces every score bit-for-bit): each bigram (w1,w2)
+    * contributes `floor(scale·(c2(w1,w2)+1) / (c1(w1)+V))` — the add-one
+    * conditional scaled to parts-per-`scale` and floored; a document's
+    * `fam_sum` is the tf-weighted sum, `fam_scaled = fam_sum div
+    * n_bigrams` the mean. Arithmetic-mean-of-probabilities replaces
+    * geometric (perplexity is monotone in the log-mean; both order
+    * "familiar" above "alien", and only the integer form is exactly
+    * mirrorable). The adaptive `low_familiarity` flag compares the doc
+    * mean against the corpus mean by cross-multiplication in
+    * DECIMAL(38,0) — no division, no overflow at corpus scale.
+    *
+    * Scale shape: the bigram-count and unigram-count tables are hash
+    * aggregates of the train slice joined back by equi key (bigram /
+    * leading word) — the same distribution as any df join; the vocab
+    * size and corpus totals are one-row broadcasts. Docs with fewer
+    * than 2 tokens have no bigram evidence and are dropped.
+    */
+  def lmFamiliarity(docs: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String, scale: Long): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = df.select(col(idCol),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), 2)).as("g"))
+    val c2 = bigrams(train).groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = train
+      .select(explode(TextOps.tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v")) // one row
+    val docBg = bigrams(docs)
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+    val scored = docBg
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") *
+          expr(s"($scale * (coalesce(c2, 0L) + 1L)) div (coalesce(c1, 0L) + v)"))
+          .as("fam_sum"))
+    val tot = scored.agg(sum(col("n_bigrams")).as("tot_n"),
+      sum(col("fam_sum")).as("tot_fam")) // one row
+    scored.crossJoin(broadcast(tot))
+      .select(col(idCol), col("n_bigrams"), col("fam_sum"),
+        expr("fam_sum div n_bigrams").as("fam_scaled"),
+        (col("fam_sum").cast("decimal(38,0)") * col("tot_n").cast("decimal(38,0)")
+          < col("tot_fam").cast("decimal(38,0)")
+            * col("n_bigrams").cast("decimal(38,0)")).as("low_familiarity"))
+  }
 }

@@ -915,4 +915,30 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 2L, 1.0)))
   }
+
+  test("lmFamiliarity: hand-computed integer scores; familiar > alien; short docs dropped") {
+    val docs = Seq(
+      (1L, "en", "a b a b a b"), // train; bigrams: ab ba ab ba ab
+      (2L, "en", "a b a b"),     // train; bigrams: ab ba ab
+      (3L, "xx", "a b a b"),     // familiar under the en model
+      (4L, "xx", "p q r"),       // fully OOV
+      (5L, "xx", "a")            // <2 tokens: no bigram evidence, dropped
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.Curation.lmFamiliarity(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text", scale = 1000L)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // Train slice: c2("a b")=5, c2("b a")=3; c1(a)=5, c1(b)=5; V=2.
+    // term("a b") = floor(1000·6/7) = 857; term("b a") = floor(1000·4/7)
+    // = 571; term(OOV) = floor(1000·1/2) = 500.
+    // doc1: 3·857+2·571 = 3713 over 5; doc2/doc3: 2·857+571 = 2285 over 3
+    // doc4: 2·500 = 1000 over 2 (mean 500 < corpus mean → flagged)
+    assert(got.toSeq == Seq(
+      (1L, 5L, 3713L, 742L, false),
+      (2L, 3L, 2285L, 761L, false),
+      (3L, 3L, 2285L, 761L, false),
+      (4L, 2L, 1000L, 500L, true)))
+  }
 }
