@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Curation, Dedup, MLlibOps, Multimodal, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator from SURVEY §2, each with a DuckDB-equivalent `oracleSql`.
@@ -3788,7 +3788,45 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |SELECT doc_id, n_bigrams, fam_sum, fam_sum // n_bigrams AS fam_scaled,
         |  (fam_sum::HUGEINT * tot_n::HUGEINT)
         |    < (tot_fam::HUGEINT * n_bigrams::HUGEINT) AS low_familiarity
-        |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin))
+        |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin)),
+
+    // L65 — BM25 KEYWORD RETRIEVAL top-k: data-derived probe terms (5
+    // highest-df tokens of length >= 5), scored with the integer-exact
+    // BM25 surrogate (k1=6/5, b=3/4, odds-ratio idf — Retrieval.bm25TopK)
+    // and reduced per term by the bounded-state TopKAgg, not a window
+    // sort. The oracle mirrors both floors and the rank tie rule.
+    Q("r_bm25_topk",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Retrieval.bm25TopK(docs, "doc_id", "text",
+            Retrieval.probeTerms(docs, "doc_id", "text", minLen = 5, k = 5),
+            k = 10, scale = 1000000L)
+          .orderBy(col("term"), col("rank"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+        |probes AS (SELECT term FROM (
+        |    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS pdf
+        |    FROM t WHERE len(term) >= 5 GROUP BY 1)
+        |  ORDER BY pdf DESC, term LIMIT 5),
+        |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t JOIN probes USING (term) GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.term, tf.doc_id, dfq.df, tot.n_docs,
+        |    ((1000000 * 22 * tf.tf * tot.n_toks)
+        |      // (10 * tf.tf * tot.n_toks + 3 * tot.n_toks
+        |         + 9 * tot.n_docs * dl.dl)) AS s1
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |sc2 AS (SELECT term, doc_id,
+        |    (s1 * (2 * (n_docs - df) + 1)) // (2 * df + 1) AS score FROM sc),
+        |r AS (SELECT term, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc2)
+        |SELECT term, rank, doc_id, score
+        |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

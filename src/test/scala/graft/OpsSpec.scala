@@ -941,4 +941,30 @@ class OpsSpec extends SparkSpec {
       (3L, 3L, 2285L, 761L, false),
       (4L, 2L, 1000L, 500L, true)))
   }
+
+  test("bm25TopK: two-stage integer floors match hand computation; probeTerms df order") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana")
+    ).toDF("doc_id", "text")
+    val probes = Seq("apple", "banana").toDF("term")
+    val got = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+        k = 10, scale = 1000L)
+      .orderBy($"term", $"rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // N=3, T=8. apple df=2: doc1 tf=2 → s1 = 352000 div 265 = 1328,
+    // score = 1328·3 div 5 = 796; doc2 tf=1 → s1 = 176000 div 158 =
+    // 1113, score = 667. banana df=2: doc3 tf=3 → s1 = 528000 div 345
+    // = 1530, score = 918; doc1 tf=1 → s1 = 176000 div 185 = 951,
+    // score = 570.
+    assert(got.toSeq == Seq(
+      ("apple", 1L, 1L, 796L), ("apple", 2L, 2L, 667L),
+      ("banana", 1L, 3L, 918L), ("banana", 2L, 1L, 570L)))
+    val pt = graft.ops.Retrieval.probeTerms(
+        Seq((1L, "apple banana cherry"), (2L, "apple banana"), (3L, "apple dd"))
+          .toDF("doc_id", "text"), "doc_id", "text", minLen = 5, k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(pt == Set("apple", "banana")) // cherry df=1 loses; dd too short
+  }
 }
