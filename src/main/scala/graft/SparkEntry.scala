@@ -3826,7 +3826,31 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    CAST(row_number() OVER (PARTITION BY term
         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc2)
         |SELECT term, rank, doc_id, score
-        |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin))
+        |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin)),
+
+    // L66 — C4-style BOILERPLATE STRIP: lines (5-token windows) whose
+    // document frequency reaches 2 are removed from every doc; the
+    // cleaned text is checked via md5 of the kept lines in order
+    // (Curation.stripBoilerplate), not just counts. Contrast
+    // c_dedup_lines, which keeps first occurrences.
+    Q("c_boilerplate_strip",
+      (s, dir) => Curation.stripBoilerplate(Tables.documents(s, dir),
+          "doc_id", "text", lineLen = 5, minDf = 2L)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksSqlCte,
+        |tt AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS i FROM d),
+        |ln AS (SELECT doc_id, i // 5 AS line_no,
+        |  string_agg(tok, ' ' ORDER BY i) AS line, COUNT(*) AS n_toks
+        |  FROM tt GROUP BY doc_id, i // 5),
+        |dfc AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df
+        |  FROM ln GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(CASE WHEN line_df < 2 THEN n_toks ELSE 0 END) AS BIGINT) AS n_toks_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN line_df < 2 THEN line END,
+        |    ' ' ORDER BY line_no), '')) AS clean_md5
+        |FROM ln JOIN dfc USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

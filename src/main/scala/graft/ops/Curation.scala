@@ -216,10 +216,14 @@ object Curation {
     * Output: id, n_lines, n_dropped (later duplicate occurrences),
     * n_toks_kept (tokens surviving the dedup).
     */
-  def dedupLines(df: DataFrame, idCol: String, textCol: String,
-                 lineLen: Int): DataFrame = {
-    val lines = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+  /** Fixed-width "line" synthesis shared by the line-level curation ops:
+    * consecutive `lineLen`-token windows of each doc, (id, line_no,
+    * line, n_toks). The corpus has no newlines, so lines are token
+    * windows; a newline-bearing corpus would split on \n instead.
+    */
+  private def lineTable(df: DataFrame, idCol: String, textCol: String,
+                        lineLen: Int): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       // zero-token docs produce no lines (sequence(0, -1) would walk
       // BACKWARD in Spark, not return empty — guard, don't assume)
       .filter(size(col("__toks")) > 0)
@@ -229,6 +233,10 @@ object Curation {
            |              least($lineLen, size(__toks) - i * $lineLen) as n_toks))""".stripMargin)))
       .select(col(idCol), col("pos").cast("long").as("line_no"),
         col("col.line").as("line"), col("col.n_toks").cast("long").as("n_toks"))
+
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 lineLen: Int): DataFrame = {
+    val lines = lineTable(df, idCol, textCol, lineLen)
     val w = Window.partitionBy(col("line")).orderBy(col(idCol), col("line_no"))
     lines.withColumn("__rn", row_number().over(w))
       .groupBy(col(idCol))
@@ -862,5 +870,39 @@ object Curation {
         (col("fam_sum").cast("decimal(38,0)") * col("tot_n").cast("decimal(38,0)")
           < col("tot_fam").cast("decimal(38,0)")
             * col("n_bigrams").cast("decimal(38,0)")).as("low_familiarity"))
+  }
+
+  /** C4-style BOILERPLATE stripping (Raffel et al. 2020 §2.2 dropped
+    * lines occurring ≥3 times in the corpus): a line whose document
+    * frequency reaches `minDf` is boilerplate — navigation chrome,
+    * cookie banners, license headers — and is removed from EVERY
+    * document it appears in (unlike [[dedupLines]], which keeps the
+    * first occurrence: dedup preserves one copy of content, boilerplate
+    * removal wants zero copies of chrome).
+    *
+    * Output per doc: line/boilerplate counts, kept-token count, and
+    * `clean_md5` — the md5 of the surviving lines rejoined in order —
+    * so the cleaned text itself is checked, not just its size. The df
+    * table is one hash aggregate on the line joined back by equi key
+    * (boilerplate lines are by definition hot, but each carries ONE df
+    * row — the join skew is bounded by the line's own fan-out, the
+    * same shape as every df join here). Docs whose every line is
+    * boilerplate hash the empty string.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       lineLen: Int, minDf: Long): DataFrame = {
+    val lines = lineTable(df, idCol, textCol, lineLen)
+    val dfc = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    lines.join(dfc, Seq("line"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("line_df") < minDf, col("n_toks")).otherwise(0L))
+          .as("n_toks_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+            when(col("line_df") < minDf,
+              struct(col("line_no"), col("line"))))),
+          x => x.getField("line")), " ")).as("clean_md5"))
   }
 }

@@ -967,4 +967,24 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(pt == Set("apple", "banana")) // cherry df=1 loses; dd too short
   }
+
+  test("stripBoilerplate: df>=minDf lines removed from every doc, clean_md5 checks content") {
+    val docs = Seq(
+      (1L, "a b c d"), // lines (len 2): "a b", "c d"
+      (2L, "a b x y"), // "a b" boilerplate (df 2); "x y" kept
+      (3L, "p q")      // unique line, kept
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.stripBoilerplate(docs, "doc_id", "text",
+        lineLen = 2, minDf = 2L)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "a b" is removed from BOTH docs 1 and 2 (unlike first-occurrence dedup)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 2L, m("c d")),
+      (2L, 2L, 1L, 2L, m("x y")),
+      (3L, 1L, 0L, 2L, m("p q"))))
+  }
 }
