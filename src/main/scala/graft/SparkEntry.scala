@@ -3850,7 +3850,32 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  md5(COALESCE(string_agg(CASE WHEN line_df < 2 THEN line END,
         |    ' ' ORDER BY line_no), '')) AS clean_md5
         |FROM ln JOIN dfc USING (line)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // L67 — contrastive HARD-NEGATIVE mining: per query, top-10
+    // candidates with cosine in [0.1, 0.3) — informative negatives above
+    // random similarity but below the near-dup band (a near-dup
+    // "negative" is a mislabeled positive). Same exact quantized-dot
+    // scoring as sim_cosine_topk with the band as a post-filter.
+    Q("sim_hard_negatives",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.hardNegativesTopK(q.filter(col("vec_id") < 10), q,
+            "vec_id", k = 10, lo = 0.1, hi = 0.3)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, unnest(a.qv) AS av, unnest(b.qv) AS bv
+        |  FROM q a, q b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |dt AS (SELECT query_id, neighbor_id, CAST(SUM(av*bv) AS BIGINT) AS dot FROM p GROUP BY query_id, neighbor_id),
+        |sc AS (SELECT query_id, neighbor_id, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM dt JOIN nm na ON na.vec_id = query_id JOIN nm nb ON nb.vec_id = neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  dot, cos FROM sc WHERE cos >= 0.1 AND cos < 0.3)
+        |SELECT query_id, neighbor_id, rnk, dot, cos FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

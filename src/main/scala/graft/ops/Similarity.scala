@@ -226,17 +226,41 @@ object Similarity {
     * without a shuffle.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                 k: Int): DataFrame = {
+                 k: Int): DataFrame =
+    rankTopK(broadcastScored(queries, corpus, idCol), k)
+
+  /** Contrastive HARD-NEGATIVE mining — the negative-selection recipe
+    * for contrastive embedding training (DPR, SimCSE: the informative
+    * negatives are the similar-but-not-matching ones): for each query,
+    * the top-k candidates whose cosine lies in [`lo`, `hi`) — above
+    * random similarity, below the near-dup band (a near-dup "negative"
+    * is a mislabeled positive that poisons the loss). Same broadcast
+    * brute scoring as [[cosineTopK]]; at corpus scale generate
+    * candidates with [[ivfTopK]]/[[srpNearDupPairs]] first and band-
+    * filter those — the band is a post-filter either way.
+    */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        k: Int, lo: Double, hi: Double): DataFrame =
+    rankTopK(broadcastScored(queries, corpus, idCol)
+      .filter(col("cos") >= lo && col("cos") < hi), k)
+
+  /** All (query, candidate) cosine scores with the query side broadcast
+    * — the corpus streams by without a shuffle. */
+  private def broadcastScored(queries: DataFrame, corpus: DataFrame,
+                              idCol: String): DataFrame = {
     LongArrayDot.register(queries.sparkSession)
     val qn = queries.withColumn("na", sqNorm(col("qv")))
       .select(col(idCol).as("query_id"), col("qv").as("qa"), col("na"))
     val cn = corpus.withColumn("nb", sqNorm(col("qv")))
       .select(col(idCol).as("neighbor_id"), col("qv").as("qb"), col("nb"))
-    val scored = cn.crossJoin(broadcast(qn))
+    cn.crossJoin(broadcast(qn))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", expr(s"${LongArrayDot.fnName}(qa, qb)"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

@@ -968,6 +968,21 @@ class OpsSpec extends SparkSpec {
     assert(pt == Set("apple", "banana")) // cherry df=1 loses; dd too short
   }
 
+  test("hardNegativesTopK: near-dups and random pairs excluded, band kept") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f)),    // query
+      (1L, Array(1f, 0f)),    // cos 1.0 — near-dup, above hi
+      (2L, Array(0.6f, 0.8f)),// cos 0.6 — the hard negative
+      (3L, Array(0f, 1f))     // cos 0.0 — uninformative, below lo
+    ).toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.quantize(emb, "vec_id", "embedding")
+    val got = graft.ops.Similarity.hardNegativesTopK(
+        q.filter($"vec_id" === 0L), q, "vec_id", k = 5, lo = 0.2, hi = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2L, 1L)))
+  }
+
   test("stripBoilerplate: df>=minDf lines removed from every doc, clean_md5 checks content") {
     val docs = Seq(
       (1L, "a b c d"), // lines (len 2): "a b", "c d"
