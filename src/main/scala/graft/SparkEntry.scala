@@ -3875,7 +3875,56 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
         |  dot, cos FROM sc WHERE cos >= 0.1 AND cos < 0.3)
         |SELECT query_id, neighbor_id, rnk, dot, cos FROM r WHERE rnk <= 10
-        |ORDER BY query_id, rnk""".stripMargin))
+        |ORDER BY query_id, rnk""".stripMargin)),
+
+    // L68 — STREAM-STATIC JOIN: streaming docs scored per micro-batch
+    // against the STATIC LM model tables (broadcast bigram/unigram
+    // counts trained offline on the 'en' slice), rolled up per language
+    // in complete mode — one state row per lang. Stateless join +
+    // commutative agg => run-to-completion equals the batch rollup
+    // whatever the file split; the oracle is that batch rollup.
+    Q("streaming_lm_familiarity",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val (c2, c1, vocab) = Curation.lmModel(
+          base.filter(col("lang") === "en"), "text")
+        val name = "lf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_lf").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_lfsrc")
+        base.coalesce(2).write.mode("overwrite").parquet(srcDir.toString)
+        val stream = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        val rollup = graft.streaming.StreamingOps.familiarityRollup(
+          stream, c2, c1, vocab, "text", "lang", scale = 1000000L)
+        val q = rollup.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+        |tt AS (SELECT doc_id, lang, unnest(toks) AS tok,
+        |    unnest(range(len(toks))) AS i FROM d),
+        |bg0 AS (SELECT doc_id, lang, tok AS w1, tok || ' ' || lead(tok, 1)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS g FROM tt),
+        |bg AS (SELECT doc_id, lang, w1, g FROM bg0 WHERE g IS NOT NULL),
+        |c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+        |  WHERE lang = 'en' GROUP BY 1),
+        |c1 AS (SELECT tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tt
+        |  WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+        |sc AS (SELECT bg.lang,
+        |    ((1000000 * (COALESCE(c2.c2, 0) + 1))
+        |      // (COALESCE(c1.c1, 0) + v.v)) AS term
+        |  FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(term) AS BIGINT) AS fam_sum,
+        |  CAST(SUM(term) AS BIGINT) // COUNT(*) AS fam_scaled
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -841,15 +841,27 @@ object Curation {
     * size and corpus totals are one-row broadcasts. Docs with fewer
     * than 2 tokens have no bigram evidence and are dropped.
     */
+  /** The trained LM side of [[lmFamiliarity]] — (bigram counts `c2`,
+    * unigram counts `c1`, one-row vocab size `v`) over the trusted
+    * slice. Exposed so the streaming flavor
+    * ([[graft.streaming.StreamingOps.familiarityRollup]]) can join the
+    * SAME static model tables per micro-batch.
+    */
+  def lmModel(train: DataFrame, textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val c2 = train
+      .select(explode(TextOps.shingles(TextOps.tokens(col(textCol)), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = train
+      .select(explode(TextOps.tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    (c2, c1, c1.agg(count(lit(1)).as("v")))
+  }
+
   def lmFamiliarity(docs: DataFrame, train: DataFrame, idCol: String,
                     textCol: String, scale: Long): DataFrame = {
     def bigrams(df: DataFrame): DataFrame = df.select(col(idCol),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), 2)).as("g"))
-    val c2 = bigrams(train).groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val c1 = train
-      .select(explode(TextOps.tokens(col(textCol))).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = c1.agg(count(lit(1)).as("v")) // one row
+    val (c2, c1, vocab) = lmModel(train, textCol)
     val docBg = bigrams(docs)
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("tf"))
       .withColumn("w1", element_at(split(col("g"), " "), 1))

@@ -65,4 +65,40 @@ object StreamingOps {
                    ltsCol: String, rtsCol: String, delay: String): DataFrame =
     left.withWatermark(ltsCol, delay)
       .join(right.withWatermark(rtsCol, delay), cond)
+
+  /** STREAM-STATIC JOIN scoring — the online flavor of
+    * [[graft.ops.Curation.lmFamiliarity]]: documents arrive as a
+    * stream; the LM count tables (the "model": bigram counts, unigram
+    * counts, vocab size — trained offline on the trusted slice) are
+    * STATIC DataFrames joined per micro-batch. A stream-static join is
+    * stateless — nothing is watermarked or retired, each batch probes
+    * the model as-of that batch — which is why the model side carries a
+    * broadcast hint: without it every micro-batch re-shuffles the
+    * static side (a per-batch tax that dwarfs the batch itself; a
+    * model too big to broadcast would instead be pre-bucketed on the
+    * join key so only the stream side moves).
+    *
+    * The rollup keys on `langCol` in complete mode — state is one row
+    * per language, the bounded-state aggregation shape — so a
+    * run-to-completion output equals the batch rollup whatever the
+    * file/batch split. Per-occurrence term sums equal the batch
+    * tf-weighted sums (Σ_occurrences = Σ_distinct tf·term).
+    */
+  def familiarityRollup(docs: DataFrame, c2: DataFrame, c1: DataFrame,
+                        vocab: DataFrame, textCol: String, langCol: String,
+                        scale: Long): DataFrame = {
+    import graft.ops.TextOps
+    docs.select(col(langCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), 2)).as("g"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .join(broadcast(c2), Seq("g"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(langCol), expr(
+        s"($scale * (coalesce(c2, 0L) + 1L)) div (coalesce(c1, 0L) + v)").as("term"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("fam_sum"))
+      .select(col(langCol), col("n_bigrams"), col("fam_sum"),
+        expr("fam_sum div n_bigrams").as("fam_scaled"))
+  }
 }

@@ -322,4 +322,34 @@ class StreamingSpec extends SparkSpec {
     // precedes view@50s, and user 2's purchase precedes its view
     assert(got == Seq((1L, 10L, 20L)))
   }
+
+  test("stream-static familiarity rollup over micro-batches equals the batch rollup") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "en", "a b a b a b"), // the trusted slice: c2(ab)=3, c2(ba)=2
+      (2L, "xx", "a b a"),       // bigrams ab ba
+      (3L, "yy", "p q")          // one fully-OOV bigram
+    ).toDF("doc_id", "lang", "text")
+    val (c2, c1, v) = graft.ops.Curation.lmModel(
+      corpus.filter($"lang" === "en"), "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lf_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lf_ck")
+    corpus.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = graft.streaming.StreamingOps
+      .familiarityRollup(stream, c2, c1, v, "text", "lang", scale = 1000L)
+      .writeStream.format("memory").queryName("lf_out").outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("lf_out").orderBy($"lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // Model: c1(a)=3, c1(b)=3, V=2. term(ab) = floor(1000·4/5) = 800,
+    // term(ba) = floor(1000·3/5) = 600, term(OOV) = floor(1000·1/2) = 500.
+    // en: 3·800+2·600 = 3600/5; xx: 800+600 = 1400/2; yy: 500/1
+    assert(got == Seq(
+      ("en", 5L, 3600L, 720L), ("xx", 2L, 1400L, 700L), ("yy", 1L, 500L, 500L)))
+  }
 }
