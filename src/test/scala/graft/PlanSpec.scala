@@ -229,6 +229,35 @@ class PlanSpec extends SparkSpec {
       "IVF-PQ top-k should aggregate partial then final")
   }
 
+  test("L64-L68 additions keep their intended plan shapes") {
+    // LM familiarity: the count-table joins are equi-keyed (bigram /
+    // leading word); only the one-row vocab and totals rows broadcast
+    // as nested loops; nothing sort-merges
+    val lm = plan("c_lm_familiarity")
+    assert(!lm.contains("CartesianProduct"),
+      "lm familiarity must not plan an unbounded cartesian")
+    assert(!lm.contains("SortMergeJoin"), "count joins should hash, not sort-merge")
+    // BM25: probes broadcast into the token scan; the per-term top-k is
+    // the bounded-state aggregate (partial then final), NOT a window —
+    // no rangepartitioning before the display sort's
+    val bm = plan("r_bm25_topk")
+    assert(bm.contains("BroadcastHashJoin"), "probe terms should broadcast")
+    assert("ObjectHashAggregate".r.findAllIn(bm).size >= 2,
+      "BM25 top-k should aggregate partial then final")
+    assert(!bm.contains("Window"), "BM25 top-k must not use a window sort")
+    // boilerplate strip: the line-df join is equi on the line; the
+    // final rollup is one hash aggregate per doc
+    val bp = plan("c_boilerplate_strip")
+    assert(!bp.contains("CartesianProduct") && !bp.contains("BroadcastNestedLoopJoin"),
+      "line-df join must stay equi-keyed")
+    // hard negatives: same shape contract as sim_cosine_topk — the
+    // query side broadcasts, the corpus never shuffles for the join
+    val hn = plan("sim_hard_negatives")
+    assert(hn.contains("BroadcastNestedLoopJoin"),
+      "query side should broadcast to the corpus scan")
+    assert(!hn.contains("SortMergeJoin"))
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
