@@ -3924,7 +3924,46 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(term) AS BIGINT) AS fam_sum,
         |  CAST(SUM(term) AS BIGINT) // COUNT(*) AS fam_scaled
-        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin))
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L69 — UniMax BUDGET-CAPPED language allocation (Chung et al.
+    // 2023): integer water-filling of a 15k-token budget over per-lang
+    // token counts — low-resource langs keep everything, high-resource
+    // ones cap at the common level; the floor remainder is reported,
+    // not smeared (contrast c_mix_weights' largest-remainder top-up).
+    Q("c_unimax_alloc",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.unimaxAllocation(
+            docs.select(col("lang"), TextOps.tokenCount(col("text")).as("nt"))
+              .groupBy(col("lang")).agg(sum(col("nt")).as("n")),
+            "lang", "n", budget = 15000L)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+        |cnt AS (SELECT lang, CAST(SUM(len(toks)) AS BIGINT) AS n FROM d GROUP BY 1),
+        |idx AS (SELECT lang, n,
+        |    CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+        |    CAST(SUM(n) OVER (ORDER BY n, lang) AS BIGINT) AS prefix,
+        |    lead(n, 1) OVER (ORDER BY n, lang) AS next_n FROM cnt),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS l FROM idx),
+        |cand AS (SELECT i AS k, n AS nk, prefix, next_n, l.l
+        |    FROM idx CROSS JOIN l
+        |  UNION ALL SELECT 0, NULL, 0, NULL, l FROM l),
+        |ch AS (SELECT k, CASE WHEN k < l THEN (15000 - prefix) // (l - k) END AS t,
+        |    prefix AS pk, l
+        |  FROM cand
+        |  WHERE (k = l AND prefix <= 15000)
+        |     OR (k < l AND (k = 0 OR (15000 - prefix) // (l - k) >= nk)
+        |         AND ((15000 - prefix) // (l - k) < next_n OR next_n IS NULL))
+        |  ORDER BY k DESC LIMIT 1)
+        |SELECT idx.lang, idx.n,
+        |  CASE WHEN idx.i <= ch.k THEN idx.n ELSE ch.t END AS alloc,
+        |  ch.t AS level,
+        |  15000 - (CASE WHEN ch.k = ch.l THEN ch.pk
+        |    ELSE ch.pk + (ch.l - ch.k) * ch.t END) AS leftover
+        |FROM idx CROSS JOIN ch ORDER BY lang""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -884,6 +884,58 @@ object Curation {
             * col("n_bigrams").cast("decimal(38,0)")).as("low_familiarity"))
   }
 
+  /** UniMax budget-capped allocation (Chung et al. 2023: cap each
+    * language's share of the training budget instead of temperature
+    * sampling — low-resource languages keep all their tokens, high-
+    * resource ones are capped at a common water level). Exact integer
+    * water-filling: sort groups by count ascending; the largest valid
+    * split k funds groups 1..k fully and caps the rest at
+    * `t = (budget − prefix_k) div (L − k)` — valid when t ≥ n_k (the
+    * biggest fully-funded group fits under the level) and t < n_{k+1}
+    * (the next group doesn't); k = L is valid when the whole corpus
+    * fits. Every quantity is an integer, so the chosen level and
+    * allocations are bit-stable cross-engine; the floor's remainder
+    * (≤ L−k−1 tokens) is reported as `leftover` rather than smeared
+    * (contrast [[allocateBudget]]'s largest-remainder split, which
+    * spends the remainder — UniMax semantics cap, they don't top up).
+    *
+    * The input is one row per group (the heavy per-doc count aggregation
+    * is the caller's distributed groupBy); the single-partition windows
+    * here walk a handful of rows. Output: (grpCol, n, alloc, level,
+    * leftover) sorted by group.
+    */
+  def unimaxAllocation(counts: DataFrame, grpCol: String, nCol: String,
+                       budget: Long): DataFrame = {
+    val byN = Window.orderBy(col("n"), col(grpCol))
+    val idx = counts
+      .select(col(grpCol), col(nCol).cast("long").as("n"))
+      .withColumn("i", row_number().over(byN).cast("long"))
+      .withColumn("prefix", sum(col("n")).over(byN)) // inclusive cumsum
+      .withColumn("next_n", lead(col("n"), 1).over(byN))
+    val l = idx.agg(count(lit(1)).as("l")) // one row
+    // candidate split k = each row's i, plus k = 0; keep the largest valid
+    val cands = idx.crossJoin(broadcast(l))
+      .select(col("i").as("k"), col("n").as("nk"), col("prefix"),
+        col("next_n"), col("l"))
+      .unionByName(l.select(lit(0L).as("k"), lit(null).cast("long").as("nk"),
+        lit(0L).as("prefix"), lit(null).cast("long").as("next_n"), col("l")))
+    val chosen = cands
+      .withColumn("t", when(col("k") < col("l"),
+        expr(s"($budget - prefix) div (l - k)")))
+      .filter(
+        (col("k") === col("l") && col("prefix") <= budget) ||
+        (col("k") < col("l") && (col("k") === 0L || col("t") >= col("nk"))
+          && (col("t") < col("next_n") || col("next_n").isNull)))
+      .orderBy(col("k").desc).limit(1)
+      .select(col("k"), col("t"), col("prefix").as("pk"))
+    idx.crossJoin(broadcast(chosen)).crossJoin(broadcast(l))
+      .select(col(grpCol), col("n"),
+        when(col("i") <= col("k"), col("n")).otherwise(col("t")).as("alloc"),
+        col("t").as("level"),
+        (lit(budget) - when(col("k") === col("l"), col("pk"))
+          .otherwise(col("pk") + (col("l") - col("k")) * col("t"))).as("leftover"))
+  }
+
   /** C4-style BOILERPLATE stripping (Raffel et al. 2020 §2.2 dropped
     * lines occurring ≥3 times in the corpus): a line whose document
     * frequency reaches `minDf` is boilerplate — navigation chrome,

@@ -968,6 +968,27 @@ class OpsSpec extends SparkSpec {
     assert(pt == Set("apple", "banana")) // cherry df=1 loses; dd too short
   }
 
+  test("unimaxAllocation: integer water-filling matches hand computation in all regimes") {
+    val counts = Seq(("en", 100L), ("fr", 50L), ("de", 10L)).toDF("lang", "n")
+    def run(budget: Long) = graft.ops.Curation
+      .unimaxAllocation(counts, "lang", "n", budget)
+      .orderBy($"lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSeq
+    // budget 100: k=1 (de funded), level = (100-10) div 2 = 45
+    assert(run(100L) == Seq(
+      ("de", 10L, 10L, 45L, 0L), ("en", 100L, 45L, 45L, 0L),
+      ("fr", 50L, 45L, 45L, 0L)))
+    // budget 200 >= total 160: everyone fully funded, leftover 40
+    assert(run(200L) == Seq(
+      ("de", 10L, 10L, -1L, 40L), ("en", 100L, 100L, -1L, 40L),
+      ("fr", 50L, 50L, -1L, 40L)))
+    // budget 7 < L*smallest: k=0, level = 7 div 3 = 2, leftover 1
+    assert(run(7L) == Seq(
+      ("de", 10L, 2L, 2L, 1L), ("en", 100L, 2L, 2L, 1L),
+      ("fr", 50L, 2L, 2L, 1L)))
+  }
+
   test("hardNegativesTopK: near-dups and random pairs excluded, band kept") {
     import spark.implicits._
     val emb = Seq(
