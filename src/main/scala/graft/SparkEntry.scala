@@ -3963,7 +3963,51 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  ch.t AS level,
         |  15000 - (CASE WHEN ch.k = ch.l THEN ch.pk
         |    ELSE ch.pk + (ch.l - ch.k) * ch.t END) AS leftover
-        |FROM idx CROSS JOIN ch ORDER BY lang""".stripMargin))
+        |FROM idx CROSS JOIN ch ORDER BY lang""".stripMargin)),
+
+    // L70 — URL/DOMAIN BLOCKLIST gate (RefinedWeb/UT1, Penedo 2023
+    // §3.1): corpus has no URLs, so (c_pii_scrub precedent) docs are
+    // augmented with deterministic doc_id-derived URLs IDENTICALLY in
+    // Spark and the oracle — even ids get https://www.dom{id%23}.com
+    // with a /casino path every third — then gated: normalized domain
+    // probes the broadcast blocklist, path scans for flagged words.
+    Q("c_url_blocklist",
+      (s, dir) => {
+        val aug = Tables.documents(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(2L)) === 0L, concat(
+            lit(" visit https://www.dom"),
+            pmod(col("doc_id"), lit(23L)).cast("string"), lit(".com"),
+            when(pmod(col("doc_id"), lit(3L)) === 0L, lit("/casino/x"))
+              .otherwise(concat(lit("/p"),
+                pmod(col("doc_id"), lit(11L)).cast("string")))))
+            .otherwise(lit(""))).as("text"))
+        Curation.urlBlocklistGate(aug, "doc_id", "text",
+            blockedDomains = Seq("dom1.com", "dom4.com", "dom7.com"),
+            badPathWords = Seq("casino"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' visit https://www.dom'
+        |    || CAST(doc_id % 23 AS VARCHAR) || '.com' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/casino/x'
+        |      ELSE '/p' || CAST(doc_id % 11 AS VARCHAR) END
+        |  ELSE '' END AS t FROM documents),
+        |bl(bdom) AS (VALUES ('dom1.com'), ('dom4.com'), ('dom7.com')),
+        |u AS (SELECT doc_id,
+        |  nullif(regexp_extract(t, 'https?://[^\s]+', 0), '') AS url FROM aug),
+        |x AS (SELECT doc_id, url,
+        |  regexp_replace(lower(regexp_extract(url, 'https?://([^/\s]+)', 1)),
+        |    '^www\.', '') AS domain,
+        |  nullif(regexp_extract(url, 'https?://[^/\s]+(/[^\s]*)', 1), '') AS path
+        |  FROM u)
+        |SELECT doc_id, CASE WHEN url IS NOT NULL THEN domain END AS domain,
+        |  COALESCE(bl.bdom IS NOT NULL, FALSE) AS blocked_domain,
+        |  COALESCE(contains(path, 'casino'), FALSE) AS blocked_path,
+        |  NOT COALESCE(bl.bdom IS NOT NULL, FALSE)
+        |    AND NOT COALESCE(contains(path, 'casino'), FALSE) AS keep
+        |FROM x LEFT JOIN bl ON bl.bdom = x.domain
+        |ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -884,6 +884,47 @@ object Curation {
             * col("n_bigrams").cast("decimal(38,0)")).as("low_familiarity"))
   }
 
+  /** URL/DOMAIN BLOCKLIST gate (the RefinedWeb/UT1 filtering stage:
+    * Penedo et al. 2023 §3.1 drop documents whose source URL hits a
+    * curated domain blocklist or whose path carries flagged words).
+    * Extracts the document's first URL, normalizes the domain
+    * (lowercase, `www.` stripped), probes the blocklist by equi join,
+    * and scans the path for flagged words; a doc with no URL passes.
+    *
+    * The blocklist side BROADCASTS — UT1 is a few million domains, well
+    * inside broadcast range at one string per row (were it larger, a
+    * bloom-filter pre-probe like `j_bloom_prune`'s would gate the join).
+    * All extraction is `regexp_extract` on RE2-safe patterns that run
+    * verbatim in external engines; empty matches normalize to NULL so
+    * both engines agree on "no URL".
+    *
+    * Output: (idCol, domain, blocked_domain, blocked_path, keep).
+    */
+  def urlBlocklistGate(df: DataFrame, idCol: String, textCol: String,
+                       blockedDomains: Seq[String],
+                       badPathWords: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = blockedDomains.toDF("domain").withColumn("__blocked", lit(true))
+    val withUrl = df
+      .withColumn("url",
+        nullif(regexp_extract(col(textCol), "https?://[^\\s]+", 0), lit("")))
+      .withColumn("domain", regexp_replace(
+        lower(regexp_extract(col("url"), "https?://([^/\\s]+)", 1)),
+        "^www\\.", ""))
+      .withColumn("path",
+        nullif(regexp_extract(col("url"), "https?://[^/\\s]+(/[^\\s]*)", 1),
+          lit("")))
+    withUrl
+      .join(broadcast(bl), Seq("domain"), "left")
+      .select(col(idCol),
+        when(col("url").isNotNull, col("domain")).as("domain"),
+        coalesce(col("__blocked"), lit(false)).as("blocked_domain"),
+        coalesce(badPathWords.map(w => col("path").contains(w))
+          .reduce(_ || _), lit(false)).as("blocked_path"))
+      .withColumn("keep", !col("blocked_domain") && !col("blocked_path"))
+  }
+
   /** UniMax budget-capped allocation (Chung et al. 2023: cap each
     * language's share of the training budget instead of temperature
     * sampling — low-resource languages keep all their tokens, high-

@@ -968,6 +968,27 @@ class OpsSpec extends SparkSpec {
     assert(pt == Set("apple", "banana")) // cherry df=1 loses; dd too short
   }
 
+  test("urlBlocklistGate: domain normalization, path words, no-URL pass-through") {
+    val docs = Seq(
+      (1L, "plain text, no url"),
+      (2L, "see https://WWW.Bad.com/home now"),   // blocked domain (www+case)
+      (3L, "see https://ok.org/casino/slots"),    // flagged path word
+      (4L, "see http://fine.net/page"),           // clean
+      (5L, "see https://bad.com")                 // blocked, no path at all
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.urlBlocklistGate(docs, "doc_id", "text",
+        Seq("bad.com"), Seq("casino"))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"),
+        r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "-", false, false, true),
+      (2L, "bad.com", true, false, false),
+      (3L, "ok.org", false, true, false),
+      (4L, "fine.net", false, false, true),
+      (5L, "bad.com", true, false, false)))
+  }
+
   test("unimaxAllocation: integer water-filling matches hand computation in all regimes") {
     val counts = Seq(("en", 100L), ("fr", 50L), ("de", 10L)).toDF("lang", "n")
     def run(budget: Long) = graft.ops.Curation
