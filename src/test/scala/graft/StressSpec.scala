@@ -78,6 +78,24 @@ class StressSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("connectedComponents collapses a 100k-node path graph (diameter = n)") {
+    // the adversarial case the star-contraction rounds exist for:
+    // boilerplate dup CHAINS where a–b–c–… links one component across
+    // the whole corpus. Naive min-propagation needs `diameter` rounds
+    // (100k here — fatal); alternating large/small star must converge
+    // in O(log² n) and label every node with the chain's minimum.
+    val n = 100000L
+    val pairs = spark.range(n - 1).select(
+      col("id").as("a"), (col("id") + 1L).as("b"))
+    val cc = graft.ops.Dedup.connectedComponents(pairs, "a", "b", maxIter = 30)
+    val agg = cc.agg(count(lit(1)), countDistinct(col("component")),
+      max(col("component")), count(when(col("component") =!= 0L, 1))).head
+    assert(agg.getLong(0) == n, "every chain node labeled")
+    assert(agg.getLong(1) == 1L, "one component")
+    assert(agg.getLong(2) == 0L && agg.getLong(3) == 0L,
+      "every label is the chain minimum")
+  }
+
   test("substringDupSpans sustains the 4x-replicated corpus") {
     // 4x replication makes every identical-copy pair share its FULL
     // token run: each of the 5000 eligible docs contributes C(4,2)=6
