@@ -4007,7 +4007,59 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  NOT COALESCE(bl.bdom IS NOT NULL, FALSE)
         |    AND NOT COALESCE(contains(path, 'casino'), FALSE) AS keep
         |FROM x LEFT JOIN bl ON bl.bdom = x.domain
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // L71 — HYPERLOGLOG distinct-count sketch (Flajolet 2007): 16
+    // max-of-rank registers per event_type as a bounded-state
+    // partial-merge aggregate over the public 60-bit md5 hash — bucket
+    // = top 4 bits, rank = leading zeros of the remaining 56 + 1. The
+    // oracle rebuilds every register (57 − bitlength via printf('%b')),
+    // the scaled inverse-power sum, and the raw α·m²·2⁵⁷/S estimate
+    // bit-for-bit; exact COUNT(DISTINCT) rides along for calibration.
+    Q("sketch_hll_distinct",
+      (s, dir) => {
+        val hll = udaf(new graft.expr.HllSketchAgg(4))
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("hv"), col("user_id"))
+          .groupBy(col("event_type"))
+          .agg(hll(col("hv")).as("h"),
+            countDistinct(col("user_id")).as("exact_distinct"))
+          .select(col("event_type"), col("h.regs").as("regs"),
+            col("h.s_scaled").as("s_scaled"), col("h.n_zero").as("n_zero"),
+            ((lit(0.673) * lit(256.0)) * lit(1.44115188075855872e17)
+              / col("h.s_scaled").cast("double")).as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |bk AS (SELECT event_type, hv >> 56 AS bucket,
+        |    hv & 72057594037927935 AS w FROM h),
+        |r AS (SELECT event_type, bucket,
+        |    MAX(CASE WHEN w = 0 THEN 57
+        |      ELSE 57 - length(printf('%b', w)) END) AS reg
+        |  FROM bk GROUP BY 1, 2),
+        |et AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT et.event_type, gs.bucket FROM et
+        |  CROSS JOIN (SELECT unnest(range(16)) AS bucket) gs),
+        |fl AS (SELECT g.event_type, g.bucket,
+        |    CAST(COALESCE(r.reg, 0) AS BIGINT) AS reg
+        |  FROM grid g LEFT JOIN r ON r.event_type = g.event_type
+        |    AND r.bucket = g.bucket),
+        |a AS (SELECT event_type, list(reg ORDER BY bucket) AS regs,
+        |    CAST(SUM(1::BIGINT << (57 - reg)) AS BIGINT) AS s_scaled,
+        |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM fl GROUP BY 1),
+        |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS exact_distinct FROM events GROUP BY 1)
+        |SELECT a.event_type, a.regs, a.s_scaled, a.n_zero,
+        |  (0.673 * 256.0) * 144115188075855872.0
+        |    / CAST(a.s_scaled AS DOUBLE) AS est_distinct,
+        |  x.exact_distinct
+        |FROM a JOIN x USING (event_type) ORDER BY event_type""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

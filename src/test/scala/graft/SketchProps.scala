@@ -71,4 +71,40 @@ object SketchProps extends Properties("SpaceSavingAgg") {
       val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
       got.forall(e => e.est >= exact.getOrElse(e.key, 0L))
     }
+
+  // ---- HyperLogLog laws (graft.expr.HllSketchAgg) ----
+
+  private def md5Top60(x: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+
+  private val genIds: Gen[List[Int]] =
+    Gen.listOfN(400, Gen.choose(0, 999))
+
+  property("HLL: any partitioning/order yields the identical summary") =
+    Prop.forAll(genIds, genCuts) { (ids, cuts) =>
+      val agg = new graft.expr.HllSketchAgg(4)
+      val hs = ids.map(i => md5Top60(i.toString))
+      val whole = agg.finish(hs.foldLeft(agg.zero)(agg.reduce))
+      val parts = split(hs.map(_.toString), cuts)
+        .map(_.map(_.toLong).foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(parts.foldLeft(agg.zero)(agg.merge))
+      val shuffled = agg.finish(hs.reverse.foldLeft(agg.zero)(agg.reduce))
+      merged == whole && shuffled == whole
+    }
+
+  property("HLL: duplicate insertion is idempotent; raw estimate is in range") =
+    Prop.forAll(genIds) { ids =>
+      val agg = new graft.expr.HllSketchAgg(4)
+      val hs = ids.map(i => md5Top60(i.toString))
+      val once = agg.finish(hs.foldLeft(agg.zero)(agg.reduce))
+      val twice = agg.finish((hs ++ hs).foldLeft(agg.zero)(agg.reduce))
+      val distinct = hs.distinct.size
+      val est = 0.673 * 256.0 * 1.44115188075855872e17 / once.s_scaled.toDouble
+      // raw HLL error is ~1.04/sqrt(16) ≈ 26% — allow 4 sigma plus the
+      // small-range bias (the raw estimator undershoots tiny counts)
+      (twice == once) && (distinct == 0 || est <= distinct * 3.0 + 3.0)
+    }
 }
