@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Curation, Dedup, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, EventAnalytics, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator from SURVEY §2, each with a DuckDB-equivalent `oracleSql`.
@@ -4059,7 +4059,103 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  (0.673 * 256.0) * 144115188075855872.0
         |    / CAST(a.s_scaled AS DOUBLE) AS est_distinct,
         |  x.exact_distinct
-        |FROM a JOIN x USING (event_type) ORDER BY event_type""".stripMargin))
+        |FROM a JOIN x USING (event_type) ORDER BY event_type""".stripMargin)),
+
+    // L72 — ORDERED FUNNEL (signup → view → click → purchase): per user
+    // the earliest completion time of each step STRICTLY AFTER the
+    // previous step's; a missing step nulls the suffix. Chained keyed
+    // aggregates — k equi joins on user_id, no per-user sort.
+    Q("e_funnel",
+      (s, dir) => EventAnalytics.funnel(
+          Tables.eventIntervals(s, dir)
+            .select(col("user_id"), col("event_type"), col("s_us").as("tus")),
+          "user_id", "event_type", "tus",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("user_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |    MIN(CASE WHEN e.tus > s1.t1 THEN e.tus END) AS t2
+        |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'view' GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |    MIN(CASE WHEN e.tus > s2.t2 THEN e.tus END) AS t3
+        |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |    AND e.event_type = 'click' GROUP BY 1, 2, 3),
+        |s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3,
+        |    MIN(CASE WHEN e.tus > s3.t3 THEN e.tus END) AS t4
+        |  FROM s3 LEFT JOIN e ON e.user_id = s3.user_id
+        |    AND e.event_type = 'purchase' GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, t1, t2, t3, t4,
+        |  CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_reached
+        |FROM s4 ORDER BY user_id""".stripMargin)),
+
+    // L73 — COHORT RETENTION: cohort = first-activity week; one row per
+    // (cohort, offset) counting distinct users still active. The
+    // (user, week) distinct collapse runs before the join, so join
+    // input is users × weeks, not raw events.
+    Q("e_retention",
+      (s, dir) => EventAnalytics.retention(
+          Tables.eventIntervals(s, dir)
+            .select(col("user_id"), col("s_us").as("tus")),
+          "user_id", "tus", bucketUs = 604800000000L)
+        .orderBy(col("cohort_w"), col("week_offset")),
+      Some(s"""WITH $evPointsSqlCte,
+        |w AS (SELECT DISTINCT user_id, tus // 604800000000 AS w FROM e),
+        |c AS (SELECT user_id, MIN(w) AS cohort_w FROM w GROUP BY 1)
+        |SELECT c.cohort_w, w.w - c.cohort_w AS week_offset,
+        |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // L74 — PIVOT (long → wide): per-source token totals spread across
+    // the five language columns — Spark's RelationalGroupedDataset
+    // .pivot with explicit values (fixed schema: at scale you always
+    // pin the pivot values; inferring them is an extra pass).
+    Q("t_pivot_matrix",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).as("nt"))
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum(col("nt")))
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS BIGINT) AS nt FROM documents)
+        |SELECT source,
+        |  SUM(CASE WHEN lang = 'de' THEN nt END) AS de,
+        |  SUM(CASE WHEN lang = 'en' THEN nt END) AS en,
+        |  SUM(CASE WHEN lang = 'es' THEN nt END) AS es,
+        |  SUM(CASE WHEN lang = 'fr' THEN nt END) AS fr,
+        |  SUM(CASE WHEN lang = 'zh' THEN nt END) AS zh
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // L75 — CUBE / GROUPING SETS: event counts and cent totals at every
+    // (event_type × week) granularity in one pass, grouping_id
+    // disambiguating the rollup level (2·g(type) + g(week) — both
+    // engines put the first cube column in the high bit).
+    Q("a_cube",
+      (s, dir) => Tables.eventIntervals(s, dir)
+        .select(col("event_type"), expr("s_us div 604800000000L").as("w"),
+          col("cents"))
+        .cube(col("event_type"), col("w"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("cents")).as("cents_sum"))
+        .orderBy(col("gid"), coalesce(col("event_type"), lit("")),
+          coalesce(col("w"), lit(-1L))),
+      Some(s"""WITH $evPointsSqlCte,
+        |b AS (SELECT event_type, tus // 604800000000 AS w, cents FROM e)
+        |SELECT event_type, w,
+        |  CAST(2 * GROUPING(event_type) + GROUPING(w) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM b GROUP BY CUBE(event_type, w)
+        |ORDER BY gid, COALESCE(event_type, ''), COALESCE(w, -1)""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

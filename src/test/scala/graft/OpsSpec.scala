@@ -968,6 +968,42 @@ class OpsSpec extends SparkSpec {
     assert(pt == Set("apple", "banana")) // cherry df=1 loses; dd too short
   }
 
+  test("funnel: strictly-after ordering, null suffix propagation") {
+    val ev = Seq(
+      // user 1 completes in order: signup@10, view@20, click@30
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      // user 2's view PRECEDES signup — funnel stops at signup
+      (2L, "view", 5L), (2L, "signup", 10L), (2L, "click", 20L),
+      // user 3 never signed up — no funnel row at all
+      (3L, "view", 1L),
+      // user 4: two views, the one after signup counts
+      (4L, "view", 1L), (4L, "signup", 2L), (4L, "view", 9L)
+    ).toDF("user_id", "event_type", "tus")
+    val got = graft.ops.EventAnalytics.funnel(ev, "user_id", "event_type",
+        "tus", Seq("signup", "view", "click"))
+      .orderBy($"user_id").collect()
+      .map(r => (r.getLong(0),
+        (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, Seq(10L, 20L, 30L), 3L),
+      (2L, Seq(10L, -1L, -1L), 1L), // click@20 unreachable: view missing
+      (4L, Seq(2L, 9L, -1L), 2L)))
+  }
+
+  test("retention: cohort = first bucket, offsets count distinct users") {
+    val ev = Seq(
+      (1L, 0L), (1L, 25L),            // cohort 0, active offsets 0 and 2
+      (2L, 5L), (2L, 15L), (2L, 15L), // cohort 0, offsets 0 and 1 (dup row)
+      (3L, 12L)                       // cohort 1, offset 0
+    ).toDF("user_id", "tus")
+    val got = graft.ops.EventAnalytics.retention(ev, "user_id", "tus", 10L)
+      .orderBy($"cohort_w", $"week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
   test("urlBlocklistGate: domain normalization, path words, no-URL pass-through") {
     val docs = Seq(
       (1L, "plain text, no url"),
