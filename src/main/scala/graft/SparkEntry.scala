@@ -4155,7 +4155,32 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST(2 * GROUPING(event_type) + GROUPING(w) AS BIGINT) AS gid,
         |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents_sum
         |FROM b GROUP BY CUBE(event_type, w)
-        |ORDER BY gid, COALESCE(event_type, ''), COALESCE(w, -1)""".stripMargin))
+        |ORDER BY gid, COALESCE(event_type, ''), COALESCE(w, -1)""".stripMargin)),
+
+    // L76 — EVENT TRANSITION MATRIX (next-event Markov counts, the
+    // product-analytics complement of e_funnel): per user order events
+    // by (time, event_id) and count consecutive type→next pairs — one
+    // shuffle on the user key, the lead window runs per partition.
+    Q("e_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("s_us"), col("event_id"))
+        Tables.eventIntervals(s, dir)
+          .select(col("user_id"), col("event_id"), col("s_us"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |nx AS (SELECT event_type, lead(event_type, 1) OVER
+        |    (PARTITION BY user_id ORDER BY tus, event_id) AS next_type
+        |  FROM e)
+        |SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM nx WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
