@@ -4180,7 +4180,37 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  FROM e)
         |SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM nx WHERE next_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // L77 — σ-THRESHOLD ANOMALY GATE: flag events whose cents deviate
+    // from their type's mean by more than 1.5 population σ, with the
+    // z-test cleared of divisions/sqrt by cross-multiplication in
+    // decimal(38,0)/HUGEINT — bit-exact cross-engine (the double
+    // z-score is not: Σx² accumulation order changes the low bits).
+    // One stats shuffle, then a broadcast probe + map-side flag.
+    Q("e_sigma_outliers",
+      (s, dir) => EventAnalytics.sigmaOutliers(
+          evPoints(s, dir)
+            .select(col("event_id"), col("event_type"), col("cents")),
+          "event_type", "cents", num = 3, den = 2)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("is_outlier"), col("dev_sign"))
+        .orderBy(col("event_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS HUGEINT) AS s,
+        |    SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |  4 * (CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s)
+        |    * (CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s)
+        |    > 9 * (CAST(st.n AS HUGEINT) * st.q - st.s * st.s) AS is_outlier,
+        |  CAST(CASE
+        |    WHEN CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s > 0 THEN 1
+        |    WHEN CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s < 0 THEN -1
+        |    ELSE 0 END AS BIGINT) AS dev_sign
+        |FROM e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -66,4 +66,44 @@ object EventAnalytics {
       .groupBy(col("cohort_w"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** σ-THRESHOLD OUTLIERS, integer-exact: flag rows whose integer value
+    * deviates from its group mean by more than `num/den` population
+    * standard deviations. The z-test is cleared of every division and
+    * square root by cross-multiplication:
+    *
+    *   |x − S/n| > (num/den)·σ,  σ² = (n·Q − S²)/n²
+    *     ⟺  den²·(n·x − S)²  >  num²·(n·Q − S²)
+    *
+    * with S = Σx and Q = Σx² per group — both sides are integers, so
+    * the flag is bit-identical in any engine (the classic z-score in
+    * doubles is NOT: Σx² accumulation order changes the low bits).
+    * Arithmetic runs in decimal(38,0) (HUGEINT in the SQL mirror):
+    * at corpus scale n·x can reach 10^16 and its square 10^32 —
+    * far past int64, comfortably inside 38 digits.
+    *
+    * Shape: one hash aggregate builds the |groups|-row stats table,
+    * which BROADCASTS back onto the stream — the flag itself is a
+    * map-side expression, so the whole operator is one shuffle (the
+    * stats agg) no matter how many rows are scored.
+    */
+  def sigmaOutliers(events: DataFrame, grpCol: String, valCol: String,
+                    num: Int, den: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    // q accumulates in decimal: Σx² crosses int64 once n·x² > 2^63
+    // (n = 10^12 rows of x = 10^4 is 10^20) — long sum would wrap.
+    val stats = events.groupBy(col(grpCol)).agg(
+      count(lit(1)).as("n"), sum(col(valCol)).as("s"),
+      sum((col(valCol) * col(valCol)).cast(d38)).as("q"))
+    val dev = (col("n").cast(d38) * col(valCol).cast(d38)
+      - col("s").cast(d38))
+    val lhs = lit(den * den).cast(d38) * dev * dev
+    val rhs = lit(num * num).cast(d38) *
+      (col("n").cast(d38) * col("q").cast(d38)
+        - col("s").cast(d38) * col("s").cast(d38))
+    events.join(broadcast(stats), Seq(grpCol))
+      .withColumn("is_outlier", lhs > rhs)
+      .withColumn("dev_sign",
+        when(dev > 0, 1L).when(dev < 0, -1L).otherwise(0L))
+  }
 }

@@ -1080,4 +1080,19 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, 1L, 2L, m("x y")),
       (3L, 1L, 0L, 2L, m("p q"))))
   }
+
+  test("sigmaOutliers flags exactly the rows past num/den population sigmas") {
+    // group a: [0,0,0,0,100] -> mean 20, sigma^2 = (5*10000-100^2)/25 = 1600,
+    // sigma 40; z(100) = 2 > 3/2 -> outlier; z(0) = -0.5 -> kept.
+    // group c: constant -> sigma 0, dev 0 -> never an outlier, dev_sign 0.
+    val df = (Seq.fill(4)(("a", 0L)) ++ Seq(("a", 100L), ("c", 7L), ("c", 7L)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val got = graft.ops.EventAnalytics.sigmaOutliers(df, "g", "v", num = 3, den = 2)
+      .select($"id", $"is_outlier", $"dev_sign").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, false, -1L), (1L, false, -1L), (2L, false, -1L), (3L, false, -1L),
+      (4L, true, 1L), (5L, false, 0L), (6L, false, 0L)))
+  }
 }
