@@ -4210,7 +4210,42 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    WHEN CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s < 0 THEN -1
         |    ELSE 0 END AS BIGINT) AS dev_sign
         |FROM e JOIN st USING (event_type)
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // L78 — SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1995): docs
+    // sort by their 16-char normalized prefix inside 2-char blocks,
+    // each row meets only its 3 successors — O(n·w) candidates by
+    // construction regardless of data skew (contrast LSH's
+    // data-dependent buckets) — then exact Jaccard verify. One block
+    // shuffle, partition-local sort + lead, no global sort.
+    Q("dedup_snm",
+      (s, dir) => Dedup.sortedNeighborhoodPairs(
+          Tables.documents(s, dir),
+          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          "doc_id", "text", keyChars = 16, blockChars = 2, window = 4,
+          minJaccard = 0.8)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH $shingleSqlCte,
+        |kb AS (SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16) AS snm_key,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 2) AS snm_blk
+        |  FROM documents),
+        |ld AS (SELECT doc_id, lead(doc_id, 1) OVER w AS l1,
+        |    lead(doc_id, 2) OVER w AS l2, lead(doc_id, 3) OVER w AS l3
+        |  FROM kb WINDOW w AS (PARTITION BY snm_blk ORDER BY snm_key, doc_id)),
+        |cand AS (SELECT DISTINCT least(doc_id, l) AS a, greatest(doc_id, l) AS b
+        |  FROM (SELECT doc_id, unnest([l1, l2, l3]) AS l FROM ld) t
+        |  WHERE l IS NOT NULL),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |j AS (SELECT co.a, co.b, co.common,
+        |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
+        |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
+        |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

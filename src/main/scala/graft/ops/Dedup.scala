@@ -52,6 +52,51 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("jaccard"))
   }
 
+  /** SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1995, the
+    * merge/purge method): sort by a cheap normalized blocking key and
+    * compare each row only to its `window−1` successors in key order —
+    * candidate volume is O(n·window) BY CONSTRUCTION, independent of
+    * the data distribution (LSH's bucket volume is data-dependent; a
+    * degenerate corpus can still flood a bucket). Near-dup texts agree
+    * on their normalized prefix, so they sort adjacent and land in one
+    * window.
+    *
+    * Scale shape: one hash shuffle on the first `blockChars` normalized
+    * characters (the block); the sort and the `lead`s run inside each
+    * block partition — no global sort is ever materialized (classic
+    * single-pass SNM needs one; blocking on the key prefix is the
+    * standard blocked/multi-pass variant and keeps every comparison
+    * partition-local). Pairs differing inside their first `blockChars`
+    * chars are out of a single pass's reach by design — the paper's
+    * remedy is a second pass under a different key, union the pairs.
+    * Candidates then verify with exact Jaccard over ALL shingles
+    * ([[jaccardVerify]]), so emitted pairs carry true similarity.
+    *
+    * Output: (a, b, common, jaccard), a < b.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, sd: DataFrame,
+                              idCol: String, textCol: String,
+                              keyChars: Int, blockChars: Int, window: Int,
+                              minJaccard: Double): DataFrame = {
+    require(window >= 2 && blockChars <= keyChars,
+      "need window >= 2 and blockChars <= keyChars")
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val keyed = docs.select(col(idCol),
+      substring(norm, 1, keyChars).as("snm_key"),
+      substring(norm, 1, blockChars).as("snm_blk"))
+    val w = Window.partitionBy(col("snm_blk"))
+      .orderBy(col("snm_key"), col(idCol))
+    val leads = (1 until window).map(k => lead(col(idCol), k).over(w))
+    val cand = keyed
+      .select(col(idCol).as("a0"), array(leads: _*).as("ls"))
+      .select(col("a0"), explode(col("ls")).as("b0"))
+      .filter(col("b0").isNotNull)
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
+      .distinct()
+    jaccardVerify(cand, sd, idCol, minJaccard)
+  }
+
   /** Exhaustive n-gram Jaccard dedup with a hot-shingle frequency cap.
     *
     * `maxShingleDocFreq` bounds the quadratic term: a shingle shared by k
