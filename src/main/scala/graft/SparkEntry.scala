@@ -4245,7 +4245,46 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |j AS (SELECT co.a, co.b, co.common,
         |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
         |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
-        |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin))
+        |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin)),
+
+    // L79 — SEQUENCE PACKING (next-fit): docs laid end-to-end into
+    // 1024-token context windows, 8 independent per-shard sequential
+    // packs via the secondary-sort pattern (repartition on shard +
+    // spill-friendly sortWithinPartitions + one mapPartitions pass
+    // holding three longs of state) — no shard ever needs to fit in
+    // memory. The oracle replays the same fold as a recursive CTE
+    // advancing all shards one position per step.
+    Q("c_pack_nextfit",
+      (s, dir) => Curation.packNextFit(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt")),
+          "doc_id", "nt", nShards = 8, budget = 1024L)
+        .withColumnRenamed("len", "nt")
+        .orderBy(col("shard"), col("pos")),
+      Some(s"""WITH RECURSIVE $toksSqlCte,
+        |o AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM d),
+        |q AS (SELECT doc_id, len, h, h % 8 AS shard,
+        |    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |      AS BIGINT) AS pos
+        |  FROM o),
+        |p AS (
+        |  SELECT doc_id, shard, pos, CAST(0 AS BIGINT) AS bin,
+        |    CAST(0 AS BIGINT) AS off, len, len AS used
+        |  FROM q WHERE pos = 1
+        |  UNION ALL
+        |  SELECT q.doc_id, q.shard, q.pos,
+        |    CASE WHEN p.used > 0 AND p.used + q.len > 1024
+        |      THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.used > 0 AND p.used + q.len > 1024
+        |      THEN CAST(0 AS BIGINT) ELSE p.used END,
+        |    q.len,
+        |    CASE WHEN p.used > 0 AND p.used + q.len > 1024
+        |      THEN q.len ELSE p.used + q.len END
+        |  FROM p JOIN q ON q.shard = p.shard AND q.pos = p.pos + 1)
+        |SELECT doc_id, shard, pos, bin, off, len AS nt
+        |FROM p ORDER BY shard, pos""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -564,6 +564,56 @@ object Curation {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** SEQUENCE PACKING, next-fit: lay documents end-to-end into
+    * fixed-budget context windows ("bins"), the step between a curated
+    * corpus and a training batch — padding waste is the fraction of
+    * each window left empty, and next-fit (close the bin the moment a
+    * doc doesn't fit) is the standard streaming packer: one pass, no
+    * lookahead, deterministic.
+    *
+    * Packing is inherently sequential, so the parallelism unit is the
+    * SHARD ([[shardAssign]]'s hash-random assignment + (h, id) order
+    * reused verbatim): nShards independent sequential packs. The
+    * implementation is the secondary-sort pattern, not a grouped
+    * collect — `repartition(shard)` hash-routes each shard to exactly
+    * one partition, `sortWithinPartitions(shard, h, id)` is a
+    * spill-friendly external sort, and one `mapPartitions` pass keeps
+    * THREE longs of running state (bin, used, pos), resetting at shard
+    * boundaries — a shard never needs to fit in memory, which is what
+    * lets a 100 TB corpus pack with executor-sized heaps.
+    *
+    * A doc longer than the budget closes the current bin (if open) and
+    * occupies one alone — emitted, not dropped, with `off = 0` and
+    * `len > budget` visible to the caller's truncation policy.
+    *
+    * Output: (id, shard, pos, bin, off, len) — `bin` numbers from 0
+    * per shard, `off` is the doc's start offset inside its bin.
+    */
+  def packNextFit(df: DataFrame, idCol: String, lenCol: String,
+                  nShards: Int, budget: Long): DataFrame = {
+    require(nShards >= 1 && budget >= 1, "need nShards >= 1 and budget >= 1")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(pmod(h, lit(nShards.toLong)).as("shard"), h.as("h"),
+        col(idCol).cast("long").as("id"), col(lenCol).cast("long").as("len"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var shard = -1L; var bin = 0L; var used = 0L; var pos = 0L
+        it.map { case (sh, _, id, len) =>
+          if (sh != shard) { shard = sh; bin = 0L; used = 0L; pos = 0L }
+          if (used > 0 && used + len > budget) { bin += 1; used = 0L }
+          val off = used
+          used += len; pos += 1
+          (id, sh, pos, bin, off, len)
+        }
+      }
+      .toDF(idCol, "shard", "pos", "bin", "off", "len")
+  }
+
   /** CORPUS SNAPSHOT DIFF — the incremental-ingest delta: classify
     * every doc id across two snapshots as added / removed / changed /
     * unchanged by comparing content fingerprints (md5 of the text, so

@@ -1100,6 +1100,31 @@ class OpsSpec extends SparkSpec {
     // is out of scope — assert the single-pass contract instead.
   }
 
+  test("packNextFit: bins respect the budget, offsets are contiguous, oversize isolated") {
+    // lens 1..29 plus one oversize 25 (> budget 10); 2 shards
+    val docs = ((1L to 29L).map(i => (i, (i % 9) + 1L)) :+ (30L, 25L))
+      .toDF("doc_id", "nt")
+    val got = graft.ops.Curation.packNextFit(docs, "doc_id", "nt", 2, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 30)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (1L to rows.length).toSeq) // pos dense
+      // replay the fold over the emitted order: bin/off must match exactly
+      var bin = 0L; var used = 0L
+      byPos.foreach { case (_, _, _, b, off, len) =>
+        if (used > 0 && used + len > 10L) { bin += 1; used = 0L }
+        assert(b == bin && off == used)
+        used += len
+      }
+      // oversize docs sit alone at off 0; all others fit the budget
+      byPos.foreach { case (_, _, _, _, off, len) =>
+        if (len > 10L) assert(off == 0L) else assert(off + len <= 10L)
+      }
+    }
+  }
+
   test("sigmaOutliers flags exactly the rows past num/den population sigmas") {
     // group a: [0,0,0,0,100] -> mean 20, sigma^2 = (5*10000-100^2)/25 = 1600,
     // sigma 40; z(100) = 2 > 3/2 -> outlier; z(0) = -0.5 -> kept.
