@@ -258,6 +258,26 @@ class PlanSpec extends SparkSpec {
     assert(!hn.contains("SortMergeJoin"))
   }
 
+  test("L77-L79 additions keep their intended plan shapes") {
+    // sigma outliers: the |groups|-row stats table broadcasts back onto
+    // the event stream — the flag is map-side, the stats agg is the
+    // only wide stage
+    val so = plan("e_sigma_outliers")
+    assert(so.contains("BroadcastHashJoin"), "stats table should broadcast")
+    assert(!so.contains("SortMergeJoin"), "the probe must not sort-merge")
+    // SNM: the neighborhood window is PARTITIONED by the block — a
+    // degenerate single-partition global-sort window would serialize
+    // the whole corpus through one task
+    val snm = plan("dedup_snm")
+    assert(snm.contains("hashpartitioning(snm_blk"),
+      "SNM window must partition by the block key, not sort globally")
+    // next-fit packing: one hash shuffle on the shard, then the
+    // partition-local external sort the fold runs over
+    val pk = plan("c_pack_nextfit")
+    assert(pk.contains("hashpartitioning(shard"),
+      "packing must route whole shards, not range-partition")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
