@@ -4284,7 +4284,62 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |      THEN q.len ELSE p.used + q.len END
         |  FROM p JOIN q ON q.shard = p.shard AND q.pos = p.pos + 1)
         |SELECT doc_id, shard, pos, bin, off, len AS nt
-        |FROM p ORDER BY shard, pos""".stripMargin))
+        |FROM p ORDER BY shard, pos""".stripMargin)),
+
+    // L80 — RENDEZVOUS (HRW) SHARDING: shard = argmax over s of
+    // md5(id|s) — scaling k→k+1 moves docs only TO the new shard
+    // (~1/(k+1) of the layout), never between old ones; entirely
+    // map-side (transform + array_max over (h, shard) structs), no
+    // shuffle, assignment a pure function of (id, k).
+    Q("c_rendezvous_shard",
+      (s, dir) => Curation.rendezvousAssign(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH u AS (SELECT unnest(range(8)) AS s),
+        |sc AS (SELECT doc_id, u.s AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+        |      || CAST(u.s AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents, u),
+        |r AS (SELECT doc_id, shard, h,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard DESC) AS rn
+        |  FROM sc)
+        |SELECT doc_id, shard, h FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // L81 — CALIBRATED QUALITY GATE: keep each source's top 30% by the
+    // integer stopword-density score — per-source calibration so one
+    // global threshold can't empty a systematically-lower-scoring
+    // source. Exact-rank reference semantics; the 100 TB path swaps
+    // the per-source window for an L45-sketch threshold broadcast.
+    Q("c_quality_calibrated",
+      (s, dir) => {
+        val t = TextOps.tokens(col("text"))
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(t).cast("long").as("nt"),
+            TextOps.stopwordHits(t, TextOps.langMarkers.head._2).as("hits"))
+          .withColumn("score", expr(
+            "CASE WHEN nt = 0 THEN 0L ELSE (hits * 1000000L) div nt END"))
+        Curation.calibratedQualityGate(scored, "doc_id", "source", "score",
+            keepNum = 3, keepDen = 10)
+          .withColumnRenamed("rank", "q_rank")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s0 AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source, CAST(CASE WHEN len(toks) = 0 THEN 0
+        |    ELSE (CAST(len(list_filter(toks,
+        |        t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT)
+        |      * 1000000) // CAST(len(toks) AS BIGINT) END AS BIGINT) AS score
+        |  FROM s0),
+        |r AS (SELECT doc_id, source, score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS q_rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM sc)
+        |SELECT doc_id, source, score, q_rank, n,
+        |  q_rank * 10 <= 3 * n AS keep
+        |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

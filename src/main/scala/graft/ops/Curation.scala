@@ -564,6 +564,64 @@ object Curation {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** RENDEZVOUS (highest-random-weight) SHARDING — Thaler & Ravishankar
+    * 1998, the consistent-hashing variant with zero ring state: a doc's
+    * shard is `argmax over s of hash(id, s)`. The property that makes
+    * it an operator worth owning: when the shard count grows k→k+1,
+    * a doc either keeps its shard or moves to the NEW shard — never
+    * between old shards — so scaling a 100 TB corpus from k to k+1
+    * writers invalidates ~1/(k+1) of the layout instead of all of it
+    * (mod-hashing reshuffles nearly everything; [[shardAssign]] is the
+    * static-layout tool, this is the elastic one).
+    *
+    * Entirely map-side: the k candidate scores are one `transform` over
+    * a literal sequence and the argmax an `array_max` on (h, shard)
+    * structs (lexicographic struct order = max h, shard breaking the
+    * measure-zero md5 ties) — no shuffle, no state, assignment a pure
+    * function of (id, k). Output: (id, shard, h).
+    */
+  def rendezvousAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val scored = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(
+        conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
+          s.cast("string"))), 1, 15), 16, 10).cast("long").as("h"),
+        s.cast("long").as("shard")))
+    df.select(col(idCol), array_max(scored).as("best"))
+      .select(col(idCol), col("best.shard").as("shard"), col("best.h").as("h"))
+  }
+
+  /** CALIBRATED QUALITY GATE: keep each group's top `keepNum/keepDen`
+    * fraction by score — per-SOURCE calibration, the fix for the
+    * classic curation failure where one global threshold empties
+    * whichever source scores systematically lower (FineWeb-style
+    * pipelines gate per dump/source for exactly this reason). Rank is
+    * `row_number` over (score DESC, id) — deterministic under ties —
+    * and the keep test `rank·keepDen ≤ keepNum·n` stays in integers.
+    *
+    * Scale note: group cardinality here is tiny (sources/dumps), so
+    * the per-group window is a skew hazard at 100 TB — one source's
+    * rows all sort in one task. The production path at that scale is a
+    * per-source score THRESHOLD from the log-quantile sketch (L45)
+    * broadcast back as a map-side gate; this exact-rank version is the
+    * reference semantics the sketch path approximates (and the oracle
+    * checks exactly).
+    *
+    * Output: (id, grp, score, n, rank, keep).
+    */
+  def calibratedQualityGate(df: DataFrame, idCol: String, grpCol: String,
+                            scoreCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepNum >= 0 && keepDen >= 1, "need a keepNum/keepDen fraction")
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.select(col(idCol), col(grpCol), col(scoreCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col(grpCol))).cast("long"))
+      .withColumn("keep",
+        col("rank") * lit(keepDen.toLong) <= col("n") * lit(keepNum.toLong))
+  }
+
   /** SEQUENCE PACKING, next-fit: lay documents end-to-end into
     * fixed-budget context windows ("bins"), the step between a curated
     * corpus and a training batch — padding waste is the fraction of

@@ -1125,6 +1125,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("rendezvousAssign: k -> k+1 moves docs only TO the new shard") {
+    // The HRW minimal-movement law: growing the shard count never moves
+    // a doc between old shards — its argmax either stands or is beaten
+    // by the new shard's score (old scores are unchanged).
+    val ids = (1L to 300L).toDF("doc_id")
+    def assign(k: Int): Map[Long, Long] =
+      graft.ops.Curation.rendezvousAssign(ids, "doc_id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a4 = assign(4); val a5 = assign(5)
+    (1L to 300L).foreach { id =>
+      assert(a5(id) == a4(id) || a5(id) == 4L,
+        s"doc $id moved between old shards: ${a4(id)} -> ${a5(id)}")
+    }
+    // and the new shard actually takes ~1/5 of the docs (not 0, not all)
+    val moved = (1L to 300L).count(id => a5(id) == 4L && a4(id) != 4L)
+    assert(moved > 20 && moved < 140, s"implausible movement count $moved")
+  }
+
+  test("calibratedQualityGate keeps exactly floor(num/den * n) rows per group") {
+    // group g1: 10 rows scores 1..10 -> keep top 3 (scores 10,9,8);
+    // group g2: 4 rows all score 7 -> keep floor(1.2) = 1, tie broken by id
+    val df = ((1L to 10L).map(i => (i, "g1", i)) ++
+      (11L to 14L).map(i => (i, "g2", 7L))).toDF("id", "g", "score")
+    val got = graft.ops.Curation.calibratedQualityGate(df, "id", "g", "score", 3, 10)
+      .collect().map(r => (r.getLong(0), r.getBoolean(5))).toMap
+    val kept = got.filter(_._2).keySet
+    assert(kept == Set(8L, 9L, 10L, 11L))
+  }
+
   test("sigmaOutliers flags exactly the rows past num/den population sigmas") {
     // group a: [0,0,0,0,100] -> mean 20, sigma^2 = (5*10000-100^2)/25 = 1600,
     // sigma 40; z(100) = 2 > 3/2 -> outlier; z(0) = -0.5 -> kept.
