@@ -4339,7 +4339,73 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  FROM sc)
         |SELECT doc_id, source, score, q_rank, n,
         |  q_rank * 10 <= 3 * n AS keep
-        |FROM r ORDER BY doc_id""".stripMargin))
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // L82 / §2.10 — STREAMING EXACT DEDUP: `dropDuplicates` on the
+    // content fingerprint in append mode — the stateful streaming
+    // operator whose state is the seen-key set (at 100 TB you bound it
+    // with dropDuplicatesWithinWatermark; run-to-completion on a
+    // finite backfill needs no expiry). Emitting ONLY the key column
+    // makes the result a set — order-independent across any file
+    // split, so the batch DISTINCT is an exact oracle.
+    Q("streaming_dedup",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val name = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sd").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_sdsrc")
+        base.repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+        val dd = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .select(md5(col("text")).as("fp"))
+          .dropDuplicates("fp")
+        val q = dd.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(srcDir, java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("fp"))
+      },
+      Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp")),
+
+    // L83 — INVERTED-INDEX HEAD BLOCKS with delta-gap encoding: per
+    // term, document frequency plus the FIRST 32 postings (ascending
+    // doc id) as gaps — the bounded-state head block every
+    // impact-ordered index keeps hot (Lucene's skip-list first tier);
+    // TopKAgg on -doc_id means ≤ 32 pairs per term per map partition
+    // cross the shuffle, never a full posting list (hot terms are
+    // exactly where collect_list would OOM).
+    Q("r_index_head",
+      (s, dir) => {
+        val topk = udaf(new graft.expr.TopKAgg(32))
+        // one row per doc -> per-doc array_distinct IS the (doc, term)
+        // distinct; no extra shuffle needed before the aggregate
+        val posts = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(
+            TextOps.tokens(col("text")))).as("term"))
+        posts.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), topk(-col("doc_id"), col("doc_id")).as("tk"))
+          .filter(col("df") >= 3)
+          .withColumn("heads", transform(col("tk"), x => x.getField("id")))
+          .withColumn("gaps", transform(col("heads"), (x, i) =>
+            when(i === 0, x).otherwise(x - element_at(col("heads"), i))))
+          .select(col("term"), col("df"), col("gaps"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+        |    unnest(list_distinct(list_filter(string_split(text, ' '),
+        |      x -> x != ''))) AS term
+        |  FROM documents),
+        |g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |    (list_sort(list(doc_id)))[1:32] AS heads
+        |  FROM t0 GROUP BY term),
+        |d AS (SELECT term, df,
+        |    list_transform(heads, (x, i) -> CASE WHEN i = 1 THEN x
+        |      ELSE x - heads[i - 1] END) AS gaps
+        |  FROM g WHERE df >= 3)
+        |SELECT term, df, gaps FROM d ORDER BY term""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
