@@ -4405,7 +4405,80 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    list_transform(heads, (x, i) -> CASE WHEN i = 1 THEN x
         |      ELSE x - heads[i - 1] END) AS gaps
         |  FROM g WHERE df >= 3)
-        |SELECT term, df, gaps FROM d ORDER BY term""".stripMargin))
+        |SELECT term, df, gaps FROM d ORDER BY term""".stripMargin)),
+
+    // L84 — TEMPERATURE-SCALED MIXTURE (τ = 2): allocation weights
+    // n^(1/τ) = isqrt(n) flatten the language distribution between
+    // proportional (τ=1, c_mix_weights) and uniform (τ→∞) — the
+    // standard multilingual sampling knob (mT5 §3.1). isqrt is double
+    // sqrt + a ±1 Newton correction, exact for ALL int64 (the naked
+    // floor(sqrt) is only trustworthy below 2^52); the allocation
+    // reuses Hamilton largest-remainder.
+    Q("c_mix_temperature",
+      (s, dir) => {
+        val totals = Tables.documents(s, dir).groupBy(col("lang"))
+          .agg(sum(col("n_chars")).as("n"))
+        val s0 = floor(sqrt(col("n").cast("double"))).cast("long")
+        val s1 = s0 - when(s0 * s0 > col("n"), 1L).otherwise(0L)
+        val isq = s1 + when((s1 + lit(1L)) * (s1 + lit(1L)) <= col("n"), 1L)
+          .otherwise(0L)
+        Curation.allocateBudget(totals.select(col("lang"), isq.as("w")),
+            "lang", "w", budget = 100000L)
+          .withColumnRenamed("tokens", "w")
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |i0 AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM t),
+        |i1 AS (SELECT lang, n,
+        |    s0 - CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END AS s1 FROM i0),
+        |iq AS (SELECT lang, CAST(s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n
+        |    THEN 1 ELSE 0 END AS BIGINT) AS w FROM i1),
+        |ww AS (SELECT lang, w, CAST(SUM(w) OVER () AS BIGINT) AS T FROM iq),
+        |f AS (SELECT lang, w, (100000 * w) // T AS fl,
+        |  (100000 * w) % T AS rem FROM ww),
+        |r AS (SELECT lang, w, fl,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |  100000 - CAST(SUM(fl) OVER () AS BIGINT) AS leftover FROM f)
+        |SELECT lang, w,
+        |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY lang""".stripMargin)),
+
+    // L85 — EDIT-DISTANCE DEDUP: SNM candidates (L78's stage, any
+    // verifier plugs in) verified by relative Levenshtein ≤ 10% of the
+    // longer text — the record-linkage verifier for short fields. The
+    // |len_a − len_b| lower bound gates the O(L²) DP.
+    Q("dedup_edit_distance",
+      (s, dir) => Dedup.editDistancePairs(
+          Tables.documents(s, dir),
+          Dedup.sortedNeighborhoodCandidates(Tables.documents(s, dir),
+            "doc_id", "text", keyChars = 16, blockChars = 2, window = 4),
+          "doc_id", "text", maxDistPermille = 100)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH kb AS (SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16) AS snm_key,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 2) AS snm_blk
+        |  FROM documents),
+        |ld AS (SELECT doc_id, lead(doc_id, 1) OVER w AS l1,
+        |    lead(doc_id, 2) OVER w AS l2, lead(doc_id, 3) OVER w AS l3
+        |  FROM kb WINDOW w AS (PARTITION BY snm_blk ORDER BY snm_key, doc_id)),
+        |cand AS (SELECT DISTINCT least(doc_id, l) AS a, greatest(doc_id, l) AS b
+        |  FROM (SELECT doc_id, unnest([l1, l2, l3]) AS l FROM ld) t
+        |  WHERE l IS NOT NULL),
+        |ed AS (SELECT c.a, c.b, da.text AS ta, db.text AS tb FROM cand c
+        |  JOIN documents da ON da.doc_id = c.a
+        |  JOIN documents db ON db.doc_id = c.b),
+        |lf AS (SELECT a, b, ta, tb,
+        |    CAST(length(ta) AS BIGINT) AS len_a,
+        |    CAST(length(tb) AS BIGINT) AS len_b FROM ed
+        |  WHERE abs(length(ta) - length(tb)) * 1000
+        |    <= greatest(length(ta), length(tb)) * 100),
+        |dd AS (SELECT a, b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+        |    len_a, len_b FROM lf)
+        |SELECT a, b, dist, len_a, len_b FROM dd
+        |WHERE dist * 1000 <= greatest(len_a, len_b) * 100
+        |ORDER BY a, b""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -77,7 +77,20 @@ object Dedup {
   def sortedNeighborhoodPairs(docs: DataFrame, sd: DataFrame,
                               idCol: String, textCol: String,
                               keyChars: Int, blockChars: Int, window: Int,
-                              minJaccard: Double): DataFrame = {
+                              minJaccard: Double): DataFrame =
+    jaccardVerify(
+      sortedNeighborhoodCandidates(docs, idCol, textCol, keyChars,
+        blockChars, window),
+      sd, idCol, minJaccard)
+
+  /** The candidate stage of [[sortedNeighborhoodPairs]] alone:
+    * (a, b) id pairs within `window` of each other in blocked
+    * normalized-prefix order — plug in any verifier (Jaccard,
+    * edit distance, embedding cosine).
+    */
+  def sortedNeighborhoodCandidates(docs: DataFrame, idCol: String,
+                                   textCol: String, keyChars: Int,
+                                   blockChars: Int, window: Int): DataFrame = {
     require(window >= 2 && blockChars <= keyChars,
       "need window >= 2 and blockChars <= keyChars")
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
@@ -87,14 +100,42 @@ object Dedup {
     val w = Window.partitionBy(col("snm_blk"))
       .orderBy(col("snm_key"), col(idCol))
     val leads = (1 until window).map(k => lead(col(idCol), k).over(w))
-    val cand = keyed
+    keyed
       .select(col(idCol).as("a0"), array(leads: _*).as("ls"))
       .select(col("a0"), explode(col("ls")).as("b0"))
       .filter(col("b0").isNotNull)
       .select(least(col("a0"), col("b0")).as("a"),
         greatest(col("a0"), col("b0")).as("b"))
       .distinct()
-    jaccardVerify(cand, sd, idCol, minJaccard)
+  }
+
+  /** EDIT-DISTANCE verify for candidate pairs — the record-linkage
+    * verifier for SHORT text (titles, names, addresses), where
+    * Levenshtein is the right similarity and Jaccard-of-shingles is
+    * noise. Relative threshold: keep pairs with
+    * `dist·1000 ≤ maxDistPermille·max(len_a, len_b)`.
+    *
+    * Scale shape: the DP is O(len_a·len_b) per pair, so the cheap
+    * length bound runs FIRST — `|len_a − len_b|` is a lower bound on
+    * the distance, and pairs failing it never reach the DP. Texts join
+    * onto the (already small) candidate list by id; the corpus text
+    * column never fans out past the candidates.
+    *
+    * Output: (a, b, dist, len_a, len_b).
+    */
+  def editDistancePairs(docs: DataFrame, cand: DataFrame, idCol: String,
+                        textCol: String, maxDistPermille: Int): DataFrame = {
+    val ta = docs.select(col(idCol).as("a"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("b"), col(textCol).as("__tb"))
+    cand.join(ta, "a").join(tb, "b")
+      .withColumn("len_a", length(col("__ta")).cast("long"))
+      .withColumn("len_b", length(col("__tb")).cast("long"))
+      .filter(abs(col("len_a") - col("len_b")) * lit(1000L)
+        <= greatest(col("len_a"), col("len_b")) * lit(maxDistPermille.toLong))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("dist") * lit(1000L)
+        <= greatest(col("len_a"), col("len_b")) * lit(maxDistPermille.toLong))
+      .select(col("a"), col("b"), col("dist"), col("len_a"), col("len_b"))
   }
 
   /** Exhaustive n-gram Jaccard dedup with a hot-shingle frequency cap.

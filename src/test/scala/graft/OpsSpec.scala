@@ -1125,6 +1125,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs verifies candidates by relative Levenshtein") {
+    // "kitten" vs "sitten" dist 1, len 6 -> 1000 <= 200*6? no at 100 permille
+    // (1000 > 600); use longer strings: dist 1 over len 20 -> passes 10%.
+    val docs = Seq(
+      (1L, "the quick brown fox x"), (2L, "the quick brown fox y"),
+      (3L, "completely different text here")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val got = graft.ops.Dedup.editDistancePairs(docs, cand, "doc_id", "text", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,2): dist 1, len 21 -> 1000 <= 2100 keep; (1,3): length gap 9*1000
+    // > 30*100 -> killed by the cheap bound before the DP
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("rendezvousAssign: k -> k+1 moves docs only TO the new shard") {
     // The HRW minimal-movement law: growing the shard count never moves
     // a doc between old shards — its argmax either stands or is beaten
