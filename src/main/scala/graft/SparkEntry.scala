@@ -4478,7 +4478,76 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    len_a, len_b FROM lf)
         |SELECT a, b, dist, len_a, len_b FROM dd
         |WHERE dist * 1000 <= greatest(len_a, len_b) * 100
-        |ORDER BY a, b""".stripMargin))
+        |ORDER BY a, b""".stripMargin)),
+
+    // L86 — SUBSET-CONTAINMENT dedup: common/min(|A|,|B|) ≥ 0.8 — the
+    // asymmetric measure that catches a short doc quoted whole inside
+    // a long one (Jaccard ≈ |small|/|large| ≈ 0 there). Candidates
+    // share a rare shingle (df ≤ 50), commons count over ALL shingles,
+    // the gate is integer, the score one division.
+    Q("dedup_containment",
+      (s, dir) => {
+        val sd = TextOps.shingleTable(Tables.documents(s, dir),
+          "doc_id", "text", 3).cache()
+        sd.count() // eager: feeds candidate + verify branches of one action
+        val fq = sd.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        val rare = sd.join(fq.filter(col("__df") <= 50L).select("shingle"),
+          Seq("shingle"))
+        val cand = rare.select(col("doc_id").as("a"), col("shingle"))
+          .join(rare.select(col("doc_id").as("b"), col("shingle")),
+            Seq("shingle"))
+          .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+        Dedup.containmentVerify(cand, sd, "doc_id", minContainPermille = 800)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH $shingleSqlCte,
+        |fq AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sd GROUP BY shingle) t
+        |  WHERE df <= 50),
+        |rs AS (SELECT sd.doc_id, sd.shingle FROM sd JOIN fq ON fq.shingle = sd.shingle),
+        |cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+        |  FROM rs sa JOIN rs sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |j AS (SELECT co.a, co.b, CAST(co.common AS BIGINT) AS common,
+        |    CAST(na.n_sh AS BIGINT) AS na, CAST(nb.n_sh AS BIGINT) AS nb
+        |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
+        |SELECT a, b, common, na, nb,
+        |  CAST(common AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) AS containment
+        |FROM j WHERE common * 1000 >= 800 * least(na, nb)
+        |ORDER BY a, b""".stripMargin)),
+
+    // L87 — MAD ROBUST OUTLIERS: the median/MAD complement of L77 —
+    // mean and σ are dragged by the very outliers they hunt; median
+    // and MAD have 50% breakdown. Lower median = exact rank selection
+    // at (n+1) div 2, gate dev·2 > 9·mad (≈ the 3·1.4826 rule), all
+    // integer; two rank passes, 1-row-per-group results broadcast.
+    Q("e_mad_outliers",
+      (s, dir) => EventAnalytics.madOutliers(
+          evPoints(s, dir)
+            .select(col("event_id"), col("event_type"), col("cents")),
+          "event_type", "cents", num = 9, den = 2)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("med"), col("dev"), col("mad"), col("is_outlier"))
+        .orderBy(col("event_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |r1 AS (SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM e),
+        |md AS (SELECT event_type, cents AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT e.event_id, e.event_type, e.cents, md.med,
+        |    abs(e.cents - md.med) AS dev
+        |  FROM e JOIN md USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM dv),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT dv.event_id, dv.event_type, dv.cents, dv.med, dv.dev, mad.mad,
+        |  dv.dev * 2 > mad.mad * 9 AS is_outlier
+        |FROM dv JOIN mad USING (event_type) ORDER BY dv.event_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -138,6 +138,38 @@ object Dedup {
       .select(col("a"), col("b"), col("dist"), col("len_a"), col("len_b"))
   }
 
+  /** SUBSET-CONTAINMENT verify: score candidate pairs by
+    * `common / min(|A|, |B|)` — the asymmetric near-dup measure that
+    * catches a short doc quoted WHOLE inside a long one, which Jaccard
+    * structurally misses (a 100-shingle doc inside a 10000-shingle doc
+    * has J ≈ 0.01 but containment 1.0). The gate
+    * `common·1000 ≥ permille·min(na, nb)` stays in integers; the
+    * reported score is the one division, last. Same join discipline as
+    * [[jaccardVerify]]: pairs join the shingle table on (id, shingle)
+    * equi keys, commons counted over ALL shingles.
+    *
+    * Output: (a, b, common, na, nb, containment).
+    */
+  def containmentVerify(cand: DataFrame, sd: DataFrame, idCol: String,
+                        minContainPermille: Int): DataFrame = {
+    val n = shingleCounts(sd, idCol)
+    val commons = cand
+      .join(sd.select(col(idCol).as("a"), col("shingle")), "a")
+      .join(sd.select(col(idCol).as("b"), col("shingle").as("shingle_b")),
+        Seq("b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    commons
+      .join(n.select(col(idCol).as("a"), col("n_sh").as("na")), "a")
+      .join(n.select(col(idCol).as("b"), col("n_sh").as("nb")), "b")
+      .filter(col("common") * lit(1000L)
+        >= least(col("na"), col("nb")) * lit(minContainPermille.toLong))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .select(col("a"), col("b"), col("common"), col("na"), col("nb"),
+        col("containment"))
+  }
+
   /** Exhaustive n-gram Jaccard dedup with a hot-shingle frequency cap.
     *
     * `maxShingleDocFreq` bounds the quadratic term: a shingle shared by k

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic event-analytics operators over the events stream — the OLAP
@@ -105,5 +106,46 @@ object EventAnalytics {
       .withColumn("is_outlier", lhs > rhs)
       .withColumn("dev_sign",
         when(dev > 0, 1L).when(dev < 0, -1L).otherwise(0L))
+  }
+
+  /** MAD (median-absolute-deviation) OUTLIERS — the robust complement
+    * of [[sigmaOutliers]]: mean and σ are themselves dragged by the
+    * outliers they're meant to find (one 10⁹ value inflates σ until
+    * nothing else flags); the median and MAD have breakdown point 50%.
+    * Everything stays in integers: the LOWER median is the value at
+    * rank `(n+1) div 2` of the group's sort — an exact selection, no
+    * averaging of middle pairs — and the gate is
+    * `dev·den > num·mad` (num/den ≈ the classic 3·1.4826 scale).
+    *
+    * Degenerate case, by construction: if more than half the group
+    * equals its median, mad = 0 and every dev > 0 flags — the standard
+    * MAD behavior on discrete data; callers with such groups want a
+    * coarser value domain.
+    *
+    * Shape: two rank-selection passes (each one shuffle on the group
+    * key + an in-partition sort), each producing a 1-row-per-group
+    * table that BROADCASTS back; the flag is map-side. Group count is
+    * assumed small vs. rows (events per type), the same skew posture
+    * as the calibrated quality gate.
+    *
+    * Output: input columns + (med, dev, mad, is_outlier).
+    */
+  def madOutliers(events: DataFrame, grpCol: String, valCol: String,
+                  num: Int, den: Int): DataFrame = {
+    val grp = Window.partitionBy(col(grpCol))
+    def lowerMedian(df: DataFrame, c: String, as: String): DataFrame =
+      df.select(col(grpCol), col(c))
+        .withColumn("__rn", row_number()
+          .over(Window.partitionBy(col(grpCol)).orderBy(col(c))).cast("long"))
+        .withColumn("__n", count(lit(1)).over(grp))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col(grpCol), col(c).as(as))
+    val med = lowerMedian(events, valCol, "med")
+    val dev = events.join(broadcast(med), Seq(grpCol))
+      .withColumn("dev", abs(col(valCol) - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), Seq(grpCol))
+      .withColumn("is_outlier",
+        col("dev") * lit(den.toLong) > col("mad") * lit(num.toLong))
   }
 }

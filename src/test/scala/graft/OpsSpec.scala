@@ -1125,6 +1125,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: rank-selected median/MAD flag, robust to the outlier itself") {
+    // vals [1,2,3,4,100]: med = 3 (rank 3), devs [2,1,0,1,97],
+    // mad = 1 (rank 3 of sorted devs [0,1,1,2,97]);
+    // gate dev*2 > 9*mad -> only 97 flags (2*2=4 < 9, 97*2 > 9).
+    // sigma would be dragged to ~39 by the 100 and still flag it, but
+    // mean 22 also pushes 1..4 to dev ~20 - the robustness shows in mad=1.
+    val df = Seq((1L, "g", 1L), (2L, "g", 2L), (3L, "g", 3L), (4L, "g", 4L),
+      (5L, "g", 100L)).toDF("id", "g", "v")
+    val got = graft.ops.EventAnalytics.madOutliers(df, "g", "v", 9, 2)
+      .select($"id", $"med", $"dev", $"mad", $"is_outlier")
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq((1L, 3L, 2L, 1L, false), (2L, 3L, 1L, 1L, false),
+      (3L, 3L, 0L, 1L, false), (4L, 3L, 1L, 1L, false),
+      (5L, 3L, 97L, 1L, true)))
+  }
+
+  test("containmentVerify catches subset dups that Jaccard misses") {
+    // doc 2's text is entirely inside doc 1's much longer text:
+    // containment = 1.0 but Jaccard = small/large is tiny.
+    val long_ = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short_ = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long_), (2L, short_)).toDF("doc_id", "text")
+    val sd = graft.ops.TextOps.shingleTable(docs, "doc_id", "text", 3)
+    val cand = Seq((1L, 2L)).toDF("a", "b")
+    val cont = graft.ops.Dedup.containmentVerify(cand, sd, "doc_id", 800)
+      .collect()
+    assert(cont.length == 1 && cont.head.getAs[Double]("containment") == 1.0)
+    val jacc = graft.ops.Dedup.jaccardVerify(cand, sd, "doc_id", 0.8)
+    assert(jacc.count() == 0) // 6/38 shared shingles - Jaccard blind
+  }
+
   test("editDistancePairs verifies candidates by relative Levenshtein") {
     // "kitten" vs "sitten" dist 1, len 6 -> 1000 <= 200*6? no at 100 permille
     // (1000 > 600); use longer strings: dist 1 over len 20 -> passes 10%.
