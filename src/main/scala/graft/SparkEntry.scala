@@ -25,11 +25,13 @@ object SparkEntry {
   /** events as (user_id, event_id, tus, cents) point rows; time in exact
     * integer microseconds (= DuckDB `epoch_us(ts)`).
     */
-  private def evPoints(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
+  private def evPoints(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(
       col("user_id"), col("event_id"), col("event_type"),
-      expr("ts div 1000").as("tus"),
+      Tables.tsUs(ev).as("tus"),
       round(col("value") * 100d).cast("long").as("cents"))
+  }
 
   private val evPointsSqlCte =
     """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
@@ -115,8 +117,12 @@ object SparkEntry {
 
     // A1/A5/A9 + S1 scan: pricing summary, exact scaled-integer money.
     Q("a1_pricing_summary",
-      (s, dir) => Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        // literal cast to the column's own type (TIMESTAMP vs NTZ varies by
+        // parquet writer) so the comparison stays same-type and pushes down
+        li.filter(col("l_shipdate") <=
+          lit("1998-09-02").cast(li.schema("l_shipdate").dataType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
@@ -128,7 +134,8 @@ object SparkEntry {
             .cast("long")).as("sum_charge_e6"),
           count(lit(1)).as("n"))
         .withColumn("avg_qty", col("sum_qty").cast("double") / col("n"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")),
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
       Some("""SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
@@ -141,12 +148,15 @@ object SparkEntry {
 
     // S1 + P2-style predicates: selective scan with pushed filters.
     Q("s1_scan_prune",
-      (s, dir) => Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_shipdate") >=
+            lit("1995-01-01").cast(li.schema("l_shipdate").dataType)
           && col("l_discount").between(0.02, 0.08) && col("l_quantity") < 24)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
-        .orderBy(col("l_returnflag")),
+        .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
@@ -444,10 +454,12 @@ object SparkEntry {
       (s, dir) => {
         // Durations widened 100× (exact integer multiply) so intervals of
         // different types genuinely overlap and the argmax is exercised.
-        val i = Tables.events(s, dir).select(
+        val ev = Tables.events(s, dir)
+        val t = Tables.tsUs(ev)
+        val i = ev.select(
           col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000").as("s_us"),
-          (expr("ts div 1000") + round(col("value") * 1e6d).cast("long") * lit(100L))
+          t.as("s_us"),
+          (t + round(col("value") * 1e6d).cast("long") * lit(100L))
             .as("e_us"))
         val a = i.filter(col("event_type") === "click")
         val b = i.filter(col("event_type") === "view")
@@ -1628,9 +1640,9 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // wins, mirroring the operator's tie rule).
     Q("j9_asof_join",
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("tus"), col("event_type"),
+        val ev0 = Tables.events(s, dir)
+        val ev = ev0.select(col("event_id"), col("user_id"),
+            Tables.tsUs(ev0).as("tus"), col("event_type"),
             round(col("value") * 100d).cast("long").as("cents"))
         val clicks = ev.filter(col("event_type") === "click")
           .select("event_id", "user_id", "tus")
@@ -2226,12 +2238,16 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         catch { case _: Exception =>
           java.nio.file.Files.copy(src, srcDir.resolve("events.parquet")) }
         // heartbeat file: one row per user, +10 days past the global max
-        // event time (ts is nanos-as-long), nulls elsewhere
-        val maxTs = base.agg(max(col("ts"))).head.getLong(0)
+        // event time (synthesized in the file's own ts type), nulls
+        // elsewhere
+        val maxUs = base.select(Tables.tsUs(base).as("us"))
+          .agg(max(col("us"))).head.getLong(0)
+        val tsType = schema("ts").dataType
         val sentinel = base.select(col("user_id")).distinct()
           .select(schema.fields.toSeq.map { f => f.name match {
             case "user_id" => col("user_id")
-            case "ts" => lit(maxTs + 864000L * 1000000000L).as("ts")
+            case "ts" =>
+              Tables.usToTs(lit(maxUs + 864000L * 1000000L), tsType).as("ts")
             case other => lit(null).cast(f.dataType).as(other)
           }}: _*)
         val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_sent")
@@ -2239,8 +2255,9 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         val part = java.nio.file.Files.list(sentDir).filter(p =>
           p.getFileName.toString.endsWith(".parquet")).findFirst().get()
         java.nio.file.Files.copy(part, srcDir.resolve("zz_heartbeat.parquet"))
-        val sessions = s.readStream.schema(schema).parquet(srcDir.toString)
-          .select(col("user_id"), expr("ts div 1000").as("tus"),
+        val raw = s.readStream.schema(schema).parquet(srcDir.toString)
+        val sessions = raw
+          .select(col("user_id"), Tables.tsUs(raw).as("tus"),
             round(col("value") * 100d).cast("long").as("cents"))
           .withColumn("etime", timestamp_micros(col("tus")))
           .withWatermark("etime", "0 seconds")
@@ -2295,13 +2312,15 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         try java.nio.file.Files.createLink(srcDir.resolve("events.parquet"), src)
         catch { case _: Exception =>
           java.nio.file.Files.copy(src, srcDir.resolve("events.parquet")) }
-        val maxTs = base.agg(max(col("ts"))).head.getLong(0)
+        val maxUs = base.select(Tables.tsUs(base).as("us"))
+          .agg(max(col("us"))).head.getLong(0)
         val sentinel = s.range(1).select(schema.fields.toSeq.map { f => f.name match {
           case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
           case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
           case "event_type" => lit("purchase").as("event_type")
           case "value" => lit(0d).cast(f.dataType).as("value")
-          case "ts" => lit(maxTs + 864000L * 1000000000L).cast(f.dataType).as("ts")
+          case "ts" =>
+            Tables.usToTs(lit(maxUs + 864000L * 1000000L), f.dataType).as("ts")
           case other => lit(null).cast(f.dataType).as(other)
         }}: _*)
         val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_asofsent")
@@ -2309,10 +2328,11 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         val part = java.nio.file.Files.list(sentDir).filter(p =>
           p.getFileName.toString.endsWith(".parquet")).findFirst().get()
         java.nio.file.Files.copy(part, srcDir.resolve("zz_heartbeat.parquet"))
-        val in = s.readStream.schema(schema).parquet(srcDir.toString)
+        val rawStream = s.readStream.schema(schema).parquet(srcDir.toString)
+        val in = rawStream
           .filter(col("event_type").isin("click", "purchase"))
           .select(col("user_id").cast("string").as("k"),
-            timestamp_millis(expr("ts div 1000")).as("ts"),
+            timestamp_millis(Tables.tsUs(rawStream)).as("ts"),
             (col("event_type") === "purchase").as("isRight"),
             col("event_id").cast("long").as("tie"),
             coalesce(round(col("value") * 100d).cast("long"), lit(0L)).as("payload"))
@@ -3440,10 +3460,12 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // 2^(maxDay − minDay). The checked columns stay integral; the one
     // double is a single division, bit-stable cross-engine.
     Q("c_decayed_counts",
-      (s, dir) => Curation.decayedCounts(
-        Tables.events(s, dir).select(col("event_type"),
-          expr("ts div 1000").as("tus")),
-        "event_type", "tus", bucketUs = 86400000000L),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Curation.decayedCounts(
+          ev.select(col("event_type"), Tables.tsUs(ev).as("tus")),
+          "event_type", "tus", bucketUs = 86400000000L)
+      },
       Some(decayedOracleSql)),
 
     // L56 — the DECAYED COUNTS AS A STREAMING AGGREGATE: the integer
@@ -3459,8 +3481,9 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         val bucket = 86400000000L
         val path = s"$dir/events.parquet"
         val base = s.read.parquet(path)
-        val dayCol = expr(s"(ts div 1000 - pmod(ts div 1000, ${bucket}L)) div ${bucket}L")
-        val bounds = base.agg(min(dayCol).cast("long"), max(dayCol).cast("long")).head()
+        val dayCol = expr(s"(tus - pmod(tus, ${bucket}L)) div ${bucket}L")
+        val bounds = base.select(Tables.tsUs(base).as("tus"))
+          .agg(min(dayCol).cast("long"), max(dayCol).cast("long")).head()
         val (dmin, dmax) = (bounds.getLong(0), bounds.getLong(1))
         val name = "dk_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_dk").toString
@@ -3469,8 +3492,10 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         try java.nio.file.Files.createLink(dst, java.nio.file.Paths.get(path))
         catch { case _: Exception =>
           java.nio.file.Files.copy(java.nio.file.Paths.get(path), dst) }
-        val agg = s.readStream.schema(base.schema)
+        val rawStream = s.readStream.schema(base.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        val agg = rawStream
+          .select(col("event_type"), Tables.tsUs(rawStream).as("tus"))
           .select(col("event_type"),
             call_function("shiftleft", lit(1L), (dayCol - lit(dmin)).cast("int"))
               .as("__w"))
@@ -3519,10 +3544,12 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // per-file stats manifest a skipping scan consults. OpsSpec asserts
     // the actual pruning win over a linear time-sorted layout.
     Q("c_zorder_layout",
-      (s, dir) => Curation.zorderLayout(
-        Tables.events(s, dir).select(col("user_id"),
-          expr("ts div 1000").as("tus"), col("event_id")),
-        "user_id", "tus", "event_id", bits = 12, rowsPerFile = 4096),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Curation.zorderLayout(
+          ev.select(col("user_id"), Tables.tsUs(ev).as("tus"), col("event_id")),
+          "user_id", "tus", "event_id", bits = 12, rowsPerFile = 4096)
+      },
       Some(zorderOracleSql(bits = 12, rowsPerFile = 4096))),
 
     // L58 — CONTEXT-WINDOW CHUNKING: long documents split into
@@ -3717,14 +3744,16 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         // at 5 batches vs ~8 s at 2, sf0.1). coalesce avoids shuffling the
         // whole table just to stage it.
         base.coalesce(2).write.mode("overwrite").parquet(srcDir.toString)
-        def side(tpe: String, pfx: String) =
-          s.readStream.schema(base.schema)
+        def side(tpe: String, pfx: String) = {
+          val st = s.readStream.schema(base.schema)
             .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-            .filter(col("event_type") === tpe)
+          val t = Tables.tsUs(st)
+          st.filter(col("event_type") === tpe)
             .select(col("user_id").as(s"${pfx}_user"),
               col("event_id").as(s"${pfx}_id"),
-              expr("ts div 1000").as(s"${pfx}_tus"),
-              timestamp_micros(expr("ts div 1000")).as(s"${pfx}_wts"))
+              t.as(s"${pfx}_tus"),
+              timestamp_micros(t).as(s"${pfx}_wts"))
+        }
         val joined = graft.streaming.StreamingOps.intervalJoin(
           side("view", "v"), side("purchase", "p"),
           expr("v_user = p_user AND p_wts >= v_wts" +

@@ -1,27 +1,53 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Table loaders for the driver-generated TPC-H-ish star schema plus the
   * `events`/`documents`/`embeddings` tables (see TESTDATA.md).
   *
-  * The `events.ts` column is written as parquet INT64 TIMESTAMP(NANOS),
-  * which Spark 4 rejects by default; `nanosAsLong` reads it as a plain
-  * long of epoch-nanoseconds, truncated here to microseconds (`ts div
-  * 1000`). That is exactly DuckDB's `epoch_us(ts)` (DuckDB itself
-  * truncates parquet nanos to micros on read), so every time computation
-  * downstream stays in the exact integer domain and is bit-reproducible
-  * against the oracle.
+  * The `events.ts` column's physical parquet type has varied across
+  * driver-generated datasets: INT64 TIMESTAMP(NANOS) (read as a plain
+  * epoch-nanos long via `nanosAsLong`) or INT64 TIMESTAMP(MICROS) with
+  * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). [[tsUs]] normalizes
+  * either to exact integer epoch-microseconds — precisely DuckDB's
+  * `epoch_us(ts)` on the same file (DuckDB truncates nanos to micros on
+  * read and treats naive timestamps as UTC wall time) — so every time
+  * computation downstream stays in the exact integer domain and is
+  * bit-reproducible against the oracle.
   */
 object Tables {
 
   /** Session settings every entry point needs regardless of who built the
-    * SparkSession (the driver builds its own for Verify/Bench).
+    * SparkSession (the driver builds its own for Verify/Bench). UTC makes
+    * the NTZ↔epoch conversions in [[tsUs]] match DuckDB's naive-as-UTC
+    * reading; `nanosAsLong` keeps TIMESTAMP(NANOS) files readable.
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
+  }
+
+  /** `ts` as exact epoch-microseconds, whatever physical type the writer
+    * used. Works on batch and streaming frames (dispatch is on the
+    * resolved schema, the expression is a plain column transform).
+    */
+  def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000") // epoch nanos via nanosAsLong
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other => throw new IllegalArgumentException(s"unsupported ts type $other")
+  }
+
+  /** Epoch-microseconds back into the raw `ts` domain of a file whose ts
+    * field has `dt` — for synthesizing sentinel rows that must sort after
+    * real data in the file's own type.
+    */
+  def usToTs(us: Column, dt: DataType): Column = dt match {
+    case LongType => us * lit(1000L)
+    case _        => timestamp_micros(us).cast(dt)
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -43,12 +69,15 @@ object Tables {
     * `[s_us, e_us]` an interval whose duration is the `value` column in
     * seconds, all in exact integer microseconds.
     */
-  def eventIntervals(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+  def eventIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = tsUs(ev)
+    ev.select(
       col("user_id"),
       col("event_id"),
       col("event_type"),
-      expr("ts div 1000").as("s_us"),
-      (expr("ts div 1000") + round(col("value") * 1e6d).cast("long")).as("e_us"),
+      t.as("s_us"),
+      (t + round(col("value") * 1e6d).cast("long")).as("e_us"),
       round(col("value") * 100d).cast("long").as("cents"))
+  }
 }
