@@ -4515,20 +4515,10 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // share a rare shingle (df ≤ 50), commons count over ALL shingles,
     // the gate is integer, the score one division.
     Q("dedup_containment",
-      (s, dir) => {
-        val sd = TextOps.shingleTable(Tables.documents(s, dir),
-          "doc_id", "text", 3).cache()
-        sd.count() // eager: feeds candidate + verify branches of one action
-        val fq = sd.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-        val rare = sd.join(fq.filter(col("__df") <= 50L).select("shingle"),
-          Seq("shingle"))
-        val cand = rare.select(col("doc_id").as("a"), col("shingle"))
-          .join(rare.select(col("doc_id").as("b"), col("shingle")),
-            Seq("shingle"))
-          .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
-        Dedup.containmentVerify(cand, sd, "doc_id", minContainPermille = 800)
-          .orderBy(col("a"), col("b"))
-      },
+      (s, dir) => Dedup.containmentPairs(
+          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          "doc_id", minContainPermille = 800, maxShingleDocFreq = 50L)
+        .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,
         |fq AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sd GROUP BY shingle) t
         |  WHERE df <= 50),

@@ -185,7 +185,45 @@ object Dedup {
     * `minJaccard ≥ 0.5` unless a doc is mostly stopword n-grams.
     */
   def ngramJaccardPairs(sd0: DataFrame, idCol: String, minJaccard: Double,
-                        maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
+                        maxShingleDocFreq: Long = Long.MaxValue): DataFrame =
+    pairCommonsRareHot(sd0, idCol, maxShingleDocFreq)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("common"), col("jaccard"))
+
+  /** SUBSET-CONTAINMENT dedup over rare-shingle candidates: pairs gated
+    * by `common·1000 ≥ permille·min(na, nb)` — the asymmetric near-dup
+    * measure that catches a short doc quoted whole inside a long one
+    * (see [[containmentVerify]] for the measure; this is its corpus-scale
+    * driver). Shares [[pairCommonsRareHot]] with the Jaccard path, so
+    * candidate pairs never fan out across the full shingle table — the
+    * naive verify (pair list × both docs' complete shingle sets) costs
+    * O(Σ pairs·|shingles|) and dominated the bench at 4× the Jaccard
+    * query's cost on the same corpus.
+    *
+    * Output: (a, b, common, na, nb, containment), a < b.
+    */
+  def containmentPairs(sd0: DataFrame, idCol: String, minContainPermille: Int,
+                       maxShingleDocFreq: Long = Long.MaxValue): DataFrame =
+    pairCommonsRareHot(sd0, idCol, maxShingleDocFreq)
+      .filter(col("common") * lit(1000L)
+        >= least(col("na"), col("nb")) * lit(minContainPermille.toLong))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .select(col("a"), col("b"), col("common"), col("na"), col("nb"),
+        col("containment"))
+
+  /** Shared core of [[ngramJaccardPairs]] / [[containmentPairs]]:
+    * (a, b, common, na, nb) for every pair sharing ≥1 rare
+    * (df ≤ maxShingleDocFreq) shingle, with `common` exact over ALL
+    * shingles — rare commons fall out of the candidate-enumerating
+    * self-join's groupBy, hot commons (each doc holds few df-capped
+    * shingles) are added back by a cheap pairs × hot-membership join,
+    * and the df split partitions the shingle set so their sum is exact.
+    */
+  private def pairCommonsRareHot(sd0: DataFrame, idCol: String,
+                                 maxShingleDocFreq: Long): DataFrame = {
     // Eager cache: the shingle table feeds several plan subtrees of ONE
     // final action; a lazy cache would still be cold while they race, so
     // each would recompute the tokenize+explode+distinct lineage.
@@ -224,10 +262,6 @@ object Dedup {
     common
       .join(n.select(col(idCol).as("a"), col("n_sh").as("na")), "a")
       .join(n.select(col(idCol).as("b"), col("n_sh").as("nb")), "b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("common"), col("jaccard"))
   }
 
   /** MinHash band signatures from ONE digest per shingle: band i orders
