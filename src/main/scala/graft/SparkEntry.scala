@@ -4566,7 +4566,131 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
         |SELECT dv.event_id, dv.event_type, dv.cents, dv.med, dv.dev, mad.mad,
         |  dv.dev * 2 > mad.mad * 9 AS is_outlier
-        |FROM dv JOIN mad USING (event_type) ORDER BY dv.event_id""".stripMargin))
+        |FROM dv JOIN mad USING (event_type) ORDER BY dv.event_id""".stripMargin)),
+
+    // L88 — MULTI-TOUCH LINEAR ATTRIBUTION: each purchase's cents split
+    // EXACTLY across the user's views in the preceding 24 h — base
+    // share cents div k, the cents mod k remainder one cent each to
+    // the earliest touches (largest-remainder on equal quotas), so
+    // credit conserves per conversion bit-for-bit. Interval join
+    // carries the user equi key; the rank window partitions on the
+    // conversion id.
+    Q("e_attribution",
+      (s, dir) => {
+        val e = evPoints(s, dir)
+        EventAnalytics.linearAttribution(
+            e.filter(col("event_type") === "view")
+              .select(col("user_id"), col("event_id").as("touchId"),
+                col("tus")),
+            e.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("event_id").as("convId"),
+                col("tus"), col("cents")),
+            "user_id", windowUs = 86400000000L)
+          .select(col("touchId").as("touch_id"), col("user_id"),
+            col("n_convs"), col("attributed_cents"))
+          .orderBy(col("touch_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |v AS (SELECT user_id, event_id AS touch_id, tus FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS conv_id, tus, cents FROM e WHERE event_type = 'purchase'),
+        |tp AS (SELECT p.user_id, p.conv_id, p.cents, v.touch_id, v.tus AS t_tus
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.tus <= p.tus AND v.tus > p.tus - 86400000000),
+        |rk AS (SELECT user_id, conv_id, cents, touch_id,
+        |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY t_tus, touch_id) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS k FROM tp),
+        |cr AS (SELECT user_id, conv_id, touch_id,
+        |    cents // k + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END AS credit FROM rk)
+        |SELECT touch_id, user_id, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+        |  CAST(SUM(credit) AS BIGINT) AS attributed_cents
+        |FROM cr GROUP BY touch_id, user_id ORDER BY touch_id""".stripMargin)),
+
+    // L89 — CUSUM DRIFT DETECTION (Page 1954), window-exact: the
+    // sequential S_i = max(0, S_{i-1} + x_i) recursion closed-form over
+    // prefix sums (S_i = P_i − min(0, min_{j≤i} P_j)) — one shuffle,
+    // two cumulative windows, no per-key fold; target = the group's
+    // lower median (rank-selected, outlier-robust), all integers.
+    Q("e_cusum_drift",
+      (s, dir) => {
+        val e = evPoints(s, dir)
+          .select(col("event_id"), col("event_type"), col("tus"),
+            col("cents"))
+        val med = e.select(col("event_type"), col("cents"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("cents")))
+            .cast("long"))
+          .withColumn("__n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col("event_type"), col("cents").as("target"))
+        EventAnalytics.cusumDrift(e, med, "event_type", "cents", "tus",
+            "event_id", h = 2000000L)
+          .select(col("event_id"), col("event_type"), col("cents"),
+            col("drift"), col("cusum"), col("alarm"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |r1 AS (SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM e),
+        |md AS (SELECT event_type, cents AS target FROM r1 WHERE rn = (n + 1) // 2),
+        |dr AS (SELECT e.event_id, e.event_type, e.tus, e.cents,
+        |    e.cents - md.target AS drift FROM e JOIN md USING (event_type)),
+        |ps AS (SELECT *, CAST(SUM(drift) OVER w AS BIGINT) AS p FROM dr
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (SELECT event_id, event_type, cents, drift,
+        |    p - least(0, MIN(p) OVER w) AS cusum FROM ps
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, cents, drift,
+        |  CAST(cusum AS BIGINT) AS cusum, cusum > 2000000 AS alarm
+        |FROM cs ORDER BY event_id""".stripMargin)),
+
+    // L90 — INTERLEAVED EPOCH ORDER: reproducible per-source seeded
+    // shuffle + round-robin source interleave; the global rank is a
+    // CLOSED FORM of (within-source pos, the |sources|-row size table)
+    // — no global sort at any scale.
+    Q("c_epoch_interleave",
+      (s, dir) => Curation.interleavedEpochOrder(
+          Tables.documents(s, dir), "doc_id", "source", seed = 7L)
+        .select(col("doc_id"), col("source"), col("pos"), col("epoch_rank"))
+        .orderBy(col("epoch_rank"), col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS pos FROM h),
+        |sz AS (SELECT source AS s2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source)
+        |SELECT p.doc_id, p.source, p.pos,
+        |  CAST(SUM(least(p.pos - 1, sz.n))
+        |    + SUM(CASE WHEN sz.s2 < p.source AND sz.n >= p.pos THEN 1 ELSE 0 END)
+        |    + 1 AS BIGINT) AS epoch_rank
+        |FROM p CROSS JOIN sz GROUP BY p.doc_id, p.source, p.pos
+        |ORDER BY epoch_rank, doc_id""".stripMargin)),
+
+    // L91 — OOV RATE vs a df-fraction-truncated vocabulary: vocab =
+    // tokens in ≥ 78% of docs (integer cross-multiplied gate — no
+    // global top-k sort), per-doc out-of-vocab token-occurrence
+    // fraction; vocab broadcasts into the token scan.
+    Q("t_oov_rate",
+      (s, dir) => Curation.oovRate(
+          Tables.documents(s, dir), "doc_id", "text", dfNum = 78, dfDen = 100)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        |  FROM documents),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |    FROM t GROUP BY tok) x, nd WHERE df * 100 >= 78 * n_docs)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM t LEFT JOIN v ON v.tok = t.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1118,4 +1118,81 @@ object Curation {
               struct(col("line_no"), col("line"))))),
           x => x.getField("line")), " ")).as("clean_md5"))
   }
+
+  /** INTERLEAVED EPOCH ORDER: the reproducible source-interleaved
+    * training order — within each source docs shuffle by a seeded hash
+    * (new permutation per epoch, identical across re-runs/resumes), and
+    * sources interleave round-robin position by position, so a training
+    * run consumes sources evenly from the first batch instead of in
+    * source-sized runs (the `(pos, source)` sort order of per-source
+    * hash ranks).
+    *
+    * The part worth owning at 100 TB: the GLOBAL rank of every doc is a
+    * closed-form function of (its within-source position, the per-source
+    * size table) — `rank = Σ_s min(pos−1, n_s) + #{s' < src : n_{s'} ≥
+    * pos} + 1` (docs of any source with a strictly smaller position come
+    * first, same-position docs order by source name) — so the training
+    * order needs NO global sort: one per-source window for `pos`, then a
+    * broadcast of the |sources|-row size table and a map-side fan-out/
+    * re-sum. A writer can emit any shard of the order independently.
+    *
+    * Output: (id, src, pos, epoch_rank) — `epoch_rank` is a permutation
+    * of 1..N.
+    */
+  def interleavedEpochOrder(df: DataFrame, idCol: String, srcCol: String,
+                            seed: Long): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed.toString), lit("|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val pos = df.select(col(idCol), col(srcCol), h.as("__h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol)))
+        .cast("long"))
+    val sizes = df.groupBy(col(srcCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    pos.crossJoin(broadcast(sizes))
+      .groupBy(col(idCol), col(srcCol), col("pos"))
+      .agg((sum(least(col("pos") - 1L, col("__n")))
+        + sum(when(col("__s") < col(srcCol)
+            && col("__n") >= col("pos"), 1L).otherwise(0L))
+        + 1L).as("epoch_rank"))
+  }
+
+  /** OOV RATE against a frequency-truncated vocabulary: the tokenizer-
+    * coverage diagnostic run before training — vocab = every token whose
+    * document frequency reaches `dfNum/dfDen` of the corpus (the
+    * truncation rule that needs no global top-k sort: a df-fraction gate
+    * is a pure function of the token's own count plus one scalar, where
+    * rank-k needs a total order over the vocabulary; the gate
+    * `df·dfDen ≥ dfNum·nDocs` stays in integers), then each doc's
+    * out-of-vocabulary TOKEN-OCCURRENCE fraction. High OOV flags
+    * encoding problems, language mismatch, or boilerplate the tokenizer
+    * will shred into bytes.
+    *
+    * Shape: one hash agg builds the vocab (distinct (doc, token) →
+    * count, gated against the one-row corpus count), the vocab
+    * BROADCASTS into the token scan as a left join (vocabularies are
+    * ~10⁵-10⁶ rows — always the small side), and the per-doc rollup is
+    * one hash agg on the id. The corpus-side token explode never
+    * shuffles for the probe.
+    *
+    * Output: (id, n_tokens, n_oov, oov_rate) — rate the one division.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              dfNum: Int, dfDen: Int): DataFrame = {
+    require(dfNum >= 0 && dfDen >= 1, "need a dfNum/dfDen fraction")
+    val toks = df.select(col(idCol),
+      explode(graft.ops.TextOps.tokens(col(textCol))).as("tok"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__nd"))
+    val vocab = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") * lit(dfDen.toLong) >= lit(dfNum.toLong) * col("__nd"))
+      .select(col("tok"), lit(1L).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
 }

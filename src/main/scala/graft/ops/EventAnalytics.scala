@@ -148,4 +148,81 @@ object EventAnalytics {
       .withColumn("is_outlier",
         col("dev") * lit(den.toLong) > col("mad") * lit(num.toLong))
   }
+
+  /** MULTI-TOUCH LINEAR ATTRIBUTION: each conversion's integer credit
+    * (cents) splits across the same key's touch events inside the
+    * preceding `windowUs`, EXACTLY — base share `cents div k` each,
+    * the `cents mod k` remainder cents one each to the EARLIEST
+    * touches (largest-remainder on equal quotas, the same rounding
+    * discipline as `Curation.allocateBudget`), so per-conversion
+    * credit sums to cents bit-for-bit and the total attributed equals
+    * the total converted. Last-touch/first-touch are the k=1 ends of
+    * the same join; linear is the one that needs the exact-split care.
+    *
+    * Shape: the touch↔conversion pairing is an interval join WITH the
+    * key as equi column (the j-family discipline — never a pure theta
+    * join), the per-conversion rank window partitions on the
+    * conversion id (touches per conversion is window-bounded, state
+    * never leaves one conversion), and the final rollup is a hash
+    * aggregate on the touch id. Three narrow-keyed shuffles, no
+    * global sort.
+    *
+    * Input `touches`: (key, touchId, tus); `convs`: (key, convId, tus,
+    * cents). Output: one row per credited touch —
+    * (touchId, key, n_convs, attributed_cents).
+    */
+  def linearAttribution(touches: DataFrame, convs: DataFrame,
+                        keyCol: String, windowUs: Long): DataFrame = {
+    val t = touches.select(col(keyCol), col("touchId"), col("tus").as("t_tus"))
+    val c = convs.select(col(keyCol), col("convId"), col("tus").as("c_tus"),
+      col("cents"))
+    val paired = c.join(t,
+      c(keyCol) === t(keyCol) && col("t_tus") <= col("c_tus")
+        && col("t_tus") > col("c_tus") - lit(windowUs))
+      .select(c(keyCol), col("convId"), col("cents"), col("touchId"),
+        col("t_tus"))
+    val w = Window.partitionBy(col("convId"))
+      .orderBy(col("t_tus"), col("touchId"))
+    val credited = paired
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__k", count(lit(1))
+        .over(Window.partitionBy(col("convId"))))
+      .withColumn("credit",
+        expr("cents div __k")
+          + when(col("__rk") <= expr("cents % __k"), 1L).otherwise(0L))
+    credited.groupBy(col("touchId"), col(keyCol))
+      .agg(countDistinct(col("convId")).as("n_convs"),
+        sum(col("credit")).as("attributed_cents"))
+  }
+
+  /** One-sided CUSUM drift detection (Page 1954), window-exact: per
+    * group in (time, id) order, `S_i = max(0, S_{i-1} + x_i)` with
+    * drift `x = value − target`, alarm when `S_i > h`. The recursion
+    * is closed-form over prefix sums — `S_i = P_i − min(0, min_{j≤i}
+    * P_j)` — so the sequential fold becomes two cumulative windows
+    * over one partition-by-group sort: ONE shuffle however long the
+    * history, no per-key iteration, and every value stays an exact
+    * integer (the induction: S_i = max(0, P_i − m_{i−1}) =
+    * P_i − min(m_{i−1}, P_i)).
+    *
+    * `target` rows: (grpCol, target) — one per group, broadcast back
+    * (callers typically feed the group's median from [[madOutliers]]'
+    * rank selection, keeping the whole detector outlier-robust).
+    *
+    * Output: input + (drift, cusum, alarm) — `alarm` marks every row
+    * whose running drift exceeds `h`, the change-point evidence.
+    */
+  def cusumDrift(events: DataFrame, target: DataFrame, grpCol: String,
+                 valCol: String, tusCol: String, idCol: String,
+                 h: Long): DataFrame = {
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col(tusCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.join(broadcast(target), Seq(grpCol))
+      .withColumn("drift", col(valCol) - col("target"))
+      .withColumn("__p", sum(col("drift")).over(w))
+      .withColumn("cusum", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("alarm", col("cusum") > lit(h))
+      .drop("__p")
+  }
 }

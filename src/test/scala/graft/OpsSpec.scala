@@ -1215,4 +1215,66 @@ class OpsSpec extends SparkSpec {
       (0L, false, -1L), (1L, false, -1L), (2L, false, -1L), (3L, false, -1L),
       (4L, true, 1L), (5L, false, 0L), (6L, false, 0L)))
   }
+
+  test("linearAttribution conserves every conversion's cents exactly") {
+    // user 1: purchase of 100 cents with 3 views in window -> 34,33,33
+    // (remainder cent to the EARLIEST touch); purchase of 7 with 3 views
+    // -> 3,2,2; a view outside the window gets nothing.
+    val touches = Seq((1L, 10L, 100L), (1L, 11L, 200L), (1L, 12L, 300L),
+      (1L, 13L, 5000L)).toDF("user_id", "touchId", "tus")
+    val convs = Seq((1L, 90L, 400L, 100L), (1L, 91L, 450L, 7L))
+      .toDF("user_id", "convId", "tus", "cents")
+    val got = graft.ops.EventAnalytics.linearAttribution(
+        touches, convs, "user_id", windowUs = 1000L)
+      .collect().map(r => r.getAs[Long]("touchId") -> r.getAs[Long]("attributed_cents"))
+      .toMap
+    assert(got == Map(10L -> (34L + 3L), 11L -> (33L + 2L), 12L -> (33L + 2L)))
+    assert(got.values.sum == 107L) // total attributed = total converted
+  }
+
+  test("cusumDrift closed form equals the sequential max(0, S+x) fold") {
+    val rows = Seq((1L, "g", 0L, 5L), (2L, "g", 1L, -3L), (3L, "g", 2L, 9L),
+      (4L, "g", 3L, -20L), (5L, "g", 4L, 6L), (6L, "h", 0L, -1L),
+      (7L, "h", 1L, 4L))
+    val df = rows.toDF("id", "g", "tus", "v")
+    val target = Seq(("g", 0L), ("h", 0L)).toDF("g", "target")
+    val got = graft.ops.EventAnalytics.cusumDrift(df, target, "g", "v",
+        "tus", "id", h = 7L)
+      .select($"id", $"cusum", $"alarm").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // sequential: g: 5, 2, 11, 0, 6; h: 0, 4
+    assert(got.toSeq == Seq((1L, 5L, false), (2L, 2L, false), (3L, 11L, true),
+      (4L, 0L, false), (5L, 6L, false), (6L, 0L, false), (7L, 4L, false)))
+  }
+
+  test("interleavedEpochOrder: epoch_rank is a source-interleaved permutation") {
+    // 3 sources of sizes 3/2/1: positions interleave a1 b1 c1 a2 b2 a3
+    // in (pos, source) order whatever the hash draw.
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "c")).toDF("doc_id", "src")
+    val got = graft.ops.Curation.interleavedEpochOrder(df, "doc_id", "src", 42L)
+      .collect().map(r => (r.getAs[Long]("epoch_rank"), r.getAs[String]("src"),
+        r.getAs[Long]("pos")))
+    assert(got.map(_._1).sorted.toSeq == (1L to 6L).toSeq, "rank must be a permutation")
+    val bySrc = got.sortBy(_._1).map(_._2).toSeq
+    assert(bySrc == Seq("a", "b", "c", "a", "b", "a"),
+      s"interleave order wrong: $bySrc")
+    // and a different seed permutes within sources, not across the shape
+    val other = graft.ops.Curation.interleavedEpochOrder(df, "doc_id", "src", 43L)
+      .collect().map(r => (r.getAs[Long]("epoch_rank"), r.getAs[String]("src")))
+    assert(other.sortBy(_._1).map(_._2).toSeq == Seq("a", "b", "c", "a", "b", "a"))
+  }
+
+  test("oovRate: dfNum=0 puts every token in vocab; rate bounded in [0,1]") {
+    val df = Seq((1L, "x x y"), (2L, "x z"), (3L, "x q r s"))
+      .toDF("doc_id", "text")
+    val all = graft.ops.Curation.oovRate(df, "doc_id", "text", 0, 1)
+      .collect().map(r => r.getAs[Long]("n_oov"))
+    assert(all.forall(_ == 0L))
+    // df fraction 2/3: vocab = {x} (df 3); doc 3 has 3 oov of 4 tokens
+    val m = graft.ops.Curation.oovRate(df, "doc_id", "text", 2, 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov")))).toMap
+    assert(m == Map(1L -> ((3L, 1L)), 2L -> ((2L, 1L)), 3L -> ((4L, 3L))))
+  }
 }

@@ -278,6 +278,32 @@ class PlanSpec extends SparkSpec {
       "packing must route whole shards, not range-partition")
   }
 
+  test("L88-L91 additions keep their intended plan shapes") {
+    // attribution: the touch-conversion pairing carries the user equi
+    // key (never a pure theta join); the rank window partitions on the
+    // conversion id, not a global sort
+    val at = plan("e_attribution")
+    assert(!at.contains("CartesianProduct") && !at.contains("BroadcastNestedLoopJoin"),
+      "attribution pairing must keep the user equi key")
+    assert(at.contains("hashpartitioning(convId"),
+      "attribution rank window must partition by conversion id")
+    // cusum: the 1-row-per-group median broadcasts back; both cumulative
+    // windows share one (event_type) partitioning
+    val cu = plan("e_cusum_drift")
+    assert(cu.contains("BroadcastHashJoin"), "median table should broadcast")
+    assert(!cu.contains("CartesianProduct"))
+    // epoch interleave: the |sources|-row size table broadcasts (tiny
+    // nested-loop fan-out is the design); no sort-merge join anywhere
+    val ei = plan("c_epoch_interleave")
+    assert(ei.contains("BroadcastNestedLoopJoin"),
+      "size table should broadcast to the fan-out")
+    assert(!ei.contains("SortMergeJoin"))
+    // oov: the vocab probe is a broadcast hash join into the token scan
+    val ov = plan("t_oov_rate")
+    assert(ov.contains("BroadcastHashJoin"), "vocab should broadcast")
+    assert(!ov.contains("SortMergeJoin"), "token scan must not sort-merge")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
