@@ -4690,7 +4690,160 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         |FROM t LEFT JOIN v ON v.tok = t.tok
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // L92 — STREAMING CUSUM run to completion: the sequential detector
+    // under arrival disorder — rows buffer in group state until the
+    // watermark proves their order final, then fold through the
+    // (p, m) two-long prefix state in exact (ts, tie) event order.
+    // Event MICROS ride the watermark clock's millis field; one
+    // far-future heartbeat row on a sentinel key advances the global
+    // watermark past every real event and the trailing timeout batch
+    // flushes every group. Same oracle as e_cusum_drift (minus the
+    // heartbeat), whatever the file split.
+    Q("streaming_cusum",
+      (s, dir) => {
+        import s.implicits._
+        val path = s"$dir/events.parquet"
+        val base = s.read.parquet(path)
+        val schema = base.schema
+        val name = "sc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_cusum").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_cusumsrc")
+        val src = java.nio.file.Paths.get(path)
+        try java.nio.file.Files.createLink(srcDir.resolve("events.parquet"), src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, srcDir.resolve("events.parquet")) }
+        val maxUs = base.select(Tables.tsUs(base).as("us"))
+          .agg(max(col("us"))).head.getLong(0)
+        val sentinel = s.range(1).select(schema.fields.toSeq.map { f => f.name match {
+          case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
+          case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
+          case "event_type" => lit("__hb").as("event_type")
+          case "value" => lit(0d).cast(f.dataType).as("value")
+          case "ts" =>
+            Tables.usToTs(lit(maxUs + 864000L * 1000000L), f.dataType).as("ts")
+          case other => lit(null).cast(f.dataType).as(other)
+        }}: _*)
+        val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_cusumsent")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+        val part = java.nio.file.Files.list(sentDir).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part, srcDir.resolve("zz_heartbeat.parquet"))
+        // batch-side model: the per-type lower-median target (config at
+        // production scale; here derived once, like streaming_decayed's
+        // bounds), broadcast into each micro-batch stream-static
+        val e = evPoints(s, dir)
+        val med = e.select(col("event_type"), col("cents"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("cents")))
+            .cast("long"))
+          .withColumn("__n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col("event_type"), col("cents").as("target"))
+        val rawStream = s.readStream.schema(schema).parquet(srcDir.toString)
+        val in = rawStream
+          .select(col("event_type"), col("event_id"),
+            Tables.tsUs(rawStream).as("tus"),
+            round(col("value") * 100d).cast("long").as("cents"))
+          .join(broadcast(med), Seq("event_type"), "left")
+          .select(col("event_type").as("k"),
+            timestamp_millis(col("tus")).as("ts"),
+            col("event_id").as("tie"),
+            (col("cents") - coalesce(col("target"), lit(0L))).as("drift"))
+          .as[graft.streaming.TemporalEnrich.CusumInput]
+        val out = graft.streaming.TemporalEnrich.eventTimeCusum(
+          in, "0 seconds", h = 2000000L)
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(srcDir, sentDir, java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("k") =!= "__hb")
+          .select(col("tie").as("event_id"), col("k").as("event_type"),
+            col("ts").as("tus"), col("drift"), col("cusum"), col("alarm"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |r1 AS (SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM e),
+        |md AS (SELECT event_type, cents AS target FROM r1 WHERE rn = (n + 1) // 2),
+        |dr AS (SELECT e.event_id, e.event_type, e.tus,
+        |    e.cents - md.target AS drift FROM e JOIN md USING (event_type)),
+        |ps AS (SELECT *, CAST(SUM(drift) OVER w AS BIGINT) AS p FROM dr
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (SELECT event_id, event_type, tus, drift,
+        |    p - least(0, MIN(p) OVER w) AS cusum FROM ps
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, tus, drift,
+        |  CAST(cusum AS BIGINT) AS cusum, cusum > 2000000 AS alarm
+        |FROM cs ORDER BY event_id""".stripMargin)),
+
+    // L93 — CHAO1 capture-recapture corpus-size estimate per language:
+    // d + f1(f1−1)/(2(f2+1)) from the duplicate-count histogram — the
+    // crawl-planning complement of dedup (many singletons relative to
+    // doubletons ⇒ keep crawling; f1 ≈ 0 ⇒ saturation). Two hash aggs,
+    // all integers until the one division.
+    Q("c_chao1_estimate",
+      (s, dir) => Curation.chao1Estimate(
+          Tables.documents(s, dir), "lang",
+          TextOps.fingerprint(col("text"), 200))
+        .select(col("lang"), col("n_obs"), col("d_distinct"), col("f1"),
+          col("f2"), col("chao1"))
+        .orderBy(col("lang")),
+      Some("""WITH fp AS (SELECT lang,
+        |    md5(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 200)) AS fp
+        |  FROM documents),
+        |cnt AS (SELECT lang, fp, CAST(COUNT(*) AS BIGINT) AS c FROM fp GROUP BY lang, fp)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_obs,
+        |  CAST(COUNT(*) AS BIGINT) AS d_distinct,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |        * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE)
+        |      / CAST(2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1) AS DOUBLE) AS chao1
+        |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L94 — DISORDER PROFILE: per-user arrival-lag max and exact-rank
+    // p99 — the measured watermark SLA for §2.10. Arrival order is the
+    // event time plus a deterministic md5-derived ingest jitter (≤ 1
+    // day), applied identically in both engines.
+    Q("e_disorder_profile",
+      (s, dir) => {
+        val jitter = pmod(conv(substring(md5(col("event_id").cast("string")),
+          1, 15), 16, 10).cast("long"), lit(86400000000L))
+        EventAnalytics.disorderProfile(
+            evPoints(s, dir).select(col("user_id"), col("event_id"),
+              col("tus"), (col("tus") + jitter).as("arr")),
+            "user_id", "tus", "arr", "event_id")
+          .select(col("user_id"), col("n"), col("n_late"),
+            col("max_lag_us"), col("p99_lag_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |a AS (SELECT user_id, event_id, tus,
+        |    tus + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 86400000000 AS arr FROM e),
+        |lg AS (SELECT user_id, arr, event_id,
+        |    CAST(MAX(tus) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus AS BIGINT) AS lag
+        |  FROM a),
+        |r AS (SELECT user_id, lag,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY lag, arr, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM lg),
+        |p99 AS (SELECT user_id, lag AS p99_lag_us FROM r WHERE rn = (99 * n + 99) // 100),
+        |ag AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lag > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |    CAST(MAX(lag) AS BIGINT) AS max_lag_us FROM lg GROUP BY user_id)
+        |SELECT ag.user_id, ag.n, ag.n_late, ag.max_lag_us, p99.p99_lag_us
+        |FROM ag JOIN p99 USING (user_id) ORDER BY ag.user_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1195,4 +1195,33 @@ object Curation {
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** CHAO1 CAPTURE-RECAPTURE richness estimate (Chao 1984/1987, the
+    * bias-corrected form): how many DISTINCT documents the full
+    * population likely holds, from the duplicate-count histogram of the
+    * crawled sample — `chao1 = d + f1·(f1−1) / (2·(f2+1))` where d =
+    * distinct fingerprints seen, f1/f2 = fingerprints seen exactly
+    * once/twice. The crawl-planning complement of dedup: singletons
+    * abundant relative to doubletons ⇒ the corpus has barely been
+    * touched and more crawling pays; f1 ≈ 0 ⇒ saturation. The corrected
+    * form is defined at f2 = 0 (no division by zero) — no branch needed.
+    *
+    * Everything before the estimate is integer-exact (two hash aggs:
+    * fingerprint → count, then the count histogram per group); the
+    * estimate itself is one division of two exact int64 products.
+    *
+    * Output per group: (grp, n_obs, d_distinct, f1, f2, chao1).
+    */
+  def chao1Estimate(df: DataFrame, grpCol: String, fpCol: Column): DataFrame =
+    df.select(col(grpCol), fpCol.as("__fp"))
+      .groupBy(col(grpCol), col("__fp")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(grpCol))
+      .agg(sum(col("__c")).as("n_obs"),
+        count(lit(1)).as("d_distinct"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        col("d_distinct").cast("double")
+          + (col("f1") * (col("f1") - 1L)).cast("double")
+            / (lit(2L) * (col("f2") + 1L)).cast("double"))
 }

@@ -225,4 +225,42 @@ object EventAnalytics {
       .withColumn("alarm", col("cusum") > lit(h))
       .drop("__p")
   }
+
+  /** DISORDER PROFILE — the empirical input for sizing every watermark
+    * in §2.10: per key, each row's LAG = (running max event time in
+    * ARRIVAL order) − its own event time, i.e. how late it arrived
+    * relative to the stream's high-water mark; the per-key max and
+    * rank-selected p99 of that lag are exactly the `withWatermark`
+    * delay that would keep 100% / 99% of this key's rows. An SLA set
+    * from guesses drops data or bloats state — this measures it.
+    *
+    * `arrivalCol` is the ingest order (a monotone ingest id or arrival
+    * time), `tieCol` a unique id breaking arrival ties (a ROWS frame
+    * over a non-unique order would otherwise make the running max
+    * depend on tie placement); p99 is the lag at rank `ceil(99·n/100)`
+    * — exact integer rank selection, no interpolation. Shape: two
+    * windows on the same key partitioning (arrival order, then lag
+    * order) + one hash agg — one shuffle on the key, all integers.
+    *
+    * Output: (key, n, n_late, max_lag_us, p99_lag_us).
+    */
+  def disorderProfile(events: DataFrame, keyCol: String, tusCol: String,
+                      arrivalCol: String, tieCol: String): DataFrame = {
+    val wArr = Window.partitionBy(col(keyCol))
+      .orderBy(col(arrivalCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagged = events
+      .withColumn("__lag", max(col(tusCol)).over(wArr) - col(tusCol))
+    val p99 = lagged
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("__lag"), col(arrivalCol), col(tieCol))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__rn") === expr("(99 * __n + 99) div 100"))
+      .select(col(keyCol), col("__lag").as("p99_lag_us"))
+    lagged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__lag") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("__lag")).as("max_lag_us"))
+      .join(p99, Seq(keyCol))
+  }
 }

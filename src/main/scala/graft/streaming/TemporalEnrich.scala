@@ -133,4 +133,61 @@ object TemporalEnrich {
           out.iterator
       }
   }
+
+  /** One drift observation for [[eventTimeCusum]]: `tie` breaks ordering
+    * ties (unique per (k, ts) for determinism).
+    */
+  final case class CusumInput(k: String, ts: Timestamp, tie: Long, drift: Long)
+
+  final case class CusumOut(k: String, ts: Long, tie: Long, drift: Long,
+      cusum: Long, alarm: Boolean)
+
+  /** Folded prefix state (p = running Σdrift, m = min prefix incl. 0)
+    * plus the rows still inside the disorder window.
+    */
+  final case class CusumState(p: Long, m: Long, pending: Seq[BufRow])
+
+  /** EVENT-TIME streaming CUSUM — the streaming twin of
+    * [[graft.ops.EventAnalytics.cusumDrift]]: `S_i = max(0, S_{i−1} +
+    * x_i)` is inherently sequential, so correctness under disorder means
+    * holding a row until the watermark proves nothing earlier can still
+    * arrive, then folding rows in exact (ts, tie) event order. Same
+    * buffering contract as [[eventTimeAsof]]: rows with `ts ≤ watermark`
+    * emit in order, later rows wait in state, and an event-time timeout
+    * wakes the group when the watermark passes its oldest pending row.
+    *
+    * State per key is the disorder window's rows plus TWO LONGS — the
+    * folded prefix sum `p` and prefix-min `m` (the closed form
+    * `S = p − m`, m seeded with P₀ = 0) — so the unbounded history costs
+    * constant state, exactly like the batch window formulation costs one
+    * sort. Run to completion (heartbeat past every event + the trailing
+    * timeout batch), the output equals the batch operator row for row.
+    */
+  def eventTimeCusum(in: Dataset[CusumInput], watermarkDelay: String,
+                     h: Long): Dataset[CusumOut] = {
+    import in.sparkSession.implicits._
+    in.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[CusumInput], state: GroupState[CusumState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(CusumState(0L, 0L, Nil))
+          val all = prev.pending ++
+            it.map(r => BufRow(r.ts.getTime, r.tie, r.drift))
+          val (ready, pending) = all.partition(_.tsMs <= wm)
+          var p = prev.p
+          var m = prev.m
+          val out = ready.sortBy(r => (r.tsMs, r.tie)).map { r =>
+            p += r.payload
+            if (p < m) m = p
+            val s = p - m
+            CusumOut(k, r.tsMs, r.tie, r.payload, s, s > h)
+          }
+          state.update(CusumState(p, m, pending))
+          pending.map(_.tsMs).minOption
+            .foreach(ts => state.setTimeoutTimestamp(ts))
+          out.iterator
+      }
+  }
 }

@@ -1277,4 +1277,29 @@ class OpsSpec extends SparkSpec {
         ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov")))).toMap
     assert(m == Map(1L -> ((3L, 1L)), 2L -> ((2L, 1L)), 3L -> ((4L, 3L))))
   }
+
+  test("disorderProfile measures arrival lag against the event-time high water mark") {
+    // arrival order (by arr): t=10, t=30, t=20, t=25 -> lags 0, 0, 10, 5;
+    // n_late 2, max 10; p99 rank ceil(99*4/100)=4 -> lag 10
+    val df = Seq((1L, 10L, 100L), (2L, 30L, 200L), (3L, 20L, 300L),
+      (4L, 25L, 400L)).map { case (id, t, a) => (id, "u", t, a) }
+      .toDF("id", "u", "tus", "arr")
+    val got = graft.ops.EventAnalytics.disorderProfile(df, "u", "tus", "arr", "id")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_late"),
+        r.getAs[Long]("max_lag_us"), r.getAs[Long]("p99_lag_us")))
+    assert(got.toSeq == Seq((4L, 2L, 10L, 10L)))
+  }
+
+  test("chao1Estimate: bias-corrected richness from the dup-count histogram") {
+    // group g: counts {a:1, b:1, c:2, d:3} -> d=4, f1=2, f2=1,
+    // chao1 = 4 + 2*1/(2*2) = 4.5; group h: all singletons f2=0 stays defined
+    val df = (Seq("a", "b", "c", "c", "d", "d", "d").map(("g", _)) ++
+      Seq("x", "y").map(("h", _))).toDF("grp", "v")
+    val got = graft.ops.Curation.chao1Estimate(df, "grp", col("v"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("d_distinct"), r.getAs[Long]("f1"),
+          r.getAs[Long]("f2"), r.getAs[Double]("chao1")))).toMap
+    assert(got("g") == ((4L, 2L, 1L, 4.5d)))
+    assert(got("h") == ((2L, 2L, 0L, 2d + 2d / 2d)))
+  }
 }

@@ -304,6 +304,22 @@ class PlanSpec extends SparkSpec {
     assert(!ov.contains("SortMergeJoin"), "token scan must not sort-merge")
   }
 
+  test("L93-L94 additions keep their intended plan shapes") {
+    // chao1: two hash aggregates (fp counts, then the histogram), no
+    // join anywhere — the estimate is pure aggregation
+    val ch = plan("c_chao1_estimate")
+    assert(!ch.contains("Join"), "chao1 must be join-free")
+    assert("HashAggregate".r.findAllIn(ch).size >= 2,
+      "chao1 should aggregate partial then final")
+    // disorder profile: both windows and the rollup share the user-key
+    // partitioning; the p99 join is equi on the key
+    val dp = plan("e_disorder_profile")
+    assert(dp.contains("hashpartitioning(user_id"),
+      "disorder windows must partition by the key")
+    assert(!dp.contains("CartesianProduct") && !dp.contains("BroadcastNestedLoopJoin"),
+      "p99 join must stay equi-keyed")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so

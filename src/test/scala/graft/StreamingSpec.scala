@@ -281,6 +281,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time cusum folds in exact event order despite disordered batches") {
+    import graft.streaming.TemporalEnrich
+    import graft.streaming.TemporalEnrich.{CusumInput, CusumOut}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CusumInput]
+    val out = TemporalEnrich.eventTimeCusum(input.toDS(), "10 seconds", h = 7L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("et_cusum_out").start()
+    try {
+      // batch 1 arrives OUT of event order: drifts in event order are
+      // 5 (t=1), -3 (t=2), 9 (t=3) -> S = 5, 2, 11; watermark after the
+      // batch is 20s-10s = 10s so all three finalize via the timeout batch
+      input.addData(
+        CusumInput("g", ts(3), 3L, 9L),
+        CusumInput("g", ts(1), 1L, 5L),
+        CusumInput("g", ts(2), 2L, -3L),
+        CusumInput("g", ts(20), 9L, 0L))
+      q.processAllAvailable()
+      // batch 2: a row at t=12 (AFTER the fold point 3, before 20) plus a
+      // far-future heartbeat on another key to flush everything: the
+      // carried (p, m) state continues the fold exactly: S(12) with
+      // x=-20 -> max(0, 11-20) = 0; S(20) with x=0 stays 0
+      input.addData(CusumInput("g", ts(12), 4L, -20L))
+      q.processAllAvailable()
+      input.addData(CusumInput("z", ts(100), 8L, 1L))
+      q.processAllAvailable()
+      input.addData(CusumInput("z", ts(101), 9L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("et_cusum_out").as[CusumOut]
+        .collect().filter(_.k == "g").sortBy(_.ts).toSeq
+      assert(got == Seq(
+        CusumOut("g", 1000L, 1L, 5L, 5L, alarm = false),
+        CusumOut("g", 2000L, 2L, -3L, 2L, alarm = false),
+        CusumOut("g", 3000L, 3L, 9L, 11L, alarm = true),
+        CusumOut("g", 12000L, 4L, -20L, 0L, alarm = false),
+        CusumOut("g", 20000L, 9L, 0L, 0L, alarm = false)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join over micro-batches equals the batch join") {
     import spark.implicits._
     // NOT epoch-0-based: rows at event times at/near the initial
