@@ -113,6 +113,22 @@ object SparkEntry {
       } catch { case _: Exception => () }
     }
 
+  /** Scope the session's shuffle-partition count down while building and
+    * running one streaming query: every state-store partition writes a
+    * delta + checkpoint per micro-batch, so at bench scale 32 partitions
+    * of near-empty state are pure fixed overhead (measured: the state
+    * checkpoint cycle dominates every streaming query's time at sf0.1).
+    * The conf is read at the stream's first batch and fixes the state
+    * layout for that checkpoint; production sizes it to the cluster.
+    * Restores the previous value even on failure.
+    */
+  private def withStreamingPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, math.min(8, old.toInt).toString)
+    try body finally s.conf.set(key, old)
+  }
+
   private def registry: Seq[Q] = Seq(
 
     // A1/A5/A9 + S1 scan: pricing summary, exact scaled-integer money.
@@ -1981,7 +1997,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // sketch exactly. The estimates table then reads the one-row grid
     // exactly like the batch flavor (sketch_cms_topk).
     Q("streaming_sketch",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         import graft.expr.{CmsSketch, CmsSketchAgg}
         val d = 3; val w = 256
         val cms = udaf(new CmsSketchAgg(d, w))
@@ -2034,7 +2050,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // into a memory sink. One batch pass = the batch rollup exactly, so
     // the batch SQL is a true oracle for the streaming trace.
     Q("streaming_curation",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         val path = s"$dir/documents.parquet"
         val schema = s.read.parquet(path).schema
         val name = "sc_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -2088,7 +2104,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // stream-mergeable by the same argument, demonstrated here and in
     // streaming_sketch.
     Q("streaming_bottomk",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         val base = Tables.documents(s, dir)
         val name = "bk_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_bk").toString
@@ -2225,7 +2241,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // oracle breaks on diff >= gap — deliberately different from
     // w1_sessionize's diff > gap reference semantics.
     Q("streaming_sessions",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         val path = s"$dir/events.parquet"
         val base = s.read.parquet(path)
         val schema = base.schema
@@ -2300,7 +2316,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // the trailing timeout micro-batch then flushes every pending left
     // (event-time timeouts wake each group without new data on it).
     Q("streaming_asof",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         import s.implicits._
         val path = s"$dir/events.parquet"
         val base = s.read.parquet(path)
@@ -2363,14 +2379,16 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
         |ORDER BY l.user_id, l.tus, l.event_id""".stripMargin)),
 
-    // §2.10 + L1 — STREAMING exact dedup: the stateful fingerprint
-    // aggregation (state = one entry per distinct (lang, fp)) run to
-    // completion with AvailableNow, then a batch rollup of the memory
-    // sink — per-lang distinct fingerprints, doc totals, and surplus dup
-    // copies. Survivor-independent outputs, so the batch SQL is an exact
-    // oracle regardless of micro-batch arrival order.
-    Q("streaming_dedup",
-      (s, dir) => {
+    // §2.10 + L1 — STREAMING exact dedup, AGGREGATION flavor: the
+    // stateful fingerprint aggregation (state = one entry per distinct
+    // (lang, fp)) run to completion with AvailableNow, then a batch
+    // rollup of the memory sink — per-lang distinct fingerprints, doc
+    // totals, and surplus dup copies. Survivor-independent outputs, so
+    // the batch SQL is an exact oracle regardless of micro-batch
+    // arrival order. (L82's `streaming_dedup` is the dropDuplicates
+    // operator flavor — same semantics, different state operator.)
+    Q("streaming_dedup_agg",
+      (s, dir) => withStreamingPartitions(s) {
         val path = s"$dir/documents.parquet"
         val schema = s.read.parquet(path).schema
         val name = "sdp_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -3477,7 +3495,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // is bit-identical to batch whatever the file split: the batch SQL
     // oracles a streaming trending rollup exactly.
     Q("streaming_decayed",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         val bucket = 86400000000L
         val path = s"$dir/events.parquet"
         val base = s.read.parquet(path)
@@ -3605,7 +3623,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // streamed state is bit-identical to batch whatever the file split —
     // the same exact SQL checks both flavors.
     Q("streaming_hh",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         val base = Tables.documents(s, dir)
         val name = "hh_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_hh").toString
@@ -3732,7 +3750,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // and the run-to-completion output equals the batch join exactly
     // whatever the file split; production sets the disorder SLA instead.
     Q("streaming_interval_join",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         val path = s"$dir/events.parquet"
         val base = s.read.parquet(path)
         val name = "ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -3913,7 +3931,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // commutative agg => run-to-completion equals the batch rollup
     // whatever the file split; the oracle is that batch rollup.
     Q("streaming_lm_familiarity",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         val base = Tables.documents(s, dir)
         val (c2, c1, vocab) = Curation.lmModel(
           base.filter(col("lang") === "en"), "text")
@@ -4378,7 +4396,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // makes the result a set — order-independent across any file
     // split, so the batch DISTINCT is an exact oracle.
     Q("streaming_dedup",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         val base = Tables.documents(s, dir)
         val name = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sd").toString
@@ -4702,7 +4720,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // flushes every group. Same oracle as e_cusum_drift (minus the
     // heartbeat), whatever the file split.
     Q("streaming_cusum",
-      (s, dir) => {
+      (s, dir) => withStreamingPartitions(s) {
         import s.implicits._
         val path = s"$dir/events.parquet"
         val base = s.read.parquet(path)
@@ -4846,8 +4864,14 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |FROM ag JOIN p99 USING (user_id) ORDER BY ag.user_id""".stripMargin))
   )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicated name would silently shadow the earlier query in the
+    // Map (it happened: two streaming_dedup flavors) — fail loudly
+    val names = registry.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     registry.map(q => q.name -> q.fn).toMap
+  }
 
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.sql.map(q.name -> _)).toMap
