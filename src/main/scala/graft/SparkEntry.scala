@@ -1947,6 +1947,36 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |FROM lbl l JOIN sz s ON s.component = l.component
         |ORDER BY l.doc_id""".stripMargin)),
 
+    // L95 — INCREMENTAL connected components: the previous run's labels
+    // are a star edge set (member—center, center = component min), so
+    // folding a day's new pairs into them via CC over [stars ∪ delta]
+    // reproduces full-history CC labels at O(|labels| + |delta|) cost —
+    // the oracle runs the full-graph recursive-CTE CC and must agree on
+    // every doc. "Old" = pairs among doc_id % 4 != 1 (the seen corpus),
+    // "new" = pairs touching a % 4 == 1 doc.
+    Q("dedup_components_incr",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(
+            TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+          .select(col("a"), col("b")).cache()
+        pairs.count() // eager: feeds both CC runs' per-round actions
+        val isNew = (c: org.apache.spark.sql.Column) =>
+          pmod(c, lit(4L)) === 1L
+        val oldLbl = Dedup.connectedComponents(
+          pairs.where(not(isNew(col("a"))) && not(isNew(col("b")))), "a", "b")
+        val merged = Dedup.incrementalComponents(
+          oldLbl.withColumnRenamed("id", "doc_id"),
+          pairs.where(isNew(col("a")) || isNew(col("b"))), "doc_id")
+        docs.select(col("doc_id"))
+          .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes
+        |SELECT doc_id, component FROM lbl ORDER BY doc_id""".stripMargin)),
+
     // L-series — INCREMENTAL dedup: the batch-arrival shape. Docs with
     // doc_id % 4 == 1 are the "new" batch; the rest are the seen corpus
     // whose signatures stand in for a persisted index. New signatures

@@ -489,6 +489,29 @@ object Dedup {
       .groupBy(col("id")).agg(min(col("component")).as("component"))
   }
 
+  /** INCREMENTAL component maintenance — fold a delta of new near-dup
+    * pairs into the labels of a previous [[connectedComponents]] run
+    * without touching the historical pair graph. The old labels ARE a
+    * star edge set (member—center, center = component minimum): stars
+    * preserve each old component's connectivity and its minimum, so CC
+    * over [old star edges ∪ delta pairs] yields exactly the labels CC
+    * would give over [all historical pairs ∪ delta]. Cost scales with
+    * |labeled nodes| + |delta| — the contracted graph — not with the
+    * pair count ever observed, which is what daily crawl increments
+    * need at 100 TB (labels persist between runs; pairs need not).
+    *
+    * `oldLabels`: (idCol, component). `newPairs`: (a, b). Output:
+    * (id, component) for every node incident to a star or delta edge;
+    * untouched singletons stay absent, as in [[connectedComponents]].
+    */
+  def incrementalComponents(oldLabels: DataFrame, newPairs: DataFrame,
+                            idCol: String): DataFrame =
+    connectedComponents(
+      oldLabels.where(col(idCol) =!= col("component"))
+        .select(col(idCol).as("a"), col("component").as("b"))
+        .union(newPairs.select(col("a"), col("b"))),
+      "a", "b")
+
   /** Large-star round: every node connects its LARGER neighbors to the
     * minimum of its closed neighborhood — inter-component connectivity
     * is preserved, long chains halve. Canonical (u < v) in and out. */

@@ -1278,6 +1278,22 @@ class OpsSpec extends SparkSpec {
     assert(m == Map(1L -> ((3L, 1L)), 2L -> ((2L, 1L)), 3L -> ((4L, 3L))))
   }
 
+  test("incrementalComponents(stars ∪ delta) equals full-history CC") {
+    // old graph: {1,2,3} (min 1) and {10,11} (min 10); the delta edge
+    // (3,10) merges them (min must propagate to 1 across the star
+    // boundary) and (20,21) opens a brand-new component
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val delta = Seq((3L, 10L), (20L, 21L)).toDF("a", "b")
+    val oldLbl = graft.ops.Dedup.connectedComponents(oldPairs, "a", "b")
+    val incr = graft.ops.Dedup.incrementalComponents(oldLbl, delta, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.ops.Dedup.connectedComponents(
+        oldPairs.union(delta), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full)
+    assert(incr(11L) == 1L && incr(21L) == 20L)
+  }
+
   test("disorderProfile measures arrival lag against the event-time high water mark") {
     // arrival order (by arr): t=10, t=30, t=20, t=25 -> lags 0, 0, 10, 5;
     // n_late 2, max 10; p99 rank ceil(99*4/100)=4 -> lag 10
