@@ -1947,6 +1947,42 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |FROM lbl l JOIN sz s ON s.component = l.component
         |ORDER BY l.doc_id""".stripMargin)),
 
+    // L96 — PER-SOURCE QUALITY DRIFT: lower-median n_chars per (source,
+    // ingest decile), then the per-source OLS slope with the division
+    // cleared — (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) — integers end to end,
+    // the one division last. Ingest decile = (doc_id·10) div (max+1)
+    // (ids are assigned on ingest; the corpus has no crawl timestamp).
+    Q("c_quality_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mx = docs.agg(max(col("doc_id")).as("__mx"))
+        Curation.qualityDrift(
+            docs.crossJoin(broadcast(mx))
+              .select(col("source"),
+                expr("(doc_id * 10) div (__mx + 1)").as("wk"),
+                col("n_chars")),
+            "source", "wk", "n_chars")
+          .orderBy(col("source"))
+      },
+      Some("""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |b AS (SELECT source, (doc_id * 10) // (mx.m + 1) AS wk, n_chars
+        |  FROM documents, mx),
+        |r AS (SELECT source, wk, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source, wk ORDER BY n_chars) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source, wk) AS BIGINT) AS n FROM b),
+        |md AS (SELECT source, wk AS x, n_chars AS y FROM r WHERE rn = (n + 1) // 2),
+        |ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+        |    SUM(x::HUGEINT * y::HUGEINT) AS sxy,
+        |    SUM(x::HUGEINT * x::HUGEINT) AS sxx FROM md GROUP BY source)
+        |SELECT source, n_buckets,
+        |  CAST(n_buckets::HUGEINT * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n_buckets::HUGEINT * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CASE WHEN n_buckets::HUGEINT * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(n_buckets::HUGEINT * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_buckets::HUGEINT * sxx - sx * sx AS DOUBLE) END AS slope
+        |FROM ag ORDER BY source""".stripMargin)),
+
     // L95 — INCREMENTAL connected components: the previous run's labels
     // are a star edge set (member—center, center = component min), so
     // folding a day's new pairs into them via CC over [stars ∪ delta]

@@ -1212,6 +1212,54 @@ object Curation {
     *
     * Output per group: (grp, n_obs, d_distinct, f1, f2, chao1).
     */
+  /** PER-SOURCE QUALITY DRIFT: is a source degrading as the crawl
+    * advances? Per (group, ingest bucket) take the LOWER MEDIAN of the
+    * quality metric (rank-selected — robust, integer), then fit the
+    * per-group OLS trend over (bucket, median) with the division
+    * cleared: `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` reported as
+    * exact integer numerator/denominator in decimal(38,0) plus the one
+    * final division (NULL when a group has < 2 distinct buckets). A
+    * negative slope on a source's median quality is the signal FineWeb-
+    * style pipelines act on per dump.
+    *
+    * Shape: the median pass is one shuffle on (group, bucket) + a
+    * rank window; the regression input is \|groups\|·\|buckets\| rows —
+    * trivially small — aggregated per group. Output: (grp, n_buckets,
+    * slope_num, slope_den, slope).
+    */
+  def qualityDrift(df: DataFrame, grpCol: String, bucketCol: String,
+                   valCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val med = df.select(col(grpCol), col(bucketCol), col(valCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(grpCol), col(bucketCol))
+          .orderBy(col(valCol))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(grpCol), col(bucketCol))))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(grpCol), col(bucketCol).as("__x"), col(valCol).as("__y"))
+    med.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__x").cast(d38)).as("__sx"),
+        sum(col("__y").cast(d38)).as("__sy"),
+        sum((col("__x") * col("__y")).cast(d38)).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(d38)).as("__sxx"))
+      .withColumn("slope_num",
+        col("n_buckets").cast(d38) * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("slope_den",
+        col("n_buckets").cast(d38) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope",
+        when(col("slope_den") === 0, lit(null).cast("double"))
+          .otherwise(col("slope_num").cast("double")
+            / col("slope_den").cast("double")))
+      // arithmetic stays decimal(38,0); the REPORTED num/den cast to
+      // BIGINT (n²·maxY range — ANSI mode fails loudly if that is ever
+      // exceeded rather than truncating)
+      .select(col(grpCol), col("n_buckets"),
+        col("slope_num").cast("long").as("slope_num"),
+        col("slope_den").cast("long").as("slope_den"), col("slope"))
+  }
+
   def chao1Estimate(df: DataFrame, grpCol: String, fpCol: Column): DataFrame =
     df.select(col(grpCol), fpCol.as("__fp"))
       .groupBy(col(grpCol), col("__fp")).agg(count(lit(1)).as("__c"))

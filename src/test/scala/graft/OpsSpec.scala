@@ -1278,6 +1278,20 @@ class OpsSpec extends SparkSpec {
     assert(m == Map(1L -> ((3L, 1L)), 2L -> ((2L, 1L)), 3L -> ((4L, 3L))))
   }
 
+  test("qualityDrift fits the exact integer OLS slope over bucket medians") {
+    // src a: bucket medians (0,10), (1,20), (2,30) -> slope exactly 10
+    // (num 60, den 6); src b: one bucket -> den 0, slope NULL
+    val df = Seq(("a", 0L, 9L), ("a", 0L, 10L), ("a", 0L, 11L),
+      ("a", 1L, 20L), ("a", 2L, 30L), ("b", 0L, 5L))
+      .toDF("src", "wk", "v")
+    val got = graft.ops.Curation.qualityDrift(df, "src", "wk", "v")
+      .collect().map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("slope_num"),
+          r.getAs[Long]("slope_den"), Option(r.get(4))))).toMap
+    assert(got("a") == ((3L, 60L, 6L, Some(10.0d))))
+    assert(got("b") == ((1L, 0L, 0L, None)))
+  }
+
   test("incrementalComponents(stars ∪ delta) equals full-history CC") {
     // old graph: {1,2,3} (min 1) and {10,11} (min 10); the delta edge
     // (3,10) merges them (min must propagate to 1 across the star
