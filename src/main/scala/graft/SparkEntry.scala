@@ -1947,6 +1947,40 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |FROM lbl l JOIN sz s ON s.component = l.component
         |ORDER BY l.doc_id""".stripMargin)),
 
+    // L97 — PREFIX-FILTERING similarity join (PPJoin candidate rule):
+    // shingles sorted by one global rarest-first order; a Jaccard ≥ 0.8
+    // pair must collide inside each other's (n − ceil(0.8n) + 1)-token
+    // prefix — recall 1 by theorem, candidates far tighter than
+    // "shares any rare token"; exact verify restores precision. Same
+    // output contract as dedup_ngram_jaccard (OpsSpec asserts result
+    // equality with the uncapped Jaccard path).
+    Q("dedup_ppjoin",
+      (s, dir) => Dedup.prefixFilterPairs(
+          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          "doc_id", tNum = 4, tDen = 5)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH $shingleSqlCte,
+        |f AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sd GROUP BY shingle),
+        |k AS (SELECT sd.doc_id, printf('%012d', f.df) || '|' || sd.shingle AS key
+        |  FROM sd JOIN f USING (shingle)),
+        |arr AS (SELECT doc_id, list_sort(list(key)) AS ks,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY doc_id),
+        |pre AS (SELECT doc_id, unnest(ks[1 : CAST(n - (4*n + 4)//5 + 1 AS INTEGER)]) AS key
+        |  FROM arr),
+        |cand AS (SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b
+        |  FROM pre pa JOIN pre pb ON pa.key = pb.key AND pa.doc_id < pb.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sd GROUP BY doc_id)
+        |SELECT co.a, co.b, CAST(co.common AS BIGINT) AS common,
+        |  CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) AS jaccard
+        |FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b
+        |WHERE CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) >= 0.8
+        |ORDER BY a, b""".stripMargin)),
+
     // L96 — PER-SOURCE QUALITY DRIFT: lower-median n_chars per (source,
     // ingest decile), then the per-source OLS slope with the division
     // cleared — (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) — integers end to end,

@@ -214,6 +214,48 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("na"), col("nb"),
         col("containment"))
 
+  /** PREFIX-FILTERING similarity join (the PPJoin candidate rule, Xiao
+    * et al. 2008): with every doc's shingles sorted by ONE global order
+    * (ascending document frequency, rarest first), any pair with
+    * Jaccard ≥ num/den MUST share a token inside each other's first
+    * `n − ceil(t·n) + 1` tokens — so equi-joining on prefix tokens has
+    * recall 1 BY THEOREM, with a candidate set far tighter than
+    * "shares any rare token" (the prefix is ~(1−t)·n tokens, and they
+    * are the rarest ones). Exact Jaccard verify restores precision.
+    *
+    * The prefix length is computed in integers (`ceil(t·n) =
+    * (num·n + den − 1) div den`), and the global order rides a string
+    * key `zeropad(df) || '|' || shingle` so both engines sort
+    * identically. Shape: one df agg, one per-doc sort of its own
+    * shingle list (array-local), an equi join on the prefix key, then
+    * the standard verify — no window, no cross product.
+    *
+    * Output: (a, b, common, jaccard), a < b, Jaccard ≥ num/den.
+    */
+  def prefixFilterPairs(sd0: DataFrame, idCol: String,
+                        tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 1 && tNum <= tDen, s"need a threshold in (0,1], got $tNum/$tDen")
+    val sd = sd0.cache()
+    sd.count() // eager: feeds df, prefix, and both verify sides of one action
+    val dfreq = sd.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val pre = sd.join(dfreq, "shingle")
+      .select(col(idCol),
+        concat(lpad(col("__df").cast("string"), 12, "0"), lit("|"),
+          col("shingle")).as("__key"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__key"))).as("__ks"))
+      .withColumn("__n", size(col("__ks")).cast("long"))
+      .withColumn("__p",
+        col("__n") - expr(s"($tNum * __n + ${tDen - 1}) div $tDen") + lit(1L))
+      .select(col(idCol),
+        explode(expr("slice(__ks, 1, cast(__p as int))")).as("__key"))
+    val cand = pre.select(col(idCol).as("a"), col("__key"))
+      .join(pre.select(col(idCol).as("b"), col("__key")), Seq("__key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    jaccardVerify(cand, sd, idCol, tNum.toDouble / tDen)
+  }
+
   /** Shared core of [[ngramJaccardPairs]] / [[containmentPairs]]:
     * (a, b, common, na, nb) for every pair sharing ≥1 rare
     * (df ≤ maxShingleDocFreq) shingle, with `common` exact over ALL

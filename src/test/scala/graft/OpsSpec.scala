@@ -1278,6 +1278,23 @@ class OpsSpec extends SparkSpec {
     assert(m == Map(1L -> ((3L, 1L)), 2L -> ((2L, 1L)), 3L -> ((4L, 3L))))
   }
 
+  test("prefixFilterPairs equals the exhaustive Jaccard path (recall 1)") {
+    // d1/d2 differ in one trailing token: J = 35/41 ≈ 0.854 ≥ 0.8;
+    // d3 shares nothing. The PPJoin candidate rule must find exactly
+    // what the exhaustive rare-shingle path finds.
+    val w = (1 to 40).map(i => s"w$i")
+    val docs = Seq((1L, w.mkString(" ")),
+      (2L, (w.init :+ "zz").mkString(" ")),
+      (3L, w.map(_ + "x").mkString(" "))).toDF("doc_id", "text")
+    val sd = graft.ops.TextOps.shingleTable(docs, "doc_id", "text", 3)
+    val pp = graft.ops.Dedup.prefixFilterPairs(sd, "doc_id", 4, 5)
+      .collect().toSet
+    val nj = graft.ops.Dedup.ngramJaccardPairs(sd, "doc_id", 0.8)
+      .collect().toSet
+    assert(pp == nj)
+    assert(pp.size == 1 && pp.head.getLong(0) == 1L && pp.head.getLong(1) == 2L)
+  }
+
   test("qualityDrift fits the exact integer OLS slope over bucket medians") {
     // src a: bucket medians (0,10), (1,20), (2,30) -> slope exactly 10
     // (num 60, den 6); src b: one bucket -> den 0, slope NULL
