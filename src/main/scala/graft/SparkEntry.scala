@@ -1947,6 +1947,44 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |FROM lbl l JOIN sz s ON s.component = l.component
         |ORDER BY l.doc_id""".stripMargin)),
 
+    // L98 — BORDA RANK FUSION of three quality signals per language
+    // (length, scaled type-token ratio, scaled avg word length):
+    // scale-free blend = sum of within-group ranks, re-ranked; all
+    // integers, deterministic ties by doc_id.
+    Q("c_rank_fusion",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+            size(array_distinct(toks)).cast("long").as("__dt"),
+            greatest(size(toks).cast("long"), lit(1L)).as("__nt"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            expr("__dt * 1000000L div __nt").as("ttr_e6"),
+            expr("cast(length(text) as bigint) * 1000L div __nt").as("awl_e3"))
+        Curation.rankFusion(base, "lang", "doc_id",
+            Seq("n_chars", "ttr_e6", "awl_e3"))
+          .select(col("doc_id"), col("lang"), col("rank_n_chars"),
+            col("rank_ttr_e6"), col("rank_awl_e3"), col("borda"),
+            col("fused_rank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |sg AS (SELECT d.doc_id, d.lang, dd.n_chars,
+        |    CAST(len(list_distinct(d.toks))::BIGINT * 1000000
+        |      // greatest(len(d.toks), 1) AS BIGINT) AS ttr_e6,
+        |    CAST(length(dd.text)::BIGINT * 1000
+        |      // greatest(len(d.toks), 1) AS BIGINT) AS awl_e3
+        |  FROM d JOIN documents dd USING (doc_id)),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY ttr_e6 DESC, doc_id) AS BIGINT) AS rank_ttr_e6,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY awl_e3 DESC, doc_id) AS BIGINT) AS rank_awl_e3
+        |  FROM sg),
+        |b AS (SELECT *, rank_n_chars + rank_ttr_e6 + rank_awl_e3 AS borda FROM r)
+        |SELECT doc_id, lang, rank_n_chars, rank_ttr_e6, rank_awl_e3, borda,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY borda, doc_id) AS BIGINT) AS fused_rank
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
     // L97 — PREFIX-FILTERING similarity join (PPJoin candidate rule):
     // shingles sorted by one global rarest-first order; a Jaccard ≥ 0.8
     // pair must collide inside each other's (n − ceil(0.8n) + 1)-token

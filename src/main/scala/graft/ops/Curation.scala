@@ -1196,6 +1196,37 @@ object Curation {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** BORDA RANK FUSION of quality signals: independent heuristics
+    * (length, type-token ratio, LM familiarity, classifier scores …)
+    * disagree on scale and distribution, so averaging raw scores lets
+    * one signal's variance dominate; ranking each signal WITHIN the
+    * calibration group and summing the ranks (Borda) is the standard
+    * scale-free fusion (the FineWeb-Edu-style multi-classifier blend).
+    * Every rank is `row_number` over (signal DESC, id) — deterministic
+    * under ties — and the fused order re-ranks the rank sum: integers
+    * end to end, no normalization constants to disagree on.
+    *
+    * Scale note: per-group windows carry the calibrated-gate skew
+    * caveat — at 100 TB the production swap is per-signal quantile
+    * sketches (L45) broadcast as map-side bucket ranks; this exact-rank
+    * version is the reference semantics.
+    *
+    * Output: input + (rank_<signal>…, borda, fused_rank). */
+  def rankFusion(df: DataFrame, grpCol: String, idCol: String,
+                 signals: Seq[String]): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal column")
+    val ranked = signals.foldLeft(df) { (acc, sig) =>
+      acc.withColumn(s"rank_$sig", row_number().over(
+        Window.partitionBy(col(grpCol)).orderBy(col(sig).desc, col(idCol)))
+        .cast("long"))
+    }
+    ranked
+      .withColumn("borda", signals.map(s => col(s"rank_$s")).reduce(_ + _))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col(grpCol)).orderBy(col("borda"), col(idCol)))
+        .cast("long"))
+  }
+
   /** CHAO1 CAPTURE-RECAPTURE richness estimate (Chao 1984/1987, the
     * bias-corrected form): how many DISTINCT documents the full
     * population likely holds, from the duplicate-count histogram of the

@@ -1278,6 +1278,17 @@ class OpsSpec extends SparkSpec {
     assert(m == Map(1L -> ((3L, 1L)), 2L -> ((2L, 1L)), 3L -> ((4L, 3L))))
   }
 
+  test("rankFusion sums within-group ranks and breaks Borda ties by id") {
+    val df = Seq((1L, "g", 10L, 5L), (2L, "g", 5L, 10L), (3L, "g", 1L, 1L),
+      (4L, "h", 7L, 7L)).toDF("id", "grp", "s1", "s2")
+    val got = graft.ops.Curation.rankFusion(df, "grp", "id", Seq("s1", "s2"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("borda"), r.getAs[Long]("fused_rank")))).toMap
+    // g: s1 ranks 1,2,3; s2 ranks 2,1,3 -> borda 3,3,6; tie 1-vs-2 by id
+    assert(got == Map(1L -> ((3L, 1L)), 2L -> ((3L, 2L)), 3L -> ((6L, 3L)),
+      4L -> ((2L, 1L))))
+  }
+
   test("prefixFilterPairs equals the exhaustive Jaccard path (recall 1)") {
     // d1/d2 differ in one trailing token: J = 35/41 ≈ 0.854 ≥ 0.8;
     // d3 shares nothing. The PPJoin candidate rule must find exactly
