@@ -2019,6 +2019,44 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |WHERE CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) >= 0.8
         |ORDER BY a, b""".stripMargin)),
 
+    // L99 — BEST-QUALITY CANONICAL per near-dup component: production
+    // dedup keeps the best COPY, not the smallest id — per component,
+    // canonical = argmax quality (tie: min doc_id) via one window over
+    // the component partition; is_kept marks survivors. Composes L-CC
+    // labels with the quality signal.
+    Q("dedup_canonical_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(
+          TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+        val cc = Dedup.connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+        val lbl = docs.select(col("doc_id"), col("n_chars"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+        // argmax by order-insensitive struct-min (a windowed first() over
+        // an unordered partition would be row-order-dependent)
+        val cano = lbl.groupBy(col("component"))
+          .agg(min(struct((lit(0L) - col("n_chars")).as("nq"),
+            col("doc_id").as("id"))).as("m"))
+          .select(col("component"), col("m.id").as("canonical"))
+        lbl.join(cano, "component")
+          .select(col("doc_id"), col("component"), col("n_chars"),
+            col("canonical"), (col("doc_id") === col("canonical")).as("is_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |lq AS (SELECT l.doc_id, l.component, d.n_chars
+        |  FROM lbl l JOIN documents d USING (doc_id)),
+        |cn AS (SELECT component, doc_id AS canonical FROM (
+        |    SELECT component, doc_id, row_number() OVER (
+        |      PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM lq) t WHERE rn = 1)
+        |SELECT lq.doc_id, lq.component, lq.n_chars, cn.canonical,
+        |  lq.doc_id = cn.canonical AS is_kept
+        |FROM lq JOIN cn USING (component) ORDER BY lq.doc_id""".stripMargin)),
+
     // L96 — PER-SOURCE QUALITY DRIFT: lower-median n_chars per (source,
     // ingest decile), then the per-source OLS slope with the division
     // cleared — (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) — integers end to end,
