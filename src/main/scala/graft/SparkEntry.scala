@@ -2019,6 +2019,38 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |WHERE CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) >= 0.8
         |ORDER BY a, b""".stripMargin)),
 
+    // L100 — CROSS-SOURCE DUPLICATION FLOW: which sources copy which —
+    // for every near-dup component spanning ≥2 sources, count the
+    // (source, source) pairs it links; a hot (A, B) cell means A
+    // scrapes/mirrors B and one of them should be down-weighted before
+    // training. Per-component distinct source lists are tiny, so the
+    // pair explosion is |sources-per-component|² — bounded — and the
+    // rollup is one hash agg on the (sa, sb) cell.
+    Q("dedup_source_flow",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(
+          TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+        val cc = Dedup.connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+        val cs = docs.select(col("doc_id"), col("source")).join(cc, "doc_id")
+          .select(col("component"), col("source")).distinct()
+        cs.as("x").join(cs.as("y"), Seq("component"))
+          .filter(col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(countDistinct(col("component")).as("n_components"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |multi AS (SELECT component FROM lbl GROUP BY component HAVING COUNT(*) > 1),
+        |cs AS (SELECT DISTINCT l.component, d.source
+        |  FROM lbl l JOIN multi m ON m.component = l.component
+        |  JOIN documents d ON d.doc_id = l.doc_id)
+        |SELECT x.source AS src_a, y.source AS src_b,
+        |  CAST(COUNT(DISTINCT x.component) AS BIGINT) AS n_components
+        |FROM cs x JOIN cs y ON x.component = y.component AND x.source < y.source
+        |GROUP BY x.source, y.source ORDER BY src_a, src_b""".stripMargin)),
+
     // L99 — BEST-QUALITY CANONICAL per near-dup component: production
     // dedup keeps the best COPY, not the smallest id — per component,
     // canonical = argmax quality (tie: min doc_id) via one window over
