@@ -320,6 +320,25 @@ class PlanSpec extends SparkSpec {
       "p99 join must stay equi-keyed")
   }
 
+  test("L95-L100 additions keep their intended plan shapes") {
+    // ppjoin: candidates join equi on the prefix key; never a cartesian
+    val pp = plan("dedup_ppjoin")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      "ppjoin candidates must stay equi-keyed on the prefix token")
+    // rank fusion: every window partitions by the calibration group —
+    // no single-partition global sort anywhere
+    val rf = plan("c_rank_fusion")
+    assert(rf.contains("hashpartitioning(lang"),
+      "fusion windows must partition by the group")
+    assert(!rf.contains("SinglePartition"),
+      "fusion must not plan a single-partition window")
+    // canonical-best / source-flow: CC composition stays equi-joined
+    for (q <- Seq("dedup_canonical_best", "dedup_source_flow")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
