@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import java.io.ByteArrayInputStream
+
+import javax.sound.sampled.AudioSystem
+
+/** S3 — HEADER-LEVEL duration/rate probe for containers the JVM cannot
+  * decode. The reference globs six formats and ffprobe-style metadata is
+  * enough for the S3 duration gate and the S1 manifest stats — decoding
+  * is only needed once a file passes them. All parsing here is from the
+  * public container specs, pure JVM, reads only the first few hundred
+  * bytes:
+  *
+  *  - WAV/AIFF/AU: `javax.sound` file-format headers (frame count /
+  *    frame rate), no sample decode.
+  *  - FLAC: the mandatory STREAMINFO block (sample rate 20 bits, total
+  *    samples 36 bits) right after the `fLaC` magic.
+  *  - MP3: skip an ID3v2 tag (syncsafe size), parse the first MPEG audio
+  *    frame header (version/layer/bitrate/samplerate tables); duration
+  *    is the CBR estimate `bytes·8/bitrate` — exact for CBR files, a
+  *    documented estimate for VBR (a Xing/VBRI walk needs the full
+  *    frame chain; out of scope).
+  *
+  * The probe NEVER throws on foreign bytes — `None` routes the file to
+  * the S10 failed-status path, same as decode failures.
+  */
+object AudioProbe {
+
+  /** (container, sampleRate Hz, duration µs, exact?) — `exact = false`
+    * marks the MP3 CBR estimate.
+    */
+  final case class Probe(container: String, sampleRate: Int,
+      durationUs: Long, exact: Boolean)
+
+  def probe(bytes: Array[Byte]): Option[Probe] =
+    if (bytes == null || bytes.length < 12) None
+    else if (bytes.startsWith("fLaC".getBytes)) probeFlac(bytes)
+    else if (bytes.startsWith("ID3".getBytes) || isMp3Sync(bytes, 0))
+      probeMp3(bytes)
+    else probeJavaSound(bytes)
+
+  private def probeJavaSound(bytes: Array[Byte]): Option[Probe] =
+    try {
+      val f = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val fmt = f.getFormat
+      val frames = f.getFrameLength.toLong
+      if (frames <= 0 || fmt.getFrameRate <= 0) None
+      else Some(Probe(f.getType.toString.toLowerCase,
+        math.round(fmt.getSampleRate),
+        math.round(frames * 1e6d / fmt.getFrameRate),
+        exact = true))
+    } catch { case _: Exception => None }
+
+  private def u(b: Byte): Int = b & 0xff
+
+  /** STREAMINFO (spec §9.1): after the 4-byte magic, block header
+    * (1 byte type+last, 3 bytes length = 34), then the 34-byte body:
+    * sample rate = 20 bits at body offset 10, total samples = the low
+    * 4 bits of byte 13 and bytes 14-17.
+    */
+  private def probeFlac(bytes: Array[Byte]): Option[Probe] = {
+    if (bytes.length < 8 + 34) return None
+    if ((u(bytes(4)) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val b = 8 // body start
+    val sr = (u(bytes(b + 10)) << 12) | (u(bytes(b + 11)) << 4) | (u(bytes(b + 12)) >> 4)
+    val total = ((u(bytes(b + 13)) & 0x0f).toLong << 32) |
+      (u(bytes(b + 14)).toLong << 24) | (u(bytes(b + 15)).toLong << 16) |
+      (u(bytes(b + 16)).toLong << 8) | u(bytes(b + 17)).toLong
+    if (sr <= 0 || total <= 0) None
+    else Some(Probe("flac", sr, total * 1000000L / sr, exact = true))
+  }
+
+  private def isMp3Sync(bytes: Array[Byte], off: Int): Boolean =
+    bytes.length >= off + 4 && u(bytes(off)) == 0xff && (u(bytes(off + 1)) & 0xe0) == 0xe0
+
+  // bitrate (kbps) and sample-rate tables for Layer III (public spec);
+  // index 0 = "free", 15 = invalid
+  private val brV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val brV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val srV1 = Array(44100, 48000, 32000)
+  private val srV2 = Array(22050, 24000, 16000)
+  private val srV25 = Array(11025, 12000, 8000)
+
+  private def probeMp3(bytes: Array[Byte]): Option[Probe] = {
+    // ID3v2: "ID3" ver(2) flags(1) size(4 × 7-bit syncsafe)
+    val start =
+      if (bytes.startsWith("ID3".getBytes) && bytes.length >= 10) {
+        val sz = (u(bytes(6)) << 21) | (u(bytes(7)) << 14) |
+          (u(bytes(8)) << 7) | u(bytes(9))
+        10 + sz
+      } else 0
+    if (!isMp3Sync(bytes, start)) return None
+    val h1 = u(bytes(start + 1)); val h2 = u(bytes(start + 2))
+    val version = (h1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layer = (h1 >> 1) & 0x3   // 1=Layer III
+    if (version == 1 || layer != 1) return None
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val kbps = if (version == 3) brV1(brIdx) else brV2(brIdx)
+    val sr = version match {
+      case 3 => srV1(srIdx)
+      case 2 => srV2(srIdx)
+      case _ => srV25(srIdx)
+    }
+    val payload = (bytes.length - start).toLong
+    Some(Probe("mp3", sr, payload * 8000000L / (kbps * 1000L), exact = false))
+  }
+}

@@ -169,6 +169,35 @@ class PipelineSpec extends SparkSpec {
     assert(decoded.forall(_.waveform.length == fx.waveform.length))
   }
 
+  test("AudioProbe reads header-level duration for WAV, FLAC, and MP3 (CBR)") {
+    import graft.pipeline.{AudioProbe, WavAudio}
+    // WAV: 1 s at 16 kHz through javax.sound file-format headers
+    val wav = WavAudio.encode(16000, new Array[Float](16000))
+    val pw = AudioProbe.probe(wav).get
+    assert(pw.container == "wave" && pw.sampleRate == 16000
+      && pw.durationUs == 1000000L && pw.exact)
+    // FLAC: handcrafted STREAMINFO — 44100 samples at 22050 Hz = 2 s
+    val flac = new Array[Byte](8 + 34)
+    "fLaC".getBytes.copyToArray(flac, 0)
+    flac(4) = 0x00; flac(7) = 34 // STREAMINFO block, length 34
+    val b = 8
+    flac(b + 10) = 0x05; flac(b + 11) = 0x62; flac(b + 12) = 0x20 // sr 22050
+    flac(b + 16) = 0xac.toByte; flac(b + 17) = 0x44 // total 44100
+    val pf = AudioProbe.probe(flac).get
+    assert(pf.container == "flac" && pf.sampleRate == 22050
+      && pf.durationUs == 2000000L && pf.exact)
+    // MP3: ID3v2 tag (size 0) + one MPEG1 Layer III header at 128 kbps /
+    // 44.1 kHz, 16000 payload bytes -> exactly 1 s at CBR
+    val mp3 = new Array[Byte](10 + 16000)
+    "ID3".getBytes.copyToArray(mp3, 0)
+    mp3(10) = 0xff.toByte; mp3(11) = 0xfb.toByte; mp3(12) = 0x90.toByte
+    val pm = AudioProbe.probe(mp3).get
+    assert(pm.container == "mp3" && pm.sampleRate == 44100
+      && pm.durationUs == 1000000L && !pm.exact)
+    // foreign bytes: None, never a throw (the S10 contract)
+    assert(AudioProbe.probe("not audio at all".getBytes ++ new Array[Byte](64)).isEmpty)
+  }
+
   test("S10: a corrupt payload among good ones yields a failed-status row, not a job abort") {
     import graft.pipeline.WavAudio
     val good = Seq("a", "b", "c").map { f =>
