@@ -32,6 +32,20 @@ object AudioProbe {
   final case class Probe(container: String, sampleRate: Int,
       durationUs: Long, exact: Boolean)
 
+  /** S3 pre-decode duration gate (`vad_multi.py:12-16,31`): header-probe
+    * every payload and keep those with duration in [minSec, maxSec];
+    * probe failure reports duration 0 (the reference's get_duration
+    * failure contract), so any minSec > 0 drops undecodable files
+    * before the expensive decode stage ever sees them.
+    */
+  def probeGate(ds: org.apache.spark.sql.Dataset[(String, Array[Byte])],
+                minSec: Double, maxSec: Double = Double.MaxValue):
+      org.apache.spark.sql.Dataset[(String, Array[Byte])] =
+    ds.filter { x: (String, Array[Byte]) =>
+      val durSec = probe(x._2).map(_.durationUs / 1e6d).getOrElse(0d)
+      durSec >= minSec && durSec <= maxSec
+    }
+
   def probe(bytes: Array[Byte]): Option[Probe] =
     if (bytes == null || bytes.length < 12) None
     else if (bytes.startsWith("fLaC".getBytes)) probeFlac(bytes)

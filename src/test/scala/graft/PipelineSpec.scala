@@ -196,6 +196,14 @@ class PipelineSpec extends SparkSpec {
       && pm.durationUs == 1000000L && !pm.exact)
     // foreign bytes: None, never a throw (the S10 contract)
     assert(AudioProbe.probe("not audio at all".getBytes ++ new Array[Byte](64)).isEmpty)
+    // the pre-decode gate: keep only payloads probing inside the band;
+    // garbage probes as duration 0 and is dropped by minSec > 0
+    val ds = Seq(
+      ("short.wav", WavAudio.encode(16000, new Array[Float](8000))),
+      ("long.wav", wav),
+      ("junk.bin", "zz".getBytes ++ new Array[Byte](64))).toDS()
+    val kept = AudioProbe.probeGate(ds, minSec = 0.9).collect().map(_._1)
+    assert(kept.toSeq == Seq("long.wav"))
   }
 
   test("S10: a corrupt payload among good ones yields a failed-status row, not a job abort") {
