@@ -1236,6 +1236,38 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b)
         |SELECT a, b, common, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin)),
 
+    // L101 — DEDUP THRESHOLD SENSITIVITY CURVE: pair yield at five
+    // Jaccard thresholds from ONE commons pass (the candidate stage is
+    // threshold-independent); gates integer cross-multiplied, unpivot
+    // via stack. The tuning artifact every dedup rollout reads first.
+    Q("dedup_threshold_curve",
+      (s, dir) => Dedup.thresholdCurve(
+          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          "doc_id", 50L, Seq((5, 10), (6, 10), (7, 10), (8, 10), (9, 10)))
+        .orderBy(col("t_permille")),
+      Some(s"""WITH $shingleSqlCte,
+        |fq AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sd GROUP BY shingle) t
+        |  WHERE df <= 50),
+        |rs AS (SELECT sd.doc_id, sd.shingle FROM sd JOIN fq ON fq.shingle = sd.shingle),
+        |cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+        |  FROM rs sa JOIN rs sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sd x ON x.doc_id = c.a
+        |    JOIN sd y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sd GROUP BY doc_id),
+        |j AS (SELECT co.common, na.n_sh AS na, nb.n_sh AS nb
+        |  FROM co JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b),
+        |th(t_permille, num, den) AS (VALUES (500, 5, 10), (600, 6, 10),
+        |  (700, 7, 10), (800, 8, 10), (900, 9, 10))
+        |SELECT CAST(th.t_permille AS BIGINT) AS t_permille,
+        |  CAST(SUM(CASE WHEN j.common IS NOT NULL
+        |    AND j.common * th.den >= th.num * (j.na + j.nb - j.common)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+        |FROM th LEFT JOIN j ON TRUE
+        |GROUP BY th.t_permille ORDER BY t_permille""".stripMargin)),
+
     // Dedup — MinHash+LSH: 8 band-min signatures, bucket-join candidates,
     // exact-Jaccard verify (the 100 TB dedup path).
     Q("dedup_minhash_lsh",

@@ -214,6 +214,39 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("na"), col("nb"),
         col("containment"))
 
+  /** DEDUP THRESHOLD SENSITIVITY CURVE: the pair yield at several
+    * Jaccard thresholds from ONE commons pass — tuning a dedup
+    * threshold needs the whole curve (too low deletes distinct docs,
+    * too high leaves near-dups), and the expensive part (candidate
+    * enumeration + common counts) is threshold-independent, so running
+    * the pipeline once per candidate threshold is pure waste. Every
+    * gate is integer cross-multiplied (`common·den ≥ num·(na+nb−common)`
+    * ⟺ J ≥ num/den — no double thresholds), all counts fall out of one
+    * aggregate over [[pairCommonsRareHot]], and the wide one-row result
+    * unpivots with `stack`.
+    *
+    * Candidate recall carries the rare-shingle caveat of the Jaccard
+    * path (a pair whose every shared shingle is hot is missed — the
+    * df split documented at [[ngramJaccardPairs]]).
+    *
+    * Output: (t_permille, n_pairs), one row per threshold.
+    */
+  def thresholdCurve(sd0: DataFrame, idCol: String, maxShingleDocFreq: Long,
+                     thresholds: Seq[(Int, Int)]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val pc = pairCommonsRareHot(sd0, idCol, maxShingleDocFreq)
+    val aggs = thresholds.map { case (n, d) =>
+      sum(when(col("common") * lit(d.toLong)
+          >= lit(n.toLong) * (col("na") + col("nb") - col("common")), 1L)
+        .otherwise(0L)).as(s"__c${n}_$d")
+    }
+    val stackArgs = thresholds.map { case (n, d) =>
+      s"${n * 1000L / d}L, coalesce(__c${n}_$d, 0L)" }.mkString(", ")
+    pc.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${thresholds.size}, $stackArgs) as (t_permille, n_pairs)")
+  }
+
   /** PREFIX-FILTERING similarity join (the PPJoin candidate rule, Xiao
     * et al. 2008): with every doc's shingles sorted by ONE global order
     * (ascending document frequency, rarest first), any pair with
