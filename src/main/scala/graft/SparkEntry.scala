@@ -1550,6 +1550,31 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  FROM vd JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b)
         |SELECT a, b, dot, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b""".stripMargin)),
 
+    // L102 — IVF CELL OCCUPANCY PROFILE: per-cell member counts + share
+    // under the shared rank-1 quantized assignment — the index-health
+    // table an IVF rollout reads before choosing nCells/seeds (skewed
+    // occupancy = wildly varying probe cost + Σ|cell|² concentration).
+    Q("sim_ivf_cell_profile",
+      (s, dir) => Similarity.ivfCellProfile(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("cell")),
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |scored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM scored) t WHERE rn = 1),
+        |ct AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cells GROUP BY cell),
+        |tt AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot FROM ct)
+        |SELECT ct.cell, ct.n_vecs,
+        |  CAST(ct.n_vecs AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS share
+        |FROM ct, tt ORDER BY ct.cell""".stripMargin)),
+
     // Secondary integration flavor on a bounded slice (doc_id < 2500) —
     // see sim_ann_lsh; dedup_minhash_lsh is the full-corpus primary.
     Q("dedup_minhash_mllib",

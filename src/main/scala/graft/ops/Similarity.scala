@@ -301,6 +301,31 @@ object Similarity {
       .select(col(idCol), col("seed_id").as("cell"))
   }
 
+  /** IVF CELL OCCUPANCY PROFILE — the index-health / embedding-coverage
+    * diagnostic read before an IVF rollout: per cell, the member count
+    * and corpus share. Skewed occupancy means per-query probe cost
+    * varies wildly and the same-cell candidate bound Σ|cell|²
+    * concentrates in the hot cells; more cells or better seeds are
+    * decided from exactly this table. Assignment is the rank-1 nearest
+    * seed (ties to the smaller seed) — the deterministic quantized
+    * scheme every ivf* operator shares, so the profile describes the
+    * real index. One hash agg; the share is the single division.
+    *
+    * Output: (cell, n_vecs, share).
+    */
+  def ivfCellProfile(corpus0: DataFrame, idCol: String, embCol: String,
+                     nCells: Int = 16): DataFrame = {
+    LongArrayDot.register(corpus0.sparkSession)
+    val corpus = quantize(corpus0, idCol, embCol)
+    val seeds = ivfSeeds(corpus, idCol, nCells)
+    val counts = nearestCells(corpus, seeds, idCol, 1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("__tot").cast("double")).as("share"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     LongArrayDot.register(queries.sparkSession)
