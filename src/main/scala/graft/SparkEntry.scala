@@ -2042,6 +2042,57 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY borda, doc_id) AS BIGINT) AS fused_rank
         |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // L103 — SKETCH-CALIBRATED QUALITY GATE: the documented 100 TB swap
+    // for c_quality_calibrated made concrete — per-source thresholds
+    // from the L45 log-histogram sketch (one partial-merge agg, no
+    // per-source window) broadcast back as a MAP-SIDE gate, reported
+    // side by side with the exact-rank keep count so the bucket-
+    // resolution error is measured, not guessed.
+    Q("c_quality_gate_sketch",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+        val thr = Curation.logQuantiles(docs, "source", "score",
+            Seq((70, 7L, 10L)))
+          .select(col("source"), col("n"), col("bkt").as("thr_bkt"))
+        val exact = Curation.calibratedQualityGate(
+            docs, "doc_id", "source", "score", 3, 10)
+          .groupBy(col("source"))
+          .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("exact_kept"))
+        val sk = docs.join(broadcast(thr), "source")
+          .groupBy(col("source"))
+          .agg(sum(when(
+            graft.expr.LogHist.bucket(col("score")) > col("thr_bkt"), 1L)
+            .otherwise(0L)).as("sketch_kept"))
+        thr.join(exact, "source").join(sk, "source")
+          .select(col("source"), col("n"), col("exact_kept"),
+            col("thr_bkt").cast("long").as("thr_bkt"), col("sketch_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH x AS (SELECT doc_id, source, n_chars AS score,
+        |    greatest(n_chars, 1) AS v FROM documents),
+        |b AS (SELECT doc_id, source, v,
+        |    CAST(length(format('{:b}', v)) - 1 AS INTEGER) AS k FROM x),
+        |bb AS (SELECT doc_id, source, CAST(k*8
+        |    + ((v - (1::BIGINT << k))*8) // (1::BIGINT << k) AS BIGINT) AS bkt FROM b),
+        |g AS (SELECT source, bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM bb GROUP BY 1, 2),
+        |nn AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |c AS (SELECT source, bkt, CAST(SUM(cnt) OVER (PARTITION BY source
+        |    ORDER BY bkt) AS BIGINT) AS cum FROM g),
+        |thr AS (SELECT c.source, CAST(MIN(c.bkt) AS BIGINT) AS thr_bkt
+        |  FROM c JOIN nn USING (source)
+        |  WHERE c.cum >= (nn.n * 7 + 9) // 10 GROUP BY c.source),
+        |ek AS (SELECT source, CAST(SUM(CASE WHEN rank * 10 <= 3 * n THEN 1 ELSE 0 END) AS BIGINT) AS exact_kept
+        |  FROM (SELECT source,
+        |      CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |      CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |    FROM x) r GROUP BY source),
+        |sk AS (SELECT bb.source, CAST(SUM(CASE WHEN bb.bkt > thr.thr_bkt THEN 1 ELSE 0 END) AS BIGINT) AS sketch_kept
+        |  FROM bb JOIN thr USING (source) GROUP BY bb.source)
+        |SELECT nn.source, nn.n, ek.exact_kept, thr.thr_bkt, sk.sketch_kept
+        |FROM nn JOIN ek USING (source) JOIN thr USING (source) JOIN sk USING (source)
+        |ORDER BY source""".stripMargin)),
+
     // L97 — PREFIX-FILTERING similarity join (PPJoin candidate rule):
     // shingles sorted by one global rarest-first order; a Jaccard ≥ 0.8
     // pair must collide inside each other's (n − ceil(0.8n) + 1)-token
