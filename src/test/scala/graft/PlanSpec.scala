@@ -339,6 +339,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("L101-L103 additions keep their intended plan shapes") {
+    // threshold curve: one aggregate over the commons core — no window,
+    // no join after the commons joins, never a cartesian
+    val tc = plan("dedup_threshold_curve")
+    assert(!tc.contains("CartesianProduct") && !tc.contains("Window"),
+      "threshold curve must be one aggregate over the commons core")
+    // cell profile: the 16-seed table broadcasts (tiny nested loop is
+    // the design); the corpus never shuffles for the assignment
+    val cp = plan("sim_ivf_cell_profile")
+    assert(cp.contains("BroadcastNestedLoopJoin"),
+      "seed table should broadcast to the corpus scan")
+    assert(!cp.contains("SortMergeJoin"))
+    // sketch gate: the per-source threshold/summary tables broadcast
+    // back; no cartesian anywhere
+    val qs = plan("c_quality_gate_sketch")
+    assert(qs.contains("BroadcastHashJoin"),
+      "threshold table should broadcast into the map-side gate")
+    assert(!qs.contains("CartesianProduct"))
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
