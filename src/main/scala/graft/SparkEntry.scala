@@ -1268,6 +1268,71 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |FROM th LEFT JOIN j ON TRUE
         |GROUP BY th.t_permille ORDER BY t_permille""".stripMargin)),
 
+    // L104 — LSH RECALL AUDIT: the first question a production dedup
+    // asks — is the banded index missing pairs? Exhaustive rare-shingle
+    // pairs at J ≥ 0.5 are ground truth; the 8-band MinHash pairs are
+    // the candidate path; the query reports both counts, the overlap,
+    // and the recall fraction on a documented bounded slice
+    // (doc_id < 1500, cf. the minhash_mllib slice). A recall printed per
+    // corpus beats the (1−J)^bands formula assumed per paper.
+    Q("dedup_lsh_recall",
+      (s, dir) => {
+        val sd = TextOps.shingleTable(
+          Tables.documents(s, dir).filter(col("doc_id") < 1500),
+          "doc_id", "text", 3)
+        // each pair set feeds its own count AND the overlap join — eager
+        // caches keep the pair pipelines single-evaluation
+        val truth = Dedup.ngramJaccardPairs(sd, "doc_id", 0.5,
+          maxShingleDocFreq = 50L).select(col("a"), col("b")).cache()
+        truth.count()
+        val lsh = Dedup.minhashLshPairs(sd, "doc_id", 8, 0.5)
+          .select(col("a"), col("b")).cache()
+        lsh.count()
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(truth.join(lsh, Seq("a", "b"))
+            .agg(count(lit(1)).as("n_common")))
+          .select(col("n_true"), col("n_lsh"), col("n_common"),
+            (col("n_common").cast("double") / col("n_true").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""WITH $shingleSqlCte,
+        |sds AS (SELECT * FROM sd WHERE doc_id < 1500),
+        |fq AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sds GROUP BY shingle) t
+        |  WHERE df <= 50),
+        |rs AS (SELECT sds.doc_id, sds.shingle FROM sds JOIN fq ON fq.shingle = sds.shingle),
+        |cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+        |  FROM rs sa JOIN rs sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+        |co AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand c
+        |    JOIN sds x ON x.doc_id = c.a
+        |    JOIN sds y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sds GROUP BY doc_id),
+        |truth AS (SELECT co.a, co.b FROM co
+        |  JOIN n na ON na.doc_id = co.a JOIN n nb ON nb.doc_id = co.b
+        |  WHERE CAST(co.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co.common AS DOUBLE) >= 0.5),
+        |mh AS (SELECT doc_id, r.band AS band,
+        |  MIN(('0x' || substr(md5(shingle) || md5(shingle), CAST(r.band*4+1 AS INTEGER), 15))::BIGINT) AS sig
+        |  FROM sds, range(8) r(band) GROUP BY doc_id, r.band),
+        |cand2 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |co2 AS (SELECT t.a, t.b, COUNT(*) AS common FROM (
+        |    SELECT c.a, c.b, x.shingle FROM cand2 c
+        |    JOIN sds x ON x.doc_id = c.a
+        |    JOIN sds y ON y.doc_id = c.b AND y.shingle = x.shingle) t
+        |  GROUP BY t.a, t.b),
+        |lsh AS (SELECT co2.a, co2.b FROM co2
+        |  JOIN n na ON na.doc_id = co2.a JOIN n nb ON nb.doc_id = co2.b
+        |  WHERE CAST(co2.common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - co2.common AS DOUBLE) >= 0.5),
+        |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+        |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh),
+        |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM truth t JOIN lsh l ON t.a = l.a AND t.b = l.b)
+        |SELECT ct.n_true, cl.n_lsh, cc.n_common,
+        |  CAST(cc.n_common AS DOUBLE) / CAST(ct.n_true AS DOUBLE) AS recall
+        |FROM ct, cl, cc""".stripMargin)),
+
     // Dedup — MinHash+LSH: 8 band-min signatures, bucket-join candidates,
     // exact-Jaccard verify (the 100 TB dedup path).
     Q("dedup_minhash_lsh",
