@@ -1292,9 +1292,12 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
           .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
           .crossJoin(truth.join(lsh, Seq("a", "b"))
             .agg(count(lit(1)).as("n_common")))
+          // zero-guard: with no true pairs Spark's x/0 = NaN but
+          // DuckDB's is NULL — agree on NULL in the degenerate case
           .select(col("n_true"), col("n_lsh"), col("n_common"),
-            (col("n_common").cast("double") / col("n_true").cast("double"))
-              .as("recall"))
+            when(col("n_true") === 0L, lit(null).cast("double"))
+              .otherwise(col("n_common").cast("double")
+                / col("n_true").cast("double")).as("recall"))
       },
       Some(s"""WITH $shingleSqlCte,
         |sds AS (SELECT * FROM sd WHERE doc_id < 1500),
@@ -1330,7 +1333,8 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
         |  FROM truth t JOIN lsh l ON t.a = l.a AND t.b = l.b)
         |SELECT ct.n_true, cl.n_lsh, cc.n_common,
-        |  CAST(cc.n_common AS DOUBLE) / CAST(ct.n_true AS DOUBLE) AS recall
+        |  CAST(cc.n_common AS DOUBLE) / CAST(NULLIF(ct.n_true, 0) AS DOUBLE)
+        |    AS recall
         |FROM ct, cl, cc""".stripMargin)),
 
     // Dedup — MinHash+LSH: 8 band-min signatures, bucket-join candidates,
@@ -4454,7 +4458,10 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
           .groupBy(col("event_type"))
           .agg(hll(col("hv")).as("h"),
             countDistinct(col("user_id")).as("exact_distinct"))
-          .select(col("event_type"), col("h.regs").as("regs"),
+          // regs serialized to a CSV string — the driver's pandas
+          // comparator cannot sort/hash raw array cells
+          .select(col("event_type"),
+            array_join(col("h.regs").cast("array<string>"), ",").as("regs"),
             col("h.s_scaled").as("s_scaled"), col("h.n_zero").as("n_zero"),
             ((lit(0.673) * lit(256.0)) * lit(1.44115188075855872e17)
               / col("h.s_scaled").cast("double")).as("est_distinct"),
@@ -4483,7 +4490,8 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  FROM fl GROUP BY 1),
         |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
         |    AS exact_distinct FROM events GROUP BY 1)
-        |SELECT a.event_type, a.regs, a.s_scaled, a.n_zero,
+        |SELECT a.event_type, array_to_string(a.regs, ',') AS regs,
+        |  a.s_scaled, a.n_zero,
         |  (0.673 * 256.0) * 144115188075855872.0
         |    / CAST(a.s_scaled AS DOUBLE) AS est_distinct,
         |  x.exact_distinct
@@ -4544,7 +4552,10 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // L74 — PIVOT (long → wide): per-source token totals spread across
     // the five language columns — Spark's RelationalGroupedDataset
     // .pivot with explicit values (fixed schema: at scale you always
-    // pin the pivot values; inferring them is an extra pass).
+    // pin the pivot values; inferring them is an extra pass). Empty
+    // (source, lang) cells coalesce to 0 on BOTH sides: a NULL-bearing
+    // BIGINT column canonicalizes differently across engines in the
+    // driver's pandas comparator.
     Q("t_pivot_matrix",
       (s, dir) => Tables.documents(s, dir)
         .select(col("source"), col("lang"),
@@ -4552,16 +4563,17 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         .groupBy(col("source"))
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .agg(sum(col("nt")))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
         .orderBy(col("source")),
       Some("""WITH d AS (SELECT source, lang,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
         |      AS BIGINT) AS nt FROM documents)
         |SELECT source,
-        |  SUM(CASE WHEN lang = 'de' THEN nt END) AS de,
-        |  SUM(CASE WHEN lang = 'en' THEN nt END) AS en,
-        |  SUM(CASE WHEN lang = 'es' THEN nt END) AS es,
-        |  SUM(CASE WHEN lang = 'fr' THEN nt END) AS fr,
-        |  SUM(CASE WHEN lang = 'zh' THEN nt END) AS zh
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'de' THEN nt END), 0) AS BIGINT) AS de,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN nt END), 0) AS BIGINT) AS en,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN nt END), 0) AS BIGINT) AS es,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN nt END), 0) AS BIGINT) AS fr,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN nt END), 0) AS BIGINT) AS zh
         |FROM d GROUP BY source ORDER BY source""".stripMargin)),
 
     // L75 — CUBE / GROUPING SETS: event counts and cent totals at every
@@ -4819,7 +4831,10 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
           .withColumn("heads", transform(col("tk"), x => x.getField("id")))
           .withColumn("gaps", transform(col("heads"), (x, i) =>
             when(i === 0, x).otherwise(x - element_at(col("heads"), i))))
-          .select(col("term"), col("df"), col("gaps"))
+          // array_join to a string: the driver's pandas comparator
+          // cannot sort/hash raw array cells
+          .select(col("term"), col("df"),
+            array_join(col("gaps").cast("array<string>"), ",").as("gaps"))
           .orderBy(col("term"))
       },
       Some("""WITH t0 AS (SELECT doc_id,
@@ -4833,7 +4848,8 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    list_transform(heads, (x, i) -> CASE WHEN i = 1 THEN x
         |      ELSE x - heads[i - 1] END) AS gaps
         |  FROM g WHERE df >= 3)
-        |SELECT term, df, gaps FROM d ORDER BY term""".stripMargin)),
+        |SELECT term, df, array_to_string(gaps, ',') AS gaps
+        |FROM d ORDER BY term""".stripMargin)),
 
     // L84 — TEMPERATURE-SCALED MIXTURE (τ = 2): allocation weights
     // n^(1/τ) = isqrt(n) flatten the language distribution between

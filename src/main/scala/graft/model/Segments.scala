@@ -41,3 +41,11 @@ final case class DecodedAudio(file: String, sr: Int, waveform: Array[Float],
 /** A chunk of a waveform with margins for overlapped inference (W5). */
 final case class AudioChunk(file: String, sr: Int, chunkIdx: Int,
     coreStart: Int, coreLen: Int, samples: Array[Float])
+
+/** One fixed-size STFT inference frame (W5 spectral framing): exactly
+  * `chunkSize` samples, of which the central `chunkSize − 2·trim` are
+  * "generated" output; `nSample`/`pad` carry the original length and the
+  * tail zero-pad so reassembly is self-contained per file.
+  */
+final case class StftFrame(file: String, sr: Int, frameIdx: Int,
+    nSample: Int, pad: Int, samples: Array[Float])

@@ -268,8 +268,13 @@ object Dedup {
   def prefixFilterPairs(sd0: DataFrame, idCol: String,
                         tNum: Int, tDen: Int): DataFrame = {
     require(tNum >= 1 && tNum <= tDen, s"need a threshold in (0,1], got $tNum/$tDen")
+    // eager cache: feeds df, prefix, and both verify sides of one action.
+    // Never unpersisted here (the returned plan still references it) —
+    // like every dedup-path cache this relies on MEMORY_AND_DISK LRU
+    // block eviction; long sessions can sd.unpersist() after the final
+    // action if they need the memory back deterministically.
     val sd = sd0.cache()
-    sd.count() // eager: feeds df, prefix, and both verify sides of one action
+    sd.count()
     val dfreq = sd.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val pre = sd.join(dfreq, "shingle")
       .select(col(idCol),

@@ -154,10 +154,13 @@ object EventAnalytics {
     * preceding `windowUs`, EXACTLY — base share `cents div k` each,
     * the `cents mod k` remainder cents one each to the EARLIEST
     * touches (largest-remainder on equal quotas, the same rounding
-    * discipline as `Curation.allocateBudget`), so per-conversion
-    * credit sums to cents bit-for-bit and the total attributed equals
-    * the total converted. Last-touch/first-touch are the k=1 ends of
-    * the same join; linear is the one that needs the exact-split care.
+    * discipline as `Curation.allocateBudget`), so each CREDITED
+    * conversion's cents sum bit-for-bit across its touches.
+    * Conversions with zero touches inside `windowUs` are excluded by
+    * the inner join (their cents are never attributed) — switch the
+    * pairing to a left join if touchless conversions must be audited.
+    * Last-touch/first-touch are the k=1 ends of the same join; linear
+    * is the one that needs the exact-split care.
     *
     * Shape: the touch↔conversion pairing is an interval join WITH the
     * key as equi column (the j-family discipline — never a pure theta

@@ -27,9 +27,13 @@ object TextOps {
   def tokens(textCol: Column): Column =
     filter(split(textCol, " "), t => t =!= "")
 
-  /** Token count via a single regexp scan (no array materialization). */
+  /** Token count via a single regexp scan (no array materialization).
+    * MUST tokenize identically to [[tokens]] (single-space split): the
+    * oracle SQL mirrors `string_split(text, ' ')`, so counting `\S+`
+    * would diverge on tabs/newlines/form-feeds. Hence `[^ ]+`.
+    */
   def tokenCount(textCol: Column): Column =
-    size(regexp_extract_all(textCol, lit("\\S+"), lit(0))).cast("long")
+    size(regexp_extract_all(textCol, lit("[^ ]+"), lit(0))).cast("long")
 
   /** BPE-ish pretokenization: letter runs, digit runs, and single
     * punctuation marks as separate tokens — the GPT-2 pretokenizer shape

@@ -15,11 +15,14 @@ import javax.sound.sampled.AudioSystem
   *    frame rate), no sample decode.
   *  - FLAC: the mandatory STREAMINFO block (sample rate 20 bits, total
   *    samples 36 bits) right after the `fLaC` magic.
-  *  - MP3: skip an ID3v2 tag (syncsafe size), parse the first MPEG audio
-  *    frame header (version/layer/bitrate/samplerate tables); duration
-  *    is the CBR estimate `bytes·8/bitrate` — exact for CBR files, a
-  *    documented estimate for VBR (a Xing/VBRI walk needs the full
-  *    frame chain; out of scope).
+  *  - MP3: skip an ID3v2 tag (syncsafe size, honoring the v2.4 footer
+  *    flag), scan a bounded span for the first frame sync (padding
+  *    before the first frame is legal), parse the frame header
+  *    (version/layer/bitrate/samplerate tables). If the first frame
+  *    carries a Xing/Info or VBRI header the frame count gives the
+  *    EXACT duration (frames × samplesPerFrame / sr); otherwise the
+  *    CBR estimate `bytes·8/bitrate` — exact for CBR files, a
+  *    documented estimate for headerless VBR.
   *
   * The probe NEVER throws on foreign bytes — `None` routes the file to
   * the S10 failed-status path, same as decode failures.
@@ -97,15 +100,34 @@ object AudioProbe {
   private val srV2 = Array(22050, 24000, 16000)
   private val srV25 = Array(11025, 12000, 8000)
 
+  private def be32(bytes: Array[Byte], off: Int): Long =
+    (u(bytes(off)).toLong << 24) | (u(bytes(off + 1)).toLong << 16) |
+      (u(bytes(off + 2)).toLong << 8) | u(bytes(off + 3)).toLong
+
+  private def tagAt(bytes: Array[Byte], off: Int, t: String): Boolean =
+    off >= 0 && bytes.length >= off + 4 &&
+      bytes(off) == t.charAt(0).toByte && bytes(off + 1) == t.charAt(1).toByte &&
+      bytes(off + 2) == t.charAt(2).toByte && bytes(off + 3) == t.charAt(3).toByte
+
+  /** Bytes scanned past the ID3 tag looking for the first frame sync —
+    * bounded so foreign bytes can never turn the probe O(file).
+    */
+  private val SyncScanLimit = 8192
+
   private def probeMp3(bytes: Array[Byte]): Option[Probe] = {
-    // ID3v2: "ID3" ver(2) flags(1) size(4 × 7-bit syncsafe)
-    val start =
+    // ID3v2: "ID3" ver(2) flags(1) size(4 × 7-bit syncsafe); the v2.4
+    // footer flag (byte 5 bit 4) adds a 10-byte footer after the tag
+    val tagEnd =
       if (bytes.startsWith("ID3".getBytes) && bytes.length >= 10) {
         val sz = (u(bytes(6)) << 21) | (u(bytes(7)) << 14) |
           (u(bytes(8)) << 7) | u(bytes(9))
-        10 + sz
+        10 + sz + (if ((u(bytes(5)) & 0x10) != 0) 10 else 0)
       } else 0
-    if (!isMp3Sync(bytes, start)) return None
+    // padding before the first frame is legal — bounded forward scan
+    val limit = math.min(bytes.length - 4, tagEnd + SyncScanLimit)
+    var start = tagEnd
+    while (start <= limit && !isMp3Sync(bytes, start)) start += 1
+    if (start > limit || !isMp3Sync(bytes, start)) return None
     val h1 = u(bytes(start + 1)); val h2 = u(bytes(start + 2))
     val version = (h1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
     val layer = (h1 >> 1) & 0x3   // 1=Layer III
@@ -119,7 +141,28 @@ object AudioProbe {
       case 2 => srV2(srIdx)
       case _ => srV25(srIdx)
     }
-    val payload = (bytes.length - start).toLong
-    Some(Probe("mp3", sr, payload * 8000000L / (kbps * 1000L), exact = false))
+    // VBR headers in the first frame give an exact frame count.
+    // Xing/Info sits after the side info (MPEG1: 17 mono / 32 stereo;
+    // MPEG2/2.5: 9 / 17); VBRI always at header + 36.
+    val mono = ((u(bytes(start + 3)) >> 6) & 0x3) == 3
+    val sideInfo =
+      if (version == 3) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+    val samplesPerFrame = if (version == 3) 1152L else 576L
+    val xingOff = start + 4 + sideInfo
+    val vbrFrames: Option[Long] =
+      if (tagAt(bytes, xingOff, "Xing") || tagAt(bytes, xingOff, "Info")) {
+        if (bytes.length >= xingOff + 12 && (be32(bytes, xingOff + 4) & 1L) != 0)
+          Some(be32(bytes, xingOff + 8))
+        else None
+      } else if (tagAt(bytes, start + 36, "VBRI") && bytes.length >= start + 36 + 18)
+        Some(be32(bytes, start + 36 + 14))
+      else None
+    vbrFrames.filter(_ > 0) match {
+      case Some(nf) =>
+        Some(Probe("mp3", sr, nf * samplesPerFrame * 1000000L / sr, exact = true))
+      case None =>
+        val payload = (bytes.length - start).toLong
+        Some(Probe("mp3", sr, payload * 8000000L / (kbps * 1000L), exact = false))
+    }
   }
 }

@@ -126,6 +126,71 @@ object SpeechPipeline {
       }
   }
 
+  /** W5 — STFT inference framing (`separate_fast.py:208-221`): the exact
+    * window arithmetic the reference feeds its spectral model. With
+    * `trim = nFft/2` and `gen = chunkSize − 2·trim`,
+    *
+    *   pad    = gen − n mod gen   (a FULL extra gen when n mod gen == 0 —
+    *                               the reference's modulo quirk, kept)
+    *   padded = [0]×trim ++ w ++ [0]×pad ++ [0]×trim
+    *   frames = padded[i, i+chunkSize) for i = 0, gen, …  while i < n+pad
+    *
+    * — exactly (n+pad)/gen frames of chunkSize samples each, adjacent
+    * frames overlapping by 2·trim. Emitted via flatMap so per-task state
+    * is one frame, never the padded waveform × frame count.
+    */
+  def stftFrames(audio: Dataset[AudioFile], chunkSize: Int, nFft: Int)
+      : Dataset[StftFrame] = {
+    import audio.sparkSession.implicits._
+    val trim = nFft / 2
+    val gen = chunkSize - 2 * trim
+    require(gen > 0, s"chunkSize $chunkSize must exceed nFft $nFft")
+    audio.flatMap { a =>
+      val n = a.waveform.length
+      val pad = gen - n % gen
+      val nFrames = (n + pad) / gen
+      (0 until nFrames).iterator.map { fi =>
+        val out = new Array[Float](chunkSize)
+        // padded index p maps to waveform index p − trim when in range
+        val pStart = fi * gen
+        var j = 0
+        while (j < chunkSize) {
+          val src = pStart + j - trim
+          if (src >= 0 && src < n) out(j) = a.waveform(src)
+          j += 1
+        }
+        StftFrame(a.file, a.sr, fi, n, pad, out)
+      }
+    }
+  }
+
+  /** W5 — STFT frame reassembly (`separate_fast.py:236-241`): per frame
+    * keep `[trim, chunkSize − trim)` (the generated core), concatenate in
+    * frame order, drop the trailing `pad` — the exact inverse of
+    * [[stftFrames]], so frame ⊕ reassemble is the identity for every
+    * length (property-tested in PipelineSpec).
+    */
+  def stftReassemble(frames: Dataset[StftFrame], chunkSize: Int, nFft: Int)
+      : Dataset[AudioFile] = {
+    import frames.sparkSession.implicits._
+    val trim = nFft / 2
+    val gen = chunkSize - 2 * trim
+    frames.map(f => (f.file, f.sr, f.frameIdx, f.nSample,
+        f.samples.slice(trim, chunkSize - trim)))
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key, it) =>
+        val parts = it.toArray.sortBy(_._3)
+        val n = parts.head._4
+        val out = new Array[Float](n)
+        parts.foreach { case (_, _, fi, _, core) =>
+          val at = fi * gen
+          val len = math.min(gen, n - at)
+          if (len > 0) System.arraycopy(core, 0, out, at, len)
+        }
+        AudioFile(key._1, key._2, out)
+      }
+  }
+
   /** Stage 3 — mock diarization: assign a speaker per VAD span from its
     * dominant amplitude band, then resolve overlaps with the sweep line
     * (J8) and split single vs overlapping (U3, `diarization.py:61-63`).

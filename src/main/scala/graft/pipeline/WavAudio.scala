@@ -8,9 +8,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 
 import graft.model.AudioFile
 
-/** S2 — REAL audio decode for WAV payloads via `javax.sound.sampled`
-  * (in the JDK, no external runtime), replacing the mock decode seam for
-  * the one container-friendly format. Reference call sites:
+/** S2 — REAL audio decode: WAV/AIFF/AU via `javax.sound.sampled` (in
+  * the JDK, no external runtime) and FLAC via the pure-JVM
+  * [[FlacAudio]] decoder, replacing the mock decode seam for the
+  * container-friendly formats. Reference call sites:
   * `separation_filter.py:101,207` (librosa load), `vad_multi.py:28`.
   *
   * Decode runs behind the same [[BatchModel]] inference shell as every
@@ -28,6 +29,11 @@ object WavAudio {
     * `mono=True`).
     */
   def decode(bytes: Array[Byte]): (Int, Array[Float]) = {
+    // FLAC is decoded by the pure-JVM [[FlacAudio]] (fixed-predictor
+    // subset); everything else goes through javax.sound
+    if (bytes != null && bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L'
+        && bytes(2) == 'a' && bytes(3) == 'C')
+      return FlacAudio.decode(bytes)
     val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val src = raw.getFormat
@@ -66,10 +72,11 @@ object WavAudio {
   /** Encode to any javax.sound container (WAVE little-endian, AIFF/AU
     * big-endian — the container's native sample order). [[decode]]
     * auto-detects all of them, so the decode seam is genuinely
-    * multi-format: three real containers here, the reference's
-    * mp3/flac/aac/ogg/m4a need codec libraries absent from this
-    * environment (documented, SURVEY §7.4.4) and flow through the S10
-    * failed-status path instead of aborting.
+    * multi-format: three real containers here plus FLAC via
+    * [[FlacAudio]]; the reference's mp3/aac/ogg/m4a need codec
+    * libraries absent from this environment (documented, SURVEY
+    * §7.4.4) and flow through the S10 failed-status path instead of
+    * aborting.
     */
   def encodeAs(sr: Int, samples: Array[Float],
                container: AudioFileFormat.Type): Array[Byte] = {

@@ -45,6 +45,41 @@ class PipelineSpec extends SparkSpec {
     assert(back.waveform.toSeq == fixture("a").waveform.toSeq)
   }
 
+  test("stftFrames + stftReassemble is identity for random lengths (reference frame algebra)") {
+    // the reference arithmetic (separate_fast.py:208-221): trim = nFft/2,
+    // gen = chunkSize − 2·trim, pad = gen − n mod gen (a FULL gen when
+    // n mod gen == 0), frame count = (n + pad) / gen exactly
+    val rnd = new scala.util.Random(42)
+    val chunkSize = 256; val nFft = 64
+    val trim = nFft / 2; val gen = chunkSize - 2 * trim
+    // include the modulo-quirk boundary (multiples of gen) and tiny inputs
+    val lengths = Seq(1, gen - 1, gen, gen + 1, 3 * gen, 5000) ++
+      Seq.fill(6)(1 + rnd.nextInt(4000))
+    val audio = lengths.zipWithIndex.map { case (n, i) =>
+      val w = Array.fill(n)(rnd.nextFloat() * 2f - 1f)
+      AudioFile(s"f$i", 16000, w)
+    }
+    val ds = audio.toDS()
+    val frames = SpeechPipeline.stftFrames(ds, chunkSize, nFft)
+    val byFile = frames.collect().groupBy(_.file)
+    for (a <- audio) {
+      val n = a.waveform.length
+      val pad = gen - n % gen
+      val fs = byFile(a.file)
+      assert(fs.length == (n + pad) / gen,
+        s"${a.file}: n=$n expected ${(n + pad) / gen} frames, got ${fs.length}")
+      assert(fs.forall(_.samples.length == chunkSize))
+      // adjacent frames overlap by 2·trim: frame k's tail == frame k+1's head
+      val sorted = fs.sortBy(_.frameIdx)
+      for (Array(x, y) <- sorted.sliding(2).map(_.toArray) if sorted.length > 1)
+        assert(x.samples.takeRight(2 * trim).toSeq == y.samples.take(2 * trim).toSeq)
+    }
+    val back = SpeechPipeline.stftReassemble(frames, chunkSize, nFft)
+      .collect().map(a => a.file -> a.waveform).toMap
+    for (a <- audio)
+      assert(back(a.file).toSeq == a.waveform.toSeq, s"${a.file} not identity")
+  }
+
   test("assignToChunks maps every span into exactly one containing chunk") {
     val vad = Seq(
       Segment("a", 0, 20), Segment("a", 22, 50), Segment("a", 80, 90),
@@ -169,6 +204,56 @@ class PipelineSpec extends SparkSpec {
     assert(decoded.forall(_.waveform.length == fx.waveform.length))
   }
 
+  test("FLAC encode/decode round-trips bit-exactly with the STREAMINFO golden MD5") {
+    import graft.pipeline.FlacAudio
+    val rnd = new scala.util.Random(7)
+    // multi-frame (> 4096), a flat stretch (CONSTANT subframe), a ramp
+    // (small fixed-order-2 residuals), noise, and an odd tail length
+    val n = 9001
+    val w = new Array[Float](n)
+    for (i <- 0 until 2000) w(i) = 0.25f                       // constant
+    for (i <- 2000 until 5000) w(i) = (i - 3500) / 3500f * 0.8f // ramp
+    for (i <- 5000 until n) w(i) = (rnd.nextFloat() * 2f - 1f) * 0.5f
+    val flac = FlacAudio.encode(22050, w)
+    val (sr, back) = FlacAudio.decode(flac)
+    assert(sr == 22050 && back.length == n)
+    // decode must reproduce the 16-bit quantized samples EXACTLY
+    // (decoded = s/32768 with s integral, so ·32768 is float-exact)
+    def q(x: Float): Int = math.round(math.max(-1f, math.min(1f, x)) * 32767f)
+    for (i <- 0 until n)
+      assert(math.round(back(i) * 32768f) == q(w(i)),
+        s"sample $i: ${back(i)} vs ${w(i)}")
+    // golden checksum: MD5 of the decoded 16-bit LE stream == STREAMINFO md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    back.foreach { x =>
+      val s = math.round(x * 32768f)
+      md.update((s & 0xff).toByte); md.update(((s >> 8) & 0xff).toByte)
+    }
+    val streamInfoMd5 = flac.slice(8 + 18, 8 + 34)
+    assert(md.digest().toSeq == streamInfoMd5.toSeq, "decoded MD5 != STREAMINFO golden")
+  }
+
+  test("decodeDataset accepts .flac payloads; corrupt FLAC takes the S10 status path") {
+    import graft.pipeline.{FlacAudio, WavAudio}
+    val w = Array.tabulate(3000)(i => (math.sin(i * 0.05) * 0.6).toFloat)
+    val flac = FlacAudio.encode(16000, w)
+    val wav = WavAudio.encode(16000, w)
+    val decoded = WavAudio.decodeDataset(
+      Seq(("a.flac", flac), ("b.wav", wav)).toDS()).collect()
+      .map(a => a.file -> a).toMap
+    assert(decoded("a.flac").sr == 16000 && decoded("b.wav").sr == 16000)
+    // both seams decode the same 16-bit source: identical quantized samples
+    val qa = decoded("a.flac").waveform.map(x => math.round(x * 32768f))
+    val qb = decoded("b.wav").waveform.map(x => math.round(x * 32768f))
+    assert(qa.length == 3000 && qa.toSeq == qb.toSeq)
+    // corrupt FLAC body (valid magic, broken frame) → failed status row
+    val corrupt = flac.clone(); corrupt(flac.length - 20) = 0x55
+    val st = WavAudio.decodeDatasetWithStatus(
+      Seq(("ok.flac", flac), ("bad.flac", corrupt)).toDS()).collect()
+      .map(a => a.file -> a.status).toMap
+    assert(st("ok.flac") == "completed" && st("bad.flac") == "failed")
+  }
+
   test("AudioProbe reads header-level duration for WAV, FLAC, and MP3 (CBR)") {
     import graft.pipeline.{AudioProbe, WavAudio}
     // WAV: 1 s at 16 kHz through javax.sound file-format headers
@@ -194,6 +279,23 @@ class PipelineSpec extends SparkSpec {
     val pm = AudioProbe.probe(mp3).get
     assert(pm.container == "mp3" && pm.sampleRate == 44100
       && pm.durationUs == 1000000L && !pm.exact)
+    // VBR MP3: a Xing header in the first frame gives an EXACT duration
+    // (frames × 1152 / sr), independent of payload size. Also exercises
+    // the ID3v2.4 footer flag (+10) and padding before the first sync.
+    val vbr = new Array[Byte](10 + 10 + 3 + 4 + 32 + 12 + 500)
+    "ID3".getBytes.copyToArray(vbr, 0)
+    vbr(5) = 0x10 // v2.4 footer flag: tag is 10 + size + 10 bytes
+    vbr(9) = 0x00 // syncsafe size 0 -> tag ends at 20
+    val fs = 10 + 10 + 3 // 3 padding bytes before the first frame sync
+    vbr(fs) = 0xff.toByte; vbr(fs + 1) = 0xfb.toByte
+    vbr(fs + 2) = 0x90.toByte; vbr(fs + 3) = 0x00 // stereo -> side info 32
+    "Xing".getBytes.copyToArray(vbr, fs + 4 + 32)
+    vbr(fs + 4 + 32 + 7) = 0x01 // flags: frames present
+    vbr(fs + 4 + 32 + 10) = 0x00; vbr(fs + 4 + 32 + 11) = 38 // 38 frames
+    val pv = AudioProbe.probe(vbr).get
+    assert(pv.container == "mp3" && pv.sampleRate == 44100 && pv.exact
+      && pv.durationUs == 38L * 1152 * 1000000L / 44100,
+      s"got $pv")
     // foreign bytes: None, never a throw (the S10 contract)
     assert(AudioProbe.probe("not audio at all".getBytes ++ new Array[Byte](64)).isEmpty)
     // the pre-decode gate: keep only payloads probing inside the band;
