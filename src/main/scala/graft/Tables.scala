@@ -27,6 +27,14 @@ object Tables {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Streaming checkpoint I/O: the default FileContext-based manager
+    // fork/execs (readlink) per checkpoint rename — from a large JVM
+    // every fork copies page tables, and a micro-batch does many
+    // renames. The FileSystem-based manager uses File.renameTo. The
+    // checksum sidecar files double the I/O for nothing on local disk.
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
     spark
   }
 

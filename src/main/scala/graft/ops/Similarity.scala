@@ -443,12 +443,23 @@ object Similarity {
     LongArrayDot.register(emb.sparkSession)
     val q = quantize(emb, idCol, embCol).cache()
     q.count() // eager: feeds the signature and both verify sides
+    verifyPairs(srpCandidates(q, idCol, dim, bandBits, bands), q, idCol, minCos)
+  }
+
+  /** The SRP band CANDIDATE pairs alone (pre-verify) — the surface a
+    * measured-recall audit compares against exhaustive truth (the
+    * `sim_ann_recall` query): recall printed per corpus beats the
+    * 1−(1−p^r)^L S-curve assumed per paper. `q`: (id, qv).
+    */
+  def srpCandidates(q: DataFrame, idCol: String, dim: Int,
+                    bandBits: Int = SrpLsh.DefaultBandBits,
+                    bands: Int = SrpLsh.DefaultBands): DataFrame = {
     val cs = SrpLsh.coefficients(bandBits * bands, dim)
     // eager: the 60-projection signature feeds BOTH sides of the band
     // self-join — uncached it would be computed twice
     val sig = q.select(col(idCol), SrpLsh.signature(col("qv"), cs).as("sig")).cache()
     sig.count()
-    verifyPairs(SrpLsh.bandedCandidates(sig, idCol, bandBits, bands), q, idCol, minCos)
+    SrpLsh.bandedCandidates(sig, idCol, bandBits, bands)
   }
 
   /** IVF-style ANN: assign every vector to its nearest centroid cell
@@ -539,6 +550,15 @@ object Similarity {
     LongArrayDot.register(emb.sparkSession)
     val q = quantize(emb, idCol, embCol).cache()
     q.count() // eager: feeds the seed table, cell assignment, and verify
+    verifyPairs(ivfCandidates(q, idCol, nCells), q, idCol, minCos)
+  }
+
+  /** The IVF same-cell CANDIDATE pairs alone (pre-verify) — recall
+    * misses exactly the cross-cell pairs; audited against exhaustive
+    * truth by `sim_ann_recall`. `q`: (id, qv).
+    */
+  def ivfCandidates(q: DataFrame, idCol: String, nCells: Int = 16): DataFrame = {
+    LongArrayDot.register(q.sparkSession)
     val seeds = q.filter(col(idCol) < nCells)
       .select(col(idCol).as("seed_id"), col("qv").as("sv"))
       .withColumn("snorm", sqrt(sqNorm(col("sv")).cast("double")))
@@ -553,10 +573,9 @@ object Similarity {
       .select(col(idCol), col("seed_id").as("cell"))
       .cache()
     cells.count() // eager: both sides of the candidate self-join reuse it
-    val cand = cells.select(col(idCol).as("a"), col("cell"))
+    cells.select(col(idCol).as("a"), col("cell"))
       .join(cells.select(col(idCol).as("b"), col("cell")), Seq("cell"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
-    verifyPairs(cand, q, idCol, minCos)
   }
 }

@@ -2,8 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, Encoder}
 
-import scala.collection.concurrent.TrieMap
-
 /** The batched-inference operator shell (SURVEY §2.9): every reference
   * model (VAD, separation, diarization, embedding, ASR, DNSMOS) becomes a
   * `Dataset[I] => Dataset[O]` transform that
@@ -25,11 +23,16 @@ trait BatchModel[I, O] extends Serializable {
   def predictBatch(xs: Seq[I]): Seq[O]
 }
 
-/** Per-executor lazy model session cache (thread-safe). */
+/** Per-executor lazy model session cache (thread-safe). Uses
+  * `computeIfAbsent` for AT-MOST-ONCE load evaluation: with N task
+  * threads racing, `TrieMap.getOrElseUpdate` keeps one winner but may
+  * evaluate `load` N times — N copies of a heavyweight model session,
+  * N−1 of them leaked. Here the first thread loads, the rest block.
+  */
 object ModelCache {
-  private val cache = TrieMap.empty[String, AnyRef]
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   def getOrCreate[M <: AnyRef](name: String)(load: => M): M =
-    cache.getOrElseUpdate(name, load).asInstanceOf[M]
+    cache.computeIfAbsent(name, _ => load).asInstanceOf[M]
 }
 
 object InferenceOp {

@@ -96,14 +96,21 @@ object Transcription {
         slice(col("padded"), col("hop") * hopLen + 1, winLen).as("win"))
   }
 
-  /** M10+A9 — mock DNSMOS per hop window, then per-clip means
-    * (`dnsmos.py:162-173` one wide row per clip).
+  /** M10+A9 — DNSMOS per hop window, then per-clip means
+    * (`dnsmos.py:162-173` one wide row per clip). The kernel is
+    * pluggable behind the inference shell: the deterministic mock by
+    * default, an [[Onnx.OnnxDnsmos]] session (real or recorded) when a
+    * provider is wired — identical relational shape either way.
     */
-  def dnsmosScores(windows: DataFrame): DataFrame = {
+  def dnsmosScores(windows: DataFrame,
+      modelName: String = "mock_dnsmos",
+      load: () => BatchModel[(String, Array[Float]), (String, Double, Double, Double)] =
+        () => new MockModels.MockDnsmos(),
+      batchSize: Int = 16): DataFrame = {
     import windows.sparkSession.implicits._
     val scored = InferenceOp.mapBatched[(String, Array[Float]), (String, Double, Double, Double)](
       windows.select(col("file"), col("win")).as[(String, Array[Float])],
-      "mock_dnsmos", () => new MockModels.MockDnsmos(), batchSize = 16)
+      modelName, load, batchSize)
     scored.toDF("file", "ovrl_raw", "sig_raw", "bak_raw")
       .groupBy(col("file"))
       .agg(count(lit(1)).as("num_hops"),

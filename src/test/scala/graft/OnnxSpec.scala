@@ -1,0 +1,170 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.model.AudioFile
+import graft.pipeline._
+import graft.pipeline.Onnx._
+
+/** The ONNX seam: session cache + tensor marshalling proven against
+  * recorded golden fixtures (the onnxruntime jar is absent in this
+  * container — [[Onnx.OnnxRuntimeJvm]] binds it reflectively when
+  * present; these tests pin the layer it plugs into).
+  */
+object OnnxTestKit extends Serializable {
+  val sessionCreations = new AtomicInteger(0)
+
+  /** Deterministic stand-in for the DNSMOS weights: per batch row
+    * (sig, bak, ovr) from the window's mean / energy / peak — a pure
+    * function of the input tensor, so recorded fixtures are stable.
+    */
+  final class FakeDnsmosSession extends OnnxSession with Serializable {
+    def run(inputs: Map[String, Tensor]): Map[String, Tensor] = {
+      val (shape, data) = inputs("input_1") match {
+        case FloatTensor(s, d) => (s, d)
+        case t => throw new IllegalArgumentException(s"want f32, got $t")
+      }
+      val b = shape(0).toInt; val l = shape(1).toInt
+      val out = new Array[Float](b * 3)
+      var i = 0
+      while (i < b) {
+        var sum = 0f; var e = 0f; var mx = 0f
+        var j = 0
+        while (j < l) {
+          val x = data(i * l + j)
+          sum += x; e += x * x; if (math.abs(x) > mx) mx = math.abs(x)
+          j += 1
+        }
+        out(i * 3) = 1f + sum / l  // sig
+        out(i * 3 + 1) = 2f * e / l // bak
+        out(i * 3 + 2) = 3f * mx   // ovr
+        i += 1
+      }
+      Map("output" -> FloatTensor(Array(b.toLong, 3L), out))
+    }
+  }
+
+  /** Deterministic stand-in for Silero VAD: prob from window RMS, and a
+    * window-counter threaded through `state` → `stateN` so any breakage
+    * of state threading changes the input fingerprints and fails the
+    * recorded replay loudly.
+    */
+  final class FakeSileroSession extends OnnxSession with Serializable {
+    def run(inputs: Map[String, Tensor]): Map[String, Tensor] = {
+      val win = inputs("input") match {
+        case FloatTensor(_, d) => d
+        case t => throw new IllegalArgumentException(s"want f32, got $t")
+      }
+      val (sshape, st) = inputs("state") match {
+        case FloatTensor(s, d) => (s, d)
+        case t => throw new IllegalArgumentException(s"want f32 state, got $t")
+      }
+      require(inputs("sr").isInstanceOf[LongTensor], "sr must be int64")
+      var e = 0f
+      win.foreach(x => e += x * x)
+      val rms = math.sqrt(e / win.length).toFloat
+      val st2 = st.clone(); st2(0) += 1f
+      Map("output" -> FloatTensor(Array(1L, 1L), Array(math.min(1f, rms * 4f))),
+        "stateN" -> FloatTensor(sshape, st2))
+    }
+  }
+
+  /** Replay provider — serializable, counts executor-side creations. */
+  final case class RecordedProvider(name: String,
+      fixtures: Map[String, Map[String, Tensor]]) extends SessionProvider {
+    def create(): OnnxSession = {
+      sessionCreations.incrementAndGet()
+      new RecordedOnnxSession(fixtures)
+    }
+  }
+}
+
+class OnnxSpec extends SparkSpec {
+  import spark.implicits._
+  import OnnxTestKit._
+
+  private def captureProvider(name0: String, rec: RecordingSession): SessionProvider =
+    new SessionProvider {
+      val name = name0
+      def create(): OnnxSession = rec
+    }
+
+  test("onnxruntime jar is absent here; the reflective binding says so, loudly") {
+    assert(!OnnxRuntimeJvm.available)
+    intercept[UnsupportedOperationException](OnnxRuntimeJvm.load(Array[Byte](1, 2, 3)))
+  }
+
+  test("DNSMOS ONNX marshalling: record once, replay through Spark bit-identically, one session per JVM") {
+    val rnd = new scala.util.Random(11)
+    val winLen = 160
+    val windows = (for (f <- Seq("a", "b"); k <- 0 until 3) yield
+      (f, Array.fill(winLen)(rnd.nextFloat() * 0.8f - 0.4f))).toIndexedSeq
+
+    // 1. record golden fixtures against the deterministic reference
+    //    session — per-window [1,L] runs AND one [3,L] batched run
+    val rec = new RecordingSession(new FakeDnsmosSession)
+    val capModel = new OnnxDnsmos(captureProvider("dnsmos-capture", rec))
+    val perWindow = windows.map(w => capModel.predictBatch(Seq(w)).head)
+    val batched3 = capModel.predictBatch(windows.take(3))
+    assert(batched3 == perWindow.take(3).toList,
+      "[B,L] batched run must score each row exactly like its [1,L] run")
+    val fixtures = rec.fixtures
+
+    // 2. replay through the full Spark inference shell (batchSize=1 →
+    //    every task run hits a recorded [1,L] fingerprint exactly)
+    sessionCreations.set(0)
+    val provider = RecordedProvider("dnsmos-replay", fixtures)
+    val scored = Transcription.dnsmosScores(
+      windows.toDF("file", "win"), "onnx_dnsmos_replay",
+      () => new OnnxDnsmos(provider), batchSize = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val expected = perWindow.groupBy(_._1).map { case (f, xs) =>
+      f -> (xs.length.toLong,
+        xs.map(_._2).sum / xs.length, xs.map(_._3).sum / xs.length,
+        xs.map(_._4).sum / xs.length)
+    }
+    assert(scored.keySet == expected.keySet)
+    for ((f, (n, ovr, sig, bak)) <- expected) {
+      val (n2, o2, s2, b2) = scored(f)
+      assert(n2 == n)
+      assert(math.abs(o2 - ovr) < 1e-9 && math.abs(s2 - sig) < 1e-9
+        && math.abs(b2 - bak) < 1e-9, s"$f scores differ")
+    }
+    // one cached session per JVM regardless of task/thread count
+    assert(sessionCreations.get() == 1,
+      s"expected 1 session creation, got ${sessionCreations.get()}")
+  }
+
+  test("Silero VAD ONNX: RNN state threading is pinned by the fixture fingerprints") {
+    // 16 kHz; speech burst in [0.256s, 0.768s) (windows 8..23 of 512)
+    val sr = 16000
+    val w = new Array[Float](sr)
+    for (i <- 8 * 512 until 24 * 512) w(i) = 0.5f
+    val audio = Seq(AudioFile("x", sr, w), AudioFile("y", sr, w.map(_ * 0f)))
+
+    val rec = new RecordingSession(new FakeSileroSession)
+    val capModel = new OnnxSileroVad(captureProvider("vad-capture", rec))
+    val expected = capModel.predictBatch(audio)
+    // the loud file has exactly one segment over the burst; silence none
+    assert(expected(1).isEmpty)
+    assert(expected.head.nonEmpty)
+    val seg = expected.head.head
+    assert(math.abs(seg.start - 8 * 512.0 / sr) < 1e-9
+      && math.abs(seg.end - 24 * 512.0 / sr) < 1e-9, s"got $seg")
+
+    // replay through Spark: state must thread window-to-window exactly,
+    // or fingerprints miss and the recorded session throws
+    val provider = RecordedProvider("vad-replay", rec.fixtures)
+    val out = InferenceOp.flatMapBatched[AudioFile, graft.model.Segment](
+      audio.toDS(), "onnx_vad_replay",
+      () => new OnnxSileroVad(provider), batchSize = 1)
+      .collect().toSeq.sortBy(_.start)
+    assert(out == expected.flatten.sortBy(_.start))
+
+    // an unrecorded input (hence any marshalling/state drift) fails loudly
+    val empty = new OnnxSileroVad(RecordedProvider("vad-empty", Map.empty))
+    intercept[NoSuchElementException](
+      empty.predictBatch(Seq(AudioFile("z", sr, new Array[Float](600)))))
+  }
+}
