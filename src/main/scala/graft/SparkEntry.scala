@@ -3038,6 +3038,85 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST((h1 * scale_e4) // 10000 AS BIGINT) AS out_h
         |FROM rs ORDER BY doc_id, frame""".stripMargin)),
 
+    // S2 — the REAL codec path as an oracle-checked query: per event id
+    // synthesize a deterministic int16 waveform, container-encode it
+    // (WAV for even ids, FLAC for odd — both real encoders), decode
+    // through the production decode seam (javax.sound / pure-JVM FLAC),
+    // and report the recovered sample sum. Lossless 16-bit round-trip
+    // means the sum equals the synthesis formula's sum EXACTLY, which
+    // DuckDB recomputes arithmetically — an external engine checking a
+    // codec without decoding a byte. Bounded slice (event_id < 300).
+    Q("s2_codec_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 300).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (200 + id % 800).toInt
+          val sam = Array.tabulate(n)(i =>
+            ((id * 31 + i.toLong * 17) % 201 - 100) * 50 / 32767f)
+          val bytes =
+            if (id % 2 == 0) WavAudio.encode(8000, sam)
+            else FlacAudio.encode(8000, sam)
+          (id.toString, bytes)
+        }
+        WavAudio.decodeDataset(payloads)
+          .map { a =>
+            val sum = a.waveform.foldLeft(0L)((acc, x) =>
+              acc + math.round(x * 32768f))
+            (a.file.toLong, a.sr, a.waveform.length.toLong, sum)
+          }
+          .toDF("event_id", "sr", "n_samples", "sum_q")
+          .withColumn("container",
+            when(pmod(col("event_id"), lit(2L)) === 0L, lit("wav"))
+              .otherwise(lit("flac")))
+          .select(col("event_id"), col("container"), col("sr"),
+            col("n_samples"), col("sum_q"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 300),
+        |c AS (SELECT event_id, CAST(200 + event_id % 800 AS BIGINT) AS n FROM ids)
+        |SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS container,
+        |  8000 AS sr, n AS n_samples,
+        |  CAST(list_sum(list_transform(range(n),
+        |    i -> ((event_id * 31 + i * 17) % 201 - 100) * 50)) AS BIGINT) AS sum_q
+        |FROM c ORDER BY event_id""".stripMargin)),
+
+    // W5 — the STFT frame plan as an oracle-checked query: run the real
+    // stftFrames operator (separate_fast.py:208-221 arithmetic — trim =
+    // nFft/2, gen = chunkSize − 2·trim, the full-gen pad quirk at
+    // n mod gen == 0) over synthetic waveforms sized from document
+    // lengths, and report per-doc (n, pad, n_frames); DuckDB mirrors
+    // the arithmetic. Bounded slice (doc_id < 200), chunk 1024/nFft 512
+    // → gen 512.
+    Q("w5_stft_plan",
+      (s, dir) => {
+        import s.implicits._
+        val audio = Tables.documents(s, dir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), (pmod(col("n_chars"), lit(3000L)) + 1L).as("n"))
+          .as[(Long, Long)]
+          .map { case (id, n) =>
+            graft.model.AudioFile(id.toString, 16000, new Array[Float](n.toInt)) }
+        graft.pipeline.SpeechPipeline.stftFrames(audio, chunkSize = 1024, nFft = 512)
+          .groupByKey(_.file)
+          .mapGroups { (file, it) =>
+            val fs = it.toArray
+            (file.toLong, fs.head.nSample.toLong, fs.head.pad.toLong, fs.length.toLong)
+          }
+          .toDF("doc_id", "n_samples", "pad", "n_frames")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars % 3000 + 1 AS n
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (SELECT doc_id, n, 512 - (n % 512) AS pad FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(pad AS BIGINT) AS pad,
+        |  CAST((n + pad) // 512 AS BIGINT) AS n_frames
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // W3+J1+A1/A2+P2 — the reference's most operator-dense trace
     // (separation_filter windows scored with energy ratios, §3.3):
     // sliding windows over merged chunks, overlap-weighted "energy" per

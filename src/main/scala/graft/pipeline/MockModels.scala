@@ -49,6 +49,18 @@ object MockModels {
       }
   }
 
+  /** M2 — the per-STFT-frame mock separation kernel
+    * (`separate_fast.py:228-234` runs the real model per frame batch).
+    * Linear per sample, so it commutes with the W5 frame/margin algebra
+    * — exactly the property `SpeechPipeline.separateStage`'s test pins:
+    * composed output == direct kernel on the unframed waveform.
+    */
+  final class MockFrameSeparator extends BatchModel[StftFrame, StftFrame] {
+    val name = "mock_frame_separator"
+    def predictBatch(xs: Seq[StftFrame]): Seq[StftFrame] =
+      xs.map(f => f.copy(samples = f.samples.map(_ * 0.8f)))
+  }
+
   /** M4 — speaker embedding (`speaker_rematch.py:71-88`): 16-dim
     * deterministic signature from banded mean energies; near-identical
     * audio gives near-identical vectors (cosine-meaningful for tests).

@@ -191,6 +191,47 @@ object SpeechPipeline {
       }
   }
 
+  /** Stage 2c — separation through the REAL W5 window algebra, nested
+    * exactly like the reference: margin chunking ([[chunkWithMargins]],
+    * `separate_fast.py:148-186`) → per-chunk STFT framing
+    * ([[stftFrames]], `:208-221`) → the per-frame model kernel (mock
+    * here; an [[Onnx]] session at production) → frame reassembly with
+    * trim/unpad ([[stftReassemble]], `:236-241`) → margin-strip
+    * order-preserving concat ([[reassemble]]) → the F9 residual
+    * `nonvocal = mixture − vocal` (`separation_filter.py:117`). Chunk
+    * identity rides an encoded file key through the frame algebra so
+    * every level stays a plain Dataset op. A linear per-sample kernel
+    * commutes with all of it — the PipelineSpec test asserts the
+    * composition equals the kernel applied directly, which is the
+    * transparency the reference's trim/pad arithmetic promises.
+    */
+  def separateStage(audio: Dataset[AudioFile], chunkSamples: Int = 4096,
+                    marginSamples: Int = 512, chunkSize: Int = 1024,
+                    nFft: Int = 512): (Dataset[AudioFile], Dataset[AudioFile]) = {
+    import audio.sparkSession.implicits._
+    val chunks = chunkWithMargins(audio, chunkSamples, marginSamples)
+    val asFiles = chunks.map(c => AudioFile(
+      s"${c.file}\u0000${c.chunkIdx}\u0000${c.coreStart}\u0000${c.coreLen}",
+      c.sr, c.samples))
+    val frames = stftFrames(asFiles, chunkSize, nFft)
+    val sep = InferenceOp.mapBatched[StftFrame, StftFrame](
+      frames, "mock_frame_separator",
+      () => new MockModels.MockFrameSeparator(), batchSize = 8)
+    val vocalChunks = stftReassemble(sep, chunkSize, nFft).map { a =>
+      val parts = a.file.split('\u0000')
+      AudioChunk(parts(0), a.sr, parts(1).toInt, parts(2).toInt,
+        parts(3).toInt, a.waveform)
+    }
+    val vocal = reassemble(vocalChunks, marginSamples)
+    val mixDf = audio.map(a => (a.file, a.sr, a.waveform)).toDF("file", "sr", "mix")
+    val vocDf = vocal.map(a => (a.file, a.waveform)).toDF("file", "voc")
+    val nonvocal = mixDf.join(vocDf, "file")
+      .as[(String, Int, Array[Float], Array[Float])]
+      .map { case (f, sr, m, v) =>
+        AudioFile(f, sr, Array.tabulate(m.length)(i => m(i) - v(i))) }
+    (vocal, nonvocal)
+  }
+
   /** Stage 3 — mock diarization: assign a speaker per VAD span from its
     * dominant amplitude band, then resolve overlaps with the sweep line
     * (J8) and split single vs overlapping (U3, `diarization.py:61-63`).

@@ -47,6 +47,25 @@ class OpsSpec extends SparkSpec {
     assert(sh(2L).isEmpty)
   }
 
+  test("tokenCount == size(tokens) on exotic whitespace (oracle split-on-space contract)") {
+    // every oracle mirrors string_split(text, ' '): tabs/newlines/form
+    // feeds stay INSIDE tokens. tokenCount must count identically, or a
+    // regenerated corpus with one newline flips t_pivot_matrix red.
+    val texts = Seq(
+      "a b c", " a  b ", "a\tb c\nd", "\n", "\t\t", "", "   ",
+      "x\r\ny zq", "one", " lead", "trail ", "a b c")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("via_tokens"),
+        TextOps.tokenCount(col("text")).as("via_count"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"id=${r.getLong(0)} '${texts(r.getLong(0).toInt)}': " +
+          s"size(tokens)=${r.getLong(1)} tokenCount=${r.getLong(2)}")
+    }
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq((1L, "Hello   World"), (2L, " hello world ")).toDF("id", "text")
     val fps = df.select(TextOps.fingerprint($"text").as("fp"))

@@ -80,6 +80,25 @@ class PipelineSpec extends SparkSpec {
       assert(back(a.file).toSeq == a.waveform.toSeq, s"${a.file} not identity")
   }
 
+  test("separateStage: margins∘STFT∘kernel∘reassembly == kernel applied directly") {
+    // a linear per-sample kernel must commute with the whole W5 window
+    // algebra (the transparency the reference's trim/pad promises);
+    // lengths straddle chunk boundaries and the pad quirk
+    val rnd = new scala.util.Random(3)
+    val audio = Seq(1, 511, 512, 4096, 9001).zipWithIndex.map { case (n, i) =>
+      AudioFile(s"f$i", 16000, Array.fill(n)(rnd.nextFloat() * 2f - 1f))
+    }
+    val (vocal, nonvocal) = SpeechPipeline.separateStage(audio.toDS())
+    val v = vocal.collect().map(a => a.file -> a.waveform).toMap
+    val nv = nonvocal.collect().map(a => a.file -> a.waveform).toMap
+    for (a <- audio) {
+      val expectV = a.waveform.map(_ * 0.8f)
+      assert(v(a.file).toSeq == expectV.toSeq, s"${a.file} vocal differs")
+      val expectNv = a.waveform.zip(expectV).map { case (m, x) => m - x }
+      assert(nv(a.file).toSeq == expectNv.toSeq, s"${a.file} nonvocal differs")
+    }
+  }
+
   test("assignToChunks maps every span into exactly one containing chunk") {
     val vad = Seq(
       Segment("a", 0, 20), Segment("a", 22, 50), Segment("a", 80, 90),
