@@ -139,6 +139,36 @@ object SparkEntry {
       d.toString
     })
 
+  /** events + one far-future purchase heartbeat row (user −1, value 0,
+    * +10 days past the global max event time), staged once per session —
+    * the watermark-advancing source shared by `streaming_asof` and
+    * `streaming_attribution` (the sentinel purchase is a touchless
+    * conversion for key −1, so attribution emits nothing for it).
+    */
+  private def eventsWithPurchaseHeartbeat(s: SparkSession, dir: String,
+      path: String, base: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): String =
+    stagedStreamSource("asofsrc", dir) { p =>
+      linkInto(p, path, "events.parquet")
+      val maxUs = base.select(Tables.tsUs(base).as("us"))
+        .agg(max(col("us"))).head.getLong(0)
+      val sentinel = s.range(1).select(schema.fields.toSeq.map { f => f.name match {
+        case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
+        case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
+        case "event_type" => lit("purchase").as("event_type")
+        case "value" => lit(0d).cast(f.dataType).as("value")
+        case "ts" =>
+          Tables.usToTs(lit(maxUs + 864000L * 1000000L), f.dataType).as("ts")
+        case other => lit(null).cast(f.dataType).as(other)
+      }}: _*)
+      val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_asofsent")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+      val part = java.nio.file.Files.list(sentDir).filter(q =>
+        q.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, p.resolve("zz_heartbeat.parquet"))
+      cleanupDirs(sentDir)
+    }
+
   /** Hardlink (copy fallback) staging of one parquet file into `d`. */
   private def linkInto(d: java.nio.file.Path, path: String, asName: String): Unit = {
     val src = java.nio.file.Paths.get(path)
@@ -2817,27 +2847,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         val schema = base.schema
         val name = "sa_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_asof").toString
-        // staged once per session: sentinel content is deterministic
-        val srcDir = stagedStreamSource("asofsrc", dir) { p =>
-          linkInto(p, path, "events.parquet")
-          val maxUs = base.select(Tables.tsUs(base).as("us"))
-            .agg(max(col("us"))).head.getLong(0)
-          val sentinel = s.range(1).select(schema.fields.toSeq.map { f => f.name match {
-            case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
-            case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
-            case "event_type" => lit("purchase").as("event_type")
-            case "value" => lit(0d).cast(f.dataType).as("value")
-            case "ts" =>
-              Tables.usToTs(lit(maxUs + 864000L * 1000000L), f.dataType).as("ts")
-            case other => lit(null).cast(f.dataType).as(other)
-          }}: _*)
-          val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_asofsent")
-          sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-          val part = java.nio.file.Files.list(sentDir).filter(q =>
-            q.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          java.nio.file.Files.copy(part, p.resolve("zz_heartbeat.parquet"))
-          cleanupDirs(sentDir)
-        }
+        val srcDir = eventsWithPurchaseHeartbeat(s, dir, path, base, schema)
         val rawStream = s.readStream.schema(schema).parquet(srcDir)
         val in = rawStream
           .filter(col("event_type").isin("click", "purchase"))
@@ -2872,6 +2882,64 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  r.cents AS prev_cents, l.tus - r.tus AS lag_us
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
         |ORDER BY l.user_id, l.tus, l.event_id""".stripMargin)),
+
+    // §2.10 ∘ L88 — STREAMING MULTI-TOUCH LINEAR ATTRIBUTION: the
+    // event-time flatMapGroupsWithState twin of e_attribution. Views
+    // and purchases flow as one keyed stream (exact µs embedded in the
+    // watermark clock); a conversion's credits finalize only when the
+    // watermark passes it, touches leave state once no future window
+    // can reach them. Run to completion (shared purchase heartbeat +
+    // trailing timeout batch) the per-touch rollup equals the batch
+    // operator bit-for-bit — e_attribution's SQL is the oracle
+    // verbatim.
+    Q("streaming_attribution",
+      (s, dir) => withStreamingPartitions(s) {
+        import s.implicits._
+        val path = s"$dir/events.parquet"
+        val base = s.read.parquet(path)
+        val schema = base.schema
+        val name = "sal_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_attr").toString
+        val srcDir = eventsWithPurchaseHeartbeat(s, dir, path, base, schema)
+        val rawStream = s.readStream.schema(schema).parquet(srcDir)
+        val in = rawStream
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id").cast("string").as("k"),
+            timestamp_millis(Tables.tsUs(rawStream)).as("ts"),
+            (col("event_type") === "purchase").as("isConv"),
+            col("event_id").cast("long").as("tie"),
+            coalesce(round(col("value") * 100d).cast("long"), lit(0L)).as("cents"))
+          .as[graft.streaming.TemporalEnrich.AttrInput]
+        val credits = graft.streaming.TemporalEnrich.eventTimeAttribution(
+          in, "0 seconds", window = 86400000000L)
+        val q = credits.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt)) // srcDir shared, JVM-exit cleaned
+        s.table(name).filter(col("k") =!= "-1")
+          .groupBy(col("touchId").as("touch_id"),
+            col("k").cast("long").as("user_id"))
+          .agg(countDistinct(col("convId")).as("n_convs"),
+            sum(col("credit")).as("attributed_cents"))
+          .orderBy(col("touch_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |v AS (SELECT user_id, event_id AS touch_id, tus FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS conv_id, tus, cents FROM e WHERE event_type = 'purchase'),
+        |tp AS (SELECT p.user_id, p.conv_id, p.cents, v.touch_id, v.tus AS t_tus
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.tus <= p.tus AND v.tus > p.tus - 86400000000),
+        |rk AS (SELECT user_id, conv_id, cents, touch_id,
+        |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY t_tus, touch_id) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS k FROM tp),
+        |cr AS (SELECT user_id, conv_id, touch_id,
+        |    cents // k + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END AS credit FROM rk)
+        |SELECT touch_id, user_id, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+        |  CAST(SUM(credit) AS BIGINT) AS attributed_cents
+        |FROM cr GROUP BY touch_id, user_id ORDER BY touch_id""".stripMargin)),
 
     // §2.10 + L1 — STREAMING exact dedup, AGGREGATION flavor: the
     // stateful fingerprint aggregation (state = one entry per distinct
@@ -3116,6 +3184,59 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(pad AS BIGINT) AS pad,
         |  CAST((n + pad) // 512 AS BIGINT) AS n_frames
         |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal — REAL audio feature extraction: decode (WAV via
+    // javax.sound for id%3=0, FLAC fixed-predictor for 1, FLAC LPC for
+    // 2 — three genuine codec paths), then per-100-sample window the
+    // integer energy (Σq²) and zero-crossing count. Lossless 16-bit
+    // round-trip keeps every feature in the exact integer domain, so
+    // DuckDB recomputes them from the synthesis formula without
+    // touching audio. Bounded slice (event_id < 200).
+    Q("mm_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 200).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (300 + id % 500).toInt
+          val sam = Array.tabulate(n)(i =>
+            ((id * 13 + i.toLong * 29) % 401 - 200) * 25 / 32767f)
+          val bytes = (id % 3) match {
+            case 0 => WavAudio.encode(8000, sam)
+            case 1 => FlacAudio.encode(8000, sam)
+            case _ => FlacAudio.encode(8000, sam, lpc = true)
+          }
+          (id.toString, bytes)
+        }
+        WavAudio.decodeDataset(payloads)
+          .flatMap { a =>
+            val q = a.waveform.map(x => math.round(x * 32768f))
+            q.grouped(100).zipWithIndex.map { case (win, wi) =>
+              val ss = win.foldLeft(0L)((acc, v) => acc + v * v)
+              val zc = win.sliding(2)
+                .count(p => p.length == 2 && p(0) * p(1) < 0)
+              (a.file.toLong, wi.toLong, win.length.toLong, ss, zc.toLong)
+            }
+          }
+          .toDF("event_id", "win", "n", "sum_sq", "zero_cross")
+          .orderBy(col("event_id"), col("win"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 200),
+        |c AS (SELECT event_id, CAST(300 + event_id % 500 AS BIGINT) AS n FROM ids),
+        |wins AS (SELECT event_id, n, unnest(range((n + 99) // 100)) AS win FROM c),
+        |b AS (SELECT event_id, win, win * 100 AS lo,
+        |  least(n, win * 100 + 100) AS hi FROM wins)
+        |SELECT event_id, CAST(win AS BIGINT) AS win, CAST(hi - lo AS BIGINT) AS n,
+        |  CAST(list_sum(list_transform(range(lo, hi),
+        |    i -> ((event_id*13 + i*29) % 401 - 200) * 25
+        |       * (((event_id*13 + i*29) % 401 - 200) * 25))) AS BIGINT) AS sum_sq,
+        |  CAST(COALESCE(list_sum(list_transform(range(lo, hi - 1),
+        |    i -> CASE WHEN ((event_id*13 + i*29) % 401 - 200)
+        |              * ((event_id*13 + (i+1)*29) % 401 - 200) < 0
+        |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
+        |FROM b ORDER BY event_id, win""".stripMargin)),
 
     // W3+J1+A1/A2+P2 — the reference's most operator-dense trace
     // (separation_filter windows scored with energy ratios, §3.3):

@@ -3,15 +3,16 @@ package graft.pipeline
 import java.io.ByteArrayOutputStream
 import java.security.MessageDigest
 
-/** S2 — pure-JVM FLAC decode from the public container spec (RFC 9639),
-  * covering the fixed-predictor subset: CONSTANT / VERBATIM / FIXED
-  * order 0–4 subframes with Rice-coded residuals (both 4- and 5-bit
-  * parameter widths, escape partitions), all stereo decorrelation modes
-  * (independent, left/side, right/side, mid/side), wasted-bits, and
-  * frame CRC-8/CRC-16 verification. LPC subframes throw
-  * `UnsupportedOperationException` → the S10 failed-status path, exactly
-  * like any other undecodable payload. Reference call sites that read
-  * FLAC: `modules/separation_filter.py:101` (librosa load),
+/** S2 — pure-JVM FLAC decode from the public container spec (RFC 9639):
+  * CONSTANT / VERBATIM / FIXED order 0–4 / LPC order 1–32 subframes
+  * with Rice-coded residuals (both 4- and 5-bit parameter widths,
+  * escape partitions), all stereo decorrelation modes (independent,
+  * left/side, right/side, mid/side), wasted-bits, and frame
+  * CRC-8/CRC-16 verification — the complete subframe surface real
+  * encoders emit. Anything outside it (reserved codes, corrupt frames)
+  * throws → the S10 failed-status path, exactly like any other
+  * undecodable payload. Reference call sites that read FLAC:
+  * `modules/separation_filter.py:101` (librosa load),
   * `modules/models/utils.py:11-16` (format glob).
   *
   * The [[encode]] dual (mono 16-bit, CONSTANT/FIXED-order-2 subframes,
@@ -202,9 +203,24 @@ object FlacAudio {
         readResidual(r, n, order, out)
         i = order
         while (i < n) { out(i) += predictFixed(order, out, i); i += 1 }
-      case t if t >= 32 =>
-        throw new UnsupportedOperationException(
-          s"FLAC LPC subframe (order ${(t & 31) + 1}) not supported — fixed-predictor subset only")
+      case t if t >= 32 => // LPC, order 1-32 (spec §9.2.6)
+        val order = (t & 31) + 1
+        var i = 0
+        while (i < order) { out(i) = r.readSigned(eff); i += 1 }
+        val precision = r.readBits(4).toInt + 1
+        require(precision <= 15, "invalid qlp coefficient precision 0b1111")
+        val shift = r.readSigned(5).toInt
+        require(shift >= 0, s"negative LPC shift $shift")
+        val coefs = Array.fill(order)(r.readSigned(precision))
+        readResidual(r, n, order, out)
+        i = order
+        while (i < n) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j) * out(i - 1 - j); j += 1 }
+          out(i) += acc >> shift // arithmetic shift per spec
+          i += 1
+        }
       case t =>
         throw new IllegalArgumentException(s"reserved subframe type $t")
     }
@@ -363,10 +379,13 @@ object FlacAudio {
 
   /** Encode mono 16-bit samples: fixed 4096-sample blocks, CONSTANT
     * subframes for flat blocks, FIXED order-2 + single-partition Rice
-    * otherwise. Correct CRC-8/CRC-16 and STREAMINFO MD5 — the golden
-    * checksum [[decode]] is tested against.
+    * otherwise — or, with `lpc = true`, quantized-LPC order-2 subframes
+    * (coefs [3, −1], shift 1) exercising the spec's §9.2.6 coefficient/
+    * shift arithmetic end-to-end. Correct CRC-8/CRC-16 and STREAMINFO
+    * MD5 — the golden checksum [[decode]] is tested against.
     */
-  def encode(sr: Int, samples: Array[Float], blockSize: Int = 4096): Array[Byte] = {
+  def encode(sr: Int, samples: Array[Float], blockSize: Int = 4096,
+             lpc: Boolean = false): Array[Byte] = {
     val pcm = samples.map { x =>
       val c = math.max(-1f, math.min(1f, x))
       math.round(c * 32767f).toLong
@@ -409,7 +428,7 @@ object FlacAudio {
       val w2 = new BitWriter
       hdr.foreach(b => w2.writeBits(b & 0xffL, 8))
       w2.writeBits(crc8(hdr, 0, hdr.length).toLong, 8)
-      writeSubframe(w2, blk)
+      writeSubframe(w2, blk, lpc)
       w2.alignToByte()
       val body = w2.toArray
       out.write(body)
@@ -436,7 +455,8 @@ object FlacAudio {
       }
     }
 
-  private def writeSubframe(w: BitWriter, blk: Array[Long]): Unit = {
+  private def writeSubframe(w: BitWriter, blk: Array[Long],
+                            lpc: Boolean = false): Unit = {
     val n = blk.length
     val constant = blk.forall(_ == blk(0))
     if (constant) {
@@ -445,12 +465,25 @@ object FlacAudio {
       return
     }
     val order = math.min(2, n - 1)
-    w.writeBits(0, 1); w.writeBits(8 + order, 6); w.writeBits(0, 1)
+    val useLpc = lpc && order == 2
+    // header: 1 pad bit, 6 type bits, 1 wasted-bits flag. LPC order 2:
+    // coefs [3, -1] at precision 5, shift 1 — pred = (3·s[i−1] − s[i−2]) >> 1
+    w.writeBits(0, 1)
+    w.writeBits(if (useLpc) 32 + (order - 1) else 8 + order, 6)
+    w.writeBits(0, 1)
     var i = 0
     while (i < order) { w.writeBits(blk(i) & 0xffff, 16); i += 1 }
+    if (useLpc) {
+      w.writeBits(4, 4)  // precision − 1
+      w.writeBits(1, 5)  // shift
+      w.writeBits(3L & 0x1f, 5); w.writeBits(-1L & 0x1f, 5)
+    }
+    def predict(idx: Int): Long =
+      if (useLpc) (3 * blk(idx - 1) - blk(idx - 2)) >> 1
+      else predictFixed(order, blk, idx)
     val res = new Array[Long](n - order)
     i = order
-    while (i < n) { res(i - order) = blk(i) - predictFixed(order, blk, i); i += 1 }
+    while (i < n) { res(i - order) = blk(i) - predict(i); i += 1 }
     // zigzag + single-partition Rice with a mean-based parameter
     val zig = res.map(v => (v << 1) ^ (v >> 63))
     val mean = if (zig.isEmpty) 0L else zig.sum / math.max(1, zig.length)

@@ -163,6 +163,81 @@ object TemporalEnrich {
     * sort. Run to completion (heartbeat past every event + the trailing
     * timeout batch), the output equals the batch operator row for row.
     */
+  /** One row of either attribution stream: touches (`isConv = false`)
+    * and conversions (`isConv = true`, carrying `cents`). `ts` is the
+    * watermark clock — queries here embed exact µs in it
+    * (`timestamp_millis(tus)`, the same scale-shift every streaming
+    * kernel in this engine uses), so ordering and window membership
+    * are µs-exact.
+    */
+  final case class AttrInput(k: String, ts: Timestamp, isConv: Boolean,
+      tie: Long, cents: Long)
+
+  final case class AttrCredit(k: String, convId: Long, touchId: Long,
+      credit: Long)
+
+  final case class AttrState(touches: Seq[BufRow], convs: Seq[BufRow])
+
+  /** EVENT-TIME streaming MULTI-TOUCH LINEAR ATTRIBUTION — the exact
+    * twin of [[graft.ops.EventAnalytics.linearAttribution]]: a
+    * conversion's credit splits over the same key's touches inside the
+    * preceding `window` (in watermark-clock units), base `cents div k`
+    * plus one remainder cent to each of the earliest touches. A
+    * conversion is processed only once `watermark ≥ its ts`: every
+    * touch at or before it has either arrived or is watermark-late
+    * (the standard drop contract), so the credit set is final — same
+    * buffering posture as [[eventTimeAsof]]. Touchless conversions
+    * emit nothing (the batch inner join).
+    *
+    * State per key is bounded: touches older than `watermark − window`
+    * can never enter a future conversion's window (future conversions
+    * have ts > watermark) and are pruned; conversions leave state when
+    * processed. Event-time timeout wakes the group when the watermark
+    * passes its oldest pending conversion.
+    */
+  def eventTimeAttribution(in: Dataset[AttrInput], watermarkDelay: String,
+                           window: Long): Dataset[AttrCredit] = {
+    import in.sparkSession.implicits._
+    in.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[AttrState, AttrCredit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[AttrInput], state: GroupState[AttrState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AttrState(Nil, Nil))
+          val rows = it.toIndexedSeq
+          val touches = (prev.touches ++ rows.filterNot(_.isConv)
+              .map(r => BufRow(r.ts.getTime, r.tie, 0L)))
+            .sortBy(t => (t.tsMs, t.tie))
+          val convs = prev.convs ++ rows.filter(_.isConv)
+            .map(r => BufRow(r.ts.getTime, r.tie, r.cents))
+          val (ready, pending) = convs.partition(_.tsMs <= wm)
+          val out = IndexedSeq.newBuilder[AttrCredit]
+          ready.sortBy(c => (c.tsMs, c.tie)).foreach { c =>
+            val win = touches.filter(t =>
+              t.tsMs <= c.tsMs && t.tsMs > c.tsMs - window)
+            val kk = win.length
+            if (kk > 0) {
+              // Java / and % match the batch `div`/`%` for every sign
+              val base = c.payload / kk
+              val rem = c.payload % kk
+              win.zipWithIndex.foreach { case (t, i) =>
+                out += AttrCredit(k, c.tie, t.tie,
+                  base + (if (i < rem) 1L else 0L))
+              }
+            }
+          }
+          val keptT = touches.filter(_.tsMs > wm - window)
+          if (keptT.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AttrState(keptT, pending))
+            pending.map(_.tsMs).minOption
+              .foreach(ts => state.setTimeoutTimestamp(ts))
+          }
+          out.result().iterator
+      }
+  }
+
   def eventTimeCusum(in: Dataset[CusumInput], watermarkDelay: String,
                      h: Long): Dataset[CusumOut] = {
     import in.sparkSession.implicits._

@@ -250,6 +250,15 @@ class PipelineSpec extends SparkSpec {
     }
     val streamInfoMd5 = flac.slice(8 + 18, 8 + 34)
     assert(md.digest().toSeq == streamInfoMd5.toSeq, "decoded MD5 != STREAMINFO golden")
+    // LPC subframes (what real encoders emit): quantized coefficients +
+    // shift arithmetic must round-trip the same samples bit-exactly
+    val lpcFlac = FlacAudio.encode(22050, w, lpc = true)
+    assert(lpcFlac.length != flac.length || lpcFlac.toSeq != flac.toSeq,
+      "lpc=true must take the LPC subframe path")
+    val (srL, backL) = FlacAudio.decode(lpcFlac)
+    assert(srL == 22050 && backL.length == n)
+    for (i <- 0 until n)
+      assert(math.round(backL(i) * 32768f) == q(w(i)), s"LPC sample $i differs")
   }
 
   test("decodeDataset accepts .flac payloads; corrupt FLAC takes the S10 status path") {

@@ -320,6 +320,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time attribution credits exactly despite disordered cross-batch arrival") {
+    import graft.streaming.TemporalEnrich
+    import graft.streaming.TemporalEnrich.{AttrCredit, AttrInput}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AttrInput]
+    // 5 s window: conversion credits split over touches in (ct−5s, ct]
+    val out = TemporalEnrich.eventTimeAttribution(input.toDS(), "10 seconds",
+      window = 5000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("et_attr_out").start()
+    try {
+      // conversion at t=6 (7 cents) BEFORE its touches arrive; touches
+      // t=2,3,4 land in the same batch out of order. A second conversion
+      // at t=8 (5 cents) has the half-open window (3, 8] — only the t=4
+      // touch (t=3 sits exactly on the excluded floor).
+      input.addData(
+        AttrInput("u", ts(6), isConv = true, tie = 100L, cents = 7L),
+        AttrInput("u", ts(4), isConv = false, tie = 3L, cents = 0L),
+        AttrInput("u", ts(2), isConv = false, tie = 1L, cents = 0L),
+        AttrInput("u", ts(3), isConv = false, tie = 2L, cents = 0L))
+      q.processAllAvailable()
+      // conv2 in a later batch; a heartbeat key advances the watermark
+      // past everything so both conversions finalize
+      input.addData(AttrInput("u", ts(8), isConv = true, tie = 200L, cents = 5L))
+      q.processAllAvailable()
+      input.addData(AttrInput("z", ts(100), isConv = true, tie = 9L, cents = 0L))
+      q.processAllAvailable()
+      input.addData(AttrInput("z", ts(101), isConv = true, tie = 10L, cents = 0L))
+      q.processAllAvailable()
+      val got = spark.table("et_attr_out").as[AttrCredit]
+        .collect().filter(_.k == "u").sortBy(c => (c.convId, c.touchId)).toSeq
+      // conv1 (7 cents over touches 1,2,3 in (1,6]): base 2, remainder 1
+      // -> earliest touch gets 3. conv2 (5 cents over the lone t=4
+      // touch): all 5 cents.
+      assert(got == Seq(
+        AttrCredit("u", 100L, 1L, 3L),
+        AttrCredit("u", 100L, 2L, 2L),
+        AttrCredit("u", 100L, 3L, 2L),
+        AttrCredit("u", 200L, 3L, 5L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join over micro-batches equals the batch join") {
     import spark.implicits._
     // NOT epoch-0-based: rows at event times at/near the initial
