@@ -2252,6 +2252,47 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY borda, doc_id) AS BIGINT) AS fused_rank
         |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // L107 — RECIPROCAL-RANK FUSION of the same three signals (the
+    // SIGIR'09 standard complementing L98's Borda): contribution
+    // ⌊1e9/(60+rank)⌋ per signal — top agreement dominates, the tail
+    // flattens — summed in exact scaled integers, re-ranked desc.
+    Q("c_rank_fusion_rrf",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+            size(array_distinct(toks)).cast("long").as("__dt"),
+            greatest(size(toks).cast("long"), lit(1L)).as("__nt"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            expr("__dt * 1000000L div __nt").as("ttr_e6"),
+            expr("cast(length(text) as bigint) * 1000L div __nt").as("awl_e3"))
+        Curation.rrfFusion(base, "lang", "doc_id",
+            Seq("n_chars", "ttr_e6", "awl_e3"))
+          .select(col("doc_id"), col("lang"), col("rank_n_chars"),
+            col("rank_ttr_e6"), col("rank_awl_e3"), col("rrf_e9"),
+            col("fused_rank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |sg AS (SELECT d.doc_id, d.lang, dd.n_chars,
+        |    CAST(len(list_distinct(d.toks))::BIGINT * 1000000
+        |      // greatest(len(d.toks), 1) AS BIGINT) AS ttr_e6,
+        |    CAST(length(dd.text)::BIGINT * 1000
+        |      // greatest(len(d.toks), 1) AS BIGINT) AS awl_e3
+        |  FROM d JOIN documents dd USING (doc_id)),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY ttr_e6 DESC, doc_id) AS BIGINT) AS rank_ttr_e6,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY awl_e3 DESC, doc_id) AS BIGINT) AS rank_awl_e3
+        |  FROM sg),
+        |b AS (SELECT *, 1000000000 // (60 + rank_n_chars)
+        |    + 1000000000 // (60 + rank_ttr_e6)
+        |    + 1000000000 // (60 + rank_awl_e3) AS rrf_e9 FROM r)
+        |SELECT doc_id, lang, rank_n_chars, rank_ttr_e6, rank_awl_e3,
+        |  CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS fused_rank
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
     // L103 — SKETCH-CALIBRATED QUALITY GATE: the documented 100 TB swap
     // for c_quality_calibrated made concrete — per-source thresholds
     // from the L45 log-histogram sketch (one partial-merge agg, no
@@ -3152,6 +3193,202 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST(list_sum(list_transform(range(n),
         |    i -> ((event_id * 31 + i * 17) % 201 - 100) * 50)) AS BIGINT) AS sum_q
         |FROM c ORDER BY event_id""".stripMargin)),
+
+    // S3 — the pre-decode probe GATE as an oracle-checked query: WAV
+    // headers synthesized per event id (junk payloads for id%7=0 probe
+    // as duration 0 — the reference's get_duration failure contract),
+    // gated to [1 s, 2.5 s]; DuckDB recomputes survivorship from the
+    // duration formula alone. Bounded slice (event_id < 400).
+    Q("s3_probe_gate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{AudioProbe, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 400).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (4000 + (id % 50) * 400).toInt // 0.5-3 s at 8 kHz
+          val bytes =
+            if (id % 7 == 0) Array.fill[Byte](96)(0x5a) // foreign bytes
+            else WavAudio.encode(8000, new Array[Float](n))
+          (id.toString, bytes)
+        }
+        AudioProbe.probeGate(payloads, minSec = 1.0, maxSec = 2.5)
+          .map(_._1.toLong).toDF("event_id")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 400),
+        |c AS (SELECT event_id, 4000 + (event_id % 50) * 400 AS n FROM ids)
+        |SELECT event_id FROM c
+        |WHERE event_id % 7 <> 0 AND n >= 8000 AND n <= 20000
+        |ORDER BY event_id""".stripMargin)),
+
+    // S10+A11 — decode fault isolation + run tallies as an oracle
+    // query: every id%5=0 payload is corrupt and must yield a
+    // failed-status ROW (not a job abort), everything else completes;
+    // the tallies land via Incremental.statusCounts and DuckDB
+    // recomputes them from the corruption rule. Bounded (event_id < 500).
+    Q("s10_status_counts",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.WavAudio
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 500).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val bytes =
+            if (id % 5 == 0) "zz".getBytes ++ new Array[Byte](64)
+            else WavAudio.encode(8000, new Array[Float](800))
+          (id.toString, bytes)
+        }
+        graft.sources.Incremental.statusCounts(
+            WavAudio.decodeDatasetWithStatus(payloads).toDF(), "status")
+          .select(col("status"), col("count").cast("long").as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 500),
+        |c AS (SELECT CASE WHEN event_id % 5 = 0 THEN 'failed'
+        |    ELSE 'completed' END AS status FROM ids)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM c GROUP BY status ORDER BY status""".stripMargin)),
+
+    // M7∘J7∘S11∘M9 — the TRANSCRIPTION SHELL as an oracle-checked
+    // query: real segment slicing feeds the (deterministic mock) ASR
+    // kernel, the per-file sidecar inner join drops files with no
+    // transcript (id%4=1), and forced alignment distributes word spans
+    // uniformly — constant-amplitude synthesis keeps every branch an
+    // exact integer/formula DuckDB mirrors: nWords = end−start seconds,
+    // loud/soft + en/xx by amplitude parity, spans at whole seconds.
+    Q("m7_asr_align",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 100).distinct().as[Long]
+        val audio = ids.map { id =>
+          val amp = if (id % 2 == 0) 0.9f else 0.1f
+          graft.model.AudioFile(id.toString, 1000, Array.fill(6000)(amp))
+        }
+        val segs = ids.map(id => graft.model.SpeakerSegment(
+          id.toString, 1.0, 2.0 + (id % 3), s"spk${id % 2}"))
+        val asr = graft.pipeline.Transcription.asrStage(segs, audio)
+        val transcripts = ids.filter(_ % 4 != 1)
+          .map(id => (id.toString, s"t$id")).toDF("file", "sidecar")
+        graft.pipeline.Transcription.alignStage(asr, transcripts)
+          .select(col("file").cast("long").as("event_id"), col("speaker"),
+            col("word"), col("w_start"), col("w_end"))
+          .orderBy(col("event_id"), col("w_start"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 100),
+        |k AS (SELECT id, 1 + id % 3 AS nw,
+        |    CASE WHEN id % 2 = 0 THEN 'loud' ELSE 'soft' END AS word
+        |  FROM ids WHERE id % 4 <> 1),
+        |w AS (SELECT id, word, unnest(range(nw)) AS i FROM k)
+        |SELECT id AS event_id, 'spk' || CAST(id % 2 AS VARCHAR) AS speaker,
+        |  word, CAST(1 + i AS DOUBLE) AS w_start, CAST(2 + i AS DOUBLE) AS w_end
+        |FROM w ORDER BY event_id, w_start""".stripMargin)),
+
+    // M8 (audio side) — language detection through the ASR kernel: the
+    // deterministic energy heuristic (the reference's unseeded 30-s
+    // sampling made deterministic, SURVEY §7.4.2) labels each file
+    // en/xx; DuckDB mirrors the amplitude-parity rule.
+    Q("m8_langid_audio",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 150).distinct().as[Long]
+        val audio = ids.map { id =>
+          val amp = if (id % 2 == 0) 0.9f else 0.1f
+          graft.model.AudioFile(id.toString, 1000, Array.fill(3000)(amp))
+        }
+        val segs = ids.map(id => graft.model.SpeakerSegment(
+          id.toString, 0.5, 2.5, "spk"))
+        graft.pipeline.Transcription.asrStage(segs, audio)
+          .map(r => (r.file.toLong, r.language))
+          .toDF("event_id", "language")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 150)
+        |SELECT id AS event_id,
+        |  CASE WHEN id % 2 = 0 THEN 'en' ELSE 'xx' END AS language
+        |FROM ids ORDER BY event_id""".stripMargin)),
+
+    // M10∘W4∘A9 — the DNSMOS SHELL as an oracle-checked query: real
+    // wraparound-padded hop windows + the (deterministic mock) polyfit
+    // kernel + per-clip means. Amplitudes 1.0/0.0 make every window's
+    // mean energy an exact constant, so the per-clip scores are pure
+    // Horner constants; outputs scale to e6 integers so a 1-ulp
+    // averaging wobble can never flip the compare. Hop-count formula
+    // (dnsmos.py:134) checked across the pad/1..4-hop range.
+    Q("m10_dnsmos_windows",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 100).distinct().as[Long]
+        val audio = ids.map { id =>
+          val amp = if (id % 2 == 0) 1.0f else 0.0f
+          graft.model.AudioFile(id.toString, 1000,
+            Array.fill(1500 + (id % 5).toInt * 1000)(amp))
+        }
+        val wins = graft.pipeline.Transcription.dnsmosWindows(
+          audio, winSec = 2.0, hopSec = 1.0)
+        graft.pipeline.Transcription.dnsmosScores(wins)
+          .select(col("file").cast("long").as("event_id"), col("num_hops"),
+            round(col("OVRL") * 1e6d).cast("long").as("ovrl_e6"),
+            round(col("SIG") * 1e6d).cast("long").as("sig_e6"),
+            round(col("BAK") * 1e6d).cast("long").as("bak_e6"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 100),
+        |c AS (SELECT id, 1500 + (id % 5) * 1000 AS len,
+        |  CASE WHEN id % 2 = 0 THEN 1.0 ELSE 0.0 END AS x FROM ids),
+        |h AS (SELECT id, x, CASE WHEN len < 2000 THEN 1
+        |  ELSE (len - 2000) // 1000 + 1 END AS nh FROM c)
+        |SELECT id AS event_id, CAST(nh AS BIGINT) AS num_hops,
+        |  CAST(round((((-0.06)*x + 1.7)*x + 0.2) * 1000000) AS BIGINT) AS ovrl_e6,
+        |  CAST(round(((0.04*x + 1.1)*x + 0.8) * 1000000) AS BIGINT) AS sig_e6,
+        |  CAST(round((((-0.01)*x + 0.9)*x + 1.2) * 1000000) AS BIGINT) AS bak_e6
+        |FROM h ORDER BY event_id""".stripMargin)),
+
+    // M1∘P1∘W1 — the VAD SHELL as an oracle-checked query: the
+    // (deterministic mock) VAD kernel + pad/clamp + zero-gap merge over
+    // synthesized bursts. Per id: a main burst, for even ids a second
+    // burst whose 0.05 s gap closes under the ±0.05 s padding (the
+    // merge is observable in the output span), and a 30-sample blip
+    // under the 50-sample min-run (must vanish). Output in rounded µs
+    // so double pad arithmetic can never flip the compare. Bounded
+    // (event_id < 120).
+    Q("m1_vad_gate",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 120).distinct().as[Long]
+        val audio = ids.map { id =>
+          val w = new Array[Float](5000)
+          val l1 = 200 * (1 + (id % 3)).toInt
+          for (i <- 1000 until 1000 + l1) w(i) = 0.9f
+          if (id % 2 == 0) {
+            val b2 = 1000 + l1 + 50
+            for (i <- b2 until b2 + 300) w(i) = 0.9f
+          }
+          for (i <- 4500 until 4530) w(i) = 0.9f // sub-min-run blip
+          graft.model.AudioFile(id.toString, 1000, w)
+        }
+        graft.pipeline.SpeechPipeline.vadStage(audio, padSec = 0.05)
+          .map(seg => (seg.file.toLong,
+            math.round(seg.start * 1e6d), math.round(seg.end * 1e6d)))
+          .toDF("event_id", "s_us", "e_us")
+          .orderBy(col("event_id"), col("s_us"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 120),
+        |c AS (SELECT id, 1000 + 200 * (1 + id % 3) AS e1 FROM ids)
+        |SELECT id AS event_id, CAST(950000 AS BIGINT) AS s_us,
+        |  CAST(CASE WHEN id % 2 = 0 THEN e1 * 1000 + 400000
+        |            ELSE e1 * 1000 + 50000 END AS BIGINT) AS e_us
+        |FROM c ORDER BY event_id, s_us""".stripMargin)),
 
     // W5 — the STFT frame plan as an oracle-checked query: run the real
     // stftFrames operator (separate_fast.py:208-221 arithmetic — trim =

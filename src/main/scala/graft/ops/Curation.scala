@@ -1227,6 +1227,34 @@ object Curation {
         .cast("long"))
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * the other standard scale-free blend — each signal contributes
+    * 1/(k + rank), so agreement near the top dominates and the tail is
+    * nearly flat (Borda weights rank gaps linearly everywhere). Scored
+    * in exact scaled integers (⌊1e9/(k+rank)⌋ summed) so the fusion is
+    * bit-reproducible across engines — the float-free discipline every
+    * checked pipeline here follows; with k = 60 and realistic group
+    * sizes the floor loses nothing that changes an ordering decision
+    * beyond sub-ppb noise, and what it does lose it loses identically
+    * everywhere. Ranks and tie-breaks exactly as [[rankFusion]].
+    *
+    * Output: input + (rank_<signal>…, rrf_e9, fused_rank). */
+  def rrfFusion(df: DataFrame, grpCol: String, idCol: String,
+                signals: Seq[String], k: Long = 60L): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal column")
+    val ranked = signals.foldLeft(df) { (acc, sig) =>
+      acc.withColumn(s"rank_$sig", row_number().over(
+        Window.partitionBy(col(grpCol)).orderBy(col(sig).desc, col(idCol)))
+        .cast("long"))
+    }
+    ranked
+      .withColumn("rrf_e9", signals.map(s =>
+        expr(s"1000000000L div (${k}L + rank_$s)")).reduce(_ + _))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col(grpCol)).orderBy(col("rrf_e9").desc, col(idCol)))
+        .cast("long"))
+  }
+
   /** CHAO1 CAPTURE-RECAPTURE richness estimate (Chao 1984/1987, the
     * bias-corrected form): how many DISTINCT documents the full
     * population likely holds, from the duplicate-count histogram of the
