@@ -3314,6 +3314,94 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CASE WHEN id % 2 = 0 THEN 'en' ELSE 'xx' END AS language
         |FROM ids ORDER BY event_id""".stripMargin)),
 
+    // M5∘A12 — the CLUSTERING KERNEL as an oracle-checked query: the
+    // real HDBSCAN-shaped leader clustering runs per group inside
+    // flatMapGroups (the production per-file granularity) over one-hot
+    // family embeddings, where every cosine is exactly 1 or 0 — so
+    // grouping, the A12 min-cluster floor (max(2, ⌊n·0.04⌋)), the
+    // first-appearance label order, and the failed soft rescue of the
+    // planted singleton family are all pure relational facts DuckDB
+    // recomputes with windows. Bounded (event_id < 430: 43 members per
+    // group, family counts {9,9,8,8,8,1} — the 1 dissolves to −1).
+    Q("m5_cluster_floor",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 430).distinct().as[Long]
+        ids.groupByKey(_ % 10)
+          .flatMapGroups { (g, it) =>
+            val members = it.toArray.sorted
+            val embs: IndexedSeq[Array[Float]] = members.toIndexedSeq.map { id =>
+              val e = new Array[Float](16)
+              val fam = if (id / 10 == 42) 5 else (id / 10) % 5
+              e(fam.toInt) = 1f
+              e
+            }
+            val labels = graft.pipeline.Clustering.clusterOne(embs)
+            members.zip(labels).iterator.map { case (id, l) =>
+              (id, g, l.toLong)
+            }
+          }
+          .toDF("event_id", "grp", "label")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 430),
+        |m AS (SELECT id, id % 10 AS grp,
+        |  CASE WHEN id // 10 = 42 THEN 5 ELSE (id // 10) % 5 END AS fam
+        |  FROM ids),
+        |pos AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY id) AS p,
+        |  COUNT(*) OVER (PARTITION BY grp) AS n FROM m),
+        |fs AS (SELECT grp, fam, COUNT(*) AS fsz, MIN(p) AS fp, MAX(n) AS n
+        |  FROM pos GROUP BY grp, fam),
+        |surv AS (SELECT grp, fam,
+        |    CAST(dense_rank() OVER (PARTITION BY grp ORDER BY fp) AS BIGINT) - 1 AS label
+        |  FROM fs WHERE fsz >= greatest(2, CAST(trunc(n * 0.04) AS BIGINT)))
+        |SELECT m.id AS event_id, m.grp, COALESCE(s.label, -1) AS label
+        |FROM m LEFT JOIN surv s ON s.grp = m.grp AND s.fam = m.fam
+        |ORDER BY event_id""".stripMargin)),
+
+    // M2∘W5∘F9 — the SEPARATION COMPOSITION as an oracle-checked
+    // query: margins∘STFT-frames∘kernel∘reassembly∘residual over
+    // random-ish formula waveforms whose lengths straddle the chunk
+    // and frame boundaries. The linear kernel must commute with the
+    // whole window algebra (vocal ≡ 0.8f·mix sample-for-sample) and
+    // the residual must conserve (mix ≡ vocal + nonvocal) — checked
+    // per sample Spark-side, reported as booleans the oracle pins TRUE
+    // for every corpus-derived length. Bounded (event_id < 150).
+    Q("m2_separate_transparent",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 150).distinct().as[Long]
+        val audio = ids.map { id =>
+          val n = (300 + (id % 9) * 700).toInt
+          val w = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 17) % 201) - 100) / 128f)
+          graft.model.AudioFile(id.toString, 16000, w)
+        }
+        val (vocal, nonvocal) = graft.pipeline.SpeechPipeline.separateStage(audio)
+        val mixDf = audio.map(a => (a.file, a.waveform)).toDF("file", "mix")
+        val v = vocal.map(a => (a.file, a.waveform)).toDF("file", "voc")
+        val nv = nonvocal.map(a => (a.file, a.waveform)).toDF("file", "nonvoc")
+        mixDf.join(v, "file").join(nv, "file")
+          .as[(String, Array[Float], Array[Float], Array[Float])]
+          .map { case (f, mix, voc, non) =>
+            val vocalExact = voc.length == mix.length &&
+              mix.indices.forall(i => voc(i) == mix(i) * 0.8f)
+            val residualExact = non.length == mix.length &&
+              mix.indices.forall(i => non(i) == mix(i) - voc(i))
+            (f.toLong, mix.length.toLong, vocalExact, residualExact)
+          }
+          .toDF("event_id", "n_samples", "vocal_exact", "residual_exact")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 150)
+        |SELECT id AS event_id, CAST(300 + (id % 9) * 700 AS BIGINT) AS n_samples,
+        |  TRUE AS vocal_exact, TRUE AS residual_exact
+        |FROM ids ORDER BY event_id""".stripMargin)),
+
     // M10∘W4∘A9 — the DNSMOS SHELL as an oracle-checked query: real
     // wraparound-padded hop windows + the (deterministic mock) polyfit
     // kernel + per-clip means. Amplitudes 1.0/0.0 make every window's
