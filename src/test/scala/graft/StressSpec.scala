@@ -144,6 +144,89 @@ class StressSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stftFrames streams a 2M-sample waveform and reassembles exactly") {
+    import graft.pipeline.SpeechPipeline
+    // hour-scale audio: framing must stay a flatMap (one frame of state
+    // per step, never padded-waveform × frame-count); count follows the
+    // reference formula and reassembly is the exact inverse
+    val n = 2000000
+    val rnd = new scala.util.Random(5)
+    val w = Array.fill(n)(rnd.nextFloat() * 2f - 1f)
+    val ds = Seq(graft.model.AudioFile("big", 16000, w)).toDS()
+    val chunkSize = 1024; val nFft = 512
+    val gen = chunkSize - nFft
+    val frames = SpeechPipeline.stftFrames(ds, chunkSize, nFft)
+    val pad = gen - n % gen
+    assert(frames.count() == (n + pad) / gen)
+    val back = SpeechPipeline.stftReassemble(frames, chunkSize, nFft)
+      .collect().head.waveform
+    assert(back.length == n)
+    var i = 0
+    while (i < n) { assert(back(i) == w(i)); i += 1 }
+  }
+
+  test("FLAC codec round-trips a 2M-sample waveform across ~490 frames") {
+    import graft.pipeline.FlacAudio
+    val n = 2000000
+    val rnd = new scala.util.Random(6)
+    val w = Array.fill(n)((rnd.nextFloat() * 2f - 1f) * 0.7f)
+    val flac = FlacAudio.encode(16000, w, lpc = true)
+    val (sr, back) = FlacAudio.decode(flac)
+    assert(sr == 16000 && back.length == n)
+    var i = 0
+    while (i < n) {
+      assert(math.round(back(i) * 32768f) ==
+        math.round(math.max(-1f, math.min(1f, w(i))) * 32767f))
+      i += 1
+    }
+  }
+
+  test("eventTimeAttribution conserves credit over 100k hot-key touches") {
+    import graft.streaming.TemporalEnrich
+    import graft.streaming.TemporalEnrich.{AttrCredit, AttrInput}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AttrInput]
+    // 100k touches at 1 ms spacing on ONE key; conversions every 1000 ms
+    // credit the 500 ms window (≈500 touches each) — state must stay the
+    // pruned window, and every conversion's cents must conserve exactly
+    val out = TemporalEnrich.eventTimeAttribution(input.toDS(), "0 seconds",
+      window = 500L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_stress").start()
+    try {
+      val touches = (0 until 100000).map(i =>
+        AttrInput("hot", new java.sql.Timestamp(i.toLong), isConv = false,
+          tie = i.toLong, cents = 0L))
+      val convs = (1 until 100).map(c =>
+        AttrInput("hot", new java.sql.Timestamp(c * 1000L), isConv = true,
+          tie = 1000000L + c, cents = 997L))
+      input.addData(touches.take(60000) ++ convs.take(50))
+      q.processAllAvailable()
+      input.addData(touches.drop(60000) ++ convs.drop(50))
+      q.processAllAvailable()
+      input.addData(AttrInput("flush", new java.sql.Timestamp(10000000L),
+        isConv = true, tie = 0L, cents = 0L))
+      q.processAllAvailable()
+      val credits = spark.table("attr_stress").as[AttrCredit]
+        .collect().filter(_.k == "hot")
+      val byConv = credits.groupBy(_.convId)
+      // convs 51-59 arrive in batch 2 BEHIND the watermark (59 999 ms
+      // from batch 1's touches) — withWatermark drops them at the
+      // source, the standard late-data contract every kernel here
+      // documents. Everything the operator actually saw conserves.
+      val missing = (1 until 100).map(c => 1000000L + c).filterNot(byConv.contains)
+      assert(byConv.size == 90,
+        s"expected 90 credited conversions, got ${byConv.size}; missing: $missing")
+      assert(missing == (51 to 59).map(c => 1000000L + c),
+        s"late-drop set changed: $missing")
+      byConv.foreach { case (cid, cs) =>
+        assert(cs.map(_.credit).sum == 997L, s"conversion $cid lost cents")
+        assert(cs.length == 500, s"conversion $cid credited ${cs.length} touches")
+      }
+    } finally q.stop()
+  }
+
   test("sessionizeCapped kernel sustains a 200k-segment single key") {
     val segs = spark.range(200000L).select(
       lit("one").as("file"),
