@@ -126,9 +126,14 @@ object SparkEntry {
 
   /** Session-keyed cache of the streaming-familiarity LM model tables
     * (bigram counts, unigram counts, vocab) — deterministic per corpus.
+    * Keyed by the SparkSession INSTANCE (identity equality), never by a
+    * hash: identityHashCode can collide across sessions and would hand
+    * a new session DataFrames bound to a stopped one. Sessions per JVM
+    * are few (one in Verify/Bench), so the pin is bounded.
     */
   private val lmModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame)]()
 
   private def stagedStreamSource(tag: String, dir: String)(
       build: java.nio.file.Path => Unit): String =
@@ -138,6 +143,24 @@ object SparkEntry {
       Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupDirs(d)))
       d.toString
     })
+
+  /** coalesce(1)-write `sentinel` to a temp dir, copy its single part
+    * file into `dest` as `zz_heartbeat.parquet` (sorting after every
+    * data file, so it forms the final micro-batch), drop the temp dir.
+    * The Files.list stream is closed explicitly — it holds a directory
+    * fd that would otherwise leak per staging.
+    */
+  private def writeHeartbeat(sentinel: DataFrame, dest: java.nio.file.Path): Unit = {
+    val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_sent")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    val st = java.nio.file.Files.list(sentDir)
+    val part =
+      try st.filter(q => q.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally st.close()
+    java.nio.file.Files.copy(part, dest.resolve("zz_heartbeat.parquet"))
+    cleanupDirs(sentDir)
+  }
 
   /** events + one far-future purchase heartbeat row (user −1, value 0,
     * +10 days past the global max event time), staged once per session —
@@ -161,12 +184,7 @@ object SparkEntry {
           Tables.usToTs(lit(maxUs + 864000L * 1000000L), f.dataType).as("ts")
         case other => lit(null).cast(f.dataType).as(other)
       }}: _*)
-      val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_asofsent")
-      sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-      val part = java.nio.file.Files.list(sentDir).filter(q =>
-        q.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(part, p.resolve("zz_heartbeat.parquet"))
-      cleanupDirs(sentDir)
+      writeHeartbeat(sentinel, p)
     }
 
   /** Hardlink (copy fallback) staging of one parquet file into `d`. */
@@ -2829,12 +2847,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
                 Tables.usToTs(lit(maxUs + 864000L * 1000000L), tsType).as("ts")
               case other => lit(null).cast(f.dataType).as(other)
             }}: _*)
-          val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_sent")
-          sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-          val part = java.nio.file.Files.list(sentDir).filter(q =>
-            q.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          java.nio.file.Files.copy(part, p.resolve("zz_heartbeat.parquet"))
-          cleanupDirs(sentDir)
+          writeHeartbeat(sentinel, p)
         }
         val raw = s.readStream.schema(schema).parquet(srcDir)
         val sessions = raw
@@ -4950,7 +4963,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         // and materialize once per session (each micro-batch would
         // otherwise re-derive all three model tables from scratch)
         val (c2, c1, vocab) = lmModelCache.computeIfAbsent(
-          s"${System.identityHashCode(s)}|$dir", { _ =>
+          (s, dir), { _ =>
             val m = Curation.lmModel(base.filter(col("lang") === "en"), "text")
             m._1.cache().count(); m._2.cache().count(); m._3.cache().count()
             m
@@ -5773,12 +5786,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
               Tables.usToTs(lit(maxUs + 864000L * 1000000L), f.dataType).as("ts")
             case other => lit(null).cast(f.dataType).as(other)
           }}: _*)
-          val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_cusumsent")
-          sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-          val part = java.nio.file.Files.list(sentDir).filter(q =>
-            q.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          java.nio.file.Files.copy(part, p.resolve("zz_heartbeat.parquet"))
-          cleanupDirs(sentDir)
+          writeHeartbeat(sentinel, p)
         }
         // batch-side model: the per-type lower-median target (config at
         // production scale; here derived once, like streaming_decayed's

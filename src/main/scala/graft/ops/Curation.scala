@@ -1213,18 +1213,26 @@ object Curation {
     *
     * Output: input + (rank_<signal>…, borda, fused_rank). */
   def rankFusion(df: DataFrame, grpCol: String, idCol: String,
-                 signals: Seq[String]): DataFrame = {
-    require(signals.nonEmpty, "need at least one signal column")
-    val ranked = signals.foldLeft(df) { (acc, sig) =>
-      acc.withColumn(s"rank_$sig", row_number().over(
-        Window.partitionBy(col(grpCol)).orderBy(col(sig).desc, col(idCol)))
-        .cast("long"))
-    }
-    ranked
+                 signals: Seq[String]): DataFrame =
+    rankColumns(df, grpCol, idCol, signals)
       .withColumn("borda", signals.map(s => col(s"rank_$s")).reduce(_ + _))
       .withColumn("fused_rank", row_number().over(
         Window.partitionBy(col(grpCol)).orderBy(col("borda"), col(idCol)))
         .cast("long"))
+
+  /** The shared per-signal rank stage of [[rankFusion]] and
+    * [[rrfFusion]]: `rank_<signal>` = row_number over
+    * (group, signal DESC, id) — one definition, so "ranks and
+    * tie-breaks exactly alike" is structural, not a comment.
+    */
+  private def rankColumns(df: DataFrame, grpCol: String, idCol: String,
+                          signals: Seq[String]): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal column")
+    signals.foldLeft(df) { (acc, sig) =>
+      acc.withColumn(s"rank_$sig", row_number().over(
+        Window.partitionBy(col(grpCol)).orderBy(col(sig).desc, col(idCol)))
+        .cast("long"))
+    }
   }
 
   /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009):
@@ -1240,20 +1248,13 @@ object Curation {
     *
     * Output: input + (rank_<signal>…, rrf_e9, fused_rank). */
   def rrfFusion(df: DataFrame, grpCol: String, idCol: String,
-                signals: Seq[String], k: Long = 60L): DataFrame = {
-    require(signals.nonEmpty, "need at least one signal column")
-    val ranked = signals.foldLeft(df) { (acc, sig) =>
-      acc.withColumn(s"rank_$sig", row_number().over(
-        Window.partitionBy(col(grpCol)).orderBy(col(sig).desc, col(idCol)))
-        .cast("long"))
-    }
-    ranked
+                signals: Seq[String], k: Long = 60L): DataFrame =
+    rankColumns(df, grpCol, idCol, signals)
       .withColumn("rrf_e9", signals.map(s =>
         expr(s"1000000000L div (${k}L + rank_$s)")).reduce(_ + _))
       .withColumn("fused_rank", row_number().over(
         Window.partitionBy(col(grpCol)).orderBy(col("rrf_e9").desc, col(idCol)))
         .cast("long"))
-  }
 
   /** CHAO1 CAPTURE-RECAPTURE richness estimate (Chao 1984/1987, the
     * bias-corrected form): how many DISTINCT documents the full

@@ -114,6 +114,20 @@ object AudioProbe {
     */
   private val SyncScanLimit = 8192
 
+  /** A full frame-header validity check at `off`: sync + version/layer/
+    * bitrate/samplerate fields all legal — a bare 0xFF,0xE0+ pair in
+    * junk must NOT end the scan.
+    */
+  private def isValidFrameHeader(bytes: Array[Byte], off: Int): Boolean = {
+    if (!isMp3Sync(bytes, off)) return false
+    val h1 = u(bytes(off + 1)); val h2 = u(bytes(off + 2))
+    val version = (h1 >> 3) & 0x3
+    val layer = (h1 >> 1) & 0x3
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 0x3
+    version != 1 && layer == 1 && brIdx != 0 && brIdx != 15 && srIdx != 3
+  }
+
   private def probeMp3(bytes: Array[Byte]): Option[Probe] = {
     // ID3v2: "ID3" ver(2) flags(1) size(4 × 7-bit syncsafe); the v2.4
     // footer flag (byte 5 bit 4) adds a 10-byte footer after the tag
@@ -123,18 +137,16 @@ object AudioProbe {
           (u(bytes(8)) << 7) | u(bytes(9))
         10 + sz + (if ((u(bytes(5)) & 0x10) != 0) 10 else 0)
       } else 0
-    // padding before the first frame is legal — bounded forward scan
+    // padding/junk before the first frame is legal — bounded forward
+    // scan for the first FULLY VALID header, skipping false syncs
     val limit = math.min(bytes.length - 4, tagEnd + SyncScanLimit)
     var start = tagEnd
-    while (start <= limit && !isMp3Sync(bytes, start)) start += 1
-    if (start > limit || !isMp3Sync(bytes, start)) return None
+    while (start <= limit && !isValidFrameHeader(bytes, start)) start += 1
+    if (start > limit) return None
     val h1 = u(bytes(start + 1)); val h2 = u(bytes(start + 2))
     val version = (h1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-    val layer = (h1 >> 1) & 0x3   // 1=Layer III
-    if (version == 1 || layer != 1) return None
     val brIdx = (h2 >> 4) & 0xf
     val srIdx = (h2 >> 2) & 0x3
-    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
     val kbps = if (version == 3) brV1(brIdx) else brV2(brIdx)
     val sr = version match {
       case 3 => srV1(srIdx)

@@ -338,14 +338,17 @@ object FlacAudio {
           require(c + 1 == nCh, "frame channel count != STREAMINFO")
           Array.tabulate(nCh)(_ => readSubframe(r, blockSize, bps))
         case 8 => // left/side
+          require(nCh == 2, s"stereo-decorrelated frame in a $nCh-channel stream")
           val l = readSubframe(r, blockSize, bps)
           val s = readSubframe(r, blockSize, bps + 1)
           Array(l, Array.tabulate(blockSize)(i => l(i) - s(i)))
         case 9 => // right/side
+          require(nCh == 2, s"stereo-decorrelated frame in a $nCh-channel stream")
           val s = readSubframe(r, blockSize, bps + 1)
           val rr = readSubframe(r, blockSize, bps)
           Array(Array.tabulate(blockSize)(i => rr(i) + s(i)), rr)
         case 10 => // mid/side
+          require(nCh == 2, s"stereo-decorrelated frame in a $nCh-channel stream")
           val m = readSubframe(r, blockSize, bps)
           val s = readSubframe(r, blockSize, bps + 1)
           Array.tabulate(2, blockSize) { (c, i) =>

@@ -137,6 +137,19 @@ object Onnx {
       def run(inputs: Map[String, Tensor]): Map[String, Tensor] = {
         val ortIn = new java.util.HashMap[String, AnyRef]()
         inputs.foreach { case (k, v) => ortIn.put(k, toOrt(v)) }
+        try runAndRead(ortIn)
+        finally {
+          // input OnnxTensors are native-backed AutoCloseables: leaving
+          // them to the GC leaks native memory one batch at a time
+          val it = ortIn.values().iterator()
+          while (it.hasNext) it.next() match {
+            case c: AutoCloseable => try c.close() catch { case _: Exception => () }
+            case _ => ()
+          }
+        }
+      }
+
+      private def runAndRead(ortIn: java.util.Map[String, AnyRef]): Map[String, Tensor] = {
         val result = sessionCls.getMethod("run", classOf[java.util.Map[_, _]])
           .invoke(session, ortIn)
         try {
@@ -212,9 +225,20 @@ object Onnx {
     def predictBatch(xs: Seq[(String, Array[Float])])
         : Seq[(String, Double, Double, Double)] = {
       if (xs.isEmpty) return Nil
+      // a mixed-sample-rate corpus puts different window lengths in one
+      // partition batch (winLen = sr·winSec per file): sub-batch by
+      // length so the [B, L] run stays rectangular and the model stays
+      // drop-in interchangeable with the per-window mock
+      if (xs.exists(_._2.length != xs.head._2.length)) {
+        val results = new Array[(String, Double, Double, Double)](xs.length)
+        xs.zipWithIndex.groupBy(_._1._2.length).foreach { case (_, group) =>
+          group.zip(predictBatch(group.map(_._1))).foreach {
+            case ((_, idx), o) => results(idx) = o
+          }
+        }
+        return results.toSeq
+      }
       val winLen = xs.head._2.length
-      require(xs.forall(_._2.length == winLen),
-        "DNSMOS batch windows must share one length")
       val batch = new Array[Float](xs.length * winLen)
       xs.zipWithIndex.foreach { case ((_, w), i) =>
         System.arraycopy(w, 0, batch, i * winLen, winLen)

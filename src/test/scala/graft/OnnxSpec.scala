@@ -136,6 +136,18 @@ class OnnxSpec extends SparkSpec {
       s"expected 1 session creation, got ${sessionCreations.get()}")
   }
 
+  test("DNSMOS sub-batches mixed window lengths (mixed sample rates), preserving row order") {
+    val w1 = Array.fill(100)(0.1f); val w2 = Array.fill(200)(0.2f)
+    val xs = Seq(("a", w1), ("b", w2), ("c", w1), ("d", w2))
+    val rec = new RecordingSession(new FakeDnsmosSession)
+    val m = new OnnxDnsmos(captureProvider("dnsmos-mixed", rec))
+    val out = m.predictBatch(xs)
+    assert(out.map(_._1) == Seq("a", "b", "c", "d"),
+      "sub-batching must not reorder rows (the shell aligns positionally)")
+    val single = xs.map(x => m.predictBatch(Seq(x)).head)
+    assert(out == single, "sub-batched scores must equal per-window scores")
+  }
+
   test("Silero VAD ONNX: RNN state threading is pinned by the fixture fingerprints") {
     // 16 kHz; speech burst in [0.256s, 0.768s) (windows 8..23 of 512)
     val sr = 16000

@@ -324,6 +324,14 @@ class PipelineSpec extends SparkSpec {
     assert(pv.container == "mp3" && pv.sampleRate == 44100 && pv.exact
       && pv.durationUs == 38L * 1152 * 1000000L / 44100,
       s"got $pv")
+    // a FALSE sync (0xFF 0xF0: sync bits set, layer invalid) in the
+    // pre-frame junk must not end the scan — the real header follows
+    val fsync = new Array[Byte](10 + 4 + 4 + 8000)
+    "ID3".getBytes.copyToArray(fsync, 0) // size-0 tag ends at 10
+    fsync(10) = 0xff.toByte; fsync(11) = 0xf0.toByte // false sync
+    fsync(14) = 0xff.toByte; fsync(15) = 0xfb.toByte; fsync(16) = 0x90.toByte
+    val pj = AudioProbe.probe(fsync).get
+    assert(pj.container == "mp3" && pj.sampleRate == 44100, s"got $pj")
     // foreign bytes: None, never a throw (the S10 contract)
     assert(AudioProbe.probe("not audio at all".getBytes ++ new Array[Byte](64)).isEmpty)
     // the pre-decode gate: keep only payloads probing inside the band;
