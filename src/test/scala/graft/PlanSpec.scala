@@ -375,4 +375,27 @@ class PlanSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("every query has an oracle, and no output shape breaks the driver comparator") {
+    // the driver sorts rows via pandas over all columns then hashes:
+    // array/map cells die in sort_values (unhashable ndarray), so no
+    // final projection may emit them — serialize to strings instead
+    // (the r3 lesson: r_index_head / sketch_hll_distinct). Streaming
+    // queries are skipped here (building one RUNS its stream; their
+    // projections are plain scalars and the oracle gate covers them).
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "queries and oracleSql must declare the same names")
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if !name.startsWith("streaming_")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[ArrayType]
+            && !f.dataType.isInstanceOf[MapType],
+          s"$name output column ${f.name}: ${f.dataType} — the driver's " +
+            "pandas comparator cannot sort/hash it; array_join it")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
