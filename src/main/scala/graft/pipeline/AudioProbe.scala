@@ -169,6 +169,12 @@ object AudioProbe {
       } else if (tagAt(bytes, start + 36, "VBRI") && bytes.length >= start + 36 + 18)
         Some(be32(bytes, start + 36 + 14))
       else None
+    // Encoder conventions disagree on whether the Xing/VBRI frame count
+    // includes the header frame itself (LAME does, some others don't), so
+    // "exact" carries a one-frame (~26 ms at 44.1 kHz) ambiguity. The
+    // count is used as written — downstream gates operate at whole-second
+    // granularity (`vad_multi.py` min/max duration), so one frame never
+    // flips a decision.
     vbrFrames.filter(_ > 0) match {
       case Some(nf) =>
         Some(Probe("mp3", sr, nf * samplesPerFrame * 1000000L / sr, exact = true))

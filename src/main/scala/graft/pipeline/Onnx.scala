@@ -162,8 +162,20 @@ object Onnx {
             val info = value.getClass.getMethod("getInfo").invoke(value)
             val shape = info.getClass.getMethod("getShape").invoke(info)
               .asInstanceOf[Array[Long]]
-            val fb = value.getClass.getMethod("getFloatBuffer").invoke(value)
+            // non-tensor values (sequence/map) have no getFloatBuffer, and
+            // int64/etc tensors answer it with null — surface a typed
+            // error rather than an opaque reflective NoSuchMethod/NPE
+            val fbMethod =
+              try value.getClass.getMethod("getFloatBuffer")
+              catch { case _: NoSuchMethodException =>
+                throw new UnsupportedOperationException(
+                  s"ONNX output '$key' is not a tensor (${value.getClass.getName}); only float32 tensor outputs are supported")
+              }
+            val fb = fbMethod.invoke(value)
               .asInstanceOf[java.nio.FloatBuffer]
+            if (fb == null)
+              throw new UnsupportedOperationException(
+                s"ONNX output '$key' is not float32 (shape ${shape.mkString("x")}); only float32 tensor outputs are supported")
             val arr = new Array[Float](fb.remaining())
             fb.get(arr)
             out(key) = FloatTensor(shape, arr)
@@ -246,6 +258,11 @@ object Onnx {
       val session = cachedSession(provider)
       val out = session.run(Map("input_1" ->
         FloatTensor(Array(xs.length.toLong, winLen.toLong), batch)))
+      // DNSMOS exports one output; a multi-output model would make
+      // `values.head` pick one at the Map's iteration whim — fail loud
+      // instead and let the caller name the tensor explicitly.
+      require(out.size == 1,
+        s"DNSMOS session returned ${out.size} outputs (${out.keys.mkString(",")}); expected exactly one")
       val scores = out.values.head match {
         case FloatTensor(shape, data) =>
           require(shape.sameElements(Array(xs.length.toLong, 3L)),

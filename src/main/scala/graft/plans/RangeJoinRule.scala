@@ -97,12 +97,16 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Monotone bucket id: truncate(x / width). Truncation (not floor) is
+  /** Monotone bucket id: truncate(x / width) in INTEGER arithmetic
+    * (`IntegralDivide`, i.e. SQL `div`). Truncation (not floor) is
     * fine — any monotone non-decreasing function preserves containment
-    * bucketing.
+    * bucketing — but it must be exact: the earlier double-divide
+    * variant rounded above 2^53 and could place a probe start one
+    * bucket away from its build range's bucket. Integer division is
+    * exact over the full Long domain.
     */
   private def bucketOf(x: Expression, width: Long): Expression =
-    Cast(Divide(Cast(x, DoubleType), Literal(width.toDouble)), LongType)
+    IntegralDivide(Cast(x, LongType), Literal(width))
 
   /** Catch-all bucket id. A real bucket id only collides with it when
     * `truncate(sL / width) == Long.MinValue`, and even then the routing

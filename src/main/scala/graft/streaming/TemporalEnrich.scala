@@ -231,8 +231,13 @@ object TemporalEnrich {
           if (keptT.isEmpty && pending.isEmpty) state.remove()
           else {
             state.update(AttrState(keptT, pending))
-            pending.map(_.tsMs).minOption
-              .foreach(ts => state.setTimeoutTimestamp(ts))
+            // wake at the oldest pending conversion; with none pending,
+            // wake once the newest touch ages out of every possible
+            // window so an idle key self-prunes instead of holding its
+            // touch buffer until new data happens to arrive
+            val wake = pending.map(_.tsMs).minOption
+              .orElse(keptT.map(_.tsMs).maxOption.map(_ + window))
+            wake.foreach(ts => state.setTimeoutTimestamp(math.max(ts, wm + 1)))
           }
           out.result().iterator
       }

@@ -117,6 +117,49 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinRule bucket arithmetic is exact above 2^53 (near-Long.MaxValue intervals)") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("graft-rangejoin-bigval-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      // Above 2^53 a double cannot represent every Long: the retired
+      // double-divide bucket could round a probe start into a bucket the
+      // build side never emitted, silently dropping the pair. Integer
+      // `div` is exact; rewrite must equal the theta join here.
+      val top = Long.MaxValue - 10000L
+      val segs = (0 until 200).map { i =>
+        val s = top + (i * 37L) % 9000L
+        (i % 3L, i.toLong, s, s + 40L)
+      }.toDF("k", "seg_id", "ss", "se")
+      val chunks = (0 until 30).map { i =>
+        val s = top + i * 300L
+        (i % 3L, i.toLong, s, s + 700L)
+      }.toDF("k", "chunk_id", "cs", "ce")
+      def join() = segs.alias("s").join(chunks.alias("c"),
+        col("s.k") === col("c.k") && col("ss") >= col("cs") && col("se") <= col("ce"))
+        .select(col("seg_id"), col("chunk_id"))
+      val baseline = join().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(baseline.nonEmpty)
+      s2.conf.set(graft.plans.RangeJoinRule.CONF_KEY, "256")
+      val rewritten = join()
+      val planStr = rewritten.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("__gb_probe"), s"rule did not fire:\n$planStr")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == baseline)
+      s2.conf.set(graft.plans.RangeJoinRule.CONF_KEY, "0")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("bucketed tables co-locate repeated joins: zero exchanges in the plan") {
     // The 100 TB co-location pattern: both fact tables bucketed by the
     // join key with the same bucket count — every subsequent join reads
