@@ -3207,22 +3207,33 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |    i -> ((event_id * 31 + i * 17) % 201 - 100) * 50)) AS BIGINT) AS sum_q
         |FROM c ORDER BY event_id""".stripMargin)),
 
-    // S3 — the pre-decode probe GATE as an oracle-checked query: WAV
-    // headers synthesized per event id (junk payloads for id%7=0 probe
-    // as duration 0 — the reference's get_duration failure contract),
-    // gated to [1 s, 2.5 s]; DuckDB recomputes survivorship from the
-    // duration formula alone. Bounded slice (event_id < 400).
+    // S3 — the pre-decode probe GATE as an oracle-checked query over
+    // ALL SIX reference container families (`utils.py:11-16`): WAV +
+    // FLAC full payloads, CBR MP3 silence frames, Ogg/Vorbis
+    // granule-position pages, M4A mvhd/mdhd box walks, ADTS AAC frame
+    // walks (header-accurate minted shells — the probe reads only
+    // headers). Junk payloads for id%7=0 probe as duration 0 (the
+    // reference's get_duration failure contract); gate [1 s, 2.5 s];
+    // DuckDB recomputes survivorship from each family's exact integer
+    // duration formula. Bounded slice (event_id < 400).
     Q("s3_probe_gate",
       (s, dir) => {
         import s.implicits._
-        import graft.pipeline.{AudioProbe, WavAudio}
+        import graft.pipeline.{AudioProbe, FlacAudio, WavAudio}
         val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
           .filter(col("event_id") < 400).distinct().as[Long]
         val payloads = ids.map { id =>
-          val n = (4000 + (id % 50) * 400).toInt // 0.5-3 s at 8 kHz
+          val k = (id % 50).toInt
           val bytes =
             if (id % 7 == 0) Array.fill[Byte](96)(0x5a) // foreign bytes
-            else WavAudio.encode(8000, new Array[Float](n))
+            else (id % 6) match {
+              case 0 => WavAudio.encode(8000, new Array[Float](4000 + k * 400))
+              case 1 => FlacAudio.encode(8000, new Array[Float](4000 + k * 400))
+              case 2 => AudioProbe.Mint.mp3Cbr(14 + k * 2) // 36 ms/frame CBR
+              case 3 => AudioProbe.Mint.ogg(16000, 8000L + k * 800L)
+              case 4 => AudioProbe.Mint.m4a(24000, 12000L + k * 1200L)
+              case _ => AudioProbe.Mint.adts(16000, 8 + k)
+            }
           (id.toString, bytes)
         }
         AudioProbe.probeGate(payloads, minSec = 1.0, maxSec = 2.5)
@@ -3231,10 +3242,66 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
       },
       Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
         |  FROM events WHERE event_id < 400),
-        |c AS (SELECT event_id, 4000 + (event_id % 50) * 400 AS n FROM ids)
-        |SELECT event_id FROM c
-        |WHERE event_id % 7 <> 0 AND n >= 8000 AND n <= 20000
+        |c AS (SELECT event_id, event_id % 50 AS k, event_id % 6 AS fam FROM ids),
+        |d AS (SELECT event_id,
+        |  CASE fam
+        |    WHEN 0 THEN (4000 + k * 400) * 125
+        |    WHEN 1 THEN (4000 + k * 400) * 125
+        |    WHEN 2 THEN (14 + k * 2) * 36000
+        |    WHEN 3 THEN (8000 + k * 800) * 1000000 // 16000
+        |    WHEN 4 THEN (12000 + k * 1200) * 1000000 // 24000
+        |    ELSE (8 + k) * 64000 END AS dur_us
+        |  FROM c)
+        |SELECT event_id FROM d
+        |WHERE event_id % 7 <> 0 AND dur_us >= 1000000 AND dur_us <= 2500000
         |ORDER BY event_id""".stripMargin)),
+
+    // S2 — REAL MP3 codec as an oracle-checked query: per event id a
+    // known tone is encoded by the pure-JVM MPEG-1 Layer III encoder
+    // and decoded back through the PRODUCTION decode seam
+    // (WavAudio.decode → Mp3Audio); the decoded stream's length, rate
+    // and Goertzel-detected peak frequency are discrete facts DuckDB
+    // recomputes from the synthesis parameters alone — frequency
+    // preservation through a lossy codec is the roundtrip check.
+    // Bounded slice (event_id < 40).
+    Q("s2_mp3_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{Mp3Encoder, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 40).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val f = 250.0 * (1 + id % 4)
+          val n = (6400 + (id % 4) * 3200).toInt // 0.2-0.5 s at 32 kHz
+          val tone = Array.tabulate(n)(i =>
+            (0.5 * math.sin(2 * math.Pi * f * i / 32000.0)).toFloat)
+          (id.toString, Mp3Encoder.encode(32000, tone, 128))
+        }
+        WavAudio.decodeDataset(payloads)
+          .map { a =>
+            def power(f: Double): Double = {
+              var re = 0.0; var im = 0.0
+              var i = 2000 // skip filterbank warm-up
+              while (i < a.waveform.length) {
+                val w = 2 * math.Pi * f * i / a.sr
+                re += a.waveform(i) * math.cos(w)
+                im += a.waveform(i) * math.sin(w)
+                i += 1
+              }
+              re * re + im * im
+            }
+            val peak = Seq(250, 500, 750, 1000).maxBy(c => power(c.toDouble))
+            (a.file.toLong, a.sr.toLong, a.waveform.length.toLong, peak.toLong)
+          }
+          .toDF("event_id", "sr", "n_samples", "peak_hz")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 40)
+        |SELECT event_id, CAST(32000 AS BIGINT) AS sr,
+        |  ((6400 + (event_id % 4) * 3200 + 1151) // 1152) * 1152 AS n_samples,
+        |  CAST(250 * (1 + event_id % 4) AS BIGINT) AS peak_hz
+        |FROM ids ORDER BY event_id""".stripMargin)),
 
     // S10+A11 — decode fault isolation + run tallies as an oracle
     // query: every id%5=0 payload is corrupt and must yield a

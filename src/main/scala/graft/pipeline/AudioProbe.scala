@@ -52,6 +52,9 @@ object AudioProbe {
   def probe(bytes: Array[Byte]): Option[Probe] =
     if (bytes == null || bytes.length < 12) None
     else if (bytes.startsWith("fLaC".getBytes)) probeFlac(bytes)
+    else if (bytes.startsWith("OggS".getBytes)) probeOgg(bytes)
+    else if (bytes.length >= 12 && tagAt(bytes, 4, "ftyp")) probeMp4(bytes)
+    else if (isAdtsSync(bytes, 0)) probeAdts(bytes, 0)
     else if (bytes.startsWith("ID3".getBytes) || isMp3Sync(bytes, 0))
       probeMp3(bytes)
     else probeJavaSound(bytes)
@@ -181,6 +184,225 @@ object AudioProbe {
       case None =>
         val payload = (bytes.length - start).toLong
         Some(Probe("mp3", sr, payload * 8000000L / (kbps * 1000L), exact = false))
+    }
+  }
+
+  // ------------------------------------------------------- Ogg/Vorbis
+  /** Ogg page: "OggS" ver(1) type(1) granulepos(8 LE) serial(4) seq(4)
+    * crc(4) nsegs(1) segtable. The FIRST page's first packet is the
+    * Vorbis identification header `\x01vorbis`: version(4) channels(1)
+    * rate(4 LE). Duration = the LAST page's granule position (absolute
+    * PCM sample count) / rate — found by a bounded backward scan for
+    * the final "OggS" capture pattern. Exact by the container spec.
+    */
+  private def probeOgg(bytes: Array[Byte]): Option[Probe] = {
+    if (bytes.length < 58) return None
+    val nsegs = u(bytes(26))
+    val packet = 27 + nsegs
+    if (bytes.length < packet + 30) return None
+    if (bytes(packet) != 1 || !tagAt(bytes, packet + 1, "vorb")) return None
+    val sr = le32(bytes, packet + 12)
+    if (sr <= 0) return None
+    // last page: scan backward (bounded) for the final OggS capture
+    val scanFrom = math.max(0, bytes.length - 65536)
+    var last = -1
+    var p = bytes.length - 27
+    while (p >= scanFrom && last < 0) {
+      if (tagAt(bytes, p, "OggS") && bytes(p + 4) == 0) last = p
+      p -= 1
+    }
+    if (last < 0) return None
+    val gp = le64(bytes, last + 6)
+    if (gp <= 0) None
+    else Some(Probe("ogg", sr.toInt, gp * 1000000L / sr, exact = true))
+  }
+
+  private def le32(bytes: Array[Byte], off: Int): Long =
+    u(bytes(off)).toLong | (u(bytes(off + 1)).toLong << 8) |
+      (u(bytes(off + 2)).toLong << 16) | (u(bytes(off + 3)).toLong << 24)
+
+  private def le64(bytes: Array[Byte], off: Int): Long =
+    le32(bytes, off) | (le32(bytes, off + 4) << 32)
+
+  // ---------------------------------------------------------- MP4/M4A
+  /** ISO-BMFF box walk: top-level boxes [size(4 BE) type(4)], size 1 →
+    * 64-bit largesize. Inside `moov`, `mvhd` v0 holds timescale(4) +
+    * duration(4) at offset 12 past the version byte block; v1 widens
+    * times to 64 bits. The first `mdhd` (track media header) supplies
+    * the media timescale — the audio sample rate for sound tracks.
+    * Duration = mvhd duration / mvhd timescale, exact per container.
+    */
+  private def probeMp4(bytes: Array[Byte]): Option[Probe] = {
+    var mvhdDur = -1L
+    var mvhdScale = -1L
+    var mdhdScale = -1L
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var off = from
+      while (off + 8 <= to && depth < 8) {
+        var size = be32(bytes, off.toInt)
+        val typOff = off + 4
+        var body = off + 8
+        if (size == 1 && off + 16 <= to) {
+          size = (be32(bytes, off.toInt + 8) << 32) | be32(bytes, off.toInt + 12)
+          body = off + 16
+        } else if (size == 0) size = to - off // box extends to end
+        if (size < 8 || off + size > to) return
+        if (tagAt(bytes, typOff.toInt, "moov") || tagAt(bytes, typOff.toInt, "trak") ||
+            tagAt(bytes, typOff.toInt, "mdia"))
+          walk(body, off + size, depth + 1)
+        else if (tagAt(bytes, typOff.toInt, "mvhd") && mvhdDur < 0) {
+          val ver = u(bytes(body.toInt))
+          if (ver == 1 && body + 28 <= to) {
+            mvhdScale = be32(bytes, body.toInt + 20)
+            mvhdDur = (be32(bytes, body.toInt + 24) << 32) | be32(bytes, body.toInt + 28)
+          } else if (ver == 0 && body + 20 <= to) {
+            mvhdScale = be32(bytes, body.toInt + 12)
+            mvhdDur = be32(bytes, body.toInt + 16)
+          }
+        } else if (tagAt(bytes, typOff.toInt, "mdhd") && mdhdScale < 0) {
+          val ver = u(bytes(body.toInt))
+          if (ver == 1 && body + 24 <= to) mdhdScale = be32(bytes, body.toInt + 20)
+          else if (ver == 0 && body + 16 <= to) mdhdScale = be32(bytes, body.toInt + 12)
+        }
+        off += size
+      }
+    }
+    try walk(0, bytes.length.toLong, 0)
+    catch { case _: Exception => return None }
+    if (mvhdDur <= 0 || mvhdScale <= 0) None
+    else {
+      val sr = if (mdhdScale > 0) mdhdScale else mvhdScale
+      Some(Probe("m4a", sr.toInt, mvhdDur * 1000000L / mvhdScale, exact = true))
+    }
+  }
+
+  // --------------------------------------------------------- ADTS AAC
+  /** ADTS sync: 0xFFF + layer bits 00 (Layer III streams carry 01
+    * there, so the two never collide).
+    */
+  private def isAdtsSync(bytes: Array[Byte], off: Int): Boolean =
+    bytes.length >= off + 7 && u(bytes(off)) == 0xff && (u(bytes(off + 1)) & 0xf6) == 0xf0
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS frame walk: header carries a 13-bit frame length and a 2-bit
+    * raw-data-block count; each block is 1024 samples. Duration =
+    * Σ blocks · 1024 / rate — exact, one header read per frame.
+    */
+  private def probeAdts(bytes: Array[Byte], start: Int): Option[Probe] = {
+    var off = start
+    var sr = -1
+    var samples = 0L
+    var frames = 0
+    while (off + 7 <= bytes.length && isAdtsSync(bytes, off)) {
+      val srIdx = (u(bytes(off + 2)) >> 2) & 0xf
+      if (srIdx >= AdtsRates.length) return None
+      val rate = AdtsRates(srIdx)
+      if (sr < 0) sr = rate else if (sr != rate) return None
+      val frameLen = ((u(bytes(off + 3)) & 0x3) << 11) |
+        (u(bytes(off + 4)) << 3) | (u(bytes(off + 5)) >> 5)
+      if (frameLen < 7) return None
+      val blocks = (u(bytes(off + 6)) & 0x3) + 1
+      samples += blocks.toLong * 1024L
+      frames += 1
+      off += frameLen
+    }
+    if (sr <= 0 || samples <= 0 || frames == 0) None
+    else Some(Probe("aac", sr, samples * 1000000L / sr, exact = true))
+  }
+
+  // --------------------------------------------- fixture minters (S3)
+  /** Header-accurate container shells for probe tests and oracle
+    * queries: real page/box/frame structure with silent payloads — the
+    * probe reads only headers, so these exercise exactly the production
+    * parse paths.
+    */
+  object Mint {
+    /** Two-page Ogg/Vorbis shell: identification page + one audio page
+      * whose granule position encodes `totalSamples`.
+      */
+    def ogg(sr: Int, totalSamples: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def page(granule: Long, seq: Int, packet: Array[Byte], bos: Boolean): Unit = {
+        out.write("OggS".getBytes)
+        out.write(0) // version
+        out.write(if (bos) 2 else 4) // header type: BOS / EOS
+        var g = granule
+        (0 until 8).foreach { _ => out.write((g & 0xff).toInt); g >>= 8 }
+        (0 until 4).foreach(i => out.write((0x1234 >> (8 * i)) & 0xff)) // serial
+        (0 until 4).foreach(i => out.write((seq >> (8 * i)) & 0xff))
+        (0 until 4).foreach(_ => out.write(0)) // crc (probe does not verify)
+        out.write(1) // one segment
+        out.write(packet.length)
+        out.write(packet)
+      }
+      val ident = new java.io.ByteArrayOutputStream()
+      ident.write(1); ident.write("vorbis".getBytes)
+      (0 until 4).foreach(_ => ident.write(0)) // version
+      ident.write(1) // channels
+      (0 until 4).foreach(i => ident.write((sr >> (8 * i)) & 0xff))
+      (0 until 12).foreach(_ => ident.write(0)) // bitrates
+      ident.write(0xb8); ident.write(1) // blocksizes + framing
+      page(0L, 0, ident.toByteArray, bos = true)
+      page(totalSamples, 1, Array.fill[Byte](32)(0), bos = false)
+      out.toByteArray
+    }
+
+    /** Minimal ISO-BMFF shell: ftyp + moov(mvhd v0 + trak/mdia/mdhd). */
+    def m4a(sr: Int, durationInSr: Long): Array[Byte] = {
+      def box(typ: String, body: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(8 + body.length)
+        out.putInt(8 + body.length); out.put(typ.getBytes); out.put(body)
+        out.array()
+      }
+      val mvhd = java.nio.ByteBuffer.allocate(100)
+      mvhd.putInt(0) // version+flags
+      mvhd.putInt(0); mvhd.putInt(0) // ctime mtime
+      mvhd.putInt(sr) // movie timescale = sample rate (audio-only file)
+      mvhd.putInt(durationInSr.toInt)
+      val mdhd = java.nio.ByteBuffer.allocate(24)
+      mdhd.putInt(0); mdhd.putInt(0); mdhd.putInt(0)
+      mdhd.putInt(sr); mdhd.putInt(durationInSr.toInt); mdhd.putInt(0)
+      val moov = box("moov", box("mvhd", mvhd.array()) ++
+        box("trak", box("mdia", box("mdhd", mdhd.array()))))
+      box("ftyp", "M4A ".getBytes ++ Array.fill[Byte](8)(0)) ++ moov ++
+        box("mdat", Array.fill[Byte](16)(0))
+    }
+
+    /** CBR MPEG-1 Layer III silence: `frames` all-zero frames (zero
+      * side info = empty granules, a fully legal silent stream — the
+      * same shape LAME emits for digital silence). 128 kbps @ 32 kHz
+      * mono → 576 bytes per frame, no padding, no Xing header, so the
+      * probe's CBR byte-length estimate is exact.
+      */
+    def mp3Cbr(frames: Int): Array[Byte] = {
+      val frame = new Array[Byte](576)
+      frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
+      frame(2) = ((9 << 4) | (2 << 2)).toByte // 128 kbps, 32 kHz
+      frame(3) = 0xc0.toByte // mono
+      val out = new Array[Byte](frames * 576)
+      (0 until frames).foreach(i => System.arraycopy(frame, 0, out, i * 576, 576))
+      out
+    }
+
+    /** ADTS shell: `frames` one-block frames at `sr` (1024 samples each). */
+    def adts(sr: Int, frames: Int): Array[Byte] = {
+      val srIdx = AdtsRates.indexOf(sr)
+      require(srIdx >= 0, s"no ADTS rate index for $sr")
+      val payload = 13
+      val frameLen = 7 + payload
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until frames).foreach { _ =>
+        out.write(0xff); out.write(0xf1) // MPEG-4, layer 00, no CRC
+        out.write((1 << 6) | (srIdx << 2)) // AAC-LC, sr index, private 0
+        out.write((1 << 6) | ((frameLen >> 11) & 0x3)) // mono chan cfg
+        out.write((frameLen >> 3) & 0xff)
+        out.write(((frameLen & 0x7) << 5) | 0x1f)
+        out.write(0xfc) // fullness + 1 block (00)
+        (0 until payload).foreach(_ => out.write(0))
+      }
+      out.toByteArray
     }
   }
 }

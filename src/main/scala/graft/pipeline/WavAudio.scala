@@ -29,11 +29,13 @@ object WavAudio {
     * `mono=True`).
     */
   def decode(bytes: Array[Byte]): (Int, Array[Float]) = {
-    // FLAC is decoded by the pure-JVM [[FlacAudio]] (fixed-predictor
-    // subset); everything else goes through javax.sound
+    // FLAC and MP3 are decoded by the pure-JVM codecs ([[FlacAudio]],
+    // [[Mp3Audio]]); everything else goes through javax.sound
     if (bytes != null && bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L'
         && bytes(2) == 'a' && bytes(3) == 'C')
       return FlacAudio.decode(bytes)
+    if (Mp3Audio.looksLikeMp3(bytes))
+      return Mp3Audio.decode(bytes)
     val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val src = raw.getFormat
@@ -73,10 +75,10 @@ object WavAudio {
     * big-endian — the container's native sample order). [[decode]]
     * auto-detects all of them, so the decode seam is genuinely
     * multi-format: three real containers here plus FLAC via
-    * [[FlacAudio]]; the reference's mp3/aac/ogg/m4a need codec
-    * libraries absent from this environment (documented, SURVEY
-    * §7.4.4) and flow through the S10 failed-status path instead of
-    * aborting.
+    * [[FlacAudio]] and MP3 via [[Mp3Audio]]; the reference's
+    * aac/ogg/m4a need codec libraries absent from this environment
+    * (documented, SURVEY §7.4.4) and flow through the S10
+    * failed-status path instead of aborting.
     */
   def encodeAs(sr: Int, samples: Array[Float],
                container: AudioFileFormat.Type): Array[Byte] = {
