@@ -135,6 +135,36 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, DataFrame, DataFrame)]()
 
+  /** Session-lifetime memo of the two intermediates the dedup family
+    * shares: the full-corpus 3-gram shingle table (eight queries) and
+    * the 8-band J≥0.5 MinHash pair graph (five queries). One
+    * tokenize+explode+distinct and one LSH candidate+verify per
+    * session instead of one per query. Keyed by the SparkSession
+    * INSTANCE + sf dir (identity, cf. lmModelCache); two separate maps
+    * because the pair loader calls the shingle loader (nested
+    * computeIfAbsent on one ConcurrentHashMap throws).
+    */
+  private val shingleMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val minhashPairMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sessionShingles(s: SparkSession, dir: String): DataFrame =
+    shingleMemo.computeIfAbsent((s, dir), { _ =>
+      val sd = graft.ops.TextOps.shingleTable(
+        Tables.documents(s, dir), "doc_id", "text", 3).cache()
+      sd.count()
+      sd
+    })
+
+  private def sessionMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairMemo.computeIfAbsent((s, dir), { _ =>
+      val p = graft.ops.Dedup.minhashLshPairs(
+        sessionShingles(s, dir), "doc_id", 8, 0.5).cache()
+      p.count()
+      p
+    })
+
   private def stagedStreamSource(tag: String, dir: String)(
       build: java.nio.file.Path => Unit): String =
     streamStageCache.computeIfAbsent(s"$tag|$dir", { _ =>
@@ -1299,7 +1329,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // over ALL shingles — reported Jaccard values are uncapped.
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
-          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          sessionShingles(s, dir),
           "doc_id", 0.8, maxShingleDocFreq = 50L)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,
@@ -1325,7 +1355,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // via stack. The tuning artifact every dedup rollout reads first.
     Q("dedup_threshold_curve",
       (s, dir) => Dedup.thresholdCurve(
-          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          sessionShingles(s, dir),
           "doc_id", 50L, Seq((5, 10), (6, 10), (7, 10), (8, 10), (9, 10)))
         .orderBy(col("t_permille")),
       Some(s"""WITH $shingleSqlCte,
@@ -1423,9 +1453,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // Dedup — MinHash+LSH: 8 band-min signatures, bucket-join candidates,
     // exact-Jaccard verify (the 100 TB dedup path).
     Q("dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(
-          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
-          "doc_id", 8, 0.5)
+      (s, dir) => sessionMinhashPairs(s, dir)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,
         |mh AS (SELECT doc_id, r.band AS band,
@@ -1451,7 +1479,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(
           TextOps.simhash16(
-            TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+            sessionShingles(s, dir),
             "doc_id"),
           "doc_id", 1)
         .orderBy(col("a"), col("b")),
@@ -2212,8 +2240,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_components",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.minhashLshPairs(
-          TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+        val pairs = sessionMinhashPairs(s, dir)
         val cc = Dedup.connectedComponents(pairs, "a", "b")
           .withColumnRenamed("id", "doc_id")
         val lbl = docs.select(col("doc_id"))
@@ -2371,7 +2398,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // equality with the uncapped Jaccard path).
     Q("dedup_ppjoin",
       (s, dir) => Dedup.prefixFilterPairs(
-          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          sessionShingles(s, dir),
           "doc_id", tNum = 4, tDen = 5)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,
@@ -2406,8 +2433,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_source_flow",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.minhashLshPairs(
-          TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+        val pairs = sessionMinhashPairs(s, dir)
         val cc = Dedup.connectedComponents(pairs, "a", "b")
           .withColumnRenamed("id", "doc_id")
         val cs = docs.select(col("doc_id"), col("source")).join(cc, "doc_id")
@@ -2436,8 +2462,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_canonical_best",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.minhashLshPairs(
-          TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+        val pairs = sessionMinhashPairs(s, dir)
         val cc = Dedup.connectedComponents(pairs, "a", "b")
           .withColumnRenamed("id", "doc_id")
         val lbl = docs.select(col("doc_id"), col("n_chars"))
@@ -2512,10 +2537,8 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_components_incr",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.minhashLshPairs(
-            TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
-          .select(col("a"), col("b")).cache()
-        pairs.count() // eager: feeds both CC runs' per-round actions
+        val pairs = sessionMinhashPairs(s, dir)
+          .select(col("a"), col("b"))
         val isNew = (c: org.apache.spark.sql.Column) =>
           pmod(c, lit(4L)) === 1L
         val oldLbl = Dedup.connectedComponents(
@@ -2541,8 +2564,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // probe-side restriction.
     Q("dedup_incremental",
       (s, dir) => {
-        val sd = TextOps.shingleTable(
-          Tables.documents(s, dir), "doc_id", "text", 3)
+        val sd = sessionShingles(s, dir)
         Dedup.incrementalNearDups(
             sd.where(col("doc_id") % 4 =!= 1), sd.where(col("doc_id") % 4 === 1),
             "doc_id", 8, 0.5)
@@ -4754,8 +4776,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("c_split_leakage_safe",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.minhashLshPairs(
-          TextOps.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8, 0.5)
+        val pairs = sessionMinhashPairs(s, dir)
         Curation.leakageSafeSplit(docs, pairs, "doc_id",
           nBuckets = 10, trainHi = 8, valHi = 9)
       },
@@ -5376,7 +5397,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_snm",
       (s, dir) => Dedup.sortedNeighborhoodPairs(
           Tables.documents(s, dir),
-          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          sessionShingles(s, dir),
           "doc_id", "text", keyChars = 16, blockChars = 2, window = 4,
           minJaccard = 0.8)
         .orderBy(col("a"), col("b")),
@@ -5525,6 +5546,48 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
       },
       Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp")),
 
+    // L82 — STREAMING DEDUP, WATERMARK-BOUNDED STATE: the live-stream
+    // flavor of `streaming_dedup` — `dropDuplicatesWithinWatermark`
+    // keeps the seen-key set only within the event-time horizon, the
+    // operator an unbounded stream NEEDS (plain dropDuplicates state
+    // grows forever). The delay here exceeds the table's whole time
+    // span, so nothing is evicted mid-run and the batch DISTINCT stays
+    // an exact oracle; StreamingSpec separately pins the EVICTION
+    // contract (seen keys re-emit once the watermark passes them and
+    // state shrinks). Emitting only the key column keeps the result a
+    // set, order-independent across file splits.
+    Q("streaming_dedup_wm",
+      (s, dir) => withStreamingPartitions(s) {
+        val base = Tables.events(s, dir)
+        val name = "sdw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sdw").toString
+        val srcDir = stagedStreamSource("events_r2", dir)(p =>
+          base.repartition(2).write.mode("overwrite").parquet(p.toString))
+        val st = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        // ts may be TIMESTAMP_NTZ depending on the round's parquet
+        // physical type; the watermark needs LTZ — go through exact
+        // epoch micros (Tables.tsUs) like every other streaming query
+        val dd = st
+          .withColumn("wts", timestamp_micros(Tables.tsUs(st)))
+          .withWatermark("wts", "3650 days")
+          .select(col("wts"),
+            md5(concat_ws("|", col("user_id").cast("string"),
+              col("event_type"))).as("fp"))
+          .dropDuplicatesWithinWatermark("fp")
+          .select(col("fp"))
+        val q = dd.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("fp"))
+      },
+      Some("""SELECT DISTINCT md5(concat(CAST(user_id AS VARCHAR), '|', event_type)) AS fp
+        |FROM events ORDER BY fp""".stripMargin)),
+
     // L83 — INVERTED-INDEX HEAD BLOCKS with delta-gap encoding: per
     // term, document frequency plus the FIRST 32 postings (ascending
     // doc id) as gaps — the bounded-state head block every
@@ -5646,7 +5709,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // the gate is integer, the score one division.
     Q("dedup_containment",
       (s, dir) => Dedup.containmentPairs(
-          TextOps.shingleTable(Tables.documents(s, dir), "doc_id", "text", 3),
+          sessionShingles(s, dir),
           "doc_id", minContainPermille = 800, maxShingleDocFreq = 50L)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $shingleSqlCte,

@@ -89,9 +89,30 @@ class OnnxSpec extends SparkSpec {
       def create(): OnnxSession = rec
     }
 
-  test("onnxruntime jar is absent here; the reflective binding says so, loudly") {
-    assert(!OnnxRuntimeJvm.available)
-    intercept[UnsupportedOperationException](OnnxRuntimeJvm.load(Array[Byte](1, 2, 3)))
+  test("onnxruntime jar absence is reported loudly; presence runs the real Identity fixture") {
+    val model = graft.pipeline.OnnxFixture.identityModel(4)
+    // the wire structure must be sound either way: ir_version(1),
+    // graph(8), opset_import(14) at the top level
+    val top = graft.pipeline.OnnxFixture.selfCheck(model)
+    assert(Set(1, 8, 14).subsetOf(top), s"fixture top-level fields: $top")
+    if (!OnnxRuntimeJvm.available) {
+      intercept[UnsupportedOperationException](OnnxRuntimeJvm.load(model))
+    } else {
+      // real runtime on the classpath: drive the reflective path with
+      // the hand-assembled model — marshalling in, Identity out
+      val session = OnnxRuntimeJvm.load(model)
+      try {
+        val in = graft.pipeline.Onnx.FloatTensor(Array(2L, 4L),
+          Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
+        val out = session.run(Map("in" -> in))
+        assert(out.size == 1)
+        out.values.head match {
+          case graft.pipeline.Onnx.FloatTensor(shape, data) =>
+            assert(shape.sameElements(Array(2L, 4L)) && data.sameElements(in.data))
+          case t => fail(s"unexpected output $t")
+        }
+      } finally session.close()
+    }
   }
 
   test("DNSMOS ONNX marshalling: record once, replay through Spark bit-identically, one session per JVM") {

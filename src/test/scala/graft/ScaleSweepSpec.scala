@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep canary: the heavy dedup/ANN/windowing/attribution
+  * shapes run at synthetic ×1/×3/×9 input scale and the fitted
+  * time-vs-size exponent must stay near linear. The guard is against
+  * CATASTROPHIC growth — an accidental all-pairs join or per-row
+  * recomputation shows an exponent ≥ ~2 at these sizes, far above the
+  * 1.45 gate; log-factor growth (CC rounds, sort shuffles) and the
+  * fixed-overhead floor both sit well below it. Scaled copies are
+  * SALTED so they don't near-duplicate each other (inter-copy token /
+  * rotation perturbation), keeping output volume — and thus true
+  * per-row work — linear in the input.
+  *
+  * Streaming ops are represented by their batch twins (attribution,
+  * sessionization): each streaming flavor's per-batch work is the same
+  * kernel, and its STATE bound is pinned separately in StreamingSpec /
+  * StressSpec.
+  */
+class ScaleSweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def timed(f: => Long): Double = {
+    val t0 = System.nanoTime()
+    val n = f
+    assert(n > 0L, "scaled op produced no rows")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Least-squares slope of ln t over ln s. */
+  private def exponent(pts: Seq[(Double, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1))
+    val ys = pts.map(p => math.log(math.max(p._2, 1e-4)))
+    val mx = xs.sum / xs.length
+    val my = ys.sum / ys.length
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
+  private def sweep(name: String, run: Int => Long): Unit = {
+    run(1) // warm-up: JIT + plan caches
+    val pts = Seq(1, 3, 9).map(s => (s.toDouble, timed(run(s))))
+    val e = exponent(pts)
+    info(f"$name: ${pts.map(p => f"${p._2}%.2f s").mkString(" / ")} → exponent $e%.2f")
+    assert(e <= 1.45, f"$name scales super-linearly: exponent $e%.2f over $pts")
+    spark.catalog.clearCache()
+  }
+
+  /** ×s docs; every copy's words interleaved with a copy token so no
+    * shingle crosses copies (keeps near-dup volume linear).
+    */
+  private def scaledDocs(s: Int): DataFrame =
+    (0 until s).map { i =>
+      Tables.documents(spark, dir).select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"), " ", s" z${i}q ").as("text"))
+    }.reduce(_ unionByName _)
+
+  /** ×s embeddings; each copy circularly rotated i positions so copies
+    * of one vector are near-orthogonal, not near-duplicates.
+    */
+  private def scaledEmb(s: Int): DataFrame =
+    (0 until s).map { i =>
+      Tables.table(spark, dir, "embeddings").select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+          s"slice(embedding, 1, $i))").as("embedding"))
+    }.reduce(_ unionByName _)
+
+  test("MinHash LSH dedup stays near-linear under ×9 salted scale") {
+    sweep("minhash_lsh", s => graft.ops.Dedup.minhashLshPairs(
+      graft.ops.TextOps.shingleTable(scaledDocs(s), "doc_id", "text", 3),
+      "doc_id", bands = 8, minJaccard = 0.5).count() + 1)
+  }
+
+  test("connected components stay near-linear on a ×9 path graph") {
+    sweep("connected_components", s => graft.ops.Dedup.connectedComponents(
+      spark.range(100000L * s - 1).select(col("id").as("a"), (col("id") + 1L).as("b")),
+      "a", "b", maxIter = 30).count())
+  }
+
+  test("IVF embedding near-dup pairs stay near-linear under ×9 rotated scale") {
+    sweep("ivf_near_dup", s => graft.ops.Similarity.ivfNearDupPairs(
+      scaledEmb(s), "vec_id", "embedding", minCos = 0.85).count() + 1)
+  }
+
+  test("sessionization windows stay near-linear under ×9 key scale") {
+    sweep("sessionize", s => {
+      val ev = (0 until s).map { i =>
+        val e = Tables.events(spark, dir)
+        e.select(
+          (col("user_id") + lit(i * 1000000000L)).as("k"),
+          Tables.tsUs(e).as("tus"))
+      }.reduce(_ unionByName _)
+      graft.ops.SegmentOps.sessionizePoints(ev, "k", "tus", "tus",
+        lit(3600000000L)).agg(max(col("session_id"))).head.getLong(0)
+    })
+  }
+
+  test("multi-touch attribution stays near-linear under ×9 key scale") {
+    sweep("attribution", s => {
+      val base = spark.range(2000L * s * 50L).select(
+        expr("id div 50").as("k"),
+        col("id").as("touchId"),
+        (col("id") % 50L * 60000000L).as("tus"))
+      val touches = base.filter(col("touchId") % 50L =!= 49L)
+      val convs = base.filter(col("touchId") % 50L === 49L)
+        .select(col("k"), col("touchId").as("convId"), col("tus"),
+          (col("touchId") % 1000L + 100L).as("cents"))
+      graft.ops.EventAnalytics.linearAttribution(touches, convs, "k",
+        windowUs = 1800000000L).count()
+    })
+  }
+}

@@ -199,6 +199,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark evicts seen-key state once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = input.toDF().toDF("ts", "fp")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ddwm_out").start()
+    try {
+      // keep clear of the epoch: the initial watermark is 0 and rows
+      // at/behind it are dropped as late before dedup ever sees them
+      def t(min: Long) = new java.sql.Timestamp((100000L + min) * 60000L)
+      input.addData((t(0), "a"), (t(0), "b"), (t(1), "a"))
+      q.processAllAvailable() // a,b emitted; in-batch dup suppressed
+      input.addData((t(60), "hb")) // watermark → 50 min ≫ 0: a,b evicted
+      q.processAllAvailable()
+      input.addData((t(61), "a")) // fresh occurrence after eviction
+      q.processAllAvailable()
+      val rows = spark.table("ddwm_out").collect().map(_.getString(1)).toSeq
+      assert(rows.count(_ == "a") == 2,
+        s"seen-key must re-emit after its state is watermark-evicted, got $rows")
+      assert(rows.count(_ == "b") == 1 && rows.count(_ == "hb") == 1)
+      // the state store itself must have shrunk: only {hb, a@61} survive
+      val st = q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
+        .headOption.map(_.numRowsTotal)
+      assert(st.exists(_ <= 2), s"state not evicted: $st rows retained")
+    } finally q.stop()
+  }
+
   test("temporal enrich: in-batch exact as-of, cross-batch latest-known state") {
     import graft.streaming.{EnrichInput, TemporalEnrich}
     implicit val sqlCtx = spark.sqlContext

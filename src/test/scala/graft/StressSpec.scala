@@ -227,6 +227,31 @@ class StressSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sweepLineActiveSets sustains a 100k-interval single file (SURVEY §7.4.3 risk)") {
+    // one file, 100k overlapping speaker intervals, 40 speakers: the
+    // flatMapGroups kernel holds O(n) events plus the bounded 40-entry
+    // active-count map — never a per-elementary-interval blowup. The
+    // label churn (every end cancels its start) keeps counts exact.
+    import graft.model.SpeakerSegment
+    val segs = spark.range(100000L).select(
+      lit("one").as("file"),
+      concat(lit("sp"), (col("id") % 40L).cast("string")).as("speaker"),
+      (col("id").cast("double") * 1.5d).as("start"),
+      (col("id").cast("double") * 1.5d + 90d).as("end"))
+      .as[SpeakerSegment]
+    val out = SegmentAlgebra.sweepLineActiveSets(segs)
+    val agg = out.groupBy().agg(count(lit(1)).as("n"),
+      max(size(col("speakers"))).as("widest"),
+      sum(col("end") - col("start")).as("span")).head
+    // elementary intervals: boundaries are the distinct event times
+    assert(agg.getLong(0) > 100000L && agg.getLong(0) < 300000L,
+      s"unexpected elementary interval count ${agg.getLong(0)}")
+    // steady state: 60 concurrent intervals over 40 speakers
+    assert(agg.getInt(1) == 40, s"widest active set ${agg.getInt(1)}")
+    // total covered span = last end - first start (fully covered line)
+    assert(math.abs(agg.getDouble(2) - (99999 * 1.5 + 90.0)) < 1e-6)
+  }
+
   test("sessionizeCapped kernel sustains a 200k-segment single key") {
     val segs = spark.range(200000L).select(
       lit("one").as("file"),
