@@ -165,6 +165,24 @@ object SparkEntry {
       p
     })
 
+  /** The CC labels over [[sessionMinhashPairs]] — four queries
+    * (components, source_flow, canonical_best, leakage split) each ran
+    * the full O(log² n) star-contraction loop on the same graph; one
+    * run per session now. Separate map: the loader calls
+    * sessionMinhashPairs (same nesting rule as above).
+    */
+  private val ccLabelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sessionCcLabels(s: SparkSession, dir: String): DataFrame =
+    ccLabelMemo.computeIfAbsent((s, dir), { _ =>
+      val cc = graft.ops.Dedup.connectedComponents(
+        sessionMinhashPairs(s, dir), "a", "b")
+        .withColumnRenamed("id", "doc_id").cache()
+      cc.count()
+      cc
+    })
+
   private def stagedStreamSource(tag: String, dir: String)(
       build: java.nio.file.Path => Unit): String =
     streamStageCache.computeIfAbsent(s"$tag|$dir", { _ =>
@@ -1309,6 +1327,100 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  FROM r x JOIN r y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2)
         |SELECT a, b, n_shared FROM p WHERE n_shared >= 10 ORDER BY a, b""".stripMargin)),
 
+    // Dedup — CONTENT-DEFINED CHUNKING (rsync/LBFS family): a rolling
+    // polynomial hash cuts chunk boundaries wherever hash % 64 == 0,
+    // so boundaries depend only on local content and an edit re-chunks
+    // at most its own window — shifted/partially-edited documents
+    // still share every untouched chunk (fixed-size chunking shares
+    // none). One fused codegen Expression (O(1) rolling update per
+    // char); the oracle recomputes each boundary from the equivalent
+    // per-window Σ c_j·B^(k−1−j) mod M in exact integers. Output: the
+    // cross-document shared-chunk table (the dedup signal).
+    Q("dedup_cdc_chunks",
+      (s, dir) => {
+        val fn = graft.expr.CdcChunks.register(s)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(s"$fn(text)")).as("chunk"))
+          .groupBy(md5(col("chunk")).as("chunk_fp"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            min(length(col("chunk"))).cast("long").as("clen"))
+          .filter(col("n_docs") > 1L)
+          .orderBy(col("chunk_fp"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS canon FROM documents),
+        |b AS (SELECT doc_id, canon, CAST(strlen(canon) AS BIGINT) AS n
+        |  FROM c WHERE strlen(canon) > 0),
+        |k AS (SELECT doc_id, canon, n,
+        |  CASE WHEN n >= 8 THEN list_filter(range(8, n + 1), e ->
+        |    (((ord(substr(canon, CAST(e - 7 AS INTEGER), 1)) * 531575
+        |      + ord(substr(canon, CAST(e - 6 AS INTEGER), 1)) * 501020
+        |      + ord(substr(canon, CAST(e - 5 AS INTEGER), 1)) * 629067
+        |      + ord(substr(canon, CAST(e - 4 AS INTEGER), 1)) * 923521
+        |      + ord(substr(canon, CAST(e - 3 AS INTEGER), 1)) * 29791
+        |      + ord(substr(canon, CAST(e - 2 AS INTEGER), 1)) * 961
+        |      + ord(substr(canon, CAST(e - 1 AS INTEGER), 1)) * 31
+        |      + ord(substr(canon, CAST(e AS INTEGER), 1))) % 1000003) % 64) = 0)
+        |  ELSE [] END AS cuts FROM b),
+        |ch AS (SELECT doc_id,
+        |  CASE WHEN n < 8 THEN [canon]
+        |  ELSE list_filter(list_transform(range(0, len(cuts) + 1), i ->
+        |    substr(canon,
+        |      CAST((CASE WHEN i = 0 THEN 0 ELSE cuts[CAST(i AS INTEGER)] END) + 1 AS INTEGER),
+        |      CAST((CASE WHEN i = CAST(len(cuts) AS BIGINT) THEN n
+        |            ELSE cuts[CAST(i + 1 AS INTEGER)] END)
+        |        - (CASE WHEN i = 0 THEN 0 ELSE cuts[CAST(i AS INTEGER)] END) AS INTEGER))),
+        |    x -> strlen(x) > 0) END AS chunks FROM k),
+        |u AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch)
+        |SELECT md5(chunk) AS chunk_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_occ, CAST(MIN(strlen(chunk)) AS BIGINT) AS clen
+        |FROM u GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY 1""".stripMargin)),
+
+    // L-series — MULTI-PATTERN LITERAL MATCHING via one broadcast
+    // Aho-Corasick automaton: per-document cost is one linear pass
+    // regardless of pattern count — the blocklist/PII-term shape at
+    // 100 TB, vs per-pattern regexp scans that rescan every byte. The
+    // chosen patterns never self-overlap, so the oracle's disjoint
+    // replace-count equals the automaton's all-occurrence count.
+    Q("t_multi_match",
+      (s, dir) => graft.ops.TextMatch.matchCounts(
+          Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "table", "join", "scan", "query", "window"))
+        .orderBy(col("doc_id"), col("pattern")),
+      Some("""WITH p(pattern) AS (SELECT * FROM (VALUES ('spark'), ('table'),
+        |  ('join'), ('scan'), ('query'), ('window'))),
+        |m AS (SELECT doc_id, pattern,
+        |  CAST((strlen(text) - strlen(replace(text, pattern, ''))) // strlen(pattern)
+        |    AS BIGINT) AS n
+        |  FROM documents, p)
+        |SELECT doc_id, pattern, n FROM m WHERE n > 0
+        |ORDER BY doc_id, pattern""".stripMargin)),
+
+    // Curation — URL CANONICALIZATION: the normalization every
+    // web-scale URL-level dedup runs first (scheme/host lowercased,
+    // www. and default ports stripped, utm_* dropped, query keys
+    // sorted, fragment discarded, path case preserved). Pure column
+    // expressions over synthesized messy URLs; the oracle states the
+    // expected canonical form directly from the synthesis parameters.
+    Q("c_url_canonical",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val url = concat(
+          when(pmod(col("doc_id"), lit(2L)) === 0L, lit("HTTP://WWW."))
+            .otherwise(lit("https://")),
+          col("source"), lit(".Example.COM"),
+          when(pmod(col("doc_id"), lit(2L)) === 0L, lit(":80")).otherwise(lit(":443")),
+          lit("/Docs/"), col("doc_id"),
+          lit("?utm_source=feed&b=2&a=1&utm_medium=m#sec"))
+        docs.select(col("doc_id"), Curation.canonicalUrl(url).as("canon_url"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  concat(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END,
+        |    '://', lower(source), '.example.com/Docs/', doc_id, '?a=1&b=2') AS canon_url
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Dedup — exact (prefix) fingerprint groups; md5 over normalized text
     // head catches head-identical near-dups as exact groups.
     Q("dedup_exact",
@@ -2240,9 +2352,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_components",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = sessionMinhashPairs(s, dir)
-        val cc = Dedup.connectedComponents(pairs, "a", "b")
-          .withColumnRenamed("id", "doc_id")
+        val cc = sessionCcLabels(s, dir)
         val lbl = docs.select(col("doc_id"))
           .join(cc, Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -2433,9 +2543,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_source_flow",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = sessionMinhashPairs(s, dir)
-        val cc = Dedup.connectedComponents(pairs, "a", "b")
-          .withColumnRenamed("id", "doc_id")
+        val cc = sessionCcLabels(s, dir)
         val cs = docs.select(col("doc_id"), col("source")).join(cc, "doc_id")
           .select(col("component"), col("source")).distinct()
         cs.as("x").join(cs.as("y"), Seq("component"))
@@ -2462,9 +2570,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("dedup_canonical_best",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = sessionMinhashPairs(s, dir)
-        val cc = Dedup.connectedComponents(pairs, "a", "b")
-          .withColumnRenamed("id", "doc_id")
+        val cc = sessionCcLabels(s, dir)
         val lbl = docs.select(col("doc_id"), col("n_chars"))
           .join(cc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_chars"),
@@ -3181,6 +3287,44 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST((w1 * scale_e4) // 10000 AS BIGINT) AS out_w,
         |  CAST((h1 * scale_e4) // 10000 AS BIGINT) AS out_h
         |FROM rs ORDER BY doc_id, frame""".stripMargin)),
+
+    // Multimodal — IMAGE NEAR-DUP by perceptual dHash: 8×9 grayscale
+    // grids (deterministic stub decode — the codec seam is the stub,
+    // the HASH and the dedup join are real), 64 brightness comparisons
+    // packed into four 16-bit bands, pigeonhole (band, value)
+    // bucket-join candidates (recall 1 for Hamming ≤ 3), exact
+    // popcount verify at ≤ 2. Families (doc_id % 37) share a base
+    // grid; a per-doc single-cell perturbation flips at most two
+    // comparison bits — exactly the resize/re-encode robustness dHash
+    // exists for. The oracle recomputes hashes closed-form and checks
+    // ALL pairs exhaustively: candidate recall is part of what's
+    // verified.
+    Q("mm_dhash_neardup",
+      (s, dir) => {
+        val grid = expr("transform(sequence(0, 71), i -> CAST(" +
+          "((doc_id % 37) * 31 + (i div 9) * 17 + (i % 9) * 7) % 256 + " +
+          "IF(i = doc_id % 72, 9 * ((doc_id div 37) % 2), 0) AS INT))")
+        val hashed = Tables.documents(s, dir)
+          .select(col("doc_id"), grid.as("g"))
+          .select(col("doc_id"), Multimodal.dHashBands("g").as("bands"))
+        Multimodal.dhashNearDupPairs(hashed, "doc_id", "bands", maxDist = 2)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH g AS (SELECT doc_id, list_transform(range(0, 72), i ->
+        |    ((doc_id % 37) * 31 + (i // 9) * 17 + (i % 9) * 7) % 256 +
+        |    CASE WHEN i = doc_id % 72 THEN 9 * ((doc_id // 37) % 2) ELSE 0 END) AS grid
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(0, 4), b ->
+        |    list_sum(list_transform(range(0, 16), t ->
+        |      CASE WHEN grid[CAST(((b * 16 + t) // 8) * 9 + ((b * 16 + t) % 8) + 1 AS INTEGER)]
+        |             > grid[CAST(((b * 16 + t) // 8) * 9 + ((b * 16 + t) % 8) + 2 AS INTEGER)]
+        |      THEN (1 << t) ELSE 0 END))) AS bands FROM g),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(list_sum(list_transform(range(1, 5), k ->
+        |      bit_count(xor(CAST(x.bands[CAST(k AS INTEGER)] AS BIGINT),
+        |                    CAST(y.bands[CAST(k AS INTEGER)] AS BIGINT))))) AS BIGINT) AS dist
+        |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
+        |SELECT a, b, dist FROM p WHERE dist <= 2 ORDER BY a, b""".stripMargin)),
 
     // S2 — the REAL codec path as an oracle-checked query: per event id
     // synthesize a deterministic int16 waveform, container-encode it
@@ -4776,9 +4920,9 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     Q("c_split_leakage_safe",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = sessionMinhashPairs(s, dir)
-        Curation.leakageSafeSplit(docs, pairs, "doc_id",
-          nBuckets = 10, trainHi = 8, valHi = 9)
+        Curation.leakageSafeSplit(docs, sessionMinhashPairs(s, dir), "doc_id",
+          nBuckets = 10, trainHi = 8, valHi = 9,
+          ccLabels = Some(sessionCcLabels(s, dir)))
       },
       Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
         |hb AS (SELECT doc_id, component,

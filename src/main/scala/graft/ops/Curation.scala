@@ -906,11 +906,14 @@ object Curation {
     * Output: (idCol, component, bucket, split) per document.
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
-                       nBuckets: Int, trainHi: Int, valHi: Int): DataFrame = {
+                       nBuckets: Int, trainHi: Int, valHi: Int,
+                       ccLabels: Option[DataFrame] = None): DataFrame = {
     require(0 < trainHi && trainHi < valHi && valHi <= nBuckets,
       s"need 0 < trainHi < valHi <= nBuckets, got ($trainHi, $valHi, $nBuckets)")
-    val cc = Dedup.connectedComponents(pairs, "a", "b")
-      .withColumnRenamed("id", idCol)
+    // a caller holding precomputed component labels (id -> component)
+    // passes them instead of re-running the contraction loop
+    val cc = ccLabels.getOrElse(
+      Dedup.connectedComponents(pairs, "a", "b").withColumnRenamed("id", idCol))
     docs.select(col(idCol))
       .join(cc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
@@ -1332,4 +1335,33 @@ object Curation {
         col("d_distinct").cast("double")
           + (col("f1") * (col("f1") - 1L)).cast("double")
             / (lit(2L) * (col("f2") + 1L)).cast("double"))
+
+  /** URL canonicalization — the normalization pass every web-scale
+    * dedup runs before URL-level grouping (the same page is crawled as
+    * `HTTP://WWW.Site.com:80/a?utm_source=x&b=2&a=1#frag` and
+    * `http://site.com/a?a=1&b=2`): scheme and host lowercased, a
+    * leading `www.` stripped, default ports (`:80` http, `:443` https)
+    * dropped, tracking parameters (`utm_*`) removed, the remaining
+    * query keys SORTED, the fragment discarded, and an empty path
+    * normalized to `/`. Path case is preserved (paths are
+    * case-sensitive; hosts are not). Pure column expressions —
+    * codegen'd regexes plus array HOFs, no UDF, trivially partition-
+    * parallel at any scale.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val deWww = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(deWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(deWww, ":443$", ""))
+      .otherwise(deWww)
+    val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query0 = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query0, "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val query = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
 }

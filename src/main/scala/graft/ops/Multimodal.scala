@@ -74,4 +74,44 @@ object Multimodal {
       .withColumn("out_w", expr("(__w * scale_e4) div 10000"))
       .withColumn("out_h", expr("(__h * scale_e4) div 10000"))
       .drop("__w", "__h")
+
+  /** Perceptual difference hash (dHash) over an 8×9 grayscale grid
+    * (row-major array of 72 ints): 64 horizontal brightness
+    * comparisons packed as FOUR 16-bit bands — the image-near-dup
+    * fingerprint (a resize/re-encode/brightness-shift of the same
+    * picture flips only a few comparison bits, so near-dups sit within
+    * a small Hamming distance). Bands instead of one 64-bit word keep
+    * every value < 2^16: no sign/overflow hazards in either engine and
+    * the band IS the LSH bucket key. Pure integer column expressions.
+    */
+  def dHashBands(gridColName: String): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0, " +
+      s"(acc, t) -> acc + IF(" +
+      s"element_at($gridColName, CAST(((b * 16 + t) div 8) * 9 + ((b * 16 + t) % 8) + 1 AS INT)) > " +
+      s"element_at($gridColName, CAST(((b * 16 + t) div 8) * 9 + ((b * 16 + t) % 8) + 2 AS INT)), " +
+      s"shiftleft(1, t), 0)))")
+
+  /** Image near-dup pairs by dHash Hamming distance: pigeonhole
+    * candidates — any EQUAL band (recall 1 for distance ≤ 3 with 4
+    * bands) via a (band, value) equi self-join, then exact popcount
+    * verify. The same bucket-join-never-cross-join shape as every
+    * dedup path here: at 100 TB candidates form only inside hash
+    * buckets. Input: (idCol, bands array<int>[4]); output (a, b, dist).
+    */
+  def dhashNearDupPairs(df: DataFrame, idCol: String, bandsCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist <= 3, s"4-band pigeonhole guarantees recall only to distance 3, got $maxDist")
+    val b = df.select(col(idCol), posexplode(col(bandsCol)).as(Seq("band", "v")))
+    val cand = b.select(col(idCol).as("a"), col("band"), col("v"))
+      .join(b.select(col(idCol).as("b"), col("band"), col("v")), Seq("band", "v"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(df.select(col(idCol).as("a"), col(bandsCol).as("__ba")), "a")
+      .join(df.select(col(idCol).as("b"), col(bandsCol).as("__bb")), "b")
+      .withColumn("dist",
+        expr("aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (acc, d) -> acc + d)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -1379,4 +1379,97 @@ class OpsSpec extends SparkSpec {
     assert(got("g") == ((4L, 2L, 1L, 4.5d)))
     assert(got("h") == ((2L, 2L, 0L, 2d + 2d / 2d)))
   }
+
+  test("CDC chunks partition the canon text and survive a point edit (locality)") {
+    import graft.expr.CdcChunks
+    def chunksOf(text: String): Seq[String] = {
+      val arr = CdcChunks.compute(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val ch = chunksOf(base)
+    // partition property: chunks concatenate back to the canon text
+    assert(ch.mkString == base)
+    assert(ch.forall(_.nonEmpty))
+    assert(ch.length > 5, s"expected multiple chunks, got ${ch.length}")
+    // locality: one edited char re-chunks only its neighborhood — the
+    // multiset of chunks away from the edit is unchanged (THE property
+    // fixed-size chunking lacks)
+    val edited = base.updated(1000, if (base(1000) == 'q') 'r' else 'q')
+    val ch2 = chunksOf(edited)
+    val common = ch.toSet.intersect(ch2.toSet)
+    assert(ch.toSet.size - common.size <= 3,
+      s"edit invalidated ${ch.toSet.size - common.size} chunks of ${ch.length}")
+    // short input: single chunk
+    assert(chunksOf("ab2") == Seq("ab2"))
+    assert(chunksOf("  ") == Seq.empty)
+  }
+
+  test("AhoCorasick counts every occurrence, overlapping and nested, like brute force") {
+    import graft.ops.TextMatch.AhoCorasick
+    val pats = IndexedSeq("ab", "aba", "bb", "a", "babb")
+    val ac = new AhoCorasick(pats)
+    val rnd = new scala.util.Random(23)
+    (0 until 50).foreach { _ =>
+      val text = Array.fill(200)(if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val got = ac.countMatches(text)
+      pats.zipWithIndex.foreach { case (p, i) =>
+        val brute = (0 to text.length - p.length).count(j => text.startsWith(p, j))
+        assert(got(i) == brute, s"pattern '$p' in '$text': got ${got(i)}, want $brute")
+      }
+    }
+  }
+
+  test("AhoCorasick matchCounts runs the broadcast automaton over a DataFrame") {
+    val df = Seq((1L, "spark table spark"), (2L, "no hits here"), (3L, "tabletable"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextMatch.matchCounts(df, "doc_id", "text", Seq("spark", "table"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "spark", 2L), (1L, "table", 1L), (3L, "table", 2L)))
+  }
+
+  test("dHash bands pack 64 comparisons; near-dup pairs match brute-force Hamming") {
+    import graft.ops.Multimodal
+    // strictly increasing rows: every g(r,c) < g(r,c+1) -> all bits 0;
+    // strictly decreasing: all bits 1 -> bands 0xFFFF
+    val inc = (0 until 72).toArray
+    val dec = inc.map(72 - _)
+    val df0 = Seq((1L, inc), (2L, dec)).toDF("doc_id", "g")
+      .select(col("doc_id"), Multimodal.dHashBands("g").as("bands"))
+    val m = df0.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(m(1L) == Seq(0, 0, 0, 0))
+    assert(m(2L) == Seq(65535, 65535, 65535, 65535))
+    // brute-force agreement on random grids, incl. pigeonhole recall
+    val rnd = new scala.util.Random(31)
+    val grids = (0L until 40L).map(i => (i, Array.fill(72)(rnd.nextInt(40))))
+    val hashed = grids.toDF("doc_id", "g")
+      .select(col("doc_id"), Multimodal.dHashBands("g").as("bands"))
+    val bands = hashed.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def dist(a: Long, b: Long): Int =
+      bands(a).zip(bands(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val want = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if dist(a, b) <= 3
+    } yield (a, b, dist(a, b).toLong)).toSet
+    val got = Multimodal.dhashNearDupPairs(hashed, "doc_id", "bands", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("canonicalUrl normalizes host/port/query and preserves path case") {
+    val cases = Seq(
+      "HTTP://WWW.Site.COM:80/A/B?utm_source=x&b=2&a=1#f" -> "http://site.com/A/B?a=1&b=2",
+      "https://site.com:443/" -> "https://site.com/",
+      "https://site.com:8443/x" -> "https://site.com:8443/x", // non-default port kept
+      "http://site.com:443/x" -> "http://site.com:443/x", // 443 is not http's default
+      "https://www.site.com" -> "https://site.com/", // empty path -> /
+      "https://site.com/p?utm_a=1&utm_b=2" -> "https://site.com/p") // all-utm -> no ?
+    val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "url")
+    val got = df.select(col("i"), graft.ops.Curation.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"canonicalUrl($in) = ${got(i)}, want $want")
+    }
+  }
 }
