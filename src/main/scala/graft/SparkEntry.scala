@@ -3301,19 +3301,25 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // verified.
     Q("mm_dhash_neardup",
       (s, dir) => {
+        // quadratic-in-position grids spread band values across
+        // families (a linear formula made most bands collide into
+        // corpus-sized LSH buckets — measured 62 s at sf0.1 vs ~1 s
+        // here); bounded slice doc_id < 2000 caps the pair output
         val grid = expr("transform(sequence(0, 71), i -> CAST(" +
-          "((doc_id % 37) * 31 + (i div 9) * 17 + (i % 9) * 7) % 256 + " +
-          "IF(i = doc_id % 72, 9 * ((doc_id div 37) % 2), 0) AS INT))")
-        val hashed = Tables.documents(s, dir)
+          "((doc_id % 37 + 1) * (i * i + 7 * i + 13)) % 256 + " +
+          "IF(i = doc_id % 72, 200 * ((doc_id div 37) % 2), 0) AS INT))")
+        val base = Tables.documents(s, dir)
+          .filter(col("doc_id") < 2000)
           .select(col("doc_id"), grid.as("g"))
-          .select(col("doc_id"), Multimodal.dHashBands("g").as("bands"))
+        val hashed = base
+          .select(col("doc_id"), Multimodal.dHashBands(base, "g").as("bands"))
         Multimodal.dhashNearDupPairs(hashed, "doc_id", "bands", maxDist = 2)
           .orderBy(col("a"), col("b"))
       },
       Some("""WITH g AS (SELECT doc_id, list_transform(range(0, 72), i ->
-        |    ((doc_id % 37) * 31 + (i // 9) * 17 + (i % 9) * 7) % 256 +
-        |    CASE WHEN i = doc_id % 72 THEN 9 * ((doc_id // 37) % 2) ELSE 0 END) AS grid
-        |  FROM documents),
+        |    ((doc_id % 37 + 1) * (i * i + 7 * i + 13)) % 256 +
+        |    CASE WHEN i = doc_id % 72 THEN 200 * ((doc_id // 37) % 2) ELSE 0 END) AS grid
+        |  FROM documents WHERE doc_id < 2000),
         |h AS (SELECT doc_id, list_transform(range(0, 4), b ->
         |    list_sum(list_transform(range(0, 16), t ->
         |      CASE WHEN grid[CAST(((b * 16 + t) // 8) * 9 + ((b * 16 + t) % 8) + 1 AS INTEGER)]

@@ -672,6 +672,23 @@ object Mp3Audio {
     * durations stay aligned).
     */
   def decodeWithStats(bytes: Array[Byte]): (Int, Array[Float], Seq[FrameStat]) = {
+    val (sr, mono, st, _) = decodeFull(bytes)
+    (sr, mono, st)
+  }
+
+  /** Per-channel decode (stereo tests need L/R separately; the
+    * production seam stays mono like the reference's `mono=True`).
+    */
+  def decodeChannels(bytes: Array[Byte]): (Int, Array[Array[Float]]) = {
+    val (sr, _, stats, chans) = decodeFull(bytes)
+    val ok = stats.count(_.ok)
+    require(stats.nonEmpty && ok * 2 >= stats.size,
+      s"only $ok/${stats.size} frames decoded cleanly")
+    (sr, chans)
+  }
+
+  private def decodeFull(bytes: Array[Byte])
+      : (Int, Array[Float], Seq[FrameStat], Array[Array[Float]]) = {
     require(bytes != null && bytes.length >= 4, "empty payload")
     var off = skipId3(bytes, 0)
     // bounded pre-sync scan (junk before first frame is legal)
@@ -690,7 +707,7 @@ object Mp3Audio {
       else bytes.length
 
     val stats = Seq.newBuilder[FrameStat]
-    val pcm = new scala.collection.mutable.ArrayBuffer[Float](1 << 16)
+    var pcm: Array[scala.collection.mutable.ArrayBuffer[Float]] = null
     var sampleRate = 0
     var channels = 1
     var states: Array[ChannelState] = null
@@ -708,6 +725,8 @@ object Mp3Audio {
             sampleRate = h.sampleRate
             channels = h.channels
             states = Array.fill(h.channels)(new ChannelState)
+            pcm = Array.fill(h.channels)(
+              new scala.collection.mutable.ArrayBuffer[Float](1 << 16))
           }
           val frameEnd = math.min(off + h.frameBytes, end)
           val mainStart = off + 4 + (if (h.hasCrc) 2 else 0) + h.sideInfoBytes
@@ -730,20 +749,21 @@ object Mp3Audio {
                 if (startInRes < 0) {
                   stats += FrameStat(off, ok = false, "bit reservoir underrun", Set.empty)
                   // frames contribute silence to keep durations aligned
-                  pcm ++= Iterator.fill(h.samplesPerFrame)(0f)
+                  pcm.foreach(_ ++= Iterator.fill(h.samplesPerFrame)(0f))
                 } else {
                   val tablesUsed = side.granules.flatten
                     .flatMap(g => g.tableSelect.take(if (g.windowSwitching) 2 else 3))
                     .filter(_ > 0).toSet
                   try {
                     val samples = decodeFrame(h, side, combined, startInRes, states)
-                    pcm ++= samples
+                    var c = 0
+                    while (c < channels) { pcm(c) ++= samples(c); c += 1 }
                     stats += FrameStat(off, ok = true, "", tablesUsed)
                   } catch {
                     case e: Exception =>
                       stats += FrameStat(off, ok = false,
                         s"${e.getClass.getSimpleName}: ${e.getMessage}", tablesUsed)
-                      pcm ++= Iterator.fill(h.samplesPerFrame)(0f)
+                      pcm.foreach(_ ++= Iterator.fill(h.samplesPerFrame)(0f))
                   }
                 }
                 // keep at most 511 trailing bytes (max main_data_begin)
@@ -757,7 +777,10 @@ object Mp3Audio {
       }
     }
     require(sampleRate > 0, "no decodable MPEG frames")
-    (sampleRate, pcm.toArray, stats.result())
+    val mono =
+      if (channels == 1) pcm(0).toArray
+      else Array.tabulate(pcm(0).length)(i => (pcm(0)(i) + pcm(1)(i)) / 2f)
+    (sampleRate, mono, stats.result(), pcm.map(_.toArray))
   }
 
   /** Strict decode for the production seam: at least half the frames
@@ -773,10 +796,10 @@ object Mp3Audio {
   }
 
   private def decodeFrame(h: Header, side: SideInfo, main: Array[Byte], startByte: Int,
-                          states: Array[ChannelState]): Array[Float] = {
+                          states: Array[ChannelState]): Array[Array[Float]] = {
     val br = new BitReader(main, startByte * 8, main.length * 8)
     val nch = h.channels
-    val out = new Array[Float](h.samplesPerFrame)
+    val out = Array.ofDim[Float](nch, h.samplesPerFrame)
     var gr = 0
     while (gr < h.granules) {
       val xr = new Array[Array[Double]](nch)
@@ -819,10 +842,8 @@ object Mp3Audio {
       }
       var i = 0
       while (i < 576) {
-        var acc = 0.0
         ch = 0
-        while (ch < nch) { acc += chOut(ch)(i); ch += 1 }
-        out(gr * 576 + i) = (acc / nch).toFloat
+        while (ch < nch) { out(ch)(gr * 576 + i) = chOut(ch)(i).toFloat; ch += 1 }
         i += 1
       }
       gr += 1

@@ -213,9 +213,42 @@ object Mp3Encoder {
   }
 
   // -------------------------------------------------------- frames
-  /** Encode mono samples as MPEG-1 Layer III CBR. */
-  def encode(sr: Int, samples: Array[Float], bitrateKbps: Int = 128,
-             forceTable: Option[Int] = None): Array[Byte] = {
+  /** Per-granule 576-line MDCT spectra for one channel: analysis bank,
+    * frequency inversion, per-subband MDCT with 18-sample overlap,
+    * inverse alias butterflies — everything up to quantization.
+    */
+  private def channelSpectra(samples: Array[Float], nGranules: Int): Array[Array[Double]] = {
+    val steps = nGranules * 18
+    val sub = analyze(samples, steps)
+    var sb = 1
+    while (sb < 32) {
+      var t = 1
+      while (t < steps) { sub(sb)(t) = -sub(sb)(t); t += 2 }
+      sb += 2
+    }
+    val mdctPrev = Array.ofDim[Double](32, 18)
+    Array.tabulate(nGranules) { g =>
+      val xr = new Array[Double](576)
+      var k = 0
+      while (k < 32) {
+        val block = new Array[Double](36)
+        var i = 0
+        while (i < 18) {
+          block(i) = mdctPrev(k)(i)
+          block(18 + i) = sub(k)(g * 18 + i)
+          i += 1
+        }
+        val lines = mdct36(block)
+        System.arraycopy(lines, 0, xr, 18 * k, 18)
+        System.arraycopy(block, 18, mdctPrev(k), 0, 18)
+        k += 1
+      }
+      aliasEncode(xr)
+      xr
+    }
+  }
+
+  private def v1Params(sr: Int, bitrateKbps: Int): (Int, Int, Int) = {
     val srIdx = sr match {
       case 44100 => 0
       case 48000 => 1
@@ -224,81 +257,128 @@ object Mp3Encoder {
     }
     val brIdx = BitrateV1.indexOf(bitrateKbps)
     require(brIdx > 0, s"unsupported bitrate $bitrateKbps")
-    val frameBytes = 144 * bitrateKbps * 1000 / sr
     require(144 * bitrateKbps * 1000 % sr == 0,
       s"bitrate $bitrateKbps not integral at $sr Hz (padding not implemented)")
+    (srIdx, brIdx, 144 * bitrateKbps * 1000 / sr)
+  }
+
+  /** Encode mono samples as MPEG-1 Layer III CBR. */
+  def encode(sr: Int, samples: Array[Float], bitrateKbps: Int = 128,
+             forceTable: Option[Int] = None): Array[Byte] = {
+    val (srIdx, brIdx, frameBytes) = v1Params(sr, bitrateKbps)
     val nFrames = math.max(1, (samples.length + 1151) / 1152)
-    val steps = nFrames * 36 // 36 analysis steps per frame
-    val sub = analyze(samples, steps)
-    // frequency inversion (self-inverse, mirrors the decoder)
-    var sb = 1
-    while (sb < 32) {
-      var t = 1
-      while (t < steps) { sub(sb)(t) = -sub(sb)(t); t += 2 }
-      sb += 2
-    }
-    val out = new scala.collection.mutable.ArrayBuffer[Byte](nFrames * frameBytes)
-    val mdctPrev = Array.ofDim[Double](32, 18)
+    val spectra = channelSpectra(samples, nFrames * 2)
     val mainCap = (frameBytes - 4 - 17) * 8
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](nFrames * frameBytes)
     var f = 0
     while (f < nFrames) {
-      val granules = new Array[EncGranule](2)
-      var gr = 0
-      while (gr < 2) {
-        val xr = new Array[Double](576)
-        var k = 0
-        while (k < 32) {
-          val block = new Array[Double](36)
-          var i = 0
-          while (i < 18) {
-            block(i) = mdctPrev(k)(i)
-            block(18 + i) = sub(k)(f * 36 + gr * 18 + i)
-            i += 1
-          }
-          val lines = mdct36(block)
-          System.arraycopy(lines, 0, xr, 18 * k, 18)
-          System.arraycopy(block, 18, mdctPrev(k), 0, 18)
-          k += 1
-        }
-        aliasEncode(xr)
-        granules(gr) = encodeGranule(xr, mainCap / 2, forceTable)
-        gr += 1
-      }
-      out ++= assembleFrame(srIdx, brIdx, frameBytes, granules)
+      val granules = Array.tabulate(2, 1)((gr, _) =>
+        encodeGranule(spectra(f * 2 + gr), mainCap / 2, forceTable))
+      out ++= assembleFrame(version = 3, srIdx, brIdx, frameBytes,
+        mode = 3, modeExt = 0, granules)
       f += 1
     }
     out.toArray
   }
 
-  private def assembleFrame(srIdx: Int, brIdx: Int, frameBytes: Int,
-                            granules: Array[EncGranule]): Array[Byte] = {
+  /** Encode a stereo pair as MPEG-1 joint stereo with MID/SIDE coding
+    * (mode 1, mode_ext MS): the encoder-side transform m=(l+r)/√2,
+    * s=(l−r)/√2 on the MDCT spectra, undone by the decoder's stereo
+    * stage — the end-to-end test surface for the MS decode path.
+    */
+  def encodeStereoMs(sr: Int, left: Array[Float], right: Array[Float],
+                     bitrateKbps: Int = 192): Array[Byte] = {
+    require(left.length == right.length, "stereo channels must align")
+    val (srIdx, brIdx, frameBytes) = v1Params(sr, bitrateKbps)
+    val nFrames = math.max(1, (left.length + 1151) / 1152)
+    val specL = channelSpectra(left, nFrames * 2)
+    val specR = channelSpectra(right, nFrames * 2)
+    val inv = 1.0 / math.sqrt(2.0)
+    val mainCap = (frameBytes - 4 - 32) * 8
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](nFrames * frameBytes)
+    var f = 0
+    while (f < nFrames) {
+      val granules = Array.tabulate(2, 2) { (gr, ch) =>
+        val l = specL(f * 2 + gr); val r = specR(f * 2 + gr)
+        val xr = Array.tabulate(576)(i =>
+          if (ch == 0) (l(i) + r(i)) * inv else (l(i) - r(i)) * inv)
+        encodeGranule(xr, mainCap / 4, None)
+      }
+      out ++= assembleFrame(version = 3, srIdx, brIdx, frameBytes,
+        mode = 1, modeExt = 2, granules)
+      f += 1
+    }
+    out.toArray
+  }
+
+  /** Encode mono samples as MPEG-2 LSF Layer III CBR (one 576-sample
+    * granule per frame, 9-bit scalefac_compress, no preflag field) —
+    * the end-to-end test surface for the LSF decode path with real
+    * content (the container's LAME LSF sample is digital silence).
+    */
+  def encodeLsf(sr: Int, samples: Array[Float], bitrateKbps: Int = 64,
+                forceTable: Option[Int] = None): Array[Byte] = {
+    val srIdx = sr match {
+      case 22050 => 0
+      case 24000 => 1
+      case 16000 => 2
+      case _ => throw new IllegalArgumentException(s"unsupported MPEG-2 rate $sr")
+    }
+    val brIdx = BitrateV2.indexOf(bitrateKbps)
+    require(brIdx > 0, s"unsupported bitrate $bitrateKbps")
+    require(72 * bitrateKbps * 1000 % sr == 0,
+      s"bitrate $bitrateKbps not integral at $sr Hz")
+    val frameBytes = 72 * bitrateKbps * 1000 / sr
+    val nFrames = math.max(1, (samples.length + 575) / 576)
+    val spectra = channelSpectra(samples, nFrames)
+    val mainCap = (frameBytes - 4 - 9) * 8
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](nFrames * frameBytes)
+    var f = 0
+    while (f < nFrames) {
+      val granules = Array(Array(encodeGranule(spectra(f), mainCap, forceTable)))
+      out ++= assembleFrame(version = 2, srIdx, brIdx, frameBytes,
+        mode = 3, modeExt = 0, granules)
+      f += 1
+    }
+    out.toArray
+  }
+
+  /** One frame: header + side info + main data, zero-padded to the CBR
+    * size. `granules` is [granule][channel], matching the decoder's
+    * side-info and main-data field order for both MPEG-1 and LSF.
+    */
+  private def assembleFrame(version: Int, srIdx: Int, brIdx: Int, frameBytes: Int,
+                            mode: Int, modeExt: Int,
+                            granules: Array[Array[EncGranule]]): Array[Byte] = {
+    val lsf = version != 3
+    val nch = granules(0).length
     val bw = new BitWriter
-    // header: sync(11) version=11 layer=01 prot=1
-    bw.write(0x7ff, 11); bw.write(3, 2); bw.write(1, 2); bw.write(1, 1)
+    // header: sync(11) version(2) layer=01 prot=1
+    bw.write(0x7ff, 11); bw.write(version, 2); bw.write(1, 2); bw.write(1, 1)
     bw.write(brIdx, 4); bw.write(srIdx, 2); bw.write(0, 1); bw.write(0, 1)
-    bw.write(3, 2) // mono
-    bw.write(0, 2); bw.write(0, 1); bw.write(0, 1); bw.write(0, 2)
-    // side info, mono: mdb(9) private(5) scfsi(4)
-    bw.write(0, 9); bw.write(0, 5); bw.write(0, 4)
-    granules.foreach { g =>
+    bw.write(mode, 2); bw.write(modeExt, 2)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 2)
+    // side info
+    bw.write(0, if (lsf) 8 else 9) // main_data_begin: no reservoir
+    bw.write(0, if (lsf) { if (nch == 1) 1 else 2 } else { if (nch == 1) 5 else 3 })
+    if (!lsf) bw.write(0, 4 * nch) // scfsi: never shared
+    granules.foreach(_.foreach { g =>
       bw.write(g.part23Length, 12)
       bw.write(g.bigValues, 9)
       bw.write(g.globalGain, 8)
-      bw.write(0, 4) // scalefac_compress=0 → no scalefactor bits
+      bw.write(0, if (lsf) 9 else 4) // scalefac_compress=0 → no scalefactors
       bw.write(0, 1) // no window switching
-      val t = if (g.tableId == 0) 0 else g.tableId
+      val t = g.tableId
       bw.write(t, 5); bw.write(t, 5); bw.write(0, 5)
       bw.write(7, 4) // region0_count
       bw.write(13, 3) // region1_count → region2 empty
-      bw.write(0, 1) // preflag
+      if (!lsf) bw.write(0, 1) // preflag (MPEG-1 only)
       bw.write(0, 1) // scalefac_scale
       bw.write(0, 1) // count1table_select
-    }
-    // main data
-    granules.foreach { g =>
-      val bits = g.bits
-      // re-emit granule bits
-      val src = bits.toBytes
+    })
+    // main data in granule-major, channel-minor order
+    granules.foreach(_.foreach { g =>
+      val src = g.bits.toBytes
       var i = 0
       var left = g.part23Length
       while (left > 0) {
@@ -307,7 +387,7 @@ object Mp3Encoder {
         i += 1
         left -= take
       }
-    }
+    })
     bw.padToBytes(frameBytes)
     bw.toBytes
   }

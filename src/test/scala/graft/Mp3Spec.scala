@@ -149,6 +149,45 @@ class Mp3Spec extends AnyFunSuite {
     }
   }
 
+  test("MS joint stereo roundtrip: distinct L/R tones survive the mid/side transform") {
+    val n = 16000
+    val left = Array.tabulate(n)(i => (0.5 * math.sin(2 * math.Pi * 440 * i / 32000.0)).toFloat)
+    val right = Array.tabulate(n)(i => (0.5 * math.sin(2 * math.Pi * 1100 * i / 32000.0)).toFloat)
+    val mp3 = Mp3Encoder.encodeStereoMs(32000, left, right, 192)
+    // header sanity: joint stereo, MS bit set
+    val h = Mp3Audio.parseHeader(mp3, 0).get
+    assert(h.mode == 1 && (h.modeExt & 2) != 0 && h.channels == 2)
+    val (sr, chans) = Mp3Audio.decodeChannels(mp3)
+    assert(sr == 32000 && chans.length == 2)
+    // each decoded channel must correlate with ITS OWN source tone and
+    // not the other: a sign/phase error in the MS inverse would leak
+    // the side channel and break the separation
+    val (cl, _) = bestCorr(left, chans(0), 2500)
+    val (cr, _) = bestCorr(right, chans(1), 2500)
+    assert(cl > 0.98, s"left channel correlation $cl")
+    assert(cr > 0.98, s"right channel correlation $cr")
+    val (xl, _) = bestCorr(right, chans(0), 2500)
+    assert(xl < 0.5, s"left channel leaked the right tone: $xl")
+  }
+
+  test("MPEG-2 LSF roundtrip: real content through the one-granule/9-bit path") {
+    // the container's LAME LSF sample is silence; this is the LSF
+    // decode path (side info widths, scalefac decomposition, 576-line
+    // granules) with actual spectra
+    val tone = Array.tabulate(16000)(i =>
+      (0.5 * math.sin(2 * math.Pi * 500 * i / 16000.0) +
+        0.2 * math.sin(2 * math.Pi * 1500 * i / 16000.0)).toFloat)
+    val mp3 = Mp3Encoder.encodeLsf(16000, tone, 64)
+    val h = Mp3Audio.parseHeader(mp3, 0).get
+    assert(h.lsf && h.sampleRate == 16000 && h.granules == 1)
+    val (sr, wave, stats) = Mp3Audio.decodeWithStats(mp3)
+    assert(sr == 16000)
+    assert(stats.forall(_.ok), stats.filterNot(_.ok).map(_.err).take(3).mkString("; "))
+    assert(wave.length == stats.size * 576)
+    val (corr, _) = bestCorr(tone, wave, 2500)
+    assert(corr > 0.98, s"LSF roundtrip correlation $corr")
+  }
+
   test("production decode seam dispatches MP3 and preserves the tone's peak frequency") {
     val tone = Array.tabulate(16000)(i => (0.5 * math.sin(2 * math.Pi * 1000 * i / 32000.0)).toFloat)
     val mp3 = Mp3Encoder.encode(32000, tone, 128)

@@ -1435,16 +1435,16 @@ class OpsSpec extends SparkSpec {
     // strictly decreasing: all bits 1 -> bands 0xFFFF
     val inc = (0 until 72).toArray
     val dec = inc.map(72 - _)
-    val df0 = Seq((1L, inc), (2L, dec)).toDF("doc_id", "g")
-      .select(col("doc_id"), Multimodal.dHashBands("g").as("bands"))
+    val raw0 = Seq((1L, inc), (2L, dec)).toDF("doc_id", "g")
+    val df0 = raw0.select(col("doc_id"), Multimodal.dHashBands(raw0, "g").as("bands"))
     val m = df0.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(m(1L) == Seq(0, 0, 0, 0))
     assert(m(2L) == Seq(65535, 65535, 65535, 65535))
     // brute-force agreement on random grids, incl. pigeonhole recall
     val rnd = new scala.util.Random(31)
     val grids = (0L until 40L).map(i => (i, Array.fill(72)(rnd.nextInt(40))))
-    val hashed = grids.toDF("doc_id", "g")
-      .select(col("doc_id"), Multimodal.dHashBands("g").as("bands"))
+    val raw1 = grids.toDF("doc_id", "g")
+    val hashed = raw1.select(col("doc_id"), Multimodal.dHashBands(raw1, "g").as("bands"))
     val bands = hashed.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     def dist(a: Long, b: Long): Int =
       bands(a).zip(bands(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
