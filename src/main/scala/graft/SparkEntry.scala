@@ -3332,6 +3332,52 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
         |SELECT a, b, dist FROM p WHERE dist <= 2 ORDER BY a, b""".stripMargin)),
 
+    // S2 — REAL Ogg/Vorbis codec as an oracle-checked query (the
+    // sibling of s2_mp3_roundtrip): tones through the pure-JVM Vorbis
+    // encoder (floor1 + residue + MDCT, self-describing codebooks) and
+    // back through the PRODUCTION decode seam; DuckDB recomputes the
+    // exact output length ((blocks−1)·128 = n for 128-multiples), rate
+    // and the preserved Goertzel peak from the synthesis parameters.
+    // Bounded slice (event_id < 40).
+    Q("s2_vorbis_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{VorbisEncoder, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 40).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val f = 250.0 * (1 + id % 4)
+          val n = (3840 + (id % 4) * 1280).toInt // 0.24-0.48 s at 16 kHz
+          val tone = Array.tabulate(n)(i =>
+            (0.5 * math.sin(2 * math.Pi * f * i / 16000.0)).toFloat)
+          (id.toString, VorbisEncoder.encode(16000, tone))
+        }
+        WavAudio.decodeDataset(payloads)
+          .map { a =>
+            def power(f: Double): Double = {
+              var re = 0.0; var im = 0.0
+              var i = 0
+              while (i < a.waveform.length) {
+                val w = 2 * math.Pi * f * i / a.sr
+                re += a.waveform(i) * math.cos(w)
+                im += a.waveform(i) * math.sin(w)
+                i += 1
+              }
+              re * re + im * im
+            }
+            val peak = Seq(250, 500, 750, 1000).maxBy(c => power(c.toDouble))
+            (a.file.toLong, a.sr.toLong, a.waveform.length.toLong, peak.toLong)
+          }
+          .toDF("event_id", "sr", "n_samples", "peak_hz")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 40)
+        |SELECT event_id, CAST(16000 AS BIGINT) AS sr,
+        |  CAST(3840 + (event_id % 4) * 1280 AS BIGINT) AS n_samples,
+        |  CAST(250 * (1 + event_id % 4) AS BIGINT) AS peak_hz
+        |FROM ids ORDER BY event_id""".stripMargin)),
+
     // S2 — the REAL codec path as an oracle-checked query: per event id
     // synthesize a deterministic int16 waveform, container-encode it
     // (WAV for even ids, FLAC for odd — both real encoders), decode

@@ -29,13 +29,28 @@ object WavAudio {
     * `mono=True`).
     */
   def decode(bytes: Array[Byte]): (Int, Array[Float]) = {
-    // FLAC and MP3 are decoded by the pure-JVM codecs ([[FlacAudio]],
-    // [[Mp3Audio]]); everything else goes through javax.sound
+    // FLAC, MP3 and Ogg/Vorbis are decoded by the pure-JVM codecs
+    // ([[FlacAudio]], [[Mp3Audio]], [[VorbisAudio]]); everything else
+    // goes through javax.sound
     if (bytes != null && bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L'
         && bytes(2) == 'a' && bytes(3) == 'C')
       return FlacAudio.decode(bytes)
     if (Mp3Audio.looksLikeMp3(bytes))
       return Mp3Audio.decode(bytes)
+    if (bytes != null && bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'g'
+        && bytes(2) == 'g' && bytes(3) == 'S') {
+      val res = VorbisAudio.decode(bytes)
+      require(res.packetsOk * 2 >= res.packetsOk + res.packetsFailed,
+        s"only ${res.packetsOk}/${res.packetsOk + res.packetsFailed} vorbis packets decoded")
+      val mono =
+        if (res.channels == 1) res.samples(0)
+        else Array.tabulate(res.samples(0).length) { i =>
+          var acc = 0f
+          res.samples.foreach(chArr => acc += chArr(i))
+          acc / res.channels
+        }
+      return (res.sampleRate, mono)
+    }
     val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val src = raw.getFormat

@@ -91,6 +91,53 @@ class VorbisSpec extends AnyFunSuite {
     assert(Ogg.pages(bad).length == 1)
   }
 
+  test("Vorbis MDCT/IMDCT TDAC identity under the Vorbis window") {
+    import graft.pipeline.{VorbisAudio, VorbisEncoder}
+    val n = 256
+    val win = VorbisAudio.window(n)
+    // Princen-Bradley condition of the Vorbis window
+    (0 until n / 2).foreach { j =>
+      val s = win(j) * win(j) + win(j + n / 2) * win(j + n / 2)
+      assert(math.abs(s - 1.0) < 1e-12, s"window PB condition at $j: $s")
+    }
+    val rnd = new scala.util.Random(13)
+    val a = Array.fill(n)(rnd.nextGaussian())
+    val b = a.drop(n / 2) ++ Array.fill(n / 2)(rnd.nextGaussian())
+    val ya = VorbisAudio.imdct(VorbisEncoder.mdct(a, win), n).zip(win).map { case (v, w) => v * w }
+    val yb = VorbisAudio.imdct(VorbisEncoder.mdct(b, win), n).zip(win).map { case (v, w) => v * w }
+    val rec = Array.tabulate(n / 2)(i => ya(n / 2 + i) + yb(i))
+    val err = rec.zip(a.drop(n / 2)).map { case (x, y) => math.abs(x - y) }.max
+    assert(err < 1e-9, s"TDAC error $err")
+  }
+
+  test("full Ogg/Vorbis roundtrip: tone survives encode → decode, probe agrees") {
+    import graft.pipeline.{AudioProbe, VorbisAudio, VorbisEncoder}
+    val sr = 16000
+    val tone = Array.tabulate(8000)(i =>
+      (0.5 * math.sin(2 * math.Pi * 500 * i / sr)).toFloat)
+    val ogg = VorbisEncoder.encode(sr, tone)
+    val res = VorbisAudio.decode(ogg)
+    assert(res.sampleRate == sr && res.channels == 1)
+    assert(res.packetsFailed == 0, s"${res.packetsFailed} packets failed")
+    val wave = res.samples(0)
+    assert(wave.length >= tone.length)
+    // correlation at zero lag (the 50%-overlap blocks align exactly)
+    var c = 0.0; var e1 = 0.0; var e2 = 0.0
+    for (i <- tone.indices) { c += tone(i) * wave(i); e1 += tone(i) * tone(i); e2 += wave(i) * wave(i) }
+    val corr = c / math.sqrt(e1 * e2)
+    assert(corr > 0.97, s"roundtrip correlation $corr")
+    // amplitude preserved within the 5-level residue's quantization
+    val ratio = math.sqrt(e2 / e1)
+    assert(ratio > 0.7 && ratio < 1.4, s"amplitude ratio $ratio")
+    // the S3 probe reads the same container: exact duration from the
+    // last granule position
+    val p = AudioProbe.probe(ogg)
+    assert(p.exists(pr => pr.container == "ogg" && pr.sampleRate == sr && pr.exact))
+    // silence encodes to floor-unused packets and decodes silent
+    val quiet = VorbisAudio.decode(VorbisEncoder.encode(sr, new Array[Float](2000)))
+    assert(quiet.packetsFailed == 0 && quiet.samples(0).forall(_ == 0f))
+  }
+
   test("identification and setup headers parse from hand-built packets") {
     // ident
     val ib = new BitWriter
