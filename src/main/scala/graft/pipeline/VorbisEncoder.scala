@@ -39,14 +39,19 @@ object VorbisEncoder {
     * Σ_k cos²(θ) = n/4 per fold, so 4/n makes the cascade unity
     * (pinned by the identity property in VorbisSpec).
     */
+  private lazy val MdctCos: Array[Array[Double]] =
+    Array.tabulate(N2, N)((k, j) =>
+      math.cos(2 * math.Pi / N * (j + 0.5 + N / 4.0) * (k + 0.5)))
+
   def mdct(x: Array[Double], win: Array[Double]): Array[Double] = {
     val out = new Array[Double](N2)
     var k = 0
     while (k < N2) {
+      val row = MdctCos(k)
       var acc = 0.0
       var j = 0
       while (j < N) {
-        acc += x(j) * win(j) * math.cos(2 * math.Pi / N * (j + 0.5 + N / 4.0) * (k + 0.5))
+        acc += x(j) * win(j) * row(j)
         j += 1
       }
       out(k) = acc * 4.0 / N
