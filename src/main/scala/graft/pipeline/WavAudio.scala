@@ -40,7 +40,8 @@ object WavAudio {
     if (bytes != null && bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'g'
         && bytes(2) == 'g' && bytes(3) == 'S') {
       val res = VorbisAudio.decode(bytes)
-      require(res.packetsOk * 2 >= res.packetsOk + res.packetsFailed,
+      require(res.packetsOk > 0 &&
+        res.packetsOk * 2 >= res.packetsOk + res.packetsFailed,
         s"only ${res.packetsOk}/${res.packetsOk + res.packetsFailed} vorbis packets decoded")
       val mono =
         if (res.channels == 1) res.samples(0)

@@ -136,6 +136,16 @@ class VorbisSpec extends AnyFunSuite {
     // silence encodes to floor-unused packets and decodes silent
     val quiet = VorbisAudio.decode(VorbisEncoder.encode(sr, new Array[Float](2000)))
     assert(quiet.packetsFailed == 0 && quiet.samples(0).forall(_ == 0f))
+    // the production seam decodes the same stream and rejects a
+    // headers-only stream (no audio packets) instead of returning
+    // empty success
+    val (psr, pw) = graft.pipeline.WavAudio.decode(ogg)
+    assert(psr == sr && pw.length == wave.length)
+    val headersOnly = {
+      val pages = graft.pipeline.Ogg.pages(ogg)
+      java.util.Arrays.copyOfRange(ogg, 0, pages(2).offset)
+    }
+    intercept[Exception](graft.pipeline.WavAudio.decode(headersOnly))
   }
 
   test("identification and setup headers parse from hand-built packets") {
