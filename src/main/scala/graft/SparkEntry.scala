@@ -1381,15 +1381,17 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // Aho-Corasick automaton: per-document cost is one linear pass
     // regardless of pattern count — the blocklist/PII-term shape at
     // 100 TB, vs per-pattern regexp scans that rescan every byte. The
-    // chosen patterns never self-overlap, so the oracle's disjoint
-    // replace-count equals the automaton's all-occurrence count.
+    // chosen patterns are all BORDER-FREE (no proper prefix equals a
+    // suffix — note 'window' would border on 'w' and self-overlap in
+    // text like 'windowindow'), so the oracle's disjoint replace-count
+    // equals the automaton's all-occurrence count.
     Q("t_multi_match",
       (s, dir) => graft.ops.TextMatch.matchCounts(
           Tables.documents(s, dir), "doc_id", "text",
-          Seq("spark", "table", "join", "scan", "query", "window"))
+          Seq("spark", "table", "join", "scan", "query", "filter"))
         .orderBy(col("doc_id"), col("pattern")),
       Some("""WITH p(pattern) AS (SELECT * FROM (VALUES ('spark'), ('table'),
-        |  ('join'), ('scan'), ('query'), ('window'))),
+        |  ('join'), ('scan'), ('query'), ('filter'))),
         |m AS (SELECT doc_id, pattern,
         |  CAST((strlen(text) - strlen(replace(text, pattern, ''))) // strlen(pattern)
         |    AS BIGINT) AS n

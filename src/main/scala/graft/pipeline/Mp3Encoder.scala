@@ -159,6 +159,10 @@ object Mp3Encoder {
     * if even the coarsest gain cannot fit the bit budget.
     */
   def encodeGranule(xr: Array[Double], maxBits: Int, forceTable: Option[Int]): EncGranule = {
+    // part2_3_length is a 12-bit side-info field: budgets above 4095 bits
+    // (reachable at >=256 kbps/32 kHz) would be written mod 4096 and desync
+    // the decoder, so a dense granule retries at a coarser gain instead.
+    val bitCap = math.min(maxBits, 4095)
     var gg = chooseGain(xr, forceTable)
     var attempt = 0
     while (attempt < 16) {
@@ -189,7 +193,7 @@ object Mp3Encoder {
           writePair(bw, if (tid == 0) 1 else tid, is(j), is(j + 1))
           j += 2
         }
-        if (bw.bitLength > maxBits) gg += 4
+        if (bw.bitLength > bitCap) gg += 4
         else return EncGranule(bw.bitLength, bigValues, gg, tid, bw)
       }
       attempt += 1
@@ -368,10 +372,14 @@ object Mp3Encoder {
       bw.write(g.globalGain, 8)
       bw.write(0, if (lsf) 9 else 4) // scalefac_compress=0 → no scalefactors
       bw.write(0, 1) // no window switching
+      // One table for ALL THREE regions makes the region boundaries
+      // irrelevant to decode (regions only select the Huffman table), so
+      // the 4/3-bit region counts can stay at their legal maxima without
+      // any risk of a region decoding with the wrong codebook.
       val t = g.tableId
-      bw.write(t, 5); bw.write(t, 5); bw.write(0, 5)
-      bw.write(7, 4) // region0_count
-      bw.write(13, 3) // region1_count → region2 empty
+      bw.write(t, 5); bw.write(t, 5); bw.write(t, 5)
+      bw.write(7, 4) // region0_count (legal max for a 4-bit field usage here)
+      bw.write(7, 3) // region1_count: 7 fits the 3-bit field (13 would truncate)
       if (!lsf) bw.write(0, 1) // preflag (MPEG-1 only)
       bw.write(0, 1) // scalefac_scale
       bw.write(0, 1) // count1table_select

@@ -59,11 +59,18 @@ object Mp3Tables {
   // boundaries (14 entries = 13 bands), per sample rate.
   private val L441 = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, 162, 196, 238, 288, 342, 418, 576)
   private val L480 = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128, 156, 190, 230, 276, 330, 384, 576)
-  private val L320 = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 84, 106, 136, 170, 206, 248, 298, 356, 432, 576)
+  private val L320 = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156, 194, 240, 296, 364, 448, 550, 576)
   private val L220 = Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238, 284, 336, 396, 464, 522, 576)
   private val L240 = Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162, 194, 232, 278, 332, 394, 464, 540, 576)
   private val L160 = L220
   private val L080 = Array(0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232, 280, 336, 400, 476, 566, 568, 570, 572, 574, 576)
+
+  // Shape invariants: 23 long entries = 22 bands, 14 short entries = 13
+  // bands. A wrong-length table would silently shift every region/gain
+  // boundary, so the partitions are machine-checked at class load.
+  for (t <- Seq(L441, L480, L320, L220, L240, L080))
+    require(t.length == 23 && t.head == 0 && t.last == 576 && t.sliding(2).forall(p => p(0) < p(1)),
+      s"long sfb table malformed: ${t.mkString(",")}")
 
   private val S441 = Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192)
   private val S480 = Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192)
@@ -72,6 +79,10 @@ object Mp3Tables {
   private val S240 = Array(0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192)
   private val S160 = Array(0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192)
   private val S080 = Array(0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192)
+
+  for (t <- Seq(S441, S480, S320, S220, S240, S160, S080))
+    require(t.length == 14 && t.head == 0 && t.last == 192 && t.sliding(2).forall(p => p(0) < p(1)),
+      s"short sfb table malformed: ${t.mkString(",")}")
 
   /** Long sfb boundaries for (version, srIdx). MPEG2.5 11.025/12 kHz
     * reuse the MPEG2 22.05/24 kHz partitions (the public convention).
@@ -230,16 +241,20 @@ object Mp3Tables {
       val x = i / xlen; val y = i % xlen
       1.0 / ((x + 1.3) * (x + 1.3) * (y + 1.3) * (y + 1.3))
     }
-    // Huffman lengths via a simple two-queue merge over sorted leaves
-    final case class Node(w: Double, leaves: List[Int])
+    // Huffman lengths via a heap merge. The frequency model has exact
+    // ties (freq(x,y)==freq(y,x)), so the ordering breaks ties by the
+    // smallest leaf index — equal-weight nodes dequeue in a FIXED order,
+    // making the codebook identical across JVM/Scala library versions
+    // (a stream minted by one build always bit-accounts on another).
+    final case class Node(w: Double, leaves: List[Int], minLeaf: Int)
     var heap = scala.collection.mutable.PriorityQueue.empty[Node](
-      Ordering.by((nd: Node) => -nd.w))
-    (0 until n).foreach(i => heap.enqueue(Node(freq(i), List(i))))
+      Ordering.by((nd: Node) => (-nd.w, -nd.minLeaf)))
+    (0 until n).foreach(i => heap.enqueue(Node(freq(i), List(i), i)))
     val depth = new Array[Int](n)
     while (heap.size > 1) {
       val a = heap.dequeue(); val b = heap.dequeue()
       (a.leaves ++ b.leaves).foreach(i => depth(i) += 1)
-      heap.enqueue(Node(a.w + b.w, a.leaves ++ b.leaves))
+      heap.enqueue(Node(a.w + b.w, a.leaves ++ b.leaves, math.min(a.minLeaf, b.minLeaf)))
     }
     // cap at 19 bits (the spec's own max code length) by flattening:
     // raise any deeper leaf to 19 and re-balance by lowering the
