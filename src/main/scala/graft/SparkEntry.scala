@@ -3338,9 +3338,13 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // sibling of s2_mp3_roundtrip): tones through the pure-JVM Vorbis
     // encoder (floor1 + residue + MDCT, self-describing codebooks) and
     // back through the PRODUCTION decode seam; DuckDB recomputes the
-    // exact output length ((blocks−1)·128 = n for 128-multiples), rate
-    // and the preserved Goertzel peak from the synthesis parameters.
-    // Bounded slice (event_id < 40).
+    // exact output length, rate and the preserved Goertzel peak from
+    // the synthesis parameters. Ids with id % 3 == 2 take the MIXED
+    // 256/1024 block-size stream (asymmetric transition windows, S-S-L-L
+    // pattern) — its emitted length equals the tone length too, because
+    // every fixture length is a multiple of the 1280-sample S-S-L-L
+    // lap cycle, so ONE oracle covers both window paths. Bounded slice
+    // (event_id < 40).
     Q("s2_vorbis_roundtrip",
       (s, dir) => {
         import s.implicits._
@@ -3352,7 +3356,10 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
           val n = (3840 + (id % 4) * 1280).toInt // 0.24-0.48 s at 16 kHz
           val tone = Array.tabulate(n)(i =>
             (0.5 * math.sin(2 * math.Pi * f * i / 16000.0)).toFloat)
-          (id.toString, VorbisEncoder.encode(16000, tone))
+          val bytes =
+            if (id % 3 == 2) VorbisEncoder.encodeMixed(16000, tone)
+            else VorbisEncoder.encode(16000, tone)
+          (id.toString, bytes)
         }
         WavAudio.decodeDataset(payloads)
           .map { a =>

@@ -337,20 +337,56 @@ object VorbisAudio {
       math.sin(math.Pi / 2 * s * s)
     }
 
+  /** Rising window slope over `len` samples: sin(π/2 · sin²(π/(2·len) ·
+    * (i+½))). The symmetric window is this slope over the left half and
+    * its mirror over the right half; the asymmetric (mixed-blocksize)
+    * windows reposition the same slope.
+    */
+  private def slope(i: Int, len: Int): Double = {
+    val s = math.sin(math.Pi / (2.0 * len) * (i + 0.5))
+    math.sin(math.Pi / 2 * s * s)
+  }
+
+  /** Spec 4.3.1 window shape for one block: a long block flanked by a
+    * short neighbor narrows that side's slope to n0/2 samples centered
+    * on the quarter point (left slope spans [n/4−n0/4, n/4+n0/4), right
+    * slope [3n/4−n0/4, 3n/4+n0/4)), with 0 outside and 1 between — the
+    * placement that keeps the MDCT time-domain alias folds (around n/4
+    * and 3n/4) power-complementary across a long/short transition.
+    * Short blocks (and long blocks with long neighbors) reduce to the
+    * symmetric [[window]]. Memoized per shape (at most 8 shapes/stream).
+    */
+  private val windowCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Boolean, Boolean), Array[Double]]()
+
+  def windowShaped(n: Int, n0: Int, prevShort: Boolean, nextShort: Boolean): Array[Double] =
+    windowCache.computeIfAbsent((n, n0, prevShort, nextShort), _ => {
+      val leftN = if (prevShort) n0 / 2 else n / 2
+      val rightN = if (nextShort) n0 / 2 else n / 2
+      val leftStart = n / 4 - leftN / 2
+      val rightStart = 3 * n / 4 - rightN / 2
+      Array.tabulate(n) { i =>
+        if (i < leftStart) 0.0
+        else if (i < leftStart + leftN) slope(i - leftStart, leftN)
+        else if (i < rightStart) 1.0
+        else if (i < rightStart + rightN) slope(rightStart + rightN - 1 - i, rightN)
+        else 0.0
+      }
+    })
+
   // ------------------------------------------------------ top level
   final case class DecodeResult(sampleRate: Int, channels: Int,
                                 samples: Array[Array[Float]], packetsOk: Int,
                                 packetsFailed: Int)
 
-  /** Decode a whole Ogg/Vorbis stream to per-channel floats.
-    * Equal-blocksize streams (blocksize0 == blocksize1, what
-    * [[VorbisEncoder]] emits) reconstruct exactly; mixed-blocksize
-    * streams decode with symmetric lapping only — the asymmetric
-    * long/short transition slopes are not yet applied, so foreign
-    * streams using both block sizes incur boundary error at each
-    * transition (documented limitation, next increment). Packets that
-    * fail decode are counted and skipped (fault isolation, like
-    * [[Mp3Audio]]).
+  /** Decode a whole Ogg/Vorbis stream to per-channel floats. Handles
+    * both equal-blocksize and mixed-blocksize streams: long blocks
+    * apply the spec's asymmetric transition windows (picked by the
+    * packet's prev/next window flags) and overlap-add runs on block
+    * centers, so long/short transitions reconstruct exactly (TDAC
+    * property pinned in VorbisSpec; [[VorbisEncoder.encodeMixed]] is
+    * the fixture dual). Packets that fail decode are counted and
+    * skipped (fault isolation, like [[Mp3Audio]]).
     */
   def decode(bytes: Array[Byte]): DecodeResult = {
     val (pkts, _) = Ogg.packets(bytes)
@@ -361,8 +397,8 @@ object VorbisAudio {
     val ch = ident.channels
     val modeBits = math.max(ilog(setup.modes.length - 1), 0)
     val out = Array.fill(ch)(new scala.collection.mutable.ArrayBuffer[Float](1 << 16))
-    var prevRight: Array[Array[Double]] = null // per channel, length prevN/2
-    var prevWindowLong = false
+    var prevTail: Array[Array[Double]] = null // per channel, windowed samples [prevN/2, prevN)
+    var prevN = 0
     var ok = 0
     var failed = 0
     pkts.drop(3).foreach { pkt =>
@@ -371,7 +407,15 @@ object VorbisAudio {
         require(br.bit() == 0, "not an audio packet")
         val mode = setup.modes(if (modeBits == 0) 0 else br.bits(modeBits))
         val n = if (mode.blockFlag) ident.blocksize1 else ident.blocksize0
-        if (mode.blockFlag) { br.bit(); br.bit() } // prev/next window flags
+        // For long blocks the packet carries two flags telling whether
+        // the PREVIOUS/NEXT block is short (bit clear = short) — they
+        // pick the asymmetric transition slopes (spec 4.3.1).
+        var prevShort = false
+        var nextShort = false
+        if (mode.blockFlag) {
+          prevShort = br.bit() == 0
+          nextShort = br.bit() == 0
+        }
         val mapping = setup.mappings(mode.mapping)
         val n2 = n / 2
         // floors
@@ -407,7 +451,7 @@ object VorbisAudio {
         }
         inverseCoupling(mapping, residueVecs)
         // floor curve × residue, IMDCT, window, overlap-add
-        val win = window(n)
+        val win = windowShaped(n, ident.blocksize0, prevShort, nextShort)
         val blockOut = Array.ofDim[Double](ch, n)
         c = 0
         while (c < ch) {
@@ -425,22 +469,33 @@ object VorbisAudio {
           while (j < n) { blockOut(c)(j) = t(j) * win(j); j += 1 }
           c += 1
         }
-        // overlap-add: lap previous right half with this left half
-        if (prevRight != null) {
-          val lap = math.min(prevRight(0).length, n2)
+        // Overlap-add by block CENTERS (spec 1.3.2): consecutive centers
+        // are (prevN + n)/4 apart, so each pair emits prevN/4 + n/4
+        // samples. In prev-block time coords the current block starts at
+        // 3·prevN/4 − n/4; samples before that (long-after-short gap)
+        // take only the previous block's flat-1 region, samples past the
+        // previous block's end (short-after-long) take only the current
+        // one — exactly where the asymmetric windows are 0/1. Equal
+        // sizes reduce to the classic half-block lap.
+        if (prevTail != null) {
+          val outLen = prevN / 4 + n / 4
+          val curOff = 3 * prevN / 4 - n / 4
           c = 0
           while (c < ch) {
-            var j = 0
-            while (j < lap) {
-              out(c) += (prevRight(c)(j) + blockOut(c)(j)).toFloat
-              j += 1
+            var t = prevN / 2
+            while (t < prevN / 2 + outLen) {
+              val a = if (t < prevN) prevTail(c)(t - prevN / 2) else 0.0
+              val ci = t - curOff
+              val b = if (ci >= 0) blockOut(c)(ci) else 0.0
+              out(c) += (a + b).toFloat
+              t += 1
             }
             c += 1
           }
         }
-        prevRight = Array.tabulate(ch)(cc =>
+        prevTail = Array.tabulate(ch)(cc =>
           java.util.Arrays.copyOfRange(blockOut(cc), n2, n))
-        prevWindowLong = mode.blockFlag
+        prevN = n
         ok += 1
       } catch {
         case _: Exception => failed += 1

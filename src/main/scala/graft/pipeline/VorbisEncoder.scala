@@ -25,42 +25,63 @@ object VorbisEncoder {
   private val N = 256
   private val N2 = N / 2
   private val PartSize = 8
-  private val ValueLevels = 5 // residue alphabet −2..2
 
   // classbook: dim 1, entries 2 (class 0 = silent partition, 1 = coded)
   private val ClassLengths = Array(1, 1)
-  // value book: dim 2, 25 entries, complete tree (7×len4 + 18×len5)
-  private val ValueLengths = Array.fill(25)(5).zipWithIndex.map {
-    case (_, i) => if (i < 7) 4 else 5
+
+  /** Complete canonical code lengths for a dim-2 VQ book over a
+    * `levels`-ary residue alphabet: with L = ceil(log2(levels²)) bits,
+    * `a` entries at L−1 bits and the rest at L bits where
+    * a·2 + (n−a) = 2^L (Kraft sums to exactly 1 — Vorbis rejects
+    * under-specified decode trees).
+    */
+  private def valueLengths(levels: Int): Array[Int] = {
+    val n = levels * levels
+    val lMax = 32 - Integer.numberOfLeadingZeros(n - 1)
+    val a = (1 << lMax) - n
+    Array.tabulate(n)(i => if (i < a) lMax - 1 else lMax)
   }
+
+  /** Equal-blocksize config: residue alphabet −2..2 (5 levels). The
+    * mixed-blocksize config uses 9 levels — the long→short lap region
+    * takes one block's quantization noise at full window weight, so the
+    * finer alphabet keeps the roundtrip fixture above its gate.
+    */
+  private val ValueLevels = 5
+  private val MixedLevels = 9
 
   /** Forward MDCT: X[k] = (4/n)·Σ_j x[j]·w[j]·cos(2π/n·(j+½+n/4)(k+½))
     * — the TDAC inverse of [[VorbisAudio.imdct]] under overlap-add:
     * Σ_k cos²(θ) = n/4 per fold, so 4/n makes the cascade unity
-    * (pinned by the identity property in VorbisSpec).
+    * (pinned by the identity property in VorbisSpec). Cosine matrix
+    * memoized per block size like the decoder's.
     */
-  private lazy val MdctCos: Array[Array[Double]] =
-    Array.tabulate(N2, N)((k, j) =>
-      math.cos(2 * math.Pi / N * (j + 0.5 + N / 4.0) * (k + 0.5)))
+  private val mdctCos =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
 
   def mdct(x: Array[Double], win: Array[Double]): Array[Double] = {
-    val out = new Array[Double](N2)
+    val n = x.length
+    val n2 = n / 2
+    val cosTab = mdctCos.computeIfAbsent(n, _ =>
+      Array.tabulate(n2, n)((k, j) =>
+        math.cos(2 * math.Pi / n * (j + 0.5 + n / 4.0) * (k + 0.5))))
+    val out = new Array[Double](n2)
     var k = 0
-    while (k < N2) {
-      val row = MdctCos(k)
+    while (k < n2) {
+      val row = cosTab(k)
       var acc = 0.0
       var j = 0
-      while (j < N) {
+      while (j < n) {
         acc += x(j) * win(j) * row(j)
         j += 1
       }
-      out(k) = acc * 4.0 / N
+      out(k) = acc * 4.0 / n
       k += 1
     }
     out
   }
 
-  private def headerPackets(sr: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+  private def headerPackets(sr: Int, mixed: Boolean = false): (Array[Byte], Array[Byte], Array[Byte]) = {
     // identification
     val ib = new BitWriter
     ib.write(1, 8); "vorbis".getBytes.foreach(c => ib.write(c, 8))
@@ -68,7 +89,7 @@ object VorbisEncoder {
     ib.write(1, 8)
     ib.writeLong(sr.toLong, 32)
     ib.writeLong(0L, 32); ib.writeLong(0L, 32); ib.writeLong(0L, 32)
-    ib.write(8, 4); ib.write(8, 4) // 256 / 256
+    ib.write(8, 4); ib.write(if (mixed) 10 else 8, 4) // 256 / (256 or 1024)
     ib.write(1, 1)
     // comment
     val cb = new BitWriter
@@ -82,10 +103,12 @@ object VorbisEncoder {
     val sb = new BitWriter
     sb.write(5, 8); "vorbis".getBytes.foreach(c => sb.write(c, 8))
     sb.write(1, 8) // codebook_count - 1 = 1 → 2 books
+    val levels = if (mixed) MixedLevels else ValueLevels
     writeCodebook(sb, dim = 1, lengths = ClassLengths) // book 0: classbook
-    writeCodebook(sb, dim = 2, lengths = ValueLengths, lookupType = 1,
-      minVal = -2.0, delta = 1.0, valueBits = 3,
-      mults = Array.tabulate(ValueLevels)(identity)) // book 1: values
+    writeCodebook(sb, dim = 2, lengths = valueLengths(levels), lookupType = 1,
+      minVal = -(levels / 2).toDouble, delta = 1.0,
+      valueBits = 32 - Integer.numberOfLeadingZeros(levels - 1),
+      mults = Array.tabulate(levels)(identity)) // book 1: values
     sb.write(0, 6); sb.write(0, 16) // one time transform, type 0
     sb.write(0, 6) // one floor
     sb.write(1, 16) // floor1
@@ -95,7 +118,10 @@ object VorbisEncoder {
     sb.write(0, 6) // one residue
     sb.write(1, 16) // residue type 1
     sb.write(0, 24) // begin
-    sb.write(N2, 24) // end
+    // end covers the LONG block's n/2 lines in the mixed config; the
+    // decoder clamps to the actual block's n/2 (spec: min(end, n/2)),
+    // so one residue serves both block sizes
+    sb.write(if (mixed) 512 else N2, 24)
     sb.write(PartSize - 1, 24)
     sb.write(1, 6) // classifications - 1 = 1 → 2
     sb.write(0, 8) // classbook = book 0
@@ -108,10 +134,16 @@ object VorbisEncoder {
     sb.write(0, 1) // no coupling
     sb.write(0, 2) // reserved
     sb.write(0, 8); sb.write(0, 8); sb.write(0, 8) // time/floor/residue 0
-    sb.write(0, 6) // one mode
-    sb.write(0, 1) // blockflag 0
-    sb.write(0, 16); sb.write(0, 16)
-    sb.write(0, 8) // mapping 0
+    if (mixed) {
+      sb.write(1, 6) // two modes: 0 = short, 1 = long, same mapping
+      sb.write(0, 1); sb.write(0, 16); sb.write(0, 16); sb.write(0, 8)
+      sb.write(1, 1); sb.write(0, 16); sb.write(0, 16); sb.write(0, 8)
+    } else {
+      sb.write(0, 6) // one mode
+      sb.write(0, 1) // blockflag 0
+      sb.write(0, 16); sb.write(0, 16)
+      sb.write(0, 8) // mapping 0
+    }
     sb.write(1, 1)
     (ib.toBytes, cb.toBytes, sb.toBytes)
   }
@@ -119,33 +151,57 @@ object VorbisEncoder {
   /** Encode one block's spectrum: flat floor at the quantized peak
     * amplitude, residue = spectrum/floor quantized to {−2..2}.
     */
-  private def encodePacket(spec: Array[Double]): Array[Byte] = {
+  private def encodePacket(spec: Array[Double], modeBits: Int = 0, modeVal: Int = 0,
+                           longFlags: Option[(Boolean, Boolean)] = None,
+                           levels: Int = ValueLevels): Array[Byte] = {
+    val half = levels / 2
     val bw = new BitWriter
     bw.write(0, 1) // audio packet
-    // mode bits: ilog(0) = 0 bits — nothing to write
+    if (modeBits > 0) bw.write(modeVal, modeBits)
+    longFlags.foreach { case (prevLong, nextLong) =>
+      // spec window flags: bit SET means that neighbor is long
+      bw.write(if (prevLong) 1 else 0, 1)
+      bw.write(if (nextLong) 1 else 0, 1)
+    }
     val peak = spec.map(math.abs).max
     if (peak == 0.0) {
       bw.write(0, 1) // floor unused → silent channel
       return bw.toBytes
     }
-    // floor: flat line at the smallest table amplitude ≥ peak/2 (so
-    // residue values ±2 can reach the peak)
-    val target = peak / 2.0
+    // floor: flat line at the table amplitude minimizing total squared
+    // quantization error under the alphabet clamp (scanning all 256 table
+    // entries is cheap and deterministic; the old "smallest amp ≥
+    // peak/2" heuristic wasted the ±1 levels on concentrated spectra)
     var yv = 255
+    var bestErr = Double.MaxValue
     var y = 0
-    while (y < 256 && VorbisAudio.InverseDb(y) < target) y += 1
-    yv = math.min(y, 255)
+    while (y < 256) {
+      val a = VorbisAudio.InverseDb(y)
+      if (a >= peak / half) { // ±half must still reach the peak
+        var e = 0.0
+        var i = 0
+        while (i < spec.length) {
+          val qq = math.max(-half, math.min(half, math.round(spec(i) / a).toInt))
+          val d = spec(i) - qq * a
+          e += d * d
+          i += 1
+        }
+        if (e < bestErr) { bestErr = e; yv = y }
+      }
+      y += 1
+    }
     val amp = VorbisAudio.InverseDb(yv)
     bw.write(1, 1) // floor nonzero
     bw.write(yv, 8) // y0 (range 256 → ilog(255) = 8 bits)
     bw.write(yv, 8) // y1
     // residue type 1: classwords then values
-    val q = spec.map(v => math.max(-2, math.min(2, math.round(v / amp).toInt)))
-    val partitions = N2 / PartSize
+    val q = spec.map(v => math.max(-half, math.min(half, math.round(v / amp).toInt)))
+    val partitions = spec.length / PartSize
     val classes = Array.tabulate(partitions)(p =>
       if ((0 until PartSize).exists(i => q(p * PartSize + i) != 0)) 1 else 0)
     val classCodes = assignCodewords(ClassLengths)
-    val valueCodes = assignCodewords(ValueLengths)
+    val vLens = valueLengths(levels)
+    val valueCodes = assignCodewords(vLens)
     def putCode(code: Int, len: Int): Unit = {
       var k = len - 1
       while (k >= 0) { bw.write((code >> k) & 1, 1); k -= 1 }
@@ -158,10 +214,10 @@ object VorbisEncoder {
       if (classes(p) == 1) {
         var s = 0
         while (s < PartSize) {
-          // type-1 lookup decodes dim j from (e / 5^j) % 5: dim 0 is
-          // the LOW digit, so the second sample takes the high digit
-          val e = (q(p * PartSize + s + 1) + 2) * ValueLevels + (q(p * PartSize + s) + 2)
-          putCode(valueCodes(e), ValueLengths(e))
+          // type-1 lookup decodes dim j from (e / levels^j) % levels:
+          // dim 0 is the LOW digit, so the second sample takes the high
+          val e = (q(p * PartSize + s + 1) + half) * levels + (q(p * PartSize + s) + half)
+          putCode(valueCodes(e), vLens(e))
           s += 2
         }
       }
@@ -198,6 +254,66 @@ object VorbisEncoder {
     pkts.zipWithIndex.foreach { case (pk, i) =>
       // first audio packet produces no output; granule = PCM emitted
       if (i > 0) emitted += N2
+      val last = i == pkts.length - 1
+      Ogg.writePage(out, headerType = if (last) 4 else 0,
+        granule = emitted, serial = serial, seq = seq, Seq(pk))
+      seq += 1
+    }
+    out.toByteArray
+  }
+
+  /** Encode mono samples with MIXED block sizes (256/1024) — the
+    * fixture dual for [[VorbisAudio]]'s asymmetric transition windows.
+    * The long/short pattern repeats S S L L so every transition kind
+    * (S→S, S→L, L→L, L→S) occurs; each long packet carries the spec
+    * window flags its decode needs. Block b+1 starts 3·n_b/4 − n_{b+1}/4
+    * after block b (centers (n_b+n_{b+1})/4 apart), matching the
+    * decoder's center-based overlap-add; analysis windows are the same
+    * [[VorbisAudio.windowShaped]] shapes the decoder applies, which is
+    * what makes the MDCT cascade TDAC-exact across transitions.
+    */
+  def encodeMixed(sr: Int, samples: Array[Float]): Array[Byte] = {
+    val N1 = 1024
+    val (ih, chdr, sh) = headerPackets(sr, mixed = true)
+    val out = new java.io.ByteArrayOutputStream()
+    val serial = 0x6772616d // "gram"
+    Ogg.writePage(out, headerType = 2, granule = 0L, serial = serial, seq = 0, Seq(ih))
+    Ogg.writePage(out, headerType = 0, granule = 0L, serial = serial, seq = 1, Seq(chdr, sh))
+    def isLong(b: Int): Boolean = (b % 4) >= 2
+    // lay out block starts until the emitted region covers the input
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var start = -(if (isLong(0)) N1 else N) / 2 // center of block 0 at sample 0
+    var b = 0
+    var covered = 0L
+    while (covered < samples.length || sizes.length < 6) {
+      val n = if (isLong(b)) N1 else N
+      sizes += n; starts += start
+      if (b > 0) covered += sizes(b - 1) / 4 + n / 4
+      start += 3 * n / 4 - (if (isLong(b + 1)) N1 else N) / 4
+      b += 1
+    }
+    val pkts = sizes.indices.map { i =>
+      val n = sizes(i)
+      val long = isLong(i)
+      val win = VorbisAudio.windowShaped(n, N,
+        prevShort = long && i > 0 && !isLong(i - 1),
+        nextShort = long && !isLong(i + 1))
+      val x = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val idx = starts(i) + j
+        x(j) = if (idx >= 0 && idx < samples.length) samples(idx) else 0.0
+        j += 1
+      }
+      encodePacket(mdct(x, win), modeBits = 1, modeVal = if (long) 1 else 0,
+        longFlags = if (long) Some((isLong(i - 1) && i > 0, isLong(i + 1))) else None,
+        levels = MixedLevels)
+    }
+    var seq = 2
+    var emitted = 0L
+    pkts.zipWithIndex.foreach { case (pk, i) =>
+      if (i > 0) emitted += sizes(i - 1) / 4 + sizes(i) / 4
       val last = i == pkts.length - 1
       Ogg.writePage(out, headerType = if (last) 4 else 0,
         granule = emitted, serial = serial, seq = seq, Seq(pk))

@@ -205,4 +205,80 @@ class VorbisSpec extends AnyFunSuite {
     assert(setup.residues(0).books(0).toSeq.take(1) == Seq(0))
     assert(setup.mappings(0).submaps == 1 && setup.modes(0).mapping == 0)
   }
+
+  test("asymmetric transition windows reconstruct exactly across all four transition kinds") {
+    import graft.pipeline.{VorbisAudio, VorbisEncoder}
+    val n0 = 256; val n1 = 1024
+    def isLong(b: Int) = (b % 4) >= 2 // S S L L: exercises S-S, S-L, L-L, L-S
+    val rnd = new scala.util.Random(7)
+    val total = 6000
+    val sig = Array.fill(total + 2 * n1)(rnd.nextGaussian())
+    // block layout exactly as encodeMixed/decode: centers (n_b+n_{b+1})/4 apart
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var start = -(if (isLong(0)) n1 else n0) / 2 // center of block 0 at sample 0
+    var covered = 0; var b = 0
+    while (covered < total || sizes.length < 8) {
+      val n = if (isLong(b)) n1 else n0
+      sizes += n; starts += start
+      if (b > 0) covered += sizes(b - 1) / 4 + n / 4
+      start += 3 * n / 4 - (if (isLong(b + 1)) n1 else n0) / 4
+      b += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var prevTail: Array[Double] = null; var prevN = 0
+    sizes.indices.foreach { i =>
+      val n = sizes(i); val long = isLong(i)
+      val win = VorbisAudio.windowShaped(n, n0,
+        prevShort = long && i > 0 && !isLong(i - 1),
+        nextShort = long && !isLong(i + 1))
+      val x = Array.tabulate(n) { j =>
+        val idx = starts(i) + j
+        if (idx >= 0 && idx < sig.length) sig(idx) else 0.0
+      }
+      val y = VorbisAudio.imdct(VorbisEncoder.mdct(x, win), n)
+        .zip(win).map { case (v, w) => v * w }
+      if (prevTail != null) {
+        val outLen = prevN / 4 + n / 4
+        val curOff = 3 * prevN / 4 - n / 4
+        (prevN / 2 until prevN / 2 + outLen).foreach { t =>
+          val a = if (t < prevN) prevTail(t - prevN / 2) else 0.0
+          val ci = t - curOff
+          out += a + (if (ci >= 0) y(ci) else 0.0)
+        }
+      }
+      prevTail = y.drop(n / 2); prevN = n
+    }
+    // emitted sample k is signal sample k (block-0 center sits at 0):
+    // the MDCT alias partners of every flat-1 region fall in a zero
+    // region, and the repositioned slopes stay power-complementary, so
+    // reconstruction must be exact to rounding
+    val err = (0 until total).map(k => math.abs(out(k) - sig(k))).max
+    assert(err < 1e-9, s"mixed-blocksize TDAC error $err")
+  }
+
+  test("mixed-blocksize Ogg/Vorbis roundtrip through encodeMixed and the production seam") {
+    import graft.pipeline.{AudioProbe, VorbisAudio, VorbisEncoder}
+    val sr = 16000
+    val tone = Array.tabulate(9000)(i =>
+      (0.5 * math.sin(2 * math.Pi * 500 * i / sr)).toFloat)
+    val ogg = VorbisEncoder.encodeMixed(sr, tone)
+    val res = VorbisAudio.decode(ogg)
+    assert(res.sampleRate == sr && res.channels == 1)
+    assert(res.packetsFailed == 0, s"${res.packetsFailed} packets failed")
+    val wave = res.samples(0)
+    assert(wave.length >= tone.length)
+    var c = 0.0; var e1 = 0.0; var e2 = 0.0
+    for (i <- tone.indices) { c += tone(i) * wave(i); e1 += tone(i) * tone(i); e2 += wave(i) * wave(i) }
+    val corr = c / math.sqrt(e1 * e2)
+    assert(corr > 0.97, s"mixed roundtrip correlation $corr")
+    val ratio = math.sqrt(e2 / e1)
+    assert(ratio > 0.7 && ratio < 1.4, s"amplitude ratio $ratio")
+    // probe: exact duration from the final granulepos
+    val p = AudioProbe.probe(ogg)
+    assert(p.exists(pr => pr.container == "ogg" && pr.sampleRate == sr && pr.exact))
+    // production seam decodes the same stream
+    val (psr, pw) = graft.pipeline.WavAudio.decode(ogg)
+    assert(psr == sr && pw.length == wave.length)
+  }
 }
