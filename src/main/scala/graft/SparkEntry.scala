@@ -3067,6 +3067,60 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
         |ORDER BY l.user_id, l.tus, l.event_id""".stripMargin)),
 
+    // L28 — STREAMING latest-state temporal enrich (the PROCESSING-TIME
+    // temporal join, Flink's temporal table function) run to completion:
+    // latestStateEnrich over the same click/purchase split as
+    // streaming_asof, but with constant per-key state (one latest right
+    // row) and no watermark machinery. With the whole input in ONE
+    // AvailableNow micro-batch (single source file, no
+    // maxFilesPerTrigger cap) the kernel's in-batch (ts, right-first,
+    // tie) sort makes latest-known-state EXACTLY the event-time as-of,
+    // so the batch ASOF LEFT JOIN oracles it; the across-batch
+    // latest-state refinement is pinned separately in StreamingSpec.
+    Q("streaming_temporal_enrich",
+      (s, dir) => withStreamingPartitions(s) {
+        import s.implicits._
+        val path = s"$dir/events.parquet"
+        val base = s.read.parquet(path)
+        val schema = base.schema
+        val name = "ste_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_enrich").toString
+        val srcDir = stagedStreamSource("enrichsrc", dir) { p =>
+          linkInto(p, path, "events.parquet")
+        }
+        val rawStream = s.readStream.schema(schema).parquet(srcDir)
+        val in = rawStream
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id").cast("string").as("k"),
+            Tables.tsUs(rawStream).as("ts"),
+            (col("event_type") === "purchase").as("isRight"),
+            col("event_id").cast("long").as("tie"),
+            coalesce(round(col("value") * 100d).cast("long"), lit(0L)).as("payload"))
+          .as[graft.streaming.EnrichInput]
+        val out = graft.streaming.TemporalEnrich.latestStateEnrich(in)
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt)) // srcDir shared, JVM-exit cleaned
+        s.table(name)
+          .select(col("k").cast("long").as("user_id"), col("tie").as("event_id"),
+            col("ts").as("tus"), col("asofTs").as("prev_tus"),
+            col("asofPayload").as("prev_cents"))
+          .orderBy(col("user_id"), col("tus"), col("event_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |l AS (SELECT user_id, event_id, tus FROM e WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, event_id, tus, cents FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, tus, cents FROM (SELECT user_id, tus, cents,
+        |  row_number() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) AS rn
+        |  FROM r0) t WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, l.tus, r.tus AS prev_tus, r.cents AS prev_cents
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+        |ORDER BY l.user_id, l.tus, l.event_id""".stripMargin)),
+
     // §2.10 ∘ L88 — STREAMING MULTI-TOUCH LINEAR ATTRIBUTION: the
     // event-time flatMapGroupsWithState twin of e_attribution. Views
     // and purchases flow as one keyed stream (exact µs embedded in the
