@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Configuration for one external inference service (endpoint = full
+  * URL). Every field is plain data so the config ships inside task
+  * closures. `maxInFlight` bounds the number of HTTP requests a single
+  * partition keeps outstanding — across a 1000-executor cluster total
+  * service pressure is executors × cores × maxInFlight, the knob an
+  * operator actually tunes against a service's capacity.
+  */
+final case class HttpServiceConfig(
+    endpoint: String,
+    batchSize: Int = 16,
+    maxInFlight: Int = 4,
+    maxRetries: Int = 3,
+    baseBackoffMs: Long = 50L,
+    maxBackoffMs: Long = 2000L,
+    requestTimeoutMs: Long = 5000L,
+    connectTimeoutMs: Long = 2000L)
+
+/** Terminal service failure: retries exhausted or a non-retriable
+  * response. Carries the last underlying cause for the S10 error column.
+  */
+final class HttpInferenceException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
+/** The EXTERNAL-SERVICE inference operator (SURVEY §7.4.4): the variant
+  * of [[InferenceOp]] for models with no JVM runtime (M3 Sortformer, M7
+  * Whisper, M9 CTC) served behind a batch HTTP endpoint. Same relational
+  * contract as [[InferenceOp.mapBatchedWithStatus]] — a
+  * `Dataset[I] => Dataset[O]` transform with per-record S10 fault
+  * routing — plus the operational concerns a remote service adds:
+  *
+  *  - ONE `java.net.http.HttpClient` per executor JVM ([[ModelCache]]):
+  *    HTTP/1.1 keep-alive pools connections across every task and
+  *    partition on the executor, so a 10k-partition job doesn't
+  *    handshake 10k times per executor;
+  *  - PIPELINED batches: up to `maxInFlight` async requests outstanding
+  *    per partition, results emitted in submission order (downstream
+  *    operators see deterministic order; memory bounded at
+  *    maxInFlight × batchSize rows);
+  *  - RETRY with exponential backoff on IO errors, timeouts, 429 and
+  *    5xx; 4xx responses are not retried (a malformed request stays
+  *    malformed);
+  *  - S10 routing: a batch that still fails after retries (or a
+  *    response with the wrong row count) maps each input through
+  *    `onFailure` into a failed-STATUS row — the job never dies on a
+  *    flaky service, mirroring the per-file try/except posture of the
+  *    reference (`vad_multi.py:48-54`).
+  *
+  * The wire protocol is caller-supplied (`encode`/`decode` over raw
+  * bytes), keeping the operator generic across services.
+  */
+object HttpInference {
+
+  /** Executor-wide client (keyed by connect timeout — configs sharing it
+    * share the pool).
+    */
+  private def client(cfg: HttpServiceConfig): HttpClient =
+    ModelCache.getOrCreate(s"http_client_${cfg.connectTimeoutMs}") {
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMs))
+        .version(HttpClient.Version.HTTP_1_1)
+        .build()
+    }
+
+  private def request(cfg: HttpServiceConfig, body: Array[Byte]): HttpRequest =
+    HttpRequest.newBuilder(URI.create(cfg.endpoint))
+      .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
+      .header("Content-Type", "application/octet-stream")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+      .build()
+
+  private def retriable(status: Int): Boolean = status == 429 || status >= 500
+
+  /** Synchronous send with `maxRetries` retries and capped exponential
+    * backoff. `attemptsUsed` pre-counts attempts already consumed (the
+    * pipelined path's first async try). Throws [[HttpInferenceException]]
+    * once attempts run out or on a non-retriable status.
+    */
+  def postWithRetry(cfg: HttpServiceConfig, body: Array[Byte],
+                    attemptsUsed: Int = 0): Array[Byte] = {
+    var attempt = attemptsUsed
+    var last: Throwable = null
+    while (attempt <= cfg.maxRetries) {
+      if (attempt > 0)
+        Thread.sleep(math.min(cfg.maxBackoffMs,
+          cfg.baseBackoffMs << math.min(attempt - 1, 20)))
+      try {
+        val resp = client(cfg).send(request(cfg, body),
+          HttpResponse.BodyHandlers.ofByteArray())
+        resp.statusCode() match {
+          case 200 => return resp.body()
+          case sc if retriable(sc) =>
+            last = new HttpInferenceException(s"HTTP $sc from ${cfg.endpoint}", null)
+          case sc =>
+            throw new HttpInferenceException(
+              s"HTTP $sc from ${cfg.endpoint} (not retriable)", null)
+        }
+      } catch {
+        case e: java.io.IOException => last = e // includes HttpTimeoutException
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new HttpInferenceException("interrupted", e)
+      }
+      attempt += 1
+    }
+    throw new HttpInferenceException(
+      s"service ${cfg.endpoint} failed after ${cfg.maxRetries + 1} attempts " +
+        s"(last: ${if (last == null) "?" else last.getMessage})", last)
+  }
+
+  /** Batched service inference with order-preserving pipelining and S10
+    * fault routing; see object doc. The happy path is fully async (up
+    * to `maxInFlight` outstanding); a failed first attempt falls back to
+    * the synchronous retry ladder for that batch only, so one slow batch
+    * never blocks the submission of its successors beyond the window.
+    */
+  def mapService[I, O: Encoder](ds: Dataset[I], cfg: HttpServiceConfig,
+      encode: Seq[I] => Array[Byte],
+      decode: Array[Byte] => Seq[O],
+      onFailure: (I, Throwable) => O): Dataset[O] =
+    ds.mapPartitions { it =>
+      val cl = client(cfg)
+      val inflight = new java.util.ArrayDeque[
+        (Seq[I], java.util.concurrent.CompletableFuture[HttpResponse[Array[Byte]]])]()
+
+      def submit(batch: Seq[I]): Unit =
+        inflight.addLast((batch, cl.sendAsync(request(cfg, encode(batch)),
+          HttpResponse.BodyHandlers.ofByteArray())))
+
+      def settle(batch: Seq[I],
+                 fut: java.util.concurrent.CompletableFuture[HttpResponse[Array[Byte]]]): Seq[O] = {
+        val bytes =
+          try {
+            val resp = fut.join()
+            resp.statusCode() match {
+              case 200 => Right(resp.body())
+              case sc if retriable(sc) => Left(null: Throwable) // retry below
+              case sc => throw new HttpInferenceException(
+                s"HTTP $sc from ${cfg.endpoint} (not retriable)", null)
+            }
+          } catch {
+            case _: java.util.concurrent.CompletionException => Left(null: Throwable)
+          }
+        try {
+          val body = bytes match {
+            case Right(b) => b
+            case Left(_) => postWithRetry(cfg, encode(batch), attemptsUsed = 1)
+          }
+          val outs = decode(body)
+          if (outs.length != batch.length)
+            throw new HttpInferenceException(
+              s"service returned ${outs.length} rows for a ${batch.length}-row batch", null)
+          outs
+        } catch {
+          case e: Exception => batch.map(onFailure(_, e))
+        }
+      }
+
+      val batches = it.grouped(cfg.batchSize)
+      new Iterator[Seq[O]] {
+        def hasNext: Boolean = !inflight.isEmpty || batches.hasNext
+        def next(): Seq[O] = {
+          while (batches.hasNext && inflight.size < cfg.maxInFlight)
+            submit(batches.next())
+          val (batch, fut) = {
+            val h = inflight.pollFirst(); (h._1, h._2)
+          }
+          settle(batch, fut)
+        }
+      }.flatten
+    }
+
+  // ------------------------------------------------------ wire helpers
+  /** float32-LE → base64, the waveform leg of the line protocols. */
+  def b64(w: Array[Float]): String = {
+    val bb = java.nio.ByteBuffer.allocate(w.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    w.foreach(bb.putFloat)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def unb64(s: String): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bb.remaining() / 4)(bb.getFloat)
+  }
+}

@@ -257,6 +257,56 @@ object SpeechPipeline {
       active.filter(a => a.speakers.length > 1))
   }
 
+  /** One diarization answer from the external service, with the S10
+    * status/error pair ([[graft.model.DecodedAudio]] convention).
+    */
+  final case class ServiceSpeakerRow(file: String, start: Double, end: Double,
+      speaker: String, status: String, error: String)
+
+  /** Stage 3, EXTERNAL-SERVICE variant (SURVEY §7.4.4 — Sortformer has
+    * no JVM runtime): the same relational shell as [[diarizeStage]] with
+    * the per-span speaker label fetched from a batch HTTP service via
+    * [[HttpInference.mapService]]. Wire protocol: request lines
+    * `file TAB start TAB end TAB sr TAB base64(f32le waveform)`, response
+    * lines echoing `file TAB start TAB end TAB speaker` one per input.
+    * Spans the service cannot label after retries become
+    * `status="failed"` rows routed OUT of the sweep line (returned third)
+    * — fault isolation, never job death.
+    */
+  def diarizeStageService(vad: Dataset[Segment], audio: Dataset[AudioFile],
+                          cfg: HttpServiceConfig)
+      : (Dataset[ActiveInterval], Dataset[ActiveInterval], Dataset[ServiceSpeakerRow]) = {
+    import vad.sparkSession.implicits._
+    val waves = audio.map(a => (a.file, a.sr, a.waveform))
+      .toDF("file", "sr", "waveform")
+    val withWave = vad.toDF("file", "start", "end").join(waves, "file")
+      .as[(String, Double, Double, Int, Array[Float])]
+      .map { case (file, s, e, sr, w) =>
+        val slice = w.slice(math.max(0, (s * sr).toInt), math.min(w.length, (e * sr).toInt))
+        (file, s, e, sr, slice)
+      }
+    // NB: Charset is not Serializable — name it inside each closure
+    val rows = HttpInference.mapService[(String, Double, Double, Int, Array[Float]), ServiceSpeakerRow](
+      withWave, cfg,
+      encode = xs => xs.map { case (f, s, e, sr, w) =>
+        s"$f\t$s\t$e\t$sr\t${HttpInference.b64(w)}"
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      decode = bytes => new String(bytes, java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
+        .filter(_.nonEmpty).map { line =>
+          val f = line.split("\t", -1)
+          ServiceSpeakerRow(f(0), f(1).toDouble, f(2).toDouble, f(3), "completed", "")
+        },
+      onFailure = (x, e) => ServiceSpeakerRow(x._1, x._2, x._3, "failed",
+        "failed", s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
+      .cache() // one service pass feeds both the ok and failed splits
+    val ok = rows.filter(_.status == "completed")
+      .map(r => SpeakerSegment(r.file, r.start, r.end, r.speaker))
+    val failed = rows.filter(_.status == "failed")
+    val active = SegmentAlgebra.sweepLineActiveSets(ok)
+    (active.filter(a => a.speakers.length == 1),
+      active.filter(a => a.speakers.length > 1), failed)
+  }
+
   /** Stage 4 — speaker rematch (`speaker_rematch.py`): W2 speaker-change
     * merge, P4/P5 duration filters, mock embeddings, then the M5 global
     * re-clustering ([[Clustering.clusterOne]] per file, the UMAP→HDBSCAN

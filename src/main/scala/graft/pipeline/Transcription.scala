@@ -40,6 +40,50 @@ object Transcription {
       withWave, "mock_asr", () => new MockAsr(), batchSize = 8)
   }
 
+  /** [[AsrRow]] plus the S10 status/error pair for the external-service
+    * path ([[graft.model.DecodedAudio]] convention).
+    */
+  final case class ServiceAsrRow(file: String, start: Double, end: Double,
+      speaker: String, text: String, language: String, status: String, error: String)
+
+  /** M7, EXTERNAL-SERVICE variant (SURVEY §7.4.4 — Whisper has no JVM
+    * runtime): [[asrStage]]'s segment-slice batching with the transcript
+    * fetched from a batch HTTP service via [[HttpInference.mapService]].
+    * Wire protocol: request lines
+    * `file TAB start TAB end TAB speaker TAB sr TAB base64(f32le wave)`,
+    * response lines echoing the identity fields plus `text TAB language`
+    * one per input. Segments the service cannot transcribe after retries
+    * become `status="failed"` rows (empty text) instead of killing the
+    * job; filter on status before [[alignStage]].
+    */
+  def asrStageService(segments: Dataset[SpeakerSegment], audio: Dataset[AudioFile],
+                      cfg: HttpServiceConfig): Dataset[ServiceAsrRow] = {
+    import segments.sparkSession.implicits._
+    val waves = audio.map(a => (a.file, a.sr, a.waveform)).toDF("file", "sr", "waveform")
+    val withWave = segments.toDF("file", "start", "end", "speaker")
+      .join(waves, "file")
+      .as[(String, Double, Double, String, Int, Array[Float])]
+      .map { case (file, s, e, spk, sr, w) =>
+        val slice = w.slice(math.max(0, (s * sr).toInt), math.min(w.length, (e * sr).toInt))
+        (SpeakerSegment(file, s, e, spk), sr, slice)
+      }
+    // NB: Charset is not Serializable — name it inside each closure
+    HttpInference.mapService[(SpeakerSegment, Int, Array[Float]), ServiceAsrRow](
+      withWave, cfg,
+      encode = xs => xs.map { case (seg, sr, w) =>
+        s"${seg.file}\t${seg.start}\t${seg.end}\t${seg.speaker}\t$sr\t${HttpInference.b64(w)}"
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      decode = bytes => new String(bytes, java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
+        .filter(_.nonEmpty).map { line =>
+          val f = line.split("\t", -1)
+          ServiceAsrRow(f(0), f(1).toDouble, f(2).toDouble, f(3), f(4), f(5),
+            "completed", "")
+        },
+      onFailure = (x, e) => ServiceAsrRow(x._1.file, x._1.start, x._1.end,
+        x._1.speaker, "", "", "failed",
+        s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
+  }
+
   final class MockAsr extends BatchModel[(SpeakerSegment, Array[Float]), AsrRow] {
     val name = "mock_asr"
     def predictBatch(xs: Seq[(SpeakerSegment, Array[Float])]): Seq[AsrRow] =

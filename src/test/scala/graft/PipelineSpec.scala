@@ -470,4 +470,86 @@ class PipelineSpec extends SparkSpec {
     // loc_c rows dropped (reference's `continue`); others relabeled
     assert(rel == Seq((0d, "g0"), (12d, "g0"), (20d, "g1")))
   }
+
+  // ------------------------------------------------ external service (§7.4.4)
+
+  test("external-service diarize equals the local mock path; transient 500s recovered by retry") {
+    import graft.pipeline.{HttpServiceConfig, Transcription}
+    val audio = Seq(fixture("a"), fixture("b")).toDS()
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05)
+    val stub = new ServiceStub(ServiceStub.diarize, failFirstN = 2)
+    try {
+      val cfg = HttpServiceConfig(stub.endpoint, batchSize = 2, maxInFlight = 2,
+        maxRetries = 3, baseBackoffMs = 5)
+      val (single, overlap, failed) = SpeechPipeline.diarizeStageService(vad, audio, cfg)
+      assert(failed.count() == 0, "retries should recover the transient 500s")
+      val (mSingle, mOverlap) = SpeechPipeline.diarizeStage(vad, audio)
+      def canon(ds: org.apache.spark.sql.Dataset[ActiveInterval]) =
+        ds.collect().map(a => (a.file, a.start, a.end, a.speakers.toSeq.sorted)).sortBy(t => (t._1, t._2)).toSeq
+      assert(canon(single) == canon(mSingle))
+      assert(canon(overlap) == canon(mOverlap))
+      assert(stub.requests.get() > 2, "the failed first attempts must have been retried")
+    } finally stub.close()
+  }
+
+  test("external-service ASR equals the local mock path modulo the status pair") {
+    import graft.pipeline.{HttpServiceConfig, Transcription}
+    val audio = Seq(fixture("a"), fixture("b")).toDS()
+    val segs = Seq(SpeakerSegment("a", 1.0, 2.0, "s0"), SpeakerSegment("a", 3.0, 4.0, "s1"),
+      SpeakerSegment("b", 1.0, 2.0, "s0")).toDS()
+    val stub = new ServiceStub(ServiceStub.asr)
+    try {
+      val cfg = HttpServiceConfig(stub.endpoint, batchSize = 2, maxInFlight = 2,
+        maxRetries = 1, baseBackoffMs = 5)
+      val got = Transcription.asrStageService(segs, audio, cfg).collect()
+        .map(r => (r.file, r.start, r.end, r.speaker, r.text, r.language, r.status))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val want = Transcription.asrStage(segs, audio).collect()
+        .map(r => (r.file, r.start, r.end, r.speaker, r.text, r.language, "completed"))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == want)
+    } finally stub.close()
+  }
+
+  test("service faults: poisoned batches and timeouts become failed-status rows, not job death") {
+    import graft.pipeline.{HttpServiceConfig, Transcription}
+    // three files: "good" answers, "poison" always 500s, "slow" sleeps past
+    // the request timeout — both failure modes must S10-route, leaving the
+    // good rows untouched
+    val audio = Seq(fixture("good"), fixture("poison"), fixture("slow")).toDS()
+    val segs = Seq(SpeakerSegment("good", 1.0, 2.0, "s0"),
+      SpeakerSegment("poison", 1.0, 2.0, "s0"),
+      SpeakerSegment("slow", 3.0, 4.0, "s1")).toDS()
+    val stub = new ServiceStub(ServiceStub.asr,
+      poisonMarker = Some("poison"), slowMarker = Some("slow"), slowMs = 1500)
+    try {
+      val cfg = HttpServiceConfig(stub.endpoint, batchSize = 1, maxInFlight = 1,
+        maxRetries = 1, baseBackoffMs = 5, requestTimeoutMs = 250)
+      val rows = Transcription.asrStageService(segs, audio, cfg).collect()
+      val byFile = rows.map(r => r.file -> r).toMap
+      assert(rows.length == 3)
+      assert(byFile("good").status == "completed" && byFile("good").text.nonEmpty)
+      assert(byFile("poison").status == "failed" && byFile("poison").error.contains("HTTP 500"),
+        s"poison row: ${byFile("poison")}")
+      assert(byFile("slow").status == "failed", s"slow row: ${byFile("slow")}")
+    } finally stub.close()
+  }
+
+  test("mapService preserves input order and bounds in-flight requests per partition") {
+    import graft.pipeline.{HttpInference, HttpServiceConfig}
+    val stub = new ServiceStub(_.map(_.toUpperCase), slowMarker = Some("x"), slowMs = 120)
+    try {
+      val cfg = HttpServiceConfig(stub.endpoint, batchSize = 1, maxInFlight = 3,
+        maxRetries = 0, requestTimeoutMs = 5000)
+      val ds = spark.createDataset((0 until 12).map(i => s"x$i")).coalesce(1)
+      val out = HttpInference.mapService[String, String](ds, cfg,
+        xs => xs.mkString("\n").getBytes("UTF-8"),
+        b => new String(b, "UTF-8").split("\n", -1).toSeq.filter(_.nonEmpty),
+        (x, _) => s"FAIL:$x").collect().toSeq
+      assert(out == (0 until 12).map(i => s"X$i"))
+      assert(stub.maxConcurrent.get() <= 3, s"in-flight bound: ${stub.maxConcurrent.get()}")
+      assert(stub.maxConcurrent.get() >= 2,
+        s"pipelining should overlap requests, saw ${stub.maxConcurrent.get()}")
+    } finally stub.close()
+  }
 }
