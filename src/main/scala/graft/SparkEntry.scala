@@ -183,6 +183,46 @@ object SparkEntry {
       cc
     })
 
+  /** Session-lifetime memo of the IVF family's shared intermediates
+    * (same key/nesting rules as the shingle memos): the quantized
+    * full-corpus embedding table, the rank-1 cell assignment over it,
+    * and the verified cos≥0.45 same-cell pair set. dedup_semdedup and
+    * dedup_embedding_ivf consume the SAME pair table; the profile reads
+    * the assignment; the recall audit reuses the assignment restricted
+    * to its bounded slice (rank-1 assignment is row-local given the
+    * broadcast seeds, so the restriction is exact).
+    */
+  private val quantEmbMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val ivfCellMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val ivfPairMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sessionQuantEmb(s: SparkSession, dir: String): DataFrame =
+    quantEmbMemo.computeIfAbsent((s, dir), { _ =>
+      val q = Similarity.quantize(
+        Tables.embeddings(s, dir), "vec_id", "embedding").cache()
+      q.count()
+      q
+    })
+
+  private def sessionIvfCells(s: SparkSession, dir: String): DataFrame =
+    ivfCellMemo.computeIfAbsent((s, dir), { _ =>
+      val c = Similarity.ivfCells(sessionQuantEmb(s, dir), "vec_id").cache()
+      c.count()
+      c
+    })
+
+  private def sessionIvfPairs(s: SparkSession, dir: String): DataFrame =
+    ivfPairMemo.computeIfAbsent((s, dir), { _ =>
+      val p = Similarity.verifyPairs(
+        Similarity.ivfCandidatesFrom(sessionIvfCells(s, dir), "vec_id"),
+        sessionQuantEmb(s, dir), "vec_id", 0.45).cache()
+      p.count()
+      p
+    })
+
   private def stagedStreamSource(tag: String, dir: String)(
       build: java.nio.file.Path => Unit): String =
     streamStageCache.computeIfAbsent(s"$tag|$dir", { _ =>
@@ -1820,8 +1860,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // volume is sum of squared cell sizes, not n²; the oracle mirrors
     // the cell assignment relationally.
     Q("dedup_embedding_ivf",
-      (s, dir) => Similarity.ivfNearDupPairs(
-          Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+      (s, dir) => sessionIvfPairs(s, dir)
         .orderBy(col("a"), col("b")),
       Some(s"""WITH $quantSqlCte,
         |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
@@ -1849,8 +1888,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // table an IVF rollout reads before choosing nCells/seeds (skewed
     // occupancy = wildly varying probe cost + Σ|cell|² concentration).
     Q("sim_ivf_cell_profile",
-      (s, dir) => Similarity.ivfCellProfile(
-          Tables.embeddings(s, dir), "vec_id", "embedding")
+      (s, dir) => Similarity.ivfCellProfileFrom(sessionIvfCells(s, dir))
         .orderBy(col("cell")),
       Some(s"""WITH $quantSqlCte,
         |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
@@ -1881,9 +1919,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // only on the pair's own vectors and the fixed seeds.
     Q("sim_ann_recall",
       (s, dir) => {
-        val q = Similarity.quantize(
-          Tables.embeddings(s, dir).filter(col("vec_id") < 1500),
-          "vec_id", "embedding").cache()
+        val q = sessionQuantEmb(s, dir).filter(col("vec_id") < 1500).cache()
         q.count() // eager: truth, both candidate paths, and the joins
         val truth = Similarity.nearDupPairs(q, "vec_id", 0.45)
           .select(col("a"), col("b")).cache()
@@ -1901,7 +1937,10 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
                 .otherwise(col("n_common").cast("double")
                   / col("n_true").cast("double")).as("recall"))
         }
-        audit("ivf", Similarity.ivfCandidates(q, "vec_id"))
+        // the session cell assignment restricted to the slice IS the
+        // slice's assignment (row-local given the broadcast seeds)
+        audit("ivf", Similarity.ivfCandidatesFrom(
+            sessionIvfCells(s, dir).filter(col("vec_id") < 1500), "vec_id"))
           .unionAll(audit("srp", Similarity.srpCandidates(q, "vec_id", 64)))
           .orderBy(col("idx"))
       },
@@ -4647,9 +4686,7 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     // verification, then computes min-reachable-id with a recursive CTE.
     Q("dedup_semdedup",
       (s, dir) => {
-        val pairs = Similarity.ivfNearDupPairs(
-            Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
-          .select(col("a"), col("b"))
+        val pairs = sessionIvfPairs(s, dir).select(col("a"), col("b"))
         val cc = Dedup.connectedComponents(pairs, "a", "b")
           .withColumnRenamed("id", "vec_id")
         val lbl = Tables.embeddings(s, dir).select(col("vec_id"))

@@ -553,11 +553,15 @@ object Similarity {
     verifyPairs(ivfCandidates(q, idCol, nCells), q, idCol, minCos)
   }
 
-  /** The IVF same-cell CANDIDATE pairs alone (pre-verify) — recall
-    * misses exactly the cross-cell pairs; audited against exhaustive
-    * truth by `sim_ann_recall`. `q`: (id, qv).
+  /** The rank-1 IVF cell assignment (id, cell) every ivf* operator
+    * shares: nearest of the `nCells` seed vectors by quantized cosine,
+    * ties to the smaller seed. Row-local given the broadcast seeds, so a
+    * SLICE of the corpus gets exactly the full corpus's assignments
+    * restricted to it — which is what lets one session-memoized table
+    * serve full-corpus dedup AND the bounded recall audit. Caller
+    * caches (both sides of the candidate self-join read it).
     */
-  def ivfCandidates(q: DataFrame, idCol: String, nCells: Int = 16): DataFrame = {
+  def ivfCells(q: DataFrame, idCol: String, nCells: Int = 16): DataFrame = {
     LongArrayDot.register(q.sparkSession)
     val seeds = q.filter(col(idCol) < nCells)
       .select(col(idCol).as("seed_id"), col("qv").as("sv"))
@@ -568,14 +572,34 @@ object Similarity {
         expr(s"${LongArrayDot.fnName}(qv, sv)").cast("double") / col("snorm"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("seed_id"))
-    val cells = scored.withColumn("__rn", row_number().over(w))
+    scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("seed_id").as("cell"))
-      .cache()
-    cells.count() // eager: both sides of the candidate self-join reuse it
+  }
+
+  /** Same-cell candidate pairs from a (cached) [[ivfCells]] table. */
+  def ivfCandidatesFrom(cells: DataFrame, idCol: String): DataFrame =
     cells.select(col(idCol).as("a"), col("cell"))
       .join(cells.select(col(idCol).as("b"), col("cell")), Seq("cell"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
+
+  /** [[ivfCellProfile]] over a precomputed [[ivfCells]] assignment. */
+  def ivfCellProfileFrom(cells: DataFrame): DataFrame = {
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("__tot").cast("double")).as("share"))
+  }
+
+  /** The IVF same-cell CANDIDATE pairs alone (pre-verify) — recall
+    * misses exactly the cross-cell pairs; audited against exhaustive
+    * truth by `sim_ann_recall`. `q`: (id, qv).
+    */
+  def ivfCandidates(q: DataFrame, idCol: String, nCells: Int = 16): DataFrame = {
+    val cells = ivfCells(q, idCol, nCells).cache()
+    cells.count() // eager: both sides of the candidate self-join reuse it
+    ivfCandidatesFrom(cells, idCol)
   }
 }
