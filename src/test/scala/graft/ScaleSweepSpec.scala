@@ -116,4 +116,52 @@ class ScaleSweepSpec extends SparkSpec {
         windowUs = 1800000000L).count()
     })
   }
+
+  test("substring dup spans stay near-linear under ×9 salted scale") {
+    // grams from different copies never match (each copy's token salt is
+    // part of every 10-gram), so true span volume is s× the original
+    sweep("substring_spans", s => graft.ops.Dedup.substringDupSpans(
+      scaledDocs(s), "doc_id", "text", k = 10).count() + 1)
+  }
+
+  test("watermarked streaming attribution stays near-linear under ×9 scale") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.TemporalEnrich
+    sweep("streaming_attribution_wm", s => {
+      // 600·s keys × (19 touches + 1 conversion), micros riding the
+      // millis clock like the registered streaming_attribution query;
+      // one far-future conversion heartbeat advances the watermark past
+      // every real event so the timeout batch flushes all credits
+      val base = spark.range(600L * s * 20L).select(
+        expr("id div 20").cast("string").as("k"),
+        timestamp_millis((col("id") % 20L) * 60000000L + 60000000L).as("ts"),
+        (col("id") % 20L === 19L).as("isConv"),
+        col("id").as("tie"),
+        (col("id") % 100L + 1L).as("cents"))
+      val heartbeat = spark.range(1).select(lit("-1").as("k"),
+        timestamp_millis(lit(86400L * 1000000000L)).as("ts"),
+        lit(true).as("isConv"), lit(-1L).as("tie"), lit(0L).as("cents"))
+      val src = java.nio.file.Files.createTempDirectory(s"sweep_attr_src$s")
+      base.unionByName(heartbeat).coalesce(2)
+        .write.mode("overwrite").parquet(src.toString)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"sweep_attr_ck$s")
+      val name = "swpattr" + s + java.util.UUID.randomUUID().toString.replace("-", "")
+      val in = spark.readStream.schema(base.schema).parquet(src.toString)
+        .as[TemporalEnrich.AttrInput]
+      val q = TemporalEnrich.eventTimeAttribution(in, "0 seconds",
+          window = 1800000000L)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val n = spark.table(name).filter(col("k") =!= "-1").count()
+      spark.catalog.dropTempView(name)
+      for (d <- Seq(src, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      n
+    })
+  }
 }
