@@ -3427,6 +3427,60 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
         |SELECT a, b, dist FROM p WHERE dist <= 2 ORDER BY a, b""".stripMargin)),
 
+    // L112 — AUDIO FINGERPRINTING (energy-contour grams): waveform
+    // near-dup via exact-integer frame energies → rising-edge contour
+    // bits (invariant under positive amplitude scaling) → 16-bit grams
+    // → gram-bucketed Jaccard. 40 synthesized families of 3 variants
+    // (identity / sparse additive noise / 51/50 integer regain); the
+    // oracle replays the identical integer arithmetic (per-family sample
+    // stride keeps families genuinely distinct) — quantize,
+    // energies, contour, grams, pair Jaccard — in SQL. Bounded slice
+    // (event_id < 120); the production path is the same gram-bucketed
+    // equi join with the maxGramDf stop-gram cap.
+    Q("mm_audio_fingerprint",
+      (s, dir) => {
+        val ids = Tables.events(s, dir)
+          .select(col("event_id").cast("long").as("id"))
+          .filter(col("id") < 120).distinct()
+        val waves = ids.withColumn("wave", expr(
+          """transform(sequence(0, 6399), j -> CAST(CAST(
+            |CASE WHEN id % 3 = 0 THEN ((id div 3) * 31 + j * (13 + 2 * ((id div 3) % 23))) % 201 * 20
+            |     WHEN id % 3 = 1 THEN ((id div 3) * 31 + j * (13 + 2 * ((id div 3) % 23))) % 201 * 20 + IF(j % 33 = 0, 40, 0)
+            |     ELSE ((id div 3) * 31 + j * (13 + 2 * ((id div 3) % 23))) % 201 * 20 * 51 div 50 END
+            |AS DOUBLE) / 32767D AS FLOAT))""".stripMargin))
+        val grams = Multimodal.audioContourGrams(waves, "id", "wave",
+          frame = 64, k = 16)
+        Multimodal.audioNearDupPairs(grams, "id", 0.5)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 120),
+        |w AS (SELECT id, list_transform(range(0, 6400), j ->
+        |    CASE WHEN id % 3 = 0 THEN ((id // 3) * 31 + j * (13 + 2 * ((id // 3) % 23))) % 201 * 20
+        |         WHEN id % 3 = 1 THEN ((id // 3) * 31 + j * (13 + 2 * ((id // 3) % 23))) % 201 * 20
+        |           + CASE WHEN j % 33 = 0 THEN 40 ELSE 0 END
+        |         ELSE ((id // 3) * 31 + j * (13 + 2 * ((id // 3) % 23))) % 201 * 20 * 51 // 50 END) AS iw
+        |  FROM ids),
+        |en AS (SELECT id, list_transform(range(0, 100), f ->
+        |    list_sum(list_transform(range(0, 64), t ->
+        |      iw[CAST(f * 64 + t + 1 AS INTEGER)] * iw[CAST(f * 64 + t + 1 AS INTEGER)]))) AS e
+        |  FROM w),
+        |bt AS (SELECT id, list_transform(range(0, 99), i ->
+        |    CASE WHEN e[CAST(i + 2 AS INTEGER)] > e[CAST(i + 1 AS INTEGER)]
+        |    THEN 1 ELSE 0 END) AS b FROM en),
+        |gp AS (SELECT id, unnest(range(0, 84)) AS i, b FROM bt),
+        |g AS (SELECT DISTINCT id, CAST(list_sum(list_transform(range(0, 16), j ->
+        |    b[CAST(i + j + 1 AS INTEGER)] * (1 << CAST(15 - j AS INTEGER)))) AS BIGINT) AS gram
+        |  FROM gp),
+        |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY id),
+        |sh AS (SELECT x.id AS a, y.id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.id < y.id GROUP BY x.id, y.id),
+        |jc AS (SELECT a, b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+        |  FROM sh JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b)
+        |SELECT a, b, n_shared, jaccard FROM jc WHERE jaccard >= 0.5
+        |ORDER BY a, b""".stripMargin)),
+
     // S2 — REAL Ogg/Vorbis codec as an oracle-checked query (the
     // sibling of s2_mp3_roundtrip): tones through the pure-JVM Vorbis
     // encoder (floor1 + residue + MDCT, self-describing codebooks) and

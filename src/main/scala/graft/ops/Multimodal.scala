@@ -115,4 +115,73 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
   }
+
+  /** L112 — AUDIO FINGERPRINTING (energy-contour grams): the audio
+    * analog of dHash/MinHash for waveform-level near-dup at corpus
+    * scale. Shazam-style landmark hashing re-expressed in exact integer
+    * arithmetic so an external engine can replay it bit-for-bit:
+    *
+    *   1. int16-quantize the waveform (round(x·32767) — the codec
+    *      seam's own domain),
+    *   2. frame energies: Σ s² per `frame`-sample window, exact longs,
+    *   3. contour bits: b_f = [energy(f+1) > energy(f)] — the rising-
+    *      edge envelope, INVARIANT under any positive amplitude scaling
+    *      (sign(c·e1 − c·e2) = sign(e1 − e2)), which is what makes
+    *      re-encoded/regained copies near-dups,
+    *   4. grams: every k consecutive bits as one k-bit integer — the
+    *      fingerprint is the id's distinct gram set.
+    *
+    * Output: distinct (idCol, gram). All HOFs, no UDF; per-row work is
+    * linear in samples, and downstream joins are gram-bucketed equi
+    * joins — never all-pairs.
+    */
+  def audioContourGrams(df: DataFrame, idCol: String, waveCol: String,
+                        frame: Int, k: Int): DataFrame = {
+    require(frame > 0 && k > 0 && k <= 62, s"bad frame=$frame k=$k")
+    df.select(col(idCol),
+        expr(s"transform($waveCol, x -> CAST(round(CAST(x AS DOUBLE) * 32767D) AS BIGINT))")
+          .as("__iw"))
+      .withColumn("__nf", (size(col("__iw")) / frame).cast("int"))
+      .filter(col("__nf") > k) // ≥ k+1 frames → ≥ k contour bits → ≥ 1 gram
+      .withColumn("__en", expr(
+        s"transform(sequence(0, __nf - 1), f -> aggregate(slice(__iw, f * $frame + 1, $frame), CAST(0 AS BIGINT), (a, x) -> a + x * x))"))
+      .withColumn("__bits", expr(
+        "transform(sequence(0, __nf - 2), i -> IF(element_at(__en, i + 2) > element_at(__en, i + 1), CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__bits) - $k), i -> aggregate(sequence(1, $k), CAST(0 AS BIGINT), (a, j) -> a * 2 + element_at(__bits, i + j)))"))
+        .as("gram"))
+      .distinct()
+  }
+
+  /** Near-dup pairs over [[audioContourGrams]] fingerprints: candidates
+    * from the gram-bucketed equi self-join, similarity = exact Jaccard
+    * of the two gram sets. `maxGramDf` drops grams present in more than
+    * that many ids BEFORE the join (the substring-dedup seed-cap
+    * pattern) — a stop-gram guard for 100 TB corpora where a degenerate
+    * contour (silence) would otherwise build corpus-sized buckets; the
+    * capped variant reports a LOWER bound on n_shared/jaccard.
+    * Output: (a, b, n_shared, jaccard) at jaccard ≥ minJaccard.
+    */
+  def audioNearDupPairs(grams: DataFrame, idCol: String, minJaccard: Double,
+                        maxGramDf: Option[Long] = None): DataFrame = {
+    val g = maxGramDf match {
+      case Some(cap) =>
+        val keep = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+          .select(col("gram"))
+        grams.join(keep, Seq("gram"))
+      case None => grams
+    }
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    g.select(col("gram"), col(idCol).as("a"))
+      .join(g.select(col("gram"), col(idCol).as("b")), Seq("gram"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("a"), col("__n").as("__na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("__n").as("__nb")), "b")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("n_shared"), col("jaccard"))
+  }
 }

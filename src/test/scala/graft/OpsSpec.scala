@@ -1472,4 +1472,34 @@ class OpsSpec extends SparkSpec {
       assert(got(i) == want, s"canonicalUrl($in) = ${got(i)}, want $want")
     }
   }
+
+  test("L112 audio contour fingerprint: scale-invariant grams, family near-dups, stop-gram cap") {
+    import graft.ops.Multimodal
+    def wave(amps: Seq[Int], frame: Int): Array[Float] =
+      amps.flatMap(a => Seq.fill(frame)(a / 32767f)).toArray
+    // distinct per-frame amplitudes with wide margins: the rising-edge
+    // contour survives integer amplitude rescaling (monotone map)
+    // aperiodic rising runs (an alternating low/high pattern would make
+    // the reversed wave's contour complement-reverse-symmetric and
+    // collide with the originals' grams)
+    val amps = Seq(100, 200, 400, 800, 1600, 300, 500, 900, 1800, 2200,
+      150, 250, 1400, 350, 550, 950, 1900, 120, 1000, 2100)
+    val df = Seq(
+      ("a1", wave(amps, 32)),
+      ("a2", wave(amps.map(a => a * 7 / 10), 32)), // regained copy
+      ("b1", wave(amps.reverse, 32))).toDF("id", "wave")
+    val grams = Multimodal.audioContourGrams(df, "id", "wave", frame = 32, k = 8)
+    val byId = grams.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byId("a1") == byId("a2"), "amplitude-scaled copy must share the full gram set")
+    val pairs = Multimodal.audioNearDupPairs(grams, "id", 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a1", "a2")), s"got $pairs")
+    // degenerate corpus: identical contours everywhere → the stop-gram
+    // cap must drop the corpus-sized buckets before the join
+    val flat = (0 until 6).map(i => (s"f$i", wave(amps, 32))).toDF("id", "wave")
+    val fg = Multimodal.audioContourGrams(flat, "id", "wave", frame = 32, k = 8)
+    assert(Multimodal.audioNearDupPairs(fg, "id", 0.5, maxGramDf = Some(3)).count() == 0L)
+    assert(Multimodal.audioNearDupPairs(fg, "id", 0.5).count() == 15L)
+  }
 }
