@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Curation, Dedup, EventAnalytics, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator from SURVEY §2, each with a DuckDB-equivalent `oracleSql`.
@@ -36,6 +36,24 @@ object SparkEntry {
   private val evPointsSqlCte =
     """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
       |  CAST(round(value*100) AS BIGINT) AS cents FROM events)""".stripMargin
+
+  /** The derived event link graph shared by the L115/L117 centrality
+    * oracles: browse-chain edges (each event → the user's next) plus
+    * type-hub edges (each event → the earliest event of its type), with
+    * node set and out-degrees. Mirrors the Spark-side derivation in
+    * `g_pagerank`/`g_ppr` exactly.
+    */
+  private val eventGraphSqlCte =
+    s"""$evPointsSqlCte,
+       |ch AS (SELECT event_id AS src, lead(event_id) OVER (
+       |    PARTITION BY user_id ORDER BY tus, event_id) AS dst FROM e),
+       |hb AS (SELECT event_type, MIN(event_id) AS hub FROM e GROUP BY 1),
+       |ed AS (SELECT src, dst FROM ch WHERE dst IS NOT NULL
+       |  UNION ALL SELECT e.event_id AS src, hb.hub AS dst
+       |    FROM e JOIN hb USING (event_type) WHERE e.event_id <> hb.hub),
+       |nd AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ed UNION ALL SELECT dst AS node FROM ed)),
+       |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM ed GROUP BY 1)""".stripMargin
 
   private val evIntervalsSqlCte =
     """i AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s_us,
@@ -1005,9 +1023,11 @@ object SparkEntry {
   /** The k-round BPE training loop unrolled as chained CTEs — each
     * round: adjacent-pair counts over the delimited symbol strings, the
     * deterministic argmax, and the greedy `replace` merge feeding the
-    * next round. Mirrors [[graft.ops.TextOps.bpeTrainMerges]] exactly.
+    * next round (every round's merge applied, so w`k` is the fully
+    * encoded word table [[bpeEncodeOracleSql]] reads). Mirrors
+    * [[graft.ops.TextOps.bpeTrainMerges]]/`bpeEncode` exactly.
     */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeChainSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH $toksSqlCte,
 t0 AS (SELECT unnest(toks) AS w FROM d),
@@ -1024,17 +1044,30 @@ p$r AS (SELECT string_split(p, chr(1))[1] AS a, string_split(p, chr(1))[2] AS b,
       y -> y IS NOT NULL)) AS p, freq
     FROM s$r WHERE len(syms) >= 2)),
 b$r AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$r GROUP BY a, b
-  ORDER BY cnt DESC, a, b LIMIT 1)"""
-      if (r < rounds) sb ++= s""",
+  ORDER BY cnt DESC, a, b LIMIT 1),
 w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     '|' || b$r.a || b$r.b || '|') AS repr, freq FROM w${r - 1}, b$r)"""
     }
-    sb ++= (1 to rounds).map(r =>
-      s"\nSELECT $r AS round, a, b, a || b AS merged, cnt FROM b$r")
-      .mkString("", "\nUNION ALL", "")
-    sb ++= "\nORDER BY round"
     sb.toString
   }
+
+  private def bpeOracleSql(rounds: Int): String =
+    bpeChainSql(rounds) +
+      (1 to rounds).map(r =>
+        s"\nSELECT $r AS round, a, b, a || b AS merged, cnt FROM b$r")
+        .mkString("", "\nUNION ALL", "") +
+      "\nORDER BY round"
+
+  /** Tokenize-the-corpus mirror: split the fully merged word table back
+    * into symbols and roll the frequency-weighted vocabulary histogram.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    bpeChainSql(rounds) + s""",
+enc AS (SELECT string_split(substr(repr, 2, length(repr) - 2), '||') AS syms, freq
+  FROM w$rounds)
+SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM (SELECT unnest(syms) AS token, freq FROM enc)
+GROUP BY token ORDER BY cnt DESC, token"""
 
   /** The char-trigram langid profile rendered as a SQL VALUES literal —
     * generated from the SAME Scala constant the Spark side broadcasts,
@@ -1907,6 +1940,42 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |  CAST(ct.n_vecs AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS share
         |FROM ct, tt ORDER BY ct.cell""".stripMargin)),
 
+    // L113 — IVF CODEBOOK TRAINING (FAISS train step): two Lloyd
+    // iterations on the unit sphere from the shared seed init, with
+    // EXACT integer sum-centroids (cosine vs the mean == cosine vs the
+    // sum, so training is integer-replayable — the centroidClassify
+    // posture applied to the refinement loop). The oracle unrolls both
+    // iterations: seed-score argmax -> per-cell dim-parallel sums ->
+    // re-score argmax -> final sums + counts.
+    Q("sim_ivf_train",
+      (s, dir) => Similarity.ivfTrain(sessionQuantEmb(s, dir), "vec_id",
+          dim = 64, nCells = 16, iters = 2)
+        .orderBy(col("cell")),
+      Some(s"""WITH $quantSqlCte,
+        |c0 AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < 16),
+        |n0 AS (SELECT cell, cv, sqrt(CAST(CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS cnorm FROM c0),
+        |s0 AS (SELECT q.vec_id, n.cell,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*n.cv[i])) AS BIGINT) AS DOUBLE) / n.cnorm AS score
+        |  FROM q CROSS JOIN n0 n),
+        |a0 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM s0) t WHERE rn = 1),
+        |cx1 AS (SELECT a0.cell, u.i AS i, CAST(SUM(q.qv[CAST(u.i AS INTEGER)]) AS BIGINT) AS s
+        |  FROM a0 JOIN q ON q.vec_id = a0.vec_id, range(1, 65) u(i) GROUP BY 1, 2),
+        |c1 AS (SELECT cell, list(s ORDER BY i) AS cv FROM cx1 GROUP BY cell),
+        |n1 AS (SELECT cell, cv, sqrt(CAST(CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS cnorm FROM c1),
+        |s1 AS (SELECT q.vec_id, n.cell,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*n.cv[i])) AS BIGINT) AS DOUBLE) / n.cnorm AS score
+        |  FROM q CROSS JOIN n1 n),
+        |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM s1) t WHERE rn = 1),
+        |cx2 AS (SELECT a1.cell, u.i AS i, CAST(SUM(q.qv[CAST(u.i AS INTEGER)]) AS BIGINT) AS s
+        |  FROM a1 JOIN q ON q.vec_id = a1.vec_id, range(1, 65) u(i) GROUP BY 1, 2),
+        |c2 AS (SELECT cell, list(s ORDER BY i) AS cv FROM cx2 GROUP BY cell),
+        |nv AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM a1 GROUP BY cell)
+        |SELECT c2.cell, nv.n_vecs,
+        |  CAST(list_sum(list_transform(c2.cv, x -> x*x)) AS BIGINT) AS csum_sq
+        |FROM c2 JOIN nv ON nv.cell = c2.cell ORDER BY c2.cell""".stripMargin)),
+
     // ANN RECALL AUDIT (the dedup_lsh_recall pattern extended to the
     // vector indexes): exhaustive quantized-cosine pairs at cos ≥ 0.45
     // on the documented bounded slice (vec_id < 1500) are ground truth;
@@ -2409,6 +2478,37 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
         |SELECT l.doc_id, l.component, s.cluster_size
         |FROM lbl l JOIN sz s ON s.component = l.component
         |ORDER BY l.doc_id""".stripMargin)),
+
+    // L116 — LABEL-PROPAGATION cluster refinement over the SAME
+    // near-dup pair graph (the sessionMinhashPairs memo): where L19's
+    // connected components transitively glue everything a chain
+    // touches, LPA votes — majority neighbor label, ties to the
+    // smallest, two synchronous iterations — the standard chain-breaker
+    // between LSH candidates and canonical selection. Oracle reuses the
+    // shared pair-graph CTEs up to `e` and unrolls both iterations.
+    Q("dedup_lpa",
+      (s, dir) => {
+        val lpa = GraphOps.labelPropagation(
+          sessionMinhashPairs(s, dir), "a", "b", iters = 2)
+        val sizes = lpa.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+        lpa.join(sizes, "lbl")
+          .select(col("node").as("doc_id"), col("lbl").as("lpa_label"),
+            col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |l0 AS (SELECT DISTINCT u AS node FROM e),
+        |c1 AS (SELECT e.u AS node, l.node AS lbl, COUNT(*) AS cnt
+        |  FROM e JOIN l0 l ON l.node = e.v GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.u AS node, l.lbl AS lbl, COUNT(*) AS cnt
+        |  FROM e JOIN l1 l ON l.node = e.v GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+        |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM l2 GROUP BY 1)
+        |SELECT l2.node AS doc_id, l2.lbl AS lpa_label, sz.cluster_size
+        |FROM l2 JOIN sz USING (lbl) ORDER BY doc_id""".stripMargin)),
 
     // L98 — BORDA RANK FUSION of three quality signals per language
     // (length, scaled type-token ratio, scaled avg word length):
@@ -2935,6 +3035,94 @@ w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
       (s, dir) => TextOps.bpeTrainMerges(
         Tables.documents(s, dir), "text", rounds = 4),
       Some(bpeOracleSql(4))),
+
+    // L114 — BPE tokenizer APPLICATION (the missing half of L52):
+    // train the same 4 rules, then tokenize the corpus with them and
+    // emit the realized vocabulary histogram. Zero extra corpus passes:
+    // training's final working table IS the encoded distinct-word
+    // table, so encode = split + frequency-weighted count.
+    Q("t_bpe_encode",
+      (s, dir) => TextOps.bpeEncode(
+        Tables.documents(s, dir), "text", rounds = 4),
+      Some(bpeEncodeOracleSql(4))),
+
+    // L115 — LINK-GRAPH PAGERANK (integer fixed-point, 2 damped
+    // iterations — GraphOps.pageRank scaladoc for the exact floor-
+    // division semantics): the link-centrality quality weight of
+    // web-corpus curation, run here over a corpus-sized derived graph
+    // so |V| = |events|: each event links to the user's next event
+    // (browse chains) and to the earliest event of its type (type
+    // hubs). Floor division + long sums = bit-exact cross-engine; the
+    // hub join broadcasts (|event_type| rows), the rank loop shuffles
+    // only the O(|V|) rank table per iteration against the cached edge
+    // table.
+    Q("g_pagerank",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.pageRank(chain.unionByName(hubEdges), "src", "dst", iters = 2)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nd),
+        |c1 AS (SELECT ed.dst AS node, SUM(r.pr // od.odeg) AS s
+        |  FROM ed JOIN od USING (src) JOIN r0 r ON r.node = ed.src GROUP BY 1),
+        |r1 AS (SELECT nd.node, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nd LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT ed.dst AS node, SUM(r.pr // od.odeg) AS s
+        |  FROM ed JOIN od USING (src) JOIN r1 r ON r.node = ed.src GROUP BY 1),
+        |r2 AS (SELECT nd.node, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nd LEFT JOIN c2 USING (node))
+        |SELECT node, pr FROM r2 ORDER BY node""".stripMargin)),
+
+    // L117 — PERSONALIZED PAGERANK seed expansion (Haveliwala 2002):
+    // rank nodes by random-walk proximity to a trusted seed set (the
+    // type-hub events here) — the "expand a hand-audited allowlist"
+    // curation move. Teleport mass lands only on seeds; same integer
+    // fixed point, same per-iteration join shape as g_pagerank.
+    Q("g_ppr",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.personalizedPageRank(chain.unionByName(hubEdges),
+            "src", "dst", hubs, "hub", iters = 2)
+          .filter(col("ppr") > 0L)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |sd AS (SELECT DISTINCT hub AS node FROM hb),
+        |ns AS (SELECT nd.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed
+        |  FROM nd LEFT JOIN sd ON sd.node = nd.node),
+        |r0 AS (SELECT node, CAST(CASE WHEN seed = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS pr FROM ns),
+        |c1 AS (SELECT ed.dst AS node, SUM(r.pr // od.odeg) AS s
+        |  FROM ed JOIN od USING (src) JOIN r0 r ON r.node = ed.src GROUP BY 1),
+        |r1 AS (SELECT ns.node, CAST(CASE WHEN ns.seed = 1 THEN 150000 ELSE 0 END
+        |    + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM ns LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT ed.dst AS node, SUM(r.pr // od.odeg) AS s
+        |  FROM ed JOIN od USING (src) JOIN r1 r ON r.node = ed.src GROUP BY 1),
+        |r2 AS (SELECT ns.node, CAST(CASE WHEN ns.seed = 1 THEN 150000 ELSE 0 END
+        |    + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS ppr
+        |  FROM ns LEFT JOIN c2 USING (node))
+        |SELECT node, ppr FROM r2 WHERE ppr > 0 ORDER BY node""".stripMargin)),
 
     // L53 — deterministic SHARD ASSIGNMENT + training order: shard =
     // 60-bit md5 prefix mod 8, within-shard position by the same hash —

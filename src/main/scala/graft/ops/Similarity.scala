@@ -577,6 +577,58 @@ object Similarity {
       .select(col(idCol), col("seed_id").as("cell"))
   }
 
+  /** L113 — IVF CODEBOOK TRAINING (the FAISS `train` step): Lloyd
+    * iterations on the unit sphere over the quantized corpus, starting
+    * from the first-nCells seed init every ivf* operator uses. The
+    * refinement loop is the production answer to a skewed
+    * [[ivfCellProfile]]: centroids re-seat to their members' mean
+    * direction and occupancy evens out. Centroids are EXACT INTEGER SUM
+    * vectors throughout — cosine against a cell mean equals cosine
+    * against the cell SUM (the positive 1/n scaling cancels), so no
+    * float centroid ever exists, there is no accumulation drift, and an
+    * external engine replays training bit-for-bit. Assignment: argmax
+    * of score = exact-long dot / sqrt(exact-long norm²) (one IEEE sqrt
+    * + one division, same association in the oracle), ties to the
+    * smaller cell id; a cell that loses every member vanishes (no
+    * respawn — deterministic).
+    *
+    * Scale shape per iteration: broadcast ≤ nCells sum vectors; one
+    * fused-dot argmax pass over the corpus; one map-side-combined
+    * dim-parallel SUM per cell. `iters` is small and fixed — the loop
+    * is driver-side plan composition, never driver-side data.
+    *
+    * Output: (cell, n_vecs, csum_sq) — final-assignment member count
+    * and Σ component² of the final integer sum-centroid per surviving
+    * cell. `q`: (idCol, qv) from [[quantize]].
+    */
+  def ivfTrain(q: DataFrame, idCol: String, dim: Int, nCells: Int = 16,
+               iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    LongArrayDot.register(q.sparkSession)
+    var cents = q.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), col("qv").as("cv"),
+        lit(1L).as("n_vecs"))
+    var it = 0
+    while (it < iters) {
+      val scored = q.select(col(idCol), col("qv"))
+        .crossJoin(broadcast(cents.withColumn("cnorm",
+          sqrt(aggregate(col("cv"), lit(0L), (a, x) => a + x * x).cast("double")))
+          .select(col("cell"), col("cv"), col("cnorm"))))
+        .withColumn("score",
+          expr(s"${LongArrayDot.fnName}(qv, cv)").cast("double") / col("cnorm"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("cell"))
+      cents = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("cell"))
+        .agg(array((0 until dim).map(i => sum(col("qv").getItem(i))): _*).as("cv"),
+          count(lit(1)).as("n_vecs"))
+      it += 1
+    }
+    cents.select(col("cell"), col("n_vecs"),
+      aggregate(col("cv"), lit(0L), (a, x) => a + x * x).as("csum_sq"))
+  }
+
   /** Same-cell candidate pairs from a (cached) [[ivfCells]] table. */
   def ivfCandidatesFrom(cells: DataFrame, idCol: String): DataFrame =
     cells.select(col(idCol).as("a"), col("cell"))

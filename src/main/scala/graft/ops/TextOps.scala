@@ -328,9 +328,19 @@ object TextOps {
     * Output: one row per learned rule — (round, a, b, merged, cnt).
     */
   def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 16, s"rounds must be in 1..16, got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrain(df, textCol, rounds)._1.toDF("round", "a", "b", "merged", "cnt")
+  }
+
+  /** Shared BPE training core: the learned rules plus the distinct-word
+    * table with ALL `rounds` merges applied (training's own working
+    * table — [[bpeEncode]] reads it back so tokenizing the corpus costs
+    * zero extra corpus passes over training).
+    */
+  private def bpeTrain(df: DataFrame, textCol: String, rounds: Int):
+      (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in 1..16, got $rounds")
     val words = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -353,13 +363,42 @@ object TextOps {
         .head()
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       out += ((r, a, b, a + b, cnt))
-      if (r < rounds)
-        cur = cur.withColumn("repr",
-            call_function("replace", col("repr"),
-              lit(s"|$a||$b|"), lit(s"|$a$b|")))
-          .localCheckpoint(true)
+      cur = cur.withColumn("repr",
+          call_function("replace", col("repr"),
+            lit(s"|$a||$b|"), lit(s"|$a$b|")))
+        .localCheckpoint(true)
     }
-    out.toSeq.toDF("round", "a", "b", "merged", "cnt")
+    (out.toSeq, cur)
+  }
+
+  /** BPE TOKENIZER APPLICATION at corpus scale: train `rounds` merges
+    * ([[bpeTrainMerges]] semantics, bit-identical rules) and tokenize
+    * the whole corpus with them, returning the realized vocabulary
+    * histogram — (token, cnt) with cnt = total occurrences weighted by
+    * word frequency. This is the missing half of L52: induction learns
+    * the rules, APPLICATION is what a training-data pipeline actually
+    * runs per document shard before packing.
+    *
+    * Zero extra corpus passes: training's final working table IS the
+    * encoded corpus (each distinct word with every merge applied, via
+    * the same greedy left-to-right `replace` both engines share), so
+    * encoding reduces to splitting the delimited reprs and one
+    * frequency-weighted count — the corpus is touched exactly once, by
+    * the word-frequency aggregation, regardless of `rounds`. At 100 TB
+    * the distinct-word table is orders of magnitude smaller than the
+    * corpus (Heaps' law), which is precisely why production BPE
+    * training/encoding works off word frequencies, not raw text.
+    *
+    * Output: (token, cnt), ordered by cnt desc then token.
+    */
+  def bpeEncode(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val enc = bpeTrain(df, textCol, rounds)._2
+    enc.withColumn("syms",
+        split(expr("substring(repr, 2, length(repr) - 2)"), "\\|\\|"))
+      .select(col("freq"), explode(col("syms")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
   }
 
   /** CONTEXT-WINDOW CHUNKING — split long documents into overlapping

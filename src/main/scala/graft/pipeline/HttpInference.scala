@@ -136,19 +136,23 @@ object HttpInference {
 
       def settle(batch: Seq[I],
                  fut: java.util.concurrent.CompletableFuture[HttpResponse[Array[Byte]]]): Seq[O] = {
-        val bytes =
-          try {
-            val resp = fut.join()
-            resp.statusCode() match {
-              case 200 => Right(resp.body())
-              case sc if retriable(sc) => Left(null: Throwable) // retry below
-              case sc => throw new HttpInferenceException(
-                s"HTTP $sc from ${cfg.endpoint} (not retriable)", null)
-            }
-          } catch {
-            case _: java.util.concurrent.CompletionException => Left(null: Throwable)
-          }
+        // EVERYTHING here must resolve to rows — including a
+        // non-retriable status from the async first attempt — so a
+        // misbehaving service yields failed-STATUS rows, never a dead
+        // task (S10).
         try {
+          val bytes =
+            try {
+              val resp = fut.join()
+              resp.statusCode() match {
+                case 200 => Right(resp.body())
+                case sc if retriable(sc) => Left(()) // sync retry ladder below
+                case sc => throw new HttpInferenceException(
+                  s"HTTP $sc from ${cfg.endpoint} (not retriable)", null)
+              }
+            } catch {
+              case _: java.util.concurrent.CompletionException => Left(())
+            }
           val body = bytes match {
             case Right(b) => b
             case Left(_) => postWithRetry(cfg, encode(batch), attemptsUsed = 1)

@@ -547,6 +547,16 @@ class OpsSpec extends SparkSpec {
       (3, "e", "r", "er", 2L)))
   }
 
+  test("L114 bpeEncode: corpus tokenized with the learned merges, hand-computed histogram") {
+    val df = Seq("low low low", "lower lower", "newest").toDF("text")
+    val got = graft.ops.TextOps.bpeEncode(df, "text", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // merges (see bpeTrainMerges test): lo, low, er ->
+    // low -> [low]x3; lower -> [low, er]x2; newest -> [n,e,w,e,s,t]x1
+    assert(got.toSeq == Seq(("low", 5L), ("e", 2L), ("er", 2L),
+      ("n", 1L), ("s", 1L), ("t", 1L), ("w", 1L)))
+  }
+
   test("snapshotDiff: all four statuses classified by fingerprint compare") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val newDf = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
@@ -1501,5 +1511,75 @@ class OpsSpec extends SparkSpec {
     val fg = Multimodal.audioContourGrams(flat, "id", "wave", frame = 32, k = 8)
     assert(Multimodal.audioNearDupPairs(fg, "id", 0.5, maxGramDf = Some(3)).count() == 0L)
     assert(Multimodal.audioNearDupPairs(fg, "id", 0.5).count() == 15L)
+  }
+
+  test("L115 pageRank: star hub outranks leaves, mass is exact integers, dangling documented") {
+    import graft.ops.GraphOps
+    // star: 1..6 -> 0, plus a 2-cycle 7<->8 off to the side; node 0 dangles
+    val edges = ((1L to 6L).map(i => (i, 0L)) ++ Seq((7L, 8L), (8L, 7L))).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, "src", "dst", iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size == 9)
+    // hub: 6 leaves each send floor(rank/1); leaves get base only after iter 1
+    assert(pr(0L) > pr(1L), s"hub must outrank leaves: $pr")
+    assert((1L to 6L).map(pr).toSet.size == 1, "symmetric leaves tie exactly")
+    // exact replay of the fixed-point arithmetic for the hub:
+    // iter1: leaves rank 1000000, contrib 1000000 each -> hub = 150000 + 85*6000000/100
+    // iter2: leaves rank 150000 (their inflow is nothing; base only) -> hub = 150000 + 85*900000/100
+    assert(pr(1L) == 150000L)
+    assert(pr(0L) == 150000L + 85L * (6L * 150000L) / 100L)
+    // 2-cycle: each sends its full rank across every round -> stationary at
+    // 150000 + 850000; the cycle CONSERVES mass while the hub's dangling
+    // mass drains, so after iter 2 the cycle outranks the hub — the
+    // documented no-teleport-redistribution semantics, seen exactly
+    assert(pr(7L) == 150000L + 85L * 1000000L / 100L)
+    assert(pr(7L) == pr(8L), "symmetric cycle must tie")
+    assert(pr(7L) > pr(0L), "conserved cycle mass vs drained dangling hub")
+  }
+
+  test("L117 personalizedPageRank: seed-only teleport, exact fixed-point replay on a path") {
+    import graft.ops.GraphOps
+    // path 0 -> 1 -> 2 -> 3, seed {0}: mass diffuses down the path,
+    // only the seed keeps restart mass, the far end gets nothing in 2 hops
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val ppr = GraphOps.personalizedPageRank(edges, "src", "dst", seeds, "id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: r(0)=150000, r(1)=850000; iter2: r(1)=85*150000/100,
+    // r(2)=85*850000/100, r(3) still 0 (2 hops can't reach node 3's inflow)
+    assert(ppr == Map(0L -> 150000L, 1L -> 127500L, 2L -> 722500L, 3L -> 0L), s"got $ppr")
+  }
+
+  test("L116 labelPropagation: majority vote refines, min-label tie-break, sync update") {
+    import graft.ops.GraphOps
+    // triangle {0,1,2} joined by ONE spurious edge (2-10) to triangle {10,11,12}:
+    // CC glues all six; LPA keeps the two triangles in distinct labels
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (2L, 10L)).toDF("a", "b")
+    val out = GraphOps.labelPropagation(pairs, "a", "b", iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    assert(Set(out(0L), out(1L)).subsetOf(Set(0L, 1L, 2L)), s"left triangle stays left: $out")
+    assert(Set(out(11L), out(12L)).forall(l => l >= 2L), s"right triangle stays right: $out")
+    assert(out(0L) != out(11L), "one spurious edge must NOT merge the triangles")
+  }
+
+  test("L113 ivfTrain: membership conserved, cells bounded by the seed set, integer centroids") {
+    import graft.ops.Similarity
+    // 4 tight clusters (one-hot directions + small jitter); seeds are the
+    // first 16 corpus rows, 4 per cluster
+    val emb = (0 until 200).map { id =>
+      val c = id % 4
+      val v = Array.fill(8)(0f)
+      v(2 * c) = 1f
+      v(2 * c + 1) = 0.001f * (id % 7)
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = Similarity.quantize(emb, "vec_id", "embedding")
+    val out = Similarity.ivfTrain(q, "vec_id", dim = 8, nCells = 16, iters = 2).collect()
+    assert(out.map(_.getLong(1)).sum == 200L, "every vector assigned exactly once")
+    assert(out.forall(_.getLong(0) < 16L), "cells come from the seed id space")
+    assert(out.forall(_.getLong(2) > 0L), "integer sum-centroids are nonzero")
+    assert(out.length <= 16)
   }
 }

@@ -516,22 +516,28 @@ class PipelineSpec extends SparkSpec {
     // three files: "good" answers, "poison" always 500s, "slow" sleeps past
     // the request timeout — both failure modes must S10-route, leaving the
     // good rows untouched
-    val audio = Seq(fixture("good"), fixture("poison"), fixture("slow")).toDS()
+    val audio = Seq(fixture("good"), fixture("poison"), fixture("slow"),
+      fixture("bad")).toDS()
     val segs = Seq(SpeakerSegment("good", 1.0, 2.0, "s0"),
       SpeakerSegment("poison", 1.0, 2.0, "s0"),
-      SpeakerSegment("slow", 3.0, 4.0, "s1")).toDS()
+      SpeakerSegment("slow", 3.0, 4.0, "s1"),
+      SpeakerSegment("bad", 1.0, 2.0, "s0")).toDS()
     val stub = new ServiceStub(ServiceStub.asr,
-      poisonMarker = Some("poison"), slowMarker = Some("slow"), slowMs = 1500)
+      poisonMarker = Some("poison"), badMarker = Some("bad"),
+      slowMarker = Some("slow"), slowMs = 1500)
     try {
       val cfg = HttpServiceConfig(stub.endpoint, batchSize = 1, maxInFlight = 1,
         maxRetries = 1, baseBackoffMs = 5, requestTimeoutMs = 250)
       val rows = Transcription.asrStageService(segs, audio, cfg).collect()
       val byFile = rows.map(r => r.file -> r).toMap
-      assert(rows.length == 3)
+      assert(rows.length == 4)
       assert(byFile("good").status == "completed" && byFile("good").text.nonEmpty)
       assert(byFile("poison").status == "failed" && byFile("poison").error.contains("HTTP 500"),
         s"poison row: ${byFile("poison")}")
       assert(byFile("slow").status == "failed", s"slow row: ${byFile("slow")}")
+      // non-retriable 404: one attempt, still a failed-status row
+      assert(byFile("bad").status == "failed" && byFile("bad").error.contains("not retriable"),
+        s"bad row: ${byFile("bad")}")
     } finally stub.close()
   }
 

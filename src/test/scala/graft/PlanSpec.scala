@@ -398,4 +398,57 @@ class PlanSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("audio fingerprint and IVF training keep bucketed/broadcast join shapes") {
+    // fingerprint pairs must arise from the gram equi self-join only
+    val fp = plan("mm_audio_fingerprint")
+    assert(!fp.contains("CartesianProduct") && !fp.contains("BroadcastNestedLoopJoin"),
+      "mm_audio_fingerprint must pair through the gram equi join")
+    // ivfTrain: the <=16-row centroid table reaches the corpus scan as a
+    // broadcast each iteration; never an unbounded cartesian
+    val tp = plan("sim_ivf_train")
+    assert(!tp.contains("CartesianProduct"), "sim_ivf_train plans a cartesian product")
+    assert(tp.contains("BroadcastNestedLoopJoin") || tp.contains("BroadcastExchange"),
+      "centroids should broadcast to the corpus scan")
+  }
+
+  test("bucketed tables co-locate the equi join: zero Exchange on either side") {
+    // The 100 TB storage-layout technique the inventory's join notes
+    // point at (SURVEY J1/X4): persist both fact tables bucketed AND
+    // sorted on the join key and the sort-merge join runs with NO
+    // shuffle and NO per-task sort on either side — the join cost
+    // collapses to a co-located streaming merge, which is the layout a
+    // recurring 100 TB pipeline pays for once at ingest and amortizes
+    // over every downstream run.
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    try {
+      Tables.orders(spark, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+      Tables.lineitem(spark, dir).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy(org.apache.spark.sql.functions.col("o_orderstatus"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("l_quantity")))
+      // disable broadcast so the join shape under test is the merge path
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+        assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+          !p.contains("Exchange hashpartitioning(o_orderkey"),
+          s"bucketed join must not shuffle its keys:\n$p")
+        assert(j.count() > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }

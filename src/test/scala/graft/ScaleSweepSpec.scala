@@ -117,6 +117,35 @@ class ScaleSweepSpec extends SparkSpec {
     })
   }
 
+  test("pageRank stays near-linear under ×9 node scale") {
+    // synthetic digraph, constant out-degree 2 (|E| = 2|V|): per
+    // iteration work is one edge join + one sum, so time must track |V|
+    sweep("pagerank", s => {
+      val n = 20000L * s
+      val e1 = spark.range(n).select(col("id").as("src"),
+        ((col("id") * 7L + 1L) % n).as("dst"))
+      val e2 = spark.range(n).select(col("id").as("src"),
+        ((col("id") * 13L + 5L) % n).as("dst"))
+      graft.ops.GraphOps.pageRank(e1.unionByName(e2), "src", "dst", iters = 2)
+        .count()
+    })
+  }
+
+  test("labelPropagation stays near-linear under ×9 node scale") {
+    // ring + chord graph, constant degree: vote volume is linear in |V|
+    sweep("label_propagation", s => {
+      val n = 20000L * s
+      val ring = spark.range(n).select(col("id").as("a"),
+        ((col("id") + 1L) % n).as("b"))
+      val chord = spark.range(n).select(col("id").as("a"),
+        ((col("id") * 3L + 7L) % n).as("b"))
+      graft.ops.GraphOps.labelPropagation(
+          ring.unionByName(chord).filter(col("a") =!= col("b")),
+          "a", "b", iters = 2)
+        .count()
+    })
+  }
+
   test("substring dup spans stay near-linear under ×9 salted scale") {
     // grams from different copies never match (each copy's token salt is
     // part of every 10-gram), so true span volume is s× the original

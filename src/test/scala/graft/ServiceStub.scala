@@ -15,6 +15,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    exercises the retry ladder recovering a transient outage;
   *  - `poisonMarker`: any request whose body contains the marker always
   *    answers 500 — exercises retry exhaustion → failed-status rows;
+  *  - `badMarker`: answers 404 — exercises the non-retriable path
+  *    (exactly one attempt, still a failed-status row);
   *  - `slowMarker`/`slowMs`: any request whose body contains the marker
   *    sleeps before answering — exercises request timeouts and (with a
   *    marker matching every request) in-flight pipelining.
@@ -22,6 +24,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class ServiceStub(respond: Seq[String] => Seq[String],
                         failFirstN: Int = 0,
                         poisonMarker: Option[String] = None,
+                        badMarker: Option[String] = None,
                         slowMarker: Option[String] = None,
                         slowMs: Long = 0L) extends AutoCloseable {
   val requests = new AtomicInteger(0)
@@ -37,7 +40,10 @@ final class ServiceStub(respond: Seq[String] => Seq[String],
     try {
       val body = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
       if (slowMs > 0 && slowMarker.exists(body.contains)) Thread.sleep(slowMs)
-      if (n <= failFirstN || poisonMarker.exists(body.contains)) {
+      if (badMarker.exists(body.contains)) {
+        exchange.sendResponseHeaders(404, -1) // non-retriable
+        exchange.close()
+      } else if (n <= failFirstN || poisonMarker.exists(body.contains)) {
         exchange.sendResponseHeaders(500, -1)
         exchange.close()
       } else {
