@@ -1976,6 +1976,52 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |  CAST(list_sum(list_transform(c2.cv, x -> x*x)) AS BIGINT) AS csum_sq
         |FROM c2 JOIN nv ON nv.cell = c2.cell ORDER BY c2.cell""".stripMargin)),
 
+    // L118 — MARGIN-BASED CROSS-SIDE PAIR MINING (the CCMatrix/LASER
+    // criterion): sides = label parity; candidates = same IVF cell
+    // cross-side; accept = mutual best both directions AND ratio
+    // margin best/runner-up ≥ 1.02 with a positive runner-up. Margin
+    // and cosine are the established dot/(sqrt·sqrt) idiom plus one
+    // more division — every double the quotient of identically-
+    // computed operands in both engines.
+    Q("sim_margin_mine",
+      (s, dir) => Similarity.marginMine(
+          Tables.embeddings(s, dir)
+            .withColumn("side", (col("label") % 2).cast("int")),
+          "vec_id", "embedding", "side", minMargin = 1.02)
+        .orderBy(col("a")),
+      Some(s"""WITH $quantSqlCte,
+        |sides AS (SELECT vec_id, CAST(label % 2 AS INTEGER) AS side FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |cscore AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM cscore) t WHERE rn = 1),
+        |qa AS (SELECT q.vec_id, q.qv, nm.nn, c.cell FROM q
+        |  JOIN nm ON nm.vec_id = q.vec_id JOIN cells c ON c.vec_id = q.vec_id
+        |  JOIN sides sd ON sd.vec_id = q.vec_id WHERE sd.side = 0),
+        |qb AS (SELECT q.vec_id, q.qv, nm.nn, c.cell FROM q
+        |  JOIN nm ON nm.vec_id = q.vec_id JOIN cells c ON c.vec_id = q.vec_id
+        |  JOIN sides sd ON sd.vec_id = q.vec_id WHERE sd.side = 1),
+        |sc AS (SELECT qa.vec_id AS a, qb.vec_id AS b,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE))) AS cos
+        |  FROM qa JOIN qb ON qa.cell = qb.cell),
+        |ra AS (SELECT a, b, cos, row_number() OVER (PARTITION BY a
+        |    ORDER BY cos DESC, b) AS rn FROM sc),
+        |b1 AS (SELECT a, b, cos AS c1 FROM ra WHERE rn = 1),
+        |r2 AS (SELECT a, cos AS c2 FROM ra WHERE rn = 2),
+        |bb AS (SELECT b, a FROM (SELECT a, b, row_number() OVER (PARTITION BY b
+        |    ORDER BY cos DESC, a) AS rn FROM sc) t WHERE rn = 1)
+        |SELECT b1.a, b1.b, b1.c1 AS cos, b1.c1 / r2.c2 AS margin
+        |FROM b1 JOIN r2 ON r2.a = b1.a JOIN bb ON bb.b = b1.b AND bb.a = b1.a
+        |WHERE r2.c2 > 0 AND b1.c1 / r2.c2 >= 1.02
+        |ORDER BY b1.a""".stripMargin)),
+
     // ANN RECALL AUDIT (the dedup_lsh_recall pattern extended to the
     // vector indexes): exhaustive quantized-cosine pairs at cos ≥ 0.45
     // on the documented bounded slice (vec_id < 1500) are ground truth;

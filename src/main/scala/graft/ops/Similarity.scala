@@ -629,6 +629,70 @@ object Similarity {
       aggregate(col("cv"), lit(0L), (a, x) => a + x * x).as("csum_sq"))
   }
 
+  /** L118 — MARGIN-BASED CROSS-SIDE PAIR MINING (Artetxe & Schwenk
+    * 2019 — the CCMatrix/LASER bitext-mining criterion): align items
+    * across two corpus sides (languages, modalities, snapshot
+    * generations) by requiring a pair to be (a) MUTUAL best among
+    * candidates in both directions and (b) a clear winner by the RATIO
+    * MARGIN best/runner-up ≥ `minMargin` — the margin test is what
+    * kills hub vectors (items near everything) that an absolute cosine
+    * threshold happily admits, and mutuality kills asymmetric
+    * hub-spoke matches.
+    *
+    * Candidates are same-IVF-cell cross-side pairs (the [[ivfCells]]
+    * broadcast-seed assignment — at production scale the [[ivfTrain]]
+    * codebook drops in unchanged) — NEVER all-pairs; scoring is the
+    * exact quantized cosine (one long dot, two IEEE sqrts, one
+    * division — the [[verifyPairs]] idiom, bit-replayable). Both
+    * direction argmaxes are row_number windows over the candidate set,
+    * keyed by the pair endpoints; ties break to the smaller id. A best
+    * match with NO runner-up in its cell has no measurable margin and
+    * is dropped (deterministic; at mining scale cells are never
+    * singleton). Runner-up cosine must be > 0 — a ratio against a
+    * non-positive runner-up is meaningless.
+    *
+    * Output: (a, b, cos, margin) accepted pairs, a from side 0, b from
+    * side 1.
+    */
+  def marginMine(emb: DataFrame, idCol: String, embCol: String,
+                 sideCol: String, minMargin: Double,
+                 nCells: Int = 16): DataFrame = {
+    LongArrayDot.register(emb.sparkSession)
+    val q = quantize(emb, idCol, embCol)
+      .join(emb.select(col(idCol), col(sideCol).cast("int").as("__side")),
+        idCol)
+      .cache()
+    q.count() // eager: feeds the seed table, cell assignment, both sides
+    val cells = ivfCells(q.select(col(idCol), col("qv")), idCol, nCells)
+    val withAll = q.join(cells, idCol).withColumn("nn", sqNorm(col("qv")))
+    val qa = withAll.filter(col("__side") === 0)
+      .select(col(idCol).as("a"), col("qv").as("qa"), col("nn").as("na"),
+        col("cell"))
+    val qb = withAll.filter(col("__side") === 1)
+      .select(col(idCol).as("b"), col("qv").as("qb"), col("nn").as("nb"),
+        col("cell"))
+    val scored = qa.join(qb, "cell")
+      .withColumn("dot", expr(s"${LongArrayDot.fnName}(qa, qb)"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("a"), col("b"), col("cos"))
+    val wa = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    val ranked = scored.withColumn("__ra", row_number().over(wa))
+    val best = ranked.filter(col("__ra") === 1)
+      .select(col("a"), col("b"), col("cos").as("c1"))
+    val runner = ranked.filter(col("__ra") === 2)
+      .select(col("a"), col("cos").as("c2"))
+    val wb = Window.partitionBy(col("b")).orderBy(col("cos").desc, col("a"))
+    val bBest = scored.withColumn("__rb", row_number().over(wb))
+      .filter(col("__rb") === 1)
+      .select(col("b").as("rb"), col("a").as("ra"))
+    best.join(runner, "a")
+      .join(bBest, col("b") === col("rb") && col("a") === col("ra"))
+      .filter(col("c2") > 0d && col("c1") / col("c2") >= minMargin)
+      .select(col("a"), col("b"), col("c1").as("cos"),
+        (col("c1") / col("c2")).as("margin"))
+  }
+
   /** Same-cell candidate pairs from a (cached) [[ivfCells]] table. */
   def ivfCandidatesFrom(cells: DataFrame, idCol: String): DataFrame =
     cells.select(col(idCol).as("a"), col("cell"))

@@ -1564,6 +1564,26 @@ class OpsSpec extends SparkSpec {
     assert(out(0L) != out(11L), "one spurious edge must NOT merge the triangles")
   }
 
+  test("L118 marginMine: mutual clear winners accepted, hub with tied matches rejected") {
+    import graft.ops.Similarity
+    // side 0: 0->[1,0,0,0], 2->[0,1,0,0], 4->hub [.7,.7,0,0]
+    // side 1: 1 close to 0, 3 close to 2, 5 orthogonal
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (4L, Array(0.7f, 0.7f, 0f, 0f), 0),
+      (1L, Array(1f, 0.1f, 0f, 0f), 1),
+      (3L, Array(0.1f, 1f, 0f, 0f), 1),
+      (5L, Array(0f, 0f, 1f, 0f), 1)).toDF("vec_id", "embedding", "side")
+    val got = Similarity.marginMine(emb, "vec_id", "embedding", "side",
+        minMargin = 1.02, nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // (0,1) and (2,3): mutual, margin ~10x over the cross match;
+    // hub 4 ties its two matches exactly (margin 1.0) -> rejected
+    assert(got.map(t => (t._1, t._2)).toSet == Set((0L, 1L), (2L, 3L)), s"got ${got.toSeq}")
+    assert(got.forall(_._3 > 5.0), s"margins should be decisive: ${got.toSeq}")
+  }
+
   test("L113 ivfTrain: membership conserved, cells bounded by the seed set, integer centroids") {
     import graft.ops.Similarity
     // 4 tight clusters (one-hot directions + small jitter); seeds are the
