@@ -3671,6 +3671,39 @@ GROUP BY token ORDER BY cnt DESC, token"""
     // energies, contour, grams, pair Jaccard — in SQL. Bounded slice
     // (event_id < 120); the production path is the same gram-bucketed
     // equi join with the maxGramDf stop-gram cap.
+    // L119 — SHOT-BOUNDARY DETECTION + keyframe selection: synthetic
+    // per-frame perceptual hashes (slow in-shot wiggle = 1 parity bit,
+    // shot transitions = 8-16 bit jumps every 8 frames, video salt in
+    // the high bits cancels under xor), real lag/cumsum/agg pipeline —
+    // one shuffle on the video id, shots collapse map-side.
+    Q("mm_shot_keyframes",
+      (s, dir) => {
+        val frames = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"),
+            explode(expr("sequence(0L, 23L + doc_id % 17)")).as("frame"))
+          .withColumn("fhash", expr(
+            """(doc_id % 256) * 4294967296L + CASE ((frame div 8) % 4)
+               WHEN 0 THEN 0L WHEN 1 THEN 4080L WHEN 2 THEN 65280L
+               ELSE 16711680L END + (frame % 2)"""))
+        Multimodal.shotSegments(frames, "doc_id", "frame", "fhash", maxDist = 3)
+          .orderBy(col("doc_id"), col("shot_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 24 + doc_id % 17)) AS frame
+        |  FROM documents WHERE doc_id < 500),
+        |h AS (SELECT doc_id, frame,
+        |  (doc_id % 256) * 4294967296 + CASE ((frame // 8) % 4)
+        |    WHEN 0 THEN 0 WHEN 1 THEN 4080 WHEN 2 THEN 65280
+        |    ELSE 16711680 END + (frame % 2) AS fhash FROM f),
+        |c AS (SELECT doc_id, frame, CASE WHEN lag(fhash) OVER w IS NULL THEN 1
+        |    WHEN bit_count(xor(lag(fhash) OVER w, fhash)) > 3 THEN 1 ELSE 0 END AS cut
+        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+        |sid AS (SELECT doc_id, frame, CAST(SUM(cut) OVER (
+        |    PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS shot_id FROM c)
+        |SELECT doc_id, shot_id, MIN(frame) AS key_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM sid GROUP BY doc_id, shot_id
+        |ORDER BY doc_id, shot_id""".stripMargin)),
+
     Q("mm_audio_fingerprint",
       (s, dir) => {
         val ids = Tables.events(s, dir)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
@@ -114,6 +115,44 @@ object Multimodal {
         expr("aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (acc, d) -> acc + d)"))
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** L119 — SHOT-BOUNDARY DETECTION + KEYFRAME SELECTION: the video
+    * sampling pass of a multimodal training pipeline — collapse each
+    * video's frame stream into shots (runs of visually-similar frames)
+    * and keep one keyframe per shot, so a 30 fps video contributes
+    * shots-many training frames instead of thousands of near-identical
+    * ones. A frame opens a new shot when the Hamming distance between
+    * its perceptual hash (dHash per frame — the L111 seam) and the
+    * previous frame's exceeds `maxDist`; shot ids are the running sum
+    * of cut flags — the sessionization idiom (W1) applied to frame
+    * streams. Integer-exact throughout (xor + popcount + windowed
+    * sums), so the whole pass oracles bit-for-bit.
+    *
+    * Scale shape: ONE shuffle on the video id for the lag/cumsum
+    * window; the per-shot aggregation then combines map-side (frames
+    * of a video are already co-located and sorted, and partial
+    * aggregation collapses each shot to one row before any further
+    * exchange). No joins, nothing quadratic, state bounded per video.
+    *
+    * Input: (idCol, frameCol, hashCol) one row per frame, hash a
+    * 64-bit perceptual hash. Output: (idCol, shot_id, key_frame,
+    * n_frames) — shot ids 1-based per video, keyframe = first frame.
+    */
+  def shotSegments(frames: DataFrame, idCol: String, frameCol: String,
+                   hashCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(frameCol))
+    frames
+      .withColumn("__prev", lag(col(hashCol), 1).over(w))
+      .withColumn("__cut",
+        when(col("__prev").isNull, lit(1L))
+          .when(expr(s"bit_count(__prev ^ $hashCol)") > maxDist, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("shot_id", sum(col("__cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("shot_id"))
+      .agg(min(col(frameCol)).as("key_frame"), count(lit(1)).as("n_frames"))
   }
 
   /** L112 — AUDIO FINGERPRINTING (energy-contour grams): the audio

@@ -1564,6 +1564,24 @@ class OpsSpec extends SparkSpec {
     assert(out(0L) != out(11L), "one spurious edge must NOT merge the triangles")
   }
 
+  test("L119 shotSegments: cuts on hash jumps, 1-bit wiggle tolerated, keyframe = first of shot") {
+    import graft.ops.Multimodal
+    // video 1: frames 0-2 hash ~0 (wiggle bit 0), frames 3-4 jump to 0xFF00,
+    // frame 5 jumps to 0xF0; video 2: a single frame
+    val frames = Seq(
+      (1L, 0L, 0L), (1L, 1L, 1L), (1L, 2L, 0L),
+      (1L, 3L, 65280L), (1L, 4L, 65281L),
+      (1L, 5L, 240L),
+      (2L, 0L, 7L)).toDF("vid", "frame", "fhash")
+    val got = Multimodal.shotSegments(frames, "vid", "frame", "fhash", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 1L, 0L, 3L), // frames 0-2, one shot despite the parity wiggle
+      (1L, 2L, 3L, 2L), // 8-bit jump opens shot 2
+      (1L, 3L, 5L, 1L), // 12-bit jump opens shot 3
+      (2L, 1L, 0L, 1L)), s"got $got")
+  }
+
   test("L118 marginMine: mutual clear winners accepted, hub with tied matches rejected") {
     import graft.ops.Similarity
     // side 0: 0->[1,0,0,0], 2->[0,1,0,0], 4->hub [.7,.7,0,0]
