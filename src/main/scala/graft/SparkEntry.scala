@@ -241,6 +241,20 @@ object SparkEntry {
       p
     })
 
+  /** One BPE training run per session serves induction (t_bpe_merges)
+    * AND application (t_bpe_encode) — same key rules as the shingle
+    * memos. Value = (merge-rule table: a driver-local relation; fully
+    * merged word table: already eagerly localCheckpoint-materialized
+    * by the training loop, nothing further to cache).
+    */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def sessionBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeMemo.computeIfAbsent((s, dir), { _ =>
+      TextOps.bpeTrainFull(Tables.documents(s, dir), "text", 4)
+    })
+
   private def stagedStreamSource(tag: String, dir: String)(
       build: java.nio.file.Path => Unit): String =
     streamStageCache.computeIfAbsent(s"$tag|$dir", { _ =>
@@ -3078,8 +3092,7 @@ GROUP BY token ORDER BY cnt DESC, token"""
     // symbol strings, which both engines execute with identical
     // semantics — a 4-round training LOOP checked exactly.
     Q("t_bpe_merges",
-      (s, dir) => TextOps.bpeTrainMerges(
-        Tables.documents(s, dir), "text", rounds = 4),
+      (s, dir) => sessionBpe(s, dir)._1,
       Some(bpeOracleSql(4))),
 
     // L114 — BPE tokenizer APPLICATION (the missing half of L52):
@@ -3088,8 +3101,7 @@ GROUP BY token ORDER BY cnt DESC, token"""
     // training's final working table IS the encoded distinct-word
     // table, so encode = split + frequency-weighted count.
     Q("t_bpe_encode",
-      (s, dir) => TextOps.bpeEncode(
-        Tables.documents(s, dir), "text", rounds = 4),
+      (s, dir) => TextOps.bpeHistogram(sessionBpe(s, dir)._2),
       Some(bpeEncodeOracleSql(4))),
 
     // L115 — LINK-GRAPH PAGERANK (integer fixed-point, 2 damped

@@ -327,10 +327,19 @@ object TextOps {
     *
     * Output: one row per learned rule — (round, a, b, merged, cnt).
     */
-  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeTrainFull(df, textCol, rounds)._1
+
+  /** Both BPE products of one training run — (merge-rule table, fully
+    * merged distinct-word table) — so a caller registering induction
+    * AND application (the session-memo pattern) trains once.
+    */
+  def bpeTrainFull(df: DataFrame, textCol: String,
+                   rounds: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
-    bpeTrain(df, textCol, rounds)._1.toDF("round", "a", "b", "merged", "cnt")
+    val (m, words) = bpeTrain(df, textCol, rounds)
+    (m.toDF("round", "a", "b", "merged", "cnt"), words)
   }
 
   /** Shared BPE training core: the learned rules plus the distinct-word
@@ -391,15 +400,19 @@ object TextOps {
     *
     * Output: (token, cnt), ordered by cnt desc then token.
     */
-  def bpeEncode(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val enc = bpeTrain(df, textCol, rounds)._2
-    enc.withColumn("syms",
+  def bpeEncode(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeHistogram(bpeTrain(df, textCol, rounds)._2)
+
+  /** The vocabulary histogram over a fully merged word table (the
+    * second element of [[bpeTrainFull]]).
+    */
+  def bpeHistogram(words: DataFrame): DataFrame =
+    words.withColumn("syms",
         split(expr("substring(repr, 2, length(repr) - 2)"), "\\|\\|"))
       .select(col("freq"), explode(col("syms")).as("token"))
       .groupBy(col("token"))
       .agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
-  }
 
   /** CONTEXT-WINDOW CHUNKING — split long documents into overlapping
     * fixed-size token windows (`maxTokens` per chunk, advancing by
