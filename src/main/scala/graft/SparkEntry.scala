@@ -3716,6 +3716,48 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |FROM sid GROUP BY doc_id, shot_id
         |ORDER BY doc_id, shot_id""".stripMargin)),
 
+    // L120 — VIDEO NEAR-DUP by shot-keyframe hash sets: family copies
+    // share all shots but one (a high-bit perturbation in one shot per
+    // copy), so canonical↔copy Jaccard = 3/5 ≥ 0.5 while copy↔copy =
+    // 1/3 and cross-family = 0 — the pair stage is the generic L112
+    // set-Jaccard bucket join over (video, keyframe-hash) grams.
+    Q("mm_video_neardup",
+      (s, dir) => {
+        val frames = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"), explode(expr("sequence(0L, 39L)")).as("frame"))
+          .withColumn("fhash", expr(
+            """(doc_id div 4) * 33554432L + CASE ((frame div 8) % 4)
+               WHEN 0 THEN 0L WHEN 1 THEN 4080L WHEN 2 THEN 65280L
+               ELSE 16711680L END +
+               IF(doc_id % 4 > 0 AND (frame div 8) = (doc_id % 4), 8388608L, 0L) +
+               frame % 2"""))
+        val kh = Multimodal.videoKeyHashes(frames, "doc_id", "frame", "fhash",
+          maxDist = 3)
+        Multimodal.audioNearDupPairs(kh, "doc_id", minJaccard = 0.5)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 40)) AS frame
+        |  FROM documents WHERE doc_id < 500),
+        |h AS (SELECT doc_id, frame,
+        |  (doc_id // 4) * 33554432 + CASE ((frame // 8) % 4)
+        |    WHEN 0 THEN 0 WHEN 1 THEN 4080 WHEN 2 THEN 65280
+        |    ELSE 16711680 END
+        |  + CASE WHEN doc_id % 4 > 0 AND (frame // 8) = (doc_id % 4)
+        |      THEN 8388608 ELSE 0 END
+        |  + frame % 2 AS fhash FROM f),
+        |c AS (SELECT doc_id, fhash, CASE WHEN lag(fhash) OVER w IS NULL THEN 1
+        |    WHEN bit_count(xor(lag(fhash) OVER w, fhash)) > 3 THEN 1 ELSE 0 END AS cut
+        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+        |kh AS (SELECT DISTINCT doc_id, fhash AS gram FROM c WHERE cut = 1),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM kh GROUP BY 1),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM kh x JOIN kh y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_shared,
+        |  CAST(p.n_shared AS DOUBLE) / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+        |WHERE CAST(p.n_shared AS DOUBLE) / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin)),
+
     Q("mm_audio_fingerprint",
       (s, dir) => {
         val ids = Tables.events(s, dir)

@@ -141,6 +141,19 @@ object Multimodal {
     */
   def shotSegments(frames: DataFrame, idCol: String, frameCol: String,
                    hashCol: String, maxDist: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(frameCol))
+    withCuts(frames, idCol, frameCol, hashCol, maxDist)
+      .withColumn("shot_id", sum(col("__cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("shot_id"))
+      .agg(min(col(frameCol)).as("key_frame"), count(lit(1)).as("n_frames"))
+  }
+
+  /** Cut flags per frame: 1 where a new shot opens (first frame, or
+    * Hamming to the previous frame's hash exceeds `maxDist`).
+    */
+  private def withCuts(frames: DataFrame, idCol: String, frameCol: String,
+                       hashCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val w = Window.partitionBy(col(idCol)).orderBy(col(frameCol))
     frames
@@ -149,11 +162,23 @@ object Multimodal {
         when(col("__prev").isNull, lit(1L))
           .when(expr(s"bit_count(__prev ^ $hashCol)") > maxDist, lit(1L))
           .otherwise(lit(0L)))
-      .withColumn("shot_id", sum(col("__cut")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("shot_id"))
-      .agg(min(col(frameCol)).as("key_frame"), count(lit(1)).as("n_frames"))
   }
+
+  /** L120 — VIDEO NEAR-DUP SIGNATURES: the distinct shot-keyframe hash
+    * set per video, as (idCol, gram) rows ready for the generic
+    * set-Jaccard pair stage ([[audioNearDupPairs]] — the video twin of
+    * L112's energy grams). Re-encoded, trimmed, or lightly re-edited
+    * copies keep most of their shots' opening frames, so keyframe-hash
+    * Jaccard survives exactly the transformations frame-exact equality
+    * does not. The keyframe hash is read directly off the cut row (the
+    * keyframe IS the frame that opened the shot) — no join back, one
+    * window pass plus a distinct.
+    */
+  def videoKeyHashes(frames: DataFrame, idCol: String, frameCol: String,
+                     hashCol: String, maxDist: Int): DataFrame =
+    withCuts(frames, idCol, frameCol, hashCol, maxDist)
+      .filter(col("__cut") === 1L)
+      .select(col(idCol), col(hashCol).as("gram")).distinct()
 
   /** L112 — AUDIO FINGERPRINTING (energy-contour grams): the audio
     * analog of dHash/MinHash for waveform-level near-dup at corpus

@@ -1582,6 +1582,24 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 0L, 1L)), s"got $got")
   }
 
+  test("L120 videoKeyHashes: signature = distinct cut-row hashes; copies near-dup, strangers don't") {
+    import graft.ops.Multimodal
+    // video 1: shots with hashes 0, 0xFF00, 0xF0; video 2 = copy missing the
+    // last shot; video 3 disjoint
+    def vid(id: Long, shots: Seq[Long]): Seq[(Long, Long, Long)] =
+      shots.zipWithIndex.flatMap { case (h, s) =>
+        (0 until 4).map(f => (id, s * 4L + f, h + (f % 2))) }
+    // bases keep bit 0 clear so the +parity wiggle is a 1-bit flip, not a carry
+    val frames = (vid(1L, Seq(0L, 65280L, 240L)) ++ vid(2L, Seq(0L, 65280L)) ++
+      vid(3L, Seq(983040L, 14L))).toDF("vid", "frame", "fhash")
+    val kh = Multimodal.videoKeyHashes(frames, "vid", "frame", "fhash", maxDist = 3)
+    assert(kh.count() == 7L, "3 + 2 + 2 distinct keyframe hashes")
+    val pairs = Multimodal.audioNearDupPairs(kh, "vid", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), s"got ${pairs.toSeq}")
+    assert(pairs.head._3 == 2.0 / 3.0)
+  }
+
   test("L118 marginMine: mutual clear winners accepted, hub with tied matches rejected") {
     import graft.ops.Similarity
     // side 0: 0->[1,0,0,0], 2->[0,1,0,0], 4->hub [.7,.7,0,0]

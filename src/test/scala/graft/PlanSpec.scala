@@ -412,6 +412,22 @@ class PlanSpec extends SparkSpec {
       "centroids should broadcast to the corpus scan")
   }
 
+  test("round-6 additions keep their intended plan shapes") {
+    // margin mining: candidates only via the cell equi join; the one
+    // nested-loop is the bounded broadcast seed table (<= nCells rows)
+    val mm = plan("sim_margin_mine")
+    assert(!mm.contains("CartesianProduct"), "margin mining plans a cartesian")
+    // shot detection: exactly ONE exchange for the per-video window;
+    // the shot aggregation combines partial-then-final, and AQE may
+    // re-shuffle the tiny (video, shot) rollup — but the frame-scale
+    // data must shuffle once only
+    val sk = plan("mm_shot_keyframes")
+    assert(!sk.contains("CartesianProduct") && !sk.contains("SortMergeJoin"),
+      "shot detection should be join-free")
+    assert("hashpartitioning\\(doc_id#".r.findAllIn(sk).size == 1,
+      s"frame rows must shuffle exactly once on the video id:\n$sk")
+  }
+
   test("bucketed tables co-locate the equi join: zero Exchange on either side") {
     // The 100 TB storage-layout technique the inventory's join notes
     // point at (SURVEY J1/X4): persist both fact tables bucketed AND
