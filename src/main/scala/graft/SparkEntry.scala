@@ -1990,6 +1990,59 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |  CAST(list_sum(list_transform(c2.cv, x -> x*x)) AS BIGINT) AS csum_sq
         |FROM c2 JOIN nv ON nv.cell = c2.cell ORDER BY c2.cell""".stripMargin)),
 
+    // L121 — DBSCAN DENSITY CLUSTERING over the IVF pair graph at the
+    // looser ε = cos ≥ 0.30 (the SemDeDup 0.45 graph has degree ≤ 1
+    // almost everywhere at this sf — everything would be noise): core
+    // = degree ≥ 2, clusters = CC over core-core edges only, borders
+    // adopt the min core-neighbor cluster, isolated matches drop as
+    // noise — the density gate CC (L19) and LPA (L116) lack. Reuses
+    // the session cell/quant memos; only the verify gate differs.
+    // Oracle replays the pair CTEs and the core/border chain with a
+    // recursive closure on cores.
+    Q("sim_dbscan",
+      (s, dir) => Similarity.dbscanClusters(
+          Similarity.verifyPairs(
+            Similarity.ivfCandidatesFrom(sessionIvfCells(s, dir), "vec_id"),
+            sessionQuantEmb(s, dir), "vec_id", 0.30)
+            .select(col("a"), col("b")),
+          "a", "b", minPts = 2)
+        .withColumnRenamed("node", "vec_id")
+        .orderBy(col("vec_id")),
+      Some(s"""WITH RECURSIVE $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |cscore AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM cscore) t WHERE rn = 1),
+        |cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM cells x
+        |  JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |vd AS (SELECT c.a, c.b,
+        |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS dot
+        |  FROM cand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b),
+        |jp AS (SELECT a, b FROM (SELECT a, b,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM vd JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b) t
+        |  WHERE cos >= 0.30),
+        |sym AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+        |core AS (SELECT u AS node FROM sym GROUP BY u HAVING COUNT(*) >= 2),
+        |ce AS (SELECT s.u, s.v FROM sym s JOIN core cu ON cu.node = s.u
+        |  JOIN core cv ON cv.node = s.v WHERE s.u < s.v),
+        |cedir AS (SELECT u, v FROM ce UNION SELECT v AS u, u AS v FROM ce),
+        |cc AS (SELECT node AS id, node AS r FROM core
+        |  UNION SELECT cc.id, d.v FROM cc JOIN cedir d ON d.u = cc.r),
+        |clab AS (SELECT id AS node, MIN(r) AS cluster FROM cc GROUP BY id),
+        |blab AS (SELECT s.u AS node, MIN(cl.cluster) AS cluster FROM sym s
+        |  JOIN clab cl ON cl.node = s.v
+        |  WHERE s.u NOT IN (SELECT node FROM core) GROUP BY s.u)
+        |SELECT node AS vec_id, 'core' AS role, cluster FROM clab
+        |UNION ALL SELECT node AS vec_id, 'border' AS role, cluster FROM blab
+        |ORDER BY vec_id""".stripMargin)),
+
     // L118 — MARGIN-BASED CROSS-SIDE PAIR MINING (the CCMatrix/LASER
     // criterion): sides = label parity; candidates = same IVF cell
     // cross-side; accept = mutual best both directions AND ratio

@@ -693,6 +693,55 @@ object Similarity {
         (col("c1") / col("c2")).as("margin"))
   }
 
+  /** L121 — DBSCAN DENSITY CLUSTERING (Ester et al. 1996) over a
+    * similarity pair graph — the noise-robust cluster labeling between
+    * near-dup pair generation and canonical selection: where CC (L19)
+    * labels EVERY pair endpoint and LPA (L116) votes, DBSCAN demands
+    * DENSITY — only nodes with ≥ `minPts` neighbors above the cosine
+    * gate (core points) form clusters, sparse bridge nodes become
+    * border members of one cluster instead of gluing two, and isolated
+    * matches drop as noise entirely. ε is implicit in the pair table's
+    * cosine threshold (candidates from IVF cells — the documented
+    * bounded-recall flavor, same as SemDeDup), so the input IS the
+    * ε-neighborhood graph and clustering is pure graph algebra:
+    * degree count → core gate → connected components over CORE-CORE
+    * edges only → border assignment to the min core-neighbor cluster.
+    * All integer, deterministic (CC labels are min node ids).
+    *
+    * Scale shape: one symmetrize + degree aggregation, two keyed
+    * semi/anti joins, the O(log² n) star-contraction CC on the (much
+    * smaller) core subgraph, one min-aggregation for borders. Nothing
+    * quadratic beyond the pair table the caller already bounded.
+    *
+    * Output: (node, role 'core'|'border', cluster) — noise omitted.
+    */
+  def dbscanClusters(pairs: DataFrame, aCol: String, bCol: String,
+                     minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val sym = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .unionByName(
+        pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    val core = sym.groupBy(col("u")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts).select(col("u").as("node"))
+    val coreEdges = sym
+      .join(core.select(col("node").as("u")), "u")
+      .join(core.select(col("node").as("v")), "v")
+      .filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    val cc = Dedup.connectedComponents(coreEdges, "a", "b")
+    val coreLbl = core
+      .join(cc.withColumnRenamed("id", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
+    val borderLbl = sym
+      .join(coreLbl.select(col("node").as("v"), col("cluster")), "v")
+      .join(core.select(col("node").as("u")), Seq("u"), "left_anti")
+      .groupBy(col("u").as("node")).agg(min(col("cluster")).as("cluster"))
+    coreLbl.withColumn("role", lit("core"))
+      .unionByName(borderLbl.withColumn("role", lit("border")))
+      .select(col("node"), col("role"), col("cluster"))
+  }
+
   /** Same-cell candidate pairs from a (cached) [[ivfCells]] table. */
   def ivfCandidatesFrom(cells: DataFrame, idCol: String): DataFrame =
     cells.select(col(idCol).as("a"), col("cell"))

@@ -1582,6 +1582,29 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 0L, 1L)), s"got $got")
   }
 
+  test("L121 dbscanClusters: density gate, border adoption, bridge does not glue, noise dropped") {
+    import graft.ops.Similarity
+    // clique {0,1,2} -(bridge 3)- clique {10,11,12}; 3 has degree 2 but its
+    // neighbors 2,10 are cores of DIFFERENT clusters; pendant 20-21 is noise
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (2L, 3L), (3L, 10L), (20L, 21L)).toDF("a", "b")
+    val got = Similarity.dbscanClusters(pairs, "a", "b", minPts = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // cores: 0,1,2 (deg>=2), 10,11,12, and 3 (deg 2 - core by count); 20,21 deg 1 -> noise
+    assert(!got.contains(20L) && !got.contains(21L), s"pendant pair must be noise: $got")
+    assert(got(0L) == (("core", 0L)) && got(11L)._1 == "core")
+    // 3 IS core here (deg 2) so the graph glues via core-core edges 2-3, 3-10:
+    // tighten minPts to 3 - only 2 and 10 stay core (degree 3 via the bridge),
+    // they are NOT adjacent, so the two sides stay separate singleton-core
+    // clusters with everything else as borders
+    val strict = Similarity.dbscanClusters(pairs, "a", "b", minPts = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(strict(2L) == (("core", 2L)) && strict(10L) == (("core", 10L)))
+    assert(strict(3L) == (("border", 2L)), s"bridge demotes to border, adopts MIN core cluster: $strict")
+    assert(strict(0L) == (("border", 2L)) && strict(11L) == (("border", 10L)))
+    assert(strict(0L)._2 != strict(11L)._2, "bridge must not glue the cliques")
+  }
+
   test("L120 videoKeyHashes: signature = distinct cut-row hashes; copies near-dup, strangers don't") {
     import graft.ops.Multimodal
     // video 1: shots with hashes 0, 0xFF00, 0xF0; video 2 = copy missing the
