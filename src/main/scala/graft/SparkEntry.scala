@@ -55,6 +55,27 @@ object SparkEntry {
        |  (SELECT src AS node FROM ed UNION ALL SELECT dst AS node FROM ed)),
        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM ed GROUP BY 1)""".stripMargin
 
+  /** The L119/L122 shot-detection oracle — the cut/cumsum/rollup chain
+    * over the synthesized frame hashes; shared by the batch query and
+    * the run-to-completion streaming twin.
+    */
+  private val shotOracleSql =
+    """WITH f AS (SELECT doc_id, unnest(range(0, 24 + doc_id % 17)) AS frame
+      |  FROM documents WHERE doc_id < 500),
+      |h AS (SELECT doc_id, frame,
+      |  (doc_id % 256) * 4294967296 + CASE ((frame // 8) % 4)
+      |    WHEN 0 THEN 0 WHEN 1 THEN 4080 WHEN 2 THEN 65280
+      |    ELSE 16711680 END + (frame % 2) AS fhash FROM f),
+      |c AS (SELECT doc_id, frame, CASE WHEN lag(fhash) OVER w IS NULL THEN 1
+      |    WHEN bit_count(xor(lag(fhash) OVER w, fhash)) > 3 THEN 1 ELSE 0 END AS cut
+      |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+      |sid AS (SELECT doc_id, frame, CAST(SUM(cut) OVER (
+      |    PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS shot_id FROM c)
+      |SELECT doc_id, shot_id, MIN(frame) AS key_frame,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames
+      |FROM sid GROUP BY doc_id, shot_id
+      |ORDER BY doc_id, shot_id""".stripMargin
+
   private val evIntervalsSqlCte =
     """i AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s_us,
       |  epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) AS e_us,
@@ -265,12 +286,14 @@ object SparkEntry {
     })
 
   /** coalesce(1)-write `sentinel` to a temp dir, copy its single part
-    * file into `dest` as `zz_heartbeat.parquet` (sorting after every
-    * data file, so it forms the final micro-batch), drop the temp dir.
-    * The Files.list stream is closed explicitly — it holds a directory
-    * fd that would otherwise leak per staging.
+    * file into `dest` as `asName` (default `zz_heartbeat.parquet`,
+    * sorting after every data file, so it forms the final micro-batch;
+    * synthesized DATA files pass an `aa_`-prefixed name to sort first),
+    * drop the temp dir. The Files.list stream is closed explicitly —
+    * it holds a directory fd that would otherwise leak per staging.
     */
-  private def writeHeartbeat(sentinel: DataFrame, dest: java.nio.file.Path): Unit = {
+  private def writeHeartbeat(sentinel: DataFrame, dest: java.nio.file.Path,
+                             asName: String = "zz_heartbeat.parquet"): Unit = {
     val sentDir = java.nio.file.Files.createTempDirectory("graft_stream_sent")
     sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
     val st = java.nio.file.Files.list(sentDir)
@@ -278,7 +301,7 @@ object SparkEntry {
       try st.filter(q => q.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()
       finally st.close()
-    java.nio.file.Files.copy(part, dest.resolve("zz_heartbeat.parquet"))
+    java.nio.file.Files.copy(part, dest.resolve(asName))
     cleanupDirs(sentDir)
   }
 
@@ -3753,21 +3776,48 @@ GROUP BY token ORDER BY cnt DESC, token"""
         Multimodal.shotSegments(frames, "doc_id", "frame", "fhash", maxDist = 3)
           .orderBy(col("doc_id"), col("shot_id"))
       },
-      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 24 + doc_id % 17)) AS frame
-        |  FROM documents WHERE doc_id < 500),
-        |h AS (SELECT doc_id, frame,
-        |  (doc_id % 256) * 4294967296 + CASE ((frame // 8) % 4)
-        |    WHEN 0 THEN 0 WHEN 1 THEN 4080 WHEN 2 THEN 65280
-        |    ELSE 16711680 END + (frame % 2) AS fhash FROM f),
-        |c AS (SELECT doc_id, frame, CASE WHEN lag(fhash) OVER w IS NULL THEN 1
-        |    WHEN bit_count(xor(lag(fhash) OVER w, fhash)) > 3 THEN 1 ELSE 0 END AS cut
-        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
-        |sid AS (SELECT doc_id, frame, CAST(SUM(cut) OVER (
-        |    PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS shot_id FROM c)
-        |SELECT doc_id, shot_id, MIN(frame) AS key_frame,
-        |  CAST(COUNT(*) AS BIGINT) AS n_frames
-        |FROM sid GROUP BY doc_id, shot_id
-        |ORDER BY doc_id, shot_id""".stripMargin)),
+      Some(shotOracleSql)),
+
+    // L122 — STREAMING SHOT DETECTION: the same frames through the
+    // per-video flatMapGroupsWithState kernel (O(1) state per video =
+    // the one open shot), closed by an all-ones sentinel frame whose
+    // hash is Hamming-far from every bounded real hash — run to
+    // completion the output IS the batch twin, so both queries share
+    // one oracle.
+    Q("streaming_shots",
+      (s, dir) => withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "shots_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_shots").toString
+        val srcDir = stagedStreamSource("shotsrc", dir) { p =>
+          val frames = Tables.documents(s, dir).filter(col("doc_id") < 500)
+            .select(col("doc_id"),
+              explode(expr("sequence(0L, 23L + doc_id % 17)")).as("frame"))
+            .withColumn("fhash", expr(
+              """(doc_id % 256) * 4294967296L + CASE ((frame div 8) % 4)
+                 WHEN 0 THEN 0L WHEN 1 THEN 4080L WHEN 2 THEN 65280L
+                 ELSE 16711680L END + (frame % 2)"""))
+            .select(col("doc_id").as("vid"), col("frame"), col("fhash"))
+          writeHeartbeat(frames, p, "aa_frames.parquet")
+          writeHeartbeat(frames.select(col("vid")).distinct()
+            .select(col("vid"), lit(10000000L).as("frame"), lit(-1L).as("fhash")), p)
+        }
+        val schema = org.apache.spark.sql.Encoders.product[
+          graft.streaming.StreamingOps.FrameEvent].schema
+        val raw = s.readStream.schema(schema).parquet(srcDir)
+          .as[graft.streaming.StreamingOps.FrameEvent]
+        val q = graft.streaming.StreamingOps.streamingShots(raw, maxDist = 3)
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).select(col("vid").as("doc_id"), col("shot_id"),
+            col("key_frame"), col("n_frames"))
+          .orderBy(col("doc_id"), col("shot_id"))
+      },
+      Some(shotOracleSql)),
 
     // L120 — VIDEO NEAR-DUP by shot-keyframe hash sets: family copies
     // share all shots but one (a high-bit perturbation in one shot per

@@ -84,6 +84,50 @@ object StreamingOps {
     * file/batch split. Per-occurrence term sums equal the batch
     * tf-weighted sums (Σ_occurrences = Σ_distinct tf·term).
     */
+  final case class FrameEvent(vid: Long, frame: Long, fhash: Long)
+  final case class ShotRow(vid: Long, shot_id: Long, key_frame: Long, n_frames: Long)
+  final case class OpenShot(shotId: Long, keyFrame: Long, nFrames: Long, lastHash: Long)
+
+  /** L122 — STREAMING SHOT-BOUNDARY DETECTION: the L119 cut/keyframe
+    * kernel as per-video `flatMapGroupsWithState` — the live-ingest
+    * flavor (frames arrive as a video uploads; shots emit the moment
+    * the cut that closes them arrives, not at end-of-file). State per
+    * video is ONE open shot (id, keyframe, length, last hash) — O(1)
+    * regardless of video length, the bounded-state contract every
+    * streaming op here obeys. Within a micro-batch frames sort by
+    * frame index, so any file/batch split of an in-order feed yields
+    * the identical shot sequence; a closing sentinel frame whose hash
+    * is Hamming-far from every real hash (e.g. all-ones against
+    * bounded hashes) flushes the final real shot, exactly the
+    * heartbeat idiom `streaming_sessions` uses. Run to completion, the
+    * output equals [[graft.ops.Multimodal.shotSegments]] on the same
+    * frames — the batch-twin oracle.
+    */
+  def streamingShots(frames: org.apache.spark.sql.Dataset[FrameEvent],
+                     maxDist: Int): org.apache.spark.sql.Dataset[ShotRow] = {
+    import frames.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    frames.groupByKey(_.vid)
+      .flatMapGroupsWithState[OpenShot, ShotRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (vid, it, state) =>
+          val sorted = it.toIndexedSeq.sortBy(_.frame)
+          var cur = state.getOption
+          val out = scala.collection.mutable.Buffer[ShotRow]()
+          for (f <- sorted) cur match {
+            case Some(o) if java.lang.Long.bitCount(o.lastHash ^ f.fhash) <= maxDist =>
+              cur = Some(o.copy(nFrames = o.nFrames + 1, lastHash = f.fhash))
+            case Some(o) =>
+              out += ShotRow(vid, o.shotId, o.keyFrame, o.nFrames)
+              cur = Some(OpenShot(o.shotId + 1, f.frame, 1L, f.fhash))
+            case None =>
+              cur = Some(OpenShot(1L, f.frame, 1L, f.fhash))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def familiarityRollup(docs: DataFrame, c2: DataFrame, c1: DataFrame,
                         vocab: DataFrame, textCol: String, langCol: String,
                         scale: Long): DataFrame = {

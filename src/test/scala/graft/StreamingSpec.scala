@@ -462,4 +462,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(
       ("en", 5L, 3600L, 720L), ("xx", 2L, 1400L, 700L), ("yy", 1L, 500L, 500L)))
   }
+
+  test("L122 streaming shots: a shot emits the moment its closing cut arrives; state stays open") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.FrameEvent
+    val input = MemoryStream[FrameEvent]
+    val out = StreamingOps.streamingShots(input.toDS(), maxDist = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("shots_out").start()
+    try {
+      // shot 1 = frames 0-2 around hash 0 (1-bit wiggle); still open
+      input.addData(FrameEvent(7L, 0L, 0L), FrameEvent(7L, 1L, 1L),
+        FrameEvent(7L, 2L, 0L))
+      q.processAllAvailable()
+      assert(spark.table("shots_out").count() == 0, "open shot must not emit")
+      // the cut frame closes shot 1 IMMEDIATELY (no end-of-stream needed)
+      input.addData(FrameEvent(7L, 3L, 65280L))
+      q.processAllAvailable()
+      val first = spark.table("shots_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(first.toSeq == Seq((7L, 1L, 0L, 3L)), s"got ${first.toSeq}")
+      // sentinel flushes the now-open shot 2
+      input.addData(FrameEvent(7L, 100L, -1L))
+      q.processAllAvailable()
+      val all = spark.table("shots_out").orderBy($"shot_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(all.toSeq == Seq((7L, 1L, 0L, 3L), (7L, 2L, 3L, 1L)), s"got ${all.toSeq}")
+    } finally q.stop()
+  }
 }
