@@ -5142,6 +5142,44 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |FROM p JOIN n na ON na.source = p.source_a JOIN n nb ON nb.source = p.source_b
         |ORDER BY p.source_a, p.source_b""".stripMargin)),
 
+    // L123 — SKETCHED SOURCE-OVERLAP MATRIX: the exact L36 join above
+    // reduced to bounded KMV sketches per source (k=16, ≤16 longs of
+    // state, map-side-combined) — pairwise union/Jaccard/intersection
+    // estimates from the tiny sketch table alone; the corpus is
+    // touched once however many sources exist. Same public-md5 hash
+    // convention as L31, so the approximate sketch replays exactly.
+    Q("c_overlap_sketch",
+      (s, dir) => Curation.sourceOverlapSketch(
+          Tables.documents(s, dir), "source", "text", shingleN = 3, k = 16)
+        .orderBy(col("source_a"), col("source_b")),
+      Some("""WITH ds AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+        |tt AS (SELECT doc_id, source, unnest(toks) AS tok,
+        |    unnest(range(len(toks))) AS i FROM ds),
+        |s0 AS (SELECT source, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+        |  FROM tt WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |sh AS (SELECT DISTINCT source, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv
+        |  FROM s0 WHERE shingle IS NOT NULL),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM sh),
+        |sk AS (SELECT source, list(hv ORDER BY hv) AS sk FROM r WHERE rn <= 16 GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |uu AS (SELECT source_a, source_b, ska, skb,
+        |  list_sort(list_distinct(ska || skb))[1:16] AS u FROM p),
+        |m AS (SELECT source_a, source_b,
+        |  CAST(len(u) AS BIGINT) AS k_union,
+        |  CAST(len(list_filter(u, h -> list_contains(ska, h) AND list_contains(skb, h))) AS BIGINT) AS n_common,
+        |  len(u) < 16 AS union_exact,
+        |  u[16] AS kth FROM uu)
+        |SELECT source_a, source_b, k_union, n_common, union_exact,
+        |  CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE) AS j_est,
+        |  CASE WHEN union_exact THEN CAST(k_union AS DOUBLE)
+        |       ELSE (15.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END AS union_est,
+        |  (CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)) *
+        |  (CASE WHEN union_exact THEN CAST(k_union AS DOUBLE)
+        |        ELSE (15.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END) AS inter_est
+        |FROM m ORDER BY source_a, source_b""".stripMargin)),
+
     // L37 — per-source VOCABULARY stats: token count, vocabulary size,
     // type-token ratio. Two-level hash agg; TTR one exact division.
     Q("c_vocab_stats",

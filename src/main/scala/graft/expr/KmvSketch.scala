@@ -62,3 +62,20 @@ class KmvSketchAgg(k: Int) extends Aggregator[Long, Seq[Long], KmvSummary] {
   override def outputEncoder: Encoder[KmvSummary] =
     ExpressionEncoder[KmvSummary]()
 }
+
+/** The same bounded KMV state, finished as the raw sorted bottom-k hash
+  * LIST instead of the (count, kth) summary — the mergeable-sketch form
+  * set-expression estimators need (pairwise union/intersection over
+  * per-group sketches, L123). Same reduce/merge, same ≤ k longs.
+  */
+class KmvListAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private val core = new KmvSketchAgg(k)
+  override def zero: Seq[Long] = core.zero
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = core.reduce(buf, h)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = core.merge(a, b)
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}

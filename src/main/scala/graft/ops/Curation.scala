@@ -346,6 +346,65 @@ object Curation {
           (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
   }
 
+  /** L123 — SKETCHED SOURCE-OVERLAP MATRIX: the 100 TB flavor of
+    * [[sourceOverlap]]. The exact matrix joins the corpus-wide distinct
+    * (source, shingle) table against itself — a shuffle of every
+    * distinct shingle occurrence per pair; this one reduces each source
+    * to a bounded KMV bottom-k sketch of its shingle-hash set (≤ k
+    * longs, true partial merge — map-side-combined like any built-in
+    * aggregate) and estimates every pairwise overlap from the tiny
+    * sketch table alone, so the corpus is touched exactly once no
+    * matter how many sources. Estimators over the merged pair sketch
+    * (bottom-k of the union = bottom-k of merged bottom-k's):
+    *
+    *  - union sketch not full → it saw every distinct hash of A∪B:
+    *    counts are EXACT (`union_est` = its size, `j_est` = true J);
+    *  - full → `j_est` = |union bottom-k ∩ A ∩ B| / k (the standard
+    *    KMV Jaccard estimator) and `union_est` = (k−1)·2⁶⁰ / kth-min
+    *    (the L31 cardinality estimator on the union sketch);
+    *  - `inter_est` = j_est · union_est.
+    *
+    * Everything derives from the public md5 hash (`graft_kmv`
+    * convention), so the approximate operator is still exactly
+    * oracle-checkable — both engines build the identical sketches.
+    * Doubles appear only as the documented single divisions/products.
+    *
+    * Output per source pair: (source_a, source_b, k_union, n_common,
+    * union_exact, j_est, union_est, inter_est).
+    */
+  def sourceOverlapSketch(df: DataFrame, groupCol: String, textCol: String,
+                          shingleN: Int, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val kmv = udaf(new graft.expr.KmvListAgg(k))
+    val sk = df.select(col(groupCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+          .as("shingle"))
+      .select(col(groupCol),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy(col(groupCol)).agg(kmv(col("hv")).as("sk"))
+    val c = lit((k - 1).toDouble) * lit(1152921504606846976.0) // (k−1)·2⁶⁰
+    sk.select(col(groupCol).as("source_a"), col("sk").as("ska"))
+      .join(sk.select(col(groupCol).as("source_b"), col("sk").as("skb")),
+        col("source_a") < col("source_b"))
+      .withColumn("u", slice(array_sort(array_distinct(
+        concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("k_union", size(col("u")).cast("long"))
+      .withColumn("n_common", size(filter(col("u"), h =>
+        array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+        .cast("long"))
+      .withColumn("union_exact", col("k_union") < k)
+      .withColumn("j_est",
+        col("n_common").cast("double") / col("k_union").cast("double"))
+      .withColumn("union_est",
+        when(col("union_exact"), col("k_union").cast("double"))
+          .otherwise(c / element_at(col("u"), k).cast("double")))
+      .withColumn("inter_est", col("j_est") * col("union_est"))
+      .select(col("source_a"), col("source_b"), col("k_union"),
+        col("n_common"), col("union_exact"), col("j_est"),
+        col("union_est"), col("inter_est"))
+  }
+
   /** Per-group VOCABULARY statistics: token count, distinct-token count
     * (vocabulary size), and type-token ratio — the standard corpus
     * diversity profile (a low TTR flags template/boilerplate sources

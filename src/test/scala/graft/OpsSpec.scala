@@ -1582,6 +1582,24 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 0L, 1L)), s"got $got")
   }
 
+  test("L123 sourceOverlapSketch: non-full union sketch degrades to EXACT set algebra") {
+    import graft.ops.Curation
+    // two sources, 4 distinct 2-shingles each, 3 shared; k=16 >> |A∪B| = 5
+    // so every estimate must be exact
+    val docs = Seq(
+      ("s1", "aa bb cc dd ee"),          // shingles: aa bb, bb cc, cc dd, dd ee
+      ("s2", "bb cc dd ee xx")           // shingles: bb cc, cc dd, dd ee, ee xx
+    ).toDF("source", "text")
+    val got = Curation.sourceOverlapSketch(docs, "source", "text",
+        shingleN = 2, k = 16).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getBoolean(4), "union sketch below k must flag exact")
+    assert(r.getLong(2) == 5L && r.getLong(3) == 3L, s"union 5, common 3: $r")
+    assert(r.getDouble(5) == 3.0 / 5.0 && r.getDouble(6) == 5.0 &&
+      r.getDouble(7) == 3.0, s"exact J/union/intersection: $r")
+  }
+
   test("L121 dbscanClusters: density gate, border adoption, bridge does not glue, noise dropped") {
     import graft.ops.Similarity
     // clique {0,1,2} -(bridge 3)- clique {10,11,12}; 3 has degree 2 but its
