@@ -1070,7 +1070,7 @@ object SparkEntry {
 t0 AS (SELECT unnest(toks) AS w FROM d),
 wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM t0
   WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2 GROUP BY 1),
-w0 AS (SELECT '|' || array_to_string(string_split(w, ''), '||') || '|' AS repr, freq FROM wf)"""
+w0 AS (SELECT w, '|' || array_to_string(string_split(w, ''), '||') || '|' AS repr, freq FROM wf)"""
     for (r <- 1 to rounds) {
       sb ++= s""",
 s$r AS (SELECT string_split(substr(repr, 2, length(repr) - 2), '||') AS syms, freq
@@ -1082,7 +1082,7 @@ p$r AS (SELECT string_split(p, chr(1))[1] AS a, string_split(p, chr(1))[2] AS b,
     FROM s$r WHERE len(syms) >= 2)),
 b$r AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$r GROUP BY a, b
   ORDER BY cnt DESC, a, b LIMIT 1),
-w$r AS (SELECT replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
+w$r AS (SELECT w, replace(repr, '|' || b$r.a || '||' || b$r.b || '|',
     '|' || b$r.a || b$r.b || '|') AS repr, freq FROM w${r - 1}, b$r)"""
     }
     sb.toString
@@ -3179,6 +3179,26 @@ GROUP BY token ORDER BY cnt DESC, token"""
     Q("t_bpe_encode",
       (s, dir) => TextOps.bpeHistogram(sessionBpe(s, dir)._2),
       Some(bpeEncodeOracleSql(4))),
+
+    // L124 — TOKENIZER FERTILITY BY LANGUAGE: tokens-per-word and
+    // chars-per-token of the session-trained vocabulary split by lang
+    // — the multilingual fairness audit. One tokenize pass + an equi
+    // join against the Heaps-small distinct-word table; ratios as
+    // scaled integer divisions.
+    Q("t_bpe_fertility",
+      (s, dir) => TextOps.bpeFertility(
+        Tables.documents(s, dir), "text", "lang", sessionBpe(s, dir)._2),
+      Some(bpeChainSql(4) + s""",
+wt AS (SELECT w, CAST(len(string_split(substr(repr, 2, length(repr) - 2), '||')) AS BIGINT) AS n_sym FROM w4),
+dw AS (SELECT lang, unnest(toks) AS w FROM d),
+ag AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars,
+    CAST(SUM(wt.n_sym) AS BIGINT) AS n_bpe_tokens
+  FROM dw JOIN wt ON wt.w = dw.w GROUP BY lang)
+SELECT lang, n_words, n_chars, n_bpe_tokens,
+  (1000 * n_bpe_tokens) // n_words AS fertility_milli,
+  (1000 * n_chars) // n_bpe_tokens AS cpt_milli
+FROM ag ORDER BY lang""")),
 
     // L115 — LINK-GRAPH PAGERANK (integer fixed-point, 2 damped
     // iterations — GraphOps.pageRank scaladoc for the exact floor-

@@ -355,7 +355,7 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("repr",
         concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|")))
-      .select(col("repr"), col("freq"))
+      .select(col("w"), col("repr"), col("freq"))
       .localCheckpoint(true)
     var cur = words
     val out = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
@@ -413,6 +413,38 @@ object TextOps {
       .groupBy(col("token"))
       .agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
+
+  /** L124 — TOKENIZER FERTILITY BY LANGUAGE: tokens-per-word and
+    * chars-per-token of a trained BPE vocabulary, split by language —
+    * the standard multilingual-tokenizer fairness audit (a language
+    * whose words shatter into many tokens pays more context budget and
+    * compute per sentence; fertility is the number curation watches
+    * when choosing merges/vocab size). Consumes [[bpeTrainFull]]'s
+    * merged word table: each distinct word already carries its encoded
+    * symbol count, so the corpus pass is one tokenize + one equi join
+    * against the DISTINCT-WORD table (Heaps-small — broadcastable at
+    * most scales, bucketable beyond) + one per-language aggregation.
+    * Ratios as scaled integer divisions — exact cross-engine.
+    *
+    * Output per language: (lang, n_words, n_chars, n_bpe_tokens,
+    * fertility_milli = 1000·tokens/word, cpt_milli = 1000·chars/token).
+    */
+  def bpeFertility(df: DataFrame, textCol: String, langCol: String,
+                   words: DataFrame): DataFrame = {
+    val wn = words.withColumn("n_sym",
+        size(split(expr("substring(repr, 2, length(repr) - 2)"), "\\|\\|"))
+          .cast("long"))
+      .select(col("w"), col("n_sym"))
+    df.select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("w"))
+      .join(wn, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("fertility_milli", expr("(1000L * n_bpe_tokens) div n_words"))
+      .withColumn("cpt_milli", expr("(1000L * n_chars) div n_bpe_tokens"))
+      .orderBy(col("lang"))
+  }
 
   /** CONTEXT-WINDOW CHUNKING — split long documents into overlapping
     * fixed-size token windows (`maxTokens` per chunk, advancing by

@@ -557,6 +557,20 @@ class OpsSpec extends SparkSpec {
       ("n", 1L), ("s", 1L), ("t", 1L), ("w", 1L)))
   }
 
+  test("L124 bpeFertility: per-language token economy, hand-computed") {
+    val df = Seq(("low low low", "aa"), ("lower lower", "bb"), ("newest", "bb"))
+      .toDF("text", "lang")
+    val (_, words) = graft.ops.TextOps.bpeTrainFull(df, "text", rounds = 3)
+    val got = graft.ops.TextOps.bpeFertility(df, "text", "lang", words)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // merges lo/low/er: low -> 1 token, lower -> 2, newest -> 6
+    // aa: 3 words, 9 chars, 3 tokens; bb: 3 words, 16 chars, 10 tokens
+    assert(got.toSeq == Seq(
+      ("aa", 3L, 9L, 3L, 1000L, 3000L),
+      ("bb", 3L, 16L, 10L, 3333L, 1600L)))
+  }
+
   test("snapshotDiff: all four statuses classified by fingerprint compare") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val newDf = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
