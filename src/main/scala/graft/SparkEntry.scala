@@ -1901,6 +1901,60 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |  FROM dt JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b)
         |SELECT a, b, dot, cos FROM sc WHERE cos >= 0.5 ORDER BY a, b""".stripMargin)),
 
+    // L125 — STREAMING EMBEDDING NEAR-DUP: the vector feed quantized,
+    // SRP-signed, and band-exploded upstream (stateless, codegen'd);
+    // per-bucket state holds ONE canonical vector and every later
+    // arrival verifies against it at ingest. One staged file = one
+    // micro-batch (file-source batches are per-file), so the sorted
+    // single pass reproduces the batch twin: (bucket-min, other) pairs
+    // at cos ≥ 0.45 per band bucket.
+    Q("streaming_near_dup",
+      (s, dir) => withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "snd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_snd").toString
+        val srcDir = stagedStreamSource("sndsrc", dir) { p =>
+          graft.expr.LongArrayDot.register(s)
+          val cs = graft.ops.SrpLsh.coefficients(60, 64)
+          val q = Similarity.quantize(
+            Tables.embeddings(s, dir), "vec_id", "embedding")
+          val sig = q.withColumn("sig", graft.ops.SrpLsh.signature(col("qv"), cs))
+          val banded = sig.select(col("vec_id"), col("qv"),
+              posexplode(array((0 until 10).map(b =>
+                expr(s"shiftright(sig, ${b * 6}) & 63")): _*)).as(Seq("band", "bv")))
+            .select(col("band").cast("int").as("band"), col("bv"),
+              col("vec_id").as("vecId"), col("qv"))
+          writeHeartbeat(banded, p, "aa_vecs.parquet")
+        }
+        val schema = org.apache.spark.sql.Encoders.product[
+          graft.streaming.StreamingOps.VecBucket].schema
+        val raw = s.readStream.schema(schema).parquet(srcDir)
+          .as[graft.streaming.StreamingOps.VecBucket]
+        val q = graft.streaming.StreamingOps.streamingNearDup(raw, minCos = 0.45)
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).select(col("band").cast("long").as("band"), col("bv"),
+            col("a"), col("b"), col("dot"), col("cos"))
+          .orderBy(col("band"), col("bv"), col("b"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |$srpSqlCte,
+        |mn AS (SELECT band, bv, MIN(vec_id) AS a FROM bb GROUP BY 1, 2),
+        |oth AS (SELECT bb.band, bb.bv, mn.a, bb.vec_id AS b FROM bb
+        |  JOIN mn ON mn.band = bb.band AND mn.bv = bb.bv WHERE bb.vec_id > mn.a),
+        |vd AS (SELECT o.band, o.bv, o.a, o.b,
+        |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS dot
+        |  FROM oth o JOIN q qa ON qa.vec_id = o.a JOIN q qb ON qb.vec_id = o.b),
+        |sc AS (SELECT band, bv, a, b, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM vd JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b)
+        |SELECT band, bv, a, b, dot, cos FROM sc WHERE cos >= 0.45
+        |ORDER BY band, bv, b""".stripMargin)),
+
     // Dedup — deterministic SRP-LSH band candidates + exact verify, the
     // 100 TB embedding-dedup composition. Both stages (fixed-seed ±1
     // projections, integer dots, band join, cosine verify) are mirrored

@@ -128,6 +128,59 @@ object StreamingOps {
       }
   }
 
+  final case class VecBucket(band: Int, bv: Long, vecId: Long, qv: Array[Long])
+  final case class NearDupHit(band: Int, bv: Long, a: Long, b: Long,
+                              dot: Long, cos: Double)
+  final case class BucketCanon(canonId: Long, qv: Array[Long], nn: Long)
+
+  /** L125 — STREAMING EMBEDDING NEAR-DUP: incremental semantic dedup
+    * of a vector feed. Upstream (stateless, codegen'd) each vector is
+    * quantized, SRP-signed, and exploded into its LSH band buckets;
+    * here each bucket holds exactly ONE canonical vector in state (the
+    * first arrival — with an in-order feed, the min id) and every
+    * later arrival verifies against it by exact quantized cosine the
+    * moment it lands, emitting a near-dup hit immediately — the
+    * streaming dedup decision is made per vector at ingest, not in a
+    * nightly batch. State is O(buckets): one id + one quantized vector
+    * (+ its cached norm²) per bucket, regardless of feed length —
+    * canonical-only state is exactly how production streaming dedup
+    * bounds itself (pair history is never kept, the L20 incremental
+    * posture). Within a micro-batch arrivals sort by id, so a
+    * single-pass feed reproduces the batch twin: pairs (bucket-min,
+    * other) with cos ≥ `minCos`, per band bucket.
+    */
+  def streamingNearDup(vecs: org.apache.spark.sql.Dataset[VecBucket],
+                       minCos: Double): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    vecs.groupByKey(v => (v.band, v.bv))
+      .flatMapGroupsWithState[BucketCanon, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, bv), it, state) =>
+          val sorted = it.toIndexedSeq.sortBy(_.vecId)
+          val out = scala.collection.mutable.Buffer[NearDupHit]()
+          var st = state.getOption
+          for (v <- sorted) st match {
+            case None =>
+              var nn = 0L; var i = 0
+              while (i < v.qv.length) { nn += v.qv(i) * v.qv(i); i += 1 }
+              st = Some(BucketCanon(v.vecId, v.qv, nn))
+            case Some(c) if v.vecId == c.canonId => () // replayed delivery
+            case Some(c) =>
+              var dot = 0L; var nn = 0L; var i = 0
+              while (i < v.qv.length) {
+                dot += c.qv(i) * v.qv(i); nn += v.qv(i) * v.qv(i); i += 1
+              }
+              val cos = dot.toDouble /
+                (math.sqrt(c.nn.toDouble) * math.sqrt(nn.toDouble))
+              if (cos >= minCos)
+                out += NearDupHit(band, bv, c.canonId, v.vecId, dot, cos)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def familiarityRollup(docs: DataFrame, c2: DataFrame, c1: DataFrame,
                         vocab: DataFrame, textCol: String, langCol: String,
                         scale: Long): DataFrame = {

@@ -491,4 +491,26 @@ class StreamingSpec extends SparkSpec {
       assert(all.toSeq == Seq((7L, 1L, 0L, 3L), (7L, 2L, 3L, 1L)), s"got ${all.toSeq}")
     } finally q.stop()
   }
+
+  test("L125 streaming near-dup: canonical-only state, hit emits at ingest, far vector silent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.VecBucket
+    val input = MemoryStream[VecBucket]
+    val out = StreamingOps.streamingNearDup(input.toDS(), minCos = 0.9)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("snd_out").start()
+    try {
+      input.addData(VecBucket(0, 5L, 1L, Array(10000L, 0L)))
+      q.processAllAvailable()
+      assert(spark.table("snd_out").count() == 0, "canonical alone must not emit")
+      // near-dup of the canonical -> immediate hit; opposite vector -> silent
+      input.addData(VecBucket(0, 5L, 2L, Array(10000L, 100L)),
+        VecBucket(0, 5L, 3L, Array(-10000L, 0L)))
+      q.processAllAvailable()
+      val rows = spark.table("snd_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((0, 5L, 1L, 2L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
