@@ -2166,6 +2166,96 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |WHERE r2.c2 > 0 AND b1.c1 / r2.c2 >= 1.02
         |ORDER BY b1.a""".stripMargin)),
 
+    // L126 — SEMANTIC DECONTAMINATION: embedding-space benchmark
+    // leakage scan (paraphrased eval rows share no shingles with the
+    // benchmark — c_decontaminate misses them — but sit close in
+    // embedding space). Probe set = vec_id % 37 == 0; both sides take
+    // cells from the SHARED session IVF assignment, so candidates are
+    // an equi join on the cell id against the tiny probe side; exact
+    // cosine verify at 0.30, then per flagged vector the nearest probe
+    // + hit count — the removal list with its evidence.
+    Q("sim_semantic_decon",
+      (s, dir) => Similarity.semanticDecontaminate(
+          sessionIvfCells(s, dir), sessionQuantEmb(s, dir), "vec_id",
+          probeMod = 37L, minCos = 0.30)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |scored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM scored) t WHERE rn = 1),
+        |cand AS (SELECT c.vec_id AS a, p.vec_id AS b FROM cells c
+        |  JOIN cells p ON p.cell = c.cell AND p.vec_id % 37 = 0
+        |  WHERE c.vec_id % 37 <> 0),
+        |vd AS (SELECT c.a, c.b,
+        |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS dot
+        |  FROM cand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b),
+        |h AS (SELECT a, b, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM vd JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b
+        |  WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) >= 0.30),
+        |ag AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_hits FROM h GROUP BY a),
+        |bst AS (SELECT a, b, dot, cos FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY a ORDER BY cos DESC, b) AS rn FROM h) t WHERE rn = 1)
+        |SELECT bst.a AS vec_id, bst.b AS nearest_probe, bst.dot, bst.cos, ag.n_hits
+        |FROM bst JOIN ag ON ag.a = bst.a ORDER BY vec_id""".stripMargin)),
+
+    // L127 — MMR DIVERSIFIED TOP-K: greedy Maximal-Marginal-Relevance
+    // re-rank of the brute top-10 pool (selectK = 3, λ = ½ up to the
+    // common positive scale: score = rel − max cos to the already-
+    // selected). The greedy loop runs per query inside flatMapGroups
+    // over ≤ 10 candidates; every decision is exact-long dots + one
+    // double division, so the oracle unrolls all three picks
+    // relationally and matches bit-for-bit.
+    Q("sim_mmr_topk",
+      (s, dir) => Similarity.mmrTopK(
+          sessionQuantEmb(s, dir).filter(col("vec_id") < 8),
+          sessionQuantEmb(s, dir), "vec_id", poolK = 10, selectK = 3)
+        .orderBy(col("query_id"), col("sel_rank")),
+      Some(s"""WITH $quantSqlCte,
+        |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot
+        |  FROM q a, q b WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id),
+        |rl AS (SELECT query_id, neighbor_id,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS rel
+        |  FROM sc JOIN nm na ON na.vec_id = query_id JOIN nm nb ON nb.vec_id = neighbor_id),
+        |pool AS (SELECT query_id, neighbor_id, rel FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rel DESC, neighbor_id) AS rn FROM rl) t WHERE rn <= 10),
+        |ps AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS DOUBLE)
+        |    /(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cs
+        |  FROM pool x JOIN pool y ON y.query_id = x.query_id AND y.neighbor_id <> x.neighbor_id
+        |  JOIN q qa ON qa.vec_id = x.neighbor_id JOIN q qb ON qb.vec_id = y.neighbor_id
+        |  JOIN nm na ON na.vec_id = x.neighbor_id JOIN nm nb ON nb.vec_id = y.neighbor_id),
+        |p1 AS (SELECT query_id, neighbor_id AS s1, rel AS m1 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rel DESC, neighbor_id) AS rn FROM pool) t WHERE rn = 1),
+        |c2 AS (SELECT p.query_id, p.neighbor_id, p.rel - ps.cs AS m
+        |  FROM pool p JOIN p1 ON p1.query_id = p.query_id AND p.neighbor_id <> p1.s1
+        |  JOIN ps ON ps.query_id = p.query_id AND ps.a = p.neighbor_id AND ps.b = p1.s1),
+        |p2 AS (SELECT query_id, neighbor_id AS s2, m AS m2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY m DESC, neighbor_id) AS rn FROM c2) t WHERE rn = 1),
+        |c3 AS (SELECT p.query_id, p.neighbor_id, p.rel - greatest(pa.cs, pb.cs) AS m
+        |  FROM pool p JOIN p1 ON p1.query_id = p.query_id JOIN p2 ON p2.query_id = p.query_id
+        |  JOIN ps pa ON pa.query_id = p.query_id AND pa.a = p.neighbor_id AND pa.b = p1.s1
+        |  JOIN ps pb ON pb.query_id = p.query_id AND pb.a = p.neighbor_id AND pb.b = p2.s2
+        |  WHERE p.neighbor_id <> p1.s1 AND p.neighbor_id <> p2.s2),
+        |p3 AS (SELECT query_id, neighbor_id AS s3, m AS m3 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY m DESC, neighbor_id) AS rn FROM c3) t WHERE rn = 1)
+        |SELECT query_id, CAST(1 AS BIGINT) AS sel_rank, s1 AS neighbor_id, m1 AS mmr FROM p1
+        |UNION ALL SELECT query_id, CAST(2 AS BIGINT), s2, m2 FROM p2
+        |UNION ALL SELECT query_id, CAST(3 AS BIGINT), s3, m3 FROM p3
+        |ORDER BY query_id, sel_rank""".stripMargin)),
+
     // ANN RECALL AUDIT (the dedup_lsh_recall pattern extended to the
     // vector indexes): exhaustive quantized-cosine pairs at cos ≥ 0.45
     // on the documented bounded slice (vec_id < 1500) are ground truth;

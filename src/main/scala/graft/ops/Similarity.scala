@@ -767,4 +767,110 @@ object Similarity {
     cells.count() // eager: both sides of the candidate self-join reuse it
     ivfCandidatesFrom(cells, idCol)
   }
+
+  /** L126 — SEMANTIC DECONTAMINATION: the embedding-space counterpart
+    * of n-gram benchmark decontamination ([[Curation.decontaminate]]).
+    * Paraphrased eval leakage shares no shingles with the benchmark but
+    * sits close in embedding space, so the scan flags every corpus
+    * vector whose cosine to ANY probe (benchmark/eval) vector reaches
+    * `minCos`. Probe membership here is the deterministic id predicate
+    * `id % probeMod == 0` (a stand-in for the real eval-set id list).
+    *
+    * Scale shape: both sides take their cell from the SAME precomputed
+    * IVF assignment (`cells`), so candidate generation is an equi join
+    * on the cell id with the tiny probe side — per corpus vector the
+    * work is its cell's probe population, never |probes|, and nothing
+    * resembling a cross join exists. Exact cosine verify then an argmax
+    * per flagged vector: (vec_id, nearest_probe, dot, cos, n_hits) —
+    * the removal list with the evidence a leakage audit wants. Recall
+    * misses only cross-cell pairs, the same envelope `sim_ann_recall`
+    * audits for this assignment.
+    */
+  def semanticDecontaminate(cells: DataFrame, q: DataFrame, idCol: String,
+                            probeMod: Long, minCos: Double): DataFrame = {
+    val probes = cells.filter(pmod(col(idCol), lit(probeMod)) === 0L)
+      .select(col(idCol).as("b"), col("cell"))
+    val corpus = cells.filter(pmod(col(idCol), lit(probeMod)) =!= 0L)
+      .select(col(idCol).as("a"), col("cell"))
+    val hits = verifyPairs(
+      corpus.join(probes, Seq("cell")).select(col("a"), col("b")),
+      q, idCol, minCos)
+    val byDoc = Window.partitionBy(col("a"))
+    hits
+      .withColumn("n_hits", count(lit(1)).over(byDoc))
+      .withColumn("__rn",
+        row_number().over(byDoc.orderBy(col("cos").desc, col("b"))))
+      .filter(col("__rn") === 1)
+      .select(col("a").as("vec_id"), col("b").as("nearest_probe"),
+        col("dot"), col("cos"), col("n_hits"))
+  }
+
+  final case class MmrCand(queryId: Long, neighborId: Long, rel: Double,
+                           qv: Array[Long], nn: Long)
+  final case class MmrPick(query_id: Long, sel_rank: Long, neighbor_id: Long,
+                           mmr: Double)
+
+  /** L127 — MMR DIVERSIFIED TOP-K (Maximal Marginal Relevance, the
+    * classic retrieval re-ranker): plain top-k over a near-dup-heavy
+    * corpus returns k copies of the same document; MMR greedily picks
+    * `selectK` results from the top-`poolK` relevance pool, scoring
+    * each remaining candidate by `rel − max_{s∈S} cos(d, s)` (λ = ½ up
+    * to the common positive scale) so the second pick is pushed away
+    * from the first — RAG context assembly and eval-set selection both
+    * run exactly this.
+    *
+    * Scale shape: the relevance pool comes from [[cosineTopK]] (query
+    * side broadcast; at corpus scale feed [[ivfTopK]] output instead —
+    * the re-rank stage is identical) and the greedy loop runs inside
+    * `flatMapGroups` over ONE query's ≤ poolK candidates — bounded
+    * state, no cross join, no driver involvement. All similarities are
+    * exact-long dots over the quantized vectors with one double
+    * division, so every greedy decision — including ties, which break
+    * to the smaller id — replays bit-identically in an external engine.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              poolK: Int, selectK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pool = cosineTopK(queries, corpus, idCol, poolK)
+    pool
+      .join(corpus.select(col(idCol).as("neighbor_id"), col("qv"),
+        sqNorm(col("qv")).as("nn")), "neighbor_id")
+      .select(col("query_id").as("queryId"), col("neighbor_id").as("neighborId"),
+        col("cos").as("rel"), col("qv"), col("nn"))
+      .as[MmrCand]
+      .groupByKey(_.queryId)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val remaining = scala.collection.mutable.ArrayBuffer(it.toSeq: _*)
+        val selected = scala.collection.mutable.ArrayBuffer[MmrCand]()
+        val out = scala.collection.mutable.ArrayBuffer[MmrPick]()
+        def cosOf(d: MmrCand, s: MmrCand): Double = {
+          var dot = 0L; var i = 0
+          while (i < d.qv.length) { dot += d.qv(i) * s.qv(i); i += 1 }
+          dot.toDouble / (math.sqrt(d.nn.toDouble) * math.sqrt(s.nn.toDouble))
+        }
+        var rank = 1L
+        while (rank <= selectK && remaining.nonEmpty) {
+          var bestIdx = -1; var bestScore = 0.0
+          var i = 0
+          while (i < remaining.length) {
+            val d = remaining(i)
+            val m =
+              if (selected.isEmpty) d.rel
+              else d.rel - selected.iterator.map(cosOf(d, _)).max
+            if (bestIdx < 0 || m > bestScore ||
+              (m == bestScore && d.neighborId < remaining(bestIdx).neighborId)) {
+              bestIdx = i; bestScore = m
+            }
+            i += 1
+          }
+          val pick = remaining.remove(bestIdx)
+          selected += pick
+          out += MmrPick(qid, rank, pick.neighborId, bestScore)
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF()
+  }
 }

@@ -1693,4 +1693,48 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) > 0L), "integer sum-centroids are nonzero")
     assert(out.length <= 16)
   }
+
+  test("L126 semanticDecontaminate: same-cell probe hit flagged with argmax + count, cross-cell missed") {
+    import graft.ops.Similarity
+    // probes = even ids; cell A holds probes 0/2 and corpus 1/3, cell B
+    // holds corpus 5 (identical to probe 0, but no probe shares its cell
+    // — the documented cross-cell recall miss).
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (1L, Array(1f, 0.01f)), (3L, Array(0f, 1f)), (5L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantize(emb, "vec_id", "embedding")
+    val cells = Seq((0L, 10), (2L, 10), (1L, 10), (3L, 10), (5L, 20))
+      .toDF("vec_id", "cell")
+    val got = Similarity.semanticDecontaminate(cells, q, "vec_id",
+        probeMod = 2L, minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 0L, 2L)),
+      s"only corpus 1 flagged, nearest probe 0, both probes hit: ${got.toSeq}")
+  }
+
+  test("L127 mmrTopK: near-dup demoted behind the diverse candidate, rank-1 mmr equals rel") {
+    import graft.ops.Similarity
+    // query leans on x with some z; corpus: 1 and 2 are near-identical
+    // x-axis docs (plain top-k would take both first), 3 is orthogonal
+    // to them with moderate relevance. MMR keeps 1, promotes 3 to rank
+    // 2 (penalty ~0 vs the near-dup's ~rel-1), demotes 2 to rank 3.
+    val qdf = Similarity.quantize(
+      Seq((100L, Array(1f, 0f, 0.3f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val corpus = Similarity.quantize(Seq(
+        (1L, Array(1f, 0f, 0f, 0f)),
+        (2L, Array(1f, 0.01f, 0f, 0f)),
+        (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val got = Similarity.mmrTopK(qdf, corpus, "vec_id", poolK = 3, selectK = 3)
+      .orderBy(col("sel_rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"MMR order must be 1,3,2 (plain top-k is 1,2,3): ${got.toSeq}")
+    val rel1 = 1e8 / (math.sqrt(1.09e8) * 1e4)
+    assert(math.abs(got(0)._3 - rel1) < 1e-12, "rank-1 mmr is the plain relevance")
+    assert(got(1)._3 > 0 && got(2)._3 < 0,
+      s"diverse pick scores positive, near-dup negative: ${got.toSeq}")
+  }
 }
