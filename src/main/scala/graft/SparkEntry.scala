@@ -6438,6 +6438,44 @@ FROM ag ORDER BY lang""")),
         |SELECT doc_id, shard, pos, bin, off, len AS nt
         |FROM p ORDER BY shard, pos""".stripMargin)),
 
+    // L128 — PADDING-MINIMAL LENGTH BUCKETING: the 3-bucket boundary
+    // pair (b1 < b2 < max) minimizing total padding when every doc pads
+    // to its bucket cap (dynamic-batching bucket design). One corpus
+    // pass reduces to per-distinct-length (count, sum) — clamped to 512
+    // so the candidate space is ≤ 512² pairs REGARDLESS of corpus size;
+    // prefix sums + exhaustive enumeration give the exact argmin in
+    // pure longs, ties to the smaller (b1, b2).
+    Q("c_length_buckets",
+      (s, dir) => Curation.lengthBuckets(
+          Tables.documents(s, dir)
+            .select(TextOps.tokenCount(col("text")).as("nt")),
+          "nt", capLen = 512)
+        .orderBy(col("bucket")),
+      Some(s"""WITH $toksSqlCte,
+        |ln AS (SELECT least(CAST(len(toks) AS BIGINT), 512) AS len FROM d),
+        |dl AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(len) AS BIGINT) AS s FROM ln GROUP BY len),
+        |pf AS (SELECT len,
+        |  CAST(SUM(n) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  CAST(SUM(s) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum_s FROM dl),
+        |tt AS (SELECT CAST(MAX(len) AS BIGINT) AS m, CAST(SUM(n) AS BIGINT) AS nt,
+        |  CAST(SUM(s) AS BIGINT) AS st FROM dl),
+        |bc AS (SELECT a.len AS l1, a.cum_n AS n1, a.cum_s AS s1,
+        |    b.len AS l2, b.cum_n AS n2, b.cum_s AS s2, tt.m, tt.nt, tt.st,
+        |    a.len*a.cum_n - a.cum_s + b.len*(b.cum_n - a.cum_n) - (b.cum_s - a.cum_s)
+        |      + tt.m*(tt.nt - b.cum_n) - (tt.st - b.cum_s) AS cost
+        |  FROM pf a JOIN pf b ON a.len < b.len, tt WHERE b.len < tt.m),
+        |bw AS (SELECT * FROM bc ORDER BY cost, l1, l2 LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS bucket, l1 AS cap_len, n1 AS n_docs,
+        |  l1*n1 - s1 AS pad_tokens FROM bw
+        |UNION ALL SELECT CAST(1 AS BIGINT), l2, n2 - n1,
+        |  l2*(n2 - n1) - (s2 - s1) FROM bw
+        |UNION ALL SELECT CAST(2 AS BIGINT), m, nt - n2,
+        |  m*(nt - n2) - (st - s2) FROM bw
+        |ORDER BY bucket""".stripMargin)),
+
     // L80 — RENDEZVOUS (HRW) SHARDING: shard = argmax over s of
     // md5(id|s) — scaling k→k+1 moves docs only TO the new shard
     // (~1/(k+1) of the layout), never between old ones; entirely

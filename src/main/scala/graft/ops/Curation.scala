@@ -1423,4 +1423,61 @@ object Curation {
     concat(scheme, lit("://"), host, path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
+
+  /** L128 — PADDING-MINIMAL LENGTH BUCKETING (dynamic-batching bucket
+    * design, the T5/fairseq `--length-bucket` knob): pick the 3-bucket
+    * boundary lengths (b1 < b2 < max) that minimize total padding when
+    * every document pads to its bucket's cap. One corpus pass reduces
+    * to per-distinct-length (count, token-sum) — lengths clamp to
+    * `capLen`, so the table is ≤ capLen rows REGARDLESS of corpus size
+    * and everything downstream is bounded by capLen² constants, never
+    * by |docs|: prefix sums over the tiny sorted length table, then an
+    * exhaustive (b1, b2) enumeration join (the exact argmin a DP would
+    * also find — enumeration keeps it relational and oracle-
+    * replayable), ties to the smaller (b1, b2). Costs are exact longs:
+    * bucket cost = cap·n_docs_in_bucket − Σ len.
+    *
+    * Output: the 3 winning buckets as (bucket, cap_len, n_docs,
+    * pad_tokens). Fewer than 3 distinct lengths → empty (no boundary
+    * choice exists). `lens`: one row per doc with integer column
+    * `lenCol`.
+    */
+  def lengthBuckets(lens: DataFrame, lenCol: String, capLen: Int = 512): DataFrame = {
+    val dl = lens
+      .select(least(col(lenCol).cast("long"), lit(capLen.toLong)).as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("s"))
+    val w = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global window over ≤ capLen rows — bounded by the cap constant
+    val pref = dl
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_s", sum(col("s")).over(w))
+      .select(col("len"), col("cum_n"), col("cum_s"))
+    val tot = dl.agg(max(col("len")).as("m"),
+      sum(col("n")).as("nt"), sum(col("s")).as("st"))
+    val b1 = pref.select(col("len").as("l1"), col("cum_n").as("n1"), col("cum_s").as("s1"))
+    val b2 = pref.select(col("len").as("l2"), col("cum_n").as("n2"), col("cum_s").as("s2"))
+    val best = b1.join(b2, col("l1") < col("l2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("l2") < col("m"))
+      .withColumn("cost",
+        col("l1") * col("n1") - col("s1")
+          + col("l2") * (col("n2") - col("n1")) - (col("s2") - col("s1"))
+          + col("m") * (col("nt") - col("n2")) - (col("st") - col("s2")))
+      .orderBy(col("cost"), col("l1"), col("l2"))
+      .limit(1)
+    best.select(explode(array(
+        struct(lit(0L).as("bucket"), col("l1").as("cap_len"),
+          col("n1").as("n_docs"),
+          (col("l1") * col("n1") - col("s1")).as("pad_tokens")),
+        struct(lit(1L).as("bucket"), col("l2").as("cap_len"),
+          (col("n2") - col("n1")).as("n_docs"),
+          (col("l2") * (col("n2") - col("n1")) - (col("s2") - col("s1"))).as("pad_tokens")),
+        struct(lit(2L).as("bucket"), col("m").as("cap_len"),
+          (col("nt") - col("n2")).as("n_docs"),
+          (col("m") * (col("nt") - col("n2")) - (col("st") - col("s2"))).as("pad_tokens"))
+      )).as("b"))
+      .select(col("b.bucket"), col("b.cap_len"), col("b.n_docs"), col("b.pad_tokens"))
+  }
 }

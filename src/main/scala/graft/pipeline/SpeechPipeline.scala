@@ -325,27 +325,50 @@ object SpeechPipeline {
                    softRescueThreshold: Double = 0.2)
       : (Dataset[SpeakerSegment], Dataset[(String, String, Double, Array[Float])]) = {
     import single.sparkSession.implicits._
+    val withWave = mergedWithWave(single, audio, minChunkSec, mergedCapSec)
+    val embedded = InferenceOp.mapBatched[(SpeakerSegment, Array[Float]), (SpeakerSegment, Array[Float])](
+      withWave, "mock_embedder", () => new MockModels.MockEmbedder(), batchSize = 16)
+    clusterEmbedded(embedded, minClusterRatio, clusterSimThreshold, softRescueThreshold)
+  }
+
+  /** The speaker-change-merged chunk table joined to its waveform slice
+    * — the shared front half of the M4 embedding stage (mock and
+    * service variants).
+    */
+  private def mergedWithWave(single: Dataset[ActiveInterval], audio: Dataset[AudioFile],
+                             minChunkSec: Double, mergedCapSec: Double)
+      : Dataset[(SpeakerSegment, Array[Float])] = {
+    import single.sparkSession.implicits._
     val spk = single.map(a => SpeakerSegment(a.file, a.start, a.end, a.speakers.head))
     val merged = SegmentAlgebra.sessionizeBySpeaker(spk,
       gap = 1d, maxDuration = mergedCapSec, minDuration = minChunkSec)
     val waves = audio.map(a => (a.file, a.sr, a.waveform)).toDF("file", "sr", "waveform")
-    val withWave = merged.toDF("file", "start", "end", "speaker").join(waves, "file")
+    merged.toDF("file", "start", "end", "speaker").join(waves, "file")
       .as[(String, Double, Double, String, Int, Array[Float])]
       .map { case (file, s, e, spkr, sr, w) =>
         (SpeakerSegment(file, s, e, spkr),
           w.slice(math.max(0, (s * sr).toInt), math.min(w.length, (e * sr).toInt)))
       }
-    val embedded = InferenceOp.mapBatched[(SpeakerSegment, Array[Float]), (SpeakerSegment, Array[Float])](
-      withWave, "mock_embedder", () => new MockModels.MockEmbedder(), batchSize = 16)
-    // M5: cluster each file's chunk embeddings; deterministic member
-    // order is part of the kernel contract.
-    val clustered = embedded.groupByKey(_._1.file).flatMapGroups { (file, it) =>
-      val rows = it.toArray.sortBy(t => (t._1.start, t._1.end, t._1.speaker))
-      val labels = Clustering.clusterOne(rows.map(_._2).toIndexedSeq,
-        minClusterRatio, clusterSimThreshold, softRescueThreshold)
-      rows.iterator.zip(labels.iterator).map { case ((seg, emb), l) =>
-        (SpeakerSegment(file, seg.start, seg.end, if (l < 0) "noise" else s"g$l"), emb)
-      }
+  }
+
+  /** M5 over an embedded chunk table — the shared back half: cluster
+    * each file's chunk embeddings (deterministic member order is part
+    * of the kernel contract) and emit (relabeled chunks, embedding
+    * table keyed by the global labels).
+    */
+  private def clusterEmbedded(embedded: Dataset[(SpeakerSegment, Array[Float])],
+                              minClusterRatio: Double, clusterSimThreshold: Double,
+                              softRescueThreshold: Double)
+      : (Dataset[SpeakerSegment], Dataset[(String, String, Double, Array[Float])]) = {
+    import embedded.sparkSession.implicits._
+    val clustered = embedded.groupByKey(_._1.file).flatMapGroups {
+      (file: String, it: Iterator[(SpeakerSegment, Array[Float])]) =>
+        val rows = it.toArray.sortBy(t => (t._1.start, t._1.end, t._1.speaker))
+        val labels = Clustering.clusterOne(rows.map(_._2).toIndexedSeq,
+          minClusterRatio, clusterSimThreshold, softRescueThreshold)
+        rows.iterator.zip(labels.iterator).map { case ((seg, emb), l) =>
+          (SpeakerSegment(file, seg.start, seg.end, if (l < 0) "noise" else s"g$l"), emb)
+        }
     }.cache()
     // eager: both returned outputs derive from it, and concurrent
     // consumers racing a cold cache would each run inference+clustering
@@ -355,6 +378,59 @@ object SpeechPipeline {
       (seg.file, seg.speaker, seg.end - seg.start, emb)
     }
     (relabeled, embTable)
+  }
+
+  /** One embedding answer from the external service, with the S10
+    * status/error pair. `emb` is empty on the failed rows.
+    */
+  final case class ServiceEmbedRow(file: String, start: Double, end: Double,
+      speaker: String, emb: Array[Float], status: String, error: String)
+
+  /** Stage 4, EXTERNAL-SERVICE variant (SURVEY §7.4.4 — ECAPA has no
+    * JVM runtime): [[rematchStage]] with the M4 chunk embedding fetched
+    * from a batch HTTP service via [[HttpInference.mapService]], then
+    * the SAME M5 clustering back half. Wire protocol: request lines
+    * `file TAB start TAB end TAB speaker TAB base64(f32le waveform)`,
+    * response lines echoing the identity fields with
+    * `base64(f32le embedding)` in place of the waveform (both base64
+    * legs are bit-lossless, so service ≡ mock exactly when the service
+    * runs the mock formula). Chunks the service cannot embed after
+    * retries become `status="failed"` rows returned third and EXCLUDED
+    * from clustering — an unembedded chunk cannot cluster; it exits as
+    * an S10 failure row, never job death and never a fabricated vector.
+    */
+  def rematchStageService(single: Dataset[ActiveInterval], audio: Dataset[AudioFile],
+                          cfg: HttpServiceConfig,
+                          minChunkSec: Double = 0.2, mergedCapSec: Double = 20d,
+                          minClusterRatio: Double = 0.04,
+                          clusterSimThreshold: Double = 0.75,
+                          softRescueThreshold: Double = 0.2)
+      : (Dataset[SpeakerSegment], Dataset[(String, String, Double, Array[Float])],
+         Dataset[ServiceEmbedRow]) = {
+    import single.sparkSession.implicits._
+    val withWave = mergedWithWave(single, audio, minChunkSec, mergedCapSec)
+    // NB: Charset is not Serializable — name it inside each closure
+    val rows = HttpInference.mapService[(SpeakerSegment, Array[Float]), ServiceEmbedRow](
+      withWave, cfg,
+      encode = xs => xs.map { case (seg, w) =>
+        s"${seg.file}\t${seg.start}\t${seg.end}\t${seg.speaker}\t${HttpInference.b64(w)}"
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      decode = bytes => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq.filter(_.nonEmpty).map { line =>
+          val f = line.split("\t", -1)
+          ServiceEmbedRow(f(0), f(1).toDouble, f(2).toDouble, f(3),
+            HttpInference.unb64(f(4)), "completed", "")
+        },
+      onFailure = (x, e) => ServiceEmbedRow(x._1.file, x._1.start, x._1.end,
+        x._1.speaker, Array.emptyFloatArray, "failed",
+        s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
+      .cache() // one service pass feeds both the ok and failed splits
+    val ok = rows.filter(_.status == "completed")
+      .map(r => (SpeakerSegment(r.file, r.start, r.end, r.speaker), r.emb))
+    val failed = rows.filter(_.status == "failed")
+    val (relabeled, embTable) = clusterEmbedded(
+      ok, minClusterRatio, clusterSimThreshold, softRescueThreshold)
+    (relabeled, embTable, failed)
   }
 
   /** Stage 4b — the local→global remap trace (A6+J3+J5,

@@ -1694,6 +1694,33 @@ class OpsSpec extends SparkSpec {
     assert(out.length <= 16)
   }
 
+  test("L128 lengthBuckets: exact padding-minimal boundaries, exhaustive enumeration argmin") {
+    import graft.ops.Curation
+    // lengths 1×3, 5×2, 6×2, 100×1 — candidates (b1,b2) ∈ {1,5,6}²:
+    // (1,5) costs 0+0+188, (1,6) costs 0+2+0, (5,6) costs 12+0+0 → (1,6)
+    val lens = Seq(1L, 1L, 1L, 5L, 5L, 6L, 6L, 100L).toDF("nt")
+    val got = Curation.lengthBuckets(lens, "nt")
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L, 3L, 0L), (1L, 6L, 4L, 2L), (2L, 100L, 1L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("L128 lengthBuckets: clamp at capLen and degenerate distinct-length guard") {
+    import graft.ops.Curation
+    // 2000 clamps to 512: distinct = {3, 512} only -> no (b1,b2) pair
+    val lens = Seq(3L, 2000L, 2000L).toDF("nt")
+    assert(Curation.lengthBuckets(lens, "nt").count() == 0,
+      "fewer than 3 distinct lengths has no boundary choice")
+    // with a middle length the clamp participates as the max bucket
+    val lens2 = Seq(3L, 3L, 7L, 2000L, 2000L).toDF("nt")
+    val got = Curation.lengthBuckets(lens2, "nt")
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 3L, 2L, 0L), (1L, 7L, 1L, 0L), (2L, 512L, 2L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
   test("L126 semanticDecontaminate: same-cell probe hit flagged with argmax + count, cross-cell missed") {
     import graft.ops.Similarity
     // probes = even ids; cell A holds probes 0/2 and corpus 1/3, cell B

@@ -511,6 +511,51 @@ class PipelineSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("external-service embedding equals the local mock path float-for-float") {
+    import graft.pipeline.HttpServiceConfig
+    val audio = Seq(fixture("a"), fixture("b")).toDS()
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05)
+    val (single, _) = SpeechPipeline.diarizeStage(vad, audio)
+    val stub = new ServiceStub(ServiceStub.embed, failFirstN = 1)
+    try {
+      val cfg = HttpServiceConfig(stub.endpoint, batchSize = 2, maxInFlight = 2,
+        maxRetries = 3, baseBackoffMs = 5)
+      val (rel, embTable, failed) = SpeechPipeline.rematchStageService(single, audio, cfg)
+      assert(failed.count() == 0, "retry should recover the transient 500")
+      val (mRel, mEmb) = SpeechPipeline.rematchStage(single, audio)
+      def canonSeg(ds: org.apache.spark.sql.Dataset[SpeakerSegment]) =
+        ds.collect().map(s => (s.file, s.start, s.end, s.speaker))
+          .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(canonSeg(rel) == canonSeg(mRel), "global labels must agree")
+      def canonEmb(ds: org.apache.spark.sql.Dataset[(String, String, Double, Array[Float])]) =
+        ds.collect().map(t => (t._1, t._2, t._3, t._4.toSeq))
+          .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(canonEmb(embTable) == canonEmb(mEmb),
+        "service embeddings must be bit-identical to the mock path")
+    } finally stub.close()
+  }
+
+  test("external-service embedding: unembeddable chunk exits as failed row, rest still cluster") {
+    import graft.pipeline.HttpServiceConfig
+    val audio = Seq(fixture("good"), fixture("poison")).toDS()
+    val vad = SpeechPipeline.vadStage(audio, padSec = 0.05)
+    val (single, _) = SpeechPipeline.diarizeStage(vad, audio)
+    // request lines lead with the file name, so the marker targets every
+    // chunk of file "poison" and only those
+    val stub = new ServiceStub(ServiceStub.embed, poisonMarker = Some("poison\t"))
+    try {
+      val cfg = HttpServiceConfig(stub.endpoint, batchSize = 1, maxInFlight = 1,
+        maxRetries = 1, baseBackoffMs = 5)
+      val (rel, embTable, failed) = SpeechPipeline.rematchStageService(single, audio, cfg)
+      val f = failed.collect()
+      assert(f.nonEmpty && f.forall(r => r.file == "poison" && r.status == "failed"
+        && r.emb.isEmpty), s"failed rows: ${f.toSeq}")
+      val relFiles = rel.collect().map(_.file).toSet
+      assert(relFiles == Set("good"), s"only the good file clusters: $relFiles")
+      assert(embTable.collect().forall(_._1 == "good"))
+    } finally stub.close()
+  }
+
   test("service faults: poisoned batches and timeouts become failed-status rows, not job death") {
     import graft.pipeline.{HttpServiceConfig, Transcription}
     // three files: "good" answers, "poison" always 500s, "slow" sleeps past

@@ -77,6 +77,21 @@ object ServiceStub {
     s"${f(0)}\t${f(1)}\t${f(2)}\t$label"
   }
 
+  /** Embedding service: runs [[graft.pipeline.MockModels.MockEmbedder]]
+    * itself over the transmitted slice — both base64 legs are lossless,
+    * so the service path must equal the local mock path float-for-float.
+    */
+  val embed: Seq[String] => Seq[String] = { lines =>
+    val m = new graft.pipeline.MockModels.MockEmbedder()
+    lines.map { line =>
+      val f = line.split("\t", -1)
+      val w = graft.pipeline.HttpInference.unb64(f(4))
+      val seg = graft.model.SpeakerSegment(f(0), f(1).toDouble, f(2).toDouble, f(3))
+      val (_, emb) = m.predictBatch(Seq((seg, w))).head
+      s"${f(0)}\t${f(1)}\t${f(2)}\t${f(3)}\t${graft.pipeline.HttpInference.b64(emb)}"
+    }
+  }
+
   /** ASR service: [[graft.pipeline.Transcription.MockAsr]]'s formula over
     * the transmitted slice.
     */
