@@ -6476,6 +6476,47 @@ FROM ag ORDER BY lang""")),
         |  m*(nt - n2) - (st - s2) FROM bw
         |ORDER BY bucket""".stripMargin)),
 
+    // L129 — ISOTONIC (PAV) CALIBRATION of the stopword-ratio score
+    // against the is-English outcome: raw per-decile P(en) rarely comes
+    // out monotone; the PAV fit (via the minimax identity cal_i =
+    // max_{j≤i} min_{k≥i} rate(j..k), fully relational) pools adjacent
+    // violators into the best non-decreasing curve — what a quality
+    // threshold should be read off of. One corpus pass to (bin, n,
+    // pos); everything after is bounded by nBins³ = 1000 rows.
+    Q("c_isotonic_pav",
+      (s, dir) => {
+        val binned = docToks(s, dir)
+          .select(col("lang"), size(col("toks")).cast("long").as("nt"),
+            TextOps.stopwordHits(col("toks"), TextOps.langMarkers.head._2).as("sh"))
+          .withColumn("bin", least(expr("sh * 10L div nt"), lit(9L)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+        Curation.isotonicCalibrate(binned).orderBy(col("bin"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |pd AS (SELECT lang, CAST(len(toks) AS BIGINT) AS nt,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS sh
+        |  FROM d),
+        |bd AS (SELECT least(sh * 10 // nt, 9) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM pd GROUP BY 1),
+        |pf AS (SELECT bin, n, pos,
+        |  CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  CAST(SUM(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum_p FROM bd),
+        |a AS (SELECT j.bin AS j, k.bin AS k,
+        |  CAST(k.cum_p - (j.cum_p - j.pos) AS DOUBLE)
+        |    / CAST(k.cum_n - (j.cum_n - j.n) AS DOUBLE) AS rate
+        |  FROM pf j JOIN pf k ON j.bin <= k.bin),
+        |m AS (SELECT i.bin AS i, a.j, MIN(a.rate) AS mn FROM bd i
+        |  JOIN a ON a.j <= i.bin AND a.k >= i.bin GROUP BY 1, 2),
+        |c AS (SELECT i, MAX(mn) AS calibrated FROM m GROUP BY i)
+        |SELECT bd.bin, bd.n, bd.pos,
+        |  CAST(bd.pos AS DOUBLE) / CAST(bd.n AS DOUBLE) AS raw, c.calibrated
+        |FROM bd JOIN c ON c.i = bd.bin ORDER BY bd.bin""".stripMargin)),
+
     // L80 — RENDEZVOUS (HRW) SHARDING: shard = argmax over s of
     // md5(id|s) — scaling k→k+1 moves docs only TO the new shard
     // (~1/(k+1) of the layout), never between old ones; entirely

@@ -1480,4 +1480,46 @@ object Curation {
       )).as("b"))
       .select(col("b.bucket"), col("b.cap_len"), col("b.n_docs"), col("b.pad_tokens"))
   }
+
+  /** L129 — ISOTONIC CALIBRATION (pool-adjacent-violators) of a binned
+    * score against a binary outcome — the classifier-calibration step a
+    * quality-scored corpus runs before thresholding ("score 0.8" should
+    * MEAN 80%): the monotone fit turns raw per-bin rates into the
+    * best-fit non-decreasing curve, pooling adjacent violators.
+    *
+    * Computed via PAV's closed-form minimax identity instead of the
+    * sequential pooling loop: `cal_i = max_{j≤i} min_{k≥i}
+    * rate(j..k)` — a pure relational formulation (prefix sums over the
+    * sorted bin table, an interval-average table, two bounded
+    * group-bys), so an external engine replays it exactly. Every
+    * interval rate is one double division of exact long sums.
+    *
+    * Scale shape: `binned` is the PER-BIN aggregate (bin, n, pos) — at
+    * most nBins rows however large the corpus (the one corpus pass is
+    * the caller's map-side-combined groupBy), so the O(nBins³) interval
+    * enumeration is bounded by a constant, never by |docs|.
+    */
+  def isotonicCalibrate(binned: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global window over ≤ nBins rows — bounded by the bin-count constant
+    val pref = binned
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_p", sum(col("pos")).over(w))
+    val js = pref.select(col("bin").as("j"),
+      (col("cum_n") - col("n")).as("prev_n"), (col("cum_p") - col("pos")).as("prev_p"))
+    val ks = pref.select(col("bin").as("k"), col("cum_n"), col("cum_p"))
+    val ivl = js.join(ks, col("j") <= col("k"))
+      .withColumn("rate", (col("cum_p") - col("prev_p")).cast("double")
+        / (col("cum_n") - col("prev_n")).cast("double"))
+      .select(col("j"), col("k"), col("rate"))
+    val is = binned.select(col("bin").as("i"))
+    val inner = ivl.join(is, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("rate")).as("mn"))
+    val cal = inner.groupBy(col("i")).agg(max(col("mn")).as("calibrated"))
+    binned.join(cal, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("raw"),
+        col("calibrated"))
+  }
 }

@@ -1721,6 +1721,20 @@ class OpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("L129 isotonicCalibrate: minimax identity reproduces classic PAV pooling") {
+    import graft.ops.Curation
+    // rates .2 .6 .4 .8 (weights 5 each): bins 2/3 violate, PAV pools
+    // them to .5 -> [.2, .5, .5, .8]; already-monotone ends unchanged
+    val binned = Seq((0L, 5L, 1L), (1L, 5L, 3L), (2L, 5L, 2L), (3L, 5L, 4L))
+      .toDF("bin", "n", "pos")
+    val got = Curation.isotonicCalibrate(binned).orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 0.2, 0.2), (1L, 0.6, 0.5),
+      (2L, 0.4, 0.5), (3L, 0.8, 0.8)), s"got ${got.toSeq}")
+    // fit is non-decreasing by construction
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+  }
+
   test("L126 semanticDecontaminate: same-cell probe hit flagged with argmax + count, cross-cell missed") {
     import graft.ops.Similarity
     // probes = even ids; cell A holds probes 0/2 and corpus 1/3, cell B
