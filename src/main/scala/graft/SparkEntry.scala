@@ -276,6 +276,25 @@ object SparkEntry {
       TextOps.bpeTrainFull(Tables.documents(s, dir), "text", 4)
     })
 
+  /** Session-lifetime token-count fixture service driving
+    * `svc_batch_inference` (one loopback server per JVM, closed at
+    * exit). Wire: request `tag TAB doc_id TAB b64(text)` → response
+    * `doc_id TAB n_tok`; any body containing the POISON tag answers 500
+    * unconditionally (the injected-fault leg).
+    */
+  private lazy val tokenCountService: graft.pipeline.LineService = {
+    val svc = new graft.pipeline.LineService(
+      lines => lines.map { l =>
+        val f = l.split("\t", 3)
+        val n = graft.pipeline.HttpInference.unb64t(f(2))
+          .split(" ").count(_.nonEmpty)
+        s"${f(1)}\t$n"
+      },
+      poisonMarker = Some("POISON\t"))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => svc.close()))
+    svc
+  }
+
   private def stagedStreamSource(tag: String, dir: String)(
       build: java.nio.file.Path => Unit): String =
     streamStageCache.computeIfAbsent(s"$tag|$dir", { _ =>
@@ -4270,6 +4289,52 @@ FROM ag ORDER BY lang""")),
     // failed-status ROW (not a job abort), everything else completes;
     // the tallies land via Incremental.statusCounts and DuckDB
     // recomputes them from the corruption rule. Bounded (event_id < 500).
+    // L130 — EXTERNAL-SERVICE BATCH INFERENCE IN THE GATE: the generic
+    // HTTP operator (per-executor keep-alive client, order-preserving
+    // pipelining, retry ladder, S10 routing) driven end-to-end against
+    // the engine-minted LineService fixture inside the correctness
+    // gate. Clean docs flow through 64-row pipelined batches; docs with
+    // doc_id % 97 == 0 carry the poison marker and run as singleton
+    // batches (per-batch failure granularity — a poisoned doc must fail
+    // ALONE), exhausting retries into deterministic failed-status rows.
+    // The oracle states both legs: the service's token count for clean
+    // docs, n_tok = -1 + status 'failed' for poisoned — so the S10
+    // routing itself is oracle-checked, not just suite-tested.
+    Q("svc_batch_inference",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{HttpInference, HttpServiceConfig}
+        val ep = tokenCountService.endpoint
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+        def run(ds: org.apache.spark.sql.Dataset[(Long, String)], tag: String,
+                cfg: HttpServiceConfig) =
+          HttpInference.mapService[(Long, String), (Long, Long, String)](ds, cfg,
+            encode = xs => xs.map { case (id, t) =>
+              s"$tag\t$id\t${HttpInference.b64t(t)}"
+            }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            decode = bytes => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n", -1).toSeq.filter(_.nonEmpty).map { l =>
+                val f = l.split("\t", -1)
+                (f(0).toLong, f(1).toLong, "completed")
+              },
+            onFailure = (x, _) => (x._1, -1L, "failed"))
+        val clean = run(docs.filter(_._1 % 97 != 0), "OK",
+          HttpServiceConfig(ep, batchSize = 64, maxInFlight = 4,
+            maxRetries = 2, baseBackoffMs = 2))
+        val poisoned = run(docs.filter(_._1 % 97 == 0), "POISON",
+          HttpServiceConfig(ep, batchSize = 1, maxInFlight = 4,
+            maxRetries = 1, baseBackoffMs = 1))
+        clean.union(poisoned).toDF("doc_id", "n_tok", "status")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(len(toks) AS BIGINT) END AS n_tok,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'failed' ELSE 'completed' END AS status
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
     Q("s10_status_counts",
       (s, dir) => {
         import s.implicits._

@@ -195,4 +195,65 @@ object HttpInference {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Array.fill(bb.remaining() / 4)(bb.getFloat)
   }
+
+  /** UTF-8 text → base64 (texts may contain tabs/newlines — the line
+    * protocols b64 them so one input is always one line). */
+  def b64t(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def unb64t(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+}
+
+/** In-process line-protocol service FIXTURE for [[HttpInference]] — the
+  * operator's encoder dual, in the same spirit as [[Mp3Encoder]] /
+  * `AudioProbe.Mint`: the engine mints a deterministic service so the
+  * external-service path can run inside the correctness gate (local
+  * loopback, JDK built-in server, no dependency). `respond` maps
+  * request lines to response lines; any request whose body contains
+  * `poisonMarker` answers HTTP 500 unconditionally — the injected-fault
+  * leg that drives the retry-exhaustion → S10 path deterministically.
+  * Richer fault shapes (transient 500s, timeouts, 404s, concurrency
+  * accounting) live in the test-side stub.
+  */
+final class LineService(respond: Seq[String] => Seq[String],
+                        poisonMarker: Option[String] = None) extends AutoCloseable {
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  // DAEMON threads: a session-lifetime fixture service must never keep
+  // the JVM alive — a non-daemon pool deadlocks exit (the shutdown hook
+  // that would close the server only runs once exit has begun)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "line-service")
+    t.setDaemon(true)
+    t
+  }))
+  server.createContext("/infer", (ex: com.sun.net.httpserver.HttpExchange) => {
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (poisonMarker.exists(body.contains)) {
+      ex.sendResponseHeaders(500, -1)
+      ex.close()
+    } else {
+      val out = respond(body.split("\n", -1).toSeq.filter(_.nonEmpty))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, if (out.isEmpty) -1 else out.length.toLong)
+      if (out.nonEmpty) ex.getResponseBody.write(out)
+      ex.close()
+    }
+  })
+  // start() spawns the server's internal HTTP-Dispatcher thread, which
+  // inherits daemon status from the CREATING thread — start from a
+  // short-lived daemon thread so the dispatcher (non-daemon by default)
+  // can never hold the JVM open after main returns
+  locally {
+    val starter = new Thread(() => server.start(), "line-service-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+  }
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}/infer"
+  def close(): Unit = server.stop(0)
 }

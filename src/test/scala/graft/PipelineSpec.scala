@@ -511,6 +511,21 @@ class PipelineSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("LineService fixture: clean lines served, poisoned body exhausts retries into S10 rows") {
+    import graft.pipeline.{HttpInference, HttpServiceConfig, LineService}
+    val svc = new LineService(_.map(_.toUpperCase), poisonMarker = Some("BAD"))
+    try {
+      val cfg = HttpServiceConfig(svc.endpoint, batchSize = 1, maxInFlight = 2,
+        maxRetries = 1, baseBackoffMs = 2)
+      val ds = spark.createDataset(Seq("ok1", "BADx", "ok2")).coalesce(1)
+      val out = HttpInference.mapService[String, String](ds, cfg,
+        xs => xs.mkString("\n").getBytes("UTF-8"),
+        b => new String(b, "UTF-8").split("\n", -1).toSeq.filter(_.nonEmpty),
+        (x, _) => s"FAIL:$x").collect().toSeq
+      assert(out == Seq("OK1", "FAIL:BADx", "OK2"), s"got $out")
+    } finally svc.close()
+  }
+
   test("external-service embedding equals the local mock path float-for-float") {
     import graft.pipeline.HttpServiceConfig
     val audio = Seq(fixture("a"), fixture("b")).toDS()
