@@ -6582,6 +6582,46 @@ FROM ag ORDER BY lang""")),
         |  CAST(bd.pos AS DOUBLE) / CAST(bd.n AS DOUBLE) AS raw, c.calibrated
         |FROM bd JOIN c ON c.i = bd.bin ORDER BY bd.bin""".stripMargin)),
 
+    // L131 — FEISTEL EPOCH SHUFFLE: exact bijective per-epoch
+    // permutation of the id domain (4-round Feistel, md5 round
+    // function) — every doc exactly once per epoch BY CONSTRUCTION,
+    // O(1) seek via the inverse, identical replay on restart. Pure
+    // per-row column expressions, no shuffle at any corpus size. The
+    // oracle replays permute AND invert round-by-round: `recovered`
+    // must equal doc_id on every row — bijectivity is checked
+    // structurally, not statistically.
+    Q("c_epoch_shuffle",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        Seq(0, 1).map { e =>
+          docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
+              Curation.feistelPermute(col("doc_id"), e).as("perm"))
+            .withColumn("recovered", Curation.feistelInvert(col("perm"), e))
+        }.reduce(_ unionByName _).orderBy(col("epoch"), col("perm"))
+      },
+      Some("""WITH e(epoch) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))),
+        |s0 AS (SELECT e.epoch, d.doc_id,
+        |  doc_id // 65536 AS l0, doc_id % 65536 AS r0 FROM documents d, e),
+        |s1 AS (SELECT epoch, doc_id, r0 AS l1, xor(l0,
+        |  ('0x' || substr(md5(concat(CAST(r0 AS VARCHAR), '|0|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS r1 FROM s0),
+        |s2 AS (SELECT epoch, doc_id, r1 AS l2, xor(l1,
+        |  ('0x' || substr(md5(concat(CAST(r1 AS VARCHAR), '|1|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS r2 FROM s1),
+        |s3 AS (SELECT epoch, doc_id, r2 AS l3, xor(l2,
+        |  ('0x' || substr(md5(concat(CAST(r2 AS VARCHAR), '|2|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS r3 FROM s2),
+        |s4 AS (SELECT epoch, doc_id, r3 AS l4, xor(l3,
+        |  ('0x' || substr(md5(concat(CAST(r3 AS VARCHAR), '|3|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS r4 FROM s3),
+        |p AS (SELECT epoch, doc_id, l4 * 65536 + r4 AS perm, l4, r4 FROM s4),
+        |i3 AS (SELECT epoch, doc_id, perm, xor(r4,
+        |  ('0x' || substr(md5(concat(CAST(l4 AS VARCHAR), '|3|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS l3, l4 AS r3 FROM p),
+        |i2 AS (SELECT epoch, doc_id, perm, xor(r3,
+        |  ('0x' || substr(md5(concat(CAST(l3 AS VARCHAR), '|2|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS l2, l3 AS r2 FROM i3),
+        |i1 AS (SELECT epoch, doc_id, perm, xor(r2,
+        |  ('0x' || substr(md5(concat(CAST(l2 AS VARCHAR), '|1|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS l1, l2 AS r1 FROM i2),
+        |i0 AS (SELECT epoch, doc_id, perm, xor(r1,
+        |  ('0x' || substr(md5(concat(CAST(l1 AS VARCHAR), '|0|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS l0, l1 AS r0 FROM i1)
+        |SELECT epoch, doc_id, perm, l0 * 65536 + r0 AS recovered FROM i0
+        |ORDER BY epoch, perm""".stripMargin)),
+
     // L80 — RENDEZVOUS (HRW) SHARDING: shard = argmax over s of
     // md5(id|s) — scaling k→k+1 moves docs only TO the new shard
     // (~1/(k+1) of the layout), never between old ones; entirely

@@ -1499,6 +1499,62 @@ object Curation {
     * the caller's map-side-combined groupBy), so the O(nBins³) interval
     * enumeration is bounded by a constant, never by |docs|.
     */
+  /** L131 — FEISTEL EPOCH SHUFFLE: an exact bijective pseudo-random
+    * permutation of the id domain [0, 2³²) per training epoch — the
+    * deterministic reshuffle a multi-epoch training run wants: every
+    * doc appears EXACTLY once per epoch (bijective by construction,
+    * not by sort-uniqueness), the order differs per epoch, any
+    * position is seekable in O(1) (apply the inverse — no sort, no
+    * state, no shuffle), and a restarted job replays the identical
+    * order. A 4-round balanced Feistel network over 16-bit halves;
+    * the round function is the first 16 md5 bits of
+    * `r|round|epoch` — pure column expressions (codegen'd, no UDF),
+    * mirrored verbatim by an external SQL engine.
+    *
+    * Scale shape: embarrassingly parallel — a per-row expression
+    * chain, no shuffle at any corpus size; reading in shuffled order
+    * is a sort by the permuted key ONLY if a materialized order is
+    * wanted (the usual shuffle-sort); a streaming reader instead walks
+    * positions and applies [[feistelInvert]] to seek.
+    */
+  def feistelPermute(id: Column, epoch: Int, rounds: Int = 4): Column = {
+    var l = shiftright(id.cast("long"), 16)
+    var r = id.cast("long").bitwiseAND(lit(65535L))
+    var round = 0
+    while (round < rounds) {
+      val f = feistelF(r, round, epoch)
+      val nl = r
+      val nr = l.bitwiseXOR(f)
+      l = nl; r = nr
+      round += 1
+    }
+    (l * lit(65536L) + r).cast("long")
+  }
+
+  /** Inverse of [[feistelPermute]] — runs the rounds backwards; proves
+    * bijectivity structurally (`invert(permute(id)) == id` for every
+    * id, which the registered oracle checks row-by-row).
+    */
+  def feistelInvert(perm: Column, epoch: Int, rounds: Int = 4): Column = {
+    var l = shiftright(perm.cast("long"), 16)
+    var r = perm.cast("long").bitwiseAND(lit(65535L))
+    var round = rounds - 1
+    while (round >= 0) {
+      val f = feistelF(l, round, epoch)
+      val nr = l
+      val nl = r.bitwiseXOR(f)
+      l = nl; r = nr
+      round -= 1
+    }
+    (l * lit(65536L) + r).cast("long")
+  }
+
+  /** The 16-bit round function: first 4 hex digits of
+    * md5("r|round|epoch"). */
+  private def feistelF(r: Column, round: Int, epoch: Int): Column =
+    conv(substring(md5(concat_ws("|", r.cast("long"), lit(round), lit(epoch))), 1, 4),
+      16, 10).cast("long")
+
   def isotonicCalibrate(binned: DataFrame): DataFrame = {
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1721,6 +1721,26 @@ class OpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("L131 feistelPermute: bijective, invertible, epoch-distinct") {
+    import graft.ops.Curation
+    val ids = spark.range(0, 2000).toDF("id")
+      .union(Seq(65536L, 1000000L, 4294967295L).toDF("id"))
+    val out = ids.select(col("id"),
+        Curation.feistelPermute(col("id"), 0).as("p0"),
+        Curation.feistelPermute(col("id"), 1).as("p1"))
+      .withColumn("r0", Curation.feistelInvert(col("p0"), 0))
+      .withColumn("r1", Curation.feistelInvert(col("p1"), 1))
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(3) == r.getLong(0) && r.getLong(4) == r.getLong(0)),
+      "invert(permute(id)) == id for both epochs")
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 32)),
+      "permutation stays inside the 2^32 domain")
+    val distinctP0 = rows.map(_.getLong(1)).distinct.length
+    assert(distinctP0 == rows.length, "epoch-0 images are all distinct (injective)")
+    assert(rows.count(r => r.getLong(1) == r.getLong(2)) < rows.length / 100,
+      "epoch 0 and epoch 1 orders are (almost everywhere) different")
+  }
+
   test("L129 isotonicCalibrate: minimax identity reproduces classic PAV pooling") {
     import graft.ops.Curation
     // rates .2 .6 .4 .8 (weights 5 each): bins 2/3 violate, PAV pools
