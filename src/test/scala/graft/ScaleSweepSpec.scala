@@ -89,6 +89,15 @@ class ScaleSweepSpec extends SparkSpec {
       scaledEmb(s), "vec_id", "embedding", minCos = 0.85).count() + 1)
   }
 
+  test("L126 semantic decontamination stays near-linear under ×9 scale") {
+    sweep("semantic_decon", s => {
+      val q = graft.ops.Similarity.quantize(scaledEmb(s), "vec_id", "embedding")
+      val cells = graft.ops.Similarity.ivfCells(q, "vec_id")
+      graft.ops.Similarity.semanticDecontaminate(
+        cells, q, "vec_id", probeMod = 37L, minCos = 0.30).count() + 1
+    })
+  }
+
   test("sessionization windows stay near-linear under ×9 key scale") {
     sweep("sessionize", s => {
       val ev = (0 until s).map { i =>
