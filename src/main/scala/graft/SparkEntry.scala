@@ -2275,6 +2275,47 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |UNION ALL SELECT query_id, CAST(3 AS BIGINT), s3, m3 FROM p3
         |ORDER BY query_id, sel_rank""".stripMargin)),
 
+    // L132 — GREEDY k-CENTER CORESET (farthest-point sampling): 4
+    // representatives, each wave one broadcast-scored corpus pass with
+    // a TakeOrdered argmin of the max-cos-to-selected. The oracle
+    // unrolls all four waves (greatest() chains = the max aggregate)
+    // and matches every selection score bit-for-bit.
+    Q("sim_coreset_fps",
+      (s, dir) => Similarity.coresetGreedy(sessionQuantEmb(s, dir), "vec_id", 4)
+        .orderBy(col("rank")),
+      Some(s"""WITH $quantSqlCte,
+        |r1 AS (SELECT MIN(vec_id) AS id FROM q),
+        |v1 AS (SELECT q.vec_id, q.qv, nm.nn FROM q JOIN nm USING(vec_id)
+        |  JOIN r1 ON q.vec_id = r1.id),
+        |c1 AS (SELECT q.vec_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*v1.qv[i])) AS BIGINT) AS DOUBLE)
+        |    /(sqrt(CAST(n.nn AS DOUBLE))*sqrt(CAST(v1.nn AS DOUBLE))) AS c
+        |  FROM q JOIN nm n USING(vec_id) CROSS JOIN v1 WHERE q.vec_id <> v1.vec_id),
+        |w2 AS (SELECT vec_id, c AS mc FROM c1 ORDER BY c, vec_id LIMIT 1),
+        |v2 AS (SELECT q.vec_id, q.qv, nm.nn FROM q JOIN nm USING(vec_id)
+        |  JOIN w2 ON q.vec_id = w2.vec_id),
+        |c2 AS (SELECT q.vec_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*v2.qv[i])) AS BIGINT) AS DOUBLE)
+        |    /(sqrt(CAST(n.nn AS DOUBLE))*sqrt(CAST(v2.nn AS DOUBLE))) AS c
+        |  FROM q JOIN nm n USING(vec_id) CROSS JOIN v2 WHERE q.vec_id <> v2.vec_id),
+        |m3 AS (SELECT c1.vec_id, greatest(c1.c, c2.c) AS mc
+        |  FROM c1 JOIN c2 ON c2.vec_id = c1.vec_id),
+        |w3 AS (SELECT vec_id, mc FROM m3 ORDER BY mc, vec_id LIMIT 1),
+        |v3 AS (SELECT q.vec_id, q.qv, nm.nn FROM q JOIN nm USING(vec_id)
+        |  JOIN w3 ON q.vec_id = w3.vec_id),
+        |c3 AS (SELECT q.vec_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*v3.qv[i])) AS BIGINT) AS DOUBLE)
+        |    /(sqrt(CAST(n.nn AS DOUBLE))*sqrt(CAST(v3.nn AS DOUBLE))) AS c
+        |  FROM q JOIN nm n USING(vec_id) CROSS JOIN v3 WHERE q.vec_id <> v3.vec_id),
+        |m4 AS (SELECT m3.vec_id, greatest(m3.mc, c3.c) AS mc
+        |  FROM m3 JOIN c3 ON c3.vec_id = m3.vec_id),
+        |w4 AS (SELECT vec_id, mc FROM m4 ORDER BY mc, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, CAST(-1.0 AS DOUBLE) AS sel_cos FROM r1
+        |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, mc FROM w2
+        |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, mc FROM w3
+        |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, mc FROM w4
+        |ORDER BY rank""".stripMargin)),
+
     // ANN RECALL AUDIT (the dedup_lsh_recall pattern extended to the
     // vector indexes): exhaustive quantized-cosine pairs at cos ≥ 0.45
     // on the documented bounded slice (vec_id < 1500) are ground truth;

@@ -805,6 +805,52 @@ object Similarity {
         col("dot"), col("cos"), col("n_hits"))
   }
 
+  /** L132 — GREEDY k-CENTER CORESET (farthest-point sampling), the
+    * classic data-pruning / representative-selection baseline: start
+    * from the smallest id, then k−1 times add the point most DIFFERENT
+    * from everything selected so far — argmin over the corpus of the
+    * max cosine to the selected set, ties to the smaller id. The
+    * selected k points 2-approximate the optimal k-center cover.
+    *
+    * Scale shape: each of the k−1 waves is ONE corpus pass — the ≤ k
+    * selected rows broadcast (anti-join to exclude them, cross to
+    * score), the per-point max is a map-side-combined aggregate, and
+    * the argmin is `TakeOrderedAndProject` (a reduce, not a sort). k is
+    * small and fixed; the loop composes plans, never moves data through
+    * the driver, and each wave's 4-row result is localCheckpoint-
+    * truncated so wave w never re-runs wave w−1's pass. All scores are
+    * exact-long dots + one double division — the oracle unrolls every
+    * wave and must match bit-for-bit.
+    *
+    * Output: (rank, id, sel_cos) — sel_cos is the winning max-cosine
+    * (the selection score; −1.0 for the seed, which has no prior set).
+    */
+  def coresetGreedy(q: DataFrame, idCol: String, k: Int = 4): DataFrame = {
+    LongArrayDot.register(q.sparkSession)
+    val withN = q.withColumn("nn", sqNorm(col("qv")))
+    var reps = withN.orderBy(col(idCol)).limit(1)
+      .select(col(idCol).as("rep_id"), col("qv").as("rqv"), col("nn").as("rnn"),
+        lit(1L).as("rank"), lit(-1.0).as("sel_cos"))
+      .localCheckpoint(true)
+    var step = 2
+    while (step <= k) {
+      val repsB = broadcast(reps.select(col("rep_id"), col("rqv"), col("rnn")))
+      val mc = withN
+        .join(repsB.select(col("rep_id")), col(idCol) === col("rep_id"), "left_anti")
+        .crossJoin(repsB)
+        .withColumn("c", expr(s"${LongArrayDot.fnName}(qv, rqv)").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("rnn").cast("double"))))
+        .groupBy(col(idCol)).agg(max(col("c")).as("mc"))
+      val winner = mc.join(withN, idCol)
+        .orderBy(col("mc"), col(idCol)).limit(1)
+        .select(col(idCol).as("rep_id"), col("qv").as("rqv"), col("nn").as("rnn"),
+          lit(step.toLong).as("rank"), col("mc").as("sel_cos"))
+      reps = reps.unionByName(winner).localCheckpoint(true)
+      step += 1
+    }
+    reps.select(col("rank"), col("rep_id").as(idCol), col("sel_cos"))
+  }
+
   final case class MmrCand(queryId: Long, neighborId: Long, rel: Double,
                            qv: Array[Long], nn: Long)
   final case class MmrPick(query_id: Long, sel_rank: Long, neighbor_id: Long,

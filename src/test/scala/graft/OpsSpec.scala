@@ -1721,6 +1721,25 @@ class OpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("L132 coresetGreedy: farthest-point order, seed = min id, covers the axes") {
+    import graft.ops.Similarity
+    // three orthogonal axes + near-dups of axis 0: FPS must pick the
+    // three axes (in farthest-first order) before any near-dup
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)),
+      (2L, Array(0.99f, 0.02f, 0f, 0f)),
+      (5L, Array(0f, 1f, 0f, 0f)),
+      (7L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantize(emb, "vec_id", "embedding")
+    val got = Similarity.coresetGreedy(q, "vec_id", 4).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // seed 0; farthest from 0 = an orthogonal axis (cos 0), tie -> min
+    // id 5; then 7 (max cos to {0,5} = 0); only then a near-dup
+    assert(got.toSeq == Seq((1L, 0L), (2L, 5L), (3L, 7L), (4L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
   test("L131 feistelPermute: bijective, invertible, epoch-distinct") {
     import graft.ops.Curation
     val ids = spark.range(0, 2000).toDF("id")
