@@ -2275,6 +2275,36 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |UNION ALL SELECT query_id, CAST(3 AS BIGINT), s3, m3 FROM p3
         |ORDER BY query_id, sel_rank""".stripMargin)),
 
+    // L133 — LATE-INTERACTION (ColBERT MaxSim) RETRIEVAL: both sides
+    // split into 4 sub-vector facets; pair score = Σ_i max_j
+    // dot(q_i, d_j) — per query facet the best doc facet, summed. All
+    // integer (dots, max, sum — order-free, partial-agg-commuting);
+    // query bag broadcast, corpus exploded ×4 once, two map-side
+    // aggregates + a top-k window.
+    Q("sim_late_interaction",
+      (s, dir) => Similarity.lateInteractionTopK(
+          sessionQuantEmb(s, dir).filter(col("vec_id") < 6),
+          sessionQuantEmb(s, dir), "vec_id", dim = 64, nSub = 4, k = 10)
+        .orderBy(col("query_id"), col("rnk")),
+      Some(s"""WITH $quantSqlCte,
+        |qs AS (SELECT vec_id AS query_id, i.i AS qi,
+        |  qv[CAST(i.i*16 + 1 AS INTEGER) : CAST(i.i*16 + 16 AS INTEGER)] AS qsub
+        |  FROM q, range(4) i(i) WHERE vec_id < 6),
+        |ds AS (SELECT vec_id AS neighbor_id, j.j AS dj,
+        |  qv[CAST(j.j*16 + 1 AS INTEGER) : CAST(j.j*16 + 16 AS INTEGER)] AS dsub
+        |  FROM q, range(4) j(j)),
+        |dt AS (SELECT qs.query_id, ds.neighbor_id, qs.qi,
+        |  MAX(CAST(list_sum(list_transform(range(1,17), t -> qs.qsub[t]*ds.dsub[t])) AS BIGINT)) AS ms
+        |  FROM qs JOIN ds ON ds.neighbor_id <> qs.query_id
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, neighbor_id, CAST(SUM(ms) AS BIGINT) AS score
+        |  FROM dt GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, rnk, neighbor_id, score FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin)),
+
     // L132 — GREEDY k-CENTER CORESET (farthest-point sampling): 4
     // representatives, each wave one broadcast-scored corpus pass with
     // a TakeOrdered argmin of the max-cos-to-selected. The oracle
@@ -6662,6 +6692,55 @@ FROM ag ORDER BY lang""")),
         |  ('0x' || substr(md5(concat(CAST(l1 AS VARCHAR), '|0|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS l0, l1 AS r0 FROM i1)
         |SELECT epoch, doc_id, perm, l0 * 65536 + r0 AS recovered FROM i0
         |ORDER BY epoch, perm""".stripMargin)),
+
+    // L134 — LUHN-VALIDATED CARD SCRUBBING: the corpus has no card
+    // numbers, so candidates are minted doc_id-derived IDENTICALLY in
+    // both engines (the c_pii_scrub convention) via the shared
+    // check-digit dual — even docs get the valid check digit, odd docs
+    // get it off by one. The engine then re-validates every candidate
+    // with the Luhn HOF chain and scrubs ONLY checksum-valid numbers:
+    // regex-matching but Luhn-failing strings (order ids, tracking
+    // numbers) are kept, the precision gate regex-only PII lacks.
+    Q("c_pii_luhn",
+      (s, dir) => {
+        val prefix = concat(lit("4"),
+          lpad(pmod(col("doc_id"), lit(100000000L)).cast("string"), 8, "0"),
+          lit("123456"))
+        val check = Curation.luhnCheckDigit(prefix)
+        val digit = when(pmod(col("doc_id"), lit(2L)) === 0, check)
+          .otherwise(pmod(check + 1, lit(10)))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), concat(prefix, digit.cast("string")).as("candidate"))
+          .withColumn("luhn_ok", Curation.luhnValid(col("candidate")))
+          .withColumn("clean",
+            when(col("luhn_ok"), lit("<CARD>")).otherwise(col("candidate")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |  concat('4', lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0'), '123456') AS pre
+        |  FROM documents),
+        |k AS (SELECT doc_id, pre,
+        |  (10 - (list_sum(list_transform(range(1, strlen(pre) + 1), i ->
+        |    CASE WHEN (strlen(pre) + 1 - i + 1) % 2 = 0 THEN
+        |      CASE WHEN CAST(substr(pre, CAST(i AS INTEGER), 1) AS INTEGER)*2 > 9
+        |        THEN CAST(substr(pre, CAST(i AS INTEGER), 1) AS INTEGER)*2 - 9
+        |        ELSE CAST(substr(pre, CAST(i AS INTEGER), 1) AS INTEGER)*2 END
+        |      ELSE CAST(substr(pre, CAST(i AS INTEGER), 1) AS INTEGER) END)) % 10)) % 10 AS chk
+        |  FROM p),
+        |c AS (SELECT doc_id, concat(pre,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN chk ELSE (chk + 1) % 10 END AS VARCHAR)) AS candidate
+        |  FROM k),
+        |v AS (SELECT doc_id, candidate,
+        |  (list_sum(list_transform(range(1, strlen(candidate) + 1), i ->
+        |    CASE WHEN (strlen(candidate) - i + 1) % 2 = 0 THEN
+        |      CASE WHEN CAST(substr(candidate, CAST(i AS INTEGER), 1) AS INTEGER)*2 > 9
+        |        THEN CAST(substr(candidate, CAST(i AS INTEGER), 1) AS INTEGER)*2 - 9
+        |        ELSE CAST(substr(candidate, CAST(i AS INTEGER), 1) AS INTEGER)*2 END
+        |      ELSE CAST(substr(candidate, CAST(i AS INTEGER), 1) AS INTEGER) END)) % 10 = 0) AS luhn_ok
+        |  FROM c)
+        |SELECT doc_id, candidate, luhn_ok,
+        |  CASE WHEN luhn_ok THEN '<CARD>' ELSE candidate END AS clean
+        |FROM v ORDER BY doc_id""".stripMargin)),
 
     // L80 — RENDEZVOUS (HRW) SHARDING: shard = argmax over s of
     // md5(id|s) — scaling k→k+1 moves docs only TO the new shard

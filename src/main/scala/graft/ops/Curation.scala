@@ -1499,6 +1499,44 @@ object Curation {
     * the caller's map-side-combined groupBy), so the O(nBins³) interval
     * enumeration is bounded by a constant, never by |docs|.
     */
+  /** L134 — LUHN mod-10 validation of a digit string (the payment-card
+    * checksum): double every second digit from the RIGHT, subtract 9
+    * when the double exceeds 9, valid iff the sum is ≡ 0 (mod 10).
+    * The precision gate card-number scrubbing needs on top of the
+    * 16-digit regex — order ids and tracking numbers match the regex
+    * but fail the checksum, and redacting them is real data loss. Pure
+    * HOFs over the digit positions (codegen'd, no UDF), mirrored
+    * digit-for-digit by an external SQL engine.
+    */
+  def luhnValid(number: Column): Column =
+    pmod(luhnSum(number, lit(0)), lit(10)) === 0
+
+  /** The check digit that makes `prefix` + digit Luhn-valid (the
+    * fixture-minting dual of [[luhnValid]] — lets both engines mint
+    * the same valid/invalid candidates deterministically).
+    */
+  def luhnCheckDigit(prefix: Column): Column =
+    pmod(lit(10) - pmod(luhnSum(prefix, lit(1)), lit(10)), lit(10))
+
+  /** Luhn sum of `digits` when followed by `tailLen` more digits in the
+    * full number: digit i (1-based from the left, n = length) sits at
+    * position n + tailLen − i + 1 from the right and doubles when that
+    * position is even.
+    */
+  private def luhnSum(digits: Column, tailLen: Column): Column = {
+    val n = length(digits)
+    aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = element_at(split(digits, ""), i).cast("int")
+        val fromRight = n + tailLen - i + lit(1)
+        val dd = when(pmod(fromRight, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+  }
+
   /** L131 — FEISTEL EPOCH SHUFFLE: an exact bijective pseudo-random
     * permutation of the id domain [0, 2³²) per training epoch — the
     * deterministic reshuffle a multi-epoch training run wants: every

@@ -851,6 +851,52 @@ object Similarity {
     reps.select(col("rank"), col("rep_id").as(idCol), col("sel_cos"))
   }
 
+  /** L133 — LATE-INTERACTION (ColBERT-style MaxSim) RETRIEVAL: each
+    * side is a BAG of sub-vectors and the pair score is
+    * `Σ_i max_j dot(q_i, d_j)` — per query sub-vector, the best-
+    * matching doc sub-vector, summed. The aggregation shape single-
+    * vector cosine can't express: a near-dup of one query FACET scores
+    * that facet fully even when the doc's other facets differ. Here
+    * the sub-vector bags come from an even split of the quantized
+    * embedding into `nSub` slices (the multi-vector shape; a real
+    * deployment feeds per-token vectors through the same plan).
+    *
+    * Kept EXACT end-to-end: raw integer dots (late interaction over
+    * pre-normalized embeddings uses dots, not cosines), max over longs,
+    * sum over longs — both order-free, so partial aggregation commutes
+    * and an external engine matches bit-for-bit (a double-sum here
+    * would be association-sensitive across partitions).
+    *
+    * Scale shape: the query bag broadcasts; the corpus explodes ×nSub
+    * once and streams through one fused-dot projection, a max
+    * aggregate, a sum aggregate, and a per-query top-k window — no
+    * shuffle of the corpus beyond the two map-side-combined aggregates
+    * keyed by (query, doc).
+    */
+  def lateInteractionTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                          dim: Int, nSub: Int, k: Int): DataFrame = {
+    LongArrayDot.register(queries.sparkSession)
+    val w = dim / nSub
+    def sub(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        posexplode(array((0 until nSub).map(i =>
+          slice(col("qv"), i * w + 1, w)): _*)).as(Seq(s"${id}_i", s"${id}_sub")))
+    val qs = sub(queries, "query_id")
+    val ds = sub(corpus, "neighbor_id")
+    val maxSim = ds.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", expr(s"${LongArrayDot.fnName}(query_id_sub, neighbor_id_sub)"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("query_id_i"))
+      .agg(max(col("d")).as("ms"))
+    val scored = maxSim.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("ms")).as("score"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
   final case class MmrCand(queryId: Long, neighborId: Long, rel: Double,
                            qv: Array[Long], nn: Long)
   final case class MmrPick(query_id: Long, sel_rank: Long, neighbor_id: Long,

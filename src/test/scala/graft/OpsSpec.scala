@@ -1721,6 +1721,40 @@ class OpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("L134 luhnValid/luhnCheckDigit: canonical vectors and the mint-validate duality") {
+    import graft.ops.Curation
+    val df = Seq("79927398713", "79927398714", "4539578763621486")
+      .toDF("num")
+      .select(col("num"), Curation.luhnValid(col("num")).as("ok"))
+    val got = df.collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(got("79927398713"), "the canonical valid Luhn number")
+    assert(!got("79927398714"), "off-by-one check digit must fail")
+    val chk = Seq("7992739871").toDF("pre")
+      .select(Curation.luhnCheckDigit(col("pre")).as("d")).collect().head.getInt(0)
+    assert(chk == 3, s"check digit of 7992739871 is 3, got $chk")
+  }
+
+  test("L133 lateInteractionTopK: facet-permutation invariance, partial facet match scores partially") {
+    import graft.ops.Similarity
+    // query [1,0 | 0,1]; doc 1 identical, doc 2 = facets SWAPPED (MaxSim
+    // must score it identically — facet order is irrelevant), doc 3
+    // matches only facet 0
+    val quant = (s: Seq[(Long, Array[Float])]) =>
+      Similarity.quantize(s.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val qdf = quant(Seq((100L, Array(1f, 0f, 0f, 1f))))
+    val corpus = quant(Seq(
+      (1L, Array(1f, 0f, 0f, 1f)),
+      (2L, Array(0f, 1f, 1f, 0f)),
+      (3L, Array(1f, 0f, 1f, 0f))))
+    val got = Similarity.lateInteractionTopK(qdf, corpus, "vec_id",
+        dim = 4, nSub = 2, k = 3)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val e8 = 100000000L
+    assert(got.toSeq == Seq((1L, 1L, 2 * e8), (2L, 2L, 2 * e8), (3L, 3L, e8)),
+      s"got ${got.toSeq}")
+  }
+
   test("L132 coresetGreedy: farthest-point order, seed = min id, covers the axes") {
     import graft.ops.Similarity
     // three orthogonal axes + near-dups of axis 0: FPS must pick the
