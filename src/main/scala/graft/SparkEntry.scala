@@ -1809,6 +1809,50 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |  CAST(u.dup_toks AS DOUBLE) / CAST(n.n_toks AS DOUBLE) AS dup_frac
         |FROM u JOIN n ON n.doc_id = u.doc_id ORDER BY u.doc_id""".stripMargin)),
 
+    // L135 — SPAN SURGERY: the end product of substring dedup (the Lee
+    // et al. 2022 pipeline CUTS the duplicated spans): every token
+    // position a doc contributes as the LATER (b) side of a span pair
+    // is removed — first occurrence keeps its text — and the cleaned
+    // document is rebuilt as the canonical single-space token join.
+    // Overlap needs no pre-merge: removal is the set union of covered
+    // positions, decided per token by an exists() HOF over the doc's
+    // own collected span list (no range join).
+    Q("dedup_span_surgery",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.removeDupSpans(docs,
+            Dedup.substringDupSpans(docs, "doc_id", "text", 10),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |tt AS (SELECT doc_id, unnest(range(len(toks) - 9)) AS i FROM d WHERE len(toks) >= 10),
+        |g AS (SELECT t.doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    array_to_string(d.toks[CAST(t.i + 1 AS INTEGER):CAST(t.i + 10 AS INTEGER)], ' ') AS gram
+        |  FROM tt t JOIN d ON d.doc_id = t.doc_id),
+        |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+        |runs AS (SELECT a, b, pa - pb AS diag, pa,
+        |  pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp FROM m),
+        |sp AS (SELECT b AS doc_id, CAST(MIN(pa) - diag AS BIGINT) AS s,
+        |  CAST(MIN(pa) - diag + COUNT(*) + 9 AS BIGINT) AS e
+        |  FROM runs GROUP BY a, b, diag, grp),
+        |tp AS (SELECT doc_id, unnest(range(len(toks))) AS i FROM d),
+        |tk AS (SELECT t.doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    d.toks[CAST(t.i + 1 AS INTEGER)] AS tok
+        |  FROM tp t JOIN d ON d.doc_id = t.doc_id),
+        |rm AS (SELECT DISTINCT tk.doc_id, tk.pos FROM tk
+        |  JOIN sp ON sp.doc_id = tk.doc_id AND tk.pos >= sp.s AND tk.pos < sp.e),
+        |keep AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+        |  LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.pos = tk.pos
+        |  WHERE rm.pos IS NULL),
+        |res AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_toks,
+        |  CAST(len(d.toks) AS BIGINT) - COALESCE(res.n_kept, 0) AS n_removed,
+        |  COALESCE(res.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN res ON res.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
     // Dedup — embedding-cosine near-dups on integer-quantized vectors
     // (exact longs: summation-order-free, bit-identical across engines).
     // The all-pairs kernel is the VERIFY BASELINE, registered on a

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -683,6 +683,47 @@ object Dedup {
     * Output: (a, b, a_start, b_start, span_len) with a < b, offsets
     * 0-based in tokens, one row per maximal shared span.
     */
+  /** L135 — SPAN SURGERY: the END PRODUCT of substring dedup (Lee et
+    * al. 2022 actually CUT the duplicated spans, not the documents):
+    * given the [[substringDupSpans]] pair table, remove from each
+    * doc every token position it contributes as the LATER (`b`) side —
+    * first occurrence keeps its text — and rebuild the cleaned
+    * document. Overlapping spans need no pre-merge: a position is
+    * dropped iff ANY span covers it (set union of positions), which an
+    * `exists` HOF over the doc's own collected span list decides
+    * per-token without a range join.
+    *
+    * Scale shape: one groupBy of the span table keyed by doc (span
+    * count per doc is bounded by its dup structure — the same envelope
+    * [[substringDupSpans]]'s output already has), one equi LEFT join
+    * onto the corpus, then pure per-row array HOFs. The rebuilt text is
+    * the single-space token join (the tokenizer's canonical form, same
+    * both engines).
+    *
+    * Output: (id, n_toks, n_removed, clean_text).
+    */
+  def removeDupSpans(docs: DataFrame, spans: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val bIv = spans.select(col("b").as(idCol),
+        struct(col("b_start").as("s"),
+          (col("b_start") + col("span_len")).as("e")).as("iv"))
+      .groupBy(col(idCol)).agg(collect_list(col("iv")).as("__ivs"))
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .join(bIv, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__ivs"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("__ivs"))
+      .withColumn("__kept", filter(
+        transform(col("__toks"),
+          (t: Column, i: Column) => struct(i.cast("long").as("pos"), t.as("tok"))),
+        p => !exists(col("__ivs"),
+          iv => p("pos") >= iv("s") && p("pos") < iv("e"))))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_toks"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("__kept"), p => p("tok"))).as("clean_text"))
+  }
+
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, maxSeedDf: Option[Long] = None): DataFrame = {
     require(k >= 2, s"seed width k must be >= 2, got $k")

@@ -1721,6 +1721,25 @@ class OpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("L135 removeDupSpans: later doc loses the shared span, first occurrence and clean docs intact") {
+    import graft.ops.Dedup
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(docs, "doc_id", "text", 10)
+    val got = Dedup.removeDupSpans(docs, spans, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == (1L, 15L, 0L, s"alpha beta $shared gamma"),
+      s"first occurrence keeps its text: ${got(0)}")
+    assert(got(1) == (2L, 14L, 12L, "delta epsilon"),
+      s"later doc loses exactly the 12 shared tokens: ${got(1)}")
+    assert(got(2) == (3L, 4L, 0L, "completely different words here"),
+      s"untouched doc passes through: ${got(2)}")
+  }
+
   test("L134 luhnValid/luhnCheckDigit: canonical vectors and the mint-validate duality") {
     import graft.ops.Curation
     val df = Seq("79927398713", "79927398714", "4539578763621486")

@@ -89,6 +89,14 @@ class ScaleSweepSpec extends SparkSpec {
       scaledEmb(s), "vec_id", "embedding", minCos = 0.85).count() + 1)
   }
 
+  test("L132 greedy coreset stays near-linear under ×9 scale (checkpoint truncation holds)") {
+    // each of the 3 selection waves is one corpus pass; a localCheckpoint
+    // regression (wave w re-running wave w-1) would push the exponent up
+    sweep("coreset_fps", s => graft.ops.Similarity.coresetGreedy(
+      graft.ops.Similarity.quantize(scaledEmb(s), "vec_id", "embedding"),
+      "vec_id", 4).count())
+  }
+
   test("L126 semantic decontamination stays near-linear under ×9 scale") {
     sweep("semantic_decon", s => {
       val q = graft.ops.Similarity.quantize(scaledEmb(s), "vec_id", "embedding")
