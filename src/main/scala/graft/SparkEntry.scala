@@ -2349,6 +2349,42 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |SELECT query_id, rnk, neighbor_id, score FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin)),
 
+    // L136 — DIMENSION-TRUNCATION RECALL AUDIT (Matryoshka serving):
+    // top-10 under the full 64 dims vs top-10 under the 16-dim prefix,
+    // per-query overlap + recall. Two broadcast top-k passes, one equi
+    // join; the oracle mirrors both rank chains.
+    Q("sim_truncation_recall",
+      (s, dir) => Similarity.truncationRecall(
+          sessionQuantEmb(s, dir).filter(col("vec_id") < 8),
+          sessionQuantEmb(s, dir), "vec_id", prefixDim = 16, k = 10)
+        .orderBy(col("query_id")),
+      Some(s"""WITH $quantSqlCte,
+        |p64 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      CAST(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE)
+        |        /(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) DESC, b.vec_id) AS rn
+        |  FROM q a JOIN q b ON a.vec_id < 8 AND a.vec_id <> b.vec_id
+        |  JOIN nm na ON na.vec_id = a.vec_id JOIN nm nb ON nb.vec_id = b.vec_id) t
+        |  WHERE rn <= 10),
+        |q16 AS (SELECT vec_id, qv[1:16] AS qv FROM q),
+        |n16 AS (SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nn FROM q16),
+        |p16 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      CAST(CAST(list_sum(list_transform(range(1,17), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE)
+        |        /(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) DESC, b.vec_id) AS rn
+        |  FROM q16 a JOIN q16 b ON a.vec_id < 8 AND a.vec_id <> b.vec_id
+        |  JOIN n16 na ON na.vec_id = a.vec_id JOIN n16 nb ON nb.vec_id = b.vec_id) t
+        |  WHERE rn <= 10),
+        |cm AS (SELECT p64.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM p64 JOIN p16 ON p16.query_id = p64.query_id
+        |    AND p16.neighbor_id = p64.neighbor_id GROUP BY 1)
+        |SELECT qq.vec_id AS query_id, COALESCE(cm.n_common, 0) AS n_common,
+        |  CAST(COALESCE(cm.n_common, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+        |FROM q qq LEFT JOIN cm ON cm.query_id = qq.vec_id
+        |WHERE qq.vec_id < 8 ORDER BY query_id""".stripMargin)),
+
     // L132 — GREEDY k-CENTER CORESET (farthest-point sampling): 4
     // representatives, each wave one broadcast-scored corpus pass with
     // a TakeOrdered argmin of the max-cos-to-selected. The oracle

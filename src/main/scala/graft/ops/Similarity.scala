@@ -897,6 +897,37 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
 
+  /** L136 — DIMENSION-TRUNCATION RECALL AUDIT (the Matryoshka/MRL
+    * question): serving truncated embeddings is the standard
+    * latency/storage lever — this measures what it costs, per query:
+    * top-k under the full vectors vs top-k under the first `prefixDim`
+    * dimensions, reporting the overlap count and recall. The audit
+    * shape of `sim_ann_recall` applied to dimensionality instead of
+    * candidate generation.
+    *
+    * Scale shape: two [[cosineTopK]] broadcast passes (the truncated
+    * side re-slices `qv` — no second quantize pass) and one equi join
+    * on (query, neighbor); queries with zero overlap still report via
+    * the left join from the query id list.
+    */
+  def truncationRecall(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       prefixDim: Int, k: Int): DataFrame = {
+    def trunc(df: DataFrame): DataFrame =
+      df.select(col(idCol), slice(col("qv"), 1, prefixDim).as("qv"))
+    val fullTop = cosineTopK(queries, corpus, idCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truncTop = cosineTopK(trunc(queries), trunc(corpus), idCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val common = fullTop.join(truncTop, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    queries.select(col(idCol).as("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double")
+          / lit(k).cast("double")).as("recall"))
+  }
+
   final case class MmrCand(queryId: Long, neighborId: Long, rel: Double,
                            qv: Array[Long], nn: Long)
   final case class MmrPick(query_id: Long, sel_rank: Long, neighbor_id: Long,
