@@ -704,9 +704,25 @@ object Dedup {
     */
   def removeDupSpans(docs: DataFrame, spans: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
-    val bIv = spans.select(col("b").as(idCol),
-        struct(col("b_start").as("s"),
-          (col("b_start") + col("span_len")).as("e")).as("iv"))
+    // Pre-merge each doc's spans into DISJOINT intervals (sort + running
+    // max + group). The kept-token set is invariant (removal is a
+    // position-set union), but a viral boilerplate doc can carry
+    // thousands of overlapping spans — merging bounds the per-token
+    // exists() at ≤ n_toks/2 intervals instead of the raw pair count,
+    // killing the straggler a hot doc would otherwise become.
+    val raw = spans.select(col("b").as(idCol), col("b_start").as("s"),
+      (col("b_start") + col("span_len")).as("e"))
+    val ord = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val bIv = raw
+      .withColumn("__brk",
+        when(col("s") > coalesce(max(col("e")).over(prev), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__gid", sum(col("__brk"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__gid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .select(col(idCol), struct(col("s"), col("e")).as("iv"))
       .groupBy(col(idCol)).agg(collect_list(col("iv")).as("__ivs"))
     docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .join(bIv, Seq(idCol), "left")

@@ -1740,6 +1740,20 @@ class OpsSpec extends SparkSpec {
       s"untouched doc passes through: ${got(2)}")
   }
 
+  test("L135 removeDupSpans: a thousand overlapping spans on one hot doc merge before the HOF") {
+    import graft.ops.Dedup
+    val text = (1 to 500).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // staggered windows all inside [10, 399) — the viral-boilerplate shape
+    val spans = (0 until 1000).map(i => (0L, 1L, 0L, (10 + i % 300).toLong, 90L))
+      .toDF("a", "b", "a_start", "b_start", "span_len")
+    val got = Dedup.removeDupSpans(docs, spans, "doc_id", "text").collect().head
+    assert(got.getLong(1) == 500L && got.getLong(2) == 389L,
+      s"union of the staggered spans is [10,399): $got")
+    assert(got.getString(3).startsWith("w1 w2") && got.getString(3).contains("w400"),
+      "tokens outside the union survive")
+  }
+
   test("L134 luhnValid/luhnCheckDigit: canonical vectors and the mint-validate duality") {
     import graft.ops.Curation
     val df = Seq("79927398713", "79927398714", "4539578763621486")
