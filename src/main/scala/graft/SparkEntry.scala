@@ -6143,6 +6143,48 @@ FROM ag ORDER BY lang""")),
         |    < (tot_fam::HUGEINT * n_bigrams::HUGEINT) AS low_familiarity
         |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin)),
 
+    // L137 — LM NEXT-TOKEN TOP-K: per top-20 context word, the 3 most
+    // likely continuations under the SAME session-memoized bigram
+    // model tables the familiarity gate joins, with the identical
+    // Laplace-smoothed scaled-integer probability — the completion
+    // table an engineer reads to sanity-check the trained filter model.
+    Q("c_lm_next_token",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val (c2, c1, vocab) = lmModelCache.computeIfAbsent(
+          (s, dir), { _ =>
+            val m = Curation.lmModel(base.filter(col("lang") === "en"), "text")
+            m._1.cache().count(); m._2.cache().count(); m._3.cache().count()
+            m
+          })
+        Curation.lmNextTokenTopK(c2, c1, vocab,
+            nContexts = 20, k = 3, scale = 1000000L)
+          .orderBy(col("ctx"), col("rnk"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |tt AS (SELECT doc_id, lang, unnest(toks) AS tok,
+        |    unnest(range(len(toks))) AS i FROM d),
+        |bg0 AS (SELECT doc_id, lang, tok AS w1, tok || ' ' || lead(tok, 1)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS g FROM tt),
+        |bg AS (SELECT doc_id, lang, w1, g FROM bg0 WHERE g IS NOT NULL),
+        |c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+        |  WHERE lang = 'en' GROUP BY 1),
+        |c1 AS (SELECT tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tt
+        |  WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+        |ctx AS (SELECT w1 AS ctx, c1 AS ctx_n FROM c1
+        |  ORDER BY c1 DESC, w1 LIMIT 20),
+        |nx AS (SELECT ctx.ctx, ctx.ctx_n,
+        |    string_split(c2.g, ' ')[2] AS next_tok, c2.c2 AS cnt
+        |  FROM c2 JOIN ctx ON string_split(c2.g, ' ')[1] = ctx.ctx),
+        |p AS (SELECT ctx, next_tok, cnt,
+        |  CAST((1000000 * (cnt + 1)) // (ctx_n + v.v) AS BIGINT) AS p_scaled,
+        |  CAST(row_number() OVER (PARTITION BY ctx
+        |    ORDER BY cnt DESC, next_tok) AS BIGINT) AS rnk
+        |  FROM nx CROSS JOIN v)
+        |SELECT ctx, rnk, next_tok, cnt, p_scaled FROM p WHERE rnk <= 3
+        |ORDER BY ctx, rnk""".stripMargin)),
+
     // L65 — BM25 KEYWORD RETRIEVAL top-k: data-derived probe terms (5
     // highest-df tokens of length >= 5), scored with the integer-exact
     // BM25 surrogate (k1=6/5, b=3/4, odds-ratio idf — Retrieval.bm25TopK)

@@ -1054,6 +1054,38 @@ object Curation {
             * col("n_bigrams").cast("decimal(38,0)")).as("low_familiarity"))
   }
 
+  /** L137 — LM NEXT-TOKEN TOP-K: the generation-side introspection of
+    * the [[lmModel]] bigram tables — for each of the `nContexts` most
+    * frequent context words, the k most likely continuations with the
+    * SAME Laplace-smoothed scaled-integer probability the familiarity
+    * gate uses (`scale·(c2+1) div (c1+v)`). What a data-quality
+    * engineer reads to sanity-check the trained filter model ("does
+    * 'the' continue like English?") and the completion table a
+    * bigram-LM decontamination baseline samples from.
+    *
+    * Scale shape: contexts are a TakeOrdered top-N of the unigram
+    * table (broadcast); the bigram table streams through one equi join
+    * + per-context top-k window bounded by the context list. All
+    * integer.
+    */
+  def lmNextTokenTopK(c2: DataFrame, c1: DataFrame, vocab: DataFrame,
+                      nContexts: Int, k: Int, scale: Long): DataFrame = {
+    val ctx = c1.orderBy(col("c1").desc, col("w1")).limit(nContexts)
+      .select(col("w1").as("ctx"), col("c1").as("ctx_n"))
+    val nxt = c2
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+      .join(broadcast(ctx), col("w1") === col("ctx"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_scaled", expr(s"($scale * (c2 + 1L)) div (ctx_n + v)"))
+    val win = Window.partitionBy(col("ctx"))
+      .orderBy(col("c2").desc, col("w2"))
+    nxt.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("ctx"), col("rnk"), col("w2").as("next_tok"),
+        col("c2").as("cnt"), col("p_scaled"))
+  }
+
   /** URL/DOMAIN BLOCKLIST gate (the RefinedWeb/UT1 filtering stage:
     * Penedo et al. 2023 §3.1 drop documents whose source URL hits a
     * curated domain blocklist or whose path carries flagged words).
