@@ -6185,6 +6185,62 @@ FROM ag ORDER BY lang""")),
         |SELECT ctx, rnk, next_tok, cnt, p_scaled FROM p WHERE rnk <= 3
         |ORDER BY ctx, rnk""".stripMargin)),
 
+    // L138 — DoReMi-STYLE MIXTURE REWEIGHTING: one integer-exact round
+    // of the multiplicative-weights loop — per-source familiarity vs
+    // the corpus mean (cross-multiplied, no division), hard sources
+    // double their weight, Hamilton re-allocates the 1M-slot budget.
+    // Reuses the session-memoized model tables.
+    Q("c_doremi_reweight",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val (c2, c1, vocab) = lmModelCache.computeIfAbsent(
+          (s, dir), { _ =>
+            val m = Curation.lmModel(base.filter(col("lang") === "en"), "text")
+            m._1.cache().count(); m._2.cache().count(); m._3.cache().count()
+            m
+          })
+        Curation.doremiReweight(base, "source", "text", c2, c1, vocab,
+            scale = 1000000L, budget = 1000000L)
+          .orderBy(col("source"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, lang, source,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+        |tt AS (SELECT doc_id, lang, source, unnest(toks) AS tok,
+        |    unnest(range(len(toks))) AS i FROM dd),
+        |bg0 AS (SELECT doc_id, lang, source, tok AS w1, tok || ' ' || lead(tok, 1)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS g FROM tt),
+        |bg AS (SELECT doc_id, lang, source, w1, g FROM bg0 WHERE g IS NOT NULL),
+        |c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+        |  WHERE lang = 'en' GROUP BY 1),
+        |c1 AS (SELECT tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tt
+        |  WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+        |tf AS (SELECT source, g, w1, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT tf.source, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf.tf * ((1000000 * (COALESCE(c2.c2, 0) + 1))
+        |      // (COALESCE(c1.c1, 0) + v.v))) AS BIGINT) AS fam_sum
+        |  FROM tf LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v GROUP BY 1),
+        |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS tot_n,
+        |    CAST(SUM(fam_sum) AS BIGINT) AS tot_fam FROM sc),
+        |fl AS (SELECT sc.source, nd.n_docs, sc.n_bigrams,
+        |    sc.fam_sum // sc.n_bigrams AS fam_scaled,
+        |    (sc.fam_sum::HUGEINT * tot.tot_n::HUGEINT)
+        |      < (tot.tot_fam::HUGEINT * sc.n_bigrams::HUGEINT) AS hard
+        |  FROM sc JOIN nd USING (source) CROSS JOIN tot),
+        |ww AS (SELECT source, n_docs, n_bigrams, fam_scaled, hard,
+        |    CAST(n_docs * CASE WHEN hard THEN 2 ELSE 1 END AS BIGINT) AS w FROM fl),
+        |wt AS (SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS T FROM ww),
+        |ha AS (SELECT *, (1000000 * w) // T AS fl2, (1000000 * w) % T AS rem FROM wt),
+        |hr AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000000 - CAST(SUM(fl2) OVER () AS BIGINT) AS leftover FROM ha)
+        |SELECT source, n_docs, n_bigrams, fam_scaled, hard, w,
+        |  CAST(fl2 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM hr ORDER BY source""".stripMargin)),
+
     // L65 — BM25 KEYWORD RETRIEVAL top-k: data-derived probe terms (5
     // highest-df tokens of length >= 5), scored with the integer-exact
     // BM25 surrogate (k1=6/5, b=3/4, odds-ratio idf — Retrieval.bm25TopK)

@@ -1086,6 +1086,56 @@ object Curation {
         col("c2").as("cnt"), col("p_scaled"))
   }
 
+  /** L138 — DoReMi-STYLE MIXTURE REWEIGHTING (integer-exact single
+    * round of the multiplicative-weights loop): domains whose bigram-LM
+    * familiarity sits BELOW the corpus mean — the "hard" domains the
+    * reference-model excess-loss signal identifies — get their mixture
+    * weight doubled, then the training budget re-allocates across
+    * domains by Hamilton largest remainder. One round is the method's
+    * core step; production iterates it with a fresh proxy model per
+    * round, re-running this same plan.
+    *
+    * Exactness: the hard flag is the familiarity cross-multiplication
+    * in DECIMAL(38,0) (no division), the multiplier is an integer, and
+    * the allocation is [[allocateBudget]]'s exact largest-remainder
+    * split. Scale shape: group-level aggregates of the same equi-join
+    * chain [[lmFamiliarity]] uses, a one-row corpus total broadcast,
+    * and a per-domain table small enough for the window-based Hamilton
+    * pass (domains are few by construction).
+    */
+  def doremiReweight(docs: DataFrame, groupCol: String, textCol: String,
+                     c2: DataFrame, c1: DataFrame, vocab: DataFrame,
+                     scale: Long, budget: Long): DataFrame = {
+    val bg = docs.select(col(groupCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), 2)).as("g"))
+      .groupBy(col(groupCol), col("g")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+    val scored = bg
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(groupCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") *
+          expr(s"($scale * (coalesce(c2, 0L) + 1L)) div (coalesce(c1, 0L) + v)"))
+          .as("fam_sum"))
+    val nd = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = scored.agg(sum(col("n_bigrams")).as("tot_n"),
+      sum(col("fam_sum")).as("tot_fam"))
+    val flagged = scored.join(nd, Seq(groupCol)).crossJoin(broadcast(tot))
+      .withColumn("fam_scaled", expr("fam_sum div n_bigrams"))
+      .withColumn("hard",
+        col("fam_sum").cast("decimal(38,0)") * col("tot_n").cast("decimal(38,0)")
+          < col("tot_fam").cast("decimal(38,0)") * col("n_bigrams").cast("decimal(38,0)"))
+      .withColumn("w", col("n_docs") * when(col("hard"), 2L).otherwise(1L))
+    val alloc = allocateBudget(
+        flagged.select(col(groupCol), col("w")), groupCol, "w", budget)
+      .select(col(groupCol), col("alloc"))
+    flagged.join(alloc, Seq(groupCol))
+      .select(col(groupCol), col("n_docs"), col("n_bigrams"), col("fam_scaled"),
+        col("hard"), col("w"), col("alloc"))
+  }
+
   /** URL/DOMAIN BLOCKLIST gate (the RefinedWeb/UT1 filtering stage:
     * Penedo et al. 2023 §3.1 drop documents whose source URL hits a
     * curated domain blocklist or whose path carries flagged words).

@@ -1754,6 +1754,24 @@ class OpsSpec extends SparkSpec {
       "tokens outside the union survive")
   }
 
+  test("L138 doremiReweight: alien source flagged hard, doubled, budget conserved exactly") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "the a of and to in the a of and", "en", "srcA"),
+      (2L, "the a of and to in the a of and", "en", "srcA"),
+      (3L, "zz qq ww rr tt yy uu ii oo pp", "xx", "srcB"),
+      (4L, "zz qq ww rr tt yy uu ii oo pp", "xx", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (c2, c1, v) = Curation.lmModel(docs.filter(col("lang") === "en"), "text")
+    val got = Curation.doremiReweight(docs, "source", "text", c2, c1, v,
+        scale = 1000000L, budget = 999L)
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getBoolean(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(("srcA", false, 2L, 333L), ("srcB", true, 4L, 666L)),
+      s"familiar source keeps weight, alien doubles, 2:1 split of 999: ${got.toSeq}")
+    assert(got.map(_._4).sum == 999L, "the budget is conserved exactly")
+  }
+
   test("L134 luhnValid/luhnCheckDigit: canonical vectors and the mint-validate duality") {
     import graft.ops.Curation
     val df = Seq("79927398713", "79927398714", "4539578763621486")
