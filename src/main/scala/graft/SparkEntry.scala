@@ -6143,6 +6143,37 @@ FROM ag ORDER BY lang""")),
         |    < (tot_fam::HUGEINT * n_bigrams::HUGEINT) AS low_familiarity
         |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin)),
 
+    // L139 — TEXTTILING SEGMENTATION: content-aware chunking that cuts
+    // where the distinct-token overlap of the 10 tokens before vs after
+    // a boundary drops to ≤ 2 (an exact integer cohesion score) —
+    // per-row array HOFs for scoring, one per-doc window pass over the
+    // tiny cut list for assembly; short docs emit one whole-doc
+    // segment.
+    Q("t_texttile_segments",
+      (s, dir) => TextOps.textTileSegments(
+          Tables.documents(s, dir), "doc_id", "text", w = 10, minOverlap = 2)
+        .orderBy(col("doc_id"), col("seg_id")),
+      Some(s"""WITH $toksSqlCte,
+        |bb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d
+        |  WHERE len(toks) > 0),
+        |ci AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS i FROM (
+        |  SELECT doc_id, toks, unnest(range(10, CAST(len(toks) AS BIGINT) - 10 + 1)) AS i
+        |  FROM bb WHERE n >= 20) t),
+        |cuts AS (SELECT doc_id, i FROM ci
+        |  WHERE len(list_filter(
+        |    list_distinct(toks[CAST(i - 9 AS INTEGER):CAST(i AS INTEGER)]),
+        |    x -> list_contains(toks[CAST(i + 1 AS INTEGER):CAST(i + 10 AS INTEGER)], x))) <= 2),
+        |bounds AS (SELECT doc_id, i FROM cuts
+        |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM bb
+        |  UNION ALL SELECT doc_id, n FROM bb),
+        |sp AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS e
+        |  FROM bounds),
+        |sv AS (SELECT doc_id, i, e FROM sp WHERE e IS NOT NULL AND e > i)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) - 1 AS seg_id,
+        |  i AS start_pos, e AS end_pos, e - i AS n_toks
+        |FROM sv ORDER BY doc_id, seg_id""".stripMargin)),
+
     // L137 — LM NEXT-TOKEN TOP-K: per top-20 context word, the 3 most
     // likely continuations under the SAME session-memoized bigram
     // model tables the familiarity gate joins, with the identical

@@ -486,4 +486,48 @@ object TextOps {
         array_join(col("__ct"), " ").as("chunk_text"))
       .orderBy(col(idCol), col("chunk_id"))
   }
+
+  /** L139 — TEXTTILING SEGMENTATION (Hearst-style lexical-cohesion
+    * chunking, the content-AWARE alternative to [[chunkWindows]]'s
+    * fixed stride — the RAG chunker that cuts where the TOPIC shifts):
+    * at every candidate boundary the distinct-token overlap of the `w`
+    * tokens before vs after is an exact integer cohesion score; a
+    * boundary with score ≤ `minOverlap` is a cut, and documents split
+    * into the runs between cuts. Exact end-to-end (set-intersection
+    * cardinalities, no similarity floats).
+    *
+    * Scale shape: scores are per-row array HOFs over each doc's own
+    * token array (no shuffle); segment assembly is one per-doc window
+    * pass over the tiny cut list. Docs shorter than 2w (no full
+    * windows) emit a single whole-doc segment.
+    *
+    * Output: (id, seg_id, start_pos, end_pos, n_toks) — 0-based token
+    * offsets, end exclusive.
+    */
+  def textTileSegments(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int, minOverlap: Int): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0L)
+    val cuts = base.filter(col("__n") >= 2L * w)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(${w}L, __n - ${w}L), i -> named_struct(
+           'i', i,
+           'score', size(array_intersect(
+             array_distinct(slice(__toks, cast(i - ${w - 1} as int), $w)),
+             slice(__toks, cast(i + 1 as int), $w)))))""")).as("b"))
+      .filter(col("b.score") <= minOverlap)
+      .select(col(idCol), col("b.i").as("i"))
+    val bounds = cuts
+      .unionByName(base.select(col(idCol), lit(0L).as("i")))
+      .unionByName(base.select(col(idCol), col("__n").as("i")))
+    val ord = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val spans = bounds
+      .withColumn("end", lead(col("i"), 1).over(ord))
+      .filter(col("end").isNotNull && col("end") > col("i"))
+    val ord2 = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    spans.withColumn("seg_id", row_number().over(ord2).cast("long") - 1L)
+      .select(col(idCol), col("seg_id"), col("i").as("start_pos"),
+        col("end").as("end_pos"), (col("end") - col("i")).as("n_toks"))
+  }
 }

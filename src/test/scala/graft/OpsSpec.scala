@@ -1754,6 +1754,19 @@ class OpsSpec extends SparkSpec {
       "tokens outside the union survive")
   }
 
+  test("L139 textTileSegments: cut exactly at the topic shift, short doc stays whole") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a b c a b c a b c x y z x y z x y z"), // topic shift at token 9
+      (2L, "p q r")).toDF("doc_id", "text") // shorter than 2w -> one segment
+    val got = TextOps.textTileSegments(docs, "doc_id", "text", w = 3, minOverlap = 0)
+      .orderBy(col("doc_id"), col("seg_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 9L, 9L), (1L, 1L, 9L, 18L, 9L),
+      (2L, 0L, 0L, 3L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("L138 doremiReweight: alien source flagged hard, doubled, budget conserved exactly") {
     import graft.ops.Curation
     val docs = Seq(
