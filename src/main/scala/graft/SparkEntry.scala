@@ -2385,6 +2385,75 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |FROM q qq LEFT JOIN cm ON cm.query_id = qq.vec_id
         |WHERE qq.vec_id < 8 ORDER BY query_id""".stripMargin)),
 
+    // L140 — CLUSTER-BALANCED SAMPLING (the D4 diversify step): k
+    // representatives per IVF cell by deterministic md5 rank — a
+    // diversity-preserving subset however skewed the cell occupancy.
+    // One window over the shared session cell assignment.
+    Q("sim_cluster_sample",
+      (s, dir) => {
+        val w = Window.partitionBy(col("cell"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        sessionIvfCells(s, dir)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("cell"), col("rk"), col("vec_id"))
+          .orderBy(col("cell"), col("rk"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |scored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM scored) t WHERE rn = 1),
+        |rk AS (SELECT cell, vec_id, CAST(row_number() OVER (PARTITION BY cell
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk FROM cells)
+        |SELECT cell, rk, vec_id FROM rk WHERE rk <= 5 ORDER BY cell, rk""".stripMargin)),
+
+    // L141 — PROTOTYPICALITY PRUNING (D4 / SSL-prototypes): per IVF
+    // cell, rank members by cosine to the EXACT integer sum-centroid
+    // and flag the top fifth most prototypical for removal — the
+    // redundant cluster core; the oracle rebuilds the centroids
+    // dim-wise and mirrors rank + drop rule exactly.
+    Q("sim_proto_prune",
+      (s, dir) => Similarity.prototypicalPrune(
+          sessionIvfCells(s, dir), sessionQuantEmb(s, dir), "vec_id",
+          dim = 64, dropDenom = 5)
+        .orderBy(col("cell"), col("rnk")),
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |scored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM scored) t WHERE rn = 1),
+        |cd AS (SELECT c.cell, t.i, CAST(SUM(q.qv[CAST(t.i AS INTEGER)]) AS BIGINT) AS cv
+        |  FROM cells c JOIN q ON q.vec_id = c.vec_id, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |ca AS (SELECT cell, list(cv ORDER BY i) AS cv FROM cd GROUP BY cell),
+        |cn AS (SELECT ca.cell, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    sqrt(CAST(CAST(list_sum(list_transform(ca.cv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS cnorm
+        |  FROM ca JOIN cells ON cells.cell = ca.cell GROUP BY ca.cell, ca.cv),
+        |pr AS (SELECT c.cell, c.vec_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*ca.cv[i])) AS BIGINT) AS DOUBLE)
+        |    /(sqrt(CAST(nm.nn AS DOUBLE))*cn.cnorm) AS proto, cn.cn
+        |  FROM cells c JOIN q ON q.vec_id = c.vec_id
+        |  JOIN nm ON nm.vec_id = c.vec_id
+        |  JOIN ca ON ca.cell = c.cell JOIN cn ON cn.cell = c.cell),
+        |rk AS (SELECT cell, vec_id, proto, cn,
+        |  CAST(row_number() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM pr)
+        |SELECT cell, vec_id, rnk, proto, (rnk * 5 <= cn) AS dropped
+        |FROM rk ORDER BY cell, rnk""".stripMargin)),
+
     // L132 — GREEDY k-CENTER CORESET (farthest-point sampling): 4
     // representatives, each wave one broadcast-scored corpus pass with
     // a TakeOrdered argmin of the max-cos-to-selected. The oracle

@@ -928,6 +928,40 @@ object Similarity {
           / lit(k).cast("double")).as("recall"))
   }
 
+  /** L141 — PROTOTYPICALITY PRUNING (the D4 / SSL-prototypes step that
+    * follows SemDeDup): within each IVF cell, rank members by cosine
+    * to the cell's EXACT integer sum-centroid (cosine against the sum
+    * equals cosine against the mean — the positive scaling cancels, so
+    * no float centroid ever exists) and flag the top `1/dropDenom`
+    * most prototypical for removal — near-centroid points are the
+    * cluster's redundant core; keeping the diverse shell is the
+    * documented data-efficiency win.
+    *
+    * Scale shape: the centroid aggregation is `dim` map-side-combined
+    * SUMs (one row per cell); the tiny centroid table broadcasts; the
+    * scoring pass is one fused dot per member; the rank is a per-cell
+    * window. The drop rule `rank · dropDenom ≤ cellSize` is exact
+    * integer arithmetic.
+    */
+  def prototypicalPrune(cells: DataFrame, q: DataFrame, idCol: String,
+                        dim: Int, dropDenom: Int): DataFrame = {
+    LongArrayDot.register(q.sparkSession)
+    val joined = cells.join(q.withColumn("nn", sqNorm(col("qv"))), idCol)
+    val cents = joined.groupBy(col("cell"))
+      .agg(array((0 until dim).map(i => sum(col("qv").getItem(i))): _*).as("cv"),
+        count(lit(1)).as("cn"))
+      .withColumn("cnorm",
+        sqrt(aggregate(col("cv"), lit(0L), (a, x) => a + x * x).cast("double")))
+    val scored = joined.join(broadcast(cents), Seq("cell"))
+      .withColumn("proto", expr(s"${LongArrayDot.fnName}(qv, cv)").cast("double")
+        / (sqrt(col("nn").cast("double")) * col("cnorm")))
+    val win = Window.partitionBy(col("cell"))
+      .orderBy(col("proto").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(win).cast("long"))
+      .select(col("cell"), col(idCol), col("rnk"), col("proto"),
+        (col("rnk") * dropDenom <= col("cn")).as("dropped"))
+  }
+
   final case class MmrCand(queryId: Long, neighborId: Long, rel: Double,
                            qv: Array[Long], nn: Long)
   final case class MmrPick(query_id: Long, sel_rank: Long, neighbor_id: Long,

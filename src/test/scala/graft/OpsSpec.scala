@@ -1754,6 +1754,21 @@ class OpsSpec extends SparkSpec {
       "tokens outside the union survive")
   }
 
+  test("L141 prototypicalPrune: the centroid-aligned member ranks first and is dropped") {
+    import graft.ops.Similarity
+    val q = Similarity.quantize(Seq(
+        (1L, Array(0.7f, 0.7f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)),
+        (4L, Array(1f, 0.2f)), (5L, Array(0.2f, 1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cells = Seq(1L, 2L, 3L, 4L, 5L).map((_, 3)).toDF("vec_id", "cell")
+    val got = Similarity.prototypicalPrune(cells, q, "vec_id", dim = 2, dropDenom = 5)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    // centroid direction is [1,1]; v1 = [0.7,0.7] has cosine exactly 1
+    assert(got.head == (1L, 1L, true), s"centroid-aligned v1 ranks 1 and drops: ${got.head}")
+    assert(got.tail.forall(!_._3), s"the diverse shell is kept: ${got.toSeq}")
+  }
+
   test("L139 textTileSegments: cut exactly at the topic shift, short doc stays whole") {
     import graft.ops.TextOps
     val docs = Seq(
