@@ -3369,6 +3369,69 @@ GROUP BY token ORDER BY cnt DESC, token"""
     // stream, which is what lets the batch SQL oracle check a streaming
     // sketch exactly. The estimates table then reads the one-row grid
     // exactly like the batch flavor (sketch_cms_topk).
+    // L142 — STREAMING IVF INGEST: the index-maintenance path — a
+    // vector feed assigned to its nearest coarse cell AT INGEST,
+    // statelessly: the 16 seed vectors (tiny by construction) are
+    // collected once and folded into a literal array, so per arrival
+    // the argmax over seeds is one pure expression (strict > keeps the
+    // earlier seed on ties ≡ the batch row_number tie rule), and the
+    // only state is the complete-mode per-cell count. The oracle is
+    // the batch cell-occupancy profile — streamed ingest must land
+    // every vector in the same cell the batch assignment does.
+    Q("streaming_ivf_ingest",
+      (s, dir) => withStreamingPartitions(s) {
+        val base = Tables.embeddings(s, dir)
+        val seeds = sessionQuantEmb(s, dir).filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("qv")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+        val seedArr = array(seeds.map { case (id, v) =>
+          struct(lit(id).as("sid"), array(v.map(lit(_)): _*).as("sv"),
+            lit(math.sqrt(v.map(x => x.toDouble * x).sum)).as("snorm"))
+        }: _*)
+        val name = "ivfin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ivfin").toString
+        val srcDir = stagedStreamSource("emb_r2", dir)(p =>
+          base.repartition(2).write.mode("overwrite").parquet(p.toString))
+        val counts = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 10000d).cast("long")).as("qv"))
+          .withColumn("best", aggregate(seedArr,
+            struct(lit(-1L).as("sid"), lit(Double.NegativeInfinity).as("sc")),
+            (acc, sd) => {
+              val dot = aggregate(
+                zip_with(col("qv"), sd("sv"), (a, b) => a * b),
+                lit(0L), (x, y) => x + y)
+              val sc = dot.cast("double") / sd("snorm")
+              when(sc > acc("sc"),
+                struct(sd("sid").as("sid"), sc.as("sc"))).otherwise(acc)
+            }))
+          .select(col("best.sid").as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).select(col("cell"), col("n_vecs")).orderBy(col("cell"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |scored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM scored) t WHERE rn = 1)
+        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cells
+        |GROUP BY cell ORDER BY cell""".stripMargin)),
+
     Q("streaming_sketch",
       (s, dir) => withStreamingPartitions(s) {
         import graft.expr.{CmsSketch, CmsSketchAgg}
