@@ -3432,6 +3432,93 @@ GROUP BY token ORDER BY cnt DESC, token"""
         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cells
         |GROUP BY cell ORDER BY cell""".stripMargin)),
 
+    // L143 — STREAMING SEMANTIC DECONTAMINATION: the L126 scan at
+    // ingest time — every arriving corpus vector is checked against
+    // the benchmark/eval probe set THE MOMENT IT LANDS (quarantine
+    // before it ever enters the training pool). Stateless append mode:
+    // the arrival's cell comes from the same literal-seed fold as
+    // streaming_ivf_ingest, the per-cell PROBE table (tiny by
+    // construction) is a stream-static broadcast equi join on the cell
+    // id, and the exact quantized cosine gates emission. The oracle is
+    // the batch candidate+verify chain (pre-argmax) — streamed flags
+    // must equal the batch scan pair-for-pair, dot-for-dot.
+    Q("streaming_semantic_decon",
+      (s, dir) => withStreamingPartitions(s) {
+        val base = Tables.embeddings(s, dir)
+        val seeds = sessionQuantEmb(s, dir).filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("qv")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+        val seedArr = array(seeds.map { case (id, v) =>
+          struct(lit(id).as("sid"), array(v.map(lit(_)): _*).as("sv"),
+            lit(math.sqrt(v.map(x => x.toDouble * x).sum)).as("snorm"))
+        }: _*)
+        val probes = sessionIvfCells(s, dir)
+          .filter(pmod(col("vec_id"), lit(37L)) === 0L)
+          .join(sessionQuantEmb(s, dir), "vec_id")
+          .select(col("cell"), col("vec_id").as("b"), col("qv").as("pqv"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x * x).as("pnn"))
+        val name = "sdec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sdec").toString
+        val srcDir = stagedStreamSource("emb_r2", dir)(p =>
+          base.repartition(2).write.mode("overwrite").parquet(p.toString))
+        val hits = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .filter(pmod(col("vec_id"), lit(37L)) =!= 0L)
+          .select(col("vec_id").as("a"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 10000d).cast("long")).as("qv"))
+          .withColumn("nn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+          .withColumn("best", aggregate(seedArr,
+            struct(lit(-1L).as("sid"), lit(Double.NegativeInfinity).as("sc")),
+            (acc, sd) => {
+              val dot = aggregate(
+                zip_with(col("qv"), sd("sv"), (x, y) => x * y),
+                lit(0L), (x, y) => x + y)
+              val sc = dot.cast("double") / sd("snorm")
+              when(sc > acc("sc"),
+                struct(sd("sid").as("sid"), sc.as("sc"))).otherwise(acc)
+            }))
+          .withColumn("cell", col("best.sid"))
+          .join(broadcast(probes), Seq("cell"))
+          .withColumn("dot", aggregate(
+            zip_with(col("qv"), col("pqv"), (x, y) => x * y),
+            lit(0L), (x, y) => x + y))
+          .withColumn("cos", col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("pnn").cast("double"))))
+          .filter(col("cos") >= 0.30)
+          .select(col("a"), col("b"), col("dot"), col("cos"))
+        val q = hits.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+        |  sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS DOUBLE)) AS snorm
+        |  FROM q WHERE vec_id < 16),
+        |scored AS (SELECT q.vec_id, s.seed_id,
+        |  CAST(CAST(list_sum(list_transform(range(1,65), i -> q.qv[i]*s.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / s.snorm AS score
+        |  FROM q CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, seed_id AS cell FROM (
+        |  SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, seed_id) AS rn FROM scored) t WHERE rn = 1),
+        |cand AS (SELECT c.vec_id AS a, p.vec_id AS b FROM cells c
+        |  JOIN cells p ON p.cell = c.cell AND p.vec_id % 37 = 0
+        |  WHERE c.vec_id % 37 <> 0),
+        |vd AS (SELECT c.a, c.b,
+        |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS BIGINT) AS dot
+        |  FROM cand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b)
+        |SELECT a, b, dot,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |FROM vd JOIN nm na ON na.vec_id = a JOIN nm nb ON nb.vec_id = b
+        |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) >= 0.30
+        |ORDER BY a, b""".stripMargin)),
+
     Q("streaming_sketch",
       (s, dir) => withStreamingPartitions(s) {
         import graft.expr.{CmsSketch, CmsSketchAgg}
