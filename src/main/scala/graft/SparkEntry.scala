@@ -6393,6 +6393,46 @@ FROM ag ORDER BY lang""")),
         |  i AS start_pos, e AS end_pos, e - i AS n_toks
         |FROM sv ORDER BY doc_id, seg_id""".stripMargin)),
 
+    // L139b — TEXTTILING CHUNK MATERIALIZATION: the segment offsets
+    // joined back to the token arrays and emitted as text — the actual
+    // RAG chunk table a retrieval index ingests (offsets alone are the
+    // audit view). One equi join on the doc id + a per-row slice.
+    Q("t_texttile_chunks",
+      (s, dir) => {
+        val segs = TextOps.textTileSegments(
+          Tables.documents(s, dir), "doc_id", "text", w = 10, minOverlap = 2)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        segs.join(toks, Seq("doc_id"))
+          .select(col("doc_id"), col("seg_id"), col("n_toks"),
+            array_join(slice(col("toks"), (col("start_pos") + 1L).cast("int"),
+              col("n_toks").cast("int")), " ").as("chunk_text"))
+          .orderBy(col("doc_id"), col("seg_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |bb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d
+        |  WHERE len(toks) > 0),
+        |ci AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS i FROM (
+        |  SELECT doc_id, toks, unnest(range(10, CAST(len(toks) AS BIGINT) - 10 + 1)) AS i
+        |  FROM bb WHERE n >= 20) t),
+        |cuts AS (SELECT doc_id, i FROM ci
+        |  WHERE len(list_filter(
+        |    list_distinct(toks[CAST(i - 9 AS INTEGER):CAST(i AS INTEGER)]),
+        |    x -> list_contains(toks[CAST(i + 1 AS INTEGER):CAST(i + 10 AS INTEGER)], x))) <= 2),
+        |bounds AS (SELECT doc_id, i FROM cuts
+        |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM bb
+        |  UNION ALL SELECT doc_id, n FROM bb),
+        |sp AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS e
+        |  FROM bounds),
+        |sv AS (SELECT doc_id, i, e FROM sp WHERE e IS NOT NULL AND e > i),
+        |sg AS (SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) - 1 AS seg_id,
+        |  i, e FROM sv)
+        |SELECT sg.doc_id, sg.seg_id, sg.e - sg.i AS n_toks,
+        |  array_to_string(bb.toks[CAST(sg.i + 1 AS INTEGER):CAST(sg.e AS INTEGER)], ' ') AS chunk_text
+        |FROM sg JOIN bb ON bb.doc_id = sg.doc_id
+        |ORDER BY sg.doc_id, sg.seg_id""".stripMargin)),
+
     // L137 — LM NEXT-TOKEN TOP-K: per top-20 context word, the 3 most
     // likely continuations under the SAME session-memoized bigram
     // model tables the familiarity gate joins, with the identical
