@@ -3384,6 +3384,12 @@ GROUP BY token ORDER BY cnt DESC, token"""
         val seeds = sessionQuantEmb(s, dir).filter(col("vec_id") < 16)
           .select(col("vec_id"), col("qv")).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+        // Batch-equality precondition, enforced loudly: a zero-norm seed
+        // scores NaN, which the batch row_number (NaN sorts greatest)
+        // would select but the strict-> fold below never would. Fail here
+        // rather than silently diverge from the claimed batch contract.
+        require(seeds.forall { case (_, v) => v.exists(_ != 0L) },
+          "zero-norm IVF seed vector: streamed argmax would diverge from batch")
         val seedArr = array(seeds.map { case (id, v) =>
           struct(lit(id).as("sid"), array(v.map(lit(_)): _*).as("sv"),
             lit(math.sqrt(v.map(x => x.toDouble * x).sum)).as("snorm"))
@@ -3448,6 +3454,12 @@ GROUP BY token ORDER BY cnt DESC, token"""
         val seeds = sessionQuantEmb(s, dir).filter(col("vec_id") < 16)
           .select(col("vec_id"), col("qv")).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+        // Batch-equality precondition, enforced loudly: a zero-norm seed
+        // scores NaN, which the batch row_number (NaN sorts greatest)
+        // would select but the strict-> fold below never would. Fail here
+        // rather than silently diverge from the claimed batch contract.
+        require(seeds.forall { case (_, v) => v.exists(_ != 0L) },
+          "zero-norm IVF seed vector: streamed argmax would diverge from batch")
         val seedArr = array(seeds.map { case (id, v) =>
           struct(lit(id).as("sid"), array(v.map(lit(_)): _*).as("sv"),
             lit(math.sqrt(v.map(x => x.toDouble * x).sum)).as("snorm"))
@@ -7140,7 +7152,7 @@ FROM ag ORDER BY lang""")),
       },
       Some("""WITH e(epoch) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))),
         |s0 AS (SELECT e.epoch, d.doc_id,
-        |  doc_id // 65536 AS l0, doc_id % 65536 AS r0 FROM documents d, e),
+        |  (doc_id // 65536) % 65536 AS l0, doc_id % 65536 AS r0 FROM documents d, e),
         |s1 AS (SELECT epoch, doc_id, r0 AS l1, xor(l0,
         |  ('0x' || substr(md5(concat(CAST(r0 AS VARCHAR), '|0|', CAST(epoch AS VARCHAR))), 1, 4))::BIGINT) AS r1 FROM s0),
         |s2 AS (SELECT epoch, doc_id, r1 AS l2, xor(l1,

@@ -1638,7 +1638,10 @@ object Curation {
     * positions and applies [[feistelInvert]] to seek.
     */
   def feistelPermute(id: Column, epoch: Int, rounds: Int = 4): Column = {
-    var l = shiftright(id.cast("long"), 16)
+    // ids are reduced mod 2³² (mask BOTH halves): the permutation is
+    // bijective on [0, 2³²) and total — an out-of-domain id maps like
+    // id mod 2³² instead of silently colliding via surviving high bits.
+    var l = shiftright(id.cast("long"), 16).bitwiseAND(lit(65535L))
     var r = id.cast("long").bitwiseAND(lit(65535L))
     var round = 0
     while (round < rounds) {
@@ -1656,7 +1659,8 @@ object Curation {
     * id, which the registered oracle checks row-by-row).
     */
   def feistelInvert(perm: Column, epoch: Int, rounds: Int = 4): Column = {
-    var l = shiftright(perm.cast("long"), 16)
+    // same mod-2³² reduction as [[feistelPermute]] — total on any long
+    var l = shiftright(perm.cast("long"), 16).bitwiseAND(lit(65535L))
     var r = perm.cast("long").bitwiseAND(lit(65535L))
     var round = rounds - 1
     while (round >= 0) {

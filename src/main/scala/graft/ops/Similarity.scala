@@ -663,7 +663,11 @@ object Similarity {
         idCol)
       .cache()
     q.count() // eager: feeds the seed table, cell assignment, both sides
-    val cells = ivfCells(q.select(col(idCol), col("qv")), idCol, nCells)
+    // cache: qa and qb below both read the cell assignment, and the
+    // row_number window over the broadcast-seed cross join would
+    // otherwise be recomputed per side (the ivfCandidates pattern).
+    val cells = ivfCells(q.select(col(idCol), col("qv")), idCol, nCells).cache()
+    cells.count()
     val withAll = q.join(cells, idCol).withColumn("nn", sqNorm(col("qv")))
     val qa = withAll.filter(col("__side") === 0)
       .select(col(idCol).as("a"), col("qv").as("qa"), col("nn").as("na"),

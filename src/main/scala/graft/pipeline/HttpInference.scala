@@ -151,7 +151,19 @@ object HttpInference {
                   s"HTTP $sc from ${cfg.endpoint} (not retriable)", null)
               }
             } catch {
-              case _: java.util.concurrent.CompletionException => Left(())
+              // Only connection-level failures that the SYNC ladder also
+              // retries (I/O, timeout) fall through to it; anything else
+              // (malformed endpoint, SSL handshake) is non-retriable and
+              // must not burn maxRetries of backoff per batch — map it
+              // straight to failed rows via the outer catch.
+              case e: java.util.concurrent.CompletionException =>
+                e.getCause match {
+                  case _: java.io.IOException => Left(())
+                  case null => throw new HttpInferenceException(
+                    s"async failure from ${cfg.endpoint}: $e", e)
+                  case c => throw new HttpInferenceException(
+                    s"non-retriable async failure from ${cfg.endpoint}: $c", c)
+                }
             }
           val body = bytes match {
             case Right(b) => b

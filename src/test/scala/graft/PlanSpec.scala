@@ -359,6 +359,54 @@ class PlanSpec extends SparkSpec {
     assert(!qs.contains("CartesianProduct"))
   }
 
+  test("round-7 pins: L121-L143 wave keeps its load-bearing plan shapes") {
+    // MMR: the relevance pool is bounded by the WindowGroupLimit (rank
+    // <= poolK below the sort) and the greedy loop is a distributed
+    // MapGroups over one query's pool — never a driver loop or a
+    // corpus cartesian (the only nested loop is the intended
+    // query-side broadcast from cosineTopK)
+    val mp = plan("sim_mmr_topk")
+    assert(!mp.contains("CartesianProduct"), "MMR plans a cartesian product")
+    assert(mp.contains("WindowGroupLimit"), "MMR pool limit must push below the sort")
+    assert(mp.contains("MapGroups"), "MMR greedy must run distributed in flatMapGroups")
+
+    // proto-prune: the per-cell centroid table (<= nCells rows) joins
+    // BACK to the corpus as an explicit broadcast — a regression to a
+    // corpus-side shuffle for that join-back is the 100 TB killer here
+    val pp = plan("sim_proto_prune")
+    assert(!pp.contains("CartesianProduct"), "proto-prune plans a cartesian product")
+    assert(pp.contains("BroadcastHashJoin"), "centroid join-back must broadcast")
+
+    // TextTiling scoring is per-row HOFs over each doc's own tokens:
+    // the whole segmentation is JOIN-FREE and shuffles exactly once
+    // (the per-doc bounds window); the display sort adds only a range
+    // exchange
+    val tp = plan("t_texttile_segments")
+    assert(!tp.contains("Join"), "TextTiling must stay join-free")
+    assert("hashpartitioning\\(".r.findAllIn(tp).size == 1,
+      s"TextTiling must shuffle exactly once (the per-doc window):\n$tp")
+
+    // span surgery: candidates via the gram equi self-join, removal via
+    // the per-doc collected interval list — no range/theta join anywhere
+    val sp = plan("dedup_span_surgery")
+    assert(!sp.contains("CartesianProduct"), "span surgery plans a cartesian product")
+    assert(!sp.contains("BroadcastNestedLoopJoin"), "span surgery plans a theta join")
+
+    // Feistel epoch shuffle: the permutation is a pure codegen'd
+    // expression chain — ZERO hash exchanges at any corpus size (the
+    // only exchange is the display sort's range partitioning)
+    val fp = plan("c_epoch_shuffle")
+    assert(!fp.contains("Join"), "epoch shuffle must be join-free")
+    assert(!fp.contains("Exchange hashpartitioning"),
+      s"epoch shuffle must not hash-shuffle:\n$fp")
+
+    // cluster-balanced sampling rides the cached session cells (the
+    // memo is the point: no recompute of the seed assignment)
+    val cp = plan("sim_cluster_sample")
+    assert(!cp.contains("CartesianProduct"))
+    assert(cp.contains("InMemoryTableScan"), "cluster sample must reuse the cached session cells")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
@@ -467,4 +515,5 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
 }

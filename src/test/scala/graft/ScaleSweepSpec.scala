@@ -210,4 +210,24 @@ class ScaleSweepSpec extends SparkSpec {
       n
     })
   }
+
+  test("L139 TextTiling segmentation stays near-linear under ×9 salted scale") {
+    // per-doc scoring is O(n_toks·w) array HOFs with w a constant 10;
+    // the cut-list window is per-doc — a regression that re-scores per
+    // candidate boundary pair (O(n²)) would read ≥ ~2 here
+    sweep("texttile_segments", s => graft.ops.TextOps.textTileSegments(
+      scaledDocs(s), "doc_id", "text", w = 10, minOverlap = 2).count())
+  }
+
+  test("L135 span surgery stays near-linear under ×9 salted scale") {
+    // removal is an exists() over each doc's PRE-MERGED disjoint
+    // intervals (≤ n_toks/2); losing the merge makes the hot-doc token
+    // scan O(n_toks · raw_pair_count) and pushes the exponent up
+    sweep("span_surgery", s => {
+      val docs = scaledDocs(s)
+      graft.ops.Dedup.removeDupSpans(docs,
+        graft.ops.Dedup.substringDupSpans(docs, "doc_id", "text", k = 10),
+        "doc_id", "text").count()
+    })
+  }
 }

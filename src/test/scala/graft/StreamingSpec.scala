@@ -513,4 +513,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq((0, 5L, 1L, 2L)), s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("L143 stream-static decon join executes as a BroadcastHashJoin with zero state") {
+    // Plan pin for the streaming_semantic_decon shape: an arriving
+    // vector's cell equi-joins the tiny static probe table. The
+    // load-bearing properties at feed scale are (a) the static side is
+    // BROADCAST — a sort-merge would shuffle every micro-batch's
+    // arrivals — and (b) the query is STATELESS append (a stream-static
+    // join keeps no state store; a regression to a stream-stream join
+    // or an aggregation would show StateStore operators).
+    implicit val sqlCtx = spark.sqlContext
+    val probes = broadcast(Seq((0L, 7L), (1L, 9L)).toDF("cell", "b"))
+    val input = MemoryStream[(Long, Long)]
+    val joined = input.toDF().toDF("a", "cell").join(probes, Seq("cell"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sdec_pin").start()
+    try {
+      input.addData((10L, 0L), (11L, 2L))
+      q.processAllAvailable()
+      val explained = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+        buf.toString
+      }
+      assert(explained.contains("BroadcastHashJoin"),
+        s"stream-static decon join must broadcast the probe side:\n$explained")
+      assert(!explained.contains("StateStore") &&
+        !explained.contains("StreamingSymmetricHashJoin"),
+        s"stream-static decon must stay stateless:\n$explained")
+      assert(spark.table("sdec_pin").count() == 1) // only cell 0 matches
+    } finally q.stop()
+  }
 }
