@@ -1,0 +1,560 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.Polyval
+import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.QuerySupport._
+
+/** Event analytics + sketches: funnels, attribution, outliers,
+  * heavy hitters, cardinality/quantile sketches.
+  */
+private[graft] object QueriesAnalytics {
+
+  def entries: Seq[Q] = Seq(
+
+    // L31 — KMV distinct-count sketch (Bar-Yossef et al. 2002): the
+    // k smallest DISTINCT 60-bit md5 hashes per group in a bounded-state
+    // custom Aggregator with true partial merge — approximate
+    // COUNT(DISTINCT) without shuffling distinct values, and exactly
+    // oracle-checkable because the hash is public md5 (an external
+    // engine computes the IDENTICAL sketch; HLL internals are not
+    // portable). est = (k−1)·2⁶⁰ / kth_min, one exact double division;
+    // the exact distinct count rides along for calibration.
+    Q("sketch_kmv_distinct",
+      (s, dir) => {
+        val k = 16
+        val kmv = udaf(new graft.expr.KmvSketchAgg(k))
+        val c = lit(15.0) * lit(1152921504606846976.0) // (k−1)·2⁶⁰ exact
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type"), col("user_id"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("hv"))
+          .groupBy(col("event_type"))
+          .agg(kmv(col("hv")).as("kmv"),
+            countDistinct(col("user_id")).as("exact_distinct"))
+          .select(col("event_type"), col("kmv.n_min").as("n_min"),
+            col("kmv.kth_min").as("kth_min"),
+            when(col("kmv.kth_min").isNull, col("kmv.n_min").cast("double"))
+              .otherwise(c / col("kmv.kth_min").cast("double"))
+              .as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |a AS (SELECT event_type, COUNT(*) AS n_min,
+        |    MAX(CASE WHEN rn = 16 THEN hv END) AS kth_min
+        |  FROM r WHERE rn <= 16 GROUP BY event_type),
+        |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT a.event_type, a.n_min, a.kth_min,
+        |  CASE WHEN a.kth_min IS NULL THEN CAST(a.n_min AS DOUBLE)
+        |       ELSE (15.0 * 1152921504606846976.0) / CAST(a.kth_min AS DOUBLE)
+        |  END AS est_distinct,
+        |  x.exact_distinct
+        |FROM a JOIN x ON x.event_type = a.event_type
+        |ORDER BY a.event_type""".stripMargin)),
+
+
+    // L33 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan
+    // 2005): a 3×256 counter grid over the full token stream
+    // (CmsSketchAgg — fixed 768-long state, element-wise-sum partial
+    // merge, so the sketch is a deterministic function of the input
+    // multiset regardless of partitioning, unlike Misra–Gries). The
+    // exact top-15 tokens then read their estimates from the broadcast
+    // grid: est ≥ exact always, equality iff no colliding token. Row
+    // hashes are public md5 slices, so the oracle rebuilds each probed
+    // cell as COUNT(*) of its (row, position) group — the sketch itself
+    // never needs to exist oracle-side.
+    Q("sketch_cms_topk",
+      (s, dir) => {
+        import graft.expr.{CmsSketch, CmsSketchAgg}
+        val d = 3; val w = 256
+        val cms = udaf(new CmsSketchAgg(d, w))
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        val grid = toks.select(CmsSketch.cells(col("tok"), d, w).as("cs"))
+          .agg(cms(col("cs")).as("grid"))
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+          .orderBy(col("exact_count").desc, col("tok")).limit(15)
+          .crossJoin(broadcast(grid))
+          .select(col("tok"), col("exact_count"),
+            CmsSketch.estimate(col("grid"), CmsSketch.cells(col("tok"), d, w))
+              .as("cms_est"))
+          .orderBy(col("exact_count").desc, col("tok"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT unnest(toks) AS tok FROM d),
+        |cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM t GROUP BY tok),
+        |cells AS (SELECT r.r AS r,
+        |    ('0x' || substr(md5(tok), 1 + r.r*8, 8))::BIGINT % 256 AS p,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t, range(3) r(r) GROUP BY 1, 2),
+        |top AS (SELECT tok, exact_count FROM cnt
+        |  ORDER BY exact_count DESC, tok LIMIT 15)
+        |SELECT top.tok AS tok, top.exact_count AS exact_count, MIN(c.c) AS cms_est
+        |FROM top JOIN cells c
+        |  ON c.p = ('0x' || substr(md5(top.tok), 1 + c.r*8, 8))::BIGINT % 256
+        |GROUP BY 1, 2
+        |ORDER BY exact_count DESC, tok""".stripMargin)),
+
+
+    // L45 — LOG-HISTOGRAM QUANTILE SKETCH (the DDSketch shape, Masson
+    // et al. 2019): per-language p50/p90/p99 of document length from a
+    // bounded ~0.5k-counter histogram — per-value aggregation state
+    // never exists, vs q_quantiles' one counter per distinct value.
+    // Bucketing is integer-exact (bit-length octaves + power-of-two
+    // sub-buckets, never float log), the state is CmsSketchAgg with an
+    // identity "hash" on the bounded bucket space, and the merge is
+    // element-wise sum — so this approximate sketch is a deterministic
+    // function of the input multiset and the oracle replays it exactly.
+    Q("sketch_log_quantiles",
+      (s, dir) => Curation.logQuantiles(
+        Tables.documents(s, dir), "lang", "n_chars",
+        Seq((50, 1L, 2L), (90, 9L, 10L), (99, 99L, 100L))),
+      Some("""WITH x AS (SELECT lang, greatest(n_chars, 1) AS v FROM documents),
+        |b AS (SELECT lang, CAST(length(format('{:b}', v)) - 1 AS INTEGER) AS k, v FROM x),
+        |bb AS (SELECT lang, CAST(k*8
+        |    + ((v - (1::BIGINT << k))*8) // (1::BIGINT << k) AS INTEGER) AS bkt FROM b),
+        |g AS (SELECT lang, bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM bb GROUP BY 1, 2),
+        |nn AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |c AS (SELECT lang, bkt, CAST(SUM(cnt) OVER (PARTITION BY lang
+        |    ORDER BY bkt) AS BIGINT) AS cum FROM g),
+        |s(q_pct, qn, qd) AS (VALUES (50, 1::BIGINT, 2::BIGINT),
+        |  (90, 9::BIGINT, 10::BIGINT), (99, 99::BIGINT, 100::BIGINT)),
+        |r AS (SELECT c.lang, s.q_pct, nn.n,
+        |    (nn.n*s.qn + s.qd - 1) // s.qd AS rank, MIN(c.bkt) AS bkt
+        |  FROM c JOIN nn USING (lang)
+        |  JOIN s ON c.cum >= (nn.n*s.qn + s.qd - 1) // s.qd
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT lang, q_pct, n, rank, bkt,
+        |  (8 + bkt % 8) * (1::BIGINT << (bkt // 8)) AS rep8
+        |FROM r ORDER BY lang, q_pct""".stripMargin)),
+
+
+    // L59 — SPACE-SAVING HEAVY HITTERS (Metwally et al. 2005): per-lang
+    // top tokens under HARD-BOUNDED state — at most 64 counters per
+    // group per map partition, whatever the distinct-key count, vs one
+    // counter per distinct key for exact groupBy.count (the state that
+    // IS the job at 100 TB vocabularies). This corpus's vocab fits the
+    // capacity, so no eviction fires, the summary is a union-sum lattice
+    // (est = exact count, err = 0, partitioning-invariant) and the exact
+    // SQL oracles the whole reduce/merge/finish path; the eviction
+    // regime's guarantee bounds are SketchProps laws.
+    Q("hh_space_saving",
+      (s, dir) => {
+        val ss = udaf(new graft.expr.SpaceSavingAgg(64, 10),
+          org.apache.spark.sql.Encoders.STRING)
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("lang")).agg(ss(col("tok")).as("hh"))
+          .select(col("lang"), posexplode(col("hh")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.key").as("tok"), col("col.est").as("est"),
+            col("col.err").as("err"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some(hhOracleSql)),
+
+
+    // L65 — BM25 KEYWORD RETRIEVAL top-k: data-derived probe terms (5
+    // highest-df tokens of length >= 5), scored with the integer-exact
+    // BM25 surrogate (k1=6/5, b=3/4, odds-ratio idf — Retrieval.bm25TopK)
+    // and reduced per term by the bounded-state TopKAgg, not a window
+    // sort. The oracle mirrors both floors and the rank tie rule.
+    Q("r_bm25_topk",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Retrieval.bm25TopK(docs, "doc_id", "text",
+            Retrieval.probeTerms(docs, "doc_id", "text", minLen = 5, k = 5),
+            k = 10, scale = 1000000L)
+          .orderBy(col("term"), col("rank"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+        |probes AS (SELECT term FROM (
+        |    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS pdf
+        |    FROM t WHERE len(term) >= 5 GROUP BY 1)
+        |  ORDER BY pdf DESC, term LIMIT 5),
+        |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t JOIN probes USING (term) GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.term, tf.doc_id, dfq.df, tot.n_docs,
+        |    ((1000000 * 22 * tf.tf * tot.n_toks)
+        |      // (10 * tf.tf * tot.n_toks + 3 * tot.n_toks
+        |         + 9 * tot.n_docs * dl.dl)) AS s1
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |sc2 AS (SELECT term, doc_id,
+        |    (s1 * (2 * (n_docs - df) + 1)) // (2 * df + 1) AS score FROM sc),
+        |r AS (SELECT term, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc2)
+        |SELECT term, rank, doc_id, score
+        |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin)),
+
+
+    // L71 — HYPERLOGLOG distinct-count sketch (Flajolet 2007): 16
+    // max-of-rank registers per event_type as a bounded-state
+    // partial-merge aggregate over the public 60-bit md5 hash — bucket
+    // = top 4 bits, rank = leading zeros of the remaining 56 + 1. The
+    // oracle rebuilds every register (57 − bitlength via printf('%b')),
+    // the scaled inverse-power sum, and the raw α·m²·2⁵⁷/S estimate
+    // bit-for-bit; exact COUNT(DISTINCT) rides along for calibration.
+    Q("sketch_hll_distinct",
+      (s, dir) => {
+        val hll = udaf(new graft.expr.HllSketchAgg(4))
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("hv"), col("user_id"))
+          .groupBy(col("event_type"))
+          .agg(hll(col("hv")).as("h"),
+            countDistinct(col("user_id")).as("exact_distinct"))
+          // regs serialized to a CSV string — the driver's pandas
+          // comparator cannot sort/hash raw array cells
+          .select(col("event_type"),
+            array_join(col("h.regs").cast("array<string>"), ",").as("regs"),
+            col("h.s_scaled").as("s_scaled"), col("h.n_zero").as("n_zero"),
+            ((lit(0.673) * lit(256.0)) * lit(1.44115188075855872e17)
+              / col("h.s_scaled").cast("double")).as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |bk AS (SELECT event_type, hv >> 56 AS bucket,
+        |    hv & 72057594037927935 AS w FROM h),
+        |r AS (SELECT event_type, bucket,
+        |    MAX(CASE WHEN w = 0 THEN 57
+        |      ELSE 57 - length(printf('%b', w)) END) AS reg
+        |  FROM bk GROUP BY 1, 2),
+        |et AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT et.event_type, gs.bucket FROM et
+        |  CROSS JOIN (SELECT unnest(range(16)) AS bucket) gs),
+        |fl AS (SELECT g.event_type, g.bucket,
+        |    CAST(COALESCE(r.reg, 0) AS BIGINT) AS reg
+        |  FROM grid g LEFT JOIN r ON r.event_type = g.event_type
+        |    AND r.bucket = g.bucket),
+        |a AS (SELECT event_type, list(reg ORDER BY bucket) AS regs,
+        |    CAST(SUM(1::BIGINT << (57 - reg)) AS BIGINT) AS s_scaled,
+        |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM fl GROUP BY 1),
+        |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS exact_distinct FROM events GROUP BY 1)
+        |SELECT a.event_type, array_to_string(a.regs, ',') AS regs,
+        |  a.s_scaled, a.n_zero,
+        |  (0.673 * 256.0) * 144115188075855872.0
+        |    / CAST(a.s_scaled AS DOUBLE) AS est_distinct,
+        |  x.exact_distinct
+        |FROM a JOIN x USING (event_type) ORDER BY event_type""".stripMargin)),
+
+
+    // L72 — ORDERED FUNNEL (signup → view → click → purchase): per user
+    // the earliest completion time of each step STRICTLY AFTER the
+    // previous step's; a missing step nulls the suffix. Chained keyed
+    // aggregates — k equi joins on user_id, no per-user sort.
+    Q("e_funnel",
+      (s, dir) => EventAnalytics.funnel(
+          Tables.eventIntervals(s, dir)
+            .select(col("user_id"), col("event_type"), col("s_us").as("tus")),
+          "user_id", "event_type", "tus",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("user_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |    MIN(CASE WHEN e.tus > s1.t1 THEN e.tus END) AS t2
+        |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'view' GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |    MIN(CASE WHEN e.tus > s2.t2 THEN e.tus END) AS t3
+        |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |    AND e.event_type = 'click' GROUP BY 1, 2, 3),
+        |s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3,
+        |    MIN(CASE WHEN e.tus > s3.t3 THEN e.tus END) AS t4
+        |  FROM s3 LEFT JOIN e ON e.user_id = s3.user_id
+        |    AND e.event_type = 'purchase' GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, t1, t2, t3, t4,
+        |  CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_reached
+        |FROM s4 ORDER BY user_id""".stripMargin)),
+
+
+    // L73 — COHORT RETENTION: cohort = first-activity week; one row per
+    // (cohort, offset) counting distinct users still active. The
+    // (user, week) distinct collapse runs before the join, so join
+    // input is users × weeks, not raw events.
+    Q("e_retention",
+      (s, dir) => EventAnalytics.retention(
+          Tables.eventIntervals(s, dir)
+            .select(col("user_id"), col("s_us").as("tus")),
+          "user_id", "tus", bucketUs = 604800000000L)
+        .orderBy(col("cohort_w"), col("week_offset")),
+      Some(s"""WITH $evPointsSqlCte,
+        |w AS (SELECT DISTINCT user_id, tus // 604800000000 AS w FROM e),
+        |c AS (SELECT user_id, MIN(w) AS cohort_w FROM w GROUP BY 1)
+        |SELECT c.cohort_w, w.w - c.cohort_w AS week_offset,
+        |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+
+    // L76 — EVENT TRANSITION MATRIX (next-event Markov counts, the
+    // product-analytics complement of e_funnel): per user order events
+    // by (time, event_id) and count consecutive type→next pairs — one
+    // shuffle on the user key, the lead window runs per partition.
+    Q("e_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("s_us"), col("event_id"))
+        Tables.eventIntervals(s, dir)
+          .select(col("user_id"), col("event_id"), col("s_us"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |nx AS (SELECT event_type, lead(event_type, 1) OVER
+        |    (PARTITION BY user_id ORDER BY tus, event_id) AS next_type
+        |  FROM e)
+        |SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM nx WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+
+    // L77 — σ-THRESHOLD ANOMALY GATE: flag events whose cents deviate
+    // from their type's mean by more than 1.5 population σ, with the
+    // z-test cleared of divisions/sqrt by cross-multiplication in
+    // decimal(38,0)/HUGEINT — bit-exact cross-engine (the double
+    // z-score is not: Σx² accumulation order changes the low bits).
+    // One stats shuffle, then a broadcast probe + map-side flag.
+    Q("e_sigma_outliers",
+      (s, dir) => EventAnalytics.sigmaOutliers(
+          evPoints(s, dir)
+            .select(col("event_id"), col("event_type"), col("cents")),
+          "event_type", "cents", num = 3, den = 2)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("is_outlier"), col("dev_sign"))
+        .orderBy(col("event_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS HUGEINT) AS s,
+        |    SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |  4 * (CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s)
+        |    * (CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s)
+        |    > 9 * (CAST(st.n AS HUGEINT) * st.q - st.s * st.s) AS is_outlier,
+        |  CAST(CASE
+        |    WHEN CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s > 0 THEN 1
+        |    WHEN CAST(st.n AS HUGEINT) * CAST(e.cents AS HUGEINT) - st.s < 0 THEN -1
+        |    ELSE 0 END AS BIGINT) AS dev_sign
+        |FROM e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin)),
+
+
+    // L83 — INVERTED-INDEX HEAD BLOCKS with delta-gap encoding: per
+    // term, document frequency plus the FIRST 32 postings (ascending
+    // doc id) as gaps — the bounded-state head block every
+    // impact-ordered index keeps hot (Lucene's skip-list first tier);
+    // TopKAgg on -doc_id means ≤ 32 pairs per term per map partition
+    // cross the shuffle, never a full posting list (hot terms are
+    // exactly where collect_list would OOM).
+    Q("r_index_head",
+      (s, dir) => {
+        val topk = udaf(new graft.expr.TopKAgg(32))
+        // one row per doc -> per-doc array_distinct IS the (doc, term)
+        // distinct; no extra shuffle needed before the aggregate
+        val posts = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(
+            TextOps.tokens(col("text")))).as("term"))
+        posts.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), topk(-col("doc_id"), col("doc_id")).as("tk"))
+          .filter(col("df") >= 3)
+          .withColumn("heads", transform(col("tk"), x => x.getField("id")))
+          .withColumn("gaps", transform(col("heads"), (x, i) =>
+            when(i === 0, x).otherwise(x - element_at(col("heads"), i))))
+          // array_join to a string: the driver's pandas comparator
+          // cannot sort/hash raw array cells
+          .select(col("term"), col("df"),
+            array_join(col("gaps").cast("array<string>"), ",").as("gaps"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+        |    unnest(list_distinct(list_filter(string_split(text, ' '),
+        |      x -> x != ''))) AS term
+        |  FROM documents),
+        |g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |    (list_sort(list(doc_id)))[1:32] AS heads
+        |  FROM t0 GROUP BY term),
+        |d AS (SELECT term, df,
+        |    list_transform(heads, (x, i) -> CASE WHEN i = 1 THEN x
+        |      ELSE x - heads[i - 1] END) AS gaps
+        |  FROM g WHERE df >= 3)
+        |SELECT term, df, array_to_string(gaps, ',') AS gaps
+        |FROM d ORDER BY term""".stripMargin)),
+
+
+    // L87 — MAD ROBUST OUTLIERS: the median/MAD complement of L77 —
+    // mean and σ are dragged by the very outliers they hunt; median
+    // and MAD have 50% breakdown. Lower median = exact rank selection
+    // at (n+1) div 2, gate dev·2 > 9·mad (≈ the 3·1.4826 rule), all
+    // integer; two rank passes, 1-row-per-group results broadcast.
+    Q("e_mad_outliers",
+      (s, dir) => EventAnalytics.madOutliers(
+          evPoints(s, dir)
+            .select(col("event_id"), col("event_type"), col("cents")),
+          "event_type", "cents", num = 9, den = 2)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("med"), col("dev"), col("mad"), col("is_outlier"))
+        .orderBy(col("event_id")),
+      Some(s"""WITH $evPointsSqlCte,
+        |r1 AS (SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM e),
+        |md AS (SELECT event_type, cents AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT e.event_id, e.event_type, e.cents, md.med,
+        |    abs(e.cents - md.med) AS dev
+        |  FROM e JOIN md USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM dv),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT dv.event_id, dv.event_type, dv.cents, dv.med, dv.dev, mad.mad,
+        |  dv.dev * 2 > mad.mad * 9 AS is_outlier
+        |FROM dv JOIN mad USING (event_type) ORDER BY dv.event_id""".stripMargin)),
+
+
+    // L88 — MULTI-TOUCH LINEAR ATTRIBUTION: each purchase's cents split
+    // EXACTLY across the user's views in the preceding 24 h — base
+    // share cents div k, the cents mod k remainder one cent each to
+    // the earliest touches (largest-remainder on equal quotas), so
+    // credit conserves per conversion bit-for-bit. Interval join
+    // carries the user equi key; the rank window partitions on the
+    // conversion id.
+    Q("e_attribution",
+      (s, dir) => {
+        val e = evPoints(s, dir)
+        EventAnalytics.linearAttribution(
+            e.filter(col("event_type") === "view")
+              .select(col("user_id"), col("event_id").as("touchId"),
+                col("tus")),
+            e.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("event_id").as("convId"),
+                col("tus"), col("cents")),
+            "user_id", windowUs = 86400000000L)
+          .select(col("touchId").as("touch_id"), col("user_id"),
+            col("n_convs"), col("attributed_cents"))
+          .orderBy(col("touch_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |v AS (SELECT user_id, event_id AS touch_id, tus FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS conv_id, tus, cents FROM e WHERE event_type = 'purchase'),
+        |tp AS (SELECT p.user_id, p.conv_id, p.cents, v.touch_id, v.tus AS t_tus
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.tus <= p.tus AND v.tus > p.tus - 86400000000),
+        |rk AS (SELECT user_id, conv_id, cents, touch_id,
+        |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY t_tus, touch_id) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS k FROM tp),
+        |cr AS (SELECT user_id, conv_id, touch_id,
+        |    cents // k + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END AS credit FROM rk)
+        |SELECT touch_id, user_id, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+        |  CAST(SUM(credit) AS BIGINT) AS attributed_cents
+        |FROM cr GROUP BY touch_id, user_id ORDER BY touch_id""".stripMargin)),
+
+
+    // L89 — CUSUM DRIFT DETECTION (Page 1954), window-exact: the
+    // sequential S_i = max(0, S_{i-1} + x_i) recursion closed-form over
+    // prefix sums (S_i = P_i − min(0, min_{j≤i} P_j)) — one shuffle,
+    // two cumulative windows, no per-key fold; target = the group's
+    // lower median (rank-selected, outlier-robust), all integers.
+    Q("e_cusum_drift",
+      (s, dir) => {
+        val e = evPoints(s, dir)
+          .select(col("event_id"), col("event_type"), col("tus"),
+            col("cents"))
+        val med = e.select(col("event_type"), col("cents"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("cents")))
+            .cast("long"))
+          .withColumn("__n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col("event_type"), col("cents").as("target"))
+        EventAnalytics.cusumDrift(e, med, "event_type", "cents", "tus",
+            "event_id", h = 2000000L)
+          .select(col("event_id"), col("event_type"), col("cents"),
+            col("drift"), col("cusum"), col("alarm"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |r1 AS (SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM e),
+        |md AS (SELECT event_type, cents AS target FROM r1 WHERE rn = (n + 1) // 2),
+        |dr AS (SELECT e.event_id, e.event_type, e.tus, e.cents,
+        |    e.cents - md.target AS drift FROM e JOIN md USING (event_type)),
+        |ps AS (SELECT *, CAST(SUM(drift) OVER w AS BIGINT) AS p FROM dr
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (SELECT event_id, event_type, cents, drift,
+        |    p - least(0, MIN(p) OVER w) AS cusum FROM ps
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, cents, drift,
+        |  CAST(cusum AS BIGINT) AS cusum, cusum > 2000000 AS alarm
+        |FROM cs ORDER BY event_id""".stripMargin)),
+
+
+    // L94 — DISORDER PROFILE: per-user arrival-lag max and exact-rank
+    // p99 — the measured watermark SLA for §2.10. Arrival order is the
+    // event time plus a deterministic md5-derived ingest jitter (≤ 1
+    // day), applied identically in both engines.
+    Q("e_disorder_profile",
+      (s, dir) => {
+        val jitter = pmod(conv(substring(md5(col("event_id").cast("string")),
+          1, 15), 16, 10).cast("long"), lit(86400000000L))
+        EventAnalytics.disorderProfile(
+            evPoints(s, dir).select(col("user_id"), col("event_id"),
+              col("tus"), (col("tus") + jitter).as("arr")),
+            "user_id", "tus", "arr", "event_id")
+          .select(col("user_id"), col("n"), col("n_late"),
+            col("max_lag_us"), col("p99_lag_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |a AS (SELECT user_id, event_id, tus,
+        |    tus + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 86400000000 AS arr FROM e),
+        |lg AS (SELECT user_id, arr, event_id,
+        |    CAST(MAX(tus) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus AS BIGINT) AS lag
+        |  FROM a),
+        |r AS (SELECT user_id, lag,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY lag, arr, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM lg),
+        |p99 AS (SELECT user_id, lag AS p99_lag_us FROM r WHERE rn = (99 * n + 99) // 100),
+        |ag AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lag > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |    CAST(MAX(lag) AS BIGINT) AS max_lag_us FROM lg GROUP BY user_id)
+        |SELECT ag.user_id, ag.n, ag.n_late, ag.max_lag_us, p99.p99_lag_us
+        |FROM ag JOIN p99 USING (user_id) ORDER BY ag.user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.Polyval
+import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.QuerySupport._
+
+/** Multimodal (image/video/audio-as-binary) operators
+  * (SURVEY §2.11 mm_* ids).
+  */
+private[graft] object QueriesMultimodal {
+
+  def entries: Seq[Q] = Seq(
+
+    // Multimodal plumbing — opaque payload bytes with typed metadata
+    // rollup (SURVEY §7.0; binary treated as octets, decode kept out of
+    // the relational layer).
+    Q("mm_binary_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text")).cast("long")).as("total_bytes"),
+          max(octet_length(col("text")).cast("long")).as("max_bytes"))
+        .orderBy(col("source")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+
+    // Multimodal — mapPartitions decode plumbing with a deterministic
+    // stub kernel whose integer outputs the oracle mirrors exactly.
+    Q("mm_decode_stub",
+      (s, dir) => Multimodal.decodeStub(
+          Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  strlen(text) AS bytes,
+        |  ((strlen(text) * 31 + 7) % 104729) % 640 AS width,
+        |  ((strlen(text) * 31 + 7) % 104729) % 480 AS height,
+        |  strlen(text) // 100 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+
+    // Multimodal — frame-sample + aspect-fit resize over the stub-decoded
+    // metadata: every 3rd frame, fitted to a 224×224 box in exact 1e-4
+    // integer scale units. The codec kernels stay stubs; the relational
+    // shape (explode per frame, dimension arithmetic) is real.
+    Q("mm_frame_resize",
+      (s, dir) => Multimodal.resizeStub(
+          Multimodal.frameSample(
+            Multimodal.decodeStub(
+              Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")),
+            everyN = 3L),
+          targetW = 224L, targetH = 224L)
+        .select(col("doc_id"), col("kind"), col("frame"),
+          col("scale_e4"), col("out_w"), col("out_h"))
+        .orderBy(col("doc_id"), col("frame")),
+      Some("""WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  ((strlen(text) * 31 + 7) % 104729) % 640 AS width,
+        |  ((strlen(text) * 31 + 7) % 104729) % 480 AS height,
+        |  strlen(text) // 100 + 1 AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, kind, width, height,
+        |  unnest(range(0, (n_frames - 1) // 3 + 1)) * 3 AS frame FROM m),
+        |rs AS (SELECT doc_id, kind, frame,
+        |  least(2240000 // greatest(width, 1), 2240000 // greatest(height, 1)) AS scale_e4,
+        |  greatest(width, 1) AS w1, greatest(height, 1) AS h1
+        |  FROM fr)
+        |SELECT doc_id, kind, frame, CAST(scale_e4 AS BIGINT) AS scale_e4,
+        |  CAST((w1 * scale_e4) // 10000 AS BIGINT) AS out_w,
+        |  CAST((h1 * scale_e4) // 10000 AS BIGINT) AS out_h
+        |FROM rs ORDER BY doc_id, frame""".stripMargin)),
+
+
+    // Multimodal — IMAGE NEAR-DUP by perceptual dHash: 8×9 grayscale
+    // grids (deterministic stub decode — the codec seam is the stub,
+    // the HASH and the dedup join are real), 64 brightness comparisons
+    // packed into four 16-bit bands, pigeonhole (band, value)
+    // bucket-join candidates (recall 1 for Hamming ≤ 3), exact
+    // popcount verify at ≤ 2. Families (doc_id % 37) share a base
+    // grid; a per-doc single-cell perturbation flips at most two
+    // comparison bits — exactly the resize/re-encode robustness dHash
+    // exists for. The oracle recomputes hashes closed-form and checks
+    // ALL pairs exhaustively: candidate recall is part of what's
+    // verified.
+    Q("mm_dhash_neardup",
+      (s, dir) => {
+        // quadratic-in-position grids spread band values across
+        // families (a linear formula made most bands collide into
+        // corpus-sized LSH buckets — measured 62 s at sf0.1 vs ~1 s
+        // here); bounded slice doc_id < 2000 caps the pair output
+        val grid = expr("transform(sequence(0, 71), i -> CAST(" +
+          "((doc_id % 37 + 1) * (i * i + 7 * i + 13)) % 256 + " +
+          "IF(i = doc_id % 72, 200 * ((doc_id div 37) % 2), 0) AS INT))")
+        val base = Tables.documents(s, dir)
+          .filter(col("doc_id") < 2000)
+          .select(col("doc_id"), grid.as("g"))
+        val hashed = base
+          .select(col("doc_id"), Multimodal.dHashBands(base, "g").as("bands"))
+        Multimodal.dhashNearDupPairs(hashed, "doc_id", "bands", maxDist = 2)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH g AS (SELECT doc_id, list_transform(range(0, 72), i ->
+        |    ((doc_id % 37 + 1) * (i * i + 7 * i + 13)) % 256 +
+        |    CASE WHEN i = doc_id % 72 THEN 200 * ((doc_id // 37) % 2) ELSE 0 END) AS grid
+        |  FROM documents WHERE doc_id < 2000),
+        |h AS (SELECT doc_id, list_transform(range(0, 4), b ->
+        |    list_sum(list_transform(range(0, 16), t ->
+        |      CASE WHEN grid[CAST(((b * 16 + t) // 8) * 9 + ((b * 16 + t) % 8) + 1 AS INTEGER)]
+        |             > grid[CAST(((b * 16 + t) // 8) * 9 + ((b * 16 + t) % 8) + 2 AS INTEGER)]
+        |      THEN (1 << t) ELSE 0 END))) AS bands FROM g),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(list_sum(list_transform(range(1, 5), k ->
+        |      bit_count(xor(CAST(x.bands[CAST(k AS INTEGER)] AS BIGINT),
+        |                    CAST(y.bands[CAST(k AS INTEGER)] AS BIGINT))))) AS BIGINT) AS dist
+        |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
+        |SELECT a, b, dist FROM p WHERE dist <= 2 ORDER BY a, b""".stripMargin)),
+
+
+    // L112 — AUDIO FINGERPRINTING (energy-contour grams): waveform
+    // near-dup via exact-integer frame energies → rising-edge contour
+    // bits (invariant under positive amplitude scaling) → 16-bit grams
+    // → gram-bucketed Jaccard. 40 synthesized families of 3 variants
+    // (identity / sparse additive noise / 51/50 integer regain); the
+    // oracle replays the identical integer arithmetic (per-family sample
+    // stride keeps families genuinely distinct) — quantize,
+    // energies, contour, grams, pair Jaccard — in SQL. Bounded slice
+    // (event_id < 120); the production path is the same gram-bucketed
+    // equi join with the maxGramDf stop-gram cap.
+    // L119 — SHOT-BOUNDARY DETECTION + keyframe selection: synthetic
+    // per-frame perceptual hashes (slow in-shot wiggle = 1 parity bit,
+    // shot transitions = 8-16 bit jumps every 8 frames, video salt in
+    // the high bits cancels under xor), real lag/cumsum/agg pipeline —
+    // one shuffle on the video id, shots collapse map-side.
+    Q("mm_shot_keyframes",
+      (s, dir) => {
+        val frames = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"),
+            explode(expr("sequence(0L, 23L + doc_id % 17)")).as("frame"))
+          .withColumn("fhash", expr(
+            """(doc_id % 256) * 4294967296L + CASE ((frame div 8) % 4)
+               WHEN 0 THEN 0L WHEN 1 THEN 4080L WHEN 2 THEN 65280L
+               ELSE 16711680L END + (frame % 2)"""))
+        Multimodal.shotSegments(frames, "doc_id", "frame", "fhash", maxDist = 3)
+          .orderBy(col("doc_id"), col("shot_id"))
+      },
+      Some(shotOracleSql)),
+
+
+    // L120 — VIDEO NEAR-DUP by shot-keyframe hash sets: family copies
+    // share all shots but one (a high-bit perturbation in one shot per
+    // copy), so canonical↔copy Jaccard = 3/5 ≥ 0.5 while copy↔copy =
+    // 1/3 and cross-family = 0 — the pair stage is the generic L112
+    // set-Jaccard bucket join over (video, keyframe-hash) grams.
+    Q("mm_video_neardup",
+      (s, dir) => {
+        val frames = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"), explode(expr("sequence(0L, 39L)")).as("frame"))
+          .withColumn("fhash", expr(
+            """(doc_id div 4) * 33554432L + CASE ((frame div 8) % 4)
+               WHEN 0 THEN 0L WHEN 1 THEN 4080L WHEN 2 THEN 65280L
+               ELSE 16711680L END +
+               IF(doc_id % 4 > 0 AND (frame div 8) = (doc_id % 4), 8388608L, 0L) +
+               frame % 2"""))
+        val kh = Multimodal.videoKeyHashes(frames, "doc_id", "frame", "fhash",
+          maxDist = 3)
+        Multimodal.audioNearDupPairs(kh, "doc_id", minJaccard = 0.5)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 40)) AS frame
+        |  FROM documents WHERE doc_id < 500),
+        |h AS (SELECT doc_id, frame,
+        |  (doc_id // 4) * 33554432 + CASE ((frame // 8) % 4)
+        |    WHEN 0 THEN 0 WHEN 1 THEN 4080 WHEN 2 THEN 65280
+        |    ELSE 16711680 END
+        |  + CASE WHEN doc_id % 4 > 0 AND (frame // 8) = (doc_id % 4)
+        |      THEN 8388608 ELSE 0 END
+        |  + frame % 2 AS fhash FROM f),
+        |c AS (SELECT doc_id, fhash, CASE WHEN lag(fhash) OVER w IS NULL THEN 1
+        |    WHEN bit_count(xor(lag(fhash) OVER w, fhash)) > 3 THEN 1 ELSE 0 END AS cut
+        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+        |kh AS (SELECT DISTINCT doc_id, fhash AS gram FROM c WHERE cut = 1),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM kh GROUP BY 1),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM kh x JOIN kh y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_shared,
+        |  CAST(p.n_shared AS DOUBLE) / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+        |WHERE CAST(p.n_shared AS DOUBLE) / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin)),
+
+
+    Q("mm_audio_fingerprint",
+      (s, dir) => {
+        val ids = Tables.events(s, dir)
+          .select(col("event_id").cast("long").as("id"))
+          .filter(col("id") < 120).distinct()
+        val waves = ids.withColumn("wave", expr(
+          """transform(sequence(0, 6399), j -> CAST(CAST(
+            |CASE WHEN id % 3 = 0 THEN ((id div 3) * 31 + j * (13 + 2 * ((id div 3) % 23))) % 201 * 20
+            |     WHEN id % 3 = 1 THEN ((id div 3) * 31 + j * (13 + 2 * ((id div 3) % 23))) % 201 * 20 + IF(j % 33 = 0, 40, 0)
+            |     ELSE ((id div 3) * 31 + j * (13 + 2 * ((id div 3) % 23))) % 201 * 20 * 51 div 50 END
+            |AS DOUBLE) / 32767D AS FLOAT))""".stripMargin))
+        val grams = Multimodal.audioContourGrams(waves, "id", "wave",
+          frame = 64, k = 16)
+        Multimodal.audioNearDupPairs(grams, "id", 0.5)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 120),
+        |w AS (SELECT id, list_transform(range(0, 6400), j ->
+        |    CASE WHEN id % 3 = 0 THEN ((id // 3) * 31 + j * (13 + 2 * ((id // 3) % 23))) % 201 * 20
+        |         WHEN id % 3 = 1 THEN ((id // 3) * 31 + j * (13 + 2 * ((id // 3) % 23))) % 201 * 20
+        |           + CASE WHEN j % 33 = 0 THEN 40 ELSE 0 END
+        |         ELSE ((id // 3) * 31 + j * (13 + 2 * ((id // 3) % 23))) % 201 * 20 * 51 // 50 END) AS iw
+        |  FROM ids),
+        |en AS (SELECT id, list_transform(range(0, 100), f ->
+        |    list_sum(list_transform(range(0, 64), t ->
+        |      iw[CAST(f * 64 + t + 1 AS INTEGER)] * iw[CAST(f * 64 + t + 1 AS INTEGER)]))) AS e
+        |  FROM w),
+        |bt AS (SELECT id, list_transform(range(0, 99), i ->
+        |    CASE WHEN e[CAST(i + 2 AS INTEGER)] > e[CAST(i + 1 AS INTEGER)]
+        |    THEN 1 ELSE 0 END) AS b FROM en),
+        |gp AS (SELECT id, unnest(range(0, 84)) AS i, b FROM bt),
+        |g AS (SELECT DISTINCT id, CAST(list_sum(list_transform(range(0, 16), j ->
+        |    b[CAST(i + j + 1 AS INTEGER)] * (1 << CAST(15 - j AS INTEGER)))) AS BIGINT) AS gram
+        |  FROM gp),
+        |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY id),
+        |sh AS (SELECT x.id AS a, y.id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.id < y.id GROUP BY x.id, y.id),
+        |jc AS (SELECT a, b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+        |  FROM sh JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b)
+        |SELECT a, b, n_shared, jaccard FROM jc WHERE jaccard >= 0.5
+        |ORDER BY a, b""".stripMargin)),
+
+
+    // Multimodal — REAL audio feature extraction: decode (WAV via
+    // javax.sound for id%3=0, FLAC fixed-predictor for 1, FLAC LPC for
+    // 2 — three genuine codec paths), then per-100-sample window the
+    // integer energy (Σq²) and zero-crossing count. Lossless 16-bit
+    // round-trip keeps every feature in the exact integer domain, so
+    // DuckDB recomputes them from the synthesis formula without
+    // touching audio. Bounded slice (event_id < 200).
+    Q("mm_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 200).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (300 + id % 500).toInt
+          val sam = Array.tabulate(n)(i =>
+            ((id * 13 + i.toLong * 29) % 401 - 200) * 25 / 32767f)
+          val bytes = (id % 3) match {
+            case 0 => WavAudio.encode(8000, sam)
+            case 1 => FlacAudio.encode(8000, sam)
+            case _ => FlacAudio.encode(8000, sam, lpc = true)
+          }
+          (id.toString, bytes)
+        }
+        WavAudio.decodeDataset(payloads)
+          .flatMap { a =>
+            val q = a.waveform.map(x => math.round(x * 32768f))
+            q.grouped(100).zipWithIndex.map { case (win, wi) =>
+              val ss = win.foldLeft(0L)((acc, v) => acc + v * v)
+              val zc = win.sliding(2)
+                .count(p => p.length == 2 && p(0) * p(1) < 0)
+              (a.file.toLong, wi.toLong, win.length.toLong, ss, zc.toLong)
+            }
+          }
+          .toDF("event_id", "win", "n", "sum_sq", "zero_cross")
+          .orderBy(col("event_id"), col("win"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 200),
+        |c AS (SELECT event_id, CAST(300 + event_id % 500 AS BIGINT) AS n FROM ids),
+        |wins AS (SELECT event_id, n, unnest(range((n + 99) // 100)) AS win FROM c),
+        |b AS (SELECT event_id, win, win * 100 AS lo,
+        |  least(n, win * 100 + 100) AS hi FROM wins)
+        |SELECT event_id, CAST(win AS BIGINT) AS win, CAST(hi - lo AS BIGINT) AS n,
+        |  CAST(list_sum(list_transform(range(lo, hi),
+        |    i -> ((event_id*13 + i*29) % 401 - 200) * 25
+        |       * (((event_id*13 + i*29) % 401 - 200) * 25))) AS BIGINT) AS sum_sq,
+        |  CAST(COALESCE(list_sum(list_transform(range(lo, hi - 1),
+        |    i -> CASE WHEN ((event_id*13 + i*29) % 401 - 200)
+        |              * ((event_id*13 + (i+1)*29) % 401 - 200) < 0
+        |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
+        |FROM b ORDER BY event_id, win""".stripMargin))
+  )
+}

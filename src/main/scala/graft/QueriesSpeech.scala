@@ -1,0 +1,754 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.Polyval
+import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.QuerySupport._
+
+/** The speech-pipeline operator surface (SURVEY §2 S/P/M/HM ids):
+  * codec roundtrips, probes, service inference, stage mirrors.
+  */
+private[graft] object QueriesSpeech {
+
+  def entries: Seq[Q] = Seq(
+
+    // P1 — pad + clamp segment bounds (vad_multi.py:33-35), clamped to the
+    // per-user observed span (the reference clamps to [0, file duration]).
+    Q("p1_pad_clamp",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+        Tables.eventIntervals(s, dir)
+          .withColumn("lo", min(col("s_us")).over(w))
+          .withColumn("hi", max(col("e_us")).over(w))
+          .select(col("user_id"), col("event_id"),
+            greatest(col("s_us") - lit(5000000L), col("lo")).as("pad_start"),
+            least(col("e_us") + lit(5000000L), col("hi")).as("pad_end"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""WITH $evIntervalsSqlCte
+        |SELECT user_id, event_id,
+        |  greatest(s_us - 5000000, MIN(s_us) OVER (PARTITION BY user_id)) AS pad_start,
+        |  least(e_us + 5000000, MAX(e_us) OVER (PARTITION BY user_id)) AS pad_end
+        |FROM i ORDER BY user_id, event_id""".stripMargin)),
+
+
+    // P3 — silence predicate with the reference's double-append quirk
+    // (utils.py:127-143 appends a gap once per satisfied condition, so a
+    // short AND quiet gap lands twice): UNION ALL of both branches.
+    Q("p3_silence_union",
+      (s, dir) => {
+        val gaps = SegmentOps.adjacentGaps(
+          Tables.eventIntervals(s, dir), "user_id", "s_us", "e_us", "event_id", "cents")
+        val short = gaps.filter(col("gap_end") - col("gap_start") < lit(60000000L))
+        val quiet = gaps.filter(col("prev_feature") < 1000 && col("next_feature") < 1000)
+        short.select(col("user_id"), col("gap_start"), col("gap_end"))
+          .unionAll(quiet.select(col("user_id"), col("gap_start"), col("gap_end")))
+          .orderBy(col("user_id"), col("gap_start"), col("gap_end"))
+      },
+      Some(s"""WITH $evIntervalsSqlCte,
+        |l AS (SELECT user_id, e_us, cents,
+        |  lead(s_us) OVER w AS next_start, lead(cents) OVER w AS next_feature
+        |  FROM i WINDOW w AS (PARTITION BY user_id ORDER BY s_us, event_id)),
+        |g AS (SELECT user_id, e_us AS gap_start, next_start AS gap_end,
+        |  cents AS prev_feature, next_feature
+        |  FROM l WHERE next_start IS NOT NULL AND next_start >= e_us)
+        |SELECT user_id, gap_start, gap_end FROM (
+        |  SELECT user_id, gap_start, gap_end FROM g WHERE gap_end - gap_start < 60000000
+        |  UNION ALL
+        |  SELECT user_id, gap_start, gap_end FROM g WHERE prev_feature < 1000 AND next_feature < 1000
+        |) t ORDER BY user_id, gap_start, gap_end""".stripMargin)),
+
+
+    // S2 — REAL Ogg/Vorbis codec as an oracle-checked query (the
+    // sibling of s2_mp3_roundtrip): tones through the pure-JVM Vorbis
+    // encoder (floor1 + residue + MDCT, self-describing codebooks) and
+    // back through the PRODUCTION decode seam; DuckDB recomputes the
+    // exact output length, rate and the preserved Goertzel peak from
+    // the synthesis parameters. Ids with id % 3 == 2 take the MIXED
+    // 256/1024 block-size stream (asymmetric transition windows, S-S-L-L
+    // pattern) — its emitted length equals the tone length too, because
+    // every fixture length is a multiple of the 1280-sample S-S-L-L
+    // lap cycle, so ONE oracle covers both window paths. Bounded slice
+    // (event_id < 40).
+    Q("s2_vorbis_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{VorbisEncoder, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 40).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val f = 250.0 * (1 + id % 4)
+          val n = (3840 + (id % 4) * 1280).toInt // 0.24-0.48 s at 16 kHz
+          val tone = Array.tabulate(n)(i =>
+            (0.5 * math.sin(2 * math.Pi * f * i / 16000.0)).toFloat)
+          val bytes =
+            if (id % 3 == 2) VorbisEncoder.encodeMixed(16000, tone)
+            else VorbisEncoder.encode(16000, tone)
+          (id.toString, bytes)
+        }
+        WavAudio.decodeDataset(payloads)
+          .map { a =>
+            def power(f: Double): Double = {
+              var re = 0.0; var im = 0.0
+              var i = 0
+              while (i < a.waveform.length) {
+                val w = 2 * math.Pi * f * i / a.sr
+                re += a.waveform(i) * math.cos(w)
+                im += a.waveform(i) * math.sin(w)
+                i += 1
+              }
+              re * re + im * im
+            }
+            val peak = Seq(250, 500, 750, 1000).maxBy(c => power(c.toDouble))
+            (a.file.toLong, a.sr.toLong, a.waveform.length.toLong, peak.toLong)
+          }
+          .toDF("event_id", "sr", "n_samples", "peak_hz")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 40)
+        |SELECT event_id, CAST(16000 AS BIGINT) AS sr,
+        |  CAST(3840 + (event_id % 4) * 1280 AS BIGINT) AS n_samples,
+        |  CAST(250 * (1 + event_id % 4) AS BIGINT) AS peak_hz
+        |FROM ids ORDER BY event_id""".stripMargin)),
+
+
+    // S2 — the REAL codec path as an oracle-checked query: per event id
+    // synthesize a deterministic int16 waveform, container-encode it
+    // (WAV for even ids, FLAC for odd — both real encoders), decode
+    // through the production decode seam (javax.sound / pure-JVM FLAC),
+    // and report the recovered sample sum. Lossless 16-bit round-trip
+    // means the sum equals the synthesis formula's sum EXACTLY, which
+    // DuckDB recomputes arithmetically — an external engine checking a
+    // codec without decoding a byte. Bounded slice (event_id < 300).
+    Q("s2_codec_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 300).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (200 + id % 800).toInt
+          val sam = Array.tabulate(n)(i =>
+            ((id * 31 + i.toLong * 17) % 201 - 100) * 50 / 32767f)
+          val bytes =
+            if (id % 2 == 0) WavAudio.encode(8000, sam)
+            else FlacAudio.encode(8000, sam)
+          (id.toString, bytes)
+        }
+        WavAudio.decodeDataset(payloads)
+          .map { a =>
+            val sum = a.waveform.foldLeft(0L)((acc, x) =>
+              acc + math.round(x * 32768f))
+            (a.file.toLong, a.sr, a.waveform.length.toLong, sum)
+          }
+          .toDF("event_id", "sr", "n_samples", "sum_q")
+          .withColumn("container",
+            when(pmod(col("event_id"), lit(2L)) === 0L, lit("wav"))
+              .otherwise(lit("flac")))
+          .select(col("event_id"), col("container"), col("sr"),
+            col("n_samples"), col("sum_q"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 300),
+        |c AS (SELECT event_id, CAST(200 + event_id % 800 AS BIGINT) AS n FROM ids)
+        |SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS container,
+        |  8000 AS sr, n AS n_samples,
+        |  CAST(list_sum(list_transform(range(n),
+        |    i -> ((event_id * 31 + i * 17) % 201 - 100) * 50)) AS BIGINT) AS sum_q
+        |FROM c ORDER BY event_id""".stripMargin)),
+
+
+    // S3 — the pre-decode probe GATE as an oracle-checked query over
+    // ALL SIX reference container families (`utils.py:11-16`): WAV +
+    // FLAC full payloads, CBR MP3 silence frames, Ogg/Vorbis
+    // granule-position pages, M4A mvhd/mdhd box walks, ADTS AAC frame
+    // walks (header-accurate minted shells — the probe reads only
+    // headers). Junk payloads for id%7=0 probe as duration 0 (the
+    // reference's get_duration failure contract); gate [1 s, 2.5 s];
+    // DuckDB recomputes survivorship from each family's exact integer
+    // duration formula. Bounded slice (event_id < 400).
+    Q("s3_probe_gate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{AudioProbe, FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 400).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val k = (id % 50).toInt
+          val bytes =
+            if (id % 7 == 0) Array.fill[Byte](96)(0x5a) // foreign bytes
+            else (id % 6) match {
+              case 0 => WavAudio.encode(8000, new Array[Float](4000 + k * 400))
+              case 1 => FlacAudio.encode(8000, new Array[Float](4000 + k * 400))
+              case 2 => AudioProbe.Mint.mp3Cbr(14 + k * 2) // 36 ms/frame CBR
+              case 3 => AudioProbe.Mint.ogg(16000, 8000L + k * 800L)
+              case 4 => AudioProbe.Mint.m4a(24000, 12000L + k * 1200L)
+              case _ => AudioProbe.Mint.adts(16000, 8 + k)
+            }
+          (id.toString, bytes)
+        }
+        AudioProbe.probeGate(payloads, minSec = 1.0, maxSec = 2.5)
+          .map(_._1.toLong).toDF("event_id")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 400),
+        |c AS (SELECT event_id, event_id % 50 AS k, event_id % 6 AS fam FROM ids),
+        |d AS (SELECT event_id,
+        |  CASE fam
+        |    WHEN 0 THEN (4000 + k * 400) * 125
+        |    WHEN 1 THEN (4000 + k * 400) * 125
+        |    WHEN 2 THEN (14 + k * 2) * 36000
+        |    WHEN 3 THEN (8000 + k * 800) * 1000000 // 16000
+        |    WHEN 4 THEN (12000 + k * 1200) * 1000000 // 24000
+        |    ELSE (8 + k) * 64000 END AS dur_us
+        |  FROM c)
+        |SELECT event_id FROM d
+        |WHERE event_id % 7 <> 0 AND dur_us >= 1000000 AND dur_us <= 2500000
+        |ORDER BY event_id""".stripMargin)),
+
+
+    // S2 — REAL MP3 codec as an oracle-checked query: per event id a
+    // known tone is encoded by the pure-JVM MPEG-1 Layer III encoder
+    // and decoded back through the PRODUCTION decode seam
+    // (WavAudio.decode → Mp3Audio); the decoded stream's length, rate
+    // and Goertzel-detected peak frequency are discrete facts DuckDB
+    // recomputes from the synthesis parameters alone — frequency
+    // preservation through a lossy codec is the roundtrip check.
+    // Bounded slice (event_id < 40).
+    Q("s2_mp3_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{Mp3Encoder, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 40).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val f = 250.0 * (1 + id % 4)
+          val n = (6400 + (id % 4) * 3200).toInt // 0.2-0.5 s at 32 kHz
+          val tone = Array.tabulate(n)(i =>
+            (0.5 * math.sin(2 * math.Pi * f * i / 32000.0)).toFloat)
+          (id.toString, Mp3Encoder.encode(32000, tone, 128))
+        }
+        WavAudio.decodeDataset(payloads)
+          .map { a =>
+            def power(f: Double): Double = {
+              var re = 0.0; var im = 0.0
+              var i = 2000 // skip filterbank warm-up
+              while (i < a.waveform.length) {
+                val w = 2 * math.Pi * f * i / a.sr
+                re += a.waveform(i) * math.cos(w)
+                im += a.waveform(i) * math.sin(w)
+                i += 1
+              }
+              re * re + im * im
+            }
+            val peak = Seq(250, 500, 750, 1000).maxBy(c => power(c.toDouble))
+            (a.file.toLong, a.sr.toLong, a.waveform.length.toLong, peak.toLong)
+          }
+          .toDF("event_id", "sr", "n_samples", "peak_hz")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 40)
+        |SELECT event_id, CAST(32000 AS BIGINT) AS sr,
+        |  ((6400 + (event_id % 4) * 3200 + 1151) // 1152) * 1152 AS n_samples,
+        |  CAST(250 * (1 + event_id % 4) AS BIGINT) AS peak_hz
+        |FROM ids ORDER BY event_id""".stripMargin)),
+
+
+    // S10+A11 — decode fault isolation + run tallies as an oracle
+    // query: every id%5=0 payload is corrupt and must yield a
+    // failed-status ROW (not a job abort), everything else completes;
+    // the tallies land via Incremental.statusCounts and DuckDB
+    // recomputes them from the corruption rule. Bounded (event_id < 500).
+    // L130 — EXTERNAL-SERVICE BATCH INFERENCE IN THE GATE: the generic
+    // HTTP operator (per-executor keep-alive client, order-preserving
+    // pipelining, retry ladder, S10 routing) driven end-to-end against
+    // the engine-minted LineService fixture inside the correctness
+    // gate. Clean docs flow through 64-row pipelined batches; docs with
+    // doc_id % 97 == 0 carry the poison marker and run as singleton
+    // batches (per-batch failure granularity — a poisoned doc must fail
+    // ALONE), exhausting retries into deterministic failed-status rows.
+    // The oracle states both legs: the service's token count for clean
+    // docs, n_tok = -1 + status 'failed' for poisoned — so the S10
+    // routing itself is oracle-checked, not just suite-tested.
+    Q("svc_batch_inference",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{HttpInference, HttpServiceConfig}
+        val ep = tokenCountService.endpoint
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+        def run(ds: org.apache.spark.sql.Dataset[(Long, String)], tag: String,
+                cfg: HttpServiceConfig) =
+          HttpInference.mapService[(Long, String), (Long, Long, String)](ds, cfg,
+            encode = xs => xs.map { case (id, t) =>
+              s"$tag\t$id\t${HttpInference.b64t(t)}"
+            }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            decode = bytes => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n", -1).toSeq.filter(_.nonEmpty).map { l =>
+                val f = l.split("\t", -1)
+                (f(0).toLong, f(1).toLong, "completed")
+              },
+            onFailure = (x, _) => (x._1, -1L, "failed"))
+        val clean = run(docs.filter(_._1 % 97 != 0), "OK",
+          HttpServiceConfig(ep, batchSize = 64, maxInFlight = 4,
+            maxRetries = 2, baseBackoffMs = 2))
+        val poisoned = run(docs.filter(_._1 % 97 == 0), "POISON",
+          HttpServiceConfig(ep, batchSize = 1, maxInFlight = 4,
+            maxRetries = 1, baseBackoffMs = 1))
+        clean.union(poisoned).toDF("doc_id", "n_tok", "status")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(len(toks) AS BIGINT) END AS n_tok,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'failed' ELSE 'completed' END AS status
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+
+    Q("s10_status_counts",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.WavAudio
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 500).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val bytes =
+            if (id % 5 == 0) "zz".getBytes ++ new Array[Byte](64)
+            else WavAudio.encode(8000, new Array[Float](800))
+          (id.toString, bytes)
+        }
+        graft.sources.Incremental.statusCounts(
+            WavAudio.decodeDatasetWithStatus(payloads).toDF(), "status")
+          .select(col("status"), col("count").cast("long").as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 500),
+        |c AS (SELECT CASE WHEN event_id % 5 = 0 THEN 'failed'
+        |    ELSE 'completed' END AS status FROM ids)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM c GROUP BY status ORDER BY status""".stripMargin)),
+
+
+    // M7∘J7∘S11∘M9 — the TRANSCRIPTION SHELL as an oracle-checked
+    // query: real segment slicing feeds the (deterministic mock) ASR
+    // kernel, the per-file sidecar inner join drops files with no
+    // transcript (id%4=1), and forced alignment distributes word spans
+    // uniformly — constant-amplitude synthesis keeps every branch an
+    // exact integer/formula DuckDB mirrors: nWords = end−start seconds,
+    // loud/soft + en/xx by amplitude parity, spans at whole seconds.
+    Q("m7_asr_align",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 100).distinct().as[Long]
+        val audio = ids.map { id =>
+          val amp = if (id % 2 == 0) 0.9f else 0.1f
+          graft.model.AudioFile(id.toString, 1000, Array.fill(6000)(amp))
+        }
+        val segs = ids.map(id => graft.model.SpeakerSegment(
+          id.toString, 1.0, 2.0 + (id % 3), s"spk${id % 2}"))
+        val asr = graft.pipeline.Transcription.asrStage(segs, audio)
+        val transcripts = ids.filter(_ % 4 != 1)
+          .map(id => (id.toString, s"t$id")).toDF("file", "sidecar")
+        graft.pipeline.Transcription.alignStage(asr, transcripts)
+          .select(col("file").cast("long").as("event_id"), col("speaker"),
+            col("word"), col("w_start"), col("w_end"))
+          .orderBy(col("event_id"), col("w_start"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 100),
+        |k AS (SELECT id, 1 + id % 3 AS nw,
+        |    CASE WHEN id % 2 = 0 THEN 'loud' ELSE 'soft' END AS word
+        |  FROM ids WHERE id % 4 <> 1),
+        |w AS (SELECT id, word, unnest(range(nw)) AS i FROM k)
+        |SELECT id AS event_id, 'spk' || CAST(id % 2 AS VARCHAR) AS speaker,
+        |  word, CAST(1 + i AS DOUBLE) AS w_start, CAST(2 + i AS DOUBLE) AS w_end
+        |FROM w ORDER BY event_id, w_start""".stripMargin)),
+
+
+    // M8 (audio side) — language detection through the ASR kernel: the
+    // deterministic energy heuristic (the reference's unseeded 30-s
+    // sampling made deterministic, SURVEY §7.4.2) labels each file
+    // en/xx; DuckDB mirrors the amplitude-parity rule.
+    Q("m8_langid_audio",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 150).distinct().as[Long]
+        val audio = ids.map { id =>
+          val amp = if (id % 2 == 0) 0.9f else 0.1f
+          graft.model.AudioFile(id.toString, 1000, Array.fill(3000)(amp))
+        }
+        val segs = ids.map(id => graft.model.SpeakerSegment(
+          id.toString, 0.5, 2.5, "spk"))
+        graft.pipeline.Transcription.asrStage(segs, audio)
+          .map(r => (r.file.toLong, r.language))
+          .toDF("event_id", "language")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 150)
+        |SELECT id AS event_id,
+        |  CASE WHEN id % 2 = 0 THEN 'en' ELSE 'xx' END AS language
+        |FROM ids ORDER BY event_id""".stripMargin)),
+
+
+    // M5∘A12 — the CLUSTERING KERNEL as an oracle-checked query: the
+    // real HDBSCAN-shaped leader clustering runs per group inside
+    // flatMapGroups (the production per-file granularity) over one-hot
+    // family embeddings, where every cosine is exactly 1 or 0 — so
+    // grouping, the A12 min-cluster floor (max(2, ⌊n·0.04⌋)), the
+    // first-appearance label order, and the failed soft rescue of the
+    // planted singleton family are all pure relational facts DuckDB
+    // recomputes with windows. Bounded (event_id < 430: 43 members per
+    // group, family counts {9,9,8,8,8,1} — the 1 dissolves to −1).
+    Q("m5_cluster_floor",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 430).distinct().as[Long]
+        ids.groupByKey(_ % 10)
+          .flatMapGroups { (g, it) =>
+            val members = it.toArray.sorted
+            val embs: IndexedSeq[Array[Float]] = members.toIndexedSeq.map { id =>
+              val e = new Array[Float](16)
+              val fam = if (id / 10 == 42) 5 else (id / 10) % 5
+              e(fam.toInt) = 1f
+              e
+            }
+            val labels = graft.pipeline.Clustering.clusterOne(embs)
+            members.zip(labels).iterator.map { case (id, l) =>
+              (id, g, l.toLong)
+            }
+          }
+          .toDF("event_id", "grp", "label")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 430),
+        |m AS (SELECT id, id % 10 AS grp,
+        |  CASE WHEN id // 10 = 42 THEN 5 ELSE (id // 10) % 5 END AS fam
+        |  FROM ids),
+        |pos AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY id) AS p,
+        |  COUNT(*) OVER (PARTITION BY grp) AS n FROM m),
+        |fs AS (SELECT grp, fam, COUNT(*) AS fsz, MIN(p) AS fp, MAX(n) AS n
+        |  FROM pos GROUP BY grp, fam),
+        |surv AS (SELECT grp, fam,
+        |    CAST(dense_rank() OVER (PARTITION BY grp ORDER BY fp) AS BIGINT) - 1 AS label
+        |  FROM fs WHERE fsz >= greatest(2, CAST(trunc(n * 0.04) AS BIGINT)))
+        |SELECT m.id AS event_id, m.grp, COALESCE(s.label, -1) AS label
+        |FROM m LEFT JOIN surv s ON s.grp = m.grp AND s.fam = m.fam
+        |ORDER BY event_id""".stripMargin)),
+
+
+    // M2∘W5∘F9 — the SEPARATION COMPOSITION as an oracle-checked
+    // query: margins∘STFT-frames∘kernel∘reassembly∘residual over
+    // random-ish formula waveforms whose lengths straddle the chunk
+    // and frame boundaries. The linear kernel must commute with the
+    // whole window algebra (vocal ≡ 0.8f·mix sample-for-sample) and
+    // the residual must conserve (mix ≡ vocal + nonvocal) — checked
+    // per sample Spark-side, reported as booleans the oracle pins TRUE
+    // for every corpus-derived length. Bounded (event_id < 150).
+    Q("m2_separate_transparent",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 150).distinct().as[Long]
+        val audio = ids.map { id =>
+          val n = (300 + (id % 9) * 700).toInt
+          val w = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 17) % 201) - 100) / 128f)
+          graft.model.AudioFile(id.toString, 16000, w)
+        }
+        val (vocal, nonvocal) = graft.pipeline.SpeechPipeline.separateStage(audio)
+        val mixDf = audio.map(a => (a.file, a.waveform)).toDF("file", "mix")
+        val v = vocal.map(a => (a.file, a.waveform)).toDF("file", "voc")
+        val nv = nonvocal.map(a => (a.file, a.waveform)).toDF("file", "nonvoc")
+        mixDf.join(v, "file").join(nv, "file")
+          .as[(String, Array[Float], Array[Float], Array[Float])]
+          .map { case (f, mix, voc, non) =>
+            val vocalExact = voc.length == mix.length &&
+              mix.indices.forall(i => voc(i) == mix(i) * 0.8f)
+            val residualExact = non.length == mix.length &&
+              mix.indices.forall(i => non(i) == mix(i) - voc(i))
+            (f.toLong, mix.length.toLong, vocalExact, residualExact)
+          }
+          .toDF("event_id", "n_samples", "vocal_exact", "residual_exact")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 150)
+        |SELECT id AS event_id, CAST(300 + (id % 9) * 700 AS BIGINT) AS n_samples,
+        |  TRUE AS vocal_exact, TRUE AS residual_exact
+        |FROM ids ORDER BY event_id""".stripMargin)),
+
+
+    // M10∘W4∘A9 — the DNSMOS SHELL as an oracle-checked query: real
+    // wraparound-padded hop windows + the (deterministic mock) polyfit
+    // kernel + per-clip means. Amplitudes 1.0/0.0 make every window's
+    // mean energy an exact constant, so the per-clip scores are pure
+    // Horner constants; outputs scale to e6 integers so a 1-ulp
+    // averaging wobble can never flip the compare. Hop-count formula
+    // (dnsmos.py:134) checked across the pad/1..4-hop range.
+    Q("m10_dnsmos_windows",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 100).distinct().as[Long]
+        val audio = ids.map { id =>
+          val amp = if (id % 2 == 0) 1.0f else 0.0f
+          graft.model.AudioFile(id.toString, 1000,
+            Array.fill(1500 + (id % 5).toInt * 1000)(amp))
+        }
+        val wins = graft.pipeline.Transcription.dnsmosWindows(
+          audio, winSec = 2.0, hopSec = 1.0)
+        graft.pipeline.Transcription.dnsmosScores(wins)
+          .select(col("file").cast("long").as("event_id"), col("num_hops"),
+            round(col("OVRL") * 1e6d).cast("long").as("ovrl_e6"),
+            round(col("SIG") * 1e6d).cast("long").as("sig_e6"),
+            round(col("BAK") * 1e6d).cast("long").as("bak_e6"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 100),
+        |c AS (SELECT id, 1500 + (id % 5) * 1000 AS len,
+        |  CASE WHEN id % 2 = 0 THEN 1.0 ELSE 0.0 END AS x FROM ids),
+        |h AS (SELECT id, x, CASE WHEN len < 2000 THEN 1
+        |  ELSE (len - 2000) // 1000 + 1 END AS nh FROM c)
+        |SELECT id AS event_id, CAST(nh AS BIGINT) AS num_hops,
+        |  CAST(round((((-0.06)*x + 1.7)*x + 0.2) * 1000000) AS BIGINT) AS ovrl_e6,
+        |  CAST(round(((0.04*x + 1.1)*x + 0.8) * 1000000) AS BIGINT) AS sig_e6,
+        |  CAST(round((((-0.01)*x + 0.9)*x + 1.2) * 1000000) AS BIGINT) AS bak_e6
+        |FROM h ORDER BY event_id""".stripMargin)),
+
+
+    // M1∘P1∘W1 — the VAD SHELL as an oracle-checked query: the
+    // (deterministic mock) VAD kernel + pad/clamp + zero-gap merge over
+    // synthesized bursts. Per id: a main burst, for even ids a second
+    // burst whose 0.05 s gap closes under the ±0.05 s padding (the
+    // merge is observable in the output span), and a 30-sample blip
+    // under the 50-sample min-run (must vanish). Output in rounded µs
+    // so double pad arithmetic can never flip the compare. Bounded
+    // (event_id < 120).
+    Q("m1_vad_gate",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 120).distinct().as[Long]
+        val audio = ids.map { id =>
+          val w = new Array[Float](5000)
+          val l1 = 200 * (1 + (id % 3)).toInt
+          for (i <- 1000 until 1000 + l1) w(i) = 0.9f
+          if (id % 2 == 0) {
+            val b2 = 1000 + l1 + 50
+            for (i <- b2 until b2 + 300) w(i) = 0.9f
+          }
+          for (i <- 4500 until 4530) w(i) = 0.9f // sub-min-run blip
+          graft.model.AudioFile(id.toString, 1000, w)
+        }
+        graft.pipeline.SpeechPipeline.vadStage(audio, padSec = 0.05)
+          .map(seg => (seg.file.toLong,
+            math.round(seg.start * 1e6d), math.round(seg.end * 1e6d)))
+          .toDF("event_id", "s_us", "e_us")
+          .orderBy(col("event_id"), col("s_us"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 120),
+        |c AS (SELECT id, 1000 + 200 * (1 + id % 3) AS e1 FROM ids)
+        |SELECT id AS event_id, CAST(950000 AS BIGINT) AS s_us,
+        |  CAST(CASE WHEN id % 2 = 0 THEN e1 * 1000 + 400000
+        |            ELSE e1 * 1000 + 50000 END AS BIGINT) AS e_us
+        |FROM c ORDER BY event_id, s_us""".stripMargin)),
+
+
+    // W5 — the STFT frame plan as an oracle-checked query: run the real
+    // stftFrames operator (separate_fast.py:208-221 arithmetic — trim =
+    // nFft/2, gen = chunkSize − 2·trim, the full-gen pad quirk at
+    // n mod gen == 0) over synthetic waveforms sized from document
+    // lengths, and report per-doc (n, pad, n_frames); DuckDB mirrors
+    // the arithmetic. Bounded slice (doc_id < 200), chunk 1024/nFft 512
+    // → gen 512.
+    Q("w5_stft_plan",
+      (s, dir) => {
+        import s.implicits._
+        val audio = Tables.documents(s, dir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), (pmod(col("n_chars"), lit(3000L)) + 1L).as("n"))
+          .as[(Long, Long)]
+          .map { case (id, n) =>
+            graft.model.AudioFile(id.toString, 16000, new Array[Float](n.toInt)) }
+        graft.pipeline.SpeechPipeline.stftFrames(audio, chunkSize = 1024, nFft = 512)
+          .groupByKey(_.file)
+          .mapGroups { (file, it) =>
+            val fs = it.toArray
+            (file.toLong, fs.head.nSample.toLong, fs.head.pad.toLong, fs.length.toLong)
+          }
+          .toDF("doc_id", "n_samples", "pad", "n_frames")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars % 3000 + 1 AS n
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (SELECT doc_id, n, 512 - (n % 512) AS pad FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(pad AS BIGINT) AS pad,
+        |  CAST((n + pad) // 512 AS BIGINT) AS n_frames
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+
+    // J6+P8+W6+A4+A10 — the host-match stage (§3.4, host_rematch.py:153-190)
+    // as one relational query: per-speaker budgeted duration (W6 prefix),
+    // host×speaker cross scoring (J6) with deterministic integer scores,
+    // threshold accept (P8), per-host rollup with proportions (A10).
+    // suppliers ≈ speakers, regions ≈ hosts, nations ≈ files.
+    Q("hm_host_match",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("cents").desc, col("l_orderkey"), col("l_linenumber"))
+        val budget = Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100d).cast("long").as("cents"))
+          .withColumn("cum", sum(col("cents"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum") <= 20000000L)
+          .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("dur"))
+        val spk = Tables.supplier(s, dir)
+          .join(budget, col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("dur"))
+        val scored = spk.crossJoin(broadcast(Tables.region(s, dir)))
+          .withColumn("score_e2",
+            (col("s_suppkey") * 7L + col("r_regionkey").cast("long") * 13L) % 100L)
+          .filter(col("score_e2") > 50L)
+        val hostTotals = scored.groupBy(col("s_nationkey"), col("r_name"))
+          .agg(sum(col("dur")).as("host_total"), count(lit(1)).as("n_matched"))
+        val nationTotals = spk.groupBy(col("s_nationkey"))
+          .agg(sum(col("dur")).as("nation_total"))
+        hostTotals.join(nationTotals, "s_nationkey")
+          .withColumn("proportion",
+            col("host_total").cast("double") / col("nation_total").cast("double"))
+          .select(col("s_nationkey").cast("long").as("nationkey"), col("r_name"),
+            col("host_total"), col("n_matched"), col("proportion"))
+          .orderBy(col("nationkey"), col("r_name"))
+      },
+      Some("""WITH b AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |c AS (SELECT l_suppkey, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY l_suppkey
+        |    ORDER BY cents DESC, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |d AS (SELECT l_suppkey, CAST(SUM(cents) AS BIGINT) AS dur FROM c
+        |  WHERE cum <= 20000000 GROUP BY l_suppkey),
+        |spk AS (SELECT s_suppkey, s_nationkey, dur FROM supplier
+        |  JOIN d ON s_suppkey = l_suppkey),
+        |sc AS (SELECT s_suppkey, s_nationkey, dur, r_name,
+        |  (s_suppkey * 7 + CAST(r_regionkey AS BIGINT) * 13) % 100 AS score_e2
+        |  FROM spk CROSS JOIN region),
+        |acc AS (SELECT * FROM sc WHERE score_e2 > 50),
+        |ht AS (SELECT s_nationkey, r_name, CAST(SUM(dur) AS BIGINT) AS host_total,
+        |  COUNT(*) AS n_matched FROM acc GROUP BY s_nationkey, r_name),
+        |nt AS (SELECT s_nationkey, CAST(SUM(dur) AS BIGINT) AS nation_total
+        |  FROM spk GROUP BY s_nationkey)
+        |SELECT CAST(ht.s_nationkey AS BIGINT) AS nationkey, ht.r_name, ht.host_total,
+        |  ht.n_matched,
+        |  CAST(ht.host_total AS DOUBLE) / CAST(nt.nation_total AS DOUBLE) AS proportion
+        |FROM ht JOIN nt ON nt.s_nationkey = ht.s_nationkey
+        |ORDER BY nationkey, r_name""".stripMargin)),
+
+
+    // A6+J3+J5 composed — the local→global speaker remap trace
+    // (speaker_rematch.py:211-261): longest segment per local speaker
+    // (A6 argmax), max-overlap argmax against the global segments (J3),
+    // then the broadcast mapping relabels every segment, dropping
+    // unmapped locals (J5 inner join). Locals = event_type intervals;
+    // globals = the W1 merged chunks with session_id as the global label.
+    Q("rematch_remap",
+      (s, dir) => {
+        val i = Tables.eventIntervals(s, dir)
+        val longest = i.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("event_type"))
+              .orderBy((col("e_us") - col("s_us")).desc, col("event_id"))))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("s_us"), col("e_us"))
+        val ch = chunks(s, dir)
+          .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+        val mapping = SegmentOps.maxOverlapJoin(
+            longest, ch, "user_id", "event_type", "session_id",
+            "s_us", "e_us", "start_us", "end_us")
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_type").as("local_speaker"),
+            col("r.session_id").as("global_speaker"))
+        // no broadcast hint: the mapping scales with #files × #speakers,
+        // so let AQE broadcast it only while it is actually small
+        i.select(col("user_id"), col("event_id"), col("event_type").as("local_speaker"))
+          .join(mapping, Seq("user_id", "local_speaker"))
+          .select(col("user_id"), col("event_id"), col("local_speaker"),
+            col("global_speaker"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""WITH $chunksSqlCte,
+        |lg AS (SELECT user_id, event_type, event_id, s_us, e_us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY e_us - s_us DESC, event_id) AS rn FROM i),
+        |longest AS (SELECT user_id, event_type, s_us, e_us FROM lg WHERE rn = 1),
+        |ov AS (SELECT l.user_id AS user_id, l.event_type AS local_speaker,
+        |  ch.session_id AS global_speaker,
+        |  least(l.e_us, ch.end_us) - greatest(l.s_us, ch.start_us) AS overlap
+        |  FROM longest l JOIN ch ON ch.user_id = l.user_id
+        |    AND l.s_us < ch.end_us AND ch.start_us < l.e_us),
+        |mr AS (SELECT user_id, local_speaker, global_speaker,
+        |  row_number() OVER (PARTITION BY user_id, local_speaker
+        |    ORDER BY overlap DESC, global_speaker) AS rn
+        |  FROM ov WHERE overlap > 0),
+        |mapping AS (SELECT user_id, local_speaker, global_speaker FROM mr WHERE rn = 1)
+        |SELECT i.user_id AS user_id, i.event_id AS event_id,
+        |  i.event_type AS local_speaker, m.global_speaker AS global_speaker
+        |FROM i JOIN mapping m ON m.user_id = i.user_id AND m.local_speaker = i.event_type
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+
+    // The speaker_mapping map artifact itself (speaker_rematch.py:236-261).
+    Q("rematch_mapping",
+      (s, dir) => {
+        val i = Tables.eventIntervals(s, dir)
+        val longest = i.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("event_type"))
+              .orderBy((col("e_us") - col("s_us")).desc, col("event_id"))))
+          .filter(col("rn") === 1)
+        val ch = chunks(s, dir)
+          .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+        SegmentOps.maxOverlapJoin(
+            longest, ch, "user_id", "event_type", "session_id",
+            "s_us", "e_us", "start_us", "end_us")
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_type").as("local_speaker"),
+            col("r.session_id").as("global_speaker"))
+          .orderBy(col("user_id"), col("local_speaker"))
+      },
+      Some(s"""WITH $chunksSqlCte,
+        |lg AS (SELECT user_id, event_type, event_id, s_us, e_us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY e_us - s_us DESC, event_id) AS rn FROM i),
+        |longest AS (SELECT user_id, event_type, s_us, e_us FROM lg WHERE rn = 1),
+        |ov AS (SELECT l.user_id AS user_id, l.event_type AS local_speaker,
+        |  ch.session_id AS global_speaker,
+        |  least(l.e_us, ch.end_us) - greatest(l.s_us, ch.start_us) AS overlap
+        |  FROM longest l JOIN ch ON ch.user_id = l.user_id
+        |    AND l.s_us < ch.end_us AND ch.start_us < l.e_us),
+        |mr AS (SELECT user_id, local_speaker, global_speaker,
+        |  row_number() OVER (PARTITION BY user_id, local_speaker
+        |    ORDER BY overlap DESC, global_speaker) AS rn
+        |  FROM ov WHERE overlap > 0)
+        |SELECT user_id, local_speaker, global_speaker FROM mr WHERE rn = 1
+        |ORDER BY user_id, local_speaker""".stripMargin))
+  )
+}

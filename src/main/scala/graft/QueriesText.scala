@@ -1,0 +1,459 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.Polyval
+import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.QuerySupport._
+
+/** Text analysis: tokenization, quality, language id, BPE,
+  * fingerprinting, chunking (SURVEY §2.11 text ids).
+  */
+private[graft] object QueriesText {
+
+  def entries: Seq[Q] = Seq(
+
+    // T-ops — token statistics (length/token counting per SURVEY §7.0).
+    Q("t_token_stats",
+      (s, dir) => docToks(s, dir)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sum_tok_chars"))
+        .withColumn("avg_tok_len", col("sum_tok_chars").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksSqlCte
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS sum_tok_chars,
+        |  CAST(CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(toks) AS BIGINT) AS avg_tok_len
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+
+    // T-ops — quality scoring: stopword ratio + length gate.
+    Q("t_quality_score",
+      (s, dir) => docToks(s, dir)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextOps.stopwordHits(col("toks"), TextOps.langMarkers.head._2).as("stop_hits"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("quality_ok", col("n_tokens") >= 50 && col("stop_ratio") >= 0.02)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksSqlCte
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS stop_hits,
+        |  CAST(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(toks) AS BIGINT) AS stop_ratio,
+        |  (CAST(len(toks) AS BIGINT) >= 50 AND
+        |   CAST(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(toks) AS BIGINT) >= 0.02) AS quality_ok
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+
+    // T-ops — language-ID by stopword-set argmax (deterministic ties).
+    Q("t_langid",
+      (s, dir) => docToks(s, dir)
+        .withColumn("pred", TextOps.langId(col("toks")))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred")),
+      Some(s"""WITH $toksSqlCte,
+        |h AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS h_en,
+        |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en'], t))) AS BIGINT) AS h_es,
+        |  CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','une'], t))) AS BIGINT) AS h_fr,
+        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','ein'], t))) AS BIGINT) AS h_de
+        |  FROM d),
+        |p AS (SELECT lang,
+        |  CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+        |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+        |       WHEN h_fr >= h_de THEN 'fr' ELSE 'de' END AS pred FROM h)
+        |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred
+        |ORDER BY lang, pred""".stripMargin)),
+
+
+    // T-ops — char-TRIGRAM language ID (Cavnar–Trenkle-style profile):
+    // explode document trigrams, broadcast-join the static integer-weight
+    // profile, per-(doc, lang) sum, deterministic argmax. A different
+    // scale shape than the word-marker langid: explode + broadcast hash
+    // join + two-level agg, still zero wide shuffles beyond the per-doc
+    // score rows. Confusion-matrix rollup output.
+    Q("t_langid_ngram",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.select(col("doc_id"), col("lang"))
+          .join(TextOps.langIdNgram(docs, "doc_id", "text"), Seq("doc_id"), "left")
+          .select(col("lang"), coalesce(col("pred_lang"), lit("und")).as("pred"))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some(s"""WITH prof(plang, pidx, trigram, weight) AS (VALUES $langProfileSqlValues),
+        |c AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS canon
+        |  FROM documents),
+        |tg0 AS (SELECT doc_id, canon, unnest(range(greatest(len(canon) - 2, 0))) AS i FROM c),
+        |tg AS (SELECT doc_id, substr(canon, CAST(i + 1 AS INTEGER), 3) AS trigram FROM tg0),
+        |sc AS (SELECT t.doc_id, p.plang, p.pidx, CAST(SUM(p.weight) AS BIGINT) AS score
+        |  FROM tg t JOIN prof p ON p.trigram = t.trigram
+        |  GROUP BY t.doc_id, p.plang, p.pidx),
+        |b AS (SELECT doc_id, plang FROM (SELECT doc_id, plang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pidx ASC) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |pr AS (SELECT d.lang, COALESCE(b.plang, 'und') AS pred
+        |  FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id)
+        |SELECT lang, pred, COUNT(*) AS n FROM pr GROUP BY lang, pred
+        |ORDER BY lang, pred""".stripMargin)),
+
+
+    // T-ops — BPE-ish pretokenization counts: letter runs, digit runs,
+    // single punctuation (the GPT-2 pretokenizer shape, RE2-safe so the
+    // identical pattern runs in the oracle).
+    Q("t_bpe_tokens",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeTokens(col("text")).as("bt"))
+        .select(col("doc_id"),
+          size(col("bt")).cast("long").as("n_bpe"),
+          size(filter(col("bt"), t => t.rlike("^\\p{L}"))).cast("long").as("n_word"),
+          size(filter(col("bt"), t => t.rlike("^\\p{N}"))).cast("long").as("n_num"),
+          aggregate(col("bt"), lit(0L), (a, t) => a + length(t)).as("sum_chars"))
+        // token-free docs out: the engines disagree on empty-list
+        // aggregates (0 vs NULL) and avg_len would divide by zero
+        .filter(col("n_bpe") > 0)
+        .withColumn("avg_len", col("sum_chars").cast("double") / col("n_bpe"))
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (SELECT doc_id,
+        |  regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]') AS bt FROM documents
+        |  ) , b2 AS (SELECT * FROM b WHERE len(bt) > 0)
+        |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_filter(bt, t -> regexp_matches(t, '^\p{L}'))) AS BIGINT) AS n_word,
+        |  CAST(len(list_filter(bt, t -> regexp_matches(t, '^\p{N}'))) AS BIGINT) AS n_num,
+        |  CAST(list_sum(list_transform(bt, t -> strlen(t))) AS BIGINT) AS sum_chars,
+        |  CAST(CAST(list_sum(list_transform(bt, t -> strlen(t))) AS BIGINT) AS DOUBLE)
+        |    / CAST(len(bt) AS BIGINT) AS avg_len
+        |FROM b2 ORDER BY doc_id""".stripMargin)),
+
+
+    // T-ops — winnowing document fingerprints (MOSS rolling-hash scheme):
+    // char-8-gram md5s, window-4 minima, distinct. Outputs are set
+    // statistics, so the two engines' distinct orders don't matter.
+    Q("t_winnow_fp",
+      (s, dir) => {
+        val fn = graft.expr.WinnowFingerprint.register(s, 8, 4)
+        Tables.documents(s, dir)
+          .withColumn("fps", expr(s"$fn(text)"))
+          .select(col("doc_id"),
+            greatest(length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")) - 7,
+              lit(0)).cast("long").as("n_grams"),
+            size(col("fps")).cast("long").as("n_fp"),
+            array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS canon FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN strlen(canon) >= 8
+        |    THEN list_transform(range(0, strlen(canon) - 8 + 1), i -> md5(substr(canon, CAST(i + 1 AS INTEGER), 8)))
+        |    ELSE [] END AS grams FROM c),
+        |f AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CASE WHEN len(grams) >= 4
+        |    THEN list_distinct(list_transform(range(0, len(grams) - 4 + 1),
+        |      j -> list_min(grams[CAST(j + 1 AS INTEGER):CAST(j + 4 AS INTEGER)])))
+        |    WHEN len(grams) > 0 THEN [list_min(grams)] ELSE [] END AS fps FROM g)
+        |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+
+    // L-series — MULTI-PATTERN LITERAL MATCHING via one broadcast
+    // Aho-Corasick automaton: per-document cost is one linear pass
+    // regardless of pattern count — the blocklist/PII-term shape at
+    // 100 TB, vs per-pattern regexp scans that rescan every byte. The
+    // chosen patterns are all BORDER-FREE (no proper prefix equals a
+    // suffix — note 'window' would border on 'w' and self-overlap in
+    // text like 'windowindow'), so the oracle's disjoint replace-count
+    // equals the automaton's all-occurrence count.
+    Q("t_multi_match",
+      (s, dir) => graft.ops.TextMatch.matchCounts(
+          Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "table", "join", "scan", "query", "filter"))
+        .orderBy(col("doc_id"), col("pattern")),
+      Some("""WITH p(pattern) AS (SELECT * FROM (VALUES ('spark'), ('table'),
+        |  ('join'), ('scan'), ('query'), ('filter'))),
+        |m AS (SELECT doc_id, pattern,
+        |  CAST((strlen(text) - strlen(replace(text, pattern, ''))) // strlen(pattern)
+        |    AS BIGINT) AS n
+        |  FROM documents, p)
+        |SELECT doc_id, pattern, n FROM m WHERE n > 0
+        |ORDER BY doc_id, pattern""".stripMargin)),
+
+
+    // Curation — EXACT token-length quantiles, distributed shape:
+    // per-value counts (hash shuffle on the value), then the running
+    // count over sorted DISTINCT values picks ceil(q·n/100) — the exact
+    // answer without a global row sort, and portable unlike sketch
+    // percentiles. The length distribution is what quality gates (P4/P5
+    // analogs, Gopher length filters) are calibrated against.
+    Q("t_length_quantiles",
+      (s, dir) => Curation.discreteQuantiles(
+          Tables.documents(s, dir)
+            .select(TextOps.tokenCount(col("text")).as("n_tok")),
+          "n_tok", Seq(1, 10, 25, 50, 75, 90, 99)),
+      Some("""WITH v AS (SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (SELECT v, COUNT(*) AS c FROM v GROUP BY v),
+        |cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |  CAST(SUM(c) OVER () AS BIGINT) AS n FROM c),
+        |q AS (SELECT CAST(unnest([1,10,25,50,75,90,99]) AS BIGINT) AS q_pct),
+        |t AS (SELECT q.q_pct, (q.q_pct * cum.n + 99) // 100 AS target, cum.v, cum.cum
+        |  FROM q CROSS JOIN cum)
+        |SELECT q_pct, MIN(v) AS value FROM t WHERE cum >= target
+        |GROUP BY q_pct ORDER BY q_pct""".stripMargin)),
+
+
+    // L52 — DISTRIBUTED BPE TOKENIZER INDUCTION (Sennrich et al. 2016):
+    // the first 4 merge rules learned over the corpus. The only
+    // corpus-scale pass is the word-frequency agg; each round counts
+    // adjacent symbol pairs over the compact distinct-word table, picks
+    // the deterministic argmax (the scalar merge rule — the
+    // broadcast-decision pattern of production tokenizer training), and
+    // applies it as a greedy left-to-right `replace` on delimited
+    // symbol strings, which both engines execute with identical
+    // semantics — a 4-round training LOOP checked exactly.
+    Q("t_bpe_merges",
+      (s, dir) => sessionBpe(s, dir)._1,
+      Some(bpeOracleSql(4))),
+
+
+    // L114 — BPE tokenizer APPLICATION (the missing half of L52):
+    // train the same 4 rules, then tokenize the corpus with them and
+    // emit the realized vocabulary histogram. Zero extra corpus passes:
+    // training's final working table IS the encoded distinct-word
+    // table, so encode = split + frequency-weighted count.
+    Q("t_bpe_encode",
+      (s, dir) => TextOps.bpeHistogram(sessionBpe(s, dir)._2),
+      Some(bpeEncodeOracleSql(4))),
+
+
+    // L124 — TOKENIZER FERTILITY BY LANGUAGE: tokens-per-word and
+    // chars-per-token of the session-trained vocabulary split by lang
+    // — the multilingual fairness audit. One tokenize pass + an equi
+    // join against the Heaps-small distinct-word table; ratios as
+    // scaled integer divisions.
+    Q("t_bpe_fertility",
+      (s, dir) => TextOps.bpeFertility(
+        Tables.documents(s, dir), "text", "lang", sessionBpe(s, dir)._2),
+      Some(bpeChainSql(4) + s""",
+wt AS (SELECT w, CAST(len(string_split(substr(repr, 2, length(repr) - 2), '||')) AS BIGINT) AS n_sym FROM w4),
+dw AS (SELECT lang, unnest(toks) AS w FROM d),
+ag AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars,
+    CAST(SUM(wt.n_sym) AS BIGINT) AS n_bpe_tokens
+  FROM dw JOIN wt ON wt.w = dw.w GROUP BY lang)
+SELECT lang, n_words, n_chars, n_bpe_tokens,
+  (1000 * n_bpe_tokens) // n_words AS fertility_milli,
+  (1000 * n_chars) // n_bpe_tokens AS cpt_milli
+FROM ag ORDER BY lang""")),
+
+
+    // L54 — CO-OCCURRENCE / PMI association mining: unordered token
+    // pairs within a ±2 offset, ranked by the log-free PMI surrogate
+    // lift = c_ab·N / (c_a·c_b) — numerator and denominator exact
+    // integer products, the lift ONE division. Pair generation is
+    // array-local shifted-slice zips (no positional self-join, nothing
+    // shuffles before the counting aggregations).
+    Q("t_cooccur_pmi",
+      (s, dir) => TextOps.cooccurrencePmi(
+        Tables.documents(s, dir), "text", window = 2, minPairCount = 5L, k = 20),
+      Some(s"""WITH $toksSqlCte,
+        |pr AS (SELECT unnest(ps) AS p FROM (
+        |  SELECT list_filter(list_transform(toks, (x, i) -> CASE WHEN i + 1 <= len(toks)
+        |      THEN [least(x, toks[i + 1]), greatest(x, toks[i + 1])] END), y -> y IS NOT NULL)
+        |    || list_filter(list_transform(toks, (x, i) -> CASE WHEN i + 2 <= len(toks)
+        |      THEN [least(x, toks[i + 2]), greatest(x, toks[i + 2])] END), y -> y IS NOT NULL) AS ps
+        |  FROM d)),
+        |pc AS (SELECT p[1] AS a, p[2] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |u AS (SELECT unnest(toks) AS tok FROM d),
+        |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uc),
+        |sc AS (SELECT pc.a, pc.b, pc.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |    pc.c_ab * nt.n_total AS num, ua.c * ub.c AS den,
+        |    CAST(pc.c_ab * nt.n_total AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS lift
+        |  FROM pc JOIN uc ua ON ua.tok = pc.a JOIN uc ub ON ub.tok = pc.b, nt),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY lift DESC, a, b) AS BIGINT) AS rank, *
+        |  FROM sc)
+        |SELECT rank, a, b, c_ab, c_a, c_b, num, den, lift FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+
+    // L38 — per-doc TF-IDF keywords, integer-exact: rank tokens by the
+    // log-free monotone surrogate tf/df (score = tf·10⁹ div df — one
+    // exact integer division, bit-stable ranks cross-engine), top 3 per
+    // doc. One tf agg + one df agg + a token equi join + per-doc window.
+    Q("t_tfidf_topk",
+      (s, dir) => TextOps.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+        |    (tf.tf * 1000000000) // dfq.df AS score
+        |  FROM tf JOIN dfq ON dfq.tok = tf.tok),
+        |r AS (SELECT doc_id, tok, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, tok) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, tok, tf, df, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+
+    // L58 — CONTEXT-WINDOW CHUNKING: long documents split into
+    // overlapping 32-token windows advancing by 24 (8-token overlap) —
+    // the complement of c_pack_sequences' packing, together the standard
+    // sequence prep for a fixed training context; same shape as RAG
+    // passage chunking. Array-local explode + slice, NO shuffle at any
+    // scale; chunk-count formula and 1-based slice mirrored exactly.
+    Q("t_chunk_windows",
+      (s, dir) => TextOps.chunkWindows(
+        Tables.documents(s, dir), "doc_id", "text",
+        maxTokens = 32, stride = 24),
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |  FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks,
+        |    1 + CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END AS nc
+        |  FROM t),
+        |x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM c),
+        |sl AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ct FROM x)
+        |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
+        |  array_to_string(ct, ' ') AS chunk_text
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin)),
+
+
+    // L139 — TEXTTILING SEGMENTATION: content-aware chunking that cuts
+    // where the distinct-token overlap of the 10 tokens before vs after
+    // a boundary drops to ≤ 2 (an exact integer cohesion score) —
+    // per-row array HOFs for scoring, one per-doc window pass over the
+    // tiny cut list for assembly; short docs emit one whole-doc
+    // segment.
+    Q("t_texttile_segments",
+      (s, dir) => TextOps.textTileSegments(
+          Tables.documents(s, dir), "doc_id", "text", w = 10, minOverlap = 2)
+        .orderBy(col("doc_id"), col("seg_id")),
+      Some(s"""WITH $toksSqlCte,
+        |bb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d
+        |  WHERE len(toks) > 0),
+        |ci AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS i FROM (
+        |  SELECT doc_id, toks, unnest(range(10, CAST(len(toks) AS BIGINT) - 10 + 1)) AS i
+        |  FROM bb WHERE n >= 20) t),
+        |cuts AS (SELECT doc_id, i FROM ci
+        |  WHERE len(list_filter(
+        |    list_distinct(toks[CAST(i - 9 AS INTEGER):CAST(i AS INTEGER)]),
+        |    x -> list_contains(toks[CAST(i + 1 AS INTEGER):CAST(i + 10 AS INTEGER)], x))) <= 2),
+        |bounds AS (SELECT doc_id, i FROM cuts
+        |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM bb
+        |  UNION ALL SELECT doc_id, n FROM bb),
+        |sp AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS e
+        |  FROM bounds),
+        |sv AS (SELECT doc_id, i, e FROM sp WHERE e IS NOT NULL AND e > i)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) - 1 AS seg_id,
+        |  i AS start_pos, e AS end_pos, e - i AS n_toks
+        |FROM sv ORDER BY doc_id, seg_id""".stripMargin)),
+
+
+    // L139b — TEXTTILING CHUNK MATERIALIZATION: the segment offsets
+    // joined back to the token arrays and emitted as text — the actual
+    // RAG chunk table a retrieval index ingests (offsets alone are the
+    // audit view). One equi join on the doc id + a per-row slice.
+    Q("t_texttile_chunks",
+      (s, dir) => {
+        val segs = TextOps.textTileSegments(
+          Tables.documents(s, dir), "doc_id", "text", w = 10, minOverlap = 2)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        segs.join(toks, Seq("doc_id"))
+          .select(col("doc_id"), col("seg_id"), col("n_toks"),
+            array_join(slice(col("toks"), (col("start_pos") + 1L).cast("int"),
+              col("n_toks").cast("int")), " ").as("chunk_text"))
+          .orderBy(col("doc_id"), col("seg_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |bb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d
+        |  WHERE len(toks) > 0),
+        |ci AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS i FROM (
+        |  SELECT doc_id, toks, unnest(range(10, CAST(len(toks) AS BIGINT) - 10 + 1)) AS i
+        |  FROM bb WHERE n >= 20) t),
+        |cuts AS (SELECT doc_id, i FROM ci
+        |  WHERE len(list_filter(
+        |    list_distinct(toks[CAST(i - 9 AS INTEGER):CAST(i AS INTEGER)]),
+        |    x -> list_contains(toks[CAST(i + 1 AS INTEGER):CAST(i + 10 AS INTEGER)], x))) <= 2),
+        |bounds AS (SELECT doc_id, i FROM cuts
+        |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM bb
+        |  UNION ALL SELECT doc_id, n FROM bb),
+        |sp AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS e
+        |  FROM bounds),
+        |sv AS (SELECT doc_id, i, e FROM sp WHERE e IS NOT NULL AND e > i),
+        |sg AS (SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) - 1 AS seg_id,
+        |  i, e FROM sv)
+        |SELECT sg.doc_id, sg.seg_id, sg.e - sg.i AS n_toks,
+        |  array_to_string(bb.toks[CAST(sg.i + 1 AS INTEGER):CAST(sg.e AS INTEGER)], ' ') AS chunk_text
+        |FROM sg JOIN bb ON bb.doc_id = sg.doc_id
+        |ORDER BY sg.doc_id, sg.seg_id""".stripMargin)),
+
+
+    // L74 — PIVOT (long → wide): per-source token totals spread across
+    // the five language columns — Spark's RelationalGroupedDataset
+    // .pivot with explicit values (fixed schema: at scale you always
+    // pin the pivot values; inferring them is an extra pass). Empty
+    // (source, lang) cells coalesce to 0 on BOTH sides: a NULL-bearing
+    // BIGINT column canonicalizes differently across engines in the
+    // driver's pandas comparator.
+    Q("t_pivot_matrix",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).as("nt"))
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum(col("nt")))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS BIGINT) AS nt FROM documents)
+        |SELECT source,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'de' THEN nt END), 0) AS BIGINT) AS de,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN nt END), 0) AS BIGINT) AS en,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN nt END), 0) AS BIGINT) AS es,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN nt END), 0) AS BIGINT) AS fr,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN nt END), 0) AS BIGINT) AS zh
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+
+    // L91 — OOV RATE vs a df-fraction-truncated vocabulary: vocab =
+    // tokens in ≥ 78% of docs (integer cross-multiplied gate — no
+    // global top-k sort), per-doc out-of-vocab token-occurrence
+    // fraction; vocab broadcasts into the token scan.
+    Q("t_oov_rate",
+      (s, dir) => Curation.oovRate(
+          Tables.documents(s, dir), "doc_id", "text", dfNum = 78, dfDen = 100)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        |  FROM documents),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |    FROM t GROUP BY tok) x, nd WHERE df * 100 >= 78 * n_docs)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM t LEFT JOIN v ON v.tok = t.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+  )
+}
