@@ -201,6 +201,60 @@ private[graft] object QueriesAnalytics {
         |SELECT term, rank, doc_id, score
         |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin)),
 
+    // L147 — nDCG@10 ranking evaluation over the bm25 rankings: graded
+    // relevance is minted doc_id-derived identically in both engines
+    // ((doc_id + len(term)) % 4 — the fixture convention); DCG and the
+    // ideal DCG are order-free BIGINT sums of grade × e6-quantized
+    // integer discounts (see Retrieval.dcgWeightsE6 for why not IEEE
+    // doubles); nDCG is their single division.
+    Q("r_ndcg",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
+            Retrieval.probeTerms(docs, "doc_id", "text", minLen = 5, k = 5),
+            k = 10, scale = 1000000L)
+          .withColumn("rel", pmod(col("doc_id") + length(col("term")), lit(4L)))
+        Retrieval.ndcgAtK(ranked, "term", "rank", "rel", k = 10)
+          .orderBy(col("term"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+        |probes AS (SELECT term FROM (
+        |    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS pdf
+        |    FROM t WHERE len(term) >= 5 GROUP BY 1)
+        |  ORDER BY pdf DESC, term LIMIT 5),
+        |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t JOIN probes USING (term) GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.term, tf.doc_id, dfq.df, tot.n_docs,
+        |    ((1000000 * 22 * tf.tf * tot.n_toks)
+        |      // (10 * tf.tf * tot.n_toks + 3 * tot.n_toks
+        |         + 9 * tot.n_docs * dl.dl)) AS s1
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |sc2 AS (SELECT term, doc_id,
+        |    (s1 * (2 * (n_docs - df) + 1)) // (2 * df + 1) AS score FROM sc),
+        |r AS (SELECT term, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc2),
+        |rl AS (SELECT term, rank, (doc_id + len(term)) % 4 AS rel
+        |  FROM r WHERE rank <= 10),
+        |wi AS (SELECT term, rank, rel, CAST(row_number() OVER (
+        |    PARTITION BY term ORDER BY rel DESC, rank) AS BIGINT) AS irk FROM rl),
+        |wt AS (SELECT [1000000, 630930, 500000, 430677, 386853,
+        |    356207, 333333, 315465, 301030, 289065] AS w),
+        |ag AS (SELECT term,
+        |    CAST(SUM(rel * w[CAST(rank AS INTEGER)]) AS BIGINT) AS dcg_e6,
+        |    CAST(SUM(rel * w[CAST(irk AS INTEGER)]) AS BIGINT) AS idcg_e6
+        |  FROM wi CROSS JOIN wt GROUP BY term)
+        |SELECT term, dcg_e6, idcg_e6,
+        |  CASE WHEN idcg_e6 > 0
+        |    THEN CAST(dcg_e6 AS DOUBLE) / CAST(idcg_e6 AS DOUBLE)
+        |    ELSE 0.0 END AS ndcg
+        |FROM ag ORDER BY term""".stripMargin)),
+
 
     // L71 — HYPERLOGLOG distinct-count sketch (Flajolet 2007): 16
     // max-of-rank registers per event_type as a bounded-state

@@ -754,6 +754,72 @@ private[graft] object QueriesCore {
         |  FROM ns LEFT JOIN c2 USING (node))
         |SELECT node, ppr FROM r2 WHERE ppr > 0 ORDER BY node""".stripMargin)),
 
+    // L144 — HITS hubs & authorities (Kleinberg 1999) over the SAME
+    // derived event link graph as g_pagerank: 2 rounds of the exact
+    // unnormalized integer mutual recursion (h = Σ out-nbr auth,
+    // a = Σ in-nbr hub; a⁰ ≡ 1). The oracle unrolls all four
+    // half-rounds; hubless/authless nodes report 0, not NULL.
+    Q("g_hits",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.hits(chain.unionByName(hubEdges), "src", "dst", iters = 2)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |h1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS h FROM ed GROUP BY 1),
+        |a1 AS (SELECT ed.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+        |  FROM ed JOIN h1 ON h1.node = ed.src GROUP BY 1),
+        |h2 AS (SELECT ed.src AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+        |  FROM ed JOIN a1 ON a1.node = ed.dst GROUP BY 1),
+        |a2 AS (SELECT ed.dst AS node, CAST(SUM(h2.h) AS BIGINT) AS a
+        |  FROM ed JOIN h2 ON h2.node = ed.src GROUP BY 1)
+        |SELECT nd.node, COALESCE(h2.h, 0) AS hub, COALESCE(a2.a, 0) AS auth
+        |FROM nd LEFT JOIN h2 ON h2.node = nd.node
+        |LEFT JOIN a2 ON a2.node = nd.node
+        |ORDER BY nd.node""".stripMargin)),
+
+    // L145 — triangle counting (degree-ordered node-iterator) over the
+    // session minhash near-dup pair graph: per-doc closed-triangle
+    // counts — the corroboration signal that separates real dup
+    // clusters (triangle-dense) from spurious LSH bridges (0). The
+    // oracle replays orientation, wedge join and closure verbatim on
+    // the same jp pair CTE.
+    Q("g_triangles",
+      (s, dir) => GraphOps.triangleCounts(sessionMinhashPairs(s, dir), "a", "b")
+        .select(col("node").as("doc_id"), col("n_tri"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM jp UNION ALL SELECT b FROM jp) GROUP BY node),
+        |wdg AS (SELECT jp.a, jp.b, da.deg AS da, db.deg AS db FROM jp
+        |  JOIN dg da ON da.node = jp.a JOIN dg db ON db.node = jp.b),
+        |o AS (SELECT
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi,
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dhi
+        |  FROM wdg),
+        |wg AS (SELECT e1.lo, e1.hi AS x, e2.hi AS y
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+        |  WHERE e1.dhi < e2.dhi OR (e1.dhi = e2.dhi AND e1.hi < e2.hi)),
+        |tr AS (SELECT wg.lo, wg.x, wg.y FROM wg
+        |  JOIN o ON o.lo = wg.x AND o.hi = wg.y),
+        |cr AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT lo AS node FROM tr
+        |    UNION ALL SELECT x FROM tr
+        |    UNION ALL SELECT y FROM tr) GROUP BY node)
+        |SELECT dg.node AS doc_id, COALESCE(cr.n_tri, 0) AS n_tri
+        |FROM dg LEFT JOIN cr USING (node) ORDER BY doc_id""".stripMargin)),
+
 
     // W2 — speaker-change sessionization, uncapped window flavor
     // (speaker_rematch.py:25-43): break on gap OR event_type change.

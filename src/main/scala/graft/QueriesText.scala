@@ -454,6 +454,73 @@ FROM ag ORDER BY lang""")),
         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         |FROM t LEFT JOIN v ON v.tok = t.tok
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // L146 — word2phrase collocation mining (Mikolov et al. 2013). The
+    // synthetic corpus has near-uniform bigram statistics, so true
+    // collocations are MINTED doc_id-derived identically in both
+    // engines (the c_pii fixture convention): three city phrases
+    // appended at periods 5/7/11. Acceptance is the cross-multiplied
+    // integer word2phrase gate (δ=3, τ=2); output = top 20 bigrams by
+    // scaled score with the accepted flag — the minted phrases must
+    // surface as the accepted heads.
+    Q("t_collocations",
+      (s, dir) => {
+        val minted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5L)) === 0L, lit(" kuala lumpur"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7L)) === 0L, lit(" hong kong"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11L)) === 0L, lit(" sri lanka"))
+              .otherwise(lit(""))).as("text"))
+        TextOps.collocations(minted, "text", delta = 3L, tau = 2L)
+          .orderBy(col("score_e3").desc, col("w1"), col("w2"))
+          .limit(20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(
+              col("score_e3").desc, col("w1"), col("w2"))).cast("long"))
+      },
+      Some("""WITH dm AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' kuala lumpur' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' hong kong' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' sri lanka' ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM dm),
+        |ti AS (SELECT toks, CAST(unnest(range(1, len(toks))) AS BIGINT) AS i FROM d),
+        |bg AS (SELECT toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i + 1 AS INTEGER)] AS w2 FROM ti),
+        |uni AS (SELECT unnest(toks) AS w FROM d),
+        |u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM u),
+        |b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+        |sc AS (SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |    CASE WHEN b.c_ab > 3 THEN ((b.c_ab - 3) * n.n * 1000) // (ua.c * ub.c)
+        |      ELSE 0 END AS score_e3,
+        |    (b.c_ab - 3) * n.n > 2 * ua.c * ub.c AS accepted
+        |  FROM b JOIN u ua ON ua.w = b.w1 JOIN u ub ON ub.w = b.w2 CROSS JOIN n),
+        |tk AS (SELECT * FROM sc ORDER BY score_e3 DESC, w1, w2 LIMIT 20)
+        |SELECT w1, w2, c_ab, c_a, c_b, score_e3, accepted,
+        |  CAST(row_number() OVER (ORDER BY score_e3 DESC, w1, w2) AS BIGINT) AS rank
+        |FROM tk ORDER BY rank""".stripMargin)),
+
+    // L148 — normalization-fold dedup audit: distinct docs per lang
+    // before vs after the case/diacritic/punctuation/whitespace fold —
+    // the cheap dedup headroom a normalization pass buys before any
+    // MinHash. The fold is a shared translate alphabet both engines
+    // apply verbatim.
+    Q("t_normalize_dedup",
+      (s, dir) => TextOps.normalizeFoldDedup(
+          Tables.documents(s, dir), "lang", "text")
+        .orderBy(col("lang")),
+      Some(s"""WITH f AS (SELECT lang, md5(text) AS raw_fp,
+        |    md5(trim(regexp_replace(translate(lower(text),
+        |      '${TextOps.foldFrom.replace("'", "''")}',
+        |      '${TextOps.foldTo}'), '\\s+', ' ', 'g'))) AS norm_fp
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_distinct_raw,
+        |  CAST(COUNT(DISTINCT norm_fp) AS BIGINT) AS n_distinct_norm,
+        |  CAST(COUNT(DISTINCT raw_fp) - COUNT(DISTINCT norm_fp) AS BIGINT) AS n_collapsed
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -180,4 +180,123 @@ object GraphOps {
     }
     lbl
   }
+
+  /** L144 — HITS HUBS & AUTHORITIES (Kleinberg 1999, JACM 46(5)) over a
+    * directed link graph — the complementary centrality to [[pageRank]]
+    * for corpus curation: an AUTHORITY is a page many good hubs point
+    * at (the quality-content signal to upweight), a HUB is a page that
+    * points at many good authorities (the directory/aggregator signal —
+    * often boilerplate to DOWNweight). One score cannot stand in for
+    * the other on bipartite-ish link structure, which is exactly what
+    * hub-and-spoke crawl graphs look like.
+    *
+    * UNNORMALIZED exact-integer mutual recursion: a⁰ ≡ 1, then per
+    * round h(u) = Σ_{u→v} a(v) followed by a(v) = Σ_{u→v} h(u)
+    * (duplicate edges are distinct conductances, as in [[pageRank]]).
+    * The textbook per-round L2 normalization only rescales — the
+    * RANKING, which is what curation consumes, is identical — so
+    * dropping it keeps every score a bit-replayable BIGINT. Magnitudes
+    * grow like (d_max²)^iters; `require(iters <= 3)` keeps any graph
+    * with d_max < 2²⁰ degrees inside 63 bits — at true web scale run
+    * iters=2..3 or add the float normalization and give up the oracle.
+    *
+    * Scale shape per round: the edge table is built and checkpointed
+    * once; each half-round is one equi join of the O(|V|) score table
+    * against it plus one map-side-combined sum — [[pageRank]]'s exact
+    * cost profile, nothing quadratic, hot nodes bounded by degree.
+    *
+    * Output: (node, hub, auth) for every endpoint; a node with no
+    * out-edges has hub 0, no in-edges auth 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 3, s"iters must be in 1..3, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var auth = nodes.withColumn("a", lit(1L))
+    var hub: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val hs = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      hub = nodes.join(hs, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+      val as = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      auth = nodes.join(as, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** L145 — TRIANGLE COUNTING (node-iterator with degree ordering,
+    * Schank & Wagner 2005) over an undirected pair graph — the local
+    * clustering signal of a near-dup graph: a pair edge supported by a
+    * closed triangle is corroborated by a THIRD document agreeing with
+    * both endpoints, while a bridge edge with no triangles is the
+    * classic spurious-LSH-collision shape (the same chain-breaking
+    * motivation as [[labelPropagation]], but as a per-edge/per-node
+    * hard count rather than a vote). Downstream: dedup clusters keep
+    * edges with `n_tri > 0`, spam rings show as triangle-dense knots.
+    *
+    * The degree-ordering trick makes it scale-safe: orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher one — every triangle then has EXACTLY ONE wedge whose two
+    * edges leave its minimum vertex, so counting wedge-closures counts
+    * each triangle once, and the wedge join fans out per node by its
+    * ORIENTED out-degree, which the ordering bounds by O(√|E|)
+    * regardless of raw hub degree (the viral-boilerplate doc that
+    * breaks the naive neighbor join).
+    *
+    * All joins are equi joins on node keys; per-corner counts come from
+    * exploding each found triangle to its three corners. Exact integer
+    * end-to-end — the oracle replays orientation, wedge join and
+    * closure verbatim.
+    *
+    * Input: distinct undirected pairs (aCol < bCol). Output:
+    * (node, n_tri) for every pair endpoint, 0 for triangle-free nodes.
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low -> high by (deg, id); lo/hi carry their (deg, id) rank
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("lo"), col("b").as("hi"),
+          col("da").as("dlo"), col("db").as("dhi")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi"),
+          col("db").as("dlo"), col("da").as("dhi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
+        col("e.dlo").as("dlo"), col("e.dhi").as("dhi"))
+      .localCheckpoint(true)
+    // wedges at the minimum vertex: two oriented edges out of lo, the
+    // endpoints ordered by the SAME (deg, id) rule so (v, w) probes the
+    // oriented closing edge directly
+    val e1 = oriented.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
+    val e2 = oriented.select(col("lo"), col("hi").as("w"), col("dhi").as("dw"))
+    val wedges = e1.join(e2, "lo")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(
+        oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
+      .select(col("lo"), col("v"), col("w"))
+    val corners = tri.select(explode(array(col("lo"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("node")).join(corners, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -82,4 +82,57 @@ object Retrieval {
       .select(col("term"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol), col("col.value").as("score"))
   }
+
+  /** The 1/log2(r+1) position discounts of [[ndcgAtK]], QUANTIZED to
+    * e6 integers (round(10⁶/log2(r+1))). An IEEE double-weight sum is
+    * association-sensitive (measured: Spark's left fold and DuckDB's
+    * chain disagreed by one ulp), so the engine's integer-domain
+    * policy applies: integer weights make each DCG an order-free
+    * BIGINT sum — partial-agg merge order cannot perturb a bit — at
+    * the price of a documented 1e-6 weight quantization, far below
+    * any decision threshold a ranking eval drives.
+    */
+  val dcgWeightsE6: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** L147 — RANKING-QUALITY EVALUATION, nDCG@k (Järvelin & Kekäläinen
+    * 2002): the standard graded-relevance metric a retrieval stack
+    * reports for every index/ranker change — here closing the loop on
+    * [[bm25TopK]] (and the ANN top-k family): given per-query ranked
+    * results with integer relevance grades, emit DCG, the ideal DCG of
+    * the same grade multiset, and their ratio.
+    *
+    * Exactness: grades are BIGINTs and the [[dcgWeightsE6]] discounts
+    * are integers, so dcg_e6/idcg_e6 are order-free exact sums; nDCG
+    * is their single double division. A query whose grades are all
+    * zero reports nDCG 0 (not NULL) — the convention that keeps means
+    * well-defined.
+    *
+    * Scale shape: one row_number window per query for the ideal
+    * ordering plus one keyed aggregation — nothing quadratic; k is a
+    * small constant and the weight lookup is a literal array index.
+    *
+    * Input: (queryCol, rankCol 1-based, relCol) rows, ≤ one row per
+    * (query, rank). Output: (query, dcg_e6, idcg_e6, ndcg).
+    */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= dcgWeightsE6.length,
+      s"k must be in 1..${dcgWeightsE6.length}, got $k")
+    val wArr = array(dcgWeightsE6.take(k).map(lit): _*)
+    val ideal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col(relCol).desc, col(rankCol))
+    val agg = ranked.filter(col(rankCol) <= k)
+      .withColumn("__ir", row_number().over(ideal))
+      .groupBy(col(queryCol))
+      .agg(
+        sum(col(relCol) * element_at(wArr, col(rankCol).cast("int")))
+          .as("dcg_e6"),
+        sum(col(relCol) * element_at(wArr, col("__ir"))).as("idcg_e6"))
+    agg.select(col(queryCol), col("dcg_e6"), col("idcg_e6"),
+      when(col("idcg_e6") > 0L,
+        col("dcg_e6").cast("double") / col("idcg_e6").cast("double"))
+        .otherwise(lit(0d)).as("ndcg"))
+  }
 }

@@ -504,6 +504,91 @@ object TextOps {
     * Output: (id, seg_id, start_pos, end_pos, n_toks) — 0-based token
     * offsets, end exclusive.
     */
+  /** L146 — COLLOCATION / PHRASE MINING (the word2phrase pass of
+    * Mikolov et al. 2013, "Distributed Representations of Words and
+    * Phrases"): find adjacent word pairs that co-occur far more often
+    * than chance and are therefore one lexical unit ("new york",
+    * "machine learning") — the standard pre-tokenization pass that
+    * turns them into single tokens before embedding/BPE training.
+    *
+    * The word2phrase acceptance test `(c_ab − δ)·N / (c_a·c_b) > τ` is
+    * evaluated by CROSS-MULTIPLICATION in exact BIGINTs — no division
+    * decides membership, so the accepted set is bit-replayable; the
+    * REPORTED score is then the single integer division
+    * `(c_ab − δ)·N·1000 div (c_a·c_b)` (scaled floor — also exact).
+    * δ discounts rare accidents; pairs with c_ab ≤ δ can never pass.
+    *
+    * Scale shape: one token explode for unigram counts, one shingle
+    * explode for adjacent-bigram counts, then two equi joins of the
+    * bigram table against the (small relative to corpus) unigram count
+    * table — all keyed, map-side combined, nothing quadratic.
+    *
+    * Output: (w1, w2, c_ab, c_a, c_b, score_e3) for accepted pairs.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   delta: Long, tau: Long): DataFrame = {
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val bi = docs
+      .select(explode(shingles(tokens(col(textCol)), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .select(element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"), col("c_ab"))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        // c_ab <= delta clamps to 0 rather than dividing a negative:
+        // Spark div truncates toward zero, DuckDB // floors — staying
+        // non-negative is what keeps the two bit-equal (policy note in
+        // GraphOps)
+        when(col("c_ab") > delta,
+          expr(s"((c_ab - ${delta}L) * n * 1000L) div (c_a * c_b)"))
+          .otherwise(lit(0L)).as("score_e3"),
+        ((col("c_ab") - delta) * col("n") > lit(tau) * col("c_a") * col("c_b"))
+          .as("accepted"))
+  }
+
+  /** The character fold of [[normalizeFoldDedup]] as a reusable column:
+    * lowercase, strip the common Latin-1 diacritics by table, squeeze
+    * punctuation to spaces, collapse whitespace runs, trim. The two
+    * translate alphabets are plain string literals so an external SQL
+    * engine mirrors the fold verbatim (`translate` has identical
+    * semantics in Spark and DuckDB for 1:1 char maps).
+    */
+  val foldFrom = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ.,;:!?'\"()[]{}"
+  val foldTo = "aaaaaaceeeeiiiinooooouuuuyy" + " " * 14
+  def normalizeFold(textCol: Column): Column =
+    trim(regexp_replace(translate(lower(textCol), foldFrom, foldTo),
+      "\\s+", " "))
+
+  /** L148 — NORMALIZATION-FOLD DEDUP AUDIT: how much near-duplication
+    * hides behind TRIVIAL surface variation (case, diacritics,
+    * punctuation, whitespace)? Exact dedup (L1) hashes raw bytes and
+    * misses "Hello, World!" ≡ "hello world"; this op counts, per
+    * language, the distinct docs BEFORE and AFTER [[normalizeFold]] —
+    * the collapsed delta is the cheap-win dedup headroom a pipeline
+    * gets from a normalization pass alone, measured before paying for
+    * MinHash. (CCNet and friends run exactly this fold before their
+    * paragraph-hash dedup.)
+    *
+    * Scale shape: one projection + two distinct-count aggregations on
+    * md5 keys — no joins, no windows; the fold is pure codegen.
+    */
+  def normalizeFoldDedup(docs: DataFrame, langCol: String,
+                         textCol: String): DataFrame = {
+    docs.select(col(langCol).as("lang"),
+        md5(col(textCol)).as("raw_fp"),
+        md5(normalizeFold(col(textCol))).as("norm_fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_fp")).as("n_distinct_raw"),
+        countDistinct(col("norm_fp")).as("n_distinct_norm"),
+        (countDistinct(col("raw_fp")) - countDistinct(col("norm_fp")))
+          .as("n_collapsed"))
+  }
+
   def textTileSegments(docs: DataFrame, idCol: String, textCol: String,
                        w: Int, minOverlap: Int): DataFrame = {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))

@@ -1930,4 +1930,90 @@ class OpsSpec extends SparkSpec {
     assert(got(1)._3 > 0 && got(2)._3 < 0,
       s"diverse pick scores positive, near-dup negative: ${got.toSeq}")
   }
+
+  test("L144 hits: two exact unnormalized rounds on a hand-checked digraph") {
+    import graft.ops.GraphOps
+    // 1->3, 2->3, 3->4: h1 = outdeg, a1(3)=2, a1(4)=1;
+    // h2(1)=h2(2)=a1(3)=2, h2(3)=a1(4)=1; a2(3)=h2(1)+h2(2)=4, a2(4)=h2(3)=1
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hits(edges, "src", "dst", iters = 2)
+      .orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 0L), (2L, 2L, 0L), (3L, 1L, 4L), (4L, 0L, 1L)),
+      s"got $got")
+    // duplicate edges are distinct conductances (multigraph)
+    val dup = GraphOps.hits(edges.unionAll(Seq((1L, 3L)).toDF("src", "dst")),
+        "src", "dst", iters = 1)
+      .orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // h1(1)=2 (two parallel edges), a1(3)=h(1)+h(1)+h(2)=2+2+1=5
+    assert(dup == Seq((1L, 2L, 0L), (2L, 1L, 0L), (3L, 1L, 5L), (4L, 0L, 1L)),
+      s"got $dup")
+  }
+
+  test("L145 triangleCounts: shared-edge triangles and bridges count exactly") {
+    import graft.ops.GraphOps
+    // triangles {1,2,3} and {2,3,4} share edge (2,3); 4-5 is a bridge
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = GraphOps.triangleCounts(pairs, "a", "b")
+      .orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 0L)),
+      s"got $got")
+    // a triangle-free star (viral hub): zero triangles, and the degree
+    // ordering caps the hub's oriented out-degree at 0 wedge fan-out
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val sGot = GraphOps.triangleCounts(star, "a", "b")
+      .agg(sum($"n_tri")).head.getLong(0)
+    assert(sGot == 0L)
+  }
+
+  test("L146 collocations: the word2phrase gate accepts the true phrase only") {
+    import graft.ops.TextOps
+    val docs = Seq("new york is big", "new york city", "the cat sat")
+      .toDF("text")
+    // N=10; (new,york): c_ab=2,c_a=c_b=2 -> lhs=(2-1)*10=10 > 2*4=8 ACCEPT,
+    // score_e3 = 10*1000 div 4 = 2500; every c_ab=1 pair clamps via delta
+    val got = TextOps.collocations(docs, "text", delta = 1L, tau = 2L)
+    val acc = got.filter($"accepted").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5))).toSeq
+    assert(acc == Seq(("new", "york", 2500L)), s"got $acc")
+    assert(got.filter(!$"accepted" && $"score_e3" =!= 0L).count() == 0,
+      "c_ab <= delta pairs must clamp to score 0")
+  }
+
+  test("L148 normalizeFold folds case/diacritics/punct/whitespace; dedup audit counts") {
+    import graft.ops.TextOps
+    val f = Seq("Héllo,  Wörld!").toDF("t")
+      .select(TextOps.normalizeFold($"t")).head.getString(0)
+    assert(f == "hello world", s"got '$f'")
+    val docs = Seq(
+      ("en", "Hello World"), ("en", "hello,   world!"), ("en", "different"),
+      ("fr", "Â la carte")).toDF("lang", "text")
+    val got = TextOps.normalizeFoldDedup(docs, "lang", "text")
+      .orderBy($"lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(("en", 3L, 3L, 2L, 1L), ("fr", 1L, 1L, 1L, 0L)),
+      s"got $got")
+  }
+
+  test("L147 ndcgAtK: exact e6 sums, ideal reorder, zero-grade convention") {
+    import graft.ops.Retrieval
+    val ranked = Seq(
+      (1L, 1L, 0L), (1L, 2L, 3L), // dcg = 3*630930; ideal puts 3 first
+      (2L, 1L, 0L), (2L, 2L, 0L)  // all-zero -> ndcg 0 by convention
+    ).toDF("q", "rank", "rel")
+    val got = Retrieval.ndcgAtK(ranked, "q", "rank", "rel", k = 10)
+      .orderBy($"q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 1892790L, 3000000L, 1892790d / 3000000d),
+      (2L, 0L, 0L, 0d)), s"got $got")
+    // a perfect ranking scores exactly 1
+    val perfect = Seq((1L, 1L, 3L), (1L, 2L, 2L), (1L, 3L, 1L)).toDF("q", "rank", "rel")
+    val p = Retrieval.ndcgAtK(perfect, "q", "rank", "rel", k = 10).head
+    assert(p.getDouble(3) == 1.0d)
+  }
 }

@@ -405,6 +405,22 @@ class PlanSpec extends SparkSpec {
     val cp = plan("sim_cluster_sample")
     assert(!cp.contains("CartesianProduct"))
     assert(cp.contains("InMemoryTableScan"), "cluster sample must reuse the cached session cells")
+
+    // L144-L148 wave: triangles pair only through node-keyed equi
+    // joins (the degree orientation is what makes that safe at hub
+    // scale); collocations' only nested loop is the intended one-row
+    // total-count broadcast; hits/ndcg never go cartesian
+    val tg = plan("g_triangles")
+    assert(!tg.contains("CartesianProduct") && !tg.contains("BroadcastNestedLoopJoin"),
+      "triangle counting must join on node keys only")
+    val cl = plan("t_collocations")
+    assert(!cl.contains("CartesianProduct"), "collocations plans a cartesian")
+    assert(cl.contains("BroadcastNestedLoopJoin"),
+      "the one-row token-total should broadcast to the bigram scan")
+    for (q <- Seq("g_hits", "r_ndcg", "t_normalize_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {

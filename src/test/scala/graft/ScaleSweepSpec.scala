@@ -219,6 +219,21 @@ class ScaleSweepSpec extends SparkSpec {
       scaledDocs(s), "doc_id", "text", w = 10, minOverlap = 2).count())
   }
 
+  test("L145 triangle counting stays near-linear under ×9 node scale") {
+    // ring + skip-2 chord: every node closes exactly one triangle
+    // (i, i+1, i+2), degree constant 4 — wedge volume is linear in |V|.
+    // Losing the degree orientation (raw neighbor self-join) stays
+    // linear HERE by construction, but a hub-heavy graph wouldn't; the
+    // orientation is additionally pinned by the star test in OpsSpec.
+    sweep("triangles", s => {
+      val n = 30000L * s
+      val ring = spark.range(n).select(col("id").as("a"), ((col("id") + 1L) % n).as("b"))
+      val chord = spark.range(n).select(col("id").as("a"), ((col("id") + 2L) % n).as("b"))
+      graft.ops.GraphOps.triangleCounts(ring.unionByName(chord), "a", "b")
+        .filter(col("n_tri") > 0).count()
+    })
+  }
+
   test("L135 span surgery stays near-linear under ×9 salted scale") {
     // removal is an exists() over each doc's PRE-MERGED disjoint
     // intervals (≤ n_toks/2); losing the merge makes the hot-doc token
