@@ -820,6 +820,37 @@ private[graft] object QueriesCore {
         |SELECT dg.node AS doc_id, COALESCE(cr.n_tri, 0) AS n_tri
         |FROM dg LEFT JOIN cr USING (node) ORDER BY doc_id""".stripMargin)),
 
+    // L149 — 2-core peel (3 synchronous rounds) over the session
+    // minhash pair graph: drop every node that cannot keep >= 2
+    // neighbors after weaker nodes are removed — chains and spokes
+    // peel away, dup cores stay. The bounded-round contract (output =
+    // the subgraph after exactly 3 rounds, converged or not) is what
+    // unrolls to the SQL oracle, like the fixed-iteration pagerank.
+    Q("g_kcore",
+      (s, dir) => GraphOps.kCorePeel(sessionMinhashPairs(s, dir), "a", "b",
+          k = 2, rounds = 3)
+        .select(col("node").as("doc_id"), col("deg"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |d1 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM jp UNION ALL SELECT b FROM jp) GROUP BY node),
+        |a1 AS (SELECT node FROM d1 WHERE deg >= 2),
+        |e1 AS MATERIALIZED (SELECT jp.a, jp.b FROM jp
+        |  JOIN a1 x ON x.node = jp.a JOIN a1 y ON y.node = jp.b),
+        |d2 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node),
+        |a2 AS (SELECT node FROM d2 WHERE deg >= 2),
+        |e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1
+        |  JOIN a2 x ON x.node = e1.a JOIN a2 y ON y.node = e1.b),
+        |d3 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node),
+        |a3 AS (SELECT node FROM d3 WHERE deg >= 2),
+        |e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
+        |  JOIN a3 x ON x.node = e2.a JOIN a3 y ON y.node = e2.b)
+        |SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY node ORDER BY doc_id""".stripMargin)),
+
 
     // W2 — speaker-change sessionization, uncapped window flavor
     // (speaker_rematch.py:25-43): break on gap OR event_type change.

@@ -1292,6 +1292,90 @@ private[graft] object QueriesCuration {
         |  CASE WHEN luhn_ok THEN '<CARD>' ELSE candidate END AS clean
         |FROM v ORDER BY doc_id""".stripMargin)),
 
+    // L150 — IBAN mod-97 PII gate (ISO 7064, the c_pii_luhn convention
+    // at account-number strength): candidates minted doc_id-derived in
+    // both engines — even docs get the true check digits (the
+    // ibanCheckDigits dual), odd docs a deterministically wrong pair —
+    // and the gate re-validates every candidate with the sequential
+    // (acc·m + v) mod 97 character fold. The DuckDB mirror encodes each
+    // char as m·1000+v and list_reduce's the same left-to-right fold
+    // (modular state, so fold order is the ALGORITHM, not an engine
+    // accident).
+    Q("c_pii_iban",
+      (s, dir) => {
+        val bban = lpad(pmod(col("doc_id"), lit(10000000000L)).cast("string"),
+          10, "0")
+        val kkv = Curation.ibanCheckDigits(lit("DE"), bban)
+        val kk = when(pmod(col("doc_id"), lit(2L)) === 0, kkv)
+          .otherwise(pmod(kkv, lit(97L)) + 2L)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(lit("DE"), lpad(kk.cast("string"), 2, "0"), bban).as("iban"))
+          .withColumn("iban_ok", Curation.ibanValid(col("iban")))
+          .withColumn("clean",
+            when(col("iban_ok"), lit("<IBAN>")).otherwise(col("iban")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |    lpad(CAST(doc_id % 10000000000 AS VARCHAR), 10, '0') AS bban
+        |  FROM documents),
+        |enc0 AS (SELECT doc_id, bban,
+        |    list_transform(list_filter(string_split(bban || 'DE' || '00', ''), c -> c != ''),
+        |      c -> CASE WHEN ascii(c) BETWEEN 48 AND 57
+        |        THEN 10000 + (ascii(c) - 48) ELSE 100000 + (ascii(c) - 55) END) AS es
+        |  FROM b),
+        |kv AS (SELECT doc_id, bban,
+        |    98 - list_reduce(list_prepend(CAST(0 AS BIGINT), es),
+        |      (acc, x) -> (acc * (x // 1000) + x % 1000) % 97) AS kkv
+        |  FROM enc0),
+        |ib AS (SELECT doc_id,
+        |    'DE' || lpad(CAST(CASE WHEN doc_id % 2 = 0 THEN kkv
+        |      ELSE kkv % 97 + 2 END AS VARCHAR), 2, '0') || bban AS iban
+        |  FROM kv),
+        |ev AS (SELECT doc_id, iban,
+        |    list_transform(list_filter(string_split(substr(iban, 5) || substr(iban, 1, 4), ''), c -> c != ''),
+        |      c -> CASE WHEN ascii(c) BETWEEN 48 AND 57
+        |        THEN 10000 + (ascii(c) - 48) ELSE 100000 + (ascii(c) - 55) END) AS es
+        |  FROM ib),
+        |v AS (SELECT doc_id, iban,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), es),
+        |      (acc, x) -> (acc * (x // 1000) + x % 1000) % 97) = 1 AS iban_ok
+        |  FROM ev)
+        |SELECT doc_id, iban, iban_ok,
+        |  CASE WHEN iban_ok THEN '<IBAN>' ELSE iban END AS clean
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // L151 — cross-source quantile normalization (Bolstad et al. 2003
+    // applied to per-source quality scores): every doc's raw score
+    // (token count here) is remapped to the GLOBAL score at its
+    // source-relative rank, so one global threshold means the same
+    // thing in every source. The global lookup is an interval probe
+    // into the broadcast cumulative histogram of distinct score values
+    // — never a global sort-row_number.
+    Q("c_quantile_norm",
+      (s, dir) => {
+        val scores = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("s"))
+        Curation.quantileNormalizeScores(scores, "doc_id", "source", "s")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS s
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, s, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY s, doc_id) AS BIGINT) AS rn FROM b),
+        |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM b GROUP BY 1),
+        |h AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT s AS gs, CAST(SUM(cnt) OVER (ORDER BY s) - cnt AS BIGINT) AS lo,
+        |    CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS hi FROM h),
+        |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_glob FROM b),
+        |p AS (SELECT r.doc_id, r.source, r.s, (r.rn - 1) * ng.n_glob // ns.n_src + 1 AS p
+        |  FROM r JOIN ns USING (source) CROSS JOIN ng)
+        |SELECT p.doc_id, p.source, p.s AS raw, p.p, c.gs AS norm
+        |FROM p JOIN c ON p.p > c.lo AND p.p <= c.hi
+        |ORDER BY p.doc_id""".stripMargin)),
+
 
     // L80 — RENDEZVOUS (HRW) SHARDING: shard = argmax over s of
     // md5(id|s) — scaling k→k+1 moves docs only TO the new shard

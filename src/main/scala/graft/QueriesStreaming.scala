@@ -338,6 +338,77 @@ private[graft] object QueriesStreaming {
         |FROM sc WHERE n_tokens >= 50 AND stop_ratio >= 0.02
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // L152 — STREAMING QUANTILE NORMALIZATION: the L151 remap applied
+    // AT INGEST — every arriving doc's raw score is normalized against
+    // the static reference distribution the moment it lands, so
+    // downstream consumers see comparable scores immediately.
+    // Stateless append: the per-(source, score) low-rank table and the
+    // global cumulative histogram (both domain-bounded) are
+    // stream-static BROADCAST joins; n_glob folds in as a literal (the
+    // broadcast-decision pattern). Tie rule: all docs sharing a
+    // (source, score) take the score's LOW rank — the score-level
+    // variant that needs no per-id state; the oracle replays it
+    // exactly.
+    Q("streaming_quantile_norm",
+      (s, dir) => withStreamingPartitions(s) {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "qn_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_qn").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, path, "documents.parquet"))
+        val base = Tables.documents(s, dir)
+          .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("s"))
+        val hs = base.groupBy(col("source"), col("s")).agg(count(lit(1)).as("cnt"))
+        val cumS = Window.partitionBy(col("source")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val srcTab = hs.withColumn("cum", sum(col("cnt")).over(cumS))
+          .select(col("source"), col("s"), (col("cum") - col("cnt") + 1L).as("rn"))
+          .join(base.groupBy(col("source")).agg(count(lit(1)).as("n_src")), "source")
+        val hist = base.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+        val cumG = Window.orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gHist = hist.withColumn("cum", sum(col("cnt")).over(cumG))
+          .select(col("s").as("gs"), (col("cum") - col("cnt")).as("lo"),
+            col("cum").as("hi"))
+        val nGlob = base.count() // one scalar, folded into the expression
+        val flagged = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("s"))
+          .join(broadcast(srcTab), Seq("source", "s"))
+          .withColumn("p", expr(s"(rn - 1) * ${nGlob}L div n_src") + lit(1L))
+          .join(broadcast(gHist), col("p") > col("lo") && col("p") <= col("hi"))
+          .select(col("doc_id"), col("source"), col("s").as("raw"),
+            col("p"), col("gs").as("norm"))
+        val q = flagged.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS s
+        |  FROM documents),
+        |hs AS (SELECT source, s, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |sr AS (SELECT source, s,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY s) - cnt + 1 AS BIGINT) AS rn
+        |  FROM hs),
+        |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM b GROUP BY 1),
+        |h AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT s AS gs, CAST(SUM(cnt) OVER (ORDER BY s) - cnt AS BIGINT) AS lo,
+        |    CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS hi FROM h),
+        |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_glob FROM b),
+        |p AS (SELECT b.doc_id, b.source, b.s, (sr.rn - 1) * ng.n_glob // ns.n_src + 1 AS p
+        |  FROM b JOIN sr ON sr.source = b.source AND sr.s = b.s
+        |  JOIN ns ON ns.source = b.source CROSS JOIN ng)
+        |SELECT p.doc_id, p.source, p.s AS raw, p.p, c.gs AS norm
+        |FROM p JOIN c ON p.p > c.lo AND p.p <= c.hi
+        |ORDER BY p.doc_id""".stripMargin)),
+
 
     // L50 — the BOTTOM-K SAMPLE AS A STREAMING AGGREGATE: TopKAgg
     // accumulating in streaming aggregation state across

@@ -1702,4 +1702,104 @@ object Curation {
         (col("pos").cast("double") / col("n").cast("double")).as("raw"),
         col("calibrated"))
   }
+
+  /** L150 — IBAN mod-97 VALIDATION (ISO 7064 MOD 97-10, the
+    * international bank-account checksum): rearrange (BBAN + country
+    * letters as digits A=10..Z=35 + the two check digits), then the
+    * huge decimal must be ≡ 1 (mod 97). Computed without big integers
+    * as the standard left-to-right fold `acc ← (acc·10 + digit) mod 97`
+    * (letters fold their two digits) — a pure sequential `aggregate`
+    * HOF over the rearranged character array, codegen'd, and mirrored
+    * char-for-char by an external engine's list_reduce (both fold
+    * left-to-right; modular arithmetic is association-FREE here
+    * because the fold order is part of the algorithm, not of the
+    * engine). The same precision role as [[luhnValid]]: an account-
+    * number regex hit that fails mod-97 is an order id, not PII.
+    *
+    * Input: the full IBAN string (country letters + 2 check digits +
+    * BBAN, no spaces). Pure per-row expression — zero shuffle.
+    */
+  def ibanValid(iban: Column): Column = {
+    // rearranged = BBAN + country(2 letters) + check(2 digits)
+    val rearranged = concat(substring(iban, 5, 1000000),
+      substring(iban, 1, 4))
+    val chars = split(rearranged, "")
+    val folded = aggregate(
+      filter(chars, c => c =!= ""),
+      lit(0L),
+      (acc, c) => {
+        val code = ascii(c).cast("long")
+        // digit: acc*10 + d; letter A..Z: value 10..35 -> acc*100 + v
+        when(code.between(48L, 57L),
+          pmod(acc * 10L + (code - 48L), lit(97L)))
+          .otherwise(pmod(acc * 100L + (code - 55L), lit(97L)))
+      })
+    folded === 1L
+  }
+
+  /** The check digits that make `cc + "??" + bban` a valid IBAN — the
+    * fixture-minting dual of [[ibanValid]] (both engines mint the same
+    * valid/invalid candidates deterministically, the [[luhnCheckDigit]]
+    * convention): kk = 98 − mod97(BBAN + CC-digits + "00").
+    */
+  def ibanCheckDigits(cc: Column, bban: Column): Column = {
+    val chars = split(concat(bban, cc, lit("00")), "")
+    val folded = aggregate(
+      filter(chars, c => c =!= ""),
+      lit(0L),
+      (acc, c) => {
+        val code = ascii(c).cast("long")
+        when(code.between(48L, 57L),
+          pmod(acc * 10L + (code - 48L), lit(97L)))
+          .otherwise(pmod(acc * 100L + (code - 55L), lit(97L)))
+      })
+    lit(98L) - folded
+  }
+
+  /** L151 — CROSS-SOURCE QUANTILE NORMALIZATION (the microarray
+    * quantile-normalization of Bolstad et al. 2003, applied to
+    * per-source quality scores): heterogeneous sources score on
+    * incomparable scales — one crawl's median quality would be
+    * another's top decile — so a single global threshold over- or
+    * under-prunes whole sources. Remap every doc's score to the GLOBAL
+    * score at its source-relative rank position: after normalization
+    * every source has (up to integer rank arithmetic) the same score
+    * distribution, and one global threshold means the same thing
+    * everywhere. Complements [[calibratedQualityGate]] (which keeps a
+    * per-source top fraction but does not output comparable scores).
+    *
+    * Exact-integer construction: per-source rank rn by (score, id);
+    * global position p = (rn−1)·n_global div n_source + 1 ∈
+    * [1, n_global]; the normalized score is the p-th smallest global
+    * score, located WITHOUT a global sort-row_number (the
+    * single-partition window anti-shape) by interval lookup in the
+    * cumulative histogram of DISTINCT score values — a table bounded
+    * by the score domain, not the corpus, so it broadcasts.
+    *
+    * Scale shape: one keyed per-source window + one map-side-combined
+    * histogram + one broadcast range join against the tiny cumulative
+    * histogram. Output: (id, source, raw score, p, norm).
+    */
+  def quantileNormalizeScores(scores: DataFrame, idCol: String,
+                              srcCol: String, scoreCol: String): DataFrame = {
+    val base = scores.select(col(idCol), col(srcCol), col(scoreCol).cast("long").as("s"))
+    val bySrc = Window.partitionBy(col(srcCol))
+      .orderBy(col("s"), col(idCol))
+    val ranked = base
+      .withColumn("rn", row_number().over(bySrc).cast("long"))
+      .join(base.groupBy(col(srcCol)).agg(count(lit(1)).as("n_src")), srcCol)
+    // cumulative histogram over DISTINCT score values (domain-bounded)
+    val hist = base.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .select(col("s").as("gs"), (col("cum") - col("cnt")).as("lo"), col("cum").as("hi"))
+    val nGlob = base.agg(count(lit(1)).as("n_glob"))
+    ranked.crossJoin(broadcast(nGlob))
+      .withColumn("p", expr("(rn - 1) * n_glob div n_src") + 1L)
+      .join(broadcast(cum), col("p") > col("lo") && col("p") <= col("hi"))
+      .select(col(idCol), col(srcCol), col("s").as("raw"), col("p"),
+        col("gs").as("norm"))
+  }
 }

@@ -299,4 +299,54 @@ object GraphOps {
     deg.select(col("node")).join(corners, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** L149 — k-CORE PEELING (Seidman 1983; the Batagelj–Zaveršnik
+    * deletion process, run synchronously for `rounds` rounds) over an
+    * undirected pair graph — the density filter of a near-dup graph:
+    * the k-core is the maximal subgraph where every node keeps ≥ k
+    * neighbors AFTER all weaker nodes are removed, a strictly stronger
+    * demand than raw degree (a hub glued to 50 degree-1 spokes has
+    * degree 50 and is in no 2-core). Dedup keeps the cores as
+    * high-confidence clusters; chains and spokes peel away.
+    *
+    * BOUNDED-ROUND CONTRACT: each round recomputes degrees over the
+    * surviving subgraph and removes every node with degree < k,
+    * synchronously; the output is the subgraph after exactly `rounds`
+    * rounds — a well-defined exact object whether or not the process
+    * has converged (it converges when no node falls below k; callers
+    * wanting the true core check [[kCorePeel]] twice or raise
+    * `rounds`). The fixed bound is what unrolls to a SQL oracle; the
+    * same posture as the fixed-iteration pageRank/LPA loops.
+    *
+    * Scale shape per round: one map-side-combined degree count + one
+    * semi-join edge filter against the surviving node set, lineage
+    * truncated per round with localCheckpoint — O(|E|) per round,
+    * nothing quadratic, the loop is driver-side plan composition only.
+    *
+    * Output: (node, deg) of the survivors after `rounds` rounds, deg
+    * measured in the surviving subgraph.
+    */
+  def kCorePeel(pairs: DataFrame, aCol: String, bCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in 1..16, got $rounds")
+    var e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct()
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k).select(col("node"))
+      e = e.join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
 }

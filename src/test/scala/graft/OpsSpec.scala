@@ -2016,4 +2016,62 @@ class OpsSpec extends SparkSpec {
     val p = Retrieval.ndcgAtK(perfect, "q", "rank", "rel", k = 10).head
     assert(p.getDouble(3) == 1.0d)
   }
+
+  test("L149 kCorePeel: tail peels away round by round, the core survives") {
+    import graft.ops.GraphOps
+    // triangle {1,2,3} with tail 3-4-5: round 1 drops 5, round 2 drops 4
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = GraphOps.kCorePeel(g, "a", "b", k = 2, rounds = 3)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)), s"got $got")
+    // a pure path has no 2-core: three rounds peel P5 to nothing
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(GraphOps.kCorePeel(path, "a", "b", k = 2, rounds = 3).count() == 0L)
+    // bounded-round contract: after only ONE round, 4 is still there
+    // (it loses its neighbor 5 but is re-judged next round)
+    val one = GraphOps.kCorePeel(g, "a", "b", k = 2, rounds = 1)
+      .orderBy($"node").collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(1L, 2L, 3L, 4L), s"got $one")
+  }
+
+  test("L150 ibanValid: textbook IBAN validates, any single-digit tamper fails") {
+    import graft.ops.Curation
+    val df = Seq(
+      "GB82WEST12345698765432", // the standard ISO 13616 example
+      "GB82WEST12345698765433", // tampered last digit
+      "GB83WEST12345698765432"  // tampered check digit
+    ).toDF("iban").withColumn("ok", Curation.ibanValid($"iban"))
+    val got = df.orderBy($"iban").collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(got.toSeq == Seq(
+      ("GB82WEST12345698765432", true),
+      ("GB82WEST12345698765433", false),
+      ("GB83WEST12345698765432", false)), s"got ${got.toSeq}")
+    // the minting dual: checkDigits(cc, bban) always yields a valid IBAN
+    val minted = Seq(("DE", "0012345678"), ("FR", "99999999999")).toDF("cc", "bban")
+      .select(concat($"cc",
+        lpad(Curation.ibanCheckDigits($"cc", $"bban").cast("string"), 2, "0"),
+        $"bban").as("iban"))
+      .withColumn("ok", Curation.ibanValid($"iban"))
+    assert(minted.filter(!$"ok").count() == 0L)
+  }
+
+  test("L151 quantileNormalizeScores maps source ranks onto the global distribution") {
+    import graft.ops.Curation
+    val scores = Seq(
+      (1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L),
+      (5L, "B", 10L), (6L, "B", 20L)).toDF("id", "src", "s")
+    // global sorted: [1,2,3,4,10,20]; B rn=1 -> p=1 -> 1, rn=2 -> p=4 -> 4;
+    // A ranks map to p 1,2,4,5 -> 1,2,4,10
+    val got = Curation.quantileNormalizeScores(scores, "id", "src", "s")
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 4L), (4L, 4L, 10L),
+      (5L, 10L, 1L), (6L, 20L, 4L)), s"got $got")
+    // after normalization the two sources draw from the same value set
+    val norms = Curation.quantileNormalizeScores(scores, "id", "src", "s")
+      .groupBy($"src").agg(collect_set($"norm").as("vs")).collect()
+      .map(r => r.getSeq[Long](1).toSet).toSeq
+    assert(norms(1).subsetOf(norms(0)) || norms(0).subsetOf(norms(1)))
+  }
 }

@@ -421,6 +421,22 @@ class PlanSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+
+    // L149-L151: the iban gate is a pure per-row fold (join-free, no
+    // hash shuffle — only the display sort's range exchange); quantile
+    // normalization's interval probe is the intended broadcast of the
+    // domain-bounded cumulative histogram; k-core joins node keys only
+    val ib = plan("c_pii_iban")
+    assert(!ib.contains("Join"), "iban gate must be join-free")
+    assert(!ib.contains("Exchange hashpartitioning"),
+      "iban gate must not hash-shuffle")
+    val qn = plan("c_quantile_norm")
+    assert(!qn.contains("CartesianProduct"), "quantile norm plans a cartesian")
+    assert(qn.contains("BroadcastNestedLoopJoin"),
+      "the cumulative histogram interval probe should broadcast")
+    val kc = plan("g_kcore")
+    assert(!kc.contains("CartesianProduct") && !kc.contains("BroadcastNestedLoopJoin"),
+      "k-core must join on node keys only")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
