@@ -219,6 +219,34 @@ class ScaleSweepSpec extends SparkSpec {
       scaledDocs(s), "doc_id", "text", w = 10, minOverlap = 2).count())
   }
 
+  test("L144 hits stays near-linear under ×9 node scale") {
+    // same constant-out-degree digraph as the pagerank sweep: per
+    // half-round work is one edge join + one sum, so time tracks |V|
+    sweep("hits", s => {
+      val n = 20000L * s
+      val e1 = spark.range(n).select(col("id").as("src"),
+        ((col("id") * 7L + 1L) % n).as("dst"))
+      val e2 = spark.range(n).select(col("id").as("src"),
+        ((col("id") * 13L + 5L) % n).as("dst"))
+      graft.ops.GraphOps.hits(e1.unionByName(e2), "src", "dst", iters = 2).count()
+    })
+  }
+
+  test("L149 k-core peel stays near-linear under ×9 node scale") {
+    // ring + chord (degree 4) with a pendant spoke per 10th node: each
+    // round is one degree count + one semi-join filter over O(|E|)
+    sweep("kcore", s => {
+      val n = 20000L * s
+      val ring = spark.range(n).select(col("id").as("a"), ((col("id") + 1L) % n).as("b"))
+      val chord = spark.range(n).select(col("id").as("a"), ((col("id") * 3L + 7L) % n).as("b"))
+      val spokes = spark.range(n / 10L).select((col("id") * 10L).as("a"),
+        (col("id") + n).as("b"))
+      graft.ops.GraphOps.kCorePeel(
+        ring.unionByName(chord).unionByName(spokes).filter(col("a") =!= col("b")),
+        "a", "b", k = 2, rounds = 3).count()
+    })
+  }
+
   test("L145 triangle counting stays near-linear under ×9 node scale") {
     // ring + skip-2 chord: every node closes exactly one triangle
     // (i, i+1, i+2), degree constant 4 — wedge volume is linear in |V|.
