@@ -13,6 +13,35 @@ import graft.QuerySupport._
   */
 private[graft] object QueriesCore {
 
+  /** One synchronous 3-truss round of the g_truss oracle: enumerate
+    * triangles of `in` by the degree-ordered wedge join (the
+    * GraphOps.triangles mirror), credit each triangle to its three
+    * id-normalized edges, keep support >= 1. Emits CTEs suffixed `$i`;
+    * the surviving edge set is `te$i`, the support table `ts$i`. All
+    * MATERIALIZED — DuckDB inlines multiply-referenced CTEs and a
+    * per-round re-expansion of the minhash pipeline OOMs (the g_kcore
+    * lesson).
+    */
+  private def trussRoundSql(i: Int, in: String): String =
+    s"""tdg$i AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM $in UNION ALL SELECT b FROM $in) GROUP BY node),
+       |to$i AS MATERIALIZED (SELECT
+       |    CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+       |    CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi,
+       |    CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dhi
+       |  FROM (SELECT $in.a, $in.b, x.deg AS da, y.deg AS db FROM $in
+       |    JOIN tdg$i x ON x.node = $in.a JOIN tdg$i y ON y.node = $in.b)),
+       |ttr$i AS MATERIALIZED (SELECT wg.lo, wg.x, wg.y FROM (
+       |    SELECT e1.lo, e1.hi AS x, e2.hi AS y FROM to$i e1 JOIN to$i e2 ON e1.lo = e2.lo
+       |    WHERE e1.dhi < e2.dhi OR (e1.dhi = e2.dhi AND e1.hi < e2.hi)) wg
+       |  JOIN to$i o ON o.lo = wg.x AND o.hi = wg.y),
+       |ts$i AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+       |    SELECT least(lo, x) AS a, greatest(lo, x) AS b FROM ttr$i
+       |    UNION ALL SELECT least(lo, y), greatest(lo, y) FROM ttr$i
+       |    UNION ALL SELECT least(x, y), greatest(x, y) FROM ttr$i)
+       |  GROUP BY a, b HAVING COUNT(*) >= 1),
+       |te$i AS MATERIALIZED (SELECT a, b FROM ts$i)""".stripMargin
+
   def entries: Seq[Q] = Seq(
 
     // A1/A5/A9 + S1 scan: pricing summary, exact scaled-integer money.
@@ -850,6 +879,20 @@ private[graft] object QueriesCore {
         |SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         |  SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
         |GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // L153 — 3-truss peel (2 rounds) over the session minhash pair
+    // graph: the EDGE-grade companion to g_kcore — an edge survives
+    // only with >= 1 triangle witness, recomputed after each filter
+    // (bounded-round contract; round CTEs MATERIALIZED for the same
+    // 27x-inlining reason as g_kcore).
+    Q("g_truss",
+      (s, dir) => GraphOps.trussPeel(sessionMinhashPairs(s, dir), "a", "b",
+          k = 3, rounds = 2)
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |${trussRoundSql(1, "jp")},
+        |${trussRoundSql(2, "te1")}
+        |SELECT a, b, support FROM ts2 ORDER BY a, b""".stripMargin)),
 
 
     // W2 — speaker-change sessionization, uncapped window flavor

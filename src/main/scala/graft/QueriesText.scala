@@ -521,6 +521,43 @@ FROM ag ORDER BY lang""")),
         |  CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_distinct_raw,
         |  CAST(COUNT(DISTINCT norm_fp) AS BIGINT) AS n_distinct_norm,
         |  CAST(COUNT(DISTINCT raw_fp) - COUNT(DISTINCT norm_fp) AS BIGINT) AS n_collapsed
-        |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L154 — char-distribution chi-square gibberish score: e6-scaled
+    // integer letter shares vs the corpus profile, 26 exact integer
+    // terms per doc (see TextOps.charChiSquare for the quantization and
+    // the replace-trick zero-shuffle shape). The oracle is generated
+    // from the same a..z alphabet below.
+    Q("t_char_chisq",
+      (s, dir) => TextOps.charChiSquare(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(charChiSqOracle))
   )
+
+  /** The 26-letter chi-square oracle, generated from the same alphabet
+    * as `TextOps.charChiSquare` so engine and mirror can never skew.
+    */
+  private def charChiSqOracle: String = {
+    val cs = ('a' to 'z').map(_.toString)
+    val oCols = cs.map(c =>
+      s"CAST(strlen(text) - strlen(replace(text, '$c', '')) AS BIGINT) AS o_$c")
+      .mkString(",\n    ")
+    val nSum = cs.map(c => s"o_$c").mkString(" + ")
+    val eCols = cs.map(c => s"CAST(SUM(o_$c) AS BIGINT) AS e_$c").mkString(", ")
+    val terms = cs.map { c =>
+      s"(((o_$c * 1000000 // n) - (e_$c * 1000000 // nn)) * " +
+        s"((o_$c * 1000000 // n) - (e_$c * 1000000 // nn))) // " +
+        s"((e_$c * 1000000 // nn) + 1)"
+    }.mkString("\n    + ")
+    s"""WITH o AS (SELECT doc_id,
+       |    $oCols
+       |  FROM documents),
+       |pd AS (SELECT *, $nSum AS n FROM o),
+       |pdn AS (SELECT * FROM pd WHERE n > 0),
+       |corpus AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, $eCols FROM pdn)
+       |SELECT doc_id, n AS n_chars,
+       |    $terms AS chisq_q
+       |FROM pdn CROSS JOIN corpus ORDER BY doc_id""".stripMargin
+  }
 }

@@ -271,6 +271,20 @@ object GraphOps {
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangles(und, deg)
+    val corners = tri.select(explode(array(col("lo"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("node")).join(corners, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** The degree-ordered triangle enumeration shared by
+    * [[triangleCounts]] and [[trussPeel]]: given distinct undirected
+    * (a, b) edges and the (node, deg) table, emit each triangle ONCE
+    * as (lo, v, w) — lo the (deg, id)-minimum corner, v before w in
+    * the same order.
+    */
+  private def triangles(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient low -> high by (deg, id); lo/hi carry their (deg, id) rank
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
@@ -289,15 +303,59 @@ object GraphOps {
     // oriented closing edge directly
     val e1 = oriented.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
     val e2 = oriented.select(col("lo"), col("hi").as("w"), col("dhi").as("dw"))
-    val wedges = e1.join(e2, "lo")
+    e1.join(e2, "lo")
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
-    val tri = wedges.join(
-        oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
+      .join(oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
       .select(col("lo"), col("v"), col("w"))
-    val corners = tri.select(explode(array(col("lo"), col("v"), col("w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-    deg.select(col("node")).join(corners, Seq("node"), "left")
-      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** L153 — k-TRUSS PEELING (Cohen 2008), the EDGE-grade companion to
+    * [[kCorePeel]]'s node grade: keep only edges supported by at least
+    * k−2 triangles, recompute, repeat — a k-truss edge has k−2
+    * independent third-party witnesses agreeing with BOTH endpoints,
+    * which is the strongest cheap corroboration a near-dup pair graph
+    * edge can carry (one spurious LSH band collision almost never
+    * closes a triangle, let alone k−2). Dedup keeps truss edges as
+    * merge-grade evidence; bridges and chains fall away.
+    *
+    * Same bounded-round contract as [[kCorePeel]]: the output is the
+    * edge set after exactly `rounds` synchronous support-filter
+    * rounds, converged or not — fixed rounds unroll to a SQL oracle.
+    * Per round: one [[triangles]] enumeration (degree-ordered wedge
+    * join — O(m^1.5) worst case, hub-safe) + one explode + count +
+    * semi filter; lineage truncated per round.
+    *
+    * Output: (a, b, support) for surviving edges, support measured in
+    * the surviving subgraph of the LAST round.
+    */
+  def trussPeel(pairs: DataFrame, aCol: String, bCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in 1..8, got $rounds")
+    var e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct()
+      .localCheckpoint(true)
+    var supp: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val tri = triangles(e, deg)
+      // each triangle supports its three edges, normalized back to id
+      // order (the oriented corners are (deg, id)-ordered, not id-ordered)
+      val edges3 = tri.select(explode(array(
+        struct(least(col("lo"), col("v")).as("a"), greatest(col("lo"), col("v")).as("b")),
+        struct(least(col("lo"), col("w")).as("a"), greatest(col("lo"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      supp = edges3.groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint(true)
+      e = supp.select(col("a"), col("b"))
+      r += 1
+    }
+    supp
   }
 
   /** L149 — k-CORE PEELING (Seidman 1983; the Batagelj–Zaveršnik

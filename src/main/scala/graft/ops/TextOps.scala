@@ -589,6 +589,63 @@ object TextOps {
           .as("n_collapsed"))
   }
 
+  /** L154 — CHARACTER-DISTRIBUTION CHI-SQUARE gibberish score: how far
+    * a document's letter histogram sits from the corpus profile — the
+    * classic cheap gibberish/encoding-garbage detector (keyboard mash,
+    * base64 blobs and mojibake all skew letter frequencies far beyond
+    * any topical drift). Quality pipelines drop the high-χ² tail.
+    *
+    * Exact-integer construction (the [[graft.ops.Retrieval.dcgWeightsE6]]
+    * quantization discipline): per-letter frequencies are e6-scaled
+    * integer shares (`o_c·10⁶ div n` per doc, `E_c·10⁶ div N` for the
+    * corpus profile), and the score is Σ_c (pd_c − pc_c)² div (pc_c+1)
+    * — 26 exact integer terms, order-free, replayed verbatim by the
+    * SQL mirror. The per-doc letter counts use the replace-trick
+    * (len − len(replace)) like the trigram langid — pure codegen, NO
+    * token explode, zero shuffle until the one-row corpus profile
+    * aggregate (which then broadcasts back). Corpus-side scaling
+    * assumes E_c·10⁶ < 2⁵³ (≈ 9·10⁹ corpus chars — ~9 GB of text, the
+    * exact-double idiv bound); beyond that compute the one-row
+    * profile's pc_c shares in DECIMAL(38), or pre-divide E_c by a
+    * power of ten — a profile-side-only swap that changes no per-doc
+    * arithmetic.
+    *
+    * Output: (id, n_chars, chisq_q) for docs with ≥ 1 letter.
+    */
+  def charChiSquare(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ONE array column, not 26 aliased scalar columns: Catalyst's
+    // constraint propagation does pairwise semanticEquals over alias
+    // constraint combinations, and 26 aliases of large
+    // length(replace(...)) trees inlined twice each into the final
+    // projection blew optimization up combinatorially (measured: the
+    // 26-column flavor pegged 16 cores for >10 min at 50 GB before
+    // being killed). HOF lambdas are opaque to constraint inference.
+    val alphabet = array(('a' to 'z').map(c => lit(c.toString)): _*)
+    // exact integral division for 0 <= x < 2^53: x - pmod(x, y) is an
+    // exact multiple of y and both are exactly representable doubles,
+    // so the quotient is the exact integer (the decimal-free idiv)
+    def idiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    val perDoc = docs.select(col(idCol),
+        transform(alphabet, c =>
+          (length(col(textCol)) - length(replace(col(textCol), c, lit(""))))
+            .cast("long")).as("os"))
+      .withColumn("n", aggregate(col("os"), lit(0L), _ + _))
+      .filter(col("n") > 0L)
+    val corpus = perDoc.agg(
+      sum(col("n")).as("nn"),
+      array((1 to 26).map(i => sum(element_at(col("os"), i))): _*).as("es"))
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col(idCol), col("n").as("n_chars"),
+        aggregate(
+          zip_with(col("os"), col("es"), (o, e) => {
+            val pd = idiv(o * lit(1000000L), col("n"))
+            val pc = idiv(e * lit(1000000L), col("nn"))
+            idiv((pd - pc) * (pd - pc), pc + lit(1L))
+          }),
+          lit(0L), _ + _).as("chisq_q"))
+  }
+
   def textTileSegments(docs: DataFrame, idCol: String, textCol: String,
                        w: Int, minOverlap: Int): DataFrame = {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))

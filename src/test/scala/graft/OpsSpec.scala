@@ -2074,4 +2074,46 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getSeq[Long](1).toSet).toSeq
     assert(norms(1).subsetOf(norms(0)) || norms(0).subsetOf(norms(1)))
   }
+
+  test("L153 trussPeel: unsupported edges drop, supports recompute per round") {
+    import graft.ops.GraphOps
+    // two triangles sharing (2,3), plus the bridge 4-5
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val t3 = GraphOps.trussPeel(g, "a", "b", k = 3, rounds = 2)
+      .orderBy($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(t3 == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L)), s"got $t3")
+    // k=4 demands 2 witnesses: round 1 keeps only (2,3), whose
+    // triangles then vanish -> round 2 empties the truss
+    assert(GraphOps.trussPeel(g, "a", "b", k = 4, rounds = 2).count() == 0L)
+  }
+
+  test("L154 charChiSquare: e6-quantized letter-share divergence, exact") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "aaab"), (2L, "ab")).toDF("doc_id", "text")
+    // mirror the op's integer arithmetic in plain Scala
+    val o = Map(1L -> Map('a' -> 3L, 'b' -> 1L), 2L -> Map('a' -> 1L, 'b' -> 1L))
+    val n = Map(1L -> 4L, 2L -> 2L)
+    val e = Map('a' -> 4L, 'b' -> 2L); val nn = 6L
+    def score(id: Long): Long = ('a' to 'z').map { c =>
+      val pd = o(id).getOrElse(c, 0L) * 1000000L / n(id)
+      val pc = e.getOrElse(c, 0L) * 1000000L / nn
+      (pd - pc) * (pd - pc) / (pc + 1L)
+    }.sum
+    val got = TextOps.charChiSquare(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 4L, score(1L)), (2L, 2L, score(2L))), s"got $got")
+    // an off-profile doc scores far above an on-profile one
+    val mixed = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzz")).toDF("doc_id", "text")
+    val sc = TextOps.charChiSquare(mixed, "doc_id", "text")
+      .orderBy($"doc_id").collect().map(_.getLong(2))
+    // (with only 3 docs the corpus profile is itself z-skewed, which
+    // compresses the gap — 5x is already decisive)
+    assert(sc(2) > 5L * math.max(sc(0), 1L), s"gibberish must dominate: ${sc.toSeq}")
+  }
 }

@@ -437,6 +437,19 @@ class PlanSpec extends SparkSpec {
     val kc = plan("g_kcore")
     assert(!kc.contains("CartesianProduct") && !kc.contains("BroadcastNestedLoopJoin"),
       "k-core must join on node keys only")
+
+    // L153/L154: truss joins node keys only; the chi-square gate's one
+    // nested loop is the intended one-row corpus-profile broadcast and
+    // the per-doc counts never hash-shuffle
+    val tr = plan("g_truss")
+    assert(!tr.contains("CartesianProduct") && !tr.contains("BroadcastNestedLoopJoin"),
+      "truss peel must join on node keys only")
+    val cq = plan("t_char_chisq")
+    assert(!cq.contains("CartesianProduct"), "chi-square plans a cartesian")
+    assert(cq.contains("BroadcastNestedLoopJoin"),
+      "the one-row corpus profile should broadcast")
+    assert(!cq.contains("Exchange hashpartitioning"),
+      "per-doc chi-square must not hash-shuffle")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
