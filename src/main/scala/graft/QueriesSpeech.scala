@@ -749,6 +749,57 @@ private[graft] object QueriesSpeech {
         |    ORDER BY overlap DESC, global_speaker) AS rn
         |  FROM ov WHERE overlap > 0)
         |SELECT user_id, local_speaker, global_speaker FROM mr WHERE rn = 1
-        |ORDER BY user_id, local_speaker""".stripMargin))
+        |ORDER BY user_id, local_speaker""".stripMargin)),
+
+    // L155 — WORD ERROR RATE over minted (ref, hyp) transcript pairs:
+    // ref = the doc's first 40 tokens, hyp = the deterministic
+    // corruption both engines mint identically (1-based position
+    // i%7==4 deleted, i%5==3 suffixed 'x' — substitutions AND
+    // deletions, so WER exercises both edit kinds). Word-level
+    // distance runs as CHARACTER levenshtein over per-pair
+    // single-code-point encodings (see TextOps.wordErrorRate); the
+    // oracle encodes with the same sorted pair dictionary and DuckDB's
+    // levenshtein.
+    Q("m_wer",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val ref = slice(toks, 1, 40)
+        val wi = transform(sequence(lit(1), size(ref)),
+          i => struct(element_at(ref, i).as("w"), i.as("i")))
+        val hyp = transform(
+          filter(wi, s => pmod(s("i"), lit(7)) =!= 4),
+          s => when(pmod(s("i"), lit(5)) === 3, concat(s("w"), lit("x")))
+            .otherwise(s("w")))
+        val pairs = Tables.documents(s, dir)
+          .filter(size(toks) > 0)
+          .select(col("doc_id"), ref.as("ref"), hyp.as("hyp"))
+        TextOps.wordErrorRate(pairs, "doc_id", "ref", "hyp")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |base AS (SELECT doc_id, toks[1:40] AS ref FROM d WHERE len(toks) > 0),
+        |hy AS (SELECT doc_id, ref,
+        |    list_transform(list_filter(
+        |      list_transform(range(1, CAST(len(ref) + 1 AS BIGINT)),
+        |        i -> {'w': ref[CAST(i AS INTEGER)], 'i': i}),
+        |      s -> s['i'] % 7 != 4),
+        |      s -> CASE WHEN s['i'] % 5 = 3 THEN s['w'] || 'x' ELSE s['w'] END) AS hyp
+        |  FROM base),
+        |dic AS (SELECT doc_id, ref, hyp,
+        |    list_sort(list_distinct(list_concat(ref, hyp))) AS dict FROM hy),
+        |ec AS (SELECT doc_id,
+        |    CAST(len(ref) AS BIGINT) AS n_ref, CAST(len(hyp) AS BIGINT) AS n_hyp,
+        |    CASE WHEN len(dict) <= 200 THEN CAST(levenshtein(
+        |      list_reduce(list_transform(ref,
+        |        w -> chr(CAST(list_position(dict, w) + 47 AS INTEGER))), (a, b) -> a || b),
+        |      list_reduce(list_transform(hyp,
+        |        w -> chr(CAST(list_position(dict, w) + 47 AS INTEGER))), (a, b) -> a || b))
+        |      AS BIGINT) ELSE -1 END AS dist
+        |  FROM dic)
+        |SELECT doc_id, n_ref, n_hyp, dist,
+        |  CASE WHEN dist >= 0 AND n_ref > 0
+        |    THEN CAST(dist AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |    ELSE -1.0 END AS wer
+        |FROM ec ORDER BY doc_id""".stripMargin))
   )
 }

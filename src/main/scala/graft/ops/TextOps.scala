@@ -646,6 +646,54 @@ object TextOps {
           lit(0L), _ + _).as("chisq_q"))
   }
 
+  /** L155 — WORD ERROR RATE (Levenshtein 1966 at word granularity; the
+    * canonical ASR evaluation metric): per (reference, hypothesis)
+    * transcript pair, the minimum word-level edit distance and
+    * WER = dist / |ref|. Every ASR/alignment stage change reports this
+    * number; the engine computes it exactly and distributed.
+    *
+    * Exact construction without a word-level DP kernel: each pair's
+    * words are encoded as SINGLE CODE POINTS via the pair's own sorted
+    * distinct-word dictionary (deterministic in any engine), and the
+    * built-in CHARACTER `levenshtein` — unit-cost, code-point-based in
+    * both Spark and DuckDB — runs on the encodings; a word
+    * substitution/insert/delete is then exactly one char edit. Code
+    * points stay in 48..255 (Spark's chr is mod-256), so the PER-PAIR
+    * dictionary must hold ≤ 200 distinct words — transcripts chunk at
+    * utterance scale (the W5 margin-chunking contract), and the
+    * `require`-style filter drops (and flags) oversized pairs rather
+    * than encode them wrongly.
+    *
+    * Scale shape: everything is per-row HOFs + one codegen'd
+    * levenshtein — zero shuffle; the DP is O(|ref|·|hyp|) per pair,
+    * bounded by the utterance chunking upstream.
+    *
+    * Output: (id, n_ref, n_hyp, dist, wer) for pairs with a
+    * dictionary that fits; `encodable` = false rows pass through with
+    * dist −1 (the loud-skip posture, never silent truncation).
+    */
+  def wordErrorRate(pairs: DataFrame, idCol: String,
+                    refCol: String, hypCol: String): DataFrame = {
+    val dict = array_sort(array_distinct(
+      concat(col(refCol), col(hypCol))))
+    def enc(c: Column): Column = concat_ws("",
+      transform(c, w =>
+        call_function("char", array_position(col("__dict"), w) + lit(47L))))
+    pairs
+      .withColumn("__dict", dict)
+      .withColumn("__ok", size(col("__dict")) <= 200)
+      .select(col(idCol),
+        size(col(refCol)).cast("long").as("n_ref"),
+        size(col(hypCol)).cast("long").as("n_hyp"),
+        when(col("__ok"),
+          levenshtein(enc(col(refCol)), enc(col(hypCol))).cast("long"))
+          .otherwise(lit(-1L)).as("dist"))
+      .withColumn("wer",
+        when(col("dist") >= 0L && col("n_ref") > 0L,
+          col("dist").cast("double") / col("n_ref").cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   def textTileSegments(docs: DataFrame, idCol: String, textCol: String,
                        w: Int, minOverlap: Int): DataFrame = {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))

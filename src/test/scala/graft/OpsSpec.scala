@@ -2116,4 +2116,25 @@ class OpsSpec extends SparkSpec {
     // compresses the gap — 5x is already decisive)
     assert(sc(2) > 5L * math.max(sc(0), 1L), s"gibberish must dominate: ${sc.toSeq}")
   }
+
+  test("L155 wordErrorRate: word-level edits count 1 each; oversized dict flags -1") {
+    import graft.ops.TextOps
+    val pairs = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "x", "c")),   // sub + del = 2
+      (2L, Seq("a", "b"), Seq("a", "b")),                  // identical = 0
+      (3L, Seq("a", "b"), Seq("b", "a")),                  // swap = 2 (no transposition op)
+      (4L, Seq("hello"), Seq("hellox"))                    // whole-word sub = 1, never char-diff
+    ).toDF("id", "ref", "hyp")
+    val got = TextOps.wordErrorRate(pairs, "id", "ref", "hyp")
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq((1L, 2L, 0.5), (2L, 0L, 0.0), (3L, 2L, 1.0), (4L, 1L, 1.0)),
+      s"got $got")
+    // a pair whose union vocabulary exceeds the 200-code-point budget
+    // must flag -1 loudly, never encode wrongly
+    val big = Seq((9L, (1 to 150).map("r" + _), (1 to 150).map("h" + _)))
+      .toDF("id", "ref", "hyp")
+    val b = TextOps.wordErrorRate(big, "id", "ref", "hyp").head
+    assert(b.getLong(3) == -1L && b.getDouble(4) == -1d)
+  }
 }
