@@ -2137,4 +2137,30 @@ class OpsSpec extends SparkSpec {
     val b = TextOps.wordErrorRate(big, "id", "ref", "hyp").head
     assert(b.getLong(3) == -1L && b.getDouble(4) == -1d)
   }
+
+  test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
+    import graft.ops.TextOps
+    // reference implementation: the textbook Wagner-Fischer DP
+    def dp(a: Seq[String], b: Seq[String]): Long = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j.toLong else if (j == 0) i.toLong else 0L
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val cases = (1L to 40L).map { id =>
+      val ref = Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+      val hyp = Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+      (id, ref, hyp)
+    }
+    val got = TextOps.wordErrorRate(cases.toDF("id", "ref", "hyp"), "id", "ref", "hyp")
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    for ((id, ref, hyp) <- cases)
+      assert(got(id) == dp(ref, hyp),
+        s"pair $id: op ${got(id)} != dp ${dp(ref, hyp)} for $ref vs $hyp")
+  }
 }
