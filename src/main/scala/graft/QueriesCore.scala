@@ -858,7 +858,7 @@ private[graft] object QueriesCore {
     Q("g_kcore",
       (s, dir) => GraphOps.kCorePeel(sessionMinhashPairs(s, dir), "a", "b",
           k = 2, rounds = 3)
-        .select(col("node").as("doc_id"), col("deg"))
+        .select(col("node").as("doc_id"), col("deg"), col("converged"))
         .orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
         |d1 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
@@ -876,7 +876,9 @@ private[graft] object QueriesCore {
         |a3 AS (SELECT node FROM d3 WHERE deg >= 2),
         |e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
         |  JOIN a3 x ON x.node = e2.a JOIN a3 y ON y.node = e2.b)
-        |SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg,
+        |  (SELECT COUNT(*) FROM e3) = (SELECT COUNT(*) FROM e2) AS converged
+        |FROM (
         |  SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
         |GROUP BY node ORDER BY doc_id""".stripMargin)),
 
@@ -892,7 +894,9 @@ private[graft] object QueriesCore {
       Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
         |${trussRoundSql(1, "jp")},
         |${trussRoundSql(2, "te1")}
-        |SELECT a, b, support FROM ts2 ORDER BY a, b""".stripMargin)),
+        |SELECT a, b, support,
+        |  (SELECT COUNT(*) FROM te2) = (SELECT COUNT(*) FROM te1) AS converged
+        |FROM ts2 ORDER BY a, b""".stripMargin)),
 
 
     // W2 — speaker-change sessionization, uncapped window flavor

@@ -1304,7 +1304,7 @@ private[graft] object QueriesCuration {
     Q("c_pii_iban",
       (s, dir) => {
         val bban = lpad(pmod(col("doc_id"), lit(10000000000L)).cast("string"),
-          10, "0")
+          18, "0")
         val kkv = Curation.ibanCheckDigits(lit("DE"), bban)
         val kk = when(pmod(col("doc_id"), lit(2L)) === 0, kkv)
           .otherwise(pmod(kkv, lit(97L)) + 2L)
@@ -1317,7 +1317,7 @@ private[graft] object QueriesCuration {
           .orderBy(col("doc_id"))
       },
       Some("""WITH b AS (SELECT doc_id,
-        |    lpad(CAST(doc_id % 10000000000 AS VARCHAR), 10, '0') AS bban
+        |    lpad(CAST(doc_id % 10000000000 AS VARCHAR), 18, '0') AS bban
         |  FROM documents),
         |enc0 AS (SELECT doc_id, bban,
         |    list_transform(list_filter(string_split(bban || 'DE' || '00', ''), c -> c != ''),
@@ -1338,7 +1338,8 @@ private[graft] object QueriesCuration {
         |        THEN 10000 + (ascii(c) - 48) ELSE 100000 + (ascii(c) - 55) END) AS es
         |  FROM ib),
         |v AS (SELECT doc_id, iban,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), es),
+        |    regexp_matches(iban, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$')
+        |      AND list_reduce(list_prepend(CAST(0 AS BIGINT), es),
         |      (acc, x) -> (acc * (x // 1000) + x % 1000) % 97) = 1 AS iban_ok
         |  FROM ev)
         |SELECT doc_id, iban, iban_ok,

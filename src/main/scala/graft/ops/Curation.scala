@@ -1720,6 +1720,13 @@ object Curation {
     * BBAN, no spaces). Pure per-row expression — zero shuffle.
     */
   def ibanValid(iban: Column): Column = {
+    // Structural gate FIRST: 2 country letters + 2 check digits +
+    // 11..30 alphanumeric BBAN chars (total length 15..34 per ISO
+    // 13616). Without it the fold's `otherwise` branch treats ANY
+    // non-digit (lowercase, punctuation) as an A-Z letter via
+    // code-55, so a malformed candidate could pass mod-97 by chance
+    // (~1/97) instead of being rejected outright.
+    val wellFormed = iban.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
     // rearranged = BBAN + country(2 letters) + check(2 digits)
     val rearranged = concat(substring(iban, 5, 1000000),
       substring(iban, 1, 4))
@@ -1734,7 +1741,7 @@ object Curation {
           pmod(acc * 10L + (code - 48L), lit(97L)))
           .otherwise(pmod(acc * 100L + (code - 55L), lit(97L)))
       })
-    folded === 1L
+    wellFormed && folded === 1L
   }
 
   /** The check digits that make `cc + "??" + bban` a valid IBAN — the

@@ -325,8 +325,14 @@ object GraphOps {
     * join — O(m^1.5) worst case, hub-safe) + one explode + count +
     * semi filter; lineage truncated per round.
     *
-    * Output: (a, b, support) for surviving edges, support measured in
-    * the surviving subgraph of the LAST round.
+    * Output: (a, b, support, converged) for surviving edges, support
+    * measured in the subgraph ENTERING the last round (i.e. before
+    * that round's filter) — a surviving edge's reported support can
+    * therefore exceed its support in the returned subgraph; running
+    * one more round tightens it. `converged` witnesses that the final
+    * round removed no edge (peeling is monotone, so an unchanged
+    * count IS set-level convergence and the reported supports are the
+    * true truss supports).
     */
   def trussPeel(pairs: DataFrame, aCol: String, bCol: String,
                 k: Int, rounds: Int): DataFrame = {
@@ -336,6 +342,12 @@ object GraphOps {
       col(bCol).cast("long").as("b")).distinct()
       .localCheckpoint(true)
     var supp: DataFrame = null
+    // Peeling is monotone (the edge set only shrinks), so "the final
+    // round removed nothing" — count entering == count leaving, both
+    // sides already localCheckpoint-materialized so the counts are
+    // cheap cached scans — is exactly set-level convergence.
+    var prevCnt = e.count()
+    var converged = false
     var r = 0
     while (r < rounds) {
       val deg = e.select(col("a").as("node"))
@@ -353,9 +365,12 @@ object GraphOps {
         .filter(col("support") >= k - 2)
         .localCheckpoint(true)
       e = supp.select(col("a"), col("b"))
+      val cnt = supp.count()
+      converged = cnt == prevCnt
+      prevCnt = cnt
       r += 1
     }
-    supp
+    supp.withColumn("converged", lit(converged))
   }
 
   /** L149 — k-CORE PEELING (Seidman 1983; the Batagelj–Zaveršnik
@@ -381,8 +396,10 @@ object GraphOps {
     * truncated per round with localCheckpoint — O(|E|) per round,
     * nothing quadratic, the loop is driver-side plan composition only.
     *
-    * Output: (node, deg) of the survivors after `rounds` rounds, deg
-    * measured in the surviving subgraph.
+    * Output: (node, deg, converged) of the survivors after `rounds`
+    * rounds, deg measured in the surviving subgraph; `converged`
+    * witnesses that the final round removed no edge, i.e. the output
+    * IS the true k-core, not just round `rounds` of the process.
     */
   def kCorePeel(pairs: DataFrame, aCol: String, bCol: String,
                 k: Int, rounds: Int): DataFrame = {
@@ -391,6 +408,12 @@ object GraphOps {
     var e = pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b")).distinct()
       .localCheckpoint(true)
+    // Same monotone-process convergence witness as [[trussPeel]]:
+    // the edge set only shrinks, so an unchanged count across the
+    // final round IS set-level convergence (cheap — both sides are
+    // checkpoint-materialized).
+    var prevCnt = e.count()
+    var converged = false
     var r = 0
     while (r < rounds) {
       val deg = e.select(col("a").as("node"))
@@ -401,10 +424,14 @@ object GraphOps {
         .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      val cnt = e.count()
+      converged = cnt == prevCnt
+      prevCnt = cnt
       r += 1
     }
     e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .withColumn("converged", lit(converged))
   }
 }

@@ -681,7 +681,12 @@ object TextOps {
         call_function("char", array_position(col("__dict"), w) + lit(47L))))
     pairs
       .withColumn("__dict", dict)
-      .withColumn("__ok", size(col("__dict")) <= 200)
+      // A null ref/hyp array makes size(__dict) = -1, which would slip
+      // past the <= 200 gate and let concat_ws encode the null side as
+      // "" — require both sides non-null so malformed pairs take the
+      // loud dist = -1 path instead.
+      .withColumn("__ok", col(refCol).isNotNull && col(hypCol).isNotNull &&
+        size(col("__dict")) <= 200)
       .select(col(idCol),
         size(col(refCol)).cast("long").as("n_ref"),
         size(col(hypCol)).cast("long").as("n_hyp"),

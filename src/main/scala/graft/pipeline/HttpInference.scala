@@ -158,6 +158,12 @@ object HttpInference {
               // straight to failed rows via the outer catch.
               case e: java.util.concurrent.CompletionException =>
                 e.getCause match {
+                  // SSLException extends IOException, so it must be
+                  // matched FIRST or handshake failures would burn the
+                  // whole retry ladder despite being non-retriable.
+                  case c: javax.net.ssl.SSLException =>
+                    throw new HttpInferenceException(
+                      s"SSL failure from ${cfg.endpoint}: $c", c)
                   case _: java.io.IOException => Left(())
                   case null => throw new HttpInferenceException(
                     s"async failure from ${cfg.endpoint}: $e", e)

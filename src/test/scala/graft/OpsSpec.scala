@@ -2021,17 +2021,22 @@ class OpsSpec extends SparkSpec {
     import graft.ops.GraphOps
     // triangle {1,2,3} with tail 3-4-5: round 1 drops 5, round 2 drops 4
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
-    val got = GraphOps.kCorePeel(g, "a", "b", k = 2, rounds = 3)
-      .orderBy($"node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)), s"got $got")
+    val got3 = GraphOps.kCorePeel(g, "a", "b", k = 2, rounds = 3)
+      .orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // round 3 removes nothing -> converged witnesses true
+    assert(got3 == Seq((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)),
+      s"got $got3")
     // a pure path has no 2-core: three rounds peel P5 to nothing
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     assert(GraphOps.kCorePeel(path, "a", "b", k = 2, rounds = 3).count() == 0L)
     // bounded-round contract: after only ONE round, 4 is still there
     // (it loses its neighbor 5 but is re-judged next round)
-    val one = GraphOps.kCorePeel(g, "a", "b", k = 2, rounds = 1)
-      .orderBy($"node").collect().map(_.getLong(0)).toSeq
+    val oneDf = GraphOps.kCorePeel(g, "a", "b", k = 2, rounds = 1)
+    val one = oneDf.orderBy($"node").collect().map(_.getLong(0)).toSeq
     assert(one == Seq(1L, 2L, 3L, 4L), s"got $one")
+    // round 1 dropped node 5 -> not yet converged
+    assert(oneDf.select($"converged").head.getBoolean(0) == false)
   }
 
   test("L150 ibanValid: textbook IBAN validates, any single-digit tamper fails") {
@@ -2039,15 +2044,21 @@ class OpsSpec extends SparkSpec {
     val df = Seq(
       "GB82WEST12345698765432", // the standard ISO 13616 example
       "GB82WEST12345698765433", // tampered last digit
-      "GB83WEST12345698765432"  // tampered check digit
+      "GB83WEST12345698765432", // tampered check digit
+      "GB82west12345698765432", // lowercase: structurally malformed
+      "GB82WEST1234569876-432", // punctuation: structurally malformed
+      "NO938601111794"          // 14 chars: below the ISO 15-char floor
     ).toDF("iban").withColumn("ok", Curation.ibanValid($"iban"))
     val got = df.orderBy($"iban").collect().map(r => (r.getString(0), r.getBoolean(1)))
     assert(got.toSeq == Seq(
+      ("GB82WEST1234569876-432", false),
       ("GB82WEST12345698765432", true),
       ("GB82WEST12345698765433", false),
-      ("GB83WEST12345698765432", false)), s"got ${got.toSeq}")
+      ("GB82west12345698765432", false),
+      ("GB83WEST12345698765432", false),
+      ("NO938601111794", false)), s"got ${got.toSeq}")
     // the minting dual: checkDigits(cc, bban) always yields a valid IBAN
-    val minted = Seq(("DE", "0012345678"), ("FR", "99999999999")).toDF("cc", "bban")
+    val minted = Seq(("DE", "000012345678901234"), ("FR", "99999999999")).toDF("cc", "bban")
       .select(concat($"cc",
         lpad(Curation.ibanCheckDigits($"cc", $"bban").cast("string"), 2, "0"),
         $"bban").as("iban"))
@@ -2082,9 +2093,11 @@ class OpsSpec extends SparkSpec {
       .toDF("a", "b")
     val t3 = GraphOps.trussPeel(g, "a", "b", k = 3, rounds = 2)
       .orderBy($"a", $"b").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(t3 == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
-      (2L, 4L, 1L), (3L, 4L, 1L)), s"got $t3")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // round 2 removes nothing (round 1 already dropped the 4-5 bridge)
+    // -> converged true on every surviving edge
+    assert(t3 == Seq((1L, 2L, 1L, true), (1L, 3L, 1L, true), (2L, 3L, 2L, true),
+      (2L, 4L, 1L, true), (3L, 4L, 1L, true)), s"got $t3")
     // k=4 demands 2 witnesses: round 1 keeps only (2,3), whose
     // triangles then vanish -> round 2 empties the truss
     assert(GraphOps.trussPeel(g, "a", "b", k = 4, rounds = 2).count() == 0L)

@@ -247,6 +247,21 @@ class ScaleSweepSpec extends SparkSpec {
     })
   }
 
+  test("L153 k-truss peel stays near-linear under ×9 edge scale") {
+    // ring + chord gives triangle-bearing structure; spokes are
+    // triangle-free so round 1 has real peeling work at every scale
+    sweep("truss", s => {
+      val n = 20000L * s
+      val ring = spark.range(n).select(col("id").as("a"), ((col("id") + 1L) % n).as("b"))
+      val chord = spark.range(n).select(col("id").as("a"), ((col("id") * 3L + 7L) % n).as("b"))
+      val spokes = spark.range(n / 10L).select((col("id") * 10L).as("a"),
+        (col("id") + n).as("b"))
+      graft.ops.GraphOps.trussPeel(
+        ring.unionByName(chord).unionByName(spokes).filter(col("a") =!= col("b")),
+        "a", "b", k = 3, rounds = 2).count() + 1
+    })
+  }
+
   test("L145 triangle counting stays near-linear under ×9 node scale") {
     // ring + skip-2 chord: every node closes exactly one triangle
     // (i, i+1, i+2), degree constant 4 — wedge volume is linear in |V|.
