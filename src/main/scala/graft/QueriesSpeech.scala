@@ -800,6 +800,60 @@ private[graft] object QueriesSpeech {
         |  CASE WHEN dist >= 0 AND n_ref > 0
         |    THEN CAST(dist AS DOUBLE) / CAST(n_ref AS DOUBLE)
         |    ELSE -1.0 END AS wer
-        |FROM ec ORDER BY doc_id""".stripMargin))
+        |FROM ec ORDER BY doc_id""".stripMargin)),
+
+    // L156∘L155 — the WER COMPOSITION closed: chunkUtterances splits
+    // every transcript into <=100-token utterances (the reference
+    // evaluates per VAD segment, whisper_asr.py:171-178), so the
+    // per-pair dictionary is bounded <200 BY CONSTRUCTION and no row
+    // can take the dist=-1 flag path — unlike m_wer above, which caps
+    // ref at 40 tokens to stay encodable. Same deterministic
+    // corruption (delete every 7th word, suffix every 5th).
+    Q("m_wer_chunked",
+      (s, dir) => {
+        val utts = TextOps.chunkUtterances(
+          Tables.documents(s, dir), "doc_id", "text", 100)
+        val wi = transform(sequence(lit(1), size(col("utt"))),
+          i => struct(element_at(col("utt"), i).as("w"), i.as("i")))
+        val hyp = transform(
+          filter(wi, st => pmod(st("i"), lit(7)) =!= 4),
+          st => when(pmod(st("i"), lit(5)) === 3, concat(st("w"), lit("x")))
+            .otherwise(st("w")))
+        val pairs = utts.select(
+          (col("doc_id") * 10000L + col("utt_id")).as("utt_key"),
+          col("utt").as("ref"), hyp.as("hyp"))
+        TextOps.wordErrorRate(pairs, "utt_key", "ref", "hyp")
+          .orderBy(col("utt_key"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |u AS (SELECT doc_id, toks,
+        |    unnest(range((len(toks) - 1) // 100 + 1)) AS utt_id
+        |  FROM d WHERE len(toks) > 0),
+        |base AS (SELECT doc_id * 10000 + utt_id AS utt_key,
+        |    toks[CAST(utt_id * 100 + 1 AS INTEGER):CAST(utt_id * 100 + 100 AS INTEGER)] AS ref
+        |  FROM u),
+        |hy AS (SELECT utt_key, ref,
+        |    list_transform(list_filter(
+        |      list_transform(range(1, CAST(len(ref) + 1 AS BIGINT)),
+        |        i -> {'w': ref[CAST(i AS INTEGER)], 'i': i}),
+        |      s -> s['i'] % 7 != 4),
+        |      s -> CASE WHEN s['i'] % 5 = 3 THEN s['w'] || 'x' ELSE s['w'] END) AS hyp
+        |  FROM base),
+        |dic AS (SELECT utt_key, ref, hyp,
+        |    list_sort(list_distinct(list_concat(ref, hyp))) AS dict FROM hy),
+        |ec AS (SELECT utt_key,
+        |    CAST(len(ref) AS BIGINT) AS n_ref, CAST(len(hyp) AS BIGINT) AS n_hyp,
+        |    CASE WHEN len(dict) <= 200 THEN CAST(levenshtein(
+        |      list_reduce(list_transform(ref,
+        |        w -> chr(CAST(list_position(dict, w) + 47 AS INTEGER))), (a, b) -> a || b),
+        |      list_reduce(list_transform(hyp,
+        |        w -> chr(CAST(list_position(dict, w) + 47 AS INTEGER))), (a, b) -> a || b))
+        |      AS BIGINT) ELSE -1 END AS dist
+        |  FROM dic)
+        |SELECT utt_key, n_ref, n_hyp, dist,
+        |  CASE WHEN dist >= 0 AND n_ref > 0
+        |    THEN CAST(dist AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |    ELSE -1.0 END AS wer
+        |FROM ec ORDER BY utt_key""".stripMargin))
   )
 }

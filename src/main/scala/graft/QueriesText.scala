@@ -532,8 +532,58 @@ FROM ag ORDER BY lang""")),
       (s, dir) => TextOps.charChiSquare(
           Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id")),
-      Some(charChiSqOracle))
+      Some(charChiSqOracle)),
+
+    // L157 — unigram-LM (SentencePiece) tokenizer induction, one
+    // hard-EM round: Kudo's substring seed + Viterbi E-step over the
+    // FIXED composition lattice (parts 1..4 of len<=8 words, the same
+    // 222-pattern table both engines consume verbatim) scored by exact
+    // integer products of q/10^4 pseudo-probabilities, + count M-step.
+    // DECIMAL(38,0) on the Spark side, HUGEINT in the mirror — the
+    // score Pi q_i * 10000^(8-k) <= 10^32 is exact in both.
+    Q("t_unigram_lm",
+      (s, dir) => TextOps.unigramLmRound(Tables.documents(s, dir), "text")
+        .orderBy(col("piece")),
+      Some(s"""WITH $toksSqlCte,
+        |w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(toks) AS w FROM d) t
+        |  WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) BETWEEN 2 AND 8
+        |  GROUP BY w),
+        |seed AS (SELECT piece, CAST(least(SUM(freq), 9999) AS HUGEINT) AS q
+        |  FROM (SELECT freq,
+        |      unnest(flatten(list_transform(range(1, len(w) + 1), s ->
+        |        list_transform(range(s, least(CAST(len(w) AS BIGINT), s + 3) + 1),
+        |          e -> substr(w, CAST(s AS INTEGER), CAST(e - s + 1 AS INTEGER)))))) AS piece
+        |    FROM w) GROUP BY piece),
+        |slots(n, pat_id, n_pieces, slot, start, len) AS (VALUES $unigramSlotsValues),
+        |sc AS (SELECT c.w, c.freq, c.pat_id, c.n_pieces,
+        |    COUNT(*) AS n_found,
+        |    list_reduce(list_prepend(CAST(1 AS HUGEINT), list(sd.q)), (a, x) -> a * x)
+        |      * CAST('1' || repeat('0', 4 * (8 - c.n_pieces)) AS HUGEINT) AS score,
+        |    list(c.piece) AS pieces
+        |  FROM (SELECT w.w, w.freq, s.pat_id, s.n_pieces, s.slot,
+        |        substr(w.w, s.start, s.len) AS piece
+        |      FROM w JOIN slots s ON s.n = len(w.w)) c
+        |  JOIN seed sd ON sd.piece = c.piece
+        |  GROUP BY c.w, c.freq, c.pat_id, c.n_pieces
+        |  HAVING COUNT(*) = c.n_pieces),
+        |best AS (SELECT w, freq, pieces,
+        |    ROW_NUMBER() OVER (PARTITION BY w
+        |      ORDER BY score DESC, n_pieces, pat_id) AS rn
+        |  FROM sc)
+        |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
+        |GROUP BY piece ORDER BY piece""".stripMargin))
   )
+
+  /** The composition-lattice VALUES literal, generated from the SAME
+    * table `TextOps.unigramLmRound` broadcasts, so engine and mirror
+    * can never walk different segmentation lattices.
+    */
+  private def unigramSlotsValues: String =
+    TextOps.unigramSlots.map { case (n, pid, np, sl, st, ln) =>
+      s"($n,$pid,$np,$sl,$st,$ln)"
+    }.mkString(",")
 
   /** The 26-letter chi-square oracle, generated from the same alphabet
     * as `TextOps.charChiSquare` so engine and mirror can never skew.

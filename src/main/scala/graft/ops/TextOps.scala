@@ -699,6 +699,120 @@ object TextOps {
           .otherwise(lit(-1d)))
   }
 
+  /** All compositions of word length n (2..8) into piece lengths 1..4,
+    * flattened to slots (n, patId, nPieces, slot, start 1-based, len).
+    * patId enumerates compositions per n in lexicographic part order —
+    * a FIXED combinatorial table (222 patterns / 943 slots) independent
+    * of data, shared verbatim with the SQL oracle so both engines walk
+    * the identical segmentation lattice.
+    */
+  private[graft] lazy val unigramSlots: Seq[(Int, Int, Int, Int, Int, Int)] = {
+    def comps(n: Int): Seq[Seq[Int]] =
+      if (n == 0) Seq(Seq.empty)
+      else (1 to math.min(4, n)).flatMap(p => comps(n - p).map(p +: _))
+    (2 to 8).flatMap { n =>
+      comps(n).sortBy(_.mkString).zipWithIndex.flatMap { case (parts, pid) =>
+        val starts = parts.scanLeft(1)(_ + _)
+        parts.indices.map(i => (n, pid, parts.length, i, starts(i), parts(i)))
+      }
+    }
+  }
+
+  /** L157 — UNIGRAM-LM TOKENIZER INDUCTION (the SentencePiece unigram
+    * model, Kudo 2018), one hard-EM round with every quantity exact:
+    *
+    *  - SEED: every substring of length 1..4 of the distinct-word
+    *    table (lowercase words of 2..8 chars), scored by its
+    *    freq-weighted occurrence count — Kudo's substring seed
+    *    vocabulary under the engine's bounded-domain discipline.
+    *  - E-STEP (Viterbi/hard): each word's best segmentation under
+    *    piece pseudo-probabilities q/10⁴ with q = min(count, 9999).
+    *    Instead of a float DP, the segmentation LATTICE is the fixed
+    *    composition table [[unigramSlots]] (parts 1..4 of n ≤ 8, 222
+    *    patterns), so scoring is a bounded equi-join fan-out and the
+    *    score Π qᵢ · 10000^(8−k) is an EXACT integer ≤ 10³² —
+    *    DECIMAL(38,0) here, HUGEINT in the oracle — monotone-equal to
+    *    the probability product Π qᵢ/10⁴ (both sides scaled by 10³²).
+    *    Ties break (fewest pieces, lowest patId): deterministic and
+    *    engine-independent. Length-1 pieces always exist in the seed,
+    *    so every word has ≥ 1 valid segmentation.
+    *  - M-STEP: re-estimated piece counts = freq-weighted occurrences
+    *    over the Viterbi segmentations — the expected counts of hard
+    *    EM, the quantities the next round (or the prune step) would
+    *    consume.
+    *
+    * Scale shape: one corpus pass for the word histogram (Heaps' law
+    * makes everything after distinct-word-sized), a broadcast of the
+    * 943-row slot table, equi joins only, bounded ≤ 864-row fan-out
+    * per word — the same hub-safe posture as the triangle wedge join.
+    *
+    * Output: (piece, cnt) — re-estimated counts after the round.
+    */
+  def unigramLmRound(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")).between(2, 8))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val seed = words.select(col("freq"), explode(expr(
+        """flatten(transform(sequence(1, length(w)), s ->
+          |  transform(sequence(s, least(length(w), s + 3)),
+          |    e -> substring(w, s, e - s + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece"))
+      .agg(least(sum(col("freq")), lit(9999L)).cast("decimal(38,0)").as("q"))
+    val slots = {
+      import spark.implicits._
+      unigramSlots.map { case (n, pid, np, slot, st, ln) =>
+        (n, pid, np, slot, st, ln,
+          java.math.BigDecimal.valueOf(10000L).pow(8 - np).toPlainString)
+      }.toDF("n", "pat_id", "n_pieces", "slot", "start", "len", "pad_s")
+        .withColumn("pad", col("pad_s").cast("decimal(38,0)")).drop("pad_s")
+    }
+    val cand = words.withColumn("n", length(col("w")))
+      .join(broadcast(slots), Seq("n"))
+      .withColumn("piece", expr("substring(w, start, len)"))
+      .join(seed, Seq("piece"))
+      .groupBy(col("w"), col("freq"), col("pat_id"), col("n_pieces"), col("pad"))
+      .agg(count(lit(1)).as("n_found"),
+        expr("aggregate(collect_list(q), cast(1 as decimal(38,0)), (a, x) -> a * x)")
+          .as("prod"),
+        collect_list(col("piece")).as("pieces"))
+      .filter(col("n_found") === col("n_pieces"))
+      .withColumn("score", col("prod") * col("pad"))
+    val win = Window.partitionBy(col("w"))
+      .orderBy(col("score").desc, col("n_pieces"), col("pat_id"))
+    cand.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** L156 — TRANSCRIPT UTTERANCE CHUNKER: split a long transcript
+    * into consecutive ≤ `maxTokens`-token utterances — the upstream
+    * producer of CONFORMING [[wordErrorRate]] pairs (the reference's
+    * ASR emits per-VAD-segment text exactly so evaluation happens at
+    * utterance scale, `whisper_asr.py:171-178`). With maxTokens ≤ 100
+    * the per-pair WER dictionary is bounded by construction: ≤ 100
+    * ref words + ≤ 100 corrupted variants < the 200-word encodability
+    * cap, so NO chunked pair can take the dist = −1 flag path.
+    *
+    * Pure per-row HOFs (sequence + slice) — zero shuffle; one output
+    * row per (doc, utterance window).
+    *
+    * Output: (id, utt_id 0-based, utt: array<string> of ≤ maxTokens).
+    */
+  def chunkUtterances(docs: DataFrame, idCol: String, textCol: String,
+                      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 100,
+      s"maxTokens must be in 1..100 to keep WER pairs encodable, got $maxTokens")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), ((size(col("__toks")) - 1) / maxTokens).cast("long")),
+        i => slice(col("__toks"), (i * maxTokens + 1).cast("int"), lit(maxTokens)))))
+      .select(col(idCol), col("pos").cast("long").as("utt_id"),
+        col("col").as("utt"))
+  }
+
   def textTileSegments(docs: DataFrame, idCol: String, textCol: String,
                        w: Int, minOverlap: Int): DataFrame = {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))

@@ -2151,6 +2151,55 @@ class OpsSpec extends SparkSpec {
     assert(b.getLong(3) == -1L && b.getDouble(4) == -1d)
   }
 
+  test("L156 chunkUtterances bounds every WER pair: a 600-distinct-word transcript never flags -1") {
+    import graft.ops.TextOps
+    // window shape: 250 tokens -> utterances of 100/100/50; empty drops
+    val doc = (1 to 250).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.chunkUtterances(df, "doc_id", "text", 100)
+      .orderBy($"doc_id", $"utt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).length)).toSeq
+    assert(got == Seq((1L, 0L, 100), (1L, 1L, 100), (1L, 2L, 50), (3L, 0L, 2)),
+      s"got $got")
+    assert(TextOps.chunkUtterances(df, "doc_id", "text", 100)
+      .filter($"utt_id" === 0L).head.getSeq[String](2).take(3) == Seq("w1", "w2", "w3"))
+    // the composition gap the chunker closes: an all-distinct 600-word
+    // transcript overflows wordErrorRate's 200-word dictionary when fed
+    // WHOLE (dist -1), but NO chunked utterance pair can (<=100 ref
+    // words + <=100 corrupted variants < 200 by construction)
+    val long = Seq((7L, (1 to 600).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val whole = long.select($"doc_id",
+      TextOps.tokens($"text").as("ref"), TextOps.tokens($"text").as("hyp"))
+    assert(TextOps.wordErrorRate(whole, "doc_id", "ref", "hyp").head.getLong(3) == -1L)
+    val chunked = TextOps.chunkUtterances(long, "doc_id", "text", 100)
+      .select(($"doc_id" * 10000L + $"utt_id").as("k"), $"utt".as("ref"), $"utt".as("hyp"))
+    val dists = TextOps.wordErrorRate(chunked, "k", "ref", "hyp")
+      .select($"dist").collect().map(_.getLong(0)).toSeq
+    assert(dists.length == 6 && dists.forall(_ == 0L), s"got $dists")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkUtterances(df, "doc_id", "text", 101)
+    }
+  }
+
+  test("L157 unigramLmRound: Viterbi picks the max-probability segmentation, M-step recounts") {
+    import graft.ops.TextOps
+    // q(x)=201, q(z)=400, q(y)=201, q(xz)=200, q(zy)=200, q(xy)=1.
+    // 'xz': q(x)q(z)=80400 < q(xz)*10^4=2e6 -> whole piece wins (same
+    // for 'zy'); 'xy': q(x)q(y)=40401 > q(xy)*10^4=1e4 -> splits.
+    val text = ("xz " * 200) + ("zy " * 200) + "xy"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextOps.unigramLmRound(df, "text")
+      .orderBy($"piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("x", 1L), ("xz", 200L), ("y", 1L), ("zy", 200L)), s"got $got")
+    // the lattice is the fixed 222-pattern composition table
+    assert(TextOps.unigramSlots.map(s => (s._1, s._2)).distinct.size == 222)
+    assert(TextOps.unigramSlots.size == 943)
+    // every word length 2..8 has the all-ones pattern -> always >= 1
+    // valid segmentation (single letters are always in the seed)
+    for (n <- 2 to 8)
+      assert(TextOps.unigramSlots.exists(s => s._1 == n && s._3 == n))
+  }
+
   test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
     import graft.ops.TextOps
     // reference implementation: the textbook Wagner-Fischer DP

@@ -56,15 +56,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "mapping relabel should broadcast")
   }
 
-  test("dedup_embedding_ivf broadcasts the seed centroids, not the corpus") {
+  test("dedup_embedding_ivf consumes the staged pair relation, no recomputed chain") {
     val p = plan("dedup_embedding_ivf")
     assert(!p.contains("CartesianProduct"))
-    // the cell table is cached (its internal 16-row seed crossJoin is the
-    // one intended broadcast NLJ and lives inside the cached relation);
-    // candidate generation and verify join on equi keys only
-    assert(p.contains("InMemoryTableScan"), "cell table should be cached")
-    assert(!p.contains("BroadcastNestedLoopJoin Inner"),
-      "only the seed crossJoin may be a nested loop")
+    // the verified pair set is STAGED to session parquet once
+    // (QuerySupport.stagedRelation) — the consumer plan is a pure scan
+    // of it, never a re-run of the candidate chain (whose internal
+    // 16-row seed crossJoin was the one intended nested loop)
+    assert(p.contains("Scan parquet"), "should scan the staged pair relation")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the staged scan leaves no nested loop in the consumer plan")
   }
 
   test("sim_cosine_topk keeps the intended broadcast + window group limit") {
@@ -404,7 +405,8 @@ class PlanSpec extends SparkSpec {
     // memo is the point: no recompute of the seed assignment)
     val cp = plan("sim_cluster_sample")
     assert(!cp.contains("CartesianProduct"))
-    assert(cp.contains("InMemoryTableScan"), "cluster sample must reuse the cached session cells")
+    assert(cp.contains("Scan parquet"),
+      "cluster sample must reuse the staged session cells, not recompute them")
 
     // L144-L148 wave: triangles pair only through node-keyed equi
     // joins (the degree orientation is what makes that safe at hub
@@ -450,6 +452,12 @@ class PlanSpec extends SparkSpec {
       "the one-row corpus profile should broadcast")
     assert(!cq.contains("Exchange hashpartitioning"),
       "per-doc chi-square must not hash-shuffle")
+
+    // L157: the 943-row composition lattice broadcasts to the word
+    // table; everything else is equi joins — never a cartesian
+    val ul = plan("t_unigram_lm")
+    assert(!ul.contains("CartesianProduct"), "unigram LM plans a cartesian")
+    assert(ul.contains("BroadcastHashJoin"), "slot lattice should broadcast")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
