@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, EvalOps, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 import graft.QuerySupport._
 
 /** The speech-pipeline operator surface (SURVEY §2 S/P/M/HM ids):
@@ -854,6 +854,80 @@ private[graft] object QueriesSpeech {
         |  CASE WHEN dist >= 0 AND n_ref > 0
         |    THEN CAST(dist AS DOUBLE) / CAST(n_ref AS DOUBLE)
         |    ELSE -1.0 END AS wer
-        |FROM ec ORDER BY utt_key""".stripMargin))
+        |FROM ec ORDER BY utt_key""".stripMargin)),
+
+    // L158 — diarization error rate (NIST, optimal speaker mapping via
+    // the 24-permutation lattice — the reference diarizer is 4-speaker,
+    // sortformer_diar_4spk-v2.yaml). Minted ref/hyp segment streams in
+    // exact integer micros exercise every DER leg: id%3 shifts the hyp
+    // (miss+fa), id%4==0 drops a segment (miss), id%5==0 mislabels ONE
+    // segment (confusion — which the optimal mapping must NOT undo
+    // because the other diagonals pin the permutation, EXCEPT when the
+    // dropped segment freed that speaker: id%20==0 exercises the
+    // non-identity optimum).
+    Q("m_der",
+      (s, dir) => {
+        val ids = Tables.events(s, dir)
+          .select(col("event_id").cast("long").as("id"))
+          .filter(col("id") < 200).distinct()
+        val ks = ids.select(col("id"),
+          explode(sequence(lit(0L), lit(3L))).as("k"))
+        val ref = ks.select(col("id"),
+          (col("k") * 10000000L).as("s"),
+          (col("k") * 10000000L + 6000000L).as("e"),
+          pmod(col("k") + col("id"), lit(4L)).as("spk"))
+        val hyp = ks
+          .filter(!(pmod(col("id"), lit(4L)) === 0L && col("k") === 3L))
+          .withColumn("sh", pmod(col("id"), lit(3L)) * 500000L)
+          .select(col("id"),
+            (col("k") * 10000000L + col("sh")).as("s"),
+            (col("k") * 10000000L + 6000000L + col("sh")).as("e"),
+            pmod(col("k") + col("id")
+              + when(pmod(col("id"), lit(5L)) === 0L && col("k") === 2L, 1L)
+                .otherwise(0L), lit(4L)).as("spk"))
+        EvalOps.diarizationErrorRate(ref, hyp, "id", "s", "e", "spk")
+          .orderBy(col("file"))
+      },
+      Some(s"""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |kk AS (SELECT id, unnest(range(4)) AS k FROM ids),
+        |ref AS (SELECT id, k * 10000000 AS s, k * 10000000 + 6000000 AS e,
+        |    (k + id) % 4 AS spk FROM kk),
+        |hyp AS (SELECT id, k * 10000000 + (id % 3) * 500000 AS s,
+        |    k * 10000000 + 6000000 + (id % 3) * 500000 AS e,
+        |    (k + id + CASE WHEN id % 5 = 0 AND k = 2 THEN 1 ELSE 0 END) % 4 AS spk
+        |  FROM kk WHERE NOT (id % 4 = 0 AND k = 3)),
+        |c AS (SELECT r.id, r.spk AS kr, h.spk AS kh,
+        |    CAST(SUM(least(r.e, h.e) - greatest(r.s, h.s)) AS BIGINT) AS ov
+        |  FROM ref r JOIN hyp h ON h.id = r.id AND r.s < h.e AND h.s < r.e
+        |  GROUP BY r.id, r.spk, h.spk),
+        |tb AS (SELECT id, CAST(SUM(ov) AS BIGINT) AS t_both FROM c GROUP BY id),
+        |perms(perm_id, kr, kh) AS (VALUES $derPermValues),
+        |cor AS (SELECT c.id, p.perm_id, CAST(SUM(c.ov) AS BIGINT) AS cor
+        |  FROM c JOIN perms p ON p.kr = c.kr AND p.kh = c.kh
+        |  GROUP BY c.id, p.perm_id),
+        |bc AS (SELECT id, MAX(cor) AS t_correct FROM cor GROUP BY id),
+        |tr AS (SELECT id, CAST(SUM(e - s) AS BIGINT) AS t_ref FROM ref GROUP BY id),
+        |th AS (SELECT id, CAST(SUM(e - s) AS BIGINT) AS t_hyp FROM hyp GROUP BY id),
+        |j AS (SELECT tr.id, t_ref,
+        |    coalesce(t_hyp, 0) AS t_hyp, coalesce(t_both, 0) AS t_both,
+        |    coalesce(t_correct, 0) AS t_correct
+        |  FROM tr LEFT JOIN th USING (id) LEFT JOIN tb USING (id)
+        |  LEFT JOIN bc USING (id))
+        |SELECT id AS file, t_ref, t_hyp, t_both, t_correct,
+        |  t_ref - t_both AS t_miss, t_hyp - t_both AS t_fa,
+        |  t_both - t_correct AS t_conf,
+        |  CAST((t_ref - t_both) + (t_hyp - t_both) + (t_both - t_correct)
+        |    AS DOUBLE) / CAST(t_ref AS DOUBLE) AS der
+        |FROM j ORDER BY file""".stripMargin))
   )
+
+  /** The ≤24-permutation assignment lattice VALUES literal, generated
+    * from the SAME enumeration `EvalOps.diarizationErrorRate`
+    * broadcasts, so engine and mirror can never score different
+    * mappings.
+    */
+  private def derPermValues: String =
+    EvalOps.permRows(4).map { case (pid, r, h) => s"($pid,$r,$h)" }
+      .mkString(",")
 }

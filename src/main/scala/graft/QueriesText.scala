@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, EvalOps, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 import graft.QuerySupport._
 
 /** Text analysis: tokenization, quality, language id, BPE,
@@ -574,7 +574,71 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  )
+  ) :+ rougeEntry
+
+  /** L159 — ROUGE-2 over minted (ref, hyp) transcript pairs (same
+    * deterministic corruption as m_wer: delete every 7th word, suffix
+    * every 5th), clipped bigram multiset intersection with exact
+    * integer counts; the three ratios are single divisions, −1 when
+    * the denominator is 0.
+    */
+  private[graft] def rougeEntry: Q =
+    Q("t_rouge",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val ref = slice(toks, 1, 40)
+        val wi = transform(sequence(lit(1), size(ref)),
+          i => struct(element_at(ref, i).as("w"), i.as("i")))
+        val hyp = transform(
+          filter(wi, st => pmod(st("i"), lit(7)) =!= 4),
+          st => when(pmod(st("i"), lit(5)) === 3, concat(st("w"), lit("x")))
+            .otherwise(st("w")))
+        val pairs = Tables.documents(s, dir)
+          .filter(size(toks) > 0)
+          .select(col("doc_id"), ref.as("ref"), hyp.as("hyp"))
+        EvalOps.rougeN(pairs, "doc_id", "ref", "hyp", 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |base AS (SELECT doc_id, toks[1:40] AS ref FROM d WHERE len(toks) > 0),
+        |hy AS (SELECT doc_id, ref,
+        |    list_transform(list_filter(
+        |      list_transform(range(1, CAST(len(ref) + 1 AS BIGINT)),
+        |        i -> {'w': ref[CAST(i AS INTEGER)], 'i': i}),
+        |      s -> s['i'] % 7 != 4),
+        |      s -> CASE WHEN s['i'] % 5 = 3 THEN s['w'] || 'x' ELSE s['w'] END) AS hyp
+        |  FROM base),
+        |gm AS (SELECT doc_id,
+        |    CASE WHEN len(ref) >= 2 THEN list_transform(
+        |      range(0, CAST(len(ref) - 1 AS BIGINT)),
+        |      i -> array_to_string(ref[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |      ELSE [] END AS gr,
+        |    CASE WHEN len(hyp) >= 2 THEN list_transform(
+        |      range(0, CAST(len(hyp) - 1 AS BIGINT)),
+        |      i -> array_to_string(hyp[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))
+        |      ELSE [] END AS gh
+        |  FROM hy),
+        |mt AS (SELECT doc_id,
+        |    CAST(len(gr) AS BIGINT) AS n_ref_grams,
+        |    CAST(len(gh) AS BIGINT) AS n_hyp_grams,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_distinct(gr), g ->
+        |        least(len(list_filter(gr, x -> x = g)),
+        |          len(list_filter(gh, x -> x = g))))), (a, b) -> a + b)
+        |      AS BIGINT) AS n_match
+        |  FROM gm)
+        |SELECT doc_id, n_ref_grams, n_hyp_grams, n_match,
+        |  CASE WHEN n_ref_grams > 0
+        |    THEN CAST(n_match AS DOUBLE) / CAST(n_ref_grams AS DOUBLE)
+        |    ELSE -1.0 END AS rouge_r,
+        |  CASE WHEN n_hyp_grams > 0
+        |    THEN CAST(n_match AS DOUBLE) / CAST(n_hyp_grams AS DOUBLE)
+        |    ELSE -1.0 END AS rouge_p,
+        |  CASE WHEN n_ref_grams + n_hyp_grams > 0
+        |    THEN CAST(n_match * 2 AS DOUBLE)
+        |      / CAST(n_ref_grams + n_hyp_grams AS DOUBLE)
+        |    ELSE -1.0 END AS rouge_f
+        |FROM mt ORDER BY doc_id""".stripMargin))
 
   /** The composition-lattice VALUES literal, generated from the SAME
     * table `TextOps.unigramLmRound` broadcasts, so engine and mirror

@@ -2200,6 +2200,57 @@ class OpsSpec extends SparkSpec {
       assert(TextOps.unigramSlots.exists(s => s._1 == n && s._3 == n))
   }
 
+  test("L158 diarizationErrorRate: optimal mapping recovers relabelings, never true confusion") {
+    import graft.ops.EvalOps
+    val ref = Seq(
+      (1L, 0L, 10L, 0), (1L, 10L, 20L, 1),   // perfect hyp
+      (2L, 0L, 10L, 0), (2L, 10L, 20L, 1),   // globally swapped hyp labels
+      (3L, 0L, 10L, 0),                      // shifted hyp
+      (4L, 0L, 10L, 0), (4L, 10L, 20L, 1), (4L, 20L, 30L, 2) // one seg mislabeled
+    ).toDF("f", "s", "e", "spk")
+    val hyp = Seq(
+      (1L, 0L, 10L, 0), (1L, 10L, 20L, 1),
+      (2L, 0L, 10L, 1), (2L, 10L, 20L, 0),
+      (3L, 2L, 12L, 0),
+      (4L, 0L, 10L, 0), (4L, 10L, 20L, 0), (4L, 20L, 30L, 2)
+    ).toDF("f", "s", "e", "spk")
+    val got = EvalOps.diarizationErrorRate(ref, hyp, "f", "s", "e", "spk")
+      .orderBy($"file").collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 0.0),     // exact match
+      (2L, 0L, 0L, 0L, 0.0),     // global swap undone by the optimal mapping
+      (3L, 2L, 2L, 0L, 0.4),     // 2 missed + 2 false alarm on 10 ref
+      (4L, 0L, 0L, 10L, 10d / 30d) // one mislabeled seg = true confusion
+    ), s"got $got")
+    // a file with no hypothesis at all is all miss, DER 1
+    val noHyp = EvalOps.diarizationErrorRate(
+      Seq((9L, 0L, 10L, 0)).toDF("f", "s", "e", "spk"),
+      Seq((8L, 0L, 10L, 0)).toDF("f", "s", "e", "spk"),
+      "f", "s", "e", "spk").filter($"file" === 9L).head
+    assert(noHyp.getLong(5) == 10L && noHyp.getDouble(8) == 1.0)
+  }
+
+  test("L159 rougeN: clipped multiset bigram overlap, loud -1 on empty gram sets") {
+    import graft.ops.EvalOps
+    val pairs = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d")),  // identical
+      (2L, Seq("a", "b", "c", "d"), Seq("a", "b", "x", "d")),  // 1 of 3 bigrams
+      (3L, Seq("a", "b", "a", "b", "a"), Seq("a", "b")),       // clipping: min(2,1)
+      (4L, Seq("a"), Seq("a", "b"))                            // ref too short
+    ).toDF("id", "ref", "hyp")
+    val got = EvalOps.rougeN(pairs, "id", "ref", "hyp", 2)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 3L, 1.0),
+      (2L, 3L, 3L, 1L, 1d / 3d),
+      (3L, 4L, 1L, 1L, 0.25),
+      (4L, 0L, 1L, 0L, -1.0)), s"got $got")
+  }
+
   test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
     import graft.ops.TextOps
     // reference implementation: the textbook Wagner-Fischer DP

@@ -458,6 +458,14 @@ class PlanSpec extends SparkSpec {
     val ul = plan("t_unigram_lm")
     assert(!ul.contains("CartesianProduct"), "unigram LM plans a cartesian")
     assert(ul.contains("BroadcastHashJoin"), "slot lattice should broadcast")
+
+    // L158/L159: DER's interval-intersection join is per-file equi
+    // keyed and the 24-perm lattice broadcasts; ROUGE is per-row only
+    val dp = plan("m_der")
+    assert(!dp.contains("CartesianProduct"), "DER plans a cartesian")
+    assert(dp.contains("BroadcastHashJoin"), "perm lattice should broadcast")
+    val rp = plan("t_rouge")
+    assert(!rp.contains("Join"), "ROUGE must be join-free")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
