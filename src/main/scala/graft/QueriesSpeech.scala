@@ -920,7 +920,7 @@ private[graft] object QueriesSpeech {
         |  CAST((t_ref - t_both) + (t_hyp - t_both) + (t_both - t_correct)
         |    AS DOUBLE) / CAST(t_ref AS DOUBLE) AS der
         |FROM j ORDER BY file""".stripMargin))
-  )
+  ) :+ cpwerEntry
 
   /** The ≤24-permutation assignment lattice VALUES literal, generated
     * from the SAME enumeration `EvalOps.diarizationErrorRate`
@@ -929,5 +929,84 @@ private[graft] object QueriesSpeech {
     */
   private def derPermValues: String =
     EvalOps.permRows(4).map { case (pid, r, h) => s"($pid,$r,$h)" }
+      .mkString(",")
+
+  /** L161 — cpWER: per-speaker transcript slices of each document,
+    * hypothesis labels ROTATED by doc_id (the diarizer's arbitrary
+    * label assignment) plus the m_wer word corruption; the metric must
+    * find the rotation among the 6 mappings and report only the
+    * corruption edits — diarization relabeling is not an ASR error.
+    */
+  private def cpwerEntry: Q =
+    Q("m_cpwer",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val docs = Tables.documents(s, dir).filter(size(toks) > 0)
+          .select(col("doc_id"), toks.as("toks"))
+        val sp = docs.select(col("doc_id"),
+          explode(sequence(lit(0), lit(2))).as("spk"), col("toks"))
+        val refs = sp.select(col("doc_id"), col("spk"),
+          expr("slice(toks, spk * 15 + 1, 12)").as("words"))
+        val rsl = expr("slice(toks, pmod(spk + doc_id, 3) * 15 + 1, 12)")
+        val wi = transform(sequence(lit(1), size(col("__rsl"))),
+          i => struct(element_at(col("__rsl"), i).as("w"), i.as("i")))
+        val corrupted = when(size(col("__rsl")) === 0,
+          col("__rsl")).otherwise(transform(
+          filter(wi, st => pmod(st("i"), lit(7)) =!= 4),
+          st => when(pmod(st("i"), lit(5)) === 3, concat(st("w"), lit("x")))
+            .otherwise(st("w"))))
+        val hyps = sp.withColumn("__rsl", rsl)
+          .withColumn("words", corrupted)
+          .select(col("doc_id"), col("spk"), col("words"))
+        EvalOps.cpWer(refs, hyps, "doc_id", "spk", "words", maxSpeakers = 3)
+          .orderBy(col("file"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |base AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0),
+        |sp AS (SELECT doc_id, toks, unnest(range(3)) AS spk FROM base),
+        |refs AS (SELECT doc_id, spk,
+        |    toks[CAST(spk * 15 + 1 AS INTEGER):CAST(spk * 15 + 12 AS INTEGER)] AS rw
+        |  FROM sp),
+        |rot AS (SELECT doc_id, spk,
+        |    toks[CAST(((spk + doc_id) % 3) * 15 + 1 AS INTEGER):CAST(((spk + doc_id) % 3) * 15 + 12 AS INTEGER)] AS rsl
+        |  FROM sp),
+        |hyps AS (SELECT doc_id, spk,
+        |    list_transform(list_filter(
+        |      list_transform(range(1, CAST(len(rsl) + 1 AS BIGINT)),
+        |        i -> {'w': rsl[CAST(i AS INTEGER)], 'i': i}),
+        |      s -> s['i'] % 7 != 4),
+        |      s -> CASE WHEN s['i'] % 5 = 3 THEN s['w'] || 'x' ELSE s['w'] END) AS hw
+        |  FROM rot),
+        |perms(perm_id, kr, kh) AS (VALUES $cpwerPermValues),
+        |pairs AS (SELECT r.doc_id, p.perm_id, r.spk, r.rw, h.hw
+        |  FROM refs r JOIN perms p ON p.kr = r.spk
+        |  JOIN hyps h ON h.doc_id = r.doc_id AND h.spk = p.kh),
+        |dic AS (SELECT doc_id, perm_id, rw, hw,
+        |    list_sort(list_distinct(list_concat(rw, hw))) AS dict FROM pairs),
+        |ec AS (SELECT doc_id, perm_id,
+        |    CAST(len(rw) AS BIGINT) AS n_ref,
+        |    CASE WHEN len(dict) <= 200 THEN CAST(levenshtein(
+        |      list_reduce(list_prepend('', list_transform(rw,
+        |        w -> chr(CAST(list_position(dict, w) + 47 AS INTEGER)))), (a, b) -> a || b),
+        |      list_reduce(list_prepend('', list_transform(hw,
+        |        w -> chr(CAST(list_position(dict, w) + 47 AS INTEGER)))), (a, b) -> a || b))
+        |      AS BIGINT) ELSE -1 END AS dist
+        |  FROM dic),
+        |pm AS (SELECT doc_id, perm_id,
+        |    CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+        |    CASE WHEN MIN(dist) < 0 THEN CAST(-1 AS BIGINT)
+        |      ELSE CAST(SUM(dist) AS BIGINT) END AS dd
+        |  FROM ec GROUP BY doc_id, perm_id),
+        |bst AS (SELECT doc_id, MAX(n_ref) AS n_ref,
+        |    coalesce(MIN(CASE WHEN dd >= 0 THEN dd END), -1) AS best_dist
+        |  FROM pm GROUP BY doc_id)
+        |SELECT doc_id AS file, n_ref, best_dist,
+        |  CASE WHEN best_dist >= 0 AND n_ref > 0
+        |    THEN CAST(best_dist AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |    ELSE -1.0 END AS cpwer
+        |FROM bst ORDER BY file""".stripMargin))
+
+  private def cpwerPermValues: String =
+    EvalOps.permRows(3).map { case (pid, r, h) => s"($pid,$r,$h)" }
       .mkString(",")
 }

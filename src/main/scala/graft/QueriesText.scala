@@ -574,7 +574,7 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  ) :+ rougeEntry
+  ) :+ rougeEntry :+ bleuEntry
 
   /** L159 — ROUGE-2 over minted (ref, hyp) transcript pairs (same
     * deterministic corruption as m_wer: delete every 7th word, suffix
@@ -639,6 +639,66 @@ FROM ag ORDER BY lang""")),
         |      / CAST(n_ref_grams + n_hyp_grams AS DOUBLE)
         |    ELSE -1.0 END AS rouge_f
         |FROM mt ORDER BY doc_id""".stripMargin))
+
+  /** L160 — BLEU components over the same minted (ref, hyp) pairs as
+    * t_rouge: per order 1..4 the clipped-precision integer numerator/
+    * denominator, ref/hyp lengths, and the two single-division scores
+    * (4th-power geometric-mean core + brevity ratio).
+    */
+  private[graft] def bleuEntry: Q = {
+    def g(src: String, n: Int): String =
+      s"""CASE WHEN len($src) >= $n THEN list_transform(
+         |      range(0, CAST(len($src) - ${n - 1} AS BIGINT)),
+         |      i -> array_to_string($src[CAST(i + 1 AS INTEGER):CAST(i + $n AS INTEGER)], ' '))
+         |      ELSE [] END""".stripMargin
+    val mts = (1 to 4).map { n =>
+      s"""    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_distinct(${g("hyp", n)}), gg ->
+         |        least(len(list_filter(${g("hyp", n)}, x -> x = gg)),
+         |          len(list_filter(${g("ref", n)}, x -> x = gg))))),
+         |      (a, b) -> a + b) AS BIGINT) AS m$n,
+         |    CAST(len(${g("hyp", n)}) AS BIGINT) AS t$n""".stripMargin
+    }.mkString(",\n")
+    Q("t_bleu",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val ref = slice(toks, 1, 40)
+        val wi = transform(sequence(lit(1), size(ref)),
+          i => struct(element_at(ref, i).as("w"), i.as("i")))
+        val hyp = transform(
+          filter(wi, st => pmod(st("i"), lit(7)) =!= 4),
+          st => when(pmod(st("i"), lit(5)) === 3, concat(st("w"), lit("x")))
+            .otherwise(st("w")))
+        val pairs = Tables.documents(s, dir)
+          .filter(size(toks) > 0)
+          .select(col("doc_id"), ref.as("ref"), hyp.as("hyp"))
+        EvalOps.bleuComponents(pairs, "doc_id", "ref", "hyp")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |base AS (SELECT doc_id, toks[1:40] AS ref FROM d WHERE len(toks) > 0),
+        |hy AS (SELECT doc_id, ref,
+        |    list_transform(list_filter(
+        |      list_transform(range(1, CAST(len(ref) + 1 AS BIGINT)),
+        |        i -> {'w': ref[CAST(i AS INTEGER)], 'i': i}),
+        |      s -> s['i'] % 7 != 4),
+        |      s -> CASE WHEN s['i'] % 5 = 3 THEN s['w'] || 'x' ELSE s['w'] END) AS hyp
+        |  FROM base),
+        |co AS (SELECT doc_id,
+        |    CAST(len(ref) AS BIGINT) AS ref_len,
+        |    CAST(len(hyp) AS BIGINT) AS hyp_len,
+        |$mts
+        |  FROM hy)
+        |SELECT doc_id, ref_len, hyp_len, m1, t1, m2, t2, m3, t3, m4, t4,
+        |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0
+        |    THEN CAST(m1 * m2 * m3 * m4 AS DOUBLE)
+        |      / CAST(t1 * t2 * t3 * t4 AS DOUBLE)
+        |    ELSE -1.0 END AS prec_prod,
+        |  CASE WHEN hyp_len > 0
+        |    THEN CAST(ref_len AS DOUBLE) / CAST(hyp_len AS DOUBLE)
+        |    ELSE -1.0 END AS len_ratio
+        |FROM co ORDER BY doc_id""".stripMargin))
+  }
 
   /** The composition-lattice VALUES literal, generated from the SAME
     * table `TextOps.unigramLmRound` broadcasts, so engine and mirror

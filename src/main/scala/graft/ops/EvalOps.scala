@@ -92,6 +92,102 @@ object EvalOps {
           / col("t_ref").cast("double"))
   }
 
+  /** Clipped multiset intersection size Σ_g min(cntA(g), cntB(g)) —
+    * iterating distinct grams of EITHER side gives the same sum (a
+    * gram absent from one side contributes min(·,0)=0), so ROUGE
+    * (ref-side recall) and BLEU (hyp-side clipped precision) share it.
+    */
+  private def clippedMatch(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(array_distinct(a), g =>
+        least(size(filter(a, x => x === g)),
+          size(filter(b, x => x === g)))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** L160 — BLEU COMPONENTS (Papineni et al. 2002), the exactly-
+    * computable core: per order n = 1..4 the clipped (modified)
+    * n-gram precision's integer numerator mₙ = Σ_g min(cnt_hyp,
+    * cnt_ref) and denominator tₙ = #hyp n-grams, plus ref/hyp token
+    * lengths. BLEU itself is BP·exp(Σ¼ ln pₙ) — transcendental, so
+    * the score this emits is `prec_prod` = Πmₙ/Πtₙ (the 4th power of
+    * the geometric mean — same ORDER over systems, exact: one
+    * division of two exact ≤10¹⁶ integer products for docs under 10⁴
+    * tokens) and `len_ratio` = ref_len/hyp_len (BP = min(1,
+    * e^{1−len_ratio}) is monotone in it). −1 flags when any tₙ = 0.
+    * Pure per-row HOFs — zero shuffle.
+    */
+  def bleuComponents(pairs: DataFrame, idCol: String, refCol: String,
+      hypCol: String): DataFrame = {
+    val withGrams = (1 to 4).foldLeft(pairs) { (df, n) =>
+      df.withColumn(s"__gr$n", TextOps.shingles(col(refCol), n))
+        .withColumn(s"__gh$n", TextOps.shingles(col(hypCol), n))
+        .withColumn(s"m$n", clippedMatch(col(s"__gh$n"), col(s"__gr$n")))
+        .withColumn(s"t$n", size(col(s"__gh$n")).cast("long"))
+    }
+    withGrams
+      .select(col(idCol) +: (
+        Seq(size(col(refCol)).cast("long").as("ref_len"),
+          size(col(hypCol)).cast("long").as("hyp_len")) ++
+        (1 to 4).flatMap(n => Seq(col(s"m$n"), col(s"t$n")))): _*)
+      .withColumn("prec_prod",
+        when((1 to 4).map(n => col(s"t$n") > 0L).reduce(_ && _),
+          (col("m1") * col("m2") * col("m3") * col("m4")).cast("double")
+            / (col("t1") * col("t2") * col("t3") * col("t4")).cast("double"))
+          .otherwise(lit(-1d)))
+      .withColumn("len_ratio",
+        when(col("hyp_len") > 0L,
+          col("ref_len").cast("double") / col("hyp_len").cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
+  /** L161 — SPEAKER-ATTRIBUTED WER (cpWER — concatenated minimum-
+    * permutation word error rate, the CHiME-6 multi-speaker ASR
+    * metric): each file carries one reference transcript per speaker
+    * and one hypothesis transcript per (diarized) speaker label; the
+    * metric pairs them under every speaker mapping of the
+    * [[permRows]] lattice, scores each pair with the L155 code-point
+    * word-Levenshtein ([[TextOps.wordErrorRate]]), and the mapping
+    * minimizing TOTAL distance wins — the M3∘M7 composite: diarization
+    * label permutations must not count as ASR errors.
+    *
+    * Contract: both streams carry speaker ids 0..maxSpeakers−1 with
+    * word arrays under the L155/L156 encodability bound; a pair whose
+    * union vocabulary overflows flags dist −1 and its mappings are
+    * excluded (best_dist −1 if every mapping is poisoned — loud).
+    *
+    * Scale shape: one ≤24-row broadcast, equi joins on (file,
+    * speaker), per-pair codegen'd levenshtein, two hash aggs.
+    *
+    * Output: (file, n_ref, best_dist, cpwer) with cpwer =
+    * best_dist/n_ref (−1 when n_ref = 0 or all mappings poisoned).
+    */
+  def cpWer(ref: DataFrame, hyp: DataFrame, fileCol: String,
+      spkCol: String, wordsCol: String, maxSpeakers: Int = 4): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val r = ref.select(col(fileCol).cast("long").as("f"),
+      col(spkCol).cast("int").as("k_r"), col(wordsCol).as("rw"))
+    val h = hyp.select(col(fileCol).cast("long").as("f"),
+      col(spkCol).cast("int").as("k_h"), col(wordsCol).as("hw"))
+    val perms = permRows(maxSpeakers).toDF("perm_id", "k_r", "k_h")
+    val paired = r.join(broadcast(perms), Seq("k_r"))
+      .join(h, Seq("f", "k_h"))
+    val scored = TextOps.wordErrorRate(paired, Seq("f", "perm_id"), "rw", "hw")
+    val perMapping = scored.groupBy(col("f"), col("perm_id"))
+      .agg(sum(col("n_ref")).as("n_ref"),
+        when(min(col("dist")) < 0L, lit(-1L))
+          .otherwise(sum(col("dist"))).as("d"))
+    perMapping.groupBy(col("f"))
+      .agg(max(col("n_ref")).as("n_ref"),
+        coalesce(min(when(col("d") >= 0L, col("d"))), lit(-1L)).as("best_dist"))
+      .select(col("f").as("file"), col("n_ref"), col("best_dist"))
+      .withColumn("cpwer",
+        when(col("best_dist") >= 0L && col("n_ref") > 0L,
+          col("best_dist").cast("double") / col("n_ref").cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L159 — ROUGE-N OVERLAP (Lin 2004) between reference and
     * hypothesis token arrays: clipped n-gram multiset intersection —
     * for each distinct ref n-gram, min(count in ref, count in hyp) —
@@ -115,11 +211,7 @@ object EvalOps {
     val gh = TextOps.shingles(col(hypCol), n)
     pairs
       .withColumn("__gr", gr).withColumn("__gh", gh)
-      .withColumn("__match", aggregate(
-        transform(array_distinct(col("__gr")), g =>
-          least(size(filter(col("__gr"), x => x === g)),
-            size(filter(col("__gh"), x => x === g)))),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("__match", clippedMatch(col("__gr"), col("__gh")))
       .select(col(idCol),
         size(col("__gr")).cast("long").as("n_ref_grams"),
         size(col("__gh")).cast("long").as("n_hyp_grams"),

@@ -673,6 +673,14 @@ object TextOps {
     * dist −1 (the loud-skip posture, never silent truncation).
     */
   def wordErrorRate(pairs: DataFrame, idCol: String,
+                    refCol: String, hypCol: String): DataFrame =
+    wordErrorRate(pairs, Seq(idCol), refCol, hypCol)
+
+  /** Multi-key flavor (e.g. (file, permId) for [[EvalOps.cpWer]]'s
+    * per-mapping pair scoring) — identical semantics, key columns
+    * passed through.
+    */
+  def wordErrorRate(pairs: DataFrame, idCols: Seq[String],
                     refCol: String, hypCol: String): DataFrame = {
     val dict = array_sort(array_distinct(
       concat(col(refCol), col(hypCol))))
@@ -687,12 +695,12 @@ object TextOps {
       // loud dist = -1 path instead.
       .withColumn("__ok", col(refCol).isNotNull && col(hypCol).isNotNull &&
         size(col("__dict")) <= 200)
-      .select(col(idCol),
+      .select(idCols.map(col) ++ Seq(
         size(col(refCol)).cast("long").as("n_ref"),
         size(col(hypCol)).cast("long").as("n_hyp"),
         when(col("__ok"),
           levenshtein(enc(col(refCol)), enc(col(hypCol))).cast("long"))
-          .otherwise(lit(-1L)).as("dist"))
+          .otherwise(lit(-1L)).as("dist")): _*)
       .withColumn("wer",
         when(col("dist") >= 0L && col("n_ref") > 0L,
           col("dist").cast("double") / col("n_ref").cast("double"))

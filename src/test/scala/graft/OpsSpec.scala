@@ -2251,6 +2251,47 @@ class OpsSpec extends SparkSpec {
       (4L, 0L, 1L, 0L, -1.0)), s"got $got")
   }
 
+  test("L160 bleuComponents: clipped per-order precisions, zero 4-gram zeroes the product") {
+    import graft.ops.EvalOps
+    val pairs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e"), Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b", "c", "d", "e"), Seq("a", "b", "c", "x", "e")),
+      (3L, Seq("a", "a", "b"), Seq("a", "a", "a")), // clipping: m1 = min(3,2)
+      (4L, Seq("a", "b", "c", "d"), Seq("a"))       // no hyp 2-grams -> -1
+    ).toDF("id", "ref", "hyp")
+    val got = EvalOps.bleuComponents(pairs, "id", "ref", "hyp")
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(9),
+        r.getLong(10), r.getDouble(11))).toSeq
+    // columns: id, ref_len, hyp_len, m1,t1,m2,t2,m3,t3,m4,t4, prec_prod
+    assert(got == Seq(
+      (1L, 5L, 5L, 2L, 2L, 1.0),
+      (2L, 4L, 5L, 0L, 2L, 0.0),  // m1=4,t1=5 ... m4=0 -> product 0
+      (3L, 2L, 3L, 0L, 0L, -1.0), // t4=0 -> flagged
+      (4L, 1L, 1L, 0L, 0L, -1.0)), s"got $got")
+    val r1 = EvalOps.bleuComponents(pairs, "id", "ref", "hyp")
+      .filter($"id" === 2L).head
+    assert(r1.getLong(3) == 4L && r1.getLong(4) == 5L) // m1/t1 of the sub case
+  }
+
+  test("L161 cpWer: the minimum-permutation mapping absorbs label rotations, not word edits") {
+    import graft.ops.EvalOps
+    val ref = Seq(
+      (1L, 0, Seq("x", "y")), (1L, 1, Seq("p", "q")), (1L, 2, Seq("m", "n")),
+      (2L, 0, Seq("x", "y")), (2L, 1, Seq("p", "q")), (2L, 2, Seq("m", "n"))
+    ).toDF("f", "spk", "words")
+    val hyp = Seq(
+      // file 1: labels rotated by one, words intact -> cpwer 0
+      (1L, 0, Seq("p", "q")), (1L, 1, Seq("m", "n")), (1L, 2, Seq("x", "y")),
+      // file 2: labels intact, one substitution -> cpwer 1/6
+      (2L, 0, Seq("x", "z")), (2L, 1, Seq("p", "q")), (2L, 2, Seq("m", "n"))
+    ).toDF("f", "spk", "words")
+    val got = EvalOps.cpWer(ref, hyp, "f", "spk", "words", maxSpeakers = 3)
+      .orderBy($"file").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 6L, 0L, 0.0), (2L, 6L, 1L, 1d / 6d)), s"got $got")
+  }
+
   test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
     import graft.ops.TextOps
     // reference implementation: the textbook Wagner-Fischer DP

@@ -466,6 +466,14 @@ class PlanSpec extends SparkSpec {
     assert(dp.contains("BroadcastHashJoin"), "perm lattice should broadcast")
     val rp = plan("t_rouge")
     assert(!rp.contains("Join"), "ROUGE must be join-free")
+
+    // L160/L161: BLEU is per-row only; cpWER's perm lattice broadcasts
+    // and the speaker pairing is equi-keyed — never a cartesian
+    val bp = plan("t_bleu")
+    assert(!bp.contains("Join"), "BLEU must be join-free")
+    val cw = plan("m_cpwer")
+    assert(!cw.contains("CartesianProduct"), "cpWER plans a cartesian")
+    assert(cw.contains("BroadcastHashJoin"), "cpWER perm lattice should broadcast")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
