@@ -1141,6 +1141,71 @@ private[graft] object QueriesStreaming {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, event_type, tus, drift,
         |  CAST(cusum AS BIGINT) AS cusum, cusum > 2000000 AS alarm
-        |FROM cs ORDER BY event_id""".stripMargin))
+        |FROM cs ORDER BY event_id""".stripMargin)),
+
+    // L162 — STREAMING WER: each arriving hypothesis transcript scored
+    // the moment it lands against the STATIC reference sidecar — the
+    // live ASR-quality monitor a transcription service runs per batch.
+    // Stream-static BROADCAST equi join on doc_id (the reference table
+    // is sidecar-sized), then the L155 code-point word-Levenshtein as
+    // pure per-row projections — stateless append mode, no watermark,
+    // no state store; the oracle is the batch m_wer mirror verbatim.
+    Q("streaming_wer",
+      (s, dir) => withStreamingPartitions(s) {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_wer").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, s"$dir/documents.parquet", "documents.parquet"))
+        val toks = TextOps.tokens(col("text"))
+        val refs = Tables.documents(s, dir).filter(size(toks) > 0)
+          .select(col("doc_id"), slice(toks, 1, 40).as("ref"))
+        val sref = slice(toks, 1, 40)
+        val wi = transform(sequence(lit(1), size(sref)),
+          i => struct(element_at(sref, i).as("w"), i.as("i")))
+        val hyp = transform(
+          filter(wi, st => pmod(st("i"), lit(7)) =!= 4),
+          st => when(pmod(st("i"), lit(5)) === 3, concat(st("w"), lit("x")))
+            .otherwise(st("w")))
+        val stream = s.readStream.schema(schema).parquet(srcDir)
+          .filter(size(toks) > 0)
+          .select(col("doc_id"), hyp.as("hyp"))
+        val scored = TextOps.wordErrorRate(
+          stream.join(broadcast(refs), Seq("doc_id")), "doc_id", "ref", "hyp")
+        val q = scored.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |base AS (SELECT doc_id, toks[1:40] AS ref FROM d WHERE len(toks) > 0),
+        |hy AS (SELECT doc_id, ref,
+        |    list_transform(list_filter(
+        |      list_transform(range(1, CAST(len(ref) + 1 AS BIGINT)),
+        |        i -> {'w': ref[CAST(i AS INTEGER)], 'i': i}),
+        |      s -> s['i'] % 7 != 4),
+        |      s -> CASE WHEN s['i'] % 5 = 3 THEN s['w'] || 'x' ELSE s['w'] END) AS hyp
+        |  FROM base),
+        |dic AS (SELECT doc_id, ref, hyp,
+        |    list_sort(list_distinct(list_concat(ref, hyp))) AS dict FROM hy),
+        |ec AS (SELECT doc_id,
+        |    CAST(len(ref) AS BIGINT) AS n_ref, CAST(len(hyp) AS BIGINT) AS n_hyp,
+        |    CASE WHEN len(dict) <= 200 THEN CAST(levenshtein(
+        |      list_reduce(list_transform(ref,
+        |        w -> chr(CAST(list_position(dict, w) + 47 AS INTEGER))), (a, b) -> a || b),
+        |      list_reduce(list_transform(hyp,
+        |        w -> chr(CAST(list_position(dict, w) + 47 AS INTEGER))), (a, b) -> a || b))
+        |      AS BIGINT) ELSE -1 END AS dist
+        |  FROM dic)
+        |SELECT doc_id, n_ref, n_hyp, dist,
+        |  CASE WHEN dist >= 0 AND n_ref > 0
+        |    THEN CAST(dist AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |    ELSE -1.0 END AS wer
+        |FROM ec ORDER BY doc_id""".stripMargin))
   )
 }
