@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, EvalOps, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 import graft.QuerySupport._
 
 /** Event analytics + sketches: funnels, attribution, outliers,
@@ -609,6 +609,36 @@ private[graft] object QueriesAnalytics {
         |    CAST(SUM(CASE WHEN lag > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         |    CAST(MAX(lag) AS BIGINT) AS max_lag_us FROM lg GROUP BY user_id)
         |SELECT ag.user_id, ag.n, ag.n_late, ag.max_lag_us, p99.p99_lag_us
-        |FROM ag JOIN p99 USING (user_id) ORDER BY ag.user_id""".stripMargin))
+        |FROM ag JOIN p99 USING (user_id) ORDER BY ag.user_id""".stripMargin)),
+
+    // L163 — Cohen's kappa between two deterministic "annotators" over
+    // the event stream (annotator B disagrees on every 7th event):
+    // chance-corrected agreement as ONE exact-integer division —
+    // (n*agree - pe_num) / (n^2 - pe_num) with pe_num = sum over
+    // classes of the two marginal counts' product.
+    Q("e_kappa",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_type").as("a"),
+          when(pmod(col("event_id"), lit(7L)) === 0L, lit("disagree"))
+            .otherwise(col("event_type")).as("b"))
+        EvalOps.cohensKappa(ev, "a", "b")
+      },
+      Some("""WITH l AS (SELECT event_type AS a,
+        |    CASE WHEN event_id % 7 = 0 THEN 'disagree' ELSE event_type END AS b
+        |  FROM events),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM l),
+        |ca AS (SELECT a AS c, CAST(COUNT(*) AS BIGINT) AS na FROM l GROUP BY a),
+        |cb AS (SELECT b AS c, CAST(COUNT(*) AS BIGINT) AS nb FROM l GROUP BY b),
+        |pe AS (SELECT CAST(coalesce(SUM(na * nb), 0) AS BIGINT) AS pe_num
+        |  FROM ca JOIN cb USING (c))
+        |SELECT n, agree, pe_num,
+        |  CASE WHEN n * n - pe_num > 0
+        |    THEN CAST(n * agree - pe_num AS DOUBLE)
+        |      / CAST(n * n - pe_num AS DOUBLE)
+        |    ELSE -1.0 END AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin))
   )
 }

@@ -574,7 +574,7 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  ) :+ rougeEntry :+ bleuEntry
+  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry
 
   /** L159 — ROUGE-2 over minted (ref, hyp) transcript pairs (same
     * deterministic corruption as m_wer: delete every 7th word, suffix
@@ -699,6 +699,48 @@ FROM ag ORDER BY lang""")),
         |    ELSE -1.0 END AS len_ratio
         |FROM co ORDER BY doc_id""".stripMargin))
   }
+
+  /** L164 — the engine's own word-marker language-ID audited against
+    * the corpus ground-truth lang column: per-class precision/recall/
+    * F1 from exact tp/fp/fn counts (the derived-metric layer over
+    * t_langid's confusion table).
+    */
+  private[graft] def langidMetricsEntry: Q =
+    Q("t_langid_metrics",
+      (s, dir) => EvalOps.confusionMetrics(
+          docToks(s, dir).withColumn("pred", TextOps.langId(col("toks"))),
+          "lang", "pred")
+        .orderBy(col("class")),
+      Some(s"""WITH $toksSqlCte,
+        |h AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS h_en,
+        |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en'], t))) AS BIGINT) AS h_es,
+        |  CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','une'], t))) AS BIGINT) AS h_fr,
+        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','ein'], t))) AS BIGINT) AS h_de
+        |  FROM d),
+        |pr AS (SELECT lang AS a,
+        |  CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+        |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+        |       WHEN h_fr >= h_de THEN 'fr' ELSE 'de' END AS p FROM h),
+        |cm AS (SELECT a, p, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY a, p),
+        |ba AS (SELECT a AS class, CAST(SUM(n) AS BIGINT) AS n_actual FROM cm GROUP BY a),
+        |bp AS (SELECT p AS class, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY p),
+        |dg AS (SELECT a AS class, n AS tp FROM cm WHERE a = p),
+        |cl AS (SELECT class, coalesce(tp, 0) AS tp,
+        |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+        |    coalesce(n_actual, 0) - coalesce(tp, 0) AS fn
+        |  FROM ba FULL OUTER JOIN bp USING (class) LEFT JOIN dg USING (class))
+        |SELECT class, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+        |    ELSE -1.0 END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+        |    ELSE -1.0 END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn > 0
+        |    THEN CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
+        |    ELSE -1.0 END AS f1
+        |FROM cl ORDER BY class""".stripMargin))
 
   /** The composition-lattice VALUES literal, generated from the SAME
     * table `TextOps.unigramLmRound` broadcasts, so engine and mirror

@@ -188,6 +188,78 @@ object EvalOps {
           .otherwise(lit(-1d)))
   }
 
+  /** L163 — COHEN'S KAPPA (Cohen 1960), the chance-corrected
+    * inter-annotator agreement every labeling/QA campaign reports:
+    * κ = (p_o − p_e)/(1 − p_e) computed as the single exact-integer
+    * division (n·agree − Σ_c n_a(c)·n_b(c)) / (n² − Σ_c n_a(c)·n_b(c))
+    * — numerator and denominator are exact BIGINTs (n ≤ ~3·10⁹ rows
+    * before n² leaves the long domain; far beyond any label-audit
+    * slice), so no IEEE accumulation anywhere.
+    *
+    * Scale shape: two map-side-combined class histograms + one row
+    * count, a class-keyed equi join (class cardinality-sized), and a
+    * 1×1 broadcast combine. −1 when p_e = 1 (degenerate single-class).
+    *
+    * Output: one row (n, agree, pe_num, kappa).
+    */
+  def cohensKappa(labels: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val tot = labels.agg(count(lit(1)).as("n"),
+      sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).as("agree"))
+    val ca = labels.groupBy(col(aCol).as("c")).agg(count(lit(1)).as("na"))
+    val cb = labels.groupBy(col(bCol).as("c")).agg(count(lit(1)).as("nb"))
+    // classes used by only one annotator contribute 0 to p_e: inner join
+    val pe = ca.join(cb, Seq("c"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("kappa",
+        when(col("n") * col("n") - col("pe_num") > 0L,
+          (col("n") * col("agree") - col("pe_num")).cast("double")
+            / (col("n") * col("n") - col("pe_num")).cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
+  /** L164 — PER-CLASS CONFUSION METRICS for a classifier audit
+    * (precision/recall/F1 per class from exact tp/fp/fn counts) — the
+    * derived-metric layer over a (actual, predicted) confusion table,
+    * e.g. the engine's own language-ID against the corpus's ground-
+    * truth lang column. Ratios are single divisions of exact longs,
+    * −1 on zero denominators.
+    *
+    * Scale shape: one hash agg to the confusion table (class² rows at
+    * most), then class-keyed outer joins — everything after the first
+    * agg is class-cardinality-sized.
+    *
+    * Output: (class, tp, fp, fn, precision, recall, f1).
+    */
+  def confusionMetrics(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val cm = df.groupBy(col(actualCol).as("a"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val byActual = cm.groupBy(col("a").as("class")).agg(sum(col("n")).as("n_actual"))
+    val byPred = cm.groupBy(col("p").as("class")).agg(sum(col("n")).as("n_pred"))
+    val diag = cm.filter(col("a") === col("p"))
+      .select(col("a").as("class"), col("n").as("tp"))
+    byActual.join(byPred, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_actual"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .otherwise(lit(-1d)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .otherwise(lit(-1d)))
+      .withColumn("f1",
+        when(col("tp") * 2L + col("fp") + col("fn") > 0L,
+          (col("tp") * 2L).cast("double")
+            / (col("tp") * 2L + col("fp") + col("fn")).cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L159 — ROUGE-N OVERLAP (Lin 2004) between reference and
     * hypothesis token arrays: clipped n-gram multiset intersection —
     * for each distinct ref n-gram, min(count in ref, count in hyp) —

@@ -2292,6 +2292,36 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 6L, 0L, 0.0), (2L, 6L, 1L, 1d / 6d)), s"got $got")
   }
 
+  test("L163 cohensKappa: textbook 0.6 case, degenerate single-class flags -1") {
+    import graft.ops.EvalOps
+    val labels = Seq(
+      ("x", "x"), ("x", "x"), ("x", "x"), ("x", "x"), ("x", "y"),
+      ("y", "y"), ("y", "y"), ("y", "y"), ("y", "y"), ("y", "x")
+    ).toDF("a", "b")
+    val r = EvalOps.cohensKappa(labels, "a", "b").head
+    // n=10, agree=8, marginals 5/5 each -> pe_num=50, kappa=30/50
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      == ((10L, 8L, 50L, 0.6)), s"got $r")
+    val degenerate = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(EvalOps.cohensKappa(degenerate, "a", "b").head.getDouble(3) == -1d)
+  }
+
+  test("L164 confusionMetrics: per-class tp/fp/fn with -1 on empty prediction classes") {
+    import graft.ops.EvalOps
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("c", "b")
+    ).toDF("actual", "pred")
+    val got = EvalOps.confusionMetrics(df, "actual", "pred")
+      .orderBy($"class").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("a", 3L, 0L, 1L, 1.0, 0.75, 6d / 7d),
+      ("b", 2L, 2L, 0L, 0.5, 1.0, 4d / 6d),
+      ("c", 0L, 0L, 1L, -1.0, 0.0, 0.0)), s"got $got")
+  }
+
   test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
     import graft.ops.TextOps
     // reference implementation: the textbook Wagner-Fischer DP
