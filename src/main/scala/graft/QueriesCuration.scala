@@ -1522,6 +1522,26 @@ private[graft] object QueriesCuration {
         |    + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
         |        * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE)
         |      / CAST(2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1) AS DOUBLE) AS chao1
-        |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin))
+        |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L166 — Herfindahl source-concentration per language: the
+    // mixture-health number read before setting domain weights (1/k
+    // uniform, ->1 single-source dominated); exact integer numerator/
+    // denominator, one division.
+    Q("c_source_hhi",
+      (s, dir) => Curation.herfindahl(
+          Tables.documents(s, dir), "lang", "source")
+        .orderBy(col("lang")),
+      Some("""WITH cnt AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang, source),
+        |ag AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(n * n) AS BIGINT) AS sum_sq
+        |  FROM cnt GROUP BY lang)
+        |SELECT lang, n_docs, n_keys, sum_sq,
+        |  CASE WHEN n_docs > 0
+        |    THEN CAST(sum_sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)
+        |    ELSE -1.0 END AS hhi
+        |FROM ag ORDER BY lang""".stripMargin))
   )
 }

@@ -574,7 +574,7 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry
+  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry
 
   /** L159 — ROUGE-2 over minted (ref, hyp) transcript pairs (same
     * deterministic corruption as m_wer: delete every 7th word, suffix
@@ -741,6 +741,63 @@ FROM ag ORDER BY lang""")),
         |    THEN CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
         |    ELSE -1.0 END AS f1
         |FROM cl ORDER BY class""".stripMargin))
+
+  /** L165 — chrF over the same minted pairs as t_rouge/t_bleu: per
+    * order 1..4 exact char-n-gram counts over the whitespace-stripped
+    * strings, F2 as the single reduced division 5m/(4·t_ref + t_hyp).
+    */
+  private[graft] def chrfEntry: Q = {
+    def g(src: String, n: Int): String =
+      s"""CASE WHEN strlen($src) >= $n THEN list_transform(
+         |      range(0, CAST(strlen($src) - ${n - 1} AS BIGINT)),
+         |      i -> substr($src, CAST(i + 1 AS INTEGER), $n)) ELSE [] END""".stripMargin
+    val perOrder = (1 to 4).map { n =>
+      s"""  SELECT doc_id, $n AS n,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_distinct(${g("rs", n)}), gg ->
+         |        least(len(list_filter(${g("rs", n)}, x -> x = gg)),
+         |          len(list_filter(${g("hs", n)}, x -> x = gg))))),
+         |      (a, b) -> a + b) AS BIGINT) AS m,
+         |    CAST(len(${g("rs", n)}) AS BIGINT) AS t_ref,
+         |    CAST(len(${g("hs", n)}) AS BIGINT) AS t_hyp
+         |  FROM st""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    Q("t_chrf",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val ref = slice(toks, 1, 40)
+        val wi = transform(sequence(lit(1), size(ref)),
+          i => struct(element_at(ref, i).as("w"), i.as("i")))
+        val hyp = transform(
+          filter(wi, st => pmod(st("i"), lit(7)) =!= 4),
+          st => when(pmod(st("i"), lit(5)) === 3, concat(st("w"), lit("x")))
+            .otherwise(st("w")))
+        val pairs = Tables.documents(s, dir)
+          .filter(size(toks) > 0)
+          .select(col("doc_id"), ref.as("ref"), hyp.as("hyp"))
+        EvalOps.chrF(pairs, "doc_id", "ref", "hyp", maxN = 4)
+          .orderBy(col("doc_id"), col("n"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |base AS (SELECT doc_id, toks[1:40] AS ref FROM d WHERE len(toks) > 0),
+        |hy AS (SELECT doc_id, ref,
+        |    list_transform(list_filter(
+        |      list_transform(range(1, CAST(len(ref) + 1 AS BIGINT)),
+        |        i -> {'w': ref[CAST(i AS INTEGER)], 'i': i}),
+        |      s -> s['i'] % 7 != 4),
+        |      s -> CASE WHEN s['i'] % 5 = 3 THEN s['w'] || 'x' ELSE s['w'] END) AS hyp
+        |  FROM base),
+        |st AS (SELECT doc_id, array_to_string(ref, '') AS rs,
+        |    array_to_string(hyp, '') AS hs FROM hy),
+        |co AS (
+        |$perOrder
+        |)
+        |SELECT doc_id, n, m, t_ref, t_hyp,
+        |  CASE WHEN t_ref * 4 + t_hyp > 0
+        |    THEN CAST(m * 5 AS DOUBLE) / CAST(t_ref * 4 + t_hyp AS DOUBLE)
+        |    ELSE -1.0 END AS chrf2
+        |FROM co ORDER BY doc_id, n""".stripMargin))
+  }
 
   /** The composition-lattice VALUES literal, generated from the SAME
     * table `TextOps.unigramLmRound` broadcasts, so engine and mirror

@@ -1809,4 +1809,30 @@ object Curation {
       .select(col(idCol), col(srcCol), col("s").as("raw"), col("p"),
         col("gs").as("norm"))
   }
+
+  /** L166 — HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of a corpus
+    * dimension (here: how concentrated each language's documents are
+    * across sources) — the mixture-health diagnostic read before
+    * setting domain weights: HHI = Σᵢ(nᵢ/N)² = Σᵢnᵢ²/N², 1/k for a
+    * uniform k-way mix, →1 when one source dominates. Exact: the
+    * numerator Σnᵢ² and denominator N² are exact longs (N ≤ 3·10⁹
+    * before N² leaves the domain) and HHI is their single division.
+    *
+    * Scale shape: two nested map-side-combined hash aggs ((group,key)
+    * then group) — nothing else.
+    *
+    * Output: (group, n_docs, n_keys, sum_sq, hhi).
+    */
+  def herfindahl(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_keys"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .withColumn("hhi",
+        when(col("n_docs") > 0L,
+          col("sum_sq").cast("double")
+            / (col("n_docs") * col("n_docs")).cast("double"))
+          .otherwise(lit(-1d)))
 }

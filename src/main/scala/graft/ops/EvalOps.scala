@@ -188,6 +188,47 @@ object EvalOps {
           .otherwise(lit(-1d)))
   }
 
+  /** L165 — chrF (Popović 2015): character-n-gram F-β between the
+    * whitespace-stripped ref/hyp strings, one output row per order
+    * n = 1..maxN with exact integer counts and the F2 score as ONE
+    * exact division — the (1+β²)PR/(β²P+R) form algebraically reduces
+    * to (1+β²)·m / (β²·t_ref + t_hyp), so no intermediate P/R doubles
+    * exist to accumulate error. The MT/ASR eval that is robust to
+    * tokenization differences (it never tokenizes), next to BLEU/ROUGE
+    * in the eval family. −1 when both gram sets are empty.
+    *
+    * Pure per-row HOFs (substr grams + the shared clipped-intersection
+    * kernel) — zero shuffle.
+    *
+    * Output: (id, n, m, t_ref, t_hyp, chrf2) — one row per order.
+    */
+  def chrF(pairs: DataFrame, idCol: String, refCol: String,
+      hypCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN must be in 1..6, got $maxN")
+    // bind each stripped string once (one-element-array let) so the
+    // per-gram lambda never re-runs the concat per element
+    def grams(words: org.apache.spark.sql.Column, n: Int) =
+      element_at(transform(array(concat_ws("", words)), s =>
+        when(length(s) >= n,
+          transform(sequence(lit(0), length(s) - n),
+            i => s.substr(i + 1, lit(n))))
+          .otherwise(array().cast("array<string>"))), 1)
+    val orders = (1 to maxN).map { n =>
+      pairs.select(col(idCol), lit(n).as("n"),
+          grams(col(refCol), n).as("__gr"), grams(col(hypCol), n).as("__gh"))
+        .select(col(idCol), col("n"),
+          clippedMatch(col("__gr"), col("__gh")).as("m"),
+          size(col("__gr")).cast("long").as("t_ref"),
+          size(col("__gh")).cast("long").as("t_hyp"))
+    }
+    orders.reduce(_ unionByName _)
+      .withColumn("chrf2",
+        when(col("t_ref") * 4L + col("t_hyp") > 0L,
+          (col("m") * 5L).cast("double")
+            / (col("t_ref") * 4L + col("t_hyp")).cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L163 — COHEN'S KAPPA (Cohen 1960), the chance-corrected
     * inter-annotator agreement every labeling/QA campaign reports:
     * κ = (p_o − p_e)/(1 − p_e) computed as the single exact-integer

@@ -2322,6 +2322,41 @@ class OpsSpec extends SparkSpec {
       ("c", 0L, 0L, 1L, -1.0, 0.0, 0.0)), s"got $got")
   }
 
+  test("L165 chrF: per-order char-gram counts over stripped strings, reduced F2 division") {
+    import graft.ops.EvalOps
+    val pairs = Seq((1L, Seq("abc"), Seq("abd"))).toDF("id", "ref", "hyp")
+    val got = EvalOps.chrF(pairs, "id", "ref", "hyp", maxN = 4)
+      .orderBy($"n").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    // n=1: {a,b,c} vs {a,b,d} -> m=2; n=2: {ab,bc} vs {ab,bd} -> 1;
+    // n=3: abc vs abd -> 0; n=4: both empty -> -1
+    assert(got == Seq(
+      (1, 2L, 3L, 3L, 10d / 15d),
+      (2, 1L, 2L, 2L, 0.5),
+      (3, 0L, 1L, 1L, 0.0),
+      (4, 0L, 0L, 0L, -1.0)), s"got $got")
+    // whitespace-stripping: multi-word refs concatenate before gramming
+    val two = Seq((2L, Seq("ab", "cd"), Seq("ab", "cd"))).toDF("id", "ref", "hyp")
+    val all1 = EvalOps.chrF(two, "id", "ref", "hyp", maxN = 4)
+      .select($"chrf2").collect().map(_.getDouble(0)).toSeq
+    assert(all1 == Seq(1.0, 1.0, 1.0, 1.0), s"got $all1")
+  }
+
+  test("L166 herfindahl: 1 for single-source, sum-sq/N^2 otherwise") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("x", "a"), ("x", "a"), ("x", "a"), ("x", "b"),
+      ("y", "a"), ("y", "a")
+    ).toDF("lang", "source")
+    val got = Curation.herfindahl(df, "lang", "source")
+      .orderBy($"lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(("x", 4L, 2L, 10L, 0.625), ("y", 2L, 1L, 4L, 1.0)),
+      s"got $got")
+  }
+
   test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
     import graft.ops.TextOps
     // reference implementation: the textbook Wagner-Fischer DP
