@@ -262,6 +262,37 @@ class ScaleSweepSpec extends SparkSpec {
     })
   }
 
+  test("L158 DER stays near-linear under ×9 file scale") {
+    // per-file work is bounded (4 segments each side, <=24 mappings);
+    // scaling the FILE count is the axis that matters at corpus scale
+    sweep("der", s => {
+      val n = 4000L * s
+      val ks = spark.range(n).select(col("id").as("f"),
+        explode(sequence(lit(0L), lit(3L))).as("k"))
+      val ref = ks.select(col("f"), (col("k") * 10L).as("s"),
+        (col("k") * 10L + 6L).as("e"), pmod(col("k") + col("f"), lit(4L)).as("spk"))
+      val hyp = ks.select(col("f"), (col("k") * 10L + 1L).as("s"),
+        (col("k") * 10L + 7L).as("e"), pmod(col("k") + col("f") + 1L, lit(4L)).as("spk"))
+      graft.ops.EvalOps.diarizationErrorRate(ref, hyp, "f", "s", "e", "spk")
+        .count()
+    })
+  }
+
+  test("L161 cpWER stays near-linear under ×9 file scale") {
+    sweep("cpwer", s => {
+      val n = 3000L * s
+      val sp = spark.range(n).select(col("id").as("f"),
+        explode(sequence(lit(0), lit(2))).as("spk"))
+      val words = transform(sequence(lit(0L), lit(9L)),
+        i => concat(lit("w"), (pmod(col("f") + col("spk") * 7L + i, lit(40L))).cast("string")))
+      val refs = sp.select(col("f"), col("spk"), words.as("words"))
+      val hyps = sp.select(col("f"),
+        pmod(col("spk") + col("f"), lit(3L)).cast("int").as("spk"), words.as("words"))
+      graft.ops.EvalOps.cpWer(refs, hyps, "f", "spk", "words", maxSpeakers = 3)
+        .count()
+    })
+  }
+
   test("L145 triangle counting stays near-linear under ×9 node scale") {
     // ring + skip-2 chord: every node closes exactly one triangle
     // (i, i+1, i+2), degree constant 4 — wedge volume is linear in |V|.
