@@ -1542,6 +1542,25 @@ private[graft] object QueriesCuration {
         |  CASE WHEN n_docs > 0
         |    THEN CAST(sum_sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)
         |    ELSE -1.0 END AS hhi
-        |FROM ag ORDER BY lang""".stripMargin))
+        |FROM ag ORDER BY lang""".stripMargin)),
+
+    // L168 — largest-remainder (Hamilton) quota allocation: per-source
+    // draw counts for a 997-doc proportional sample; sum of quotas is
+    // exactly 997 (the property float-rounded shares never give).
+    Q("c_quota_lr",
+      (s, dir) => Curation.largestRemainderQuotas(
+          Tables.documents(s, dir), "source", 997L)
+        .orderBy(col("key")),
+      Some("""WITH cnt AS (SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cnt),
+        |b AS (SELECT key, n, (n * 997) // nn AS base, (n * 997) % nn AS rem
+        |  FROM cnt CROSS JOIN tt),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, key) AS rk,
+        |    (SELECT SUM(base) FROM b) AS sb FROM b)
+        |SELECT key, n, CAST(base AS BIGINT) AS base,
+        |  CAST(CASE WHEN rk <= 997 - sb THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base + CASE WHEN rk <= 997 - sb THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY key""".stripMargin))
   )
 }

@@ -920,7 +920,7 @@ private[graft] object QueriesSpeech {
         |  CAST((t_ref - t_both) + (t_hyp - t_both) + (t_both - t_correct)
         |    AS DOUBLE) / CAST(t_ref AS DOUBLE) AS der
         |FROM j ORDER BY file""".stripMargin))
-  ) :+ cpwerEntry
+  ) :+ cpwerEntry :+ turnsEntry
 
   /** The ≤24-permutation assignment lattice VALUES literal, generated
     * from the SAME enumeration `EvalOps.diarizationErrorRate`
@@ -1009,4 +1009,48 @@ private[graft] object QueriesSpeech {
   private def cpwerPermValues: String =
     EvalOps.permRows(3).map { case (pid, r, h) => s"($pid,$r,$h)" }
       .mkString(",")
+
+  /** L167 — speaker-turn statistics over minted diarized segments:
+    * 6 segments per file, each overlapping the next by 0.5 s, speaker
+    * flipping every two segments — 3 turns, interruptions exactly at
+    * the speaker changes.
+    */
+  private def turnsEntry: Q =
+    Q("m_turns",
+      (s, dir) => {
+        val ids = Tables.events(s, dir)
+          .select(col("event_id").cast("long").as("id"))
+          .filter(col("id") < 200).distinct()
+        val ks = ids.select(col("id"),
+          explode(sequence(lit(0L), lit(5L))).as("k"))
+        val kid = col("k") + col("id")
+        val seg = ks.select(col("id"),
+          (col("k") * 8000000L).as("s"),
+          (col("k") * 8000000L + 8500000L).as("e"),
+          pmod(((kid - pmod(kid, lit(2L))) / 2L).cast("long"), lit(2L))
+            .cast("int").as("spk"))
+        EvalOps.speakerTurnStats(seg, "id", "s", "e", "spk")
+          .orderBy(col("file"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |kk AS (SELECT id, unnest(range(6)) AS k FROM ids),
+        |seg AS (SELECT id, k * 8000000 AS s, k * 8000000 + 8500000 AS e,
+        |    CAST(((k + id) // 2) % 2 AS INTEGER) AS spk FROM kk),
+        |lg AS (SELECT id, s, e, spk,
+        |    lag(spk) OVER w AS pspk, lag(e) OVER w AS pe
+        |  FROM seg WINDOW w AS (PARTITION BY id ORDER BY s, e, spk)),
+        |fl AS (SELECT id,
+        |    CASE WHEN pspk IS NULL OR pspk <> spk THEN 1 ELSE 0 END AS tb,
+        |    CASE WHEN pe > s AND pspk <> spk THEN 1 ELSE 0 END AS ir,
+        |    e - s AS dur, spk FROM lg)
+        |SELECT id AS file, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(tb) AS BIGINT) AS n_turns,
+        |  CAST(COUNT(DISTINCT spk) AS BIGINT) AS n_speakers,
+        |  CAST(SUM(dur) AS BIGINT) AS total_speech_us,
+        |  CAST(SUM(ir) AS BIGINT) AS n_interruptions,
+        |  CASE WHEN SUM(tb) > 0
+        |    THEN CAST(SUM(dur) AS DOUBLE) / CAST(SUM(tb) AS DOUBLE)
+        |    ELSE -1.0 END AS mean_turn_us
+        |FROM fl GROUP BY id ORDER BY file""".stripMargin))
 }

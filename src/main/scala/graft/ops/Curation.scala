@@ -1810,6 +1810,44 @@ object Curation {
         col("gs").as("norm"))
   }
 
+  /** L168 — LARGEST-REMAINDER QUOTA ALLOCATION (the Hamilton
+    * apportionment method) — proportional sampling quotas WITHOUT
+    * floats: given per-key counts nᵢ (Σ = N) and a target sample size
+    * T, each key gets ⌊T·nᵢ/N⌋ plus one extra for the T − Σ⌊·⌋ largest
+    * remainders (T·nᵢ mod N, ties by key — deterministic). Σ quota = T
+    * EXACTLY, the property float-rounded shares never give — this is
+    * how a mixture-sampling stage turns domain weights into concrete
+    * per-source draw counts. T·nᵢ stays in the long domain for any
+    * T·N < 2⁶³.
+    *
+    * Scale shape: one hash agg to per-key counts, a 1-row broadcast of
+    * N, and one rank window over the KEY-cardinality-sized table —
+    * nothing corpus-sized past the first agg.
+    *
+    * Output: (key, n, base, extra, quota), Σ quota = T.
+    */
+  def largestRemainderQuotas(df: DataFrame, keyCol: String,
+      target: Long): DataFrame = {
+    require(target >= 0, s"target must be >= 0, got $target")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("nn"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("tn", col("n") * target)
+      .withColumn("base", ((col("tn") - pmod(col("tn"), col("nn"))) / col("nn"))
+        .cast("long"))
+      .withColumn("rem", pmod(col("tn"), col("nn")))
+    val w = Window.orderBy(col("rem").desc, col("key"))
+    val short = lit(target) - sum(col("base")).over(
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    based
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("extra", when(col("rk") <= short, 1L).otherwise(0L))
+      .select(col("key"), col("n"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("quota"))
+  }
+
   /** L166 — HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of a corpus
     * dimension (here: how concentrated each language's documents are
     * across sources) — the mixture-health diagnostic read before

@@ -229,6 +229,50 @@ object EvalOps {
           .otherwise(lit(-1d)))
   }
 
+  /** L167 — SPEAKER-TURN STATISTICS over a diarized segment stream —
+    * the conversation-shape QA a diarization rollout reads next to
+    * DER: per file, segment/turn counts (a TURN is a maximal run of
+    * consecutive same-speaker segments — the W2 sessionize-by-change
+    * idiom), total speech time, distinct speakers, interruption count
+    * (consecutive segments that OVERLAP with different speakers), and
+    * mean turn length as the single exact division. All integer
+    * microseconds.
+    *
+    * Scale shape: one hash shuffle on the file key for the
+    * lag/cumsum windows, then one hash agg — per-file work linear in
+    * its segment count.
+    *
+    * Output: (file, n_segments, n_turns, n_speakers, total_speech_us,
+    * n_interruptions, mean_turn_us).
+    */
+  def speakerTurnStats(segments: DataFrame, fileCol: String,
+      startCol: String, endCol: String, spkCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("f"))
+      .orderBy(col("s"), col("e"), col("spk"))
+    segments.select(col(fileCol).cast("long").as("f"),
+        col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"),
+        col(spkCol).cast("int").as("spk"))
+      .withColumn("turn_break",
+        when(lag(col("spk"), 1).over(w).isNull
+          || lag(col("spk"), 1).over(w) =!= col("spk"), 1L).otherwise(0L))
+      .withColumn("interrupt",
+        when(lag(col("e"), 1).over(w) > col("s")
+          && lag(col("spk"), 1).over(w) =!= col("spk"), 1L).otherwise(0L))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("turn_break")).as("n_turns"),
+        countDistinct(col("spk")).as("n_speakers"),
+        sum(col("e") - col("s")).as("total_speech_us"),
+        sum(col("interrupt")).as("n_interruptions"))
+      .select(col("f").as("file"), col("n_segments"), col("n_turns"),
+        col("n_speakers"), col("total_speech_us"), col("n_interruptions"))
+      .withColumn("mean_turn_us",
+        when(col("n_turns") > 0L,
+          col("total_speech_us").cast("double") / col("n_turns").cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L163 — COHEN'S KAPPA (Cohen 1960), the chance-corrected
     * inter-annotator agreement every labeling/QA campaign reports:
     * κ = (p_o − p_e)/(1 − p_e) computed as the single exact-integer

@@ -2357,6 +2357,41 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L167 speakerTurnStats: turns are same-speaker runs, interruptions need overlap + change") {
+    import graft.ops.EvalOps
+    val seg = Seq(
+      (1L, 0L, 10L, 0), (1L, 8L, 20L, 0),   // overlap, same spk: no interrupt
+      (1L, 18L, 30L, 1), (1L, 28L, 40L, 1), // turn 2; 20>18 change: interrupt
+      (1L, 38L, 50L, 0),                    // turn 3; 40>38 change: interrupt
+      (2L, 0L, 5L, 0), (2L, 5L, 9L, 1)      // touching, not overlapping
+    ).toDF("f", "s", "e", "spk")
+    val got = EvalOps.speakerTurnStats(seg, "f", "s", "e", "spk")
+      .orderBy($"file").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, 2L, 58L, 2L, 58d / 3d),
+      (2L, 2L, 2L, 2L, 9L, 0L, 4.5)), s"got $got")
+  }
+
+  test("L168 largestRemainderQuotas: quotas sum exactly to the target, ties break by key") {
+    import graft.ops.Curation
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).toDF("src")
+    val got = Curation.largestRemainderQuotas(df, "src", 7L)
+      .orderBy($"key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // tn = 35/21/14, base 3/2/1 (sum 6), rem 5/1/4 -> one extra to 'a'
+    assert(got == Seq(("a", 5L, 3L, 1L, 4L), ("b", 3L, 2L, 0L, 2L),
+      ("c", 2L, 1L, 0L, 1L)), s"got $got")
+    assert(got.map(_._5).sum == 7L)
+    // remainder tie: key order decides
+    val tie = Seq("a", "b").toDF("src")
+    val t = Curation.largestRemainderQuotas(tie, "src", 3L)
+      .orderBy($"key").collect().map(r => (r.getString(0), r.getLong(4))).toSeq
+    assert(t == Seq(("a", 2L), ("b", 1L)), s"got $t")
+  }
+
   test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
     import graft.ops.TextOps
     // reference implementation: the textbook Wagner-Fischer DP
