@@ -296,5 +296,50 @@ private[graft] object QueriesMultimodal {
         |              * ((event_id*13 + (i+1)*29) % 401 - 200) < 0
         |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
         |FROM b ORDER BY event_id, win""".stripMargin))
+    ,
+
+    // L169 — amplitude-peak / clipping gate: every 4th file synthesized
+    // 2x hot (peaks 10000 > the 9000 gate), the rest peak at 5000 —
+    // decode is bit-exact (WAV + both FLAC modes), quantization back to
+    // the int16 domain is lossless, so the oracle replays the synthesis
+    // formula in pure integers.
+    Q("mm_clipping",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 200).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (300 + id % 500).toInt
+          val mult = if (id % 4 == 0) 2 else 1
+          val sam = Array.tabulate(n)(i =>
+            ((id * 13 + i.toLong * 29) % 401 - 200) * 25 * mult / 32767f)
+          val bytes = (id % 3) match {
+            case 0 => WavAudio.encode(8000, sam)
+            case 1 => FlacAudio.encode(8000, sam)
+            case _ => FlacAudio.encode(8000, sam, lpc = true)
+          }
+          (id.toString, bytes)
+        }
+        Multimodal.amplitudeStats(WavAudio.decodeDataset(payloads), 9000)
+          .orderBy(col("file"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |c AS (SELECT id, CAST(300 + id % 500 AS BIGINT) AS n,
+        |    CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END AS mult FROM ids),
+        |q AS (SELECT id, n,
+        |    list_transform(range(0, n),
+        |      i -> abs(((id * 13 + i * 29) % 401 - 200) * 25 * mult)) AS qs
+        |  FROM c)
+        |SELECT id AS file, n AS n_samples,
+        |  CAST(list_max(qs) AS BIGINT) AS peak_q,
+        |  CAST(len(list_filter(qs, x -> x >= 9000)) AS BIGINT) AS n_hot,
+        |  CASE WHEN n > 0
+        |    THEN CAST(len(list_filter(qs, x -> x >= 9000)) AS DOUBLE)
+        |      / CAST(n AS DOUBLE)
+        |    ELSE -1.0 END AS hot_rate,
+        |  len(list_filter(qs, x -> x >= 9000)) > 0 AS clipped
+        |FROM q ORDER BY file""".stripMargin))
   )
 }

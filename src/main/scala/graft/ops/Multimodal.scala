@@ -248,4 +248,42 @@ object Multimodal {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("n_shared"), col("jaccard"))
   }
+
+  /** L169 — AMPLITUDE-PEAK / CLIPPING GATE over decoded audio — the
+    * cheap loudness-damage filter a speech-curation pass runs right
+    * after decode (a clipped recording poisons every downstream model
+    * stage): per file the peak quantized amplitude, the count of
+    * samples at or above `hotThreshold` (in the engine's int16-scaled
+    * quantization, |round(x·32768)|), their rate, and the gate flag.
+    * Counts are exact integers (the decode path is bit-exact and the
+    * int16-domain quantization is lossless for in-range synthesis —
+    * the mm_audio_features roundtrip invariant); the rate is the
+    * single division.
+    *
+    * Scale shape: one typed map over the decoded files (no shuffle),
+    * counts fold per file in one pass over the waveform.
+    *
+    * Output: (file, n_samples, peak_q, n_hot, hot_rate, clipped).
+    */
+  def amplitudeStats(audio: Dataset[graft.model.AudioFile],
+      hotThreshold: Int): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.map { a =>
+      var peak = 0L
+      var hot = 0L
+      var i = 0
+      while (i < a.waveform.length) {
+        val q = math.abs(math.round(a.waveform(i) * 32768f).toLong)
+        if (q > peak) peak = q
+        if (q >= hotThreshold) hot += 1
+        i += 1
+      }
+      (a.file.toLong, a.waveform.length.toLong, peak, hot)
+    }.toDF("file", "n_samples", "peak_q", "n_hot")
+      .withColumn("hot_rate",
+        when(col("n_samples") > 0L,
+          col("n_hot").cast("double") / col("n_samples").cast("double"))
+          .otherwise(lit(-1d)))
+      .withColumn("clipped", col("n_hot") > 0L)
+  }
 }
