@@ -1561,6 +1561,51 @@ private[graft] object QueriesCuration {
         |SELECT key, n, CAST(base AS BIGINT) AS base,
         |  CAST(CASE WHEN rk <= 997 - sb THEN 1 ELSE 0 END AS BIGINT) AS extra,
         |  CAST(base + CASE WHEN rk <= 997 - sb THEN 1 ELSE 0 END AS BIGINT) AS quota
-        |FROM r ORDER BY key""".stripMargin))
+        |FROM r ORDER BY key""".stripMargin)),
+
+    // L170 — exact per-source token-length moments: variance's
+    // numerator n*sum_sq - sum^2 is an exact long, mean/variance each
+    // one division — no IEEE accumulation anywhere.
+    Q("c_len_moments",
+      (s, dir) => Curation.lengthMoments(
+          Tables.documents(s, dir), "source",
+          TextOps.tokenCount(col("text")))
+        .orderBy(col("group")),
+      Some(s"""WITH $toksSqlCte,
+        |sx AS (SELECT dd.source AS grp, CAST(len(d.toks) AS BIGINT) AS x
+        |  FROM d JOIN documents dd USING (doc_id)),
+        |ag AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sum_len,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_sq
+        |  FROM sx GROUP BY grp)
+        |SELECT grp AS "group", n, sum_len, sum_sq,
+        |  CASE WHEN n > 0
+        |    THEN CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE)
+        |    ELSE -1.0 END AS mean_len,
+        |  CASE WHEN n > 0
+        |    THEN CAST(n * sum_sq - sum_len * sum_len AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE)
+        |    ELSE -1.0 END AS variance
+        |FROM ag ORDER BY "group"""".stripMargin)),
+
+    // L171 — power-of-2 sequence-length histogram (bucket = bit length
+    // of the token count; the context-length-planning distribution);
+    // the bucket CASE chain is generated once and shared verbatim.
+    Q("c_seqlen_hist",
+      (s, dir) => Curation.seqlenHistogram(
+          Tables.documents(s, dir), TextOps.tokenCount(col("text")))
+        .orderBy(col("bucket")),
+      Some(s"""WITH $toksSqlCte,
+        |lx AS (SELECT CAST(len(toks) AS BIGINT) AS x FROM d),
+        |bk AS (SELECT x, CASE WHEN x <= 0 THEN 0
+        |    ${(1 to 21).map(b => s"WHEN x < ${1L << b} THEN $b").mkString(" ")}
+        |    ELSE 21 END AS bucket FROM lx)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(CASE WHEN bucket = 0 THEN 0
+        |    ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT) AS lo,
+        |  CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(x) AS BIGINT) AS total_tokens
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

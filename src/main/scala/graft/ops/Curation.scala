@@ -1848,6 +1848,62 @@ object Curation {
         (col("base") + col("extra")).as("quota"))
   }
 
+  /** L170 — EXACT LENGTH MOMENTS per group: mean and population
+    * variance of a length column with NO IEEE accumulation — the
+    * variance's numerator n·Σx² − (Σx)² is an exact long (lengths
+    * ≤ ~10⁶ over ≤ ~10⁹ rows stay in domain), and mean/variance are
+    * each ONE division of exact integers. The context-length-planning
+    * statistic (choose seq length / packing budget from the length
+    * distribution's center and spread).
+    *
+    * Scale shape: one map-side-combined hash agg; nothing else.
+    *
+    * Output: (group, n, sum_len, sum_sq, mean_len, variance).
+    */
+  def lengthMoments(df: DataFrame, groupCol: String,
+      lenCol: Column): DataFrame =
+    df.select(col(groupCol).as("group"), lenCol.cast("long").as("x"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_len"),
+        sum(col("x") * col("x")).as("sum_sq"))
+      .withColumn("mean_len",
+        when(col("n") > 0L,
+          col("sum_len").cast("double") / col("n").cast("double"))
+          .otherwise(lit(-1d)))
+      .withColumn("variance",
+        when(col("n") > 0L,
+          (col("n") * col("sum_sq") - col("sum_len") * col("sum_len"))
+            .cast("double") / (col("n") * col("n")).cast("double"))
+          .otherwise(lit(-1d)))
+
+  /** L171 — POWER-OF-2 SEQUENCE-LENGTH HISTOGRAM: docs bucketed by the
+    * bit length of their token count (bucket b holds 2^(b−1) ≤ n < 2^b;
+    * bucket 0 = empty docs) — the distribution read before choosing a
+    * context length / packing budget. The bucket function is a
+    * generated fixed CASE chain over the 21 power-of-2 edges, shared
+    * verbatim with the SQL oracle — exact in both engines, no log2
+    * floats. One hash agg.
+    *
+    * Output: (bucket, lo, hi, n_docs, total_tokens).
+    */
+  def seqlenHistogram(df: DataFrame, lenCol: Column): DataFrame = {
+    val x = lenCol.cast("long")
+    val bucket = (1 to 21).foldRight(lit(21): Column) { (b, els) =>
+      when(x < (1L << b), lit(b)).otherwise(els)
+    }
+    df.select(x.as("x"),
+        when(x <= 0L, lit(0)).otherwise(bucket).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("total_tokens"))
+      .select(col("bucket").cast("long").as("bucket"),
+        when(col("bucket") === 0L, lit(0L))
+          .otherwise(expr("shiftleft(cast(1 as bigint), cast(bucket - 1 as int))"))
+          .cast("long").as("lo"),
+        expr("shiftleft(cast(1 as bigint), cast(bucket as int)) - 1")
+          .cast("long").as("hi"),
+        col("n_docs"), col("total_tokens"))
+  }
+
   /** L166 — HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of a corpus
     * dimension (here: how concentrated each language's documents are
     * across sources) — the mixture-health diagnostic read before

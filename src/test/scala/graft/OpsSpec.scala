@@ -2392,6 +2392,32 @@ class OpsSpec extends SparkSpec {
     assert(t == Seq(("a", 2L), ("b", 1L)), s"got $t")
   }
 
+  test("L170 lengthMoments: exact integer variance numerator") {
+    import graft.ops.Curation
+    val df = Seq(("x", 2L), ("x", 4L), ("x", 6L), ("y", 5L)).toDF("g", "len")
+    val got = Curation.lengthMoments(df, "g", $"len")
+      .orderBy($"group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    // x: n*sumsq - sum^2 = 3*56 - 144 = 24 -> var 24/9
+    assert(got == Seq(("x", 3L, 12L, 56L, 4.0, 24d / 9d),
+      ("y", 1L, 5L, 25L, 5.0, 0.0)), s"got $got")
+  }
+
+  test("L171 seqlenHistogram: bit-length buckets with exact edges") {
+    import graft.ops.Curation
+    val df = Seq(0L, 1L, 1L, 3L, 8L).toDF("n")
+    val got = Curation.seqlenHistogram(df, $"n")
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 1L, 0L),
+      (1L, 1L, 1L, 2L, 2L),
+      (2L, 2L, 3L, 1L, 3L),
+      (4L, 8L, 15L, 1L, 8L)), s"got $got")
+  }
+
   test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
     import graft.ops.TextOps
     // reference implementation: the textbook Wagner-Fischer DP
