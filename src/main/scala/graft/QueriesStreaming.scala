@@ -1206,6 +1206,69 @@ private[graft] object QueriesStreaming {
         |  CASE WHEN dist >= 0 AND n_ref > 0
         |    THEN CAST(dist AS DOUBLE) / CAST(n_ref AS DOUBLE)
         |    ELSE -1.0 END AS wer
-        |FROM ec ORDER BY doc_id""".stripMargin))
+        |FROM ec ORDER BY doc_id""".stripMargin)),
+
+    // L172 — STREAMING DECODE + CLIPPING GATE (S2∘streaming): audio
+    // payloads decoded AS THEY ARRIVE (the bit-exact WAV/FLAC codecs
+    // run inside the stream's mapPartitions batches — the reference's
+    // per-file decode loop as a feed) and gated on amplitude damage —
+    // stateless append, no state store. Payload parquet staged once
+    // per session; oracle replays the synthesis in pure integers
+    // (the mm_clipping mirror verbatim).
+    Q("streaming_clipping",
+      (s, dir) => withStreamingPartitions(s) {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val name = "scl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_clip").toString
+        val srcDir = stagedStreamSource("clip_payloads", dir) { p =>
+          val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+            .filter(col("event_id") < 200).distinct().as[Long]
+          val payloads = ids.map { id =>
+            val n = (300 + id % 500).toInt
+            val mult = if (id % 4 == 0) 2 else 1
+            val sam = Array.tabulate(n)(i =>
+              ((id * 13 + i.toLong * 29) % 401 - 200) * 25 * mult / 32767f)
+            val bytes = (id % 3) match {
+              case 0 => WavAudio.encode(8000, sam)
+              case 1 => FlacAudio.encode(8000, sam)
+              case _ => FlacAudio.encode(8000, sam, lpc = true)
+            }
+            (id.toString, bytes)
+          }.toDF("file", "payload")
+          writeHeartbeat(payloads, p, "aa_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema).parquet(srcDir)
+          .select(col("file").as("_1"), col("payload").as("_2"))
+          .as[(String, Array[Byte])]
+        val stats = Multimodal.amplitudeStats(
+          WavAudio.decodeDataset(stream), 9000)
+        val q = stats.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("file"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |c AS (SELECT id, CAST(300 + id % 500 AS BIGINT) AS n,
+        |    CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END AS mult FROM ids),
+        |q AS (SELECT id, n,
+        |    list_transform(range(0, n),
+        |      i -> abs(((id * 13 + i * 29) % 401 - 200) * 25 * mult)) AS qs
+        |  FROM c)
+        |SELECT id AS file, n AS n_samples,
+        |  CAST(list_max(qs) AS BIGINT) AS peak_q,
+        |  CAST(len(list_filter(qs, x -> x >= 9000)) AS BIGINT) AS n_hot,
+        |  CASE WHEN n > 0
+        |    THEN CAST(len(list_filter(qs, x -> x >= 9000)) AS DOUBLE)
+        |      / CAST(n AS DOUBLE)
+        |    ELSE -1.0 END AS hot_rate,
+        |  len(list_filter(qs, x -> x >= 9000)) > 0 AS clipped
+        |FROM q ORDER BY file""".stripMargin))
   )
 }
