@@ -1606,6 +1606,30 @@ private[graft] object QueriesCuration {
         |  CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(x) AS BIGINT) AS total_tokens
-        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin))
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // L173 — 2-D skyline over (token count, distinct-token count):
+    // the documents no other document beats on both quality axes —
+    // multi-criteria selection as a Pareto front, exact integer
+    // domain, the bounded distinct-x window formulation.
+    Q("c_skyline",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val base = Tables.documents(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("nt"),
+          size(array_distinct(toks)).cast("long").as("nd"))
+        Curation.skyline2d(base, "doc_id", col("nt"), col("nd"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |pts AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS x,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS y FROM d),
+        |mx AS (SELECT x, MAX(y) AS max_y FROM pts GROUP BY x),
+        |dm AS (SELECT x, max_y, MAX(max_y) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+        |  FROM mx)
+        |SELECT p.doc_id, p.x, p.y FROM pts p JOIN dm USING (x)
+        |WHERE p.y = dm.max_y AND (dm.best_above IS NULL OR p.y > dm.best_above)
+        |ORDER BY p.doc_id""".stripMargin))
   )
 }

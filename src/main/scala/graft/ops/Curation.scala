@@ -1904,6 +1904,34 @@ object Curation {
         col("n_docs"), col("total_tokens"))
   }
 
+  /** L173 — 2-D SKYLINE (Pareto front; Börzsönyi et al. 2001) —
+    * multi-criteria data selection: keep every point no other point
+    * dominates (≥ on both axes, > on at least one). Equal points do
+    * not dominate each other, so exact duplicates of a front point
+    * all survive. The integer-domain window formulation: per distinct
+    * x the max y, then `best_above` = running max of max_y over
+    * STRICTLY greater x (one ordered window over the DISTINCT-x
+    * table — domain-bounded, the quantile-norm posture, never a
+    * corpus-wide sort), and a point is on the front iff y = max_y(x)
+    * and y > best_above. Everything else is one hash agg + one equi
+    * join back to the points.
+    *
+    * Output: (id, x, y) of the front.
+    */
+  def skyline2d(df: DataFrame, idCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val pts = df.select(col(idCol), xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"))
+    val mx = pts.groupBy(col("x")).agg(max(col("y")).as("max_y"))
+    val w = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dom = mx.withColumn("best_above", max(col("max_y")).over(w))
+    pts.join(dom, Seq("x"))
+      .filter(col("y") === col("max_y") &&
+        (col("best_above").isNull || col("y") > col("best_above")))
+      .select(col(idCol), col("x"), col("y"))
+  }
+
   /** L166 — HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of a corpus
     * dimension (here: how concentrated each language's documents are
     * across sources) — the mixture-health diagnostic read before

@@ -2418,6 +2418,23 @@ class OpsSpec extends SparkSpec {
       (4L, 8L, 15L, 1L, 8L)), s"got $got")
   }
 
+  test("L173 skyline2d: dominated points drop, duplicate front points all survive") {
+    import graft.ops.Curation
+    val pts = Seq(
+      (1L, 3L, 1L), (2L, 2L, 2L), (3L, 1L, 3L),
+      (4L, 2L, 1L),              // dominated by (3,1) and (2,2)
+      (5L, 1L, 3L)               // exact duplicate of id 3: both stay
+    ).toDF("id", "x", "y")
+    val got = Curation.skyline2d(pts, "id", $"x", $"y")
+      .orderBy($"id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 5L), s"got $got")
+    // a strictly dominating point empties everything below it
+    val one = Seq((1L, 5L, 5L), (2L, 4L, 4L), (3L, 5L, 4L)).toDF("id", "x", "y")
+    val g2 = Curation.skyline2d(one, "id", $"x", $"y")
+      .collect().map(_.getLong(0)).toSeq
+    assert(g2 == Seq(1L), s"got $g2")
+  }
+
   test("L155 wordErrorRate equals the classic word-level DP on 40 seeded random pairs") {
     import graft.ops.TextOps
     // reference implementation: the textbook Wagner-Fischer DP
