@@ -920,7 +920,7 @@ private[graft] object QueriesSpeech {
         |  CAST((t_ref - t_both) + (t_hyp - t_both) + (t_both - t_correct)
         |    AS DOUBLE) / CAST(t_ref AS DOUBLE) AS der
         |FROM j ORDER BY file""".stripMargin))
-  ) :+ cpwerEntry :+ turnsEntry
+  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry
 
   /** The ≤24-permutation assignment lattice VALUES literal, generated
     * from the SAME enumeration `EvalOps.diarizationErrorRate`
@@ -1009,6 +1009,75 @@ private[graft] object QueriesSpeech {
   private def cpwerPermValues: String =
     EvalOps.permRows(3).map { case (pid, r, h) => s"($pid,$r,$h)" }
       .mkString(",")
+
+  /** L174 — per-speaker confusion under the chosen optimal mapping,
+    * over the SAME minted streams as m_der: the diagnostic showing
+    * which reference speaker lost time to confusion (the id%5
+    * mislabeled segment) vs shift-miss vs the dropped segment.
+    */
+  private def derConfusionEntry: Q =
+    Q("m_der_confusion",
+      (s, dir) => {
+        val ids = Tables.events(s, dir)
+          .select(col("event_id").cast("long").as("id"))
+          .filter(col("id") < 200).distinct()
+        val ks = ids.select(col("id"),
+          explode(sequence(lit(0L), lit(3L))).as("k"))
+        val ref = ks.select(col("id"),
+          (col("k") * 10000000L).as("s"),
+          (col("k") * 10000000L + 6000000L).as("e"),
+          pmod(col("k") + col("id"), lit(4L)).as("spk"))
+        val hyp = ks
+          .filter(!(pmod(col("id"), lit(4L)) === 0L && col("k") === 3L))
+          .withColumn("sh", pmod(col("id"), lit(3L)) * 500000L)
+          .select(col("id"),
+            (col("k") * 10000000L + col("sh")).as("s"),
+            (col("k") * 10000000L + 6000000L + col("sh")).as("e"),
+            pmod(col("k") + col("id")
+              + when(pmod(col("id"), lit(5L)) === 0L && col("k") === 2L, 1L)
+                .otherwise(0L), lit(4L)).as("spk"))
+        EvalOps.speakerConfusion(ref, hyp, "id", "s", "e", "spk")
+          .orderBy(col("file"), col("spk_ref"))
+      },
+      Some(s"""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |kk AS (SELECT id, unnest(range(4)) AS k FROM ids),
+        |ref AS (SELECT id, k * 10000000 AS s, k * 10000000 + 6000000 AS e,
+        |    (k + id) % 4 AS spk FROM kk),
+        |hyp AS (SELECT id, k * 10000000 + (id % 3) * 500000 AS s,
+        |    k * 10000000 + 6000000 + (id % 3) * 500000 AS e,
+        |    (k + id + CASE WHEN id % 5 = 0 AND k = 2 THEN 1 ELSE 0 END) % 4 AS spk
+        |  FROM kk WHERE NOT (id % 4 = 0 AND k = 3)),
+        |c AS (SELECT r.id, r.spk AS kr, h.spk AS kh,
+        |    CAST(SUM(least(r.e, h.e) - greatest(r.s, h.s)) AS BIGINT) AS ov
+        |  FROM ref r JOIN hyp h ON h.id = r.id AND r.s < h.e AND h.s < r.e
+        |  GROUP BY r.id, r.spk, h.spk),
+        |perms(perm_id, kr, kh) AS (VALUES $derPermValues),
+        |cor AS (SELECT c.id, p.perm_id, CAST(SUM(c.ov) AS BIGINT) AS cor
+        |  FROM c JOIN perms p ON p.kr = c.kr AND p.kh = c.kh
+        |  GROUP BY c.id, p.perm_id),
+        |bst AS (SELECT id, perm_id FROM (SELECT id, perm_id,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY cor DESC, perm_id) AS rn
+        |  FROM cor) WHERE rn = 1),
+        |ch AS (SELECT b.id, p.kr, p.kh AS spk_mapped
+        |  FROM bst b JOIN perms p USING (perm_id)),
+        |tr AS (SELECT id, spk AS kr, CAST(SUM(e - s) AS BIGINT) AS t_spk_ref
+        |  FROM ref GROUP BY id, spk),
+        |po AS (SELECT id, kr, CAST(SUM(ov) AS BIGINT) AS t_overlap
+        |  FROM c GROUP BY id, kr),
+        |mt AS (SELECT c.id, c.kr, c.ov AS t_matched FROM c
+        |  JOIN ch ON ch.id = c.id AND ch.kr = c.kr AND ch.spk_mapped = c.kh)
+        |SELECT tr.id AS file, CAST(tr.kr AS BIGINT) AS spk_ref,
+        |  CAST(coalesce(ch.spk_mapped, -1) AS BIGINT) AS spk_mapped,
+        |  tr.t_spk_ref,
+        |  CAST(coalesce(mt.t_matched, 0) AS BIGINT) AS t_matched,
+        |  CAST(coalesce(po.t_overlap, 0) - coalesce(mt.t_matched, 0) AS BIGINT)
+        |    AS t_confused,
+        |  CAST(tr.t_spk_ref - coalesce(po.t_overlap, 0) AS BIGINT) AS t_missed
+        |FROM tr LEFT JOIN ch ON ch.id = tr.id AND ch.kr = tr.kr
+        |LEFT JOIN po ON po.id = tr.id AND po.kr = tr.kr
+        |LEFT JOIN mt ON mt.id = tr.id AND mt.kr = tr.kr
+        |ORDER BY file, spk_ref""".stripMargin))
 
   /** L167 — speaker-turn statistics over minted diarized segments:
     * 6 segments per file, each overlapping the next by 0.5 s, speaker

@@ -188,6 +188,70 @@ object EvalOps {
           .otherwise(lit(-1d)))
   }
 
+  /** L174 — PER-SPEAKER CONFUSION under the OPTIMAL mapping — the
+    * diagnostic behind [[diarizationErrorRate]]'s single number: which
+    * reference speaker lost how much time to missing coverage vs to
+    * being CONFUSED with other hypothesis speakers, under the same
+    * ≤24-permutation argmax (ties to the lowest permId — deterministic
+    * and oracle-replayable). A diarizer that merges two voices shows
+    * up here as one row with large t_confused, not just a worse DER.
+    *
+    * Output: one row per (file, ref speaker present in ref):
+    * (file, spk_ref, spk_mapped, t_spk_ref, t_matched, t_confused,
+    * t_missed) with t_spk_ref = that speaker's total reference time,
+    * t_matched = co-occurrence with the mapped hypothesis speaker,
+    * t_confused = co-occurrence with every OTHER hypothesis speaker,
+    * t_missed = t_spk_ref − t_matched − t_confused. All exact integer
+    * microseconds; same join shapes as the DER (equi + ≤96-row
+    * broadcast lattice).
+    */
+  def speakerConfusion(ref: DataFrame, hyp: DataFrame, fileCol: String,
+      startCol: String, endCol: String, spkCol: String,
+      maxSpeakers: Int = 4): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def norm(df: DataFrame, tag: String): DataFrame =
+      df.select(col(fileCol).cast("long").as("f"),
+        col(startCol).cast("long").as(s"s_$tag"),
+        col(endCol).cast("long").as(s"e_$tag"),
+        col(spkCol).cast("int").as(s"k_$tag"))
+    val r = norm(ref, "r")
+    val h = norm(hyp, "h")
+    val c = r.join(h, Seq("f"))
+      .filter(col("s_r") < col("e_h") && col("s_h") < col("e_r"))
+      .groupBy(col("f"), col("k_r"), col("k_h"))
+      .agg(sum(least(col("e_r"), col("e_h"))
+        - greatest(col("s_r"), col("s_h"))).as("ov"))
+    val perms = permRows(maxSpeakers).toDF("perm_id", "k_r", "k_h")
+    val per = c.join(broadcast(perms), Seq("k_r", "k_h"))
+      .groupBy(col("f"), col("perm_id")).agg(sum(col("ov")).as("cor"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+      .orderBy(col("cor").desc, col("perm_id"))
+    val best = per.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("f"), col("perm_id"))
+    val chosen = best.join(broadcast(perms), Seq("perm_id"))
+      .select(col("f"), col("k_r"), col("k_h").as("spk_mapped"))
+    val tRef = r.groupBy(col("f"), col("k_r"))
+      .agg(sum(col("e_r") - col("s_r")).as("t_spk_ref"))
+    val perRef = c.groupBy(col("f"), col("k_r"))
+      .agg(sum(col("ov")).as("t_overlap"))
+    val matched = c.join(chosen.withColumnRenamed("spk_mapped", "k_h"),
+        Seq("f", "k_r", "k_h"))
+      .select(col("f"), col("k_r"), col("ov").as("t_matched"))
+    tRef
+      .join(chosen, Seq("f", "k_r"), "left")
+      .join(perRef, Seq("f", "k_r"), "left")
+      .join(matched, Seq("f", "k_r"), "left")
+      .select(col("f").as("file"), col("k_r").cast("long").as("spk_ref"),
+        coalesce(col("spk_mapped"), lit(-1)).cast("long").as("spk_mapped"),
+        col("t_spk_ref"),
+        coalesce(col("t_matched"), lit(0L)).as("t_matched"),
+        (coalesce(col("t_overlap"), lit(0L))
+          - coalesce(col("t_matched"), lit(0L))).as("t_confused"))
+      .withColumn("t_missed",
+        col("t_spk_ref") - col("t_matched") - col("t_confused"))
+  }
+
   /** L165 — chrF (Popović 2015): character-n-gram F-β between the
     * whitespace-stripped ref/hyp strings, one output row per order
     * n = 1..maxN with exact integer counts and the F2 score as ONE

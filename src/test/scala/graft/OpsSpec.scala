@@ -2232,6 +2232,28 @@ class OpsSpec extends SparkSpec {
     assert(noHyp.getLong(5) == 10L && noHyp.getDouble(8) == 1.0)
   }
 
+  test("L174 speakerConfusion: merged voices surface as t_confused under the chosen mapping") {
+    import graft.ops.EvalOps
+    val ref = Seq(
+      (4L, 0L, 10L, 0), (4L, 10L, 20L, 1), (4L, 20L, 30L, 2),
+      (9L, 0L, 10L, 0) // no hypothesis file
+    ).toDF("f", "s", "e", "spk")
+    val hyp = Seq(
+      // the diarizer merged ref spk1 into hyp spk0
+      (4L, 0L, 10L, 0), (4L, 10L, 20L, 0), (4L, 20L, 30L, 2)
+    ).toDF("f", "s", "e", "spk")
+    val got = EvalOps.speakerConfusion(ref, hyp, "f", "s", "e", "spk")
+      .orderBy($"file", $"spk_ref").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (4L, 0L, 0L, 10L, 10L, 0L, 0L),
+      (4L, 1L, 1L, 10L, 0L, 10L, 0L),  // all of spk1's time is confusion
+      (4L, 2L, 2L, 10L, 10L, 0L, 0L),
+      (9L, 0L, -1L, 10L, 0L, 0L, 10L)  // no mapping, all missed
+    ), s"got $got")
+  }
+
   test("L159 rougeN: clipped multiset bigram overlap, loud -1 on empty gram sets") {
     import graft.ops.EvalOps
     val pairs = Seq(
