@@ -639,6 +639,34 @@ private[graft] object QueriesAnalytics {
         |    THEN CAST(n * agree - pe_num AS DOUBLE)
         |      / CAST(n * n - pe_num AS DOUBLE)
         |    ELSE -1.0 END AS kappa
-        |FROM tot CROSS JOIN pe""".stripMargin))
+        |FROM tot CROSS JOIN pe""".stripMargin)),
+
+    // L175 — day-of-week seasonality profile with exact-integer chi^2
+    // vs uniform: the ingest-drift detector (a feed whose weekday mix
+    // shifts is upstream breakage before volumes move). Weekday from
+    // exact epoch arithmetic, never timezone date functions.
+    Q("e_dow_profile",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        EventAnalytics.dowProfile(
+            ev.withColumn("tus", Tables.tsUs(ev)), "event_type", "tus")
+          .orderBy(col("type"))
+      },
+      Some("""WITH e AS (SELECT event_type AS type,
+        |    ((epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 + 4) % 7
+        |      AS dow
+        |  FROM events),
+        |bd AS (SELECT type, dow, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM e GROUP BY type, dow),
+        |ag AS (SELECT type, CAST(SUM(nd) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_dows,
+        |    CAST(SUM(nd * nd) AS BIGINT) AS ssq
+        |  FROM bd GROUP BY type)
+        |SELECT type, n, n_dows,
+        |  CAST(ssq * 49 - n * n * 7 AS BIGINT) AS chisq_num,
+        |  CASE WHEN n > 0
+        |    THEN CAST(ssq * 49 - n * n * 7 AS DOUBLE) / CAST(n * 7 AS DOUBLE)
+        |    ELSE -1.0 END AS chisq
+        |FROM ag ORDER BY type""".stripMargin))
   )
 }

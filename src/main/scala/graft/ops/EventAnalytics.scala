@@ -247,6 +247,41 @@ object EventAnalytics {
     *
     * Output: (key, n, n_late, max_lag_us, p99_lag_us).
     */
+  /** L175 — DAY-OF-WEEK SEASONALITY PROFILE with an exact-integer χ²
+    * against the uniform profile — the ingest-drift detector for event
+    * feeds (a feed whose weekday mix shifts is upstream breakage long
+    * before volumes move): per type, χ² = Σ_d (n_d − n/7)²/(n/7)
+    * computed as Σ_d (7·n_d − n)² / (7n) — the numerator is an exact
+    * long (absent weekdays contribute n² each), the statistic ONE
+    * division. Weekday from exact epoch arithmetic ((days + 4) mod 7,
+    * Thursday epoch), never timezone-dependent date functions.
+    *
+    * Scale shape: one (type, dow) map-side hash agg, then a 7-row-max
+    * per-type rollup.
+    *
+    * Output: (type, n, n_dows, chisq_num, chisq).
+    */
+  def dowProfile(events: DataFrame, typeCol: String,
+      tusCol: String): DataFrame = {
+    val days = ((col(tusCol) - pmod(col(tusCol), lit(86400000000L)))
+      / 86400000000L).cast("long")
+    val byDow = events
+      .select(col(typeCol).as("type"), pmod(days + 4L, lit(7L)).as("dow"))
+      .groupBy(col("type"), col("dow")).agg(count(lit(1)).as("nd"))
+    byDow.groupBy(col("type"))
+      .agg(sum(col("nd")).as("n"), count(lit(1)).as("n_dows"),
+        sum(col("nd") * col("nd")).as("__ssq"))
+      // Σ over ALL 7 dows (absent nd = 0) of (7nd − n)²
+      //   = 49·Σnd² − 14n·Σnd + 7n² = 49·Σnd² − 7n²
+      .withColumn("chisq_num",
+        col("__ssq") * 49L - col("n") * col("n") * 7L)
+      .select(col("type"), col("n"), col("n_dows"), col("chisq_num"))
+      .withColumn("chisq",
+        when(col("n") > 0L,
+          col("chisq_num").cast("double") / (col("n") * 7L).cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   def disorderProfile(events: DataFrame, keyCol: String, tusCol: String,
                       arrivalCol: String, tieCol: String): DataFrame = {
     val wArr = Window.partitionBy(col(keyCol))

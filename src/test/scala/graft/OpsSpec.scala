@@ -2254,6 +2254,20 @@ class OpsSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  test("L175 dowProfile: uniform week scores 0, one-day spike scores the textbook 42") {
+    import graft.ops.EventAnalytics
+    val day = 86400000000L
+    val ev = ((0 until 7).map(d => ("x", d * day + 5L)) ++
+      (0 until 7).map(_ => ("y", 3L * day + 9L))).toDF("t", "tus")
+    val got = EventAnalytics.dowProfile(ev, "t", "tus")
+      .orderBy($"type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // y: num = 49*49 - 7*49 = 2058, chisq = 2058/49 = 42 = (k-1)*n
+    assert(got == Seq(("x", 7L, 7L, 0L, 0.0), ("y", 7L, 1L, 2058L, 42.0)),
+      s"got $got")
+  }
+
   test("L159 rougeN: clipped multiset bigram overlap, loud -1 on empty gram sets") {
     import graft.ops.EvalOps
     val pairs = Seq(
