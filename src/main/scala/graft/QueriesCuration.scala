@@ -1630,6 +1630,38 @@ private[graft] object QueriesCuration {
         |  FROM mx)
         |SELECT p.doc_id, p.x, p.y FROM pts p JOIN dm USING (x)
         |WHERE p.y = dm.max_y AND (dm.best_above IS NULL OR p.y > dm.best_above)
-        |ORDER BY p.doc_id""".stripMargin))
+        |ORDER BY p.doc_id""".stripMargin)),
+
+    // L176 — source vocabulary overlap: Jaccard between every source
+    // pair's top-40 vocabularies (freq-desc, token tie-break) — the
+    // source-relatedness matrix beside c_source_hhi; zero-overlap
+    // pairs still emit rows via the broadcast pair frame.
+    Q("c_source_vocab_overlap",
+      (s, dir) => Curation.sourceVocabOverlap(
+          Tables.documents(s, dir), "source", "text", 40)
+        .orderBy(col("src_a"), col("src_b")),
+      Some(s"""WITH $toksSqlCte,
+        |tk AS (SELECT dd.source AS src, t.w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d JOIN documents dd USING (doc_id),
+        |    LATERAL (SELECT unnest(d.toks) AS w) t
+        |  GROUP BY dd.source, t.w),
+        |tp AS (SELECT src, w FROM (SELECT src, w,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, w) AS rk
+        |  FROM tk) WHERE rk <= 40),
+        |sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS sz FROM tp GROUP BY src),
+        |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM tp a JOIN tp b ON a.w = b.w AND a.src < b.src
+        |  GROUP BY a.src, b.src),
+        |ap AS (SELECT x.src AS src_a, x.sz AS n_a, y.src AS src_b, y.sz AS n_b
+        |  FROM sz x JOIN sz y ON x.src < y.src)
+        |SELECT ap.src_a, ap.src_b, ap.n_a, ap.n_b,
+        |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CASE WHEN ap.n_a + ap.n_b - coalesce(sh.n_shared, 0) > 0
+        |    THEN CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+        |      / CAST(ap.n_a + ap.n_b - coalesce(sh.n_shared, 0) AS DOUBLE)
+        |    ELSE -1.0 END AS jaccard
+        |FROM ap LEFT JOIN sh ON sh.src_a = ap.src_a AND sh.src_b = ap.src_b
+        |ORDER BY ap.src_a, ap.src_b""".stripMargin))
   )
 }

@@ -1932,6 +1932,50 @@ object Curation {
       .select(col(idCol), col("x"), col("y"))
   }
 
+  /** L176 — SOURCE VOCABULARY OVERLAP: Jaccard between every source
+    * pair's top-k vocabularies (rank by frequency, ties by token —
+    * deterministic in any engine) — the source-relatedness matrix a
+    * mixture plan reads next to [[herfindahl]]: two sources whose
+    * top vocabularies barely overlap contribute diversity; near-
+    * identical ones are redundant weight. Exact: set sizes and the
+    * shared count are integers, Jaccard the single division.
+    *
+    * Scale shape: one (source, token) hash agg, a per-source top-k
+    * rank window (vocabulary-bounded), a token equi self-join of the
+    * k-sized tops, and a broadcast pair frame over the SOURCE
+    * cardinality (tiny by construction) so zero-overlap pairs still
+    * emit rows.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_shared, jaccard) for every
+    * unordered source pair.
+    */
+  def sourceVocabOverlap(df: DataFrame, srcCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tok = df.select(col(srcCol).as("src"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("src"), col("w")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("src")).orderBy(col("n").desc, col("w"))
+    val top = tok.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select(col("src"), col("w"))
+    val sizes = top.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val shared = top.withColumnRenamed("src", "src_a")
+      .join(top.withColumnRenamed("src", "src_b"), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+    val allPairs = sizes.select(col("src").as("src_a"), col("sz").as("n_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("sz").as("n_b"))),
+        col("src_a") < col("src_b"))
+    allPairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_shared") > 0L,
+          col("n_shared").cast("double")
+            / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L166 — HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of a corpus
     * dimension (here: how concentrated each language's documents are
     * across sources) — the mixture-health diagnostic read before

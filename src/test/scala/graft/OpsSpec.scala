@@ -2268,6 +2268,22 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L176 sourceVocabOverlap: top-k Jaccard, zero-overlap pairs still emit rows") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("A", "a a b c"), ("B", "a d d"), ("C", "z z")
+    ).toDF("source", "text")
+    val got = Curation.sourceVocabOverlap(df, "source", "text", 2)
+      .orderBy($"src_a", $"src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // A top2 {a,b}; B top2 {d,a}; C top {z} (under k)
+    assert(got == Seq(
+      ("A", "B", 2L, 2L, 1L, 1d / 3d),
+      ("A", "C", 2L, 1L, 0L, 0.0),
+      ("B", "C", 2L, 1L, 0L, 0.0)), s"got $got")
+  }
+
   test("L159 rougeN: clipped multiset bigram overlap, loud -1 on empty gram sets") {
     import graft.ops.EvalOps
     val pairs = Seq(
