@@ -476,6 +476,36 @@ class PlanSpec extends SparkSpec {
     assert(cw.contains("BroadcastHashJoin"), "cpWER perm lattice should broadcast")
   }
 
+  test("round-8 pins: the eval/curation wave keeps its load-bearing plan shapes") {
+    // DER + confusion diagnostic: per-file equi interval join, the
+    // permutation lattice broadcasts, never a cartesian
+    for (q <- Seq("m_der", "m_der_confusion")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast the lattice")
+    }
+    // turn stats: one file-keyed window shuffle, no join operator
+    val ts = plan("m_turns")
+    assert(!ts.contains("Join"), "turn stats must be join-free")
+    // skyline: equi join back to points only — the pairwise-compare
+    // anti-shape (a theta self-join) must never appear
+    val sk = plan("c_skyline")
+    assert(!sk.contains("CartesianProduct") && !sk.contains("BroadcastNestedLoopJoin"),
+      "skyline must join on the x key only")
+    // quotas / vocab overlap / kappa: everything past the first agg is
+    // key-cardinality-sized; the only nested loops are the intended
+    // bounded broadcast frames
+    for (q <- Seq("c_quota_lr", "c_source_vocab_overlap", "e_kappa")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // per-row eval metrics and the dow profile never join
+    for (q <- Seq("e_dow_profile", "c_len_moments", "c_seqlen_hist")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
