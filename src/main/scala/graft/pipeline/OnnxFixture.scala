@@ -55,7 +55,7 @@ object OnnxFixture {
   def identityModel(width: Long): Array[Byte] = {
     val pb = new Pb
     pb.int(1, 8) // ir_version
-    pb.msg(8) { g => // graph: GraphProto
+    pb.msg(7) { g => // graph: GraphProto (ModelProto.graph = field 7 in onnx.proto3)
       g.msg(1) { n => // node: NodeProto
         n.str(1, "in") // input
         n.str(2, "out") // output
@@ -66,7 +66,7 @@ object OnnxFixture {
       valueInfo(g, 11, "in", Seq(-1L, width))
       valueInfo(g, 12, "out", Seq(-1L, width))
     }
-    pb.msg(14) { op => // opset_import: OperatorSetIdProto
+    pb.msg(8) { op => // opset_import: OperatorSetIdProto (field 8; 14 is metadata_props)
       op.str(1, "") // default domain
       op.int(2, 13)
     }
@@ -75,7 +75,7 @@ object OnnxFixture {
 
   /** Structural re-parse of the emitted wire format: walks every TLV
     * (recursing into length-delimited fields), verifying lengths are
-    * consistent and the top level carries fields {1, 8, 14}. Returns
+    * consistent and the top level carries fields {1, 7, 8}. Returns
     * the set of top-level field numbers.
     */
   def selfCheck(bytes: Array[Byte]): Set[Int] = {

@@ -155,7 +155,7 @@ object OnnxModelFile {
     walkFields(b, 0, b.length) { (field, wire, s, e) =>
       (field, wire) match {
         case (1, 0) => ir = varintAt(b, s, e) // ir_version
-        case (8, 2) => // graph: GraphProto
+        case (7, 2) => // graph: GraphProto (onnx.proto3: ModelProto.graph = 7)
           sawGraph = true
           walkFields(b, s, e) { (gf, gw, gs, ge) =>
             (gf, gw) match {
@@ -173,7 +173,7 @@ object OnnxModelFile {
               case _ => ()
             }
           }
-        case (14, 2) => // opset_import: OperatorSetIdProto
+        case (8, 2) => // opset_import: OperatorSetIdProto (field 8; 14 is metadata_props, skipped)
           var dom = ""; var ver = 0L
           walkFields(b, s, e) { (of, ow, os, oe) =>
             if (of == 1 && ow == 2) dom = strAt(b, os, oe)
@@ -184,7 +184,7 @@ object OnnxModelFile {
       }
     }
     require(sawGraph, "protobuf parsed but carries no GraphProto " +
-      "(field 8) — not an ONNX ModelProto")
+      "(field 7) — not an ONNX ModelProto")
     ModelInfo(ir, opsets.result(), graphName, inputs.result(),
       outputs.result(), opTypes.result(), inits.result())
   }

@@ -92,9 +92,9 @@ class OnnxSpec extends SparkSpec {
   test("onnxruntime jar absence is reported loudly; presence runs the real Identity fixture") {
     val model = graft.pipeline.OnnxFixture.identityModel(4)
     // the wire structure must be sound either way: ir_version(1),
-    // graph(8), opset_import(14) at the top level
+    // graph(7), opset_import(8) at the top level (onnx.proto3 numbers)
     val top = graft.pipeline.OnnxFixture.selfCheck(model)
-    assert(Set(1, 8, 14).subsetOf(top), s"fixture top-level fields: $top")
+    assert(Set(1, 7, 8).subsetOf(top), s"fixture top-level fields: $top")
     if (!OnnxRuntimeJvm.available) {
       intercept[UnsupportedOperationException](OnnxRuntimeJvm.load(model))
     } else {
@@ -195,6 +195,36 @@ class OnnxSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       OnnxModelFile.inspect("not a model".getBytes("UTF-8"))
     }
+  }
+
+  test("OnnxModelFile decodes a byte literal laid out like a real exporter's ModelProto") {
+    import graft.pipeline.OnnxModelFile
+    // Hand-encoded (hex literal, NOT produced by OnnxFixture's writer)
+    // with the exact onnx.proto3 numbers and the surround real
+    // exporters emit: producer_name(2)/producer_version(3) strings, an
+    // initializer-backed weight listed in TensorProto, graph at FIELD 7,
+    // opset_import at FIELD 8, and a metadata_props(14) entry. A parser
+    // that reads the graph at 8 or opsets at 14 (the pre-r9 bug)
+    // misparses this into garbage; the fixture writer can't catch that
+    // because it shares its numbers with the parser.
+    val hex = "0808120c6f6e6e782d6578616d706c651a06312e31362e303a560a130a0178" +
+      "1201791a0572656c7530220452656c75120474696e792a0d0801100122040000803f42" +
+      "01775a140a0178120f0a0d080112090a0312014e0a02080362140a0179120f0a0d0801" +
+      "12090a0312014e0a0208034202101172190a0e636f6e7665727465645f66726f6d1207" +
+      "7079746f726368"
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val mi = OnnxModelFile.inspect(bytes) match {
+      case m: OnnxModelFile.ModelInfo => m
+      case other => fail(s"expected ModelInfo, got $other")
+    }
+    assert(mi.irVersion == 8L)
+    assert(mi.opsets == Seq("" -> 17L)) // proto3 omits the empty default domain
+    assert(mi.graphName == "tiny")
+    assert(mi.opTypes == Seq("Relu"))
+    assert(mi.initializers == Seq("w"))
+    assert(mi.inputs.map(_.name) == Seq("x") && mi.outputs.map(_.name) == Seq("y"))
+    assert(mi.inputs.head.dims == Seq(-1L, 3L) &&
+      mi.inputs.head.dimParams == Map(0 -> "N"))
   }
 
   test("reference model files are git-lfs pointers, not weights — pinned provenance audit") {
