@@ -1598,12 +1598,13 @@ private[graft] object QueriesCuration {
       Some(s"""WITH $toksSqlCte,
         |lx AS (SELECT CAST(len(toks) AS BIGINT) AS x FROM d),
         |bk AS (SELECT x, CASE WHEN x <= 0 THEN 0
-        |    ${(1 to 21).map(b => s"WHEN x < ${1L << b} THEN $b").mkString(" ")}
-        |    ELSE 21 END AS bucket FROM lx)
+        |    ${(1 to 62).map(b => s"WHEN x < ${1L << b} THEN $b").mkString(" ")}
+        |    ELSE 63 END AS bucket FROM lx)
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         |  CAST(CASE WHEN bucket = 0 THEN 0
         |    ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT) AS lo,
-        |  CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi,
+        |  CAST(CASE WHEN bucket = 63 THEN ${Long.MaxValue}
+        |    ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS BIGINT) AS hi,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(x) AS BIGINT) AS total_tokens
         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),

@@ -864,7 +864,9 @@ private[graft] object QueriesSpeech {
     // segment (confusion — which the optimal mapping must NOT undo
     // because the other diagonals pin the permutation, EXCEPT when the
     // dropped segment freed that speaker: id%20==0 exercises the
-    // non-identity optimum).
+    // non-identity optimum). id%13==7 files carry hypothesis speech
+    // but NO reference speech (a diarizer hallucinating into silence):
+    // their FA time must surface as a t_ref=0 / der=-1 row, not vanish.
     Q("m_der",
       (s, dir) => {
         val ids = Tables.events(s, dir)
@@ -872,7 +874,7 @@ private[graft] object QueriesSpeech {
           .filter(col("id") < 200).distinct()
         val ks = ids.select(col("id"),
           explode(sequence(lit(0L), lit(3L))).as("k"))
-        val ref = ks.select(col("id"),
+        val ref = ks.filter(pmod(col("id"), lit(13L)) =!= 7L).select(col("id"),
           (col("k") * 10000000L).as("s"),
           (col("k") * 10000000L + 6000000L).as("e"),
           pmod(col("k") + col("id"), lit(4L)).as("spk"))
@@ -892,7 +894,7 @@ private[graft] object QueriesSpeech {
         |  FROM events WHERE event_id < 200),
         |kk AS (SELECT id, unnest(range(4)) AS k FROM ids),
         |ref AS (SELECT id, k * 10000000 AS s, k * 10000000 + 6000000 AS e,
-        |    (k + id) % 4 AS spk FROM kk),
+        |    (k + id) % 4 AS spk FROM kk WHERE id % 13 != 7),
         |hyp AS (SELECT id, k * 10000000 + (id % 3) * 500000 AS s,
         |    k * 10000000 + 6000000 + (id % 3) * 500000 AS e,
         |    (k + id + CASE WHEN id % 5 = 0 AND k = 2 THEN 1 ELSE 0 END) % 4 AS spk
@@ -909,16 +911,18 @@ private[graft] object QueriesSpeech {
         |bc AS (SELECT id, MAX(cor) AS t_correct FROM cor GROUP BY id),
         |tr AS (SELECT id, CAST(SUM(e - s) AS BIGINT) AS t_ref FROM ref GROUP BY id),
         |th AS (SELECT id, CAST(SUM(e - s) AS BIGINT) AS t_hyp FROM hyp GROUP BY id),
-        |j AS (SELECT tr.id, t_ref,
+        |j AS (SELECT id, coalesce(t_ref, 0) AS t_ref,
         |    coalesce(t_hyp, 0) AS t_hyp, coalesce(t_both, 0) AS t_both,
         |    coalesce(t_correct, 0) AS t_correct
-        |  FROM tr LEFT JOIN th USING (id) LEFT JOIN tb USING (id)
+        |  FROM tr FULL OUTER JOIN th USING (id) LEFT JOIN tb USING (id)
         |  LEFT JOIN bc USING (id))
         |SELECT id AS file, t_ref, t_hyp, t_both, t_correct,
         |  t_ref - t_both AS t_miss, t_hyp - t_both AS t_fa,
         |  t_both - t_correct AS t_conf,
-        |  CAST((t_ref - t_both) + (t_hyp - t_both) + (t_both - t_correct)
-        |    AS DOUBLE) / CAST(t_ref AS DOUBLE) AS der
+        |  CASE WHEN t_ref > 0 THEN
+        |    CAST((t_ref - t_both) + (t_hyp - t_both) + (t_both - t_correct)
+        |      AS DOUBLE) / CAST(t_ref AS DOUBLE)
+        |  ELSE -1.0 END AS der
         |FROM j ORDER BY file""".stripMargin))
   ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry
 
@@ -936,6 +940,10 @@ private[graft] object QueriesSpeech {
     * label assignment) plus the m_wer word corruption; the metric must
     * find the rotation among the 6 mappings and report only the
     * corruption edits — diarization relabeling is not an ASR error.
+    * doc_id%4==0 files LOSE hypothesis label 2 (the diarizer merged a
+    * voice away — the failure cpWER exists to price): the reference
+    * transcript left unpaired under each mapping must cost its full
+    * word count as deletions, never silently improve the score.
     */
   private def cpwerEntry: Q =
     Q("m_cpwer",
@@ -957,6 +965,7 @@ private[graft] object QueriesSpeech {
             .otherwise(st("w"))))
         val hyps = sp.withColumn("__rsl", rsl)
           .withColumn("words", corrupted)
+          .filter(!(pmod(col("doc_id"), lit(4L)) === 0L && col("spk") === 2))
           .select(col("doc_id"), col("spk"), col("words"))
         EvalOps.cpWer(refs, hyps, "doc_id", "spk", "words", maxSpeakers = 3)
           .orderBy(col("file"))
@@ -976,11 +985,16 @@ private[graft] object QueriesSpeech {
         |        i -> {'w': rsl[CAST(i AS INTEGER)], 'i': i}),
         |      s -> s['i'] % 7 != 4),
         |      s -> CASE WHEN s['i'] % 5 = 3 THEN s['w'] || 'x' ELSE s['w'] END) AS hw
-        |  FROM rot),
+        |  FROM rot WHERE NOT (doc_id % 4 = 0 AND spk = 2)),
         |perms(perm_id, kr, kh) AS (VALUES $cpwerPermValues),
-        |pairs AS (SELECT r.doc_id, p.perm_id, r.spk, r.rw, h.hw
-        |  FROM refs r JOIN perms p ON p.kr = r.spk
-        |  JOIN hyps h ON h.doc_id = r.doc_id AND h.spk = p.kh),
+        |refm AS (SELECT r.doc_id, p.perm_id, p.kh, r.rw
+        |  FROM refs r JOIN perms p ON p.kr = r.spk),
+        |hypm AS (SELECT h.doc_id, pid.perm_id, h.spk AS kh, h.hw
+        |  FROM hyps h CROSS JOIN (SELECT DISTINCT perm_id FROM perms) pid),
+        |pairs AS (SELECT doc_id, perm_id, kh,
+        |    coalesce(rw, CAST([] AS VARCHAR[])) AS rw,
+        |    coalesce(hw, CAST([] AS VARCHAR[])) AS hw
+        |  FROM refm FULL OUTER JOIN hypm USING (doc_id, perm_id, kh)),
         |dic AS (SELECT doc_id, perm_id, rw, hw,
         |    list_sort(list_distinct(list_concat(rw, hw))) AS dict FROM pairs),
         |ec AS (SELECT doc_id, perm_id,
@@ -1013,7 +1027,9 @@ private[graft] object QueriesSpeech {
   /** L174 — per-speaker confusion under the chosen optimal mapping,
     * over the SAME minted streams as m_der: the diagnostic showing
     * which reference speaker lost time to confusion (the id%5
-    * mislabeled segment) vs shift-miss vs the dropped segment.
+    * mislabeled segment) vs shift-miss vs the dropped segment. The
+    * id%13==7 hyp-only files have no per-ref-speaker row by definition
+    * (their FA time surfaces in m_der's t_ref=0 rows).
     */
   private def derConfusionEntry: Q =
     Q("m_der_confusion",
@@ -1023,7 +1039,7 @@ private[graft] object QueriesSpeech {
           .filter(col("id") < 200).distinct()
         val ks = ids.select(col("id"),
           explode(sequence(lit(0L), lit(3L))).as("k"))
-        val ref = ks.select(col("id"),
+        val ref = ks.filter(pmod(col("id"), lit(13L)) =!= 7L).select(col("id"),
           (col("k") * 10000000L).as("s"),
           (col("k") * 10000000L + 6000000L).as("e"),
           pmod(col("k") + col("id"), lit(4L)).as("spk"))
@@ -1043,7 +1059,7 @@ private[graft] object QueriesSpeech {
         |  FROM events WHERE event_id < 200),
         |kk AS (SELECT id, unnest(range(4)) AS k FROM ids),
         |ref AS (SELECT id, k * 10000000 AS s, k * 10000000 + 6000000 AS e,
-        |    (k + id) % 4 AS spk FROM kk),
+        |    (k + id) % 4 AS spk FROM kk WHERE id % 13 != 7),
         |hyp AS (SELECT id, k * 10000000 + (id % 3) * 500000 AS s,
         |    k * 10000000 + 6000000 + (id % 3) * 500000 AS e,
         |    (k + id + CASE WHEN id % 5 = 0 AND k = 2 THEN 1 ELSE 0 END) % 4 AS spk

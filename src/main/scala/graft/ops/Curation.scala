@@ -1880,15 +1880,18 @@ object Curation {
     * bit length of their token count (bucket b holds 2^(b−1) ≤ n < 2^b;
     * bucket 0 = empty docs) — the distribution read before choosing a
     * context length / packing budget. The bucket function is a
-    * generated fixed CASE chain over the 21 power-of-2 edges, shared
-    * verbatim with the SQL oracle — exact in both engines, no log2
-    * floats. One hash agg.
+    * generated fixed CASE chain over the 62 power-of-2 edges — the
+    * FULL long domain, so no oversized doc is ever counted under a
+    * mislabeled range (bucket 63's hi is Long.MaxValue = 2^63−1
+    * exactly; the shift would overflow, so it's emitted literally) —
+    * shared verbatim with the SQL oracle — exact in both engines, no
+    * log2 floats. One hash agg.
     *
     * Output: (bucket, lo, hi, n_docs, total_tokens).
     */
   def seqlenHistogram(df: DataFrame, lenCol: Column): DataFrame = {
     val x = lenCol.cast("long")
-    val bucket = (1 to 21).foldRight(lit(21): Column) { (b, els) =>
+    val bucket = (1 to 62).foldRight(lit(63): Column) { (b, els) =>
       when(x < (1L << b), lit(b)).otherwise(els)
     }
     df.select(x.as("x"),
@@ -1899,7 +1902,8 @@ object Curation {
         when(col("bucket") === 0L, lit(0L))
           .otherwise(expr("shiftleft(cast(1 as bigint), cast(bucket - 1 as int))"))
           .cast("long").as("lo"),
-        expr("shiftleft(cast(1 as bigint), cast(bucket as int)) - 1")
+        when(col("bucket") === 63L, lit(Long.MaxValue))
+          .otherwise(expr("shiftleft(cast(1 as bigint), cast(bucket as int)) - 1"))
           .cast("long").as("hi"),
         col("n_docs"), col("total_tokens"))
   }

@@ -46,9 +46,16 @@ object EvalOps {
     * input, one ≤ 96-row broadcast; per-file work bounded by segment
     * count — nothing quadratic in files.
     *
+    * A file with hypothesis speech but NO reference speech still emits
+    * its row (full-outer assembly): t_ref = 0, t_fa = t_hyp, der = −1
+    * (the loud-flag posture — FA time must surface, and 0/0 is not a
+    * score). A file carrying any speaker id outside 0..maxSpeakers−1
+    * breaks the lattice contract and flags der = −1 likewise, never a
+    * silently understated t_correct.
+    *
     * Output: (file, t_ref, t_hyp, t_both, t_correct, t_miss, t_fa,
     * t_conf, der) with der = (miss+fa+conf)/t_ref as the single
-    * exact-integer division.
+    * exact-integer division (−1 on t_ref = 0 or contract violation).
     */
   def diarizationErrorRate(ref: DataFrame, hyp: DataFrame, fileCol: String,
       startCol: String, endCol: String, spkCol: String,
@@ -63,9 +70,11 @@ object EvalOps {
     val r = norm(ref, "r")
     val h = norm(hyp, "h")
     val tr = r.groupBy(col("f"))
-      .agg(sum(col("e_r") - col("s_r")).as("t_ref"))
+      .agg(sum(col("e_r") - col("s_r")).as("t_ref"),
+        max(col("k_r") < 0 || col("k_r") >= maxSpeakers).as("bad_r"))
     val th = h.groupBy(col("f"))
-      .agg(sum(col("e_h") - col("s_h")).as("t_hyp"))
+      .agg(sum(col("e_h") - col("s_h")).as("t_hyp"),
+        max(col("k_h") < 0 || col("k_h") >= maxSpeakers).as("bad_h"))
     // co-occurrence: per-file interval intersection, equi on file
     val c = r.join(h, Seq("f"))
       .filter(col("s_r") < col("e_h") && col("s_h") < col("e_r"))
@@ -77,19 +86,25 @@ object EvalOps {
     val correct = c.join(broadcast(perms), Seq("k_r", "k_h"))
       .groupBy(col("f"), col("perm_id")).agg(sum(col("ov")).as("cor"))
       .groupBy(col("f")).agg(max(col("cor")).as("t_correct"))
-    tr.join(th, Seq("f"), "left")
+    tr.join(th, Seq("f"), "full_outer")
       .join(both, Seq("f"), "left")
       .join(correct, Seq("f"), "left")
-      .select(col("f").as("file"), col("t_ref"),
+      .select(col("f").as("file"),
+        coalesce(col("t_ref"), lit(0L)).as("t_ref"),
         coalesce(col("t_hyp"), lit(0L)).as("t_hyp"),
         coalesce(col("t_both"), lit(0L)).as("t_both"),
-        coalesce(col("t_correct"), lit(0L)).as("t_correct"))
+        coalesce(col("t_correct"), lit(0L)).as("t_correct"),
+        (coalesce(col("bad_r"), lit(false))
+          || coalesce(col("bad_h"), lit(false))).as("__bad"))
       .withColumn("t_miss", col("t_ref") - col("t_both"))
       .withColumn("t_fa", col("t_hyp") - col("t_both"))
       .withColumn("t_conf", col("t_both") - col("t_correct"))
       .withColumn("der",
-        (col("t_miss") + col("t_fa") + col("t_conf")).cast("double")
-          / col("t_ref").cast("double"))
+        when(col("t_ref") > 0L && !col("__bad"),
+          (col("t_miss") + col("t_fa") + col("t_conf")).cast("double")
+            / col("t_ref").cast("double"))
+          .otherwise(lit(-1d)))
+      .drop("__bad")
   }
 
   /** Clipped multiset intersection size Σ_g min(cntA(g), cntB(g)) —
@@ -154,13 +169,27 @@ object EvalOps {
     * Contract: both streams carry speaker ids 0..maxSpeakers−1 with
     * word arrays under the L155/L156 encodability bound; a pair whose
     * union vocabulary overflows flags dist −1 and its mappings are
-    * excluded (best_dist −1 if every mapping is poisoned — loud).
+    * excluded (best_dist −1 if every mapping is poisoned — loud), and
+    * a file carrying ANY speaker id outside 0..maxSpeakers−1 flags
+    * best_dist/cpwer −1 outright (contract violation — never a
+    * silently dropped transcript).
+    *
+    * UNPAIRED transcripts are PRICED, not dropped (the metric's whole
+    * point is grading diarizers that lose or invent speakers): under a
+    * mapping, a reference speaker whose mapped hypothesis label is
+    * absent for the file scores |ref words| deletions, and a
+    * hypothesis label no present reference speaker maps to scores
+    * |hyp words| insertions — the full-outer pairing per (file,
+    * mapping, hyp label) with the missing side as the empty
+    * transcript. n_ref is the file's total reference word count,
+    * identical under every mapping by construction.
     *
     * Scale shape: one ≤24-row broadcast, equi joins on (file,
-    * speaker), per-pair codegen'd levenshtein, two hash aggs.
+    * mapping, speaker), per-pair codegen'd levenshtein, two hash aggs.
     *
     * Output: (file, n_ref, best_dist, cpwer) with cpwer =
-    * best_dist/n_ref (−1 when n_ref = 0 or all mappings poisoned).
+    * best_dist/n_ref (−1 when n_ref = 0, all mappings poisoned, or a
+    * speaker id breaks the contract).
     */
   def cpWer(ref: DataFrame, hyp: DataFrame, fileCol: String,
       spkCol: String, wordsCol: String, maxSpeakers: Int = 4): DataFrame = {
@@ -171,8 +200,22 @@ object EvalOps {
     val h = hyp.select(col(fileCol).cast("long").as("f"),
       col(spkCol).cast("int").as("k_h"), col(wordsCol).as("hw"))
     val perms = permRows(maxSpeakers).toDF("perm_id", "k_r", "k_h")
-    val paired = r.join(broadcast(perms), Seq("k_r"))
-      .join(h, Seq("f", "k_h"))
+    val permIds = permRows(maxSpeakers).map(_._1).distinct.toDF("perm_id")
+    // contract gate: any id outside 0..maxSpeakers-1 poisons its file
+    val spkBad = r.select(col("f"), col("k_r").as("k"))
+      .unionByName(h.select(col("f"), col("k_h").as("k")))
+      .groupBy(col("f"))
+      .agg(max(col("k") < 0 || col("k") >= maxSpeakers).as("spk_bad"))
+    // every mapping pairs each present ref speaker with its mapped hyp
+    // label and each hyp label with its pre-image: full outer per
+    // (file, mapping, hyp label), missing side = empty transcript
+    val refm = r.join(broadcast(perms), Seq("k_r"))
+      .select(col("f"), col("perm_id"), col("k_h"), col("rw"))
+    val hypm = h.crossJoin(broadcast(permIds))
+      .select(col("f"), col("perm_id"), col("k_h"), col("hw"))
+    val paired = refm.join(hypm, Seq("f", "perm_id", "k_h"), "full_outer")
+      .withColumn("rw", coalesce(col("rw"), filter(col("hw"), _ => lit(false))))
+      .withColumn("hw", coalesce(col("hw"), filter(col("rw"), _ => lit(false))))
     val scored = TextOps.wordErrorRate(paired, Seq("f", "perm_id"), "rw", "hw")
     val perMapping = scored.groupBy(col("f"), col("perm_id"))
       .agg(sum(col("n_ref")).as("n_ref"),
@@ -181,7 +224,10 @@ object EvalOps {
     perMapping.groupBy(col("f"))
       .agg(max(col("n_ref")).as("n_ref"),
         coalesce(min(when(col("d") >= 0L, col("d"))), lit(-1L)).as("best_dist"))
-      .select(col("f").as("file"), col("n_ref"), col("best_dist"))
+      .join(spkBad, Seq("f"), "left")
+      .select(col("f").as("file"), col("n_ref"),
+        when(coalesce(col("spk_bad"), lit(false)), lit(-1L))
+          .otherwise(col("best_dist")).as("best_dist"))
       .withColumn("cpwer",
         when(col("best_dist") >= 0L && col("n_ref") > 0L,
           col("best_dist").cast("double") / col("n_ref").cast("double"))
@@ -195,6 +241,16 @@ object EvalOps {
     * ≤24-permutation argmax (ties to the lowest permId — deterministic
     * and oracle-replayable). A diarizer that merges two voices shows
     * up here as one row with large t_confused, not just a worse DER.
+    *
+    * Contract-violation surfaces (ids are expected in
+    * 0..maxSpeakers−1, the lattice contract): a reference speaker id
+    * OUTSIDE the range can never map and emits spk_mapped = −1 (the
+    * loud flag — its time reads as confused/missed, never vanishes);
+    * an out-of-range HYPOTHESIS label's overlap lands in t_confused
+    * (it is not the mapped label of any reference speaker). Files with
+    * hypothesis speech but no reference speech have no per-ref-speaker
+    * row by definition — [[diarizationErrorRate]] surfaces their FA
+    * time.
     *
     * Output: one row per (file, ref speaker present in ref):
     * (file, spk_ref, spk_mapped, t_spk_ref, t_matched, t_confused,

@@ -2230,6 +2230,34 @@ class OpsSpec extends SparkSpec {
       Seq((8L, 0L, 10L, 0)).toDF("f", "s", "e", "spk"),
       "f", "s", "e", "spk").filter($"file" === 9L).head
     assert(noHyp.getLong(5) == 10L && noHyp.getDouble(8) == 1.0)
+    // ...and the converse: a file with hypothesis speech but NO
+    // reference speech must still emit — t_ref 0, its FA time
+    // surfaced, der the loud -1 flag (0/0 is not a score)
+    val faOnly = EvalOps.diarizationErrorRate(
+      Seq((9L, 0L, 10L, 0)).toDF("f", "s", "e", "spk"),
+      Seq((8L, 0L, 10L, 0)).toDF("f", "s", "e", "spk"),
+      "f", "s", "e", "spk").filter($"file" === 8L).head
+    assert(faOnly.getLong(1) == 0L, s"t_ref: $faOnly")     // t_ref
+    assert(faOnly.getLong(6) == 10L, s"t_fa: $faOnly")     // t_fa
+    assert(faOnly.getDouble(8) == -1.0, s"der: $faOnly")
+  }
+
+  test("L158 diarizationErrorRate: out-of-contract speaker ids flag der -1, never a skewed score") {
+    import graft.ops.EvalOps
+    // hyp speaker 7 breaks the 0..3 lattice contract: its overlap
+    // would silently vanish from t_correct while staying in t_both,
+    // inflating confusion — the file must flag instead
+    val ref = Seq((1L, 0L, 10L, 0), (2L, 0L, 10L, 0)).toDF("f", "s", "e", "spk")
+    val hyp = Seq((1L, 0L, 10L, 7), (2L, 0L, 10L, 0)).toDF("f", "s", "e", "spk")
+    val got = EvalOps.diarizationErrorRate(ref, hyp, "f", "s", "e", "spk")
+      .orderBy($"file").collect()
+      .map(r => (r.getLong(0), r.getDouble(8))).toSeq
+    assert(got == Seq((1L, -1.0), (2L, 0.0)), s"got $got")
+    // same contract on the ref side
+    val refBad = Seq((1L, 0L, 10L, -2)).toDF("f", "s", "e", "spk")
+    val hypOk = Seq((1L, 0L, 10L, 0)).toDF("f", "s", "e", "spk")
+    assert(EvalOps.diarizationErrorRate(refBad, hypOk, "f", "s", "e", "spk")
+      .head.getDouble(8) == -1.0)
   }
 
   test("L174 speakerConfusion: merged voices surface as t_confused under the chosen mapping") {
@@ -2252,6 +2280,23 @@ class OpsSpec extends SparkSpec {
       (4L, 2L, 2L, 10L, 10L, 0L, 0L),
       (9L, 0L, -1L, 10L, 0L, 0L, 10L)  // no mapping, all missed
     ), s"got $got")
+    // contract-violation surfaces (scaladoc'd): an out-of-range REF id
+    // can never map -> spk_mapped -1 with its time loud in
+    // confused/missed; an out-of-range HYP label's overlap lands in
+    // t_confused (it is nobody's mapped label) — neither vanishes
+    val refC = Seq((5L, 0L, 10L, 0), (5L, 10L, 20L, 9), (5L, 20L, 30L, 1))
+      .toDF("f", "s", "e", "spk")
+    val hypC = Seq((5L, 0L, 10L, 7), (5L, 10L, 20L, 0), (5L, 20L, 30L, 1))
+      .toDF("f", "s", "e", "spk")
+    val gotC = EvalOps.speakerConfusion(refC, hypC, "f", "s", "e", "spk")
+      .orderBy($"spk_ref").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toSeq
+    assert(gotC == Seq(
+      (0L, 0L, 0L, 10L, 0L),   // ref 0's time overlapped the invalid hyp 7 -> confused
+      (1L, 1L, 10L, 0L, 0L),   // the valid anchor pair pins the identity mapping
+      (9L, -1L, 0L, 10L, 0L)), // invalid ref id: no mapping, overlap with hyp 0 -> confused
+      s"got $gotC")
   }
 
   test("L175 dowProfile: uniform week scores 0, one-day spike scores the textbook 42") {
@@ -2342,6 +2387,34 @@ class OpsSpec extends SparkSpec {
       .orderBy($"file").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == Seq((1L, 6L, 0L, 0.0), (2L, 6L, 1L, 1d / 6d)), s"got $got")
+  }
+
+  test("L161 cpWer: unpaired transcripts are PRICED — lost speakers cost deletions, invented ones insertions") {
+    import graft.ops.EvalOps
+    val ref = Seq(
+      // file 1: 3 ref speakers, hyp lost speaker 2 entirely (the
+      // diarizer merged a voice away — the failure cpWER exists to
+      // grade). Its 2 words must cost 2 deletions under EVERY mapping,
+      // never vanish and improve the score.
+      (1L, 0, Seq("x", "y")), (1L, 1, Seq("p", "q")), (1L, 2, Seq("m", "n")),
+      // file 2: hyp INVENTED a speaker the ref never had
+      (2L, 0, Seq("x", "y")),
+      // file 3: ref speaker id 5 breaks the 0..2 contract
+      (3L, 5, Seq("x", "y"))
+    ).toDF("f", "spk", "words")
+    val hyp = Seq(
+      (1L, 0, Seq("x", "y")), (1L, 1, Seq("p", "q")),
+      (2L, 0, Seq("x", "y")), (2L, 1, Seq("w", "v", "u")),
+      (3L, 0, Seq("x", "y"))
+    ).toDF("f", "spk", "words")
+    val got = EvalOps.cpWer(ref, hyp, "f", "spk", "words", maxSpeakers = 3)
+      .orderBy($"file").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 2L, 2d / 6d),  // lost speaker = its 2 words as deletions
+      (2L, 2L, 3L, 3d / 2d),  // invented speaker = its 3 words as insertions
+      (3L, 0L, -1L, -1.0)),   // contract violation flags loudly
+      s"got $got")
   }
 
   test("L163 cohensKappa: textbook 0.6 case, degenerate single-class flags -1") {
@@ -2468,6 +2541,16 @@ class OpsSpec extends SparkSpec {
       (1L, 1L, 1L, 2L, 2L),
       (2L, 2L, 3L, 1L, 3L),
       (4L, 8L, 15L, 1L, 8L)), s"got $got")
+    // the buckets cover the FULL long domain: an oversized length is
+    // never absorbed under a mislabeled 2^21-1 range — bucket 63's hi
+    // is Long.MaxValue = 2^63-1 itself (the shift would overflow)
+    val big = Seq(1L << 21, (1L << 21) + 5L, Long.MaxValue).toDF("n")
+    val gotBig = Curation.seqlenHistogram(big, $"n")
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotBig == Seq(
+      (22L, 1L << 21, (1L << 22) - 1, 2L),
+      (63L, 1L << 62, Long.MaxValue, 1L)), s"got $gotBig")
   }
 
   test("L173 skyline2d: dominated points drop, duplicate front points all survive") {
