@@ -81,17 +81,21 @@ private[graft] object QueriesMultimodal {
         |FROM rs ORDER BY doc_id, frame""".stripMargin)),
 
 
-    // Multimodal — IMAGE NEAR-DUP by perceptual dHash: 8×9 grayscale
-    // grids (deterministic stub decode — the codec seam is the stub,
-    // the HASH and the dedup join are real), 64 brightness comparisons
-    // packed into four 16-bit bands, pigeonhole (band, value)
-    // bucket-join candidates (recall 1 for Hamming ≤ 3), exact
-    // popcount verify at ≤ 2. Families (doc_id % 37) share a base
-    // grid; a per-doc single-cell perturbation flips at most two
-    // comparison bits — exactly the resize/re-encode robustness dHash
-    // exists for. The oracle recomputes hashes closed-form and checks
-    // ALL pairs exhaustively: candidate recall is part of what's
-    // verified.
+    // Multimodal — IMAGE NEAR-DUP by perceptual dHash over REAL DECODED
+    // PIXELS (r9): each doc's 8×9 grid renders to a 27×16 16-bit gray
+    // PNG (values reach 455 — wider than 8 bits, hence gray16), goes
+    // through a real javax.imageio encode→decode roundtrip, and the
+    // grid is re-extracted as cell means before hashing — so the dHash
+    // consumes genuinely decoded pixels while the oracle keeps scoring
+    // the synthesis formula (lossless + cell-constant ⇒ identity).
+    // 64 brightness comparisons packed into four 16-bit bands,
+    // pigeonhole (band, value) bucket-join candidates (recall 1 for
+    // Hamming ≤ 3), exact popcount verify at ≤ 2. Families
+    // (doc_id % 37) share a base grid; a per-doc single-cell
+    // perturbation flips at most two comparison bits — exactly the
+    // resize/re-encode robustness dHash exists for. The oracle
+    // recomputes hashes closed-form and checks ALL pairs exhaustively:
+    // candidate recall is part of what's verified.
     Q("mm_dhash_neardup",
       (s, dir) => {
         // quadratic-in-position grids spread band values across
@@ -101,9 +105,11 @@ private[graft] object QueriesMultimodal {
         val grid = expr("transform(sequence(0, 71), i -> CAST(" +
           "((doc_id % 37 + 1) * (i * i + 7 * i + 13)) % 256 + " +
           "IF(i = doc_id % 72, 200 * ((doc_id div 37) % 2), 0) AS INT))")
-        val base = Tables.documents(s, dir)
-          .filter(col("doc_id") < 2000)
-          .select(col("doc_id"), grid.as("g"))
+        val base = Multimodal.gridPngRoundtrip(
+          Tables.documents(s, dir)
+            .filter(col("doc_id") < 2000)
+            .select(col("doc_id"), grid.as("g")),
+          "doc_id", "g")
         val hashed = base
           .select(col("doc_id"), Multimodal.dHashBands(base, "g").as("bands"))
         Multimodal.dhashNearDupPairs(hashed, "doc_id", "bands", maxDist = 2)
@@ -124,6 +130,106 @@ private[graft] object QueriesMultimodal {
         |                    CAST(y.bands[CAST(k AS INTEGER)] AS BIGINT))))) AS BIGINT) AS dist
         |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
         |SELECT a, b, dist FROM p WHERE dist <= 2 ORDER BY a, b""".stripMargin)),
+
+
+    // L177 — REAL IMAGE CODEC ROUNDTRIP audit (javax.imageio — the
+    // image twin of s2_codec_roundtrip): synthesized RGB pixels encode
+    // with a real per-doc codec (png/bmp lossless, jpg lossy) and
+    // decode back; the oracle recomputes the synthesis formula's exact
+    // checksums in SQL, so a broken encode/decode/pixel-order path
+    // cannot hash-match. JPEG rows pin dims only (lossy), checksums -1.
+    Q("mm_image_roundtrip",
+      (s, dir) => {
+        val rgb = expr("""transform(sequence(0, 383), i -> CAST(
+          ((doc_id * 7 + (i % 24) * 13 + (i div 24) * 29) % 256) * 65536 +
+          ((doc_id * 11 + (i % 24) * 3 + (i div 24) * 17) % 256) * 256 +
+          ((doc_id * 5 + (i % 24) * 23 + (i div 24) * 7) % 256) AS INT))""")
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, "png")
+              .when(col("doc_id") % 3 === 1, "bmp")
+              .otherwise("jpg").as("kind"),
+            rgb.as("rgb"))
+        Multimodal.imageRoundtrip(base, "doc_id", "kind", "rgb", w = 24, h = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH px AS (SELECT doc_id, unnest(range(0, 384)) AS i
+        |  FROM documents WHERE doc_id < 300),
+        |ch AS (SELECT doc_id, i,
+        |    (doc_id * 7 + (i % 24) * 13 + (i // 24) * 29) % 256 AS r,
+        |    (doc_id * 11 + (i % 24) * 3 + (i // 24) * 17) % 256 AS g,
+        |    (doc_id * 5 + (i % 24) * 23 + (i // 24) * 7) % 256 AS b
+        |  FROM px),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS sum_gray,
+        |    CAST(SUM((i + 1) * (r + g + b)) AS BIGINT) AS psum
+        |  FROM ch GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'jpg' END AS kind,
+        |  CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN -1 ELSE sum_gray END AS sum_gray,
+        |  CASE WHEN doc_id % 3 = 2 THEN -1 ELSE psum END AS psum
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+
+    // L178 — SHOT DETECTION ON DECODED PIXELS: per-frame images are
+    // CONSTRUCTED so their dHash realizes a designed 64-bit hash (each
+    // comparison bit is set by a +1/-1 step between adjacent cells),
+    // rendered to 16-bit gray PNG, decoded with the real codec, grid
+    // re-extracted, dHash-banded, and the shot sessionization (L119)
+    // runs over the hashes. The oracle scores the DESIGNED hashes
+    // directly — the whole decode→grid→dHash chain must realize them
+    // bit-for-bit or the gate fails. Same shot shape as
+    // mm_shot_keyframes: 8-frame shots (pattern jumps 8-16 bits),
+    // 1-bit in-shot parity wiggle.
+    Q("mm_image_shots",
+      (s, dir) => {
+        val frames = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            explode(expr("sequence(0L, 23L + doc_id % 17)")).as("frame"))
+        // grid[r*9+c] - grid[r*9+c+1] = +1 where designed bit (r*8+c)
+        // is set, else -1; rightmost column anchors at 100
+        val grid = expr("""transform(sequence(0, 71), i -> CAST(
+          IF(i % 9 = 8, 100,
+            100 + aggregate(sequence(i % 9, 7), 0, (acc, cc) -> acc + IF(
+              (((frame div 8) % 4 = 1 AND ((i div 9) * 8 + cc) BETWEEN 4 AND 11) OR
+               ((frame div 8) % 4 = 2 AND ((i div 9) * 8 + cc) BETWEEN 8 AND 15) OR
+               ((frame div 8) % 4 = 3 AND ((i div 9) * 8 + cc) BETWEEN 16 AND 23) OR
+               ((i div 9) * 8 + cc = 0 AND frame % 2 = 1)), 1, -1))) AS INT))""")
+        val dec = Multimodal.gridPngRoundtrip(
+          frames.select((col("doc_id") * 1000L + col("frame")).as("fkey"),
+            grid.as("g")),
+          "fkey", "g")
+        val hashed0 = dec.select(
+          (col("fkey") / 1000L).cast("long").as("doc_id"),
+          pmod(col("fkey"), lit(1000L)).as("frame"), col("g"))
+        val hashed = hashed0
+          .select(col("doc_id"), col("frame"),
+            Multimodal.dHashBands(hashed0, "g").as("bands"))
+          .withColumn("fhash",
+            element_at(col("bands"), 1).cast("long")
+              + element_at(col("bands"), 2).cast("long") * 65536L
+              + element_at(col("bands"), 3).cast("long") * 4294967296L
+              + element_at(col("bands"), 4).cast("long") * 281474976710656L)
+        Multimodal.shotSegments(hashed, "doc_id", "frame", "fhash", maxDist = 3)
+          .orderBy(col("doc_id"), col("shot_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 24 + doc_id % 17)) AS frame
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (SELECT doc_id, frame,
+        |  CASE ((frame // 8) % 4)
+        |    WHEN 0 THEN 0 WHEN 1 THEN 4080 WHEN 2 THEN 65280
+        |    ELSE 16711680 END + (frame % 2) AS fhash FROM f),
+        |c AS (SELECT doc_id, frame, CASE WHEN lag(fhash) OVER w IS NULL THEN 1
+        |    WHEN bit_count(xor(lag(fhash) OVER w, fhash)) > 3 THEN 1 ELSE 0 END AS cut
+        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+        |sid AS (SELECT doc_id, frame, CAST(SUM(cut) OVER (
+        |    PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS shot_id FROM c)
+        |SELECT doc_id, shot_id, MIN(frame) AS key_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM sid GROUP BY doc_id, shot_id
+        |ORDER BY doc_id, shot_id""".stripMargin)),
 
 
     // L112 — AUDIO FINGERPRINTING (energy-contour grams): waveform

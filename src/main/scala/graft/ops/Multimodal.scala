@@ -76,6 +76,103 @@ object Multimodal {
       .withColumn("out_h", expr("(__h * scale_e4) div 10000"))
       .drop("__w", "__h")
 
+  /** L177 — REAL IMAGE CODEC ROUNDTRIP (the decode seam made real,
+    * r8-VERDICT item 3): each row's synthesized RGB pixel array is
+    * ENCODED with a real `javax.imageio` codec (PNG / BMP lossless,
+    * JPEG lossy — selected by `kindCol`) and DECODED back
+    * ([[graft.pipeline.ImageCodec]]), emitting structural facts and
+    * exact pixel checksums. PNG/BMP are lossless, so the checksums
+    * equal the synthesis formula's own sums — which is exactly what
+    * the SQL oracle recomputes (the s2_codec_roundtrip pattern: the
+    * encoder dual mints the fixture, the oracle replays the formula;
+    * a broken codec path cannot hash-match). JPEG rows emit dims only
+    * with checksums −1 (lossy — structural facts are exact, pixels are
+    * not; never a silently-wrong sum).
+    *
+    * `rgbCol`: array<int> of w·h packed 0xRRGGBB pixels (row-major,
+    * no alpha — keeps every value a positive int in both engines);
+    * the kernel adds the opaque alpha. Scale shape: one typed
+    * mapPartitions, no shuffle; images never touch the driver.
+    *
+    * Output: (id, kind, width, height, sum_gray, psum) with
+    * sum_gray = Σ luma (BT.601 integer thousandths) and
+    * psum = Σ (i+1)·(r+g+b) — position-weighted, catches transposition.
+    */
+  def imageRoundtrip(df: DataFrame, idCol: String, kindCol: String,
+      rgbCol: String, w: Int, h: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(kindCol).cast("string"),
+        col(rgbCol).cast("array<int>"))
+      .as[(Long, String, Array[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, rgb) =>
+          val argb = rgb.map(p => 0xff000000 | p)
+          val bytes = kind match {
+            case "png" => graft.pipeline.ImageCodec.encodePng(w, h, argb)
+            case "bmp" => graft.pipeline.ImageCodec.encodeBmp(w, h, argb)
+            case "jpg" => graft.pipeline.ImageCodec.encodeJpeg(w, h, argb)
+            case other => throw new IllegalArgumentException(
+              s"unknown image kind $other")
+          }
+          val dec = graft.pipeline.ImageCodec.decode(bytes)
+          val lossless = kind != "jpg"
+          var sumGray = 0L
+          var psum = 0L
+          if (lossless) {
+            var i = 0
+            while (i < dec.argb.length) {
+              val p = dec.argb(i)
+              sumGray += graft.pipeline.ImageCodec.gray(p)
+              psum += (i + 1L) * (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+              i += 1
+            }
+          } else { sumGray = -1L; psum = -1L }
+          (id, kind, dec.width.toLong, dec.height.toLong, sumGray, psum)
+        }
+      }
+      .toDF(idCol, "kind", "width", "height", "sum_gray", "psum")
+  }
+
+  /** Grid → 16-bit gray PNG → real ImageIO decode → grid: expands each
+    * of the 72 cell values (8×9 row-major, any 0..65535 range — wider
+    * than 8-bit, hence gray16) to a `cellW`×`cellH` constant pixel
+    * block, encodes/decodes through [[graft.pipeline.ImageCodec]], and
+    * re-extracts the cell means. Lossless + cell-constant ⇒ the output
+    * grid EQUALS the input grid — so the dHash pipeline downstream
+    * (L111) consumes genuinely decoded pixels while its SQL oracle
+    * keeps scoring the synthesis formula. One typed mapPartitions, no
+    * shuffle.
+    */
+  def gridPngRoundtrip(df: DataFrame, idCol: String, gridCol: String,
+      cols: Int = 9, rows: Int = 8, cellW: Int = 3, cellH: Int = 2): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = cols * cellW
+    val h = rows * cellH
+    df.select(col(idCol).cast("long"), col(gridCol).cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, grid) =>
+          require(grid.length == cols * rows,
+            s"grid ${grid.length} != $cols x $rows")
+          val samples = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              samples(y * w + x) = grid((y / cellH) * cols + (x / cellW))
+              x += 1
+            }
+            y += 1
+          }
+          val png = graft.pipeline.ImageCodec.encodePng16(w, h, samples)
+          val dec = graft.pipeline.ImageCodec.decodeGray16(png)
+          (id, graft.pipeline.ImageCodec.cellMeans(
+            dec.width, dec.height, dec.samples, cols, rows))
+        }
+      }
+      .toDF(idCol, gridCol)
+  }
+
   /** Perceptual difference hash (dHash) over an 8×9 grayscale grid
     * (row-major array of 72 ints): 64 horizontal brightness
     * comparisons packed as FOUR 16-bit bands — the image-near-dup

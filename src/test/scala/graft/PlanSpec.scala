@@ -506,6 +506,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-9 pins: image-codec queries and global top-k windows keep their shapes") {
+    // t_collocations' global top-20 must plan as TakeOrderedAndProject
+    // (per-partition heap + merge of 20-row heads), never a full sort
+    // of the bigram pair table followed by a limit — the optimizer-conf
+    // regression r8-VERDICT item 4 pins against
+    val tc = plan("t_collocations")
+    assert(tc.contains("TakeOrderedAndProject"),
+      s"t_collocations' global top-k lost TakeOrderedAndProject")
+    assert(!tc.contains("CartesianProduct"), "collocations plans a cartesian")
+    // r_ndcg's ideal-ordering window is partitioned by the query key:
+    // the exchange must be a hash partitioning on it, never a single
+    // global sort partition
+    val nd = plan("r_ndcg")
+    assert("hashpartitioning\\(term".r.findAllIn(nd).nonEmpty,
+      s"r_ndcg's ideal window must partition by the query (term) key:\n$nd")
+    assert(!nd.contains("CartesianProduct"), "r_ndcg plans a cartesian")
+    // image-codec roundtrips are pure mapPartitions kernels: no joins
+    // at all in mm_image_roundtrip; mm_image_shots shuffles once on
+    // the video id for the shot window, and its near-dup-free pipeline
+    // has no join either side of the codec
+    val ir = plan("mm_image_roundtrip")
+    assert(!ir.contains("Join"), "image roundtrip must be join-free")
+    val is = plan("mm_image_shots")
+    assert(!is.contains("Join"), "image shots must be join-free")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(is).nonEmpty,
+      "image shots must shuffle on the video id for the shot window")
+    // mm_dhash_neardup now routes grids through the real codec
+    // roundtrip; the dedup join shape must stay the (band, value)
+    // bucketed equi self-join — never theta/cartesian
+    val dh = plan("mm_dhash_neardup")
+    assert(!dh.contains("CartesianProduct") && !dh.contains("BroadcastNestedLoopJoin"),
+      "dhash near-dup must keep the bucketed equi join")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so

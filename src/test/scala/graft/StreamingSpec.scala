@@ -544,4 +544,40 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("sdec_pin").count() == 1) // only cell 0 matches
     } finally q.stop()
   }
+
+  test("L162 streaming WER: reference sidecar broadcasts, scoring stays stateless") {
+    // Plan pin for the streaming_wer shape (r8-VERDICT item 5): the
+    // static reference side — derived from the documents table under
+    // the documented "reference sidecar" contract — must join each
+    // micro-batch as a BROADCAST hash join (a sort-merge would shuffle
+    // every batch's arrivals), and the per-row Levenshtein scoring
+    // must keep the query stateless append (no state store, no
+    // stream-stream join).
+    implicit val sqlCtx = spark.sqlContext
+    val refs = broadcast(Seq(
+      (1L, Seq("a", "b")), (2L, Seq("c", "d"))).toDF("doc_id", "ref"))
+    val input = MemoryStream[(Long, Seq[String])]
+    val scored = graft.ops.TextOps.wordErrorRate(
+      input.toDF().toDF("doc_id", "hyp").join(refs, Seq("doc_id")),
+      "doc_id", "ref", "hyp")
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("swer_pin").start()
+    try {
+      input.addData((1L, Seq("a", "x")), (2L, Seq("c", "d")))
+      q.processAllAvailable()
+      val explained = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+        buf.toString
+      }
+      assert(explained.contains("BroadcastHashJoin"),
+        s"streaming WER's ref sidecar must broadcast:\n$explained")
+      assert(!explained.contains("StateStore") &&
+        !explained.contains("StreamingSymmetricHashJoin"),
+        s"streaming WER must stay stateless:\n$explained")
+      val rows = spark.table("swer_pin").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(rows == Seq((1L, 1L), (2L, 0L)), s"got $rows")
+    } finally q.stop()
+  }
 }
