@@ -1663,6 +1663,60 @@ private[graft] object QueriesCuration {
         |      / CAST(ap.n_a + ap.n_b - coalesce(sh.n_shared, 0) AS DOUBLE)
         |    ELSE -1.0 END AS jaccard
         |FROM ap LEFT JOIN sh ON sh.src_a = ap.src_a AND sh.src_b = ap.src_b
-        |ORDER BY ap.src_a, ap.src_b""".stripMargin))
+        |ORDER BY ap.src_a, ap.src_b""".stripMargin)),
+
+
+    // L179 — cross-snapshot token-distribution drift: snapshot B drops
+    // every 7th doc (re-crawl churn) and injects a drift token into
+    // every 5th (vocabulary shift); the detector must surface zzdrift
+    // at the top of each source's drifted-token list with exact
+    // e6-scaled shares. Top-k via the bounded-state TopKAgg, ties by
+    // md5-prefix hash — deterministic in both engines.
+    Q("c_token_drift",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val snapA = Tables.documents(s, dir)
+          .select(col("source"), toks.as("toks"))
+        val snapB = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+          .select(col("source"),
+            when(pmod(col("doc_id"), lit(5L)) === 0L,
+              concat(toks, array(lit("zzdrift"), lit("zzdrift"), lit("zzdrift"))))
+              .otherwise(toks).as("toks"))
+        Curation.tokenDrift(snapA, snapB, "source", "toks", 8)
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |da AS (SELECT dd.source AS src, d.toks
+        |  FROM d JOIN documents dd USING (doc_id)),
+        |db AS (SELECT dd.source AS src,
+        |    CASE WHEN dd.doc_id % 5 = 0
+        |      THEN list_concat(d.toks, ['zzdrift', 'zzdrift', 'zzdrift'])
+        |      ELSE d.toks END AS toks
+        |  FROM d JOIN documents dd USING (doc_id) WHERE dd.doc_id % 7 != 3),
+        |ha AS (SELECT src, t.w, CAST(COUNT(*) AS BIGINT) AS n_a
+        |  FROM da, LATERAL (SELECT unnest(da.toks) AS w) t GROUP BY 1, 2),
+        |hb AS (SELECT src, t.w, CAST(COUNT(*) AS BIGINT) AS n_b
+        |  FROM db, LATERAL (SELECT unnest(db.toks) AS w) t GROUP BY 1, 2),
+        |ta AS (SELECT src, CAST(SUM(n_a) AS BIGINT) AS ta FROM ha GROUP BY 1),
+        |tb AS (SELECT src, CAST(SUM(n_b) AS BIGINT) AS tb FROM hb GROUP BY 1),
+        |m AS (SELECT src, w, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ha FULL OUTER JOIN hb USING (src, w)),
+        |sc AS (SELECT m.src, m.w,
+        |    CASE WHEN coalesce(ta.ta, 0) > 0
+        |      THEN (m.n_a * 1000000) // ta.ta ELSE 0 END AS sa,
+        |    CASE WHEN coalesce(tb.tb, 0) > 0
+        |      THEN (m.n_b * 1000000) // tb.tb ELSE 0 END AS sb
+        |  FROM m LEFT JOIN ta USING (src) LEFT JOIN tb USING (src)),
+        |dr AS (SELECT src, w, sa, sb,
+        |    ((sa - sb) * (sa - sb)) // (sa + sb + 1) AS drift,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM sc),
+        |rk AS (SELECT src, w, sa, sb, drift,
+        |    CAST(row_number() OVER (PARTITION BY src
+        |      ORDER BY drift DESC, h) AS BIGINT) AS rank FROM dr)
+        |SELECT src AS source, rank, w AS token,
+        |  CAST(sa AS BIGINT) AS share_a_e6, CAST(sb AS BIGINT) AS share_b_e6,
+        |  CAST(drift AS BIGINT) AS drift
+        |FROM rk WHERE rank <= 8 ORDER BY source, rank""".stripMargin))
   )
 }

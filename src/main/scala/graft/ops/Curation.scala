@@ -2005,4 +2005,64 @@ object Curation {
           col("sum_sq").cast("double")
             / (col("n_docs") * col("n_docs")).cast("double"))
           .otherwise(lit(-1d)))
+
+  /** L179 — CROSS-SNAPSHOT TOKEN-DISTRIBUTION DRIFT: the "did the
+    * crawl change under me" check a production curation run reads
+    * between two ingest snapshots — the vocabulary-level twin of the
+    * L175 day-of-week and L96 quality-drift detectors. Per group
+    * (source) and token, both snapshots' e6-scaled integer frequency
+    * shares (the L154 exact-share discipline: share = n·10⁶ div N,
+    * absent side = 0), a per-token drift surrogate
+    * (Δshare)² div (share_a + share_b + 1) — the χ²-style kernel with
+    * the +1 keeping the division total — and the TOP-K drifted tokens
+    * per group via [[graft.expr.TopKAgg]] (bounded-state partial-merge
+    * agg: ≤ k pairs per group per map partition reach the shuffle —
+    * never a per-group window sort of the whole vocabulary). Ties
+    * break by the token's 60-bit md5-prefix hash ascending —
+    * deterministic and engine-independent; the hash also carries the
+    * token through the long-typed aggregate, joined back to the
+    * (vocab-sized) histogram for the final row.
+    *
+    * Scale shape: two (group, token) map-side-combined histograms, a
+    * token-keyed full-outer merge, two group-sized total joins, one
+    * bounded TopKAgg, one vocab-sized equi join back. Nothing
+    * corpus-sorted, nothing quadratic.
+    *
+    * Output: (source, rank, token, share_a_e6, share_b_e6, drift),
+    * rank 1..k by drift desc.
+    */
+  def tokenDrift(snapA: DataFrame, snapB: DataFrame, groupCol: String,
+      toksCol: String, k: Int): DataFrame = {
+    def hist(df: DataFrame) = df
+      .select(col(groupCol).as("src"), explode(col(toksCol)).as("w"))
+      .groupBy(col("src"), col("w")).agg(count(lit(1)).as("n"))
+    val ha = hist(snapA)
+    val hb = hist(snapB)
+    val na = ha.groupBy(col("src")).agg(sum(col("n")).as("__ta"))
+    val nb = hb.groupBy(col("src")).agg(sum(col("n")).as("__tb"))
+    val scored = ha.withColumnRenamed("n", "n_a")
+      .join(hb.withColumnRenamed("n", "n_b"), Seq("src", "w"), "full_outer")
+      .join(na, Seq("src"), "left")
+      .join(nb, Seq("src"), "left")
+      .select(col("src"), col("w"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("__ta"), lit(0L)).as("ta"),
+        coalesce(col("__tb"), lit(0L)).as("tb"))
+      .withColumn("sa", expr("IF(ta > 0, (n_a * 1000000L) div ta, 0L)"))
+      .withColumn("sb", expr("IF(tb > 0, (n_b * 1000000L) div tb, 0L)"))
+      .withColumn("drift", expr("((sa - sb) * (sa - sb)) div (sa + sb + 1)"))
+      .withColumn("__h",
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val topk = udaf(new graft.expr.TopKAgg(k))
+    scored.groupBy(col("src"))
+      .agg(topk(col("drift"), col("__h")).as("__tk"))
+      .select(col("src"), posexplode(col("__tk")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("__h"))
+      .join(scored.select(col("src"), col("w"), col("__h"),
+        col("sa"), col("sb"), col("drift")), Seq("src", "__h"))
+      .select(col("src").as("source"), col("rank"), col("w").as("token"),
+        col("sa").as("share_a_e6"), col("sb").as("share_b_e6"), col("drift"))
+  }
 }

@@ -2313,6 +2313,31 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L179 tokenDrift: exact e6 shares, ties by token hash, absent snapshot sides price as zero share") {
+    import graft.ops.Curation
+    val snapA = Seq(
+      ("s", Seq("a", "a", "b", "c")), // shares: a 500000, b 250000, c 250000
+      ("t", Seq("x"))                 // source absent from snapshot B
+    ).toDF("source", "toks")
+    val snapB = Seq(
+      ("s", Seq("a", "b", "b", "b"))  // shares: a 250000, b 750000, c 0
+    ).toDF("source", "toks")
+    val got = Curation.tokenDrift(snapA, snapB, "source", "toks", 3)
+      .orderBy($"source", $"rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // drift = (Δshare)^2 div (sa+sb+1):
+    //   c: 250000^2 div 250001 = 249999; b: 250000^2 div 1000001 = 249999
+    //   (tie -> md5('c') = 4a8a.. < md5('b') = 92eb.. -> c first)
+    //   a: 250000^2 div 750001 = 83333
+    //   t/x: 1000000^2 div 1000001 = 999999 (snapshot B missing entirely)
+    assert(got == Seq(
+      ("s", 1L, "c", 250000L, 0L, 249999L),
+      ("s", 2L, "b", 250000L, 750000L, 249999L),
+      ("s", 3L, "a", 500000L, 250000L, 83333L),
+      ("t", 1L, "x", 1000000L, 0L, 999999L)), s"got $got")
+  }
+
   test("L176 sourceVocabOverlap: top-k Jaccard, zero-overlap pairs still emit rows") {
     import graft.ops.Curation
     val df = Seq(

@@ -538,6 +538,15 @@ class PlanSpec extends SparkSpec {
     val dh = plan("mm_dhash_neardup")
     assert(!dh.contains("CartesianProduct") && !dh.contains("BroadcastNestedLoopJoin"),
       "dhash near-dup must keep the bucketed equi join")
+    // c_token_drift: top-k drifted tokens run as the bounded-state
+    // TopKAgg (ObjectHashAggregate, <= k pairs per group per map
+    // partition), never a per-group window sort of the vocabulary;
+    // histogram merges are equi joins only
+    val td = plan("c_token_drift")
+    assert(td.contains("ObjectHashAggregate"),
+      "token drift's top-k must run as the bounded-state aggregate")
+    assert(!td.contains("CartesianProduct") && !td.contains("BroadcastNestedLoopJoin"),
+      "token drift must keep equi joins only")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
