@@ -173,6 +173,36 @@ private[graft] object QueriesMultimodal {
         |FROM agg ORDER BY doc_id""".stripMargin)),
 
 
+    // L180 — HEADER-ONLY IMAGE PROBE (the S3 twin for images): real
+    // encoder output probed for dimensions from the container header
+    // bytes alone — PNG IHDR big-endian, BMP BITMAPINFOHEADER
+    // little-endian, GIF screen descriptor, JPEG SOF marker walk —
+    // never decoding a raster. Formula dims per doc; the oracle
+    // replays them, so a misparsed header layout or a dims-dishonoring
+    // encoder cannot hash-match.
+    Q("mm_image_probe",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 === 0, "png")
+              .when(col("doc_id") % 4 === 1, "bmp")
+              .when(col("doc_id") % 4 === 2, "jpg")
+              .otherwise("gif").as("kind"),
+            (lit(16) + pmod(col("doc_id"), lit(13L))).cast("int").as("w"),
+            (lit(8) + pmod(col("doc_id"), lit(7L))).cast("int").as("h"))
+          .withColumn("rgb", expr("""transform(sequence(0, w * h - 1),
+            i -> CAST((doc_id * 31 + i * 7) % 16777216 AS INT))"""))
+        Multimodal.imageProbe(base, "doc_id", "kind", "rgb", "w", "h")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'bmp'
+        |       WHEN doc_id % 4 = 2 THEN 'jpg' ELSE 'gif' END AS format,
+        |  CAST(16 + doc_id % 13 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS height
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
+
+
     // L178 — SHOT DETECTION ON DECODED PIXELS: per-frame images are
     // CONSTRUCTED so their dHash realizes a designed 64-bit hash (each
     // comparison bit is set by a +1/-1 step between adjacent cells),

@@ -924,7 +924,78 @@ private[graft] object QueriesSpeech {
         |      AS DOUBLE) / CAST(t_ref AS DOUBLE)
         |  ELSE -1.0 END AS der
         |FROM j ORDER BY file""".stripMargin))
-  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry
+  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry
+
+  /** L181 — calibration bins / ECE components: minted e6 scores with a
+    * label whose hit-rate tracks the score (a roughly-calibrated
+    * classifier), so the reliability table is non-trivial in every
+    * bin; all counts exact.
+    */
+  private def eceEntry: Q =
+    Q("m_ece",
+      (s, dir) => EvalOps.calibrationBins(
+          Tables.documents(s, dir).select(
+            (col("doc_id") * 7919L % 1000001L).as("score_e6"),
+            when(col("doc_id") * 104729L % 1000001L
+              < col("doc_id") * 7919L % 1000001L, 1L).otherwise(0L).as("y")),
+          col("score_e6"), col("y"), nBins = 10)
+        .orderBy(col("bin")),
+      Some("""WITH sc AS (SELECT (doc_id * 7919) % 1000001 AS s,
+        |    CASE WHEN (doc_id * 104729) % 1000001 < (doc_id * 7919) % 1000001
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents)
+        |SELECT CAST(least(s // 100000, 9) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(s) AS BIGINT) AS sum_conf_e6,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST(abs(SUM(s) - SUM(y) * 1000000) AS BIGINT) AS gap_e6_num,
+        |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS conf,
+        |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc
+        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin))
+
+  /** L182 — EER bracket over minted verification trials: target scores
+    * sit 300000..1000000, non-target 0..800000 — a 300000..800000
+    * overlap band, so the crossing is interior and both bracket rows
+    * are real thresholds with nonzero FA and FR.
+    */
+  private def eerEntry: Q =
+    Q("m_eer",
+      (s, dir) => EvalOps.eerBracket(
+          Tables.documents(s, dir).select(
+            when(col("doc_id") % 3 === 0,
+              lit(300000L) + col("doc_id") * 7919L % 700001L)
+              .otherwise(col("doc_id") * 6151L % 800001L).as("score_e6"),
+            when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y")),
+          col("score_e6"), col("y")),
+      Some("""WITH tr AS (SELECT CAST(CASE WHEN doc_id % 3 = 0
+        |      THEN 300000 + (doc_id * 7919) % 700001
+        |      ELSE (doc_id * 6151) % 800001 END AS BIGINT) AS s,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |per AS (SELECT s, CAST(SUM(y) AS BIGINT) AS tar,
+        |    CAST(SUM(1 - y) AS BIGINT) AS non FROM tr GROUP BY s),
+        |alls AS (SELECT * FROM per
+        |  UNION ALL SELECT MAX(s) + 1, 0, 0 FROM per),
+        |tot AS (SELECT CAST(SUM(y) AS BIGINT) AS n_target,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_nontarget FROM tr),
+        |cur AS (SELECT s,
+        |    coalesce(SUM(tar) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fr,
+        |    (SELECT n_nontarget FROM tot) - coalesce(SUM(non) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fa
+        |  FROM alls),
+        |lg AS (SELECT s, fa, fr, lag(s) OVER (ORDER BY s) AS thr_lo,
+        |    lag(fa) OVER (ORDER BY s) AS fa_lo,
+        |    lag(fr) OVER (ORDER BY s) AS fr_lo FROM cur),
+        |x AS (SELECT * FROM lg WHERE fa <= fr ORDER BY s LIMIT 1)
+        |SELECT (SELECT n_target FROM tot) AS n_target,
+        |  (SELECT n_nontarget FROM tot) AS n_nontarget,
+        |  CAST(coalesce(thr_lo, -1) AS BIGINT) AS thr_lo,
+        |  CAST(coalesce(fa_lo, -1) AS BIGINT) AS fa_lo,
+        |  CAST(coalesce(fr_lo, -1) AS BIGINT) AS fr_lo,
+        |  CAST(s AS BIGINT) AS thr_hi, CAST(fa AS BIGINT) AS fa_hi,
+        |  CAST(fr AS BIGINT) AS fr_hi
+        |FROM x""".stripMargin))
 
   /** The ≤24-permutation assignment lattice VALUES literal, generated
     * from the SAME enumeration `EvalOps.diarizationErrorRate`

@@ -574,7 +574,36 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry
+  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry
+
+  /** L183 — Flesch–Kincaid readability in exact e3 integers: words =
+    * engine tokens, sentences = [.!?]+ runs, syllables = vowel-group
+    * surrogate; both rate terms exact integer divisions, mirrored
+    * term-for-term.
+    */
+  private def readabilityEntry: Q =
+    Q("t_readability",
+      (s, dir) => TextOps.readability(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syll
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_words, n_sents, n_syll,
+        |    CASE WHEN n_sents > 0 THEN (n_words * 1000) // n_sents
+        |      ELSE -1 END AS w_per_s_e3,
+        |    CASE WHEN n_words > 0 THEN (n_syll * 1000) // n_words
+        |      ELSE -1 END AS syl_per_w_e3
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(w_per_s_e3 AS BIGINT) AS w_per_s_e3,
+        |  CAST(syl_per_w_e3 AS BIGINT) AS syl_per_w_e3,
+        |  CAST(CASE WHEN n_sents > 0 AND n_words > 0
+        |    THEN (390 * w_per_s_e3 + 11800 * syl_per_w_e3) // 1000 - 15590
+        |    ELSE -999999 END AS BIGINT) AS fk_e3
+        |FROM r ORDER BY doc_id""".stripMargin))
 
   /** L159 — ROUGE-2 over minted (ref, hyp) transcript pairs (same
     * deterministic corruption as m_wer: delete every 7th word, suffix

@@ -465,6 +465,95 @@ object EvalOps {
           .otherwise(lit(-1d)))
   }
 
+  /** L181 — CALIBRATION BINS / ECE COMPONENTS (Naeini 2015, Guo 2017):
+    * the reliability-diagram table behind Expected Calibration Error —
+    * what a quality-classifier rollout reads before trusting its
+    * scores as probabilities (DSIR/FineWeb-style gates assume
+    * calibrated scores; an over-confident classifier silently skews
+    * the mixture). Scores arrive e6-scaled (0..10⁶); equal-width bins
+    * by integer division (the last bin closed at 10⁶), per bin the
+    * exact integer triple (n, Σ confidence_e6, #positives) plus
+    * gap_e6_num = |Σconf − n_pos·10⁶| — the UNNORMALIZED per-bin ECE
+    * numerator, exact; ECE itself is Σ gap/(N·10⁶), left to the reader
+    * as it mixes bins. conf/acc are single divisions of exact longs.
+    *
+    * Scale shape: one map-side-combined hash agg to ≤ nBins rows —
+    * nothing else.
+    *
+    * Output: (bin, n, sum_conf_e6, n_pos, gap_e6_num, conf, acc).
+    */
+  def calibrationBins(df: DataFrame, scoreE6Col: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 1000000 % nBins == 0,
+      s"nBins must divide 1e6 exactly, got $nBins")
+    val width = 1000000L / nBins
+    df.select(scoreE6Col.cast("long").as("s"), labelCol.cast("long").as("y"))
+      .withColumn("bin", least(expr(s"s div ${width}L"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("sum_conf_e6"),
+        sum(col("y")).as("n_pos"))
+      .withColumn("gap_e6_num",
+        abs(col("sum_conf_e6") - col("n_pos") * 1000000L))
+      .withColumn("conf",
+        col("sum_conf_e6").cast("double") / (col("n") * 1000000L).cast("double"))
+      .withColumn("acc", col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
+  /** L182 — EQUAL-ERROR-RATE BRACKET for verification trial scores —
+    * the operating point the M6 speaker-verification stage is tuned
+    * to: sweep the accept threshold over the DISTINCT trial scores
+    * (plus the accept-nothing sentinel max+1, so a crossing always
+    * exists); at threshold t the false accepts are non-targets with
+    * score ≥ t (monotone non-increasing) and the false rejects targets
+    * with score < t (non-decreasing); EER lies where they cross. Since
+    * the curves are step functions the exact answer is a BRACKET: the
+    * first threshold with FA ≤ FR and its predecessor, all counts
+    * exact integers, rates e6-scaled single divisions.
+    *
+    * Scale shape: one hash agg to the distinct-score table, then
+    * windows over it — DOMAIN-BOUNDED (distinct e6 scores ≤ 10⁶+1
+    * rows; the quantile-norm single-partition posture, documented
+    * tradeoff for exact rank semantics).
+    *
+    * Output: one row (n_target, n_nontarget, thr_lo, fa_lo, fr_lo,
+    * thr_hi, fa_hi, fr_hi) — lo = last threshold with FA > FR (−1s
+    * when the crossing is at the lowest threshold), hi = first with
+    * FA ≤ FR.
+    */
+  def eerBracket(df: DataFrame, scoreE6Col: org.apache.spark.sql.Column,
+      targetCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = df.select(scoreE6Col.cast("long").as("s"),
+      targetCol.cast("long").as("y"))
+    val per = t.groupBy(col("s"))
+      .agg(sum(col("y")).as("tar"), sum(lit(1L) - col("y")).as("non"))
+    val sentinel = per.agg(max(col("s")).as("s"))
+      .select((col("s") + 1L).as("s"), lit(0L).as("tar"), lit(0L).as("non"))
+    val all = per.unionByName(sentinel)
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = t.agg(sum(col("y")).as("n_target"),
+      sum(lit(1L) - col("y")).as("n_nontarget"))
+    val curves = all.crossJoin(broadcast(tot))
+      .withColumn("fr", coalesce(sum(col("tar")).over(w), lit(0L)))
+      .withColumn("fa",
+        col("n_nontarget") - coalesce(sum(col("non")).over(w), lit(0L)))
+    val lagW = Window.orderBy(col("s"))
+    val bracket = curves
+      .withColumn("thr_lo", lag(col("s"), 1).over(lagW))
+      .withColumn("fa_lo", lag(col("fa"), 1).over(lagW))
+      .withColumn("fr_lo", lag(col("fr"), 1).over(lagW))
+      .filter(col("fa") <= col("fr"))
+      .orderBy(col("s")).limit(1)
+    bracket.select(col("n_target"), col("n_nontarget"),
+      coalesce(col("thr_lo"), lit(-1L)).as("thr_lo"),
+      coalesce(col("fa_lo"), lit(-1L)).as("fa_lo"),
+      coalesce(col("fr_lo"), lit(-1L)).as("fr_lo"),
+      col("s").as("thr_hi"), col("fa").as("fa_hi"), col("fr").as("fr_hi"))
+  }
+
   /** L159 — ROUGE-N OVERLAP (Lin 2004) between reference and
     * hypothesis token arrays: clipped n-gram multiset intersection —
     * for each distinct ref n-gram, min(count in ref, count in hyp) —

@@ -133,6 +133,44 @@ object Multimodal {
       .toDF(idCol, "kind", "width", "height", "sum_gray", "psum")
   }
 
+  /** L180 — HEADER-ONLY IMAGE PROBE over real encoder output: each
+    * row's pixels encode with the kind-selected real codec
+    * (PNG/BMP/JPEG/GIF), then [[graft.pipeline.ImageProbe]] reads the
+    * dimensions from the CONTAINER HEADER BYTES alone — no raster
+    * decode — the image twin of the S3 audio duration probe, and the
+    * only touch a 100 TB ingest pays per payload before deciding what
+    * to decode. The oracle replays the synthesis dims, so a probe that
+    * misparses any of the four header layouts (or an encoder that
+    * doesn't honor its dims) cannot hash-match. One typed
+    * mapPartitions, no shuffle.
+    *
+    * Output: (id, format, width, height).
+    */
+  def imageProbe(df: DataFrame, idCol: String, kindCol: String,
+      rgbCol: String, wCol: String, hCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(kindCol).cast("string"),
+        col(rgbCol).cast("array<int>"),
+        col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, String, Array[Int], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, kind, rgb, w, h) =>
+          val argb = rgb.map(p => 0xff000000 | p)
+          val bytes = kind match {
+            case "png" => graft.pipeline.ImageCodec.encodePng(w, h, argb)
+            case "bmp" => graft.pipeline.ImageCodec.encodeBmp(w, h, argb)
+            case "jpg" => graft.pipeline.ImageCodec.encodeJpeg(w, h, argb)
+            case "gif" => graft.pipeline.ImageCodec.encodeGif(w, h, argb)
+            case other => throw new IllegalArgumentException(
+              s"unknown image kind $other")
+          }
+          val info = graft.pipeline.ImageProbe.probe(bytes)
+          (id, info.format, info.width, info.height)
+        }
+      }
+      .toDF(idCol, "format", "width", "height")
+  }
+
   /** Grid → 16-bit gray PNG → real ImageIO decode → grid: expands each
     * of the 72 cell values (8×9 row-major, any 0..65535 range — wider
     * than 8-bit, hence gray16) to a `cellW`×`cellH` constant pixel

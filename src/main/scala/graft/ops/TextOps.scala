@@ -847,4 +847,42 @@ object TextOps {
       .select(col(idCol), col("seg_id"), col("i").as("start_pos"),
         col("end").as("end_pos"), (col("end") - col("i")).as("n_toks"))
   }
+
+  /** L183 — READABILITY (Flesch–Kincaid grade, Kincaid 1975) with
+    * every count an exact deterministic integer: words = the engine's
+    * single-space tokens, sentences = maximal runs of [.!?], syllables
+    * = the classic vowel-group surrogate (maximal [aeiou]+ runs of the
+    * lowercased text — the standard deterministic approximation; real
+    * syllabification needs a dictionary). FK = 0.39·(W/S) +
+    * 11.8·(Y/W) − 15.59 computed in e3-scaled integers: the two rate
+    * terms are exact integer divisions (·1000), their weighted sum one
+    * more div 1000 — bit-equal in any engine, no IEEE anywhere. The
+    * corpus-quality lens a curation pass reads next to the Gopher
+    * gates (L34): training mixes report their readability
+    * distribution, and a drifting crawl shows up here first.
+    *
+    * Pure per-row regexp counting — zero shuffle. Degenerate docs
+    * (no sentence punctuation or no words) flag fk_e3 = −999999, the
+    * loud posture.
+    *
+    * Output: (id, n_words, n_sents, n_syll, w_per_s_e3, syl_per_w_e3,
+    * fk_e3).
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_words"),
+        expr(s"CAST(size(regexp_extract_all($textCol, '[.!?]+', 0)) AS BIGINT)")
+          .as("n_sents"),
+        expr(s"CAST(size(regexp_extract_all(lower($textCol), '[aeiou]+', 0)) AS BIGINT)")
+          .as("n_syll"))
+      .withColumn("w_per_s_e3",
+        when(col("n_sents") > 0L, expr("(n_words * 1000L) div n_sents"))
+          .otherwise(lit(-1L)))
+      .withColumn("syl_per_w_e3",
+        when(col("n_words") > 0L, expr("(n_syll * 1000L) div n_words"))
+          .otherwise(lit(-1L)))
+      .withColumn("fk_e3",
+        when(col("n_sents") > 0L && col("n_words") > 0L,
+          expr("(390L * w_per_s_e3 + 11800L * syl_per_w_e3) div 1000L - 15590L"))
+          .otherwise(lit(-999999L)))
 }

@@ -99,6 +99,12 @@ object ImageCodec {
   def encodeJpeg(width: Int, height: Int, argb: Array[Int]): Array[Byte] =
     encodeArgb(width, height, argb, BufferedImage.TYPE_3BYTE_BGR, "jpg")
 
+  /** Encode as GIF (palette-quantized — lossy for >256-color rasters;
+    * structural facts are exact).
+    */
+  def encodeGif(width: Int, height: Int, argb: Array[Int]): Array[Byte] =
+    encodeArgb(width, height, argb, BufferedImage.TYPE_INT_ARGB, "gif")
+
   private def encodeArgb(width: Int, height: Int, argb: Array[Int],
       imgType: Int, format: String): Array[Byte] = {
     require(argb.length == width * height,

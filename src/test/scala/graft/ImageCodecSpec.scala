@@ -64,6 +64,29 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.gray(0xff000000 | (10 << 16) | (20 << 8) | 30) == 18)
   }
 
+  test("ImageProbe reads dims from header bytes alone for all four containers") {
+    import graft.pipeline.ImageProbe
+    val px = argbPattern(21, 9)
+    assert(ImageProbe.probe(ImageCodec.encodePng(21, 9, px))
+      == ImageProbe.ImageInfo("png", 21, 9))
+    assert(ImageProbe.probe(ImageCodec.encodeBmp(21, 9, px))
+      == ImageProbe.ImageInfo("bmp", 21, 9))
+    assert(ImageProbe.probe(ImageCodec.encodeJpeg(21, 9, px))
+      == ImageProbe.ImageInfo("jpg", 21, 9))
+    assert(ImageProbe.probe(ImageCodec.encodeGif(21, 9, px))
+      == ImageProbe.ImageInfo("gif", 21, 9))
+    // gray16 PNG probes like any PNG — dims live in IHDR
+    assert(ImageProbe.probe(ImageCodec.encodePng16(27, 16,
+      Array.fill(27 * 16)(100))) == ImageProbe.ImageInfo("png", 27, 16))
+    // loud failures: unknown container, JPEG truncated before SOF
+    intercept[IllegalArgumentException] {
+      ImageProbe.probe("not an image at all!!".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      ImageProbe.probe(ImageCodec.encodeJpeg(21, 9, px).take(6))
+    }
+  }
+
   test("cellMeans: exact means, and the identity on cell-constant rasters") {
     // 27x16 with 3x2 constant blocks -> the 8x9 grid is recovered exactly
     val grid = Array.tabulate(72)(i => (i * 53 + 11) % 456)

@@ -2442,6 +2442,68 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L181 calibrationBins: exact bin edges, gap numerator, last bin closed at 1e6") {
+    import graft.ops.EvalOps
+    val rows = Seq(
+      (50000L, 0L), (950000L, 1L), (1000000L, 1L), // 1e6 lands IN bin 9
+      (150000L, 1L), (199999L, 0L)
+    ).toDF("s", "y")
+    val got = EvalOps.calibrationBins(rows, $"s", $"y", nBins = 10)
+      .orderBy($"bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 50000L, 0L, 50000L),
+      (1L, 2L, 349999L, 1L, 650001L), // |349999 - 1e6| exact
+      (9L, 2L, 1950000L, 2L, 50000L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      EvalOps.calibrationBins(rows, $"s", $"y", nBins = 7) // 7 doesn't divide 1e6
+    }
+  }
+
+  test("L182 eerBracket: step-function crossing bracket is exact; sentinel guarantees a crossing") {
+    import graft.ops.EvalOps
+    // targets at 40, 60, 80; non-targets at 30, 50, 70 (accept >= t):
+    //   t=30: FA=3 FR=0 | t=40: FA=2 FR=0 | t=50: FA=2 FR=1
+    //   t=60: FA=1 FR=1 <- first FA<=FR: hi=60, lo=50
+    val trials = Seq(
+      (40L, 1L), (60L, 1L), (80L, 1L),
+      (30L, 0L), (50L, 0L), (70L, 0L)
+    ).toDF("s", "y")
+    val r = EvalOps.eerBracket(trials, $"s", $"y").head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)), s"totals: $r")
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((50L, 2L, 1L)), s"lo: $r")
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((60L, 1L, 1L)), s"hi: $r")
+    // perfectly separated scores: crossing at the lowest target score,
+    // FA=0 — and the bracket's lo row is the top non-target threshold
+    val sep = Seq((10L, 0L), (20L, 0L), (90L, 1L), (95L, 1L)).toDF("s", "y")
+    val r2 = EvalOps.eerBracket(sep, $"s", $"y").head
+    assert((r2.getLong(5), r2.getLong(6), r2.getLong(7)) == ((90L, 0L, 0L)), s"got $r2")
+    // all-nontarget input: only the sentinel crosses (FA=0, FR=0)
+    val non = Seq((10L, 0L), (20L, 0L)).toDF("s", "y")
+    val r3 = EvalOps.eerBracket(non, $"s", $"y").head
+    assert((r3.getLong(5), r3.getLong(6), r3.getLong(7)) == ((21L, 0L, 0L)), s"got $r3")
+  }
+
+  test("L183 readability: exact counts and e3 rates on hand-checked prose") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!"),   // 6 words, 2 sents, 6 syll (e,a,a,e,o,a)
+      (2L, "no punctuation here"),          // degenerate: 0 sentences
+      (3L, "")                              // empty: 0 words
+    ).toDF("doc_id", "text")
+    val got = TextOps.readability(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // doc 1: w/s = 3000, syl/w = 1000; fk = (390*3000 + 11800*1000)/1000 - 15590
+    //      = (1170000 + 11800000)/1000 - 15590 = 12970 - 15590 = -2620
+    assert(got == Seq(
+      (1L, 6L, 2L, 6L, 3000L, 1000L, -2620L),
+      (2L, 3L, 0L, 6L, -1L, 2000L, -999999L),
+      (3L, 0L, 0L, 0L, -1L, -1L, -999999L)), s"got $got")
+  }
+
   test("L163 cohensKappa: textbook 0.6 case, degenerate single-class flags -1") {
     import graft.ops.EvalOps
     val labels = Seq(

@@ -547,6 +547,17 @@ class PlanSpec extends SparkSpec {
       "token drift's top-k must run as the bounded-state aggregate")
     assert(!td.contains("CartesianProduct") && !td.contains("BroadcastNestedLoopJoin"),
       "token drift must keep equi joins only")
+    // header-only probe and the per-row eval metrics: join-free
+    // (m_ece one hash agg; t_readability pure projections; m_eer's
+    // only joins are the 1-row broadcast total and sentinel union)
+    for (q <- Seq("mm_image_probe", "m_ece", "t_readability")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free")
+    }
+    val ee = plan("m_eer")
+    assert(!ee.contains("CartesianProduct"), "m_eer plans a cartesian")
+    assert(ee.contains("BroadcastNestedLoopJoin"),
+      "m_eer's 1-row totals frame should broadcast")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
