@@ -924,7 +924,41 @@ private[graft] object QueriesSpeech {
         |      AS DOUBLE) / CAST(t_ref AS DOUBLE)
         |  ELSE -1.0 END AS der
         |FROM j ORDER BY file""".stripMargin))
-  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry
+  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry :+ aucEntry
+
+  /** L184 — exact ROC-AUC over the SAME minted trials as m_eer: the
+    * threshold-free counterpart (Mann–Whitney U over the distinct-
+    * score histogram, ties at half weight via the 2× numerator).
+    */
+  private def aucEntry: Q =
+    Q("m_auc",
+      (s, dir) => EvalOps.rocAuc(
+          Tables.documents(s, dir).select(
+            when(col("doc_id") % 3 === 0,
+              lit(300000L) + col("doc_id") * 7919L % 700001L)
+              .otherwise(col("doc_id") * 6151L % 800001L).as("score_e6"),
+            when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y")),
+          col("score_e6"), col("y")),
+      Some("""WITH tr AS (SELECT CAST(CASE WHEN doc_id % 3 = 0
+        |      THEN 300000 + (doc_id * 7919) % 700001
+        |      ELSE (doc_id * 6151) % 800001 END AS BIGINT) AS s,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |per AS (SELECT s, CAST(SUM(y) AS BIGINT) AS tar,
+        |    CAST(SUM(1 - y) AS BIGINT) AS non FROM tr GROUP BY s),
+        |c AS (SELECT s, tar, non, coalesce(SUM(non) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM per),
+        |n2 AS (SELECT CAST(coalesce(SUM(tar * (nb * 2 + non)), 0) AS BIGINT)
+        |    AS auc_num2 FROM c),
+        |tot AS (SELECT CAST(SUM(y) AS BIGINT) AS n_target,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_nontarget FROM tr)
+        |SELECT n_target, n_nontarget, auc_num2,
+        |  CASE WHEN n_target > 0 AND n_nontarget > 0
+        |    THEN CAST(auc_num2 AS DOUBLE)
+        |      / CAST(n_target * n_nontarget * 2 AS DOUBLE)
+        |    ELSE -1.0 END AS auc
+        |FROM n2 CROSS JOIN tot""".stripMargin))
 
   /** L181 — calibration bins / ECE components: minted e6 scores with a
     * label whose hit-rate tracks the score (a roughly-calibrated
@@ -940,18 +974,7 @@ private[graft] object QueriesSpeech {
               < col("doc_id") * 7919L % 1000001L, 1L).otherwise(0L).as("y")),
           col("score_e6"), col("y"), nBins = 10)
         .orderBy(col("bin")),
-      Some("""WITH sc AS (SELECT (doc_id * 7919) % 1000001 AS s,
-        |    CASE WHEN (doc_id * 104729) % 1000001 < (doc_id * 7919) % 1000001
-        |      THEN 1 ELSE 0 END AS y
-        |  FROM documents)
-        |SELECT CAST(least(s // 100000, 9) AS BIGINT) AS bin,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(s) AS BIGINT) AS sum_conf_e6,
-        |  CAST(SUM(y) AS BIGINT) AS n_pos,
-        |  CAST(abs(SUM(s) - SUM(y) * 1000000) AS BIGINT) AS gap_e6_num,
-        |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS conf,
-        |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc
-        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin))
+      Some(eceOracleSql))
 
   /** L182 — EER bracket over minted verification trials: target scores
     * sit 300000..1000000, non-target 0..800000 — a 300000..800000

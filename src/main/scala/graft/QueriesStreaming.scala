@@ -1269,6 +1269,49 @@ private[graft] object QueriesStreaming {
         |      / CAST(n AS DOUBLE)
         |    ELSE -1.0 END AS hot_rate,
         |  len(list_filter(qs, x -> x >= 9000)) > 0 AS clipped
-        |FROM q ORDER BY file""".stripMargin))
+        |FROM q ORDER BY file""".stripMargin)),
+
+
+    // L186 — STREAMING CALIBRATION MONITOR (L181 at ingest): the
+    // reliability-diagram bins as a live streaming aggregation —
+    // update-on-every-batch complete-mode groupBy over arriving
+    // scores, so a classifier drifting out of calibration shows in
+    // the bin table as data lands; run-to-completion output must
+    // equal the batch table exactly (the gap/conf/acc projections sit
+    // OUTSIDE the stream, on the final table). State is <= nBins rows.
+    Q("streaming_ece",
+      (s, dir) => withStreamingPartitions(s) {
+        val base = Tables.documents(s, dir)
+        val name = "sece_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ece").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, s"$dir/documents.parquet", "documents.parquet"))
+        val score = col("doc_id") * 7919L % 1000001L
+        val y = when(col("doc_id") * 104729L % 1000001L < score, 1L)
+          .otherwise(0L)
+        val agg = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .select(score.as("sc"), y.as("y"))
+          .withColumn("bin", least(expr("sc div 100000L"), lit(9L)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("sc")).as("sum_conf_e6"),
+            sum(col("y")).as("n_pos"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name)
+          .withColumn("gap_e6_num",
+            abs(col("sum_conf_e6") - col("n_pos") * 1000000L))
+          .withColumn("conf", col("sum_conf_e6").cast("double")
+            / (col("n") * 1000000L).cast("double"))
+          .withColumn("acc",
+            col("n_pos").cast("double") / col("n").cast("double"))
+          .orderBy(col("bin"))
+      },
+      Some(eceOracleSql))
   )
 }

@@ -574,7 +574,35 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry
+  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry
+
+  /** L185 — per-source token-frequency Gini: vocabulary concentration
+    * via the exact integer Σ(2i−k−1)cᵢ split, rank ties by token.
+    */
+  private def giniEntry: Q =
+    Q("t_token_gini",
+      (s, dir) => Curation.tokenGini(
+          Tables.documents(s, dir)
+            .select(col("source"), TextOps.tokens(col("text")).as("toks")),
+          "source", "toks")
+        .orderBy(col("group")),
+      Some(s"""WITH $toksSqlCte,
+        |tk AS (SELECT dd.source AS grp, t.w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d JOIN documents dd USING (doc_id),
+        |    LATERAL (SELECT unnest(d.toks) AS w) t
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT grp, n, CAST(row_number() OVER (PARTITION BY grp
+        |    ORDER BY n, w) AS BIGINT) AS i FROM tk),
+        |ag AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |    CAST(SUM(i * n) AS BIGINT) AS si FROM rk GROUP BY 1)
+        |SELECT grp AS "group", n_tokens, n_vocab,
+        |  CAST(si * 2 - (n_vocab + 1) * n_tokens AS BIGINT) AS gini_num,
+        |  CASE WHEN n_vocab * n_tokens > 0
+        |    THEN CAST(si * 2 - (n_vocab + 1) * n_tokens AS DOUBLE)
+        |      / CAST(n_vocab * n_tokens AS DOUBLE)
+        |    ELSE -1.0 END AS gini
+        |FROM ag ORDER BY "group"""".stripMargin))
 
   /** L183 — Flesch–Kincaid readability in exact e3 integers: words =
     * engine tokens, sentences = [.!?]+ runs, syllables = vowel-group

@@ -70,6 +70,25 @@ private[graft] object QuerySupport {
       |FROM sid GROUP BY doc_id, shot_id
       |ORDER BY doc_id, shot_id""".stripMargin
 
+  /** The L181/L186 calibration-bin oracle — the reliability table over
+    * the minted e6 scores; shared by batch m_ece and its streaming
+    * twin (a streaming groupBy-bin aggregation must converge to the
+    * identical table).
+    */
+  private[graft] val eceOracleSql =
+    """WITH sc AS (SELECT (doc_id * 7919) % 1000001 AS s,
+      |    CASE WHEN (doc_id * 104729) % 1000001 < (doc_id * 7919) % 1000001
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM documents)
+      |SELECT CAST(least(s // 100000, 9) AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(s) AS BIGINT) AS sum_conf_e6,
+      |  CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  CAST(abs(SUM(s) - SUM(y) * 1000000) AS BIGINT) AS gap_e6_num,
+      |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS conf,
+      |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc
+      |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+
   private[graft] val evIntervalsSqlCte =
     """i AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s_us,
       |  epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) AS e_us,

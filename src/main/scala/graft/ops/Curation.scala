@@ -2006,6 +2006,45 @@ object Curation {
             / (col("n_docs") * col("n_docs")).cast("double"))
           .otherwise(lit(-1d)))
 
+  /** L185 — GINI COEFFICIENT of each group's token-frequency
+    * distribution — the vocabulary-concentration lens next to L166's
+    * HHI (HHI reads document concentration across sources; this reads
+    * token-mass concentration within a source): for counts c₁ ≤ … ≤
+    * c_k (ties broken by token — deterministic in both engines),
+    * Gini = Σ(2i − k − 1)·cᵢ / (k·Σc), computed exactly via the
+    * algebraic split Σ(2i−k−1)cᵢ = 2·Σ i·cᵢ − (k+1)·Σcᵢ — every term
+    * an exact long, the coefficient one division. Near-0 = flat
+    * vocabulary (gibberish/boilerplate suspect), near-1 = a few tokens
+    * dominate (template spam) — both ends are curation flags.
+    *
+    * Scale shape: one (group, token) map-side-combined histogram, one
+    * rank window over the per-group VOCABULARY (Heaps-bounded — the
+    * c_source_vocab_overlap posture), one hash agg.
+    *
+    * Output: (group, n_tokens, n_vocab, gini_num, gini).
+    */
+  def tokenGini(df: DataFrame, groupCol: String, toksCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("grp"), explode(col(toksCol)).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("n"), col("w"))
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(col("i") * col("n")).as("__si"))
+      .select(col("grp").as("group"), col("n_tokens"), col("n_vocab"),
+        (col("__si") * 2L - (col("n_vocab") + 1L) * col("n_tokens"))
+          .as("gini_num"))
+      .withColumn("gini",
+        when(col("n_vocab") * col("n_tokens") > 0L,
+          col("gini_num").cast("double")
+            / (col("n_vocab") * col("n_tokens")).cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L179 — CROSS-SNAPSHOT TOKEN-DISTRIBUTION DRIFT: the "did the
     * crawl change under me" check a production curation run reads
     * between two ingest snapshots — the vocabulary-level twin of the

@@ -554,6 +554,46 @@ object EvalOps {
       col("s").as("thr_hi"), col("fa").as("fa_hi"), col("fr").as("fr_hi"))
   }
 
+  /** L184 — EXACT ROC-AUC over verification/classifier trial scores —
+    * the threshold-free companion to the L182 EER bracket: AUC =
+    * P(target score > non-target score) + ½·P(equal), computed EXACTLY
+    * as the Mann–Whitney U statistic over the distinct-score
+    * histogram: 2·U = Σ_s tar_s · (2·non_below(s) + non_s) — every
+    * term an exact long (ties counted once, hence the 2× numerator) —
+    * and AUC the single division 2U / (2·n_t·n_n). No sampling, no
+    * trapezoid approximation: the step-ROC's area is this sum.
+    *
+    * Scale shape: one hash agg to the distinct-score table, one
+    * cumsum window over it (domain-bounded: ≤ 10⁶+1 e6-score rows —
+    * the L182/quantile-norm posture), one 1-row broadcast combine.
+    *
+    * Output: one row (n_target, n_nontarget, auc_num2, auc) — auc −1
+    * when either class is empty (undefined, loud).
+    */
+  def rocAuc(df: DataFrame, scoreE6Col: org.apache.spark.sql.Column,
+      targetCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(scoreE6Col.cast("long").as("s"),
+      targetCol.cast("long").as("y"))
+    val per = t.groupBy(col("s"))
+      .agg(sum(col("y")).as("tar"), sum(lit(1L) - col("y")).as("non"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = t.agg(sum(col("y")).as("n_target"),
+      sum(lit(1L) - col("y")).as("n_nontarget"))
+    per
+      .withColumn("nb", coalesce(sum(col("non")).over(w), lit(0L)))
+      .agg(sum(col("tar") * (col("nb") * 2L + col("non"))).as("auc_num2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_target"), col("n_nontarget"),
+        coalesce(col("auc_num2"), lit(0L)).as("auc_num2"))
+      .withColumn("auc",
+        when(col("n_target") > 0L && col("n_nontarget") > 0L,
+          col("auc_num2").cast("double")
+            / (col("n_target") * col("n_nontarget") * 2L).cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L159 — ROUGE-N OVERLAP (Lin 2004) between reference and
     * hypothesis token arrays: clipped n-gram multiset intersection —
     * for each distinct ref n-gram, min(count in ref, count in hyp) —

@@ -2485,6 +2485,37 @@ class OpsSpec extends SparkSpec {
     assert((r3.getLong(5), r3.getLong(6), r3.getLong(7)) == ((21L, 0L, 0L)), s"got $r3")
   }
 
+  test("L184 rocAuc: Mann-Whitney with half-weight ties, exact numerator") {
+    import graft.ops.EvalOps
+    // targets {3, 5}, non-targets {1, 3}: pairs (3>1)=1, (3=3)=0.5,
+    // (5>1)=1, (5>3)=1 -> AUC 3.5/4 = 0.875, num2 = 7
+    val trials = Seq((3L, 1L), (5L, 1L), (1L, 0L), (3L, 0L)).toDF("s", "y")
+    val r = EvalOps.rocAuc(trials, $"s", $"y").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      == ((2L, 2L, 7L, 0.875)), s"got $r")
+    // single-class input is undefined -> loud -1
+    val one = Seq((3L, 1L), (5L, 1L)).toDF("s", "y")
+    assert(EvalOps.rocAuc(one, $"s", $"y").head.getDouble(3) == -1d)
+    // perfect separation -> 1.0
+    val sep = Seq((9L, 1L), (1L, 0L)).toDF("s", "y")
+    assert(EvalOps.rocAuc(sep, $"s", $"y").head.getDouble(3) == 1d)
+  }
+
+  test("L185 tokenGini: textbook (1,3) split = 0.25, uniform = 0") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("s", Seq("a", "a", "a", "b")), // counts (1,3): gini 2/8 = 0.25
+      ("u", Seq("x", "y"))            // uniform: 0
+    ).toDF("source", "toks")
+    val got = Curation.tokenGini(df, "source", "toks")
+      .orderBy($"group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("s", 4L, 2L, 2L, 0.25),
+      ("u", 2L, 2L, 0L, 0.0)), s"got $got")
+  }
+
   test("L183 readability: exact counts and e3 rates on hand-checked prose") {
     import graft.ops.TextOps
     val docs = Seq(

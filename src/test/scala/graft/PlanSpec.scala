@@ -558,6 +558,14 @@ class PlanSpec extends SparkSpec {
     assert(!ee.contains("CartesianProduct"), "m_eer plans a cartesian")
     assert(ee.contains("BroadcastNestedLoopJoin"),
       "m_eer's 1-row totals frame should broadcast")
+    // m_auc: same distinct-score-table shape as m_eer
+    val au = plan("m_auc")
+    assert(!au.contains("CartesianProduct"), "m_auc plans a cartesian")
+    // t_token_gini: one vocab-bounded rank window per source + one agg
+    val gi = plan("t_token_gini")
+    assert(!gi.contains("Join"), "token gini must be join-free")
+    assert("hashpartitioning\\(grp".r.findAllIn(gi).nonEmpty,
+      "token gini's rank window must partition by the source key")
   }
 
   test("no registered query plans an UNBOUNDED cartesian product") {
