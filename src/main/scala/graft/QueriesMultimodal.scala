@@ -476,6 +476,112 @@ private[graft] object QueriesMultimodal {
         |      / CAST(n AS DOUBLE)
         |    ELSE -1.0 END AS hot_rate,
         |  len(list_filter(qs, x -> x >= 9000)) > 0 AS clipped
-        |FROM q ORDER BY file""".stripMargin))
+        |FROM q ORDER BY file""".stripMargin)),
+
+
+    // L188 — zero-crossing-rate features over the same real decode
+    // path as mm_clipping (WAV/FLAC bit-exact roundtrip): strict sign
+    // flips on the int16-quantized samples, e6 rate, and the per-frame
+    // low-ZCR (voiced-candidate) gate — all exact integers the oracle
+    // replays from the synthesis formula with signs intact.
+    Q("mm_audio_zcr",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 200).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (300 + id % 500).toInt
+          val mult = if (id % 4 == 0) 2 else 1
+          val sam = Array.tabulate(n)(i =>
+            ((id * 13 + i.toLong * 29) % 401 - 200) * 25 * mult / 32767f)
+          val bytes = (id % 3) match {
+            case 0 => WavAudio.encode(8000, sam)
+            case 1 => FlacAudio.encode(8000, sam)
+            case _ => FlacAudio.encode(8000, sam, lpc = true)
+          }
+          (id.toString, bytes)
+        }
+        Multimodal.zeroCrossingStats(WavAudio.decodeDataset(payloads),
+            frame = 100, maxZcLow = 20)
+          .orderBy(col("file"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |c AS (SELECT id, CAST(300 + id % 500 AS BIGINT) AS n,
+        |    CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END AS mult FROM ids),
+        |q AS (SELECT id, n,
+        |    list_transform(range(0, n),
+        |      i -> ((id * 13 + i * 29) % 401 - 200) * 25 * mult) AS vs
+        |  FROM c),
+        |z AS (SELECT id, n,
+        |    CAST(len(list_filter(range(1, n),
+        |      i -> vs[CAST(i AS INTEGER)] * vs[CAST(i + 1 AS INTEGER)] < 0))
+        |      AS BIGINT) AS n_zc,
+        |    n // 100 AS nf,
+        |    list_transform(range(0, n // 100), f ->
+        |      len(list_filter(range(f * 100 + 1, f * 100 + 100),
+        |        i -> vs[CAST(i AS INTEGER)] * vs[CAST(i + 1 AS INTEGER)] < 0)))
+        |      AS fz
+        |  FROM q)
+        |SELECT id AS file, n AS n_samples, n_zc,
+        |  CAST(CASE WHEN n > 1 THEN (n_zc * 1000000) // (n - 1)
+        |    ELSE -1 END AS BIGINT) AS zcr_e6,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(len(list_filter(fz, x -> x <= 20)) AS BIGINT) AS n_low_frames
+        |FROM z ORDER BY file""".stripMargin)),
+
+
+    // L187 — streaming header-only image probe (L180∘streaming, the
+    // S1/S3-at-ingest parallel): image payloads PROBED AS THEY ARRIVE
+    // — container-header dims only, never a raster decode — stateless
+    // append, no state store; the payload parquet (real encoder
+    // output, four containers) stages once per session.
+    Q("streaming_image_probe",
+      (s, dir) => QuerySupport.withStreamingPartitions(s) {
+        import s.implicits._
+        import graft.pipeline.{ImageCodec, ImageProbe}
+        val name = "sip_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_iprobe").toString
+        val srcDir = QuerySupport.stagedStreamSource("image_payloads", dir) { p =>
+          val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+            .select(col("doc_id")).as[Long]
+          val payloads = base.map { id =>
+            val w = (16 + id % 13).toInt
+            val h = (8 + id % 7).toInt
+            val argb = Array.tabulate(w * h)(i =>
+              0xff000000 | ((id * 31 + i * 7) % 16777216).toInt)
+            val bytes = (id % 4) match {
+              case 0 => ImageCodec.encodePng(w, h, argb)
+              case 1 => ImageCodec.encodeBmp(w, h, argb)
+              case 2 => ImageCodec.encodeJpeg(w, h, argb)
+              case _ => ImageCodec.encodeGif(w, h, argb)
+            }
+            (id, bytes)
+          }.toDF("doc_id", "payload")
+          QuerySupport.writeHeartbeat(payloads, p, "img_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val probed = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            val info = ImageProbe.probe(bytes)
+            (id, info.format, info.width, info.height)
+          }.toDF("doc_id", "format", "width", "height")
+        val q = probed.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuerySupport.cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("doc_id") >= 0).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'bmp'
+        |       WHEN doc_id % 4 = 2 THEN 'jpg' ELSE 'gif' END AS format,
+        |  CAST(16 + doc_id % 13 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS height
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin))
   )
 }

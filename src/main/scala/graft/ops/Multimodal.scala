@@ -384,6 +384,57 @@ object Multimodal {
       .select(col("a"), col("b"), col("n_shared"), col("jaccard"))
   }
 
+  /** L188 — ZERO-CROSSING-RATE FEATURES over decoded audio — the
+    * classic cheap voiced/unvoiced discriminator a speech-curation
+    * pass runs beside the L169 clipping gate (voiced speech crosses
+    * zero rarely; fricatives/noise cross constantly; a recording
+    * that is all high-ZCR frames is noise, all near-zero-ZCR frames
+    * is DC/silence damage): per file the exact count of STRICT sign
+    * flips q_i·q_{i+1} < 0 over the int16-quantized samples (zeros
+    * break runs, counted by neither side — the determinism rule), the
+    * e6-scaled rate, and a per-frame gate — frames of `frame` samples
+    * whose internal flip count is ≤ `maxZcLow` (the voiced-candidate
+    * count). All exact integers on the bit-exact decode path; one
+    * typed map, no shuffle.
+    *
+    * Output: (file, n_samples, n_zc, zcr_e6, n_frames, n_low_frames).
+    */
+  def zeroCrossingStats(audio: Dataset[graft.model.AudioFile],
+      frame: Int, maxZcLow: Int): DataFrame = {
+    require(frame >= 2, s"frame must be >= 2 samples, got $frame")
+    import audio.sparkSession.implicits._
+    audio.map { a =>
+      val n = a.waveform.length
+      val q = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        q(i) = math.round(a.waveform(i) * 32768f).toLong
+        i += 1
+      }
+      var zc = 0L
+      i = 1
+      while (i < n) { if (q(i - 1) * q(i) < 0L) zc += 1; i += 1 }
+      val nf = n / frame
+      var low = 0L
+      var f = 0
+      while (f < nf) {
+        var z = 0L
+        var j = f * frame + 1
+        val end = f * frame + frame
+        while (j < end) { if (q(j - 1) * q(j) < 0L) z += 1; j += 1 }
+        if (z <= maxZcLow) low += 1
+        f += 1
+      }
+      (a.file.toLong, n.toLong, zc, nf.toLong, low)
+    }.toDF("file", "n_samples", "n_zc", "n_frames", "n_low_frames")
+      .withColumn("zcr_e6",
+        when(col("n_samples") > 1L,
+          expr("(n_zc * 1000000L) div (n_samples - 1L)"))
+          .otherwise(lit(-1L)))
+      .select(col("file"), col("n_samples"), col("n_zc"), col("zcr_e6"),
+        col("n_frames"), col("n_low_frames"))
+  }
+
   /** L169 — AMPLITUDE-PEAK / CLIPPING GATE over decoded audio — the
     * cheap loudness-damage filter a speech-curation pass runs right
     * after decode (a clipped recording poisons every downstream model

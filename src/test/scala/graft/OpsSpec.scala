@@ -2485,6 +2485,22 @@ class OpsSpec extends SparkSpec {
     assert((r3.getLong(5), r3.getLong(6), r3.getLong(7)) == ((21L, 0L, 0L)), s"got $r3")
   }
 
+  test("L188 zeroCrossingStats: strict sign flips, zeros break runs, frame gate exact") {
+    import graft.ops.Multimodal
+    import graft.model.AudioFile
+    // quantized values: +1 -1 +1 0 -1 -1 +1 +1 (x = q/32768f)
+    //   strict flips: (1,-1) (−1,1) (−1,1) = 3 of 7 pairs
+    //   (0 breaks the (1,0,-1) run: neither pair counts)
+    val w = Array(1f, -1f, 1f, 0f, -1f, -1f, 1f, 1f).map(_ / 32768f)
+    val ds = spark.createDataset(Seq(AudioFile("7", 8000, w)))(
+      org.apache.spark.sql.Encoders.product[AudioFile])
+    val r = Multimodal.zeroCrossingStats(ds, frame = 4, maxZcLow = 1).head
+    // frames of 4: [1,-1,1,0] has 2 internal flips (> 1), [-1,-1,1,1]
+    // has 1 (<= 1) -> n_low_frames = 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((7L, 8L, 3L, 428571L, 2L, 1L)), s"got $r")
+  }
+
   test("L184 rocAuc: Mann-Whitney with half-weight ties, exact numerator") {
     import graft.ops.EvalOps
     // targets {3, 5}, non-targets {1, 3}: pairs (3>1)=1, (3=3)=0.5,
