@@ -807,6 +807,23 @@ private[graft] object QueriesCuration {
       Some(zorderOracleSql(bits = 12, rowsPerFile = 4096))),
 
 
+    // L189 — HILBERT-CURVE LAYOUT: the locality upgrade over L57 —
+    // consecutive Hilbert indices are always Manhattan-adjacent (no
+    // power-of-2-seam jumps), so file envelopes tighten and range
+    // scans prune more (the Delta liquid-clustering move). Same
+    // bounds/buckets/manifest as c_zorder_layout; the xy2d fold runs
+    // as ONE aggregate HOF (linear expression size) and the oracle
+    // unrolls it per level with fresh column names.
+    Q("c_hilbert_layout",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Curation.hilbertLayout(
+          ev.select(col("user_id"), Tables.tsUs(ev).as("tus"), col("event_id")),
+          "user_id", "tus", "event_id", bits = 12, rowsPerFile = 4096)
+      },
+      Some(hilbertOracleSql(bits = 12, rowsPerFile = 4096))),
+
+
     // L60 — LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: split by NEAR-DUP
     // COMPONENT, never by document, so no near-dup pair straddles the
     // split boundary and eval never scores memorization. Components over

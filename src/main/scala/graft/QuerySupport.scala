@@ -444,6 +444,50 @@ private[graft] object QuerySupport {
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Mirror of [[graft.ops.Curation.hilbertLayout]] on events: the
+    * same bounds/buckets as the z-order oracle, then the xy2d fold
+    * UNROLLED as one chained CTE per level with level-numbered columns
+    * (gx0,gy0,hd0 → gx1,… — fresh names per level, so DuckDB's
+    * lateral-alias binding can never read a same-SELECT updated
+    * value), then the row_number file assembly.
+    */
+  private[graft] def hilbertOracleSql(bits: Int, rowsPerFile: Int): String = {
+    val top = (1L << bits) - 1L
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+bn AS (SELECT MIN(user_id) AS n0, MAX(user_id) AS x0,
+    MIN(tus) AS n1, MAX(tus) AS x1 FROM e),
+h0 AS (SELECT e.*,
+    CAST(CASE WHEN x0 = n0 THEN 0 ELSE ((user_id - n0) * $top) // (x0 - n0) END AS BIGINT) AS gx0,
+    CAST(CASE WHEN x1 = n1 THEN 0 ELSE ((tus - n1) * $top) // (x1 - n1) END AS BIGINT) AS gy0,
+    CAST(0 AS BIGINT) AS hd0
+  FROM e, bn)"""
+    var k = 0
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val k1 = k + 1
+      sb ++= s""",
+h$k1 AS (SELECT user_id, tus, event_id,
+    CASE WHEN (gy$k & $s) = 0 THEN CASE WHEN (gx$k & $s) > 0
+      THEN $top - gy$k ELSE gy$k END ELSE gx$k END AS gx$k1,
+    CASE WHEN (gy$k & $s) = 0 THEN CASE WHEN (gx$k & $s) > 0
+      THEN $top - gx$k ELSE gx$k END ELSE gy$k END AS gy$k1,
+    hd$k + ${s * s} * xor(CASE WHEN (gx$k & $s) > 0 THEN 3 ELSE 0 END,
+      CASE WHEN (gy$k & $s) > 0 THEN 1 ELSE 0 END) AS hd$k1
+  FROM h$k)"""
+      k = k1
+    }
+    sb ++= s""",
+r AS (SELECT user_id, tus, event_id,
+    row_number() OVER (ORDER BY hd$k, event_id) AS rn FROM h$k)
+SELECT CAST((rn - 1) // $rowsPerFile AS BIGINT) AS file_id,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
+  MIN(tus) AS min_tus, MAX(tus) AS max_tus
+FROM r GROUP BY 1 ORDER BY 1"""
+    sb.toString
+  }
+
   /** The k-round BPE training loop unrolled as chained CTEs — each
     * round: adjacent-pair counts over the delimited symbol strings, the
     * deterministic argmax, and the greedy `replace` merge feeding the

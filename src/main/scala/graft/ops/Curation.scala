@@ -916,7 +916,70 @@ object Curation {
     * dims) — exactly the footer/manifest stats a skipping scan consults.
     */
   def zorderLayout(df: DataFrame, c0: String, c1: String, tieCol: String,
-                   bits: Int, rowsPerFile: Int): DataFrame = {
+                   bits: Int, rowsPerFile: Int): DataFrame =
+    curveLayout(df, c0, c1, tieCol, bits, rowsPerFile,
+      zorderKey(_, _, bits), "zorderLayout")
+
+  /** L189 — HILBERT-CURVE DATA LAYOUT: the locality UPGRADE over
+    * [[zorderLayout]] — the Hilbert curve visits every cell of the
+    * 2^bits × 2^bits grid with consecutive indices always ADJACENT
+    * (Manhattan distance 1; Z-order jumps across the plane at every
+    * power-of-2 seam), so file envelopes are tighter on average and
+    * range scans prune more files (the reason Databricks liquid
+    * clustering moved from Z-order to Hilbert). The index is the
+    * classic xy2d fold (Wikipedia/Hamilton): per level s = 2^i from
+    * the top, quadrant = (3·rx) xor ry prices the sub-square, then the
+    * reflect+swap rotation — computed as ONE `aggregate` HOF over the
+    * descending level array with a (x, y, d) struct accumulator, so
+    * the expression tree stays LINEAR in bits (a naive per-level
+    * column fold doubles the tree each level — 2^bits blowup), all
+    * exact integer ops, no UDF. The oracle unrolls the same fold as
+    * chained per-level CTEs with level-numbered columns (lateral-alias
+    * safety) — bit-for-bit identical.
+    *
+    * Same bucket/sort/manifest assembly as Z-order ([[curveLayout]]);
+    * same 100 TB shape: `repartitionByRange` on the key + one writer
+    * task per range.
+    */
+  def hilbertLayout(df: DataFrame, c0: String, c1: String, tieCol: String,
+                    bits: Int, rowsPerFile: Int): DataFrame =
+    curveLayout(df, c0, c1, tieCol, bits, rowsPerFile,
+      hilbertKey(_, _, bits), "hilbertLayout")
+
+  /** The xy2d Hilbert index of two pre-bucketed `bits`-bit dimensions
+    * as a linear-size expression: aggregate over levels s =
+    * 2^(bits−1)..1 with struct state, C-code-faithful (rx = (x & s)>0,
+    * d += s²·((3rx) xor ry), reflect-on-rx then swap when ry = 0).
+    */
+  def hilbertKey(b0: Column, b1: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"need 1 <= bits <= 20, got $bits")
+    val n1 = lit((1L << bits) - 1L)
+    val levels = array((bits - 1 to 0 by -1).map(i => lit(1L << i)): _*)
+    aggregate(
+      levels,
+      struct(b0.cast("long").as("x"), b1.cast("long").as("y"),
+        lit(0L).as("d")),
+      (a, s) => {
+        val rx = when(a("x").bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+        val ry = when(a("y").bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+        struct(
+          when(ry === 0L, when(rx === 1L, n1 - a("y")).otherwise(a("y")))
+            .otherwise(a("x")).as("x"),
+          when(ry === 0L, when(rx === 1L, n1 - a("x")).otherwise(a("x")))
+            .otherwise(a("y")).as("y"),
+          (a("d") + s * s * (rx * 3L).bitwiseXOR(ry)).as("d"))
+      },
+      a => a("d"))
+  }
+
+  /** Shared space-filling-curve layout assembly: min/max bounds
+    * broadcast, `bits`-bit integer-division buckets (overflow-guarded),
+    * the caller's curve key, `rowsPerFile` consecutive rows per file,
+    * per-file min/max manifest.
+    */
+  private def curveLayout(df: DataFrame, c0: String, c1: String,
+      tieCol: String, bits: Int, rowsPerFile: Int,
+      key: (Column, Column) => Column, opName: String): DataFrame = {
     require(bits >= 1 && bits <= 20, s"need 1 <= bits <= 20, got $bits")
     require(rowsPerFile >= 1, s"need rowsPerFile >= 1, got $rowsPerFile")
     val top = (1L << bits) - 1L
@@ -924,7 +987,7 @@ object Curation {
     def bucket(c: String, n: String, x: String): Column =
       expr(s"""CASE WHEN $x = $n THEN 0L
         WHEN $x - $n > ${maxSpan}L THEN raise_error(CONCAT(
-          'zorderLayout: $c span ', CAST($x - $n AS STRING),
+          '$opName: $c span ', CAST($x - $n AS STRING),
           ' overflows the ${bits}-bit bucket multiply - pre-scale the column'))
         ELSE (($c - $n) * ${top}L) div ($x - $n) END""")
     val bounds = df.agg(
@@ -933,7 +996,7 @@ object Curation {
     val keyed = df.crossJoin(broadcast(bounds))
       .withColumn("__b0", bucket(c0, "__n0", "__x0"))
       .withColumn("__b1", bucket(c1, "__n1", "__x1"))
-      .withColumn("__z", zorderKey(col("__b0"), col("__b1"), bits))
+      .withColumn("__z", key(col("__b0"), col("__b1")))
     keyed
       .withColumn("__rn", row_number().over(
         Window.orderBy(col("__z"), col(tieCol))).cast("long"))

@@ -2313,6 +2313,44 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L189 hilbertKey: matches the canonical xy2d algorithm; consecutive cells always adjacent") {
+    import graft.ops.Curation
+    // direct port of the public-domain C reference (Wikipedia xy2d)
+    def xy2d(n: Int, x0: Int, y0: Int): Long = {
+      var x = x0; var y = y0; var d = 0L; var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 3; val n = 1 << bits
+    val cells = (for { x <- 0 until n; y <- 0 until n }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = cells
+      .select($"x", $"y", Curation.hilbertKey($"x", $"y", bits).as("d"))
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
+    for (x <- 0 until n; y <- 0 until n)
+      assert(got((x, y)) == xy2d(n, x, y), s"cell ($x,$y)")
+    // bijection onto 0..n^2-1 AND the Hilbert property: every step of
+    // the curve moves to a Manhattan-adjacent cell (Z-order fails this
+    // at every power-of-2 seam — the locality claim under test)
+    assert(got.values.toSeq.sorted == (0L until n.toLong * n).toSeq)
+    val byD = got.toSeq.sortBy(_._2).map(_._1)
+    for (i <- 1 until byD.length) {
+      val (ax, ay) = byD(i - 1); val (bx, by) = byD(i)
+      assert(math.abs(ax - bx) + math.abs(ay - by) == 1,
+        s"curve jumps between d=${i - 1} and d=$i")
+    }
+  }
+
   test("L179 tokenDrift: exact e6 shares, ties by token hash, absent snapshot sides price as zero share") {
     import graft.ops.Curation
     val snapA = Seq(
