@@ -882,6 +882,59 @@ private[graft] object QueriesCore {
         |  SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
         |GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // L190 — multi-source BFS hop distances over the SAME directed
+    // event link graph as g_pagerank/g_ppr, seeded at every user's
+    // FIRST event (session entry points): the crawl-frontier "how many
+    // hops from a trusted entry" number an expansion policy thresholds
+    // on (PPR weighs all paths; this is the single hop count). Every
+    // browse chain yields distances 0..3 and the type hubs pick up
+    // their cross-chain minimum — a genuinely mixed histogram. 3
+    // bounded Bellman-Ford rounds — every distance <= 3 exact,
+    // unreached flags -1/false; round CTEs MATERIALIZED (each is
+    // referenced twice — the g_kcore inlining lesson).
+    Q("g_bfs",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        val seeds = ev.groupBy(col("user_id"))
+          .agg(min(col("event_id")).as("entry"))
+        GraphOps.bfsDistances(chain.unionByName(hubEdges), "src", "dst",
+            seeds, "entry", rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |sd AS (SELECT MIN(event_id) AS node FROM e GROUP BY user_id),
+        |b0 AS MATERIALIZED (SELECT nd.node,
+        |    CAST(CASE WHEN sd.node IS NULL THEN 999 ELSE 0 END AS BIGINT) AS dist
+        |  FROM nd LEFT JOIN sd ON sd.node = nd.node),
+        |c1 AS (SELECT ed.dst AS node, MIN(d.dist + 1) AS cand
+        |  FROM ed JOIN b0 d ON d.node = ed.src GROUP BY 1),
+        |b1 AS MATERIALIZED (SELECT d.node,
+        |    least(d.dist, COALESCE(c.cand, 999)) AS dist
+        |  FROM b0 d LEFT JOIN c1 c ON c.node = d.node),
+        |c2 AS (SELECT ed.dst AS node, MIN(d.dist + 1) AS cand
+        |  FROM ed JOIN b1 d ON d.node = ed.src GROUP BY 1),
+        |b2 AS MATERIALIZED (SELECT d.node,
+        |    least(d.dist, COALESCE(c.cand, 999)) AS dist
+        |  FROM b1 d LEFT JOIN c2 c ON c.node = d.node),
+        |c3 AS (SELECT ed.dst AS node, MIN(d.dist + 1) AS cand
+        |  FROM ed JOIN b2 d ON d.node = ed.src GROUP BY 1),
+        |b3 AS (SELECT d.node, least(d.dist, COALESCE(c.cand, 999)) AS dist
+        |  FROM b2 d LEFT JOIN c3 c ON c.node = d.node)
+        |SELECT node,
+        |  CAST(CASE WHEN dist < 999 THEN dist ELSE -1 END AS BIGINT) AS dist,
+        |  dist < 999 AS reached
+        |FROM b3 ORDER BY node""".stripMargin)),
+
     // L153 — 3-truss peel (2 rounds) over the session minhash pair
     // graph: the EDGE-grade companion to g_kcore — an edge survives
     // only with >= 1 triangle witness, recomputed after each filter

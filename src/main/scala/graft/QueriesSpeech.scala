@@ -924,7 +924,69 @@ private[graft] object QueriesSpeech {
         |      AS DOUBLE) / CAST(t_ref AS DOUBLE)
         |  ELSE -1.0 END AS der
         |FROM j ORDER BY file""".stripMargin))
-  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry :+ aucEntry
+  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry :+ aucEntry :+ spanDetectEntry
+
+  /** L191 — span detection P/R/F1 at IoU ≥ 0.5 over the SAME minted
+    * streams as m_der (including the id%13==7 hyp-only files, which
+    * emit n_ref=0 rows with recall −1): the id%3 shift leaves IoU =
+    * (6−shift)/(6+shift) ≥ 0.5 for every shift here, the dropped
+    * id%4==0 segment costs recall, the mislabel doesn't matter —
+    * detection is label-blind.
+    */
+  private def spanDetectEntry: Q =
+    Q("m_span_detect",
+      (s, dir) => {
+        val ids = Tables.events(s, dir)
+          .select(col("event_id").cast("long").as("id"))
+          .filter(col("id") < 200).distinct()
+        val ks = ids.select(col("id"),
+          explode(sequence(lit(0L), lit(3L))).as("k"))
+        val ref = ks.filter(pmod(col("id"), lit(13L)) =!= 7L).select(col("id"),
+          (col("k") * 10000000L).as("s"),
+          (col("k") * 10000000L + 6000000L).as("e"))
+        val hyp = ks
+          .filter(!(pmod(col("id"), lit(4L)) === 0L && col("k") === 3L))
+          .withColumn("sh", pmod(col("id"), lit(3L)) * 500000L)
+          .select(col("id"),
+            (col("k") * 10000000L + col("sh")).as("s"),
+            (col("k") * 10000000L + 6000000L + col("sh")).as("e"))
+        EvalOps.spanDetection(ref, hyp, "id", "s", "e", tauE6 = 500000L)
+          .orderBy(col("file"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |kk AS (SELECT id, unnest(range(4)) AS k FROM ids),
+        |ref AS (SELECT id, k * 10000000 AS s, k * 10000000 + 6000000 AS e
+        |  FROM kk WHERE id % 13 != 7),
+        |hyp AS (SELECT id, k * 10000000 + (id % 3) * 500000 AS s,
+        |    k * 10000000 + 6000000 + (id % 3) * 500000 AS e
+        |  FROM kk WHERE NOT (id % 4 = 0 AND k = 3)),
+        |p AS (SELECT r.id, r.s AS sr, r.e AS er, h.s AS sh, h.e AS eh,
+        |    least(r.e, h.e) - greatest(r.s, h.s) AS inter,
+        |    (r.e - r.s) + (h.e - h.s)
+        |      - (least(r.e, h.e) - greatest(r.s, h.s)) AS un
+        |  FROM ref r JOIN hyp h ON h.id = r.id AND r.s < h.e AND h.s < r.e),
+        |m AS (SELECT * FROM p WHERE inter * 1000000 >= 500000 * un),
+        |cov AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_cov
+        |  FROM (SELECT DISTINCT id, sr, er FROM m) GROUP BY 1),
+        |det AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_det
+        |  FROM (SELECT DISTINCT id, sh, eh FROM m) GROUP BY 1),
+        |nr AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref GROUP BY 1),
+        |nh AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_hyp FROM hyp GROUP BY 1),
+        |j AS (SELECT id, coalesce(n_ref, 0) AS n_ref, coalesce(n_hyp, 0) AS n_hyp,
+        |    coalesce(n_cov, 0) AS n_cov, coalesce(n_det, 0) AS n_det
+        |  FROM nr FULL OUTER JOIN nh USING (id)
+        |  LEFT JOIN cov USING (id) LEFT JOIN det USING (id))
+        |SELECT id AS file, n_ref, n_hyp, n_cov, n_det,
+        |  CASE WHEN n_hyp > 0 THEN CAST(n_det AS DOUBLE) / CAST(n_hyp AS DOUBLE)
+        |    ELSE -1.0 END AS precision,
+        |  CASE WHEN n_ref > 0 THEN CAST(n_cov AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |    ELSE -1.0 END AS recall,
+        |  CASE WHEN n_det * n_ref + n_cov * n_hyp > 0
+        |    THEN CAST(n_det * n_cov * 2 AS DOUBLE)
+        |      / CAST(n_det * n_ref + n_cov * n_hyp AS DOUBLE)
+        |    ELSE -1.0 END AS f1
+        |FROM j ORDER BY file""".stripMargin))
 
   /** L184 — exact ROC-AUC over the SAME minted trials as m_eer: the
     * threshold-free counterpart (Mann–Whitney U over the distinct-

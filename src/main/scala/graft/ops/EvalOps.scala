@@ -465,6 +465,75 @@ object EvalOps {
           .otherwise(lit(-1d)))
   }
 
+  /** L191 — SPAN-LEVEL DETECTION PRECISION/RECALL at an IoU threshold —
+    * the detection-grade companion to [[diarizationErrorRate]]'s time
+    * accounting (the first question after a VAD/diarizer swap is "did
+    * we find the speech regions at all", before DER prices the
+    * boundaries): a hypothesis segment is a TRUE DETECTION iff some
+    * same-file reference segment overlaps it with IoU ≥ τ, a reference
+    * segment is COVERED iff some hypothesis segment does — no 1-1
+    * matching (the detection-metric convention — deterministic and
+    * join-expressible; assignment variants are order-dependent). IoU
+    * compares CROSS-MULTIPLIED: inter·10⁶ ≥ τ_e6·union, exact longs,
+    * no division. Spans are identified by their (start, end)
+    * coordinates — exact duplicates collapse.
+    *
+    * Scale shape: one per-file interval equi join, two distinct-spans
+    * aggs, a full-outer per-file total merge — per-file work bounded
+    * by segment count, nothing cross-file. Files present in only one
+    * stream still emit (the L158 FA-only posture): zero denominators
+    * flag the ratio −1.
+    *
+    * Output: (file, n_ref, n_hyp, n_cov, n_det, precision, recall,
+    * f1) with precision = n_det/n_hyp, recall = n_cov/n_ref, f1 =
+    * 2·n_det·n_cov / (n_det·n_ref + n_cov·n_hyp).
+    */
+  def spanDetection(ref: DataFrame, hyp: DataFrame, fileCol: String,
+      startCol: String, endCol: String, tauE6: Long): DataFrame = {
+    require(tauE6 >= 0L && tauE6 <= 1000000L, s"tau_e6 in 0..1e6, got $tauE6")
+    def norm(df: DataFrame, tag: String): DataFrame =
+      df.select(col(fileCol).cast("long").as("f"),
+        col(startCol).cast("long").as(s"s_$tag"),
+        col(endCol).cast("long").as(s"e_$tag"))
+    val r = norm(ref, "r")
+    val h = norm(hyp, "h")
+    val pairs = r.join(h, Seq("f"))
+      .filter(col("s_r") < col("e_h") && col("s_h") < col("e_r"))
+      .withColumn("__inter",
+        least(col("e_r"), col("e_h")) - greatest(col("s_r"), col("s_h")))
+      .withColumn("__union",
+        col("e_r") - col("s_r") + col("e_h") - col("s_h") - col("__inter"))
+      .filter(col("__inter") * 1000000L >= lit(tauE6) * col("__union"))
+    val cov = pairs.select(col("f"), col("s_r"), col("e_r")).distinct()
+      .groupBy(col("f")).agg(count(lit(1)).as("n_cov"))
+    val det = pairs.select(col("f"), col("s_h"), col("e_h")).distinct()
+      .groupBy(col("f")).agg(count(lit(1)).as("n_det"))
+    val nr = r.groupBy(col("f")).agg(count(lit(1)).as("n_ref"))
+    val nh = h.groupBy(col("f")).agg(count(lit(1)).as("n_hyp"))
+    nr.join(nh, Seq("f"), "full_outer")
+      .join(cov, Seq("f"), "left")
+      .join(det, Seq("f"), "left")
+      .select(col("f").as("file"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_hyp"), lit(0L)).as("n_hyp"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+        coalesce(col("n_det"), lit(0L)).as("n_det"))
+      .withColumn("precision",
+        when(col("n_hyp") > 0L,
+          col("n_det").cast("double") / col("n_hyp").cast("double"))
+          .otherwise(lit(-1d)))
+      .withColumn("recall",
+        when(col("n_ref") > 0L,
+          col("n_cov").cast("double") / col("n_ref").cast("double"))
+          .otherwise(lit(-1d)))
+      .withColumn("f1",
+        when(col("n_det") * col("n_ref") + col("n_cov") * col("n_hyp") > 0L,
+          (col("n_det") * col("n_cov") * 2L).cast("double")
+            / (col("n_det") * col("n_ref") + col("n_cov") * col("n_hyp"))
+              .cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L181 — CALIBRATION BINS / ECE COMPONENTS (Naeini 2015, Guo 2017):
     * the reliability-diagram table behind Expected Calibration Error —
     * what a quality-classifier rollout reads before trusting its

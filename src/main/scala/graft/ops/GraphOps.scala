@@ -434,4 +434,54 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .withColumn("converged", lit(converged))
   }
+
+  /** L190 — MULTI-SOURCE BFS DISTANCES (bounded synchronous rounds):
+    * hop distance from the nearest seed following edge direction — the
+    * "how far is every page from the trusted allowlist" crawl-frontier
+    * metric next to L117's random-walk proximity (PPR weighs ALL
+    * paths; BFS reports the single number an expansion policy
+    * thresholds on). Bellman-Ford-style relaxation: round k sets
+    * d(v) = min(d(v), 1 + min over in-neighbors u of d(u)) — after
+    * `rounds` rounds every distance ≤ rounds is EXACT (bounded-round
+    * contract, the k-core posture: well-defined output whether or not
+    * the frontier is exhausted); unreached nodes flag dist −1 /
+    * reached false, never a sentinel leaking into the report.
+    *
+    * Scale shape: per round one equi join of the O(|V|) distance
+    * table against the edge table + one map-side-combined min-agg —
+    * the g_pagerank iteration shape; distances localCheckpoint
+    * between rounds so the lineage stays flat.
+    *
+    * Output: (node, dist, reached).
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"need 1 <= rounds <= 8, got $rounds")
+    val Inf = 999L // > any reachable distance under the rounds cap
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node"))).distinct()
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("__s", lit(1L))
+    var d = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(0L)).otherwise(lit(Inf)).as("dist"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = ed
+        .join(d.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + 1L).as("__cand"))
+      d = d.join(relaxed, Seq("node"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("__cand"), lit(Inf))).as("dist"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    d.select(col("node"),
+      when(col("dist") < Inf, col("dist")).otherwise(lit(-1L)).as("dist"),
+      (col("dist") < Inf).as("reached"))
+  }
 }

@@ -2313,6 +2313,54 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L190 bfsDistances: exact hops within the round budget, unreached flags loudly") {
+    import graft.ops.GraphOps
+    // chain 1->2->3->4->5, shortcut 1->4, island 9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 9L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("seed")
+    val got = GraphOps.bfsDistances(edges, "src", "dst", seeds, "seed", rounds = 3)
+      .orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // shortest paths: 1=0, 2=1, 3=2, 4=1 (shortcut beats the chain),
+    // 5=2; the 9-self-loop island never reaches
+    assert(got == Seq(
+      (1L, 0L, true), (2L, 1L, true), (3L, 2L, true),
+      (4L, 1L, true), (5L, 2L, true), (9L, -1L, false)), s"got $got")
+    // a tighter budget truncates the frontier, never mislabels it
+    val r1 = GraphOps.bfsDistances(edges, "src", "dst", seeds, "seed", rounds = 1)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 == Seq((1L, 0L), (2L, 1L), (3L, -1L), (4L, 1L), (5L, -1L),
+      (9L, -1L)), s"got $r1")
+  }
+
+  test("L191 spanDetection: IoU-threshold detection counts, label-blind, one-sided files flag") {
+    import graft.ops.EvalOps
+    val ref = Seq(
+      (1L, 0L, 10L), (1L, 20L, 30L),  // second ref uncovered
+      (3L, 0L, 10L)                    // ref-only file
+    ).toDF("f", "s", "e")
+    val hyp = Seq(
+      (1L, 1L, 11L),   // IoU 9/11 >= 0.5: detects ref 1
+      (1L, 40L, 50L),  // spurious
+      (2L, 0L, 10L)    // hyp-only file
+    ).toDF("f", "s", "e")
+    val got = EvalOps.spanDetection(ref, hyp, "f", "s", "e", tauE6 = 500000L)
+      .orderBy($"file").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1L, 1L, 0.5, 0.5),
+      (2L, 0L, 1L, 0L, 0L, 0.0, -1.0),
+      (3L, 1L, 0L, 0L, 0L, -1.0, 0.0)), s"got $got")
+    // a marginal overlap below the threshold is NOT a detection:
+    // inter 4, union 16 -> IoU 0.25 < 0.5
+    val m = EvalOps.spanDetection(
+      Seq((1L, 0L, 10L)).toDF("f", "s", "e"),
+      Seq((1L, 6L, 16L)).toDF("f", "s", "e"), "f", "s", "e", 500000L).head
+    assert(m.getLong(3) == 0L && m.getLong(4) == 0L, s"got $m")
+  }
+
   test("L189 hilbertKey: matches the canonical xy2d algorithm; consecutive cells always adjacent") {
     import graft.ops.Curation
     // direct port of the public-domain C reference (Wikipedia xy2d)

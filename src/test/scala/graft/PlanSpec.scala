@@ -561,6 +561,11 @@ class PlanSpec extends SparkSpec {
     // m_auc: same distinct-score-table shape as m_eer
     val au = plan("m_auc")
     assert(!au.contains("CartesianProduct"), "m_auc plans a cartesian")
+    // g_bfs relaxations and span detection: equi joins only
+    for (q <- Seq("g_bfs", "m_span_detect")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
     // t_token_gini: one vocab-bounded rank window per source + one agg
     val gi = plan("t_token_gini")
     assert(!gi.contains("Join"), "token gini must be join-free")
