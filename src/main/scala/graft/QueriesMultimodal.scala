@@ -532,6 +532,34 @@ private[graft] object QueriesMultimodal {
         |FROM z ORDER BY file""".stripMargin)),
 
 
+    // L192 — ViT patchify stats over the real codec roundtrip: 32x32
+    // gray16 images (formula pixels, 16-bit range) split into 8x8
+    // patches of 4x4 px after a real PNG16 encode->decode; the oracle
+    // replays the synthesis per patch — lossless means identical.
+    Q("mm_patch_stats",
+      (s, dir) => {
+        val px = expr("""transform(sequence(0, 1023), i -> CAST(
+          (doc_id * 7 + (i % 32) * 13 + (i div 32) * 29) % 1009 AS INT))""")
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"), px.as("px"))
+        Multimodal.patchStats(base, "doc_id", "px", w = 32, h = 32,
+            pw = 4, ph = 4)
+          .orderBy(col("doc_id"), col("patch_idx"))
+      },
+      Some("""WITH px AS (SELECT doc_id, unnest(range(0, 1024)) AS i
+        |  FROM documents WHERE doc_id < 300),
+        |v AS (SELECT doc_id, i,
+        |    (doc_id * 7 + (i % 32) * 13 + (i // 32) * 29) % 1009 AS v,
+        |    ((i // 32) // 4) * 8 + (i % 32) // 4 AS patch_idx
+        |  FROM px)
+        |SELECT doc_id, CAST(patch_idx AS BIGINT) AS patch_idx,
+        |  CAST(MIN(v) AS BIGINT) AS p_min, CAST(MAX(v) AS BIGINT) AS p_max,
+        |  CAST(SUM(v) AS BIGINT) AS p_sum,
+        |  CAST(SUM(v) // 16 AS BIGINT) AS p_mean
+        |FROM v GROUP BY doc_id, patch_idx
+        |ORDER BY doc_id, patch_idx""".stripMargin)),
+
+
     // L187 — streaming header-only image probe (L180∘streaming, the
     // S1/S3-at-ingest parallel): image payloads PROBED AS THEY ARRIVE
     // — container-header dims only, never a raster decode — stateless

@@ -384,6 +384,57 @@ object Multimodal {
       .select(col("a"), col("b"), col("n_shared"), col("jaccard"))
   }
 
+  /** L192 — PATCH EXTRACTION STATS (the ViT patchify, Dosovitskiy
+    * 2021): decoded images split into a row-major grid of pw×ph
+    * patches — THE input op of every vision-transformer training
+    * pipeline — with exact integer per-patch statistics (min, max,
+    * sum, floor mean): the per-patch numbers a preprocessing pass
+    * gates on (dead/saturated patch culling, patch-level contrast
+    * screens) before pixels ever reach a trainer. Pixels go through
+    * the REAL gray16-PNG encode→decode roundtrip
+    * ([[graft.pipeline.ImageCodec]]), so the stats are computed on
+    * genuinely decoded rasters while the oracle replays the synthesis
+    * formula (lossless ⇒ identical). One typed flatMap, no shuffle;
+    * one output row per (image, patch).
+    *
+    * Output: (id, patch_idx, p_min, p_max, p_sum, p_mean) —
+    * patch_idx row-major, p_mean = floor(p_sum / (pw·ph)).
+    */
+  def patchStats(df: DataFrame, idCol: String, samplesCol: String,
+      w: Int, h: Int, pw: Int, ph: Int): DataFrame = {
+    require(w % pw == 0 && h % ph == 0,
+      s"image ${w}x$h must tile exactly by ${pw}x$ph patches")
+    import df.sparkSession.implicits._
+    val cols = w / pw
+    df.select(col(idCol).cast("long"), col(samplesCol).cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .flatMap { case (id, samples) =>
+        val png = graft.pipeline.ImageCodec.encodePng16(w, h, samples)
+        val dec = graft.pipeline.ImageCodec.decodeGray16(png)
+        (0 until (w / pw) * (h / ph)).map { p =>
+          val x0 = (p % cols) * pw
+          val y0 = (p / cols) * ph
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var sum = 0L
+          var y = y0
+          while (y < y0 + ph) {
+            var x = x0
+            while (x < x0 + pw) {
+              val v = dec.samples(y * w + x)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v
+              x += 1
+            }
+            y += 1
+          }
+          (id, p.toLong, mn.toLong, mx.toLong, sum, sum / (pw.toLong * ph))
+        }
+      }
+      .toDF(idCol, "patch_idx", "p_min", "p_max", "p_sum", "p_mean")
+  }
+
   /** L188 — ZERO-CROSSING-RATE FEATURES over decoded audio — the
     * classic cheap voiced/unvoiced discriminator a speech-curation
     * pass runs beside the L169 clipping gate (voiced speech crosses
