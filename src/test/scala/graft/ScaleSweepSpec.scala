@@ -308,6 +308,50 @@ class ScaleSweepSpec extends SparkSpec {
     })
   }
 
+  test("L190 BFS relaxation stays near-linear under ×9 edge scale") {
+    // per round one equi join + min-agg over O(|E|); the rounds cap is
+    // fixed, so the sweep axis is the edge count. A regression to a
+    // frontier cross join or per-round lineage growth shows here.
+    sweep("bfs", s => {
+      val n = 40000L * s
+      val chain = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1L) % n).as("dst"))
+      val skip = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 7L) % n).as("dst"))
+      val seeds = spark.range(n / 100L).select((col("id") * 100L).as("seed"))
+      graft.ops.GraphOps.bfsDistances(chain.unionByName(skip),
+        "src", "dst", seeds, "seed", rounds = 3).count()
+    })
+  }
+
+  test("L189 Hilbert layout stays near-linear under ×9 row scale") {
+    // the xy2d aggregate is per-row constant work (bits levels); the
+    // only non-map stage is the range sort behind row_number — the
+    // sweep guards against the fold degenerating to per-row blowup
+    sweep("hilbert", s => {
+      val n = 120000L * s
+      val pts = spark.range(n).select(col("id").as("u"),
+        pmod(col("id") * 2654435761L, lit(1000003L)).as("t"),
+        col("id").as("tie"))
+      graft.ops.Curation.hilbertLayout(pts, "u", "t", "tie",
+        bits = 12, rowsPerFile = 4096).count()
+    })
+  }
+
+  test("L191 span detection stays near-linear under ×9 file scale") {
+    sweep("span_detect", s => {
+      val n = 6000L * s
+      val ks = spark.range(n).select(col("id").as("f"),
+        explode(sequence(lit(0L), lit(3L))).as("k"))
+      val ref = ks.select(col("f"), (col("k") * 10L).as("s"),
+        (col("k") * 10L + 6L).as("e"))
+      val hyp = ks.select(col("f"), (col("k") * 10L + 1L).as("s"),
+        (col("k") * 10L + 7L).as("e"))
+      graft.ops.EvalOps.spanDetection(ref, hyp, "f", "s", "e", 500000L)
+        .count()
+    })
+  }
+
   test("L135 span surgery stays near-linear under ×9 salted scale") {
     // removal is an exists() over each doc's PRE-MERGED disjoint
     // intervals (≤ n_toks/2); losing the merge makes the hot-doc token
