@@ -574,7 +574,50 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry
+  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry
+
+  /** L193 — RAKE keyphrases, top-3 per doc: stopword-delimited content
+    * runs, degree/freq word scores in e3 integers, phrase = sum of
+    * member scores; the fixed stopword literal is shared verbatim.
+    */
+  private def rakeEntry: Q = {
+    val stopSql = TextOps.rakeStopwords.map(w => s"'$w'").mkString(", ")
+    Q("t_rake",
+      (s, dir) => TextOps.rakeKeywords(
+          Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH d2 AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |    unnest(list_transform(toks, (w, i) -> {'w': w, 'i': i})) AS s
+        |  FROM d2),
+        |tk AS (SELECT doc_id, s['w'] AS w, s['i'] AS pos,
+        |    list_contains([$stopSql], s['w']) AS stop FROM tt),
+        |mk AS (SELECT doc_id, w, pos, stop,
+        |    SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        |  FROM tk),
+        |wl AS (SELECT doc_id, w, pos, phrase_id,
+        |    COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+        |  FROM mk WHERE NOT stop),
+        |wf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS deg FROM wl GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, w, (deg * 1000) // freq AS wscore FROM wf),
+        |ph AS (SELECT wl.doc_id, wl.phrase_id,
+        |    string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(ws.wscore) AS BIGINT) AS score_e3
+        |  FROM wl JOIN ws ON ws.doc_id = wl.doc_id AND ws.w = wl.w
+        |  GROUP BY 1, 2),
+        |pd AS (SELECT DISTINCT doc_id, phrase, n_words, score_e3 FROM ph),
+        |rk AS (SELECT doc_id, phrase, n_words, score_e3,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_e3 DESC, phrase) AS BIGINT) AS rank
+        |  FROM pd)
+        |SELECT doc_id, rank, phrase, n_words, score_e3
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+  }
 
   /** L185 — per-source token-frequency Gini: vocabulary concentration
     * via the exact integer Σ(2i−k−1)cᵢ split, rank ties by token.

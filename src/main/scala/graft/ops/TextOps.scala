@@ -848,6 +848,79 @@ object TextOps {
         col("end").as("end_pos"), (col("end") - col("i")).as("n_toks"))
   }
 
+  /** L193 — RAKE KEYWORD EXTRACTION (Rose et al. 2010): the classic
+    * unsupervised keyphrase extractor — candidate phrases are maximal
+    * runs of content tokens between stopword/boundary tokens; each
+    * word scores degree/frequency where freq counts its content
+    * occurrences in the doc and degree sums the LENGTH of every phrase
+    * occurrence containing it (co-occurrence credit — multi-word
+    * domain terms outrank frequent singletons); a phrase scores the
+    * sum of its member-token word scores, and the doc reports its
+    * top-k phrases. The keyword lens a curation/labeling pass reads
+    * next to TF-IDF (L38): TF-IDF needs the corpus DF table, RAKE is
+    * per-doc — the two disagree exactly on domain-specific phrases.
+    *
+    * Exactness: word score = deg·1000 div freq (e3 integer), phrase
+    * score the exact sum, ranking ties broken by phrase text — every
+    * number replayable in SQL. The stopword list is a FIXED literal
+    * shared verbatim with the oracle.
+    *
+    * Scale shape: one posexplode + two windows keyed by doc (cumsum
+    * phrase ids, phrase lengths), two hash aggs, a (doc, word) equi
+    * join, a per-doc bounded rank window. Per-doc work linear in
+    * tokens; nothing corpus-global.
+    *
+    * Output: (id, rank, phrase, n_words, score_e3), rank 1..k.
+    */
+  val rakeStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "be", "been", "with", "for", "on", "at", "by",
+    "from", "as", "that", "this", "it", "its", "but", "not", "we",
+    "you", "i")
+
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = array(rakeStopwords.map(lit): _*)
+    val t = docs
+      .select(col(idCol), posexplode(tokens(lower(col(textCol))))
+        .as(Seq("pos", "w")))
+      .withColumn("__stop", array_contains(stops, col("w")))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val marked = t
+      .withColumn("phrase_id",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(wOrd))
+      .filter(!col("__stop"))
+    val wPhrase = Window.partitionBy(col(idCol), col("phrase_id"))
+    val withLen = marked.withColumn("plen", count(lit(1)).over(wPhrase))
+    // RAKE word stats: freq = content occurrences, deg = sum of the
+    // containing phrase's length per occurrence
+    val wf = withLen.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore_e3", expr("(deg * 1000L) div freq"))
+    val phrases = withLen
+      .join(wf.select(col(idCol), col("w"), col("wscore_e3")),
+        Seq(idCol, "w"))
+      .groupBy(col(idCol), col("phrase_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s("w"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore_e3")).as("score_e3"))
+    val rk = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e3").desc, col("phrase"))
+    // identical phrase occurrences collapse (the RAKE convention:
+    // candidates are phrase STRINGS) before ranking
+    phrases
+      .select(col(idCol), col("phrase"), col("n_words"), col("score_e3"))
+      .distinct()
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("phrase"), col("n_words"),
+        col("score_e3"))
+  }
+
   /** L183 — READABILITY (Flesch–Kincaid grade, Kincaid 1975) with
     * every count an exact deterministic integer: words = the engine's
     * single-space tokens, sentences = maximal runs of [.!?], syllables

@@ -2603,6 +2603,32 @@ class OpsSpec extends SparkSpec {
     assert(EvalOps.rocAuc(sep, $"s", $"y").head.getDouble(3) == 1d)
   }
 
+  test("L193 rakeKeywords: degree/freq scoring on a hand-checked example") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "deep learning of the deep model and learning rate and model")
+    ).toDF("doc_id", "text")
+    // phrases: [deep learning] [deep model] [learning rate] [model]
+    // freq: deep 2, learning 2, model 2, rate 1
+    // deg:  deep 4, learning 4, model 3 (2+1), rate 2
+    // wscore_e3: 2000, 2000, 1500, 2000
+    // phrase scores: deep learning 4000, learning rate 4000 (tie ->
+    // text order), deep model 3500, model 1500 (cut at k=3)
+    val got = TextOps.rakeKeywords(docs, "doc_id", "text", k = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "deep learning", 2L, 4000L),
+      (2L, "learning rate", 2L, 4000L),
+      (3L, "deep model", 2L, 3500L)), s"got $got")
+    // duplicate phrase occurrences collapse to one candidate
+    val dup = Seq((2L, "big data and big data")).toDF("doc_id", "text")
+    val got2 = TextOps.rakeKeywords(dup, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(4))).toSeq
+    // freq big 2, data 2; deg big 4, data 4 -> phrase 4000, ONE row
+    assert(got2 == Seq((1L, "big data", 4000L)), s"got $got2")
+  }
+
   test("L185 tokenGini: textbook (1,3) split = 0.25, uniform = 0") {
     import graft.ops.Curation
     val df = Seq(

@@ -561,8 +561,9 @@ class PlanSpec extends SparkSpec {
     // m_auc: same distinct-score-table shape as m_eer
     val au = plan("m_auc")
     assert(!au.contains("CartesianProduct"), "m_auc plans a cartesian")
-    // g_bfs relaxations and span detection: equi joins only
-    for (q <- Seq("g_bfs", "m_span_detect")) {
+    // g_bfs relaxations, span detection, patch stats, RAKE: equi
+    // joins only, never theta/cartesian
+    for (q <- Seq("g_bfs", "m_span_detect", "mm_patch_stats", "t_rake")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
