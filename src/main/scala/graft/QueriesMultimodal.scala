@@ -479,6 +479,58 @@ private[graft] object QueriesMultimodal {
         |FROM q ORDER BY file""".stripMargin)),
 
 
+    // L195 — silence-trim offsets over the real decode path: the
+    // clipping-family payloads padded with id%7 leading and id%5
+    // trailing zero samples; the trimmer must locate the first/last
+    // |q| >= 2000 sample exactly (mult=1 files peak at 5000, so the
+    // threshold is interior), all-silent impossible here but the -1
+    // flag path is OpsSpec-pinned.
+    Q("mm_silence_trim",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 200).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (300 + id % 500).toInt
+          val mult = if (id % 4 == 0) 2 else 1
+          val body = Array.tabulate(n)(i =>
+            ((id * 13 + i.toLong * 29) % 401 - 200) * 25 * mult / 32767f)
+          val sam = new Array[Float]((id % 7).toInt) ++ body ++
+            new Array[Float]((id % 5).toInt)
+          val bytes = (id % 3) match {
+            case 0 => WavAudio.encode(8000, sam)
+            case 1 => FlacAudio.encode(8000, sam)
+            case _ => FlacAudio.encode(8000, sam, lpc = true)
+          }
+          (id.toString, bytes)
+        }
+        Multimodal.silenceTrimOffsets(WavAudio.decodeDataset(payloads), 2000)
+          .orderBy(col("file"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |c AS (SELECT id, CAST(300 + id % 500 AS BIGINT) AS n,
+        |    CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END AS mult,
+        |    id % 7 AS pl, id % 5 AS pt FROM ids),
+        |q AS (SELECT id, pl + n + pt AS nt,
+        |    list_filter(range(0, n),
+        |      i -> abs(((id * 13 + i * 29) % 401 - 200) * 25 * mult) >= 2000)
+        |      AS loud, pl
+        |  FROM c),
+        |r AS (SELECT id, nt,
+        |    CASE WHEN len(loud) = 0 THEN -1 ELSE pl + loud[1] END AS fl,
+        |    CASE WHEN len(loud) = 0 THEN -1
+        |      ELSE pl + loud[CAST(len(loud) AS INTEGER)] END AS ll
+        |  FROM q)
+        |SELECT id AS file, CAST(nt AS BIGINT) AS n_samples,
+        |  CAST(fl AS BIGINT) AS first_loud, CAST(ll AS BIGINT) AS last_loud,
+        |  CAST(CASE WHEN fl < 0 THEN nt ELSE fl END AS BIGINT) AS n_lead,
+        |  CAST(CASE WHEN ll < 0 THEN nt ELSE nt - 1 - ll END AS BIGINT) AS n_tail,
+        |  CAST(CASE WHEN fl < 0 THEN 0 ELSE ll - fl + 1 END AS BIGINT) AS trimmed_len
+        |FROM r ORDER BY file""".stripMargin)),
+
+
     // L188 — zero-crossing-rate features over the same real decode
     // path as mm_clipping (WAV/FLAC bit-exact roundtrip): strict sign
     // flips on the int16-quantized samples, e6 rate, and the per-frame

@@ -574,7 +574,35 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry
+  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry
+
+  /** L194 — charset/script composition gate: exact per-class counts
+    * via length-difference regexp strips; minted non-ASCII suffix
+    * (é × doc_id%3) exercises the mojibake-spike path in both engines
+    * (both count code points).
+    */
+  private def charsetEntry: Q =
+    Q("t_charset_mix",
+      (s, dir) => TextOps.charsetMix(
+          Tables.documents(s, dir).select(col("doc_id"),
+            concat(col("text"),
+              expr("repeat('é', CAST(doc_id % 3 AS INT))")).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    text || repeat('é', CAST(doc_id % 3 AS INTEGER)) AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_space,
+        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_punct, n_nonascii,
+        |  CAST(CASE WHEN n_chars > 0 THEN (n_nonascii * 1000000) // n_chars
+        |    ELSE -1 END AS BIGINT) AS nonascii_share_e6
+        |FROM c ORDER BY doc_id""".stripMargin))
 
   /** L193 — RAKE keyphrases, top-3 per doc: stopword-delimited content
     * runs, degree/freq word scores in e3 integers, phrase = sum of

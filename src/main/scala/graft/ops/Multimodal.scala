@@ -486,6 +486,40 @@ object Multimodal {
         col("n_frames"), col("n_low_frames"))
   }
 
+  /** L195 — SILENCE-TRIM OFFSETS over decoded audio — the lead/tail
+    * trim every speech-ingest pass runs before windowing (leading
+    * silence wastes model context; trailing silence skews duration
+    * stats): per file the FIRST and LAST sample index whose int16-
+    * quantized magnitude reaches `threshold`, the trimmed length, and
+    * the lead/tail silence sample counts — all exact integers on the
+    * bit-exact decode path. All-silent files flag first/last −1 with
+    * trimmed length 0 (loud, never a zero-length accident). One typed
+    * map, no shuffle.
+    *
+    * Output: (file, n_samples, first_loud, last_loud, n_lead,
+    * n_tail, trimmed_len).
+    */
+  def silenceTrimOffsets(audio: Dataset[graft.model.AudioFile],
+      threshold: Int): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.map { a =>
+      val n = a.waveform.length
+      var first = -1L
+      var last = -1L
+      var i = 0
+      while (i < n) {
+        val q = math.abs(math.round(a.waveform(i) * 32768f).toLong)
+        if (q >= threshold) { if (first < 0) first = i; last = i }
+        i += 1
+      }
+      val lead = if (first < 0) n.toLong else first
+      val tail = if (last < 0) n.toLong else n - 1L - last
+      val trimmed = if (first < 0) 0L else last - first + 1L
+      (a.file.toLong, n.toLong, first, last, lead, tail, trimmed)
+    }.toDF("file", "n_samples", "first_loud", "last_loud", "n_lead",
+      "n_tail", "trimmed_len")
+  }
+
   /** L169 — AMPLITUDE-PEAK / CLIPPING GATE over decoded audio — the
     * cheap loudness-damage filter a speech-curation pass runs right
     * after decode (a clipped recording poisons every downstream model

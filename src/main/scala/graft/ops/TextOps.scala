@@ -848,6 +848,36 @@ object TextOps {
         col("end").as("end_pos"), (col("end") - col("i")).as("n_toks"))
   }
 
+  /** L194 — CHARSET/SCRIPT COMPOSITION per document: exact counts of
+    * ASCII letters, digits, whitespace, ASCII punctuation/symbols, and
+    * non-ASCII code points — the cheap encoding-damage and
+    * script-mix gate a multilingual curation pass runs before langid
+    * (mojibake shows as a non-ASCII spike inside an ASCII-word corpus;
+    * binary-in-text as a symbol spike). Counts via length-difference
+    * of class-targeted regexp strips — one pass per class, exact and
+    * identical in any regexp engine; shares = e6-scaled single
+    * integer divisions. Pure per-row projections, zero shuffle.
+    *
+    * Output: (id, n_chars, n_alpha, n_digit, n_space, n_punct,
+    * n_nonascii, nonascii_share_e6).
+    */
+  def charsetMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pattern: String): Column =
+      (length(col(textCol))
+        - length(regexp_replace(col(textCol), pattern, ""))).cast("long")
+    docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("n_alpha"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("[ \\t\\n\\r]").as("n_space"),
+        cnt("[!-/:-@\\[-`{-~]").as("n_punct"),
+        cnt("[^\\x00-\\x7F]").as("n_nonascii"))
+      .withColumn("nonascii_share_e6",
+        when(col("n_chars") > 0L,
+          expr("(n_nonascii * 1000000L) div n_chars"))
+          .otherwise(lit(-1L)))
+  }
+
   /** L193 — RAKE KEYWORD EXTRACTION (Rose et al. 2010): the classic
     * unsupervised keyphrase extractor — candidate phrases are maximal
     * runs of content tokens between stopword/boundary tokens; each

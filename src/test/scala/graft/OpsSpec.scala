@@ -2571,6 +2571,39 @@ class OpsSpec extends SparkSpec {
     assert((r3.getLong(5), r3.getLong(6), r3.getLong(7)) == ((21L, 0L, 0L)), s"got $r3")
   }
 
+  test("L195 silenceTrimOffsets: exact first/last loud sample, all-silent flags -1") {
+    import graft.ops.Multimodal
+    import graft.model.AudioFile
+    // q = |round(x*32768)|: [0, 0, 2500, 0, 3000, 0] with threshold 2000
+    val w = Array(0f, 0f, 2500f, 0f, 3000f, 0f).map(_ / 32768f)
+    val ds = spark.createDataset(Seq(
+      AudioFile("1", 8000, w),
+      AudioFile("2", 8000, Array(0f, 0f, 0f)) // all silent
+    ))(org.apache.spark.sql.Encoders.product[AudioFile])
+    val got = Multimodal.silenceTrimOffsets(ds, 2000)
+      .orderBy($"file").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 2L, 4L, 2L, 1L, 3L),
+      (2L, 3L, -1L, -1L, 3L, 3L, 0L)), s"got $got")
+  }
+
+  test("L194 charsetMix: exact per-class counts on a hand-checked string") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "Ab 12, x\né!"), (2L, "")).toDF("doc_id", "text")
+    // chars: A b space 1 2 , space x \n é ! = 11
+    // alpha A,b,x = 3; digit 1,2 = 2; space: 2 spaces + \n = 3;
+    // punct , ! = 2; nonascii é = 1
+    val got = TextOps.charsetMix(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == Seq(
+      (1L, 11L, 3L, 2L, 3L, 2L, 1L, 90909L),
+      (2L, 0L, 0L, 0L, 0L, 0L, 0L, -1L)), s"got $got")
+  }
+
   test("L188 zeroCrossingStats: strict sign flips, zeros break runs, frame gate exact") {
     import graft.ops.Multimodal
     import graft.model.AudioFile
