@@ -890,8 +890,12 @@ private[graft] object QueriesCore {
     // browse chain yields distances 0..3 and the type hubs pick up
     // their cross-chain minimum — a genuinely mixed histogram. 3
     // bounded Bellman-Ford rounds — every distance <= 3 exact,
-    // unreached flags -1/false; round CTEs MATERIALIZED (each is
-    // referenced twice — the g_kcore inlining lesson).
+    // unreached flags -1/false; `converged` witnesses frontier
+    // exhaustion (no dist changed in the final round — mirrored in SQL
+    // as a b2-vs-b3 mismatch count); node universe = edge endpoints
+    // UNION seeds (an isolated seed reports dist 0, never vanishes);
+    // round CTEs MATERIALIZED (each referenced twice — the g_kcore
+    // inlining lesson).
     Q("g_bfs",
       (s, dir) => {
         val ev = evPoints(s, dir)
@@ -913,26 +917,89 @@ private[graft] object QueriesCore {
       },
       Some(s"""WITH $eventGraphSqlCte,
         |sd AS (SELECT MIN(event_id) AS node FROM e GROUP BY user_id),
-        |b0 AS MATERIALIZED (SELECT nd.node,
-        |    CAST(CASE WHEN sd.node IS NULL THEN 999 ELSE 0 END AS BIGINT) AS dist
-        |  FROM nd LEFT JOIN sd ON sd.node = nd.node),
+        |nd2 AS (SELECT node FROM nd UNION SELECT node FROM sd),
+        |b0 AS MATERIALIZED (SELECT nd2.node,
+        |    CAST(CASE WHEN sd.node IS NULL THEN 999999999 ELSE 0 END AS BIGINT) AS dist
+        |  FROM nd2 LEFT JOIN sd ON sd.node = nd2.node),
         |c1 AS (SELECT ed.dst AS node, MIN(d.dist + 1) AS cand
         |  FROM ed JOIN b0 d ON d.node = ed.src GROUP BY 1),
         |b1 AS MATERIALIZED (SELECT d.node,
-        |    least(d.dist, COALESCE(c.cand, 999)) AS dist
+        |    least(d.dist, COALESCE(c.cand, 999999999)) AS dist
         |  FROM b0 d LEFT JOIN c1 c ON c.node = d.node),
         |c2 AS (SELECT ed.dst AS node, MIN(d.dist + 1) AS cand
         |  FROM ed JOIN b1 d ON d.node = ed.src GROUP BY 1),
         |b2 AS MATERIALIZED (SELECT d.node,
-        |    least(d.dist, COALESCE(c.cand, 999)) AS dist
+        |    least(d.dist, COALESCE(c.cand, 999999999)) AS dist
         |  FROM b1 d LEFT JOIN c2 c ON c.node = d.node),
         |c3 AS (SELECT ed.dst AS node, MIN(d.dist + 1) AS cand
         |  FROM ed JOIN b2 d ON d.node = ed.src GROUP BY 1),
-        |b3 AS (SELECT d.node, least(d.dist, COALESCE(c.cand, 999)) AS dist
+        |b3 AS MATERIALIZED (SELECT d.node,
+        |    least(d.dist, COALESCE(c.cand, 999999999)) AS dist
         |  FROM b2 d LEFT JOIN c3 c ON c.node = d.node)
         |SELECT node,
-        |  CAST(CASE WHEN dist < 999 THEN dist ELSE -1 END AS BIGINT) AS dist,
-        |  dist < 999 AS reached
+        |  CAST(CASE WHEN dist < 999999999 THEN dist ELSE -1 END AS BIGINT) AS dist,
+        |  dist < 999999999 AS reached,
+        |  (SELECT COUNT(*) FROM b2 JOIN b3 USING (node)
+        |    WHERE b2.dist <> b3.dist) = 0 AS converged
+        |FROM b3 ORDER BY node""".stripMargin)),
+
+    // L196 — weighted shortest paths (bounded Bellman-Ford) over the
+    // SAME event link graph: each edge carries a deterministic integer
+    // cost 1 + (src + dst) % 5 (both engines compute it identically on
+    // the positive ids), seeds at every user's first event. After 3
+    // rounds every node whose cheapest path uses <= 3 edges is exact —
+    // the bounded-round contract; dist values now mix (cheap long hub
+    // hops vs short expensive chains), exercising the weighted min
+    // genuinely. Same MATERIALIZED-round + converged-witness oracle
+    // shape as g_bfs.
+    Q("g_sssp",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        val seeds = ev.groupBy(col("user_id"))
+          .agg(min(col("event_id")).as("entry"))
+        val weighted = chain.unionByName(hubEdges)
+          .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
+        GraphOps.ssspDistances(weighted, "src", "dst", "w",
+            seeds, "entry", rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |ew AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM ed),
+        |sd AS (SELECT MIN(event_id) AS node FROM e GROUP BY user_id),
+        |nd2 AS (SELECT node FROM nd UNION SELECT node FROM sd),
+        |b0 AS MATERIALIZED (SELECT nd2.node,
+        |    CAST(CASE WHEN sd.node IS NULL THEN 999999999 ELSE 0 END AS BIGINT) AS dist
+        |  FROM nd2 LEFT JOIN sd ON sd.node = nd2.node),
+        |c1 AS (SELECT ew.dst AS node, MIN(d.dist + ew.w) AS cand
+        |  FROM ew JOIN b0 d ON d.node = ew.src GROUP BY 1),
+        |b1 AS MATERIALIZED (SELECT d.node,
+        |    least(d.dist, COALESCE(c.cand, 999999999)) AS dist
+        |  FROM b0 d LEFT JOIN c1 c ON c.node = d.node),
+        |c2 AS (SELECT ew.dst AS node, MIN(d.dist + ew.w) AS cand
+        |  FROM ew JOIN b1 d ON d.node = ew.src GROUP BY 1),
+        |b2 AS MATERIALIZED (SELECT d.node,
+        |    least(d.dist, COALESCE(c.cand, 999999999)) AS dist
+        |  FROM b1 d LEFT JOIN c2 c ON c.node = d.node),
+        |c3 AS (SELECT ew.dst AS node, MIN(d.dist + ew.w) AS cand
+        |  FROM ew JOIN b2 d ON d.node = ew.src GROUP BY 1),
+        |b3 AS MATERIALIZED (SELECT d.node,
+        |    least(d.dist, COALESCE(c.cand, 999999999)) AS dist
+        |  FROM b2 d LEFT JOIN c3 c ON c.node = d.node)
+        |SELECT node,
+        |  CAST(CASE WHEN dist < 999999999 THEN dist ELSE -1 END AS BIGINT) AS dist,
+        |  dist < 999999999 AS reached,
+        |  (SELECT COUNT(*) FROM b2 JOIN b3 USING (node)
+        |    WHERE b2.dist <> b3.dist) = 0 AS converged
         |FROM b3 ORDER BY node""".stripMargin)),
 
     // L153 — 3-truss peel (2 rounds) over the session minhash pair

@@ -1730,7 +1730,7 @@ private[graft] object QueriesCuration {
         |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM sc),
         |rk AS (SELECT src, w, sa, sb, drift,
         |    CAST(row_number() OVER (PARTITION BY src
-        |      ORDER BY drift DESC, h) AS BIGINT) AS rank FROM dr)
+        |      ORDER BY drift DESC, h, w) AS BIGINT) AS rank FROM dr)
         |SELECT src AS source, rank, w AS token,
         |  CAST(sa AS BIGINT) AS share_a_e6, CAST(sb AS BIGINT) AS share_b_e6,
         |  CAST(drift AS BIGINT) AS drift

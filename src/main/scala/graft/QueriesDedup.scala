@@ -943,6 +943,30 @@ private[graft] object QueriesDedup {
         |SELECT a, b, common, na, nb,
         |  CAST(common AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) AS containment
         |FROM j WHERE common * 1000 >= 800 * least(na, nb)
-        |ORDER BY a, b""".stripMargin))
+        |ORDER BY a, b""".stripMargin)),
+
+    // L199 — MinHash S-curve calibration for THE configured banding
+    // scheme (b = 8 bands, r = 1 row — the sessionMinhashPairs
+    // signature layout): p(J) = 1 − (1 − J)⁸ tabulated over the 0.01
+    // J grid as exact e9 fixed-point floor-fold integers (the IBAN/
+    // Hilbert defined-recurrence discipline — both engines replay the
+    // identical fold, bit-identical drift). This is the "why 0.8 / why
+    // 0.5" answer in table form: candidate recall at the verify
+    // thresholds, false-candidate mass below them.
+    Q("dedup_scurve",
+      (s, dir) => Dedup.lshSCurve(s, bands = 8, rows = 1)
+        .orderBy(col("j_e2")),
+      Some("""WITH g AS (SELECT CAST(unnest(range(0, 101)) AS BIGINT) AS j_e2),
+        |f AS (SELECT j_e2,
+        |    list_reduce(list_prepend(CAST(1000000000 AS BIGINT), range(1, 2)),
+        |      (x, k) -> (x * j_e2) // 100) AS jr_e9
+        |  FROM g),
+        |q AS (SELECT j_e2, jr_e9,
+        |    CAST(1000000000 - jr_e9 AS BIGINT) AS q_e9 FROM f)
+        |SELECT j_e2, jr_e9, q_e9,
+        |  CAST(1000000000 - list_reduce(
+        |    list_prepend(CAST(1000000000 AS BIGINT), range(1, 9)),
+        |    (y, k) -> (y * q_e9) // 1000000000) AS BIGINT) AS p_e9
+        |FROM q ORDER BY j_e2""".stripMargin))
   )
 }

@@ -1312,6 +1312,41 @@ private[graft] object QueriesStreaming {
             col("n_pos").cast("double") / col("n").cast("double"))
           .orderBy(col("bin"))
       },
-      Some(eceOracleSql))
+      Some(eceOracleSql)),
+
+    // L198 — STREAMING SCRIPT-COMPOSITION GATE (L197 at ingest): the
+    // per-row script classification (mint + scriptMix — pure
+    // projections, stateless) runs on arriving documents; the only
+    // state is the complete-mode per-dominant-script profile (<= 10
+    // rows). Run to completion the profile equals the batch gate's
+    // corpus rollup exactly — shared scriptProfileOracleSql.
+    Q("streaming_script_mix",
+      (s, dir) => withStreamingPartitions(s) {
+        val base = Tables.documents(s, dir)
+        val name = "ssm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_script").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, s"$dir/documents.parquet", "documents.parquet"))
+        val minted = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .select(col("doc_id"), substring(col("text"), 1, 160).as("b"))
+          .select(col("doc_id"),
+            expr(QuerySupport.scriptMintCase("div")).as("text"))
+        val agg = TextOps.scriptMix(minted, "doc_id", "text")
+          .groupBy(col("dominant_script"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("mixed"), 1L).otherwise(0L)).as("n_mixed"),
+            sum(when(col("mojibake"), 1L).otherwise(0L)).as("n_mojibake"),
+            sum(col("n_chars")).as("sum_chars"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("dominant_script"))
+      },
+      Some(scriptProfileOracleSql))
   )
 }

@@ -574,7 +574,7 @@ FROM ag ORDER BY lang""")),
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
         |GROUP BY piece ORDER BY piece""".stripMargin))
-  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry
+  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry :+ scriptMixEntry
 
   /** L194 — charset/script composition gate: exact per-class counts
     * via length-difference regexp strips; minted non-ASCII suffix
@@ -604,9 +604,38 @@ FROM ag ORDER BY lang""")),
         |    ELSE -1 END AS BIGINT) AS nonascii_share_e6
         |FROM c ORDER BY doc_id""".stripMargin))
 
-  /** L193 — RAKE keyphrases, top-3 per doc: stopword-delimited content
-    * runs, degree/freq word scores in e3 integers, phrase = sum of
-    * member scores; the fixed stopword literal is shared verbatim.
+  /** L197 — Unicode-script composition gate: the L194 charset gate at
+    * per-script resolution. The mint (shared verbatim, QuerySupport
+    * .scriptMintCase) plants dominating Cyrillic/CJK runs, a
+    * Latin-dominant-but-mixed tail, a double-encoded-UTF-8 mojibake
+    * tail (Ã© density → the mojibake flag), and rotating exemplars of
+    * the six remaining classes; the classifier (TextOps.scriptMix) and
+    * its DuckDB mirror are GENERATED from the same scriptClasses range
+    * table. Pure per-row projections — zero shuffle.
+    */
+  private def scriptMixEntry: Q =
+    Q("t_script_mix",
+      (s, dir) => TextOps.scriptMix(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), substring(col("text"), 1, 160).as("b"))
+            .select(col("doc_id"),
+              expr(QuerySupport.scriptMintCase("div")).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tb AS (SELECT doc_id, substr(text, 1, 160) AS b FROM documents),
+        |t AS (SELECT doc_id, ${QuerySupport.scriptMintCase("//")} AS text FROM tb),
+        |${QuerySupport.scriptMixSqlCtes}
+        |SELECT doc_id, n_chars, n_arabic, n_cjk, n_cyrillic, n_devanagari,
+        |  n_greek, n_hangul, n_hebrew, n_latin, n_thai, n_scripted, n_other,
+        |  n_moji_lead, dominant_script, dominant_share_e6, mixed, mojibake
+        |FROM sc3 ORDER BY doc_id""".stripMargin))
+
+  /** L193 — RAKE keyphrases, top-3 per doc: canonical-RAKE boundaries
+    * (punctuation runs fold to '.' delimiter tokens — pattern shared
+    * verbatim) + the ~440-word SMART/Fox-family stoplist (literal
+    * shared verbatim; canonicality pinned by the OpsSpec Rose et al.
+    * worked-example fixture), degree/freq word scores in e3 integers,
+    * phrase = sum of member scores.
     */
   private def rakeEntry: Q = {
     val stopSql = TextOps.rakeStopwords.map(w => s"'$w'").mkString(", ")
@@ -615,13 +644,16 @@ FROM ag ORDER BY lang""")),
           Tables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rank")),
       Some(s"""WITH d2 AS (SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |    list_filter(string_split(regexp_replace(lower(text),
+        |      '${TextOps.rakeBoundaryPattern}', ' . ', 'g'), ' '),
+        |      x -> x != '') AS toks
         |  FROM documents),
         |tt AS (SELECT doc_id,
         |    unnest(list_transform(toks, (w, i) -> {'w': w, 'i': i})) AS s
         |  FROM d2),
         |tk AS (SELECT doc_id, s['w'] AS w, s['i'] AS pos,
-        |    list_contains([$stopSql], s['w']) AS stop FROM tt),
+        |    list_contains([$stopSql], s['w'])
+        |      OR regexp_matches(s['w'], '^[.-]+$$') AS stop FROM tt),
         |mk AS (SELECT doc_id, w, pos, stop,
         |    SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
         |      PARTITION BY doc_id ORDER BY pos) AS phrase_id

@@ -89,6 +89,74 @@ private[graft] object QuerySupport {
       |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc
       |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** L197 shared mint — the script-mix fixture: per doc_id % 6 the
+    * (truncated) text gains a dominating Cyrillic run, a dominating
+    * CJK run, a 25% Cyrillic tail (mixed but Latin-dominant), a
+    * mojibake tail (UTF-8 'é' double-encoded as 'Ã©'), or one exemplar
+    * of the six remaining script classes rotating on doc_id div 6.
+    * ONE string, interpolated verbatim into BOTH engines (`div` is the
+    * integer-divide token: "div" Spark / "//" DuckDB) over a relation
+    * (doc_id, b).
+    */
+  private[graft] def scriptMintCase(div: String): String =
+    s"""CASE doc_id % 6
+       | WHEN 1 THEN concat(b, repeat('дата', CAST(length(b) AS INT)))
+       | WHEN 2 THEN concat(b, repeat('数据中心', CAST(length(b) AS INT)))
+       | WHEN 3 THEN concat(b, repeat('щ', CAST(length(b) $div 4 AS INT)))
+       | WHEN 4 THEN concat(b, repeat('Ã©', CAST(length(b) $div 2 AS INT)))
+       | WHEN 5 THEN concat(concat(b, ' '), CASE (doc_id $div 6) % 6
+       |   WHEN 0 THEN 'سلام' WHEN 1 THEN 'שלום' WHEN 2 THEN 'नमस्ते'
+       |   WHEN 3 THEN 'สวัสดี' WHEN 4 THEN '안녕하세요' ELSE 'γειά σου' END)
+       | ELSE b END""".stripMargin
+
+  /** L197 shared classify — the DuckDB mirror of
+    * [[graft.ops.TextOps.scriptMix]], GENERATED from the same
+    * scriptClasses table (classes shared verbatim; RE2 and Java regex
+    * both take the `\x{XXXX}` range syntax; both engines' `length`
+    * counts code points). Expects a CTE `t(doc_id, text)`; exposes
+    * `sc3` with the per-doc gate row.
+    */
+  private[graft] val scriptMixSqlCtes: String = {
+    val cls = graft.ops.TextOps.scriptClasses
+    def strip(c: String) =
+      s"CAST(length(text) - length(regexp_replace(text, '[$c]', '', 'g')) AS BIGINT)"
+    val cnts = cls.map { case (n, c) => s"    ${strip(c)} AS n_$n" }
+      .mkString(",\n")
+    val names = cls.map(_._1)
+    val sumExpr = names.map("n_" + _).mkString(" + ")
+    val mxExpr = s"greatest(${names.map("n_" + _).mkString(", ")})"
+    val dom = names.init.map(n => s"WHEN n_$n = mx THEN '$n'").mkString(" ")
+    s"""sc1 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |$cnts,
+       |    ${strip(graft.ops.TextOps.mojiLeadClass)} AS n_moji_lead
+       |  FROM t),
+       |sc2 AS (SELECT *, ($sumExpr) AS n_scripted, $mxExpr AS mx FROM sc1),
+       |sc3 AS (SELECT doc_id, n_chars, ${names.map("n_" + _).mkString(", ")},
+       |    CAST(n_scripted AS BIGINT) AS n_scripted,
+       |    CAST(n_chars - n_scripted AS BIGINT) AS n_other, n_moji_lead,
+       |    CASE WHEN n_scripted = 0 THEN 'none' $dom
+       |      ELSE '${names.last}' END AS dominant_script,
+       |    CAST(CASE WHEN n_scripted > 0 THEN (mx * 1000000) // n_scripted
+       |      ELSE -1 END AS BIGINT) AS dominant_share_e6,
+       |    n_scripted > 0 AND (n_scripted - mx) * 10 >= n_scripted AS mixed,
+       |    n_chars > 0 AND n_moji_lead * 20 >= n_chars AS mojibake
+       |  FROM sc2)""".stripMargin
+  }
+
+  /** The L197 per-script corpus profile — shared by the batch gate's
+    * streaming twin (complete-mode counts at ingest must equal it).
+    */
+  private[graft] val scriptProfileOracleSql: String =
+    s"""WITH tb AS (SELECT doc_id, substr(text, 1, 160) AS b FROM documents),
+       |t AS (SELECT doc_id, ${scriptMintCase("//")} AS text FROM tb),
+       |$scriptMixSqlCtes
+       |SELECT dominant_script,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       |  CAST(SUM(CASE WHEN mojibake THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM sc3 GROUP BY 1 ORDER BY dominant_script""".stripMargin
+
   private[graft] val evIntervalsSqlCte =
     """i AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s_us,
       |  epoch_us(ts) + CAST(round(value*1.0E6) AS BIGINT) AS e_us,

@@ -2120,10 +2120,13 @@ object Curation {
     * per group via [[graft.expr.TopKAgg]] (bounded-state partial-merge
     * agg: ≤ k pairs per group per map partition reach the shuffle —
     * never a per-group window sort of the whole vocabulary). Ties
-    * break by the token's 60-bit md5-prefix hash ascending —
-    * deterministic and engine-independent; the hash also carries the
-    * token through the long-typed aggregate, joined back to the
-    * (vocab-sized) histogram for the final row.
+    * break by the token's 60-bit md5-prefix hash ascending, then the
+    * token text — deterministic and engine-independent; the hash
+    * carries the token through the long-typed aggregate, joined back
+    * to the (vocab-sized) histogram, and the final rank is re-derived
+    * over the ≤ k joined rows so a within-source prefix collision can
+    * duplicate a candidate but never a rank (output is always exactly
+    * ≤ k rows per group).
     *
     * Scale shape: two (group, token) map-side-combined histograms, a
     * token-keyed full-outer merge, two group-sized total joins, one
@@ -2135,6 +2138,7 @@ object Curation {
     */
   def tokenDrift(snapA: DataFrame, snapB: DataFrame, groupCol: String,
       toksCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def hist(df: DataFrame) = df
       .select(col(groupCol).as("src"), explode(col(toksCol)).as("w"))
       .groupBy(col("src"), col("w")).agg(count(lit(1)).as("n"))
@@ -2157,13 +2161,22 @@ object Curation {
       .withColumn("__h",
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
     val topk = udaf(new graft.expr.TopKAgg(k))
+    // TopKAgg selects MEMBERSHIP (the k hashes); the final rank is
+    // re-derived after the join-back with the token itself as the last
+    // tie-break, so a 60-bit md5-prefix collision (two tokens sharing
+    // __h within a source — the join-back would then return k + dups
+    // rows) still yields exactly k deterministically-ranked rows
+    // instead of a duplicated rank.
+    val wRank = Window.partitionBy(col("src"))
+      .orderBy(col("drift").desc, col("__h"), col("w"))
     scored.groupBy(col("src"))
       .agg(topk(col("drift"), col("__h")).as("__tk"))
-      .select(col("src"), posexplode(col("__tk")))
-      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("__h"))
+      .select(col("src"), explode(col("__tk")).as("__e"))
+      .select(col("src"), col("__e.id").as("__h")).distinct()
       .join(scored.select(col("src"), col("w"), col("__h"),
         col("sa"), col("sb"), col("drift")), Seq("src", "__h"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
       .select(col("src").as("source"), col("rank"), col("w").as("token"),
         col("sa").as("share_a_e6"), col("sb").as("share_b_e6"), col("drift"))
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -400,6 +400,44 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     jaccardVerify(cand, sd, idCol, minJaccard)
+  }
+
+  /** L199 — MINHASH S-CURVE CALIBRATION TABLE: the analytic LSH
+    * detection probability p(J) = 1 − (1 − J^r)^b for a configured
+    * (bands b, rows-per-band r), tabulated over the J grid 0.00..1.00
+    * in 0.01 steps — the table that PARAMETERIZES every threshold
+    * choice in the dedup family ("why verify at 0.8?": read the
+    * candidate-recall column at J = 0.8 for b = 8, r = 1 and see
+    * 1 − 0.2⁸ ≈ 0.9999974; read J = 0.05 and see the false-candidate
+    * rate the verify stage must absorb). The curve's inflection
+    * (p = 1/2) sits at J* = (1 − (1/2)^(1/b))^(1/r) — the effective
+    * similarity threshold of the banding scheme.
+    *
+    * Exactness: every value is an e9 fixed-point integer computed by a
+    * FLOOR-DIVISION fold — J^r as r steps of x → (x·j_e2) div 100 from
+    * 10⁹, then (1−J^r)^b as b steps of y → (y·q_e9) div 10⁹ — the same
+    * defined-integer-recurrence discipline as the IBAN mod-97 and
+    * Hilbert folds: both engines replay the identical recurrence, so
+    * the (bounded, ~b ulp at e9) floor drift is bit-identical and the
+    * numbers are engine-independent. Intermediates cap at 10⁹·10⁹ <
+    * 2⁶³ for ANY (b ≤ 64, r ≤ 16).
+    *
+    * Scale shape: a 101-row constant table, two aggregate-HOF folds
+    * per row, zero shuffle — the cost is nil; the VALUE is that the
+    * table ships with the run report.
+    *
+    * Output: (j_e2, jr_e9, q_e9, p_e9) — J, J^r, (1−J^r), p, all
+    * e2/e9-scaled exact integers.
+    */
+  def lshSCurve(spark: SparkSession, bands: Int, rows: Int): DataFrame = {
+    require(bands >= 1 && bands <= 64, s"need 1 <= bands <= 64, got $bands")
+    require(rows >= 1 && rows <= 16, s"need 1 <= rows <= 16, got $rows")
+    spark.range(0, 101).select(col("id").cast("long").as("j_e2"))
+      .withColumn("jr_e9", expr(
+        s"aggregate(sequence(1, $rows), 1000000000L, (x, k) -> (x * j_e2) div 100)"))
+      .withColumn("q_e9", lit(1000000000L) - col("jr_e9"))
+      .withColumn("p_e9", lit(1000000000L) - expr(
+        s"aggregate(sequence(1, $bands), 1000000000L, (y, k) -> (y * q_e9) div 1000000000)"))
   }
 
   /** Winnowing-fingerprint dedup (the MOSS pairing stage): pairs sharing

@@ -549,6 +549,12 @@ object EvalOps {
     * Scale shape: one map-side-combined hash agg to ≤ nBins rows —
     * nothing else.
     *
+    * CONTRACT (loud): scores must already be e6-scaled probabilities
+    * in 0..10⁶ — a negative score or one above 10⁶ is a caller bug
+    * (it would mint a phantom bin or silently clamp conf above 1.0),
+    * so it raises instead of flowing into the reliability table; null
+    * scores/labels raise for the same reason.
+    *
     * Output: (bin, n, sum_conf_e6, n_pos, gap_e6_num, conf, acc).
     */
   def calibrationBins(df: DataFrame, scoreE6Col: org.apache.spark.sql.Column,
@@ -557,6 +563,17 @@ object EvalOps {
       s"nBins must divide 1e6 exactly, got $nBins")
     val width = 1000000L / nBins
     df.select(scoreE6Col.cast("long").as("s"), labelCol.cast("long").as("y"))
+      .withColumn("s",
+        when(col("s").isNull || col("s") < 0L || col("s") > 1000000L,
+          raise_error(concat(
+            lit("calibrationBins: score_e6 outside 0..1000000: "),
+            coalesce(col("s").cast("string"), lit("null")))).cast("long"))
+          .otherwise(col("s")))
+      .withColumn("y",
+        when(col("y").isNull || col("y") < 0L || col("y") > 1L,
+          raise_error(concat(lit("calibrationBins: label outside 0..1: "),
+            coalesce(col("y").cast("string"), lit("null")))).cast("long"))
+          .otherwise(col("y")))
       .withColumn("bin", least(expr(s"s div ${width}L"), lit(nBins - 1L)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("s")).as("sum_conf_e6"),

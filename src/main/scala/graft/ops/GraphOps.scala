@@ -452,36 +452,100 @@ object GraphOps {
     * the g_pagerank iteration shape; distances localCheckpoint
     * between rounds so the lineage stays flat.
     *
-    * Output: (node, dist, reached).
+    * Node universe: the edge endpoints UNIONED with the seed set — an
+    * isolated seed (in `seeds` but touching no edge) is trivially at
+    * distance 0 and must appear in the report, not silently vanish.
+    *
+    * `converged` witnesses frontier exhaustion: distances only ever
+    * decrease over a FIXED node set, so an unchanged order-invariant
+    * xxhash64-XOR fingerprint of the (node, dist) rows across the
+    * final round means no distance changed — the output IS the true
+    * BFS distance table, not just round `rounds` of it (the
+    * kCorePeel/trussPeel monotone-witness posture; both sides of the
+    * comparison are checkpoint-materialized, the fingerprints cheap).
+    *
+    * Output: (node, dist, reached, converged).
     */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame =
+    relaxDistances(edges, srcCol, dstCol, None, seeds, seedCol, rounds)
+
+  /** L196 — WEIGHTED SINGLE/MULTI-SOURCE SHORTEST PATHS (bounded
+    * synchronous Bellman-Ford): [[bfsDistances]] with a non-negative
+    * integer edge weight — hop counts answer "how many clicks"; the
+    * weighted twin answers "how costly" (latency, toll, edit budget).
+    * Round k relaxes d(v) = min(d(v), min over in-edges (u,v,w) of
+    * d(u) + w); after `rounds` rounds every node whose true shortest
+    * path uses ≤ `rounds` edges is EXACT (the classic Bellman-Ford
+    * round invariant) — the same bounded-round contract as the hop
+    * version, unrollable to a SQL oracle.
+    *
+    * CONTRACT (loud): weights must be integers in 0..10⁶ — a negative
+    * weight breaks the round invariant (and the Inf sentinel), so it
+    * raises instead of silently corrupting distances.
+    *
+    * Output: (node, dist, reached, converged).
+    */
+  def ssspDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame =
+    relaxDistances(edges, srcCol, dstCol, Some(weightCol), seeds, seedCol,
+      rounds)
+
+  private def relaxDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String], seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"need 1 <= rounds <= 8, got $rounds")
-    val Inf = 999L // > any reachable distance under the rounds cap
+    // > any reachable distance under the rounds/weight caps (8 rounds
+    // of weight <= 1e6 tops out at 8e6), still far from long overflow
+    // when a round adds a weight to it.
+    val Inf = 999999999L
     val ed = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val nodes = ed.select(col("src").as("node"))
-      .unionByName(ed.select(col("dst").as("node"))).distinct()
+      col(dstCol).cast("long").as("dst"),
+      weightCol.map(w =>
+          when(col(w).cast("long").isNull || col(w).cast("long") < 0L
+              || col(w).cast("long") > 1000000L,
+            raise_error(concat(lit("ssspDistances: weight outside 0..1e6: "),
+              coalesce(col(w).cast("string"), lit("null")))).cast("long"))
+            .otherwise(col(w).cast("long")))
+        .getOrElse(lit(1L)).as("w"))
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("__s", lit(1L))
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node")))
+      .unionByName(sd.select(col("node"))).distinct()
     var d = nodes.join(sd, Seq("node"), "left")
       .select(col("node"),
         when(col("__s").isNotNull, lit(0L)).otherwise(lit(Inf)).as("dist"))
       .localCheckpoint(true)
+    // Change witness: order-invariant xxhash64-XOR fingerprint of the
+    // (node, dist) rows — the Dedup CC convergence idiom (Dedup.scala
+    // largeSmallStar); unlike a Σdist it cannot overflow at any node
+    // count, and the node set is fixed so an unchanged fingerprint
+    // means no distance changed (modulo a 2⁻⁶⁴ collision).
+    def distFp(df: DataFrame): Long =
+      df.agg(coalesce(bit_xor(xxhash64(col("node"), col("dist"))), lit(0L)))
+        .head.getLong(0)
+    var prevFp = distFp(d)
+    var converged = false
     var r = 0
     while (r < rounds) {
       val relaxed = ed
         .join(d.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(min(col("dist") + 1L).as("__cand"))
+        .agg(min(col("dist") + col("w")).as("__cand"))
       d = d.join(relaxed, Seq("node"), "left")
         .select(col("node"),
           least(col("dist"), coalesce(col("__cand"), lit(Inf))).as("dist"))
         .localCheckpoint(true)
+      val s = distFp(d)
+      converged = s == prevFp
+      prevFp = s
       r += 1
     }
     d.select(col("node"),
       when(col("dist") < Inf, col("dist")).otherwise(lit(-1L)).as("dist"),
-      (col("dist") < Inf).as("reached"))
+      (col("dist") < Inf).as("reached"),
+      lit(converged).as("converged"))
   }
 }

@@ -878,6 +878,91 @@ object TextOps {
           .otherwise(lit(-1L)))
   }
 
+  /** L197 — UNICODE-SCRIPT COMPOSITION GATE (the L194 charset gate
+    * extended to real scripts): exact per-script code-point counts via
+    * the same length-difference regexp-strip discipline, over a FIXED
+    * table of code-point-range classes shared VERBATIM with the oracle
+    * (both Java regex and RE2 accept the `\x{XXXX}` range syntax, and
+    * both engines' `length` counts code points). The per-script lens a
+    * multilingual curation pass needs before langid (the L11/L91 stack
+    * assumes clean scripts): script-mix inside one document is the
+    * mojibake/boilerplate-stitching telltale an ASCII-vs-non-ASCII
+    * split (L194) cannot see.
+    *
+    * Classes (alphabetical — the order IS the dominant-script
+    * tie-break): arabic, cjk (kana + Han incl. ext-A), cyrillic (incl.
+    * supplement), devanagari, greek (incl. extended), hangul (jamo +
+    * syllables), hebrew, latin (ASCII letters + Latin-1 letters minus
+    * ×/÷ + Extended-A/B), thai. Each class is a closed range set —
+    * deliberately NOT a Unicode-property lookup (engine property
+    * tables drift across versions; ranges are frozen here).
+    *
+    * Derived columns: n_scripted = Σ script counts; n_other = chars in
+    * no class (digits, space, punctuation, unlisted scripts);
+    * dominant_script = alphabetically-first argmax ('none' when
+    * nothing scripted); dominant_share_e6 its exact e6 share of
+    * n_scripted (−1 when none); mixed = non-dominant scripted chars ≥
+    * 10% of scripted (integer cross-multiplication, no division);
+    * mojibake = the UTF-8-read-as-Latin-1 telltale — lead bytes Â/Ã
+    * (U+00C2/U+00C3) at ≥ 5% of all chars (real text has essentially
+    * none; double-encoded UTF-8 has one per non-ASCII char).
+    *
+    * Scale shape: pure per-row projections (one regexp strip per
+    * class), zero shuffle — runs at ingest width.
+    *
+    * Output: (id, n_chars, n_arabic, n_cjk, n_cyrillic, n_devanagari,
+    * n_greek, n_hangul, n_hebrew, n_latin, n_thai, n_scripted,
+    * n_other, n_moji_lead, dominant_script, dominant_share_e6, mixed,
+    * mojibake).
+    */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "arabic" -> "\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}",
+    "cjk" -> "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}",
+    "cyrillic" -> "\\x{0400}-\\x{052F}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "greek" -> "\\x{0370}-\\x{03FF}\\x{1F00}-\\x{1FFF}",
+    "hangul" -> "\\x{1100}-\\x{11FF}\\x{AC00}-\\x{D7A3}",
+    "hebrew" -> "\\x{0590}-\\x{05FF}",
+    "latin" -> "A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}",
+    "thai" -> "\\x{0E00}-\\x{0E7F}")
+
+  /** The mojibake lead-byte class: Â/Ã, what UTF-8 lead bytes C2/C3
+    * decode to when the bytes are mis-read as Latin-1.
+    */
+  val mojiLeadClass: String = "\\x{00C2}\\x{00C3}"
+
+  def scriptMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(col(textCol))
+        - length(regexp_replace(col(textCol), s"[$cls]", ""))).cast("long")
+    val counted = docs.select(
+      (col(idCol) +:
+        length(col(textCol)).cast("long").as("n_chars") +:
+        scriptClasses.map { case (n, cls) => cnt(cls).as(s"n_$n") }) :+
+        cnt(mojiLeadClass).as("n_moji_lead"): _*)
+    val scripted = scriptClasses.map(c => col(s"n_${c._1}")).reduce(_ + _)
+    val mx = greatest(scriptClasses.map(c => col(s"n_${c._1}")): _*)
+    val domCase = scriptClasses.init.foldRight(
+        lit(scriptClasses.last._1): Column) { case ((n, _), acc) =>
+      when(col(s"n_$n") === col("__mx"), lit(n)).otherwise(acc)
+    }
+    counted
+      .withColumn("n_scripted", scripted)
+      .withColumn("__mx", mx)
+      .withColumn("n_other", col("n_chars") - col("n_scripted"))
+      .withColumn("dominant_script",
+        when(col("n_scripted") === 0L, lit("none")).otherwise(domCase))
+      .withColumn("dominant_share_e6",
+        when(col("n_scripted") > 0L,
+          expr("(__mx * 1000000L) div n_scripted")).otherwise(lit(-1L)))
+      .withColumn("mixed",
+        col("n_scripted") > 0L
+          && (col("n_scripted") - col("__mx")) * 10L >= col("n_scripted"))
+      .withColumn("mojibake",
+        col("n_chars") > 0L && col("n_moji_lead") * 20L >= col("n_chars"))
+      .drop("__mx")
+  }
+
   /** L193 — RAKE KEYWORD EXTRACTION (Rose et al. 2010): the classic
     * unsupervised keyphrase extractor — candidate phrases are maximal
     * runs of content tokens between stopword/boundary tokens; each
@@ -895,6 +980,26 @@ object TextOps {
     * number replayable in SQL. The stopword list is a FIXED literal
     * shared verbatim with the oracle.
     *
+    * Phrase boundaries are CANONICAL RAKE: candidates break at
+    * stopwords AND at punctuation (Rose et al. split at "phrase
+    * delimiters" first, then stopwords) — the text is normalized by
+    * folding every run of non-word characters (word chars =
+    * [a-z0-9-]; contractions split at the apostrophe, their orphan
+    * single-letter stems are stopwords) into a standalone '.' boundary
+    * token, identically in both engines. Without this, "equations,
+    * strict inequations" would mint one five-word pseudo-phrase.
+    *
+    * Stoplist provenance: the SMART/Fox general-English stoplist
+    * family (Salton 1971; Fox 1989 — public data, not retrievable
+    * verbatim in this sandbox), reproduced as an engine-canonical
+    * ~440-word literal. The acceptance test for canonicality is the
+    * RAKE paper's own worked example: OpsSpec pins the published
+    * phrase ranking of the Rose et al. 2010 Diophantine abstract
+    * (minimal generating sets 8.67 > linear diophantine equations 8.5
+    * > minimal supporting set 7.67 > …), which fails if the list
+    * gains any of the example's content words (considered, numbers,
+    * corresponding, types, …) or loses any of its delimiters.
+    *
     * Scale shape: one posexplode + two windows keyed by doc (cumsum
     * phrase ids, phrase lengths), two hash aggs, a (doc, word) equi
     * join, a per-doc bounded rank window. Per-doc work linear in
@@ -903,19 +1008,106 @@ object TextOps {
     * Output: (id, rank, phrase, n_words, score_e3), rank 1..k.
     */
   val rakeStopwords: Seq[String] = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
-    "was", "were", "be", "been", "with", "for", "on", "at", "by",
-    "from", "as", "that", "this", "it", "its", "but", "not", "we",
-    "you", "i")
+    "a", "able", "about", "above", "according", "accordingly", "across",
+    "actually", "after", "afterwards", "again", "against", "all", "allow",
+    "allows", "almost", "alone", "along", "already", "also", "although",
+    "always", "am", "among", "amongst", "an", "and", "another", "any",
+    "anybody", "anyhow", "anyone", "anything", "anyway", "anyways",
+    "anywhere", "apart", "appear", "appropriate", "are", "around", "as",
+    "aside", "ask", "asking", "at", "away", "awfully",
+    "b", "back", "be", "became", "because", "become", "becomes",
+    "becoming", "been", "before", "beforehand", "behind", "being", "below",
+    "beside", "besides", "best", "better", "between", "beyond", "both",
+    "brief", "but", "by",
+    "c", "came", "can", "cannot", "cause", "causes", "certain", "certainly",
+    "changes", "clearly", "co", "com", "come", "comes", "concerning",
+    "consequently", "consider", "considering", "contain", "containing",
+    "contains", "could", "course", "currently",
+    "d", "definitely", "described", "despite", "did", "different", "do",
+    "does", "doing", "done", "down", "downwards", "during",
+    "e", "each", "edu", "eg", "eight", "either", "else", "elsewhere",
+    "enough", "entirely", "especially", "et", "etc", "even", "ever",
+    "every", "everybody", "everyone", "everything", "everywhere", "ex",
+    "exactly", "example", "except",
+    "f", "far", "few", "fifth", "first", "five", "followed", "following",
+    "follows", "for", "former", "formerly", "forth", "four", "from",
+    "further", "furthermore",
+    "g", "get", "gets", "getting", "given", "gives", "go", "goes", "going",
+    "gone", "got", "gotten",
+    "h", "had", "happens", "hardly", "has", "have", "having", "he",
+    "hello", "help", "hence", "her", "here", "hereafter", "hereby",
+    "herein", "hereupon", "hers", "herself", "hi", "him", "himself", "his",
+    "hither", "hopefully", "how", "howbeit", "however",
+    "i", "ie", "if", "ignored", "immediate", "in", "inasmuch", "inc",
+    "indeed", "indicate", "indicated", "indicates", "inner", "insofar",
+    "instead", "into", "inward", "is", "it", "its", "itself",
+    "j", "just",
+    "k", "keep", "keeps", "kept", "know", "known", "knows",
+    "l", "last", "lately", "later", "latter", "latterly", "least", "less",
+    "lest", "let", "like", "liked", "likely", "little", "look", "looking",
+    "looks", "ltd",
+    "m", "mainly", "many", "may", "maybe", "me", "mean", "meanwhile",
+    "merely", "might", "more", "moreover", "most", "mostly", "much",
+    "must", "my", "myself",
+    "n", "name", "namely", "nd", "near", "nearly", "necessary", "need",
+    "needs", "neither", "never", "nevertheless", "new", "next", "nine",
+    "no", "nobody", "non", "none", "noone", "nor", "normally", "not",
+    "nothing", "novel", "now", "nowhere",
+    "o", "obviously", "of", "off", "often", "oh", "ok", "okay", "old",
+    "on", "once", "one", "ones", "only", "onto", "or", "other", "others",
+    "otherwise", "ought", "our", "ours", "ourselves", "out", "outside",
+    "over", "overall", "own",
+    "p", "particular", "particularly", "per", "perhaps", "placed",
+    "please", "plus", "possible", "presumably", "probably", "provides",
+    "q", "que", "quite", "qv",
+    "r", "rather", "rd", "re", "really", "reasonably", "regarding",
+    "regardless", "regards", "relatively", "respectively", "right",
+    "s", "said", "same", "saw", "say", "saying", "says", "second",
+    "secondly", "see", "seeing", "seem", "seemed", "seeming", "seems",
+    "seen", "self", "selves", "sensible", "sent", "serious", "seriously",
+    "seven", "several", "shall", "she", "should", "since", "six", "so",
+    "some", "somebody", "somehow", "someone", "something", "sometime",
+    "sometimes", "somewhat", "somewhere", "soon", "sorry", "specified",
+    "specify", "specifying", "still", "sub", "such", "sup", "sure",
+    "t", "take", "taken", "tell", "tends", "th", "than", "thank",
+    "thanks", "thanx", "that", "thats", "the", "their", "theirs", "them",
+    "themselves", "then", "thence", "there", "thereafter", "thereby",
+    "therefore", "therein", "theres", "thereupon", "these", "they",
+    "think", "third", "this", "thorough", "thoroughly", "those", "though",
+    "three", "through", "throughout", "thru", "thus", "to", "together",
+    "too", "took", "toward", "towards", "tried", "tries", "truly", "try",
+    "trying", "twice", "two",
+    "u", "un", "under", "unfortunately", "unless", "unlikely", "until",
+    "unto", "up", "upon", "us", "use", "used", "useful", "uses", "using",
+    "usually",
+    "v", "value", "various", "very", "via", "viz", "vs",
+    "w", "want", "wants", "was", "way", "we", "welcome", "well", "went",
+    "were", "what", "whatever", "when", "whence", "whenever", "where",
+    "whereafter", "whereas", "whereby", "wherein", "whereupon", "wherever",
+    "whether", "which", "while", "whither", "who", "whoever", "whole",
+    "whom", "whose", "why", "will", "willing", "wish", "with", "within",
+    "without", "wonder", "would",
+    "x",
+    "y", "yes", "yet", "you", "your", "yours", "yourself", "yourselves",
+    "z", "zero")
+
+  /** RAKE text normalization: every run of non-word characters (word
+    * chars = [a-z0-9-]) folds to a standalone '.' boundary token —
+    * punctuation becomes a phrase delimiter, shared verbatim with the
+    * oracle mirror.
+    */
+  val rakeBoundaryPattern: String = "[^a-z0-9 -]+"
 
   def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stops = array(rakeStopwords.map(lit): _*)
     val t = docs
-      .select(col(idCol), posexplode(tokens(lower(col(textCol))))
+      .select(col(idCol), posexplode(tokens(
+          regexp_replace(lower(col(textCol)), rakeBoundaryPattern, " . ")))
         .as(Seq("pos", "w")))
-      .withColumn("__stop", array_contains(stops, col("w")))
+      .withColumn("__stop",
+        array_contains(stops, col("w")) || col("w").rlike("^[.-]+$"))
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val marked = t
       .withColumn("phrase_id",

@@ -2334,6 +2334,125 @@ class OpsSpec extends SparkSpec {
       (9L, -1L)), s"got $r1")
   }
 
+  test("L190 bfsDistances: isolated seed surfaces at dist 0; converged " +
+      "witnesses frontier exhaustion") {
+    import graft.ops.GraphOps
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    // 99 appears in seeds but touches no edge: trivially dist 0, must
+    // NOT silently vanish from the report (r9 ADVICE)
+    val seeds = Seq(1L, 99L).toDF("seed")
+    val r3 = GraphOps.bfsDistances(edges, "src", "dst", seeds, "seed",
+        rounds = 3).orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    // round 3 still relaxed node 4 (2->3... it set d(4)=3), so the
+    // process had NOT exhausted entering the final round
+    assert(r3 == Seq((1L, 0L, false), (2L, 1L, false), (3L, 2L, false),
+      (4L, 3L, false), (99L, 0L, false)), s"got $r3")
+    // one spare round: nothing changes in it -> converged
+    val r4 = GraphOps.bfsDistances(edges, "src", "dst", seeds, "seed",
+        rounds = 4).orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    assert(r4 == Seq((1L, 0L, true), (2L, 1L, true), (3L, 2L, true),
+      (4L, 3L, true), (99L, 0L, true)), s"got $r4")
+  }
+
+  test("L196 ssspDistances: weighted relaxation beats hop shortcuts; " +
+      "negative weight raises loudly") {
+    import graft.ops.GraphOps
+    // direct edge 1->3 costs 9; the 2-hop path costs 5+1=6
+    val edges = Seq((1L, 3L, 9L), (1L, 2L, 5L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("seed")
+    val got = GraphOps.ssspDistances(edges, "src", "dst", "w", seeds,
+        "seed", rounds = 3).orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq((1L, 0L, true, true), (2L, 5L, true, true),
+      (3L, 6L, true, true)), s"got $got")
+    // after ONE round the direct (more expensive) edge wins — the
+    // Bellman-Ford round invariant: paths of <= k edges exact at round k
+    val g1 = GraphOps.ssspDistances(edges, "src", "dst", "w", seeds,
+        "seed", rounds = 1).orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(g1 == Seq((1L, 0L), (2L, 5L), (3L, 9L)), s"got $g1")
+    // contract: a negative weight corrupts the invariant -> loud error
+    val bad = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      GraphOps.ssspDistances(bad, "src", "dst", "w", seeds, "seed",
+        rounds = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("L197 scriptMix: range-table classification, dominance tie-break, " +
+      "mixed + mojibake flags") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "hello world"),   // pure latin: 10 scripted of 11 chars
+      (2L, "привет hello"),  // cyr 6 > latin 5 -> cyrillic dominant, mixed
+      (3L, "ÃÂÃÂÃÂ"), // ÃÂ×3: mojibake leads
+      (4L, "数据 데이터 ภาษา"), // cjk 2, hangul 3, thai 4 -> thai dominant
+      (5L, "123 !!!"),       // nothing scripted -> none / share -1
+      (6L, "שלום سلام"),     // hebrew 4 = arabic 4 -> alphabetical: arabic
+      (7L, "×Ø")   // × excluded from latin, Ø included
+    ).toDF("doc_id", "text")
+    val got = TextOps.scriptMix(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_scripted"),
+        r.getAs[String]("dominant_script"),
+        r.getAs[Long]("dominant_share_e6"), r.getAs[Boolean]("mixed"),
+        r.getAs[Boolean]("mojibake"))).toSeq
+    assert(got == Seq(
+      (1L, 10L, "latin", 1000000L, false, false),
+      (2L, 11L, "cyrillic", 545454L, true, false),
+      (3L, 6L, "latin", 1000000L, false, true),
+      (4L, 9L, "thai", 444444L, true, false),
+      (5L, 0L, "none", -1L, false, false),
+      (6L, 8L, "arabic", 500000L, true, false),
+      (7L, 1L, "latin", 1000000L, false, false)), s"got $got")
+    // exact per-script columns on the three-script row
+    val r4 = TextOps.scriptMix(docs, "doc_id", "text")
+      .filter($"doc_id" === 4L).head
+    assert(r4.getAs[Long]("n_cjk") == 2L && r4.getAs[Long]("n_hangul") == 3L
+      && r4.getAs[Long]("n_thai") == 4L && r4.getAs[Long]("n_other") == 2L,
+      s"got $r4")
+  }
+
+  test("L199 lshSCurve: exact endpoints, recall at the verify thresholds, " +
+      "inflection bracket at J* = 1 - 2^(-1/8)") {
+    import graft.ops.Dedup
+    val t = Dedup.lshSCurve(spark, bands = 8, rows = 1)
+      .orderBy($"j_e2").collect()
+      .map(r => (r.getAs[Long]("j_e2"), r.getAs[Long]("p_e9"))).toMap
+    assert(t(0L) == 0L && t(100L) == 1000000000L, s"endpoints $t")
+    // divisions are exact at these grid points: p(0.5) = 1 - 0.5^8,
+    // p(0.8) = 1 - 0.2^8 — the "why verify at 0.5 / 0.8" numbers
+    assert(t(50L) == 996093750L, s"got ${t(50L)}")
+    assert(t(80L) == 999997440L, s"got ${t(80L)}")
+    // inflection (p = 1/2) sits between J=0.08 and J=0.09:
+    // 0.92^8 = 0.513 > 1/2 >= 0.91^8 = 0.470
+    assert(t(8L) < 500000000L && t(9L) >= 500000000L,
+      s"bracket ${t(8L)} ${t(9L)}")
+    // monotone nondecreasing across the whole grid
+    val seq = (0L to 100L).map(t)
+    assert(seq.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("L181 calibrationBins: out-of-domain score raises loudly") {
+    import graft.ops.EvalOps
+    val bad = Seq((1000001L, 1L)).toDF("s", "y")
+    val ex = intercept[Exception] {
+      EvalOps.calibrationBins(bad, $"s", $"y").collect()
+    }
+    assert(ex.getMessage.contains("calibrationBins") ||
+      (ex.getCause != null
+        && ex.getCause.getMessage.contains("calibrationBins")), s"got $ex")
+    val neg = Seq((-1L, 0L)).toDF("s", "y")
+    intercept[Exception] {
+      EvalOps.calibrationBins(neg, $"s", $"y").collect()
+    }
+  }
+
   test("L191 spanDetection: IoU-threshold detection counts, label-blind, one-sided files flag") {
     import graft.ops.EvalOps
     val ref = Seq(
@@ -2660,6 +2779,55 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(4))).toSeq
     // freq big 2, data 2; deg big 4, data 4 -> phrase 4000, ONE row
     assert(got2 == Seq((1L, "big data", 4000L)), s"got $got2")
+  }
+
+  test("L193 rakeKeywords: Rose et al. 2010 worked example (canonical " +
+      "stoplist + punctuation boundaries)") {
+    import graft.ops.TextOps
+    // The RAKE paper's own abstract fixture (Rose, Engel, Cramer, Cowley
+    // 2010, Fig. 1): published word scores deg/freq give the phrase
+    // ranking  minimal generating sets 8.67 > linear diophantine
+    // equations 8.5 > minimal supporting set 7.67 > minimal set 4.67 >
+    // linear constraints 4.5 — e3-floored here (8000 div 3 = 2666).
+    // Reproducing it REQUIRES both canonical pieces: the comma after
+    // "equations" must delimit (else a 5-word pseudo-phrase appears)
+    // and the stoplist must keep considered/numbers/corresponding/types
+    // as CONTENT words while stopping of/over/a/are/can/be/used/in/
+    // these/given.
+    val abstractTxt =
+      "Compatibility of systems of linear constraints over the set of " +
+      "natural numbers. Criteria of compatibility of a system of linear " +
+      "Diophantine equations, strict inequations, and nonstrict " +
+      "inequations are considered. Upper bounds for components of a " +
+      "minimal set of solutions and algorithms of construction of " +
+      "minimal generating sets of solutions for all types of systems " +
+      "are given. These criteria and the corresponding algorithms for " +
+      "constructing a minimal supporting set of solutions can be used " +
+      "in solving all the considered types of systems and systems of " +
+      "mixed types."
+    val got = TextOps.rakeKeywords(
+        Seq((1L, abstractTxt)).toDF("doc_id", "text"), "doc_id", "text",
+        k = 5)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "minimal generating sets", 3L, 8666L),
+      (2L, "linear diophantine equations", 3L, 8500L),
+      (3L, "minimal supporting set", 3L, 7666L),
+      (4L, "minimal set", 2L, 4666L),
+      (5L, "linear constraints", 2L, 4500L)), s"got $got")
+    // the published 3.5-scored pair survives the stoplist ("corresponding"
+    // is SMART-stopped but RAKE-content — the Fox-family membership this
+    // fixture guards)
+    val all = TextOps.rakeKeywords(
+        Seq((1L, abstractTxt)).toDF("doc_id", "text"), "doc_id", "text",
+        k = 30)
+      .collect().map(r => (r.getString(2), r.getLong(4))).toMap
+    assert(all("corresponding algorithms") == 3500L, s"got $all")
+    assert(all("considered types") == 3166L, s"got $all")
+    assert(all("natural numbers") == 4000L, s"got $all")
+    assert(all("mixed types") == 3666L, s"got $all")
   }
 
   test("L185 tokenGini: textbook (1,3) split = 0.25, uniform = 0") {
