@@ -203,6 +203,52 @@ private[graft] object QueriesMultimodal {
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
 
 
+    // L200 — IMAGE METADATA AUDIT + PRIVACY SCRUB: real encoder output
+    // gains spec-valid EXIF/ICC/text metadata (JPEG APP1 TIFF-IFD with
+    // real CRC-bearing PNG chunk twins, GIF comment blocks), the
+    // byte-level probe reads it back header-only, and the strip
+    // operation removes it all without re-encoding — certified by a
+    // second probe. Formula-minted orientation/text/ICC per doc; the
+    // oracle replays the formulas, so a wrong IFD walk, CRC, or a
+    // strip that damages the container cannot hash-match.
+    Q("mm_image_meta",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 === 0, "png")
+              .when(col("doc_id") % 4 === 1, "bmp")
+              .when(col("doc_id") % 4 === 2, "jpg")
+              .otherwise("gif").as("kind"),
+            (lit(16) + pmod(col("doc_id"), lit(13L))).cast("int").as("w"),
+            (lit(8) + pmod(col("doc_id"), lit(7L))).cast("int").as("h"),
+            (lit(1) + pmod(col("doc_id"), lit(8L))).cast("int").as("orient"),
+            pmod(col("doc_id"), lit(3L)).cast("int").as("ntext"),
+            (pmod(col("doc_id"), lit(5L)) === 0L).as("icc"))
+          .withColumn("rgb", expr("""transform(sequence(0, w * h - 1),
+            i -> CAST((doc_id * 31 + i * 7) % 16777216 AS INT))"""))
+        Multimodal.imageMetaAudit(base, "doc_id", "kind", "rgb", "w", "h",
+            "orient", "ntext", "icc")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'bmp'
+        |         WHEN doc_id % 4 = 2 THEN 'jpg' ELSE 'gif' END AS format,
+        |    CAST(16 + doc_id % 13 AS BIGINT) AS width,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |    doc_id % 4 AS k
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, format, width, height,
+        |  CAST(CASE WHEN k IN (0, 2) THEN 1 + doc_id % 8 ELSE -1 END
+        |    AS BIGINT) AS orientation,
+        |  k IN (0, 2) AS has_exif,
+        |  k IN (0, 2) AND doc_id % 5 = 0 AS has_icc,
+        |  CAST(CASE WHEN k = 1 THEN 0 ELSE doc_id % 3 END AS BIGINT) AS n_text,
+        |  width AS width_stripped, height AS height_stripped,
+        |  CAST(-1 AS BIGINT) AS orientation_stripped,
+        |  FALSE AS has_exif_stripped, FALSE AS has_icc_stripped,
+        |  CAST(0 AS BIGINT) AS n_text_stripped
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
     // L178 — SHOT DETECTION ON DECODED PIXELS: per-frame images are
     // CONSTRUCTED so their dHash realizes a designed 64-bit hash (each
     // comparison bit is set by a +1/-1 step between adjacent cells),

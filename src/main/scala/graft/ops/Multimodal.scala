@@ -171,6 +171,80 @@ object Multimodal {
       .toDF(idCol, "format", "width", "height")
   }
 
+  /** L200 — IMAGE METADATA AUDIT + PRIVACY SCRUB over real encoder
+    * output: each row's pixels encode with the kind-selected real
+    * codec, gain spec-valid metadata ([[graft.pipeline.ImageMeta]]:
+    * JPEG APP1 EXIF TIFF-IFD + APP2 ICC + COM; PNG eXIf/iCCP/tEXt with
+    * real chunk CRCs; GIF comment extensions), then the byte-level
+    * metadata probe reads orientation/EXIF/ICC/text back WITHOUT
+    * decoding a raster, the strip operation removes every metadata
+    * segment WITHOUT re-encoding pixels, and a second probe certifies
+    * the scrub (the PII posture: EXIF GPS/serial payloads must leave,
+    * the image must not change — decode-identity pinned in
+    * ImageCodecSpec). The oracle replays the synthesis formulas, so a
+    * misparsed IFD, a bad chunk CRC, or a strip that eats IDAT cannot
+    * hash-match. One typed mapPartitions, no shuffle, no driver bytes.
+    *
+    * Output: (id, format, width, height, orientation, has_exif,
+    * has_icc, n_text, width_stripped, height_stripped,
+    * orientation_stripped, has_exif_stripped, has_icc_stripped,
+    * n_text_stripped).
+    */
+  def imageMetaAudit(df: DataFrame, idCol: String, kindCol: String,
+      rgbCol: String, wCol: String, hCol: String, orientCol: String,
+      nTextCol: String, iccCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(kindCol).cast("string"),
+        col(rgbCol).cast("array<int>"), col(wCol).cast("int"),
+        col(hCol).cast("int"), col(orientCol).cast("int"),
+        col(nTextCol).cast("int"), col(iccCol).cast("boolean"))
+      .as[(Long, String, Array[Int], Int, Int, Int, Int, Boolean)]
+      .mapPartitions { it =>
+        import graft.pipeline.{ImageCodec, ImageMeta}
+        it.map { case (id, kind, rgb, w, h, orient, nText, icc) =>
+          val argb = rgb.map(p => 0xff000000 | p)
+          val plain = kind match {
+            case "png" => ImageCodec.encodePng(w, h, argb)
+            case "bmp" => ImageCodec.encodeBmp(w, h, argb)
+            case "jpg" => ImageCodec.encodeJpeg(w, h, argb)
+            case "gif" => ImageCodec.encodeGif(w, h, argb)
+            case other => throw new IllegalArgumentException(
+              s"unknown image kind $other")
+          }
+          val profile = Array.tabulate(64)(i => ((id + i) % 251).toByte)
+          var tagged = plain
+          kind match {
+            case "jpg" =>
+              tagged = ImageMeta.jpegWithExif(tagged, orient)
+              if (icc) tagged = ImageMeta.jpegWithIcc(tagged, profile)
+              (0 until nText).foreach { i =>
+                tagged = ImageMeta.jpegWithComment(tagged, s"note-$id-$i")
+              }
+            case "png" =>
+              tagged = ImageMeta.pngWithExif(tagged, orient)
+              if (icc) tagged = ImageMeta.pngWithIccp(tagged, "p", profile)
+              (0 until nText).foreach { i =>
+                tagged = ImageMeta.pngWithText(tagged, "Comment", s"note-$id-$i")
+              }
+            case "gif" =>
+              (0 until nText).foreach { i =>
+                tagged = ImageMeta.gifWithComment(tagged, s"note-$id-$i")
+              }
+            case _ => ()
+          }
+          val m1 = ImageMeta.probeMeta(tagged)
+          val m2 = ImageMeta.probeMeta(ImageMeta.strip(tagged))
+          (id, m1.format, m1.width, m1.height, m1.orientation, m1.hasExif,
+            m1.hasIcc, m1.nText, m2.width, m2.height, m2.orientation,
+            m2.hasExif, m2.hasIcc, m2.nText)
+        }
+      }
+      .toDF(idCol, "format", "width", "height", "orientation", "has_exif",
+        "has_icc", "n_text", "width_stripped", "height_stripped",
+        "orientation_stripped", "has_exif_stripped", "has_icc_stripped",
+        "n_text_stripped")
+  }
+
   /** Grid → 16-bit gray PNG → real ImageIO decode → grid: expands each
     * of the 72 cell values (8×9 row-major, any 0..65535 range — wider
     * than 8-bit, hence gray16) to a `cellW`×`cellH` constant pixel

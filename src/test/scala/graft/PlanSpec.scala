@@ -561,11 +561,21 @@ class PlanSpec extends SparkSpec {
     // m_auc: same distinct-score-table shape as m_eer
     val au = plan("m_auc")
     assert(!au.contains("CartesianProduct"), "m_auc plans a cartesian")
-    // g_bfs relaxations, span detection, patch stats, RAKE: equi
+    // g_bfs/g_sssp relaxations, span detection, patch stats, RAKE: equi
     // joins only, never theta/cartesian
-    for (q <- Seq("g_bfs", "m_span_detect", "mm_patch_stats", "t_rake")) {
+    for (q <- Seq("g_bfs", "g_sssp", "m_span_detect", "mm_patch_stats",
+        "t_rake")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // round-10 additions: the script gate and metadata audit are pure
+    // per-row work — join-free AND shuffle-free (ingest-width plans);
+    // the S-curve is a 101-row constant fold, no exchange at all
+    for (q <- Seq("t_script_mix", "mm_image_meta", "dedup_scurve")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle")
     }
     // t_token_gini: one vocab-bounded rank window per source + one agg
     val gi = plan("t_token_gini")

@@ -324,6 +324,23 @@ class ScaleSweepSpec extends SparkSpec {
     })
   }
 
+  test("L196 weighted SSSP relaxation stays near-linear under ×9 edge scale") {
+    // identical join+min-agg shape as BFS plus the per-edge weight add
+    // and the fingerprint witness per round — the sweep guards the
+    // witness (a fingerprint regression to a collected sort would
+    // super-linearize) as much as the relaxation
+    sweep("sssp", s => {
+      val n = 40000L * s
+      val chain = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1L) % n).as("dst"), (col("id") % 5L + 1L).as("w"))
+      val skip = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 7L) % n).as("dst"), (col("id") % 3L + 1L).as("w"))
+      val seeds = spark.range(n / 100L).select((col("id") * 100L).as("seed"))
+      graft.ops.GraphOps.ssspDistances(chain.unionByName(skip),
+        "src", "dst", "w", seeds, "seed", rounds = 3).count()
+    })
+  }
+
   test("L189 Hilbert layout stays near-linear under ×9 row scale") {
     // the xy2d aggregate is per-row constant work (bits levels); the
     // only non-map stage is the range sort behind row_number — the
