@@ -1002,6 +1002,62 @@ private[graft] object QueriesCore {
         |    WHERE b2.dist <> b3.dist) = 0 AS converged
         |FROM b3 ORDER BY node""".stripMargin)),
 
+    // L201 — HyperBall neighborhood function over the SAME event link
+    // graph: per node an HLL-approximate |ball(v, 2)| — the
+    // scale-native distance-distribution / closeness read (exact balls
+    // explode; HLL registers are 16 longs per node, merged along edges
+    // by element-wise max). Registers = the L71 sketch discipline
+    // (public md5 60-bit hash, bucket = top 4 bits), kept as
+    // (node, bucket, reg) rows so every round is one equi join + one
+    // map-side max-agg and the oracle replays every register
+    // bit-for-bit; round CTEs MATERIALIZED (g_kcore inlining lesson).
+    Q("g_hyperball",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.hyperBall(chain.unionByName(hubEdges), "src", "dst",
+            b = 4, rounds = 2)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |hv AS (SELECT node,
+        |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM nd),
+        |r0 AS MATERIALIZED (SELECT node, hv >> 56 AS bucket,
+        |    CAST(CASE WHEN (hv & 72057594037927935) = 0 THEN 57
+        |      ELSE 57 - length(printf('%b', hv & 72057594037927935)) END
+        |      AS BIGINT) AS reg
+        |  FROM hv),
+        |g1 AS (SELECT ed.src AS node, r.bucket, r.reg
+        |  FROM ed JOIN r0 r ON r.node = ed.dst),
+        |r1 AS MATERIALIZED (SELECT node, bucket, MAX(reg) AS reg FROM (
+        |    SELECT * FROM r0 UNION ALL SELECT * FROM g1) GROUP BY 1, 2),
+        |g2 AS (SELECT ed.src AS node, r.bucket, r.reg
+        |  FROM ed JOIN r1 r ON r.node = ed.dst),
+        |r2 AS MATERIALIZED (SELECT node, bucket, MAX(reg) AS reg FROM (
+        |    SELECT * FROM r1 UNION ALL SELECT * FROM g2) GROUP BY 1, 2),
+        |grid AS (SELECT nd.node, gs.bucket FROM nd
+        |  CROSS JOIN (SELECT unnest(range(16)) AS bucket) gs),
+        |fl AS (SELECT g.node, g.bucket, CAST(COALESCE(r.reg, 0) AS BIGINT) AS reg
+        |  FROM grid g LEFT JOIN r2 r ON r.node = g.node AND r.bucket = g.bucket),
+        |a AS (SELECT node, list(reg ORDER BY bucket) AS regs,
+        |    CAST(SUM(1::BIGINT << CAST(57 - reg AS INTEGER)) AS BIGINT) AS s_scaled,
+        |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM fl GROUP BY 1)
+        |SELECT node, array_to_string(regs, ',') AS regs, s_scaled, n_zero,
+        |  (0.673 * 256.0) * 144115188075855872.0
+        |    / CAST(s_scaled AS DOUBLE) AS est_ball
+        |FROM a ORDER BY node""".stripMargin)),
+
     // L153 — 3-truss peel (2 rounds) over the session minhash pair
     // graph: the EDGE-grade companion to g_kcore — an edge survives
     // only with >= 1 triangle witness, recomputed after each filter

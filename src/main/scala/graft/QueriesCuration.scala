@@ -1683,6 +1683,36 @@ private[graft] object QueriesCuration {
         |ORDER BY ap.src_a, ap.src_b""".stripMargin)),
 
 
+    // L202 — Heaps-law vocabulary growth curve: exact distinct-type
+    // counts at 10 doc-id cutoffs from ONE pass (a type's contribution
+    // to every cutoff is fixed by its FIRST document), the trajectory
+    // companion to the L93 Chao1 asymptote. Tiny-grid broadcast
+    // rollups; nothing rescanned per checkpoint.
+    Q("c_vocab_growth",
+      (s, dir) => Curation.vocabGrowth(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+          "doc_id", "toks", nCheckpoints = 10)
+        .orderBy(col("checkpoint")),
+      Some(s"""WITH $toksSqlCte,
+        |tk AS (SELECT d.doc_id AS id, t.w
+        |  FROM d, LATERAL (SELECT unnest(d.toks) AS w) t),
+        |fw AS (SELECT w, MIN(id) AS first_id FROM tk GROUP BY 1),
+        |dl AS (SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n FROM d),
+        |mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |g AS (SELECT CAST(t.i AS BIGINT) AS checkpoint,
+        |    CAST(((mx.m + 1) * t.i) // 10 AS BIGINT) AS cutoff_id
+        |  FROM mx CROSS JOIN (SELECT unnest(range(1, 11)) AS i) t),
+        |ds AS (SELECT g.checkpoint, g.cutoff_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl.n) AS BIGINT) AS n_tokens
+        |  FROM g JOIN dl ON dl.id < g.cutoff_id GROUP BY 1, 2),
+        |vs AS (SELECT g.checkpoint, CAST(COUNT(*) AS BIGINT) AS n_vocab
+        |  FROM g JOIN fw ON fw.first_id < g.cutoff_id GROUP BY 1)
+        |SELECT ds.checkpoint, ds.cutoff_id, ds.n_docs, ds.n_tokens,
+        |  vs.n_vocab
+        |FROM ds JOIN vs USING (checkpoint) ORDER BY checkpoint""".stripMargin)),
+
     // L179 — cross-snapshot token-distribution drift: snapshot B drops
     // every 7th doc (re-crawl churn) and injects a drift token into
     // every 5th (vocabulary shift); the detector must surface zzdrift

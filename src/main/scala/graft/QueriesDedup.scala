@@ -945,6 +945,54 @@ private[graft] object QueriesDedup {
         |FROM j WHERE common * 1000 >= 800 * least(na, nb)
         |ORDER BY a, b""".stripMargin)),
 
+    // L204 — affix-overlap pairs (continuation leakage for sequence
+    // packing): doc A's last 8 tokens == doc B's first 8 tokens — a
+    // shape Jaccard can't see (8 shared tokens of two long docs ≈ 0)
+    // but that leaks verbatim continuations when docs pack into one
+    // training sequence. Mint: per bucket (doc_id div 11), the %11==3
+    // doc gets a bucket-salted 8-token suffix and the %11==4 doc the
+    // same phrase as its prefix — exactly one planted pair per bucket;
+    // hot grams (df > 50) are dropped before the equi join (the winnow
+    // posture).
+    Q("dedup_affix_overlap",
+      (s, dir) => {
+        val phrase = concat(lit("qq ww ee rr tt yy uu b"),
+          expr("doc_id div 11"))
+        val minted = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(11L)) === 3L,
+              concat(col("text"), lit(" "), phrase))
+              .when(pmod(col("doc_id"), lit(11L)) === 4L,
+                concat(phrase, lit(" "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        Dedup.affixOverlapPairs(minted, "doc_id", "toks", k = 8,
+            maxGramDf = 50L)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3
+        |      THEN text || ' qq ww ee rr tt yy uu b' || (doc_id // 11)
+        |    WHEN doc_id % 11 = 4
+        |      THEN 'qq ww ee rr tt yy uu b' || (doc_id // 11) || ' ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |d2 AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM t),
+        |f AS (SELECT doc_id, toks FROM d2 WHERE len(toks) >= 8),
+        |suf AS (SELECT doc_id AS a,
+        |    array_to_string(list_slice(toks, len(toks) - 7, len(toks)), ' ') AS gram
+        |  FROM f),
+        |pre AS (SELECT doc_id AS b,
+        |    array_to_string(list_slice(toks, 1, 8), ' ') AS gram FROM f),
+        |rare AS (SELECT gram FROM (
+        |    SELECT gram, COUNT(*) AS c FROM (
+        |      SELECT gram FROM suf UNION ALL SELECT gram FROM pre) u
+        |    GROUP BY 1) v WHERE c <= 50)
+        |SELECT suf.a, pre.b, suf.gram
+        |FROM suf JOIN rare USING (gram) JOIN pre USING (gram)
+        |WHERE suf.a <> pre.b ORDER BY a, b""".stripMargin)),
+
     // L199 — MinHash S-curve calibration for THE configured banding
     // scheme (b = 8 bands, r = 1 row — the sessionMinhashPairs
     // signature layout): p(J) = 1 − (1 − J)⁸ tabulated over the 0.01

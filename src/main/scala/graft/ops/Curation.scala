@@ -2136,6 +2136,53 @@ object Curation {
     * Output: (source, rank, token, share_a_e6, share_b_e6, drift),
     * rank 1..k by drift desc.
     */
+  /** L202 — VOCABULARY GROWTH CURVE (Heaps' law, exact): distinct-type
+    * count as a function of corpus size, at `nCheckpoints` equal
+    * doc-id cutoffs — the curve a corpus-expansion decision reads
+    * ("does doubling the crawl still buy vocabulary?") next to the
+    * L93 Chao1 asymptote estimate (Chao1 gives the limit, this gives
+    * the exact trajectory so far). The trick that makes it ONE pass
+    * instead of nCheckpoints passes: a type's contribution to every
+    * cutoff is determined by its FIRST document — n_vocab(c) =
+    * #{types: min doc_id < c} — so one hash agg to (type, first_id)
+    * and one tiny-grid conditional rollup replace any per-checkpoint
+    * rescan. Cutoffs c_i = ((max_id + 1)·i) div n — exact integers
+    * both engines derive identically.
+    *
+    * Scale shape: one (type) map-side-combined min-agg over the
+    * exploded tokens, one per-doc length projection, then two
+    * broadcast-grid rollups (the grid is `nCheckpoints` rows —
+    * broadcast theta joins against it are n-row-bounded passes, the
+    * m_eer totals-frame posture). Nothing corpus-sorted.
+    *
+    * Output: (checkpoint, cutoff_id, n_docs, n_tokens, n_vocab),
+    * checkpoint 1..n.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, toksCol: String,
+      nCheckpoints: Int): DataFrame = {
+    require(nCheckpoints >= 2 && nCheckpoints <= 100,
+      s"need 2 <= nCheckpoints <= 100, got $nCheckpoints")
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(toksCol).as("toks"))
+    val tok = base.select(col("id"), explode(col("toks")).as("w"))
+    val firstw = tok.groupBy(col("w")).agg(min(col("id")).as("first_id"))
+    val docLen = base.select(col("id"), size(col("toks")).cast("long").as("n"))
+    val mx = base.agg(max(col("id"))).head.getLong(0)
+    val grid = spark.range(1, nCheckpoints + 1L)
+      .select(col("id").as("checkpoint"),
+        expr(s"((${mx + 1L}L * id) div ${nCheckpoints}L)").as("cutoff_id"))
+    val ds = broadcast(grid).join(docLen, col("id") < col("cutoff_id"))
+      .groupBy(col("checkpoint"), col("cutoff_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val vs = broadcast(grid).join(firstw, col("first_id") < col("cutoff_id"))
+      .groupBy(col("checkpoint"))
+      .agg(count(lit(1)).as("n_vocab"))
+    ds.join(vs, Seq("checkpoint"))
+      .select(col("checkpoint"), col("cutoff_id"), col("n_docs"),
+        col("n_tokens"), col("n_vocab"))
+  }
+
   def tokenDrift(snapA: DataFrame, snapB: DataFrame, groupCol: String,
       toksCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -440,6 +440,44 @@ object Dedup {
         s"aggregate(sequence(1, $bands), 1000000000L, (y, k) -> (y * q_e9) div 1000000000)"))
   }
 
+  /** L204 — AFFIX-OVERLAP PAIRS (continuation leakage): doc A's last k
+    * tokens equal doc B's first k tokens — the shape exact/Jaccard
+    * dedup misses entirely (the overlap is k tokens of two long
+    * documents → Jaccard ≈ 0) but that leaks verbatim continuations
+    * when documents are PACKED into training sequences (L16/L79): the
+    * model sees A's suffix immediately followed by what B continues it
+    * with. One suffix gram and one prefix gram per document, an equi
+    * join on the gram — never all-pairs.
+    *
+    * `maxGramDf` drops grams whose document frequency (over both
+    * sides) exceeds the cap before the join — boilerplate
+    * headers/footers shared by everything carry no continuation signal
+    * AND would square the join on a hot key at 10⁹ docs (the winnow
+    * maxDocFreq posture).
+    *
+    * Input: (id, toks). Output: (a, b, gram) — a's suffix = b's
+    * prefix, a ≠ b.
+    */
+  def affixOverlapPairs(docs: DataFrame, idCol: String, toksCol: String,
+      k: Int, maxGramDf: Long): DataFrame = {
+    require(k >= 2 && k <= 64, s"need 2 <= k <= 64, got $k")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(toksCol).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val suf = base.select(col("id").as("a"),
+      array_join(slice(col("toks"), -k, k), " ").as("gram"))
+    val pre = base.select(col("id").as("b"),
+      array_join(slice(col("toks"), 1, k), " ").as("gram"))
+    val rare = suf.select(col("gram"))
+      .unionByName(pre.select(col("gram")))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxGramDf).select(col("gram"))
+    suf.join(rare, Seq("gram"))
+      .join(pre, Seq("gram"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("gram"))
+  }
+
   /** Winnowing-fingerprint dedup (the MOSS pairing stage): pairs sharing
     * at least `minShared` *discriminative* fingerprints. Fingerprints
     * with document frequency above `maxDocFreq` are dropped before the

@@ -492,6 +492,92 @@ object GraphOps {
     relaxDistances(edges, srcCol, dstCol, Some(weightCol), seeds, seedCol,
       rounds)
 
+  /** L201 — HYPERBALL NEIGHBORHOOD FUNCTION (Boldi & Vigna 2013): per
+    * node an approximate |ball(v, r)| — how many nodes are within r
+    * hops following out-edges — via one HyperLogLog counter per node,
+    * merged along edges each round: ball_v(k) = ball_v(k−1) ∪
+    * (∪ over out-neighbors u) ball_u(k−1). THE scale-native way to
+    * read distance distributions / closeness centrality off a 100 TB
+    * web graph: exact ball sizes explode combinatorially, HLL counters
+    * are fixed 2^b longs per node and their merge is element-wise max —
+    * associative, commutative, idempotent — so every round is one equi
+    * join + one map-side-combined max-agg, the g_pagerank iteration
+    * shape.
+    *
+    * Register discipline = the L71 sketch exactly (the SAME public
+    * 60-bit md5 hash, bucket = top b bits, rank = width+1 − bitlength):
+    * registers here live as (node, bucket, reg) rows rather than a
+    * packed array — the row form is what makes the max-merge a plain
+    * aggregate and the whole object EXACTLY replayable in SQL; a
+    * packed-array flavor would shave constant factors, not complexity.
+    * Every register is deterministic, so this APPROXIMATE operator is
+    * exactly oracle-checkable; the raw α·m²·2^(width+1)/S estimate is a
+    * single double division of exact integers.
+    *
+    * Output: (node, regs CSV in bucket order, s_scaled, n_zero,
+    * est_ball) after exactly `rounds` rounds (bounded-round contract:
+    * ball radius = rounds, exact — HyperBall's own termination is
+    * radius-by-radius anyway).
+    */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      b: Int, rounds: Int): DataFrame = {
+    require(b >= 1 && b <= 8, s"need 1 <= b <= 8, got $b")
+    require(rounds >= 1 && rounds <= 8, s"need 1 <= rounds <= 8, got $rounds")
+    val m = 1 << b
+    val width = 60 - b
+    val wMask = (1L << width) - 1L
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node"))).distinct()
+    // self-hash registers: ball(v, 0) = {v}
+    val hv = conv(substring(md5(col("node").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    var regs = nodes
+      .withColumn("__hv", hv)
+      .select(col("node"),
+        shiftright(col("__hv"), width).bitwiseAND(lit((m - 1).toLong))
+          .as("bucket"),
+        when(col("__hv").bitwiseAND(lit(wMask)) === 0L, lit(width + 1L))
+          .otherwise(lit(width + 1L) -
+            length(conv(col("__hv").bitwiseAND(lit(wMask)), 10, 2)))
+          .as("reg"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val gathered = ed
+        .join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("bucket"), col("reg"))
+      regs = regs.unionByName(gathered)
+        .groupBy(col("node"), col("bucket")).agg(max(col("reg")).as("reg"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    regs
+      .groupBy(col("node"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("reg"))))
+        .as("__rm"))
+      .select(col("node"),
+        expr(s"transform(sequence(0L, ${m - 1}L), i -> coalesce(__rm[i], 0L))")
+          .as("__regs"))
+      .select(col("node"),
+        array_join(col("__regs").cast("array<string>"), ",").as("regs"),
+        expr(s"aggregate(__regs, 0L, (acc, x) -> acc + shiftleft(1L, ${width + 1} - cast(x as int)))")
+          .as("s_scaled"),
+        expr("aggregate(__regs, 0L, (acc, x) -> acc + IF(x = 0L, 1L, 0L))")
+          .as("n_zero"))
+      .withColumn("est_ball",
+        (lit(alpha) * lit((m.toLong * m.toLong).toDouble)
+          * lit(math.pow(2.0, (width + 1).toDouble)))
+          / col("s_scaled").cast("double"))
+  }
+
   private def relaxDistances(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], seeds: DataFrame, seedCol: String,
       rounds: Int): DataFrame = {

@@ -2384,6 +2384,87 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("L201 hyperBall: registers equal the hand-merged HLL of the ball") {
+    import graft.ops.GraphOps
+    // star: 1 -> {2, 3, 4}; leaves have no out-edges.
+    // ball(1, 1) = {1,2,3,4}; ball(leaf, 1) = {leaf}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hyperBall(edges, "src", "dst", b = 4, rounds = 1)
+      .orderBy($"node").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[String]("regs"),
+        r.getAs[Long]("s_scaled"), r.getAs[Long]("n_zero"))).toSeq
+    // replicate the register discipline independently (public md5 hash,
+    // bucket = top 4 of 60 bits, rho = 57 - bitlength of low 56)
+    def hv(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def regsOf(ids: Seq[Long]): Array[Long] = {
+      val a = new Array[Long](16)
+      ids.foreach { id =>
+        val h = hv(id)
+        val bucket = (h >>> 56).toInt
+        val w = h & ((1L << 56) - 1L)
+        val rho = if (w == 0L) 57L else 57L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > a(bucket)) a(bucket) = rho
+      }
+      a
+    }
+    def row(ids: Seq[Long]): (String, Long, Long) = {
+      val a = regsOf(ids)
+      (a.mkString(","), a.map(r => 1L << (57 - r)).sum, a.count(_ == 0L).toLong)
+    }
+    val e1 = row(Seq(1L, 2L, 3L, 4L))
+    val e2 = row(Seq(2L)); val e3 = row(Seq(3L)); val e4 = row(Seq(4L))
+    assert(got == Seq((1L, e1._1, e1._2, e1._3), (2L, e2._1, e2._2, e2._3),
+      (3L, e3._1, e3._2, e3._3), (4L, e4._1, e4._2, e4._3)), s"got $got")
+    // merge monotonicity: the hub's inverse-power sum can only shrink
+    assert(e1._2 <= Seq(e2._2, e3._2, e4._2).min)
+  }
+
+  test("L202 vocabGrowth: exact Heaps trajectory on a constructed corpus") {
+    import graft.ops.Curation
+    // doc i carries a fresh type t_i plus the shared type 'common'
+    val docs = (0L until 10L).map(i => (i, Seq(s"t$i", "common")))
+      .toDF("doc_id", "toks")
+    val got = Curation.vocabGrowth(docs, "doc_id", "toks", nCheckpoints = 5)
+      .orderBy($"checkpoint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // cutoff c = 2,4,6,8,10: n_docs = c, n_tokens = 2c, vocab = c + 1
+    assert(got == Seq(
+      (1L, 2L, 2L, 4L, 3L), (2L, 4L, 4L, 8L, 5L), (3L, 6L, 6L, 12L, 7L),
+      (4L, 8L, 8L, 16L, 9L), (5L, 10L, 10L, 20L, 11L)), s"got $got")
+  }
+
+  test("L204 affixOverlapPairs: suffix-prefix continuation pairs; hot " +
+      "grams capped; self-overlap excluded") {
+    import graft.ops.Dedup
+    def toks(s: String) = s.split(" ").toSeq
+    val docs = (Seq(
+      (1L, toks("x y z a1 a2 a3 a4 a5 a6 a7 a8")),       // suffix a1..a8
+      (2L, toks("a1 a2 a3 a4 a5 a6 a7 a8 tail words")),  // prefix a1..a8
+      (3L, toks("s1 s2 s3 s4 s5 s6 s7 s8 s1 s2 s3 s4 s5 s6 s7 s8")) // self
+    ) ++ (100L until 160L).map(i =>                       // 60 hot-gram docs
+      (i, toks("h1 h2 h3 h4 h5 h6 h7 h8 filler")))
+    ).toDF("doc_id", "toks")
+    val got = Dedup.affixOverlapPairs(docs, "doc_id", "toks", k = 8,
+        maxGramDf = 50L)
+      .orderBy($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // only the planted (1, 2) pair: doc 3's self-match is filtered,
+    // the 60-doc hot prefix gram is over the df cap
+    assert(got == Seq((1L, 2L)), s"got $got")
+    // with the cap lifted the hot block still yields no pairs (same
+    // gram on the PREFIX side only — suffixes are h2..filler), but the
+    // self-overlap doc stays excluded
+    val loose = Dedup.affixOverlapPairs(docs, "doc_id", "toks", k = 8,
+        maxGramDf = 1000L).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(loose == Seq((1L, 2L)), s"got $loose")
+  }
+
   test("L197 scriptMix: range-table classification, dominance tie-break, " +
       "mixed + mojibake flags") {
     import graft.ops.TextOps
