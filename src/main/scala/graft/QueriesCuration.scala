@@ -1683,6 +1683,74 @@ private[graft] object QueriesCuration {
         |ORDER BY ap.src_a, ap.src_b""".stripMargin)),
 
 
+    // L203 — layout skip-effectiveness audit: linear vs Z-order vs
+    // Hilbert manifests scored against the same deterministic 2-D
+    // range workload — exact files-scanned counts per (layout, query),
+    // the decision table behind a clustering choice. Manifest-sized
+    // work (broadcast workload joins); the oracle embeds the L57/L189
+    // manifest oracles as subqueries so every envelope is replayed
+    // bit-for-bit.
+    Q("c_skip_audit",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val pts = ev.select(col("user_id"), Tables.tsUs(ev).as("tus"),
+          col("event_id"))
+        val lm = Curation.linearLayout(pts, "user_id", "tus", "event_id",
+          rowsPerFile = 4096)
+        val zm = Curation.zorderLayout(pts, "user_id", "tus", "event_id",
+          bits = 12, rowsPerFile = 4096)
+        val hm = Curation.hilbertLayout(pts, "user_id", "tus", "event_id",
+          bits = 12, rowsPerFile = 4096)
+        val w = Curation.rangeWorkload(pts, "user_id", "tus", nQueries = 8)
+        Curation.layoutSkipAudit(
+            Seq("hilbert" -> hm, "linear" -> lm, "zorder" -> zm), w,
+            "min_user_id", "max_user_id", "min_tus", "max_tus")
+          .orderBy(col("layout"), col("q_id"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |lm AS (SELECT CAST((rn - 1) // 4096 AS BIGINT) AS file_id,
+        |    MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
+        |    MIN(tus) AS min_tus, MAX(tus) AS max_tus
+        |  FROM (SELECT *, row_number() OVER (ORDER BY user_id, event_id) AS rn
+        |    FROM ev) r GROUP BY 1),
+        |zm AS (SELECT * FROM (${zorderOracleSql(bits = 12, rowsPerFile = 4096)}) zq),
+        |hm AS (SELECT * FROM (${hilbertOracleSql(bits = 12, rowsPerFile = 4096)}) hq),
+        |bnd AS (SELECT MIN(user_id) AS n0, MAX(user_id) AS x0,
+        |    MIN(tus) AS n1, MAX(tus) AS x1 FROM ev),
+        |w AS (SELECT CAST(t.q AS BIGINT) AS q_id,
+        |    n0 + ((x0 - n0) * t.q) // 8 AS lo0,
+        |    n0 + ((x0 - n0) * (t.q + 1)) // 8 AS hi0,
+        |    n1 + ((x1 - n1) * t.q) // 8 AS lo1,
+        |    n1 + ((x1 - n1) * (t.q + 2)) // 8 AS hi1
+        |  FROM bnd CROSS JOIN (SELECT unnest(range(0, 8)) AS q) t),
+        |a AS (
+        |  SELECT 'hilbert' AS layout, w.q_id,
+        |      (SELECT COUNT(*) FROM hm) AS n_files,
+        |      CAST(COUNT(m.file_id) AS BIGINT) AS n_scanned
+        |    FROM w LEFT JOIN hm m ON NOT (m.max_user_id < w.lo0
+        |      OR m.min_user_id > w.hi0 OR m.max_tus < w.lo1
+        |      OR m.min_tus > w.hi1)
+        |    GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'linear' AS layout, w.q_id,
+        |      (SELECT COUNT(*) FROM lm) AS n_files,
+        |      CAST(COUNT(m.file_id) AS BIGINT) AS n_scanned
+        |    FROM w LEFT JOIN lm m ON NOT (m.max_user_id < w.lo0
+        |      OR m.min_user_id > w.hi0 OR m.max_tus < w.lo1
+        |      OR m.min_tus > w.hi1)
+        |    GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, w.q_id,
+        |      (SELECT COUNT(*) FROM zm) AS n_files,
+        |      CAST(COUNT(m.file_id) AS BIGINT) AS n_scanned
+        |    FROM w LEFT JOIN zm m ON NOT (m.max_user_id < w.lo0
+        |      OR m.min_user_id > w.hi0 OR m.max_tus < w.lo1
+        |      OR m.min_tus > w.hi1)
+        |    GROUP BY 1, 2)
+        |SELECT layout, q_id, CAST(n_files AS BIGINT) AS n_files, n_scanned,
+        |  CAST(n_scanned AS DOUBLE) / CAST(n_files AS DOUBLE) AS scan_frac
+        |FROM a ORDER BY layout, q_id""".stripMargin)),
+
     // L202 — Heaps-law vocabulary growth curve: exact distinct-type
     // counts at 10 doc-id cutoffs from ONE pass (a type's contribution
     // to every cutoff is fixed by its FIRST document), the trajectory

@@ -1347,6 +1347,85 @@ private[graft] object QueriesStreaming {
         cleanupDirs(java.nio.file.Paths.get(ckpt))
         s.table(name).orderBy(col("dominant_script"))
       },
-      Some(scriptProfileOracleSql))
+      Some(scriptProfileOracleSql)),
+
+    // L205 — STREAMING HYPERLOGLOG (L71 at ingest): the per-row
+    // (bucket, rank) projection is stateless; the only streaming state
+    // is the complete-mode MAX per (event_type, bucket) — element-wise
+    // max is associative/commutative/IDEMPOTENT, so replays and batch
+    // splits cannot change a register, which is exactly why HLL is THE
+    // streaming distinct counter. Run to completion, every register
+    // (and the α·m²·2⁵⁷/S estimate) equals the batch sketch
+    // bit-for-bit; grid fill and estimate sit OUTSIDE the stream.
+    Q("streaming_hll",
+      (s, dir) => withStreamingPartitions(s) {
+        val base = s.read.parquet(s"$dir/events.parquet")
+        val name = "shll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_hll").toString
+        val srcDir = stagedStreamSource("events_link", dir)(p =>
+          linkInto(p, s"$dir/events.parquet", "events.parquet"))
+        val agg = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .select(col("event_type"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("hv"))
+          .select(col("event_type"),
+            shiftright(col("hv"), 56).bitwiseAND(lit(15L)).as("bucket"),
+            col("hv").bitwiseAND(lit(72057594037927935L)).as("w"))
+          .select(col("event_type"), col("bucket"),
+            when(col("w") === 0L, lit(57L))
+              .otherwise(lit(57L) - length(conv(col("w"), 10, 2))).as("reg"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("reg")).as("reg"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name)
+          .groupBy(col("event_type"))
+          .agg(map_from_entries(collect_list(struct(col("bucket"), col("reg"))))
+            .as("__rm"))
+          .select(col("event_type"),
+            expr("transform(sequence(0L, 15L), i -> coalesce(__rm[i], 0L))")
+              .as("__regs"))
+          .select(col("event_type"),
+            array_join(col("__regs").cast("array<string>"), ",").as("regs"),
+            expr("aggregate(__regs, 0L, (acc, x) -> acc + shiftleft(1L, 57 - cast(x as int)))")
+              .as("s_scaled"),
+            expr("aggregate(__regs, 0L, (acc, x) -> acc + IF(x = 0L, 1L, 0L))")
+              .as("n_zero"))
+          .withColumn("est_distinct",
+            (lit(0.673) * lit(256.0)) * lit(1.44115188075855872e17)
+              / col("s_scaled").cast("double"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |bk AS (SELECT event_type, hv >> 56 AS bucket,
+        |    hv & 72057594037927935 AS w FROM h),
+        |r AS (SELECT event_type, bucket,
+        |    MAX(CASE WHEN w = 0 THEN 57
+        |      ELSE 57 - length(printf('%b', w)) END) AS reg
+        |  FROM bk GROUP BY 1, 2),
+        |et AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT et.event_type, gs.bucket FROM et
+        |  CROSS JOIN (SELECT unnest(range(16)) AS bucket) gs),
+        |fl AS (SELECT g.event_type, g.bucket,
+        |    CAST(COALESCE(r.reg, 0) AS BIGINT) AS reg
+        |  FROM grid g LEFT JOIN r ON r.event_type = g.event_type
+        |    AND r.bucket = g.bucket),
+        |a AS (SELECT event_type, list(reg ORDER BY bucket) AS regs,
+        |    CAST(SUM(1::BIGINT << CAST(57 - reg AS INTEGER)) AS BIGINT) AS s_scaled,
+        |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM fl GROUP BY 1)
+        |SELECT event_type, array_to_string(regs, ',') AS regs,
+        |  s_scaled, n_zero,
+        |  (0.673 * 256.0) * 144115188075855872.0
+        |    / CAST(s_scaled AS DOUBLE) AS est_distinct
+        |FROM a ORDER BY event_type""".stripMargin))
   )
 }

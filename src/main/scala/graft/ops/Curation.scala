@@ -2136,6 +2136,84 @@ object Curation {
     * Output: (source, rank, token, share_a_e6, share_b_e6, drift),
     * rank 1..k by drift desc.
     */
+  /** Linear (single-column sort) file layout + min-max manifest — the
+    * BASELINE the curve layouts (L57 Z-order, L189 Hilbert) are
+    * measured against in [[layoutSkipAudit]]: perfect pruning on the
+    * sort column, none on the other.
+    */
+  def linearLayout(df: DataFrame, c0: String, c1: String, tieCol: String,
+      rowsPerFile: Int): DataFrame = {
+    require(rowsPerFile >= 1, s"need rowsPerFile >= 1, got $rowsPerFile")
+    df.withColumn("__rn", row_number().over(
+        Window.orderBy(col(c0), col(tieCol))).cast("long"))
+      .withColumn("file_id", expr(s"(__rn - 1L) div ${rowsPerFile}L"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col(c0)).as(s"min_$c0"), max(col(c0)).as(s"max_$c0"),
+        min(col(c1)).as(s"min_$c1"), max(col(c1)).as(s"max_$c1"))
+      .orderBy(col("file_id"))
+  }
+
+  /** Deterministic 2-D range workload over the data's own bounds:
+    * query q of n covers [lo, hi] strips q/n..(q+1)/n on c0 and the
+    * OVERLAPPING q/n..(q+2)/n band on c1 — exact integer endpoints
+    * both engines derive identically from (min, max).
+    */
+  def rangeWorkload(df: DataFrame, c0: String, c1: String,
+      nQueries: Int): DataFrame = {
+    require(nQueries >= 1 && nQueries <= 64,
+      s"need 1 <= nQueries <= 64, got $nQueries")
+    val spark = df.sparkSession
+    val b = df.agg(min(col(c0)).cast("long").as("n0"),
+      max(col(c0)).cast("long").as("x0"),
+      min(col(c1)).cast("long").as("n1"),
+      max(col(c1)).cast("long").as("x1")).head
+    val (n0, x0, n1, x1) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    spark.range(0, nQueries)
+      .select(col("id").as("q_id"),
+        expr(s"${n0}L + ((${x0 - n0}L * id) div ${nQueries}L)").as("lo0"),
+        expr(s"${n0}L + ((${x0 - n0}L * (id + 1)) div ${nQueries}L)").as("hi0"),
+        expr(s"${n1}L + ((${x1 - n1}L * id) div ${nQueries}L)").as("lo1"),
+        expr(s"${n1}L + ((${x1 - n1}L * (id + 2)) div ${nQueries}L)").as("hi1"))
+  }
+
+  /** L203 — LAYOUT SKIP-EFFECTIVENESS AUDIT: for each candidate file
+    * layout's min-max manifest and each workload range query, the
+    * exact number of files whose envelope INTERSECTS the query — the
+    * number a format's data-skipping statistics would scan. This is
+    * the decision table a 100 TB table owner reads before choosing
+    * linear vs Z-order vs Hilbert clustering: layouts are cheap to
+    * audit from manifests alone (n_files rows per layout, never the
+    * data), and the winner differs by workload shape — which is why
+    * it's an operator, not a constant.
+    *
+    * Scale shape: per layout one broadcast join of the (tiny) workload
+    * grid against the manifest + one count rollup — manifest-sized,
+    * data-free.
+    *
+    * Output: (layout, q_id, n_files, n_scanned, scan_frac).
+    */
+  def layoutSkipAudit(manifests: Seq[(String, DataFrame)],
+      queries: DataFrame, minC0: String, maxC0: String, minC1: String,
+      maxC1: String): DataFrame = {
+    require(manifests.nonEmpty, "need at least one manifest")
+    manifests.map { case (name, m0) =>
+      val m = m0.select(col("file_id"), col(minC0), col(maxC0),
+        col(minC1), col(maxC1))
+      val nFiles = m.count()
+      val hit = !(col(maxC0) < col("lo0") || col(minC0) > col("hi0")
+        || col(maxC1) < col("lo1") || col(minC1) > col("hi1"))
+      broadcast(queries).join(m, hit, "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("file_id")).as("n_scanned"))
+        .select(lit(name).as("layout"), col("q_id"),
+          lit(nFiles).as("n_files"), col("n_scanned"))
+        .withColumn("scan_frac",
+          col("n_scanned").cast("double") / col("n_files").cast("double"))
+    }.reduce(_ unionByName _)
+  }
+
   /** L202 — VOCABULARY GROWTH CURVE (Heaps' law, exact): distinct-type
     * count as a function of corpus size, at `nCheckpoints` equal
     * doc-id cutoffs — the curve a corpus-expansion decision reads

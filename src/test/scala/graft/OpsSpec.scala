@@ -2439,6 +2439,51 @@ class OpsSpec extends SparkSpec {
       (4L, 8L, 8L, 16L, 9L), (5L, 10L, 10L, 20L, 11L)), s"got $got")
   }
 
+  test("L203 layoutSkipAudit: exact envelope-intersection counts; tight " +
+      "layout beats scattered on strip queries") {
+    import graft.ops.Curation
+    // 40 points, c0 = id, c1 = id -> a linear layout on c0 gives 4
+    // tight files; interleaving ids across files scatters envelopes
+    val pts = (0L until 40L).map(i => (i, i, i)).toDF("u", "t", "tie")
+    val tight = Curation.linearLayout(pts, "u", "t", "tie", rowsPerFile = 10)
+    val tRows = tight.orderBy($"file_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(tRows == Seq(
+      (0L, 10L, 0L, 9L, 0L, 9L), (1L, 10L, 10L, 19L, 10L, 19L),
+      (2L, 10L, 20L, 29L, 20L, 29L), (3L, 10L, 30L, 39L, 30L, 39L)),
+      s"got $tRows")
+    // scattered: file f holds ids {f, f+4, f+8, ...} -> every envelope
+    // spans nearly the whole domain
+    val scattered = (0L until 40L).map(i => (i % 4, i, i))
+      .toDF("file_id", "u", "t").groupBy($"file_id")
+      .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
+        min($"t").as("min_t"), max($"t").as("max_t"))
+    // workload from the data's own bounds: 4 strips on u with
+    // overlapping t bands
+    val w = Curation.rangeWorkload(pts, "u", "t", nQueries = 4)
+    val wRows = w.orderBy($"q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // bounds (0, 39): lo0 = 39q/4 floor, hi0 = 39(q+1)/4, hi1 = 39(q+2)/4
+    assert(wRows == Seq(
+      (0L, 0L, 9L, 0L, 19L), (1L, 9L, 19L, 9L, 29L),
+      (2L, 19L, 29L, 19L, 39L), (3L, 29L, 39L, 29L, 48L)), s"got $wRows")
+    val audit = Curation.layoutSkipAudit(
+        Seq("scattered" -> scattered, "tight" -> tight), w,
+        "min_u", "max_u", "min_t", "max_t")
+      .orderBy($"layout", $"q_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // tight: q0's strip [0,9] sits inside file 0; later strips share an
+    // endpoint with the previous file -> 2. scattered: all 4, always.
+    assert(audit == Seq(
+      ("scattered", 0L, 4L, 4L), ("scattered", 1L, 4L, 4L),
+      ("scattered", 2L, 4L, 4L), ("scattered", 3L, 4L, 4L),
+      ("tight", 0L, 4L, 1L), ("tight", 1L, 4L, 2L),
+      ("tight", 2L, 4L, 2L), ("tight", 3L, 4L, 2L)), s"got $audit")
+  }
+
   test("L204 affixOverlapPairs: suffix-prefix continuation pairs; hot " +
       "grams capped; self-overlap excluded") {
     import graft.ops.Dedup
