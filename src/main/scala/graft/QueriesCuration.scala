@@ -1683,6 +1683,46 @@ private[graft] object QueriesCuration {
         |ORDER BY ap.src_a, ap.src_b""".stripMargin)),
 
 
+    // L206 — k-anonymity generalization ladder over the release
+    // metadata tuple (source, lang, length bucket): each doc takes the
+    // FIRST length granularity (64 -> 256 -> 1024 chars) at which its
+    // tuple reaches k = 5 peers; tuples still unique at the coarsest
+    // rung suppress loudly (level -1). The re-identification gate next
+    // to the content-side PII scrubs.
+    Q("c_kanon_ladder",
+      (s, dir) => Curation.kAnonymityLadder(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            col("lang"), length(col("text")).cast("long").as("tlen")),
+          "doc_id", Seq("source", "lang"), "tlen",
+          granularities = Seq(64L, 256L, 1024L), k = 5L)
+        .orderBy(col("id")),
+      Some("""WITH b AS (SELECT doc_id AS id, source, lang,
+        |    CAST(length(text) AS BIGINT) AS v FROM documents),
+        |g0 AS (SELECT source, lang, v // 64 AS bk, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+        |j0 AS (SELECT b.id, CAST(0 AS BIGINT) AS lvl, g0.n FROM b
+        |  JOIN g0 ON g0.source = b.source AND g0.lang = b.lang
+        |    AND g0.bk = b.v // 64),
+        |g1 AS (SELECT source, lang, v // 256 AS bk, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+        |j1 AS (SELECT b.id, CAST(1 AS BIGINT) AS lvl, g1.n FROM b
+        |  JOIN g1 ON g1.source = b.source AND g1.lang = b.lang
+        |    AND g1.bk = b.v // 256),
+        |g2 AS (SELECT source, lang, v // 1024 AS bk, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+        |j2 AS (SELECT b.id, CAST(2 AS BIGINT) AS lvl, g2.n FROM b
+        |  JOIN g2 ON g2.source = b.source AND g2.lang = b.lang
+        |    AND g2.bk = b.v // 1024),
+        |u AS (SELECT * FROM j0 UNION ALL SELECT * FROM j1
+        |  UNION ALL SELECT * FROM j2),
+        |best AS (SELECT id, lvl, n FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY id ORDER BY lvl) AS rn FROM u) t
+        |  WHERE rn = 1)
+        |SELECT b.id, b.source, b.lang, CAST(b.v // 64 AS BIGINT) AS bucket_l0,
+        |  CAST(COALESCE(best.lvl, -1) AS BIGINT) AS level,
+        |  CAST(COALESCE(best.n, -1) AS BIGINT) AS group_n
+        |FROM b LEFT JOIN best USING (id) ORDER BY id""".stripMargin)),
+
     // L203 — layout skip-effectiveness audit: linear vs Z-order vs
     // Hilbert manifests scored against the same deterministic 2-D
     // range workload — exact files-scanned counts per (layout, query),

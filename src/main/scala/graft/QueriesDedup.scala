@@ -945,6 +945,47 @@ private[graft] object QueriesDedup {
         |FROM j WHERE common * 1000 >= 800 * least(na, nb)
         |ORDER BY a, b""".stripMargin)),
 
+    // L207 — blocking-quality audit: the SNM candidate generator (L78
+    // config: 16-char key, 2-char block, window 4) priced against the
+    // session's LSH-verified pair set — exact reduction ratio and
+    // pairs completeness, the two numbers that justify a blocker
+    // before a 100 TB run. 1-row total frames cross-joined (m_eer
+    // posture); truth CTE reuses the shared verified-pair chain.
+    Q("dedup_blocking_audit",
+      (s, dir) => Dedup.blockingAudit(
+          Tables.documents(s, dir), "doc_id",
+          Dedup.sortedNeighborhoodCandidates(Tables.documents(s, dir),
+            "doc_id", "text", keyChars = 16, blockChars = 2, window = 4),
+          "a", "b",
+          sessionMinhashPairs(s, dir), "a", "b"),
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |kb AS (SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16) AS snm_key,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 2) AS snm_blk
+        |  FROM documents),
+        |ld AS (SELECT doc_id, lead(doc_id, 1) OVER w2 AS l1,
+        |    lead(doc_id, 2) OVER w2 AS l2, lead(doc_id, 3) OVER w2 AS l3
+        |  FROM kb WINDOW w2 AS (PARTITION BY snm_blk ORDER BY snm_key, doc_id)),
+        |scand AS (SELECT DISTINCT least(doc_id, l) AS a, greatest(doc_id, l) AS b
+        |  FROM (SELECT doc_id, unnest([l1, l2, l3]) AS l FROM ld) t
+        |  WHERE l IS NOT NULL AND doc_id <> l),
+        |tr AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM jp WHERE a <> b),
+        |nd2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |ncd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM scand),
+        |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr),
+        |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM (
+        |    SELECT DISTINCT s.a, s.b FROM scand s JOIN tr USING (a, b)) x)
+        |SELECT n_docs,
+        |  CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS n_total_pairs,
+        |  n_cand, n_truth, n_hit,
+        |  CAST(CASE WHEN (n_docs * (n_docs - 1)) // 2 > 0
+        |    THEN 1000000 - ((n_cand * 1000000) // ((n_docs * (n_docs - 1)) // 2))
+        |    ELSE -1 END AS BIGINT) AS rr_e6,
+        |  CAST(CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth
+        |    ELSE -1 END AS BIGINT) AS completeness_e6
+        |FROM nd2, ncd, ntr, nh""".stripMargin)),
+
     // L204 — affix-overlap pairs (continuation leakage for sequence
     // packing): doc A's last 8 tokens == doc B's first 8 tokens — a
     // shape Jaccard can't see (8 shared tokens of two long docs ≈ 0)

@@ -485,6 +485,57 @@ private[graft] object QueriesMultimodal {
     // decode is bit-exact (WAV + both FLAC modes), quantization back to
     // the int16 domain is lossless, so the oracle replays the synthesis
     // formula in pure integers.
+    // L208 — loudness gain plan over the real WAV/FLAC decode path
+    // (same payload mint as mm_clipping): exact peak/energy facts plus
+    // the largest ladder gain that keeps the post-gain peak under
+    // 30000 — the headroom-constrained normalization decision, every
+    // number integer-exact and formula-replayed by the oracle.
+    Q("mm_gain_plan",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 200).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val n = (300 + id % 500).toInt
+          val mult = if (id % 4 == 0) 2 else 1
+          val sam = Array.tabulate(n)(i =>
+            ((id * 13 + i.toLong * 29) % 401 - 200) * 25 * mult / 32767f)
+          val bytes = (id % 3) match {
+            case 0 => WavAudio.encode(8000, sam)
+            case 1 => FlacAudio.encode(8000, sam)
+            case _ => FlacAudio.encode(8000, sam, lpc = true)
+          }
+          (id.toString, bytes)
+        }
+        Multimodal.gainPlan(WavAudio.decodeDataset(payloads),
+            gainLadderE6 = Seq(250000L, 500000L, 1000000L, 2000000L,
+              4000000L), ceilQ = 30000L)
+          .orderBy(col("file"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |c AS (SELECT id, CAST(300 + id % 500 AS BIGINT) AS n,
+        |    CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END AS mult FROM ids),
+        |q AS (SELECT id, n,
+        |    list_transform(range(0, n),
+        |      i -> abs(((id * 13 + i * 29) % 401 - 200) * 25 * mult)) AS qs
+        |  FROM c),
+        |f AS (SELECT id AS file, n AS n_samples,
+        |    CAST(list_max(qs) AS BIGINT) AS peak_q,
+        |    CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sum_sq
+        |  FROM q),
+        |g AS (SELECT *, CAST(list_reduce(
+        |    list_prepend(CAST(-1 AS BIGINT),
+        |      [250000, 500000, 1000000, 2000000, 4000000]),
+        |    (acc, gg) -> CASE WHEN peak_q * gg <= CAST(30000000000 AS BIGINT)
+        |      THEN greatest(acc, CAST(gg AS BIGINT)) ELSE acc END)
+        |    AS BIGINT) AS gain_e6 FROM f)
+        |SELECT file, n_samples, peak_q, sum_sq, gain_e6,
+        |  CAST(CASE WHEN gain_e6 > 0 THEN (peak_q * gain_e6) // 1000000
+        |    ELSE -1 END AS BIGINT) AS post_peak_q
+        |FROM g ORDER BY file""".stripMargin)),
+
     Q("mm_clipping",
       (s, dir) => {
         import s.implicits._

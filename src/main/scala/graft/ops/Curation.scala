@@ -2136,6 +2136,59 @@ object Curation {
     * Output: (source, rank, token, share_a_e6, share_b_e6, drift),
     * rank 1..k by drift desc.
     */
+  /** L206 — K-ANONYMITY GENERALIZATION LADDER: every row must share
+    * its quasi-identifier tuple with ≥ k−1 others before metadata can
+    * ship with a public corpus (the re-identification gate next to the
+    * content-side PII scrubs L24/L134/L150). Rather than suppressing
+    * every violating row outright, the ladder GENERALIZES first — the
+    * Mondrian/Datafly move: the numeric quasi-column is re-bucketed at
+    * successively coarser granularities, and each row takes the FIRST
+    * ladder level at which its (group tuple) reaches k; rows whose
+    * tuple stays under k even at the coarsest level are suppressed
+    * loudly (level −1). Coarser levels only merge level-j groups when
+    * each granularity divides the next (required), so the chosen level
+    * is well-defined and monotone.
+    *
+    * Scale shape: one map-side-combined count per ladder level
+    * (bounded, typically 2-4 levels) + level-keyed equi joins back —
+    * never a per-row scan of the group.
+    *
+    * Output: one row per input row id: (id, <groupCols>, bucket_l0,
+    * level, group_n) — level = chosen ladder rung (0-based; −1
+    * suppressed), group_n = its group size at that level (−1
+    * suppressed).
+    */
+  def kAnonymityLadder(df: DataFrame, idCol: String, groupCols: Seq[String],
+      numCol: String, granularities: Seq[Long], k: Long): DataFrame = {
+    require(granularities.nonEmpty && granularities.forall(_ >= 1L),
+      s"granularities must be >= 1, got $granularities")
+    require(granularities.sliding(2).forall {
+      case Seq(a, b) => b % a == 0L; case _ => true
+    }, s"each granularity must divide the next, got $granularities")
+    require(k >= 2L, s"need k >= 2, got $k")
+    val gs = groupCols.map(col)
+    val base = df.select(col(idCol).as("id") +: (gs :+
+      col(numCol).cast("long").as("__v")): _*)
+    val leveled = granularities.zipWithIndex.map { case (g, j) =>
+      val bucketed = base.withColumn("__b", expr(s"__v div ${g}L"))
+      val sizes = bucketed.groupBy(gs :+ col("__b"): _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= k)
+      bucketed.join(sizes, groupCols :+ "__b")
+        .select(col("id"), lit(j.toLong).as("__lvl"), col("__n"))
+    }.reduce(_ unionByName _)
+    val best = leveled.groupBy(col("id"))
+      .agg(min(struct(col("__lvl"), col("__n"))).as("__s"))
+      .select(col("id"), col("__s.__lvl").as("level"),
+        col("__s.__n").as("group_n"))
+    base
+      .withColumn("bucket_l0", expr(s"__v div ${granularities.head}L"))
+      .join(best, Seq("id"), "left")
+      .select(col("id") +: gs :+ col("bucket_l0") :+
+        coalesce(col("level"), lit(-1L)).as("level") :+
+        coalesce(col("group_n"), lit(-1L)).as("group_n"): _*)
+  }
+
   /** Linear (single-column sort) file layout + min-max manifest — the
     * BASELINE the curve layouts (L57 Z-order, L189 Hilbert) are
     * measured against in [[layoutSkipAudit]]: perfect pruning on the

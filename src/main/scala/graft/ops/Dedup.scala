@@ -440,6 +440,52 @@ object Dedup {
         s"aggregate(sequence(1, $bands), 1000000000L, (y, k) -> (y * q_e9) div 1000000000)"))
   }
 
+  /** L207 — BLOCKING-QUALITY AUDIT (the entity-resolution literature's
+    * two numbers for a candidate generator): REDUCTION RATIO — what
+    * fraction of the n(n−1)/2 all-pairs comparisons the blocker
+    * avoided — and PAIRS COMPLETENESS — what fraction of the TRUE
+    * matches its candidates still cover. Dedup blockers (SNM windows,
+    * LSH bands, prefix filters) trade these off; this operator prices
+    * a configuration against a trusted pair set before committing a
+    * 100 TB run to it (a blocker at rr 0.9999 / completeness 0.7
+    * silently loses 30% of duplicates — the number you want on a
+    * dashboard, not in a post-mortem).
+    *
+    * Exactness: counts are exact; ratios are e6-scaled integer
+    * divisions (rr_e6 = 10⁶ − (n_cand·10⁶) div n_total — exact while
+    * n_cand ≤ 9.2×10¹²; n_total fits a long to n_docs ≈ 4.2×10⁹).
+    * Pair tables are canonicalized (a<b, distinct) before counting.
+    *
+    * Scale shape: three map-side-combined counts + one pair-keyed
+    * semi-join count, cross-joined as 1-row frames (the m_eer totals
+    * posture).
+    *
+    * Output: one row (n_docs, n_total_pairs, n_cand, n_truth, n_hit,
+    * rr_e6, completeness_e6).
+    */
+  def blockingAudit(docs: DataFrame, idCol: String, candidates: DataFrame,
+      candA: String, candB: String, truth: DataFrame, truthA: String,
+      truthB: String): DataFrame = {
+    def canon(p: DataFrame, a: String, b: String) = p.select(
+        least(col(a), col(b)).as("a"), greatest(col(a), col(b)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val c = canon(candidates, candA, candB)
+    val t = canon(truth, truthA, truthB)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val nc = c.agg(count(lit(1)).as("n_cand"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nh = c.join(t, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nd.crossJoin(nc).crossJoin(nt).crossJoin(nh)
+      .withColumn("n_total_pairs", expr("(n_docs * (n_docs - 1L)) div 2L"))
+      .withColumn("rr_e6", expr(
+        "IF(n_total_pairs > 0L, 1000000L - ((n_cand * 1000000L) div n_total_pairs), -1L)"))
+      .withColumn("completeness_e6", expr(
+        "IF(n_truth > 0L, (n_hit * 1000000L) div n_truth, -1L)"))
+      .select(col("n_docs"), col("n_total_pairs"), col("n_cand"),
+        col("n_truth"), col("n_hit"), col("rr_e6"), col("completeness_e6"))
+  }
+
   /** L204 — AFFIX-OVERLAP PAIRS (continuation leakage): doc A's last k
     * tokens equal doc B's first k tokens — the shape exact/Jaccard
     * dedup misses entirely (the overlap is k tokens of two long

@@ -610,6 +610,49 @@ object Multimodal {
     *
     * Output: (file, n_samples, peak_q, n_hot, hot_rate, clipped).
     */
+  /** L208 — LOUDNESS GAIN PLAN over the real decode path: per file the
+    * exact integer amplitude facts (peak |q|, Σq² energy, n) and the
+    * LARGEST gain from a fixed e6-scaled ladder that keeps the
+    * post-gain peak under `ceilQ` — the headroom-constrained
+    * normalization decision a speech-curation pass makes before any
+    * model stage (quiet rooms get boosted, hot takes are left alone or
+    * flagged −1 when even the smallest rung would clip). A ladder —
+    * not a continuous RMS division — keeps every number integer-exact
+    * and the plan replayable in SQL; continuous loudness targets
+    * (LUFS) live behind the same facts.
+    *
+    * Scale shape: one typed map over decoded audio (no shuffle), the
+    * ladder pick a constant-size HOF fold.
+    *
+    * Output: (file, n_samples, peak_q, sum_sq, gain_e6, post_peak_q).
+    */
+  def gainPlan(audio: Dataset[graft.model.AudioFile],
+      gainLadderE6: Seq[Long], ceilQ: Long): DataFrame = {
+    require(gainLadderE6.nonEmpty && gainLadderE6.forall(_ >= 1L),
+      s"gain ladder must be positive, got $gainLadderE6")
+    require(ceilQ >= 1L && ceilQ <= 32768L, s"need 1 <= ceilQ <= 32768, got $ceilQ")
+    import audio.sparkSession.implicits._
+    val ladder = gainLadderE6.sorted.map(g => s"${g}L").mkString(", ")
+    audio.map { a =>
+      var peak = 0L
+      var ss = 0L
+      var i = 0
+      while (i < a.waveform.length) {
+        val q = math.abs(math.round(a.waveform(i) * 32768f).toLong)
+        if (q > peak) peak = q
+        ss += q * q
+        i += 1
+      }
+      (a.file.toLong, a.waveform.length.toLong, peak, ss)
+    }.toDF("file", "n_samples", "peak_q", "sum_sq")
+      .withColumn("gain_e6", expr(
+        s"aggregate(array($ladder), -1L, (acc, g) -> " +
+          s"IF(peak_q * g <= ${ceilQ}L * 1000000L, greatest(acc, g), acc))"))
+      .withColumn("post_peak_q",
+        when(col("gain_e6") > 0L, expr("(peak_q * gain_e6) div 1000000L"))
+          .otherwise(lit(-1L)))
+  }
+
   def amplitudeStats(audio: Dataset[graft.model.AudioFile],
       hotThreshold: Int): DataFrame = {
     import audio.sparkSession.implicits._

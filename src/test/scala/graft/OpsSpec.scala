@@ -2439,6 +2439,80 @@ class OpsSpec extends SparkSpec {
       (4L, 8L, 8L, 16L, 9L), (5L, 10L, 10L, 20L, 11L)), s"got $got")
   }
 
+  test("L206 kAnonymityLadder: first qualifying rung, coarser merge, " +
+      "loud suppression") {
+    import graft.ops.Curation
+    // group ("s","en"): 6 docs at v 0..5 (k=5 holds at rung 0);
+    // 4 docs at v 64..67 and 3 at v 128..130 (fail rung 0, merge with
+    // the first 6 into bucket 0 at rung 1 -> group of 13);
+    // 1 doc at v 5000 (alone at every rung -> suppressed)
+    val rows = ((0L until 6L).map(i => (i, "s", "en", i)) ++
+      (0L until 4L).map(i => (10L + i, "s", "en", 64L + i)) ++
+      (0L until 3L).map(i => (20L + i, "s", "en", 128L + i)) :+
+      ((30L, "s", "en", 5000L)))
+      .toDF("doc_id", "source", "lang", "v")
+    val got = Curation.kAnonymityLadder(rows, "doc_id",
+        Seq("source", "lang"), "v", Seq(64L, 256L, 1024L), k = 5L)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("level"),
+        r.getAs[Long]("group_n"))).toSeq
+    val expect = (0L until 6L).map(i => (i, 0L, 6L)) ++
+      (0L until 4L).map(i => (10L + i, 1L, 13L)) ++
+      (0L until 3L).map(i => (20L + i, 1L, 13L)) :+ ((30L, -1L, -1L))
+    assert(got == expect, s"got $got")
+    // non-dividing granularities are a contract violation
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityLadder(rows, "doc_id", Seq("source"), "v",
+        Seq(64L, 100L), k = 5L)
+    }
+  }
+
+  test("L207 blockingAudit: exact reduction ratio and pairs completeness") {
+    import graft.ops.Dedup
+    val docs = (1L to 5L).map(Tuple1(_)).toDF("doc_id") // 10 total pairs
+    val cand = Seq((1L, 2L), (3L, 4L), (2L, 1L), (5L, 5L)) // dup + self
+      .toDF("a", "b")
+    val truth = Seq((1L, 2L), (3L, 1L)).toDF("a", "b")
+    val r = Dedup.blockingAudit(docs, "doc_id", cand, "a", "b",
+      truth, "a", "b").head
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_total_pairs"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_hit"), r.getAs[Long]("rr_e6"),
+      r.getAs[Long]("completeness_e6"))
+      == ((5L, 10L, 2L, 2L, 1L, 800000L, 500000L)), s"got $r")
+  }
+
+  test("L208 gainPlan: largest non-clipping rung; loud -1 when every " +
+      "rung clips") {
+    import graft.ops.Multimodal
+    import graft.model.AudioFile
+    // exact q roundtrip holds for |q| <= 16384 (q/32767*32768 rounds
+    // back to q)
+    def wave(qs: Seq[Int]) = qs.map(q => q / 32767f).toArray
+    val audio = Seq(
+      AudioFile("1", 8000, wave(Seq(50, -100, 25))),     // peak 100
+      AudioFile("2", 8000, wave(Seq(12000, -7, 0))),     // peak 12000
+      AudioFile("3", 8000, wave(Seq(-16000, 4, 16000)))  // peak 16000
+    ).toDS()
+    val got = Multimodal.gainPlan(audio,
+        Seq(250000L, 500000L, 1000000L, 2000000L, 4000000L), ceilQ = 30000L)
+      .orderBy($"file").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("peak_q"),
+        r.getAs[Long]("sum_sq"), r.getAs[Long]("gain_e6"),
+        r.getAs[Long]("post_peak_q"))).toSeq
+    // 100*4e6 = 4e8 <= 3e10; 12000*4e6 > 3e10 but *2e6 = 2.4e10 ok;
+    // 16000*2e6 = 3.2e10 > 3e10 -> 1e6
+    assert(got == Seq(
+      (1L, 100L, 50L * 50L + 100L * 100L + 25L * 25L, 4000000L, 400L),
+      (2L, 12000L, 12000L * 12000L + 49L, 2000000L, 24000L),
+      (3L, 16000L, 2L * 16000L * 16000L + 16L, 1000000L, 16000L)),
+      s"got $got")
+    // a 1-q ceiling: every rung clips every file -> -1 plan, loud not 0
+    val tight = Multimodal.gainPlan(audio, Seq(250000L), ceilQ = 1L)
+      .orderBy($"file").collect().map(_.getAs[Long]("gain_e6")).toSeq
+    assert(tight == Seq(-1L, -1L, -1L), s"got $tight")
+  }
+
   test("L203 layoutSkipAudit: exact envelope-intersection counts; tight " +
       "layout beats scattered on strip queries") {
     import graft.ops.Curation
