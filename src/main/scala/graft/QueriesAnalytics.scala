@@ -641,6 +641,138 @@ private[graft] object QueriesAnalytics {
         |    ELSE -1.0 END AS kappa
         |FROM tot CROSS JOIN pe""".stripMargin)),
 
+    // L209 — Bradley-Terry preference strengths: consecutive events of
+    // a user browse chain become (winner, loser) trials (higher cents
+    // wins, ties to the earlier type), reduced once to directed pair
+    // counts, then 2 fixed-point MM rounds in e6 floor arithmetic —
+    // the reward-model preference aggregate, unrolled to the oracle.
+    Q("e_bradley_terry",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val pr = evPoints(s, dir)
+          .select(col("event_type").as("a"), col("cents"),
+            lead(col("event_type"), 1).over(w).as("b"),
+            lead(col("cents"), 1).over(w).as("bc"))
+          .filter(col("b").isNotNull && col("a") =!= col("b"))
+        val tr = pr.select(
+          when(col("cents") >= col("bc"), col("a")).otherwise(col("b"))
+            .as("win"),
+          when(col("cents") >= col("bc"), col("b")).otherwise(col("a"))
+            .as("lose"))
+        EventAnalytics.bradleyTerry(tr, "win", "lose", rounds = 2)
+          .orderBy(col("item"))
+      },
+      Some(s"""WITH $evPointsSqlCte,
+        |pr AS (SELECT event_type AS a, cents,
+        |    lead(event_type) OVER w2 AS b, lead(cents) OVER w2 AS bc
+        |  FROM e WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |tr AS (SELECT CASE WHEN cents >= bc THEN a ELSE b END AS w,
+        |    CASE WHEN cents >= bc THEN b ELSE a END AS l
+        |  FROM pr WHERE b IS NOT NULL AND a <> b),
+        |wn AS (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS wins
+        |  FROM tr GROUP BY 1),
+        |gd AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT w AS i, l AS j FROM tr
+        |    UNION ALL SELECT l AS i, w AS j FROM tr) u GROUP BY 1, 2),
+        |it AS (SELECT DISTINCT i AS item FROM gd),
+        |s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM it),
+        |d1 AS (SELECT gd.i AS item,
+        |    SUM((gd.n * 1000000000000) // (si.s + sj.s)) AS d
+        |  FROM gd JOIN s0 si ON si.item = gd.i JOIN s0 sj ON sj.item = gd.j
+        |  GROUP BY 1),
+        |s1 AS (SELECT it.item, greatest(1,
+        |    (COALESCE(wn.wins, 0) * 1000000000000) // d1.d) AS s
+        |  FROM it JOIN d1 USING (item) LEFT JOIN wn USING (item)),
+        |d2 AS (SELECT gd.i AS item,
+        |    SUM((gd.n * 1000000000000) // (si.s + sj.s)) AS d
+        |  FROM gd JOIN s1 si ON si.item = gd.i JOIN s1 sj ON sj.item = gd.j
+        |  GROUP BY 1),
+        |s2 AS (SELECT it.item, greatest(1,
+        |    (COALESCE(wn.wins, 0) * 1000000000000) // d2.d) AS s
+        |  FROM it JOIN d2 USING (item) LEFT JOIN wn USING (item)),
+        |gm AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS games
+        |  FROM gd GROUP BY 1)
+        |SELECT it.item, COALESCE(wn.wins, CAST(0 AS BIGINT)) AS wins,
+        |  gm.games, CAST(s2.s AS BIGINT) AS s_e6
+        |FROM it LEFT JOIN wn USING (item) JOIN gm USING (item)
+        |JOIN s2 USING (item) ORDER BY item""".stripMargin)),
+
+    // L210 — Fleiss' kappa over a minted 4-rater panel (120 items:
+    // raters 0-2 follow the item's rubric class, rater 3 flips on
+    // every 5th item): multi-rater chance-corrected agreement, all
+    // components exact e6 integers, kappa one double division.
+    Q("e_fleiss_kappa",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 480L)
+          .select(expr("doc_id div 4").as("item"),
+            pmod(col("doc_id"), lit(4L)).as("rater"))
+          .withColumn("cat",
+            when(col("rater") === 3L && pmod(col("item"), lit(5L)) === 0L,
+              pmod(pmod(col("item"), lit(3L)) + 1L, lit(3L)))
+              .otherwise(pmod(col("item"), lit(3L))))
+        EvalOps.fleissKappa(base, "item", "cat")
+      },
+      Some("""WITH b AS (SELECT doc_id // 4 AS item, doc_id % 4 AS rater,
+        |    CASE WHEN doc_id % 4 = 3 AND (doc_id // 4) % 5 = 0
+        |      THEN ((doc_id // 4) % 3 + 1) % 3
+        |      ELSE (doc_id // 4) % 3 END AS cat
+        |  FROM documents WHERE doc_id < 480),
+        |ic AS (SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS nik
+        |  FROM b GROUP BY 1, 2),
+        |pi AS (SELECT item, SUM(nik * nik) AS ssq FROM ic GROUP BY 1),
+        |pb AS (SELECT CAST(SUM(((ssq - 4) * 1000000) // 12) // 120 AS BIGINT)
+        |    AS p_bar_e6 FROM pi),
+        |ck AS (SELECT cat, SUM(nik) AS ckn FROM ic GROUP BY 1),
+        |pe AS (SELECT CAST(SUM(share * share) // 1000000 AS BIGINT) AS p_e_e6
+        |  FROM (SELECT (ckn * 1000000) // 480 AS share FROM ck) sh)
+        |SELECT CAST(120 AS BIGINT) AS n_items, CAST(4 AS BIGINT) AS n_raters,
+        |  p_bar_e6, p_e_e6,
+        |  CASE WHEN 1000000 - p_e_e6 > 0
+        |    THEN CAST(p_bar_e6 - p_e_e6 AS DOUBLE)
+        |      / CAST(1000000 - p_e_e6 AS DOUBLE)
+        |    ELSE -1.0 END AS kappa
+        |FROM pb CROSS JOIN pe""".stripMargin)),
+
+    // L211 — split-conformal threshold + coverage audit per event
+    // type: calibration on even event ids, the ceil((n+1)·0.9)-th
+    // smallest e6 score is the 90%-coverage gate, AUDITED on the odd
+    // half — the distribution-free accept threshold an LLM-scoring
+    // pipeline ships.
+    Q("e_conformal",
+      (s, dir) => {
+        val e = evPoints(s, dir)
+          .select(col("event_type"), col("event_id"),
+            (col("event_id") * 7919L % 1000001L).as("score"))
+        val cal = e.filter(pmod(col("event_id"), lit(2L)) === 0L)
+        val test = e.filter(pmod(col("event_id"), lit(2L)) === 1L)
+        EvalOps.conformalAudit(cal, test, "event_type", "score",
+            alphaNum = 1, alphaDen = 10)
+          .orderBy(col("group"))
+      },
+      Some("""WITH e AS (SELECT event_type AS grp, event_id,
+        |    (event_id * 7919) % 1000001 AS s FROM events),
+        |c AS (SELECT grp, s FROM e WHERE event_id % 2 = 0),
+        |t AS (SELECT grp, s FROM e WHERE event_id % 2 = 1),
+        |rk AS (SELECT grp, s,
+        |    row_number() OVER (PARTITION BY grp ORDER BY s) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n_cal FROM c),
+        |kk AS (SELECT *, ((n_cal + 1) * 9 + 9) // 10 AS k FROM rk),
+        |q AS (SELECT grp, CAST(n_cal AS BIGINT) AS n_cal,
+        |    CAST(k AS BIGINT) AS k, CAST(s AS BIGINT) AS qhat_e6
+        |  FROM kk WHERE rn = k),
+        |tc AS (SELECT t.grp, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN t.s <= q.qhat_e6 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_covered
+        |  FROM t JOIN q USING (grp) GROUP BY 1)
+        |SELECT q.grp AS "group", q.n_cal, q.k, q.qhat_e6,
+        |  COALESCE(tc.n_test, CAST(0 AS BIGINT)) AS n_test,
+        |  COALESCE(tc.n_covered, CAST(0 AS BIGINT)) AS n_covered,
+        |  CAST(CASE WHEN COALESCE(tc.n_test, 0) > 0 AND q.qhat_e6 >= 0
+        |    THEN (tc.n_covered * 1000000) // tc.n_test
+        |    ELSE -1 END AS BIGINT) AS coverage_e6
+        |FROM q LEFT JOIN tc USING (grp) ORDER BY "group"""".stripMargin)),
+
     // L175 — day-of-week seasonality profile with exact-integer chi^2
     // vs uniform: the ingest-drift detector (a feed whose weekday mix
     // shifts is upstream breakage before volumes move). Weekday from

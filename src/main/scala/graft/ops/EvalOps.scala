@@ -585,6 +585,106 @@ object EvalOps {
       .withColumn("acc", col("n_pos").cast("double") / col("n").cast("double"))
   }
 
+  /** L210 — FLEISS' KAPPA (multi-rater chance-corrected agreement):
+    * the n-rater generalization of Cohen's (L163) — the number a
+    * labeling campaign reads before trusting its rubric (pairwise
+    * Cohen's on n raters overweights shared raters). Requires the
+    * SAME rater count per item (Fleiss' precondition) — enforced
+    * loudly up front. All components exact e6-floored integers (the
+    * L154 share discipline): per-item agreement P_i = (Σ_k n_ik² − n)
+    * / (n(n−1)), chance agreement from squared category shares; kappa
+    * itself one double division of the two e6 integers.
+    *
+    * Scale shape: one (item, category) map-side-combined count, one
+    * item rollup, one category rollup — nothing pairwise in raters.
+    *
+    * Output: one row (n_items, n_raters, p_bar_e6, p_e_e6, kappa).
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+      catCol: String): DataFrame = {
+    val r = ratings.select(col(itemCol).as("item"), col(catCol).as("cat"))
+    val perItem = r.groupBy(col("item")).agg(count(lit(1)).as("nr"))
+    val minMax = perItem.agg(min(col("nr")), max(col("nr")), count(lit(1)))
+      .head
+    val (nLo, nHi, nItems) =
+      (minMax.getLong(0), minMax.getLong(1), minMax.getLong(2))
+    require(nLo == nHi,
+      s"fleissKappa: rater count varies across items ($nLo..$nHi) — " +
+        "Fleiss requires a constant panel size")
+    require(nLo >= 2L, s"fleissKappa: need >= 2 raters, got $nLo")
+    val n = nLo
+    val ic = r.groupBy(col("item"), col("cat")).agg(count(lit(1)).as("nik"))
+    val pBar = ic.groupBy(col("item"))
+      .agg(sum(col("nik") * col("nik")).as("ssq"))
+      .select(expr(s"((ssq - ${n}L) * 1000000L) div ${n * (n - 1)}L")
+        .as("p_i_e6"))
+      .agg(expr(s"sum(p_i_e6) div ${nItems}L").as("p_bar_e6"))
+    val pE = ic.groupBy(col("cat")).agg(sum(col("nik")).as("ck"))
+      .select(expr(s"(ck * 1000000L) div ${nItems * n}L").as("share_e6"))
+      .agg(expr("sum(share_e6 * share_e6) div 1000000L").as("p_e_e6"))
+    pBar.crossJoin(pE)
+      .select(lit(nItems).as("n_items"), lit(n).as("n_raters"),
+        col("p_bar_e6"), col("p_e_e6"),
+        when(lit(1000000L) - col("p_e_e6") > 0L,
+          (col("p_bar_e6") - col("p_e_e6")).cast("double")
+            / (lit(1000000L) - col("p_e_e6")).cast("double"))
+          .otherwise(lit(-1d)).as("kappa"))
+  }
+
+  /** L211 — SPLIT-CONFORMAL CALIBRATION THRESHOLD + COVERAGE AUDIT:
+    * per group the ⌈(n+1)(1−α)⌉-th smallest calibration score — the
+    * distribution-free threshold with the finite-sample guarantee
+    * P(test score ≤ q̂) ≥ 1−α (Vovk; the gate an LLM-scoring pipeline
+    * uses to turn raw scores into "accept with 90% coverage") — and
+    * the empirical coverage of that threshold on a held-out test
+    * split, so the guarantee is AUDITED, not assumed. α = num/den as
+    * exact integers; the order statistic's VALUE is deterministic
+    * under ties regardless of tie order. k > n (too little
+    * calibration data) flags −1 loudly.
+    *
+    * Scale shape: one per-group rank window over the calibration
+    * split + one broadcast threshold join for the coverage count.
+    *
+    * Output: (group, n_cal, k, qhat_e6, n_test, n_covered,
+    * coverage_e6).
+    */
+  def conformalAudit(cal: DataFrame, test: DataFrame, grpCol: String,
+      scoreE6Col: String, alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen >= 2 && alphaNum >= 1 && alphaNum < alphaDen,
+      s"need 1 <= alphaNum < alphaDen, got $alphaNum/$alphaDen")
+    import org.apache.spark.sql.expressions.Window
+    val cov = alphaDen - alphaNum // (den-num)/den = 1 - alpha
+    val c = cal.select(col(grpCol).as("grp"),
+      col(scoreE6Col).cast("long").as("s"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("s"))
+    val ranked = c
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_cal", count(lit(1)).over(
+        Window.partitionBy(col("grp"))).cast("long"))
+      .withColumn("k", expr(s"((n_cal + 1L) * ${cov}L + ${alphaDen - 1}L) div ${alphaDen}L"))
+    val qhat = ranked.filter(col("rn") === col("k"))
+      .select(col("grp"), col("n_cal"), col("k"), col("s").as("qhat_e6"))
+      .unionByName(
+        // k > n: no qualifying row — surface the group loudly
+        ranked.filter(col("k") > col("n_cal")).filter(col("rn") === 1L)
+          .select(col("grp"), col("n_cal"), col("k"),
+            lit(-1L).as("qhat_e6")))
+    val t = test.select(col(grpCol).as("grp"),
+      col(scoreE6Col).cast("long").as("s"))
+    val tc = t.join(qhat.select(col("grp"), col("qhat_e6")), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat_e6") >= 0L && col("s") <= col("qhat_e6"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    qhat.join(tc, Seq("grp"), "left")
+      .select(col("grp").as("group"), col("n_cal"), col("k"),
+        col("qhat_e6"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage_e6",
+        expr("IF(n_test > 0L AND qhat_e6 >= 0L, (n_covered * 1000000L) div n_test, -1L)"))
+  }
+
   /** L182 — EQUAL-ERROR-RATE BRACKET for verification trial scores —
     * the operating point the M6 speaker-verification stage is tuned
     * to: sweep the accept threshold over the DISTINCT trial scores

@@ -25,6 +25,60 @@ object EventAnalytics {
     * The join fans out to that step's events per user and collapses
     * immediately; partitioning by user is reused across every stage.
     */
+  /** L209 — BRADLEY-TERRY PREFERENCE STRENGTHS (fixed-point MM
+    * iterations): from (winner, loser) trials, per-item strengths s_i
+    * such that P(i beats j) = s_i/(s_i+s_j) — the model preference
+    * data curation fits before training a reward model (and the
+    * principled aggregate for pairwise human comparisons, vs win-rate
+    * which ignores opponent strength). The classic minorize-maximize
+    * update s_i ← W_i / Σ_j n_ij/(s_i+s_j) runs a FIXED `rounds`
+    * iterations in e6 fixed point with floor division (the pagerank
+    * posture: bounded rounds, exact integers, unrollable to a SQL
+    * oracle; BT is scale-invariant so no normalization step is
+    * needed, and strengths floor at 1 so an all-losses item stays a
+    * valid denominator).
+    *
+    * Scale shape per round: one equi join of the directed pair-count
+    * table against the (items-sized) strength table + one
+    * map-side-combined sum — items are few, trials are many; the
+    * trials reduce ONCE to (i, j, n) counts up front.
+    *
+    * Output: (item, wins, games, s_e6) after exactly `rounds` updates
+    * from the uniform start 10⁶.
+    */
+  def bradleyTerry(trials: DataFrame, winCol: String, loseCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"need 1 <= rounds <= 8, got $rounds")
+    val t = trials.select(col(winCol).as("w"), col(loseCol).as("l"))
+      .filter(col("w") =!= col("l"))
+    val gd = t.select(col("w").as("i"), col("l").as("j"))
+      .unionByName(t.select(col("l").as("i"), col("w").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+    val items = gd.select(col("i").as("item")).distinct()
+    val wins = t.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val games = gd.groupBy(col("i").as("item")).agg(sum(col("n")).as("games"))
+    var s = items.select(col("item"), lit(1000000L).as("s"))
+    var r = 0
+    while (r < rounds) {
+      val d = gd
+        .join(s.select(col("item").as("i"), col("s").as("si")), Seq("i"))
+        .join(s.select(col("item").as("j"), col("s").as("sj")), Seq("j"))
+        .groupBy(col("i").as("item"))
+        .agg(sum(expr("(n * 1000000000000L) div (si + sj)")).as("d"))
+      s = d.join(wins, Seq("item"), "left")
+        .select(col("item"),
+          greatest(lit(1L),
+            expr("(coalesce(wins, 0L) * 1000000000000L) div d")).as("s"))
+      r += 1
+    }
+    items
+      .join(wins, Seq("item"), "left")
+      .join(games, Seq("item"))
+      .join(s, Seq("item"))
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"),
+        col("games"), col("s").as("s_e6"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tusCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -2439,6 +2439,81 @@ class OpsSpec extends SparkSpec {
       (4L, 8L, 8L, 16L, 9L), (5L, 10L, 10L, 20L, 11L)), s"got $got")
   }
 
+  test("L209 bradleyTerry: two-item fixed point equals the win rate; " +
+      "transitive ordering without direct games") {
+    import graft.ops.EventAnalytics
+    // A beats B 3-1: BT for two items is the win odds — s_A/(s_A+s_B)
+    // = 3/4. Fixed point lands in ONE round here (denominator s_A+s_B
+    // stays 2e6): s_A = 1.5e6, s_B = 0.5e6.
+    val t1 = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("win", "lose")
+    val g1 = EventAnalytics.bradleyTerry(t1, "win", "lose", rounds = 2)
+      .orderBy($"item").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("wins"),
+        r.getAs[Long]("games"), r.getAs[Long]("s_e6"))).toSeq
+    assert(g1 == Seq(("A", 3L, 4L, 1500000L), ("B", 1L, 4L, 500000L)),
+      s"got $g1")
+    // A>B twice, B>C twice, no A-C games: strengths must order A>B>C
+    val t2 = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"))
+      .toDF("win", "lose")
+    val g2 = EventAnalytics.bradleyTerry(t2, "win", "lose", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("s_e6")).toMap
+    assert(g2("A") > g2("B") && g2("B") > g2("C"), s"got $g2")
+    // the all-losses item floors at 1, never 0 (stays a valid denominator)
+    assert(g2("C") >= 1L)
+  }
+
+  test("L210 fleissKappa: the Fleiss 1971 worked example (14 raters, " +
+      "10 items, 5 categories) reproduces the published 0.21") {
+    import graft.ops.EvalOps
+    // the canonical psychiatric-diagnosis table (Fleiss 1971, Table 1):
+    // per item the category counts over 14 raters; published P-bar =
+    // 0.378, P_e = 0.213, kappa = 0.21
+    val table: Seq[Seq[Int]] = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val rows = for {
+      (cats, item) <- table.zipWithIndex
+      (cnt, cat) <- cats.zipWithIndex
+      _ <- 0 until cnt
+    } yield (item.toLong, s"c$cat")
+    val r = EvalOps.fleissKappa(rows.toDF("item", "cat"), "item", "cat")
+      .head
+    assert((r.getAs[Long]("n_items"), r.getAs[Long]("n_raters"),
+      r.getAs[Long]("p_bar_e6"), r.getAs[Long]("p_e_e6"))
+      == ((10L, 14L, 378021L, 212754L)), s"got $r")
+    assert(r.getAs[Double]("kappa") == 165267d / 787246d, s"got $r")
+    // uneven panel is a loud contract violation, not a wrong number
+    intercept[IllegalArgumentException] {
+      EvalOps.fleissKappa(
+        Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("item", "cat"),
+        "item", "cat")
+    }
+  }
+
+  test("L211 conformalAudit: exact order-statistic threshold, audited " +
+      "coverage, loud -1 on short calibration") {
+    import graft.ops.EvalOps
+    // group g: 19 calibration scores 1..19 -> k = ceil(20*0.9) = 18,
+    // qhat = 18; all 10 test scores <= 18 -> coverage 1.0.
+    // group h: 3 calibration points -> k = 4 > n -> loud -1s.
+    val cal = ((1L to 19L).map(i => ("g", i * 1L)) ++
+      Seq(("h", 5L), ("h", 6L), ("h", 7L))).toDF("grp", "s")
+    val test = ((1L to 10L).map(i => ("g", i)) :+ (("h", 6L)))
+      .toDF("grp", "s")
+    val got = EvalOps.conformalAudit(cal, test, "grp", "s",
+        alphaNum = 1, alphaDen = 10)
+      .orderBy($"group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_cal"), r.getAs[Long]("k"),
+        r.getAs[Long]("qhat_e6"), r.getAs[Long]("n_test"),
+        r.getAs[Long]("n_covered"), r.getAs[Long]("coverage_e6"))).toSeq
+    assert(got == Seq(
+      ("g", 19L, 18L, 18L, 10L, 10L, 1000000L),
+      ("h", 3L, 4L, -1L, 1L, 0L, -1L)), s"got $got")
+  }
+
   test("L206 kAnonymityLadder: first qualifying rung, coarser merge, " +
       "loud suppression") {
     import graft.ops.Curation
