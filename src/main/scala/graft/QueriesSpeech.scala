@@ -924,7 +924,7 @@ private[graft] object QueriesSpeech {
         |      AS DOUBLE) / CAST(t_ref AS DOUBLE)
         |  ELSE -1.0 END AS der
         |FROM j ORDER BY file""".stripMargin))
-  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry :+ aucEntry :+ spanDetectEntry
+  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry :+ aucEntry :+ spanDetectEntry :+ brierEntry
 
   /** L191 — span detection P/R/F1 at IoU ≥ 0.5 over the SAME minted
     * streams as m_der (including the id%13==7 hyp-only files, which
@@ -1037,6 +1037,45 @@ private[graft] object QueriesSpeech {
           col("score_e6"), col("y"), nBins = 10)
         .orderBy(col("bin")),
       Some(eceOracleSql))
+
+  /** L212 — Brier score + Murphy decomposition over the SAME minted
+    * forecaster as m_ece: REL − RES + UNC from the e6-floored bin
+    * means, every component an exact integer, one pass + one ≤ 10-row
+    * agg.
+    */
+  private def brierEntry: Q =
+    Q("m_brier",
+      (s, dir) => EvalOps.brierDecomposition(
+          Tables.documents(s, dir).select(
+            (col("doc_id") * 7919L % 1000001L).as("score_e6"),
+            when(col("doc_id") * 104729L % 1000001L
+              < col("doc_id") * 7919L % 1000001L, 1L).otherwise(0L).as("y")),
+          col("score_e6"), col("y"), nBins = 10),
+      Some("""WITH sc AS (SELECT (doc_id * 7919) % 1000001 AS s,
+        |    CASE WHEN (doc_id * 104729) % 1000001 < (doc_id * 7919) % 1000001
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT s, y, least(s // 100000, 9) AS bin FROM sc),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(y) AS sum_y,
+        |    SUM((s - y * 1000000) * (s - y * 1000000)) AS ssq FROM b),
+        |bins AS (SELECT bin, COUNT(*) AS nk, SUM(s) AS sp, SUM(y) AS sy
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT tot.n, tot.ssq,
+        |    (tot.sum_y * 1000000) // tot.n AS ybar_e6,
+        |    bins.nk, bins.sp // bins.nk AS pbar_k,
+        |    (bins.sy * 1000000) // bins.nk AS ybar_k
+        |  FROM bins CROSS JOIN tot),
+        |a AS (SELECT CAST(MIN(n) AS BIGINT) AS n, MIN(ssq) AS ssq,
+        |    CAST(MIN(ybar_e6) AS BIGINT) AS ybar_e6,
+        |    SUM(nk * (pbar_k - ybar_k) * (pbar_k - ybar_k)) AS reln,
+        |    SUM(nk * (ybar_k - ybar_e6) * (ybar_k - ybar_e6)) AS resn
+        |  FROM c)
+        |SELECT n, CAST(ssq // n AS BIGINT) AS brier_e12, ybar_e6,
+        |  CAST(reln // n AS BIGINT) AS rel_e12,
+        |  CAST(resn // n AS BIGINT) AS res_e12,
+        |  CAST(ybar_e6 * (1000000 - ybar_e6) AS BIGINT) AS unc_e12
+        |FROM a""".stripMargin))
 
   /** L182 — EER bracket over minted verification trials: target scores
     * sit 300000..1000000, non-target 0..800000 — a 300000..800000

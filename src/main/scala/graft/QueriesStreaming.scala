@@ -1426,6 +1426,76 @@ private[graft] object QueriesStreaming {
         |  s_scaled, n_zero,
         |  (0.673 * 256.0) * 144115188075855872.0
         |    / CAST(s_scaled AS DOUBLE) AS est_distinct
-        |FROM a ORDER BY event_type""".stripMargin))
+        |FROM a ORDER BY event_type""".stripMargin)),
+
+    // L213 — STREAMING CONFORMAL-COVERAGE MONITOR (L211 deployed): the
+    // batch calibration half fixes the per-type 90% threshold (a tiny
+    // table, folded into a literal expression — the streaming_ivf seed
+    // posture), then every arriving test event is scored STATELESSLY
+    // against it; the only state is the complete-mode per-type
+    // (n, covered) count — the live "is the guarantee still holding"
+    // dashboard number. Run to completion it equals the batch coverage
+    // audit exactly.
+    Q("streaming_conformal",
+      (s, dir) => withStreamingPartitions(s) {
+        val base = s.read.parquet(s"$dir/events.parquet")
+        val score = col("event_id") * 7919L % 1000001L
+        val cal = base.select(col("event_type"), col("event_id"),
+            score.as("score"))
+          .filter(pmod(col("event_id"), lit(2L)) === 0L)
+        val thr = graft.ops.EvalOps.conformalAudit(cal, cal.limit(0),
+            "event_type", "score", alphaNum = 1, alphaDen = 10)
+          .select(col("group"), col("qhat_e6")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        require(thr.nonEmpty && thr.forall(_._2 >= 0L),
+          "streaming_conformal: calibration must yield a threshold per type")
+        def qExpr = thr.foldRight(lit(-1L)) { case ((g, v), acc) =>
+          when(col("event_type") === g, lit(v)).otherwise(acc)
+        }
+        val name = "scm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_conf").toString
+        val srcDir = stagedStreamSource("events_link", dir)(p =>
+          linkInto(p, s"$dir/events.parquet", "events.parquet"))
+        val agg = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .filter(pmod(col("event_id"), lit(2L)) === 1L)
+          .select(col("event_type"), score.as("s"))
+          .withColumn("qhat_e6", qExpr)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("s") <= col("qhat_e6"), 1L).otherwise(0L))
+              .as("n_covered"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name)
+          .select(col("event_type").as("group"), qExpr.as("qhat_e6"),
+            col("n_test"), col("n_covered"))
+          .withColumn("coverage_e6",
+            expr("IF(n_test > 0L, (n_covered * 1000000L) div n_test, -1L)"))
+          .orderBy(col("group"))
+      },
+      Some("""WITH e AS (SELECT event_type AS grp, event_id,
+        |    (event_id * 7919) % 1000001 AS s FROM events),
+        |c AS (SELECT grp, s FROM e WHERE event_id % 2 = 0),
+        |t AS (SELECT grp, s FROM e WHERE event_id % 2 = 1),
+        |rk AS (SELECT grp, s,
+        |    row_number() OVER (PARTITION BY grp ORDER BY s) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n_cal FROM c),
+        |kk AS (SELECT *, ((n_cal + 1) * 9 + 9) // 10 AS k FROM rk),
+        |q AS (SELECT grp, CAST(s AS BIGINT) AS qhat_e6 FROM kk WHERE rn = k),
+        |tc AS (SELECT t.grp, q.qhat_e6,
+        |    CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN t.s <= q.qhat_e6 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_covered
+        |  FROM t JOIN q USING (grp) GROUP BY 1, 2)
+        |SELECT grp AS "group", qhat_e6, n_test, n_covered,
+        |  CAST(CASE WHEN n_test > 0 THEN (n_covered * 1000000) // n_test
+        |    ELSE -1 END AS BIGINT) AS coverage_e6
+        |FROM tc ORDER BY "group"""".stripMargin))
   )
 }

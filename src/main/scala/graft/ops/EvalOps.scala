@@ -631,6 +631,59 @@ object EvalOps {
           .otherwise(lit(-1d)).as("kappa"))
   }
 
+  /** L212 — BRIER SCORE with the MURPHY DECOMPOSITION: the proper
+    * scoring rule companion to the L181 reliability bins and L184 AUC
+    * — mean squared error of the e6 probability against the 0/1 label,
+    * split into REL (calibration gap, what recalibration can fix) −
+    * RES (resolution, what the model actually knows) + UNC (base-rate
+    * entropy, the floor nothing can beat). Bin means are e6-floored
+    * integers (documented: the decomposition is over the BINNED
+    * forecaster, the standard practice), every component an exact
+    * integer after that floor; squares bounded by n·10¹² so nothing
+    * overflows at any corpus size that fits a partition count.
+    *
+    * Scale shape: one pass for the global sums + one ≤ nBins hash agg
+    * — the m_ece shape.
+    *
+    * Output: one row (n, brier_e12, ybar_e6, rel_e12, res_e12,
+    * unc_e12).
+    */
+  def brierDecomposition(df: DataFrame,
+      scoreE6Col: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 1000000 % nBins == 0,
+      s"nBins must divide 1e6 exactly, got $nBins")
+    val width = 1000000L / nBins
+    val base = df.select(scoreE6Col.cast("long").as("s"),
+        labelCol.cast("long").as("y"))
+      .withColumn("s",
+        when(col("s").isNull || col("s") < 0L || col("s") > 1000000L,
+          raise_error(concat(
+            lit("brierDecomposition: score_e6 outside 0..1000000: "),
+            coalesce(col("s").cast("string"), lit("null")))).cast("long"))
+          .otherwise(col("s")))
+      .withColumn("bin", least(expr(s"s div ${width}L"), lit(nBins - 1L)))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("y")).as("sum_y"),
+      sum(expr("(s - y * 1000000L) * (s - y * 1000000L)")).as("ssq"))
+    val bins = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("s")).as("sp"),
+        sum(col("y")).as("sy"))
+    val comps = bins.crossJoin(broadcast(tot))
+      .withColumn("ybar_e6", expr("(sum_y * 1000000L) div n"))
+      .withColumn("pbar_k", expr("sp div nk"))
+      .withColumn("ybar_k", expr("(sy * 1000000L) div nk"))
+      .agg(first(col("n")).as("n"), first(col("ssq")).as("ssq"),
+        first(col("ybar_e6")).as("ybar_e6"),
+        sum(expr("nk * (pbar_k - ybar_k) * (pbar_k - ybar_k)")).as("reln"),
+        sum(expr("nk * (ybar_k - ybar_e6) * (ybar_k - ybar_e6)")).as("resn"))
+    comps.select(col("n"),
+      expr("ssq div n").as("brier_e12"),
+      col("ybar_e6"),
+      expr("reln div n").as("rel_e12"),
+      expr("resn div n").as("res_e12"),
+      expr("ybar_e6 * (1000000L - ybar_e6)").as("unc_e12"))
+  }
+
   /** L211 — SPLIT-CONFORMAL CALIBRATION THRESHOLD + COVERAGE AUDIT:
     * per group the ⌈(n+1)(1−α)⌉-th smallest calibration score — the
     * distribution-free threshold with the finite-sample guarantee

@@ -2493,6 +2493,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("L212 brierDecomposition: hand-checked Murphy components; the " +
+      "identity gap is exactly the within-bin variance") {
+    import graft.ops.EvalOps
+    // nBins = 2 (width 5e5): bin0 = {(0.2, 0), (0.2, 1)},
+    // bin1 = {(0.9, 1), (0.7, 1)}; ybar = 3/4
+    val df = Seq((200000L, 0L), (200000L, 1L), (900000L, 1L),
+      (700000L, 1L)).toDF("s", "y")
+    val r = EvalOps.brierDecomposition(df, $"s", $"y", nBins = 2).head
+    val (n, brier, ybar, rel, res, unc) = (r.getAs[Long]("n"),
+      r.getAs[Long]("brier_e12"), r.getAs[Long]("ybar_e6"),
+      r.getAs[Long]("rel_e12"), r.getAs[Long]("res_e12"),
+      r.getAs[Long]("unc_e12"))
+    assert((n, brier, ybar, rel, res, unc) ==
+      ((4L, 195000000000L, 750000L, 65000000000L, 62500000000L,
+        187500000000L)), s"got $r")
+    // Murphy identity over the BINNED forecaster: raw Brier exceeds
+    // REL - RES + UNC by exactly the within-bin variance (bin1 holds
+    // 0.9 and 0.7 around pbar 0.8: 2·(1e5)² / 4 = 5e9)
+    assert(brier - (rel - res + unc) == 5000000000L)
+    // out-of-domain score raises loudly (shares the L181 contract)
+    intercept[Exception] {
+      EvalOps.brierDecomposition(
+        Seq((1000001L, 1L)).toDF("s", "y"), $"s", $"y").collect()
+    }
+  }
+
   test("L211 conformalAudit: exact order-statistic threshold, audited " +
       "coverage, loud -1 on short calibration") {
     import graft.ops.EvalOps
