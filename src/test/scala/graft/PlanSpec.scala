@@ -584,6 +584,35 @@ class PlanSpec extends SparkSpec {
       "token gini's rank window must partition by the source key")
   }
 
+  test("round-10 pins: graph sketches, preference/audit queries keep their shapes") {
+    // hyperball rounds: register gathers are equi joins + hash
+    // max-aggs — never theta/cartesian
+    val hb = plan("g_hyperball")
+    assert(!hb.contains("CartesianProduct")
+      && !hb.contains("BroadcastNestedLoopJoin"),
+      "g_hyperball must stay equi-join only")
+    // bradley-terry: trials reduce once to pair counts; each MM round
+    // equi-joins the items-sized strength table
+    val bt = plan("e_bradley_terry")
+    assert(!bt.contains("CartesianProduct"), "e_bradley_terry cartesian")
+    // vocab growth & skip audit: the tiny constant grid is the
+    // *intended* broadcast theta join — broadcast NLJ, never cartesian
+    for (q <- Seq("c_vocab_growth", "c_skip_audit")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q grid join must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // gain plan: one typed map over decoded audio, join-free
+    val gp = plan("mm_gain_plan")
+    assert(!gp.contains("Join"), "mm_gain_plan must be join-free")
+    // affix overlap: the gram equi join only (df cap applied before)
+    val ao = plan("dedup_affix_overlap")
+    assert(!ao.contains("CartesianProduct")
+      && !ao.contains("BroadcastNestedLoopJoin"),
+      "dedup_affix_overlap must stay a gram equi join")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
