@@ -545,6 +545,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("L198 ingest script gate: classification is stateless; the single " +
+      "complete-mode agg is the only state") {
+    // Plan pin for the streaming_script_mix / streaming_hll /
+    // streaming_conformal shape: every per-row step (regexp strips,
+    // dominance CASE, threshold compare, register rank) is a pure
+    // projection — the ONLY stateful operator is the one complete-mode
+    // aggregation, and nothing joins stream-to-stream or keeps
+    // per-group user state.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.ops.TextOps.scriptMix(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .groupBy($"dominant_script").agg(count(lit(1)).as("n_docs"))
+    val q = gated.writeStream.outputMode("complete")
+      .format("memory").queryName("ssm_pin").start()
+    try {
+      input.addData((1L, "hello world"), (2L, "привет мир"))
+      q.processAllAvailable()
+      val explained = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+        buf.toString
+      }
+      assert(!explained.contains("FlatMapGroupsWithState") &&
+        !explained.contains("StreamingSymmetricHashJoin"),
+        s"script gate must keep no per-group user state:\n$explained")
+      val st = q.lastProgress.stateOperators
+      assert(st.length == 1,
+        s"exactly one stateful operator (the agg), got ${st.length}")
+      val rows = spark.table("ssm_pin").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows == Map("latin" -> 1L, "cyrillic" -> 1L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("L162 streaming WER: reference sidecar broadcasts, scoring stays stateless") {
     // Plan pin for the streaming_wer shape (r8-VERDICT item 5): the
     // static reference side — derived from the documents table under
