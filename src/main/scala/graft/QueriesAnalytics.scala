@@ -255,6 +255,59 @@ private[graft] object QueriesAnalytics {
         |    ELSE 0.0 END AS ndcg
         |FROM ag ORDER BY term""".stripMargin)),
 
+    // L219 — average precision @10 over the same bm25 rankings as
+    // r_ndcg (binary collapse of the minted grades, the TREC
+    // convention): per-relevant-rank precision e6-floored, summed,
+    // floored once more by the relevant count — the defined fold both
+    // engines replay; AP punishes every relevant doc ranked below an
+    // irrelevant one with weight 1/rank, the complement to nDCG's
+    // graded discounts.
+    Q("r_avg_precision",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
+            Retrieval.probeTerms(docs, "doc_id", "text", minLen = 5, k = 5),
+            k = 10, scale = 1000000L)
+          .withColumn("rel", pmod(col("doc_id") + length(col("term")), lit(4L)))
+        Retrieval.averagePrecisionAtK(ranked, "term", "rank", "rel", k = 10)
+          .orderBy(col("term"))
+      },
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+        |probes AS (SELECT term FROM (
+        |    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS pdf
+        |    FROM t WHERE len(term) >= 5 GROUP BY 1)
+        |  ORDER BY pdf DESC, term LIMIT 5),
+        |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t JOIN probes USING (term) GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.term, tf.doc_id, dfq.df, tot.n_docs,
+        |    ((1000000 * 22 * tf.tf * tot.n_toks)
+        |      // (10 * tf.tf * tot.n_toks + 3 * tot.n_toks
+        |         + 9 * tot.n_docs * dl.dl)) AS s1
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |sc2 AS (SELECT term, doc_id,
+        |    (s1 * (2 * (n_docs - df) + 1)) // (2 * df + 1) AS score FROM sc),
+        |r AS (SELECT term, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc2),
+        |rl AS (SELECT term, rank,
+        |    CASE WHEN (doc_id + len(term)) % 4 > 0 THEN 1 ELSE 0 END AS b
+        |  FROM r WHERE rank <= 10),
+        |tp AS (SELECT term, rank, b, SUM(b) OVER (
+        |    PARTITION BY term ORDER BY rank) AS tp FROM rl),
+        |ag AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+        |    CAST(SUM(b) AS BIGINT) AS n_rel,
+        |    SUM(CASE WHEN b = 1 THEN (tp * 1000000) // rank ELSE 0 END) AS sp
+        |  FROM tp GROUP BY term)
+        |SELECT term, n_ranked, n_rel,
+        |  CAST(CASE WHEN n_rel > 0 THEN sp // n_rel ELSE -1 END AS BIGINT)
+        |    AS ap_e6
+        |FROM ag ORDER BY term""".stripMargin)),
+
 
     // L71 — HYPERLOGLOG distinct-count sketch (Flajolet 2007): 16
     // max-of-rank registers per event_type as a bounded-state
@@ -733,6 +786,160 @@ private[graft] object QueriesAnalytics {
         |      / CAST(1000000 - p_e_e6 AS DOUBLE)
         |    ELSE -1.0 END AS kappa
         |FROM pb CROSS JOIN pe""".stripMargin)),
+
+    // L215 — Krippendorff's alpha over a minted VARYING-panel rating
+    // set (the case Fleiss rejects): the e_fleiss_kappa panel with
+    // rater 3 absent on item%3=0, raters 2-3 absent on item%7=0, and
+    // item%11=0 reduced to a single rating (unpairable — exercises the
+    // loud n_dropped path). Per-item disagreement e6-floored (the L210
+    // discipline), expected disagreement exact from the marginals,
+    // alpha one double division.
+    Q("e_kripp_alpha",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 480L)
+          .select(expr("doc_id div 4").as("item"),
+            pmod(col("doc_id"), lit(4L)).as("rater"))
+          .withColumn("cat",
+            when(col("rater") === 3L && pmod(col("item"), lit(5L)) === 0L,
+              pmod(pmod(col("item"), lit(3L)) + 1L, lit(3L)))
+              .otherwise(pmod(col("item"), lit(3L))))
+          .filter(!(col("rater") === 3L && pmod(col("item"), lit(3L)) === 0L))
+          .filter(!(col("rater") >= 2L && pmod(col("item"), lit(7L)) === 0L))
+          .filter(!(col("rater") >= 1L && pmod(col("item"), lit(11L)) === 0L))
+        EvalOps.krippendorffAlpha(base, "item", "cat")
+      },
+      Some("""WITH b AS (SELECT doc_id // 4 AS item, doc_id % 4 AS rater,
+        |    CASE WHEN doc_id % 4 = 3 AND (doc_id // 4) % 5 = 0
+        |      THEN ((doc_id // 4) % 3 + 1) % 3
+        |      ELSE (doc_id // 4) % 3 END AS cat
+        |  FROM documents WHERE doc_id < 480),
+        |f AS (SELECT * FROM b
+        |  WHERE NOT (rater = 3 AND item % 3 = 0)
+        |    AND NOT (rater >= 2 AND item % 7 = 0)
+        |    AND NOT (rater >= 1 AND item % 11 = 0)),
+        |ic AS (SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS nuc
+        |  FROM f GROUP BY 1, 2),
+        |pi AS (SELECT item, SUM(nuc) AS mu, SUM(nuc * nuc) AS ssq
+        |  FROM ic GROUP BY 1),
+        |pa AS (SELECT * FROM pi WHERE mu >= 2),
+        |dr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+        |  FROM pi WHERE mu < 2),
+        |dn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(mu) AS BIGINT) AS n,
+        |    SUM(((mu * mu - ssq) * 1000000) // (mu - 1)) AS p_e6 FROM pa),
+        |dd AS (SELECT n_items, n,
+        |    CAST(CASE WHEN n > 0 THEN p_e6 // n ELSE 0 END AS BIGINT) AS do_e6
+        |  FROM dn),
+        |mg AS (SELECT cat, SUM(nuc) AS nc
+        |  FROM ic JOIN pa USING (item) GROUP BY 1),
+        |de AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    SUM(nc * nc) AS sc2 FROM mg),
+        |fin AS (SELECT dd.n_items, dr.n_dropped, de.n_values, dd.do_e6,
+        |    CAST(CASE WHEN dd.n > 1
+        |      THEN ((dd.n * dd.n - de.sc2) * 1000000) // (dd.n * (dd.n - 1))
+        |      ELSE 0 END AS BIGINT) AS de_e6
+        |  FROM dd CROSS JOIN de CROSS JOIN dr)
+        |SELECT n_items, n_dropped, n_values, do_e6, de_e6,
+        |  CASE WHEN de_e6 > 0
+        |    THEN CAST(de_e6 - do_e6 AS DOUBLE) / CAST(de_e6 AS DOUBLE)
+        |    ELSE -2.0 END AS alpha
+        |FROM fin""".stripMargin)),
+
+    // L216 — McNemar's paired-classifier test: two formula-minted
+    // correctness streams on the same documents; the statistic reads
+    // only the discordant cells — exact integer numerator, one double
+    // division.
+    Q("e_mcnemar",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 600L)
+          .select((pmod(col("doc_id") * 7L, lit(10L)) < 7L).as("a_ok"),
+            (pmod(col("doc_id") * 11L, lit(10L)) < 6L).as("b_ok"))
+        EvalOps.mcnemar(base, "a_ok", "b_ok")
+      },
+      Some("""WITH b AS (SELECT (doc_id * 7) % 10 < 7 AS a,
+        |    (doc_id * 11) % 10 < 6 AS b
+        |  FROM documents WHERE doc_id < 600),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_only_a,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_only_b,
+        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neither
+        |  FROM b)
+        |SELECT n, n_both, n_only_a, n_only_b, n_neither,
+        |  (n_only_a - n_only_b) * (n_only_a - n_only_b) AS chisq_num,
+        |  CASE WHEN n_only_a + n_only_b > 0
+        |    THEN CAST((n_only_a - n_only_b) * (n_only_a - n_only_b) AS DOUBLE)
+        |      / CAST(n_only_a + n_only_b AS DOUBLE)
+        |    ELSE -1.0 END AS chisq
+        |FROM ag""".stripMargin)),
+
+    // L227 — Matthews correlation coefficient over minted gold/pred
+    // streams: the imbalance-honest binary score; exact marginal
+    // products, correctly-rounded IEEE sqrt of an exactly-represented
+    // integer — identical doubles in both engines.
+    Q("e_mcc",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 600L)
+          .select((pmod(col("doc_id"), lit(2L)) === 0L).as("gold"),
+            (pmod(col("doc_id") * 3L + 1L, lit(7L)) < 4L).as("pred"))
+        EvalOps.mcc(base, "gold", "pred")
+      },
+      Some("""WITH b AS (SELECT doc_id % 2 = 0 AS g,
+        |    (doc_id * 3 + 1) % 7 < 4 AS p
+        |  FROM documents WHERE doc_id < 600),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN g AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT g AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fp,
+        |    CAST(SUM(CASE WHEN g AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fn,
+        |    CAST(SUM(CASE WHEN NOT g AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tn
+        |  FROM b)
+        |SELECT n, tp, fp, fn, tn, tp * tn - fp * fn AS mcc_num,
+        |  CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+        |    THEN CAST(tp * tn - fp * fn AS DOUBLE)
+        |      / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        |        AS DOUBLE))
+        |    ELSE -2.0 END AS mcc
+        |FROM ag""".stripMargin)),
+
+    // L217 — Spearman rank correlation with exact average-rank ties:
+    // two bucketed (deliberately tie-heavy) signals over documents;
+    // DOUBLED average ranks are exact integers, the Pearson components
+    // exact BIGINTs, rho = num / (sqrt(dx)·sqrt(dy)) — IEEE sqrt is
+    // correctly rounded so both engines emit the identical double.
+    Q("e_spearman",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 4000L)
+          .select(expr("n_chars div 100").as("xv"),
+            (pmod(col("doc_id") * 31L, lit(50L))
+              + expr("n_chars div 200")).as("yv"))
+        EvalOps.spearmanRho(base, "xv", "yv")
+      },
+      Some("""WITH b AS (SELECT n_chars // 100 AS xv,
+        |    (doc_id * 31) % 50 + n_chars // 200 AS yv
+        |  FROM documents WHERE doc_id < 4000),
+        |r AS (SELECT
+        |    2 * rank() OVER (ORDER BY xv) + COUNT(*) OVER (PARTITION BY xv) - 1
+        |      AS x,
+        |    2 * rank() OVER (ORDER BY yv) + COUNT(*) OVER (PARTITION BY yv) - 1
+        |      AS y
+        |  FROM b),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy FROM r)
+        |SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS dy,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    ELSE -2.0 END AS rho
+        |FROM a""".stripMargin)),
 
     // L211 — split-conformal threshold + coverage audit per event
     // type: calibration on even event ids, the ceil((n+1)·0.9)-th

@@ -742,6 +742,127 @@ private[graft] object QueriesCore {
         |  FROM nd LEFT JOIN c2 USING (node))
         |SELECT node, pr FROM r2 ORDER BY node""".stripMargin)),
 
+    // L220 — MODULARITY AUDIT of the user partition over the event
+    // link graph: browse-chain edges live inside a user's community,
+    // type-hub edges cross them — Q prices exactly how community-like
+    // the session structure is before those labels drive sampling or
+    // sharding. Q·4m² per community is an exact BIGINT (Newman-Girvan,
+    // undirected convention: each edge adds 1 to m, 2 to the degree
+    // mass); unlabeled endpoints and self-loops fail loudly.
+    Q("g_modularity",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        val labels = ev.select(col("event_id").as("node"),
+          col("user_id").as("comm"))
+        GraphOps.modularity(chain.unionByName(hubEdges), "src", "dst",
+            labels, "node", "comm")
+          .orderBy(col("community"))
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |lb AS (SELECT event_id AS node, CAST(user_id AS VARCHAR) AS comm
+        |  FROM e),
+        |tg AS (SELECT ls.comm AS cs, ld.comm AS cd
+        |  FROM ed JOIN lb ls ON ls.node = ed.src
+        |    JOIN lb ld ON ld.node = ed.dst),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tg),
+        |dg AS (SELECT comm, CAST(COUNT(*) AS BIGINT) AS degree_sum FROM (
+        |    SELECT cs AS comm FROM tg UNION ALL SELECT cd FROM tg) u
+        |  GROUP BY 1),
+        |ic AS (SELECT cs AS comm, CAST(COUNT(*) AS BIGINT) AS in_edges
+        |  FROM tg WHERE cs = cd GROUP BY 1),
+        |nn AS (SELECT CAST(user_id AS VARCHAR) AS comm,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes FROM e GROUP BY 1)
+        |SELECT nn.comm AS community, nn.n_nodes,
+        |  COALESCE(ic.in_edges, CAST(0 AS BIGINT)) AS in_edges,
+        |  COALESCE(dg.degree_sum, CAST(0 AS BIGINT)) AS degree_sum, m.m,
+        |  4 * m.m * COALESCE(ic.in_edges, 0)
+        |    - COALESCE(dg.degree_sum, 0) * COALESCE(dg.degree_sum, 0)
+        |    AS q_num,
+        |  4 * m.m * m.m AS q_den
+        |FROM nn LEFT JOIN dg USING (comm) LEFT JOIN ic USING (comm)
+        |CROSS JOIN m ORDER BY community""".stripMargin)),
+
+    // L222 — DEGREE ASSORTATIVITY of the event link graph (Newman
+    // 2002): hub-to-hub vs hub-to-leaf mixing — the link-farm signal
+    // read before L115's link-derived quality weights ship. Per-edge
+    // degree products and their sums exact BIGINTs; the two final
+    // Pearson products formed in DECIMAL(38,0)/HUGEINT (hub degrees
+    // square past longs), r one double division.
+    Q("g_assortativity",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.assortativity(chain.unionByName(hubEdges), "src", "dst")
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) u
+        |  GROUP BY 1),
+        |tg AS (SELECT dj.deg AS j, dk.deg AS k
+        |  FROM ed JOIN dg dj ON dj.node = ed.src
+        |    JOIN dg dk ON dk.node = ed.dst),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(j * k) AS BIGINT) AS s_jk,
+        |    CAST(SUM(j + k) AS BIGINT) AS s_jpk,
+        |    CAST(SUM(j * j + k * k) AS BIGINT) AS s_j2k2 FROM tg)
+        |SELECT m, s_jk, s_jpk, s_j2k2,
+        |  CASE WHEN 2 * CAST(m AS HUGEINT) * s_j2k2
+        |      - CAST(s_jpk AS HUGEINT) * s_jpk <> 0
+        |    THEN CAST(4 * CAST(m AS HUGEINT) * s_jk
+        |        - CAST(s_jpk AS HUGEINT) * s_jpk AS DOUBLE)
+        |      / CAST(2 * CAST(m AS HUGEINT) * s_j2k2
+        |        - CAST(s_jpk AS HUGEINT) * s_jpk AS DOUBLE)
+        |    ELSE -2.0 END AS r
+        |FROM ag""".stripMargin)),
+
+    // L223 — EDGE RECIPROCITY of the event link graph: mutual-link
+    // rate over the distinct directed edge set — one distinct pass +
+    // one swapped-key semi-join, e6-floored rate.
+    Q("g_reciprocity",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.reciprocity(chain.unionByName(hubEdges), "src", "dst")
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |de AS (SELECT DISTINCT src, dst FROM ed),
+        |rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip FROM de a
+        |  WHERE EXISTS (SELECT 1 FROM de b
+        |    WHERE b.src = a.dst AND b.dst = a.src)),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM de)
+        |SELECT mm.m, rc.n_recip,
+        |  CAST(CASE WHEN mm.m > 0 THEN (rc.n_recip * 1000000) // mm.m
+        |    ELSE -1 END AS BIGINT) AS recip_e6
+        |FROM mm CROSS JOIN rc""".stripMargin)),
+
 
     // L117 — PERSONALIZED PAGERANK seed expansion (Haveliwala 2002):
     // rank nodes by random-walk proximity to a trusted seed set (the

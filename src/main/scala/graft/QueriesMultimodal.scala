@@ -628,6 +628,48 @@ private[graft] object QueriesMultimodal {
         |FROM r ORDER BY file""".stripMargin)),
 
 
+    // L214 — AUDIO METADATA AUDIT + PRIVACY SCRUB: real encoder output
+    // gains spec-valid container tags (RIFF LIST/INFO sub-chunks, FLAC
+    // VORBIS_COMMENT + PADDING blocks), the byte-level probe reads
+    // them back, and the strip removes them all without re-encoding —
+    // certified by a second probe AND a bit-exact decode comparison of
+    // both containers. Formula-minted field counts and tag payloads;
+    // the oracle replays the exact on-disk metadata byte count from
+    // the container specs, so a wrong chunk walk, CRC-damaging strip,
+    // or payload-perturbing insert cannot hash-match.
+    Q("mm_audio_meta",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("event_id").cast("long").as("id"))
+          .filter(col("id") < 240).distinct()
+          .select(col("id"),
+            when(pmod(col("id"), lit(3L)) === 0L, "wav")
+              .when(pmod(col("id"), lit(3L)) === 1L, "flac")
+              .otherwise("flac_lpc").as("kind"),
+            (lit(1L) + pmod(expr("id div 3"), lit(3L))).cast("int").as("nf"),
+            (pmod(col("id"), lit(5L)) === 0L).as("pad"))
+          .withColumn("q", expr("""transform(sequence(0L, 299L + id % 500),
+            i -> CAST(((id * 13 + i * 29) % 401 - 200) * 25 AS INT))"""))
+        Multimodal.audioMetaAudit(base, "id", "kind", "q", "nf", "pad")
+          .orderBy(col("id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 240),
+        |c AS (SELECT id,
+        |    CASE WHEN id % 3 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |    CAST(300 + id % 500 AS BIGINT) AS n_samples,
+        |    1 + (id // 3) % 3 AS nf,
+        |    id % 5 = 0 AND id % 3 <> 0 AS pad
+        |  FROM ids)
+        |SELECT id, format, n_samples, CAST(nf AS BIGINT) AS n_fields,
+        |  CAST(CASE WHEN format = 'wav' THEN 12 + 18 * nf
+        |    ELSE 18 + 15 * nf + CASE WHEN pad THEN 68 ELSE 0 END END
+        |    AS BIGINT) AS meta_bytes,
+        |  CAST(0 AS BIGINT) AS n_fields_stripped,
+        |  CAST(0 AS BIGINT) AS meta_bytes_stripped,
+        |  TRUE AS decode_ok
+        |FROM c ORDER BY id""".stripMargin)),
+
     // L188 — zero-crossing-rate features over the same real decode
     // path as mm_clipping (WAV/FLAC bit-exact roundtrip): strict sign
     // flips on the int16-quantized samples, e6 rate, and the per-frame
@@ -759,6 +801,71 @@ private[graft] object QueriesMultimodal {
         |       WHEN doc_id % 4 = 2 THEN 'jpg' ELSE 'gif' END AS format,
         |  CAST(16 + doc_id % 13 AS BIGINT) AS width,
         |  CAST(8 + doc_id % 7 AS BIGINT) AS height
-        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
+
+    // L221 — streaming audio-metadata probe (L214∘streaming, the L187
+    // pattern): tagged WAV/FLAC payloads PROBED AS THEY ARRIVE —
+    // byte-level chunk/block walk only, never a sample decode —
+    // stateless append, no state store; the tagged payload parquet
+    // (real encoder output + spec-valid tag structures) stages once
+    // per session. The PII-scan-at-ingest shape: tag fields are read
+    // before the corpus commits to disk.
+    Q("streaming_audio_meta",
+      (s, dir) => QuerySupport.withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "sam_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ameta").toString
+        val srcDir = QuerySupport.stagedStreamSource("audio_meta_payloads", dir) { p =>
+          val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+            .filter(col("event_id") < 240).distinct().as[Long]
+          val payloads = ids.map { id =>
+            import graft.pipeline.{AudioMeta, FlacAudio, WavAudio}
+            val n = (300 + id % 500).toInt
+            val sam = Array.tabulate(n)(i =>
+              ((id * 13 + i.toLong * 29) % 401 - 200) * 25 / 32767f)
+            val nf = (1 + (id / 3) % 3).toInt
+            val value = "v%07d".format(id)
+            val wavKeys = Vector("INAM", "IART", "ICMT")
+            val bytes = (id % 3) match {
+              case 0 => AudioMeta.wavWithInfo(WavAudio.encode(8000, sam),
+                (0 until nf).map(i => (wavKeys(i), value)))
+              case m =>
+                val enc = FlacAudio.encode(8000, sam, lpc = m == 2)
+                val tag = AudioMeta.flacWithVorbisComment(enc, "graft0",
+                  (0 until nf).map(i => (s"K$i", value)))
+                if (id % 5 == 0) AudioMeta.flacWithPadding(tag, 64) else tag
+            }
+            (id, bytes)
+          }.toDF("id", "payload")
+          QuerySupport.writeHeartbeat(payloads, p, "audio_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val probed = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            val m = graft.pipeline.AudioMeta.probeMeta(bytes)
+            (id, m.format, m.nFields, m.metaBytes)
+          }.toDF("id", "format", "n_fields", "meta_bytes")
+        val q = probed.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuerySupport.cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("id") >= 0).orderBy(col("id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 240),
+        |c AS (SELECT id,
+        |    CASE WHEN id % 3 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |    1 + (id // 3) % 3 AS nf,
+        |    id % 5 = 0 AND id % 3 <> 0 AS pad
+        |  FROM ids)
+        |SELECT id, format, CAST(nf AS BIGINT) AS n_fields,
+        |  CAST(CASE WHEN format = 'wav' THEN 12 + 18 * nf
+        |    ELSE 18 + 15 * nf + CASE WHEN pad THEN 68 ELSE 0 END END
+        |    AS BIGINT) AS meta_bytes
+        |FROM c ORDER BY id""".stripMargin))
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Polyval
-import graft.ops.{Curation, Dedup, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, EvalOps, EventAnalytics, GraphOps, MLlibOps, Multimodal, Retrieval, SegmentAlgebra, SegmentOps, Similarity, TextOps}
 import graft.QuerySupport._
 
 /** Similarity / ANN family: quantized cosine, IVF/LSH/PQ indexes,
@@ -770,6 +770,54 @@ private[graft] object QueriesSim {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
         |  dot, cos FROM sc WHERE cos >= 0.1 AND cos < 0.3)
         |SELECT query_id, neighbor_id, rnk, dot, cos FROM r WHERE rnk <= 10
-        |ORDER BY query_id, rnk""".stripMargin))
+        |ORDER BY query_id, rnk""".stripMargin)),
+
+    // L218 — adjusted Rand index + purity of the SRP band-0 bucketing
+    // against the embeddings' gold labels: the chance-corrected
+    // cluster-agreement audit ("does my LSH bucketing recover the gold
+    // grouping beyond random clusterings of the same sizes") — the
+    // number to read before LSH buckets drive sampling decisions. All
+    // pair counts exact BIGINTs, ARI one double division of two exact
+    // integers.
+    Q("sim_cluster_ari",
+      (s, dir) => {
+        graft.expr.LongArrayDot.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val cs = graft.ops.SrpLsh.coefficients(60, 64)
+        val base = Similarity.quantize(emb, "vec_id", "embedding")
+          .withColumn("bucket",
+            pmod(graft.ops.SrpLsh.signature(col("qv"), cs), lit(64L)))
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        EvalOps.adjustedRandIndex(base, "bucket", "label")
+      },
+      Some(s"""WITH $quantSqlCte,
+        |$srpSqlCte,
+        |ct AS (SELECT srp.sig % 64 AS la, e.label AS lb,
+        |    CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM srp JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        |ix AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT)
+        |      AS idx_pairs,
+        |    CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+        |aa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |    CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS a_pairs,
+        |    CAST(SUM(mx) AS BIGINT) AS sum_max
+        |  FROM (SELECT la, SUM(nij) AS ai, MAX(nij) AS mx
+        |    FROM ct GROUP BY 1) t),
+        |bb2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS b_pairs
+        |  FROM (SELECT lb, SUM(nij) AS bj FROM ct GROUP BY 1) t),
+        |fin AS (SELECT ix.n, aa.n_clusters, bb2.n_classes, ix.idx_pairs,
+        |    aa.a_pairs, bb2.b_pairs,
+        |    CAST((aa.sum_max * 1000000) // ix.n AS BIGINT) AS purity_e6,
+        |    (ix.n * (ix.n - 1)) // 2 AS t_pairs
+        |  FROM ix CROSS JOIN aa CROSS JOIN bb2)
+        |SELECT n, n_clusters, n_classes, idx_pairs, a_pairs, b_pairs,
+        |  purity_e6,
+        |  CASE WHEN (a_pairs + b_pairs) * t_pairs - 2 * a_pairs * b_pairs <> 0
+        |    THEN CAST(2 * (idx_pairs * t_pairs - a_pairs * b_pairs) AS DOUBLE)
+        |      / CAST((a_pairs + b_pairs) * t_pairs - 2 * a_pairs * b_pairs
+        |        AS DOUBLE)
+        |    ELSE -2.0 END AS ari
+        |FROM fin""".stripMargin))
   )
 }

@@ -298,6 +298,56 @@ private[graft] object QueriesStreaming {
     // per-lang aggregation run to completion with Trigger.AvailableNow
     // into a memory sink. One batch pass = the batch rollup exactly, so
     // the batch SQL is a true oracle for the streaming trace.
+    // L226 — STREAMING McNEMAR MONITOR (L216∘streaming): the paired
+    // A/B of two classifiers scored AT INGEST — per-row correctness
+    // mints are stateless projections, the only state the single
+    // complete-mode 2×2 count; run to completion equals the batch
+    // e_mcnemar table exactly (shared oracle). The shape of watching
+    // a filter swap live: the discordant cells accumulate as docs
+    // arrive, no per-doc state.
+    Q("streaming_mcnemar",
+      (s, dir) => withStreamingPartitions(s) {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "smn_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_mcn").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, path, "documents.parquet"))
+        val scored = graft.ops.EvalOps.mcnemar(
+          s.readStream.schema(schema).parquet(srcDir)
+            .filter(col("doc_id") < 600L)
+            .select((pmod(col("doc_id") * 7L, lit(10L)) < 7L).as("a_ok"),
+              (pmod(col("doc_id") * 11L, lit(10L)) < 6L).as("b_ok")),
+          "a_ok", "b_ok")
+        val q = scored.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name)
+      },
+      Some("""WITH b AS (SELECT (doc_id * 7) % 10 < 7 AS a,
+        |    (doc_id * 11) % 10 < 6 AS b
+        |  FROM documents WHERE doc_id < 600),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_only_a,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_only_b,
+        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neither
+        |  FROM b)
+        |SELECT n, n_both, n_only_a, n_only_b, n_neither,
+        |  (n_only_a - n_only_b) * (n_only_a - n_only_b) AS chisq_num,
+        |  CASE WHEN n_only_a + n_only_b > 0
+        |    THEN CAST((n_only_a - n_only_b) * (n_only_a - n_only_b) AS DOUBLE)
+        |      / CAST(n_only_a + n_only_b AS DOUBLE)
+        |    ELSE -1.0 END AS chisq
+        |FROM ag""".stripMargin)),
+
     Q("streaming_curation",
       (s, dir) => withStreamingPartitions(s) {
         val path = s"$dir/documents.parquet"

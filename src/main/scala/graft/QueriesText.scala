@@ -573,7 +573,52 @@ FROM ag ORDER BY lang""")),
         |  FROM sc)
         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         |  SELECT freq, unnest(pieces) AS piece FROM best WHERE rn = 1) x
-        |GROUP BY piece ORDER BY piece""".stripMargin))
+        |GROUP BY piece ORDER BY piece""".stripMargin)),
+
+    // L224 — MATTR lexical diversity (Covington & McFall 2010): mean
+    // distinct-type count over every 20-token sliding window,
+    // e6-floored per doc — the length-robust TTR plain type/token
+    // ratios can't give (Heaps' law); pure per-row HOF arithmetic,
+    // zero shuffle; sub-window docs flag −1 loudly.
+    Q("t_mattr",
+      (s, dir) => TextOps.mattr(docToks(s, dir), "doc_id", "toks", w = 20)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $toksSqlCte,
+        |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(toks) >= 20 THEN CAST(len(toks) - 19 AS BIGINT)
+        |      ELSE 0 END AS n_windows, toks FROM d)
+        |SELECT doc_id, n_tokens, n_windows,
+        |  CAST(CASE WHEN n_windows > 0 THEN
+        |    (list_sum(list_transform(range(1, CAST(n_tokens - 18 AS INTEGER)),
+        |      i -> len(list_distinct(
+        |        toks[CAST(i AS INTEGER):CAST(i + 19 AS INTEGER)]))))
+        |      * 1000000) // (20 * n_windows)
+        |    ELSE -1 END AS BIGINT) AS mattr_e6
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // L225 — TERM BURSTINESS (Church & Gale 1995): variance-to-mean
+    // ratio of per-document counts over the docs containing each term
+    // (occurrence-conditional), top-20 by df via a distributed
+    // TakeOrderedAndProject — Poisson background ~1, content words
+    // burst; the clumping signal df-based TF-IDF misses.
+    Q("t_burstiness",
+      (s, dir) => TextOps.burstiness(docToks(s, dir), "doc_id", "toks",
+          minLen = 5, topK = 20)
+        .orderBy(col("term")),
+      Some(s"""WITH $toksSqlCte,
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |td AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM t WHERE len(term) >= 5 GROUP BY 1, 2),
+        |bt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(x) AS BIGINT) AS total,
+        |    CAST(SUM(x * x) AS BIGINT) AS ssq
+        |  FROM td GROUP BY 1),
+        |top AS (SELECT * FROM bt WHERE df >= 2
+        |  ORDER BY df DESC, term LIMIT 20)
+        |SELECT term, df, total,
+        |  CAST(((df * ssq - total * total) * 1000000)
+        |    // ((df - 1) * total) AS BIGINT) AS vmr_e6
+        |FROM top ORDER BY term""".stripMargin))
   ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry :+ scriptMixEntry
 
   /** L194 — charset/script composition gate: exact per-class counts

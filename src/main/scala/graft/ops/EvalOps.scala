@@ -875,4 +875,232 @@ object EvalOps {
             / (col("n_ref_grams") + col("n_hyp_grams")).cast("double"))
           .otherwise(lit(-1d)))
   }
+
+  /** L215 — KRIPPENDORFF'S ALPHA (nominal data): the chance-corrected
+    * agreement coefficient that tolerates VARYING rater counts and
+    * missing ratings — the case Fleiss' kappa (L210) rejects loudly.
+    * A real labeling campaign is never a constant panel: raters drop
+    * items, overflow pools rotate — this is the number it reports.
+    *
+    * Exact arithmetic (Krippendorff 2011, the coincidence-matrix
+    * formulation): items with fewer than 2 ratings are unpairable and
+    * excluded (counted in `n_dropped`); per pairable item u with m_u
+    * ratings and per-category counts n_uc, the pairwise disagreement
+    * mass is A_u = Σ_c n_uc·(m_u − n_uc), and the item contributes
+    * A_u/(m_u − 1) to the observed disagreement — e6-FLOORED per item
+    * (the L210 P_i discipline; the floor is the documented
+    * quantization, identical in both engines). Expected disagreement
+    * is exact from the marginals: De = (n² − Σ_c n_c²)/(n(n−1)) with
+    * n = Σ m_u, again e6-floored once. alpha = (de − do)/de, one
+    * double division. Components bounded by n²·10⁶ — exact in longs
+    * for n up to ~3·10⁶ ratings per invocation (document scope: this
+    * is a per-campaign metric, not a per-corpus scan).
+    *
+    * Scale shape: one (item, category) map-side-combined count, one
+    * item rollup, one category rollup — nothing pairwise in raters,
+    * the L210 shape.
+    *
+    * Output: one row (n_items, n_dropped, n_values, do_e6, de_e6,
+    * alpha); alpha −2 when De = 0 (all ratings one category).
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      catCol: String): DataFrame = {
+    val r = ratings.select(col(itemCol).as("item"), col(catCol).as("cat"))
+    val ic = r.groupBy(col("item"), col("cat")).agg(count(lit(1)).as("nuc"))
+    val perItem = ic.groupBy(col("item"))
+      .agg(sum(col("nuc")).as("mu"),
+        sum(col("nuc") * col("nuc")).as("ssq"))
+    val pairable = perItem.filter(col("mu") >= 2L)
+    val dropped = perItem.filter(col("mu") < 2L)
+      .agg(count(lit(1)).as("n_dropped"))
+    // A_u = Σ n_uc(m_u − n_uc) = m_u² − Σ n_uc²; floor per item at e6
+    val doAgg = pairable
+      .select(col("mu"),
+        expr("((mu * mu - ssq) * 1000000L) div (mu - 1L)").as("contrib_e6"))
+      .agg(count(lit(1)).as("n_items"), sum(col("mu")).as("n"),
+        sum(col("contrib_e6")).as("p_e6"))
+      .select(col("n_items"), col("n"),
+        expr("IF(n > 0L, p_e6 div n, 0L)").as("do_e6"))
+    // marginals over pairable items only (the coincidence matrix)
+    val marg = ic.join(pairable.select(col("item")), Seq("item"))
+      .groupBy(col("cat")).agg(sum(col("nuc")).as("nc"))
+    val deAgg = marg.agg(count(lit(1)).as("n_values"),
+      sum(col("nc")).as("n2"), sum(col("nc") * col("nc")).as("sc2"))
+    doAgg.crossJoin(broadcast(deAgg)).crossJoin(broadcast(dropped))
+      .select(col("n_items"), col("n_dropped"), col("n_values"),
+        col("do_e6"),
+        expr("IF(n > 1L, ((n * n - sc2) * 1000000L) div (n * (n - 1L)), 0L)")
+          .as("de_e6"))
+      .withColumn("alpha",
+        when(col("de_e6") > 0L,
+          (col("de_e6") - col("do_e6")).cast("double")
+            / col("de_e6").cast("double"))
+          .otherwise(lit(-2d)))
+  }
+
+  /** L216 — McNEMAR'S TEST for PAIRED classifiers: two models scored
+    * on the SAME items (the A/B the curation stack runs before
+    * swapping a quality filter or langid model) — accuracy deltas
+    * alone mislead when the models err on different items; the test
+    * statistic reads only the DISCORDANT cells. chisq =
+    * (b − c)²/(b + c) with b = only-A-correct, c = only-B-correct
+    * counts (the continuity-uncorrected form, documented); exact
+    * integer numerator, one double division; b + c = 0 → −1 flag.
+    *
+    * Scale shape: one map-side-combined 2×2 count — a single agg.
+    *
+    * Output: one row (n, n_both, n_only_a, n_only_b, n_neither,
+    * chisq_num, chisq).
+    */
+  def mcnemar(df: DataFrame, aCorrectCol: String,
+      bCorrectCol: String): DataFrame =
+    df.select(col(aCorrectCol).cast("boolean").as("a"),
+        col(bCorrectCol).cast("boolean").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("chisq_num",
+        (col("n_only_a") - col("n_only_b"))
+          * (col("n_only_a") - col("n_only_b")))
+      .withColumn("chisq",
+        when(col("n_only_a") + col("n_only_b") > 0L,
+          col("chisq_num").cast("double")
+            / (col("n_only_a") + col("n_only_b")).cast("double"))
+          .otherwise(lit(-1d)))
+
+  /** L217 — SPEARMAN RANK CORRELATION with exact average-rank ties:
+    * the monotone-agreement check between two scoring signals — the
+    * question "does my cheap quality score rank documents the way the
+    * expensive one does" answered before swapping filters at 100 TB.
+    *
+    * Exactness: average ranks are the only fractional quantity and
+    * they are halves, so DOUBLED ranks r2 = 2·rank_min + tie_size − 1
+    * are exact integers; Pearson over the doubled ranks equals
+    * Pearson over the ranks (scale-invariant). num = n·Σxy − Σx·Σy
+    * and the two variance terms are exact BIGINTs (bounded by 4n⁴ —
+    * exact in longs to n ≈ 40k rows per invocation, documented); rho
+    * = num / (√dx·√dy) — IEEE sqrt is correctly rounded, so both
+    * engines produce the identical double.
+    *
+    * Scale shape: two rank windows + one global agg. The rank windows
+    * shuffle once each on the score column — for a corpus-wide run,
+    * sample first (the documented use is validating one signal
+    * against another, which a deterministic hash-sample of 10⁴ rows
+    * answers).
+    *
+    * Output: one row (n, num, dx, dy, rho); rho −2 when either
+    * variance is 0 (a constant signal).
+    */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def r2(c: String) = {
+      val wv = Window.partitionBy(col(c))
+      val wo = Window.orderBy(col(c))
+      rank().over(wo).cast("long") * 2L + count(lit(1)).over(wv) - 1L
+    }
+    df.select(col(xCol).cast("long").as("xv"), col(yCol).cast("long").as("yv"))
+      .select(r2("xv").as("x"), r2("yv").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("dy"))
+      .withColumn("rho",
+        when(col("dx") > 0L && col("dy") > 0L,
+          col("num").cast("double")
+            / (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+          .otherwise(lit(-2d)))
+  }
+
+  /** L227 — MATTHEWS CORRELATION COEFFICIENT: the single-number
+    * binary-classification score that stays honest under class
+    * imbalance (accuracy and F1 both saturate when one class
+    * dominates — the usual shape of a quality-filter gold set). MCC =
+    * (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the four
+    * marginal products are exact integers whose product stays below
+    * 2⁵³ for n up to ~50k rows per audit (documented; gold sets are
+    * samples), so the double sqrt is of an EXACTLY-represented
+    * integer and correctly rounded — identical in both engines. Any
+    * zero marginal → −2 flag (MCC undefined), loud.
+    *
+    * Scale shape: one map-side-combined 2×2 count — the McNemar
+    * shape.
+    *
+    * Output: one row (n, tp, fp, fn, tn, mcc_num, mcc).
+    */
+  def mcc(df: DataFrame, goldCol: String, predCol: String): DataFrame =
+    df.select(col(goldCol).cast("boolean").as("g"),
+        col(predCol).cast("boolean").as("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("g") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("g") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("g") && !col("p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("g") && !col("p"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("mcc_num", col("tp") * col("tn") - col("fp") * col("fn"))
+      .withColumn("mcc",
+        when((col("tp") + col("fp")) * (col("tp") + col("fn"))
+            * (col("tn") + col("fp")) * (col("tn") + col("fn")) > 0L,
+          col("mcc_num").cast("double")
+            / sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn"))
+              * (col("tn") + col("fp")) * (col("tn") + col("fn")))
+              .cast("double")))
+          .otherwise(lit(-2d)))
+
+  /** L218 — ADJUSTED RAND INDEX + PURITY (pair-counting cluster
+    * agreement): the chance-corrected score for comparing a produced
+    * clustering against a reference partition — "did my dedup/topic
+    * clustering recover the gold grouping, beyond what random
+    * clustering of the same sizes would". Raw pair-agreement rewards
+    * trivial clusterings; ARI's expected-index correction (Hubert &
+    * Arabie 1985) is the standard fix.
+    *
+    * Exactness: contingency pair counts C(n_ij,2), the marginal sums
+    * a = Σ C(a_i,2), b = Σ C(b_j,2), and T = C(n,2) are exact BIGINTs;
+    * ARI = 2(idx·T − a·b) / ((a+b)·T − 2ab), numerator and denominator
+    * exact (bounded by n⁴ — exact in longs to n ≈ 50k rows per
+    * invocation, documented: cluster-agreement audits run on samples
+    * or per-shard, not the raw corpus), the ratio one double
+    * division. Purity = Σ_i max_j n_ij / n, e6-floored.
+    *
+    * Scale shape: one (labelA, labelB) map-side-combined count, two
+    * marginal rollups, one argmax window — nothing pairwise in rows.
+    *
+    * Output: one row (n, n_clusters, n_classes, idx_pairs, a_pairs,
+    * b_pairs, purity_e6, ari); ari −2 when the correction denominator
+    * is 0 (both partitions trivial).
+    */
+  def adjustedRandIndex(df: DataFrame, labelACol: String,
+      labelBCol: String): DataFrame = {
+    val ct = df.select(col(labelACol).as("la"), col(labelBCol).as("lb"))
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij"))
+    val idx = ct.agg(sum(expr("(nij * (nij - 1L)) div 2L")).as("idx_pairs"),
+      sum(col("nij")).as("n"))
+    val aSide = ct.groupBy(col("la")).agg(sum(col("nij")).as("ai"),
+        max(col("nij")).as("mx"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(expr("(ai * (ai - 1L)) div 2L")).as("a_pairs"),
+        sum(col("mx")).as("sum_max"))
+    val bSide = ct.groupBy(col("lb")).agg(sum(col("nij")).as("bj"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(expr("(bj * (bj - 1L)) div 2L")).as("b_pairs"))
+    idx.crossJoin(broadcast(aSide)).crossJoin(broadcast(bSide))
+      .withColumn("t_pairs", expr("(n * (n - 1L)) div 2L"))
+      .select(col("n"), col("n_clusters"), col("n_classes"),
+        col("idx_pairs"), col("a_pairs"), col("b_pairs"),
+        expr("(sum_max * 1000000L) div n").as("purity_e6"),
+        (lit(2L) * (col("idx_pairs") * col("t_pairs")
+          - col("a_pairs") * col("b_pairs"))).as("ari_num"),
+        ((col("a_pairs") + col("b_pairs")) * col("t_pairs")
+          - lit(2L) * col("a_pairs") * col("b_pairs")).as("ari_den"))
+      .withColumn("ari",
+        when(col("ari_den") =!= 0L,
+          col("ari_num").cast("double") / col("ari_den").cast("double"))
+          .otherwise(lit(-2d)))
+      .drop("ari_num", "ari_den")
+  }
 }

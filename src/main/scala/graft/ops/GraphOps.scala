@@ -634,4 +634,144 @@ object GraphOps {
       (col("dist") < Inf).as("reached"),
       lit(converged).as("converged"))
   }
+
+  /** L220 — MODULARITY of a node partition (Newman & Girvan 2004):
+    * the community-quality score Q = Σ_c [in_c/m − (d_c/2m)²] that
+    * prices a clustering of the link graph — "do my communities hold
+    * more internal edges than a random graph with the same degrees
+    * would" — the audit run after L116's label propagation or any CC
+    * labeling before the labels drive sampling/sharding decisions.
+    *
+    * Semantics: edges are treated as UNDIRECTED (each contributes 1
+    * to m and 2 to the degree sum; self-loops rejected loudly —
+    * their modularity convention is ambiguous and the engine's link
+    * graphs don't produce them). A node absent from `labels` fails
+    * loudly via an inner-join count check rather than silently
+    * dropping mass.
+    *
+    * Exactness: Q·4m² = Σ_c (4m·in_c − d_c²) is an exact BIGINT
+    * (bounded by 4m²·m — longs to m ≈ 10⁶ edges per audit,
+    * documented; at corpus scale the audit runs on the community
+    * subgraph sample), per-community contributions exact, Q itself
+    * one double division.
+    *
+    * Scale shape: two broadcast-free equi joins of edges → labels
+    * (keyed on each endpoint), one per-community agg, one total agg —
+    * nothing iterative, nothing pairwise.
+    *
+    * Input: edges (srcCol, dstCol) + labels (nodeCol, commCol).
+    * Output: per community (community, n_nodes, in_edges, degree_sum,
+    * q_num = 4m·in_c − d_c²) plus the scalars (m, q_den = 4m²) on
+    * every row — Q = Σ q_num / q_den.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // community ids normalize to strings so the loud-error branch
+    // (raise_error is string-typed) unifies with the label column
+    val lb = labels.select(col(nodeCol).cast("long").as("node"),
+      col(commCol).cast("string").as("comm"))
+    val tagged = ed
+      .join(lb.withColumnRenamed("node", "src")
+        .withColumnRenamed("comm", "cs"), Seq("src"), "left")
+      .join(lb.withColumnRenamed("node", "dst")
+        .withColumnRenamed("comm", "cd"), Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        when(col("cs").isNull || col("cd").isNull || col("src") === col("dst"),
+          raise_error(concat(lit("modularity: self-loop or unlabeled "),
+            lit("endpoint on edge "), col("src").cast("string"), lit("->"),
+            col("dst").cast("string"))).cast("string"))
+          .otherwise(col("cs")).as("cs"),
+        col("cd"))
+    // degree mass per community: each endpoint contributes 1
+    val deg = tagged.select(col("cs").as("comm"))
+      .unionByName(tagged.select(col("cd").as("comm")))
+      .groupBy(col("comm")).agg(count(lit(1)).as("degree_sum"))
+    val inc = tagged.filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("comm")).agg(count(lit(1)).as("in_edges"))
+    val nNodes = lb.groupBy(col("comm")).agg(count(lit(1)).as("n_nodes"))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    nNodes.join(deg, Seq("comm"), "left").join(inc, Seq("comm"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("comm").as("community"), col("n_nodes"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"), col("m"))
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("in_edges")
+          - col("degree_sum") * col("degree_sum"))
+      .withColumn("q_den", lit(4L) * col("m") * col("m"))
+  }
+
+  /** L222 — DEGREE ASSORTATIVITY (Newman 2002): the Pearson
+    * correlation of endpoint degrees across edges — "do hubs link to
+    * hubs (r > 0) or to leaves (r < 0)". A crawl graph's r is a
+    * link-farm signal: organic webs are disassortative, spam rings
+    * assortative — read before link-derived quality weights (L115)
+    * ship.
+    *
+    * Semantics: undirected convention — degree counts BOTH directions
+    * of the edge list's incidences, every edge contributes its
+    * endpoint pair once. r = (4M·Σjk − (Σ(j+k))²) /
+    * (2M·Σ(j²+k²) − (Σ(j+k))²) — per-edge terms and their sums are
+    * exact BIGINTs (j·k ≤ maxDeg², sums ≤ M·maxDeg²); the two final
+    * products overflow longs on hub-heavy graphs, so they are formed
+    * in DECIMAL(38,0) (the L157 discipline; DuckDB HUGEINT twin) and
+    * r is one double division of the two exact decimals.
+    *
+    * Scale shape: one degree agg, two endpoint equi joins, one global
+    * agg — the modularity shape, nothing iterative.
+    *
+    * Output: one row (m, s_jk, s_jpk, s_j2k2, r); r = −2 when the
+    * denominator is 0 (degree-regular graph).
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    ed.join(deg.withColumnRenamed("node", "src")
+        .withColumnRenamed("deg", "j"), Seq("src"))
+      .join(deg.withColumnRenamed("node", "dst")
+        .withColumnRenamed("deg", "k"), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("j") * col("k")).as("s_jk"),
+        sum(col("j") + col("k")).as("s_jpk"),
+        sum(col("j") * col("j") + col("k") * col("k")).as("s_j2k2"))
+      .withColumn("__num",
+        lit(4L).cast("decimal(38,0)") * col("m") * col("s_jk")
+          - col("s_jpk").cast("decimal(38,0)") * col("s_jpk"))
+      .withColumn("__den",
+        lit(2L).cast("decimal(38,0)") * col("m") * col("s_j2k2")
+          - col("s_jpk").cast("decimal(38,0)") * col("s_jpk"))
+      .select(col("m"), col("s_jk"), col("s_jpk"), col("s_j2k2"),
+        when(col("__den") =!= lit(0L).cast("decimal(38,0)"),
+          col("__num").cast("double") / col("__den").cast("double"))
+          .otherwise(lit(-2d)).as("r"))
+  }
+
+  /** L223 — EDGE RECIPROCITY: the fraction of directed edges whose
+    * reverse edge exists — the mutual-link rate that separates organic
+    * cross-citation from one-way link dumping (and, on the event
+    * graph, measures back-and-forth navigation). One distinct pass +
+    * one self equi semi-join on the swapped key — nothing quadratic.
+    *
+    * Output: one row (m, n_recip, recip_e6) over the DISTINCT edge
+    * set (duplicate directed edges collapse — documented; reciprocity
+    * is a property of the relation, not the multiset).
+    */
+  def reciprocity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val rec = ed.join(ed.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    ed.agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_recip"))))
+      .withColumn("recip_e6",
+        when(col("m") > 0L, expr("(n_recip * 1000000L) div m"))
+          .otherwise(lit(-1L)))
+  }
 }

@@ -653,6 +653,74 @@ object Multimodal {
           .otherwise(lit(-1L)))
   }
 
+  /** L214 — AUDIO METADATA AUDIT + PRIVACY SCRUB (the audio twin of
+    * [[imageMetaAudit]]): real encoder output gains spec-valid
+    * container tags (RIFF LIST/INFO sub-chunks for WAV, a FLAC
+    * VORBIS_COMMENT block plus optional PADDING), the byte-level probe
+    * reads them back, and [[graft.pipeline.AudioMeta.strip]] removes
+    * them all WITHOUT re-encoding — certified per row by a second
+    * probe AND a bit-exact decode comparison of both the tagged and
+    * the stripped container against the source quantized samples.
+    * This is the scrub an in-the-wild audio corpus needs before
+    * training: artist/device/location strings ride in exactly these
+    * structures.
+    *
+    * Input columns: id, kind ("wav" | "flac" | "flac_lpc"), q
+    * (array<int> of int16 sample values), n_fields (tags to mint),
+    * pad (FLAC-only: add a 64-byte PADDING block). One typed
+    * mapPartitions — per-row codec work only, no shuffle; at 100 TB
+    * this scales with executors exactly like the decode path.
+    *
+    * Output: (id, format, n_samples, n_fields, meta_bytes,
+    * n_fields_stripped, meta_bytes_stripped, decode_ok) — meta_bytes
+    * is the on-disk bytes the scrub reclaims (whole chunks/blocks
+    * including their headers), deterministic from the mint formula so
+    * the SQL oracle replays it; a wrong chunk walk, a strip that
+    * damages the container, or a metadata insert that perturbs the
+    * coded payload cannot hash-match.
+    */
+  def audioMetaAudit(df: DataFrame, idCol: String, kindCol: String,
+      qCol: String, nFieldsCol: String, padCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(kindCol).cast("string"),
+        col(qCol).cast("array<int>"), col(nFieldsCol).cast("int"),
+        col(padCol).cast("boolean"))
+      .as[(Long, String, Array[Int], Int, Boolean)]
+      .mapPartitions { it =>
+        import graft.pipeline.{AudioMeta, FlacAudio, WavAudio}
+        val wavKeys = Vector("INAM", "IART", "ICMT")
+        it.map { case (id, kind, q, nFields, pad) =>
+          require(nFields <= wavKeys.size,
+            s"audit mints at most ${wavKeys.size} fields, got $nFields")
+          val sam = q.map(_ / 32767f)
+          val value = "v%07d".format(id)
+          val tagged = kind match {
+            case "wav" =>
+              AudioMeta.wavWithInfo(WavAudio.encode(8000, sam),
+                (0 until nFields).map(i => (wavKeys(i), value)))
+            case "flac" | "flac_lpc" =>
+              val enc = FlacAudio.encode(8000, sam, lpc = kind == "flac_lpc")
+              val tag = AudioMeta.flacWithVorbisComment(enc, "graft0",
+                (0 until nFields).map(i => (s"K$i", value)))
+              if (pad) AudioMeta.flacWithPadding(tag, 64) else tag
+            case other => throw new IllegalArgumentException(
+              s"unknown audio kind $other")
+          }
+          val m1 = AudioMeta.probeMeta(tagged)
+          val stripped = AudioMeta.strip(tagged)
+          val m2 = AudioMeta.probeMeta(stripped)
+          def requant(bytes: Array[Byte]): Array[Int] =
+            WavAudio.decode(bytes)._2.map(v => math.round(v * 32768f))
+          val ok = java.util.Arrays.equals(requant(tagged), q) &&
+            java.util.Arrays.equals(requant(stripped), q)
+          (id, m1.format, q.length.toLong, m1.nFields, m1.metaBytes,
+            m2.nFields, m2.metaBytes, ok)
+        }
+      }
+      .toDF(idCol, "format", "n_samples", "n_fields", "meta_bytes",
+        "n_fields_stripped", "meta_bytes_stripped", "decode_ok")
+  }
+
   def amplitudeStats(audio: Dataset[graft.model.AudioFile],
       hotThreshold: Int): DataFrame = {
     import audio.sparkSession.implicits._

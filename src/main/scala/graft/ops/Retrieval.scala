@@ -135,4 +135,42 @@ object Retrieval {
         col("dcg_e6").cast("double") / col("idcg_e6").cast("double"))
         .otherwise(lit(0d)).as("ndcg"))
   }
+
+  /** L219 — AVERAGE PRECISION @ k (the binary-relevance companion to
+    * [[ndcgAtK]]): AP is the area under the precision-recall curve of
+    * one ranked list — the retrieval metric that, unlike nDCG,
+    * punishes EVERY relevant document pushed below an irrelevant one
+    * with weight 1/rank. Reported per query; the macro mean over
+    * queries is MAP.
+    *
+    * Exactness: precision at each relevant rank is e6-FLOORED
+    * ((tp_k·10⁶) div k — the defined-fold discipline both engines
+    * replay), summed exactly, then divided by the relevant count with
+    * one more floor. A grade > 0 counts as relevant (binary
+    * collapse, the TREC convention for graded corpora). No relevant
+    * docs in the ranking → ap_e6 = −1, loud.
+    *
+    * Scale shape: one cumulative window per query over ≤ k rows + one
+    * keyed agg — the ndcg shape.
+    *
+    * Input: (queryCol, rankCol 1-based, relCol ≥ 0) rows. Output:
+    * (query, n_ranked, n_rel, ap_e6).
+    */
+  def averagePrecisionAtK(ranked: DataFrame, queryCol: String,
+      rankCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col(rankCol))
+    ranked.filter(col(rankCol) <= k)
+      .withColumn("__b", (col(relCol) > 0L).cast("long"))
+      .withColumn("__tp", sum(col("__b")).over(w))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("__b")).as("n_rel"),
+        sum(when(col("__b") === 1L,
+          expr(s"(__tp * 1000000L) div $rankCol")).otherwise(0L))
+          .as("__sp"))
+      .withColumn("ap_e6",
+        when(col("n_rel") > 0L, expr("__sp div n_rel")).otherwise(lit(-1L)))
+      .drop("__sp")
+  }
 }

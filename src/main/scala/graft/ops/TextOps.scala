@@ -1180,4 +1180,73 @@ object TextOps {
         when(col("n_sents") > 0L && col("n_words") > 0L,
           expr("(390L * w_per_s_e3 + 11800L * syl_per_w_e3) div 1000L - 15590L"))
           .otherwise(lit(-999999L)))
+
+  /** L224 — MATTR lexical diversity (moving-average type-token ratio,
+    * Covington & McFall 2010): plain TTR shrinks with document length
+    * (Heaps' law — L202), so it cannot compare a tweet against a
+    * book; MATTR fixes the window. Per document: mean distinct-type
+    * count over every `w`-token sliding window, e6-floored —
+    * mattr_e6 = (Σ_i distinct(window_i) · 10⁶) div (w · nWindows).
+    * The length-robust companion to the L185 token Gini; low MATTR at
+    * normal length = template/boilerplate churn the repetition gates
+    * (L12) can miss.
+    *
+    * Scale shape: pure per-row HOF arithmetic (one `transform` +
+    * `aggregate` over the token array — constant expression size, the
+    * Hilbert L189 lesson), zero shuffle. O(n·w) per doc.
+    *
+    * Output: (id, n_tokens, n_windows, mattr_e6); docs shorter than
+    * `w` tokens flag −1 (loud, not a biased small-window estimate).
+    */
+  def mattr(df: DataFrame, idCol: String, toksCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2 && w <= 1000, s"need 2 <= w <= 1000, got $w")
+    df.select(col(idCol), col(toksCol).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_windows",
+        when(col("n_tokens") >= w, col("n_tokens") - (w - 1L))
+          .otherwise(lit(0L)))
+      .withColumn("mattr_e6",
+        when(col("n_windows") > 0L,
+          expr(s"""(aggregate(sequence(1, size(__toks) - ${w - 1}), 0L,
+            (acc, i) -> acc + size(array_distinct(slice(__toks, i, $w))))
+            * 1000000L) div (${w}L * (size(__toks) - ${w - 1}L))"""))
+          .otherwise(lit(-1L)))
+      .drop("__toks")
+  }
+
+  /** L225 — TERM BURSTINESS (Church & Gale 1995): the
+    * variance-to-mean ratio of a term's per-document counts over the
+    * documents that CONTAIN it (the occurrence-conditional convention,
+    * documented) — Poisson background words sit near VMR 1, content
+    * words burst (a term that appears appears in clumps). The
+    * content-word signal TF-IDF (L38) reads through df alone misses;
+    * burstiness separates "everywhere once" from "rarely but densely".
+    *
+    * Exactness: VMR = var/mean = (nΣx² − S²)/((n−1)·S) — exact
+    * BIGINTs, e6-floored once. Terms ranked by df with the term
+    * itself as tie-break; `topK` caps the output (the L38 posture).
+    *
+    * Scale shape: one (term, doc) map-side-combined count, one term
+    * rollup, then a DISTRIBUTED top-k (orderBy+limit →
+    * TakeOrderedAndProject — per-partition heaps, never a global
+    * sort; the t_collocations posture) with the term as tie-break.
+    *
+    * Output: (term, df, total, vmr_e6) for the topK terms by df.
+    */
+  def burstiness(df: DataFrame, idCol: String, toksCol: String,
+      minLen: Int, topK: Int): DataFrame = {
+    val td = df.select(col(idCol).as("__doc"),
+        explode(col(toksCol)).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .groupBy(col("term"), col("__doc")).agg(count(lit(1)).as("x"))
+    td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("x")).as("total"),
+        sum(col("x") * col("x")).as("ssq"))
+      .filter(col("df") >= 2L)
+      .orderBy(col("df").desc, col("term")).limit(topK)
+      .select(col("term"), col("df"), col("total"),
+        expr("((df * ssq - total * total) * 1000000L) div ((df - 1L) * total)")
+          .as("vmr_e6"))
+  }
 }

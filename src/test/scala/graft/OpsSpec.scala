@@ -3343,4 +3343,221 @@ class OpsSpec extends SparkSpec {
       assert(got(id) == dp(ref, hyp),
         s"pair $id: op ${got(id)} != dp ${dp(ref, hyp)} for $ref vs $hyp")
   }
+
+  test("L215 krippendorffAlpha: the classic 4-coder/12-unit nominal " +
+      "matrix with missing ratings; brute-force pair enumeration agrees") {
+    import graft.ops.EvalOps
+    // Krippendorff's canonical missing-data shape: 4 coders, 12 units,
+    // '.' = missing; unit 11 has only two ratings, none are dropped
+    // here (every unit has >= 2) — the dropped path is exercised below.
+    val matrix: Seq[(String, Seq[Int])] = Seq(
+      ("A", Seq(1, 2, 3, 3, 2, 1, 4, 1, 2, 0, 0, 0)),
+      ("B", Seq(1, 2, 3, 3, 2, 2, 4, 1, 2, 5, 0, 3)),
+      ("C", Seq(0, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, 3)),
+      ("D", Seq(1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, 0)))
+    val rows = for {
+      (_, vals) <- matrix
+      (v, u) <- vals.zipWithIndex if v != 0
+    } yield (u.toLong, s"v$v")
+    val r = EvalOps.krippendorffAlpha(rows.toDF("item", "cat"),
+      "item", "cat").head
+    // hand-checked: P = 2e6 (u2) + 4e6 (u6) + 2e6 (u8) = 8e6 over
+    // n = 42 pairable ratings; marginals 9/13/12/5/3 -> sc2 = 428
+    assert(r.getAs[Long]("n_items") == 12L
+      && r.getAs[Long]("n_dropped") == 0L
+      && r.getAs[Long]("n_values") == 5L
+      && r.getAs[Long]("do_e6") == 190476L
+      && r.getAs[Long]("de_e6") == 775842L, s"got $r")
+    assert(r.getAs[Double]("alpha") == (775842d - 190476d) / 775842d,
+      s"got $r")
+    // independent check: brute-force ordered-pair enumeration per unit
+    // with the same e6 floor replays do_e6 exactly
+    val byItem = rows.groupBy(_._1).filter(_._2.size >= 2)
+    val pE6 = byItem.values.map { rs =>
+      val vals = rs.map(_._2)
+      val m = vals.size.toLong
+      val disagree = (for (a <- vals; b <- vals) yield a != b)
+        .count(identity).toLong
+      disagree * 1000000L / (m - 1L)
+    }.sum
+    val n = byItem.values.map(_.size.toLong).sum
+    assert(r.getAs[Long]("do_e6") == pE6 / n, "brute-force mismatch")
+    // an unpairable unit is dropped and counted, never silently priced
+    val r2 = EvalOps.krippendorffAlpha(
+      (rows ++ Seq((99L, "v1"))).toDF("item", "cat"), "item", "cat").head
+    assert(r2.getAs[Long]("n_dropped") == 1L
+      && r2.getAs[Long]("do_e6") == r.getAs[Long]("do_e6"), s"got $r2")
+  }
+
+  test("L216 mcnemar: discordant cells only; concordant-only input " +
+      "flags -1") {
+    import graft.ops.EvalOps
+    // b = 3 (only A), c = 1 (only B) -> chisq = (3-1)^2/(3+1) = 1.0
+    val df = Seq((true, true), (true, true), (false, false),
+      (true, false), (true, false), (true, false), (false, true))
+      .toDF("a", "b")
+    val r = EvalOps.mcnemar(df, "a", "b").head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_both"),
+      r.getAs[Long]("n_only_a"), r.getAs[Long]("n_only_b"),
+      r.getAs[Long]("n_neither"), r.getAs[Long]("chisq_num"))
+      == ((7L, 2L, 3L, 1L, 1L, 4L)), s"got $r")
+    assert(r.getAs[Double]("chisq") == 1.0, s"got $r")
+    val r2 = EvalOps.mcnemar(Seq((true, true), (false, false))
+      .toDF("a", "b"), "a", "b").head
+    assert(r2.getAs[Double]("chisq") == -1.0, s"got $r2")
+  }
+
+  test("L217 spearmanRho: tie-respecting rho is exactly +-1 on monotone " +
+      "data with matching tie structure; constant signal flags -2") {
+    import graft.ops.EvalOps
+    // the exact-integer identity num = dx = dy proves rho = +-1 up to
+    // the sqrt(d)*sqrt(d) ulp (the double itself is deterministic —
+    // both engines evaluate the identical expression — just not
+    // exactly 1.0 when dx is not a perfect square)
+    val up = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L)).toDF("x", "y")
+    val comps = EvalOps.spearmanRho(up, "x", "y").head
+    assert(comps.getAs[Long]("n") == 4L
+      && comps.getAs[Long]("num") == comps.getAs[Long]("dx")
+      && comps.getAs[Long]("dx") == comps.getAs[Long]("dy"), s"got $comps")
+    assert(math.abs(comps.getAs[Double]("rho") - 1.0) < 1e-12, s"got $comps")
+    val down = Seq((1L, 40L), (2L, 20L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(math.abs(EvalOps.spearmanRho(down, "x", "y").head
+      .getAs[Double]("rho") + 1.0) < 1e-12)
+    val const = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    assert(EvalOps.spearmanRho(const, "x", "y").head
+      .getAs[Double]("rho") == -2.0)
+  }
+
+  test("L218 adjustedRandIndex: hand-checked contingency example; " +
+      "identical partitions score 1") {
+    import graft.ops.EvalOps
+    // A = [1,1,1,2,2,2], B = [1,1,2,2,2,2]: idx = 4, a = 6, b = 7,
+    // T = 15 -> ARI = 2(60-42)/(13*15-84) = 36/111; purity = 5/6
+    val df = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 2L), (2L, 2L),
+      (2L, 2L)).toDF("la", "lb")
+    val r = EvalOps.adjustedRandIndex(df, "la", "lb").head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_clusters"),
+      r.getAs[Long]("n_classes"), r.getAs[Long]("idx_pairs"),
+      r.getAs[Long]("a_pairs"), r.getAs[Long]("b_pairs"),
+      r.getAs[Long]("purity_e6"))
+      == ((6L, 2L, 2L, 4L, 6L, 7L, 833333L)), s"got $r")
+    assert(r.getAs[Double]("ari") == 36d / 111d, s"got $r")
+    val same = Seq((1L, 9L), (1L, 9L), (2L, 7L), (2L, 7L)).toDF("la", "lb")
+    assert(EvalOps.adjustedRandIndex(same, "la", "lb").head
+      .getAs[Double]("ari") == 1.0)
+  }
+
+  test("L219 averagePrecisionAtK: hand-checked floor-fold; no relevant " +
+      "docs flags -1") {
+    import graft.ops.Retrieval
+    // rel at ranks 1, 3, 5 -> floors 1e6, 666666, 600000; / 3 = 755555
+    val ranked = Seq(("q", 1L, 1L), ("q", 2L, 0L), ("q", 3L, 2L),
+      ("q", 4L, 0L), ("q", 5L, 1L), ("z", 1L, 0L), ("z", 2L, 0L))
+      .toDF("query", "rank", "rel")
+    val r = Retrieval.averagePrecisionAtK(ranked, "query", "rank", "rel",
+        k = 10)
+      .orderBy($"query").collect()
+    assert(r(0).getAs[Long]("n_rel") == 3L
+      && r(0).getAs[Long]("ap_e6") == 755555L, s"got ${r(0)}")
+    assert(r(1).getAs[Long]("ap_e6") == -1L, s"got ${r(1)}")
+  }
+
+  test("L220 modularity: two triangles + bridge score the textbook " +
+      "Q = 5/14; unlabeled endpoints fail loudly") {
+    import graft.ops.GraphOps
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"),
+      (5L, "y"), (6L, "y")).toDF("node", "comm")
+    val rows = GraphOps.modularity(edges, "src", "dst", labels, "node",
+        "comm")
+      .orderBy($"community").collect()
+    // m = 7; per community: in = 3, degree mass = 7 ->
+    // q_num = 4*7*3 - 49 = 35 each, q_den = 196, Q = 70/196 = 5/14
+    assert(rows.length == 2)
+    for (r <- rows)
+      assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("in_edges"),
+        r.getAs[Long]("degree_sum"), r.getAs[Long]("m"),
+        r.getAs[Long]("q_num"), r.getAs[Long]("q_den"))
+        == ((3L, 3L, 7L, 7L, 35L, 196L)), s"got $r")
+    // an edge endpoint missing from the labels is loud, never dropped
+    val bad = GraphOps.modularity(
+      Seq((1L, 2L), (2L, 9L)).toDF("src", "dst"),
+      "src", "dst", labels, "node", "comm")
+    intercept[Exception] { bad.collect() }
+  }
+
+  test("L222 assortativity: a path is perfectly disassortative (r = -1); " +
+      "a regular cycle flags -2") {
+    import graft.ops.GraphOps
+    // path 1-2-3: degrees 1,2,1; edge degree pairs (1,2),(2,1) ->
+    // Sjk=4, Sjpk=6, Sj2k2=10; num = 32-36 = -4, den = 40-36 = 4
+    val r = GraphOps.assortativity(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst").head
+    assert((r.getAs[Long]("m"), r.getAs[Long]("s_jk"),
+      r.getAs[Long]("s_jpk"), r.getAs[Long]("s_j2k2"))
+      == ((2L, 4L, 6L, 10L)), s"got $r")
+    assert(r.getAs[Double]("r") == -1.0, s"got $r")
+    // 3-cycle: all degrees 2 -> zero variance -> -2 flag
+    val c = GraphOps.assortativity(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"),
+      "src", "dst").head
+    assert(c.getAs[Double]("r") == -2.0, s"got $c")
+  }
+
+  test("L223 reciprocity: mutual pairs over the distinct edge set") {
+    import graft.ops.GraphOps
+    // (1,2) and (2,1) are mutual, (2,3) is not; the duplicate (1,2)
+    // collapses
+    val r = GraphOps.reciprocity(
+      Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst"),
+      "src", "dst").head
+    assert((r.getAs[Long]("m"), r.getAs[Long]("n_recip"),
+      r.getAs[Long]("recip_e6")) == ((3L, 2L, 666666L)), s"got $r")
+  }
+
+  test("L224 mattr: hand-checked windows; sub-window docs flag -1") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b")),      // windows {a,b,a},{b,a,b} -> 2+2
+      (2L, Seq("a", "b", "c", "d")),      // 3+3 -> exactly 1.0
+      (3L, Seq("a", "a", "a")),           // one window, 1 type
+      (4L, Seq("a", "b"))                 // shorter than w
+    ).toDF("id", "toks")
+    val got = TextOps.mattr(df, "id", "toks", w = 3)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("mattr_e6")))
+    assert(got.toSeq == Seq((1L, 2L, 666666L), (2L, 2L, 1000000L),
+      (3L, 1L, 333333L), (4L, 0L, -1L)), s"got ${got.toSeq}")
+  }
+
+  test("L225 burstiness: clumped terms score VMR > 1e6, uniform terms 0") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, Seq("zzzzz", "zzzzz", "zzzzz", "yyyyy")),
+      (2L, Seq("zzzzz", "yyyyy"))).toDF("id", "toks")
+    val got = TextOps.burstiness(df, "id", "toks", minLen = 5, topK = 10)
+      .orderBy($"term").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("df"),
+        r.getAs[Long]("total"), r.getAs[Long]("vmr_e6"))).toSeq
+    // zzzzz: counts (3,1) -> (2*10-16)e6/(1*4) = 1e6 (burst);
+    // yyyyy: counts (1,1) -> 0 (uniform)
+    assert(got == Seq(("yyyyy", 2L, 2L, 0L), ("zzzzz", 2L, 4L, 1000000L)),
+      s"got $got")
+  }
+
+  test("L227 mcc: hand-checked 2x2; a zero marginal flags -2") {
+    import graft.ops.EvalOps
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(3)((false, false))
+    val r = EvalOps.mcc(rows.toDF("g", "p"), "g", "p").head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+      r.getAs[Long]("tn"), r.getAs[Long]("mcc_num"))
+      == ((4L, 1L, 2L, 3L, 10L)), s"got $r")
+    assert(r.getAs[Double]("mcc") == 10d / math.sqrt(600d), s"got $r")
+    val degenerate = EvalOps.mcc(
+      Seq((true, true), (true, false)).toDF("g", "p"), "g", "p").head
+    assert(degenerate.getAs[Double]("mcc") == -2.0, s"got $degenerate")
+  }
 }

@@ -613,6 +613,34 @@ class PlanSpec extends SparkSpec {
       "dedup_affix_overlap must stay a gram equi join")
   }
 
+  test("round-10 wave-2 pins: agreement metrics and the audio scrub keep their shapes") {
+    // audio metadata audit + streaming twin: per-row codec/chunk work
+    // only — join-free plans end to end
+    for (q <- Seq("mm_audio_meta")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free")
+    }
+    // mcnemar: one map-side-combined 2x2 count — join-free, no hash
+    // shuffle (a single global agg)
+    val mc = plan("e_mcnemar")
+    assert(!mc.contains("Join"), "e_mcnemar must be join-free")
+    assert(!mc.contains("Exchange hashpartitioning"),
+      "e_mcnemar must not hash-shuffle")
+    // kripp/ARI/modularity/avg-precision: keyed rollups + broadcast
+    // 1-row folds — equi/broadcast joins only, never a cartesian
+    for (q <- Seq("e_kripp_alpha", "sim_cluster_ari", "g_modularity",
+        "r_avg_precision", "e_spearman")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // modularity's per-endpoint label joins must stay EQUI hash joins
+    // (broadcast at this scale — labels are node-sized; at corpus
+    // scale AQE picks SMJ on the same keys) — never nested-loop
+    val gm = plan("g_modularity")
+    assert(gm.contains("BroadcastHashJoin") || gm.contains("SortMergeJoin"),
+      "g_modularity label joins must be equi hash/merge joins")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so

@@ -615,4 +615,48 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq((1L, 1L), (2L, 0L)), s"got $rows")
     } finally q.stop()
   }
+
+  test("L221 streaming audio-metadata probe: the chunk walk is a pure " +
+      "per-row map — append mode, ZERO state operators") {
+    // Plan pin for the streaming_audio_meta shape (the L187 posture on
+    // audio): probing RIFF/FLAC tag structures at ingest is a typed
+    // map over arriving payloads — no aggregation, no join, no state
+    // store; a regression that introduces any stateful operator fails
+    // here before it costs memory at ingest scale.
+    import graft.pipeline.{AudioMeta, FlacAudio, WavAudio}
+    implicit val sqlCtx = spark.sqlContext
+    val sam = Array.tabulate(300)(i => ((i * 29 % 401) - 200) * 25 / 32767f)
+    val wav = AudioMeta.wavWithInfo(WavAudio.encode(8000, sam),
+      Seq(("INAM", "v0000001")))
+    val flac = AudioMeta.flacWithVorbisComment(
+      FlacAudio.encode(8000, sam), "graft0",
+      Seq(("K0", "v0000002"), ("K1", "v0000002")))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val probed = input.toDS().map { case (id, bytes) =>
+      val m = AudioMeta.probeMeta(bytes)
+      (id, m.format, m.nFields, m.metaBytes)
+    }.toDF("id", "format", "n_fields", "meta_bytes")
+    val q = probed.writeStream.outputMode("append")
+      .format("memory").queryName("sam_pin").start()
+    try {
+      input.addData((1L, wav), (2L, flac))
+      q.processAllAvailable()
+      val explained = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+        buf.toString
+      }
+      assert(!explained.contains("StateStore") &&
+        !explained.contains("StreamingSymmetricHashJoin"),
+        s"audio-meta probe must stay stateless:\n$explained")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected zero state operators, got ${
+          q.lastProgress.stateOperators.length}")
+      val rows = spark.table("sam_pin").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(rows == Seq((1L, "wav", 1L, 30L), (2L, "flac", 2L, 48L)),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
