@@ -876,6 +876,39 @@ private[graft] object QueriesAnalytics {
         |    ELSE -1.0 END AS chisq
         |FROM ag""".stripMargin)),
 
+    // L229 — exact two-sample Kolmogorov–Smirnov statistic between the
+    // even- and odd-event cents distributions: D·n_a·n_b is an exact
+    // BIGINT over the merged distinct-value domain (step functions
+    // change only at sample points — a scan of distinct values is the
+    // exact sup, not a grid estimate); the whole-shape drift test next
+    // to CUSUM's mean and the sketch's fixed quantiles.
+    Q("e_ks_test",
+      (s, dir) => {
+        val e = evPoints(s, dir)
+        EvalOps.ksTest(
+          e.filter(pmod(col("event_id"), lit(2L)) === 0L),
+          e.filter(pmod(col("event_id"), lit(2L)) === 1L), "cents")
+      },
+      Some("""WITH e AS (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT cents AS v,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na_v,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb_v
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb_v) AS BIGINT) AS n_b FROM m),
+        |c AS (SELECT SUM(na_v) OVER w AS ca, SUM(nb_v) OVER w AS cb
+        |  FROM m WINDOW w AS (ORDER BY v)),
+        |d AS (SELECT CAST(MAX(abs(t.n_b * c.ca - t.n_a * c.cb)) AS BIGINT)
+        |    AS d_num FROM c CROSS JOIN t)
+        |SELECT t.n_a, t.n_b, d.d_num,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(d.d_num AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE)
+        |    ELSE -1.0 END AS ks
+        |FROM t CROSS JOIN d""".stripMargin)),
+
     // L227 — Matthews correlation coefficient over minted gold/pred
     // streams: the imbalance-honest binary score; exact marginal
     // products, correctly-rounded IEEE sqrt of an exactly-represented

@@ -834,6 +834,51 @@ private[graft] object QueriesCore {
         |    ELSE -2.0 END AS r
         |FROM ag""".stripMargin)),
 
+    // L230 — NEIGHBORHOOD-JACCARD LINK PREDICTION on the event graph:
+    // exact Jaccard of hub-pruned neighborhoods for every pair sharing
+    // a neighbor (degCap 16 — the winnow posture makes the wedge join
+    // ≤ cap² per shared neighbor, and hubs carry no signal anyway);
+    // top-50 pairs via distributed TakeOrderedAndProject with a total
+    // deterministic tie-break.
+    Q("g_neighbor_jaccard",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.neighborJaccard(chain.unionByName(hubEdges), "src", "dst",
+          degCap = 16, topK = 50)
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |und AS (SELECT DISTINCT node, nbr FROM (
+        |    SELECT src AS node, dst AS nbr FROM ed
+        |    UNION ALL SELECT dst, src FROM ed) u WHERE node <> nbr),
+        |dgj AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1),
+        |pr AS (SELECT und.node, und.nbr FROM und
+        |  JOIN dgj ON dgj.node = und.nbr WHERE dgj.deg <= 16),
+        |pd AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS pdeg
+        |  FROM pr GROUP BY 1),
+        |cm AS (SELECT a.node AS u, b.node AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM pr a JOIN pr b ON a.nbr = b.nbr AND a.node < b.node
+        |  GROUP BY 1, 2),
+        |j AS (SELECT u, v, common, du.pdeg AS deg_u, dv.pdeg AS deg_v,
+        |    (common * 1000000) // (du.pdeg + dv.pdeg - common)
+        |      AS jaccard_e6
+        |  FROM cm JOIN pd du ON du.node = cm.u JOIN pd dv ON dv.node = cm.v)
+        |SELECT u, v, common, deg_u, deg_v,
+        |  CAST(jaccard_e6 AS BIGINT) AS jaccard_e6
+        |FROM j ORDER BY jaccard_e6 DESC, common DESC, u, v
+        |LIMIT 50""".stripMargin)),
+
     // L223 — EDGE RECIPROCITY of the event link graph: mutual-link
     // rate over the distinct directed edge set — one distinct pass +
     // one swapped-key semi-join, e6-floored rate.

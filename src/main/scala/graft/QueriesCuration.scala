@@ -512,6 +512,57 @@ private[graft] object QueriesCuration {
     // alpha-word fraction, stop-word floor). Gate booleans decided in
     // exact integer arithmetic; ratios reported as single divisions.
     // Pure per-row expressions — the whole filter is one codegen'd map.
+    // L228 — QUALITY-GATE ATTRITION REPORT: per gate, total fails and
+    // UNIQUE fails (docs only that gate kills) from one bitmask pass
+    // — the redundancy audit a filter cascade ships with (zero unique
+    // kills = the gate is dead weight; many = it deserves its own
+    // calibration). Four real gates over documents: length band, word
+    // count, mean word length band, distinct-token ratio.
+    Q("c_gate_attrition",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            TextOps.tokens(col("text")).as("toks"))
+          .withColumn("nt", size(col("toks")).cast("long"))
+        Curation.gateAttrition(base, Seq(
+            "distinct" -> (expr("size(array_distinct(toks)) * 100")
+              >= col("nt") * 30L),
+            "len" -> col("n_chars").between(100L, 20000L),
+            "word_len" -> (col("nt") > 0L
+              && expr("(n_chars * 10) div nt").between(30L, 120L)),
+            "words" -> (col("nt") >= 20L)))
+          .orderBy(col("gate"))
+      },
+      Some("""WITH d2 AS (SELECT doc_id, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |g AS (SELECT
+        |    len(list_distinct(toks)) * 100 >= len(toks) * 30 AS g0,
+        |    n_chars BETWEEN 100 AND 20000 AS g1,
+        |    len(toks) > 0 AND (n_chars * 10) // len(toks)
+        |      BETWEEN 30 AND 120 AS g2,
+        |    len(toks) >= 20 AS g3
+        |  FROM d2),
+        |mk AS (SELECT (CASE WHEN g0 THEN 0 ELSE 1 END)
+        |    + (CASE WHEN g1 THEN 0 ELSE 2 END)
+        |    + (CASE WHEN g2 THEN 0 ELSE 4 END)
+        |    + (CASE WHEN g3 THEN 0 ELSE 8 END) AS mask FROM g),
+        |h AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM mk GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN mask <> 0 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_killed FROM h),
+        |gates(gate, i) AS (VALUES ('distinct', 0), ('len', 1),
+        |  ('word_len', 2), ('words', 3)),
+        |pg AS (SELECT gate,
+        |    CAST(COALESCE(SUM(CASE WHEN (mask // (1 << i)) % 2 = 1
+        |      THEN n END), 0) AS BIGINT) AS n_fail,
+        |    CAST(COALESCE(SUM(CASE WHEN mask = (1 << i) THEN n END), 0)
+        |      AS BIGINT) AS n_unique_fail
+        |  FROM gates CROSS JOIN h GROUP BY gate)
+        |SELECT gate, n_fail, n_unique_fail, tot.n_docs, tot.n_killed
+        |FROM pg CROSS JOIN tot ORDER BY gate""".stripMargin)),
+
     Q("c_gopher_gates",
       (s, dir) => Curation.gopherGates(
           Tables.documents(s, dir), "doc_id", "text",

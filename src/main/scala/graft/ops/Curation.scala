@@ -2358,4 +2358,50 @@ object Curation {
       .select(col("src").as("source"), col("rank"), col("w").as("token"),
         col("sa").as("share_a_e6"), col("sb").as("share_b_e6"), col("drift"))
   }
+
+  /** L228 — QUALITY-GATE ATTRITION REPORT: the per-gate accounting a
+    * filter cascade (L34's Gopher gates, L17's composites) ships with
+    * — for each gate, how many documents it fails (`n_fail`) and how
+    * many it is the ONLY gate to fail (`n_unique_fail`). The unique
+    * column is the gate's marginal value: a gate with many fails but
+    * zero unique kills is redundant with the rest of the cascade and
+    * can be dropped without changing the corpus; one with a large
+    * unique count is load-bearing and deserves its own calibration
+    * (L81/L103). Computed from ONE pass: the per-doc fail bitmask is
+    * a single projection, the pattern histogram one ≤ 2^k agg, and
+    * the per-gate readout unfolds the tiny histogram — never k
+    * separate scans.
+    *
+    * Input: any frame + up to 16 named boolean PASS-columns (true =
+    * survives). Output: per gate (gate, n_fail, n_unique_fail) plus
+    * the scalars (n_docs, n_killed) on every row.
+    */
+  def gateAttrition(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty && gates.size <= 16,
+      s"need 1..16 gates, got ${gates.size}")
+    val spark = df.sparkSession
+    val mask = gates.zipWithIndex
+      .map { case ((_, c), i) =>
+        when(c, lit(0L)).otherwise(lit(1L << i)) }
+      .reduce(_ + _)
+    val hist = df.select(mask.as("fail_mask"))
+      .groupBy(col("fail_mask")).agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("fail_mask") =!= 0L, col("n")).otherwise(0L))
+        .as("n_killed"))
+    import spark.implicits._
+    val gateIdx = gates.zipWithIndex
+      .map { case ((name, _), i) => (name, i.toLong) }
+      .toDF("gate", "__i")
+    broadcast(gateIdx).join(hist,
+        expr("(fail_mask div CAST(pow(2, __i) AS BIGINT)) % 2 = 1"), "left")
+      .groupBy(col("gate"), col("__i"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_fail"),
+        coalesce(sum(when(col("fail_mask") === expr(
+          "CAST(pow(2, __i) AS BIGINT)"), col("n")).otherwise(0L)), lit(0L))
+          .as("n_unique_fail"))
+      .crossJoin(broadcast(tot))
+      .select(col("gate"), col("n_fail"), col("n_unique_fail"),
+        col("n_docs"), col("n_killed"))
+  }
 }

@@ -1017,6 +1017,56 @@ object EvalOps {
           .otherwise(lit(-2d)))
   }
 
+  /** L229 — TWO-SAMPLE KOLMOGOROV–SMIRNOV STATISTIC, exact: D =
+    * max_v |F_a(v) − F_b(v)| over the merged value domain — the
+    * distribution-drift test that reads the WHOLE shape where CUSUM
+    * (L89) reads the mean and the quantile sketch (L45) fixed points.
+    * The number a feed audit reports when "same mean, different
+    * distribution" is the failure mode (a quality-score distribution
+    * silently bimodalizing).
+    *
+    * Exactness: with integer values, D·n_a·n_b = max over distinct
+    * values of |n_b·cumcount_a − n_a·cumcount_b| is an exact BIGINT;
+    * D itself one double division. Step functions only change at
+    * sample points, so scanning distinct values is exact, not a grid
+    * approximation.
+    *
+    * Scale shape: one hash agg to the distinct-value table, then one
+    * ordered window over it — DOMAIN-BOUNDED (distinct values, the
+    * EER/quantile-norm single-partition posture; integer-valued
+    * scores make this ≤ value-range rows, documented tradeoff for
+    * exact sup semantics).
+    *
+    * Output: one row (n_a, n_b, d_num, ks); either side empty → −1.
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = a.select(col(valCol).cast("long").as("v"))
+      .withColumn("__ca", lit(1L)).withColumn("__cb", lit(0L))
+      .unionByName(b.select(col(valCol).cast("long").as("v"))
+        .withColumn("__ca", lit(0L)).withColumn("__cb", lit(1L)))
+      .groupBy(col("v"))
+      .agg(sum(col("__ca")).as("na_v"), sum(col("__cb")).as("nb_v"))
+    val tot = merged.agg(coalesce(sum(col("na_v")), lit(0L)).as("n_a"),
+      coalesce(sum(col("nb_v")), lit(0L)).as("n_b"))
+    val w = Window.orderBy(col("v"))
+    merged
+      .withColumn("ca", sum(col("na_v")).over(w))
+      .withColumn("cb", sum(col("nb_v")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(abs(col("n_b") * col("ca") - col("n_a") * col("cb")))
+          .as("d_num"))
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("d_num"), lit(0L)).as("d_num"))
+      .withColumn("ks",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("d_num").cast("double")
+            / (col("n_a") * col("n_b")).cast("double"))
+          .otherwise(lit(-1d)))
+  }
+
   /** L227 — MATTHEWS CORRELATION COEFFICIENT: the single-number
     * binary-classification score that stays honest under class
     * imbalance (accuracy and F1 both saturate when one class

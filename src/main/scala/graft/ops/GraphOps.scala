@@ -752,6 +752,58 @@ object GraphOps {
           .otherwise(lit(-2d)).as("r"))
   }
 
+  /** L230 — NEIGHBORHOOD-JACCARD LINK PREDICTION: for node pairs that
+    * share at least one neighbor, the exact Jaccard of their (pruned)
+    * neighborhoods — the classic common-neighbors signal for entity
+    * resolution on co-citation graphs ("two domains cited by the same
+    * pages are probably related") and the L116-adjacent merge score.
+    *
+    * Scale contract: a hub neighbor manufactures deg² candidate pairs
+    * and carries no signal (everyone shares the hub), so nodes with
+    * degree > `degCap` are PRUNED from every neighborhood before
+    * anything pairs — the winnow/df-cap posture, part of the
+    * operator's definition (the oracle replays the same pruned
+    * universe; documented, not a silent approximation). The wedge
+    * join is then bounded by degCap per shared neighbor. Top-k pairs
+    * by (jaccard, common, pair) via distributed
+    * TakeOrderedAndProject.
+    *
+    * Output: (u, v, common, deg_u, deg_v, jaccard_e6), u < v.
+    */
+  def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      degCap: Int, topK: Int): DataFrame = {
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val und = ed.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(ed.select(col("dst").as("node"), col("src").as("nbr")))
+      .filter(col("node") =!= col("nbr")).distinct()
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // prune hub NEIGHBORS from every neighborhood (degree of the
+    // neighbor itself, not of the owning node)
+    val pruned = und
+      .join(deg.withColumnRenamed("node", "nbr")
+        .withColumnRenamed("deg", "__nd"), Seq("nbr"))
+      .filter(col("__nd") <= degCap)
+      .select(col("node"), col("nbr"))
+    val pdeg = pruned.groupBy(col("node")).agg(count(lit(1)).as("pdeg"))
+    val common = pruned.select(col("nbr").as("w"), col("node").as("u"))
+      .join(pruned.select(col("nbr").as("w"), col("node").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    common
+      .join(pdeg.withColumnRenamed("node", "u")
+        .withColumnRenamed("pdeg", "deg_u"), Seq("u"))
+      .join(pdeg.withColumnRenamed("node", "v")
+        .withColumnRenamed("pdeg", "deg_v"), Seq("v"))
+      .withColumn("jaccard_e6",
+        expr("(common * 1000000L) div (deg_u + deg_v - common)"))
+      .select(col("u"), col("v"), col("common"), col("deg_u"),
+        col("deg_v"), col("jaccard_e6"))
+      .orderBy(col("jaccard_e6").desc, col("common").desc, col("u"),
+        col("v"))
+      .limit(topK)
+  }
+
   /** L223 — EDGE RECIPROCITY: the fraction of directed edges whose
     * reverse edge exists — the mutual-link rate that separates organic
     * cross-citation from one-way link dumping (and, on the event

@@ -3547,6 +3547,62 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L228 gateAttrition: unique kills separate load-bearing gates " +
+      "from redundant ones") {
+    import graft.ops.Curation
+    // d1 passes all; d2 fails A only; d3 fails B only; d4 fails A+B;
+    // d5 fails all; d6 passes all
+    val df = Seq(
+      (1L, true, true, true), (2L, false, true, true),
+      (3L, true, false, true), (4L, false, false, true),
+      (5L, false, false, false), (6L, true, true, true))
+      .toDF("id", "a", "b", "c")
+    val got = Curation.gateAttrition(df,
+        Seq("a" -> $"a", "b" -> $"b", "c" -> $"c"))
+      .orderBy($"gate").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_fail"),
+        r.getAs[Long]("n_unique_fail"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_killed"))).toSeq
+    assert(got == Seq(("a", 3L, 1L, 6L, 4L), ("b", 3L, 1L, 6L, 4L),
+      ("c", 1L, 0L, 6L, 4L)), s"got $got")
+  }
+
+  test("L229 ksTest: identical samples score 0, disjoint samples 1; " +
+      "empty side flags -1") {
+    import graft.ops.EvalOps
+    val x = Seq(1L, 2L, 3L).toDF("v")
+    assert(EvalOps.ksTest(x, x, "v").head.getAs[Long]("d_num") == 0L)
+    val a = Seq(1L, 1L, 2L).toDF("v")
+    val b = Seq(3L, 3L, 4L).toDF("v")
+    val r = EvalOps.ksTest(a, b, "v").head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("d_num")) == ((3L, 3L, 9L)), s"got $r")
+    assert(r.getAs[Double]("ks") == 1.0, s"got $r")
+    val e = EvalOps.ksTest(a.filter($"v" > 99L), b, "v").head
+    assert(e.getAs[Double]("ks") == -1.0, s"got $e")
+  }
+
+  test("L230 neighborJaccard: hand-checked triangle + hub; the hub is " +
+      "pruned from neighborhoods but still pairs as an owner") {
+    import graft.ops.GraphOps
+    // triangle 1-2-3 plus hub 9 -> {1..5}; degCap 3 prunes 9 (deg 5)
+    // from every neighborhood; 9's own (pruned) neighborhood keeps
+    // its low-degree members
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (9L, 1L), (9L, 2L),
+      (9L, 3L), (9L, 4L), (9L, 5L)).toDF("src", "dst")
+    val got = GraphOps.neighborJaccard(edges, "src", "dst", degCap = 3,
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("common"), r.getAs[Long]("jaccard_e6"))).toSeq
+    assert(got.size == 6, s"got $got")
+    // (x,9) pairs: common 2 of pruned degs 2 and 5 -> 2e6/5 = 400000;
+    // triangle pairs: 1 of 2,2 -> 1e6/3 = 333333
+    assert(got.take(3).toSet
+      == Set((1L, 9L, 2L, 400000L), (2L, 9L, 2L, 400000L),
+        (3L, 9L, 2L, 400000L)), s"got $got")
+    assert(got.drop(3).map(_._4).forall(_ == 333333L), s"got $got")
+  }
+
   test("L227 mcc: hand-checked 2x2; a zero marginal flags -2") {
     import graft.ops.EvalOps
     val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++

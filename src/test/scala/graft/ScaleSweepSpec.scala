@@ -324,6 +324,23 @@ class ScaleSweepSpec extends SparkSpec {
     })
   }
 
+  test("L230 neighborJaccard stays near-linear under ×9 edge scale " +
+      "(the degCap bounds the wedge join)") {
+    // chain + skip edges keep every degree ≤ 4, far under the cap, so
+    // the wedge join is O(|E|·cap); a regression that drops the
+    // neighbor pruning (hub blowup) or pairs owners quadratically
+    // shows here.
+    sweep("neighbor_jaccard", s => {
+      val n = 30000L * s
+      val chain = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1L) % n).as("dst"))
+      val skip = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 7L) % n).as("dst"))
+      graft.ops.GraphOps.neighborJaccard(chain.unionByName(skip),
+        "src", "dst", degCap = 16, topK = 50).count()
+    })
+  }
+
   test("L196 weighted SSSP relaxation stays near-linear under ×9 edge scale") {
     // identical join+min-agg shape as BFS plus the per-edge weight add
     // and the fingerprint witness per round — the sweep guards the
