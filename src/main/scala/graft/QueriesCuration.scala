@@ -512,6 +512,56 @@ private[graft] object QueriesCuration {
     // alpha-word fraction, stop-word floor). Gate booleans decided in
     // exact integer arithmetic; ratios reported as single divisions.
     // Pure per-row expressions — the whole filter is one codegen'd map.
+    // L233 — LICENSE / RIGHTS-MARKER SCAN: per source, how many
+    // documents carry SPDX identifiers, copyright lines, or
+    // all-rights-reserved notices (markers minted onto deterministic
+    // doc slices) — the provenance census a code/web corpus runs
+    // before license-conditioned filtering; detection is
+    // case-insensitive substring on the raw text, one pass.
+    Q("c_license_scan",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .withColumn("t", lower(concat(col("text"),
+            when(pmod(col("doc_id"), lit(7L)) === 0L,
+              lit(" SPDX-License-Identifier: MIT")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11L)) === 0L,
+              lit(" Copyright (c) 2019 Example Corp")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13L)) === 0L,
+              lit(" All rights reserved.")).otherwise(lit("")))))
+        base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("t").contains("spdx-license-identifier"), 1L)
+              .otherwise(0L)).as("n_spdx"),
+            sum(when(col("t").contains("copyright"), 1L).otherwise(0L))
+              .as("n_copyright"),
+            sum(when(col("t").contains("all rights reserved"), 1L)
+              .otherwise(0L)).as("n_rights"),
+            sum(when(col("t").contains("spdx-license-identifier")
+              || col("t").contains("copyright")
+              || col("t").contains("all rights reserved"), 1L)
+              .otherwise(0L)).as("n_any"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d2 AS (SELECT source, lower(text
+        |    || CASE WHEN doc_id % 7 = 0
+        |      THEN ' SPDX-License-Identifier: MIT' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |      THEN ' Copyright (c) 2019 Example Corp' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |      THEN ' All rights reserved.' ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN contains(t, 'spdx-license-identifier')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spdx,
+        |  CAST(SUM(CASE WHEN contains(t, 'copyright') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_copyright,
+        |  CAST(SUM(CASE WHEN contains(t, 'all rights reserved')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rights,
+        |  CAST(SUM(CASE WHEN contains(t, 'spdx-license-identifier')
+        |    OR contains(t, 'copyright') OR contains(t, 'all rights reserved')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+        |FROM d2 GROUP BY source ORDER BY source""".stripMargin)),
+
     // L228 — QUALITY-GATE ATTRITION REPORT: per gate, total fails and
     // UNIQUE fails (docs only that gate kills) from one bitmask pass
     // — the redundancy audit a filter cascade ships with (zero unique

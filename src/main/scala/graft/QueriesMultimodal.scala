@@ -803,6 +803,41 @@ private[graft] object QueriesMultimodal {
         |  CAST(8 + doc_id % 7 AS BIGINT) AS height
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
 
+    // L235 — PDF STRUCTURAL PROBE: version, object/page counts,
+    // trailer /Encrypt, and startxref→xref agreement read from the raw
+    // bytes of minted spec-valid files (byte-accurate xref offsets) —
+    // the ingest gate a document crawl applies before the text
+    // extractor (encrypted/xref-broken files route to the S10 failed
+    // path); never decompresses a stream. The oracle replays every
+    // count from the mint formulas; the hand-laid literal pin lives in
+    // the spec.
+    Q("mm_pdf_probe",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val probed = base.map { id =>
+          import graft.pipeline.PdfProbe
+          val bytes = PdfProbe.mint((4 + id % 4).toInt, (1 + id % 5).toInt,
+            encrypt = id % 6 == 0)
+          val p = PdfProbe.probe(bytes)
+          (id, p.versionMinor, p.nObjects, p.nPages, p.pagesCount,
+            p.hasEncrypt, p.xrefOk)
+        }.toDF("doc_id", "version_minor", "n_objects", "n_pages",
+          "pages_count", "has_encrypt", "xref_ok")
+        probed.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST(4 + doc_id % 4 AS BIGINT) AS version_minor,
+        |  CAST(2 + (1 + doc_id % 5)
+        |    + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_objects,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS pages_count,
+        |  doc_id % 6 = 0 AS has_encrypt,
+        |  TRUE AS xref_ok
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
     // L221 — streaming audio-metadata probe (L214∘streaming, the L187
     // pattern): tagged WAV/FLAC payloads PROBED AS THEY ARRIVE —
     // byte-level chunk/block walk only, never a sample decode —

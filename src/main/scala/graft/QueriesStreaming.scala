@@ -298,6 +298,63 @@ private[graft] object QueriesStreaming {
     // per-lang aggregation run to completion with Trigger.AvailableNow
     // into a memory sink. One batch pass = the batch rollup exactly, so
     // the batch SQL is a true oracle for the streaming trace.
+    // L232 — STREAMING GATE-ATTRITION MONITOR (L228∘streaming): the
+    // per-doc fail bitmask is a stateless projection on arriving
+    // documents; the only state the complete-mode ≤ 2^k pattern
+    // histogram — run to completion it equals the batch mask
+    // histogram exactly (same gates as c_gate_attrition, whose
+    // per-gate table unfolds from this histogram). Watching cascade
+    // kill-patterns drift live as a crawl lands.
+    Q("streaming_gate_attrition",
+      (s, dir) => withStreamingPartitions(s) {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "sga_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, path, "documents.parquet"))
+        val masked = s.readStream.schema(schema).parquet(srcDir)
+          .select(col("doc_id"), col("n_chars"),
+            TextOps.tokens(col("text")).as("toks"))
+          .withColumn("nt", size(col("toks")).cast("long"))
+          .select((
+            when(expr("size(array_distinct(toks)) * 100") >= col("nt") * 30L,
+              lit(0L)).otherwise(lit(1L))
+            + when(col("n_chars").between(100L, 20000L), lit(0L))
+              .otherwise(lit(2L))
+            + when(col("nt") > 0L
+                && expr("(n_chars * 10) div nt").between(30L, 120L),
+              lit(0L)).otherwise(lit(4L))
+            + when(col("nt") >= 20L, lit(0L)).otherwise(lit(8L)))
+            .as("fail_mask"))
+          .groupBy(col("fail_mask")).agg(count(lit(1)).as("n"))
+        val q = masked.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("fail_mask"))
+      },
+      Some("""WITH d2 AS (SELECT doc_id, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |g AS (SELECT
+        |    len(list_distinct(toks)) * 100 >= len(toks) * 30 AS g0,
+        |    n_chars BETWEEN 100 AND 20000 AS g1,
+        |    len(toks) > 0 AND (n_chars * 10) // len(toks)
+        |      BETWEEN 30 AND 120 AS g2,
+        |    len(toks) >= 20 AS g3
+        |  FROM d2),
+        |mk AS (SELECT (CASE WHEN g0 THEN 0 ELSE 1 END)
+        |    + (CASE WHEN g1 THEN 0 ELSE 2 END)
+        |    + (CASE WHEN g2 THEN 0 ELSE 4 END)
+        |    + (CASE WHEN g3 THEN 0 ELSE 8 END) AS fail_mask FROM g)
+        |SELECT CAST(fail_mask AS BIGINT) AS fail_mask,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM mk GROUP BY 1 ORDER BY fail_mask""".stripMargin)),
+
     // L226 — STREAMING McNEMAR MONITOR (L216∘streaming): the paired
     // A/B of two classifiers scored AT INGEST — per-row correctness
     // mints are stateless projections, the only state the single

@@ -618,7 +618,86 @@ FROM ag ORDER BY lang""")),
         |SELECT term, df, total,
         |  CAST(((df * ssq - total * total) * 1000000)
         |    // ((df - 1) * total) AS BIGINT) AS vmr_e6
-        |FROM top ORDER BY term""".stripMargin))
+        |FROM top ORDER BY term""".stripMargin)),
+
+    // L231 — OCR ARTIFACT GATE: scanned-text damage signatures counted
+    // exactly — single-letter scatter, hyphen line-break stubs,
+    // letter/digit confusion tokens — over documents with minted
+    // damage on every 4th doc (3 singles + 1 hyphen stub + 1 mixed);
+    // rates e6-floored, gate at 3%. Artifacts mint fake vocabulary and
+    // poison shingles, so this runs before tokenizer training.
+    Q("t_ocr_artifacts",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .withColumn("text2",
+            when(pmod(col("doc_id"), lit(4L)) === 0L,
+              concat(col("text"), lit(" a b c inter- l0ve")))
+              .otherwise(col("text")))
+          .select(col("doc_id"), TextOps.tokens(col("text2")).as("toks"))
+        TextOps.ocrArtifacts(base, "doc_id", "toks", thresholdE6 = 30000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' a b c inter- l0ve'
+        |      ELSE text END AS t FROM documents),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(t, ' '), x -> x != '') AS toks
+        |  FROM d2),
+        |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '^[A-Za-z]$'))) AS BIGINT) AS n_single,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '^.*[A-Za-z]-$'))) AS BIGINT)
+        |      AS n_hyphen_break,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t,
+        |      '^[A-Za-z]+[0-9]+[A-Za-z]+[A-Za-z0-9]*$'))) AS BIGINT)
+        |      AS n_mixed
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, n_single, n_hyphen_break, n_mixed,
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN ((n_single + n_hyphen_break + n_mixed) * 1000000)
+        |      // n_tokens
+        |    ELSE -1 END AS BIGINT) AS artifact_rate_e6,
+        |  CASE WHEN n_tokens > 0
+        |    THEN ((n_single + n_hyphen_break + n_mixed) * 1000000)
+        |      // n_tokens >= 30000
+        |    ELSE FALSE END AS ocr_suspect
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // L234 — CODE-VS-PROSE SIGNALS: semicolon/brace/assignment counts
+    // and symbol density via length-difference regexp strips, with a
+    // code snippet minted onto every 5th doc; the routing gate a mixed
+    // crawl applies before the code and prose pipelines diverge.
+    Q("t_code_detect",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .withColumn("text2",
+            when(pmod(col("doc_id"), lit(5L)) === 0L,
+              concat(col("text"), lit(" {x=1; y[2]=f(x);}")))
+              .otherwise(col("text")))
+        TextOps.codeSignals(base, "doc_id", "text2")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' {x=1; y[2]=f(x);}'
+        |      ELSE text END AS t FROM documents),
+        |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+        |    CAST(len(t) - len(regexp_replace(t, ';', '', 'g')) AS BIGINT)
+        |      AS n_semis,
+        |    CAST(len(t) - len(regexp_replace(t, '[{}\[\]]', '', 'g'))
+        |      AS BIGINT) AS n_braces,
+        |    CAST(len(t) - len(regexp_replace(t, '=', '', 'g')) AS BIGINT)
+        |      AS n_eq,
+        |    CAST(CASE WHEN len(t) > 0 THEN
+        |      ((len(t) - len(regexp_replace(t, '[^A-Za-z0-9 ]', '', 'g')))
+        |        * 1000000) // len(t)
+        |      ELSE -1 END AS BIGINT) AS symbol_e6
+        |  FROM d2)
+        |SELECT doc_id, n_chars, n_semis, n_braces, n_eq, symbol_e6,
+        |  (CASE WHEN n_semis > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_braces > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN symbol_e6 >= 50000 THEN 1 ELSE 0 END) >= 2 AS is_code
+        |FROM c ORDER BY doc_id""".stripMargin))
   ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry :+ scriptMixEntry
 
   /** L194 — charset/script composition gate: exact per-class counts

@@ -1249,4 +1249,71 @@ object TextOps {
         expr("((df * ssq - total * total) * 1000000L) div ((df - 1L) * total)")
           .as("vmr_e6"))
   }
+
+  /** L231 — OCR ARTIFACT GATE: the damage signatures of scanned-text
+    * ingestion, counted exactly per document — single-character
+    * alphabetic tokens (letter scatter from broken glyph boxes),
+    * hyphen-terminated tokens (unjoined line-break hyphenation), and
+    * letter↔digit confusion tokens (l/1, O/0 substitution mints mixed
+    * alphanumeric "words"). A corpus with a high artifact rate needs
+    * re-OCR or dehyphenation BEFORE tokenizer training — these
+    * artifacts mint vocabulary (L37/L52) and poison dedup shingles.
+    * Pure per-row array filters, zero shuffle; rates e6-floored over
+    * the token count.
+    *
+    * Output: (id, n_tokens, n_single, n_hyphen_break, n_mixed,
+    * artifact_rate_e6, ocr_suspect at >= thresholdE6).
+    */
+  def ocrArtifacts(df: DataFrame, idCol: String, toksCol: String,
+      thresholdE6: Long): DataFrame =
+    df.select(col(idCol), col(toksCol).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_single", expr(
+        """size(filter(__toks, t -> t rlike '^[A-Za-z]$'))""").cast("long"))
+      .withColumn("n_hyphen_break", expr(
+        """size(filter(__toks, t -> t rlike '^.*[A-Za-z]-$'))""").cast("long"))
+      .withColumn("n_mixed", expr(
+        """size(filter(__toks, t ->
+          t rlike '^[A-Za-z]+[0-9]+[A-Za-z]+[A-Za-z0-9]*$'))""").cast("long"))
+      .withColumn("artifact_rate_e6",
+        when(col("n_tokens") > 0L, expr(
+          "((n_single + n_hyphen_break + n_mixed) * 1000000L) div n_tokens"))
+          .otherwise(lit(-1L)))
+      .withColumn("ocr_suspect",
+        col("artifact_rate_e6") >= thresholdE6)
+      .drop("__toks")
+
+  /** L234 — CODE-VS-PROSE SIGNALS: the structural counts a code-corpus
+    * gate (The Stack-style) reads before routing a document to the
+    * code or prose pipeline — semicolons, braces/brackets, assignment
+    * operators, and the overall symbol density (non-alphanumeric,
+    * non-space characters per char). All exact integers via
+    * length-difference regexp strips (the L194 charset discipline);
+    * the classification is a threshold projection the caller owns.
+    *
+    * Output: (id, n_chars, n_semis, n_braces, n_eq, symbol_e6,
+    * is_code at the documented 2-of-3 rule).
+    */
+  def codeSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("n_chars", length(col("__t")).cast("long"))
+      .withColumn("n_semis",
+        (length(col("__t"))
+          - length(regexp_replace(col("__t"), ";", ""))).cast("long"))
+      .withColumn("n_braces",
+        (length(col("__t"))
+          - length(regexp_replace(col("__t"), "[{}\\[\\]]", ""))).cast("long"))
+      .withColumn("n_eq",
+        (length(col("__t"))
+          - length(regexp_replace(col("__t"), "=", ""))).cast("long"))
+      .withColumn("symbol_e6",
+        when(col("n_chars") > 0L,
+          expr("""((n_chars - length(regexp_replace(__t,
+            '[^A-Za-z0-9 ]', ''))) * 1000000L) div n_chars"""))
+          .otherwise(lit(-1L)))
+      .withColumn("is_code",
+        (when(col("n_semis") > 0L, 1).otherwise(0)
+          + when(col("n_braces") > 0L, 1).otherwise(0)
+          + when(col("symbol_e6") >= 50000L, 1).otherwise(0)) >= 2)
+      .drop("__t")
 }

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Byte-level PDF structural probe + minimal spec-valid injector — the
+  * document-corpus sibling of [[ImageProbe]]/[[AudioMeta]]: a crawl of
+  * scholarly/scanned material is mostly PDF, and the ingest gate needs
+  * version, object/page counts, encryption, and cross-reference sanity
+  * BEFORE a heavyweight text extractor runs (encrypted or xref-broken
+  * files route to the S10 failed path, not into the extractor).
+  *
+  * Everything is the public ISO 32000 container grammar, parsed
+  * directly: the `%PDF-1.x` header, `N G obj` indirect objects, the
+  * page tree's `/Type /Page` leaves and `/Count`, the trailer's
+  * `/Encrypt` key, and `startxref` → `xref` agreement. The probe never
+  * decompresses streams or runs JavaScript — header/trailer/object
+  * scaffolding only, the same posture as the audio duration probes.
+  *
+  * [[mint]] builds a minimal REAL file (catalog → pages → page leaves,
+  * byte-accurate xref offsets, trailer) so the probe is exercised
+  * against spec-valid layout, and the spec pins a hand-laid literal so
+  * injector and parser cannot share a wrong constant (the ONNX/TIFF
+  * lesson).
+  */
+object PdfProbe {
+
+  final case class PdfInfo(versionMinor: Long, nObjects: Long,
+      nPages: Long, pagesCount: Long, hasEncrypt: Boolean, xrefOk: Boolean)
+
+  /** Build a minimal spec-valid PDF: catalog (1), pages node (2),
+    * `nPages` page leaves, optionally a standard-security dictionary
+    * referenced from the trailer; real byte offsets in the xref.
+    */
+  def mint(versionMinor: Int, nPages: Int, encrypt: Boolean): Array[Byte] = {
+    require(versionMinor >= 0 && versionMinor <= 7, s"bad minor $versionMinor")
+    require(nPages >= 1 && nPages <= 1000, s"bad page count $nPages")
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    sb.append(s"%PDF-1.$versionMinor\n")
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
+    (0 until nPages).foreach { _ =>
+      obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    }
+    if (encrypt) obj("<< /Filter /Standard /V 1 /R 2 >>")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R")
+    if (encrypt) sb.append(s" /Encrypt ${offsets.length} 0 R")
+    sb.append(s" >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(US_ASCII)
+  }
+
+  private val objRe = """(?m)^(\d+) (\d+) obj\b""".r
+  private val pageRe = """/Type\s*/Page(?![a-zA-Z])""".r
+  private val countRe = """/Type\s*/Pages[^>]*?/Count\s+(\d+)""".r
+  private val startxrefRe = """startxref\s+(\d+)""".r
+
+  /** Structural probe; throws loudly on a non-PDF payload. */
+  def probe(bytes: Array[Byte]): PdfInfo = {
+    require(bytes != null && bytes.length >= 9 &&
+      new String(bytes, 0, 5, US_ASCII) == "%PDF-",
+      "not a PDF: missing %PDF- header")
+    val s = new String(bytes, US_ASCII)
+    require(s(5) == '1' && s(6) == '.' && s(7).isDigit,
+      s"unsupported PDF version header: ${s.take(9)}")
+    val minor = (s(7) - '0').toLong
+    val nObjects = objRe.findAllMatchIn(s).size.toLong
+    val nPages = pageRe.findAllMatchIn(s).size.toLong
+    val pagesCount = countRe.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    val hasEncrypt = s.contains("/Encrypt")
+    val xrefOk = startxrefRe.findFirstMatchIn(s).exists { m =>
+      val at = m.group(1).toInt
+      at >= 0 && at + 4 <= bytes.length &&
+        new String(bytes, at, 4, US_ASCII) == "xref"
+    }
+    PdfInfo(minor, nObjects, nPages, pagesCount, hasEncrypt, xrefOk)
+  }
+}

@@ -3603,6 +3603,39 @@ class OpsSpec extends SparkSpec {
     assert(got.drop(3).map(_._4).forall(_ == 333333L), s"got $got")
   }
 
+  test("L231 ocrArtifacts: each damage class counted exactly; clean " +
+      "prose gates false") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, Seq("normal", "words", "only", "here", "today", "and",
+        "more", "filler", "tokens", "ten")),
+      (2L, Seq("a", "b", "inter-", "l0ve", "ok", "x", "4chan",
+        "word-", "A1a"))).toDF("id", "toks")
+    val got = TextOps.ocrArtifacts(df, "id", "toks", thresholdE6 = 300000L)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_single"),
+        r.getAs[Long]("n_hyphen_break"), r.getAs[Long]("n_mixed"),
+        r.getAs[Boolean]("ocr_suspect"))).toSeq
+    // doc 2: singles {a,b,x}; hyphen stubs {inter-,word-}; mixed
+    // {l0ve,A1a} — "4chan" starts with a digit, NOT letter-digit-letter
+    assert(got == Seq((1L, 0L, 0L, 0L, false), (2L, 3L, 2L, 2L, true)),
+      s"got $got")
+  }
+
+  test("L234 codeSignals: counts via length-difference strips; the " +
+      "2-of-3 rule routes code") {
+    import graft.ops.TextOps
+    val df = Seq((1L, "plain english prose with no symbols at all"),
+      (2L, "{x=1; y[2]=f(x);}")).toDF("id", "t")
+    val got = TextOps.codeSignals(df, "id", "t").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_semis"),
+        r.getAs[Long]("n_braces"), r.getAs[Long]("n_eq"),
+        r.getAs[Boolean]("is_code"))).toSeq
+    // doc 2: 2 semicolons, 4 brace/bracket chars, 2 '='
+    assert(got == Seq((1L, 0L, 0L, 0L, false), (2L, 2L, 4L, 2L, true)),
+      s"got $got")
+  }
+
   test("L227 mcc: hand-checked 2x2; a zero marginal flags -2") {
     import graft.ops.EvalOps
     val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++

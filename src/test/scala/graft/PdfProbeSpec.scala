@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.PdfProbe
+
+/** The byte-level PDF structural seam (L235): minted spec-valid files
+  * probe back to their mint parameters, a hand-laid literal pins the
+  * grammar the parser must honor (so injector and parser cannot share
+  * a wrong constant), and garbage fails loudly.
+  */
+class PdfProbeSpec extends AnyFunSuite {
+
+  test("L235 mint/probe roundtrip across versions, page counts, and " +
+      "the encrypted variant") {
+    for (minor <- Seq(4, 7); pages <- Seq(1, 5); enc <- Seq(false, true)) {
+      val p = PdfProbe.probe(PdfProbe.mint(minor, pages, enc))
+      assert(p.versionMinor == minor.toLong
+        && p.nPages == pages.toLong && p.pagesCount == pages.toLong
+        && p.nObjects == (2 + pages + (if (enc) 1 else 0)).toLong
+        && p.hasEncrypt == enc && p.xrefOk,
+        s"minor=$minor pages=$pages enc=$enc got $p")
+    }
+  }
+
+  test("L235 hand-laid literal: /Pages is not a page, startxref must " +
+      "point at the xref keyword, objects are counted at line starts") {
+    // laid out by hand with a decoy: the string "9 9 obj" inside a
+    // comment must NOT count (objects are line-anchored), /Type /Pages
+    // must not count as a page, and startxref points at 'xref' exactly
+    val body = new StringBuilder
+    body.append("%PDF-1.6\n")
+    body.append("% decoy: 9 9 obj and /Type /PageLabel\n")
+    val o1 = body.length
+    body.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val o2 = body.length
+    body.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    val o3 = body.length
+    body.append("3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n")
+    val xrefAt = body.length
+    body.append("xref\n0 4\n0000000000 65535 f \n")
+    for (o <- Seq(o1, o2, o3)) body.append(f"$o%010d 00000 n \n")
+    body.append(s"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val p = PdfProbe.probe(body.toString.getBytes("US-ASCII"))
+    // /PageLabel in the decoy is excluded by the word-boundary
+    // lookahead, /Pages by the same rule -> exactly one page
+    assert(p.versionMinor == 6L && p.nObjects == 3L && p.nPages == 1L
+      && p.pagesCount == 1L && !p.hasEncrypt && p.xrefOk, s"got $p")
+    // a startxref pointing into the middle of an object is NOT ok
+    val broken = body.toString.replace(s"startxref\n$xrefAt", "startxref\n5")
+    assert(!PdfProbe.probe(broken.getBytes("US-ASCII")).xrefOk)
+  }
+
+  test("L235 garbage fails loudly") {
+    intercept[IllegalArgumentException] {
+      PdfProbe.probe("not a pdf at all".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      PdfProbe.probe(Array[Byte](1, 2, 3))
+    }
+  }
+}
