@@ -834,6 +834,41 @@ private[graft] object QueriesCore {
         |    ELSE -2.0 END AS r
         |FROM ag""".stripMargin)),
 
+    // L237 — DEGREE-DISTRIBUTION PROFILE of the event link graph:
+    // node counts, degree bounds, and degree mass per power-of-2
+    // bucket (floor(log2) via exact binary-string length, never IEEE
+    // log) — the one-table shape read behind every hub cap here
+    // (L230's degCap, the triangle/wedge posture).
+    Q("g_degree_profile",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.degreeProfile(chain.unionByName(hubEdges), "src", "dst")
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |dgp AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) u
+        |  GROUP BY 1),
+        |bk AS (SELECT CAST(len(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
+        |    deg FROM dgp)
+        |SELECT bucket,
+        |  CAST(1 << CAST(bucket AS INTEGER) AS BIGINT) AS lo_deg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(MIN(deg) AS BIGINT) AS min_deg,
+        |  CAST(MAX(deg) AS BIGINT) AS max_deg,
+        |  CAST(SUM(deg) AS BIGINT) AS sum_deg
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // L230 — NEIGHBORHOOD-JACCARD LINK PREDICTION on the event graph:
     // exact Jaccard of hub-pruned neighborhoods for every pair sharing
     // a neighbor (degCap 16 — the winnow posture makes the wedge join

@@ -838,6 +838,36 @@ private[graft] object QueriesMultimodal {
         |  TRUE AS xref_ok
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
 
+    // L236 — PDF TEXT EXTRACTION (uncompressed content streams): the
+    // `(...) Tj` show-text operators of every page's minted content
+    // stream, parsed from raw bytes in document order — the
+    // ingest-tier extractor behind the L235 gate; the oracle rebuilds
+    // the expected page texts from the mint formulas, so a stream walk
+    // that drops, reorders, or double-reads a page cannot hash-match.
+    Q("mm_pdf_text",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+        val extracted = base.map { id =>
+          import graft.pipeline.PdfProbe
+          val np = (1 + id % 3).toInt
+          val texts = (0 until np).map(p => s"pg$p of doc $id")
+          val bytes = PdfProbe.mintWithText((4 + id % 4).toInt, texts)
+          val t = PdfProbe.extractText(bytes)
+          (id, np.toLong, t, t.length.toLong)
+        }.toDF("doc_id", "n_pages", "text", "n_chars")
+        extracted.orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, 1 + doc_id % 3 AS np
+        |  FROM documents WHERE doc_id < 200),
+        |t AS (SELECT doc_id, CAST(np AS BIGINT) AS n_pages,
+        |    array_to_string(list_transform(range(0, CAST(np AS INTEGER)),
+        |      p -> printf('pg%d of doc %d', p, doc_id)), ' ') AS text
+        |  FROM b)
+        |SELECT doc_id, n_pages, text, CAST(len(text) AS BIGINT) AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // L221 — streaming audio-metadata probe (L214∘streaming, the L187
     // pattern): tagged WAV/FLAC payloads PROBED AS THEY ARRIVE —
     // byte-level chunk/block walk only, never a sample decode —

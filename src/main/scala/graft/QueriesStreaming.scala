@@ -298,6 +298,58 @@ private[graft] object QueriesStreaming {
     // per-lang aggregation run to completion with Trigger.AvailableNow
     // into a memory sink. One batch pass = the batch rollup exactly, so
     // the batch SQL is a true oracle for the streaming trace.
+    // L239 — STREAMING OCR GATE (L231∘streaming): scanned-text damage
+    // rates computed statelessly on arriving documents, append-mode,
+    // only the suspect docs emitted — the ingest filter shape (the
+    // routing decision happens AT ingest, nothing accumulates).
+    Q("streaming_ocr_gate",
+      (s, dir) => withStreamingPartitions(s) {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "sog_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ocr").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, path, "documents.parquet"))
+        val base = s.readStream.schema(schema).parquet(srcDir)
+          .withColumn("text2",
+            when(pmod(col("doc_id"), lit(4L)) === 0L,
+              concat(col("text"), lit(" a b c inter- l0ve")))
+              .otherwise(col("text")))
+          .select(col("doc_id"), TextOps.tokens(col("text2")).as("toks"))
+        val gated = TextOps.ocrArtifacts(base, "doc_id", "toks",
+            thresholdE6 = 30000L)
+          .filter(col("ocr_suspect"))
+          .select(col("doc_id"), col("n_tokens"), col("artifact_rate_e6"))
+        val q = gated.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("doc_id"))
+      },
+      Some("""WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' a b c inter- l0ve'
+        |      ELSE text END AS t FROM documents),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(t, ' '), x -> x != '') AS toks
+        |  FROM d2),
+        |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '^[A-Za-z]$'))) AS BIGINT)
+        |      + CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '^.*[A-Za-z]-$'))) AS BIGINT)
+        |      + CAST(len(list_filter(toks, t -> regexp_matches(t,
+        |      '^[A-Za-z]+[0-9]+[A-Za-z]+[A-Za-z0-9]*$'))) AS BIGINT)
+        |      AS n_art
+        |  FROM tk)
+        |SELECT doc_id, n_tokens,
+        |  CAST((n_art * 1000000) // n_tokens AS BIGINT) AS artifact_rate_e6
+        |FROM c WHERE n_tokens > 0
+        |  AND (n_art * 1000000) // n_tokens >= 30000
+        |ORDER BY doc_id""".stripMargin)),
+
     // L232 — STREAMING GATE-ATTRITION MONITOR (L228∘streaming): the
     // per-doc fail bitmask is a stateless projection on arriving
     // documents; the only state the complete-mode ≤ 2^k pattern

@@ -664,6 +664,60 @@ FROM ag ORDER BY lang""")),
         |    ELSE FALSE END AS ocr_suspect
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // L238 — DEHYPHENATION TRANSFORM: repair of the L231 hyphen
+    // line-break stubs — stub runs merge with the following token
+    // ("re- con- struction" → "reconstruction") in one linear HOF fold
+    // per row; the oracle derives the same result through an
+    // INDEPENDENT mechanism (position explode + non-stub cumsum
+    // segmentation + ordered string_agg), so fold and segmentation
+    // bugs cannot cancel.
+    Q("t_dehyphenate",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .withColumn("text2",
+            when(pmod(col("doc_id"), lit(4L)) === 0L,
+              concat(col("text"),
+                lit(" re- con- struction inter- galactic")))
+              .otherwise(col("text")))
+          .select(col("doc_id"), TextOps.tokens(col("text2")).as("toks"))
+        TextOps.dehyphenate(base, "doc_id", "toks")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' re- con- struction inter- galactic'
+        |      ELSE text END AS t FROM documents),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(t, ' '), x -> x != '') AS toks
+        |  FROM d2),
+        |px0 AS (SELECT doc_id, toks,
+        |    unnest(range(1, len(toks) + 1)) AS pos FROM tk),
+        |px AS (SELECT doc_id, pos, toks[CAST(pos AS INTEGER)] AS t
+        |  FROM px0),
+        |st AS (SELECT doc_id, pos, t,
+        |    CASE WHEN regexp_matches(t, '-$') AND len(t) > 1
+        |      THEN 1 ELSE 0 END AS stub FROM px),
+        |sg AS (SELECT *, SUM(1 - stub) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS seg0 FROM st),
+        |mg AS (SELECT doc_id, seg0 + stub AS seg, pos,
+        |    CASE WHEN stub = 1 THEN substr(t, 1, CAST(len(t) - 1 AS INTEGER))
+        |      ELSE t END AS piece FROM sg),
+        |sgp AS (SELECT doc_id, seg, MIN(pos) AS p0,
+        |    string_agg(piece, '' ORDER BY pos) AS tok
+        |  FROM mg GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+        |    string_agg(tok, ' ' ORDER BY p0) AS text_joined
+        |  FROM sgp GROUP BY 1),
+        |cnt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '-$') AND len(t) > 1)) AS BIGINT)
+        |      AS n_stubs FROM tk)
+        |SELECT cnt.doc_id, cnt.n_before, cnt.n_stubs,
+        |  CAST(COALESCE(ag.n_after, 0) AS BIGINT) AS n_after,
+        |  COALESCE(ag.text_joined, '') AS text_joined
+        |FROM cnt LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // L234 — CODE-VS-PROSE SIGNALS: semicolon/brace/assignment counts
     // and symbol density via length-difference regexp strips, with a
     // code snippet minted onto every 5th doc; the routing gate a mixed

@@ -752,6 +752,35 @@ object GraphOps {
           .otherwise(lit(-2d)).as("r"))
   }
 
+  /** L237 — DEGREE-DISTRIBUTION PROFILE: node counts and degree mass
+    * per power-of-2 degree bucket (the L171 seqlen-histogram idiom on
+    * the undirected degree) — the one-table read of a link graph's
+    * shape: a heavy top bucket is the hub tail that every wedge/pair
+    * operator here caps against (L230's degCap, the L145 triangle
+    * posture), and bucket drift between crawls is structural drift
+    * (spam rings mint mid-degree mass). floor(log2(deg)) computed
+    * exactly via the binary-string length (no IEEE log), buckets
+    * domain-bounded at 64 rows.
+    *
+    * Output: (bucket, lo_deg, n_nodes, min_deg, max_deg, sum_deg).
+    */
+  def degreeProfile(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .withColumn("bucket",
+        (length(conv(col("deg"), 10, 2)) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
+      .withColumn("lo_deg", expr("CAST(pow(2, bucket) AS BIGINT)"))
+      .select(col("bucket"), col("lo_deg"), col("n_nodes"),
+        col("min_deg"), col("max_deg"), col("sum_deg"))
+  }
+
   /** L230 — NEIGHBORHOOD-JACCARD LINK PREDICTION: for node pairs that
     * share at least one neighbor, the exact Jaccard of their (pruned)
     * neighborhoods — the classic common-neighbors signal for entity

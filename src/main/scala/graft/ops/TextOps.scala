@@ -1283,6 +1283,42 @@ object TextOps {
         col("artifact_rate_e6") >= thresholdE6)
       .drop("__toks")
 
+  /** L238 — DEHYPHENATION TRANSFORM: repair the hyphen line-break
+    * stubs the L231 gate counts — every maximal run of stub tokens
+    * (trailing '-', length > 1) merges with the following non-stub
+    * token into one word ("re- con- struction" → "reconstruction"),
+    * the standard scanned-book/justified-text repair run before
+    * tokenizer training. One linear HOF fold per row (struct
+    * accumulator: emitted array + pending carry — the Hilbert L189
+    * expression-size discipline), zero shuffle; a trailing unclosed
+    * stub run is emitted as its merged stub (loud in the counts, not
+    * silently dropped). The SQL oracle derives the SAME result through
+    * an independent mechanism (position explode + non-stub cumsum
+    * segmentation + ordered string_agg), so a fold bug and a
+    * segmentation bug cannot cancel.
+    *
+    * Output: (id, n_before, n_after, n_stubs, text_joined).
+    */
+  def dehyphenate(df: DataFrame, idCol: String, toksCol: String): DataFrame =
+    df.select(col(idCol), col(toksCol).as("__toks"))
+      .withColumn("n_before", size(col("__toks")).cast("long"))
+      .withColumn("n_stubs", expr(
+        """size(filter(__toks, t -> t rlike '-$' AND length(t) > 1))""")
+        .cast("long"))
+      .withColumn("__out", expr(
+        """aggregate(__toks,
+             struct(CAST(array() AS array<string>) AS out, '' AS carry),
+             (acc, t) -> IF(t rlike '-$' AND length(t) > 1,
+               struct(acc.out AS out,
+                 concat(acc.carry, substring(t, 1, length(t) - 1)) AS carry),
+               struct(concat(acc.out, array(concat(acc.carry, t))) AS out,
+                 '' AS carry)),
+             acc -> IF(acc.carry = '', acc.out,
+               concat(acc.out, array(acc.carry))))"""))
+      .select(col(idCol), col("n_before"), col("n_stubs"),
+        size(col("__out")).cast("long").as("n_after"),
+        concat_ws(" ", col("__out")).as("text_joined"))
+
   /** L234 — CODE-VS-PROSE SIGNALS: the structural counts a code-corpus
     * gate (The Stack-style) reads before routing a document to the
     * code or prose pipeline — semicolons, braces/brackets, assignment

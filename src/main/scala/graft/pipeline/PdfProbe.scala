@@ -58,6 +58,61 @@ object PdfProbe {
     sb.toString.getBytes(US_ASCII)
   }
 
+  /** [[mint]] plus one UNCOMPRESSED text content stream per page
+    * (`BT /F1 12 Tf (text) Tj ET`, exact /Length) — the layout
+    * [[extractText]] parses; texts must be paren/backslash-free (the
+    * injector rejects them rather than escaping, keeping the grammar
+    * the spec pins minimal).
+    */
+  def mintWithText(versionMinor: Int, texts: Seq[String]): Array[Byte] = {
+    require(versionMinor >= 0 && versionMinor <= 7, s"bad minor $versionMinor")
+    require(texts.nonEmpty && texts.size <= 1000, s"bad page count")
+    require(texts.forall(t => !t.exists("()\\".contains(_))),
+      "page text must be paren/backslash-free")
+    val n = texts.size
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    sb.append(s"%PDF-1.$versionMinor\n")
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj(s"<< /Type /Pages /Kids [$kids] /Count $n >>")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents ${4 + 2 * i} 0 R >>")
+      val content = s"BT /F1 12 Tf ($t) Tj ET"
+      obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    }
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R")
+    sb.append(s" >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(US_ASCII)
+  }
+
+  private val tjRe = """\(([^()\\]*)\)\s*Tj""".r
+
+  /** L236 — extract the `(...) Tj` show-text strings from every
+    * UNCOMPRESSED content stream, in document order joined by single
+    * spaces. Compressed (FlateDecode) streams contain no plain-text
+    * `Tj` operators and simply contribute nothing — the documented
+    * scope: this is the ingest-grade extractor for the minted/simple
+    * corpus tier; a full extractor replaces the body, the Spark-side
+    * plumbing stays.
+    */
+  def extractText(bytes: Array[Byte]): String = {
+    require(bytes != null && bytes.length >= 9 &&
+      new String(bytes, 0, 5, US_ASCII) == "%PDF-",
+      "not a PDF: missing %PDF- header")
+    val s = new String(bytes, US_ASCII)
+    tjRe.findAllMatchIn(s).map(_.group(1)).mkString(" ")
+  }
+
   private val objRe = """(?m)^(\d+) (\d+) obj\b""".r
   private val pageRe = """/Type\s*/Page(?![a-zA-Z])""".r
   private val countRe = """/Type\s*/Pages[^>]*?/Count\s+(\d+)""".r

@@ -3636,6 +3636,38 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L238 dehyphenate: stub runs merge transitively; a trailing " +
+      "unclosed run is emitted, never dropped; bare '-' is a token") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, Seq("re-", "con-", "struction", "is", "a", "word")),
+      (2L, Seq("plain", "text")),
+      (3L, Seq("ends", "with", "stub-")),
+      (4L, Seq("a", "-", "b"))).toDF("id", "toks")
+    val got = TextOps.dehyphenate(df, "id", "toks").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_stubs"), r.getAs[Long]("n_after"),
+        r.getAs[String]("text_joined"))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 2L, 4L, "reconstruction is a word"),
+      (2L, 2L, 0L, 2L, "plain text"),
+      (3L, 3L, 1L, 3L, "ends with stub"),
+      (4L, 3L, 0L, 3L, "a - b")), s"got $got")
+  }
+
+  test("L237 degreeProfile: exact log2 buckets from binary-string length") {
+    import graft.ops.GraphOps
+    // star 0->{1..8} plus edge 1->2: deg(0)=8 (bucket 3),
+    // deg(1)=deg(2)=2 (bucket 1), deg(3..8)=1 (bucket 0)
+    val edges = ((1L to 8L).map(i => (0L, i)) :+ ((1L, 2L))).toDF("src", "dst")
+    val got = GraphOps.degreeProfile(edges, "src", "dst")
+      .orderBy($"bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo_deg"),
+        r.getAs[Long]("n_nodes"), r.getAs[Long]("sum_deg"))).toSeq
+    assert(got == Seq((0L, 1L, 6L, 6L), (1L, 2L, 2L, 4L),
+      (3L, 8L, 1L, 8L)), s"got $got")
+  }
+
   test("L227 mcc: hand-checked 2x2; a zero marginal flags -2") {
     import graft.ops.EvalOps
     val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++

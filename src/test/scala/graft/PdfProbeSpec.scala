@@ -50,6 +50,24 @@ class PdfProbeSpec extends AnyFunSuite {
     assert(!PdfProbe.probe(broken.getBytes("US-ASCII")).xrefOk)
   }
 
+  test("L236 mintWithText/extractText: page texts come back in document " +
+      "order; decoy parens outside Tj do not extract") {
+    val pdf = PdfProbe.mintWithText(5, Seq("first page", "second page"))
+    assert(PdfProbe.extractText(pdf) == "first page second page")
+    val p = PdfProbe.probe(pdf)
+    assert(p.nPages == 2L && p.pagesCount == 2L && p.nObjects == 6L
+      && p.xrefOk, s"got $p")
+    // a parenthesized string NOT followed by Tj must not extract
+    val s = new String(pdf, "US-ASCII")
+      .replace("%PDF-1.5\n", "%PDF-1.5\n% (decoy comment) Td\n")
+    assert(PdfProbe.extractText(s.getBytes("US-ASCII"))
+      == "first page second page")
+    // the injector refuses unescapable text rather than corrupting
+    intercept[IllegalArgumentException] {
+      PdfProbe.mintWithText(5, Seq("has (parens)"))
+    }
+  }
+
   test("L235 garbage fails loudly") {
     intercept[IllegalArgumentException] {
       PdfProbe.probe("not a pdf at all".getBytes)
