@@ -512,6 +512,60 @@ private[graft] object QueriesCuration {
     // alpha-word fraction, stop-word floor). Gate booleans decided in
     // exact integer arithmetic; ratios reported as single divisions.
     // Pure per-row expressions — the whole filter is one codegen'd map.
+    // L240 — TOKEN-BUDGET FORECAST: per source, the repetition factor
+    // (epochs) a training budget implies under the mixture weights —
+    // the data-constrained planning table (allocated = budget·w;
+    // epochs = allocated/available; the >4-epoch flag marks sources
+    // past the useful-repetition regime). Budget = 10× corpus tokens,
+    // weights formula-minted; everything exact integers.
+    Q("c_token_budget",
+      (s, dir) => {
+        val per = Tables.documents(s, dir)
+          .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+          .groupBy(col("source"))
+          .agg(sum(size(col("toks")).cast("long")).as("n_tokens"))
+          .withColumn("wraw", (pmod(length(col("source")), lit(4)) + 1)
+            .cast("long"))
+        val tot = per.agg(sum(col("wraw")).as("wsum"),
+          sum(col("n_tokens")).as("corpus_tokens"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("weight_e6", expr("(wraw * 1000000L) div wsum"))
+          .withColumn("budget", col("corpus_tokens") * 10L)
+          .withColumn("allocated",
+            expr("(budget * weight_e6) div 1000000L"))
+          .withColumn("epochs_e6",
+            expr("IF(n_tokens > 0, (allocated * 1000000L) div n_tokens, -1L)"))
+          .withColumn("over_4ep", col("epochs_e6") > 4000000L)
+          .select(col("source"), col("n_tokens"), col("weight_e6"),
+            col("budget"), col("allocated"), col("epochs_e6"),
+            col("over_4ep"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d2 AS (SELECT source,
+        |    len(list_filter(string_split(text, ' '), x -> x != '')) AS nt
+        |  FROM documents),
+        |per AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |    CAST(len(source) % 4 + 1 AS BIGINT) AS wraw
+        |  FROM d2 GROUP BY source),
+        |tot AS (SELECT CAST(SUM(wraw) AS BIGINT) AS wsum,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM per),
+        |j AS (SELECT per.*, tot.wsum, tot.corpus_tokens,
+        |    (wraw * 1000000) // tot.wsum AS weight_e6,
+        |    tot.corpus_tokens * 10 AS budget
+        |  FROM per CROSS JOIN tot),
+        |k AS (SELECT *, (budget * weight_e6) // 1000000 AS allocated
+        |  FROM j)
+        |SELECT source, n_tokens, CAST(weight_e6 AS BIGINT) AS weight_e6,
+        |  CAST(budget AS BIGINT) AS budget,
+        |  CAST(allocated AS BIGINT) AS allocated,
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN (allocated * 1000000) // n_tokens ELSE -1 END AS BIGINT)
+        |    AS epochs_e6,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (allocated * 1000000) // n_tokens > 4000000
+        |    ELSE FALSE END AS over_4ep
+        |FROM k ORDER BY source""".stripMargin)),
+
     // L233 — LICENSE / RIGHTS-MARKER SCAN: per source, how many
     // documents carry SPDX identifiers, copyright lines, or
     // all-rights-reserved notices (markers minted onto deterministic

@@ -670,6 +670,44 @@ private[graft] object QueriesMultimodal {
         |  TRUE AS decode_ok
         |FROM c ORDER BY id""".stripMargin)),
 
+    // L241 — RATIONAL RESAMPLE PLAN over the real decode path: files
+    // encoded at four real rates (8/12/22.05/44.1 kHz, WAV and FLAC),
+    // decoded, and planned to 16 kHz — exact gcd-derived L/M, output
+    // length, and polyphase tap budget; the oracle replays the rate
+    // formula and DuckDB's gcd, so a wrong STREAMINFO/fmt-chunk rate
+    // parse surfaces here.
+    Q("mm_resample_plan",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{FlacAudio, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 200).distinct().as[Long]
+        val rates = Array(8000, 12000, 22050, 44100)
+        val payloads = ids.map { id =>
+          val n = (300 + id % 500).toInt
+          val sam = Array.tabulate(n)(i =>
+            ((id * 13 + i.toLong * 29) % 401 - 200) * 25 / 32767f)
+          val sr = rates((id % 4).toInt)
+          val bytes = if (id % 2 == 0) WavAudio.encode(sr, sam)
+            else FlacAudio.encode(sr, sam)
+          (id.toString, bytes)
+        }
+        Multimodal.resamplePlan(WavAudio.decodeDataset(payloads), 16000)
+          .orderBy(col("file"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id < 200),
+        |c AS (SELECT id, CAST(300 + id % 500 AS BIGINT) AS n,
+        |    CASE CAST(id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 12000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS sr FROM ids),
+        |p AS (SELECT id, sr, n, gcd(16000, sr) AS g FROM c)
+        |SELECT id AS file, CAST(sr AS BIGINT) AS sr_in, n AS n_samples,
+        |  CAST(16000 // g AS BIGINT) AS l_up,
+        |  CAST(sr // g AS BIGINT) AS m_down,
+        |  CAST((n * (16000 // g)) // (sr // g) AS BIGINT) AS n_out,
+        |  CAST(24 * (16000 // g) AS BIGINT) AS n_taps
+        |FROM p ORDER BY file""".stripMargin)),
+
     // L188 — zero-crossing-rate features over the same real decode
     // path as mm_clipping (WAV/FLAC bit-exact roundtrip): strict sign
     // flips on the int16-quantized samples, e6 rate, and the per-frame

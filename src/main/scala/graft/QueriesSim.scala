@@ -772,6 +772,29 @@ private[graft] object QueriesSim {
         |SELECT query_id, neighbor_id, rnk, dot, cos FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin)),
 
+    // L242 — PQ QUANTIZATION-DISTORTION AUDIT: per subspace, exact
+    // squared error of each vector against its assigned codeword
+    // (same 16-seed codebooks as the ADC scorers) — the index-health
+    // table read before trusting PQ scores; an outlier subspace is
+    // under-coded, distortion drift means the frozen codebook no
+    // longer fits.
+    Q("sim_pq_distortion",
+      (s, dir) => {
+        val q = Similarity.quantize(Tables.embeddings(s, dir), "vec_id",
+          "embedding")
+        Similarity.pqDistortion(q, "vec_id").orderBy(col("sub_id"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |$pqReconSqlCtes,
+        |win AS (SELECT sub_id, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+        |      ORDER BY d2, code) AS rn FROM dd) WHERE rn = 1)
+        |SELECT CAST(sub_id AS BIGINT) AS sub_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+        |  CAST(MAX(d2) AS BIGINT) AS max_d2
+        |FROM win GROUP BY sub_id ORDER BY sub_id""".stripMargin)),
+
     // L218 — adjusted Rand index + purity of the SRP band-0 bucketing
     // against the embeddings' gold labels: the chance-corrected
     // cluster-agreement audit ("does my LSH bucketing recover the gold

@@ -721,6 +721,34 @@ object Multimodal {
         "n_fields_stripped", "meta_bytes_stripped", "decode_ok")
   }
 
+  /** L241 — RATIONAL RESAMPLE PLAN over the real decode path: the
+    * exact L/M polyphase parameters a 16 kHz-normalizing speech
+    * pipeline (the reference resamples everything to 16 kHz before
+    * VAD/ASR) derives per file — upsample L = target/gcd, downsample
+    * M = sr/gcd, output length floor(n·L/M) (documented convention),
+    * and the polyphase tap budget (24 taps per phase × L phases).
+    * Planning is exact integer arithmetic; the DSP kernel itself is a
+    * separate concern — this is the SHAPE the scheduler sizes buffers
+    * and cost models with, per-row and shuffle-free.
+    *
+    * Output: (file, sr_in, n_samples, l_up, m_down, n_out, n_taps).
+    */
+  def resamplePlan(audio: Dataset[graft.model.AudioFile],
+      targetSr: Int): DataFrame = {
+    import audio.sparkSession.implicits._
+    require(targetSr > 0, s"bad target sample rate $targetSr")
+    audio.map { a =>
+      require(a.sr > 0, s"file ${a.file}: bad input rate ${a.sr}")
+      val g = BigInt(targetSr).gcd(BigInt(a.sr)).toLong
+      val l = targetSr / g
+      val m = a.sr / g
+      val nOut = a.waveform.length.toLong * l / m
+      (a.file.toLong, a.sr.toLong, a.waveform.length.toLong, l, m,
+        nOut, 24L * l)
+    }.toDF("file", "sr_in", "n_samples", "l_up", "m_down", "n_out",
+      "n_taps")
+  }
+
   def amplitudeStats(audio: Dataset[graft.model.AudioFile],
       hotThreshold: Int): DataFrame = {
     import audio.sparkSession.implicits._

@@ -528,6 +528,47 @@ object Similarity {
         s => s.getField("cvec"))).as("recon"))
   }
 
+  /** L242 — PQ QUANTIZATION-DISTORTION AUDIT: per subspace, the exact
+    * squared error between each vector's slice and its assigned
+    * codeword (the same 16-seed-codebook assignment [[pqRecon]] and
+    * the ADC scorers use) — the index-health table read before
+    * trusting PQ scores: a subspace whose distortion dwarfs the others
+    * is under-coded there (rotate, re-train, or raise nCodes), and
+    * distortion DRIFT between corpus snapshots means the frozen
+    * codebook no longer fits the data. All integers exact (quantized
+    * e4 components; d2 sums bounded by n·sub·(2·maxq)²).
+    *
+    * Scale shape: the pqRecon assignment join (broadcast codebooks,
+    * map-side argmin agg) + one ≤ m-row rollup — no new shuffle
+    * beyond the encode itself.
+    *
+    * Output: (sub_id, n_vecs, sum_d2, max_d2).
+    */
+  def pqDistortion(corpus: DataFrame, idCol: String, dim: Int = 64,
+      m: Int = 8, nCodes: Int = 16): DataFrame = {
+    require(dim % m == 0, s"need m | dim, got dim=$dim m=$m")
+    val sub = dim / m
+    val toSubs = expr(
+      s"posexplode(transform(sequence(0, ${m - 1}), j -> slice(qv, j * $sub + 1, $sub)))")
+    val books = corpus.filter(col(idCol) < nCodes)
+      .select(col(idCol).as("code"), col("qv"))
+      .select(col("code"), toSubs)
+      .select(col("pos").as("sub_id"), col("code"), col("col").as("cvec"))
+    corpus.select(col(idCol), toSubs)
+      .select(col(idCol), col("pos").as("sub_id"), col("col").as("v"))
+      .join(broadcast(books), "sub_id")
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x))
+      .groupBy(col(idCol), col("sub_id"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .groupBy(col("sub_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("best.d2")).as("sum_d2"), max(col("best.d2")).as("max_d2"))
+      .select(col("sub_id").cast("long").as("sub_id"), col("n_vecs"),
+        col("sum_d2"), col("max_d2"))
+  }
+
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 k: Int, dim: Int = 64, m: Int = 8, nCodes: Int = 16): DataFrame = {
     LongArrayDot.register(corpus.sparkSession)

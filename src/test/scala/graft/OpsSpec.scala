@@ -3668,6 +3668,45 @@ class OpsSpec extends SparkSpec {
       (3L, 8L, 1L, 8L)), s"got $got")
   }
 
+  test("L241 resamplePlan: gcd-derived L/M for the real rate ladder; " +
+      "floor output length") {
+    import graft.model.AudioFile
+    import graft.ops.Multimodal
+    val audio = Seq(
+      AudioFile("1", 8000, new Array[Float](400)),   // L=2, M=1
+      AudioFile("2", 22050, new Array[Float](441)),  // L=320, M=441
+      AudioFile("3", 44100, new Array[Float](443))   // L=160, M=441
+    ).toDS()
+    val got = Multimodal.resamplePlan(audio, 16000).orderBy($"file")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("l_up"),
+        r.getAs[Long]("m_down"), r.getAs[Long]("n_out"),
+        r.getAs[Long]("n_taps"))).toSeq
+    // 441·320/441 = 320 exactly; 443·160/441 = 70880/441 = 160 (floor)
+    assert(got == Seq((1L, 2L, 1L, 800L, 48L),
+      (2L, 320L, 441L, 320L, 7680L), (3L, 160L, 441L, 160L, 3840L)),
+      s"got $got")
+  }
+
+  test("L242 pqDistortion: codeword vectors quantize to themselves " +
+      "(zero error); a perturbed vector pays its exact squared delta") {
+    import graft.ops.Similarity
+    // 16 codewords (ids 0..15) with distinct constant slices, plus one
+    // vector equal to codeword 3 with +5 on dim 0 only
+    val rows = (0L to 15L).map(id =>
+      (id, Array.fill(64)((id * 100).toFloat / 10000f))) :+
+      (99L, Array.tabulate(64)(j =>
+        (300f + (if (j == 0) 5f else 0f)) / 10000f))
+    val q = Similarity.quantize(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val got = Similarity.pqDistortion(q, "vec_id")
+      .orderBy($"sub_id").collect()
+    assert(got.length == 8)
+    // subspace 0 carries the single 5^2 = 25 error; all others zero
+    assert(got.map(r => r.getAs[Long]("sum_d2")).toSeq
+      == Seq(25L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), s"got ${got.toSeq}")
+    assert(got.forall(_.getAs[Long]("n_vecs") == 17L))
+  }
+
   test("L227 mcc: hand-checked 2x2; a zero marginal flags -2") {
     import graft.ops.EvalOps
     val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++
