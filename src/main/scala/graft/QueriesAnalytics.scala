@@ -909,6 +909,41 @@ private[graft] object QueriesAnalytics {
         |    ELSE -1.0 END AS ks
         |FROM t CROSS JOIN d""".stripMargin)),
 
+    // L243 — Wilcoxon signed-rank over paired minted scores (zeros
+    // forced on every 17th doc): exact doubled-rank W statistics, the
+    // continuous-score paired A/B next to McNemar's binary one; z from
+    // an exactly-represented integer under IEEE sqrt.
+    Q("e_wilcoxon",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 2000L)
+          .select(pmod(col("doc_id") * 7919L, lit(1000L)).as("x"),
+            when(pmod(col("doc_id"), lit(17L)) === 0L,
+              pmod(col("doc_id") * 7919L, lit(1000L)))
+              .otherwise(pmod(col("doc_id") * 104729L, lit(1000L)))
+              .as("y"))
+        EvalOps.wilcoxonSignedRank(base, "x", "y")
+      },
+      Some("""WITH b AS (SELECT (doc_id * 7919) % 1000 AS x,
+        |    CASE WHEN doc_id % 17 = 0 THEN (doc_id * 7919) % 1000
+        |      ELSE (doc_id * 104729) % 1000 END AS y
+        |  FROM documents WHERE doc_id < 2000),
+        |d AS (SELECT x - y AS d FROM b),
+        |zc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_zero FROM d WHERE d = 0),
+        |nz AS (SELECT d, abs(d) AS ad FROM d WHERE d <> 0),
+        |r AS (SELECT d, 2 * rank() OVER (ORDER BY ad)
+        |    + COUNT(*) OVER (PARTITION BY ad) - 1 AS r2 FROM nz),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w_plus_2x,
+        |    CAST(SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w_minus_2x FROM r)
+        |SELECT a.n, zc.n_zero, a.w_plus_2x, a.w_minus_2x,
+        |  CASE WHEN a.n > 0
+        |    THEN CAST(a.w_plus_2x - (a.n * (a.n + 1)) // 2 AS DOUBLE)
+        |      / sqrt(CAST((a.n * (a.n + 1) * (2 * a.n + 1)) // 6 AS DOUBLE))
+        |    ELSE -99.0 END AS z
+        |FROM a CROSS JOIN zc""".stripMargin)),
+
     // L227 — Matthews correlation coefficient over minted gold/pred
     // streams: the imbalance-honest binary score; exact marginal
     // products, correctly-rounded IEEE sqrt of an exactly-represented

@@ -298,6 +298,58 @@ private[graft] object QueriesStreaming {
     // per-lang aggregation run to completion with Trigger.AvailableNow
     // into a memory sink. One batch pass = the batch rollup exactly, so
     // the batch SQL is a true oracle for the streaming trace.
+    // L244 — STREAMING LICENSE GATE (L233∘streaming): rights-marker
+    // detection as a stateless projection on arriving documents,
+    // append-mode, flagged docs only — the provenance filter running
+    // live at ingest (same minted markers as the batch census).
+    Q("streaming_license_gate",
+      (s, dir) => withStreamingPartitions(s) {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "slg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_lic").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, path, "documents.parquet"))
+        val flagged = s.readStream.schema(schema).parquet(srcDir)
+          .withColumn("t", lower(concat(col("text"),
+            when(pmod(col("doc_id"), lit(7L)) === 0L,
+              lit(" SPDX-License-Identifier: MIT")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11L)) === 0L,
+              lit(" Copyright (c) 2019 Example Corp")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13L)) === 0L,
+              lit(" All rights reserved.")).otherwise(lit("")))))
+          .select(col("doc_id"),
+            col("t").contains("spdx-license-identifier").as("has_spdx"),
+            col("t").contains("copyright").as("has_copyright"),
+            col("t").contains("all rights reserved").as("has_rights"))
+          .filter(col("has_spdx") || col("has_copyright")
+            || col("has_rights"))
+        val q = flagged.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("doc_id"))
+      },
+      Some("""WITH d2 AS (SELECT doc_id, lower(text
+        |    || CASE WHEN doc_id % 7 = 0
+        |      THEN ' SPDX-License-Identifier: MIT' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |      THEN ' Copyright (c) 2019 Example Corp' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |      THEN ' All rights reserved.' ELSE '' END) AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    contains(t, 'spdx-license-identifier') AS has_spdx,
+        |    contains(t, 'copyright') AS has_copyright,
+        |    contains(t, 'all rights reserved') AS has_rights
+        |  FROM d2)
+        |SELECT doc_id, has_spdx, has_copyright, has_rights
+        |FROM f WHERE has_spdx OR has_copyright OR has_rights
+        |ORDER BY doc_id""".stripMargin)),
+
     // L239 — STREAMING OCR GATE (L231∘streaming): scanned-text damage
     // rates computed statelessly on arriving documents, append-mode,
     // only the suspect docs emitted — the ingest filter shape (the

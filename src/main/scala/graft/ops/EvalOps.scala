@@ -1101,6 +1101,49 @@ object EvalOps {
               .cast("double")))
           .otherwise(lit(-2d)))
 
+  /** L243 — WILCOXON SIGNED-RANK TEST for paired CONTINUOUS scores:
+    * the companion to McNemar (L216, which only reads right/wrong) —
+    * two quality scorers on the SAME documents, "does B systematically
+    * score higher than A, beyond symmetric noise". Zero differences
+    * are dropped and counted (the standard convention, loud in
+    * `n_zero`); |differences| take DOUBLED average ranks (the L217
+    * exact-tie device), so W2 = Σ ranks over positive differences =
+    * 2·W⁺ is an exact BIGINT. The normal approximation z =
+    * (W2 − n(n+1)/2)/√(n(n+1)(2n+1)/6) uses an exactly-represented
+    * integer under the correctly-rounded IEEE sqrt (n ≤ ~200k per
+    * audit, documented) — identical doubles both engines; the tie
+    * variance correction is omitted (documented: audits with heavy
+    * ties should read the exact W2/W2m instead).
+    *
+    * Scale shape: one rank window over the non-zero differences + one
+    * global agg — the Spearman shape.
+    *
+    * Output: one row (n, n_zero, w_plus_2x, w_minus_2x, z); z = −99
+    * when n = 0.
+    */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select((col(xCol).cast("long") - col(yCol).cast("long"))
+      .as("d"))
+    val zeros = d.filter(col("d") === 0L).agg(count(lit(1)).as("n_zero"))
+    val nz = d.filter(col("d") =!= 0L).withColumn("ad", abs(col("d")))
+    val wv = Window.partitionBy(col("ad"))
+    val wo = Window.orderBy(col("ad"))
+    nz.withColumn("r2",
+        rank().over(wo).cast("long") * 2L + count(lit(1)).over(wv) - 1L)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0L, col("r2")).otherwise(0L)).as("w_plus_2x"),
+        sum(when(col("d") < 0L, col("r2")).otherwise(0L)).as("w_minus_2x"))
+      .crossJoin(broadcast(zeros))
+      .select(col("n"), col("n_zero"), col("w_plus_2x"), col("w_minus_2x"),
+        when(col("n") > 0L,
+          expr("CAST(w_plus_2x - (n * (n + 1L)) div 2L AS DOUBLE)")
+            / sqrt(expr("(n * (n + 1L) * (2L * n + 1L)) div 6L")
+              .cast("double")))
+          .otherwise(lit(-99d)).as("z"))
+  }
+
   /** L218 — ADJUSTED RAND INDEX + PURITY (pair-counting cluster
     * agreement): the chance-corrected score for comparing a produced
     * clustering against a reference partition — "did my dedup/topic

@@ -3707,6 +3707,26 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("n_vecs") == 17L))
   }
 
+  test("L243 wilcoxonSignedRank: doubled ranks exact, zeros dropped " +
+      "and counted, hand-checked z") {
+    import graft.ops.EvalOps
+    // diffs +1, -2, +3, 0 -> |d| ranks 1,2,3 (r2 = 2,4,6);
+    // W2+ = 8, W2- = 4; z = (8 - 6)/sqrt(14)
+    val df = Seq((11L, 10L), (10L, 12L), (13L, 10L), (7L, 7L))
+      .toDF("x", "y")
+    val r = EvalOps.wilcoxonSignedRank(df, "x", "y").head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_zero"),
+      r.getAs[Long]("w_plus_2x"), r.getAs[Long]("w_minus_2x"))
+      == ((3L, 1L, 8L, 4L)), s"got $r")
+    assert(r.getAs[Double]("z") == 2d / math.sqrt(14d), s"got $r")
+    // tied |d| take average ranks: diffs +5, -5 -> r2 = 3 each, W2
+    // splits evenly
+    val t = EvalOps.wilcoxonSignedRank(
+      Seq((15L, 10L), (10L, 15L)).toDF("x", "y"), "x", "y").head
+    assert((t.getAs[Long]("w_plus_2x"), t.getAs[Long]("w_minus_2x"))
+      == ((3L, 3L)), s"got $t")
+  }
+
   test("L227 mcc: hand-checked 2x2; a zero marginal flags -2") {
     import graft.ops.EvalOps
     val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++
