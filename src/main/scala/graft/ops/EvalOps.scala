@@ -957,10 +957,15 @@ object EvalOps {
     df.select(col(aCorrectCol).cast("boolean").as("a"),
         col(bCorrectCol).cast("boolean").as("b"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
-        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n_only_a"),
-        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n_only_b"),
-        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n_neither"))
+        // coalesce: an empty input reads as an all-zero table, not nulls
+        coalesce(sum(when(col("a") && col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_both"),
+        coalesce(sum(when(col("a") && !col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_only_a"),
+        coalesce(sum(when(!col("a") && col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_only_b"),
+        coalesce(sum(when(!col("a") && !col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_neither"))
       .withColumn("chisq_num",
         (col("n_only_a") - col("n_only_b"))
           * (col("n_only_a") - col("n_only_b")))
@@ -1087,10 +1092,15 @@ object EvalOps {
     df.select(col(goldCol).cast("boolean").as("g"),
         col(predCol).cast("boolean").as("p"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("g") && col("p"), 1L).otherwise(0L)).as("tp"),
-        sum(when(!col("g") && col("p"), 1L).otherwise(0L)).as("fp"),
-        sum(when(col("g") && !col("p"), 1L).otherwise(0L)).as("fn"),
-        sum(when(!col("g") && !col("p"), 1L).otherwise(0L)).as("tn"))
+        // coalesce: an empty input reads as an all-zero table, not nulls
+        coalesce(sum(when(col("g") && col("p"), 1L).otherwise(0L)), lit(0L))
+          .as("tp"),
+        coalesce(sum(when(!col("g") && col("p"), 1L).otherwise(0L)), lit(0L))
+          .as("fp"),
+        coalesce(sum(when(col("g") && !col("p"), 1L).otherwise(0L)), lit(0L))
+          .as("fn"),
+        coalesce(sum(when(!col("g") && !col("p"), 1L).otherwise(0L)), lit(0L))
+          .as("tn"))
       .withColumn("mcc_num", col("tp") * col("tn") - col("fp") * col("fn"))
       .withColumn("mcc",
         when((col("tp") + col("fp")) * (col("tp") + col("fn"))
@@ -1133,8 +1143,12 @@ object EvalOps {
     nz.withColumn("r2",
         rank().over(wo).cast("long") * 2L + count(lit(1)).over(wv) - 1L)
       .agg(count(lit(1)).as("n"),
-        sum(when(col("d") > 0L, col("r2")).otherwise(0L)).as("w_plus_2x"),
-        sum(when(col("d") < 0L, col("r2")).otherwise(0L)).as("w_minus_2x"))
+        // all-zero-diff input leaves the agg empty-summed: coalesce so
+        // the degenerate audit reads (0, n_zero, 0, 0, -99), not nulls
+        coalesce(sum(when(col("d") > 0L, col("r2")).otherwise(0L)), lit(0L))
+          .as("w_plus_2x"),
+        coalesce(sum(when(col("d") < 0L, col("r2")).otherwise(0L)), lit(0L))
+          .as("w_minus_2x"))
       .crossJoin(broadcast(zeros))
       .select(col("n"), col("n_zero"), col("w_plus_2x"), col("w_minus_2x"),
         when(col("n") > 0L,
