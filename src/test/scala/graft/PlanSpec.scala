@@ -641,6 +641,27 @@ class PlanSpec extends SparkSpec {
       "g_modularity label joins must be equi hash/merge joins")
   }
 
+  test("round-10 wave-3+ pins: ingest gates and pair miners keep their shapes") {
+    // per-row probe/plan/gate queries: join-free end to end
+    for (q <- Seq("mm_pdf_probe", "mm_pdf_text", "mm_resample_plan",
+        "t_ocr_artifacts", "t_code_detect", "t_dehyphenate", "t_mattr")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free")
+    }
+    // pair miners / keyed rollup queries: equi joins only, never a
+    // cartesian or (non-1-row) nested loop
+    for (q <- Seq("g_neighbor_jaccard", "g_assortativity",
+        "g_reciprocity", "g_degree_profile", "sim_pq_distortion",
+        "c_gate_attrition", "c_token_budget", "e_ks_test", "e_wilcoxon",
+        "e_mcnemar", "e_mcc", "t_burstiness")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // burstiness' top-k must be the distributed heap, not a global sort
+    assert(plan("t_burstiness").contains("TakeOrderedAndProject"),
+      "t_burstiness must TakeOrderedAndProject")
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
