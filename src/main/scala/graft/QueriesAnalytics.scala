@@ -909,6 +909,42 @@ private[graft] object QueriesAnalytics {
         |    ELSE -1.0 END AS ks
         |FROM t CROSS JOIN d""".stripMargin)),
 
+    // L245 — quadratic-weighted Cohen's kappa over minted ordinal
+    // labels 0..4 (pred slides ±1 on deterministic slices): plain
+    // kappa prices "4 vs 3" like "4 vs 0"; the (i−j)² weight charges
+    // by distance. Observed and marginal-product sums exact BIGINTs,
+    // one double division.
+    Q("e_weighted_kappa",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 1000L)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(5L)).as("g"))
+          .withColumn("p",
+            when(pmod(col("doc_id"), lit(7L)) === 0L,
+              least(col("g") + 1L, lit(4L)))
+              .when(pmod(col("doc_id"), lit(7L)) === 1L,
+                greatest(col("g") - 1L, lit(0L)))
+              .otherwise(col("g")))
+        EvalOps.weightedKappa(base, "g", "p", k = 5)
+      },
+      Some("""WITH b AS (SELECT doc_id % 5 AS g,
+        |    CASE WHEN doc_id % 7 = 0 THEN LEAST(doc_id % 5 + 1, 4)
+        |      WHEN doc_id % 7 = 1 THEN GREATEST(doc_id % 5 - 1, 0)
+        |      ELSE doc_id % 5 END AS p
+        |  FROM documents WHERE doc_id < 1000),
+        |o AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM b GROUP BY 1, 2),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(SUM((g - p) * (g - p) * o) AS BIGINT) AS wo FROM o),
+        |ri AS (SELECT g, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY 1),
+        |cj AS (SELECT p, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY 1),
+        |ww AS (SELECT CAST(SUM((g - p) * (g - p) * r * c) AS BIGINT) AS we
+        |  FROM ri CROSS JOIN cj)
+        |SELECT tt.n, CAST(5 AS BIGINT) AS k, tt.wo, ww.we,
+        |  CASE WHEN ww.we > 0
+        |    THEN CAST(ww.we - tt.n * tt.wo AS DOUBLE) / CAST(ww.we AS DOUBLE)
+        |    ELSE -2.0 END AS kappa_w
+        |FROM tt CROSS JOIN ww""".stripMargin)),
+
     // L243 — Wilcoxon signed-rank over paired minted scores (zeros
     // forced on every 17th doc): exact doubled-rank W statistics, the
     // continuous-score paired A/B next to McNemar's binary one; z from

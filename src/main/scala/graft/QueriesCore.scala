@@ -1050,6 +1050,42 @@ private[graft] object QueriesCore {
         |SELECT dg.node AS doc_id, COALESCE(cr.n_tri, 0) AS n_tri
         |FROM dg LEFT JOIN cr USING (node) ORDER BY doc_id""".stripMargin)),
 
+    // L246 — GLOBAL CLUSTERING COEFFICIENT of the session minhash
+    // pair graph: 3·triangles / wedges — near 1 means tight dup cores
+    // the CC labels can be trusted on, near 0 means chained borderline
+    // pairs where one false edge strings clusters together; reuses the
+    // degree-ordered triangle enumeration, wedges exact from the
+    // degree table.
+    Q("g_clustering_coeff",
+      (s, dir) => GraphOps.clusteringCoefficient(
+        sessionMinhashPairs(s, dir), "a", "b"),
+      Some(s"""WITH RECURSIVE $nearDupCcSqlCtes,
+        |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM jp UNION ALL SELECT b FROM jp) GROUP BY node),
+        |wdg AS (SELECT jp.a, jp.b, da.deg AS da, db.deg AS db FROM jp
+        |  JOIN dg da ON da.node = jp.a JOIN dg db ON db.node = jp.b),
+        |o AS (SELECT
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi,
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dhi
+        |  FROM wdg),
+        |wg AS (SELECT e1.lo, e1.hi AS x, e2.hi AS y
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+        |  WHERE e1.dhi < e2.dhi OR (e1.dhi = e2.dhi AND e1.hi < e2.hi)),
+        |tr AS (SELECT wg.lo, wg.x, wg.y FROM wg
+        |  JOIN o ON o.lo = wg.x AND o.hi = wg.y),
+        |tct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tr),
+        |ws AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM dg),
+        |me AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM jp)
+        |SELECT ws.n_nodes, me.m_edges, tct.n_triangles, ws.n_wedges,
+        |  CASE WHEN ws.n_wedges > 0
+        |    THEN CAST(3 * tct.n_triangles AS DOUBLE)
+        |      / CAST(ws.n_wedges AS DOUBLE)
+        |    ELSE -1.0 END AS coeff
+        |FROM ws CROSS JOIN tct CROSS JOIN me""".stripMargin)),
+
     // L149 — 2-core peel (3 synchronous rounds) over the session
     // minhash pair graph: drop every node that cannot keep >= 2
     // neighbors after weaker nodes are removed — chains and spokes

@@ -876,6 +876,39 @@ private[graft] object QueriesMultimodal {
         |  TRUE AS xref_ok
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
 
+    // L247 — PDF INFO-DICTIONARY SCRUB: /Author and /Producer strings
+    // (the PII slot of exported/scanned PDFs) are minted into a real
+    // Info object, detected by the probe, and scrubbed IN PLACE —
+    // same-byte-length space fill of the trailer key and the object
+    // body, so every xref offset survives without re-serializing;
+    // certified per row by a re-probe (only has_info flips) and a
+    // length-equality check.
+    Q("mm_pdf_info_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+        val audited = base.map { id =>
+          import graft.pipeline.PdfProbe
+          val np = (1 + id % 5).toInt
+          val bytes = PdfProbe.mintWithInfo((4 + id % 4).toInt, np,
+            s"user$id", s"scanner$id")
+          val p1 = PdfProbe.probe(bytes)
+          val scrubbed = PdfProbe.scrubInfo(bytes)
+          val p2 = PdfProbe.probe(scrubbed)
+          (id, p1.hasInfo, p2.hasInfo, p1.nPages, p2.nPages,
+            p1.xrefOk && p2.xrefOk,
+            scrubbed.length == bytes.length)
+        }.toDF("doc_id", "has_info", "has_info_scrubbed", "n_pages",
+          "n_pages_scrubbed", "xref_ok", "len_preserved")
+        audited.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, TRUE AS has_info, FALSE AS has_info_scrubbed,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS n_pages_scrubbed,
+        |  TRUE AS xref_ok, TRUE AS len_preserved
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     // L236 — PDF TEXT EXTRACTION (uncompressed content streams): the
     // `(...) Tj` show-text operators of every page's minted content
     // stream, parsed from raw bytes in document order — the

@@ -1111,6 +1111,47 @@ object EvalOps {
               .cast("double")))
           .otherwise(lit(-2d)))
 
+  /** L245 — QUADRATIC-WEIGHTED COHEN'S KAPPA for ORDINAL labels: the
+    * agreement coefficient a rating campaign with an ORDERED rubric
+    * (quality 0..4, toxicity severity) reports — plain kappa (L163)
+    * prices "4 vs 3" and "4 vs 0" identically; the quadratic weight
+    * (i−j)² charges disagreement by its distance. κ_w = 1 −
+    * n·Σw·O / Σ(i−j)²·r_i·c_j with the observed-cell and
+    * marginal-product sums exact BIGINTs (labels validated 0..k−1
+    * loudly, the speaker-id contract posture), one double division.
+    *
+    * Scale shape: one (gold, pred) map-side-combined count, two ≤ k
+    * marginal rollups, one k×k broadcast cross of the marginals.
+    *
+    * Output: one row (n, k, wo, we, kappa_w); κ_w = −2 when the
+    * expected disagreement is 0 (a constant marginal).
+    */
+  def weightedKappa(df: DataFrame, goldCol: String, predCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"need 2 <= k <= 64 classes, got $k")
+    def checked(c: String) =
+      when(col(c).isNull || col(c) < 0L || col(c) >= k.toLong,
+        raise_error(concat(lit(s"weightedKappa: label outside 0..${k - 1}: "),
+          coalesce(col(c).cast("string"), lit("null")))).cast("long"))
+        .otherwise(col(c))
+    val o = df.select(col(goldCol).cast("long").as("g"),
+        col(predCol).cast("long").as("p"))
+      .select(checked("g").as("g"), checked("p").as("p"))
+      .groupBy(col("g"), col("p")).agg(count(lit(1)).as("o"))
+    val tot = o.agg(sum(col("o")).as("n"),
+      sum(expr("(g - p) * (g - p) * o")).as("wo"))
+    val ri = o.groupBy(col("g")).agg(sum(col("o")).as("r"))
+    val cj = o.groupBy(col("p")).agg(sum(col("o")).as("c"))
+    val we = broadcast(ri).crossJoin(broadcast(cj))
+      .agg(sum(expr("(g - p) * (g - p) * r * c")).as("we"))
+    tot.crossJoin(broadcast(we))
+      .select(col("n"), lit(k.toLong).as("k"), col("wo"), col("we"),
+        when(col("we") > 0L,
+          (col("we") - col("n") * col("wo")).cast("double")
+            / col("we").cast("double"))
+          .otherwise(lit(-2d)).as("kappa_w"))
+  }
+
   /** L243 — WILCOXON SIGNED-RANK TEST for paired CONTINUOUS scores:
     * the companion to McNemar (L216, which only reads right/wrong) —
     * two quality scorers on the SAME documents, "does B systematically

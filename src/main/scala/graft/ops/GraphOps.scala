@@ -752,6 +752,41 @@ object GraphOps {
           .otherwise(lit(-2d)).as("r"))
   }
 
+  /** L246 — GLOBAL CLUSTERING COEFFICIENT: 3·triangles / wedges —
+    * the one-number transitivity read of a pair graph ("are my dup
+    * neighborhoods clique-like or chain-like": near 1 = tight dup
+    * cores the CC labels can be trusted on, near 0 = chained
+    * borderline pairs where a single false edge strings clusters
+    * together). Triangles reuse [[triangleCounts]]'s degree-ordered
+    * enumeration (Σ per-node counts = 3T, every triangle counted once
+    * per corner); wedges = Σ C(deg, 2) over the distinct undirected
+    * degree table. Exact integers + one double division.
+    *
+    * Output: one row (n_nodes, m_edges, n_triangles, n_wedges,
+    * coeff); −1 when the graph has no wedges.
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ds = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(deg * (deg - 1L)) div 2L")).as("n_wedges"))
+    val t3 = triangleCounts(und, "a", "b")
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).as("tri3"))
+    val m = und.agg(count(lit(1)).as("m_edges"))
+    ds.crossJoin(broadcast(t3)).crossJoin(broadcast(m))
+      .select(col("n_nodes"), col("m_edges"),
+        expr("tri3 div 3L").as("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0L,
+          col("tri3").cast("double") / col("n_wedges").cast("double"))
+          .otherwise(lit(-1d)).as("coeff"))
+  }
+
   /** L237 — DEGREE-DISTRIBUTION PROFILE: node counts and degree mass
     * per power-of-2 degree bucket (the L171 seqlen-histogram idiom on
     * the undirected degree) — the one-table read of a link graph's

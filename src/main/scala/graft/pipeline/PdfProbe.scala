@@ -25,7 +25,8 @@ import java.nio.charset.StandardCharsets.US_ASCII
 object PdfProbe {
 
   final case class PdfInfo(versionMinor: Long, nObjects: Long,
-      nPages: Long, pagesCount: Long, hasEncrypt: Boolean, xrefOk: Boolean)
+      nPages: Long, pagesCount: Long, hasEncrypt: Boolean, xrefOk: Boolean,
+      hasInfo: Boolean)
 
   /** Build a minimal spec-valid PDF: catalog (1), pages node (2),
     * `nPages` page leaves, optionally a standard-security dictionary
@@ -113,6 +114,79 @@ object PdfProbe {
     tjRe.findAllMatchIn(s).map(_.group(1)).mkString(" ")
   }
 
+  /** [[mint]] plus a document-information dictionary (`/Author`,
+    * `/Producer`) referenced from the trailer's `/Info` key — the
+    * metadata slot where scanned/exported PDFs carry user names and
+    * tool identities (the PII surface [[scrubInfo]] removes). Values
+    * must be paren/backslash-free, like [[mintWithText]].
+    */
+  def mintWithInfo(versionMinor: Int, nPages: Int, author: String,
+      producer: String): Array[Byte] = {
+    require(versionMinor >= 0 && versionMinor <= 7, s"bad minor $versionMinor")
+    require(nPages >= 1 && nPages <= 1000, s"bad page count $nPages")
+    require(!(author + producer).exists("()\\".contains(_)),
+      "info strings must be paren/backslash-free")
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    sb.append(s"%PDF-1.$versionMinor\n")
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
+    (0 until nPages).foreach { _ =>
+      obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    }
+    obj(s"<< /Author ($author) /Producer ($producer) >>")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R")
+    sb.append(s" /Info ${offsets.length} 0 R")
+    sb.append(s" >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(US_ASCII)
+  }
+
+  private val infoRefRe = """/Info\s+(\d+)\s+(\d+)\s+R""".r
+
+  /** L247 — scrub the document-information dictionary IN PLACE: the
+    * trailer's `/Info N G R` key and the referenced object's body are
+    * overwritten with spaces of the SAME byte length (body → an empty
+    * dictionary padded with spaces), so every xref offset — and every
+    * other byte — stays valid without re-serializing the file. The
+    * audit contract: probe → scrub → re-probe with nothing but
+    * `hasInfo` changing, and `scrubbed.length == original.length`.
+    * A file without `/Info` is returned unchanged.
+    */
+  def scrubInfo(bytes: Array[Byte]): Array[Byte] = {
+    val s = new String(bytes, US_ASCII)
+    val m = infoRefRe.findFirstMatchIn(s).getOrElse(return bytes.clone())
+    val out = bytes.clone()
+    def blank(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) { out(i) = ' '; i += 1 }
+    }
+    blank(m.start, m.end)
+    val objHdr = s"${m.group(1)} ${m.group(2)} obj"
+    val at = s.indexOf(objHdr + "\n")
+    require(at >= 0 || s.indexOf(objHdr) >= 0,
+      s"scrubInfo: /Info points at missing object ${m.group(1)}")
+    val hdrAt = if (at >= 0) at else s.indexOf(objHdr)
+    val bodyFrom = hdrAt + objHdr.length
+    val endAt = s.indexOf("endobj", bodyFrom)
+    require(endAt > bodyFrom, "scrubInfo: unterminated Info object")
+    // keep the object header and terminator (xref stays valid), fill
+    // the body with an empty dict + spaces of the same length
+    require(endAt - bodyFrom >= 6, "scrubInfo: Info body too short")
+    blank(bodyFrom, endAt)
+    out(bodyFrom + 1) = '<'; out(bodyFrom + 2) = '<'
+    out(endAt - 3) = '>'; out(endAt - 2) = '>'
+    out
+  }
+
   private val objRe = """(?m)^(\d+) (\d+) obj\b""".r
   private val pageRe = """/Type\s*/Page(?![a-zA-Z])""".r
   private val countRe = """/Type\s*/Pages[^>]*?/Count\s+(\d+)""".r
@@ -132,11 +206,13 @@ object PdfProbe {
     val pagesCount = countRe.findFirstMatchIn(s)
       .map(_.group(1).toLong).getOrElse(-1L)
     val hasEncrypt = s.contains("/Encrypt")
+    val hasInfo = infoRefRe.findFirstMatchIn(s).isDefined
     val xrefOk = startxrefRe.findFirstMatchIn(s).exists { m =>
       val at = m.group(1).toInt
       at >= 0 && at + 4 <= bytes.length &&
         new String(bytes, at, 4, US_ASCII) == "xref"
     }
-    PdfInfo(minor, nObjects, nPages, pagesCount, hasEncrypt, xrefOk)
+    PdfInfo(minor, nObjects, nPages, pagesCount, hasEncrypt, xrefOk,
+      hasInfo)
   }
 }

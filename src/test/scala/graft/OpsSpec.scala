@@ -3727,6 +3727,47 @@ class OpsSpec extends SparkSpec {
       == ((3L, 3L)), s"got $t")
   }
 
+  test("L245 weightedKappa: hand-checked 3-class ordinal table; " +
+      "perfect agreement scores 1; out-of-range labels are loud") {
+    import graft.ops.EvalOps
+    // O = [[2,1,0],[0,2,0],[0,1,2]] (n=8): wo = 1·1 + 1·1 = 2 (two
+    // distance-1 misses); marginals r=(3,2,3), c=(2,4,2);
+    // we = Σ(i-j)²·r_i·c_j = 1·(3·4) + 4·(3·2) + 1·(2·2) + 1·(2·2)
+    //    + 4·(3·2) + 1·(3·4) = 12+24+4+4+24+12 = 80
+    // kappa_w = 1 - 8·2/80 = 0.8
+    val rows = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (1L, 1L),
+      (2L, 1L), (2L, 2L), (2L, 2L))
+    val r = EvalOps.weightedKappa(rows.toDF("g", "p"), "g", "p", k = 3)
+      .head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("wo"), r.getAs[Long]("we"))
+      == ((8L, 2L, 80L)), s"got $r")
+    assert(r.getAs[Double]("kappa_w") == 0.8, s"got $r")
+    val perfect = EvalOps.weightedKappa(
+      Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("g", "p"), "g", "p", k = 3)
+      .head
+    assert(perfect.getAs[Double]("kappa_w") == 1.0, s"got $perfect")
+    intercept[Exception] {
+      EvalOps.weightedKappa(Seq((0L, 5L)).toDF("g", "p"), "g", "p",
+        k = 3).collect()
+    }
+  }
+
+  test("L246 clusteringCoefficient: two triangles + bridge = 6/10; " +
+      "a pure star has zero transitivity") {
+    import graft.ops.GraphOps
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.clusteringCoefficient(edges, "src", "dst").head
+    // degrees 2,2,3,3,2,2 -> wedges 1+1+3+3+1+1 = 10; triangles 2
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("m_edges"),
+      r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"))
+      == ((6L, 7L, 2L, 10L)), s"got $r")
+    assert(r.getAs[Double]("coeff") == 0.6, s"got $r")
+    val star = GraphOps.clusteringCoefficient(
+      (1L to 5L).map(i => (0L, i)).toDF("src", "dst"), "src", "dst").head
+    assert(star.getAs[Double]("coeff") == 0.0, s"got $star")
+  }
+
   test("L227 mcc: hand-checked 2x2; a zero marginal flags -2") {
     import graft.ops.EvalOps
     val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++

@@ -68,6 +68,25 @@ class PdfProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("L247 scrubInfo: in-place scrub preserves every byte length and " +
+      "the xref; a file without /Info returns unchanged") {
+    val pdf = PdfProbe.mintWithInfo(6, 3, "alice", "scannerX")
+    val p1 = PdfProbe.probe(pdf)
+    assert(p1.hasInfo && p1.nPages == 3L && p1.xrefOk, s"got $p1")
+    assert(new String(pdf, "US-ASCII").contains("(alice)"))
+    val scrubbed = PdfProbe.scrubInfo(pdf)
+    val p2 = PdfProbe.probe(scrubbed)
+    assert(!p2.hasInfo && p2.nPages == 3L && p2.xrefOk
+      && p2.nObjects == p1.nObjects, s"got $p2")
+    assert(scrubbed.length == pdf.length, "length must be preserved")
+    val s = new String(scrubbed, "US-ASCII")
+    assert(!s.contains("alice") && !s.contains("scannerX"),
+      "PII strings must not survive the scrub")
+    // idempotent on an Info-free file
+    val plain = PdfProbe.mint(6, 2, encrypt = false)
+    assert(PdfProbe.scrubInfo(plain).sameElements(plain))
+  }
+
   test("L235 garbage fails loudly") {
     intercept[IllegalArgumentException] {
       PdfProbe.probe("not a pdf at all".getBytes)
