@@ -1002,6 +1002,48 @@ private[graft] object QueriesMultimodal {
         |  CAST(CASE WHEN format = 'wav' THEN 12 + 18 * nf
         |    ELSE 18 + 15 * nf + CASE WHEN pad THEN 68 ELSE 0 END END
         |    AS BIGINT) AS meta_bytes
-        |FROM c ORDER BY id""".stripMargin))
+        |FROM c ORDER BY id""".stripMargin)),
+
+    // L250 — streaming PDF structural probe (L235∘streaming, the L187
+    // posture on documents): minted spec-valid PDFs probed as they
+    // arrive — version/pages//Encrypt/xref agreement from raw bytes,
+    // stateless append, no state store; the payload parquet stages
+    // once per session. The route-before-extract gate live at ingest.
+    Q("streaming_pdf_probe",
+      (s, dir) => QuerySupport.withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "spp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_pdf").toString
+        val srcDir = QuerySupport.stagedStreamSource("pdf_payloads", dir) { p =>
+          val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id")).as[Long]
+          val payloads = base.map { id =>
+            (id, graft.pipeline.PdfProbe.mint((4 + id % 4).toInt,
+              (1 + id % 5).toInt, encrypt = id % 6 == 0))
+          }.toDF("doc_id", "payload")
+          QuerySupport.writeHeartbeat(payloads, p, "pdf_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val probed = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            val p = graft.pipeline.PdfProbe.probe(bytes)
+            (id, p.versionMinor, p.nPages, p.hasEncrypt, p.xrefOk)
+          }.toDF("doc_id", "version_minor", "n_pages", "has_encrypt",
+            "xref_ok")
+        val q = probed.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuerySupport.cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("doc_id") >= 0).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST(4 + doc_id % 4 AS BIGINT) AS version_minor,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
+        |  doc_id % 6 = 0 AS has_encrypt, TRUE AS xref_ok
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -795,6 +795,58 @@ private[graft] object QueriesSim {
         |  CAST(MAX(d2) AS BIGINT) AS max_d2
         |FROM win GROUP BY sub_id ORDER BY sub_id""".stripMargin)),
 
+    // L249 — EMBEDDING CENTROID DRIFT between corpus halves: per gold
+    // label, the scaled squared distance between the even-id and
+    // odd-id centroid — Σ_d (s_a·n_b − s_b·n_a)² with per-dim
+    // numerators exact BIGINTs and the squared sum in
+    // DECIMAL(38,0)/HUGEINT (means cross-multiplied, never divided) —
+    // the embedding-space drift monitor run between snapshots before
+    // a frozen IVF/PQ index (L113/L242) is trusted on new data.
+    Q("sim_centroid_drift",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val e = Similarity.quantize(emb, "vec_id", "embedding")
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+          .withColumn("pa", pmod(col("vec_id"), lit(2L)) === 0L)
+        val n = e.groupBy(col("label"))
+          .agg(sum(when(col("pa"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(!col("pa"), 1L).otherwise(0L)).as("n_b"))
+        val sums = e.select(col("label"), col("pa"),
+            posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(when(col("pa"), col("x")).otherwise(0L)).as("sa"),
+            sum(when(!col("pa"), col("x")).otherwise(0L)).as("sb"))
+        sums.join(broadcast(n), "label")
+          .withColumn("diff", col("sa") * col("n_b") - col("sb") * col("n_a"))
+          .groupBy(col("label"))
+          .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+            max(abs(col("diff"))).as("max_abs_diff"),
+            sum(col("diff").cast("decimal(38,0)") * col("diff"))
+              .cast("double").as("drift2"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $quantSqlCte,
+        |e AS (SELECT q.vec_id, emb.label, q.vec_id % 2 = 0 AS pa, q.qv
+        |  FROM q JOIN embeddings emb USING (vec_id)),
+        |nn AS (SELECT label,
+        |    CAST(SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT pa THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM e GROUP BY 1),
+        |x AS (SELECT label, pa, unnest(range(1, 65)) AS pos, qv FROM e),
+        |sm AS (SELECT label, pos,
+        |    CAST(SUM(CASE WHEN pa THEN qv[CAST(pos AS INTEGER)]
+        |      ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN NOT pa THEN qv[CAST(pos AS INTEGER)]
+        |      ELSE 0 END) AS BIGINT) AS sb
+        |  FROM x GROUP BY 1, 2),
+        |df AS (SELECT sm.label, sa * nn.n_b - sb * nn.n_a AS diff
+        |  FROM sm JOIN nn USING (label))
+        |SELECT df.label, nn.n_a, nn.n_b,
+        |  CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff,
+        |  CAST(SUM(CAST(diff AS HUGEINT) * diff) AS DOUBLE) AS drift2
+        |FROM df JOIN nn USING (label)
+        |GROUP BY df.label, nn.n_a, nn.n_b ORDER BY label""".stripMargin)),
+
     // L218 — adjusted Rand index + purity of the SRP band-0 bucketing
     // against the embeddings' gold labels: the chance-corrected
     // cluster-agreement audit ("does my LSH bucketing recover the gold

@@ -752,7 +752,7 @@ FROM ag ORDER BY lang""")),
         |   + CASE WHEN n_braces > 0 THEN 1 ELSE 0 END
         |   + CASE WHEN symbol_e6 >= 50000 THEN 1 ELSE 0 END) >= 2 AS is_code
         |FROM c ORDER BY doc_id""".stripMargin))
-  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry :+ scriptMixEntry
+  ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry :+ scriptMixEntry :+ langScriptEntry
 
   /** L194 — charset/script composition gate: exact per-class counts
     * via length-difference regexp strips; minted non-ASCII suffix
@@ -807,6 +807,53 @@ FROM ag ORDER BY lang""")),
         |  n_greek, n_hangul, n_hebrew, n_latin, n_thai, n_scripted, n_other,
         |  n_moji_lead, dominant_script, dominant_share_e6, mixed, mojibake
         |FROM sc3 ORDER BY doc_id""".stripMargin))
+
+  /** L248 — LANGUAGE↔SCRIPT CONSISTENCY AUDIT: per (gold lang,
+    * dominant script) cell, how many documents' METADATA claims a
+    * language whose canonical script the CONTENT does not dominate —
+    * zh-labeled docs dominated by Latin are mislabeled metadata;
+    * Latin-lang docs dominated by a planted Cyrillic/CJK run (the
+    * shared L197 mint) are content corruption. Joins the L197
+    * classifier output back to the lang column and a literal
+    * lang→script map — pure projections + one rollup.
+    */
+  private def langScriptEntry: Q =
+    Q("t_lang_script_mismatch",
+      (s, dir) => {
+        val classified = TextOps.scriptMix(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), substring(col("text"), 1, 160).as("b"))
+            .select(col("doc_id"),
+              expr(QuerySupport.scriptMintCase("div")).as("text")),
+          "doc_id", "text")
+        val expected = when(col("lang").isin("de", "en", "fr", "es"),
+          "latin").when(col("lang") === "zh", "cjk").otherwise("any")
+        classified
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            "doc_id")
+          .withColumn("expected_script", expected)
+          .groupBy(col("lang"), col("expected_script"),
+            col("dominant_script"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("mismatch",
+            col("expected_script") =!= "any"
+              && col("dominant_script") =!= col("expected_script"))
+          .orderBy(col("lang"), col("dominant_script"))
+      },
+      Some(s"""WITH tb AS (SELECT doc_id, substr(text, 1, 160) AS b FROM documents),
+        |t AS (SELECT doc_id, ${QuerySupport.scriptMintCase("//")} AS text FROM tb),
+        |${QuerySupport.scriptMixSqlCtes},
+        |j AS (SELECT d.lang,
+        |    CASE WHEN d.lang IN ('de', 'en', 'fr', 'es') THEN 'latin'
+        |      WHEN d.lang = 'zh' THEN 'cjk' ELSE 'any' END
+        |      AS expected_script,
+        |    sc3.dominant_script
+        |  FROM sc3 JOIN documents d USING (doc_id))
+        |SELECT lang, expected_script, dominant_script,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  expected_script <> 'any' AND dominant_script <> expected_script
+        |    AS mismatch
+        |FROM j GROUP BY 1, 2, 3 ORDER BY lang, dominant_script""".stripMargin))
 
   /** L193 — RAKE keyphrases, top-3 per doc: canonical-RAKE boundaries
     * (punctuation runs fold to '.' delimiter tokens — pattern shared
