@@ -909,6 +909,40 @@ private[graft] object QueriesAnalytics {
         |    ELSE -1.0 END AS ks
         |FROM t CROSS JOIN d""".stripMargin)),
 
+    // L251 — Gwet's AC1 over a prevalence-skewed two-rater mint
+    // (labels 0..2, rater B flips on every 5th doc): the
+    // kappa-paradox-robust agreement read — pooled-marginal chance
+    // model, exact integer components, one double division.
+    Q("e_gwets_ac1",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 900L)
+          .select(col("doc_id"),
+            pmod(pmod(col("doc_id"), lit(7L)), lit(3L)).as("a"))
+          .withColumn("b",
+            when(pmod(col("doc_id"), lit(5L)) === 0L,
+              pmod(col("a") + 1L, lit(3L))).otherwise(col("a")))
+        EvalOps.gwetsAc1(base, "a", "b", k = 3)
+      },
+      Some("""WITH b AS (SELECT (doc_id % 7) % 3 AS a,
+        |    CASE WHEN doc_id % 5 = 0 THEN ((doc_id % 7) % 3 + 1) % 3
+        |      ELSE (doc_id % 7) % 3 END AS bb
+        |  FROM documents WHERE doc_id < 900),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = bb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree FROM b),
+        |pl AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS m FROM (
+        |    SELECT a AS q FROM b UNION ALL SELECT bb FROM b) u GROUP BY 1),
+        |pe AS (SELECT CAST(SUM(m * (2 * tt.n - m)) AS BIGINT) AS pe_num
+        |  FROM pl CROSS JOIN tt)
+        |SELECT tt.n, CAST(3 AS BIGINT) AS k, tt.n_agree, pe.pe_num,
+        |  CAST(4 * tt.n * tt.n * 2 AS BIGINT) AS pe_den,
+        |  CASE WHEN tt.n * (4 * tt.n * tt.n * 2 - pe.pe_num) <> 0
+        |    THEN CAST(tt.n_agree * 4 * tt.n * tt.n * 2
+        |        - tt.n * pe.pe_num AS DOUBLE)
+        |      / CAST(tt.n * (4 * tt.n * tt.n * 2 - pe.pe_num) AS DOUBLE)
+        |    ELSE -2.0 END AS ac1
+        |FROM tt CROSS JOIN pe""".stripMargin)),
+
     // L245 — quadratic-weighted Cohen's kappa over minted ordinal
     // labels 0..4 (pred slides ±1 on deterministic slices): plain
     // kappa prices "4 vs 3" like "4 vs 0"; the (i−j)² weight charges

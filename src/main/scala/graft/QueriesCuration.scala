@@ -512,6 +512,60 @@ private[graft] object QueriesCuration {
     // alpha-word fraction, stop-word floor). Gate booleans decided in
     // exact integer arithmetic; ratios reported as single divisions.
     // Pure per-row expressions — the whole filter is one codegen'd map.
+    // L252 — ANNOTATION ROUTING BY VOTE MARGIN: per item of the
+    // varying-panel rating mint (the e_kripp_alpha panel), the
+    // top1−top2 vote margin — items at margin ≤ 1 route back to the
+    // rater pool, the standard budget-efficient escalation rule
+    // (disagreement, not volume, buys more labels). One count agg +
+    // one per-item rank window over ≤ k category rows.
+    Q("c_annotation_routing",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 480L)
+          .select(expr("doc_id div 4").as("item"),
+            pmod(col("doc_id"), lit(4L)).as("rater"))
+          .withColumn("cat",
+            when(col("rater") === 3L && pmod(col("item"), lit(5L)) === 0L,
+              pmod(pmod(col("item"), lit(3L)) + 1L, lit(3L)))
+              .otherwise(pmod(col("item"), lit(3L))))
+          .filter(!(col("rater") === 3L && pmod(col("item"), lit(3L)) === 0L))
+          .filter(!(col("rater") >= 2L && pmod(col("item"), lit(7L)) === 0L))
+          .filter(!(col("rater") >= 1L && pmod(col("item"), lit(11L)) === 0L))
+        val ic = base.groupBy(col("item"), col("cat"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("item"))
+          .orderBy(col("c").desc, col("cat"))
+        ic.withColumn("rn", row_number().over(w))
+          .groupBy(col("item"))
+          .agg(sum(col("c")).as("n_votes"),
+            max(when(col("rn") === 1, col("c"))).as("top1"),
+            coalesce(max(when(col("rn") === 2, col("c"))), lit(0L))
+              .as("top2"))
+          .withColumn("margin", col("top1") - col("top2"))
+          .withColumn("needs_more", col("margin") <= 1L)
+          .orderBy(col("item"))
+      },
+      Some("""WITH b AS (SELECT doc_id // 4 AS item, doc_id % 4 AS rater,
+        |    CASE WHEN doc_id % 4 = 3 AND (doc_id // 4) % 5 = 0
+        |      THEN ((doc_id // 4) % 3 + 1) % 3
+        |      ELSE (doc_id // 4) % 3 END AS cat
+        |  FROM documents WHERE doc_id < 480),
+        |f AS (SELECT * FROM b
+        |  WHERE NOT (rater = 3 AND item % 3 = 0)
+        |    AND NOT (rater >= 2 AND item % 7 = 0)
+        |    AND NOT (rater >= 1 AND item % 11 = 0)),
+        |ic AS (SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM f GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY c DESC, cat) AS rn FROM ic),
+        |ag AS (SELECT item, CAST(SUM(c) AS BIGINT) AS n_votes,
+        |    CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top1,
+        |    CAST(COALESCE(MAX(CASE WHEN rn = 2 THEN c END), 0) AS BIGINT)
+        |      AS top2
+        |  FROM r GROUP BY 1)
+        |SELECT item, n_votes, top1, top2, top1 - top2 AS margin,
+        |  top1 - top2 <= 1 AS needs_more
+        |FROM ag ORDER BY item""".stripMargin)),
+
     // L240 — TOKEN-BUDGET FORECAST: per source, the repetition factor
     // (epochs) a training budget implies under the mixture weights —
     // the data-constrained planning table (allocated = budget·w;

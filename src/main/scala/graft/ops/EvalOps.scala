@@ -1152,6 +1152,56 @@ object EvalOps {
           .otherwise(lit(-2d)).as("kappa_w"))
   }
 
+  /** L251 — GWET'S AC1 (two raters, nominal): the agreement
+    * coefficient that survives the KAPPA PARADOX — when one category
+    * dominates (the usual shape of a "is this spam" campaign), Cohen's
+    * kappa (L163) collapses toward 0 on near-perfect agreement because
+    * its chance term inflates with the prevalence; AC1's chance model
+    * (Gwet 2008) uses π_q(1−π_q)/(Q−1) over the POOLED marginals and
+    * stays calibrated. Exact integers: agree count, pooled label
+    * counts m_q (Σ m_q = 2n), pe_num = Σ m_q(2n−m_q), pe_den =
+    * 4n²(Q−1); AC1 = (agree·pe_den − n·pe_num) / (n·(pe_den −
+    * pe_num)), one double division of two exact BIGINTs (bounded by
+    * 4n³Q — longs to n ≈ 10⁵ per audit, documented). Labels validated
+    * 0..k−1 loudly.
+    *
+    * Scale shape: one agreement agg + one pooled-label rollup — the
+    * McNemar shape.
+    *
+    * Output: one row (n, k, n_agree, pe_num, pe_den, ac1); −2 when
+    * the correction denominator is 0.
+    */
+  def gwetsAc1(df: DataFrame, aCol: String, bCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"need 2 <= k <= 64 classes, got $k")
+    def checked(c: String) =
+      when(col(c).isNull || col(c) < 0L || col(c) >= k.toLong,
+        raise_error(concat(lit(s"gwetsAc1: label outside 0..${k - 1}: "),
+          coalesce(col(c).cast("string"), lit("null")))).cast("long"))
+        .otherwise(col(c))
+    val base = df.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .select(checked("a").as("a"), checked("b").as("b"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("a") === col("b"), 1L).otherwise(0L)), lit(0L))
+        .as("n_agree"))
+    val pooled = base.select(col("a").as("q"))
+      .unionByName(base.select(col("b").as("q")))
+      .groupBy(col("q")).agg(count(lit(1)).as("m"))
+    val pe = pooled.crossJoin(broadcast(tot.select(col("n").as("__n"))))
+      .agg(coalesce(sum(expr("m * (2L * __n - m)")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n"), lit(k.toLong).as("k"), col("n_agree"),
+        col("pe_num"),
+        expr(s"4L * n * n * ${k - 1}L").as("pe_den"))
+      .withColumn("ac1",
+        when(col("n") * (col("pe_den") - col("pe_num")) =!= 0L,
+          (col("n_agree") * col("pe_den") - col("n") * col("pe_num"))
+            .cast("double")
+            / (col("n") * (col("pe_den") - col("pe_num"))).cast("double"))
+          .otherwise(lit(-2d)))
+  }
+
   /** L243 — WILCOXON SIGNED-RANK TEST for paired CONTINUOUS scores:
     * the companion to McNemar (L216, which only reads right/wrong) —
     * two quality scorers on the SAME documents, "does B systematically

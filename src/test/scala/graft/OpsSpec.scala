@@ -3768,6 +3768,25 @@ class OpsSpec extends SparkSpec {
     assert(star.getAs[Double]("coeff") == 0.0, s"got $star")
   }
 
+  test("L251 gwetsAc1: hand-checked paradox case — 90% agreement on a " +
+      "skewed binary stays high where kappa would collapse") {
+    import graft.ops.EvalOps
+    // 9 agreeing (0,0) pairs + 1 (0,1) miss: pooled m = (19, 1),
+    // pe_num = 19·1 + 1·19 = 38, pe_den = 400
+    // -> AC1 = (9·400 − 10·38)/(10·362) = 3220/3620 ≈ 0.89
+    // (Cohen's kappa on this table is 0 — the paradox AC1 fixes)
+    val rows = Seq.fill(9)((0L, 0L)) :+ ((0L, 1L))
+    val r = EvalOps.gwetsAc1(rows.toDF("a", "b"), "a", "b", k = 2).head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_agree"),
+      r.getAs[Long]("pe_num"), r.getAs[Long]("pe_den"))
+      == ((10L, 9L, 38L, 400L)), s"got $r")
+    assert(r.getAs[Double]("ac1") == 3220d / 3620d, s"got $r")
+    intercept[Exception] {
+      EvalOps.gwetsAc1(Seq((0L, 9L)).toDF("a", "b"), "a", "b",
+        k = 2).collect()
+    }
+  }
+
   test("L227 mcc: hand-checked 2x2; a zero marginal flags -2") {
     import graft.ops.EvalOps
     val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++
