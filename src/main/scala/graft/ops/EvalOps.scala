@@ -952,10 +952,35 @@ object EvalOps {
     * Output: one row (n, n_both, n_only_a, n_only_b, n_neither,
     * chisq_num, chisq).
     */
+  /** Loud integral-value gate shared by the rank/distribution stats
+    * (spearmanRho, ksTest, wilcoxonSignedRank): they operate on an
+    * integer domain (e6 fixed-point scores, counts, ranks) and a
+    * silent long cast would quantize a caller's fractional signal and
+    * collapse ties — raise_error on null or non-integral input
+    * instead (the calibrationBins posture). Callers with double
+    * scores scale to e6 first.
+    */
+  private def integralChecked(c: org.apache.spark.sql.Column,
+      op: String): org.apache.spark.sql.Column =
+    when(c.isNull || c.cast("double") =!= c.cast("long").cast("double"),
+      raise_error(concat(lit(s"$op: null or non-integral value: "),
+        coalesce(c.cast("string"), lit("null")))).cast("long"))
+      .otherwise(c.cast("long"))
+
+  /** Loud boolean gate for the paired 2×2 stats (mcnemar, mcc): a
+    * null boolean-cast input would count in n but fall into none of
+    * the four cells, silently breaking the table-sums-to-n invariant.
+    */
+  private def boolChecked(c: org.apache.spark.sql.Column,
+      op: String): org.apache.spark.sql.Column =
+    when(c.isNull,
+      raise_error(lit(s"$op: null or non-boolean input")).cast("boolean"))
+      .otherwise(c)
+
   def mcnemar(df: DataFrame, aCorrectCol: String,
       bCorrectCol: String): DataFrame =
-    df.select(col(aCorrectCol).cast("boolean").as("a"),
-        col(bCorrectCol).cast("boolean").as("b"))
+    df.select(boolChecked(col(aCorrectCol).cast("boolean"), "mcnemar").as("a"),
+        boolChecked(col(bCorrectCol).cast("boolean"), "mcnemar").as("b"))
       .agg(count(lit(1)).as("n"),
         // coalesce: an empty input reads as an all-zero table, not nulls
         coalesce(sum(when(col("a") && col("b"), 1L).otherwise(0L)), lit(0L))
@@ -1005,7 +1030,8 @@ object EvalOps {
       val wo = Window.orderBy(col(c))
       rank().over(wo).cast("long") * 2L + count(lit(1)).over(wv) - 1L
     }
-    df.select(col(xCol).cast("long").as("xv"), col(yCol).cast("long").as("yv"))
+    df.select(integralChecked(col(xCol), "spearmanRho").as("xv"),
+        integralChecked(col(yCol), "spearmanRho").as("yv"))
       .select(r2("xv").as("x"), r2("yv").as("y"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
@@ -1046,9 +1072,9 @@ object EvalOps {
     */
   def ksTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val merged = a.select(col(valCol).cast("long").as("v"))
+    val merged = a.select(integralChecked(col(valCol), "ksTest").as("v"))
       .withColumn("__ca", lit(1L)).withColumn("__cb", lit(0L))
-      .unionByName(b.select(col(valCol).cast("long").as("v"))
+      .unionByName(b.select(integralChecked(col(valCol), "ksTest").as("v"))
         .withColumn("__ca", lit(0L)).withColumn("__cb", lit(1L)))
       .groupBy(col("v"))
       .agg(sum(col("__ca")).as("na_v"), sum(col("__cb")).as("nb_v"))
@@ -1089,8 +1115,8 @@ object EvalOps {
     * Output: one row (n, tp, fp, fn, tn, mcc_num, mcc).
     */
   def mcc(df: DataFrame, goldCol: String, predCol: String): DataFrame =
-    df.select(col(goldCol).cast("boolean").as("g"),
-        col(predCol).cast("boolean").as("p"))
+    df.select(boolChecked(col(goldCol).cast("boolean"), "mcc").as("g"),
+        boolChecked(col(predCol).cast("boolean"), "mcc").as("p"))
       .agg(count(lit(1)).as("n"),
         // coalesce: an empty input reads as an all-zero table, not nulls
         coalesce(sum(when(col("g") && col("p"), 1L).otherwise(0L)), lit(0L))
@@ -1225,8 +1251,8 @@ object EvalOps {
   def wilcoxonSignedRank(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = df.select((col(xCol).cast("long") - col(yCol).cast("long"))
-      .as("d"))
+    val d = df.select((integralChecked(col(xCol), "wilcoxonSignedRank")
+      - integralChecked(col(yCol), "wilcoxonSignedRank")).as("d"))
     val zeros = d.filter(col("d") === 0L).agg(count(lit(1)).as("n_zero"))
     val nz = d.filter(col("d") =!= 0L).withColumn("ad", abs(col("d")))
     val wv = Window.partitionBy(col("ad"))

@@ -692,6 +692,14 @@ object Multimodal {
         it.map { case (id, kind, q, nFields, pad) =>
           require(nFields <= wavKeys.size,
             s"audit mints at most ${wavKeys.size} fields, got $nFields")
+          // The audit's normalize (q/32767) and requant (round(v·32768))
+          // scales are asymmetric at full negative scale: q = -32768
+          // would normalize to -1.00003, clamp in the encoder, and
+          // round-trip as -32767 — a FALSE decode_ok failure on a legal
+          // int16 sample. Reject it loudly instead of mis-certifying.
+          q.foreach(v => require(v >= -32767 && v <= 32767,
+            s"audioMetaAudit: sample $v outside the symmetric int16 " +
+              "range [-32767, 32767] the roundtrip certification covers"))
           val sam = q.map(_ / 32767f)
           val value = "v%07d".format(id)
           val tagged = kind match {

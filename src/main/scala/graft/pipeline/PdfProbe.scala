@@ -192,7 +192,16 @@ object PdfProbe {
   private val countRe = """/Type\s*/Pages[^>]*?/Count\s+(\d+)""".r
   private val startxrefRe = """startxref\s+(\d+)""".r
 
-  /** Structural probe; throws loudly on a non-PDF payload. */
+  /** Structural probe; throws loudly on a non-PDF payload.
+    *
+    * Scope caveats (the minted tier never hits either, but real-world
+    * input can): nObjects/nPages count by regex over the WHOLE byte
+    * stream, so dictionary-like text inside page content strings
+    * inflates the counts (a full tokenizer would need the object
+    * graph); and `startxref` validation reads the LAST occurrence —
+    * ISO 32000 §7.5.5: an incrementally-updated PDF appends a new
+    * xref + startxref, and the last one is the live table.
+    */
   def probe(bytes: Array[Byte]): PdfInfo = {
     require(bytes != null && bytes.length >= 9 &&
       new String(bytes, 0, 5, US_ASCII) == "%PDF-",
@@ -207,7 +216,9 @@ object PdfProbe {
       .map(_.group(1).toLong).getOrElse(-1L)
     val hasEncrypt = s.contains("/Encrypt")
     val hasInfo = infoRefRe.findFirstMatchIn(s).isDefined
-    val xrefOk = startxrefRe.findFirstMatchIn(s).exists { m =>
+    // last startxref: incremental updates append new xref tables and
+    // the final startxref is the live one (ISO 32000 §7.5.5)
+    val xrefOk = startxrefRe.findAllMatchIn(s).toSeq.lastOption.exists { m =>
       val at = m.group(1).toInt
       at >= 0 && at + 4 <= bytes.length &&
         new String(bytes, at, 4, US_ASCII) == "xref"
