@@ -909,34 +909,51 @@ private[graft] object QueriesMultimodal {
         |  TRUE AS xref_ok, TRUE AS len_preserved
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
-    // L236 — PDF TEXT EXTRACTION (uncompressed content streams): the
-    // `(...) Tj` show-text operators of every page's minted content
-    // stream, parsed from raw bytes in document order — the
-    // ingest-tier extractor behind the L235 gate; the oracle rebuilds
+    // L236 — PDF TEXT EXTRACTION: the `(...) Tj` show-text operators
+    // of every page's minted content stream, parsed from raw bytes in
+    // document order — even ids are zlib `/Filter /FlateDecode`
+    // compressed (the ~universal real-world form, inflated via
+    // stdlib java.util.zip), odd ids uncompressed, and a corrupt-
+    // deflate tier (ids 200+) must route to the failed path (the S10
+    // posture), never return silent partial text. The oracle rebuilds
     // the expected page texts from the mint formulas, so a stream walk
-    // that drops, reorders, or double-reads a page cannot hash-match.
+    // that drops, reorders, double-reads a page, or swallows a deflate
+    // error cannot hash-match.
     Q("mm_pdf_text",
       (s, dir) => {
         import s.implicits._
-        val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 220)
           .select(col("doc_id")).as[Long]
         val extracted = base.map { id =>
           import graft.pipeline.PdfProbe
           val np = (1 + id % 3).toInt
           val texts = (0 until np).map(p => s"pg$p of doc $id")
-          val bytes = PdfProbe.mintWithText((4 + id % 4).toInt, texts)
-          val t = PdfProbe.extractText(bytes)
-          (id, np.toLong, t, t.length.toLong)
-        }.toDF("doc_id", "n_pages", "text", "n_chars")
+          val bytes = PdfProbe.mintWithText((4 + id % 4).toInt, texts,
+            flate = id % 2 == 0 || id >= 200)
+          if (id >= 200) {
+            // corrupt the first stream's zlib header: the extractor
+            // must throw, and the row routes to the failed path
+            val at = bytes.indexOfSlice("stream\n".getBytes("US-ASCII")) + 7
+            bytes(at) = 0xff.toByte
+          }
+          val (t, status) =
+            try ((PdfProbe.extractText(bytes), "ok"))
+            catch { case _: IllegalArgumentException => ("", "failed") }
+          (id, np.toLong, t, t.length.toLong, status)
+        }.toDF("doc_id", "n_pages", "text", "n_chars", "status")
         extracted.orderBy(col("doc_id"))
       },
       Some("""WITH b AS (SELECT doc_id, 1 + doc_id % 3 AS np
-        |  FROM documents WHERE doc_id < 200),
+        |  FROM documents WHERE doc_id < 220),
         |t AS (SELECT doc_id, CAST(np AS BIGINT) AS n_pages,
-        |    array_to_string(list_transform(range(0, CAST(np AS INTEGER)),
-        |      p -> printf('pg%d of doc %d', p, doc_id)), ' ') AS text
+        |    CASE WHEN doc_id < 200 THEN
+        |      array_to_string(list_transform(range(0, CAST(np AS INTEGER)),
+        |        p -> printf('pg%d of doc %d', p, doc_id)), ' ')
+        |      ELSE '' END AS text,
+        |    CASE WHEN doc_id < 200 THEN 'ok' ELSE 'failed' END AS status
         |  FROM b)
-        |SELECT doc_id, n_pages, text, CAST(len(text) AS BIGINT) AS n_chars
+        |SELECT doc_id, n_pages, text, CAST(len(text) AS BIGINT) AS n_chars,
+        |  status
         |FROM t ORDER BY doc_id""".stripMargin)),
 
     // L221 — streaming audio-metadata probe (L214∘streaming, the L187

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII}
+import java.util.zip.{DataFormatException, Deflater, Inflater}
 
 /** Byte-level PDF structural probe + minimal spec-valid injector — the
   * document-corpus sibling of [[ImageProbe]]/[[AudioMeta]]: a crawl of
@@ -59,18 +60,61 @@ object PdfProbe {
     sb.toString.getBytes(US_ASCII)
   }
 
-  /** [[mint]] plus one UNCOMPRESSED text content stream per page
-    * (`BT /F1 12 Tf (text) Tj ET`, exact /Length) — the layout
-    * [[extractText]] parses; texts must be paren/backslash-free (the
-    * injector rejects them rather than escaping, keeping the grammar
-    * the spec pins minimal).
+  /** RFC 1950 zlib-wrapped deflate — the byte form PDF `/FlateDecode`
+    * names (ISO 32000 §7.4.4). `java.util.zip` is stdlib, the same
+    * dependency posture as [[ImageMeta]]'s Inflater.
     */
-  def mintWithText(versionMinor: Int, texts: Seq[String]): Array[Byte] = {
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, /*nowrap=*/ false)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inverse of [[deflate]]; corrupt or truncated deflate data throws
+    * IllegalArgumentException LOUDLY (callers S10-route it), never a
+    * silent partial result.
+    */
+  private[graft] def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new DataFormatException("truncated deflate stream")
+        out.write(buf, 0, n)
+      }
+    } catch {
+      case e: DataFormatException =>
+        throw new IllegalArgumentException(
+          s"corrupt FlateDecode stream: ${e.getMessage}")
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** [[mint]] plus one text content stream per page
+    * (`BT /F1 12 Tf (text) Tj ET`, exact /Length), UNCOMPRESSED or —
+    * with `flate` — zlib-deflated with `/Filter /FlateDecode` (the
+    * near-universal real-world form) — the layouts [[extractText]]
+    * parses; texts must be paren/backslash-free (the injector rejects
+    * them rather than escaping, keeping the grammar the spec pins
+    * minimal).
+    */
+  def mintWithText(versionMinor: Int, texts: Seq[String],
+      flate: Boolean = false): Array[Byte] = {
     require(versionMinor >= 0 && versionMinor <= 7, s"bad minor $versionMinor")
     require(texts.nonEmpty && texts.size <= 1000, s"bad page count")
     require(texts.forall(t => !t.exists("()\\".contains(_))),
       "page text must be paren/backslash-free")
     val n = texts.size
+    // compressed payloads are binary: the builder string is ISO-8859-1
+    // (chars 0..255 <-> bytes 1:1), so offsets stay byte-exact
     val sb = new StringBuilder
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     sb.append(s"%PDF-1.$versionMinor\n")
@@ -85,7 +129,12 @@ object PdfProbe {
       obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Contents ${4 + 2 * i} 0 R >>")
       val content = s"BT /F1 12 Tf ($t) Tj ET"
-      obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+      if (flate) {
+        val comp = deflate(content.getBytes(US_ASCII))
+        obj(s"<< /Length ${comp.length} /Filter /FlateDecode >>\n" +
+          s"stream\n${new String(comp, ISO_8859_1)}\nendstream")
+      } else
+        obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
     }
     val xrefAt = sb.length
     sb.append(s"xref\n0 ${offsets.length + 1}\n")
@@ -93,16 +142,23 @@ object PdfProbe {
     offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
     sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R")
     sb.append(s" >>\nstartxref\n$xrefAt\n%%EOF\n")
-    sb.toString.getBytes(US_ASCII)
+    sb.toString.getBytes(ISO_8859_1)
   }
 
   private val tjRe = """\(([^()\\]*)\)\s*Tj""".r
+  private val streamStartRe =
+    java.util.regex.Pattern.compile("""<<([^<>]*)>>\s*stream\r?\n""")
+  // direct /Length only: a digit continuation or an indirect `N G R`
+  // reference must NOT half-match via backtracking
+  private val lengthRe = """/Length\s+(\d+)(?!\d|\s+\d+\s+R)""".r
 
   /** L236 — extract the `(...) Tj` show-text strings from every
-    * UNCOMPRESSED content stream, in document order joined by single
-    * spaces. Compressed (FlateDecode) streams contain no plain-text
-    * `Tj` operators and simply contribute nothing — the documented
-    * scope: this is the ingest-grade extractor for the minted/simple
+    * content stream, in document order joined by single spaces. The
+    * stream walk honors exact `/Length` byte counts (so binary
+    * payloads can't alias the grammar) and inflates
+    * `/Filter /FlateDecode` streams via [[inflate]] — corrupt deflate
+    * data throws loudly for S10 routing. Scope: direct (non-indirect)
+    * `/Length`, non-nested stream dictionaries — the minted/simple
     * corpus tier; a full extractor replaces the body, the Spark-side
     * plumbing stays.
     */
@@ -110,8 +166,36 @@ object PdfProbe {
     require(bytes != null && bytes.length >= 9 &&
       new String(bytes, 0, 5, US_ASCII) == "%PDF-",
       "not a PDF: missing %PDF- header")
-    val s = new String(bytes, US_ASCII)
-    tjRe.findAllMatchIn(s).map(_.group(1)).mkString(" ")
+    val s = new String(bytes, ISO_8859_1)
+    val m = streamStartRe.matcher(s)
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var pos = 0
+    while (pos < s.length && m.find(pos)) {
+      val dict = m.group(1)
+      val dataFrom = m.end
+      val dataUntil = lengthRe.findFirstMatchIn(dict).map(_.group(1).toInt) match {
+        case Some(len) =>
+          require(dataFrom + len <= bytes.length,
+            s"stream /Length $len runs past end of file")
+          dataFrom + len
+        case None =>
+          // no direct /Length: fall back to the endstream keyword
+          val e = s.indexOf("endstream", dataFrom)
+          require(e >= 0, "unterminated content stream")
+          // strip the EOL the writer put before the keyword
+          if (e > dataFrom && s(e - 1) == '\n')
+            (if (e - 1 > dataFrom && s(e - 2) == '\r') e - 2 else e - 1)
+          else e
+      }
+      val payload = java.util.Arrays.copyOfRange(bytes, dataFrom, dataUntil)
+      val decoded =
+        if (dict.contains("/FlateDecode")) new String(inflate(payload), US_ASCII)
+        else new String(payload, ISO_8859_1)
+      val found = tjRe.findAllMatchIn(decoded).map(_.group(1)).toSeq
+      if (found.nonEmpty) parts += found.mkString(" ")
+      pos = dataUntil
+    }
+    parts.mkString(" ")
   }
 
   /** [[mint]] plus a document-information dictionary (`/Author`,

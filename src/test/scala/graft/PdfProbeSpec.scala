@@ -68,6 +68,40 @@ class PdfProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("L236 FlateDecode: compressed mint roundtrips, a hand-laid " +
+      "stored-block zlib literal inflates, corrupt deflate fails loudly") {
+    // deflate-compressed mint extracts identically to the plain form
+    val texts = Seq("alpha page", "beta page", "gamma page")
+    val flated = PdfProbe.mintWithText(6, texts, flate = true)
+    assert(PdfProbe.extractText(flated) == "alpha page beta page gamma page")
+    assert(new String(flated, "ISO-8859-1").contains("/Filter /FlateDecode"))
+
+    // hand-laid RFC 1950 literal: one STORED block (BFINAL=1 BTYPE=00,
+    // LEN/NLEN little-endian) + adler32 big-endian, laid out from the
+    // spec so the inflater and the minter cannot share a wrong constant
+    val content = "BT /F1 12 Tf (flate pinned) Tj ET"
+    val raw = content.getBytes("US-ASCII")
+    var a = 1L; var b = 0L
+    raw.foreach { v => a = (a + (v & 0xff)) % 65521; b = (b + a) % 65521 }
+    val len = raw.length
+    val z = Array[Byte](0x78, 0x01, 0x01,
+      (len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      ((~len) & 0xff).toByte, (((~len) >> 8) & 0xff).toByte) ++ raw ++
+      Array[Byte](((b >> 8) & 0xff).toByte, (b & 0xff).toByte,
+        ((a >> 8) & 0xff).toByte, (a & 0xff).toByte)
+    val pre = (s"%PDF-1.4\n4 0 obj\n<< /Length ${z.length} " +
+      "/Filter /FlateDecode >>\nstream\n").getBytes("US-ASCII")
+    val post = "\nendstream\nendobj\n%%EOF\n".getBytes("US-ASCII")
+    assert(PdfProbe.extractText(pre ++ z ++ post) == "flate pinned")
+
+    // corrupt zlib header -> loud failure (the S10 route), not a
+    // silent empty extraction
+    val corrupt = flated.clone()
+    val at = corrupt.indexOfSlice("stream\n".getBytes("US-ASCII")) + 7
+    corrupt(at) = 0xff.toByte
+    intercept[IllegalArgumentException] { PdfProbe.extractText(corrupt) }
+  }
+
   test("L247 scrubInfo: in-place scrub preserves every byte length and " +
       "the xref; a file without /Info returns unchanged") {
     val pdf = PdfProbe.mintWithInfo(6, 3, "alice", "scannerX")
