@@ -523,6 +523,40 @@ FROM ag ORDER BY lang""")),
         |  CAST(COUNT(DISTINCT raw_fp) - COUNT(DISTINCT norm_fp) AS BIGINT) AS n_collapsed
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // L253 — NFC-vs-fold dedup audit: composed/decomposed twins minted
+    // per doc; distinct counts raw, after java.text.Normalizer NFC
+    // (codegen'd graft_nfc expression), after the L148 fold, and after
+    // NFC∘fold — n_fold_missed is the headroom the fold leaves without
+    // a normalization pass. The oracle replays NFC through DuckDB's
+    // independent nfc_normalize: real UAX #15 behavior cross-checked
+    // between two engines.
+    Q("t_nfc_dedup",
+      (s, dir) => TextOps.nfcDedup(Tables.documents(s, dir), "lang", "text")
+        .orderBy(col("lang")),
+      Some(s"""WITH v AS (SELECT lang,
+        |    unnest([text || ' caf' || chr(233) || ' touch' || chr(233),
+        |      text || ' cafe' || chr(769) || ' touche' || chr(769)]) AS v
+        |  FROM documents),
+        |g AS (SELECT lang, v, nfc_normalize(v) AS nv FROM v),
+        |h AS (SELECT lang, v, nv,
+        |    trim(regexp_replace(translate(lower(v),
+        |      '${TextOps.foldFrom.replace("'", "''")}',
+        |      '${TextOps.foldTo}'), '\\s+', ' ', 'g')) AS fv,
+        |    trim(regexp_replace(translate(lower(nv),
+        |      '${TextOps.foldFrom.replace("'", "''")}',
+        |      '${TextOps.foldTo}'), '\\s+', ' ', 'g')) AS nfv
+        |  FROM g)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_raw,
+        |  CAST(COUNT(DISTINCT nv) AS BIGINT) AS n_distinct_nfc,
+        |  CAST(COUNT(DISTINCT fv) AS BIGINT) AS n_distinct_fold,
+        |  CAST(COUNT(DISTINCT nfv) AS BIGINT) AS n_distinct_nfc_fold,
+        |  CAST(COUNT(DISTINCT v) - COUNT(DISTINCT nv) AS BIGINT)
+        |    AS n_collapsed_nfc,
+        |  CAST(COUNT(DISTINCT fv) - COUNT(DISTINCT nfv) AS BIGINT)
+        |    AS n_fold_missed
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // L154 — char-distribution chi-square gibberish score: e6-scaled
     // integer letter shares vs the corpus profile, 26 exact integer
     // terms per doc (see TextOps.charChiSquare for the quantization and

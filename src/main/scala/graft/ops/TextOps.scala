@@ -589,6 +589,47 @@ object TextOps {
           .as("n_collapsed"))
   }
 
+  /** L253 — NFC-vs-FOLD DEDUP AUDIT: how much duplication hides behind
+    * Unicode CANONICAL EQUIVALENCE — composed `é` (U+00E9) vs
+    * decomposed `e`+U+0301 are different byte strings for identical
+    * rendered text, so both exact dedup (L1) and the L148 character
+    * fold (whose translate alphabet maps only the COMPOSED Latin-1
+    * forms) under-collapse them. The op mints a composed/decomposed
+    * twin per document and counts distinct strings raw, after NFC
+    * ([[graft.expr.NfcNormalize]] — `java.text.Normalizer`, UAX #15),
+    * after the fold alone, and after NFC∘fold: `n_fold_missed` is the
+    * dedup headroom the fold leaves on the table without a
+    * normalization pass in front (CCNet/C4-style pipelines run NFC/NFD
+    * before their paragraph hashes for exactly this reason). The
+    * oracle replays NFC through DuckDB's independent `nfc_normalize` —
+    * real Unicode-table behavior cross-checked between two engines.
+    *
+    * Scale shape: one 2× explode + one grouped distinct-count — no
+    * joins, no windows; NFC is a codegen'd per-row expression.
+    */
+  def nfcDedup(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    graft.expr.NfcNormalize.register(docs.sparkSession)
+    // escaped, not raw: U+00E9 composed vs e+U+0301 decomposed stay
+    // byte-distinct and visible in the source
+    val composed = concat(col(textCol),
+      lit(" caf\u00e9 touch\u00e9"))
+    val decomposed = concat(col(textCol),
+      lit(" cafe\u0301 touche\u0301"))
+    docs.select(col(langCol).as("lang"),
+        explode(array(composed, decomposed)).as("v"))
+      .withColumn("nv", expr(s"${graft.expr.NfcNormalize.fnName}(v)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("v")).as("n_distinct_raw"),
+        countDistinct(col("nv")).as("n_distinct_nfc"),
+        countDistinct(normalizeFold(col("v"))).as("n_distinct_fold"),
+        countDistinct(normalizeFold(col("nv"))).as("n_distinct_nfc_fold"))
+      .withColumn("n_collapsed_nfc",
+        col("n_distinct_raw") - col("n_distinct_nfc"))
+      .withColumn("n_fold_missed",
+        col("n_distinct_fold") - col("n_distinct_nfc_fold"))
+  }
+
   /** L154 — CHARACTER-DISTRIBUTION CHI-SQUARE gibberish score: how far
     * a document's letter histogram sits from the corpus profile — the
     * classic cheap gibberish/encoding-garbage detector (keyboard mash,

@@ -3800,4 +3800,50 @@ class OpsSpec extends SparkSpec {
       Seq((true, true), (true, false)).toDF("g", "p"), "g", "p").head
     assert(degenerate.getAs[Double]("mcc") == -2.0, s"got $degenerate")
   }
+
+  test("L216/L227 paired stats fail loudly on null boolean inputs " +
+      "(the table must sum to n, never silently drop cells)") {
+    import graft.ops.EvalOps
+    val withNull = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, true), (null, true)).toDF("g", "p")
+    intercept[Exception] { EvalOps.mcc(withNull, "g", "p").collect() }
+    intercept[Exception] { EvalOps.mcnemar(withNull, "g", "p").collect() }
+  }
+
+  test("L217 spearmanRho rejects fractional values loudly (e6 " +
+      "fixed-point contract) instead of silently quantizing") {
+    import graft.ops.EvalOps
+    val frac = Seq((1.5d, 2.0d), (2.0d, 3.0d)).toDF("x", "y")
+    intercept[Exception] { EvalOps.spearmanRho(frac, "x", "y").collect() }
+    // integral doubles pass the gate (exact long cast); perfect
+    // monotone agreement reads as num == dx == dy in the exact fields
+    val ok = EvalOps.spearmanRho(
+      Seq((1.0d, 2.0d), (2.0d, 4.0d), (3.0d, 5.0d)).toDF("x", "y"),
+      "x", "y").head
+    assert(ok.getAs[Long]("num") == ok.getAs[Long]("dx")
+      && ok.getAs[Long]("dx") == ok.getAs[Long]("dy")
+      && ok.getAs[Long]("num") > 0L, s"got $ok")
+  }
+
+  test("L253 nfcDedup: NFC collapses the composed/decomposed twins the " +
+      "raw bytes and the L148 fold both keep distinct") {
+    val docs = Seq((1L, "en", "alpha"), (2L, "en", "beta"),
+      (3L, "de", "gamma")).toDF("doc_id", "lang", "text")
+    val r = TextOps.nfcDedup(docs, "lang", "text")
+      .orderBy(col("lang")).collect()
+    val en = r.find(_.getAs[String]("lang") == "en").get
+    // 2 docs -> 4 minted rows, 4 distinct raw, 2 distinct after NFC
+    assert(en.getAs[Long]("n_rows") == 4L
+      && en.getAs[Long]("n_distinct_raw") == 4L
+      && en.getAs[Long]("n_distinct_nfc") == 2L
+      && en.getAs[Long]("n_collapsed_nfc") == 2L, s"got $en")
+    // the fold strips the composed accent but NOT the combining mark:
+    // fold alone leaves the twins distinct; NFC∘fold collapses them
+    assert(en.getAs[Long]("n_distinct_fold") == 4L
+      && en.getAs[Long]("n_distinct_nfc_fold") == 2L
+      && en.getAs[Long]("n_fold_missed") == 2L, s"got $en")
+    val de = r.find(_.getAs[String]("lang") == "de").get
+    assert(de.getAs[Long]("n_rows") == 2L
+      && de.getAs[Long]("n_distinct_nfc") == 1L, s"got $de")
+  }
 }
