@@ -2081,6 +2081,62 @@ private[graft] object QueriesCuration {
         |SELECT src AS source, rank, w AS token,
         |  CAST(sa AS BIGINT) AS share_a_e6, CAST(sb AS BIGINT) AS share_b_e6,
         |  CAST(drift AS BIGINT) AS drift
-        |FROM rk WHERE rank <= 8 ORDER BY source, rank""".stripMargin))
+        |FROM rk WHERE rank <= 8 ORDER BY source, rank""".stripMargin)),
+
+    // L257 — ROBOTS/NOINDEX CONSENT GATE (complements the L70 URL
+    // blocklist): the compliance check every 2025-era crawl pipeline
+    // runs before a document may enter training data — directives are
+    // merged from BOTH live surfaces, the HTTP `X-Robots-Tag` header
+    // and the HTML `<meta name="robots">` tag (either alone
+    // under-reads), and noindex/none/noai block the doc. The check
+    // runs the FULL front door end-to-end: minted WARC response
+    // records (half per-record-gzipped) → container walk → HTTP
+    // envelope parse → robots extraction; the oracle replays the mint
+    // formulas, so a header the walk drops or a directive the merge
+    // misses cannot hash-match.
+    Q("c_robots_gate",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val gated = base.map { id =>
+          import graft.pipeline.{HtmlText, WarcIO}
+          val meta = (id % 5) match {
+            case 0 => "<meta name=\"robots\" content=\"noindex, nofollow\">"
+            case 1 => "<meta name=\"robots\" content=\"all\">"
+            case _ => ""
+          }
+          val html = s"<html><head>$meta<title>Doc $id</title></head>" +
+            s"<body><p>body $id</p></body></html>"
+          val headers = Seq("Content-Type" -> "text/html") ++
+            (if (id % 3 == 0)
+              Seq("X-Robots-Tag" -> (if (id % 2 == 0) "noai" else "noarchive"))
+            else Nil)
+          val payload = WarcIO.mintHttpResponse(200, headers,
+            html.getBytes("UTF-8"))
+          val rec = WarcIO.WarcRecord("response",
+            s"http://site${id % 7}.example.com/$id",
+            "2025-01-01T00:00:00Z", s"<urn:uuid:$id>",
+            "application/http; msgtype=response", payload)
+          val parsed = WarcIO.parse(
+            WarcIO.mint(Seq(rec), perRecordGzip = id % 2 == 0)).head
+          val http = WarcIO.parseHttpResponse(parsed.payload)
+          val dirs = HtmlText.robotsDirectives(
+            new String(http.body, "UTF-8"), http.headers.get("x-robots-tag"))
+          val noindex = dirs.contains("noindex") || dirs.contains("none")
+          val noai = dirs.contains("noai")
+          (id, dirs.size.toLong, noindex, noai, !noindex && !noai)
+        }.toDF("doc_id", "n_directives", "noindex", "noai", "allowed")
+        gated.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST((CASE WHEN doc_id % 5 = 0 THEN 2
+        |      WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_directives,
+        |  doc_id % 5 = 0 AS noindex,
+        |  doc_id % 6 = 0 AS noai,
+        |  NOT (doc_id % 5 = 0 OR doc_id % 6 = 0) AS allowed
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1061,6 +1061,111 @@ private[graft] object QueriesMultimodal {
         |  CAST(4 + doc_id % 4 AS BIGINT) AS version_minor,
         |  CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
         |  doc_id % 6 = 0 AS has_encrypt, TRUE AS xref_ok
-        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // L254 — WARC container walk (ISO 28500, the Common-Crawl front
+    // door): spec-valid multi-record files minted per doc — even ids
+    // in the per-record-gzip-member layout Common Crawl actually ships
+    // (each record its own RFC 1952 member, integrity-verified by
+    // hand-walked CRC32/ISIZE — GZIPInputStream would silently drop
+    // records after a corrupt boundary) — then parsed back record by
+    // record with exact Content-Length framing. The oracle re-derives
+    // every field from the mint formulas, so a walk that drops,
+    // merges, or mis-frames a record cannot hash-match.
+    Q("mm_warc_records",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 240)
+          .select(col("doc_id")).as[Long]
+        val recs = base.flatMap { id =>
+          import graft.pipeline.WarcIO
+          val n = (1 + id % 3).toInt
+          val types = Vector("response", "request", "metadata")
+          val records = (0 until n).map { j =>
+            WarcIO.WarcRecord(types(j),
+              s"http://site${id % 7}.example.com/page$id/$j",
+              "2025-01-01T00:00:00Z", s"<urn:uuid:$id-$j>", "text/plain",
+              ("x" * (10 + ((id + j) % 30)).toInt).getBytes("US-ASCII"))
+          }
+          val bytes = WarcIO.mint(records, perRecordGzip = id % 2 == 0)
+          WarcIO.parse(bytes).zipWithIndex.map { case (r, j) =>
+            (id, j.toLong, r.warcType, r.targetUri,
+              r.payload.length.toLong, id % 2 == 0, n.toLong)
+          }
+        }.toDF("doc_id", "rec_index", "warc_type", "target_uri",
+          "content_length", "gzipped", "n_records")
+        recs.orderBy(col("doc_id"), col("rec_index"))
+      },
+      Some("""WITH b AS (SELECT doc_id, 1 + doc_id % 3 AS n
+        |  FROM documents WHERE doc_id < 240),
+        |r AS (SELECT doc_id, n,
+        |    unnest(range(0, CAST(n AS INTEGER))) AS j FROM b)
+        |SELECT doc_id, CAST(j AS BIGINT) AS rec_index,
+        |  CASE j WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |    ELSE 'metadata' END AS warc_type,
+        |  'http://site' || (doc_id % 7) || '.example.com/page' || doc_id
+        |    || '/' || j AS target_uri,
+        |  CAST(10 + (doc_id + j) % 30 AS BIGINT) AS content_length,
+        |  doc_id % 2 = 0 AS gzipped,
+        |  CAST(n AS BIGINT) AS n_records
+        |FROM r ORDER BY doc_id, rec_index""".stripMargin)),
+
+    // L255 — streaming WARC ingest (L254∘streaming, the L187/L250
+    // posture): multi-record WARC files parsed AS THEY ARRIVE — the
+    // container walk is a stateless per-file flatMap (one file → its
+    // records), no state store; the payload parquet (real minted WARC
+    // bytes, half per-record-gzipped) stages once per session. This is
+    // the live crawl-firehose shape: record boundaries and framing
+    // validated before anything downstream commits.
+    Q("streaming_warc_ingest",
+      (s, dir) => QuerySupport.withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "swi_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_warc").toString
+        val srcDir = QuerySupport.stagedStreamSource("warc_payloads", dir) { p =>
+          val base = Tables.documents(s, dir).filter(col("doc_id") < 240)
+            .select(col("doc_id")).as[Long]
+          val payloads = base.map { id =>
+            import graft.pipeline.WarcIO
+            val n = (1 + id % 3).toInt
+            val types = Vector("response", "request", "metadata")
+            val records = (0 until n).map { j =>
+              WarcIO.WarcRecord(types(j),
+                s"http://site${id % 7}.example.com/page$id/$j",
+                "2025-01-01T00:00:00Z", s"<urn:uuid:$id-$j>", "text/plain",
+                ("x" * (10 + ((id + j) % 30)).toInt).getBytes("US-ASCII"))
+            }
+            (id, WarcIO.mint(records, perRecordGzip = id % 2 == 0))
+          }.toDF("doc_id", "payload")
+          QuerySupport.writeHeartbeat(payloads, p, "warc_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val parsed = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, bytes) =>
+            graft.pipeline.WarcIO.parse(bytes).zipWithIndex.map {
+              case (r, j) =>
+                (id, j.toLong, r.warcType, r.payload.length.toLong)
+            }
+          }.toDF("doc_id", "rec_index", "warc_type", "content_length")
+        val q = parsed.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuerySupport.cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("doc_id") >= 0)
+          .orderBy(col("doc_id"), col("rec_index"))
+      },
+      Some("""WITH b AS (SELECT doc_id, 1 + doc_id % 3 AS n
+        |  FROM documents WHERE doc_id < 240),
+        |r AS (SELECT doc_id, n,
+        |    unnest(range(0, CAST(n AS INTEGER))) AS j FROM b)
+        |SELECT doc_id, CAST(j AS BIGINT) AS rec_index,
+        |  CASE j WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |    ELSE 'metadata' END AS warc_type,
+        |  CAST(10 + (doc_id + j) % 30 AS BIGINT) AS content_length
+        |FROM r ORDER BY doc_id, rec_index""".stripMargin))
   )
 }

@@ -557,6 +557,45 @@ FROM ag ORDER BY lang""")),
         |    AS n_fold_missed
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // L256 — HTML TEXT EXTRACTION (the step between the L254 WARC walk
+    // and every text gate): each doc's text is escaped into a minted
+    // page with script/style/comment decoys, entity fixtures (named,
+    // decimal, hex), and block structure; HtmlText.toLines must drop
+    // the decoys, rebuild block-level lines, and decode entities so
+    // the original corpus text round-trips exactly. The oracle
+    // re-derives the expected flat text from the mint formula + the
+    // raw text column — a strip that leaks script bodies, eats a
+    // block boundary, or mis-decodes an entity cannot hash-match.
+    Q("t_html_extract",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val extracted = base.map { case (id, text) =>
+          import graft.pipeline.HtmlText
+          val html = s"<!DOCTYPE html><html><head><title>Doc $id</title>" +
+            "<style>body { margin: 0 }</style>" +
+            "<script>var t = '<p>decoy</p>';</script></head>" +
+            "<body><!-- <li>ghost</li> -->" +
+            s"<h1>Heading &amp; no. $id</h1>" +
+            s"<p>${HtmlText.escape(text)}</p>" +
+            "<ul><li>item &lt;one&gt;</li><li>caf&#233; &#x2603;</li></ul>" +
+            "</body></html>"
+          val lines = HtmlText.toLines(html)
+          val flat = lines.mkString(" ")
+          (id, flat, lines.size.toLong, flat.length.toLong)
+        }.toDF("doc_id", "flat_text", "n_lines", "n_chars")
+        extracted.orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    'Doc ' || doc_id || ' Heading & no. ' || doc_id || ' ' ||
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |    ' item <one> caf' || chr(233) || ' ' || chr(9731) AS flat
+        |  FROM documents)
+        |SELECT doc_id, flat AS flat_text, CAST(5 AS BIGINT) AS n_lines,
+        |  CAST(len(flat) AS BIGINT) AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // L154 — char-distribution chi-square gibberish score: e6-scaled
     // integer letter shares vs the corpus profile, 26 exact integer
     // terms per doc (see TextOps.charChiSquare for the quantization and

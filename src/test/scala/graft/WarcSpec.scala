@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{HtmlText, WarcIO}
+import graft.pipeline.WarcIO.WarcRecord
+
+/** The WARC front door (ISO 28500) + HTML extraction seam: a hand-laid
+  * record literal pins the container grammar (minter and parser must
+  * not share a wrong constant — the ONNX/TIFF lesson), Content-Length
+  * framing must survive adversarial payloads, per-record gzip members
+  * walk loudly, and the HTML grammar cases are pinned one by one.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  private def rec(i: Int, payload: String,
+      warcType: String = "response") = WarcRecord(
+    warcType, s"http://example.com/$i", "2025-01-01T00:00:00Z",
+    s"<urn:uuid:$i>", "application/http; msgtype=response",
+    payload.getBytes("US-ASCII"))
+
+  test("hand-laid WARC literal parses to the planted fields") {
+    val lit = "WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://example.com/a\r\n" +
+      "WARC-Date: 2025-01-01T00:00:00Z\r\n" +
+      "WARC-Record-ID: <urn:uuid:7>\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 5\r\n" +
+      "\r\n" +
+      "hello" +
+      "\r\n\r\n"
+    val rs = WarcIO.parse(lit.getBytes("US-ASCII"))
+    assert(rs.size == 1)
+    val r = rs.head
+    assert(r.warcType == "response"
+      && r.targetUri == "http://example.com/a"
+      && r.recordId == "<urn:uuid:7>"
+      && new String(r.payload, "US-ASCII") == "hello", s"got $r")
+  }
+
+  test("Content-Length framing survives a payload that embeds a fake " +
+      "record header (regex walkers would split there)") {
+    val evil = "\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\n"
+    val rs = WarcIO.parse(WarcIO.mint(
+      Seq(rec(1, evil), rec(2, "tail")), perRecordGzip = false))
+    assert(rs.size == 2)
+    assert(new String(rs.head.payload, "US-ASCII") == evil)
+    assert(rs(1).targetUri == "http://example.com/2")
+  }
+
+  test("per-record gzip members (the Common-Crawl layout) roundtrip; " +
+      "every member's integrity is verified") {
+    val records = (0 until 5).map(i => rec(i, s"payload number $i"))
+    val gz = WarcIO.mint(records, perRecordGzip = true)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val back = WarcIO.parse(gz)
+    assert(back.size == 5)
+    back.zip(records).foreach { case (b, r) =>
+      assert(b.targetUri == r.targetUri
+        && b.payload.sameElements(r.payload))
+    }
+  }
+
+  test("corrupt SECOND gzip member fails loudly — GZIPInputStream " +
+      "would silently EOF and drop the tail records") {
+    val gz = WarcIO.mint(Seq(rec(1, "first"), rec(2, "second")),
+      perRecordGzip = true)
+    // locate the second member's magic and break it
+    var at = -1
+    for (i <- 1 until gz.length - 1)
+      if (at < 0 && i > 2 && (gz(i) & 0xff) == 0x1f
+        && (gz(i + 1) & 0xff) == 0x8b) at = i
+    assert(at > 0, "second member magic not found")
+    val corrupt = gz.clone(); corrupt(at) = 0x00
+    intercept[IllegalArgumentException] { WarcIO.parse(corrupt) }
+    // truncated trailer also loud
+    intercept[IllegalArgumentException] {
+      WarcIO.parse(java.util.Arrays.copyOfRange(gz, 0, gz.length - 6))
+    }
+    // flipped CRC byte also loud (trailer = last 8 bytes of a member)
+    val badCrc = gz.clone()
+    badCrc(gz.length - 8) = (badCrc(gz.length - 8) ^ 0x5a).toByte
+    intercept[IllegalArgumentException] { WarcIO.parse(badCrc) }
+  }
+
+  test("structural violations are loud: missing separator, short " +
+      "payload, missing Content-Length, garbage") {
+    val good = new String(WarcIO.mint(Seq(rec(1, "abc")),
+      perRecordGzip = false), "ISO-8859-1")
+    intercept[IllegalArgumentException] {
+      WarcIO.parse(good.replace("Content-Length: 3", "Content-Length: 99")
+        .getBytes("ISO-8859-1"))
+    }
+    intercept[IllegalArgumentException] {
+      WarcIO.parse(good.replaceFirst("Content-Length: 3\r\n", "")
+        .getBytes("ISO-8859-1"))
+    }
+    intercept[IllegalArgumentException] {
+      WarcIO.parse("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII"))
+    }
+  }
+
+  test("HTTP response envelope: status, lower-cased headers, exact body") {
+    val payload = WarcIO.mintHttpResponse(200,
+      Seq("Content-Type" -> "text/html", "X-Robots-Tag" -> "noai"),
+      "<p>hi</p>".getBytes("US-ASCII"))
+    val h = WarcIO.parseHttpResponse(payload)
+    assert(h.status == 200
+      && h.headers("content-type") == "text/html"
+      && h.headers("x-robots-tag") == "noai"
+      && new String(h.body, "US-ASCII") == "<p>hi</p>", s"got $h")
+    intercept[IllegalArgumentException] {
+      WarcIO.parseHttpResponse("not http".getBytes("US-ASCII"))
+    }
+  }
+
+  test("HTML extraction: script/style/comment drop, block lines, " +
+      "entity decode incl. the single-pass &amp; rule") {
+    val html = "<!DOCTYPE html><html><head><title>T</title>" +
+      "<style>p { color: red }</style>" +
+      "<script>var x = '<p>not text</p>';</script></head>" +
+      "<body><!-- <p>ghost</p> -->" +
+      "<h1>A &amp; B</h1>" +
+      "<p>one<br>two</p>" +
+      "<p>caf&#233; &#x2603; &nbsp;ok</p>" +
+      "<p>&amp;lt; stays escaped</p>" +
+      "<span>inline</span> joined</body></html>"
+    val lines = HtmlText.toLines(html)
+    assert(lines == Seq("T", "A & B", "one", "two",
+      "café ☃ ok", "&lt; stays escaped", "inline joined"),
+      s"got $lines")
+    // escape/extract roundtrip for arbitrary corpus text
+    val text = "a < b & c > d"
+    assert(HtmlText.toText(s"<p>${HtmlText.escape(text)}</p>") == text)
+  }
+
+  test("robots directives merge the meta tag and the X-Robots-Tag header") {
+    val html = """<html><head><meta name="robots" """ +
+      """content="noindex, NoAI"></head><body>x</body></html>"""
+    assert(HtmlText.robotsDirectives(html, Some("noarchive"))
+      == Set("noindex", "noai", "noarchive"))
+    assert(HtmlText.robotsDirectives("<p>plain</p>", None) == Set.empty)
+    assert(HtmlText.robotsDirectives("<p>plain</p>", Some("none"))
+      == Set("none"))
+  }
+}
