@@ -909,6 +909,85 @@ private[graft] object QueriesAnalytics {
         |    ELSE -1.0 END AS ks
         |FROM t CROSS JOIN d""".stripMargin)),
 
+    // L258 — Mann–Whitney U: unpaired two-sample rank-sum over the
+    // event-parity split of cents (the KS pair's stochastic-dominance
+    // sibling); doubled average ranks + tie term exact, z a fixed
+    // three-op IEEE sequence. event_id < 6000 keeps var_num ≤ N⁵/4
+    // in exact longs (rank tests run on samples, the L217 posture).
+    Q("e_mann_whitney",
+      (s, dir) => {
+        val e = evPoints(s, dir).filter(col("event_id") < 6000L)
+        EvalOps.mannWhitneyU(
+          e.filter(pmod(col("event_id"), lit(2L)) === 0L),
+          e.filter(pmod(col("event_id"), lit(2L)) === 1L), "cents")
+      },
+      Some("""WITH e AS (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE event_id < 6000),
+        |m AS (SELECT cents AS v,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na_v,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb_v
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT na_v, nb_v, na_v + nb_v AS t,
+        |    (SUM(na_v + nb_v) OVER (ORDER BY v) - (na_v + nb_v)) * 2
+        |      + (na_v + nb_v) + 1 AS r2
+        |  FROM m),
+        |g AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb_v) AS BIGINT) AS n_b,
+        |    CAST(SUM(na_v * r2) AS BIGINT) AS ra_2x,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term FROM r),
+        |f AS (SELECT n_a, n_b, ra_2x - n_a * (n_a + 1) AS u_a_2x,
+        |    tie_term, n_a + n_b AS n FROM g)
+        |SELECT n_a, n_b, u_a_2x, tie_term,
+        |  u_a_2x - n_a * n_b AS d,
+        |  n_a * n_b * (n * n * n - n - tie_term) AS var_num,
+        |  3 * n * (n - 1) AS var_den,
+        |  CASE WHEN n_a * n_b * (n * n * n - n - tie_term) > 0
+        |    THEN CAST(u_a_2x - n_a * n_b AS DOUBLE)
+        |      / sqrt(CAST(n_a * n_b * (n * n * n - n - tie_term) AS DOUBLE)
+        |        / CAST(3 * n * (n - 1) AS DOUBLE))
+        |    ELSE -99.0 END AS z
+        |FROM f""".stripMargin)),
+
+    // L259 — chi-square independence + Cramér's V over the
+    // (event_type × user_id mod 8) contingency table: per-cell
+    // e6-floored exact terms in DECIMAL(38,0)/HUGEINT ((n·o)² passes
+    // 2⁶³), V the sqrt of one exact quotient.
+    Q("e_cramers_v",
+      (s, dir) => EvalOps.cramersV(
+        Tables.events(s, dir)
+          .select(col("event_type"), pmod(col("user_id"), lit(8L)).as("ub")),
+        "event_type", "ub"),
+      Some("""WITH ct AS (SELECT event_type AS a,
+        |    CAST(user_id % 8 AS VARCHAR) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r_i FROM ct GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c_j FROM ct GROUP BY 1),
+        |tt2 AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows_a,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols_b FROM ct),
+        |terms AS (SELECT
+        |    (CAST(tt2.n AS HUGEINT) * COALESCE(ct.o, 0)
+        |      - CAST(ra.r_i AS HUGEINT) * cb.c_j) AS dev,
+        |    CAST(tt2.n AS HUGEINT) * ra.r_i * cb.c_j AS den
+        |  FROM ra CROSS JOIN cb
+        |    LEFT JOIN ct ON ct.a = ra.a AND ct.b = cb.b
+        |    CROSS JOIN tt2)
+        |SELECT tt2.n, tt2.n_rows_a, tt2.n_cols_b,
+        |  (SELECT CAST(SUM((dev * dev * 1000000) // den) AS BIGINT)
+        |    FROM terms) AS chisq_e6,
+        |  CASE WHEN least(tt2.n_rows_a - 1, tt2.n_cols_b - 1) > 0
+        |      AND tt2.n > 0
+        |    THEN sqrt(CAST((SELECT SUM((dev * dev * 1000000) // den)
+        |        FROM terms) AS DOUBLE)
+        |      / CAST(tt2.n * least(tt2.n_rows_a - 1, tt2.n_cols_b - 1)
+        |        * 1000000 AS DOUBLE))
+        |    ELSE -1.0 END AS v
+        |FROM tt2""".stripMargin)),
+
     // L251 — Gwet's AC1 over a prevalence-skewed two-rater mint
     // (labels 0..2, rater B flips on every 5th doc): the
     // kappa-paradox-robust agreement read — pooled-marginal chance

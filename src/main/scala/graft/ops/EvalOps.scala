@@ -1098,6 +1098,125 @@ object EvalOps {
           .otherwise(lit(-1d)))
   }
 
+  /** L258 — MANN–WHITNEY U (two-sample rank-sum test), exact ties: the
+    * UNPAIRED sibling of the Wilcoxon signed-rank (L243) — "are scores
+    * from source A stochastically larger than source B" when the rows
+    * are different documents, not before/after pairs (the usual shape
+    * of a between-source quality comparison; the KS test L229 reads
+    * distribution SHAPE, U reads stochastic dominance).
+    *
+    * Exactness: doubled average ranks over the merged per-value count
+    * table are exact integers (the L217/L243 discipline), so
+    * `u_a_2x = R_a·2 − n_a(n_a+1)` and the tie term T = Σ(t³−t) are
+    * exact BIGINTs. The normal-approximation z uses
+    * σ² = n_a·n_b·(N³−N−T)/(12·N(N−1)), folded to
+    * z = d / sqrt(var_num/var_den) with d = 2(U−μ) = u_a_2x − n_a·n_b,
+    * var_num = n_a·n_b·(N³−N−T), var_den = 3N(N−1) — a fixed
+    * three-op IEEE sequence both engines evaluate identically.
+    * var_num ≤ N⁵/4 bounds exact longs to N ≈ 8k rows per invocation
+    * (documented: rank tests run on deterministic samples or
+    * per-shard, the L217 posture).
+    *
+    * Scale shape: one hash agg to the distinct-value table, one
+    * ordered window over it (DOMAIN-BOUNDED, the ksTest posture), one
+    * global agg.
+    *
+    * Output: one row (n_a, n_b, u_a_2x, tie_term, d, var_num, var_den,
+    * z); degenerate inputs flag z = −99.
+    */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = a.select(integralChecked(col(valCol), "mannWhitneyU").as("v"))
+      .withColumn("__ca", lit(1L)).withColumn("__cb", lit(0L))
+      .unionByName(b.select(
+          integralChecked(col(valCol), "mannWhitneyU").as("v"))
+        .withColumn("__ca", lit(0L)).withColumn("__cb", lit(1L)))
+      .groupBy(col("v"))
+      .agg(sum(col("__ca")).as("na_v"), sum(col("__cb")).as("nb_v"))
+      .withColumn("t", col("na_v") + col("nb_v"))
+    val w = Window.orderBy(col("v"))
+    counts
+      // doubled average rank of value v: 2·(cum-before) + t + 1
+      .withColumn("r2", (sum(col("t")).over(w) - col("t")) * 2L
+        + col("t") + 1L)
+      .agg(coalesce(sum(col("na_v")), lit(0L)).as("n_a"),
+        coalesce(sum(col("nb_v")), lit(0L)).as("n_b"),
+        coalesce(sum(col("na_v") * col("r2")), lit(0L)).as("ra_2x"),
+        coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+          .as("tie_term"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u_a_2x",
+        col("ra_2x") - col("n_a") * (col("n_a") + 1L))
+      .withColumn("d", col("u_a_2x") - col("n_a") * col("n_b"))
+      .withColumn("var_num", col("n_a") * col("n_b")
+        * (col("n") * col("n") * col("n") - col("n") - col("tie_term")))
+      .withColumn("var_den", lit(3L) * col("n") * (col("n") - 1L))
+      .withColumn("z",
+        when(col("var_num") > 0L,
+          col("d").cast("double")
+            / sqrt(col("var_num").cast("double")
+              / col("var_den").cast("double")))
+          .otherwise(lit(-99d)))
+      .select(col("n_a"), col("n_b"), col("u_a_2x"), col("tie_term"),
+        col("d"), col("var_num"), col("var_den"), col("z"))
+  }
+
+  /** L259 — CHI-SQUARE TEST OF INDEPENDENCE + CRAMÉR'S V over two
+    * categorical columns: "is document source independent of language"
+    * (or event type of daypart) — the effect-size read a corpus
+    * balance audit reports next to the raw contingency table; χ²
+    * alone grows with n, V = sqrt(χ²/(n·min(r−1,c−1))) is the
+    * comparable 0..1 number.
+    *
+    * Exactness: per-cell terms (n·o_ij − r_i·c_j)²·10⁶ div (n·r_i·c_j)
+    * in DECIMAL(38,0) (HUGEINT in the mirror — (n·o)² can pass 2⁶³),
+    * e6-floored per cell (the L154 share discipline), summed exactly;
+    * V = sqrt of the single quotient of two exact integers.
+    *
+    * Scale shape: one (a, b) map-side-combined count, two broadcast
+    * marginal rollups — nothing pairwise in rows.
+    *
+    * Output: one row (n, n_rows_a, n_cols_b, chisq_e6, v); degenerate
+    * (single row/col) flags v = −1.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ct = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val aSide = ct.groupBy(col("a")).agg(sum(col("o")).as("r_i"))
+    val bSide = ct.groupBy(col("b")).agg(sum(col("o")).as("c_j"))
+    val tot = ct.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("n_rows_a"),
+      countDistinct(col("b")).as("n_cols_b"))
+    // the FULL r×c grid, not just observed cells: a zero cell still
+    // contributes (r_i·c_j)²/(n·r_i·c_j) to chi-square
+    aSide.crossJoin(broadcast(bSide))
+      .join(ct, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_rows_a"), col("n_cols_b"),
+        ((col("n").cast(dec) * col("o").cast(dec)
+          - col("r_i").cast(dec) * col("c_j").cast(dec)).as("dev")),
+        (col("n").cast(dec) * col("r_i").cast(dec) * col("c_j").cast(dec))
+          .as("den"))
+      .select(col("n"), col("n_rows_a"), col("n_cols_b"),
+        // IntegralDivide on decimals yields BIGINT; each term is
+        // ≤ n·10⁶, safely in range
+        expr("(dev * dev * 1000000) div den").as("term_e6"))
+      .groupBy(col("n"), col("n_rows_a"), col("n_cols_b"))
+      .agg(sum(col("term_e6")).as("chisq_e6"))
+      .withColumn("k",
+        least(col("n_rows_a") - 1L, col("n_cols_b") - 1L))
+      .withColumn("v",
+        when(col("k") > 0L && col("n") > 0L,
+          sqrt(col("chisq_e6").cast("double")
+            / (col("n") * col("k") * 1000000L).cast("double")))
+          .otherwise(lit(-1d)))
+      .select(col("n"), col("n_rows_a"), col("n_cols_b"),
+        col("chisq_e6"), col("v"))
+  }
+
   /** L227 — MATTHEWS CORRELATION COEFFICIENT: the single-number
     * binary-classification score that stays honest under class
     * imbalance (accuracy and F1 both saturate when one class

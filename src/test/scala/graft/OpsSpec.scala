@@ -3825,6 +3825,37 @@ class OpsSpec extends SparkSpec {
       && ok.getAs[Long]("num") > 0L, s"got $ok")
   }
 
+  test("L258 mannWhitneyU: hand-checked a=[1,2,3] b=[2,4] — U_a = 1.5 " +
+      "(one win + half a tie), tie term from the shared 2") {
+    import graft.ops.EvalOps
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 4L).toDF("v")
+    val r = EvalOps.mannWhitneyU(a, b, "v").head
+    // ranks over [1,2,2,3,4] = [1, 2.5, 2.5, 4, 5]; R_a = 7.5 so
+    // ra_2x = 15, u_a_2x = 15 - 3*4 = 3 (U_a = 1.5); t=2 tie -> 6
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("u_a_2x"), r.getAs[Long]("tie_term"),
+      r.getAs[Long]("d"), r.getAs[Long]("var_num"), r.getAs[Long]("var_den"))
+      == ((3L, 2L, 3L, 6L, -3L, 684L, 60L)), s"got $r")
+  }
+
+  test("L259 cramersV: perfect 2x2 association reads V = 1 including " +
+      "the zero cells a naive observed-only walk would drop") {
+    import graft.ops.EvalOps
+    val rows = Seq.fill(2)(("x", "1")) ++ Seq.fill(3)(("y", "2"))
+    val r = EvalOps.cramersV(rows.toDF("a", "b"), "a", "b").head
+    // chisq = n * min(r-1, c-1) = 5 exactly at perfect association;
+    // the two ZERO cells contribute 1.2e6 each — dropping them would
+    // read 2.6e6
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("chisq_e6") == 5000000L
+      && r.getAs[Double]("v") == 1.0, s"got $r")
+    val indep = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2"))
+      .toDF("a", "b")
+    val ri = EvalOps.cramersV(indep, "a", "b").head
+    assert(ri.getAs[Long]("chisq_e6") == 0L && ri.getAs[Double]("v") == 0.0,
+      s"got $ri")
+  }
+
   test("L253 nfcDedup: NFC collapses the composed/decomposed twins the " +
       "raw bytes and the L148 fold both keep distinct") {
     val docs = Seq((1L, "en", "alpha"), (2L, "en", "beta"),
