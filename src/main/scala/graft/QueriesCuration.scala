@@ -2137,6 +2137,52 @@ private[graft] object QueriesCuration {
         |  doc_id % 5 = 0 AS noindex,
         |  doc_id % 6 = 0 AS noai,
         |  NOT (doc_id % 5 = 0 OR doc_id % 6 = 0) AS allowed
-        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // L260 — RFC 9309 robots.txt exclusion gate (the fetch-side
+    // consent surface next to the in-document L257 signals): minted
+    // per-host robots.txt files replayed against formula-driven
+    // (agent, path) probes through the REAL group-selection +
+    // longest-match + Allow-tie semantics — a specific-token group
+    // excludes the wildcard group, `/data/*.json` outweighs `/data/`,
+    // `/private/public$` outweighs `/private/`. The oracle enumerates
+    // the expected decision table from the same formulas, so a parser
+    // that mis-ranks rule lengths or leaks the wildcard group into a
+    // matched specific group cannot hash-match.
+    Q("c_robots_txt",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+        val gated = base.map { id =>
+          import graft.pipeline.RobotsTxt
+          val robots = "User-agent: *\n" +
+            "Disallow: /private/\n" +
+            "Allow: /private/public$\n" +
+            (if (id % 3 == 0)
+              "User-agent: graftbot\n" +
+                "Disallow: /data/*.json\n" +
+                "Allow: /data/\n"
+            else "")
+          val paths = Vector("/public/page3", "/private/x",
+            "/private/public", "/data/a.json", "/data/a.html")
+          val path = paths((id % 5).toInt)
+          val agent = if (id % 2 == 0) "graftbot" else "otherbot"
+          val groups = RobotsTxt.parse(robots)
+          (id, agent, path, id % 6 == 0,
+            RobotsTxt.isAllowed(groups, agent, path))
+        }.toDF("doc_id", "agent", "path", "specific_group", "allowed")
+        gated.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'graftbot' ELSE 'otherbot' END
+        |    AS agent,
+        |  CASE doc_id % 5 WHEN 0 THEN '/public/page3'
+        |    WHEN 1 THEN '/private/x' WHEN 2 THEN '/private/public'
+        |    WHEN 3 THEN '/data/a.json' ELSE '/data/a.html' END AS path,
+        |  doc_id % 6 = 0 AS specific_group,
+        |  CASE WHEN doc_id % 6 = 0 THEN doc_id % 5 <> 3
+        |    ELSE doc_id % 5 <> 1 END AS allowed
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -596,6 +596,51 @@ FROM ag ORDER BY lang""")),
         |  CAST(len(flat) AS BIGINT) AS n_chars
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // L261 — MAIN-CONTENT EXTRACTION by link density (boilerpipe /
+    // Kohlschütter signal over the L256 block structure): nav bars,
+    // footer link rails, and related-links blocks are short and
+    // anchor-dominated; main content is long and anchor-light. Minted
+    // page per doc: a 89%-density nav, the real corpus text (0%), a
+    // 47%-density "see also" rail, and a 2-char stub — the gate at
+    // 40% density / 10 chars must keep exactly the content block. The
+    // oracle re-derives the kept text from the raw column, so a
+    // density accounting that miscounts anchor text cannot hash-match.
+    Q("t_html_main",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = base.map { case (id, text) =>
+          import graft.pipeline.HtmlText
+          val html = "<html><body>" +
+            "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+            "<a href=\"/contact\">Contact</a></div>" +
+            s"<p>${HtmlText.escape(text)}</p>" +
+            "<p>See also <a href=\"/x\">the archive page</a> for more</p>" +
+            "<p>ok</p>" +
+            "</body></html>"
+          val bs = HtmlText.blocks(html)
+          def linkHeavy(b: HtmlText.Block) =
+            100L * b.anchorChars > 40L * b.nChars
+          val kept = bs.filter(b => !linkHeavy(b) && b.nChars >= 10L)
+          val main = kept.map(_.text).mkString(" ")
+          (id, bs.size.toLong, kept.size.toLong,
+            bs.count(linkHeavy).toLong,
+            bs.count(b => !linkHeavy(b) && b.nChars < 10L).toLong,
+            main, main.length.toLong)
+        }.toDF("doc_id", "n_blocks", "n_kept", "n_link_heavy", "n_short",
+          "main_text", "main_chars")
+        audited.orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS c
+        |  FROM documents)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS n_blocks,
+        |  CAST(1 AS BIGINT) AS n_kept,
+        |  CAST(2 AS BIGINT) AS n_link_heavy, CAST(1 AS BIGINT) AS n_short,
+        |  c AS main_text, CAST(len(c) AS BIGINT) AS main_chars
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // L154 — char-distribution chi-square gibberish score: e6-scaled
     // integer letter shares vs the corpus profile, 26 exact integer
     // terms per doc (see TextOps.charChiSquare for the quantization and

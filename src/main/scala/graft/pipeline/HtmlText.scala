@@ -90,6 +90,38 @@ object HtmlText {
     */
   def toText(html: String): String = toLines(html).mkString("\n")
 
+  private val anchorRe = """(?is)<a\b[^>]*>(.*?)</a\s*>""".r
+
+  /** One block-level segment with its link-text accounting: `nChars`
+    * of cleaned text, of which `anchorChars` sat inside `<a>` spans.
+    */
+  final case class Block(text: String, nChars: Long, anchorChars: Long)
+
+  private def clean(s: String): String =
+    decodeEntities(tagRe.replaceAllIn(s, "")).replaceAll("\\s+", " ").trim
+
+  /** Split into block-level segments with per-block LINK DENSITY — the
+    * Kohlschütter/boilerpipe signal: navigation, footers, and related-
+    * links rails are short blocks whose text is mostly anchor text,
+    * while main content is long and anchor-light. The caller gates on
+    * `100·anchorChars > pct·nChars` (link-heavy) and `nChars <
+    * minChars` (too short) — the standard main-content heuristic a
+    * crawl pipeline runs after [[toLines]]-style extraction. Anchors
+    * spanning block boundaries count as plain text (documented
+    * heuristic scope; fixtures keep anchors inline).
+    */
+  def blocks(html: String): Seq[Block] = {
+    val noComments = commentRe.replaceAllIn(html, "")
+    val noScript = scriptStyleRe.replaceAllIn(noComments, "")
+    blockRe.replaceAllIn(noScript, "\n").split('\n').toSeq.flatMap { seg =>
+      val anchorChars = anchorRe.findAllMatchIn(seg)
+        .map(m => clean(m.group(1)).length.toLong).sum
+      val text = clean(seg)
+      if (text.isEmpty) None
+      else Some(Block(text, text.length.toLong, anchorChars))
+    }
+  }
+
   private val metaRobotsRe =
     ("""(?is)<meta\s+[^>]*?name\s*=\s*["']robots["'][^>]*?""" +
       """content\s*=\s*["']([^"']*)["']""").r

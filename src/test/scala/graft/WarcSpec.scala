@@ -134,6 +134,19 @@ class WarcSpec extends AnyFunSuite {
     assert(HtmlText.toText(s"<p>${HtmlText.escape(text)}</p>") == text)
   }
 
+  test("link-density blocks: anchor text is counted per block, nested " +
+      "markup and entities cleaned identically on both sides") {
+    val html = "<body><div><a href='/'>Home</a> <a href='/a'>About us</a></div>" +
+      "<p>real content that is long enough to keep</p>" +
+      "<p>More &amp; <a href='/x'><b>bold link</b></a> tail</p></body>"
+    val bs = HtmlText.blocks(html)
+    assert(bs.map(_.text) == Seq("Home About us",
+      "real content that is long enough to keep", "More & bold link tail"),
+      s"got $bs")
+    assert(bs.map(_.anchorChars) == Seq(4L + 8L, 0L, 9L), s"got $bs")
+    assert(bs.map(_.nChars) == Seq(13L, 40L, 21L), s"got $bs")
+  }
+
   test("robots directives merge the meta tag and the X-Robots-Tag header") {
     val html = """<html><head><meta name="robots" """ +
       """content="noindex, NoAI"></head><body>x</body></html>"""
