@@ -1110,6 +1110,64 @@ private[graft] object QueriesMultimodal {
         |  CAST(n AS BIGINT) AS n_records
         |FROM r ORDER BY doc_id, rec_index""".stripMargin)),
 
+    // L262 — CHARSET SNIFF + STRICT DECODE (the byte→text step between
+    // the L254 WARC/HTTP envelope and L256 HTML extraction): WHATWG
+    // precedence (BOM > Content-Type header > meta prescan > UTF-8),
+    // then a REPORT-mode decode that throws on malformed bytes instead
+    // of minting U+FFFD — variant 3 mis-declares windows-1252 bytes as
+    // UTF-8 and must route to the mojibake path, never emit corrupted
+    // text. Decoded pages flow through the real HTML extractor; the
+    // oracle rebuilds the expected text (euro + accents by codepoint)
+    // from the mint formulas.
+    Q("mm_charset_decode",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+        val decoded = base.map { id =>
+          import graft.pipeline.{CharsetSniff, HtmlText}
+          val v = (id % 4).toInt
+          val text =
+            if (v == 2) s"caf\u00e9 na\u00efve $id"
+            else s"price \u20ac9 caf\u00e9 $id"
+          val (html, header, enc) = v match {
+            case 0 => (s"<html><head><meta charset=utf-8></head>" +
+              s"<body><p>$text</p></body></html>", None, "utf-8")
+            case 1 => (s"<html><body><p>$text</p></body></html>",
+              Some("text/html; charset=windows-1252"), "windows-1252")
+            case 2 => ("<html><head><meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=ISO-8859-1\"></head>" +
+              s"<body><p>$text</p></body></html>", None, "iso-8859-1")
+            case _ => (s"<html><body><p>$text</p></body></html>",
+              Some("text/html; charset=utf-8"), "windows-1252")
+          }
+          val bytes = CharsetSniff.encodeStrict(html, enc)
+          val (cs, source) = CharsetSniff.sniff(header, bytes)
+          val (ok, out) =
+            try ((true, HtmlText.toText(CharsetSniff.decodeStrict(bytes, cs))))
+            catch { case _: IllegalArgumentException => ((false, "")) }
+          (id, cs, source, ok, out, out.length.toLong)
+        }.toDF("doc_id", "charset", "source", "decode_ok", "text_out",
+          "n_chars")
+        decoded.orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, doc_id % 4 AS v
+        |  FROM documents WHERE doc_id < 400),
+        |t AS (SELECT doc_id, v,
+        |    CASE v WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |      WHEN 2 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+        |    CASE WHEN v IN (1, 3) THEN 'header' ELSE 'meta' END AS source,
+        |    v <> 3 AS decode_ok,
+        |    CASE WHEN v = 2
+        |        THEN 'caf' || chr(233) || ' na' || chr(239) || 've ' || doc_id
+        |      WHEN v = 3 THEN ''
+        |      ELSE 'price ' || chr(8364) || '9 caf' || chr(233) || ' '
+        |        || doc_id END AS text_out
+        |  FROM b)
+        |SELECT doc_id, charset, source, decode_ok, text_out,
+        |  CAST(len(text_out) AS BIGINT) AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // L255 — streaming WARC ingest (L254∘streaming, the L187/L250
     // posture): multi-record WARC files parsed AS THEY ARRIVE — the
     // container walk is a stateless per-file flatMap (one file → its
