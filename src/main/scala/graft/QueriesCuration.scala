@@ -2183,6 +2183,116 @@ private[graft] object QueriesCuration {
         |  doc_id % 6 = 0 AS specific_group,
         |  CASE WHEN doc_id % 6 = 0 THEN doc_id % 5 <> 3
         |    ELSE doc_id % 5 <> 1 END AS allowed
-        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
+
+    // L263 — CRAWL PIPELINE END-TO-END (the FineWeb/RefinedWeb shape
+    // run through the REAL components, not a simulation): per doc a
+    // WARC response record (half per-record-gzipped) → container walk
+    // (L254) → HTTP envelope → charset sniff + strict decode (L262,
+    // id%17 mis-declared → decode_failed) → RFC 9309 robots.txt
+    // (L260, id%11 under a disallowed prefix → robots_blocked) →
+    // meta-robots noindex (L257, id%13) → link-density main-content
+    // extraction (L261, nav rail dropped) → length quality gate →
+    // per-host rollup with exact dedup of survivor texts. Stage
+    // priorities are the real ones (can't gate what you can't read).
+    // The oracle replays the stage formulas + the raw text column.
+    Q("c_crawl_e2e",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 600)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val staged = base.map { case (id, text) =>
+          import graft.pipeline.{CharsetSniff, HtmlText, RobotsTxt, WarcIO}
+          val host = s"site${id % 7}.example.com"
+          val path = if (id % 11 == 0) s"/blocked/page$id" else s"/page$id"
+          val meta = if (id % 13 == 0)
+            "<meta name=\"robots\" content=\"noindex\">" else ""
+          val enc = if (id % 2 == 0) "utf-8" else "windows-1252"
+          val charsetMeta =
+            if (id % 2 == 0) "<meta charset=utf-8>" else ""
+          val header =
+            if (id % 17 == 0) Some("text/html; charset=utf-8")
+            else if (id % 2 == 0) None
+            else Some(s"text/html; charset=windows-1252")
+          val encActual = if (id % 17 == 0) "windows-1252" else enc
+          val html = s"<html><head>$charsetMeta$meta</head><body>" +
+            "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+            "<a href=\"/contact\">Contact</a></div>" +
+            // the euro forces a real multi-byte/cp1252 difference so a
+            // mis-declared charset CANNOT decode cleanly
+            s"<p>price \u20ac9 ${HtmlText.escape(text)}</p></body></html>"
+          val payload = WarcIO.mintHttpResponse(200,
+            Seq("Content-Type" -> header.getOrElse("text/html")),
+            CharsetSniff.encodeStrict(html, encActual))
+          val rec = WarcIO.WarcRecord("response", s"http://$host$path",
+            "2025-01-01T00:00:00Z", s"<urn:uuid:$id>",
+            "application/http; msgtype=response", payload)
+          val parsed = WarcIO.parse(
+            WarcIO.mint(Seq(rec), perRecordGzip = id % 2 == 0)).head
+          val http = WarcIO.parseHttpResponse(parsed.payload)
+          val robots = RobotsTxt.parse(
+            "User-agent: *\nDisallow: /blocked/\n")
+          val uriPath = parsed.targetUri.replaceFirst("https?://[^/]+", "")
+          val (cs, _) = CharsetSniff.sniff(
+            http.headers.get("content-type"), http.body)
+          val (status, mainText) =
+            try {
+              val page = CharsetSniff.decodeStrict(http.body, cs)
+              if (!RobotsTxt.isAllowed(robots, "graftbot", uriPath))
+                ("robots_blocked", "")
+              else if (HtmlText.robotsDirectives(page, None)
+                  .exists(d => d == "noindex" || d == "none"))
+                ("noindex", "")
+              else {
+                val kept = HtmlText.blocks(page).filter(b =>
+                  100L * b.anchorChars <= 40L * b.nChars && b.nChars >= 10L)
+                val main = kept.map(_.text).mkString(" ")
+                if (main.length < 70L) ("quality_failed", "")
+                else ("ok", main)
+              }
+            } catch {
+              case _: IllegalArgumentException => ("decode_failed", "")
+            }
+          (host, status, mainText)
+        }.toDF("host", "status", "main_text")
+        staged.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("status") === "decode_failed", 1L).otherwise(0L))
+              .as("n_decode_failed"),
+            sum(when(col("status") === "robots_blocked", 1L).otherwise(0L))
+              .as("n_robots_blocked"),
+            sum(when(col("status") === "noindex", 1L).otherwise(0L))
+              .as("n_noindex"),
+            sum(when(col("status") === "quality_failed", 1L).otherwise(0L))
+              .as("n_quality_failed"),
+            sum(when(col("status") === "ok", 1L).otherwise(0L))
+              .as("n_survivors"),
+            countDistinct(when(col("status") === "ok", col("main_text")))
+              .as("n_unique"))
+          .orderBy(col("host"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |    'site' || (doc_id % 7) || '.example.com' AS host,
+        |    'price ' || chr(8364) || '9 ' ||
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')) AS main,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'decode_failed'
+        |      WHEN doc_id % 11 = 0 THEN 'robots_blocked'
+        |      WHEN doc_id % 13 = 0 THEN 'noindex'
+        |      WHEN 9 + len(trim(regexp_replace(text, '\s+', ' ', 'g'))) < 70
+        |        THEN 'quality_failed'
+        |      ELSE 'ok' END AS status
+        |  FROM documents WHERE doc_id < 600)
+        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (status = 'decode_failed') AS BIGINT)
+        |    AS n_decode_failed,
+        |  CAST(COUNT(*) FILTER (status = 'robots_blocked') AS BIGINT)
+        |    AS n_robots_blocked,
+        |  CAST(COUNT(*) FILTER (status = 'noindex') AS BIGINT) AS n_noindex,
+        |  CAST(COUNT(*) FILTER (status = 'quality_failed') AS BIGINT)
+        |    AS n_quality_failed,
+        |  CAST(COUNT(*) FILTER (status = 'ok') AS BIGINT) AS n_survivors,
+        |  CAST(COUNT(DISTINCT main) FILTER (status = 'ok') AS BIGINT)
+        |    AS n_unique
+        |FROM b GROUP BY host ORDER BY host""".stripMargin))
   )
 }
