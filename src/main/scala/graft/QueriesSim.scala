@@ -552,6 +552,60 @@ private[graft] object QueriesSim {
     // 1−(1−p^r)^L S-curve assumed per paper. Both candidate sets are
     // slice-stable: band membership and argmax-cell assignment depend
     // only on the pair's own vectors and the fixed seeds.
+    // L264 — 1-bit binary-quantization ANN audit: division-free mean
+    // thresholds (q_d·n vs Σ_d, no div-vs-floor trap), 64 bits packed
+    // into ONE long on the Spark side (popcount candidate scoring —
+    // the modern 32×-compression first stage), exact-cosine truth at
+    // τ = 0.45; the oracle re-derives the same bits as unpacked lists
+    // and counts differing positions — two independent mechanisms,
+    // same semantics.
+    Q("sim_binary_quant",
+      (s, dir) => Similarity.binaryQuantAudit(
+        sessionQuantEmb(s, dir).filter(col("vec_id") < 1500),
+        "vec_id", 64, nQueries = 16L, maxHamming = 12, cosTau = 0.45),
+      Some("""WITH q0 AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 1500),
+        |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q0),
+        |sv AS (SELECT d, CAST(SUM(qv[d]) AS BIGINT) AS s
+        |  FROM q0, (SELECT unnest(range(1, 65)) AS d) dims GROUP BY d),
+        |bits AS (SELECT vec_id,
+        |    list(CASE WHEN qv[sv.d] * n0.n > sv.s THEN 1 ELSE 0 END
+        |      ORDER BY sv.d) AS bv
+        |  FROM q0 CROSS JOIN sv CROSS JOIN n0 GROUP BY vec_id),
+        |nm0 AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nn
+        |  FROM q0),
+        |pr AS (SELECT c.vec_id AS cid, s.vec_id AS qid
+        |  FROM q0 c CROSS JOIN q0 s
+        |  WHERE s.vec_id < 16 AND c.vec_id <> s.vec_id),
+        |hm AS (SELECT pr.cid, pr.qid,
+        |    len(list_filter(range(1, 65), i -> ba.bv[i] <> bb.bv[i])) AS ham
+        |  FROM pr JOIN bits ba ON ba.vec_id = pr.cid
+        |    JOIN bits bb ON bb.vec_id = pr.qid),
+        |pp AS (SELECT pr.cid, pr.qid, unnest(a.qv) AS av, unnest(b.qv) AS bv
+        |  FROM pr JOIN q0 a ON a.vec_id = pr.cid
+        |    JOIN q0 b ON b.vec_id = pr.qid),
+        |dt AS (SELECT cid, qid, CAST(SUM(av*bv) AS BIGINT) AS dot
+        |  FROM pp GROUP BY cid, qid),
+        |sc AS (SELECT hm.qid, hm.ham,
+        |    CAST(dt.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+        |      * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM hm JOIN dt ON dt.cid = hm.cid AND dt.qid = hm.qid
+        |    JOIN nm0 na ON na.vec_id = hm.cid
+        |    JOIN nm0 nb ON nb.vec_id = hm.qid)
+        |SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(COUNT(*) FILTER (ham <= 12) AS BIGINT) AS n_cand,
+        |  CAST(COUNT(*) FILTER (cos >= 0.45) AS BIGINT) AS n_true,
+        |  CAST(COUNT(*) FILTER (ham <= 12 AND cos >= 0.45) AS BIGINT)
+        |    AS n_common,
+        |  CASE WHEN COUNT(*) FILTER (cos >= 0.45) > 0
+        |    THEN CAST(COUNT(*) FILTER (ham <= 12 AND cos >= 0.45)
+        |        AS DOUBLE)
+        |      / CAST(COUNT(*) FILTER (cos >= 0.45) AS DOUBLE)
+        |    ELSE -1.0 END AS recall
+        |FROM sc GROUP BY qid ORDER BY qid""".stripMargin)),
+
     Q("sim_ann_recall",
       (s, dir) => {
         val q = sessionQuantEmb(s, dir).filter(col("vec_id") < 1500).cache()

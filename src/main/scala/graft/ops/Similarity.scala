@@ -1075,4 +1075,62 @@ object Similarity {
       }
       .toDF()
   }
+
+  /** L264 — 1-BIT BINARY QUANTIZATION recall audit (the BQ/RaBitQ
+    * family): every dimension collapses to `sign(q_d·n − Σ_d)` (the
+    * division-free mean threshold — comparing q_d·n against the dim
+    * sum avoids the div-vs-floor cross-engine trap on negative means),
+    * and the 64 bits PACK INTO ONE LONG, so candidate scoring is
+    * `bit_count(code XOR qcode)` — one popcount per candidate instead
+    * of a 64-term dot product. That 32×-compression + popcount scan is
+    * the modern first stage for billion-vector ANN (quantized codes
+    * resident in memory, float vectors on disk for the re-rank); this
+    * op audits what the Hamming radius buys: per query, the candidate
+    * set `ham ≤ maxHamming` against the exact-cosine truth `cos ≥ τ`
+    * over the same slice.
+    *
+    * Scale shape: the code table is one projection (stats broadcast);
+    * the audit scan broadcasts the bounded query slice (the L105
+    * posture) — at production scale the popcount scan shards
+    * embarrassingly and the truth pass is exactly what it replaces.
+    *
+    * Input `q`: (idCol, qv) from [[quantize]]. Output per query:
+    * (qid, n_scored, n_cand, n_true, n_common, recall; −1 when the
+    * query has no true partners).
+    */
+  def binaryQuantAudit(q: DataFrame, idCol: String, dim: Int,
+      nQueries: Long, maxHamming: Int, cosTau: Double): DataFrame = {
+    require(dim >= 1 && dim <= 64,
+      s"single-word packed codes cover dim <= 64, got $dim")
+    LongArrayDot.register(q.sparkSession)
+    val stats = q.agg(count(lit(1)).as("n"),
+      array((0 until dim).map(i => sum(element_at(col("qv"), i + 1))): _*)
+        .as("sv"))
+    val coded = q.crossJoin(broadcast(stats))
+      .select(col(idCol), col("qv"),
+        expr(s"aggregate(transform(sequence(0, ${dim - 1}), " +
+          "i -> IF(element_at(qv, i + 1) * n > element_at(sv, i + 1), " +
+          "shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc | x)").as("code"),
+        sqNorm(col("qv")).as("nn"))
+    val queries = coded.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col("code").as("qcode"),
+        col("qv").as("qqv"), col("nn").as("qnn"))
+    coded.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("ham", expr("bit_count(code ^ qcode)"))
+      .withColumn("cos", expr(s"${LongArrayDot.fnName}(qv, qqv)")
+        .cast("double")
+        / (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double"))))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("ham") <= maxHamming, 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("cos") >= cosTau, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("ham") <= maxHamming && col("cos") >= cosTau, 1L)
+          .otherwise(0L)).as("n_common"))
+      .withColumn("recall",
+        when(col("n_true") > 0L,
+          col("n_common").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(-1d)))
+      .orderBy(col("qid"))
+  }
 }
