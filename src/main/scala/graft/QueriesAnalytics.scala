@@ -988,6 +988,77 @@ private[graft] object QueriesAnalytics {
         |    ELSE -1.0 END AS v
         |FROM tt2""".stripMargin)),
 
+    // L266 — Kendall's tau-b between value (cents) and event time over
+    // a deterministic 1200-row sample: five sign-compared pair buckets
+    // (no value arithmetic — magnitudes can't overflow), tau-b as
+    // num / sqrt of the product of two exact counts. Exact tau is
+    // O(n²) by contract; the sample filter IS the documented posture.
+    Q("e_kendall_tau",
+      (s, dir) => EvalOps.kendallTau(
+        evPoints(s, dir).filter(col("event_id") < 1200L), "cents", "tus"),
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+        |    epoch_us(ts) AS y FROM events WHERE event_id < 1200),
+        |r AS (SELECT x, y, row_number() OVER (ORDER BY x, y) AS rid FROM e),
+        |p AS (SELECT CASE
+        |    WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+        |      THEN 'c'
+        |    WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+        |      THEN 'd'
+        |    WHEN a.x = b.x AND a.y = b.y THEN 'tb'
+        |    WHEN a.x = b.x THEN 'tx'
+        |    ELSE 'ty' END AS k
+        |  FROM r a JOIN r b ON a.rid < b.rid),
+        |g AS (SELECT
+        |    CAST(COUNT(*) FILTER (k = 'c') AS BIGINT) AS conc,
+        |    CAST(COUNT(*) FILTER (k = 'd') AS BIGINT) AS disc,
+        |    CAST(COUNT(*) FILTER (k = 'tx') AS BIGINT) AS tie_x,
+        |    CAST(COUNT(*) FILTER (k = 'ty') AS BIGINT) AS tie_y,
+        |    CAST(COUNT(*) FILTER (k = 'tb') AS BIGINT) AS tie_both,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p)
+        |SELECT n_pairs, conc, disc, tie_x, tie_y, tie_both,
+        |  CASE WHEN conc + disc + tie_y > 0 AND conc + disc + tie_x > 0
+        |    THEN CAST(conc - disc AS DOUBLE)
+        |      / sqrt(CAST((conc + disc + tie_y) * (conc + disc + tie_x)
+        |        AS DOUBLE))
+        |    ELSE -2.0 END AS tau
+        |FROM g""".stripMargin)),
+
+    // L267 — exact OLS linear fit of cents on sequence position over a
+    // 4000-row sample: all sums exact, slope/intercept/r each a single
+    // division (intercept's numerator in DECIMAL/HUGEINT; deliberately
+    // no floored div — truncate-vs-floor diverges on negatives).
+    Q("e_linreg",
+      (s, dir) => EvalOps.linearFit(
+        evPoints(s, dir).filter(col("event_id") < 4000L)
+          .select(col("event_id").as("x"), col("cents").as("y")),
+        "x", "y"),
+      Some("""WITH e AS (SELECT event_id AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events
+        |  WHERE event_id < 4000),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy FROM e),
+        |d AS (SELECT n, sx, sy,
+        |    n * sxy - sx * sy AS xy_dev,
+        |    n * sxx - sx * sx AS xx_dev,
+        |    n * syy - sy * sy AS yy_dev FROM g)
+        |SELECT n, sx, sy, xy_dev, xx_dev, yy_dev,
+        |  CASE WHEN xx_dev > 0
+        |    THEN CAST(xy_dev AS DOUBLE) / CAST(xx_dev AS DOUBLE)
+        |    ELSE 0.0 END AS slope,
+        |  CASE WHEN xx_dev > 0
+        |    THEN CAST(CAST(sy AS HUGEINT) * xx_dev
+        |        - CAST(xy_dev AS HUGEINT) * sx AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * xx_dev AS DOUBLE)
+        |    ELSE 0.0 END AS intercept,
+        |  CASE WHEN xx_dev > 0 AND yy_dev > 0
+        |    THEN CAST(xy_dev AS DOUBLE)
+        |      / (sqrt(CAST(xx_dev AS DOUBLE)) * sqrt(CAST(yy_dev AS DOUBLE)))
+        |    ELSE -2.0 END AS r
+        |FROM d""".stripMargin)),
+
     // L251 — Gwet's AC1 over a prevalence-skewed two-rater mint
     // (labels 0..2, rater B flips on every 5th doc): the
     // kappa-paradox-robust agreement read — pooled-marginal chance

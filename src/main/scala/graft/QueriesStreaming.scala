@@ -354,6 +354,107 @@ private[graft] object QueriesStreaming {
     // rates computed statelessly on arriving documents, append-mode,
     // only the suspect docs emitted — the ingest filter shape (the
     // routing decision happens AT ingest, nothing accumulates).
+    // L265 — streaming crawl-gate twin (L263∘streaming): WARC response
+    // payloads gated AS THEY ARRIVE — container walk, HTTP envelope,
+    // charset sniff + strict decode, robots.txt, meta-noindex, and the
+    // length gate, all per-record stateless (no state store; the
+    // survivor-dedup stage stays batch L263 — it is the only stateful
+    // step). The live firehose shape: a record's fate is decided
+    // before anything downstream commits.
+    Q("streaming_crawl_gate",
+      (s, dir) => withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "scg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_crawl").toString
+        val srcDir = stagedStreamSource("crawl_payloads", dir) { p =>
+          val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id"), col("text")).as[(Long, String)]
+          val payloads = base.map { case (id, text) =>
+            import graft.pipeline.{CharsetSniff, HtmlText, WarcIO}
+            val host = s"site${id % 7}.example.com"
+            val path = if (id % 11 == 0) s"/blocked/page$id" else s"/page$id"
+            val meta = if (id % 13 == 0)
+              "<meta name=\"robots\" content=\"noindex\">" else ""
+            val charsetMeta =
+              if (id % 2 == 0) "<meta charset=utf-8>" else ""
+            val header =
+              if (id % 17 == 0) "text/html; charset=utf-8"
+              else if (id % 2 == 0) "text/html"
+              else "text/html; charset=windows-1252"
+            val encActual =
+              if (id % 17 == 0 || id % 2 != 0) "windows-1252" else "utf-8"
+            val html = s"<html><head>$charsetMeta$meta</head><body>" +
+              "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+              "<a href=\"/contact\">Contact</a></div>" +
+              s"<p>price \u20ac9 ${HtmlText.escape(text)}</p></body></html>"
+            val payload = WarcIO.mintHttpResponse(200,
+              Seq("Content-Type" -> header),
+              CharsetSniff.encodeStrict(html, encActual))
+            val rec = WarcIO.WarcRecord("response", s"http://$host$path",
+              "2025-01-01T00:00:00Z", s"<urn:uuid:$id>",
+              "application/http; msgtype=response", payload)
+            (id, WarcIO.mint(Seq(rec), perRecordGzip = id % 2 == 0))
+          }.toDF("doc_id", "payload")
+          writeHeartbeat(payloads, p, "crawl_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val gated = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            import graft.pipeline.{CharsetSniff, HtmlText, RobotsTxt, WarcIO}
+            val parsed = WarcIO.parse(bytes).head
+            val http = WarcIO.parseHttpResponse(parsed.payload)
+            val robots = RobotsTxt.parse(
+              "User-agent: *\nDisallow: /blocked/\n")
+            val uriPath =
+              parsed.targetUri.replaceFirst("https?://[^/]+", "")
+            val (cs, _) = CharsetSniff.sniff(
+              http.headers.get("content-type"), http.body)
+            val (status, n) =
+              try {
+                val page = CharsetSniff.decodeStrict(http.body, cs)
+                if (!RobotsTxt.isAllowed(robots, "graftbot", uriPath))
+                  ("robots_blocked", 0L)
+                else if (HtmlText.robotsDirectives(page, None)
+                    .exists(d => d == "noindex" || d == "none"))
+                  ("noindex", 0L)
+                else {
+                  val kept = HtmlText.blocks(page).filter(b =>
+                    100L * b.anchorChars <= 40L * b.nChars
+                      && b.nChars >= 10L)
+                  val main = kept.map(_.text).mkString(" ")
+                  if (main.length < 70L) ("quality_failed", 0L)
+                  else ("ok", main.length.toLong)
+                }
+              } catch {
+                case _: IllegalArgumentException => ("decode_failed", 0L)
+              }
+            (id, status, n)
+          }.toDF("doc_id", "status", "main_chars")
+        val q = gated.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("doc_id") >= 0).orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |    9 + len(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS mc
+        |  FROM documents WHERE doc_id < 300),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'decode_failed'
+        |      WHEN doc_id % 11 = 0 THEN 'robots_blocked'
+        |      WHEN doc_id % 13 = 0 THEN 'noindex'
+        |      WHEN mc < 70 THEN 'quality_failed'
+        |      ELSE 'ok' END AS status,
+        |    mc FROM b)
+        |SELECT doc_id, status,
+        |  CAST(CASE WHEN status = 'ok' THEN mc ELSE 0 END AS BIGINT)
+        |    AS main_chars
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     Q("streaming_ocr_gate",
       (s, dir) => withStreamingPartitions(s) {
         val path = s"$dir/documents.parquet"

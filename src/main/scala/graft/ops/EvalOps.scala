@@ -1217,6 +1217,121 @@ object EvalOps {
         col("chisq_e6"), col("v"))
   }
 
+  /** L266 — KENDALL'S TAU-B (pair-concordance rank correlation), exact
+    * ties: the third rank-correlation read next to Spearman (L217) and
+    * Mann–Whitney (L258) — tau counts concordant vs discordant PAIRS,
+    * which makes it the robust choice when the signal is ordinal with
+    * heavy ties (quality buckets, star ratings). tau_b corrects both
+    * margins: (C − D) / sqrt((C+D+T_y)·(C+D+T_x)) with T_x/T_y the
+    * pairs tied ONLY in that variable.
+    *
+    * Exactness: every pair falls in exactly one of five integer
+    * buckets (C, D, tie-x-only, tie-y-only, tie-both) by pure sign
+    * comparisons — NO arithmetic on the values, so magnitudes never
+    * overflow; tau is num / sqrt of the product of two exact counts
+    * (≤ (n²/2)², exact in longs to n ≈ 85k — far past the documented
+    * sample bound).
+    *
+    * Scale shape: an O(n²) pair self-join BY CONTRACT — exact tau is
+    * quadratic; callers pass a deterministic sample (n ≤ ~2k, the
+    * documented posture; row ids come from one bounded sort window).
+    *
+    * Output: one row (n, n_pairs, conc, disc, tie_x, tie_y, tie_both,
+    * tau); a degenerate margin flags tau = −2.
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(integralChecked(col(xCol), "kendallTau").as("x"),
+        integralChecked(col(yCol), "kendallTau").as("y"))
+      .withColumn("rid",
+        row_number().over(Window.orderBy(col("x"), col("y"))))
+    val a = pts.select(col("rid").as("ra"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = pts.select(col("rid").as("rb"), col("x").as("xb"),
+      col("y").as("yb"))
+    a.crossJoin(b).filter(col("ra") < col("rb"))
+      .select(
+        when((col("xa") < col("xb") && col("ya") < col("yb"))
+          || (col("xa") > col("xb") && col("ya") > col("yb")), "c")
+          .when((col("xa") < col("xb") && col("ya") > col("yb"))
+            || (col("xa") > col("xb") && col("ya") < col("yb")), "d")
+          .when(col("xa") === col("xb") && col("ya") === col("yb"), "tb")
+          .when(col("xa") === col("xb"), "tx")
+          .otherwise("ty").as("k"))
+      .agg(
+        coalesce(sum(when(col("k") === "c", 1L).otherwise(0L)), lit(0L))
+          .as("conc"),
+        coalesce(sum(when(col("k") === "d", 1L).otherwise(0L)), lit(0L))
+          .as("disc"),
+        coalesce(sum(when(col("k") === "tx", 1L).otherwise(0L)), lit(0L))
+          .as("tie_x"),
+        coalesce(sum(when(col("k") === "ty", 1L).otherwise(0L)), lit(0L))
+          .as("tie_y"),
+        coalesce(sum(when(col("k") === "tb", 1L).otherwise(0L)), lit(0L))
+          .as("tie_both"),
+        count(lit(1)).as("n_pairs"))
+      .withColumn("tau",
+        when((col("conc") + col("disc") + col("tie_y")) > 0L
+          && (col("conc") + col("disc") + col("tie_x")) > 0L,
+          (col("conc") - col("disc")).cast("double")
+            / sqrt(((col("conc") + col("disc") + col("tie_y"))
+              * (col("conc") + col("disc") + col("tie_x"))).cast("double")))
+          .otherwise(lit(-2d)))
+      .select(col("n_pairs"), col("conc"), col("disc"), col("tie_x"),
+        col("tie_y"), col("tie_both"), col("tau"))
+  }
+
+  /** L267 — EXACT OLS LINEAR FIT (one regressor): slope/intercept/r of
+    * y on x — the trend read a feed audit runs over sequence position
+    * or time ("is quality drifting as the crawl progresses" — CUSUM
+    * L89 detects a break, this measures the gradient). All five sums
+    * are exact BIGINTs; slope = xy_dev / xx_dev and intercept =
+    * (Σy·xx_dev − xy_dev·Σx) / (n·xx_dev) are SINGLE divisions of
+    * exact integers (the intercept's numerator/denominator in
+    * DECIMAL(38,0) — the products can pass 2⁶³; deliberately NOT a
+    * floored `div`, whose truncate-vs-floor semantics diverge between
+    * engines on negative numerators); r = xy_dev /
+    * (sqrt(xx_dev)·sqrt(yy_dev)) — the mcc double discipline.
+    *
+    * Scale shape: one map-side-combined global agg — nothing else.
+    *
+    * Output: one row (n, sx, sy, xy_dev, xx_dev, yy_dev, slope,
+    * intercept, r); a constant x or y flags r = −2 and slope/intercept
+    * 0.
+    */
+  def linearFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(integralChecked(col(xCol), "linearFit").as("x"),
+        integralChecked(col(yCol), "linearFit").as("y"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("x")), lit(0L)).as("sx"),
+        coalesce(sum(col("y")), lit(0L)).as("sy"),
+        coalesce(sum(col("x") * col("y")), lit(0L)).as("sxy"),
+        coalesce(sum(col("x") * col("x")), lit(0L)).as("sxx"),
+        coalesce(sum(col("y") * col("y")), lit(0L)).as("syy"))
+      .withColumn("xy_dev", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("xx_dev", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("yy_dev", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope",
+        when(col("xx_dev") > 0L,
+          col("xy_dev").cast("double") / col("xx_dev").cast("double"))
+          .otherwise(lit(0d)))
+      .withColumn("intercept",
+        when(col("xx_dev") > 0L,
+          expr(s"CAST(CAST(sy AS $dec) * xx_dev - CAST(xy_dev AS $dec) * sx" +
+            s" AS DOUBLE)")
+            / expr(s"CAST(CAST(n AS $dec) * xx_dev AS DOUBLE)"))
+          .otherwise(lit(0d)))
+      .withColumn("r",
+        when(col("xx_dev") > 0L && col("yy_dev") > 0L,
+          col("xy_dev").cast("double")
+            / (sqrt(col("xx_dev").cast("double"))
+              * sqrt(col("yy_dev").cast("double"))))
+          .otherwise(lit(-2d)))
+      .select(col("n"), col("sx"), col("sy"), col("xy_dev"), col("xx_dev"),
+        col("yy_dev"), col("slope"), col("intercept"), col("r"))
+  }
+
   /** L227 — MATTHEWS CORRELATION COEFFICIENT: the single-number
     * binary-classification score that stays honest under class
     * imbalance (accuracy and F1 both saturate when one class

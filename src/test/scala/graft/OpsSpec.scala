@@ -3856,6 +3856,35 @@ class OpsSpec extends SparkSpec {
       s"got $ri")
   }
 
+  test("L266 kendallTau: hand-checked 4 points with an x-tie, a y-tie, " +
+      "and a discordance — tau = 2/5 exactly") {
+    import graft.ops.EvalOps
+    val pts = Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 2L)).toDF("x", "y")
+    val r = EvalOps.kendallTau(pts, "x", "y").head
+    assert((r.getAs[Long]("n_pairs"), r.getAs[Long]("conc"),
+      r.getAs[Long]("disc"), r.getAs[Long]("tie_x"), r.getAs[Long]("tie_y"),
+      r.getAs[Long]("tie_both")) == ((6L, 3L, 1L, 1L, 1L, 0L)), s"got $r")
+    assert(r.getAs[Double]("tau") == 0.4, s"got $r") // sqrt(25) exact
+  }
+
+  test("L267 linearFit: hand-checked perfect line y = 2x — slope 2, " +
+      "intercept 0, exact dev components") {
+    import graft.ops.EvalOps
+    val pts = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val r = EvalOps.linearFit(pts, "x", "y").head
+    assert((r.getAs[Long]("xy_dev"), r.getAs[Long]("xx_dev"),
+      r.getAs[Long]("yy_dev")) == ((12L, 6L, 24L)), s"got $r")
+    assert(r.getAs[Double]("slope") == 2.0
+      && r.getAs[Double]("intercept") == 0.0, s"got $r")
+    assert(r.getAs[Double]("r")
+      == 12d / (math.sqrt(6d) * math.sqrt(24d)), s"got $r")
+    // constant x flags, never divides by zero
+    val const = EvalOps.linearFit(
+      Seq((5L, 1L), (5L, 2L)).toDF("x", "y"), "x", "y").head
+    assert(const.getAs[Double]("r") == -2.0
+      && const.getAs[Double]("slope") == 0.0, s"got $const")
+  }
+
   test("L253 nfcDedup: NFC collapses the composed/decomposed twins the " +
       "raw bytes and the L148 fold both keep distinct") {
     val docs = Seq((1L, "en", "alpha"), (2L, "en", "beta"),
