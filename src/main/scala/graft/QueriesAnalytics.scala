@@ -1059,6 +1059,29 @@ private[graft] object QueriesAnalytics {
         |    ELSE -2.0 END AS r
         |FROM d""".stripMargin)),
 
+    // L269 — Benford first-digit audit over positive cents: e6-floored
+    // log10(1+1/d) expected shares as shared literal constants — no
+    // log evaluated in either engine; the fabricated-data / unit-mix
+    // smoke detector.
+    Q("e_benford",
+      (s, dir) => EvalOps.benfordAudit(evPoints(s, dir), "cents"),
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |p AS (SELECT v FROM e WHERE v > 0),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM p GROUP BY 1)
+        |SELECT digit, n_d, t.n, (n_d * 1000000) // t.n AS share_e6,
+        |  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |    ELSE 45757 END AS BIGINT) AS expected_e6,
+        |  (n_d * 1000000) // t.n - CASE digit WHEN 1 THEN 301029
+        |    WHEN 2 THEN 176091 WHEN 3 THEN 124938 WHEN 4 THEN 96910
+        |    WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+        |    WHEN 8 THEN 51152 ELSE 45757 END AS dev_e6
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin)),
+
     // L251 — Gwet's AC1 over a prevalence-skewed two-rater mint
     // (labels 0..2, rater B flips on every 5th doc): the
     // kappa-paradox-robust agreement read — pooled-marginal chance

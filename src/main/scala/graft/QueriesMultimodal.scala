@@ -1168,6 +1168,57 @@ private[graft] object QueriesMultimodal {
         |  CAST(len(text_out) AS BIGINT) AS n_chars
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // L268 — magic-byte FORMAT ROUTER: real encoder output from every
+    // minter in the repo (PNG/JPEG/GIF/BMP, WAV/FLAC, PDF, WARC plain
+    // and per-record-gzipped) plus a deterministic no-magic blob, each
+    // routed by content alone — the dispatch a 100 TB crawl needs for
+    // extension-less and mis-labeled payloads (S1 routes what the path
+    // claims; this routes what the bytes ARE). Container-first:
+    // warc.gz reports gzip. The oracle replays the kind formula.
+    Q("mm_format_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val sniffed = base.map { id =>
+          import graft.pipeline._
+          val argb = Array.tabulate(16)(i =>
+            0xff000000 | (((id.toInt + i) * 1001) & 0xffffff))
+          val sam = Array.tabulate(64)(i =>
+            ((id * 7 + i * 29) % 401 - 200) / 400f)
+          def warcBytes(gz: Boolean) = WarcIO.mint(Seq(WarcIO.WarcRecord(
+            "resource", s"http://x/$id", "2025-01-01T00:00:00Z",
+            s"<urn:uuid:$id>", "text/plain",
+            s"payload $id".getBytes("US-ASCII"))), gz)
+          val kind = (id % 10).toInt
+          val bytes = kind match {
+            case 0 => ImageCodec.encodePng(4, 4, argb)
+            case 1 => ImageCodec.encodeJpeg(4, 4, argb)
+            case 2 => ImageCodec.encodeGif(4, 4, argb)
+            case 3 => ImageCodec.encodeBmp(4, 4, argb)
+            case 4 => WavAudio.encode(8000, sam)
+            case 5 => FlacAudio.encode(8000, sam)
+            case 6 => PdfProbe.mint(5, 1, encrypt = false)
+            case 7 => warcBytes(false)
+            case 8 => warcBytes(true)
+            case _ => Array.tabulate(16)(i => ((id + i) % 251).toByte)
+          }
+          val minted = Vector("png", "jpeg", "gif", "bmp", "wav", "flac",
+            "pdf", "warc", "gzip", "unknown")(kind)
+          val got = FormatSniff.sniff(bytes)
+          (id, minted, got, got == minted)
+        }.toDF("doc_id", "minted", "sniffed", "routed_ok")
+        sniffed.orderBy(col("doc_id"))
+      },
+      Some("""WITH k AS (SELECT doc_id,
+        |    CASE doc_id % 10 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav'
+        |      WHEN 5 THEN 'flac' WHEN 6 THEN 'pdf' WHEN 7 THEN 'warc'
+        |      WHEN 8 THEN 'gzip' ELSE 'unknown' END AS minted
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, minted, minted AS sniffed, TRUE AS routed_ok
+        |FROM k ORDER BY doc_id""".stripMargin)),
+
     // L255 — streaming WARC ingest (L254∘streaming, the L187/L250
     // posture): multi-record WARC files parsed AS THEY ARRIVE — the
     // container walk is a stateless per-file flatMap (one file → its

@@ -552,6 +552,46 @@ private[graft] object QueriesSim {
     // 1−(1−p^r)^L S-curve assumed per paper. Both candidate sets are
     // slice-stable: band membership and argmax-cell assignment depend
     // only on the pair's own vectors and the fixed seeds.
+    // L270 — reciprocal nearest neighbors: pairs where each side sits
+    // in the OTHER's cosine top-5 — the high-precision pair miner for
+    // dedup gold sets and alignment corpora (one-directional top-k is
+    // hub-polluted: a generic centroid-ish vector shows up in
+    // everyone's list; mutuality filters hubs out by construction).
+    // Exact brute scoring on a bounded slice (the audit posture); at
+    // corpus scale the same mutuality join runs over IVF/LSH top-k.
+    Q("sim_rnn_pairs",
+      (s, dir) => {
+        val q = sessionQuantEmb(s, dir).filter(col("vec_id") < 400)
+        val tk = Similarity.cosineTopK(q, q, "vec_id", 5)
+          .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+        tk.join(tk.select(col("b").as("a"), col("a").as("b")),
+            Seq("a", "b"))
+          .filter(col("a") < col("b"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 400),
+        |nm2 AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nn
+        |  FROM q),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    unnest(a.qv) AS av, unnest(b.qv) AS bv
+        |  FROM q a, q b WHERE a.vec_id <> b.vec_id),
+        |dt AS (SELECT qid, nid, CAST(SUM(av*bv) AS BIGINT) AS dot
+        |  FROM p GROUP BY qid, nid),
+        |sc AS (SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+        |      * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |  FROM dt JOIN nm2 na ON na.vec_id = qid
+        |    JOIN nm2 nb ON nb.vec_id = nid),
+        |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS rnk FROM sc),
+        |tk AS (SELECT qid AS a, nid AS b FROM r WHERE rnk <= 5)
+        |SELECT t1.a, t1.b FROM tk t1
+        |  JOIN tk t2 ON t2.a = t1.b AND t2.b = t1.a
+        |WHERE t1.a < t1.b ORDER BY t1.a, t1.b""".stripMargin)),
+
     // L264 — 1-bit binary-quantization ANN audit: division-free mean
     // thresholds (q_d·n vs Σ_d, no div-vs-floor trap), 64 bits packed
     // into ONE long on the Spark side (popcount candidate scoring —

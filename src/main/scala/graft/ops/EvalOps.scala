@@ -1332,6 +1332,37 @@ object EvalOps {
         col("yy_dev"), col("slope"), col("intercept"), col("r"))
   }
 
+  /** L269 — BENFORD FIRST-DIGIT AUDIT: the leading-digit distribution
+    * of positive integer measurements against Benford's law — the
+    * classic fabricated/synthetic-data and unit-mixing detector (organic
+    * multi-scale magnitudes follow log10(1+1/d); capped, minted, or
+    * unit-spliced feeds don't). The expected shares are e6-floored
+    * PUBLIC constants shared verbatim with the SQL mirror — neither
+    * engine evaluates a log.
+    *
+    * Scale shape: one map-side-combined digit count (≤ 9 groups) + a
+    * broadcast total. Output per observed digit: (digit, n_d, n,
+    * share_e6, expected_e6, dev_e6).
+    */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val pos = df.select(integralChecked(col(valCol), "benfordAudit").as("v"))
+      .filter(col("v") > 0L)
+    val tot = pos.agg(count(lit(1)).as("n"))
+    pos.withColumn("digit",
+        substring(col("v").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_e6", expr("(n_d * 1000000L) div n"))
+      .withColumn("expected_e6",
+        element_at(array(expected.map(lit): _*), col("digit").cast("int")))
+      .withColumn("dev_e6", col("share_e6") - col("expected_e6"))
+      .select(col("digit"), col("n_d"), col("n"), col("share_e6"),
+        col("expected_e6"), col("dev_e6"))
+      .orderBy(col("digit"))
+  }
+
   /** L227 — MATTHEWS CORRELATION COEFFICIENT: the single-number
     * binary-classification score that stays honest under class
     * imbalance (accuracy and F1 both saturate when one class
