@@ -2185,6 +2185,43 @@ private[graft] object QueriesCuration {
         |    ELSE doc_id % 5 <> 1 END AS allowed
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
 
+    // L272 — CRAWL PLAN from robots.txt: the fetch-side schedule next
+    // to the L260 allow/deny decision — per-host effective Crawl-delay
+    // for OUR agent (specific group beats wildcard; merged groups take
+    // the conservative max) and the file-wide Sitemap URLs that seed
+    // the frontier. The oracle replays the mint formulas.
+    Q("c_crawl_plan",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val planned = base.map { id =>
+          import graft.pipeline.RobotsTxt
+          val robots =
+            s"Sitemap: https://site${id % 7}.example.com/s0.xml\n" +
+              (if (id % 2 == 1)
+                s"Sitemap: https://site${id % 7}.example.com/s1.xml\n"
+              else "") +
+              s"User-agent: *\nCrawl-delay: ${1 + id % 7}\nDisallow: /t/\n" +
+              (if (id % 3 == 0)
+                s"User-agent: graftbot\nCrawl-delay: ${2 + id % 4}\n" +
+                  "Allow: /\n"
+              else "")
+          val agent = if (id % 2 == 0) "graftbot" else "otherbot"
+          val groups = RobotsTxt.parse(robots)
+          val delay = RobotsTxt.crawlDelayFor(groups, agent).getOrElse(-1L)
+          (id, agent, delay, RobotsTxt.sitemaps(robots).size.toLong)
+        }.toDF("doc_id", "agent", "delay_s", "n_sitemaps")
+        planned.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'graftbot' ELSE 'otherbot' END
+        |    AS agent,
+        |  CAST(CASE WHEN doc_id % 6 = 0 THEN 2 + doc_id % 4
+        |    ELSE 1 + doc_id % 7 END AS BIGINT) AS delay_s,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_sitemaps
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
     // L263 — CRAWL PIPELINE END-TO-END (the FineWeb/RefinedWeb shape
     // run through the REAL components, not a simulation): per doc a
     // WARC response record (half per-record-gzipped) → container walk

@@ -1219,6 +1219,70 @@ private[graft] object QueriesMultimodal {
         |SELECT doc_id, minted, minted AS sniffed, TRUE AS routed_ok
         |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // L271 — HTTP TRANSFER/CONTENT CODINGS: real crawl payloads arrive
+    // chunked (RFC 9112 §7.1 framing) and/or gzip-coded (RFC 9110
+    // Content-Encoding), and both must undo IN ORDER (transfer coding
+    // is message framing, content coding is the representation) before
+    // any byte of the entity is trusted. Variants: identity, chunked,
+    // gzip, chunked∘gzip; a corrupt tier (id%19) breaks the chunk-size
+    // line and must route loudly — a mis-framed chunk silently
+    // concatenated is corrupted training text. The oracle replays the
+    // body formula.
+    Q("mm_http_codings",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+        val decoded = base.map { id =>
+          import graft.pipeline.WarcIO
+          val body = s"payload of doc $id " + "x" * (id % 23).toInt
+          val bytes = body.getBytes("US-ASCII")
+          def chunk(b: Array[Byte]) = WarcIO.mintChunked(b, Seq(7, b.length - 7))
+          val (coding, payload, headers) =
+            if (id % 19 == 0) {
+              val c = chunk(bytes)
+              (("chunked",
+                ("zz" + new String(c, "ISO-8859-1").drop(1))
+                  .getBytes("ISO-8859-1"),
+                Seq("Transfer-Encoding" -> "chunked")))
+            } else (id % 4) match {
+              case 0 => (("identity", bytes, Seq.empty[(String, String)]))
+              case 1 => (("chunked", chunk(bytes),
+                Seq("Transfer-Encoding" -> "chunked")))
+              case 2 => (("gzip", WarcIO.gzipBytes(bytes),
+                Seq("Content-Encoding" -> "gzip")))
+              case _ =>
+                val gz = WarcIO.gzipBytes(bytes)
+                (("chunked+gzip", chunk(gz),
+                  Seq("Transfer-Encoding" -> "chunked",
+                    "Content-Encoding" -> "gzip")))
+            }
+          val h = WarcIO.parseHttpResponse(
+            WarcIO.mintHttpResponse(200, headers, payload))
+          val (ok, text) =
+            try ((true, new String(WarcIO.decodedBody(h), "US-ASCII")))
+            catch { case _: IllegalArgumentException => ((false, "")) }
+          (id, coding, ok, text, text.length.toLong)
+        }.toDF("doc_id", "coding", "decode_ok", "body_text", "n_bytes")
+        decoded.orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |    'payload of doc ' || doc_id || ' ' ||
+        |      repeat('x', CAST(doc_id % 23 AS INTEGER)) AS body
+        |  FROM documents WHERE doc_id < 400),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0 THEN 'chunked'
+        |      WHEN doc_id % 4 = 0 THEN 'identity'
+        |      WHEN doc_id % 4 = 1 THEN 'chunked'
+        |      WHEN doc_id % 4 = 2 THEN 'gzip'
+        |      ELSE 'chunked+gzip' END AS coding,
+        |    doc_id % 19 <> 0 AS decode_ok,
+        |    CASE WHEN doc_id % 19 = 0 THEN '' ELSE body END AS body_text
+        |  FROM b)
+        |SELECT doc_id, coding, decode_ok, body_text,
+        |  CAST(len(body_text) AS BIGINT) AS n_bytes
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // L255 — streaming WARC ingest (L254∘streaming, the L187/L250
     // posture): multi-record WARC files parsed AS THEY ARRIVE — the
     // container walk is a stateless per-file flatMap (one file → its

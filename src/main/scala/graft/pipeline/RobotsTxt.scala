@@ -25,10 +25,12 @@ package graft.pipeline
 object RobotsTxt {
 
   /** One RFC 9309 group: its product tokens (lower-cased; `*` is the
-    * wildcard token) and its rules in file order as
-    * (isAllow, pattern).
+    * wildcard token), its rules in file order as (isAllow, pattern),
+    * and the group's `Crawl-delay` seconds if present (a de-facto
+    * extension most crawlers honor; last occurrence in a group wins).
     */
-  final case class Group(agents: Seq[String], rules: Seq[(Boolean, String)])
+  final case class Group(agents: Seq[String], rules: Seq[(Boolean, String)],
+      crawlDelaySec: Option[Long] = None)
 
   /** Parse robots.txt lines: `field: value`, `#` comments stripped,
     * unknown fields ignored (§2.2.4), fields case-insensitive.
@@ -39,11 +41,13 @@ object RobotsTxt {
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
     var agents = scala.collection.mutable.ArrayBuffer[String]()
     var rules = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+    var delay: Option[Long] = None
     var inAgents = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq)
+      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq, delay)
       agents = scala.collection.mutable.ArrayBuffer[String]()
       rules = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+      delay = None
     }
     txt.split('\n').foreach { raw =>
       val line = raw.indexOf('#') match {
@@ -66,12 +70,47 @@ object RobotsTxt {
           case "disallow" =>
             inAgents = false
             if (agents.nonEmpty) rules += ((false, value))
-          case _ => // sitemap, crawl-delay, unknown: ignored (§2.2.4)
+          case "crawl-delay" =>
+            inAgents = false
+            if (agents.nonEmpty && value.nonEmpty && value.forall(_.isDigit))
+              delay = Some(value.toLong)
+          case _ => // sitemap, unknown: ignored (§2.2.4)
         }
       }
     }
     flush()
     groups.toSeq
+  }
+
+  /** The file-wide `Sitemap:` URLs in file order (RFC 9309 §2.2.4 —
+    * sitemaps are not group-scoped).
+    */
+  def sitemaps(txt: String): Seq[String] =
+    txt.split('\n').toSeq.flatMap { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw
+        case i  => raw.substring(0, i)
+      }
+      val sep = line.indexOf(':')
+      if (sep > 0 && line.substring(0, sep).trim
+          .equalsIgnoreCase("sitemap")) {
+        val v = line.substring(sep + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+
+  /** Effective crawl delay for `userAgent`: the MAX across its
+    * governing (merged) groups — the conservative read when the same
+    * token appears in several groups.
+    */
+  def crawlDelayFor(groups: Seq[Group], userAgent: String): Option[Long] = {
+    val token = userAgent.toLowerCase(java.util.Locale.ROOT)
+    val specific = groups.filter(_.agents.contains(token))
+    val chosen =
+      if (specific.nonEmpty) specific
+      else groups.filter(_.agents.contains("*"))
+    val delays = chosen.flatMap(_.crawlDelaySec)
+    if (delays.isEmpty) None else Some(delays.max)
   }
 
   /** §2.2.3 pattern match: literal octets, `*` matches any sequence,

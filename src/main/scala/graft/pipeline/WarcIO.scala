@@ -207,6 +207,101 @@ object WarcIO {
     case _   => "Status"
   }
 
+  /** RFC 9112 §7.1 chunked transfer decoding: hex chunk-size line
+    * (chunk extensions after `;` ignored per spec), exactly that many
+    * octets, CRLF, repeated until the 0-size chunk; the trailer
+    * section is skipped up to the final CRLF. Every framing violation
+    * throws — a mis-framed chunk silently concatenated is corrupted
+    * payload downstream.
+    */
+  def decodeChunked(body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length)
+    val s = new String(body, ISO_8859_1)
+    var pos = 0
+    var done = false
+    while (!done) {
+      val lineEnd = s.indexOf(crlf, pos)
+      require(lineEnd >= pos, "chunked body: missing chunk-size line")
+      val sizeTok = s.substring(pos, lineEnd).split(";")(0).trim
+      require(sizeTok.nonEmpty && sizeTok.forall(c =>
+        Character.digit(c, 16) >= 0), s"bad chunk size line: '$sizeTok'")
+      val size = java.lang.Long.parseLong(sizeTok, 16)
+      require(size >= 0 && size <= Int.MaxValue, s"bad chunk size $size")
+      val dataFrom = lineEnd + 2
+      if (size == 0) {
+        // trailer section: zero or more header lines, then a bare CRLF
+        var p = dataFrom
+        var end = false
+        while (!end) {
+          val e = s.indexOf(crlf, p)
+          require(e >= p, "chunked body: unterminated trailer section")
+          if (e == p) end = true else p = e + 2
+        }
+        done = true
+      } else {
+        require(dataFrom + size + 2 <= body.length,
+          s"chunk of $size octets runs past end of body")
+        out.write(body, dataFrom, size.toInt)
+        require(s.startsWith(crlf, (dataFrom + size).toInt),
+          "chunk data not followed by CRLF")
+        pos = (dataFrom + size).toInt + 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Mint a chunked body with the given chunk sizes (fixture dual of
+    * [[decodeChunked]]).
+    */
+  def mintChunked(body: Array[Byte], chunkSizes: Seq[Int]): Array[Byte] = {
+    require(chunkSizes.forall(_ > 0) && chunkSizes.sum == body.length,
+      "chunk sizes must be positive and cover the body exactly")
+    val out = new ByteArrayOutputStream(body.length + 16 * chunkSizes.size)
+    var at = 0
+    chunkSizes.foreach { n =>
+      out.write(s"${n.toHexString}\r\n".getBytes(US_ASCII))
+      out.write(body, at, n); at += n
+      out.write(crlf.getBytes(US_ASCII))
+    }
+    out.write("0\r\n\r\n".getBytes(US_ASCII))
+    out.toByteArray
+  }
+
+  /** One-member RFC 1952 gzip (the `Content-Encoding: gzip` body
+    * form); the strict member walk decodes it.
+    */
+  def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new GZIPOutputStream(out)
+    gz.write(data); gz.finish()
+    out.toByteArray
+  }
+
+  /** The entity bytes of a response after undoing its codings in RFC
+    * order: `Transfer-Encoding: chunked` first (message framing), then
+    * `Content-Encoding: gzip` (representation coding). Identity
+    * passes through; unsupported codings and malformed framing throw
+    * for S10 routing.
+    */
+  def decodedBody(h: HttpResponse): Array[Byte] = {
+    val afterTransfer = h.headers.get("transfer-encoding") match {
+      case Some(te) if te.toLowerCase(java.util.Locale.ROOT)
+        .contains("chunked") => decodeChunked(h.body)
+      case Some(other) if other.trim.nonEmpty =>
+        throw new IllegalArgumentException(
+          s"unsupported transfer coding: $other")
+      case _ => h.body
+    }
+    h.headers.get("content-encoding").map(_.trim
+      .toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("gzip")               => gunzipAll(afterTransfer)
+      case Some("identity") | None    => afterTransfer
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"unsupported content coding: $other")
+    }
+  }
+
   /** Parse the HTTP response inside a response record's payload —
     * status line + headers + body (RFC 9112 framing, the subset a
     * crawl processor needs: X-Robots-Tag and Content-Type live here).

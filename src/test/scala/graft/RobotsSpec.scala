@@ -65,6 +65,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(allowed("# only comments\n", "bot", "/x"))
   }
 
+  test("crawl-delay binds to its group (specific beats wildcard; " +
+      "merged groups take the max); sitemaps are file-wide") {
+    val txt = "Sitemap: https://h/s1.xml\n" +
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /x/\n" +
+      "User-agent: graftbot\nDisallow:\nCrawl-delay: 2\n" +
+      "User-agent: graftbot\nCrawl-delay: 7\nDisallow: /y/\n" +
+      "Sitemap: https://h/s2.xml\n"
+    val g = RobotsTxt.parse(txt)
+    assert(RobotsTxt.crawlDelayFor(g, "graftbot") == Some(7L))
+    assert(RobotsTxt.crawlDelayFor(g, "other") == Some(10L))
+    assert(RobotsTxt.crawlDelayFor(Seq.empty, "x").isEmpty)
+    assert(RobotsTxt.sitemaps(txt)
+      == Seq("https://h/s1.xml", "https://h/s2.xml"))
+  }
+
   test("two groups naming the same token merge in file order") {
     val txt = "User-agent: graftbot\nDisallow: /a/\n" +
       "User-agent: other\nDisallow: /\n" +

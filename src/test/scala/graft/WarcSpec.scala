@@ -114,6 +114,36 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP codings: chunked framing decodes exactly (extensions " +
+      "ignored), gzip content coding unwraps, both compose, malformed " +
+      "chunk sizes and unknown codings are loud") {
+    val body = "hello chunked world payload".getBytes("US-ASCII")
+    val chunked = WarcIO.mintChunked(body, Seq(5, 10, 12))
+    assert(WarcIO.decodeChunked(chunked).sameElements(body))
+    val withExt = ("5;ext=1" + new String(chunked, "ISO-8859-1").drop(1))
+      .getBytes("ISO-8859-1")
+    assert(WarcIO.decodeChunked(withExt).sameElements(body))
+    val gz = WarcIO.gzipBytes(body)
+    val h1 = WarcIO.parseHttpResponse(WarcIO.mintHttpResponse(200,
+      Seq("Content-Encoding" -> "gzip"), gz))
+    assert(WarcIO.decodedBody(h1).sameElements(body))
+    val h2 = WarcIO.parseHttpResponse(WarcIO.mintHttpResponse(200,
+      Seq("Transfer-Encoding" -> "chunked", "Content-Encoding" -> "gzip"),
+      WarcIO.mintChunked(gz, Seq(7, gz.length - 7))))
+    assert(WarcIO.decodedBody(h2).sameElements(body))
+    intercept[IllegalArgumentException] {
+      WarcIO.decodeChunked("zz\r\nhi\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      WarcIO.decodedBody(WarcIO.parseHttpResponse(WarcIO.mintHttpResponse(
+        200, Seq("Content-Encoding" -> "br"), body)))
+    }
+    // a chunk claiming more octets than remain is loud, not a short read
+    intercept[IllegalArgumentException] {
+      WarcIO.decodeChunked("ff\r\nhi\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    }
+  }
+
   test("HTML extraction: script/style/comment drop, block lines, " +
       "entity decode incl. the single-pass &amp; rule") {
     val html = "<!DOCTYPE html><html><head><title>T</title>" +
