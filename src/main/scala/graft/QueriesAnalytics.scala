@@ -1317,6 +1317,69 @@ private[graft] object QueriesAnalytics {
         |  CASE WHEN n > 0
         |    THEN CAST(ssq * 49 - n * n * 7 AS DOUBLE) / CAST(n * 7 AS DOUBLE)
         |    ELSE -1.0 END AS chisq
-        |FROM ag ORDER BY type""".stripMargin))
+        |FROM ag ORDER BY type""".stripMargin)),
+
+    // L280 — BENJAMINI–HOCHBERG FDR over a minted per-source p-value
+    // table (the multiple-comparisons step after fanning KS/McNemar/
+    // chi-square across sources): p_e6 = (id·9973) mod 1000001 gives a
+    // near-uniform spread with a planted low-p head (id < 25 scaled
+    // down), q = 5%. The oracle replays the step-up rule — max
+    // qualifying rank, then reject every rank at or below it — via an
+    // independent window mechanism.
+    Q("e_fdr_bh",
+      (s, dir) => {
+        val tests = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id").as("test_id"),
+            when(col("doc_id") < 25, (col("doc_id") * 9973L) % 40L + 1L)
+              .otherwise((col("doc_id") * 9973L) % 1000001L).as("p_e6"))
+        EvalOps.bhFdr(tests, "test_id", "p_e6", 50000L)
+          .orderBy(col("id"))
+      },
+      Some("""WITH t AS (SELECT doc_id AS id,
+        |    CAST(CASE WHEN doc_id < 25 THEN (doc_id * 9973) % 40 + 1
+        |      ELSE (doc_id * 9973) % 1000001 END AS BIGINT) AS p_e6
+        |  FROM documents WHERE doc_id < 500),
+        |r AS (SELECT id, p_e6,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p_e6, id) AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM t),
+        |k AS (SELECT COALESCE(MAX(rank) FILTER (p_e6 * m <= rank * 50000),
+        |    0) AS k_max FROM r)
+        |SELECT id, p_e6, rank, m, rank <= k_max AS reject
+        |FROM r CROSS JOIN k ORDER BY id""".stripMargin)),
+
+    // L282 — EXPECTED RECIPROCAL RANK @10 (the cascade-model metric
+    // next to nDCG/AP — a satisfying result above hides everything
+    // below, so stuffing the top with near-dups is punished): minted
+    // 5×10 graded rankings; S·ERR stays exact integer (S = 2520·8¹⁰,
+    // the lcm/power ladder — see Retrieval.errAtK) with the no-stop
+    // product folded in ONE aggregate HOF; the oracle re-derives the
+    // product via a window product() — an independent mechanism — and
+    // err is the single division by the shared S literal.
+    Q("r_err",
+      (s, dir) => {
+        val ranked = Tables.documents(s, dir).filter(col("doc_id") < 50)
+          .select((col("doc_id") / 10).cast("long").as("query"),
+            (col("doc_id") % 10 + 1).cast("long").as("rank"),
+            ((col("doc_id") * 7) % 4).cast("long").as("grade"))
+        Retrieval.errAtK(ranked, "query", "rank", "grade", k = 10)
+          .orderBy(col("query"))
+      },
+      Some("""WITH g AS (SELECT doc_id // 10 AS query,
+        |    doc_id % 10 + 1 AS rank,
+        |    (1 << ((doc_id * 7) % 4)) - 1 AS n
+        |  FROM documents WHERE doc_id < 50),
+        |p AS (SELECT query, rank, n,
+        |    CAST(COALESCE(product(8 - n) OVER (PARTITION BY query
+        |      ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 1) AS BIGINT) AS prod
+        |  FROM g)
+        |SELECT CAST(query AS BIGINT) AS query,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ranked,
+        |  CAST(SUM((2520 // rank) * (1 << (3 * (10 - rank))) * n * prod)
+        |    AS BIGINT) AS err_s,
+        |  CAST(SUM((2520 // rank) * (1 << (3 * (10 - rank))) * n * prod)
+        |    AS DOUBLE) / 2705829396480.0 AS err
+        |FROM p GROUP BY query ORDER BY query""".stripMargin))
   )
 }

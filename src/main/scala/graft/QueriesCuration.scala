@@ -2330,6 +2330,341 @@ private[graft] object QueriesCuration {
         |  CAST(COUNT(*) FILTER (status = 'ok') AS BIGINT) AS n_survivors,
         |  CAST(COUNT(DISTINCT main) FILTER (status = 'ok') AS BIGINT)
         |    AS n_unique
-        |FROM b GROUP BY host ORDER BY host""".stripMargin))
+        |FROM b GROUP BY host ORDER BY host""".stripMargin)),
+
+    // L273 — SITEMAP XML PARSE: the frontier-seeding step after the
+    // L272 crawl plan hands over the sitemap URLs. Minted sitemaps.org
+    // files (every 4th a <sitemapindex>, the rest <urlset>s whose locs
+    // carry &-escaped query strings so the entity round-trip is live)
+    // run through the real bounded grammar; priorities stay exact e3
+    // integers end to end (the 0.5 default path is exercised wherever
+    // the formula lands on 500 — mint omits it, parse restores it).
+    // The oracle replays the entry formulas with a per-doc unnest.
+    Q("c_sitemap_parse",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+        val parsed = base.map { id =>
+          import graft.pipeline.Sitemap
+          if (id % 4 == 3) {
+            val n = 1 + (id % 3).toInt
+            val children = (0 until n).map(j =>
+              (s"https://site${id % 7}.example.com/sm$j.xml",
+                if ((id + j) % 2 == 0) Some("2025-01-0" + (1 + j)) else None))
+            val rows = Sitemap.parseIndex(Sitemap.mintIndex(children))
+            (id, "index", rows.size.toLong,
+              rows.count(_._2.nonEmpty).toLong, 0L)
+          } else {
+            val n = 1 + (id % 5).toInt
+            val entries = (0 until n).map(j => Sitemap.Entry(
+              s"https://site${id % 7}.example.com/p$j?a=$id&b=$j",
+              if ((id + j) % 2 == 0) Some("2025-02-0" + (1 + j)) else None,
+              if (j % 3 == 0) Some("daily") else None,
+              ((id + j) % 11) * 100))
+            val rows = Sitemap.parse(Sitemap.mint(entries))
+            require(rows.map(_.loc) == entries.map(_.loc),
+              "sitemap loc round-trip mismatch")
+            (id, "urlset", rows.size.toLong,
+              rows.count(_.lastmod.nonEmpty).toLong,
+              rows.map(_.priorityE3).sum)
+          }
+        }.toDF("doc_id", "kind", "n_entries", "n_lastmod", "sum_priority_e3")
+        parsed.orderBy(col("doc_id"))
+      },
+      Some("""WITH j AS (SELECT doc_id,
+        |    unnest(range(0, CASE WHEN doc_id % 4 = 3
+        |      THEN 1 + doc_id % 3 ELSE 1 + doc_id % 5 END)) AS k
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'index' ELSE 'urlset' END AS kind,
+        |  CAST(COUNT(*) AS BIGINT) AS n_entries,
+        |  CAST(COUNT(*) FILTER ((doc_id + k) % 2 = 0) AS BIGINT)
+        |    AS n_lastmod,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+        |    ELSE SUM(((doc_id + k) % 11) * 100) END AS BIGINT)
+        |    AS sum_priority_e3
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // L274 — URL FRONTIER SCHEDULE: politeness-aware fetch sequencing —
+    // the step between the L272 crawl plan (per-host delay) and the
+    // fetcher fleet. Each host's URLs fetch delay_s apart (pos·delay);
+    // URLs round-robin over 3 fetcher slots. Per (host, slot): queue
+    // depth, last fetch time, and the exact sum of fetch offsets (the
+    // hash-strong column — a wrong row_number anywhere moves it). The
+    // window is PARTITIONED by host (never a global sort): at 100 TB
+    // the frontier shards by host exactly like this.
+    Q("c_frontier_schedule",
+      (s, dir) => {
+        val urls = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(lit("site"), col("doc_id") % 7).as("host"),
+            (lit(1) + (col("doc_id") % 7) % 5).cast("long").as("delay_s"))
+        val seq0 = urls.withColumn("pos",
+          row_number().over(Window.partitionBy(col("host"))
+            .orderBy(col("doc_id"))).cast("long") - 1L)
+          .withColumn("fetch_at_s", col("pos") * col("delay_s"))
+          .withColumn("slot", col("pos") % 3)
+        seq0.groupBy(col("host"), col("slot"))
+          .agg(count(lit(1)).as("n_urls"),
+            max(col("fetch_at_s")).as("last_fetch_s"),
+            sum(col("fetch_at_s")).as("sum_fetch_s"))
+          .orderBy(col("host"), col("slot"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |    'site' || (doc_id % 7) AS host,
+        |    CAST(1 + (doc_id % 7) % 5 AS BIGINT) AS delay_s,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 7
+        |      ORDER BY doc_id) AS BIGINT) - 1 AS pos
+        |  FROM documents)
+        |SELECT host, pos % 3 AS slot, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(MAX(pos * delay_s) AS BIGINT) AS last_fetch_s,
+        |  CAST(SUM(pos * delay_s) AS BIGINT) AS sum_fetch_s
+        |FROM u GROUP BY host, pos % 3 ORDER BY host, slot""".stripMargin)),
+
+    // L275 — CONDITIONAL REFETCH PLAN (HTTP caching on recrawl): join
+    // the prior snapshot's validators (ETag / Last-Modified) against
+    // the new crawl listing and pick the revalidation strategy per URL
+    // — If-None-Match beats If-Modified-Since beats unconditional
+    // (RFC 9110 §13.1.2 preference), URLs new to the frontier fetch
+    // unconditionally; expect_304 marks conditional fetches whose
+    // content hash is unchanged — the bandwidth the validator saves.
+    Q("c_refetch_plan",
+      (s, dir) => {
+        val current = Tables.documents(s, dir).filter(col("doc_id") < 600)
+          .select(col("doc_id"), (col("doc_id") % 5 === 0).as("changed"))
+        val prior = Tables.documents(s, dir)
+          .filter(col("doc_id") < 600 && col("doc_id") % 7 =!= 6)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 =!= 0,
+              concat(lit("\""), col("doc_id"), lit("\""))).as("etag"),
+            when(col("doc_id") % 4 =!= 0, lit("2025-01-01")).as("lastmod"))
+        current.join(prior, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("etag").isNotNull, "if_none_match")
+              .when(col("lastmod").isNotNull, "if_modified_since")
+              .when(col("doc_id") % 7 === 6, "unconditional_new")
+              .otherwise("unconditional").as("strategy"),
+            ((col("etag").isNotNull || col("lastmod").isNotNull) &&
+              !col("changed")).as("expect_304"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN doc_id % 7 <> 6 AND doc_id % 3 <> 0 THEN 'if_none_match'
+        |    WHEN doc_id % 7 <> 6 AND doc_id % 4 <> 0 THEN 'if_modified_since'
+        |    WHEN doc_id % 7 = 6 THEN 'unconditional_new'
+        |    ELSE 'unconditional' END AS strategy,
+        |  (doc_id % 7 <> 6 AND (doc_id % 3 <> 0 OR doc_id % 4 <> 0))
+        |    AND NOT doc_id % 5 = 0 AS expect_304
+        |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin)),
+
+    // L277 — PUBLIC-SUFFIX REGISTRABLE DOMAIN: the grouping boundary
+    // the per-domain cap (L47) and host rollups need — a.example.co.uk
+    // and b.example.co.uk are ONE registrant; x.github.io and
+    // y.github.io are two. Minted hosts exercise every publicsuffix.org
+    // algorithm branch: multi-label suffixes (co.uk/ac.uk/co.jp), a
+    // private registry (github.io), the `*.ck` wildcard, the `!www.ck`
+    // exception, case folding, and a bare public suffix (registrable
+    // NULL). The oracle replays the decision table.
+    Q("c_registrable_domain",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id")).as[Long]
+        val resolved = base.map { id =>
+          import graft.pipeline.PublicSuffix
+          val host = (id % 8) match {
+            case 0 => s"a$id.example.com"
+            case 1 => s"b$id.example.co.uk"
+            case 2 => s"deep.c$id.example.ac.uk"
+            case 3 => s"user$id.github.io"
+            case 4 => "WWW.ck"
+            case 5 => s"x$id.other.ck"
+            case 6 => "com"
+            case _ => s"e$id.co.jp"
+          }
+          (id, host, PublicSuffix.publicSuffix(host),
+            PublicSuffix.registrableDomain(host).orNull)
+        }.toDF("doc_id", "host", "suffix", "registrable")
+        resolved.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'a' || doc_id || '.example.com'
+        |    WHEN 1 THEN 'b' || doc_id || '.example.co.uk'
+        |    WHEN 2 THEN 'deep.c' || doc_id || '.example.ac.uk'
+        |    WHEN 3 THEN 'user' || doc_id || '.github.io'
+        |    WHEN 4 THEN 'WWW.ck'
+        |    WHEN 5 THEN 'x' || doc_id || '.other.ck'
+        |    WHEN 6 THEN 'com'
+        |    ELSE 'e' || doc_id || '.co.jp' END AS host,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'ac.uk'
+        |    WHEN 3 THEN 'github.io' WHEN 4 THEN 'ck'
+        |    WHEN 5 THEN 'other.ck' WHEN 6 THEN 'com'
+        |    ELSE 'co.jp' END AS suffix,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'example.co.uk'
+        |    WHEN 2 THEN 'example.ac.uk'
+        |    WHEN 3 THEN 'user' || doc_id || '.github.io'
+        |    WHEN 4 THEN 'www.ck'
+        |    WHEN 5 THEN 'x' || doc_id || '.other.ck'
+        |    WHEN 6 THEN NULL
+        |    ELSE 'e' || doc_id || '.co.jp' END AS registrable
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin)),
+
+    // L281 — REDIRECT-CHAIN RESOLUTION: a recrawl's 301 map is an edge
+    // TABLE (src → dst), and every frontier URL must resolve through
+    // it — bounded hops, loop detection — before dedup can canonicalize
+    // (a redirect chain is the same document under k names). Three
+    // unrolled join rounds over the edge table (the trussPeel bounded-
+    // round contract): terminal → resolved/direct, revisit → loop,
+    // budget exhausted on a still-redirecting node → too_many_hops.
+    // The minted map exercises all four fates (1-hop, 2-hop, self-loop,
+    // 2-cycle, 3-cycle-tail, over-budget chain); the oracle replays the
+    // per-variant decision table.
+    Q("c_redirect_chains",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id").as("id"))
+        val v = col("src") % 10
+        val edges = ids.select(col("id").as("src"))
+          .select(col("src"),
+            when(v.isin(0, 2, 3, 7, 8), col("src") + 1)
+              .when(v === 5, col("src") + 2)
+              .when(v === 6, col("src"))
+              .when(v === 9, col("src") - 1).as("dst"))
+          .filter(col("dst").isNotNull)
+        var st = ids.select(col("id"), col("id").as("cur"),
+          lit(0L).as("hops"), lit("pending").as("status"),
+          array(col("id")).as("visited"))
+        for (_ <- 1 to 3) {
+          val e = edges.withColumnRenamed("src", "e_src")
+          st = st.join(e, st("cur") === e("e_src"), "left")
+            .select(col("id"),
+              when(col("status") =!= "pending" || col("dst").isNull ||
+                array_contains(col("visited"), col("dst")), col("cur"))
+                .otherwise(col("dst")).as("cur"),
+              when(col("status") =!= "pending" || col("dst").isNull,
+                col("hops")).otherwise(col("hops") + 1L).as("hops"),
+              when(col("status") =!= "pending", col("status"))
+                .when(col("dst").isNull,
+                  when(col("hops") === 0L, "direct").otherwise("resolved"))
+                .when(array_contains(col("visited"), col("dst")), "loop")
+                .otherwise("pending").as("status"),
+              when(col("status") === "pending" && col("dst").isNotNull &&
+                !array_contains(col("visited"), col("dst")),
+                array_union(col("visited"), array(col("dst"))))
+                .otherwise(col("visited")).as("visited"))
+        }
+        st.select(col("id"),
+            when(col("status") === "pending", "too_many_hops")
+              .otherwise(col("status")).as("status"),
+            col("hops"),
+            when(col("status").isin("resolved", "direct"), col("cur"))
+              .otherwise(lit(-1L)).as("final_id"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 10 IN (1, 4) THEN 'direct'
+        |    WHEN doc_id % 10 IN (0, 2, 3) THEN 'resolved'
+        |    WHEN doc_id % 10 = 5 THEN 'too_many_hops'
+        |    ELSE 'loop' END AS status,
+        |  CAST(CASE doc_id % 10 WHEN 1 THEN 0 WHEN 4 THEN 0
+        |    WHEN 0 THEN 1 WHEN 3 THEN 1 WHEN 6 THEN 1
+        |    WHEN 2 THEN 2 WHEN 8 THEN 2 WHEN 9 THEN 2
+        |    ELSE 3 END AS BIGINT) AS hops,
+        |  CAST(CASE WHEN doc_id % 10 IN (1, 4) THEN doc_id
+        |    WHEN doc_id % 10 IN (0, 3) THEN doc_id + 1
+        |    WHEN doc_id % 10 = 2 THEN doc_id + 2
+        |    ELSE -1 END AS BIGINT) AS final_id
+        |FROM documents WHERE doc_id < 500 ORDER BY id""".stripMargin)),
+
+    // L284 — CRAWL-TRAP DETECTION by URL-template folding: a trap host
+    // (calendar pages, session ids, faceted search) mints unboundedly
+    // many URLs from few templates — the frontier must flag it before
+    // it eats the fetch budget. Digit runs fold to `D`, and the
+    // distinct-URL / distinct-template ratio gates at 30: the minted
+    // trap host (/cal/2025/m/d — one template, ~84 URLs) trips it, the
+    // word-path hosts (7 templates, ≤28 URLs each) never do. Pure
+    // hash-agg per host; the oracle rebuilds both distinct counts from
+    // its own string construction.
+    Q("c_crawl_traps",
+      (s, dir) => {
+        val words = Vector("about", "news", "blog", "shop", "docs",
+          "help", "team")
+        val urls = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(concat(lit("h"), col("doc_id") % 5).as("host"),
+            when(col("doc_id") % 5 === 4,
+              concat(lit("/cal/2025/"), col("doc_id") % 12, lit("/"),
+                col("doc_id") % 28))
+              .otherwise(concat(lit("/"),
+                element_at(array(words.map(lit): _*),
+                  (col("doc_id") % 7 + 1).cast("int")),
+                lit("/p"), col("doc_id") % 20)).as("path"))
+        urls.withColumn("tpl",
+            regexp_replace(col("path"), "[0-9]+", "D"))
+          .groupBy(col("host"))
+          .agg(countDistinct(col("path")).as("n_urls"),
+            countDistinct(col("tpl")).as("n_templates"))
+          .withColumn("ratio_e6", expr("(n_urls * 1000000L) div n_templates"))
+          .withColumn("trap", col("ratio_e6") > 30000000L)
+          .orderBy(col("host"))
+      },
+      Some("""WITH u AS (SELECT 'h' || (doc_id % 5) AS host,
+        |    CASE WHEN doc_id % 5 = 4 THEN '/cal/2025/' || (doc_id % 12)
+        |        || '/' || (doc_id % 28)
+        |      ELSE '/' || (['about','news','blog','shop','docs','help',
+        |        'team'])[CAST(doc_id % 7 + 1 AS INTEGER)]
+        |        || '/p' || (doc_id % 20) END AS path
+        |  FROM documents WHERE doc_id < 500),
+        |f AS (SELECT host, path,
+        |    regexp_replace(path, '[0-9]+', 'D', 'g') AS tpl FROM u),
+        |a AS (SELECT host, CAST(COUNT(DISTINCT path) AS BIGINT) AS n_urls,
+        |    CAST(COUNT(DISTINCT tpl) AS BIGINT) AS n_templates
+        |  FROM f GROUP BY host)
+        |SELECT host, n_urls, n_templates,
+        |  CAST((n_urls * 1000000) // n_templates AS BIGINT) AS ratio_e6,
+        |  (n_urls * 1000000) // n_templates > 30000000 AS trap
+        |FROM a ORDER BY host""".stripMargin)),
+
+    // L285 — ADAPTIVE RECRAWL SCHEDULING (Cho & Garcia-Molina
+    // freshness): per URL the observed change rate over its fetch
+    // history sets the next revisit interval — volatile pages daily,
+    // static pages monthly, clamped to [1h, 30d]. History explodes
+    // from formulas (fetches = 4+id%5, change at fetch j iff
+    // (7·id+13·j)%4=0), the rollup is one keyed agg, every output an
+    // exact integer division. The oracle unnests the same range.
+    Q("c_recrawl_rate",
+      (s, dir) => {
+        Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"),
+            (lit(4L) + col("doc_id") % 5).as("fetches"))
+          .withColumn("j", explode(sequence(lit(0L), col("fetches") - 1L)))
+          .withColumn("changed",
+            (col("doc_id") * 7 + col("j") * 13) % 4 === 0)
+          .groupBy(col("doc_id"), col("fetches"))
+          .agg(sum(when(col("changed"), 1L).otherwise(0L)).as("changes"))
+          .withColumn("rate_e6", expr("(changes * 1000000L) div fetches"))
+          .withColumn("next_interval_s",
+            least(lit(2592000L), greatest(lit(3600L),
+              expr("(86400 * fetches) div (changes + 1)"))))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS fetches,
+        |    unnest(range(0, 4 + doc_id % 5)) AS j
+        |  FROM documents WHERE doc_id < 500),
+        |a AS (SELECT doc_id, fetches,
+        |    CAST(COUNT(*) FILTER ((doc_id * 7 + j * 13) % 4 = 0)
+        |      AS BIGINT) AS changes
+        |  FROM h GROUP BY doc_id, fetches)
+        |SELECT doc_id, fetches, changes,
+        |  CAST((changes * 1000000) // fetches AS BIGINT) AS rate_e6,
+        |  CAST(LEAST(2592000, GREATEST(3600,
+        |    (86400 * fetches) // (changes + 1))) AS BIGINT)
+        |    AS next_interval_s
+        |FROM a ORDER BY doc_id""".stripMargin))
   )
 }

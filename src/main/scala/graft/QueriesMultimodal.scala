@@ -1339,6 +1339,114 @@ private[graft] object QueriesMultimodal {
         |  CASE j WHEN 0 THEN 'response' WHEN 1 THEN 'request'
         |    ELSE 'metadata' END AS warc_type,
         |  CAST(10 + (doc_id + j) % 30 AS BIGINT) AS content_length
-        |FROM r ORDER BY doc_id, rec_index""".stripMargin))
+        |FROM r ORDER BY doc_id, rec_index""".stripMargin)),
+
+    // L278 — WET CONVERSION RECORDS (the WARC → WET step Common Crawl
+    // publishes and the text pipelines actually consume): per doc a
+    // response record is minted, parsed, its HTML extracted through
+    // the real pipeline, and re-emitted as an ISO 28500 `conversion`
+    // record carrying WARC-Refers-To (§6.8) — then the minted WET file
+    // is re-walked and certified: type, refers-to linkage, and the
+    // text payload must round-trip byte-exactly (UTF-8). Exercises the
+    // writer+reader on a second record type and the extra-header
+    // surface. The oracle re-derives the text from the mint formulas.
+    Q("mm_wet_convert",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val converted = base.map { case (id, text) =>
+          import graft.pipeline.{HtmlText, WarcIO}
+          val html = s"<html><head><title>Doc $id</title></head>" +
+            s"<body><h1>Title &amp; $id</h1>" +
+            s"<p>${HtmlText.escape(text)}</p></body></html>"
+          val resp = WarcIO.WarcRecord("response",
+            s"http://site${id % 7}.example.com/p$id",
+            "2025-01-01T00:00:00Z", s"<urn:uuid:resp-$id>",
+            "application/http; msgtype=response",
+            WarcIO.mintHttpResponse(200,
+              Seq("Content-Type" -> "text/html"), html.getBytes("UTF-8")))
+          val parsed = WarcIO.parse(
+            WarcIO.mint(Seq(resp), perRecordGzip = id % 2 == 0)).head
+          val http = WarcIO.parseHttpResponse(parsed.payload)
+          val wetText = HtmlText.toText(new String(http.body, "UTF-8"))
+          val conv = WarcIO.WarcRecord("conversion", parsed.targetUri,
+            parsed.date, s"<urn:uuid:conv-$id>", "text/plain",
+            wetText.getBytes("UTF-8"),
+            extra = Seq("WARC-Refers-To" -> parsed.recordId))
+          val back = WarcIO.parse(
+            WarcIO.mint(Seq(conv), perRecordGzip = id % 2 == 1)).head
+          val refersOk = back.warcType == "conversion" &&
+            back.extra.toMap.get("warc-refers-to")
+              .contains(s"<urn:uuid:resp-$id>") &&
+            back.targetUri == parsed.targetUri
+          val textBack = new String(back.payload, "UTF-8")
+          (id, textBack, back.payload.length.toLong, refersOk,
+            textBack == wetText)
+        }.toDF("doc_id", "wet_text", "n_bytes", "refers_ok", "text_ok")
+        converted.orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    'Doc ' || doc_id || chr(10) || 'Title & ' || doc_id ||
+        |      chr(10) || trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |      AS wet
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, wet AS wet_text,
+        |  CAST(octet_length(encode(wet)) AS BIGINT) AS n_bytes,
+        |  TRUE AS refers_ok, TRUE AS text_ok
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // L279 — STREAMING FORMAT ROUTER (L268∘streaming): the magic-byte
+    // dispatch live at the firehose — arriving extension-less blobs
+    // (real encoder output from five repo minters plus a no-magic
+    // blob) route by content in a stateless map, no state store; the
+    // payload parquet stages once per session. At 100 TB this is the
+    // first operator every crawled byte meets.
+    Q("streaming_format_sniff",
+      (s, dir) => QuerySupport.withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "sfs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_fmt").toString
+        val srcDir = QuerySupport.stagedStreamSource("fmt_payloads", dir) { p =>
+          val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id")).as[Long]
+          val payloads = base.map { id =>
+            import graft.pipeline._
+            val argb = Array.tabulate(16)(i =>
+              0xff000000 | (((id.toInt + i) * 1001) & 0xffffff))
+            val sam = Array.tabulate(64)(i =>
+              ((id * 7 + i * 29) % 401 - 200) / 400f)
+            val bytes = (id % 6).toInt match {
+              case 0 => ImageCodec.encodePng(4, 4, argb)
+              case 1 => ImageCodec.encodeGif(4, 4, argb)
+              case 2 => WavAudio.encode(8000, sam)
+              case 3 => FlacAudio.encode(8000, sam)
+              case 4 => PdfProbe.mint(5, 1, encrypt = false)
+              case _ => Array.tabulate(16)(i => ((id + i) % 251).toByte)
+            }
+            (id, bytes)
+          }.toDF("doc_id", "payload")
+          QuerySupport.writeHeartbeat(payloads, p, "fmt_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val sniffed = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            (id, graft.pipeline.FormatSniff.sniff(bytes))
+          }.toDF("doc_id", "sniffed")
+        val q = sniffed.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuerySupport.cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("doc_id") >= 0).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    WHEN 2 THEN 'wav' WHEN 3 THEN 'flac' WHEN 4 THEN 'pdf'
+        |    ELSE 'unknown' END AS sniffed
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
   )
 }

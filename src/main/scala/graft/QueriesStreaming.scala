@@ -1808,6 +1808,84 @@ private[graft] object QueriesStreaming {
         |SELECT grp AS "group", qhat_e6, n_test, n_covered,
         |  CAST(CASE WHEN n_test > 0 THEN (n_covered * 1000000) // n_test
         |    ELSE -1 END AS BIGINT) AS coverage_e6
-        |FROM tc ORDER BY "group"""".stripMargin))
+        |FROM tc ORDER BY "group"""".stripMargin)),
+
+    // L286 — STREAMING REDIRECT RESOLUTION (L281 at the firehose):
+    // arriving frontier URLs resolve against the recrawl's 301 map —
+    // a BROADCAST static table — through three stream-static left
+    // joins in one stateless plan: no state store, the fate of each
+    // URL decided in its own micro-batch. Shares the L281 decision
+    // table; the oracle is the same per-variant replay.
+    Q("streaming_redirects",
+      (s, dir) => withStreamingPartitions(s) {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val name = "srd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_rdr").toString
+        val srcDir = stagedStreamSource("docs_link", dir)(p =>
+          linkInto(p, path, "documents.parquet"))
+        val vv = col("src") % 10
+        val edges = broadcast(
+          Tables.documents(s, dir).filter(col("doc_id") < 500)
+            .select(col("doc_id").as("src"))
+            .select(col("src"),
+              when(vv.isin(0, 2, 3, 7, 8), col("src") + 1)
+                .when(vv === 5, col("src") + 2)
+                .when(vv === 6, col("src"))
+                .when(vv === 9, col("src") - 1).as("dst"))
+            .filter(col("dst").isNotNull))
+        var st = s.readStream.schema(schema).parquet(srcDir)
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id").as("id"), col("doc_id").as("cur"),
+            lit(0L).as("hops"), lit("pending").as("status"),
+            array(col("doc_id")).as("visited"))
+        for (_ <- 1 to 3) {
+          val e = edges.withColumnRenamed("src", "e_src")
+          st = st.join(e, st("cur") === e("e_src"), "left")
+            .select(col("id"),
+              when(col("status") =!= "pending" || col("dst").isNull ||
+                array_contains(col("visited"), col("dst")), col("cur"))
+                .otherwise(col("dst")).as("cur"),
+              when(col("status") =!= "pending" || col("dst").isNull,
+                col("hops")).otherwise(col("hops") + 1L).as("hops"),
+              when(col("status") =!= "pending", col("status"))
+                .when(col("dst").isNull,
+                  when(col("hops") === 0L, "direct").otherwise("resolved"))
+                .when(array_contains(col("visited"), col("dst")), "loop")
+                .otherwise("pending").as("status"),
+              when(col("status") === "pending" && col("dst").isNotNull &&
+                !array_contains(col("visited"), col("dst")),
+                array_union(col("visited"), array(col("dst"))))
+                .otherwise(col("visited")).as("visited"))
+        }
+        val out = st.select(col("id"),
+          when(col("status") === "pending", "too_many_hops")
+            .otherwise(col("status")).as("status"),
+          col("hops"),
+          when(col("status").isin("resolved", "direct"), col("cur"))
+            .otherwise(lit(-1L)).as("final_id"))
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 10 IN (1, 4) THEN 'direct'
+        |    WHEN doc_id % 10 IN (0, 2, 3) THEN 'resolved'
+        |    WHEN doc_id % 10 = 5 THEN 'too_many_hops'
+        |    ELSE 'loop' END AS status,
+        |  CAST(CASE doc_id % 10 WHEN 1 THEN 0 WHEN 4 THEN 0
+        |    WHEN 0 THEN 1 WHEN 3 THEN 1 WHEN 6 THEN 1
+        |    WHEN 2 THEN 2 WHEN 8 THEN 2 WHEN 9 THEN 2
+        |    ELSE 3 END AS BIGINT) AS hops,
+        |  CAST(CASE WHEN doc_id % 10 IN (1, 4) THEN doc_id
+        |    WHEN doc_id % 10 IN (0, 3) THEN doc_id + 1
+        |    WHEN doc_id % 10 = 2 THEN doc_id + 2
+        |    ELSE -1 END AS BIGINT) AS final_id
+        |FROM documents WHERE doc_id < 500 ORDER BY id""".stripMargin))
   )
 }

@@ -641,6 +641,122 @@ FROM ag ORDER BY lang""")),
         |  c AS main_text, CAST(len(c) AS BIGINT) AS main_chars
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // L276 — LINK EXTRACTION + RFC 3986 RESOLUTION (the crawl's link
+    // graph front door): minted pages carry every href form live in
+    // HTML — absolute, path-absolute, path-relative, dot-segment
+    // (`../`), query-only, fragment-only — plus a commented-out link
+    // and a script-string decoy that must NOT mint edges. Each href
+    // resolves against the page URL through the real §5.2 algorithm
+    // (dot-segment removal, fragment drop) and anchor text decodes its
+    // entities; the oracle re-derives every resolved URL from the mint
+    // formulas, so a wrong merge rule or leaked decoy cannot
+    // hash-match.
+    Q("t_anchor_text",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+        val edges = base.flatMap { id =>
+          import graft.pipeline.HtmlText
+          val pageUrl =
+            s"http://site${id % 7}.example.com/dir${id % 3}/page"
+          val n = 1 + (id % 4).toInt
+          val hrefs = (0 until n).map { j =>
+            (id + j) % 6 match {
+              case 0 => s"https://ext$j.example.org/x$j"
+              case 1 => s"/abs/p$j"
+              case 2 => s"rel/p$j"
+              case 3 => s"../up/p$j"
+              case 4 => s"?q=$j"
+              case _ => s"#frag$j"
+            }
+          }
+          val body = hrefs.zipWithIndex.map { case (h, j) =>
+            s"""<a href="${HtmlText.escape(h)}">A&amp;B $id $j</a>"""
+          }.mkString(" ")
+          val html = "<html><body>" +
+            "<!-- <a href=\"/ghost\">ghost</a> -->" +
+            "<script>var s = '<a href=\"/decoy\">d</a>';</script>" +
+            body + "</body></html>"
+          val links = HtmlText.links(html)
+          require(links.size == n, s"expected $n links, got ${links.size}")
+          links.zipWithIndex.map { case (l, j) =>
+            val resolved = HtmlText.resolveHref(pageUrl, l.href)
+            val pageHost = pageUrl.split('/')(2)
+            val resolvedHost = resolved.split('/')(2)
+            (id, j.toLong, resolved, l.anchor, resolvedHost != pageHost)
+          }
+        }.toDF("doc_id", "j", "resolved", "anchor", "external")
+        edges.orderBy(col("doc_id"), col("j"))
+      },
+      Some("""WITH l AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 4)) AS j,
+        |    'http://site' || (doc_id % 7) || '.example.com' AS root
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |  CASE (doc_id + j) % 6
+        |    WHEN 0 THEN 'https://ext' || j || '.example.org/x' || j
+        |    WHEN 1 THEN root || '/abs/p' || j
+        |    WHEN 2 THEN root || '/dir' || (doc_id % 3) || '/rel/p' || j
+        |    WHEN 3 THEN root || '/up/p' || j
+        |    WHEN 4 THEN root || '/dir' || (doc_id % 3) || '/page?q=' || j
+        |    ELSE root || '/dir' || (doc_id % 3) || '/page' END AS resolved,
+        |  'A&B ' || doc_id || ' ' || j AS anchor,
+        |  (doc_id + j) % 6 = 0 AS external
+        |FROM l ORDER BY doc_id, j""".stripMargin)),
+
+    // L283 — REL=CANONICAL / HREFLANG EXTRACTION: the page's OWN
+    // canonical-URL statement (the dedup signal next to the redirect
+    // map — a syndicated copy names its original here) and the
+    // rel=alternate hreflang language cluster. Minted heads carry a
+    // stylesheet decoy, a canonical that is relative half the time
+    // (must resolve through §5.2 against the page URL, keeping the
+    // page's scheme) and cross-domain the other half, plus id%4
+    // alternates. The oracle replays the decision table.
+    Q("t_rel_canonical",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+        val audited = base.map { id =>
+          import graft.pipeline.HtmlText
+          val pageUrl = s"http://site${id % 7}.example.com/dir/page$id"
+          val canon =
+            if (id % 3 != 0)
+              Some(if (id % 2 == 0) s"/c$id"
+              else s"https://canon${id % 5}.example.net/c$id")
+            else None
+          val alts = (0 until (id % 4).toInt).map(j =>
+            s"""<link rel="alternate" hreflang="l$j" href="/l/$j">""")
+          val html = "<html><head>" +
+            "<link rel=\"stylesheet\" href=\"/style.css\">" +
+            canon.map(h =>
+              s"""<link rel="canonical" href="${HtmlText.escape(h)}">""")
+              .getOrElse("") +
+            alts.mkString + "</head><body><p>x</p></body></html>"
+          val rels = HtmlText.linkRels(html)
+          val canonical = rels.find(_.rel == "canonical")
+            .map(l => HtmlText.resolveHref(pageUrl, l.href))
+          val nHl = rels.count(l =>
+            l.rel == "alternate" && l.hreflang.nonEmpty)
+          val cross = canonical.exists(c =>
+            c.split('/')(2) != pageUrl.split('/')(2))
+          (id, canonical.nonEmpty, canonical.orNull, nHl.toLong, cross)
+        }.toDF("doc_id", "has_canonical", "canonical_url", "n_hreflang",
+          "cross_domain")
+        audited.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  doc_id % 3 <> 0 AS has_canonical,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 'http://site' || (doc_id % 7)
+        |      || '.example.com/c' || doc_id
+        |    ELSE 'https://canon' || (doc_id % 5) || '.example.net/c'
+        |      || doc_id END AS canonical_url,
+        |  CAST(doc_id % 4 AS BIGINT) AS n_hreflang,
+        |  doc_id % 3 <> 0 AND doc_id % 2 = 1 AS cross_domain
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
+
     // L154 — char-distribution chi-square gibberish score: e6-scaled
     // integer letter shares vs the corpus profile, 26 exact integer
     // terms per doc (see TextOps.charChiSquare for the quantization and

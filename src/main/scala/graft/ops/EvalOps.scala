@@ -1592,4 +1592,39 @@ object EvalOps {
           .otherwise(lit(-2d)))
       .drop("ari_num", "ari_den")
   }
+
+  /** L280 — BENJAMINI–HOCHBERG FDR step-up over a table of e6
+    * fixed-point p-values: with the m p-values ranked ascending,
+    * k* = max{ k : p_(k)·m ≤ k·q } and every rank ≤ k* rejects (the
+    * STEP-UP property — a qualifying later rank pulls in earlier
+    * non-qualifying ones). The multiple-comparisons correction a
+    * curation run needs the moment it fans one test (KS, McNemar,
+    * chi-square, …) across many sources: at q=0.05 a 1000-source scan
+    * expects 50 false "drifting source" flags without it.
+    *
+    * Everything is exact: p_e6·m ≤ rank·q_e6 compares longs (p ≤ 1e6,
+    * m bounded by the rank-test contract), ties order by (p, id) so
+    * both engines rank identically. The single unpartitioned window
+    * follows the L22 bounded-input pattern: a p-value table is one row
+    * per hypothesis test, ≤ thousands by construction, never corpus-
+    * sized (documented contract, cf. mannWhitneyU).
+    */
+  def bhFdr(df: DataFrame, idCol: String, pE6Col: String,
+      qE6: Long): DataFrame = {
+    require(qE6 > 0 && qE6 <= 1000000L, s"q out of (0,1]: $qE6")
+    val checked = df.select(col(idCol).cast("long").as("id"),
+      integralChecked(col(pE6Col), "bhFdr").as("p_e6"))
+    val ranked = checked
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("p_e6"), col("id"))).cast("long"))
+    val m = ranked.agg(count(lit(1)).as("m"))
+    val withQ = ranked.crossJoin(broadcast(m))
+      .withColumn("qualifies", col("p_e6") * col("m") <= col("rank") * qE6)
+    val kMax = withQ.agg(coalesce(max(when(col("qualifies"), col("rank"))),
+      lit(0L)).as("k_max"))
+    withQ.crossJoin(broadcast(kMax))
+      .select(col("id"), col("p_e6"), col("rank"), col("m"),
+        (col("rank") <= col("k_max")).as("reject"))
+  }
 }

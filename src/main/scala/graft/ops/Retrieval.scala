@@ -173,4 +173,57 @@ object Retrieval {
         when(col("n_rel") > 0L, expr("__sp div n_rel")).otherwise(lit(-1L)))
       .drop("__sp")
   }
+
+  /** L282 — EXPECTED RECIPROCAL RANK @ k (Chapelle et al., CIKM 2009):
+    * the cascade-model ranking metric next to [[ndcgAtK]] — a user
+    * scans down the list and stops at rank r with probability
+    * R_r·Π_{i<r}(1−R_i), R = (2^g−1)/2^gmax; ERR = Σ (1/r)·P(stop=r).
+    * Unlike nDCG, a satisfying result ABOVE hides everything below —
+    * the metric that punishes near-dup results at the top.
+    *
+    * Exactness: with gmax=3, R_r = n_r/8 (n ∈ {0,1,3,7}), so
+    * S·ERR = Σ (2520/r)·8^(k−r)·n_r·Π_{i<r}(8−n_i) with S = 2520·8^k
+    * is EXACT integer arithmetic (2520 = lcm(1..10) makes every
+    * 2520/r integral; the 8-power ladder is a literal array — no pow,
+    * no float). The cumulative no-stop product runs in ONE aggregate
+    * HOF fold over the ≤ k collected ranks; the SQL mirror re-derives
+    * the same product via a window `product()` — an independent
+    * mechanism. `err` itself is the single division err_s/S.
+    *
+    * Input: (queryCol, rankCol 1-based contiguous ≤ k, gradeCol
+    * 0..3 — out-of-contract grades raise). Output: (query, n_ranked,
+    * err_s, err).
+    */
+  def errAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+      gradeCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be 1..10, got $k")
+    val g = col(gradeCol)
+    val nSat = when(g.isNull || g < 0L || g > 3L,
+      raise_error(concat(lit("errAtK: grade out of 0..3: "),
+        coalesce(g.cast("string"), lit("null")))).cast("long"))
+      .otherwise(element_at(array(lit(0L), lit(1L), lit(3L), lit(7L)),
+        g.cast("int") + 1))
+    // 8^(k-r) for r = 1..k, a literal ladder (exact, no pow)
+    val w8 = array((1 to k).map(r => lit(1L << (3 * (k - r)))): _*)
+    val sTotal = 2520L * (1L << (3 * k))
+    ranked.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(rankCol).cast("long").as("__r"),
+        nSat.as("__n"))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_ranked"),
+        aggregate(
+          sort_array(collect_list(struct(col("__r").as("rank"),
+            col("__n").as("n")))),
+          struct(lit(0L).as("err_s"), lit(1L).as("prod")),
+          (acc, x) => struct(
+            (acc.getField("err_s") +
+              (lit(2520L) / x.getField("rank")).cast("long") *
+              element_at(w8, x.getField("rank").cast("int")) *
+              x.getField("n") * acc.getField("prod")).as("err_s"),
+            (acc.getField("prod") * (lit(8L) - x.getField("n")))
+              .as("prod")),
+          acc => acc.getField("err_s")).as("err_s"))
+      .select(col(queryCol), col("n_ranked"), col("err_s"),
+        (col("err_s").cast("double") / lit(sTotal.toDouble)).as("err"))
+  }
 }

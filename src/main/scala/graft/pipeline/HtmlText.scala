@@ -122,6 +122,149 @@ object HtmlText {
     }
   }
 
+  private val hrefRe =
+    ("""(?is)<a\b[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"']+))""" +
+      """[^>]*>(.*?)</a\s*>""").r
+
+  /** One extracted link: the raw (entity-decoded) href and the
+    * cleaned anchor text.
+    */
+  final case class Link(href: String, anchor: String)
+
+  /** Extract `<a href>` links with their anchor text — the edge list
+    * of the crawl's link graph and the anchor-text signal web search
+    * aggregates per target. Comments and script/style subtrees are
+    * dropped first (a commented-out nav must not mint edges).
+    */
+  def links(html: String): Seq[Link] = {
+    val noComments = commentRe.replaceAllIn(html, "")
+    val noScript = scriptStyleRe.replaceAllIn(noComments, "")
+    hrefRe.findAllMatchIn(noScript).map { m =>
+      val raw = Seq(2, 3, 4).map(m.group).find(_ != null).getOrElse("")
+      Link(decodeEntities(raw).trim, clean(m.group(5)))
+    }.toSeq
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over a path. */
+  private[graft] def removeDotSegments(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        if (out.nonEmpty) out.remove(out.length - 1)
+      } else if (in == "/..") {
+        in = "/"
+        if (out.nonEmpty) out.remove(out.length - 1)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val next = in.indexOf('/', if (in.startsWith("/")) 1 else 0)
+        if (next < 0) { out += in; in = "" }
+        else { out += in.substring(0, next); in = in.substring(next) }
+      }
+    }
+    out.mkString
+  }
+
+  private val schemeRe = """^[A-Za-z][A-Za-z0-9+.-]*:""".r
+
+  /** Split an absolute http(s) URL into (scheme://authority, path,
+    * query-with-?) — fragment dropped (frontier semantics: a fragment
+    * never reaches the server).
+    */
+  private def splitUrl(url: String): (String, String, String) = {
+    val noFrag = url.indexOf('#') match {
+      case -1 => url
+      case i  => url.substring(0, i)
+    }
+    val schemeEnd = noFrag.indexOf("://")
+    require(schemeEnd > 0, s"not an absolute URL: $url")
+    val authEnd = noFrag.indexOf('/', schemeEnd + 3) match {
+      case -1 =>
+        noFrag.indexOf('?', schemeEnd + 3) match {
+          case -1 => noFrag.length
+          case q  => q
+        }
+      case i => i
+    }
+    val rest = noFrag.substring(authEnd)
+    val qAt = rest.indexOf('?')
+    val (path, query) =
+      if (qAt < 0) (rest, "") else (rest.substring(0, qAt), rest.substring(qAt))
+    (noFrag.substring(0, authEnd), if (path.isEmpty) "/" else path, query)
+  }
+
+  /** RFC 3986 §5.2 reference resolution against an absolute http(s)
+    * base, with fragments dropped on both sides — exactly what a
+    * frontier needs to turn an href into a fetchable URL. Covers the
+    * reference forms live in HTML: absolute, protocol-relative
+    * (`//host/p`), path-absolute (`/p`), path-relative (incl. `.` and
+    * `..` segments), query-only (`?q`), fragment-only, and empty.
+    */
+  def resolveHref(base: String, ref: String): String = {
+    val (baseRoot, basePath, baseQuery) = splitUrl(base)
+    val noFrag = ref.indexOf('#') match {
+      case -1 => ref
+      case i  => ref.substring(0, i)
+    }
+    if (schemeRe.findPrefixOf(noFrag).nonEmpty) {
+      val (r, p, q) = splitUrl(noFrag)
+      r + removeDotSegments(p) + q
+    } else if (noFrag.startsWith("//")) {
+      val scheme = base.substring(0, base.indexOf("://"))
+      val (r, p, q) = splitUrl(s"$scheme:$noFrag")
+      r + removeDotSegments(p) + q
+    } else if (noFrag.isEmpty) baseRoot + basePath + baseQuery
+    else if (noFrag.startsWith("?")) baseRoot + basePath + noFrag
+    else {
+      val qAt = noFrag.indexOf('?')
+      val (refPath, refQuery) =
+        if (qAt < 0) (noFrag, "")
+        else (noFrag.substring(0, qAt), noFrag.substring(qAt))
+      val merged =
+        if (refPath.startsWith("/")) refPath
+        else basePath.substring(0, basePath.lastIndexOf('/') + 1) + refPath
+      baseRoot + removeDotSegments(merged) + refQuery
+    }
+  }
+
+  private val linkTagRe = """(?is)<link\b[^>]*>""".r
+  private val attrRe =
+    """(?is)(rel|href|hreflang)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"']+))""".r
+
+  /** One `<link>` relation: rel (lower-cased), href (entity-decoded),
+    * and hreflang when present (the `rel=alternate` language map).
+    */
+  final case class LinkRel(rel: String, href: String,
+      hreflang: Option[String])
+
+  /** Extract `<link rel=...>` relations from the document head — the
+    * canonical-URL signal (`rel=canonical`: the page's OWN statement
+    * of which URL is the original, the dedup signal next to the
+    * redirect map) and the `rel=alternate hreflang` language cluster.
+    * Comments are dropped first; links missing rel or href are
+    * skipped (they relate nothing).
+    */
+  def linkRels(html: String): Seq[LinkRel] = {
+    val noComments = commentRe.replaceAllIn(html, "")
+    linkTagRe.findAllMatchIn(noComments).flatMap { tag =>
+      val attrs = attrRe.findAllMatchIn(tag.matched).map { m =>
+        val v = Seq(3, 4, 5).map(m.group).find(_ != null).getOrElse("")
+        (m.group(1).toLowerCase(java.util.Locale.ROOT), decodeEntities(v))
+      }.toMap
+      (attrs.get("rel"), attrs.get("href")) match {
+        case (Some(rel), Some(href)) if rel.nonEmpty && href.nonEmpty =>
+          Some(LinkRel(rel.toLowerCase(java.util.Locale.ROOT).trim,
+            href.trim, attrs.get("hreflang")))
+        case _ => None
+      }
+    }.toSeq
+  }
+
   private val metaRobotsRe =
     ("""(?is)<meta\s+[^>]*?name\s*=\s*["']robots["'][^>]*?""" +
       """content\s*=\s*["']([^"']*)["']""").r

@@ -37,7 +37,11 @@ object WarcIO {
     */
   final case class WarcRecord(warcType: String, targetUri: String,
       date: String, recordId: String, contentType: String,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      // headers beyond the canonical five, in file order — e.g. the
+      // WARC-Refers-To a conversion (WET) record carries (ISO 28500
+      // §6.8); names are written as given, parsed back lower-cased
+      extra: Seq[(String, String)] = Nil)
 
   private val crlf = "\r\n"
 
@@ -56,6 +60,9 @@ object WarcIO {
     sb.append("WARC-Record-ID: ").append(r.recordId).append(crlf)
     if (r.contentType.nonEmpty)
       sb.append("Content-Type: ").append(r.contentType).append(crlf)
+    r.extra.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append(crlf)
+    }
     sb.append("Content-Length: ").append(r.payload.length).append(crlf)
     sb.append(crlf)
     sb.toString.getBytes(US_ASCII) ++ r.payload ++
@@ -153,12 +160,16 @@ object WarcIO {
       val headerEnd = s.indexOf(crlf + crlf, pos)
       require(headerEnd > pos, "unterminated WARC header block")
       val headerLines = s.substring(pos, headerEnd).split(crlf)
-      val headers = headerLines.drop(1).map { line =>
+      val headerSeq = headerLines.drop(1).map { line =>
         val i = line.indexOf(':')
         require(i > 0, s"malformed WARC header line: $line")
         (line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT),
           line.substring(i + 1).trim)
-      }.toMap
+      }.toSeq
+      val headers = headerSeq.toMap
+      val canonical = Set("warc-type", "warc-target-uri", "warc-date",
+        "warc-record-id", "content-type", "content-length")
+      val extra = headerSeq.filterNot(kv => canonical(kv._1))
       val len = headers.getOrElse("content-length",
         throw new IllegalArgumentException("record missing Content-Length"))
         .toLong
@@ -174,7 +185,8 @@ object WarcIO {
         headers.getOrElse("warc-date", ""),
         headers.getOrElse("warc-record-id", ""),
         headers.getOrElse("content-type", ""),
-        java.util.Arrays.copyOfRange(raw, payloadFrom.toInt, payloadUntil.toInt))
+        java.util.Arrays.copyOfRange(raw, payloadFrom.toInt, payloadUntil.toInt),
+        extra)
       pos = payloadUntil.toInt + 4
     }
     require(records.nonEmpty, "empty WARC file")

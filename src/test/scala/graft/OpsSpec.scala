@@ -3906,4 +3906,28 @@ class OpsSpec extends SparkSpec {
     assert(de.getAs[Long]("n_rows") == 2L
       && de.getAs[Long]("n_distinct_nfc") == 1L, s"got $de")
   }
+
+  test("L280 bhFdr: the step-up property pulls a non-qualifying rank " +
+    "into the rejection set when a later rank qualifies") {
+    import graft.ops.EvalOps
+    // p = .01 .026 .028 .04, q = .05, m = 4: thresholds .0125 .025
+    // .0375 .05 — rank 2 (.026 > .025) fails alone but rank 4
+    // qualifies, so ALL FOUR reject (step-up, not step-down)
+    val up = Seq((1L, 10000L), (2L, 26000L), (3L, 28000L), (4L, 40000L))
+      .toDF("test_id", "p_e6")
+    val r1 = EvalOps.bhFdr(up, "test_id", "p_e6", 50000L)
+      .orderBy($"rank").collect()
+    assert(r1.forall(_.getAs[Boolean]("reject")), r1.mkString(","))
+    // p = .01 .04 .03 .05 .20: only rank 1 qualifies -> only .01 rejects
+    val classic = Seq((1L, 10000L), (2L, 40000L), (3L, 30000L),
+      (4L, 50000L), (5L, 200000L)).toDF("test_id", "p_e6")
+    val r2 = EvalOps.bhFdr(classic, "test_id", "p_e6", 50000L)
+      .orderBy($"rank").collect()
+    assert(r2.count(_.getAs[Boolean]("reject")) == 1
+      && r2.head.getAs[Long]("id") == 1L, r2.mkString(","))
+    // nothing qualifies -> nothing rejects
+    val none = Seq((1L, 900000L), (2L, 990000L)).toDF("test_id", "p_e6")
+    assert(EvalOps.bhFdr(none, "test_id", "p_e6", 50000L)
+      .filter($"reject").count() == 0L)
+  }
 }

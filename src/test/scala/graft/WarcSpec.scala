@@ -18,6 +18,23 @@ class WarcSpec extends AnyFunSuite {
     s"<urn:uuid:$i>", "application/http; msgtype=response",
     payload.getBytes("US-ASCII"))
 
+  test("extra headers (WET conversion shape) round-trip in order") {
+    val conv = WarcRecord("conversion", "http://example.com/a",
+      "2025-01-01T00:00:00Z", "<urn:uuid:c1>", "text/plain",
+      "Doc text".getBytes("UTF-8"),
+      extra = Seq("WARC-Refers-To" -> "<urn:uuid:r1>",
+        "WARC-Block-Digest" -> "sha1:ABC"))
+    val back = WarcIO.parse(WarcIO.mint(Seq(conv), perRecordGzip = true)).head
+    assert(back.warcType == "conversion")
+    assert(back.extra == Seq("warc-refers-to" -> "<urn:uuid:r1>",
+      "warc-block-digest" -> "sha1:ABC"))
+    assert(new String(back.payload, "UTF-8") == "Doc text")
+    // a record minted without extras parses back with none
+    val plain = WarcIO.parse(WarcIO.mint(Seq(rec(1, "x")),
+      perRecordGzip = false)).head
+    assert(plain.extra.isEmpty)
+  }
+
   test("hand-laid WARC literal parses to the planted fields") {
     val lit = "WARC/1.0\r\n" +
       "WARC-Type: response\r\n" +
