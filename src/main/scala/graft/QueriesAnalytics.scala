@@ -1380,6 +1380,93 @@ private[graft] object QueriesAnalytics {
         |    AS BIGINT) AS err_s,
         |  CAST(SUM((2520 // rank) * (1 << (3 * (10 - rank))) * n * prod)
         |    AS DOUBLE) / 2705829396480.0 AS err
-        |FROM p GROUP BY query ORDER BY query""".stripMargin))
+        |FROM p GROUP BY query ORDER BY query""".stripMargin)),
+
+    // L287 — FRIEDMAN TEST (k-system bake-off over shared blocks, the
+    // k>2 sibling of Wilcoxon): minted 300 blocks × 4 systems with a
+    // formula score that carries real ties; within-block doubled
+    // average ranks keep everything exact, chisq is one division of
+    // exact integers. The oracle re-derives the doubled ranks via an
+    // independent mechanism (correlated COUNT subqueries per row
+    // rather than two window frames).
+    Q("e_friedman",
+      (s, dir) => {
+        val cells = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"))
+          .withColumn("j", explode(sequence(lit(0L), lit(3L))))
+          .select(col("doc_id").as("block"), col("j").as("system"),
+            ((col("doc_id") * 7 + col("j") * 13 +
+              (col("doc_id") + col("j")) * (col("doc_id") + col("j")))
+              % 50).as("score"))
+        EvalOps.friedman(cells, "block", "system", "score")
+      },
+      Some("""WITH c AS (SELECT doc_id AS block,
+        |    unnest(range(0, 4)) AS system
+        |  FROM documents WHERE doc_id < 300),
+        |v AS (SELECT block, system,
+        |    (block * 7 + system * 13 +
+        |      (block + system) * (block + system)) % 50 AS score
+        |  FROM c),
+        |r AS (SELECT block, system, score,
+        |    2 * (SELECT COUNT(*) FROM v v2
+        |      WHERE v2.block = v.block AND v2.score < v.score)
+        |    + (SELECT COUNT(*) FROM v v3
+        |      WHERE v3.block = v.block AND v3.score = v.score) + 1
+        |      AS rank2
+        |  FROM v),
+        |pt AS (SELECT system, CAST(SUM(rank2) AS BIGINT) AS r2 FROM r
+        |  GROUP BY system),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(r2 * r2) AS BIGINT) AS sum_r2_sq FROM pt),
+        |nb AS (SELECT CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks
+        |  FROM c)
+        |SELECT n_blocks, k, sum_r2_sq,
+        |  CAST(3 * sum_r2_sq - 3 * n_blocks * n_blocks * k * (k + 1)
+        |    * (k + 1) AS BIGINT) AS chisq_num,
+        |  CAST(3 * sum_r2_sq - 3 * n_blocks * n_blocks * k * (k + 1)
+        |      * (k + 1) AS DOUBLE)
+        |    / CAST(n_blocks * k * (k + 1) AS DOUBLE) AS chisq
+        |FROM ag CROSS JOIN nb""".stripMargin)),
+
+    // L288 — COCHRAN'S Q (k binary gates over shared items, the k>2
+    // sibling of McNemar): 400 items × 3 gates with formula-driven
+    // pass bits; Q is one division of exact integers, unanimous
+    // corpora report -1 instead of 0/0. Oracle replays the rollups.
+    Q("e_cochran_q",
+      (s, dir) => {
+        val cells = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id"))
+          .withColumn("j", explode(sequence(lit(0L), lit(2L))))
+          .select(col("doc_id").as("item"), col("j").as("gate"),
+            ((col("doc_id") * (col("j") + 3) + col("j")) % 5 < 2)
+              .as("pass"))
+        EvalOps.cochranQ(cells, "item", "gate", "pass")
+      },
+      Some("""WITH c AS (SELECT doc_id AS item,
+        |    unnest(range(0, 3)) AS gate
+        |  FROM documents WHERE doc_id < 400),
+        |x AS (SELECT item, gate,
+        |    CASE WHEN (item * (gate + 3) + gate) % 5 < 2 THEN 1
+        |      ELSE 0 END AS x
+        |  FROM c),
+        |ri AS (SELECT item, CAST(SUM(x) AS BIGINT) AS ri FROM x
+        |  GROUP BY item),
+        |ra AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(ri * ri) AS BIGINT) AS sum_ri_sq FROM ri),
+        |cj AS (SELECT gate, CAST(SUM(x) AS BIGINT) AS cj FROM x
+        |  GROUP BY gate),
+        |ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(cj) AS BIGINT) AS n_success,
+        |    CAST(SUM(cj * cj) AS BIGINT) AS sum_cj_sq FROM cj)
+        |SELECT n_items, k, n_success,
+        |  CAST((k - 1) * (k * sum_cj_sq - n_success * n_success)
+        |    AS BIGINT) AS q_num,
+        |  CAST(k * n_success - sum_ri_sq AS BIGINT) AS q_den,
+        |  CASE WHEN k * n_success - sum_ri_sq > 0
+        |    THEN CAST((k - 1) * (k * sum_cj_sq - n_success * n_success)
+        |        AS DOUBLE)
+        |      / CAST(k * n_success - sum_ri_sq AS DOUBLE)
+        |    ELSE -1.0 END AS q
+        |FROM ra CROSS JOIN ca""".stripMargin))
   )
 }

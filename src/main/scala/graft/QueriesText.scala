@@ -757,6 +757,54 @@ FROM ag ORDER BY lang""")),
         |  doc_id % 3 <> 0 AND doc_id % 2 = 1 AS cross_domain
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
 
+    // L289 — TEXT-TO-HTML RATIO GATE: the oldest boilerplate smell —
+    // a page whose extracted text is a tiny fraction of its markup is
+    // chrome, not content. Minted page with fixed nav/style chrome
+    // around the corpus text; ratio = extracted·10⁶ div raw-html
+    // bytes, gated at 15%. The oracle rebuilds BOTH lengths
+    // independently: the chrome from its own string literals, the
+    // escape growth from &/</> counts via the replace trick.
+    Q("t_html_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = base.map { case (id, text) =>
+          import graft.pipeline.HtmlText
+          val pre = "<html><head><title>D</title><style>x{}</style>" +
+            "</head><body><nav><a href=\"/\">Home</a> <a href=\"/a\">" +
+            "About</a> <a href=\"/b\">Contact</a></nav><p>"
+          val suf = "</p></body></html>"
+          val html = pre + HtmlText.escape(text) + suf
+          val flat = HtmlText.toText(html)
+          val ratioE6 = flat.length.toLong * 1000000L / html.length
+          (id, flat.length.toLong, html.length.toLong, ratioE6,
+            ratioE6 < 150000L)
+        }.toDF("doc_id", "text_len", "html_len", "ratio_e6",
+          "boilerplate_heavy")
+        audited.orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS c,
+        |    len(text) AS lt,
+        |    len(text) - len(replace(text, '&', '')) AS n_amp,
+        |    len(text) - len(replace(text, '<', '')) AS n_lt,
+        |    len(text) - len(replace(text, '>', '')) AS n_gt
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(c) = 0 THEN 20
+        |      ELSE 21 + len(c) END AS BIGINT) AS text_len,
+        |    CAST(len('<html><head><title>D</title><style>x{}</style>'
+        |        || '</head><body><nav><a href="/">Home</a> <a href="/a">'
+        |        || 'About</a> <a href="/b">Contact</a></nav><p>')
+        |      + lt + 4 * n_amp + 3 * n_lt + 3 * n_gt
+        |      + len('</p></body></html>') AS BIGINT) AS html_len
+        |  FROM t)
+        |SELECT doc_id, text_len, html_len,
+        |  CAST((text_len * 1000000) // html_len AS BIGINT) AS ratio_e6,
+        |  (text_len * 1000000) // html_len < 150000 AS boilerplate_heavy
+        |FROM l ORDER BY doc_id""".stripMargin)),
+
     // L154 — char-distribution chi-square gibberish score: e6-scaled
     // integer letter shares vs the corpus profile, 26 exact integer
     // terms per doc (see TextOps.charChiSquare for the quantization and

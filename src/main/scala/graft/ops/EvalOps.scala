@@ -1627,4 +1627,94 @@ object EvalOps {
       .select(col("id"), col("p_e6"), col("rank"), col("m"),
         (col("rank") <= col("k_max")).as("reject"))
   }
+
+  /** L287 — FRIEDMAN TEST: the k-treatment repeated-measures rank test
+    * (the k>2 sibling of Wilcoxon L243) — "do k systems rank the same
+    * across n blocks?", the question a bake-off of k rankers/gates over
+    * n shared slices asks before trusting a winner. Within-block
+    * DOUBLED average ranks keep ties exact (the spearman idiom:
+    * rank2 = 2·#less + #tied + 1), and with R2_j = Σ_blocks rank2:
+    * chisq = (3·ΣR2_j² − 3·n²·k·(k+1)²) / (n·k·(k+1)) — one division
+    * of two exact integers. Classic untied formula with average ranks
+    * (no tie-correction factor — documented contract). Blocks must be
+    * complete (one row per block×treatment) — validated loudly.
+    *
+    * Scale shape: two bounded windows inside each block (k rows) + one
+    * k-row rollup; n·k input rows, k output.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"))
+    val base = df.select(col(blockCol).as("b"), col(treatCol).as("t"),
+      integralChecked(col(valCol), "friedman").as("v"))
+    val ranked = base
+      .withColumn("less", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+          .orderBy(col("v")).rangeBetween(Long.MinValue, -1)))
+      .withColumn("tied", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("b"), col("v"))))
+      .withColumn("rank2", lit(2L) * col("less") + col("tied") + 1L)
+      .withColumn("k_in_block", count(lit(1)).over(w))
+    val perTreat = ranked.groupBy(col("t"))
+      .agg(sum(col("rank2")).as("r2"), count(lit(1)).as("n_b"),
+        min(col("k_in_block")).as("k_min"), max(col("k_in_block")).as("k_max"))
+    val tot = perTreat.agg(count(lit(1)).as("k"), sum(col("r2")).as("sum_r2"),
+      sum(col("r2") * col("r2")).as("sum_r2_sq"),
+      min(col("n_b")).as("n_min"), max(col("n_b")).as("n_max"),
+      min(col("k_min")).as("kb_min"), max(col("k_max")).as("kb_max"))
+    tot.select(
+        when(col("n_min") =!= col("n_max") ||
+          col("kb_min") =!= col("k") || col("kb_max") =!= col("k"),
+          raise_error(lit("friedman: incomplete blocks (need one row " +
+            "per block x treatment)")).cast("long"))
+          .otherwise(col("n_min")).as("n_blocks"),
+        col("k"), col("sum_r2_sq"))
+      .withColumn("chisq_num", lit(3L) * col("sum_r2_sq") -
+        lit(3L) * col("n_blocks") * col("n_blocks") * col("k") *
+        (col("k") + 1L) * (col("k") + 1L))
+      .withColumn("chisq", col("chisq_num").cast("double") /
+        (col("n_blocks") * col("k") * (col("k") + 1L)).cast("double"))
+  }
+
+  /** L288 — COCHRAN'S Q: do k binary classifiers/gates have the same
+    * success rate over n shared items? — the k>2 sibling of McNemar
+    * (L216), the question a panel of quality gates faces before one is
+    * declared stricter. With column successes C_j, row successes R_i,
+    * N = ΣC: Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) — one division
+    * of exact integers. Degenerate denominator (every item unanimous)
+    * reports q = −1 loudly rather than 0/0. Null inputs raise (the
+    * mcnemar posture).
+    *
+    * Scale shape: one map-side row rollup + one k-group column rollup.
+    */
+  def cochranQ(df: DataFrame, itemCol: String, raterCol: String,
+      successCol: String): DataFrame = {
+    val base = df.select(col(itemCol).as("i"), col(raterCol).as("r"),
+      when(col(successCol).isNull,
+        raise_error(lit("cochranQ: null success input")).cast("long"))
+        .otherwise(col(successCol).cast("boolean").cast("long")).as("x"))
+    val rows = base.groupBy(col("i")).agg(sum(col("x")).as("ri"),
+      count(lit(1)).as("k_i"))
+    val rowAgg = rows.agg(count(lit(1)).as("n"),
+      sum(col("ri") * col("ri")).as("sum_ri_sq"),
+      min(col("k_i")).as("k_lo"), max(col("k_i")).as("k_hi"))
+    val colAgg = base.groupBy(col("r")).agg(sum(col("x")).as("cj"))
+      .agg(count(lit(1)).as("k"), sum(col("cj")).as("big_n"),
+        sum(col("cj") * col("cj")).as("sum_cj_sq"))
+    rowAgg.crossJoin(broadcast(colAgg))
+      .select(
+        when(col("k_lo") =!= col("k") || col("k_hi") =!= col("k"),
+          raise_error(lit("cochranQ: incomplete items (need one row " +
+            "per item x rater)")).cast("long"))
+          .otherwise(col("n")).as("n_items"),
+        col("k"), col("big_n").as("n_success"),
+        ((col("k") - 1L) * (col("k") * col("sum_cj_sq") -
+          col("big_n") * col("big_n"))).as("q_num"),
+        (col("k") * col("big_n") - col("sum_ri_sq")).as("q_den"))
+      .withColumn("q", when(col("q_den") > 0L,
+        col("q_num").cast("double") / col("q_den").cast("double"))
+        .otherwise(lit(-1d)))
+  }
 }

@@ -3930,4 +3930,47 @@ class OpsSpec extends SparkSpec {
     assert(EvalOps.bhFdr(none, "test_id", "p_e6", 50000L)
       .filter($"reject").count() == 0L)
   }
+
+  test("L287 friedman: textbook identical-ordering case gives chisq 6 " +
+    "exactly; incomplete blocks raise") {
+    import graft.ops.EvalOps
+    // 3 blocks, 3 treatments, same order everywhere: R = (3,6,9),
+    // chisq = 12*126/36 - 36 = 6
+    val cells = (for (b <- 1 to 3; t <- 0 until 3)
+      yield (b.toLong, t.toLong, (10 * (t + 1) + b).toLong))
+      .toDF("block", "system", "score")
+    val r = EvalOps.friedman(cells, "block", "system", "score").head
+    assert(r.getAs[Long]("n_blocks") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("chisq") == 6.0, s"got $r")
+    // an all-tied block contributes equal doubled ranks -> chisq 0
+    val tied = (for (b <- 1 to 2; t <- 0 until 3)
+      yield (b.toLong, t.toLong, 5L)).toDF("block", "system", "score")
+    assert(EvalOps.friedman(tied, "block", "system", "score")
+      .head.getAs[Double]("chisq") == 0.0)
+    val incomplete = cells.filter(!($"block" === 1L && $"system" === 0L))
+    intercept[Exception] {
+      EvalOps.friedman(incomplete, "block", "system", "score").collect()
+    }
+  }
+
+  test("L288 cochranQ: hand-worked 4x3 panel gives Q = 3 exactly; " +
+    "unanimous panels report -1") {
+    import graft.ops.EvalOps
+    // items x raters: (1,1,0),(1,0,0),(1,1,1),(0,0,0)
+    // C=(3,2,1) N=6 sumC2=14 sumR2=14 -> Q = 2*(42-36)/(18-14) = 3
+    val bits = Seq(
+      (1L, 0L, true), (1L, 1L, true), (1L, 2L, false),
+      (2L, 0L, true), (2L, 1L, false), (2L, 2L, false),
+      (3L, 0L, true), (3L, 1L, true), (3L, 2L, true),
+      (4L, 0L, false), (4L, 1L, false), (4L, 2L, false))
+      .toDF("item", "gate", "pass")
+    val r = EvalOps.cochranQ(bits, "item", "gate", "pass").head
+    assert(r.getAs[Long]("n_items") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("q") == 3.0, s"got $r")
+    // every item unanimous -> degenerate denominator -> -1
+    val unam = Seq((1L, 0L, true), (1L, 1L, true),
+      (2L, 0L, false), (2L, 1L, false)).toDF("item", "gate", "pass")
+    assert(EvalOps.cochranQ(unam, "item", "gate", "pass")
+      .head.getAs[Double]("q") == -1.0)
+  }
 }
