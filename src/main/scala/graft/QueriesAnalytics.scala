@@ -1467,6 +1467,65 @@ private[graft] object QueriesAnalytics {
         |        AS DOUBLE)
         |      / CAST(k * n_success - sum_ri_sq AS DOUBLE)
         |    ELSE -1.0 END AS q
-        |FROM ra CROSS JOIN ca""".stripMargin))
+        |FROM ra CROSS JOIN ca""".stripMargin)),
+
+    // L291 — RANK-BIASED OVERLAP @10 (Webber et al., TOIS 2010): the
+    // top-weighted similarity of two rankings — the number an index/
+    // ranker migration reports per query before cutover ("how much did
+    // the top-10 move?"). With p = 9/10, S·RBO is EXACT integer: an
+    // item common to both lists at ranks (ra, rb) contributes the
+    // suffix weight W(max(ra,rb)) where w_d = (2520/d)·9^(d−1)·10^(10−d)
+    // (lcm + power-ladder, the errAtK discipline) — so the whole
+    // metric is one equi-join + one literal lookup + one sum, no
+    // per-depth pass. The weight table is GENERATED once in Scala and
+    // interpolated verbatim into both engines; rbo is the single
+    // division by S = 2520·10¹⁰.
+    Q("r_rbo",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 100)
+          .select((col("doc_id") / 10).cast("long").as("q"),
+            (col("doc_id") % 10 + 1).cast("long").as("r"))
+        val aT = base.select(col("q"), col("r").as("ra"),
+          ((col("q") * 7 + col("r") * 7) % 10).as("doc"))
+        val bT = base.select(col("q"), col("r").as("rb"),
+          ((col("q") * 3 + col("r") * 5) % 12).as("doc"))
+        val wArr = array(rboSuffixW.map(lit): _*)
+        aT.join(bT, Seq("q", "doc"))
+          .withColumn("m", greatest(col("ra"), col("rb")))
+          .groupBy(col("q"))
+          .agg(count(lit(1)).as("n_common"),
+            sum(element_at(wArr, col("m").cast("int"))).as("rbo_s"))
+          .withColumn("rbo",
+            col("rbo_s").cast("double") / lit(25200000000000.0))
+          .orderBy(col("q"))
+      },
+      Some(s"""WITH b0 AS (SELECT doc_id // 10 AS q, doc_id % 10 + 1 AS r
+        |  FROM documents WHERE doc_id < 100),
+        |a AS (SELECT q, r AS ra, (q * 7 + r * 7) % 10 AS doc FROM b0),
+        |b AS (SELECT q, r AS rb, (q * 3 + r * 5) % 12 AS doc FROM b0),
+        |j AS (SELECT a.q AS q, GREATEST(ra, rb) AS m
+        |  FROM a JOIN b ON a.q = b.q AND a.doc = b.doc),
+        |g AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    CAST(SUM(CASE m ${rboSuffixW.zipWithIndex.map {
+          case (w, i) => s"WHEN ${i + 1} THEN $w"
+        }.mkString(" ")} END) AS BIGINT) AS rbo_s
+        |  FROM j GROUP BY q)
+        |SELECT CAST(q AS BIGINT) AS q, n_common, rbo_s,
+        |  CAST(rbo_s AS DOUBLE) / 25200000000000.0 AS rbo
+        |FROM g ORDER BY q""".stripMargin))
   )
+
+  /** RBO@10 suffix weights W(m) = Σ_{d=m..10} (2520/d)·9^(d−1)·10^(10−d)
+    * — exact longs, shared verbatim with the SQL mirror (p = 9/10;
+    * 2520 = lcm(1..10) makes every 2520/d integral).
+    */
+  private lazy val rboSuffixW: Seq[Long] = {
+    val w = (1 to 10).map { d =>
+      var p9 = 1L; var p10 = 1L
+      (1 until d).foreach(_ => p9 *= 9L)
+      (d until 10).foreach(_ => p10 *= 10L)
+      (2520L / d) * p9 * p10
+    }
+    (1 to 10).map(m => w.drop(m - 1).sum)
+  }
 }

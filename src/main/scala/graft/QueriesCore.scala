@@ -1786,6 +1786,48 @@ private[graft] object QueriesCore {
         |  CAST(2 * GROUPING(event_type) + GROUPING(w) AS BIGINT) AS gid,
         |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents_sum
         |FROM b GROUP BY CUBE(event_type, w)
-        |ORDER BY gid, COALESCE(event_type, ''), COALESCE(w, -1)""".stripMargin))
+        |ORDER BY gid, COALESCE(event_type, ''), COALESCE(w, -1)""".stripMargin)),
+
+    // L292 — CRAWL LINK-GRAPH PAGERANK (the t_anchor_text → graph
+    // composite): host-level edges minted by the L276 link formulas
+    // (external links become site→ext edges, multiplicity kept — a
+    // host linked from many pages weighs more), then 2 exact integer
+    // PageRank rounds over the edge TABLE — the authority signal a
+    // crawl frontier feeds back into fetch prioritization. The oracle
+    // unrolls both rounds (the g_pagerank CTE shape) over the same
+    // formula-built edges.
+    Q("g_crawl_pagerank",
+      (s, dir) => {
+        val edges = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id"))
+          .withColumn("j", explode(sequence(lit(0L), col("doc_id") % 4)))
+          .filter((col("doc_id") + col("j")) % 6 === 0)
+          .select((col("doc_id") % 7).as("src"), (lit(7L) + col("j")).as("dst"))
+        GraphOps.pageRank(edges, "src", "dst", iters = 2)
+          .orderBy(col("node"))
+      },
+      Some("""WITH l AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 4)) AS j
+        |  FROM documents WHERE doc_id < 400),
+        |ed AS (SELECT doc_id % 7 AS src, 7 + j AS dst FROM l
+        |  WHERE (doc_id + j) % 6 = 0),
+        |nd AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM ed
+        |  GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nd),
+        |c1 AS (SELECT ed.dst AS node, SUM(r.pr // od.odeg) AS s
+        |  FROM ed JOIN od USING (src) JOIN r0 r ON r.node = ed.src
+        |  GROUP BY 1),
+        |r1 AS (SELECT nd.node,
+        |    CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nd LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT ed.dst AS node, SUM(r.pr // od.odeg) AS s
+        |  FROM ed JOIN od USING (src) JOIN r1 r ON r.node = ed.src
+        |  GROUP BY 1),
+        |r2 AS (SELECT nd.node,
+        |    CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nd LEFT JOIN c2 USING (node))
+        |SELECT node, pr FROM r2 ORDER BY node""".stripMargin))
   )
 }

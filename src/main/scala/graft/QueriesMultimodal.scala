@@ -1447,6 +1447,49 @@ private[graft] object QueriesMultimodal {
         |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
         |    WHEN 2 THEN 'wav' WHEN 3 THEN 'flac' WHEN 4 THEN 'pdf'
         |    ELSE 'unknown' END AS sniffed
-        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // L290 — SRT SUBTITLE PARSE: the sidecar format caption/transcript
+    // corpora ship in — cue index, HH:MM:SS,mmm time line, multi-line
+    // text — decoded to exact microseconds through the real grammar
+    // after a mint round-trip (format → parse must be the identity on
+    // spec-valid cues; the parser's milliseconds→micros scaling and
+    // the formatter's field split cross-check each other). Multi-line
+    // cue text surfaces with a `|` separator. The oracle replays the
+    // cue formulas.
+    Q("mm_srt_parse",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val cues = base.flatMap { id =>
+          import graft.pipeline.Subtitles
+          val n = (1 + id % 4).toInt
+          val minted = (0 until n).map { j =>
+            val startMs = id * 97 + j * 3000
+            val durMs = 500 + (id + j) % 2500
+            val text =
+              if (j % 2 == 0) s"line $id $j\ncont $j" else s"line $id $j"
+            Subtitles.Cue(j + 1, startMs * 1000,
+              (startMs + durMs) * 1000, text)
+          }
+          val parsed = Subtitles.parseSrt(Subtitles.mintSrt(minted))
+          require(parsed == minted, "SRT round-trip mismatch")
+          parsed.map(c => (id, c.index.toLong, c.startUs, c.endUs,
+            c.text.replace("\n", "|")))
+        }.toDF("doc_id", "idx", "start_us", "end_us", "text")
+        cues.orderBy(col("doc_id"), col("idx"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 4)) AS j
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, CAST(j + 1 AS BIGINT) AS idx,
+        |  CAST((doc_id * 97 + j * 3000) * 1000 AS BIGINT) AS start_us,
+        |  CAST((doc_id * 97 + j * 3000 + 500 + (doc_id + j) % 2500)
+        |    * 1000 AS BIGINT) AS end_us,
+        |  CASE WHEN j % 2 = 0
+        |    THEN 'line ' || doc_id || ' ' || j || '|cont ' || j
+        |    ELSE 'line ' || doc_id || ' ' || j END AS text
+        |FROM c ORDER BY doc_id, idx""".stripMargin))
   )
 }

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+/** SubRip (SRT) subtitle parsing — the sidecar format transcript and
+  * caption corpora actually ship in (the reference pipeline's
+  * transcript sidecars are JSON; the public world's are SRT/WebVTT).
+  * A speech-data curation run ingests these for ASR supervision, so
+  * the cue grammar must parse exactly: cue index line, the
+  * `HH:MM:SS,mmm --> HH:MM:SS,mmm` time line, text lines up to a
+  * blank-line separator. Times land in exact MICROSECONDS (ms × 1000,
+  * the engine's time domain) — never a float second.
+  *
+  * Parsing is LOUD (the S10 posture): a non-numeric index, indexes
+  * out of order, a malformed time line, or end ≤ start throws —
+  * a silently mis-parsed cue is mis-aligned supervision downstream.
+  *
+  * Scale shape: one SRT file is one per-row string kernel; the cue
+  * table relationalizes above it (joins to segments via the
+  * interval-containment family).
+  */
+object Subtitles {
+
+  /** One cue: 1-based index, [startUs, endUs), text (multi-line
+    * joined with `\n`).
+    */
+  final case class Cue(index: Int, startUs: Long, endUs: Long,
+      text: String)
+
+  private val timeRe =
+    """(\d{2,}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2,}):(\d{2}):(\d{2}),(\d{3})""".r
+
+  private def us(h: String, m: String, s: String, ms: String): Long = {
+    val mm = m.toLong; val ss = s.toLong
+    require(mm < 60 && ss < 60, s"bad SRT time field: $h:$m:$s,$ms")
+    ((h.toLong * 3600 + mm * 60 + ss) * 1000 + ms.toLong) * 1000
+  }
+
+  /** Parse an SRT document into cues, loudly. */
+  def parseSrt(srt: String): Seq[Cue] = {
+    val blocks = srt.replace("\r\n", "\n").split("\n\n+")
+      .map(_.trim).filter(_.nonEmpty)
+    require(blocks.nonEmpty, "empty SRT document")
+    var lastIndex = 0
+    blocks.toSeq.map { block =>
+      val lines = block.split('\n')
+      require(lines.length >= 2, s"SRT cue with fewer than 2 lines: $block")
+      require(lines(0).nonEmpty && lines(0).forall(_.isDigit),
+        s"bad SRT cue index line: '${lines(0)}'")
+      val idx = lines(0).toInt
+      require(idx > lastIndex,
+        s"SRT cue indexes must increase: $idx after $lastIndex")
+      lastIndex = idx
+      val (s, e) = lines(1) match {
+        case timeRe(h1, m1, s1, ms1, h2, m2, s2, ms2) =>
+          (us(h1, m1, s1, ms1), us(h2, m2, s2, ms2))
+        case other =>
+          throw new IllegalArgumentException(s"bad SRT time line: '$other'")
+      }
+      require(e > s, s"SRT cue $idx ends at or before its start")
+      Cue(idx, s, e, lines.drop(2).mkString("\n"))
+    }
+  }
+
+  private def fmt(usTotal: Long): String = {
+    val ms = usTotal / 1000
+    f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d,${ms % 1000}%03d"
+  }
+
+  /** Mint a spec-shaped SRT document (fixture dual of [[parseSrt]]);
+    * cue times must be whole milliseconds (the format's resolution).
+    */
+  def mintSrt(cues: Seq[Cue]): String = {
+    require(cues.forall(c => c.startUs % 1000 == 0 && c.endUs % 1000 == 0),
+      "SRT resolution is milliseconds")
+    cues.map(c => s"${c.index}\n${fmt(c.startUs)} --> ${fmt(c.endUs)}\n" +
+      c.text).mkString("\n\n") + "\n"
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Subtitles
+import graft.pipeline.Subtitles.Cue
+
+/** Pins the SRT cue grammar against a hand-laid literal (minter and
+  * parser must not share a wrong constant) plus the loud failure
+  * modes.
+  */
+class SubtitlesSpec extends AnyFunSuite {
+
+  test("hand-laid SRT literal parses to the planted cues") {
+    val lit = "1\n00:00:01,500 --> 00:00:04,250\nHello there\n\n" +
+      "2\n01:02:03,004 --> 01:02:05,000\nTwo lines\nof text\n"
+    val cues = Subtitles.parseSrt(lit)
+    assert(cues == Seq(
+      Cue(1, 1500000L, 4250000L, "Hello there"),
+      Cue(2, (3723L * 1000 + 4) * 1000, 3725000000L, "Two lines\nof text")))
+  }
+
+  test("mint/parse round-trip is the identity, CRLF tolerated") {
+    val cues = Seq(Cue(1, 0L, 900000L, "a"),
+      Cue(2, 1000000L, 2000000L, "b\nc"))
+    assert(Subtitles.parseSrt(Subtitles.mintSrt(cues)) == cues)
+    val crlf = Subtitles.mintSrt(cues).replace("\n", "\r\n")
+    assert(Subtitles.parseSrt(crlf) == cues)
+  }
+
+  test("violations are loud: bad index, order, time grammar, zero span") {
+    intercept[IllegalArgumentException](Subtitles.parseSrt(
+      "x\n00:00:01,000 --> 00:00:02,000\nt\n"))
+    intercept[IllegalArgumentException](Subtitles.parseSrt(
+      "2\n00:00:01,000 --> 00:00:02,000\nt\n\n" +
+        "1\n00:00:03,000 --> 00:00:04,000\nu\n"))
+    intercept[IllegalArgumentException](Subtitles.parseSrt(
+      "1\n00:00:01.000 --> 00:00:02,000\nt\n")) // WebVTT dot, not SRT
+    intercept[IllegalArgumentException](Subtitles.parseSrt(
+      "1\n00:00:02,000 --> 00:00:02,000\nt\n"))
+    intercept[IllegalArgumentException](Subtitles.parseSrt(
+      "1\n00:00:99,000 --> 00:01:40,000\nt\n")) // 99 seconds field
+    intercept[IllegalArgumentException](Subtitles.mintSrt(
+      Seq(Cue(1, 500L, 1000000L, "t")))) // sub-millisecond start
+  }
+}
