@@ -1490,6 +1490,102 @@ private[graft] object QueriesMultimodal {
         |  CASE WHEN j % 2 = 0
         |    THEN 'line ' || doc_id || ' ' || j || '|cont ' || j
         |    ELSE 'line ' || doc_id || ' ' || j END AS text
-        |FROM c ORDER BY doc_id, idx""".stripMargin))
+        |FROM c ORDER BY doc_id, idx""".stripMargin)),
+
+    // L293 — WEBVTT SUBTITLE PARSE (the SRT sibling the open web
+    // serves): DOT milliseconds, mandatory WEBVTT header, OPTIONAL
+    // cue-identifier lines and cue settings (both exercised by the
+    // mint variants and dropped by the parser per spec), optional
+    // hours. Round-trip identity certified per row; the oracle
+    // replays the cue formulas.
+    Q("mm_vtt_parse",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val cues = base.flatMap { id =>
+          import graft.pipeline.Subtitles
+          val n = (1 + id % 3).toInt
+          val minted = (0 until n).map { j =>
+            val startMs = id * 53 + j * 4000
+            val durMs = 700 + (id + j) % 2000
+            Subtitles.Cue(j + 1, startMs * 1000,
+              (startMs + durMs) * 1000, s"vtt $id $j")
+          }
+          val parsed = Subtitles.parseVtt(Subtitles.mintVtt(minted))
+          require(parsed == minted, "WebVTT round-trip mismatch")
+          parsed.map(c => (id, c.index.toLong, c.startUs, c.endUs, c.text))
+        }.toDF("doc_id", "idx", "start_us", "end_us", "text")
+        cues.orderBy(col("doc_id"), col("idx"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 3)) AS j
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, CAST(j + 1 AS BIGINT) AS idx,
+        |  CAST((doc_id * 53 + j * 4000) * 1000 AS BIGINT) AS start_us,
+        |  CAST((doc_id * 53 + j * 4000 + 700 + (doc_id + j) % 2000)
+        |    * 1000 AS BIGINT) AS end_us,
+        |  'vtt ' || doc_id || ' ' || j AS text
+        |FROM c ORDER BY doc_id, idx""".stripMargin)),
+
+    // L294 — STREAMING SRT GATE (L290 at ingest): arriving subtitle
+    // sidecars parse statelessly at the firehose — a corrupt tier
+    // (id%23: the arrow is broken) routes to failed rows instead of
+    // poisoning downstream alignment, the S10 posture live. No state
+    // store; payloads stage once per session.
+    Q("streaming_srt_gate",
+      (s, dir) => QuerySupport.withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "ssg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_srt").toString
+        val srcDir = QuerySupport.stagedStreamSource("srt_payloads", dir) { p =>
+          val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id")).as[Long]
+          val payloads = base.map { id =>
+            import graft.pipeline.Subtitles
+            val n = (1 + id % 4).toInt
+            val minted = (0 until n).map { j =>
+              val startMs = id * 97 + j * 3000
+              val durMs = 500 + (id + j) % 2500
+              Subtitles.Cue(j + 1, startMs * 1000,
+                (startMs + durMs) * 1000, s"line $id $j")
+            }
+            val srt = Subtitles.mintSrt(minted)
+            (id, if (id % 23 == 0) srt.replace(" --> ", " XX ") else srt)
+          }.toDF("doc_id", "payload")
+          QuerySupport.writeHeartbeat(payloads, p, "srt_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val gated = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, String)]
+          .map { case (id, srt) =>
+            try {
+              val cues = graft.pipeline.Subtitles.parseSrt(srt)
+              (id, true, cues.size.toLong,
+                cues.map(c => c.endUs - c.startUs).sum)
+            } catch {
+              case _: IllegalArgumentException => (id, false, -1L, -1L)
+            }
+          }.toDF("doc_id", "decode_ok", "n_cues", "dur_us")
+        val q = gated.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuerySupport.cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("doc_id") >= 0).orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 4)) AS j
+        |  FROM documents WHERE doc_id < 300),
+        |d AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM((500 + (doc_id + j) % 2500) * 1000) AS BIGINT) AS dur
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, doc_id % 23 <> 0 AS decode_ok,
+        |  CASE WHEN doc_id % 23 = 0 THEN -1 ELSE n END AS n_cues,
+        |  CASE WHEN doc_id % 23 = 0 THEN -1 ELSE dur END AS dur_us
+        |FROM d ORDER BY doc_id""".stripMargin))
   )
 }

@@ -74,4 +74,61 @@ object Subtitles {
     cues.map(c => s"${c.index}\n${fmt(c.startUs)} --> ${fmt(c.endUs)}\n" +
       c.text).mkString("\n\n") + "\n"
   }
+
+  private val vttTimeRe =
+    ("""(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3}) --> """ +
+      """(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})(?:[ \t].*)?""").r
+
+  /** Parse a WebVTT document (the SRT sibling with DOT milliseconds,
+    * a mandatory `WEBVTT` header, OPTIONAL cue identifier lines,
+    * optional hours, and cue settings after the time line — ignored
+    * per spec). Cue indexes are assigned by position (1-based);
+    * violations are loud.
+    */
+  def parseVtt(vtt: String): Seq[Cue] = {
+    val norm = vtt.replace("\r\n", "\n")
+    require(norm.startsWith("WEBVTT"),
+      "not a WebVTT document: missing WEBVTT header")
+    val blocks = norm.split("\n\n+").map(_.trim).filter(_.nonEmpty)
+      .drop(1) // the header block
+    require(blocks.nonEmpty, "WebVTT document with zero cues")
+    blocks.toSeq.zipWithIndex.map { case (block, i) =>
+      val lines = block.split('\n')
+      // the time line is the first line containing "-->"; at most one
+      // identifier line may precede it (spec: id must not contain -->)
+      val tAt = lines.indexWhere(_.contains("-->"))
+      require(tAt == 0 || tAt == 1,
+        s"WebVTT cue without a leading time line: $block")
+      val (s, e) = lines(tAt) match {
+        case vttTimeRe(h1, m1, s1, ms1, h2, m2, s2, ms2) =>
+          (us(if (h1 == null) "0" else h1, m1, s1, ms1),
+            us(if (h2 == null) "0" else h2, m2, s2, ms2))
+        case other =>
+          throw new IllegalArgumentException(
+            s"bad WebVTT time line: '$other'")
+      }
+      require(e > s, s"WebVTT cue ${i + 1} ends at or before its start")
+      Cue(i + 1, s, e, lines.drop(tAt + 1).mkString("\n"))
+    }
+  }
+
+  private def fmtVtt(usTotal: Long): String = {
+    val ms = usTotal / 1000
+    f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d.${ms % 1000}%03d"
+  }
+
+  /** Mint a WebVTT document: cues with even index carry an identifier
+    * line, cues with index % 3 == 0 carry a `align:start` setting —
+    * both surfaces the parser must handle (fixture dual of
+    * [[parseVtt]]).
+    */
+  def mintVtt(cues: Seq[Cue]): String = {
+    require(cues.forall(c => c.startUs % 1000 == 0 && c.endUs % 1000 == 0),
+      "WebVTT resolution is milliseconds")
+    "WEBVTT\n\n" + cues.map { c =>
+      val id = if (c.index % 2 == 0) s"cue-${c.index}\n" else ""
+      val settings = if (c.index % 3 == 0) " align:start" else ""
+      s"$id${fmtVtt(c.startUs)} --> ${fmtVtt(c.endUs)}$settings\n${c.text}"
+    }.mkString("\n\n") + "\n"
+  }
 }

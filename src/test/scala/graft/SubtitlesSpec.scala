@@ -27,6 +27,25 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(Subtitles.parseSrt(crlf) == cues)
   }
 
+  test("hand-laid WebVTT literal: header, optional id, optional hours, " +
+    "settings ignored, dot milliseconds") {
+    val lit = "WEBVTT\n\n" +
+      "00:01.000 --> 00:02.500\nFirst\n\n" +
+      "ident-7\n01:00:03.250 --> 01:00:04.000 align:start\nSecond\nline\n"
+    val cues = Subtitles.parseVtt(lit)
+    assert(cues == Seq(
+      Cue(1, 1000000L, 2500000L, "First"),
+      Cue(2, 3603250000L, 3604000000L, "Second\nline")))
+    // SRT comma time in a VTT file is loud, and vice versa headers
+    intercept[IllegalArgumentException](Subtitles.parseVtt(
+      "WEBVTT\n\n00:00:01,000 --> 00:00:02.000\nt\n"))
+    intercept[IllegalArgumentException](Subtitles.parseVtt(
+      "00:00:01.000 --> 00:00:02.000\nt\n")) // no header
+    val minted = Seq(Cue(1, 0L, 500000L, "a"), Cue(2, 1000000L, 3000000L, "b"),
+      Cue(3, 4000000L, 5000000L, "c"))
+    assert(Subtitles.parseVtt(Subtitles.mintVtt(minted)) == minted)
+  }
+
   test("violations are loud: bad index, order, time grammar, zero span") {
     intercept[IllegalArgumentException](Subtitles.parseSrt(
       "x\n00:00:01,000 --> 00:00:02,000\nt\n"))
