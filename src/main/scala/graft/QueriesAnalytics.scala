@@ -1512,7 +1512,44 @@ private[graft] object QueriesAnalytics {
         |  FROM j GROUP BY q)
         |SELECT CAST(q AS BIGINT) AS q, n_common, rbo_s,
         |  CAST(rbo_s AS DOUBLE) / 25200000000000.0 AS rbo
-        |FROM g ORDER BY q""".stripMargin))
+        |FROM g ORDER BY q""".stripMargin)),
+
+    // L295 — WALD–WOLFOWITZ RUNS TEST on a gate's ordered pass/fail
+    // stream: bursty failures have the same RATE as uniform ones —
+    // the runs count is what distinguishes them. Minted bits carry
+    // genuine clustering (threshold on a slow formula); all components
+    // exact, z the identical four-op IEEE tree in both engines.
+    Q("e_runs_test",
+      (s, dir) => {
+        val bits = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"),
+            ((col("doc_id") * 37) % 97 < 40).as("pass"))
+        EvalOps.runsTest(bits, "doc_id", "pass")
+      },
+      Some("""WITH b AS (SELECT doc_id AS o,
+        |    CASE WHEN (doc_id * 37) % 97 < 40 THEN 1 ELSE 0 END AS bit
+        |  FROM documents WHERE doc_id < 500),
+        |l AS (SELECT o, bit,
+        |    lag(bit) OVER (ORDER BY o) AS prev FROM b),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(bit) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> bit THEN 1
+        |      ELSE 0 END) AS BIGINT) AS runs
+        |  FROM l),
+        |c AS (SELECT n, n1, n - n1 AS n2, runs,
+        |    n * runs - 2 * n1 * (n - n1) - n AS z_num,
+        |    2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n) AS var_num,
+        |    n * n * (n - 1) AS var_den
+        |  FROM a)
+        |SELECT n, n1, CAST(n2 AS BIGINT) AS n2, runs,
+        |  CAST(z_num AS BIGINT) AS z_num,
+        |  CAST(var_num AS BIGINT) AS var_num,
+        |  CAST(var_den AS BIGINT) AS var_den,
+        |  CASE WHEN var_num > 0
+        |    THEN (CAST(z_num AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE))
+        |    ELSE 0.0 END AS z
+        |FROM c""".stripMargin))
   )
 
   /** RBO@10 suffix weights W(m) = Σ_{d=m..10} (2520/d)·9^(d−1)·10^(10−d)

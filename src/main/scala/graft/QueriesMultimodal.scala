@@ -1586,6 +1586,52 @@ private[graft] object QueriesMultimodal {
         |SELECT doc_id, doc_id % 23 <> 0 AS decode_ok,
         |  CASE WHEN doc_id % 23 = 0 THEN -1 ELSE n END AS n_cues,
         |  CASE WHEN doc_id % 23 = 0 THEN -1 ELSE dur END AS dur_us
-        |FROM d ORDER BY doc_id""".stripMargin))
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // L297 — ID3v2 TAG PROBE + PRIVACY STRIP: the MP3-side sibling of
+    // the WAV RIFF-INFO / FLAC VORBIS_COMMENT walk (L214) — the tag
+    // most wild MP3s carry, holding title/artist PII the pipeline
+    // must see for provenance and STRIP before corpus entry. Even ids
+    // mint ID3v2.4 (SYNCSAFE frame sizes), odd ids v2.3 (plain BE) —
+    // both size grammars live; strip is certified byte-exact against
+    // the planted audio payload. The oracle re-derives the tag size
+    // from the frame-length arithmetic.
+    Q("mm_id3_probe",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val probed = base.map { id =>
+          import graft.pipeline.Id3
+          val ver = if (id % 2 == 0) 4 else 3
+          val frames = Seq("TIT2" -> s"Title $id",
+            "TPE1" -> s"Artist ${id % 5}") ++
+            (if (id % 3 == 0) Seq("TALB" -> s"Album ${id % 3}") else Nil)
+          val audio = s"AUDIO$id".getBytes("US-ASCII")
+          val bytes = Id3.mint(ver, frames, (id % 7).toInt * 3, audio)
+          val tag = Id3.probe(bytes)
+          val title = tag.frames.find(_.id == "TIT2").flatMap(_.text)
+          val artist = tag.frames.find(_.id == "TPE1").flatMap(_.text)
+          val stripped = Id3.strip(bytes)
+          (id, tag.versionMajor.toLong, tag.size.toLong,
+            tag.frames.size.toLong, title.orNull, artist.orNull,
+            java.util.Arrays.equals(stripped, audio))
+        }.toDF("doc_id", "version", "tag_size", "n_frames", "title",
+          "artist", "strip_ok")
+        probed.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+        |    AS version,
+        |  CAST(10 + (11 + 6 + len(CAST(doc_id AS VARCHAR)))
+        |    + (11 + 8)
+        |    + (CASE WHEN doc_id % 3 = 0 THEN 11 + 7 ELSE 0 END)
+        |    + (doc_id % 7) * 3 AS BIGINT) AS tag_size,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_frames,
+        |  'Title ' || doc_id AS title,
+        |  'Artist ' || (doc_id % 5) AS artist,
+        |  TRUE AS strip_ok
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
   )
 }

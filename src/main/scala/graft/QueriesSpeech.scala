@@ -924,7 +924,7 @@ private[graft] object QueriesSpeech {
         |      AS DOUBLE) / CAST(t_ref AS DOUBLE)
         |  ELSE -1.0 END AS der
         |FROM j ORDER BY file""".stripMargin))
-  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry :+ aucEntry :+ spanDetectEntry :+ brierEntry
+  ) :+ cpwerEntry :+ turnsEntry :+ derConfusionEntry :+ eceEntry :+ eerEntry :+ aucEntry :+ spanDetectEntry :+ brierEntry :+ cueAlignEntry
 
   /** L191 — span detection P/R/F1 at IoU ≥ 0.5 over the SAME minted
     * streams as m_der (including the id%13==7 hyp-only files, which
@@ -1333,4 +1333,70 @@ private[graft] object QueriesSpeech {
         |    THEN CAST(SUM(dur) AS DOUBLE) / CAST(SUM(tb) AS DOUBLE)
         |    ELSE -1.0 END AS mean_turn_us
         |FROM fl GROUP BY id ORDER BY file""".stripMargin))
+
+  /** L296 — SRT CUE ↔ DIARIZATION ALIGNMENT: the composite a caption
+    * corpus needs before cues become speaker-attributed supervision —
+    * cues parse through the REAL SRT grammar (L290), speaker segments
+    * tile the timeline from formulas, and each cue takes the speaker
+    * of its max-overlap segment via the J3 argmax join (tie → lowest
+    * segment id). The oracle replays the join + argmax relationally —
+    * an independent window mechanism over the same formula tables.
+    */
+  private def cueAlignEntry: Q =
+    Q("m_cue_align",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+        val cues = base.flatMap { id =>
+          import graft.pipeline.Subtitles
+          val n = (1 + id % 4).toInt
+          val minted = (0 until n).map { j =>
+            val startMs = (id % 7) * 500 + j * 3500
+            val durMs = 1000 + (id + j) % 3000
+            Subtitles.Cue(j + 1, startMs * 1000,
+              (startMs + durMs) * 1000, s"c $id $j")
+          }
+          Subtitles.parseSrt(Subtitles.mintSrt(minted))
+            .map(c => (id, c.index.toLong, c.startUs, c.endUs))
+        }.toDF("doc_id", "idx", "c_start", "c_end")
+        val segs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id"))
+          .withColumn("k", explode(sequence(lit(0L), lit(5L))))
+          .select(col("doc_id"), col("k").as("seg_id"),
+            (col("k") * 4000000L).as("s_start"),
+            ((col("k") + 1L) * 4000000L).as("s_end"),
+            ((col("doc_id") + col("k")) % 3).as("speaker"))
+        SegmentOps.maxOverlapJoin(cues, segs, "doc_id", "idx", "seg_id",
+            "c_start", "c_end", "s_start", "s_end")
+          .select(col("l.doc_id").as("doc_id"), col("l.idx").as("idx"),
+            col("r.speaker").as("speaker"), col("overlap").as("overlap_us"))
+          .orderBy(col("doc_id"), col("idx"))
+      },
+      Some("""WITH cu AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 4)) AS j
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (SELECT doc_id, j + 1 AS idx,
+        |    ((doc_id % 7) * 500 + j * 3500) * 1000 AS cs,
+        |    ((doc_id % 7) * 500 + j * 3500 + 1000 + (doc_id + j) % 3000)
+        |      * 1000 AS ce
+        |  FROM cu),
+        |sg0 AS (SELECT doc_id, unnest(range(0, 6)) AS k
+        |  FROM documents WHERE doc_id < 200),
+        |sg AS (SELECT doc_id, k AS seg_id, k * 4000000 AS ss,
+        |    (k + 1) * 4000000 AS se, (doc_id + k) % 3 AS speaker
+        |  FROM sg0),
+        |o AS (SELECT c.doc_id AS doc_id, idx, seg_id, speaker,
+        |    LEAST(ce, se) - GREATEST(cs, ss) AS ov
+        |  FROM c JOIN sg ON c.doc_id = sg.doc_id
+        |    AND cs < se AND ss < ce
+        |  WHERE LEAST(ce, se) - GREATEST(cs, ss) > 0),
+        |rr AS (SELECT doc_id, idx, speaker, ov,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, idx
+        |      ORDER BY ov DESC, seg_id) AS rn
+        |  FROM o)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        |  CAST(speaker AS BIGINT) AS speaker,
+        |  CAST(ov AS BIGINT) AS overlap_us
+        |FROM rr WHERE rn = 1 ORDER BY doc_id, idx""".stripMargin))
 }

@@ -1717,4 +1717,40 @@ object EvalOps {
         col("q_num").cast("double") / col("q_den").cast("double"))
         .otherwise(lit(-1d)))
   }
+
+  /** L295 — WALD–WOLFOWITZ RUNS TEST: is a binary sequence random in
+    * ORDER, not just in rate? — the check a gate's pass/fail stream
+    * needs when drift is suspected but the rate looks flat (a gate
+    * that fails in bursts has the same mean as one failing uniformly;
+    * CUSUM sees level shifts, the runs test sees clustering). Exact
+    * components: R runs counted by a lag window, z_num = n·R − 2n₁n₂
+    * − n, var = 2n₁n₂(2n₁n₂−n) / n²(n−1); z = (z_num/n)/√(var_num/
+    * var_den) — the identical op tree both engines evaluate (division,
+    * division, correctly-rounded sqrt, division: each IEEE-exact on
+    * the same inputs). Degenerate sequences (all one symbol) report
+    * z = 0 with var_num = 0. Single unpartitioned window — the L22
+    * bounded-sample contract (a diagnostic sequence, never a corpus).
+    */
+  def runsTest(df: DataFrame, ordCol: String, bitCol: String): DataFrame = {
+    val base = df.select(col(ordCol).cast("long").as("o"),
+      when(col(bitCol).isNull,
+        raise_error(lit("runsTest: null bit input")).cast("long"))
+        .otherwise(col(bitCol).cast("boolean").cast("long")).as("b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o"))
+    val agg = base.withColumn("prev", lag(col("b"), 1).over(w))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("n1"),
+        sum(when(col("prev").isNull || col("prev") =!= col("b"), 1L)
+          .otherwise(0L)).as("runs"))
+    agg.select(col("n"), col("n1"), (col("n") - col("n1")).as("n2"),
+        col("runs"))
+      .withColumn("z_num",
+        col("n") * col("runs") - lit(2L) * col("n1") * col("n2") - col("n"))
+      .withColumn("var_num", lit(2L) * col("n1") * col("n2") *
+        (lit(2L) * col("n1") * col("n2") - col("n")))
+      .withColumn("var_den", col("n") * col("n") * (col("n") - 1L))
+      .withColumn("z", when(col("var_num") > 0L,
+        (col("z_num").cast("double") / col("n").cast("double")) /
+          sqrt(col("var_num").cast("double") / col("var_den").cast("double")))
+        .otherwise(lit(0d)))
+  }
 }

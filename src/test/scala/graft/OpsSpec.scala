@@ -3973,4 +3973,23 @@ class OpsSpec extends SparkSpec {
     assert(EvalOps.cochranQ(unam, "item", "gate", "pass")
       .head.getAs[Double]("q") == -1.0)
   }
+
+  test("L295 runsTest: hand-counted 1,1,0,1,0 gives R=4 with exact " +
+    "components; a constant sequence is degenerate") {
+    import graft.ops.EvalOps
+    val bits = Seq((1L, true), (2L, true), (3L, false), (4L, true),
+      (5L, false)).toDF("o", "b")
+    val r = EvalOps.runsTest(bits, "o", "b").head
+    // n=5 n1=3 n2=2: runs 11|0|1|0 = 4; z_num = 5*4-12-5 = 3;
+    // var = 12*(12-5)/(25*4) = 84/100
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n1") == 3L
+      && r.getAs[Long]("runs") == 4L && r.getAs[Long]("z_num") == 3L
+      && r.getAs[Long]("var_num") == 84L
+      && r.getAs[Long]("var_den") == 100L, s"got $r")
+    assert(math.abs(r.getAs[Double]("z") -
+      0.6 / math.sqrt(0.84)) < 1e-12)
+    val const = Seq((1L, true), (2L, true)).toDF("o", "b")
+    val c = EvalOps.runsTest(const, "o", "b").head
+    assert(c.getAs[Long]("runs") == 1L && c.getAs[Double]("z") == 0.0)
+  }
 }
