@@ -1549,7 +1549,55 @@ private[graft] object QueriesAnalytics {
         |    THEN (CAST(z_num AS DOUBLE) / CAST(n AS DOUBLE))
         |      / sqrt(CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE))
         |    ELSE 0.0 END AS z
-        |FROM c""".stripMargin))
+        |FROM c""".stripMargin)),
+
+    // L298 — PAGE'S TREND TEST (the ordered-alternative Friedman):
+    // does quality improve MONOTONICALLY across the hypothesized
+    // 1..k version order? Minted 300 blocks × 4 versions with a
+    // built-in upward trend plus tie-bearing noise; L exact via the
+    // shared doubled-rank core, z the identical IEEE tree. The oracle
+    // re-derives the ranks via correlated COUNT subqueries.
+    Q("e_page_trend",
+      (s, dir) => {
+        val cells = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"))
+          .withColumn("t", explode(sequence(lit(1L), lit(4L))))
+          .select(col("doc_id").as("block"), col("t").as("version"),
+            (col("t") * 10 +
+              (col("doc_id") * 7 + col("t") * 13) % 15).as("score"))
+        EvalOps.pageTrend(cells, "block", "version", "score")
+      },
+      Some("""WITH c AS (SELECT doc_id AS block,
+        |    unnest(range(1, 5)) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |v AS (SELECT block, t,
+        |    t * 10 + (block * 7 + t * 13) % 15 AS score FROM c),
+        |r AS (SELECT block, t,
+        |    2 * (SELECT COUNT(*) FROM v v2
+        |      WHERE v2.block = v.block AND v2.score < v.score)
+        |    + (SELECT COUNT(*) FROM v v3
+        |      WHERE v3.block = v.block AND v3.score = v.score) + 1
+        |      AS rank2
+        |  FROM v),
+        |pt AS (SELECT t, CAST(SUM(rank2) AS BIGINT) AS r2 FROM r
+        |  GROUP BY t),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(t * r2) AS BIGINT) AS l2 FROM pt),
+        |nb AS (SELECT CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks
+        |  FROM c),
+        |f AS (SELECT n_blocks, k, l2,
+        |    CAST((n_blocks * k * (k + 1) * (k + 1)) // 2 AS BIGINT)
+        |      AS mu_l2,
+        |    CAST(n_blocks * k * k * (k + 1) * (k * k - 1) AS BIGINT)
+        |      AS var_num
+        |  FROM ag CROSS JOIN nb)
+        |SELECT n_blocks, k, l2, mu_l2, var_num,
+        |  CAST(36 AS BIGINT) AS var_den,
+        |  CASE WHEN var_num > 0
+        |    THEN CAST(l2 - mu_l2 AS DOUBLE)
+        |      / sqrt(CAST(var_num AS DOUBLE) / 36.0)
+        |    ELSE 0.0 END AS z
+        |FROM f""".stripMargin))
   )
 
   /** RBO@10 suffix weights W(m) = Σ_{d=m..10} (2520/d)·9^(d−1)·10^(10−d)

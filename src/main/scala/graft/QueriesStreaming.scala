@@ -1886,6 +1886,64 @@ private[graft] object QueriesStreaming {
         |    WHEN doc_id % 10 IN (0, 3) THEN doc_id + 1
         |    WHEN doc_id % 10 = 2 THEN doc_id + 2
         |    ELSE -1 END AS BIGINT) AS final_id
-        |FROM documents WHERE doc_id < 500 ORDER BY id""".stripMargin))
+        |FROM documents WHERE doc_id < 500 ORDER BY id""".stripMargin)),
+
+    // L300 — STREAMING BENFORD MONITOR (L269 live): first-digit counts
+    // accumulate per micro-batch in a complete-mode 9-group aggregate
+    // (bounded state by construction); shares and deviations against
+    // the e6-floored log-table constants compute in batch over the
+    // final sink — the fabricated-feed smoke alarm a live ingest runs.
+    // Shares the L269 oracle verbatim.
+    Q("streaming_benford",
+      (s, dir) => withStreamingPartitions(s) {
+        val ev = Tables.events(s, dir)
+        val name = "sbf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_bf").toString
+        val srcDir = stagedStreamSource("events_link", dir)(p =>
+          linkInto(p, s"$dir/events.parquet", "events.parquet"))
+        val agg = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .select(round(col("value") * 100d).cast("long").as("v"))
+          .filter(col("v") > 0L)
+          .select(substring(col("v").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cleanupDirs(java.nio.file.Paths.get(ckpt))
+        val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+          66946L, 57991L, 51152L, 45757L)
+        val counts = s.table(name)
+        val tot = counts.agg(sum(col("n_d")).as("n"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("share_e6", expr("(n_d * 1000000L) div n"))
+          .withColumn("expected_e6",
+            element_at(array(expected.map(lit): _*),
+              col("digit").cast("int")))
+          .withColumn("dev_e6", col("share_e6") - col("expected_e6"))
+          .select(col("digit"), col("n_d"), col("n"), col("share_e6"),
+            col("expected_e6"), col("dev_e6"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |p AS (SELECT v FROM e WHERE v > 0),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM p GROUP BY 1)
+        |SELECT digit, n_d, t.n, (n_d * 1000000) // t.n AS share_e6,
+        |  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |    ELSE 45757 END AS BIGINT) AS expected_e6,
+        |  (n_d * 1000000) // t.n - CASE digit WHEN 1 THEN 301029
+        |    WHEN 2 THEN 176091 WHEN 3 THEN 124938 WHEN 4 THEN 96910
+        |    WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+        |    WHEN 8 THEN 51152 ELSE 45757 END AS dev_e6
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin))
   )
 }

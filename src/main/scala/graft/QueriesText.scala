@@ -805,6 +805,71 @@ FROM ag ORDER BY lang""")),
         |  (text_len * 1000000) // html_len < 150000 AS boilerplate_heavy
         |FROM l ORDER BY doc_id""".stripMargin)),
 
+    // L299 — HOMOGLYPH SPOOF DETECTION: mixed-script words whose
+    // confusable-fold lands on a KNOWN word — the domain-spoof /
+    // SEO-evasion signal the per-script gates (L197) cannot see
+    // (a fully-Cyrillic page is legitimate; "аmаzоn" with Latin m/z/n
+    // is an attack). Minted docs plant Cyrillic-vowel spoofs of a
+    // brand vocab on every 3rd doc (brands without a/o vowels can't
+    // be spoofed by this fold — the oracle replays that too, via its
+    // own translate). Fully relational: the fold is one translate,
+    // the known-word test an InSet.
+    Q("t_homoglyph_spoof",
+      (s, dir) => {
+        val vocab = Seq("paypal", "amazon", "google", "secure",
+          "account", "login", "verify")
+        val vArr = array(vocab.map(lit): _*)
+        // Cyrillic а е о р с х + Greek ο α → their Latin twins
+        val foldFrom =
+          "аеорсхοα"
+        val foldTo = "aeopcxoa"
+        def pick(off: Int) =
+          element_at(vArr, ((col("doc_id") + off) % 7 + 1).cast("int"))
+        val spoofed = translate(pick(2), "ao", "ао")
+        val words = Tables.documents(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id"), explode(array(pick(0), pick(1),
+            when(col("doc_id") % 3 === 0, spoofed).otherwise(pick(2))))
+            .as("w"))
+        words
+          .withColumn("folded", translate(col("w"), foldFrom, foldTo))
+          .withColumn("has_conf", col("w") =!= col("folded"))
+          .withColumn("spoof",
+            col("has_conf") && col("folded").isInCollection(vocab))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(col("has_conf"), 1L).otherwise(0L)).as("n_confusable"),
+            sum(when(col("spoof"), 1L).otherwise(0L)).as("n_spoofed"),
+            max(when(col("spoof"), col("folded"))).as("spoof_target"))
+          .orderBy(col("doc_id"))
+      },
+      Some(("""WITH v AS (SELECT doc_id,
+        |    unnest([VOC[CAST(doc_id % 7 + 1 AS INTEGER)],
+        |      VOC[CAST((doc_id + 1) % 7 + 1 AS INTEGER)],
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN translate(VOC[CAST((doc_id + 2) % 7 + 1 AS INTEGER)],
+        |          'ao', chr(1072) || chr(1086))
+        |        ELSE VOC[CAST((doc_id + 2) % 7 + 1 AS INTEGER)] END]) AS w
+        |  FROM documents WHERE doc_id < 400),
+        |f AS (SELECT doc_id, w,
+        |    translate(w, chr(1072) || chr(1077) || chr(1086) ||
+        |      chr(1088) || chr(1089) || chr(1093) || chr(959) ||
+        |      chr(945), 'aeopcxoa') AS folded
+        |  FROM v),
+        |s AS (SELECT doc_id, w, folded, w <> folded AS has_conf,
+        |    w <> folded AND list_contains(
+        |      ['paypal','amazon','google','secure','account','login',
+        |       'verify'], folded) AS spoof
+        |  FROM f)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN has_conf THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_confusable,
+        |  CAST(SUM(CASE WHEN spoof THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spoofed,
+        |  MAX(CASE WHEN spoof THEN folded END) AS spoof_target
+        |FROM s GROUP BY doc_id ORDER BY doc_id""")
+        .replace("VOC", "(['paypal','amazon','google','secure'," +
+          "'account','login','verify'])").stripMargin)),
+
     // L154 — char-distribution chi-square gibberish score: e6-scaled
     // integer letter shares vs the corpus profile, 26 exact integer
     // terms per doc (see TextOps.charChiSquare for the quantization and

@@ -1642,13 +1642,16 @@ object EvalOps {
     * Scale shape: two bounded windows inside each block (k rows) + one
     * k-row rollup; n·k input rows, k output.
     */
-  def friedman(df: DataFrame, blockCol: String, treatCol: String,
-      valCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("b"))
+  /** Within-block DOUBLED average ranks (the spearman tie idiom:
+    * rank2 = 2·#less + #tied + 1) over (blockCol, treatCol, valCol)
+    * rows — the shared core of [[friedman]] and [[pageTrend]].
+    * Returns (b, t, rank2, k_in_block).
+    */
+  private def blockDoubledRanks(df: DataFrame, blockCol: String,
+      treatCol: String, valCol: String, op: String): DataFrame = {
     val base = df.select(col(blockCol).as("b"), col(treatCol).as("t"),
-      integralChecked(col(valCol), "friedman").as("v"))
-    val ranked = base
+      integralChecked(col(valCol), op).as("v"))
+    base
       .withColumn("less", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
           .orderBy(col("v")).rangeBetween(Long.MinValue, -1)))
@@ -1656,7 +1659,15 @@ object EvalOps {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("b"), col("v"))))
       .withColumn("rank2", lit(2L) * col("less") + col("tied") + 1L)
-      .withColumn("k_in_block", count(lit(1)).over(w))
+      .withColumn("k_in_block", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+      .select(col("b"), col("t"), col("rank2"), col("k_in_block"))
+  }
+
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val ranked = blockDoubledRanks(df, blockCol, treatCol, valCol,
+      "friedman")
     val perTreat = ranked.groupBy(col("t"))
       .agg(sum(col("rank2")).as("r2"), count(lit(1)).as("n_b"),
         min(col("k_in_block")).as("k_min"), max(col("k_in_block")).as("k_max"))
@@ -1676,6 +1687,49 @@ object EvalOps {
         (col("k") + 1L) * (col("k") + 1L))
       .withColumn("chisq", col("chisq_num").cast("double") /
         (col("n_blocks") * col("k") * (col("k") + 1L)).cast("double"))
+  }
+
+  /** L298 — PAGE'S TREND TEST: the ORDERED-alternative sibling of
+    * [[friedman]] — "do the k treatments not merely differ, but
+    * improve MONOTONICALLY in the hypothesized order?" (the question
+    * a k-stage gate cascade or model-version ladder asks). `treatCol`
+    * IS the hypothesized order 1..k (validated). With doubled ranks,
+    * L₂ = Σ_j j·R2_j is exact; μ(L₂) = n·k(k+1)²/2 is always integral
+    * (k(k+1)² is even); var(L₂) = n·k²(k+1)(k²−1)/36 (classic untied
+    * formula — ties are allowed in the ranks, both engines replay the
+    * same doubled-rank L; documented contract). z is the identical
+    * three-op IEEE tree.
+    */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val ranked = blockDoubledRanks(df, blockCol, treatCol, valCol,
+      "pageTrend")
+    val perTreat = ranked.groupBy(col("t"))
+      .agg(sum(col("rank2")).as("r2"), count(lit(1)).as("n_b"),
+        min(col("k_in_block")).as("k_min"),
+        max(col("k_in_block")).as("k_max"))
+    val tot = perTreat.agg(count(lit(1)).as("k"),
+      sum(col("t") * col("r2")).as("l2"),
+      min(col("t")).as("t_min"), max(col("t")).as("t_max"),
+      min(col("n_b")).as("n_min"), max(col("n_b")).as("n_max"),
+      min(col("k_min")).as("kb_min"), max(col("k_max")).as("kb_max"))
+    tot.select(
+        when(col("n_min") =!= col("n_max") ||
+          col("kb_min") =!= col("k") || col("kb_max") =!= col("k") ||
+          col("t_min") =!= 1L || col("t_max") =!= col("k"),
+          raise_error(lit("pageTrend: treatments must be a complete " +
+            "1..k order over complete blocks")).cast("long"))
+          .otherwise(col("n_min")).as("n_blocks"),
+        col("k"), col("l2"))
+      .withColumn("mu_l2",
+        expr("(n_blocks * k * (k + 1L) * (k + 1L)) div 2L"))
+      .withColumn("var_num", col("n_blocks") * col("k") * col("k") *
+        (col("k") + 1L) * (col("k") * col("k") - 1L))
+      .withColumn("var_den", lit(36L))
+      .withColumn("z", when(col("var_num") > 0L,
+        (col("l2") - col("mu_l2")).cast("double") /
+          sqrt(col("var_num").cast("double") / lit(36.0)))
+        .otherwise(lit(0d)))
   }
 
   /** L288 — COCHRAN'S Q: do k binary classifiers/gates have the same

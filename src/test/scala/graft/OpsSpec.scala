@@ -3992,4 +3992,24 @@ class OpsSpec extends SparkSpec {
     val c = EvalOps.runsTest(const, "o", "b").head
     assert(c.getAs[Long]("runs") == 1L && c.getAs[Double]("z") == 0.0)
   }
+
+  test("L298 pageTrend: perfect monotone order gives z = 2 exactly " +
+    "for n=2, k=3; a shuffled treatment labeling raises") {
+    import graft.ops.EvalOps
+    // scores = t in every block: L2 = 2*n*sum(j*j) = 56,
+    // mu = n*k(k+1)^2/2 = 48, var_num = n*k^2(k+1)(k^2-1) = 576,
+    // sigma(L2) = sqrt(576/36) = 4 -> z = 2
+    val cells = (for (b <- 1 to 2; t <- 1 to 3)
+      yield (b.toLong, t.toLong, (t * 10).toLong))
+      .toDF("block", "version", "score")
+    val r = EvalOps.pageTrend(cells, "block", "version", "score").head
+    assert(r.getAs[Long]("l2") == 56L && r.getAs[Long]("mu_l2") == 48L
+      && r.getAs[Long]("var_num") == 576L, s"got $r")
+    assert(r.getAs[Double]("z") == 2.0, s"got $r")
+    // treatments must be the 1..k order
+    val bad = cells.withColumn("version", $"version" + 1L)
+    intercept[Exception] {
+      EvalOps.pageTrend(bad, "block", "version", "score").collect()
+    }
+  }
 }
