@@ -662,6 +662,28 @@ class PlanSpec extends SparkSpec {
       "t_burstiness must TakeOrderedAndProject")
   }
 
+  test("round-11 pins: crawl/subtitle/eval waves keep their shapes") {
+    // per-row parse/probe/plan queries: join-free end to end
+    for (q <- Seq("c_sitemap_parse", "t_anchor_text", "t_rel_canonical",
+        "t_html_ratio", "mm_wet_convert", "mm_srt_parse", "mm_vtt_parse",
+        "mm_id3_probe", "c_refetch_plan", "e_runs_test")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // the frontier schedule's window must be HOST-partitioned, never a
+    // global (empty-partition) sort — the shape that shards at 100 TB
+    assert(plan("c_frontier_schedule").contains("windowspecdefinition(host"),
+      "c_frontier_schedule must window-partition by host")
+    // iterate/join queries: equi joins only
+    for (q <- Seq("c_redirect_chains", "c_crawl_traps", "c_recrawl_rate",
+        "e_fdr_bh", "e_friedman", "e_cochran_q", "e_page_trend",
+        "r_err", "r_rbo", "m_cue_align", "g_crawl_pagerank",
+        "t_homoglyph_spoof")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
   test("no registered query plans an UNBOUNDED cartesian product") {
     // The only cartesian allowed anywhere is the brute-force verify
     // baseline, and it must carry its documented bounded-slice filter so
