@@ -1382,6 +1382,38 @@ private[graft] object QueriesAnalytics {
         |    AS DOUBLE) / 2705829396480.0 AS err
         |FROM p GROUP BY query ORDER BY query""".stripMargin)),
 
+    // L301 — MEAN RECIPROCAL RANK @10: the first-relevant-rank metric
+    // (the navigational-query eval next to nDCG/AP/ERR/RBO — "how far
+    // down is the answer?"): per query rr_e6 = 10⁶ div first relevant
+    // rank (e6-floored, the defined-fold discipline), queries with no
+    // relevant result report rr_e6 = 0 explicitly. Same graded mint
+    // as r_err with the TREC binary collapse.
+    Q("r_mrr",
+      (s, dir) => {
+        val ranked = Tables.documents(s, dir).filter(col("doc_id") < 50)
+          .select((col("doc_id") / 10).cast("long").as("q"),
+            (col("doc_id") % 10 + 1).cast("long").as("rank"),
+            ((col("doc_id") * 7) % 4).cast("long").as("grade"))
+        val queries = ranked.select(col("q")).distinct()
+        val firstRel = ranked.filter(col("grade") > 0L)
+          .groupBy(col("q")).agg(min(col("rank")).as("first_rel"))
+        queries.join(firstRel, Seq("q"), "left")
+          .select(col("q"),
+            coalesce(col("first_rel"), lit(0L)).as("first_rel"),
+            coalesce(expr("1000000L div first_rel"), lit(0L)).as("rr_e6"))
+          .orderBy(col("q"))
+      },
+      Some("""WITH g AS (SELECT doc_id // 10 AS q, doc_id % 10 + 1 AS rank,
+        |    (doc_id * 7) % 4 AS grade
+        |  FROM documents WHERE doc_id < 50),
+        |fr AS (SELECT q, CAST(MIN(rank) AS BIGINT) AS first_rel
+        |  FROM g WHERE grade > 0 GROUP BY q)
+        |SELECT CAST(g.q AS BIGINT) AS q,
+        |  COALESCE(fr.first_rel, 0) AS first_rel,
+        |  CAST(COALESCE(1000000 // fr.first_rel, 0) AS BIGINT) AS rr_e6
+        |FROM (SELECT DISTINCT q FROM g) g LEFT JOIN fr ON g.q = fr.q
+        |ORDER BY q""".stripMargin)),
+
     // L287 — FRIEDMAN TEST (k-system bake-off over shared blocks, the
     // k>2 sibling of Wilcoxon): minted 300 blocks × 4 systems with a
     // formula score that carries real ties; within-block doubled
