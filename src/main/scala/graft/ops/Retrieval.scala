@@ -191,8 +191,10 @@ object Retrieval {
     * mechanism. `err` itself is the single division err_s/S.
     *
     * Input: (queryCol, rankCol 1-based contiguous ≤ k, gradeCol
-    * 0..3 — out-of-contract grades raise). Output: (query, n_ranked,
-    * err_s, err).
+    * 0..3 — out-of-contract grades raise, and so do duplicate or
+    * gapped ranks: distinct count, min and max are checked per query,
+    * which pins the rank multiset to exactly {1..n}). Output:
+    * (query, n_ranked, err_s, err).
     */
   def errAtK(ranked: DataFrame, queryCol: String, rankCol: String,
       gradeCol: String, k: Int): DataFrame = {
@@ -211,6 +213,8 @@ object Retrieval {
         nSat.as("__n"))
       .groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_ranked"),
+        min(col("__r")).as("__rmin"), max(col("__r")).as("__rmax"),
+        countDistinct(col("__r")).as("__rdist"),
         aggregate(
           sort_array(collect_list(struct(col("__r").as("rank"),
             col("__n").as("n")))),
@@ -223,6 +227,17 @@ object Retrieval {
             (acc.getField("prod") * (lit(8L) - x.getField("n")))
               .as("prod")),
           acc => acc.getField("err_s")).as("err_s"))
+      // Rank contract gate: n distinct values with min 1 and max n IS
+      // {1..n} (pigeonhole) — duplicates or gaps would otherwise fold
+      // into a wrong-but-deterministic err_s silently.
+      .select(col(queryCol), col("n_ranked"),
+        when(col("__rmin") =!= 1L || col("__rmax") =!= col("n_ranked") ||
+            col("__rdist") =!= col("n_ranked"),
+          raise_error(concat(lit("errAtK: rankCol must be 1-based " +
+            "contiguous distinct per query; got min="), col("__rmin"),
+            lit(" max="), col("__rmax"), lit(" distinct="),
+            col("__rdist"), lit(" n="), col("n_ranked"))).cast("long"))
+          .otherwise(col("err_s")).as("err_s"))
       .select(col(queryCol), col("n_ranked"), col("err_s"),
         (col("err_s").cast("double") / lit(sTotal.toDouble)).as("err"))
   }

@@ -212,8 +212,15 @@ object HtmlText {
       case i  => ref.substring(0, i)
     }
     if (schemeRe.findPrefixOf(noFrag).nonEmpty) {
-      val (r, p, q) = splitUrl(noFrag)
-      r + removeDotSegments(p) + q
+      // A ref with a scheme is already absolute (RFC 3986 §5.2.2). Only
+      // hierarchical (`://`) URLs get authority/path normalization;
+      // non-hierarchical schemes that links() legitimately extracts from
+      // real pages (mailto:, javascript:, tel:, data:) pass through
+      // unchanged — splitUrl would reject them loudly otherwise.
+      if (noFrag.indexOf("://") > 0) {
+        val (r, p, q) = splitUrl(noFrag)
+        r + removeDotSegments(p) + q
+      } else noFrag
     } else if (noFrag.startsWith("//")) {
       val scheme = base.substring(0, base.indexOf("://"))
       val (r, p, q) = splitUrl(s"$scheme:$noFrag")

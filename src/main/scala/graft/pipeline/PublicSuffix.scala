@@ -12,12 +12,16 @@ package graft.pipeline
   * `*.` wildcard, `!` exception): a rule matches when its labels are a
   * suffix of the host's labels (`*` matching exactly one label); a
   * matching exception rule wins outright (public suffix = the rule
-  * minus its leading label); otherwise the longest matching rule; no
-  * match falls back to the implicit `*` rule (the host's last label).
-  * The registrable domain is the public suffix plus one more label —
-  * a host that IS a public suffix has none. The rule table is a
-  * broadcast-sized constant at any corpus scale; swap in the full PSL
-  * file for production without touching the algorithm.
+  * minus its leading label; with several matching exceptions the
+  * LONGEST prevails, the list's prevailing-rule order); otherwise the
+  * longest matching rule; no match falls back to the implicit `*`
+  * rule (the host's last label). The registrable domain is the public
+  * suffix plus one more label — a host that IS a public suffix has
+  * none. The rule table is a broadcast-sized constant at any corpus
+  * scale; the full PSL file swaps in without touching the algorithm,
+  * with one documented limitation: hosts are matched as-given after
+  * lower-casing — IDN hosts must be punycode (A-label) encoded by the
+  * caller first, as the PSL's U-label entries are not folded here.
   */
 object PublicSuffix {
 
@@ -53,7 +57,9 @@ object PublicSuffix {
     val h = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
     val labels = h.split('.')
     val matching = parsed.filter { case (_, r) => ruleMatches(r, labels) }
-    matching.find(_._1) match {
+    // prevailing-rule semantics: among matching exceptions the longest
+    // wins (table order is NOT significant in the published algorithm)
+    matching.filter(_._1).sortBy(-_._2.length).headOption match {
       case Some((_, exc)) =>
         // exception: public suffix = the rule minus its leading label
         exc.drop(1).mkString(".")

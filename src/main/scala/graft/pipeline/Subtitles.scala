@@ -82,15 +82,21 @@ object Subtitles {
   /** Parse a WebVTT document (the SRT sibling with DOT milliseconds,
     * a mandatory `WEBVTT` header, OPTIONAL cue identifier lines,
     * optional hours, and cue settings after the time line — ignored
-    * per spec). Cue indexes are assigned by position (1-based);
-    * violations are loud.
+    * per spec). Spec-valid NOTE / STYLE / REGION blocks (comments,
+    * stylesheets, region definitions — common in wild sidecars) are
+    * skipped, not errors; per spec they cannot contain `-->`, which
+    * distinguishes them from a cue whose identifier line merely
+    * starts with one of those words. Cue indexes are assigned by
+    * CUE position (1-based); violations are loud.
     */
   def parseVtt(vtt: String): Seq[Cue] = {
     val norm = vtt.replace("\r\n", "\n")
     require(norm.startsWith("WEBVTT"),
       "not a WebVTT document: missing WEBVTT header")
+    val nonCueRe = """(?s)(NOTE([ \t\n].*)?|STYLE(\n.*)?|REGION(\n.*)?)""".r
     val blocks = norm.split("\n\n+").map(_.trim).filter(_.nonEmpty)
       .drop(1) // the header block
+      .filterNot(b => !b.contains("-->") && nonCueRe.pattern.matcher(b).matches)
     require(blocks.nonEmpty, "WebVTT document with zero cues")
     blocks.toSeq.zipWithIndex.map { case (block, i) =>
       val lines = block.split('\n')

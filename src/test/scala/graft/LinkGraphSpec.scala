@@ -57,6 +57,17 @@ class LinkGraphSpec extends AnyFunSuite {
     // authority-only base gets the implied root path
     assert(HtmlText.resolveHref("http://h.example.com", "g") ==
       "http://h.example.com/g")
+    // non-hierarchical absolute schemes pass through unchanged —
+    // links() extracts these from real pages and resolution must not
+    // crash the composite (fragment still dropped, the frontier view)
+    assert(HtmlText.resolveHref(base, "mailto:a@example.com") ==
+      "mailto:a@example.com")
+    assert(HtmlText.resolveHref(base, "javascript:void(0)") ==
+      "javascript:void(0)")
+    assert(HtmlText.resolveHref(base, "tel:+1-555-0100") ==
+      "tel:+1-555-0100")
+    assert(HtmlText.resolveHref(base, "mailto:a@example.com#frag") ==
+      "mailto:a@example.com")
   }
 
   test("public suffix decision table") {

@@ -2017,6 +2017,27 @@ class OpsSpec extends SparkSpec {
     assert(p.getDouble(3) == 1.0d)
   }
 
+  test("L282 errAtK: rank contract is loud — duplicates and gaps raise") {
+    import graft.ops.Retrieval
+    // contiguous 1..2 per query: fine (q1 grade-3 at rank 1 dominates)
+    val ok = Seq((1L, 1L, 3L), (1L, 2L, 1L)).toDF("query", "rank", "grade")
+    val row = Retrieval.errAtK(ok, "query", "rank", "grade", k = 10).head
+    assert(row.getLong(1) == 2L && row.getLong(2) > 0L)
+    // duplicate ranks: deterministic-but-wrong before the gate; now loud
+    val dup = Seq((1L, 1L, 3L), (1L, 1L, 1L), (1L, 3L, 0L))
+      .toDF("query", "rank", "grade")
+    val e1 = intercept[Exception] {
+      Retrieval.errAtK(dup, "query", "rank", "grade", k = 10).collect()
+    }
+    assert(e1.getMessage.contains("contiguous"), e1.getMessage)
+    // gapped ranks (2,3 without 1): loud
+    val gap = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("query", "rank", "grade")
+    val e2 = intercept[Exception] {
+      Retrieval.errAtK(gap, "query", "rank", "grade", k = 10).collect()
+    }
+    assert(e2.getMessage.contains("contiguous"), e2.getMessage)
+  }
+
   test("L149 kCorePeel: tail peels away round by round, the core survives") {
     import graft.ops.GraphOps
     // triangle {1,2,3} with tail 3-4-5: round 1 drops 5, round 2 drops 4

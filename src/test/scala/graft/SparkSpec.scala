@@ -21,6 +21,16 @@ object TestSpark {
       .config("spark.sql.streaming.checkpointFileManagerClass",
         "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
+      // Steal-proofing: local[*] heartbeats are in-process, so the only
+      // thing the default 10s heartbeat / 120s network timeout can do on
+      // this box is kill the SparkContext when the hypervisor stalls the
+      // whole JVM for minutes (observed: 60 consecutive missed heartbeats
+      // ended a 396/396-green suite with rc 1). Generous values cost
+      // nothing in-process and make the suite immune to steal bursts.
+      .config("spark.network.timeout", "3600s")
+      .config("spark.executor.heartbeatInterval", "300s")
+      .config("spark.rpc.askTimeout", "3600s")
+      .config("spark.rpc.lookupTimeout", "3600s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -46,6 +46,28 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(Subtitles.parseVtt(Subtitles.mintVtt(minted)) == minted)
   }
 
+  test("WebVTT NOTE/STYLE/REGION blocks are skipped, not errors; " +
+    "cue indexes count cues only") {
+    val lit = "WEBVTT\n\n" +
+      "NOTE this is a comment\nspanning two lines\n\n" +
+      "00:01.000 --> 00:02.000\nFirst\n\n" +
+      "STYLE\n::cue { color: red }\n\n" +
+      "REGION\nid:r1 width:40%\n\n" +
+      "NOTE\n\n" +
+      "00:03.000 --> 00:04.000\nSecond\n"
+    assert(Subtitles.parseVtt(lit) == Seq(
+      Cue(1, 1000000L, 2000000L, "First"),
+      Cue(2, 3000000L, 4000000L, "Second")))
+    // a cue whose IDENTIFIER line merely starts with NOTE is still a
+    // cue (the --> in the block disambiguates, per spec comment rules)
+    assert(Subtitles.parseVtt("WEBVTT\n\n" +
+      "NOTEWORTHY-7\n00:05.000 --> 00:06.000\nThird\n") ==
+      Seq(Cue(1, 5000000L, 6000000L, "Third")))
+    // an all-comment document still has zero cues: loud
+    intercept[IllegalArgumentException](Subtitles.parseVtt(
+      "WEBVTT\n\nNOTE nothing here\n"))
+  }
+
   test("violations are loud: bad index, order, time grammar, zero span") {
     intercept[IllegalArgumentException](Subtitles.parseSrt(
       "x\n00:00:01,000 --> 00:00:02,000\nt\n"))
