@@ -2404,4 +2404,47 @@ object Curation {
       .select(col("gate"), col("n_fail"), col("n_unique_fail"),
         col("n_docs"), col("n_killed"))
   }
+
+  /** L313 — SCD-2 VALIDITY INTERVALS from a change log: turn per-key
+    * observation events (key, ts, value) into the slowly-changing-
+    * dimension-type-2 table every warehouse keeps for corpus metadata
+    * that drifts between crawls (a page's detected language, quality
+    * tier, license tag): one row per VALUE EPISODE with
+    * [valid_from, valid_to) half-open validity and an is_current
+    * flag. Consecutive observations with an unchanged value COLLAPSE
+    * into one episode (the lag-based change gate); re-appearing
+    * values open a NEW episode (history is linear, not keyed by
+    * value). Duplicate (key, ts) observations are contract
+    * violations and raise — two facts at the same instant have no
+    * defined order.
+    *
+    * Scale shape: two key-partitioned windows (lag for the change
+    * gate, lead for interval close) — one shuffle on the key, no
+    * joins, no state beyond the window frame.
+    *
+    * Output: (key, value, valid_from, valid_to, is_current) with
+    * valid_to = Long.MaxValue on the open episode.
+    */
+  def scd2Intervals(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col("k")).orderBy(col("ts"))
+    val base = df.select(col(keyCol).as("k"), col(tsCol).cast("long").as("ts"),
+      col(valCol).cast("string").as("v"))
+    val dupGate = base.withColumn("__same",
+      count(lit(1)).over(Window.partitionBy(col("k"), col("ts"))))
+    dupGate.select(col("k"),
+        when(col("__same") > 1L, raise_error(concat(
+          lit("scd2Intervals: duplicate observation at (key, ts) = ("),
+          col("k"), lit(", "), col("ts"), lit(")"))).cast("long"))
+          .otherwise(col("ts")).as("ts"),
+        col("v"))
+      .withColumn("__prev", lag(col("v"), 1).over(wk))
+      .filter(col("__prev").isNull || col("__prev") =!= col("v"))
+      .withColumn("valid_to",
+        coalesce(lead(col("ts"), 1).over(wk), lit(Long.MaxValue)))
+      .select(col("k").as("key"), col("v").as("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        (col("valid_to") === Long.MaxValue).as("is_current"))
+  }
 }

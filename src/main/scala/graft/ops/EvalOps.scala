@@ -1807,4 +1807,161 @@ object EvalOps {
           sqrt(col("var_num").cast("double") / col("var_den").cast("double")))
         .otherwise(lit(0d)))
   }
+
+  /** L302 — ONE-WAY ANOVA (balanced): do k systems scored on the SAME
+    * m items have the same mean? — the parametric sibling of
+    * [[friedman]] for when the scores themselves (not just their
+    * ranks) carry meaning (an e6-scaled quality metric, a latency).
+    * The BALANCED contract (equal group sizes, validated loudly) is
+    * what eval grids produce (k models × one shared item set) and is
+    * what keeps the statistic EXACT: with m = n_g ∀g and N = k·m,
+    *   F = ((N−k)·(k·ΣT_g² − T²)) / ((k−1)·k·(m·Σx² − ΣT_g²))
+    * — numerator and denominator exact integers (DECIMAL(38,0): the
+    * products pass 2⁶³ at corpus scale), F one division. A zero
+    * within-group sum of squares reports f = −1.
+    *
+    * Scale shape: one per-group rollup + one k-row global agg.
+    *
+    * Output: one row (n, k, f_num, f_den, f).
+    */
+  def oneWayAnova(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      integralChecked(col(valCol), "oneWayAnova").as("v"))
+    val perG = base.groupBy(col("g"))
+      .agg(sum(col("v")).as("tg"), count(lit(1)).as("ng"),
+        sum(col("v") * col("v")).as("sxx_g"))
+    val d38 = "decimal(38,0)"
+    perG.agg(count(lit(1)).as("k"), sum(col("tg")).as("t"),
+        sum(col("tg").cast(d38) * col("tg")).as("sum_tg_sq"),
+        sum(col("sxx_g")).as("sxx"),
+        min(col("ng")).as("m_lo"), max(col("ng")).as("m_hi"))
+      .select(
+        when(col("m_lo") =!= col("m_hi"),
+          raise_error(lit("oneWayAnova: balanced design required " +
+            "(equal group sizes)")).cast("long"))
+          .otherwise(col("m_lo") * col("k")).as("n"),
+        col("k"), col("m_lo").as("m"), col("t"), col("sum_tg_sq"),
+        col("sxx"))
+      .select(col("n"), col("k"),
+        ((col("n") - col("k")).cast(d38) *
+          (col("k").cast(d38) * col("sum_tg_sq") -
+            col("t").cast(d38) * col("t"))).as("f_num"),
+        ((col("k") - 1L).cast(d38) * col("k") *
+          (col("m").cast(d38) * col("sxx") - col("sum_tg_sq")))
+          .as("f_den"))
+      .withColumn("f", when(col("f_den") > 0,
+        col("f_num").cast("double") / col("f_den").cast("double"))
+        .otherwise(lit(-1d)))
+  }
+
+  /** L303 — KRUSKAL–WALLIS H (k-sample rank test, exact ties): the
+    * UNBALANCED, k>2 sibling of Mann–Whitney (L258) — "do documents
+    * from k sources score stochastically the same?" asked of groups
+    * of DIFFERENT sizes, where [[oneWayAnova]]'s balanced contract
+    * and normality both fail. Doubled global average ranks (the L217
+    * discipline) are exact integers; the one rational step Σ R2_g²/n_g
+    * is folded as h_s = Σ_g (R2_g² div n_g) — FLOORED fixed-point,
+    * error < k in h_s units (< 3k/(N(N+1)) in H, negligible) and
+    * DETERMINISTIC: the oracle replays the identical floor. With the
+    * tie term T = Σ(t³−t) the corrected statistic is ONE division:
+    *   h = (3·h_s − 3·N·(N+1)²)·(N³−N) / (N·(N+1)·(N³−N−T))
+    * (DECIMAL(38,0) products; all-tied input → h_den 0 → h = −99).
+    *
+    * Scale shape: one distinct-value rollup (domain-bounded, the L229
+    * posture), one per-group rollup, one global agg.
+    *
+    * Output: one row (n, k, h_s, tie_term, h_num, h_den, h).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      integralChecked(col(valCol), "kruskalWallis").as("v"))
+    // doubled average rank per distinct value: 2·#less + #tied + 1
+    val byVal = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .withColumn("r2",
+        (sum(col("t")).over(Window.orderBy(col("v"))) - col("t")) * 2L
+          + col("t") + 1L)
+    val perG = base.join(byVal.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("r2")).as("r2g"), count(lit(1)).as("ng"))
+    val d38 = "decimal(38,0)"
+    val ties = byVal.agg(
+      coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+        .as("tie_term"))
+    perG.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(expr("CAST(r2g AS decimal(38,0)) * r2g div ng")).as("h_s"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("k"), col("h_s"), col("tie_term"),
+        ((lit(3L).cast(d38) * col("h_s") -
+          lit(3L).cast(d38) * col("n") * (col("n") + 1L) * (col("n") + 1L))
+          * (col("n").cast(d38) * col("n") * col("n") - col("n")))
+          .as("h_num"),
+        (col("n").cast(d38) * (col("n") + 1L) *
+          (col("n").cast(d38) * col("n") * col("n") - col("n")
+            - col("tie_term"))).as("h_den"))
+      .withColumn("h", when(col("h_den") > 0,
+        col("h_num").cast("double") / col("h_den").cast("double"))
+        .otherwise(lit(-99d)))
+  }
+
+  /** L304 — KAPLAN–MEIER PRODUCT-LIMIT SURVIVAL: how long does a
+    * document LIVE in the corpus? — the estimator a recrawl/refresh
+    * audit runs over page lifetimes when some pages are still alive
+    * at observation end (right-censored — dropping them biases naive
+    * lifetime means; KM is the standard fix). At each distinct event
+    * time t: n_risk = N − (departures before t), d = events at t, and
+    * survival steps s ← (s·(n_risk−d)) div n_risk — an e6 integer
+    * fold (error < 1e-6 per step, DETERMINISTIC; the oracle replays
+    * the identical recurrence via a recursive CTE — an independent
+    * mechanism). Censor-only times keep s unchanged (d = 0), the
+    * classic KM step-only-at-events shape, but stay in the output as
+    * the n_risk ledger.
+    *
+    * Scale shape: distinct-time rollup (domain-bounded, the L229
+    * posture) + one ordered fold over the collected time table —
+    * bounded by DISTINCT TIMES, not rows; documented contract.
+    *
+    * Output: one row per distinct time (t, n_risk, d, c, s_e6).
+    */
+  def kaplanMeier(df: DataFrame, timeCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      integralChecked(col(timeCol), "kaplanMeier").as("t"),
+      when(col(eventCol).isNull,
+        raise_error(lit("kaplanMeier: null event flag")).cast("long"))
+        .otherwise(col(eventCol).cast("boolean").cast("long")).as("e"))
+    val byT = base.groupBy(col("t"))
+      .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(
+          Window.orderBy(col("t"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    byT.agg(
+        aggregate(
+          sort_array(collect_list(struct(col("t").as("t"),
+            col("n_risk").as("nr"), col("d").as("d"), col("c").as("c")))),
+          struct(lit(1000000L).as("s"),
+            array().cast("array<struct<t:bigint,nr:bigint,d:bigint," +
+              "c:bigint,s_e6:bigint>>").as("rows")),
+          (acc, x) => {
+            // integral divide inside a lambda: (a − a mod b)/b, exact
+            // for 0 ≤ a < 2^53 (s ≤ 1e6, nr ≤ N keeps a well inside)
+            val a = acc.getField("s") * (x.getField("nr") - x.getField("d"))
+            val sNext =
+              ((a - pmod(a, x.getField("nr"))) / x.getField("nr"))
+                .cast("long")
+            struct(sNext.as("s"),
+              concat(acc.getField("rows"), array(struct(
+                x.getField("t").as("t"), x.getField("nr").as("nr"),
+                x.getField("d").as("d"), x.getField("c").as("c"),
+                sNext.as("s_e6")))).as("rows"))
+          },
+          acc => acc.getField("rows")).as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.t").as("t"), col("r.nr").as("n_risk"),
+        col("r.d").as("d"), col("r.c").as("c"), col("r.s_e6").as("s_e6"))
+  }
 }

@@ -1394,4 +1394,82 @@ object TextOps {
           + when(col("n_braces") > 0L, 1).otherwise(0)
           + when(col("symbol_e6") >= 50000L, 1).otherwise(0)) >= 2)
       .drop("__t")
+
+  /** L311 — YULE'S K lexical-diversity characteristic: the
+    * length-INVARIANT repetitiveness measure next to MATTR (L224,
+    * windowed type ratio) and the token Gini (L185, concentration) —
+    * K depends only on the frequency SPECTRUM (how many types occur m
+    * times), so corpora of different sizes compare directly, which is
+    * what a per-source feed audit needs. K = 10⁴·(Σ_m m²·V_m − N)/N²
+    * with V_m = #types of frequency m and N = token count — all-exact
+    * integers from two rollups; k is one division (k_num/k_den kept
+    * as exact BIGINT columns). Higher K = more repetitive (boilerplate
+    * and template spam score high; diverse prose low).
+    *
+    * Scale shape: token rollup → frequency-spectrum rollup (bounded by
+    * max frequency) per group; map-side combinable throughout.
+    *
+    * Output: one row per group (g, n_tokens, n_types, k_num, k_den, k).
+    */
+  def yuleK(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val freq = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("m"))
+    freq.groupBy(col("g"))
+      .agg(sum(col("m")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("m") * col("m")).as("sum_m_sq"))
+      .select(col("g"), col("n_tokens"), col("n_types"),
+        (lit(10000L) * (col("sum_m_sq") - col("n_tokens"))).as("k_num"),
+        (col("n_tokens") * col("n_tokens")).as("k_den"))
+      .withColumn("k", when(col("k_den") > 0L,
+        col("k_num").cast("double") / col("k_den").cast("double"))
+        .otherwise(lit(-1d)))
+  }
+
+  /** L312 — WORDPIECE MERGE SCORING: the LIKELIHOOD-based pair
+    * criterion that separates WordPiece from BPE (L9/L52 pick the raw
+    * most-frequent pair; WordPiece picks the pair maximizing
+    * cnt(ab)/(cnt(a)·cnt(b)) — the training-likelihood gain, which
+    * prefers pairs whose parts rarely occur APART). One selection
+    * round over the corpus's character-symbol word table: pair counts
+    * and symbol counts are frequency-weighted exact integers;
+    * score_e9 = (cnt_pair·10⁹) div (cnt_a·cnt_b) is the floored
+    * fixed-point ratio both engines replay (the constant-N factor in
+    * the true likelihood cancels in the argmax ordering). Top-k pairs
+    * by (score_e9, a, b) — the deterministic merge ranking.
+    *
+    * Scale shape: distinct-word table (Heaps-law small) → adjacent-
+    * pair explode + two rollups + one broadcast join; no corpus
+    * re-pass.
+    *
+    * Output: k rows (a, b, cnt_pair, cnt_a, cnt_b, score_e9).
+    */
+  def wordpieceScores(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be 1..100, got $k")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("w"), ""))
+    val symCnt = words
+      .select(explode(col("syms")).as("s"), col("freq"))
+      .groupBy(col("s")).agg(sum(col("freq")).as("cnt_s"))
+    val pairCnt = words.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt_pair"))
+    pairCnt
+      .join(broadcast(symCnt.withColumnRenamed("s", "a")
+        .withColumnRenamed("cnt_s", "cnt_a")), Seq("a"))
+      .join(broadcast(symCnt.withColumnRenamed("s", "b")
+        .withColumnRenamed("cnt_s", "cnt_b")), Seq("b"))
+      .select(col("a"), col("b"), col("cnt_pair"), col("cnt_a"),
+        col("cnt_b"),
+        expr("(cnt_pair * 1000000000L) div (cnt_a * cnt_b)")
+          .as("score_e9"))
+      .orderBy(col("score_e9").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

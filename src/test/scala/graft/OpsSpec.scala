@@ -4033,4 +4033,107 @@ class OpsSpec extends SparkSpec {
       EvalOps.pageTrend(bad, "block", "version", "score").collect()
     }
   }
+
+  test("L302 oneWayAnova: textbook F=73 on three groups; unbalanced " +
+    "is loud") {
+    import graft.ops.EvalOps
+    val cells = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L),
+      (2L, 4L), (3L, 10L), (3L, 11L), (3L, 12L)).toDF("g", "v")
+    val r = EvalOps.oneWayAnova(cells, "g", "v").head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    assert(r.getAs[java.math.BigDecimal]("f_num").longValueExact == 7884L)
+    assert(r.getAs[java.math.BigDecimal]("f_den").longValueExact == 108L)
+    assert(r.getAs[Double]("f") == 73.0, s"got $r")
+    intercept[Exception] {
+      EvalOps.oneWayAnova(cells.limit(8), "g", "v").collect()
+    }
+  }
+
+  test("L303 kruskalWallis: textbook H=4.571 on untied 2/2/2 groups") {
+    import graft.ops.EvalOps
+    val cells = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L),
+      (3L, 6L)).toDF("g", "v")
+    val r = EvalOps.kruskalWallis(cells, "g", "v").head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getLong(r.fieldIndex("h_s")) == 358L)
+    assert(r.getLong(r.fieldIndex("tie_term")) == 0L)
+    assert(math.abs(r.getAs[Double]("h") - 40320.0 / 8820.0) < 1e-12,
+      s"got $r")
+  }
+
+  test("L304 kaplanMeier: hand-folded survival ladder with censoring") {
+    import graft.ops.EvalOps
+    val obs = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false)).toDF("t", "e")
+    val got = EvalOps.kaplanMeier(obs, "t", "e")
+      .orderBy($"t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 0L, 800000L),
+      (2L, 4L, 0L, 1L, 800000L),
+      (3L, 3L, 2L, 0L, 266666L),
+      (4L, 1L, 0L, 1L, 266666L)), s"got $got")
+  }
+
+  test("L313 scd2Intervals: episodes collapse repeats, reopen on " +
+    "re-appearance; duplicate ts is loud") {
+    import graft.ops.Curation
+    val log = Seq(("k1", 10L, "a"), ("k1", 20L, "a"), ("k1", 30L, "b"),
+      ("k1", 40L, "a"), ("k2", 5L, "x")).toDF("k", "ts", "v")
+    val got = Curation.scd2Intervals(log, "k", "ts", "v")
+      .orderBy($"key", $"valid_from").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      ("k1", "a", 10L, 30L, false),
+      ("k1", "b", 30L, 40L, false),
+      ("k1", "a", 40L, Long.MaxValue, true),
+      ("k2", "x", 5L, Long.MaxValue, true)), s"got $got")
+    intercept[Exception] {
+      Curation.scd2Intervals(
+        log.union(Seq(("k1", 10L, "z")).toDF("k", "ts", "v")),
+        "k", "ts", "v").collect()
+    }
+  }
+
+  test("L314 resourceAllocation: rare shared neighbor outweighs hubs") {
+    import graft.ops.GraphOps
+    // square 1-2-3-4-1 with diagonal 1-3: pair (1,3) shares {2,4}
+    // (deg 2 each -> 10^6), pair (2,4) shares {1,3} (deg 3 -> 666666)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val got = GraphOps.resourceAllocation(g, "a", "b", degCap = 10,
+        topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 666666L)),
+      s"got $got")
+  }
+
+  test("L311 yuleK: spectrum-exact K on a planted frequency profile") {
+    import graft.ops.TextOps
+    // g1: tokens a,a,a,b -> N=4, V3=1, V1=1, sum m^2 V = 10 -> K=3750
+    val docs = Seq(("g1", "a a a b"), ("g2", "x y")).toDF("src", "text")
+    val got = TextOps.yuleK(docs, "src", "text")
+      .orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(("g1", 4L, 2L, 60000L, 16L),
+      ("g2", 2L, 2L, 0L, 4L)), s"got $got")
+  }
+
+  test("L312 wordpieceScores: likelihood ratio beats raw frequency") {
+    import graft.ops.TextOps
+    // pairs: (a,b) cnt 2 but a,b both frequent; (c,b) cnt 1 with rare c
+    val docs = Seq(("ab ab ba cb")).toDF("text")
+    val got = TextOps.wordpieceScores(docs, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("c", "b", 1L, 250000000L),  // 1e9 / (1*4)
+      ("a", "b", 2L, 166666666L),  // 2e9 / (3*4)
+      ("b", "a", 1L, 83333333L)),  // 1e9 / (4*3)
+      s"got $got")
+  }
 }
