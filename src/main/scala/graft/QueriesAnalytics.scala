@@ -1629,7 +1629,163 @@ private[graft] object QueriesAnalytics {
         |    THEN CAST(l2 - mu_l2 AS DOUBLE)
         |      / sqrt(CAST(var_num AS DOUBLE) / 36.0)
         |    ELSE 0.0 END AS z
-        |FROM f""".stripMargin))
+        |FROM f""".stripMargin)),
+
+    // L302 — one-way ANOVA over a balanced 3×300 score grid (the
+    // parametric sibling of e_friedman): exact integer F components,
+    // F = 73-style single division; the fixture bounds keep f_num/f_den
+    // inside BIGINT, so the query casts the op's DECIMAL(38,0) ledger
+    // down for the comparator.
+    Q("e_anova",
+      (s, dir) => {
+        val cells = Tables.documents(s, dir).filter(col("doc_id") < 498)
+          .select(pmod(col("doc_id"), lit(3L)).as("g"),
+            ((col("doc_id") * col("doc_id") + lit(5L) * col("doc_id"))
+              % 97L).as("v"))
+        EvalOps.oneWayAnova(cells, "g", "v")
+          .select(col("n"), col("k"), col("f_num").cast("long").as("f_num"),
+            col("f_den").cast("long").as("f_den"), col("f"))
+      },
+      Some("""WITH x AS (SELECT doc_id % 3 AS g,
+        |    (doc_id * doc_id + 5 * doc_id) % 97 AS v
+        |  FROM documents WHERE doc_id < 498),
+        |pg AS (SELECT g, CAST(SUM(v) AS BIGINT) AS tg,
+        |    CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(v * v) AS BIGINT) AS sxx_g FROM x GROUP BY g),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(tg) AS BIGINT) AS t,
+        |    CAST(SUM(CAST(tg AS HUGEINT) * tg) AS HUGEINT) AS sum_tg_sq,
+        |    CAST(SUM(sxx_g) AS BIGINT) AS sxx,
+        |    CAST(MIN(ng) AS BIGINT) AS m FROM pg)
+        |SELECT CAST(m * k AS BIGINT) AS n, k,
+        |  CAST((m * k - k) * (k * sum_tg_sq - CAST(t AS HUGEINT) * t)
+        |    AS BIGINT) AS f_num,
+        |  CAST((k - 1) * k * (CAST(m AS HUGEINT) * sxx - sum_tg_sq)
+        |    AS BIGINT) AS f_den,
+        |  CASE WHEN (k - 1) * k * (CAST(m AS HUGEINT) * sxx - sum_tg_sq) > 0
+        |    THEN CAST((m * k - k) * (k * sum_tg_sq
+        |        - CAST(t AS HUGEINT) * t) AS DOUBLE)
+        |      / CAST((k - 1) * k * (CAST(m AS HUGEINT) * sxx - sum_tg_sq)
+        |        AS DOUBLE)
+        |    ELSE -1.0 END AS f
+        |FROM a""".stripMargin)),
+
+    // L303 — Kruskal–Wallis over three UNBALANCED source groups with
+    // deliberate ties: doubled global ranks, floored per-group terms
+    // (h_s), tie-corrected H as one division; BIGINT-castable at the
+    // fixture bounds.
+    Q("e_kruskal_wallis",
+      (s, dir) => {
+        val cells = Tables.documents(s, dir).filter(col("doc_id") < 700)
+          .select(
+            when(pmod(col("doc_id"), lit(7L)) < 3L, 0L)
+              .when(pmod(col("doc_id"), lit(7L)) < 5L, 1L)
+              .otherwise(2L).as("g"),
+            ((col("doc_id") * 13L) % 50L).as("v"))
+        EvalOps.kruskalWallis(cells, "g", "v")
+          .select(col("n"), col("k"), col("h_s"), col("tie_term"),
+            col("h_num").cast("long").as("h_num"),
+            col("h_den").cast("long").as("h_den"), col("h"))
+      },
+      Some("""WITH x AS (SELECT
+        |    CASE WHEN doc_id % 7 < 3 THEN 0
+        |      WHEN doc_id % 7 < 5 THEN 1 ELSE 2 END AS g,
+        |    (doc_id * 13) % 50 AS v
+        |  FROM documents WHERE doc_id < 700),
+        |m AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM x GROUP BY v),
+        |r AS (SELECT v, t,
+        |    (SUM(t) OVER (ORDER BY v) - t) * 2 + t + 1 AS r2 FROM m),
+        |gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM x
+        |  GROUP BY g, v),
+        |pg AS (SELECT gv.g, CAST(SUM(gv.c * r.r2) AS BIGINT) AS r2g,
+        |    CAST(SUM(gv.c) AS BIGINT) AS ng
+        |  FROM gv JOIN r ON gv.v = r.v GROUP BY gv.g),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM((CAST(r2g AS HUGEINT) * r2g) // ng) AS BIGINT)
+        |      AS h_s FROM pg),
+        |tt3 AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
+        |    AS tie_term FROM m),
+        |f AS (SELECT n, k, h_s, tie_term,
+        |    (3 * CAST(h_s AS HUGEINT)
+        |      - 3 * CAST(n AS HUGEINT) * (n + 1) * (n + 1))
+        |      * (CAST(n AS HUGEINT) * n * n - n) AS h_num,
+        |    CAST(n AS HUGEINT) * (n + 1)
+        |      * (CAST(n AS HUGEINT) * n * n - n - tie_term) AS h_den
+        |  FROM agg CROSS JOIN tt3)
+        |SELECT n, k, h_s, tie_term,
+        |  CAST(h_num AS BIGINT) AS h_num, CAST(h_den AS BIGINT) AS h_den,
+        |  CASE WHEN h_den > 0
+        |    THEN CAST(h_num AS DOUBLE) / CAST(h_den AS DOUBLE)
+        |    ELSE -99.0 END AS h
+        |FROM f""".stripMargin)),
+
+    // L304 — Kaplan–Meier survival over formula lifetimes with a 20%
+    // censor tier: reverse-cumulative risk sets, e6 integer survival
+    // fold; the oracle replays the identical recurrence via a
+    // RECURSIVE CTE — an independent mechanism for the same ladder.
+    Q("e_kaplan_meier",
+      (s, dir) => {
+        val obs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select((lit(1L) + pmod(col("doc_id"), lit(20L))).as("t"),
+            (pmod(col("doc_id"), lit(5L)) =!= 0L).as("e"))
+        EvalOps.kaplanMeier(obs, "t", "e")
+      },
+      Some("""WITH RECURSIVE x AS (SELECT 1 + doc_id % 20 AS t,
+        |    CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS e
+        |  FROM documents WHERE doc_id < 500),
+        |bt AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+        |    CAST(SUM(1 - e) AS BIGINT) AS c FROM x GROUP BY t),
+        |o AS (SELECT t, d, c,
+        |    CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+        |    row_number() OVER (ORDER BY t) AS rn FROM bt),
+        |f AS (
+        |  SELECT rn, t, n_risk, d, c,
+        |    (1000000 * (n_risk - d)) // n_risk AS s
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.t, o.n_risk, o.d, o.c,
+        |    (f.s * (o.n_risk - o.d)) // o.n_risk
+        |  FROM f JOIN o ON o.rn = f.rn + 1)
+        |SELECT t, n_risk, d, c, CAST(s AS BIGINT) AS s_e6 FROM f
+        |ORDER BY t""".stripMargin)),
+
+    // L305 — Goodman–Kruskal GAMMA: the tie-EXCLUDING ordinal
+    // association next to tau-b (L266) — gamma reads only concordant/
+    // discordant pairs, the right summary when ties carry no signal
+    // (two coarse quality tiers compared across sources). Same exact
+    // pair buckets as kendallTau; gamma = (C−D)/(C+D) one division.
+    Q("e_gk_gamma",
+      (s, dir) => {
+        val pairs = EvalOps.kendallTau(
+          evPoints(s, dir).filter(col("event_id") >= 1200L &&
+            col("event_id") < 2400L), "cents", "tus")
+        pairs.select(col("n_pairs"), col("conc"), col("disc"),
+          when(col("conc") + col("disc") > 0L,
+            (col("conc") - col("disc")).cast("double") /
+              (col("conc") + col("disc")).cast("double"))
+            .otherwise(lit(-2d)).as("gamma"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+        |    epoch_us(ts) AS y FROM events
+        |  WHERE event_id >= 1200 AND event_id < 2400),
+        |r AS (SELECT x, y, row_number() OVER (ORDER BY x, y) AS rid FROM e),
+        |p AS (SELECT CASE
+        |    WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+        |      THEN 'c'
+        |    WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+        |      THEN 'd'
+        |    ELSE 't' END AS k
+        |  FROM r a JOIN r b ON a.rid < b.rid),
+        |g AS (SELECT
+        |    CAST(COUNT(*) FILTER (k = 'c') AS BIGINT) AS conc,
+        |    CAST(COUNT(*) FILTER (k = 'd') AS BIGINT) AS disc,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p)
+        |SELECT n_pairs, conc, disc,
+        |  CASE WHEN conc + disc > 0
+        |    THEN CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE)
+        |    ELSE -2.0 END AS gamma
+        |FROM g""".stripMargin))
   )
 
   /** RBO@10 suffix weights W(m) = Σ_{d=m..10} (2520/d)·9^(d−1)·10^(10−d)

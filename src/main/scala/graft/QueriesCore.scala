@@ -1828,6 +1828,45 @@ private[graft] object QueriesCore {
         |r2 AS (SELECT nd.node,
         |    CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
         |  FROM nd LEFT JOIN c2 USING (node))
-        |SELECT node, pr FROM r2 ORDER BY node""".stripMargin))
+        |SELECT node, pr FROM r2 ORDER BY node""".stripMargin)),
+
+    // L314 — RESOURCE-ALLOCATION LINK PREDICTION on the event graph:
+    // the 1/deg-weighted common-neighbor index (Zhou/Lü/Zhang 2009)
+    // next to g_neighbor_jaccard — a RARE shared neighbor is strong
+    // evidence, a hub nearly none. Same L230 hub prune (cap 16), true
+    // degrees as weights, exact e6 terms (10⁶ div deg), top-50 with a
+    // total tie-break.
+    Q("g_resource_alloc",
+      (s, dir) => {
+        val ev = evPoints(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        val hubs = ev.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("hub"))
+        val hubEdges = ev.join(broadcast(hubs), "event_type")
+          .filter(col("event_id") =!= col("hub"))
+          .select(col("event_id").as("src"), col("hub").as("dst"))
+        GraphOps.resourceAllocation(chain.unionByName(hubEdges),
+          "src", "dst", degCap = 16, topK = 50)
+      },
+      Some(s"""WITH $eventGraphSqlCte,
+        |und AS (SELECT DISTINCT node, nbr FROM (
+        |    SELECT src AS node, dst AS nbr FROM ed
+        |    UNION ALL SELECT dst, src FROM ed) u WHERE node <> nbr),
+        |dgj AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1),
+        |pr AS (SELECT und.node, und.nbr,
+        |    CAST(1000000 // dgj.deg AS BIGINT) AS term
+        |  FROM und JOIN dgj ON dgj.node = und.nbr WHERE dgj.deg <= 16),
+        |cm AS (SELECT a.node AS u, b.node AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS common,
+        |    CAST(SUM(a.term) AS BIGINT) AS ra_e6
+        |  FROM pr a JOIN pr b ON a.nbr = b.nbr AND a.node < b.node
+        |  GROUP BY 1, 2)
+        |SELECT u, v, common, ra_e6 FROM cm
+        |ORDER BY ra_e6 DESC, common DESC, u, v LIMIT 50""".stripMargin))
   )
 }

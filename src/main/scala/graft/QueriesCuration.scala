@@ -2665,6 +2665,35 @@ private[graft] object QueriesCuration {
         |  CAST(LEAST(2592000, GREATEST(3600,
         |    (86400 * fetches) // (changes + 1))) AS BIGINT)
         |    AS next_interval_s
-        |FROM a ORDER BY doc_id""".stripMargin))
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // L313 — SCD-2 VALIDITY INTERVALS (Curation.scd2Intervals): a
+    // per-page change log (detected value per observation) becomes the
+    // type-2 dimension table — one row per value EPISODE with
+    // half-open [valid_from, valid_to) and is_current; unchanged
+    // observations collapse, re-appearances reopen. Two key-
+    // partitioned windows, one shuffle. The oracle replays the
+    // lag-gate + lead-close.
+    Q("c_scd2_intervals",
+      (s, dir) => {
+        val log = Tables.documents(s, dir).filter(col("doc_id") < 480)
+          .select(pmod(col("doc_id"), lit(40L)).as("k"),
+            col("doc_id").as("ts"),
+            ((expr("doc_id div 40") + pmod(col("doc_id"), lit(7L)))
+              % 3L).as("v"))
+        Curation.scd2Intervals(log, "k", "ts", "v")
+      },
+      Some("""WITH x AS (SELECT doc_id % 40 AS k, doc_id AS ts,
+        |    CAST(((doc_id // 40) + (doc_id % 7)) % 3 AS VARCHAR) AS v
+        |  FROM documents WHERE doc_id < 480),
+        |ch AS (SELECT k, ts, v,
+        |    lag(v) OVER (PARTITION BY k ORDER BY ts) AS pv FROM x),
+        |ep AS (SELECT k, ts, v FROM ch WHERE pv IS NULL OR pv <> v),
+        |iv AS (SELECT k AS key, v AS value, ts AS valid_from,
+        |    COALESCE(lead(ts) OVER (PARTITION BY k ORDER BY ts),
+        |      9223372036854775807) AS valid_to FROM ep)
+        |SELECT key, value, valid_from, valid_to,
+        |  valid_to = 9223372036854775807 AS is_current
+        |FROM iv ORDER BY key, valid_from""".stripMargin))
   )
 }

@@ -1632,6 +1632,267 @@ private[graft] object QueriesMultimodal {
         |  'Title ' || doc_id AS title,
         |  'Artist ' || (doc_id % 5) AS artist,
         |  TRUE AS strip_ok
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // L306 — TAR CONTAINER WALK (pipeline/Containers.walkTar): corpora
+    // ship as tarballs (WebDataset shards); the walk validates the
+    // ustar magic + header checksum of every entry and yields the
+    // catalog with payload offsets for lazy slicing — never the
+    // payloads themselves. Mint round-trip certified per row; the
+    // oracle replays the 512-block offset ledger arithmetically.
+    Q("mm_tar_walk",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val rows = base.flatMap { id =>
+          import graft.pipeline.Containers
+          val n = (1 + id % 3).toInt
+          val entries = (0 until n).map { j =>
+            val size = ((id + 31 * j) % 400).toInt
+            (s"d$id/f$j.txt", 1700000000L + id,
+              Array.fill[Byte](size)('x'.toByte))
+          }
+          val walked = Containers.walkTar(Containers.mintTar(entries))
+          require(walked.map(_.name) == entries.map(_._1) &&
+            walked.map(_.size) == entries.map(_._3.length.toLong),
+            "tar round-trip mismatch")
+          walked.zipWithIndex.map { case (e, j) =>
+            (id, j.toLong, e.name, e.size, e.dataOffset)
+          }
+        }.toDF("doc_id", "idx", "name", "size", "data_offset")
+        rows.orderBy(col("doc_id"), col("idx"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 3)) AS j
+        |  FROM documents WHERE doc_id < 300),
+        |sz AS (SELECT doc_id, j, (doc_id + 31 * j) % 400 AS size FROM c),
+        |o AS (SELECT doc_id, j, size,
+        |    512 * (j + 1) + 512 * COALESCE(SUM(CASE WHEN size > 0
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY j
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS data_offset
+        |  FROM sz)
+        |SELECT doc_id, CAST(j AS BIGINT) AS idx,
+        |  'd' || doc_id || '/f' || j || '.txt' AS name,
+        |  CAST(size AS BIGINT) AS size,
+        |  CAST(data_offset AS BIGINT) AS data_offset
+        |FROM o ORDER BY doc_id, idx""".stripMargin)),
+
+    // L307 — ZIP CENTRAL-DIRECTORY WALK + CERTIFIED ENTRY DECODE
+    // (Containers.walkZip/readZipEntry): the catalog read touches no
+    // payloads; the decode tier inflates method-8 data and certifies
+    // the directory CRC-32 — both proven here by emitting the decoded
+    // TEXT back out (stored and deflated entries per container). The
+    // oracle rebuilds payloads with repeat().
+    Q("mm_zip_walk",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val rows = base.flatMap { id =>
+          import graft.pipeline.Containers
+          val payloads = Seq(
+            ("a.txt", ("stored " + id + " ") * (1 + id % 3).toInt, false),
+            ("b.txt", ("deflate " + id + " ") * (1 + id % 4).toInt, true))
+          val zip = Containers.mintZip(payloads.map { case (n, t, d) =>
+            (n, t.getBytes("UTF-8"), d) })
+          val walked = Containers.walkZip(zip)
+          walked.zip(payloads).zipWithIndex.map { case ((e, (_, t, _)), j) =>
+            val text = new String(Containers.readZipEntry(zip, e), "UTF-8")
+            require(text == t, "zip payload round-trip mismatch")
+            (id, j.toLong, e.name, e.method.toLong, e.uncompSize, text)
+          }
+        }.toDF("doc_id", "idx", "name", "method", "uncomp_size", "text")
+        rows.orderBy(col("doc_id"), col("idx"))
+      },
+      Some("""WITH c AS (SELECT doc_id, unnest(range(0, 2)) AS j
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (SELECT doc_id, j,
+        |    CASE WHEN j = 0 THEN 'a.txt' ELSE 'b.txt' END AS name,
+        |    CAST(CASE WHEN j = 0 THEN 0 ELSE 8 END AS BIGINT) AS method,
+        |    CASE WHEN j = 0
+        |      THEN repeat('stored ' || doc_id || ' ',
+        |        CAST(1 + doc_id % 3 AS INTEGER))
+        |      ELSE repeat('deflate ' || doc_id || ' ',
+        |        CAST(1 + doc_id % 4 AS INTEGER)) END AS text
+        |  FROM c)
+        |SELECT doc_id, CAST(j AS BIGINT) AS idx, name, method,
+        |  CAST(length(text) AS BIGINT) AS uncomp_size, text
+        |FROM p ORDER BY doc_id, idx""".stripMargin)),
+
+    // L308 — DOCX TEXT EXTRACTION (Containers.docxText): the office-
+    // document front door — a DOCX is a ZIP of WordprocessingML parts;
+    // text is the concatenation of <w:t> runs with paragraph breaks,
+    // XML entities decoded (the fixture's <, >, & round-trip through
+    // the escape/decode pair). Both compression methods exercised by
+    // parity; the oracle rebuilds the paragraph text.
+    Q("mm_docx_text",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val rows = base.map { id =>
+          import graft.pipeline.Containers
+          val paras = (0 until (1 + id % 3).toInt)
+            .map(j => s"docx <$id> & p$j")
+          val text = Containers.docxText(
+            Containers.mintDocx(paras, deflate = id % 2 == 0))
+          (id, paras.size.toLong, text)
+        }.toDF("doc_id", "n_paras", "text")
+        rows.orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 3)) AS j
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  string_agg('docx <' || doc_id || '> & p' || j, chr(10)
+        |    ORDER BY j) AS text
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // L309 — TIFF HEADER PROBE + GPS PRIVACY STRIP (pipeline/
+    // TiffProbe): IFD tag walk in both byte orders (dims, bit depth,
+    // orientation, EXIF/GPS pointers), then the scrub drops the GPS
+    // IFD pointer in place — the location leak a training corpus must
+    // not carry — and the probe re-certifies. Oracle replays the tag
+    // arithmetic.
+    Q("mm_tiff_probe",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val rows = base.map { id =>
+          import graft.pipeline.TiffProbe
+          val bps = Seq(1L, 8L, 16L)((id % 3).toInt)
+          val t = TiffProbe.mint(100L + id % 1600, 80L + id % 900, bps,
+            1L + id % 8, withExif = id % 2 == 0, withGps = id % 3 == 0,
+            bigEndian = id % 2 == 1)
+          val p = TiffProbe.probe(t)
+          val after = TiffProbe.probe(TiffProbe.stripGps(t))
+          require(!after.hasGps && after.width == p.width,
+            "tiff GPS strip broke the probe")
+          (id, if (p.bigEndian) "MM" else "II", p.width, p.height,
+            p.bitsPerSample, p.orientation, p.nTags, p.hasGps,
+            p.hasExif, after.nTags)
+        }.toDF("doc_id", "byte_order", "width", "height", "bits",
+          "orientation", "n_tags", "has_gps", "has_exif", "n_tags_after")
+        rows.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+        |  CAST(100 + doc_id % 1600 AS BIGINT) AS width,
+        |  CAST(80 + doc_id % 900 AS BIGINT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 8 ELSE 16 END
+        |    AS BIGINT) AS bits,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  CAST(4 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tags,
+        |  doc_id % 3 = 0 AS has_gps,
+        |  doc_id % 2 = 0 AS has_exif,
+        |  CAST(4 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_tags_after
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // L310 — MP4 VIDEO-TRACK PROBE (pipeline/Mp4Probe): ISO-BMFF box
+    // walk to the per-track catalog — handler kind, media timescale/
+    // duration, 16.16 pixel dimensions — the container certification a
+    // video corpus runs before any codec work. Whole seconds are the
+    // scale-free check (duration div timescale); oracle replays both
+    // tracks per document.
+    Q("mm_mp4_video_probe",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val rows = base.flatMap { id =>
+          import graft.pipeline.Mp4Probe
+          val secs = 10L + id % 50
+          val w = Seq(640L, 1280L, 1920L)((id % 3).toInt)
+          val h = Seq(360L, 720L, 1080L)((id % 3).toInt)
+          val tracks = Seq(
+            Mp4Probe.TrackInfo(1L, "vide", 30000L, 30000L * secs, w, h),
+            Mp4Probe.TrackInfo(2L, "soun", 48000L, 48000L * secs, 0L, 0L))
+          val p = Mp4Probe.probe(
+            Mp4Probe.mint("isom", 1000L, 1000L * secs, tracks))
+          require(p.tracks == tracks && p.brand == "isom",
+            "mp4 probe round-trip mismatch")
+          p.tracks.map(t => (id, t.trackId, t.handler, t.timescale,
+            t.duration, t.width, t.height, t.duration / t.timescale))
+        }.toDF("doc_id", "track_id", "handler", "timescale", "duration",
+          "width", "height", "dur_s")
+        rows.orderBy(col("doc_id"), col("track_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id, unnest(range(1, 3)) AS track_id,
+        |    10 + doc_id % 50 AS secs
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, CAST(track_id AS BIGINT) AS track_id,
+        |  CASE WHEN track_id = 1 THEN 'vide' ELSE 'soun' END AS handler,
+        |  CAST(CASE WHEN track_id = 1 THEN 30000 ELSE 48000 END
+        |    AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN track_id = 1 THEN 30000 * secs
+        |    ELSE 48000 * secs END AS BIGINT) AS duration,
+        |  CAST(CASE WHEN track_id = 1 THEN
+        |      CASE doc_id % 3 WHEN 0 THEN 640 WHEN 1 THEN 1280
+        |        ELSE 1920 END
+        |    ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN track_id = 1 THEN
+        |      CASE doc_id % 3 WHEN 0 THEN 360 WHEN 1 THEN 720
+        |        ELSE 1080 END
+        |    ELSE 0 END AS BIGINT) AS height,
+        |  CAST(secs AS BIGINT) AS dur_s
+        |FROM c ORDER BY doc_id, track_id""".stripMargin)),
+
+    // L315 — STREAMING CONTAINER ROUTER: the L268 magic router at
+    // ingest with the archive/container formats live (tar's offset-257
+    // ustar magic, zip, TIFF both byte orders, ISO-BMFF ftyp) — the
+    // dispatch a firehose runs before handing blobs to the right walk.
+    // Stateless map, no state store; payloads stage once per session.
+    Q("streaming_container_router",
+      (s, dir) => QuerySupport.withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "scr_" + java.util.UUID.randomUUID().toString
+          .replace("-", "")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_stream_container").toString
+        val srcDir = QuerySupport.stagedStreamSource("container_payloads",
+          dir) { p =>
+          val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id")).as[Long]
+          val payloads = base.map { id =>
+            import graft.pipeline._
+            val bytes = (id % 4).toInt match {
+              case 0 => Containers.mintTar(Seq((s"f$id", 0L,
+                Array.fill[Byte]((id % 100).toInt)('y'.toByte))))
+              case 1 => Containers.mintZip(Seq((s"f$id",
+                s"zip $id".getBytes("UTF-8"), id % 2 == 0)))
+              case 2 => TiffProbe.mint(4L, 4L, 8L, 1L, withExif = false,
+                withGps = false, bigEndian = id % 2 == 1)
+              case _ => Mp4Probe.mint("isom", 1000L, 1000L, Seq(
+                Mp4Probe.TrackInfo(1L, "vide", 30000L, 30000L, 64L, 64L)))
+            }
+            (id, bytes)
+          }.toDF("doc_id", "payload")
+          QuerySupport.writeHeartbeat(payloads, p, "container_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val routed = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            (id, graft.pipeline.FormatSniff.sniff(bytes))
+          }.toDF("doc_id", "routed")
+        val q = routed.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuerySupport.cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("doc_id") >= 0).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'tar' WHEN 1 THEN 'zip'
+        |    WHEN 2 THEN 'tiff' ELSE 'mp4' END AS routed
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
   )
 }

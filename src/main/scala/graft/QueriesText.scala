@@ -1098,7 +1098,63 @@ FROM ag ORDER BY lang""")),
         |  (CASE WHEN n_semis > 0 THEN 1 ELSE 0 END
         |   + CASE WHEN n_braces > 0 THEN 1 ELSE 0 END
         |   + CASE WHEN symbol_e6 >= 50000 THEN 1 ELSE 0 END) >= 2 AS is_code
-        |FROM c ORDER BY doc_id""".stripMargin))
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // L311 — YULE'S K per source: the length-invariant lexical-
+    // diversity characteristic read off the frequency SPECTRUM only
+    // (Σ m²·V_m) — template spam and boilerplate score high at any
+    // corpus size; exact integer num/den, one division. The oracle
+    // replays the token rollup and spectrum.
+    Q("t_yule_k",
+      (s, dir) => TextOps.yuleK(
+        Tables.documents(s, dir), "source", "text"),
+      Some("""WITH w AS (SELECT source AS g,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |wn AS (SELECT g, w FROM w WHERE w <> ''),
+        |fr AS (SELECT g, w, CAST(COUNT(*) AS BIGINT) AS m FROM wn
+        |  GROUP BY g, w),
+        |a AS (SELECT g, CAST(SUM(m) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(m * m) AS BIGINT) AS sum_m_sq FROM fr GROUP BY g)
+        |SELECT g, n_tokens, n_types,
+        |  CAST(10000 * (sum_m_sq - n_tokens) AS BIGINT) AS k_num,
+        |  CAST(n_tokens * n_tokens AS BIGINT) AS k_den,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(10000 * (sum_m_sq - n_tokens) AS DOUBLE)
+        |      / CAST(n_tokens * n_tokens AS DOUBLE)
+        |    ELSE -1.0 END AS k
+        |FROM a ORDER BY g""".stripMargin)),
+
+    // L312 — WORDPIECE MERGE SCORING: the likelihood-ratio pair
+    // criterion (cnt(ab)/(cnt(a)·cnt(b))) that separates WordPiece
+    // from BPE's raw-frequency rule — one selection round over the
+    // distinct-word table, exact e9-floored scores, top-20 with a
+    // total tie-break. The oracle re-derives symbols positionally
+    // with substr (an independent mechanism from Spark's split).
+    Q("t_wordpiece_score",
+      (s, dir) => TextOps.wordpieceScores(
+        Tables.documents(s, dir), "text", k = 20),
+      Some("""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wd AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0
+        |  WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+        |  GROUP BY w),
+        |sy AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS s, freq
+        |  FROM wd, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i)),
+        |sc AS (SELECT s, CAST(SUM(freq) AS BIGINT) AS cnt_s FROM sy
+        |  GROUP BY s),
+        |pr AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+        |    substr(w, CAST(i AS INTEGER) + 1, 1) AS b, freq
+        |  FROM wd, LATERAL (SELECT unnest(range(1, length(w))) AS i)),
+        |pc AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt_pair
+        |  FROM pr GROUP BY a, b),
+        |j AS (SELECT pc.a, pc.b, pc.cnt_pair,
+        |    ca.cnt_s AS cnt_a, cb.cnt_s AS cnt_b,
+        |    CAST((pc.cnt_pair * 1000000000) // (ca.cnt_s * cb.cnt_s)
+        |      AS BIGINT) AS score_e9
+        |  FROM pc JOIN sc ca ON ca.s = pc.a JOIN sc cb ON cb.s = pc.b)
+        |SELECT a, b, cnt_pair, cnt_a, cnt_b, score_e9 FROM j
+        |ORDER BY score_e9 DESC, a, b LIMIT 20""".stripMargin))
   ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry :+ scriptMixEntry :+ langScriptEntry
 
   /** L194 — charset/script composition gate: exact per-class counts

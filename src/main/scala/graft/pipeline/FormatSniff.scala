@@ -43,5 +43,12 @@ object FormatSniff {
     else if (starts(bytes, ascii("WARC/"))) "warc"
     else if (starts(bytes, Array(0x1f, 0x8b))) "gzip"
     else if (starts(bytes, Array(0x50, 0x4b, 0x03, 0x04))) "zip"
+    // ustar magic sits at offset 257 (POSIX tar has no offset-0 magic)
+    else if (starts(bytes, ascii("ustar"), 257)) "tar"
+    // TIFF: II*\0 (little-endian) or MM\0* (big-endian)
+    else if (starts(bytes, Array(0x49, 0x49, 0x2a, 0x00))
+      || starts(bytes, Array(0x4d, 0x4d, 0x00, 0x2a))) "tiff"
+    // ISO-BMFF: 'ftyp' box type at offset 4
+    else if (starts(bytes, ascii("ftyp"), 4)) "mp4"
     else "unknown"
 }
