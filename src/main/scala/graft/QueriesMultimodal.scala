@@ -1893,6 +1893,129 @@ private[graft] object QueriesMultimodal {
       Some("""SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'tar' WHEN 1 THEN 'zip'
         |    WHEN 2 THEN 'tiff' ELSE 'mp4' END AS routed
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // L316 — EPUB TEXT EXTRACTION (Containers.epubText): the book-
+    // corpus front door — OCF mimetype certified (STORED, exact media
+    // type), OPF located through container.xml, SPINE reading order
+    // resolved through the manifest, chapters through the L256 HTML
+    // extraction. One row per chapter in spine order; entities
+    // round-trip through the escape/decode pair.
+    Q("mm_epub_text",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val rows = base.flatMap { id =>
+          import graft.pipeline.Containers
+          val chapters = (0 until (1 + id % 2).toInt).map(j =>
+            Seq(s"ep <$id> c$j a", s"ep $id c$j b"))
+          val got = Containers.epubText(
+            Containers.mintEpub(chapters, deflate = id % 2 == 0))
+          require(got.size == chapters.size, "epub chapter count mismatch")
+          got.map(c => (id, c.idx.toLong, c.href, c.text))
+        }.toDF("doc_id", "idx", "href", "text")
+        rows.orderBy(col("doc_id"), col("idx"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |    unnest(range(0, 1 + doc_id % 2)) AS j
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, CAST(j + 1 AS BIGINT) AS idx,
+        |  'ch' || j || '.xhtml' AS href,
+        |  'ep <' || doc_id || '> c' || j || ' a' || chr(10)
+        |    || 'ep ' || doc_id || ' c' || j || ' b' AS text
+        |FROM c ORDER BY doc_id, idx""".stripMargin)),
+
+    // L317 — WEBP HEADER PROBE (pipeline/WebpProbe): the modern web
+    // image container in all three flavors — VP8 lossy (start code +
+    // 14-bit dims), VP8L lossless (packed 14-bit dims + alpha bit),
+    // VP8X extended (24-bit canvas dims + alpha flag) — certified
+    // against mint duals; the router magic rides along. Oracle replays
+    // the flavor/dimension formulas.
+    Q("mm_webp_probe",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val rows = base.map { id =>
+          import graft.pipeline.{FormatSniff, WebpProbe}
+          val flavor = Seq("vp8", "vp8l", "vp8x")((id % 3).toInt)
+          val alpha = flavor != "vp8" && id % 2 == 0
+          val bytes = WebpProbe.mint(flavor, 16L + id % 2000,
+            16L + id % 1000, alpha)
+          val p = WebpProbe.probe(bytes)
+          require(p.flavor == flavor && p.hasAlphaFlag == alpha,
+            "webp probe round-trip mismatch")
+          (id, p.flavor, p.width, p.height, p.hasAlphaFlag,
+            FormatSniff.sniff(bytes))
+        }.toDF("doc_id", "flavor", "width", "height", "has_alpha",
+          "sniffed")
+        rows.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+        |    ELSE 'vp8x' END AS flavor,
+        |  CAST(16 + doc_id % 2000 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 1000 AS BIGINT) AS height,
+        |  doc_id % 3 <> 0 AND doc_id % 2 = 0 AS has_alpha,
+        |  'webp' AS sniffed
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // L318 — STREAMING DOCX GATE (L308 at ingest): arriving office
+    // documents extract statelessly at the firehose; a corrupt tier
+    // (id%17: a payload byte flipped, caught by the ZIP CRC
+    // certification) routes to failed rows instead of poisoning the
+    // batch — the S10 posture live on the container path. No state
+    // store; payloads stage once per session.
+    Q("streaming_docx_gate",
+      (s, dir) => QuerySupport.withStreamingPartitions(s) {
+        import s.implicits._
+        val name = "sdg_" + java.util.UUID.randomUUID().toString
+          .replace("-", "")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_stream_docx").toString
+        val srcDir = QuerySupport.stagedStreamSource("docx_payloads",
+          dir) { p =>
+          val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id")).as[Long]
+          val payloads = base.map { id =>
+            import graft.pipeline.Containers
+            val docx = Containers.mintDocx(Seq(s"sdg $id"),
+              deflate = id % 2 == 0)
+            if (id % 17 == 0) {
+              // flip a byte inside word/document.xml's payload: the
+              // CRC certification must catch it downstream
+              val e = Containers.walkZip(docx)
+                .find(_.name == "word/document.xml").get
+              val off = e.localOffset.toInt + 30 + e.name.length + 2
+              docx(off) = (docx(off) ^ 0x55).toByte
+            }
+            (id, docx)
+          }.toDF("doc_id", "payload")
+          QuerySupport.writeHeartbeat(payloads, p, "docx_payloads.parquet")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val gated = s.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            scala.util.Try(graft.pipeline.Containers.docxText(bytes)) match {
+              case scala.util.Success(t) => (id, true, t.length.toLong)
+              case scala.util.Failure(_) => (id, false, -1L)
+            }
+          }.toDF("doc_id", "ok", "n_chars")
+        val q = gated.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuerySupport.cleanupDirs(java.nio.file.Paths.get(ckpt))
+        s.table(name).filter(col("doc_id") >= 0).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, doc_id % 17 <> 0 AS ok,
+        |  CAST(CASE WHEN doc_id % 17 <> 0
+        |    THEN length('sdg ' || doc_id) ELSE -1 END AS BIGINT)
+        |    AS n_chars
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
   )
 }

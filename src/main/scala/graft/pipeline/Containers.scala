@@ -315,6 +315,101 @@ object Containers {
       .mkString("\n")
   }
 
+  // --------------------------------------------------------------- epub
+
+  private val rootfileRe =
+    """full-path\s*=\s*"([^"]+)"""".r
+  private val manifestItemRe =
+    """(?s)<item\s[^>]*>""".r
+  private val attrValRe =
+    """(\w+(?:-\w+)*)\s*=\s*"([^"]*)"""".r
+  private val spineRefRe =
+    """<itemref\s[^>]*idref\s*=\s*"([^"]+)"""".r
+
+  /** One EPUB chapter in spine order: position, archive href, and the
+    * extracted text.
+    */
+  final case class EpubChapter(idx: Int, href: String, text: String)
+
+  /** Extract chapter text from an EPUB container (the other ZIP-based
+    * document format next to [[docxText]]; EPUB OCF + OPF): certify
+    * the `mimetype` entry (spec: STORED, exact media type), locate the
+    * OPF package document through `META-INF/container.xml`, resolve
+    * the SPINE reading order through the manifest id→href map, and run
+    * each XHTML chapter through the L256 HTML text extraction. Missing
+    * structure raises (S10 tier).
+    */
+  def epubText(bytes: Array[Byte]): Seq[EpubChapter] = {
+    val entries = walkZip(bytes)
+    def part(name: String): Array[Byte] =
+      readZipEntry(bytes, entries.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"epub: no $name part")))
+    val mt = entries.find(_.name == "mimetype").getOrElse(
+      throw new IllegalArgumentException("epub: no mimetype entry"))
+    require(mt.method == 0, "epub: mimetype entry must be STORED")
+    require(new String(readZipEntry(bytes, mt), StandardCharsets.US_ASCII)
+      == "application/epub+zip", "epub: wrong media type")
+    val container = new String(part("META-INF/container.xml"),
+      StandardCharsets.UTF_8)
+    val opfPath = rootfileRe.findFirstMatchIn(container).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        "epub: container.xml names no rootfile"))
+    val opf = new String(part(opfPath), StandardCharsets.UTF_8)
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i  => opfPath.substring(0, i + 1)
+    }
+    val hrefById = manifestItemRe.findAllMatchIn(opf).flatMap { m =>
+      val attrs = attrValRe.findAllMatchIn(m.matched)
+        .map(a => (a.group(1), a.group(2))).toMap
+      for (id <- attrs.get("id"); href <- attrs.get("href")) yield id -> href
+    }.toMap
+    val spine = spineRefRe.findAllMatchIn(opf).map(_.group(1)).toSeq
+    require(spine.nonEmpty, "epub: empty spine")
+    spine.zipWithIndex.map { case (idref, i) =>
+      val href = hrefById.getOrElse(idref,
+        throw new IllegalArgumentException(
+          s"epub: spine idref '$idref' missing from manifest"))
+      val xhtml = new String(part(opfDir + href), StandardCharsets.UTF_8)
+      EpubChapter(i + 1, href, HtmlText.toText(xhtml))
+    }
+  }
+
+  /** Mint a minimal EPUB (fixture dual of [[epubText]]): stored
+    * mimetype, container.xml, OPF with manifest+spine, one XHTML file
+    * per chapter.
+    */
+  def mintEpub(chapters: Seq[Seq[String]], deflate: Boolean): Array[Byte] = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    val container = "<?xml version=\"1.0\"?><container version=\"1.0\" " +
+      "xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\">" +
+      "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+      "media-type=\"application/oebps-package+xml\"/></rootfiles>" +
+      "</container>"
+    val manifest = chapters.indices.map(i =>
+      s"""<item id="c$i" href="ch$i.xhtml" """ +
+        "media-type=\"application/xhtml+xml\"/>").mkString
+    val spine = chapters.indices.map(i =>
+      s"""<itemref idref="c$i"/>""").mkString
+    val opf = "<?xml version=\"1.0\"?><package version=\"3.0\" " +
+      "xmlns=\"http://www.idpf.org/2007/opf\"><manifest>" + manifest +
+      "</manifest><spine>" + spine + "</spine></package>"
+    val chapterParts = chapters.zipWithIndex.map { case (paras, i) =>
+      val body = paras.map(p => s"<p>${esc(p)}</p>").mkString
+      (s"OEBPS/ch$i.xhtml",
+        ("<?xml version=\"1.0\"?><html><body>" + body + "</body></html>")
+          .getBytes(StandardCharsets.UTF_8), deflate)
+    }
+    mintZip(Seq(
+      ("mimetype", "application/epub+zip".getBytes(StandardCharsets.US_ASCII),
+        false),
+      ("META-INF/container.xml",
+        container.getBytes(StandardCharsets.UTF_8), deflate),
+      ("OEBPS/content.opf", opf.getBytes(StandardCharsets.UTF_8), deflate))
+      ++ chapterParts)
+  }
+
   /** Mint a minimal WordprocessingML container (fixture dual of
     * [[docxText]]): one paragraph per input line, each line split
     * into two runs to exercise run concatenation.

@@ -31,6 +31,8 @@ object FormatSniff {
     else if (starts(bytes, ascii("BM"))) "bmp"
     else if (starts(bytes, ascii("RIFF"))
       && starts(bytes, ascii("WAVE"), 8)) "wav"
+    else if (starts(bytes, ascii("RIFF"))
+      && starts(bytes, ascii("WEBP"), 8)) "webp"
     else if (starts(bytes, ascii("FORM"))
       && starts(bytes, ascii("AIFF"), 8)) "aiff"
     else if (starts(bytes, ascii(".snd"))) "au"

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.pipeline.{Containers, Mp4Probe, TiffProbe}
+import graft.pipeline.{Containers, Mp4Probe, TiffProbe, WebpProbe}
 import java.nio.charset.StandardCharsets
 
 /** Round-trip + loud-failure pins for the archive/container walks
@@ -102,6 +102,40 @@ class ContainersSpec extends AnyFunSuite {
       withGps = false, bigEndian = false)
     bad(2) = 43
     intercept[IllegalArgumentException](TiffProbe.probe(bad))
+  }
+
+  test("epub mint/extract round-trip: mimetype certified, spine order, " +
+    "xhtml text") {
+    val chapters = Seq(Seq("One & one", "still <one>"), Seq("Chapter two"))
+    for (deflate <- Seq(false, true)) {
+      val epub = Containers.mintEpub(chapters, deflate)
+      val got = Containers.epubText(epub)
+      assert(got.map(_.idx) == Seq(1, 2))
+      assert(got.map(_.href) == Seq("ch0.xhtml", "ch1.xhtml"))
+      assert(got.map(_.text) == Seq("One & one\nstill <one>",
+        "Chapter two"))
+    }
+    // deflated mimetype violates OCF: loud
+    val parts = Containers.walkZip(Containers.mintEpub(chapters, false))
+    assert(parts.head.name == "mimetype" && parts.head.method == 0)
+    val badMime = Containers.mintZip(Seq(
+      ("mimetype", b("application/epub+zip"), true)))
+    intercept[IllegalArgumentException](Containers.epubText(badMime))
+  }
+
+  test("webp probe: all three flavors round-trip; corrupt start code " +
+    "is loud") {
+    for ((flavor, alpha) <- Seq(("vp8", false), ("vp8l", true),
+        ("vp8x", true))) {
+      val w = WebpProbe.mint(flavor, 1024L, 768L, alpha)
+      val p = WebpProbe.probe(w)
+      assert(p.flavor == flavor && p.width == 1024L && p.height == 768L
+        && p.hasAlphaFlag == alpha, s"got $p")
+      assert(graft.pipeline.FormatSniff.sniff(w) == "webp")
+    }
+    val bad = WebpProbe.mint("vp8", 16L, 16L, alpha = false)
+    bad(23) = 0x00
+    intercept[IllegalArgumentException](WebpProbe.probe(bad))
   }
 
   test("mp4 mint/probe round-trip: brand, mvhd, video+audio tracks") {
