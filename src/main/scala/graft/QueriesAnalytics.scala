@@ -1785,7 +1785,44 @@ private[graft] object QueriesAnalytics {
         |  CASE WHEN conc + disc > 0
         |    THEN CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE)
         |    ELSE -2.0 END AS gamma
-        |FROM g""".stripMargin))
+        |FROM g""".stripMargin)),
+
+    // L319 — WELCH'S T between even/odd event cents: exact moments,
+    // variances-over-n as single divisions, t the fixed five-op IEEE
+    // tree (the L258 z discipline); no pooled-variance assumption.
+    Q("e_welch_t",
+      (s, dir) => {
+        val e = evPoints(s, dir).filter(col("event_id") >= 2400L &&
+          col("event_id") < 4800L)
+        EvalOps.welchT(
+          e.filter(pmod(col("event_id"), lit(2L)) === 0L),
+          e.filter(pmod(col("event_id"), lit(2L)) === 1L), "cents")
+      },
+      Some("""WITH e AS (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_id >= 2400 AND event_id < 4800),
+        |sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(v) AS BIGINT) AS sum_a,
+        |    CAST(SUM(v * v) AS BIGINT) AS sxx_a FROM e
+        |  WHERE event_id % 2 = 0),
+        |sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(v) AS BIGINT) AS sum_b,
+        |    CAST(SUM(v * v) AS BIGINT) AS sxx_b FROM e
+        |  WHERE event_id % 2 = 1),
+        |f AS (SELECT n_a, n_b, sum_a, sum_b,
+        |    n_a * sxx_a - sum_a * sum_a AS va_num,
+        |    n_b * sxx_b - sum_b * sum_b AS vb_num,
+        |    n_a * n_a * (n_a - 1) AS va_den,
+        |    n_b * n_b * (n_b - 1) AS vb_den
+        |  FROM sa CROSS JOIN sb)
+        |SELECT n_a, n_b, sum_a, sum_b, va_num, vb_num, va_den, vb_den,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va_num > 0 OR vb_num > 0)
+        |    THEN (CAST(sum_a * n_b - sum_b * n_a AS DOUBLE)
+        |        / CAST(n_a * n_b AS DOUBLE))
+        |      / sqrt(CAST(va_num AS DOUBLE) / CAST(va_den AS DOUBLE)
+        |        + CAST(vb_num AS DOUBLE) / CAST(vb_den AS DOUBLE))
+        |    ELSE -99.0 END AS t
+        |FROM f""".stripMargin))
   )
 
   /** RBO@10 suffix weights W(m) = Σ_{d=m..10} (2520/d)·9^(d−1)·10^(10−d)

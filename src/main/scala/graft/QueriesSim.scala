@@ -987,6 +987,41 @@ private[graft] object QueriesSim {
         |      / CAST((a_pairs + b_pairs) * t_pairs - 2 * a_pairs * b_pairs
         |        AS DOUBLE)
         |    ELSE -2.0 END AS ari
-        |FROM fin""".stripMargin))
+        |FROM fin""".stripMargin)),
+
+    // L320 — B-CUBED evaluation of the SAME SRP-LSH bucket clustering
+    // the ARI audit (L218) reads: the per-item precision/recall view
+    // that punishes over-merging and over-splitting separately —
+    // exact-by-cell floors both engines replay.
+    Q("sim_bcubed",
+      (s, dir) => {
+        graft.expr.LongArrayDot.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val cs = graft.ops.SrpLsh.coefficients(60, 64)
+        val base = Similarity.quantize(emb, "vec_id", "embedding")
+          .withColumn("bucket",
+            pmod(graft.ops.SrpLsh.signature(col("qv"), cs), lit(64L)))
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        EvalOps.bcubed(base, "bucket", "label")
+      },
+      Some(s"""WITH $quantSqlCte,
+        |$srpSqlCte,
+        |ct AS (SELECT srp.sig % 64 AS k, e.label AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM srp JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        |nk AS (SELECT k, CAST(SUM(c) AS BIGINT) AS nk FROM ct GROUP BY 1),
+        |mjt AS (SELECT j, CAST(SUM(c) AS BIGINT) AS mj FROM ct GROUP BY 1),
+        |ag AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT ct.k) AS BIGINT) AS n_clusters,
+        |    CAST(COUNT(DISTINCT ct.j) AS BIGINT) AS n_classes,
+        |    CAST(SUM(c * ((c * 1000000) // nk.nk)) AS BIGINT) AS tp,
+        |    CAST(SUM(c * ((c * 1000000) // mjt.mj)) AS BIGINT) AS tr
+        |  FROM ct JOIN nk ON nk.k = ct.k JOIN mjt ON mjt.j = ct.j)
+        |SELECT n, n_clusters, n_classes,
+        |  CAST(tp // n AS BIGINT) AS p_e6, CAST(tr // n AS BIGINT) AS r_e6,
+        |  CAST(CASE WHEN (tp // n) + (tr // n) > 0
+        |    THEN (2 * (tp // n) * (tr // n)) // ((tp // n) + (tr // n))
+        |    ELSE 0 END AS BIGINT) AS f_e6
+        |FROM ag""".stripMargin))
   )
 }

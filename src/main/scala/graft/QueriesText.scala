@@ -1154,7 +1154,58 @@ FROM ag ORDER BY lang""")),
         |      AS BIGINT) AS score_e9
         |  FROM pc JOIN sc ca ON ca.s = pc.a JOIN sc cb ON cb.s = pc.b)
         |SELECT a, b, cnt_pair, cnt_a, cnt_b, score_e9 FROM j
-        |ORDER BY score_e9 DESC, a, b LIMIT 20""".stripMargin))
+        |ORDER BY score_e9 DESC, a, b LIMIT 20""".stripMargin)),
+
+    // L321 — ZIPF PROFILE: the log-log frequency-spectrum slope — a
+    // natural corpus follows Zipf (slope near −(1+1/s) on the
+    // spectrum), template spam and synthetic filler bend it; the
+    // drift check a feed audit runs next to Heaps (L202). EXACT
+    // throughout: both axes are floor-log2 integers (binary-string
+    // length, never IEEE log) and the fit is the L267 exact OLS —
+    // slope/r single divisions of exact BIGINTs.
+    Q("t_zipf_profile",
+      (s, dir) => {
+        val freq = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("m"))
+        val spec = freq
+          .select((length(conv(col("m"), 10, 2)) - 1).cast("long").as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("vb"))
+        val pts = spec.select(col("b").as("x"),
+          (length(conv(col("vb"), 10, 2)) - 1).cast("long").as("y"))
+        EvalOps.linearFit(pts, "x", "y")
+      },
+      Some("""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |fr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS m FROM w0
+        |  WHERE w <> '' GROUP BY w),
+        |sp AS (SELECT CAST(len(printf('%b', m)) - 1 AS BIGINT) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS vb FROM fr GROUP BY 1),
+        |pts AS (SELECT b AS x,
+        |    CAST(len(printf('%b', vb)) - 1 AS BIGINT) AS y FROM sp),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy FROM pts),
+        |d AS (SELECT n, sx, sy,
+        |    n * sxy - sx * sy AS xy_dev,
+        |    n * sxx - sx * sx AS xx_dev,
+        |    n * syy - sy * sy AS yy_dev FROM g)
+        |SELECT n, sx, sy, xy_dev, xx_dev, yy_dev,
+        |  CASE WHEN xx_dev > 0
+        |    THEN CAST(xy_dev AS DOUBLE) / CAST(xx_dev AS DOUBLE)
+        |    ELSE 0.0 END AS slope,
+        |  CASE WHEN xx_dev > 0
+        |    THEN CAST(CAST(sy AS HUGEINT) * xx_dev
+        |        - CAST(xy_dev AS HUGEINT) * sx AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * xx_dev AS DOUBLE)
+        |    ELSE 0.0 END AS intercept,
+        |  CASE WHEN xx_dev > 0 AND yy_dev > 0
+        |    THEN CAST(xy_dev AS DOUBLE)
+        |      / (sqrt(CAST(xx_dev AS DOUBLE)) * sqrt(CAST(yy_dev AS DOUBLE)))
+        |    ELSE -2.0 END AS r
+        |FROM d""".stripMargin))
   ) :+ rougeEntry :+ bleuEntry :+ langidMetricsEntry :+ chrfEntry :+ readabilityEntry :+ giniEntry :+ rakeEntry :+ charsetEntry :+ scriptMixEntry :+ langScriptEntry
 
   /** L194 — charset/script composition gate: exact per-class counts

@@ -1906,6 +1906,92 @@ object EvalOps {
         .otherwise(lit(-99d)))
   }
 
+  /** L319 — WELCH'S T (unequal-variance two-sample test): the
+    * parametric unpaired comparison next to Mann–Whitney (L258) —
+    * right when the scores are interval-scaled and the two sources
+    * have DIFFERENT spreads (Student's pooled variance silently
+    * assumes equality; Welch is the default in every modern stats
+    * stack). All four moments are exact BIGINTs; the sample variances
+    * are single divisions va = va_num/va_den with
+    * va_num = n·Σx² − S², va_den = n²(n−1)·(scaled by 1/n for the
+    * standard error fold: we fold s²/n directly, den = n²(n−1));
+    * t = dm / sqrt(va + vb) with dm = (S_a·n_b − S_b·n_a)/(n_a·n_b) —
+    * a fixed five-op IEEE tree (div, div, div, add, sqrt, div) both
+    * engines evaluate identically on identical exact inputs (the
+    * L258/L295 discipline). Degenerate spread (va+vb = 0) or n < 2 on
+    * either side reports t = −99. The Welch–Satterthwaite df is NOT
+    * emitted (a longer double chain than the discipline allows —
+    * callers needing df compute it from the exact components).
+    *
+    * Scale shape: two map-side-combined global aggs.
+    *
+    * Output: one row (n_a, n_b, sum_a, sum_b, va_num, vb_num, va_den,
+    * vb_den, t).
+    */
+  def welchT(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(integralChecked(col(valCol), "welchT").as("v"))
+        .agg(count(lit(1)).as(s"n_$tag"), sum(col("v")).as(s"sum_$tag"),
+          sum(col("v") * col("v")).as(s"sxx_$tag"))
+    side(a, "a").crossJoin(broadcast(side(b, "b")))
+      .select(col("n_a"), col("n_b"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"),
+        coalesce(col("sum_b"), lit(0L)).as("sum_b"),
+        (col("n_a") * coalesce(col("sxx_a"), lit(0L))
+          - coalesce(col("sum_a"), lit(0L)) * coalesce(col("sum_a"), lit(0L)))
+          .as("va_num"),
+        (col("n_b") * coalesce(col("sxx_b"), lit(0L))
+          - coalesce(col("sum_b"), lit(0L)) * coalesce(col("sum_b"), lit(0L)))
+          .as("vb_num"),
+        (col("n_a") * col("n_a") * (col("n_a") - 1L)).as("va_den"),
+        (col("n_b") * col("n_b") * (col("n_b") - 1L)).as("vb_den"))
+      .withColumn("t",
+        when(col("n_a") >= 2L && col("n_b") >= 2L &&
+          (col("va_num") > 0L || col("vb_num") > 0L),
+          ((col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+            .cast("double") / (col("n_a") * col("n_b")).cast("double")) /
+            sqrt(col("va_num").cast("double") / col("va_den").cast("double")
+              + col("vb_num").cast("double") / col("vb_den").cast("double")))
+          .otherwise(lit(-99d)))
+  }
+
+  /** L320 — B-CUBED CLUSTERING EVALUATION (Bagga & Baldwin 1998): the
+    * per-ITEM precision/recall view of a clustering against gold
+    * classes — unlike ARI/purity (L218) it weights every item equally
+    * and punishes both over-merging (precision) and over-splitting
+    * (recall), which is why dedup-cluster audits report it. For item i
+    * in cluster k with class j: P_i = c_kj/n_k, R_i = c_kj/m_j — all
+    * items in the same (k,j) cell share the value, so the whole metric
+    * is one cell rollup: total_p_e6 = Σ_cells c_kj·((c_kj·10⁶) div
+    * n_k), p_e6 = total div N (floored fixed-point, deterministic,
+    * the oracle replays the identical floors); F1 one more integer
+    * fold: f_e6 = (2·p_e6·r_e6) div (p_e6 + r_e6).
+    *
+    * Scale shape: one (cluster, class) rollup + two broadcast-size
+    * side rollups — nothing pairwise, the exact-by-cell factoring.
+    *
+    * Output: one row (n, n_clusters, n_classes, p_e6, r_e6, f_e6).
+    */
+  def bcubed(df: DataFrame, clusterCol: String,
+      classCol: String): DataFrame = {
+    val cells = df.select(col(clusterCol).as("k"), col(classCol).as("j"))
+      .groupBy(col("k"), col("j")).agg(count(lit(1)).as("c"))
+    val byK = cells.groupBy(col("k")).agg(sum(col("c")).as("nk"))
+    val byJ = cells.groupBy(col("j")).agg(sum(col("c")).as("mj"))
+    cells
+      .join(broadcast(byK), Seq("k")).join(broadcast(byJ), Seq("j"))
+      .agg(sum(col("c")).as("n"),
+        countDistinct(col("k")).as("n_clusters"),
+        countDistinct(col("j")).as("n_classes"),
+        sum(col("c") * expr("(c * 1000000L) div nk")).as("tp"),
+        sum(col("c") * expr("(c * 1000000L) div mj")).as("tr"))
+      .select(col("n"), col("n_clusters"), col("n_classes"),
+        expr("tp div n").as("p_e6"), expr("tr div n").as("r_e6"))
+      .withColumn("f_e6",
+        when(col("p_e6") + col("r_e6") > 0L,
+          expr("(2L * p_e6 * r_e6) div (p_e6 + r_e6)")).otherwise(lit(0L)))
+  }
+
   /** L304 — KAPLAN–MEIER PRODUCT-LIMIT SURVIVAL: how long does a
     * document LIVE in the corpus? — the estimator a recrawl/refresh
     * audit runs over page lifetimes when some pages are still alive

@@ -4111,6 +4111,41 @@ class OpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("L319 welchT: hand-worked unequal-variance t; degenerate is -99") {
+    import graft.ops.EvalOps
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(2L, 4L, 6L).toDF("v")
+    val r = EvalOps.welchT(a, b, "v").head
+    assert(r.getLong(r.fieldIndex("va_num")) == 20L &&
+      r.getLong(r.fieldIndex("va_den")) == 48L &&
+      r.getLong(r.fieldIndex("vb_num")) == 24L &&
+      r.getLong(r.fieldIndex("vb_den")) == 18L)
+    val t = r.getAs[Double]("t")
+    assert(math.abs(t - (-1.5 / math.sqrt(20.0 / 48.0 + 24.0 / 18.0)))
+      < 1e-15, s"got $t")
+    // constant both sides -> degenerate
+    val c = Seq(5L, 5L).toDF("v")
+    assert(EvalOps.welchT(c, c, "v").head.getAs[Double]("t") == -99d)
+  }
+
+  test("L320 bcubed: per-item precision/recall from the cell rollup") {
+    import graft.ops.EvalOps
+    // clusters A=[x,x,y], B=[y,y]: symmetric P=R=733333 by hand
+    val items = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "y"),
+      ("B", "y")).toDF("k", "j")
+    val r = EvalOps.bcubed(items, "k", "j").head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(r.fieldIndex("p_e6")) == 733333L &&
+      r.getLong(r.fieldIndex("r_e6")) == 733333L &&
+      r.getLong(r.fieldIndex("f_e6")) == 733333L, s"got $r")
+    // a perfect clustering scores 1e6 across the board
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y")).toDF("k", "j")
+    val p = EvalOps.bcubed(perfect, "k", "j").head
+    assert(p.getLong(p.fieldIndex("p_e6")) == 1000000L &&
+      p.getLong(p.fieldIndex("r_e6")) == 1000000L &&
+      p.getLong(p.fieldIndex("f_e6")) == 1000000L)
+  }
+
   test("L311 yuleK: spectrum-exact K on a planted frequency profile") {
     import graft.ops.TextOps
     // g1: tokens a,a,a,b -> N=4, V3=1, V1=1, sum m^2 V = 10 -> K=3750
