@@ -2694,6 +2694,45 @@ private[graft] object QueriesCuration {
         |      9223372036854775807) AS valid_to FROM ep)
         |SELECT key, value, valid_from, valid_to,
         |  valid_to = 9223372036854775807 AS is_current
-        |FROM iv ORDER BY key, valid_from""".stripMargin))
+        |FROM iv ORDER BY key, valid_from""".stripMargin)),
+
+    // L324 — E.164 PHONE PII GATE (Curation.e164Valid): candidates
+    // minted doc_id-derived in both engines across every failure mode
+    // — valid 1/2/3-digit country codes, an unassigned code, and
+    // length violations on both ends — validated against the embedded
+    // ITU subset (longest-prefix match) + the 8..15 digit bound;
+    // valid numbers redact (the c_pii_luhn convention).
+    Q("c_pii_phone",
+      (s, dir) => {
+        val cc = element_at(array(lit("1"), lit("44"), lit("999"),
+          lit("86")), (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+        val sub = expr("lpad(CAST(doc_id % 100000 AS STRING), " +
+          "CAST(5 + doc_id % 10 AS INT), '0')")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(lit("+"), cc, sub).as("candidate"))
+          .withColumn("e164_ok", Curation.e164Valid(col("candidate")))
+          .withColumn("clean",
+            when(col("e164_ok"), lit("<PHONE>")).otherwise(col("candidate")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+        |    '+' || (['1', '44', '999', '86'])[CAST(doc_id % 4 AS INTEGER) + 1]
+        |      || lpad(CAST(doc_id % 100000 AS VARCHAR),
+        |        CAST(5 + doc_id % 10 AS INTEGER), '0') AS candidate
+        |  FROM documents),
+        |v AS (SELECT doc_id, candidate,
+        |    regexp_full_match(candidate, '\\+[0-9]{8,15}')
+        |    AND (substr(candidate, 2, 3) IN
+        |        (${Curation.e164Cc3.map(c => s"'$c'").mkString(", ")})
+        |      OR substr(candidate, 2, 2) IN
+        |        (${Curation.e164Cc2.map(c => s"'$c'").mkString(", ")})
+        |      OR substr(candidate, 2, 1) IN
+        |        (${Curation.e164Cc1.map(c => s"'$c'").mkString(", ")}))
+        |      AS e164_ok
+        |  FROM p)
+        |SELECT doc_id, candidate, e164_ok,
+        |  CASE WHEN e164_ok THEN '<PHONE>' ELSE candidate END AS clean
+        |FROM v ORDER BY doc_id""".stripMargin))
   )
 }

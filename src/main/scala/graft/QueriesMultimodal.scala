@@ -2016,6 +2016,51 @@ private[graft] object QueriesMultimodal {
         |  CAST(CASE WHEN doc_id % 17 <> 0
         |    THEN length('sdg ' || doc_id) ELSE -1 END AS BIGINT)
         |    AS n_chars
-        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // L322 — MATROSKA/WEBM PROBE (pipeline/MkvProbe): the EBML
+    // container walk below any codec — VINT ids/sizes (widths 1-4
+    // exercised by the registry ids themselves), DocType, Info's
+    // TimecodeScale, per-track number/type/codec — the catalog a
+    // .webm crawl certifies before routing; Clusters skipped by size
+    // (lazy-decode). Oracle replays the track formulas.
+    Q("mm_mkv_probe",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+        val rows = base.flatMap { id =>
+          import graft.pipeline.MkvProbe
+          val docType = if (id % 2 == 0) "webm" else "matroska"
+          val scale = Seq(1000000L, 500000L, 2000000L)((id % 3).toInt)
+          val tracks = Seq(
+            MkvProbe.MkvTrack(1L, 1L,
+              if (id % 2 == 0) "V_VP9" else "V_MPEG4/ISO/AVC"),
+            MkvProbe.MkvTrack(2L, 2L,
+              if (id % 5 == 0) "A_OPUS" else "A_VORBIS"))
+          val p = MkvProbe.probe(MkvProbe.mint(docType, scale, tracks))
+          require(p.docType == docType && p.timecodeScale == scale &&
+            p.tracks == tracks, "mkv probe round-trip mismatch")
+          p.tracks.map(t => (id, p.docType, p.timecodeScale, t.number,
+            t.trackType, t.codecId))
+        }.toDF("doc_id", "doc_type", "timecode_scale", "number",
+          "track_type", "codec_id")
+        rows.orderBy(col("doc_id"), col("number"))
+      },
+      Some("""WITH c AS (SELECT doc_id, unnest(range(1, 3)) AS number
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+        |    AS doc_type,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+        |    ELSE 2000000 END AS BIGINT) AS timecode_scale,
+        |  CAST(number AS BIGINT) AS number,
+        |  CAST(number AS BIGINT) AS track_type,
+        |  CASE WHEN number = 1 THEN
+        |      CASE WHEN doc_id % 2 = 0 THEN 'V_VP9'
+        |        ELSE 'V_MPEG4/ISO/AVC' END
+        |    ELSE CASE WHEN doc_id % 5 = 0 THEN 'A_OPUS'
+        |      ELSE 'A_VORBIS' END END AS codec_id
+        |FROM c ORDER BY doc_id, number""".stripMargin))
   )
 }

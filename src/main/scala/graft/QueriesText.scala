@@ -1156,6 +1156,33 @@ FROM ag ORDER BY lang""")),
         |SELECT a, b, cnt_pair, cnt_a, cnt_b, score_e9 FROM j
         |ORDER BY score_e9 DESC, a, b LIMIT 20""".stripMargin)),
 
+    // L323 — SENTENCE SEGMENTATION: the unit boundary under the
+    // chunker (L58) and TextTiling (L139) — a deliberately bounded
+    // RE2 grammar ([^.!?]+[.!?]+, no abbreviation handling) shared
+    // VERBATIM with the oracle; per-document sentence count, total
+    // terminated span, and longest sentence.
+    Q("t_sentences",
+      (s, dir) => {
+        val arr = TextOps.sentences(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(arr).cast("long").as("n_sentences"),
+            coalesce(aggregate(transform(arr, x => length(x)),
+              lit(0L), (a, x) => a + x), lit(0L)).as("n_span_chars"),
+            coalesce(array_max(transform(arr, x => length(x).cast("long"))),
+              lit(0L)).as("max_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH e AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(list_sum(list_transform(sents,
+        |    x -> strlen(x))), 0) AS BIGINT) AS n_span_chars,
+        |  CAST(COALESCE(list_max(list_transform(sents,
+        |    x -> strlen(x))), 0) AS BIGINT) AS max_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     // L321 — ZIPF PROFILE: the log-log frequency-spectrum slope — a
     // natural corpus follows Zipf (slope near −(1+1/s) on the
     // spectrum), template spam and synthetic filler bend it; the

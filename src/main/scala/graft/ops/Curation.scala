@@ -2405,6 +2405,41 @@ object Curation {
         col("n_docs"), col("n_killed"))
   }
 
+  /** Embedded ITU E.164 country-calling-code subset: enough real
+    * assignments to exercise every prefix width (1, 2, 3 digits) and
+    * the longest-prefix-first match; swap in the full ITU table for
+    * production without touching the algorithm (the PublicSuffix
+    * posture).
+    */
+  val e164Cc1: Seq[String] = Seq("1", "7")
+  val e164Cc2: Seq[String] = Seq("20", "27", "30", "31", "33", "34",
+    "39", "40", "41", "44", "49", "52", "55", "61", "62", "63", "64",
+    "65", "66", "81", "82", "84", "86", "90", "91", "92", "93", "94",
+    "95", "98")
+  val e164Cc3: Seq[String] = Seq("212", "213", "216", "218", "220",
+    "234", "254", "351", "352", "353", "358", "380", "420", "421",
+    "880", "886", "961", "962", "971", "972", "994")
+
+  /** L324 — E.164 INTERNATIONAL PHONE GATE: the phone-number PII
+    * sibling of the Luhn card (L134) and IBAN (L150) gates — a
+    * candidate `+digits` string is PII when its country calling code
+    * resolves against the ITU table (LONGEST prefix first: 3 → 2 → 1
+    * digits) and the total length is within the E.164 bound of 15
+    * digits (8 minimum here — shorter national numbers exist but are
+    * not internationally routable, documented). Returns the validity
+    * Column; redaction composes with `when` at the call site. Pure
+    * string ops + InSet — fully relational, the same expression tree
+    * both engines evaluate.
+    */
+  def e164Valid(cand: Column): Column = {
+    val digits = substring(cand, 2, 100)
+    val shapeOk = cand.rlike("^\\+[0-9]{8,15}$")
+    val ccOk = substring(digits, 1, 3).isInCollection(e164Cc3) ||
+      substring(digits, 1, 2).isInCollection(e164Cc2) ||
+      substring(digits, 1, 1).isInCollection(e164Cc1)
+    shapeOk && ccOk
+  }
+
   /** L313 — SCD-2 VALIDITY INTERVALS from a change log: turn per-key
     * observation events (key, ts, value) into the slowly-changing-
     * dimension-type-2 table every warehouse keeps for corpus metadata

@@ -1395,6 +1395,22 @@ object TextOps {
           + when(col("symbol_e6") >= 50000L, 1).otherwise(0)) >= 2)
       .drop("__t")
 
+  /** L323 — SENTENCE SEGMENTATION (bounded grammar): maximal runs of
+    * non-terminator characters closed by a terminator run
+    * (`[^.!?]+[.!?]+`) — the unit boundary the context-window chunker
+    * (L58) and TextTiling (L139) sit above. DELIBERATELY regex-only
+    * and RE2-compatible so the IDENTICAL pattern runs verbatim in
+    * external SQL engines: abbreviation/decimal-point handling is out
+    * of the bounded grammar (documented — this is the shared-kernel
+    * posture of [[bpeTokenPattern]], not a full Punkt segmenter).
+    * Trailing text without a terminator is NOT a sentence (the
+    * incomplete-line convention).
+    */
+  val sentencePattern: String = "[^.!?]+[.!?]+"
+
+  def sentences(textCol: Column): Column =
+    regexp_extract_all(textCol, lit(sentencePattern), lit(0))
+
   /** L311 — YULE'S K lexical-diversity characteristic: the
     * length-INVARIANT repetitiveness measure next to MATTR (L224,
     * windowed type ratio) and the token Gini (L185, concentration) —

@@ -52,5 +52,7 @@ object FormatSniff {
       || starts(bytes, Array(0x4d, 0x4d, 0x00, 0x2a))) "tiff"
     // ISO-BMFF: 'ftyp' box type at offset 4
     else if (starts(bytes, ascii("ftyp"), 4)) "mp4"
+    // EBML (Matroska/WebM) magic
+    else if (starts(bytes, Array(0x1a, 0x45, 0xdf, 0xa3))) "mkv"
     else "unknown"
 }

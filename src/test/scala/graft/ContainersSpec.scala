@@ -138,6 +138,30 @@ class ContainersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WebpProbe.probe(bad))
   }
 
+  test("mkv mint/probe round-trip: doctype, timecode scale, tracks; " +
+    "vint widths exercised") {
+    import graft.pipeline.MkvProbe
+    val tracks = Seq(
+      MkvProbe.MkvTrack(1L, 1L, "V_VP9"),
+      MkvProbe.MkvTrack(2L, 2L, "A_OPUS"))
+    val mkv = MkvProbe.mint("webm", 1000000L, tracks)
+    val p = MkvProbe.probe(mkv)
+    assert(p.docType == "webm" && p.timecodeScale == 1000000L
+      && p.tracks == tracks, s"got $p")
+    assert(graft.pipeline.FormatSniff.sniff(mkv) == "mkv")
+    // default timecode scale when Info omits it: spec 1,000,000
+    val noScale = MkvProbe.mint("matroska", 1000000L, tracks.take(1))
+    assert(MkvProbe.probe(noScale).timecodeScale == 1000000L)
+    // truncated element is loud
+    intercept[IllegalArgumentException](MkvProbe.probe(
+      java.util.Arrays.copyOfRange(mkv, 0, mkv.length - 3)))
+    // a TrackEntry without a codec is loud
+    intercept[IllegalArgumentException] {
+      MkvProbe.probe(MkvProbe.mint("webm", 1000000L,
+        Seq(MkvProbe.MkvTrack(1L, 1L, ""))))
+    }
+  }
+
   test("mp4 mint/probe round-trip: brand, mvhd, video+audio tracks") {
     val tracks = Seq(
       Mp4Probe.TrackInfo(1L, "vide", 30000L, 90000L, 1920L, 1080L),
