@@ -1822,7 +1822,40 @@ private[graft] object QueriesAnalytics {
         |      / sqrt(CAST(va_num AS DOUBLE) / CAST(va_den AS DOUBLE)
         |        + CAST(vb_num AS DOUBLE) / CAST(vb_den AS DOUBLE))
         |    ELSE -99.0 END AS t
-        |FROM f""".stripMargin))
+        |FROM f""".stripMargin)),
+
+    // L325 — DETERMINISTIC BOOTSTRAP CI of the mean |cents| over a
+    // 2000-row sample: 200 replicates drawn through public md5 (the
+    // Feistel stance on resampling — reproducible across engines and
+    // restarts), exact e6 replicate means, CI = the 5th/196th order
+    // statistics. The oracle replays the identical draws.
+    Q("e_bootstrap_ci",
+      (s, dir) => EvalOps.bootstrapMeanCI(
+        evPoints(s, dir).filter(col("event_id") < 2000L)
+          .select(col("event_id"), abs(col("cents")).as("av")),
+        "event_id", "av", b = 200, loIdx = 5, hiIdx = 196),
+      Some("""WITH e AS (SELECT event_id AS i,
+        |    abs(CAST(round(value * 100) AS BIGINT)) AS v FROM events
+        |  WHERE event_id < 2000),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        |d AS (SELECT r.b AS rep,
+        |    CAST(('0x' || substr(md5(CAST(r.b AS VARCHAR) || '_'
+        |      || CAST(e.i AS VARCHAR)), 1, 15)) AS BIGINT) % nn.n AS draw
+        |  FROM e, range(200) r(b), nn),
+        |m AS (SELECT d.rep,
+        |    CAST((1000000 * SUM(e2.v)) // MAX(nn2.n) AS BIGINT)
+        |      AS rep_mean_e6
+        |  FROM d JOIN e e2 ON e2.i = d.draw CROSS JOIN nn nn2
+        |  GROUP BY d.rep),
+        |rk AS (SELECT rep_mean_e6,
+        |    row_number() OVER (ORDER BY rep_mean_e6, rep) AS r FROM m),
+        |ov AS (SELECT MAX(nn.n) AS n,
+        |    CAST((1000000 * SUM(v)) // MAX(nn.n) AS BIGINT) AS mean_e6
+        |  FROM e CROSS JOIN nn)
+        |SELECT ov.n, CAST(200 AS BIGINT) AS b, ov.mean_e6,
+        |  (SELECT rep_mean_e6 FROM rk WHERE r = 5) AS lo_e6,
+        |  (SELECT rep_mean_e6 FROM rk WHERE r = 196) AS hi_e6
+        |FROM ov""".stripMargin))
   )
 
   /** RBO@10 suffix weights W(m) = Σ_{d=m..10} (2520/d)·9^(d−1)·10^(10−d)

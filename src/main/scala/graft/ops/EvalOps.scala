@@ -1955,6 +1955,68 @@ object EvalOps {
           .otherwise(lit(-99d)))
   }
 
+  /** L325 — DETERMINISTIC BOOTSTRAP CI of the mean (Efron 1979, with
+    * the randomness replaced by a public hash — the L131 Feistel
+    * stance applied to resampling): B replicates each draw n items
+    * WITH replacement, draw (b, i) reading item H(b,i) mod n where H
+    * is the first 15 hex digits of md5 — a pure column expression
+    * both engines evaluate identically, so the "random" resample is
+    * REPRODUCIBLE across runs, engines, and restarts (a property real
+    * bootstrap pipelines give up the moment they call rand()). Means
+    * are exact e6-floored integers; the CI bounds are the loIdx-th /
+    * hiIdx-th ORDER STATISTICS of the B replicate means (exact, not
+    * interpolated — documented convention). Ids must be contiguous
+    * 0..n−1 (validated loudly: H mod n must hit every item).
+    *
+    * Scale shape: the draw table is B·n rows built by an explode —
+    * embarrassingly parallel, one equi-join on the drawn id, one
+    * B-group rollup; B is a constant (≤ 1000, validated), so this is
+    * linear in the sample with no shuffle wider than B groups.
+    *
+    * Output: one row (n, b, mean_e6, lo_e6, hi_e6).
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valCol: String,
+      b: Int, loIdx: Int, hiIdx: Int): DataFrame = {
+    require(b >= 10 && b <= 1000, s"b must be 10..1000, got $b")
+    require(loIdx >= 1 && hiIdx <= b && loIdx < hiIdx,
+      s"order-statistic indices out of range: $loIdx..$hiIdx of $b")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("i"),
+      integralChecked(col(valCol), "bootstrapMeanCI").as("v"))
+    val n = base.agg(count(lit(1)).as("n"), min(col("i")).as("i_lo"),
+      max(col("i")).as("i_hi"))
+    val gated = base.crossJoin(broadcast(n))
+      .select(
+        when(col("i_lo") =!= 0L || col("i_hi") =!= col("n") - 1L,
+          raise_error(lit("bootstrapMeanCI: ids must be contiguous " +
+            "0..n-1")).cast("long")).otherwise(col("i")).as("i"),
+        col("v"), col("n"))
+    val draws = gated
+      .select(col("n"), col("i"), explode(sequence(lit(0), lit(b - 1)))
+        .as("rep"))
+      .select(col("n"), col("rep"),
+        pmod(conv(substring(md5(concat(col("rep").cast("string"), lit("_"),
+          col("i").cast("string"))), 1, 15), 16, 10).cast("long"),
+          col("n")).as("draw"))
+    val means = draws
+      .join(gated.select(col("i").as("draw"), col("v")), Seq("draw"))
+      .groupBy(col("rep"))
+      .agg(first(col("n")).as("n"),
+        expr("(1000000L * sum(v)) div first(n)").as("rep_mean_e6"))
+    val ranked = means.withColumn("r",
+      row_number().over(Window.orderBy(col("rep_mean_e6"), col("rep"))))
+    val overall = gated.agg(first(col("n")).as("n"),
+      expr("(1000000L * sum(v)) div first(n)").as("mean_e6"))
+    overall.crossJoin(broadcast(
+        ranked.filter(col("r") === loIdx)
+          .select(col("rep_mean_e6").as("lo_e6"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("r") === hiIdx)
+          .select(col("rep_mean_e6").as("hi_e6"))))
+      .select(col("n"), lit(b.toLong).as("b"), col("mean_e6"),
+        col("lo_e6"), col("hi_e6"))
+  }
+
   /** L320 — B-CUBED CLUSTERING EVALUATION (Bagga & Baldwin 1998): the
     * per-ITEM precision/recall view of a clustering against gold
     * classes — unlike ARI/purity (L218) it weights every item equally

@@ -4128,6 +4128,27 @@ class OpsSpec extends SparkSpec {
     assert(EvalOps.welchT(c, c, "v").head.getAs[Double]("t") == -99d)
   }
 
+  test("L325 bootstrapMeanCI: deterministic draws, ordered CI brackets " +
+    "the mean; non-contiguous ids are loud") {
+    import graft.ops.EvalOps
+    val df = (0L until 50L).map(i => (i, 100L + (i * 7) % 31)).toDF("i", "v")
+    val r = EvalOps.bootstrapMeanCI(df, "i", "v", b = 40, loIdx = 2,
+      hiIdx = 39).head
+    val (n, b, mean, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(n == 50L && b == 40L)
+    assert(lo <= hi && lo <= mean + 5000 && hi >= mean - 5000,
+      s"CI ($lo, $hi) should bracket near mean $mean")
+    // identical inputs -> identical CI (the whole point)
+    val r2 = EvalOps.bootstrapMeanCI(df, "i", "v", b = 40, loIdx = 2,
+      hiIdx = 39).head
+    assert(r2.getLong(3) == lo && r2.getLong(4) == hi)
+    intercept[Exception] {
+      EvalOps.bootstrapMeanCI(df.filter($"i" =!= 7L), "i", "v",
+        b = 40, loIdx = 2, hiIdx = 39).collect()
+    }
+  }
+
   test("L320 bcubed: per-item precision/recall from the cell rollup") {
     import graft.ops.EvalOps
     // clusters A=[x,x,y], B=[y,y]: symmetric P=R=733333 by hand
