@@ -1855,7 +1855,97 @@ private[graft] object QueriesAnalytics {
         |SELECT ov.n, CAST(200 AS BIGINT) AS b, ov.mean_e6,
         |  (SELECT rep_mean_e6 FROM rk WHERE r = 5) AS lo_e6,
         |  (SELECT rep_mean_e6 FROM rk WHERE r = 196) AS hi_e6
-        |FROM ov""".stripMargin))
+        |FROM ov""".stripMargin)),
+
+    // L327 — JONCKHEERE–TERPSTRA over three ordered document groups
+    // with a planted upward trend: doubled J exact from per-group
+    // value-count tables, untied variance, z the fixed IEEE tree —
+    // the unpaired sibling of e_page_trend.
+    Q("e_jonckheere",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 600)
+          .select((lit(1L) + pmod(col("doc_id"), lit(3L))).as("g"),
+            (((col("doc_id") * 11L) % 40L) +
+              (lit(1L) + pmod(col("doc_id"), lit(3L))) * 3L).as("v"))
+        EvalOps.jonckheereTerpstra(base, "g", "v")
+      },
+      Some("""WITH x AS (SELECT 1 + doc_id % 3 AS g,
+        |    (doc_id * 11) % 40 + (1 + doc_id % 3) * 3 AS v
+        |  FROM documents WHERE doc_id < 600),
+        |vc AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM x
+        |  GROUP BY g, v),
+        |sz AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM vc GROUP BY g),
+        |gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(ng * ng) AS BIGINT) AS sum_ng_sq,
+        |    CAST(SUM(ng * ng * (2 * ng + 3)) AS BIGINT) AS sum_ng_var
+        |  FROM sz),
+        |jj AS (SELECT CAST(COALESCE(SUM(CASE
+        |      WHEN a.v < b.v THEN 2 * a.c * b.c
+        |      WHEN a.v = b.v THEN a.c * b.c ELSE 0 END), 0) AS BIGINT)
+        |    AS j2
+        |  FROM vc a JOIN vc b ON a.g < b.g)
+        |SELECT gt.n, gt.k, jj.j2,
+        |  CAST((gt.n * gt.n - gt.sum_ng_sq) // 2 AS BIGINT) AS mu2,
+        |  CAST(gt.n * gt.n * (2 * gt.n + 3) - gt.sum_ng_var AS BIGINT)
+        |    AS var_num,
+        |  CASE WHEN gt.n * gt.n * (2 * gt.n + 3) - gt.sum_ng_var > 0
+        |    THEN (CAST(jj.j2 - (gt.n * gt.n - gt.sum_ng_sq) // 2
+        |        AS DOUBLE) / 2.0)
+        |      / sqrt(CAST(gt.n * gt.n * (2 * gt.n + 3) - gt.sum_ng_var
+        |        AS DOUBLE) / 72.0)
+        |    ELSE 0.0 END AS z
+        |FROM gt CROSS JOIN jj""".stripMargin)),
+
+    // L328 — CLIFF'S DELTA effect size from the Mann–Whitney
+    // components (δ = 2U/(n_a·n_b) − 1): the magnitude next to the
+    // L258 significance — a huge corpus makes ANY difference
+    // significant; delta says whether it matters. Romano et al.
+    // thresholds as shared literals.
+    Q("e_cliffs_delta",
+      (s, dir) => {
+        val e = evPoints(s, dir).filter(col("event_id") >= 4800L &&
+          col("event_id") < 6000L)
+        val u = EvalOps.mannWhitneyU(
+          e.filter(pmod(col("event_id"), lit(2L)) === 0L),
+          e.filter(pmod(col("event_id"), lit(2L)) === 1L), "cents")
+        u.select(col("n_a"), col("n_b"), col("u_a_2x"),
+            (col("u_a_2x").cast("double") /
+              (col("n_a") * col("n_b")).cast("double") - lit(1.0))
+              .as("delta"))
+          .withColumn("magnitude",
+            when(abs(col("delta")) < 0.147, "negligible")
+              .when(abs(col("delta")) < 0.33, "small")
+              .when(abs(col("delta")) < 0.474, "medium")
+              .otherwise("large"))
+      },
+      Some("""WITH e AS (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_id >= 4800 AND event_id < 6000),
+        |m AS (SELECT v,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na_v,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb_v
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT na_v, nb_v,
+        |    (SUM(na_v + nb_v) OVER (ORDER BY v) - (na_v + nb_v)) * 2
+        |      + (na_v + nb_v) + 1 AS r2
+        |  FROM m),
+        |g AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb_v) AS BIGINT) AS n_b,
+        |    CAST(SUM(na_v * r2) AS BIGINT) AS ra_2x FROM r),
+        |f AS (SELECT n_a, n_b,
+        |    ra_2x - n_a * (n_a + 1) AS u_a_2x FROM g),
+        |d AS (SELECT n_a, n_b, u_a_2x,
+        |    CAST(u_a_2x AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) - 1.0
+        |      AS delta FROM f)
+        |SELECT n_a, n_b, u_a_2x, delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |    WHEN abs(delta) < 0.33 THEN 'small'
+        |    WHEN abs(delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin))
   )
 
   /** RBO@10 suffix weights W(m) = Σ_{d=m..10} (2520/d)·9^(d−1)·10^(10−d)

@@ -1867,6 +1867,49 @@ private[graft] object QueriesCore {
         |  FROM pr a JOIN pr b ON a.nbr = b.nbr AND a.node < b.node
         |  GROUP BY 1, 2)
         |SELECT u, v, common, ra_e6 FROM cm
-        |ORDER BY ra_e6 DESC, common DESC, u, v LIMIT 50""".stripMargin))
+        |ORDER BY ra_e6 DESC, common DESC, u, v LIMIT 50""".stripMargin)),
+
+    // L326 — EXACT HARMONIC CENTRALITY (radius 2) over the user-chain
+    // graph (chains only — the exact-diagnostic tier next to
+    // HyperBall's sketch tier; hub edges would blow the |V|·|ball|
+    // frontier contract and belong to L201): per-node Σ 10⁶ div d,
+    // top-30 with a total tie-break. Oracle unrolls both BFS rounds.
+    Q("g_harmonic",
+      (s, dir) => {
+        val ev = evPoints(s, dir).filter(col("event_id") < 3000L)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val chain = ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id").as("src"), col("nxt").as("dst"))
+        GraphOps.harmonicCentrality(chain, "src", "dst", rounds = 2,
+          topK = 30)
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_id < 3000),
+        |ch AS (SELECT event_id AS src,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS dst FROM e),
+        |ed AS (SELECT src, dst FROM ch WHERE dst IS NOT NULL),
+        |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed) u
+        |  WHERE src <> dst),
+        |f0 AS (SELECT DISTINCT src AS root, src AS node,
+        |    CAST(0 AS BIGINT) AS dist FROM und),
+        |f1 AS MATERIALIZED (SELECT root, node, MIN(dist) AS dist FROM (
+        |    SELECT root, node, dist FROM f0
+        |    UNION ALL
+        |    SELECT f0.root, und.dst AS node, f0.dist + 1
+        |    FROM f0 JOIN und ON und.src = f0.node) u GROUP BY root, node),
+        |f2 AS MATERIALIZED (SELECT root, node, MIN(dist) AS dist FROM (
+        |    SELECT root, node, dist FROM f1
+        |    UNION ALL
+        |    SELECT f1.root, und.dst AS node, f1.dist + 1
+        |    FROM f1 JOIN und ON und.src = f1.node) u GROUP BY root, node),
+        |h AS (SELECT root AS node, CAST(COUNT(*) AS BIGINT) AS n_ball,
+        |    CAST(SUM(1000000 // dist) AS BIGINT) AS h_e6
+        |  FROM f2 WHERE dist > 0 GROUP BY root)
+        |SELECT node, n_ball, h_e6 FROM h
+        |ORDER BY h_e6 DESC, node LIMIT 30""".stripMargin))
   )
 }

@@ -1955,6 +1955,56 @@ object EvalOps {
           .otherwise(lit(-99d)))
   }
 
+  /** L327 — JONCKHEERE–TERPSTRA ORDERED-ALTERNATIVE TEST: the
+    * k-sample trend test for UNPAIRED groups in a hypothesized order
+    * (does quality rise across crawl snapshots 1..k?) — the sibling
+    * of Page's trend (L298, which needs paired blocks) built from
+    * pairwise Mann–Whitney counts: J = Σ_{g<h} U_gh. DOUBLED J
+    * (2·#{x<y} + #{x=y} summed over ordered group pairs) is an exact
+    * integer from the per-group distinct-value tables (domain-bounded,
+    * the L229 posture); μ2 = (N² − Σn_g²)/2 is always integral; the
+    * classic untied variance var = [N²(2N+3) − Σn_g²(2n_g+3)]/72
+    * (ties allowed in J, documented contract — the pageTrend stance);
+    * z = ((J2 − μ2)/2) / sqrt(var_num/72), the fixed IEEE tree.
+    * groupCol must be 1..k (validated).
+    *
+    * Output: one row (n, k, j2, mu2, var_num, z).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("long").as("g"),
+      integralChecked(col(valCol), "jonckheereTerpstra").as("v"))
+    val vc = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val sizes = base.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+    val gate = sizes.agg(count(lit(1)).as("k"), min(col("g")).as("g_lo"),
+      max(col("g")).as("g_hi"), sum(col("ng")).as("n"),
+      sum(col("ng") * col("ng")).as("sum_ng_sq"),
+      sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3L))
+        .as("sum_ng_var"))
+    val a = vc.select(col("g").as("ga"), col("v").as("va"), col("c").as("ca"))
+    val b = vc.select(col("g").as("gb"), col("v").as("vb"), col("c").as("cb"))
+    val j2 = a.join(b, col("ga") < col("gb"))
+      .select(
+        when(col("va") < col("vb"), lit(2L) * col("ca") * col("cb"))
+          .when(col("va") === col("vb"), col("ca") * col("cb"))
+          .otherwise(lit(0L)).as("term"))
+      .agg(coalesce(sum(col("term")), lit(0L)).as("j2"))
+    j2.crossJoin(broadcast(gate))
+      .select(
+        when(col("g_lo") =!= 1L || col("g_hi") =!= col("k"),
+          raise_error(lit("jonckheereTerpstra: groups must be a " +
+            "complete 1..k order")).cast("long"))
+          .otherwise(col("n")).as("n"),
+        col("k"), col("j2"),
+        expr("(n * n - sum_ng_sq) div 2L").as("mu2"),
+        (col("n") * col("n") * (lit(2L) * col("n") + 3L)
+          - col("sum_ng_var")).as("var_num"))
+      .withColumn("z", when(col("var_num") > 0L,
+        ((col("j2") - col("mu2")).cast("double") / lit(2.0)) /
+          sqrt(col("var_num").cast("double") / lit(72.0)))
+        .otherwise(lit(0d)))
+  }
+
   /** L325 — DETERMINISTIC BOOTSTRAP CI of the mean (Efron 1979, with
     * the randomness replaced by a public hash — the L131 Feistel
     * stance applied to resampling): B replicates each draw n items

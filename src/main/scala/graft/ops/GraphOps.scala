@@ -910,6 +910,52 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** L326 — EXACT HARMONIC CENTRALITY within radius r: h(v) =
+    * Σ_{0<d(v,u)≤r} 1/d(v,u) — the centrality HyperBall (L201)
+    * approximates at corpus scale, computed EXACTLY on a bounded
+    * radius: each term is the exact integer 10⁶ div d, so the oracle
+    * replays the sum bit-for-bit. Harmonic (not closeness) because it
+    * handles disconnected graphs natively — unreachable pairs simply
+    * contribute nothing, no infinite-distance convention needed
+    * (Boldi & Vigna's argument).
+    *
+    * Scale contract: the frontier table holds (root, node) pairs —
+    * |V|·|ball_r| rows — so r is a SMALL bounded constant (≤ 3,
+    * validated loudly) and the op is the exact-diagnostic tier next
+    * to L201's sketch tier (the cosinePairs/HyperBall relationship).
+    * Each round is one equi-join + min-dist rollup on the pair key.
+    *
+    * Output: top-k (node, n_ball, h_e6) by (h_e6 desc, node).
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, topK: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 3,
+      s"rounds must be 1..3 (the exact-tier contract), got $rounds")
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val und = ed.unionByName(ed.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    var frontier = und.select(col("src").as("root"), col("src").as("node"))
+      .distinct().withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val next = frontier
+        .join(und, frontier("node") === und("src"))
+        .select(col("root"), col("dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+      frontier = frontier.unionByName(next)
+        .groupBy(col("root"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+    }
+    frontier.filter(col("dist") > 0L)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_ball"),
+        sum(expr("1000000L div dist")).as("h_e6"))
+      .select(col("root").as("node"), col("n_ball"), col("h_e6"))
+      .orderBy(col("h_e6").desc, col("node"))
+      .limit(topK)
+  }
+
   /** L223 — EDGE RECIPROCITY: the fraction of directed edges whose
     * reverse edge exists — the mutual-link rate that separates organic
     * cross-citation from one-way link dumping (and, on the event

@@ -4128,6 +4128,35 @@ class OpsSpec extends SparkSpec {
     assert(EvalOps.welchT(c, c, "v").head.getAs[Double]("t") == -99d)
   }
 
+  test("L326 harmonicCentrality: exact 1/d ball sums on a path") {
+    import graft.ops.GraphOps
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.harmonicCentrality(g, "a", "b", rounds = 2,
+        topK = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // inner nodes see {1,1,2} -> 2.5e6; ends see {1,2} -> 1.5e6
+    assert(got == Seq((2L, 3L, 2500000L), (3L, 3L, 2500000L),
+      (1L, 2L, 1500000L), (4L, 2L, 1500000L)), s"got $got")
+  }
+
+  test("L327 jonckheereTerpstra: perfectly ordered groups give the " +
+    "textbook z; bad group order is loud") {
+    import graft.ops.EvalOps
+    val cells = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L),
+      (3L, 6L)).toDF("g", "v")
+    val r = EvalOps.jonckheereTerpstra(cells, "g", "v").head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getLong(r.fieldIndex("j2")) == 24L &&
+      r.getLong(r.fieldIndex("mu2")) == 12L &&
+      r.getLong(r.fieldIndex("var_num")) == 456L)
+    assert(math.abs(r.getAs[Double]("z") - 6.0 / math.sqrt(456.0 / 72.0))
+      < 1e-12, s"got $r")
+    intercept[Exception] {
+      EvalOps.jonckheereTerpstra(
+        cells.withColumn("g", $"g" + 1L), "g", "v").collect()
+    }
+  }
+
   test("L325 bootstrapMeanCI: deterministic draws, ordered CI brackets " +
     "the mean; non-contiguous ids are loud") {
     import graft.ops.EvalOps
