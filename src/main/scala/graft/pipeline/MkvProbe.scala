@@ -129,10 +129,20 @@ object MkvProbe {
     * (TimecodeScale) and Tracks.
     */
   def mint(docType: String, timecodeScale: Long,
+      tracks: Seq[MkvTrack]): Array[Byte] =
+    mint(docType, Some(timecodeScale), tracks)
+
+  /** As above, but `timecodeScale = None` mints an Info block that
+    * OMITS TimecodeScale — the fixture for probe's spec-default
+    * (1,000,000 ns) fallback branch, which a scale-always-written
+    * mint could never exercise.
+    */
+  def mint(docType: String, timecodeScale: Option[Long],
       tracks: Seq[MkvTrack]): Array[Byte] = {
     val header = el(EbmlHeader, el(DocType,
       docType.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
-    val info = el(Info, el(TimecodeScale, uintBytes(timecodeScale)))
+    val info = el(Info, timecodeScale.map(s =>
+      el(TimecodeScale, uintBytes(s))).getOrElse(Array.emptyByteArray))
     val trackEntries = tracks.flatMap { t =>
       el(TrackEntry,
         el(TrackNumber, uintBytes(t.number)) ++

@@ -83,10 +83,21 @@ object TiffProbe {
     TiffInfo(be, width, height, bps, orient, n.toLong, gps, exif)
   }
 
+  /** TIFF 6.0 §2 field-type byte widths (1=BYTE … 12=DOUBLE); used to
+    * size out-of-line GPS values so the scrub can zero them.
+    */
+  private val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8,
+    6 -> 1, 7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8)
+
   /** Rebuild the TIFF with GPS (0x8825) entries dropped from the
     * first IFD — offsets into the data area are preserved because the
     * IFD is rebuilt IN PLACE (entries compacted, count reduced, the
-    * freed tail padded): nothing else in the file moves.
+    * freed tail padded): nothing else in the file moves. The GPS
+    * sub-IFD itself is also EXCISED, not just unlinked: its 12-byte
+    * entries, next pointer, and every out-of-line value (RATIONAL
+    * lat/lon payloads live outside the 4-byte value field) are
+    * zeroed, so the coordinates are unrecoverable by a byte scan —
+    * dropping only the pointer would leave the privacy leak intact.
     */
   def stripGps(bytes: Array[Byte]): Array[Byte] = {
     val info = probe(bytes)
@@ -95,6 +106,30 @@ object TiffProbe {
     val out = bytes.clone()
     val ifd = u32(bytes, 4, be).toInt
     val n = u16(bytes, ifd, be)
+    // zero the GPS sub-IFD region + its out-of-line values first,
+    // while the pointer entry is still in place to locate it
+    val gpsEntry = (0 until n).map(i => ifd + 2 + 12 * i)
+      .find(e => u16(bytes, e, be) == 0x8825).get
+    val gpsOff = inlineVal(bytes, gpsEntry, be).toInt
+    require(gpsOff >= 8 && gpsOff + 2 <= bytes.length,
+      "tiff: GPS IFD offset out of range")
+    val gn = u16(bytes, gpsOff, be)
+    require(gpsOff + 2 + 12L * gn + 4 <= bytes.length,
+      "tiff: truncated GPS IFD")
+    (0 until gn).foreach { i =>
+      val e = gpsOff + 2 + 12 * i
+      val typ = u16(bytes, e + 2, be)
+      val cnt = u32(bytes, e + 4, be)
+      val sz = typeSize.getOrElse(typ, throw new IllegalArgumentException(
+        s"tiff: GPS tag type $typ outside the grammar")) * cnt
+      if (sz > 4) { // value is out of line — zero its payload region
+        val vo = u32(bytes, e + 8, be)
+        require(vo >= 8 && vo + sz <= bytes.length,
+          "tiff: GPS value offset out of range")
+        java.util.Arrays.fill(out, vo.toInt, (vo + sz).toInt, 0.toByte)
+      }
+    }
+    java.util.Arrays.fill(out, gpsOff, gpsOff + 2 + 12 * gn + 4, 0.toByte)
     val kept = (0 until n).filter { i =>
       u16(bytes, ifd + 2 + 12 * i, be) != 0x8825
     }
@@ -112,10 +147,17 @@ object TiffProbe {
     out
   }
 
+  /** The GPS latitude written by [[mint]] — three non-zero RATIONALs
+    * (deg/min/milli-sec) whose bytes a strip test can assert vanish.
+    */
+  val MintLat: Seq[(Long, Long)] = Seq((37L, 1L), (46L, 1L), (30123L, 1000L))
+
   /** Mint a minimal single-IFD TIFF (fixture dual of [[probe]]):
-    * inline SHORT/LONG tags only, strictly ascending, optional
-    * EXIF/GPS pointer tags (pointing at a zeroed stub IFD so the
-    * file stays structurally valid).
+    * inline SHORT/LONG tags only, strictly ascending, optional EXIF
+    * pointer (to an empty but structurally valid stub IFD) and GPS
+    * pointer to a REAL GPS sub-IFD carrying [[MintLat]] — non-zero
+    * coordinate bytes, partly out-of-line, so a scrub test proves
+    * the payload (not just the pointer) is gone after [[stripGps]].
     */
   def mint(width: Long, height: Long, bps: Long, orientation: Long,
       withExif: Boolean, withGps: Boolean, bigEndian: Boolean): Array[Byte] = {
@@ -125,9 +167,13 @@ object TiffProbe {
       (if (withExif) Seq((0x8769, 4, 0L)) else Nil) ++
       (if (withGps) Seq((0x8825, 4, 0L)) else Nil)
     val n = tags.size
-    val stubIfd = 8 + 2 + 12 * n + 4 // zeroed stub both pointers share
-    val total = stubIfd + 2
-    val out = new Array[Byte](total)
+    val exifOff = 8 + 2 + 12 * n + 4
+    val exifSize = if (withExif) 6 else 0 // count 0 + next 0
+    val gpsOff = exifOff + exifSize
+    val gpsSize = if (withGps) 2 + 2 * 12 + 4 else 0 // 2 entries
+    val latOff = gpsOff + gpsSize
+    val latSize = if (withGps) 24 else 0 // 3 out-of-line RATIONALs
+    val out = new Array[Byte](latOff + latSize)
     def w16(o: Int, v: Int): Unit =
       if (bigEndian) { out(o) = (v >> 8).toByte; out(o + 1) = v.toByte }
       else { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
@@ -147,10 +193,28 @@ object TiffProbe {
     tags.zipWithIndex.foreach { case ((tag, typ, v), i) =>
       val e = 10 + 12 * i
       w16(e, tag); w16(e + 2, typ); w32(e + 4, 1L)
-      val value = if (tag == 0x8769 || tag == 0x8825) stubIfd.toLong else v
+      val value = tag match {
+        case 0x8769 => exifOff.toLong
+        case 0x8825 => gpsOff.toLong
+        case _      => v
+      }
       if (typ == 3) w16(e + 8, value.toInt) else w32(e + 8, value)
     }
     w32(10 + 12 * n, 0L) // next-IFD: none
+    // EXIF stub IFD: 0 entries + next 0 — already zeroed
+    if (withGps) {
+      w16(gpsOff, 2)
+      // entry 0: GPSVersionID (tag 0), BYTE x4, inline, raw byte order
+      w16(gpsOff + 2, 0); w16(gpsOff + 4, 1); w32(gpsOff + 6, 4L)
+      out(gpsOff + 10) = 2; out(gpsOff + 11) = 3
+      // entry 1: GPSLatitude (tag 2), RATIONAL x3, out-of-line
+      w16(gpsOff + 14, 2); w16(gpsOff + 16, 5); w32(gpsOff + 18, 3L)
+      w32(gpsOff + 22, latOff.toLong)
+      w32(gpsOff + 26, 0L) // next-IFD: none
+      MintLat.zipWithIndex.foreach { case ((num, den), i) =>
+        w32(latOff + 8 * i, num); w32(latOff + 8 * i + 4, den)
+      }
+    }
     out
   }
 }

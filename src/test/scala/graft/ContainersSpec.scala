@@ -93,7 +93,20 @@ class ContainersSpec extends AnyFunSuite {
       assert(p.width == 800L && p.height == 600L && p.bitsPerSample == 8L
         && p.orientation == 6L && p.hasGps && p.hasExif
         && p.bigEndian == be)
-      val stripped = TiffProbe.probe(TiffProbe.stripGps(t))
+      // the minted GPS sub-IFD carries non-zero coordinate bytes
+      // (out-of-line RATIONALs); the scrub must excise the PAYLOAD,
+      // not just the pointer — assert the bytes are present before
+      // and unrecoverable after
+      def word(v: Long): Seq[Byte] =
+        if (be) Seq((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte,
+          v.toByte)
+        else Seq(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+          (v >> 24).toByte)
+      val latWords = TiffProbe.MintLat.map { case (num, _) => word(num) }
+      assert(latWords.forall(w => t.toSeq.containsSlice(w)))
+      val out = TiffProbe.stripGps(t)
+      assert(latWords.forall(w => !out.toSeq.containsSlice(w)))
+      val stripped = TiffProbe.probe(out)
       assert(!stripped.hasGps && stripped.hasExif
         && stripped.width == 800L && stripped.nTags == p.nTags - 1)
     }
@@ -149,9 +162,15 @@ class ContainersSpec extends AnyFunSuite {
     assert(p.docType == "webm" && p.timecodeScale == 1000000L
       && p.tracks == tracks, s"got $p")
     assert(graft.pipeline.FormatSniff.sniff(mkv) == "mkv")
-    // default timecode scale when Info omits it: spec 1,000,000
-    val noScale = MkvProbe.mint("matroska", 1000000L, tracks.take(1))
+    // default timecode scale when Info OMITS the element: spec 1,000,000
+    // (mint with None writes no TimecodeScale, so this exercises the
+    // probe's fallback branch, not a written value)
+    val noScale = MkvProbe.mint("matroska", None, tracks.take(1))
     assert(MkvProbe.probe(noScale).timecodeScale == 1000000L)
+    // a non-default written scale round-trips (distinguishes written
+    // from defaulted)
+    assert(MkvProbe.probe(MkvProbe.mint("matroska", 500000L,
+      tracks.take(1))).timecodeScale == 500000L)
     // truncated element is loud
     intercept[IllegalArgumentException](MkvProbe.probe(
       java.util.Arrays.copyOfRange(mkv, 0, mkv.length - 3)))
