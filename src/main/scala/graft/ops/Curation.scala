@@ -972,6 +972,58 @@ object Curation {
       a => a("d"))
   }
 
+  /** Exact global 1-based rank over a TOTAL order (`ordCol`, then
+    * `tieCol`) with NO single-partition sort — the 100 TB shape for
+    * the layout operators. The naive `row_number() OVER (ORDER BY …)`
+    * funnels the whole corpus through one task; instead:
+    *
+    *  1. derive a DETERMINISTIC range-bucket id from the ordering
+    *     column's own value range (`__pid = (ord − lo) · P div span`,
+    *     bounds already broadcast by the caller) — a logical range
+    *     partition that, unlike `repartitionByRange`'s sampled
+    *     boundaries, is a pure function of the row, so re-evaluating
+    *     the lineage can never disagree with itself;
+    *  2. rank WITHIN each bucket (`Window.partitionBy(__pid)` — a
+    *     parallel hash exchange, P-way);
+    *  3. one tiny P-row count-per-bucket agg → cumulative offsets
+    *     (window over ≤ P rows) → broadcast join back; global rank =
+    *     offset + local rank.
+    *
+    * Equal ordering values share a bucket by construction, so the
+    * result is identical to the single-sort `row_number` for any
+    * total (ordCol, tieCol) order — PlanSpec pins that the layout
+    * plans carry NO `Exchange SinglePartition` under their windows.
+    * Rows per bucket stay balanced when `ordCol` is near-uniform over
+    * its range (curve keys are); pathological skew concentrates in
+    * few buckets but never in ONE task per the hash exchange on
+    * distinct `__pid`s.
+    */
+  private def rangeBucketedRank(df: DataFrame, ordCol: Column,
+      tieCol: Column, lo: Column, hi: Column, rankName: String): DataFrame = {
+    val p = 64L
+    val maxSpan = (1L << 53) / p // keep num exactly double-representable
+    val span = hi - lo + 1L
+    val num = (ordCol - lo) * p
+    val pid = when(span <= p, ordCol - lo) // small ranges: value = bucket
+      .when(span > maxSpan, raise_error(concat(
+        lit("rangeBucketedRank: ordering span "), span.cast("string"),
+        lit(" overflows the exact bucket multiply - pre-scale the column"))))
+      .otherwise((num - pmod(num, span)) / span) // exact integral div
+      .cast("long")
+    val bucketed = df.withColumn("__pid", pid)
+    val offsets = bucketed.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    bucketed.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankName, (col("__off") + row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(ordCol, tieCol)))
+        .cast("long"))
+      .drop("__pid", "__off")
+  }
+
   /** Shared space-filling-curve layout assembly: min/max bounds
     * broadcast, `bits`-bit integer-division buckets (overflow-guarded),
     * the caller's curve key, `rowsPerFile` consecutive rows per file,
@@ -997,9 +1049,8 @@ object Curation {
       .withColumn("__b0", bucket(c0, "__n0", "__x0"))
       .withColumn("__b1", bucket(c1, "__n1", "__x1"))
       .withColumn("__z", key(col("__b0"), col("__b1")))
-    keyed
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("__z"), col(tieCol))).cast("long"))
+    rangeBucketedRank(keyed, col("__z"), col(tieCol),
+        lit(0L), lit((1L << (2 * bits)) - 1L), "__rn")
       .withColumn("file_id", expr(s"(__rn - 1L) div ${rowsPerFile}L"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n"),
@@ -2197,8 +2248,14 @@ object Curation {
   def linearLayout(df: DataFrame, c0: String, c1: String, tieCol: String,
       rowsPerFile: Int): DataFrame = {
     require(rowsPerFile >= 1, s"need rowsPerFile >= 1, got $rowsPerFile")
-    df.withColumn("__rn", row_number().over(
-        Window.orderBy(col(c0), col(tieCol))).cast("long"))
+    // same two-pass range-bucketed rank as the curve layouts (one tiny
+    // min/max agg broadcast for the bucket bounds) — no corpus-wide
+    // single-partition sort
+    val bounds = df.agg(min(col(c0)).cast("long").as("__n"),
+      max(col(c0)).cast("long").as("__x"))
+    rangeBucketedRank(df.crossJoin(broadcast(bounds)),
+        col(c0).cast("long"), col(tieCol), col("__n"), col("__x"), "__rn")
+      .drop("__n", "__x")
       .withColumn("file_id", expr(s"(__rn - 1L) div ${rowsPerFile}L"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n"),
