@@ -64,10 +64,24 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) dt else -1d)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact timings (ms precision — the box's ±40% noise band makes
+    // more digits fiction) keep the stdout line as short as possible,
+    // and the SAME JSON is also written to a file: the driver's stdout
+    // capture truncated the r11/r12 artifacts to a tail fragment
+    // (66/397 timings survived), so the file is the durable artifact.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "docs/bench_latest.json")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","file":"$outFile"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // stdout line still carries everything
+    println(line)
+    Console.out.flush()
     spark.stop()
   }
 }
