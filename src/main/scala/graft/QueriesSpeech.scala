@@ -262,6 +262,72 @@ private[graft] object QueriesSpeech {
         |FROM ids ORDER BY event_id""".stripMargin)),
 
 
+    // S2 — REAL AAC-LC codec as an oracle-checked query (completes the
+    // reference's six-format decode surface — `.aac`/`.m4a` in
+    // `modules/models/utils.py:11-16`): tones through the pure-JVM
+    // AAC-LC encoder (MDCT + escape-codebook entropy coding) into BOTH
+    // container fronts — ADTS frames for even ids, single-chunk M4A
+    // for odd — and back through the PRODUCTION decode seam
+    // (WavAudio.decode → AacAudio). Ids with id % 3 == 0 take the
+    // window-switching tier (EIGHT_SHORT every 3rd block, grouped
+    // scalefactors, LONG_START/STOP transitions); id % 5 == 0 adds the
+    // TNS tier (forward FIR inverted by the decoder's all-pole
+    // synthesis); id % 7 == 0 uses KBD windows. DuckDB recomputes the
+    // exact decoded length (ceil-to-1024 after the priming drop), rate
+    // and the preserved Goertzel peak. Bounded slice (event_id < 40).
+    Q("s2_aac_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{AacEncoder, WavAudio}
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 40).distinct().as[Long]
+        val payloads = ids.map { id =>
+          val f = 250.0 * (1 + id % 4)
+          val n = (6000 + (id % 4) * 2048).toInt // 0.25-0.5 s at 24 kHz
+          val tone = Array.tabulate(n)(i =>
+            (0.5 * math.sin(2 * math.Pi * f * i / 24000.0)).toFloat)
+          val shortPeriod = if (id % 3 == 0) 3 else 0
+          val tns = id % 5 == 0
+          val shape = if (id % 7 == 0) 1 else 0
+          val bytes =
+            if (id % 2 == 0) AacEncoder.encode(24000, tone, shape, shortPeriod, tns)
+            else AacEncoder.encodeM4a(24000, tone, shape, shortPeriod, tns)
+          (id.toString, bytes)
+        }
+        WavAudio.decodeDataset(payloads)
+          .map { a =>
+            def power(f: Double): Double = {
+              var re = 0.0; var im = 0.0
+              var i = 0
+              while (i < a.waveform.length) {
+                val w = 2 * math.Pi * f * i / a.sr
+                re += a.waveform(i) * math.cos(w)
+                im += a.waveform(i) * math.sin(w)
+                i += 1
+              }
+              re * re + im * im
+            }
+            val peak = Seq(250, 500, 750, 1000).maxBy(c => power(c.toDouble))
+            (a.file.toLong, a.sr.toLong, a.waveform.length.toLong, peak.toLong)
+          }
+          .toDF("event_id", "sr", "n_samples", "peak_hz")
+          .withColumn("container",
+            when(pmod(col("event_id"), lit(2L)) === 0L, lit("adts"))
+              .otherwise(lit("m4a")))
+          .select(col("event_id"), col("container"), col("sr"),
+            col("n_samples"), col("peak_hz"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 40)
+        |SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'adts' ELSE 'm4a' END AS container,
+        |  CAST(24000 AS BIGINT) AS sr,
+        |  ((6000 + (event_id % 4) * 2048 + 1023) // 1024) * 1024 AS n_samples,
+        |  CAST(250 * (1 + event_id % 4) AS BIGINT) AS peak_hz
+        |FROM ids ORDER BY event_id""".stripMargin)),
+
+
     // S10+A11 — decode fault isolation + run tallies as an oracle
     // query: every id%5=0 payload is corrupt and must yield a
     // failed-status ROW (not a job abort), everything else completes;

@@ -52,6 +52,12 @@ object WavAudio {
         }
       return (res.sampleRate, mono)
     }
+    // AAC: ADTS sync or ISO-BMFF ftyp (the .aac/.m4a globs) — pure-JVM
+    // AAC-LC decode; anything the demux/grammar rejects stays loud (S10)
+    if (AacAudio.looksLikeAdts(bytes))
+      return AacAudio.decodeAdts(bytes)
+    if (AacAudio.looksLikeM4a(bytes))
+      return AacAudio.decodeM4a(bytes)
     val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val src = raw.getFormat
