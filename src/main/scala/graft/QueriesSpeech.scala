@@ -328,6 +328,72 @@ private[graft] object QueriesSpeech {
         |FROM ids ORDER BY event_id""".stripMargin)),
 
 
+    // S2+S10 — MP3 HUFFMAN TABLE COVERAGE + FOREIGN-STREAM FAILURE
+    // RATE as an oracle query (quantifies the documented
+    // engine-local-codebook bound, Mp3Tables scaladoc): three minted
+    // tiers per id — spec-exact big-value tables (2/5/7/9/10), the
+    // ENGINE-LOCAL set (13/15/16/24 — the tables real music encoders
+    // select that this engine carries only as engine-local codebooks;
+    // self-consistent streams decode clean, so their selection
+    // frequency is the at-risk surface), and a FOREIGN-STYLE tier:
+    // frames re-declared to reserved table 14 via side-info surgery
+    // (Mp3Encoder.declareTables) — the decoder's table lookup rejects
+    // every frame deterministically, proving the S10 loud-failure
+    // routing (failed frames yield silence rows + stats, never corrupt
+    // audio). DuckDB recomputes table id, class, frame count and
+    // failed count from the id arithmetic alone. Bounded (id < 45).
+    Q("s2_mp3_table_coverage",
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{Mp3Audio, Mp3Encoder}
+        val specT = Array(2, 5, 7, 9, 10)
+        val engT = Array(13, 15, 16, 24)
+        val ids = Tables.events(s, dir).select(col("event_id").cast("long"))
+          .filter(col("event_id") < 45).distinct().as[Long]
+        val rows = ids.map { id =>
+          val n = (3456 + (id % 3).toInt * 1152) // exact frame multiples
+          val tone = Array.tabulate(n)(i =>
+            (0.5 * math.sin(2 * math.Pi * 500.0 * (1 + id % 2) * i / 32000.0)).toFloat)
+          val (tid, clazz, bytes) = (id % 3) match {
+            case 0 =>
+              val t = specT(((id / 3) % specT.length).toInt)
+              (t, "spec", Mp3Encoder.encode(32000, tone, 128, Some(t)))
+            case 1 =>
+              val t = engT(((id / 3) % engT.length).toInt)
+              (t, "engine", Mp3Encoder.encode(32000, tone, 128, Some(t)))
+            case _ =>
+              val enc = Mp3Encoder.encode(32000, tone, 128, Some(7))
+              (14, "foreign", Mp3Encoder.declareTables(enc, 576, 14))
+          }
+          val (_, _, stats) = Mp3Audio.decodeWithStats(bytes)
+          val nFrames = stats.size.toLong
+          val nFailed = stats.count(!_.ok).toLong
+          // every granule of a tone frame carries big values, so the
+          // foreign tier must fail UNIFORMLY — any partial outcome is
+          // a fixture bug, not data
+          require(nFailed == 0L || nFailed == nFrames,
+            s"id $id: mixed outcome $nFailed/$nFrames")
+          (id, tid.toLong, clazz, nFrames, nFailed)
+        }.toDF("event_id", "table_id", "table_class", "n_frames", "n_failed")
+        rows.orderBy(col("event_id"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id
+        |  FROM events WHERE event_id < 45),
+        |c AS (SELECT event_id,
+        |    CAST(3 + event_id % 3 AS BIGINT) AS n_frames,
+        |    event_id % 3 AS tier, event_id // 3 AS grp FROM ids)
+        |SELECT event_id,
+        |  CAST(CASE tier
+        |    WHEN 0 THEN ([2, 5, 7, 9, 10])[CAST(grp % 5 AS INT) + 1]
+        |    WHEN 1 THEN ([13, 15, 16, 24])[CAST(grp % 4 AS INT) + 1]
+        |    ELSE 14 END AS BIGINT) AS table_id,
+        |  CASE tier WHEN 0 THEN 'spec' WHEN 1 THEN 'engine'
+        |    ELSE 'foreign' END AS table_class,
+        |  n_frames,
+        |  CASE WHEN tier = 2 THEN n_frames ELSE CAST(0 AS BIGINT) END AS n_failed
+        |FROM c ORDER BY event_id""".stripMargin)),
+
+
     // S10+A11 — decode fault isolation + run tallies as an oracle
     // query: every id%5=0 payload is corrupt and must yield a
     // failed-status ROW (not a job abort), everything else completes;

@@ -347,6 +347,45 @@ object Mp3Encoder {
     out.toArray
   }
 
+  /** Fixture surgery for the Huffman-coverage query: rewrite every
+    * frame's six table_select fields (the MPEG-1 mono layout
+    * [[encode]] writes: header 32 bits, side 18, then per granule 34
+    * bits to the three 5-bit selects, 59 bits/granule) to `tid` —
+    * declaring a table the payload was NOT coded with. With a
+    * reserved id (4/14) the decoder's table lookup rejects every
+    * frame DETERMINISTICALLY, the minted shape of a foreign stream
+    * whose codebooks this engine does not carry.
+    */
+  def declareTables(stream: Array[Byte], frameBytes: Int, tid: Int): Array[Byte] = {
+    require(tid >= 0 && tid < 32, s"table id $tid out of field range")
+    val out = stream.clone()
+    def setBits(bitOff: Int, v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        val b = bitOff + i
+        val mask = 1 << (7 - (b & 7))
+        val bit = (v >> (n - 1 - i)) & 1
+        if (bit == 1) out(b >> 3) = (out(b >> 3) | mask).toByte
+        else out(b >> 3) = (out(b >> 3) & ~mask).toByte
+        i += 1
+      }
+    }
+    var off = 0
+    while (off + frameBytes <= out.length) {
+      var gr = 0
+      while (gr < 2) {
+        var r = 0
+        while (r < 3) {
+          setBits(off * 8 + 32 + 18 + gr * 59 + 34 + r * 5, tid, 5)
+          r += 1
+        }
+        gr += 1
+      }
+      off += frameBytes
+    }
+    out
+  }
+
   /** One frame: header + side info + main data, zero-padded to the CBR
     * size. `granules` is [granule][channel], matching the decoder's
     * side-info and main-data field order for both MPEG-1 and LSF.
