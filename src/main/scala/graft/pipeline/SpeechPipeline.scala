@@ -42,12 +42,30 @@ object SpeechPipeline {
   /** Stage 1 — VAD: mock inference, pad+clamp (P1, `vad_multi.py:33-35`),
     * zero-gap merge (W1 with interval=0, cap=∞ — `vad_multi.py:37`).
     */
-  def vadStage(audio: Dataset[AudioFile], padSec: Double = 0.1): Dataset[Segment] = {
+  def vadStage(audio: Dataset[AudioFile], padSec: Double = 0.1): Dataset[Segment] =
+    vadStageWith(audio, "mock_vad", () => new MockModels.MockVad(), padSec)
+
+  /** M1 — the VAD stage over the ONNX Silero operator ([[Onnx
+    * .OnnxSileroVad]]): the same pad+clamp and zero-gap merge as
+    * [[vadStage]], with the model injected via a [[Onnx
+    * .SessionProvider]] — a real runtime jar OR a recorded-fixture
+    * session drops in with zero pipeline change (PipelineSpec replays
+    * a full-file pass bit-exactly against recorded fixtures).
+    */
+  def vadStageOnnx(audio: Dataset[AudioFile], provider: Onnx.SessionProvider,
+                   padSec: Double = 0.1): Dataset[Segment] =
+    vadStageWith(audio, s"onnx_vad:${provider.name}",
+      () => new Onnx.OnnxSileroVad(provider), padSec)
+
+  /** Shared VAD stage body over any segment-emitting batch model. */
+  def vadStageWith(audio: Dataset[AudioFile], modelName: String,
+      load: () => BatchModel[AudioFile, Seq[Segment]],
+      padSec: Double): Dataset[Segment] = {
     import audio.sparkSession.implicits._
     val durations = audio.map(a => (a.file, a.waveform.length.toDouble / a.sr))
       .toDF("file", "dur")
     val raw = InferenceOp.flatMapBatched[AudioFile, Segment](
-      audio, "mock_vad", () => new MockModels.MockVad(), batchSize = 4)
+      audio, modelName, load, batchSize = 4)
     val padded = raw.toDF("file", "start", "end")
       .join(broadcast(durations), "file")
       .select(col("file"),

@@ -618,4 +618,44 @@ class PipelineSpec extends SparkSpec {
         s"pipelining should overlap requests, saw ${stub.maxConcurrent.get()}")
     } finally stub.close()
   }
+
+  test("M1 end-to-end: vadStage over the recorded Silero ONNX session replays bit-exactly") {
+    import graft.pipeline.Onnx._
+    import OnnxTestKit._
+    // 16 kHz file with one constant burst over windows 8..24 of 512
+    val vsr = 16000
+    val w = new Array[Float](vsr)
+    for (i <- 8 * 512 until 24 * 512) w(i) = 0.5f
+    val audio = Seq(AudioFile("loud", vsr, w),
+      AudioFile("quiet", vsr, new Array[Float](vsr)))
+
+    // 1. capture driver-side: full-file window pass with threaded RNN
+    //    state against the deterministic fake session
+    val rec = new RecordingSession(new FakeSileroSession)
+    val cap = new OnnxSileroVad(new SessionProvider {
+      val name = "vad-pipeline-capture"
+      def create(): OnnxSession = rec
+    })
+    cap.predictBatch(audio)
+
+    // 2. replay through the FULL pipeline stage (decode seam → ONNX VAD
+    //    → pad+clamp → zero-gap merge) with the recorded fixtures; any
+    //    drift in tensor marshalling or state threading changes a
+    //    fingerprint and the recorded session throws
+    val segs = SpeechPipeline.vadStageOnnx(audio.toDS(),
+        RecordedProvider("vad-pipeline-replay", rec.fixtures), padSec = 0.05)
+      .collect().toSeq.sortBy(_.file)
+    assert(segs.map(_.file) == Seq("loud"))
+    val s = segs.head
+    assert(math.abs(s.start - (8 * 512.0 / vsr - 0.05)) < 1e-9
+      && math.abs(s.end - (24 * 512.0 / vsr + 0.05)) < 1e-9, s"got $s")
+
+    // 3. a missing fixture (= future marshalling drift) fails the STAGE
+    //    loudly, never inventing segments
+    intercept[Exception] {
+      SpeechPipeline.vadStageOnnx(audio.toDS(),
+        RecordedProvider("vad-pipeline-empty", Map.empty), padSec = 0.05)
+        .collect()
+    }
+  }
 }
