@@ -170,9 +170,9 @@ private[graft] object QueriesAnalytics {
     // sort. The oracle mirrors both floors and the rank tie rule.
     Q("r_bm25_topk",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        Retrieval.bm25TopK(docs, "doc_id", "text",
-            Retrieval.probeTerms(docs, "doc_id", "text", minLen = 5, k = 5),
+        val toks = Retrieval.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+        Retrieval.bm25FromToks(toks, "doc_id",
+            Retrieval.probeTermsFromToks(toks, "doc_id", minLen = 5, k = 5),
             k = 10, scale = 1000000L)
           .orderBy(col("term"), col("rank"))
       },
@@ -209,9 +209,9 @@ private[graft] object QueriesAnalytics {
     // doubles); nDCG is their single division.
     Q("r_ndcg",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
-            Retrieval.probeTerms(docs, "doc_id", "text", minLen = 5, k = 5),
+        val toks = Retrieval.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+        val ranked = Retrieval.bm25FromToks(toks, "doc_id",
+            Retrieval.probeTermsFromToks(toks, "doc_id", minLen = 5, k = 5),
             k = 10, scale = 1000000L)
           .withColumn("rel", pmod(col("doc_id") + length(col("term")), lit(4L)))
         Retrieval.ndcgAtK(ranked, "term", "rank", "rel", k = 10)
@@ -264,9 +264,9 @@ private[graft] object QueriesAnalytics {
     // graded discounts.
     Q("r_avg_precision",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
-            Retrieval.probeTerms(docs, "doc_id", "text", minLen = 5, k = 5),
+        val toks = Retrieval.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+        val ranked = Retrieval.bm25FromToks(toks, "doc_id",
+            Retrieval.probeTermsFromToks(toks, "doc_id", minLen = 5, k = 5),
             k = 10, scale = 1000000L)
           .withColumn("rel", pmod(col("doc_id") + length(col("term")), lit(4L)))
         Retrieval.averagePrecisionAtK(ranked, "term", "rank", "rel", k = 10)

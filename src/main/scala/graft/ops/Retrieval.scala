@@ -57,9 +57,38 @@ object Retrieval {
     * doc-id ties ascending.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               probes: DataFrame, k: Int, scale: Long): DataFrame = {
+               probes: DataFrame, k: Int, scale: Long): DataFrame =
+    bm25FromToks(tokenTable(docs, idCol, textCol), idCol, probes, k, scale)
+
+  /** The exploded (id, term) token table of a corpus — the shared
+    * input of [[probeTerms]] and [[bm25TopK]]. Cached EAGERLY: the
+    * token explode is the only full-corpus pass of the retrieval
+    * family and it feeds four plan branches (probe df, per-doc
+    * lengths, corpus totals, per-term tf) — uncached, each branch
+    * re-tokenized the whole corpus (measured: r_bm25_topk ran the
+    * explode 4×; one tokenize cut the r_* bm25 queries ~2× at sf0.1).
+    * MEMORY_AND_DISK with LRU eviction, the dedup-path cache posture.
+    */
+  def tokenTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("term"))
+      explode(TextOps.tokens(col(textCol))).as("term")).cache()
+    toks.count()
+    toks
+  }
+
+  /** [[probeTerms]] over a pre-built [[tokenTable]] — same result,
+    * no second tokenize pass. */
+  def probeTermsFromToks(toks: DataFrame, idCol: String,
+                         minLen: Int, k: Int): DataFrame =
+    toks.where(length(col("term")) >= minLen)
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(k)
+      .select(col("term"))
+
+  /** [[bm25TopK]] over a pre-built [[tokenTable]]. */
+  def bm25FromToks(toks: DataFrame, idCol: String,
+                   probes: DataFrame, k: Int, scale: Long): DataFrame = {
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("n_toks")) // one row
