@@ -105,10 +105,16 @@ private[graft] object QueriesMultimodal {
         val grid = expr("transform(sequence(0, 71), i -> CAST(" +
           "((doc_id % 37 + 1) * (i * i + 7 * i + 13)) % 256 + " +
           "IF(i = doc_id % 72, 200 * ((doc_id div 37) % 2), 0) AS INT))")
+        // fan the per-row PNG round-trip out to every core: the
+        // doc_id < 2000 slice is 1-2 scan splits of one parquet file,
+        // so without the repartition the codec ran near-single-threaded
+        // (measured 2.2 s -> 1.2 s at sf0.1/local[32]); the shuffled
+        // rows are (id, 72-int grid) — tiny next to the codec work
         val base = Multimodal.gridPngRoundtrip(
           Tables.documents(s, dir)
             .filter(col("doc_id") < 2000)
-            .select(col("doc_id"), grid.as("g")),
+            .select(col("doc_id"), grid.as("g"))
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
           "doc_id", "g")
         val hashed = base
           .select(col("doc_id"), Multimodal.dHashBands(base, "g").as("bands"))
@@ -273,8 +279,13 @@ private[graft] object QueriesMultimodal {
                ((frame div 8) % 4 = 2 AND ((i div 9) * 8 + cc) BETWEEN 8 AND 15) OR
                ((frame div 8) % 4 = 3 AND ((i div 9) * 8 + cc) BETWEEN 16 AND 23) OR
                ((i div 9) * 8 + cc = 0 AND frame % 2 = 1)), 1, -1))) AS INT))""")
+        // fan the per-frame PNG round-trip out by doc_id: the slice is
+        // 1-2 scan splits, and hash-partitioning on doc_id both spreads
+        // the codec across cores AND pre-satisfies the shot window's
+        // clustering (no second exchange before the lag/cumsum pass)
         val dec = Multimodal.gridPngRoundtrip(
-          frames.select((col("doc_id") * 1000L + col("frame")).as("fkey"),
+          frames.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .select((col("doc_id") * 1000L + col("frame")).as("fkey"),
             grid.as("g")),
           "fkey", "g")
         val hashed0 = dec.select(

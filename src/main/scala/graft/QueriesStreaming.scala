@@ -1473,7 +1473,12 @@ private[graft] object QueriesStreaming {
         val toks = TextOps.tokens(col("text"))
         val refs = Tables.documents(s, dir).filter(size(toks) > 0)
           .select(col("doc_id"), slice(toks, 1, 40).as("ref"))
-        val sref = slice(toks, 1, 40)
+        // tokenize the stream row ONCE into a named column: the hyp
+        // expression references the token array three times (sequence
+        // bound, element_at, the filter) and CollapseProject keeps the
+        // non-cheap split from being re-inlined per reference only if
+        // it is already a separate projection
+        val sref = col("__sref")
         val wi = transform(sequence(lit(1), size(sref)),
           i => struct(element_at(sref, i).as("w"), i.as("i")))
         val hyp = transform(
@@ -1481,7 +1486,8 @@ private[graft] object QueriesStreaming {
           st => when(pmod(st("i"), lit(5)) === 3, concat(st("w"), lit("x")))
             .otherwise(st("w")))
         val stream = s.readStream.schema(schema).parquet(srcDir)
-          .filter(size(toks) > 0)
+          .select(col("doc_id"), slice(toks, 1, 40).as("__sref"), size(toks).as("__nt"))
+          .filter(col("__nt") > 0)
           .select(col("doc_id"), hyp.as("hyp"))
         val scored = TextOps.wordErrorRate(
           stream.join(broadcast(refs), Seq("doc_id")), "doc_id", "ref", "hyp")
