@@ -132,8 +132,17 @@ object Dedup {
       .withColumn("len_b", length(col("__tb")).cast("long"))
       .filter(abs(col("len_a") - col("len_b")) * lit(1000L)
         <= greatest(col("len_a"), col("len_b")) * lit(maxDistPermille.toLong))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("dist") * lit(1000L)
+      // BOUNDED levenshtein: the acceptance gate below keeps only
+      // dist ≤ floor(greatest(len)·permille/1000), so hand that bound
+      // to the DP as its per-row threshold — the banded O(n·t) kernel
+      // instead of the full O(n²) table (SPARK-40752 semantics: exact
+      // distance when ≤ t, −1 when above — and every −1 row is exactly
+      // a row the gate rejects, so results are bit-identical).
+      .withColumn("__t", expr(
+        s"CAST((greatest(len_a, len_b) * ${maxDistPermille}L) div 1000L AS INT)"))
+      .withColumn("dist",
+        expr("levenshtein(__ta, __tb, __t)").cast("long"))
+      .filter(col("dist") >= 0L && col("dist") * lit(1000L)
         <= greatest(col("len_a"), col("len_b")) * lit(maxDistPermille.toLong))
       .select(col("a"), col("b"), col("dist"), col("len_a"), col("len_b"))
   }

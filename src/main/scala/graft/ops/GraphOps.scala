@@ -635,23 +635,29 @@ object GraphOps {
     def distFp(df: DataFrame): Long =
       df.agg(coalesce(bit_xor(xxhash64(col("node"), col("dist"))), lit(0L)))
         .head.getLong(0)
-    var prevFp = distFp(d)
-    var converged = false
+    // `converged` only compares the LAST round's fingerprint with the
+    // one before it (the loop runs a fixed `rounds` regardless — no
+    // early exit), so intermediate fingerprints were dead work: one
+    // driver-blocking agg job per round. Keep the per-round
+    // localCheckpoint (d is referenced twice per round — relax join +
+    // merge join — so materialization prevents exponential replay) and
+    // fingerprint only d_{rounds-1} and d_{rounds}, both already
+    // materialized, after the loop.
+    var prev = d
     var r = 0
     while (r < rounds) {
       val relaxed = ed
         .join(d.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("dist") + col("w")).as("__cand"))
+      prev = d
       d = d.join(relaxed, Seq("node"), "left")
         .select(col("node"),
           least(col("dist"), coalesce(col("__cand"), lit(Inf))).as("dist"))
         .localCheckpoint(true)
-      val s = distFp(d)
-      converged = s == prevFp
-      prevFp = s
       r += 1
     }
+    val converged = distFp(d) == distFp(prev)
     d.select(col("node"),
       when(col("dist") < Inf, col("dist")).otherwise(lit(-1L)).as("dist"),
       (col("dist") < Inf).as("reached"),
@@ -867,11 +873,20 @@ object GraphOps {
     val deg = und.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // prune hub NEIGHBORS from every neighborhood (degree of the
     // neighbor itself, not of the owning node)
+    // Eager cache: pruned feeds THREE branches (pdeg + both sides of
+    // the wedge self-join) and its lineage re-derives the exploded
+    // distinct edge table + degree join per branch — ~7x the edge-table
+    // derivation uncached. At sf0.1 the query is wedge-join-bound so
+    // this is time-neutral locally (2.5 s before, 2.8 s after, ±20%
+    // noise band); at corpus scale the derivation is the full edge
+    // pass, where single evaluation is the win. MEMORY_AND_DISK LRU.
     val pruned = und
       .join(deg.withColumnRenamed("node", "nbr")
         .withColumnRenamed("deg", "__nd"), Seq("nbr"))
       .filter(col("__nd") <= degCap)
       .select(col("node"), col("nbr"))
+      .cache()
+    pruned.count()
     val pdeg = pruned.groupBy(col("node")).agg(count(lit(1)).as("pdeg"))
     val common = pruned.select(col("nbr").as("w"), col("node").as("u"))
       .join(pruned.select(col("nbr").as("w"), col("node").as("v")), Seq("w"))
@@ -918,12 +933,16 @@ object GraphOps {
       .unionByName(ed.select(col("dst").as("node"), col("src").as("nbr")))
       .filter(col("node") =!= col("nbr")).distinct()
     val deg = und.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // eager cache: both sides of the wedge self-join re-derived the
+    // exploded distinct edge table + degree join (see neighborJaccard)
     val pruned = und
       .join(deg.withColumnRenamed("node", "nbr")
         .withColumnRenamed("deg", "__nd"), Seq("nbr"))
       .filter(col("__nd") <= degCap)
       .select(col("node"), col("nbr"),
         expr("1000000L div __nd").as("__term"))
+      .cache()
+    pruned.count()
     pruned.select(col("nbr").as("w"), col("node").as("u"), col("__term"))
       .join(pruned.select(col("nbr").as("w"), col("node").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
