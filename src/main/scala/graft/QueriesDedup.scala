@@ -323,10 +323,16 @@ private[graft] object QueriesDedup {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val spans = Dedup.substringDupSpans(docs, "doc_id", "text", 10)
-        val ivs = spans.select(col("a").as("doc_id"), col("a_start").as("s"),
-            (col("a_start") + col("span_len")).as("e"))
-          .unionAll(spans.select(col("b").as("doc_id"), col("b_start").as("s"),
-            (col("b_start") + col("span_len")).as("e")))
+        // one pass over spans: explode each pair row to its two
+        // endpoint intervals instead of a unionAll of two reads of the
+        // span pipeline (the seed join + diagonal window ran twice)
+        val ivs = spans.select(explode(array(
+            struct(col("a").as("doc_id"), col("a_start").as("s"),
+              (col("a_start") + col("span_len")).as("e")),
+            struct(col("b").as("doc_id"), col("b_start").as("s"),
+              (col("b_start") + col("span_len")).as("e")))).as("iv"))
+          .select(col("iv.doc_id").as("doc_id"), col("iv.s").as("s"),
+            col("iv.e").as("e"))
         val unionLen = udaf(new graft.expr.IntervalUnionAgg())
         docs.select(col("doc_id"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))

@@ -888,8 +888,13 @@ object Dedup {
         grams0.join(keep, Seq("gram"))
       case None => grams0
     }
-    val lhs = grams.select(col("gram"), col(idCol).as("a"), col("pos").as("pa"))
-    val rhs = grams.select(col("gram"), col(idCol).as("b"), col("pos").as("pb"))
+    // eager cache: the positional gram table feeds both sides of the
+    // seed self-join (and the df-cap branch when set) — uncached, the
+    // tokenize + k-gram explode ran once per side
+    val gt = grams.cache()
+    gt.count()
+    val lhs = gt.select(col("gram"), col(idCol).as("a"), col("pos").as("pa"))
+    val rhs = gt.select(col("gram"), col(idCol).as("b"), col("pos").as("pb"))
     val w = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
     lhs.join(rhs, Seq("gram")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
