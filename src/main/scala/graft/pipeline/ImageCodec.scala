@@ -34,6 +34,14 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO wraps byte-array streams in File{Cache}Image{In,Out}putStream
+  // when useCache is on (the JDK default): every encode/decode creates,
+  // writes and deletes a TEMP FILE. At 32 concurrent codec tasks that is
+  // tens of thousands of filesystem round-trips per query (measured:
+  // mm_image_shots 8.7 s -> ~1 s action at sf0.1). Memory-cached streams
+  // produce bit-identical bytes; our payloads are tiny (< 100 KB).
+  ImageIO.setUseCache(false)
+
   /** Decoded raster: `argb(y*width + x)` packed as 0xAARRGGBB, the
     * JDK's TYPE_INT_ARGB convention, row-major.
     */
