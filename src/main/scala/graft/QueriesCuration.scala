@@ -875,12 +875,10 @@ private[graft] object QueriesCuration {
     // are fixed-width (4096) regardless of corpus size — both
     // broadcast; the corpus side is two hash aggs, no wide shuffle.
     Q("c_dsir_score",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        Curation.dsirScores(docs, docs.filter(col("lang") === "en"),
-            "doc_id", "text", buckets = 4096, shingleN = 2)
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => Curation.dsirScoresTagged(Tables.documents(s, dir),
+          col("lang") === "en",
+          "doc_id", "text", buckets = 4096, shingleN = 2)
+        .orderBy(col("doc_id")),
       Some("""WITH d AS (SELECT doc_id, lang,
         |    list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
         |tt AS (SELECT doc_id, lang, unnest(toks) AS tok,
@@ -1944,12 +1942,26 @@ private[graft] object QueriesCuration {
         val ev = Tables.events(s, dir)
         val pts = ev.select(col("user_id"), Tables.tsUs(ev).as("tus"),
           col("event_id"))
-        val lm = Curation.linearLayout(pts, "user_id", "tus", "event_id",
-          rowsPerFile = 4096)
-        val zm = Curation.zorderLayout(pts, "user_id", "tus", "event_id",
-          bits = 12, rowsPerFile = 4096)
-        val hm = Curation.hilbertLayout(pts, "user_id", "tus", "event_id",
-          bits = 12, rowsPerFile = 4096)
+        // The three layout builds are INDEPENDENT and each blocks on an
+        // eager two-pass-rank materialization — overlap them from a
+        // small thread pool (guide §2.6) so the audit's build time is
+        // the max of the three, not the sum. Job descriptions are
+        // thread-local; results are deterministic either way.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val (lm, zm, hm) = try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          val lmF = Future(Curation.linearLayout(pts, "user_id", "tus",
+            "event_id", rowsPerFile = 4096))
+          val zmF = Future(Curation.zorderLayout(pts, "user_id", "tus",
+            "event_id", bits = 12, rowsPerFile = 4096))
+          val hmF = Future(Curation.hilbertLayout(pts, "user_id", "tus",
+            "event_id", bits = 12, rowsPerFile = 4096))
+          import scala.concurrent.duration.Duration
+          (Await.result(lmF, Duration.Inf), Await.result(zmF, Duration.Inf),
+            Await.result(hmF, Duration.Inf))
+        } finally pool.shutdown()
         val w = Curation.rangeWorkload(pts, "user_id", "tus", nQueries = 8)
         Curation.layoutSkipAudit(
             Seq("hilbert" -> hm, "linear" -> lm, "zorder" -> zm), w,

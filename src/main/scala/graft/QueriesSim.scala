@@ -650,12 +650,26 @@ private[graft] object QueriesSim {
       (s, dir) => {
         val q = sessionQuantEmb(s, dir).filter(col("vec_id") < 1500).cache()
         q.count() // eager: truth, both candidate paths, and the joins
-        val truth = Similarity.nearDupPairs(q, "vec_id", 0.45)
-          .select(col("a"), col("b")).cache()
-        truth.count()
-        def audit(idx: String, cand0: DataFrame) = {
-          val cand = cand0.select(col("a"), col("b")).cache()
-          cand.count()
+        // truth and the two candidate indexes are INDEPENDENT given the
+        // cached slice — overlap their blocking materializations
+        // (guide §2.6): the audit pays the max, not the sum.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val (truth, candIvf, candSrp) = try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          def mat(df: DataFrame): DataFrame = {
+            val c = df.select(col("a"), col("b")).cache(); c.count(); c
+          }
+          val tF = Future(mat(Similarity.nearDupPairs(q, "vec_id", 0.45)))
+          val iF = Future(mat(Similarity.ivfCandidatesFrom(
+            sessionIvfCells(s, dir).filter(col("vec_id") < 1500), "vec_id")))
+          val sF = Future(mat(Similarity.srpCandidates(q, "vec_id", 64)))
+          import scala.concurrent.duration.Duration
+          (Await.result(tF, Duration.Inf), Await.result(iF, Duration.Inf),
+            Await.result(sF, Duration.Inf))
+        } finally pool.shutdown()
+        def audit(idx: String, cand: DataFrame) = {
           truth.agg(count(lit(1)).as("n_true"))
             .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
             .crossJoin(truth.join(cand, Seq("a", "b"))
@@ -668,9 +682,8 @@ private[graft] object QueriesSim {
         }
         // the session cell assignment restricted to the slice IS the
         // slice's assignment (row-local given the broadcast seeds)
-        audit("ivf", Similarity.ivfCandidatesFrom(
-            sessionIvfCells(s, dir).filter(col("vec_id") < 1500), "vec_id"))
-          .unionAll(audit("srp", Similarity.srpCandidates(q, "vec_id", 64)))
+        audit("ivf", candIvf)
+          .unionAll(audit("srp", candSrp))
           .orderBy(col("idx"))
       },
       Some(s"""WITH q AS (SELECT vec_id, list_transform(embedding,

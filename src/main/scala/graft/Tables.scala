@@ -58,6 +58,27 @@ object Tables {
     case _        => timestamp_micros(us).cast(dt)
   }
 
+  /** Scale-adaptive fan-out for CPU-heavy per-row work (optimization
+    * guide §2.5, "input skew: repartition immediately after the read"):
+    * the driver's test files are single-row-group parquet, so a scan is
+    * ONE task and every tokenize/codec/hash pass before the first
+    * exchange runs single-threaded regardless of the core count. When
+    * the plan's current partitioning is narrower than the session's
+    * parallelism, hash-spread the (small, pre-work) rows across the
+    * cores; when the input already carries >= cores splits — the real
+    * corpus-scale case — this is the identity, so no full-data shuffle
+    * is ever introduced at scale. Call it on scan-adjacent frames only
+    * (scan + filter + project): `.rdd.getNumPartitions` finalizes the
+    * physical plan, which is free for a scan but would EXECUTE upstream
+    * query stages on a frame with exchanges under AQE.
+    */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) {
+      if (keys.isEmpty) df.repartition(p) else df.repartition(p, keys: _*)
+    } else df
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     tune(spark).read.parquet(s"$dir/$name.parquet")
 

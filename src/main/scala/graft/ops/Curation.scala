@@ -504,6 +504,39 @@ object Curation {
     // plan: tiny sides broadcast, nothing collects to the driver.
     val tgtC = feats(target).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
     val rawC = rawF.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    scoreFromCounts(rawF, tgtC, rawC, idCol)
+  }
+
+  /** [[dsirScores]] when the target corpus is a PREDICATE over the raw
+    * corpus (the common "target = the English slice" setup): ONE
+    * tokenize + shingle + md5 pass over the corpus feeds the target
+    * histogram, the raw histogram and the per-doc profiles — the
+    * two-frame form pays that full-corpus pass three times. The
+    * (id, flag, bucket) rows are eager-cached (longs only — the text
+    * never persists) and fanned across cores before the per-row hash
+    * work ([[graft.Tables.spread]]). Results are bit-identical to
+    * `dsirScores(docs, docs.filter(targetPred), ...)`.
+    */
+  def dsirScoresTagged(docs: DataFrame, targetPred: Column, idCol: String,
+                       textCol: String, buckets: Int, shingleN: Int): DataFrame = {
+    val feats = graft.Tables.spread(
+        docs.select(col(idCol), targetPred.as("__tgt"), col(textCol)),
+        col(idCol))
+      .select(col(idCol), col("__tgt"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("g"))
+      .select(col(idCol), col("__tgt"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
+          .as("bucket"))
+      .cache()
+    feats.count()
+    val tgtC = feats.filter(col("__tgt")).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val rawC = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    scoreFromCounts(feats.select(col(idCol), col("bucket")), tgtC, rawC, idCol)
+  }
+
+  private def scoreFromCounts(rawF: DataFrame, tgtC: DataFrame,
+                              rawC: DataFrame, idCol: String): DataFrame = {
     val tgtN = tgtC.agg(sum(col("ct")).as("n_tgt"))
     val rawN = rawC.agg(sum(col("cr")).as("n_raw"))
     rawF.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))

@@ -874,7 +874,11 @@ object Dedup {
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, maxSeedDf: Option[Long] = None): DataFrame = {
     require(k >= 2, s"seed width k must be >= 2, got $k")
-    val grams0 = docs
+    // spread the (id, text) rows before the tokenize + k-gram explode —
+    // the gram-table build (the cached materialization job) is the
+    // expensive pass and otherwise runs inside the single scan task
+    val grams0 = graft.Tables.spread(
+        docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(expr(

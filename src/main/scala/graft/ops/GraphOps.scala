@@ -549,8 +549,12 @@ object GraphOps {
     val m = 1 << b
     val width = 60 - b
     val wMask = (1L << width) - 1L
+    // materialize the edge table ONCE (the pageRank/hits posture): it
+    // is joined every round, and uncheckpointed each round re-ran the
+    // caller's full edge DERIVATION (link-graph windows + unions)
     val ed = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node"))).distinct()
     // self-hash registers: ball(v, 0) = {v}
@@ -609,6 +613,11 @@ object GraphOps {
     // of weight <= 1e6 tops out at 8e6), still far from long overflow
     // when a round adds a weight to it.
     val Inf = 999999999L
+    // materialize the edge table ONCE (the pageRank/hits posture): it
+    // is joined every round, and uncheckpointed each round re-ran the
+    // caller's full edge DERIVATION (link-graph windows + unions). The
+    // weight gate raises during this materialization — same loud
+    // contract, surfaced at loop entry instead of round 1.
     val ed = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       weightCol.map(w =>
@@ -618,6 +627,7 @@ object GraphOps {
               coalesce(col(w).cast("string"), lit("null")))).cast("long"))
             .otherwise(col(w).cast("long")))
         .getOrElse(lit(1L)).as("w"))
+      .localCheckpoint(true)
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("__s", lit(1L))
     val nodes = ed.select(col("src").as("node"))
@@ -978,6 +988,8 @@ object GraphOps {
     val und = ed.unionByName(ed.select(col("dst").as("src"),
         col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+      // joined every round — materialize once (the pageRank posture)
+      .localCheckpoint(true)
     var frontier = und.select(col("src").as("root"), col("src").as("node"))
       .distinct().withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {

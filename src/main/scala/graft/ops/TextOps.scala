@@ -667,12 +667,20 @@ object TextOps {
     // so the quotient is the exact integer (the decimal-free idiv)
     def idiv(x: Column, y: Column): Column =
       ((x - pmod(x, y)) / y).cast("long")
-    val perDoc = docs.select(col(idCol),
+    // spread the text rows (26 full-text replaces per row — the heavy
+    // pass, single scan task locally) and evaluate them ONCE: perDoc
+    // feeds both the corpus-profile agg and the final projection; the
+    // cached rows are (id, 26 longs), the text never persists.
+    val perDoc = graft.Tables.spread(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
         transform(alphabet, c =>
           (length(col(textCol)) - length(replace(col(textCol), c, lit(""))))
             .cast("long")).as("os"))
       .withColumn("n", aggregate(col("os"), lit(0L), _ + _))
       .filter(col("n") > 0L)
+      .cache()
+    perDoc.count()
     val corpus = perDoc.agg(
       sum(col("n")).as("nn"),
       array((1 to 26).map(i => sum(element_at(col("os"), i))): _*).as("es"))
@@ -864,7 +872,11 @@ object TextOps {
 
   def textTileSegments(docs: DataFrame, idCol: String, textCol: String,
                        w: Int, minOverlap: Int): DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // spread before the per-position window-intersect transform — the
+    // O(n·w) per-doc scoring otherwise runs in the single scan task
+    val base = graft.Tables.spread(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast("long"))
       .filter(col("__n") > 0L)
     val cuts = base.filter(col("__n") >= 2L * w)
